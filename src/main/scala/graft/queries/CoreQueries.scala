@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Core relational operators from SURVEY.md §2.3–§2.6 re-expressed over the
+  * driver test tables: hash aggregation, conditional aggregation, exact
+  * distinct counting, keep-latest dedup (reference
+  * `warehouse/load_facts.sql:12-17`), multi-way broadcast join
+  * (`warehouse/load_facts.sql:75-90`), semi/anti joins
+  * (`warehouse/load_facts.sql:104-110`, `ON CONFLICT DO NOTHING` sites),
+  * unpartitioned-window percent-of-total (`dashboard/kpi_queries.sql:78-79`),
+  * and top-k (`transform/data_quality.sql:128-129`).
+  */
+object CoreQueries {
+
+  // Scale-4 decimals keep aggregate sums under 15 significant digits, so
+  // the scaled integer fits in a double mantissa and BOTH engines convert
+  // decimal→double exactly (scale 10 provoked 1-ulp divergence: Java
+  // correctly rounds the true value, DuckDB rounds int128→double first).
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(28, 4)
+
+  /** Decimal-exact sum emitted as double (convention #2 in OracleQuery). */
+  private def dsum(c: org.apache.spark.sql.Column, t: DecimalType = dec2) =
+    sum(c.cast(t)).cast("double")
+
+  // --------------------------------------------------------------------- //
+
+  /** A1/A2/A8: TPC-H-Q1-style pricing summary. Whole-stage-codegen hash agg
+    * with partial (map-side) aggregation; one shuffle on the 2 group keys.
+    * At 100 TB the partial agg reduces shuffle input to |groups|×|tasks|. */
+  val q01PricingSummary = OracleQuery(
+    "q01_pricing_summary",
+    "groupBy hash-agg: count/sum/avg/min/max over lineitem (SURVEY A1,A8)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec4)
+            .as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A5/W2: keep-latest-per-key dedup — the reference's
+    * `DISTINCT ON (source, raw_event_id) ... ORDER BY ingested_at DESC`
+    * (`load_facts.sql:12-17`) as a row_number window. One shuffle on the
+    * partition key; at scale this is the standard "latest snapshot" pattern
+    * and AQE handles key skew. */
+  val q05DedupLatest = OracleQuery(
+    "q05_dedup_latest",
+    "keep-newest-row-per-key window dedup (SURVEY A5/W2, load_facts.sql:12-17)",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  /** J1/J5: 4-way star join, dims broadcast (reference
+    * `load_facts.sql:75-90`). lineitem⋈orders shuffles on orderkey (both
+    * sides large); customer/nation/region are broadcast so no further
+    * shuffle. At 100 TB: bucket lineitem+orders on orderkey to remove the
+    * remaining shuffle entirely. */
+  val q08RegionalRevenue = OracleQuery(
+    "q08_regional_revenue",
+    "multi-way star join + agg, small dims broadcast (SURVEY J1/J5)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** J6: left-semi join ("mark processed" / EXISTS pattern,
+    * `load_facts.sql:104-110`). Semi join never duplicates left rows and
+    * ships only the join key of the right side. */
+  val q11SemiJoin = OracleQuery(
+    "q11_semi_join",
+    "left-semi join: customers that have orders (SURVEY J6)",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, count(*) AS n_customers_with_orders
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
+  /** J7/M1: left-anti join — the Spark form of `ON CONFLICT DO NOTHING`
+    * (insert-if-absent, `transform_events.sql:97` etc.): rows whose key is
+    * not present on the other side. */
+  val q12AntiJoin = OracleQuery(
+    "q12_anti_join",
+    "left-anti join: orders with no lineitems = insert-if-absent core (SURVEY J7/M1)",
+    (s, d) => {
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)
+      ORDER BY o_orderkey"""))
+
+  /** W1: percent-of-grand-total via an empty-frame window over an aggregate
+    * (`kpi_queries.sql:78-79`). The unpartitioned window runs on the tiny
+    * post-agg result (|event types| rows), not the raw table — safe at any
+    * scale. Division is exact-int double division (convention #3/#4). */
+  val q13WindowPct = OracleQuery(
+    "q13_window_pct",
+    "pct-of-total: window SUM over () above a groupBy (SURVEY W1)",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      g.withColumn(
+          "pct_of_total",
+          lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy()))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, n, 100.0::DOUBLE * n / SUM(n) OVER () AS pct_of_total
+      FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) t
+      ORDER BY event_type"""))
+
+  /** O2: top-k — Spark plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition heap + driver merge; no full sort, no shuffle of the
+    * full table — exactly what you want at 100 TB). Reference:
+    * `data_quality.sql:128-129`. */
+  val q14TopK = OracleQuery(
+    "q14_topk",
+    "ORDER BY ... LIMIT top-k via TakeOrderedAndProject (SURVEY O2)",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""))
+
+  def all: Seq[OracleQuery] = Seq(
+    q01PricingSummary, q05DedupLatest, q08RegionalRevenue,
+    q11SemiJoin, q12AntiJoin, q13WindowPct, q14TopK)
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark implementation plus (optionally) the
+  * ANSI-SQL twin the driver runs in DuckDB over the same parquet tables.
+  *
+  * Cross-engine determinism conventions (every query in the catalog obeys
+  * these — they are what makes hash-comparison against DuckDB viable):
+  *
+  *  1. Per-row arithmetic may be done in DOUBLE: IEEE-754 ops on identical
+  *     inputs are bit-identical in any engine.
+  *  2. Aggregation of inexact values must be ORDER-INDEPENDENT: cast to
+  *     DECIMAL before SUM/AVG (decimal addition is exact), cast the final
+  *     result back to DOUBLE (exact-decimal→double is deterministic).
+  *     Never SUM raw doubles — partial-aggregation order differs by engine.
+  *  3. AVG is expressed as decimal-sum cast to double, divided by COUNT:
+  *     a single double division of identical operands, bit-identical.
+  *  4. No ROUND on doubles (engines differ on tie-breaking); emit the raw
+  *     deterministic double instead.
+  *  5. Every result has a total ORDER BY (unique key suffix) in both
+  *     engines, so row order is identical even if the driver hashes in
+  *     row order.
+  *  6. Timestamps are never emitted raw (parquet ns vs Spark µs truncation);
+  *     emit epoch seconds / date parts instead.
+  *  7. Only functions present in BOTH Spark 4 and DuckDB 1.0 are used in
+  *     oracle SQL (no initcap / xxhash64 on the DuckDB side — md5 is the
+  *     shared hash).
+  */
+final case class OracleQuery(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+object Catalog {
+  /** Complete inventory — SparkEntry derives `queries` and `oracleSql`
+    * from this single list. */
+  def all: Seq[OracleQuery] =
+    CoreQueries.all ++ StagingQueries.all ++ QualityQueries.all ++
+      KpiQueries.all ++ ExtensionQueries.all
+
+  def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
+}

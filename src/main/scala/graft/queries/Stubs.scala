@@ -1,0 +1,7 @@
+package graft.queries
+
+// Temporary holders — filled in as their module lands.
+object StagingQueries   { def all: Seq[OracleQuery] = Seq.empty }
+object QualityQueries   { def all: Seq[OracleQuery] = Seq.empty }
+object KpiQueries       { def all: Seq[OracleQuery] = Seq.empty }
+object ExtensionQueries { def all: Seq[OracleQuery] = Seq.empty }

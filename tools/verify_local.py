@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage:  python3 tools/verify_local.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already produced
+<outDir>/<query>/ parquet dirs plus <outDir>/oracle_sql.json. Registers each
+testdata parquet as a DuckDB view, runs every oracle SQL, and compares
+value-by-value against the Spark parquet output (columns sorted by name —
+mirroring the driver's hash — plus row order, shape, and exact values).
+
+Exit code = number of failing queries.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    n_fail = 0
+    spark_dirs = sorted(
+        d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if "." not in d.split("/")[-1])
+    for name in spark_dirs:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark parquet output")
+            n_fail += 1
+            continue
+        try:
+            sp = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle SQL (rows-only check: "
+                  f"{len(sp)} rows)")
+            continue
+        try:
+            du = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        du = du.reindex(sorted(du.columns), axis=1)
+        if list(sp.columns) != list(du.columns):
+            print(f"FAIL {name}: columns spark={list(sp.columns)} "
+                  f"duck={list(du.columns)}")
+            n_fail += 1
+            continue
+        if sp.shape != du.shape:
+            print(f"FAIL {name}: shape spark={sp.shape} duck={du.shape}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(sp)):
+            for c in sp.columns:
+                a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
+                eq = (a == b) or (a is None and b is None) \
+                    or (str(a) == str(b))
+                if not eq:
+                    bad = (i, c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={a!r} ({type(a).__name__}) "
+                  f"duck={b!r} ({type(b).__name__})")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {sp.shape[0]} rows x {sp.shape[1]} cols")
+
+    missing = set(oracle) - set(spark_dirs)
+    for name in missing:
+        print(f"FAIL {name}: oracle declared but no spark output dir")
+        n_fail += 1
+    print(f"== {len(spark_dirs)} queries, {n_fail} failures ==")
+    sys.exit(n_fail)
+
+
+if __name__ == "__main__":
+    main()

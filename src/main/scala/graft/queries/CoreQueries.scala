@@ -22,12 +22,29 @@ object CoreQueries {
   // the scaled integer fits in a double mantissa and BOTH engines convert
   // decimal→double exactly (scale 10 provoked 1-ulp divergence: Java
   // correctly rounds the true value, DuckDB rounds int128→double first).
+  //
+  // Only SOURCE doubles (2-dp money columns, where the shortest repr is the
+  // intended value) may be cast to decimal. Casting a DERIVED double (e.g.
+  // price*(1-discount)) diverges: Spark rounds the shortest decimal repr
+  // HALF_UP while DuckDB rounds x*10^s computed in double — near-tie cents
+  // flip. Derived money math therefore stays in decimal end-to-end.
   private val dec2 = DecimalType(18, 2)
-  private val dec4 = DecimalType(28, 4)
+  private val disc2 = DecimalType(4, 2)
 
-  /** Decimal-exact sum emitted as double (convention #2 in OracleQuery). */
-  private def dsum(c: org.apache.spark.sql.Column, t: DecimalType = dec2) =
-    sum(c.cast(t)).cast("double")
+  /** Decimal-exact sum of a source money column, emitted as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(dec2)).cast("double")
+
+  /** Decimal-exact discounted revenue: price*(1-discount) computed wholly
+    * in decimal (scale 4), summed exactly, emitted as double. */
+  private def revenueSum =
+    sum(col("l_extendedprice").cast(dec2) *
+        (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2)))
+      .cast("double")
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
 
   // --------------------------------------------------------------------- //
 
@@ -44,8 +61,7 @@ object CoreQueries {
           count(lit(1)).as("n_rows"),
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec4)
-            .as("sum_disc_price"),
+          revenueSum.as("sum_disc_price"),
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
@@ -56,7 +72,7 @@ object CoreQueries {
              count(*) AS n_rows,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
              MIN(l_quantity) AS min_qty,
              MAX(l_quantity) AS max_qty
@@ -73,8 +89,11 @@ object CoreQueries {
     "q05_dedup_latest",
     "keep-newest-row-per-key window dedup (SURVEY A5/W2, load_facts.sql:12-17)",
     (s, d) => {
+      // Order on microseconds (ts div 1000): DuckDB truncates parquet
+      // nano-timestamps to µs, so ranking on raw nanos could break ties
+      // differently. event_id is the final tie-break in both engines.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -110,14 +129,13 @@ object CoreQueries {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec4)
-            .as("revenue"),
+          revenueSum.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
     Some("""
       SELECT r_name, n_name,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** The 6 reporting KPI views (`dashboard/kpi_queries.sql:11-118`, SURVEY
+  * §2 "KPI layer") with `events` in the fact role: per-category rollup,
+  * per-dimension rollup with distinct counts, recency filter, weekend
+  * split with pct-of-total, daily pipeline-health, and the quality-log
+  * rollup. All are groupBy aggregations over one fact scan + broadcast
+  * dim joins — the plan shape that scales linearly with fact size.
+  */
+object KpiQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  private def evDate = expr("date(timestamp_micros(ts div 1000))")
+
+  /** KPI 1 — events by category (`kpi_queries.sql:11-26`): totals,
+    * conditional counts, avg/min/max measures. */
+  val q31 = OracleQuery("q31_kpi_events_by_type",
+    "KPI: per-category totals + conditional counts + avg/min/max (kpi_queries.sql:11-26)",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("total_events"),
+          count(when(col("value") > 100, 1)).as("n_high_value"),
+          (sum(col("value").cast(dec2)).cast("double") / count(lit(1)))
+            .as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS total_events,
+             count(*) FILTER (WHERE value > 100) AS n_high_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** KPI 2 — activity by nation (`kpi_queries.sql:31-46` venue rollup
+    * shape): fact ⋈ two broadcast dims, COUNT(DISTINCT) of the entity. */
+  val q32 = OracleQuery("q32_kpi_by_nation",
+    "KPI: fact joined through 2 broadcast dims + COUNT DISTINCT (kpi_queries.sql:31-46)",
+    (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(dec2)).cast("double").as("sum_value"))
+        .orderBy("n_name"),
+    Some("""
+      SELECT n_name, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN customer ON user_id = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** KPI 3 — recent activity (`kpi_queries.sql:51-67` upcoming-events
+    * shape): a time-predicate filter that reaches the parquet scan
+    * (PushedFilters on the ts long column), then rollup. */
+  val q33 = OracleQuery("q33_kpi_recent",
+    "KPI: recency filter pushed to scan + rollup (kpi_queries.sql:51-67)",
+    (s, d) => {
+      // 2024-01-15T00:00:00Z in nanos — exact long comparison both engines.
+      val cutoffNs = 1705276800000000000L
+      Tables.events(s, d)
+        .filter(col("ts") >= cutoffNs)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** KPI 4 — weekend split (`kpi_queries.sql:73-83`): group on a derived
+    * boolean + W1 pct-of-total window over the 2-row aggregate. */
+  val q34 = OracleQuery("q34_kpi_weekend",
+    "KPI: weekend/weekday split + pct-of-total window (kpi_queries.sql:73-83)",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .withColumn("is_weekend", dayofweek(evDate).isin(1, 7))
+        .groupBy(col("is_weekend"))
+        .agg(count(lit(1)).as("n_events"))
+      g.withColumn(
+          "pct_of_total",
+          lit(100.0) * col("n_events")
+            / sum(col("n_events")).over(Window.partitionBy()))
+        .orderBy("is_weekend")
+    },
+    Some("""
+      SELECT is_weekend, n_events,
+             100.0::DOUBLE * n_events / SUM(n_events) OVER () AS pct_of_total
+      FROM (SELECT dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend,
+                   count(*) AS n_events
+            FROM events GROUP BY 1) g
+      ORDER BY is_weekend"""))
+
+  /** KPI 5 — daily pipeline health (`kpi_queries.sql:89-102`): DATE_TRUNC
+    * day rollup with volume + distinct + measure columns. */
+  val q35 = OracleQuery("q35_kpi_daily_health",
+    "KPI: per-day health rollup via date_trunc group (kpi_queries.sql:89-102)",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(evDate.as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(dec2)).cast("double").as("sum_value"),
+          (sum(col("value").cast(dec2)).cast("double") / count(lit(1)))
+            .as("avg_value"))
+        .orderBy("day"),
+    Some("""
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_value
+      FROM events
+      GROUP BY 1
+      ORDER BY day"""))
+
+  /** KPI 6 — quality-log rollup (`kpi_queries.sql:108-118`): aggregate
+    * over the 5 quality-check rows: status counts + decimal-exact mean
+    * pass rate. */
+  val q36 = OracleQuery("q36_kpi_quality_rollup",
+    "KPI: rollup over the quality summary rows (kpi_queries.sql:108-118)",
+    (s, d) =>
+      QualityQueries.q46.run(s, d)
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n_checks"),
+          sum(col("records_checked")).as("sum_checked"),
+          sum(col("records_failed")).as("sum_failed"))
+        // pooled pass rate from exact integer sums (pass_rate itself is a
+        // derived double — casting it to decimal is cross-engine unsafe)
+        .withColumn(
+          "pooled_pass_rate",
+          lit(100.0) * (col("sum_checked") - col("sum_failed"))
+            / col("sum_checked"))
+        .orderBy("status"),
+    Some(s"""
+      SELECT status, count(*) AS n_checks,
+             CAST(SUM(records_checked) AS BIGINT) AS sum_checked,
+             CAST(SUM(records_failed) AS BIGINT) AS sum_failed,
+             100.0::DOUBLE * (SUM(records_checked) - SUM(records_failed))
+               / SUM(records_checked) AS pooled_pass_rate
+      FROM (${QualityQueries.q46.sql.get}) q
+      GROUP BY status
+      ORDER BY status"""))
+
+  def all: Seq[OracleQuery] = Seq(q31, q32, q33, q34, q35, q36)
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's 5 automated data-quality checks
+  * (`transform/data_quality.sql`, SURVEY §2.11) mapped onto the events
+  * table: null scan, regex validity, range sanity, duplicate keys, orphan
+  * FKs — each a single-pass aggregation emitting
+  * (check_name, records_checked, records_failed, pass_rate, status),
+  * plus a UNION ALL summary (the reference's `quality_log` report shape).
+  *
+  * Status thresholds are evaluated in exact integer arithmetic
+  * (failed*20 < checked  ⇔  fail rate < 5%) so no float comparison can
+  * diverge between engines. Each check is one scan with conditional
+  * aggregation — at 100 TB all five can even share a single scan via one
+  * multi-aggregate pass (implemented that way in the ETL library).
+  */
+object QualityQueries {
+
+  /** Shared SELECT shape: one row per check from conditional counts. */
+  private def check(ev: DataFrame, name: String, failCond: Column,
+      warnNum: Int): DataFrame = {
+    // warnNum: warn while failed * warnNum < checked (5% ⇒ 20, 10% ⇒ 10)
+    ev.agg(
+        count(lit(1)).as("records_checked"),
+        count(when(failCond, 1)).as("records_failed"))
+      .select(
+        lit(name).as("check_name"),
+        col("records_checked"),
+        col("records_failed"),
+        (lit(100.0) * (col("records_checked") - col("records_failed"))
+          / col("records_checked")).as("pass_rate"),
+        when(col("records_failed") === 0, "passed")
+          .when(col("records_failed") * warnNum < col("records_checked"),
+            "warning")
+          .otherwise("failed").as("status"))
+  }
+
+  private def sqlCheck(name: String, from: String, failCond: String,
+      warnNum: Int): String = s"""
+      SELECT '$name' AS check_name,
+             count(*) AS records_checked,
+             count(*) FILTER (WHERE $failCond) AS records_failed,
+             100.0::DOUBLE * (count(*) - count(*) FILTER (WHERE $failCond))
+               / count(*) AS pass_rate,
+             CASE WHEN count(*) FILTER (WHERE $failCond) = 0 THEN 'passed'
+                  WHEN count(*) FILTER (WHERE $failCond) * $warnNum < count(*)
+                    THEN 'warning'
+                  ELSE 'failed' END AS status
+      FROM $from"""
+
+  // -- check 1: null scan (`data_quality.sql:10-24`) --------------------- //
+  private def nullCheck(s: SparkSession, d: String) =
+    check(Tables.events(s, d), "null_event_type",
+      col("event_type").isNull, 20)
+  private val nullSql =
+    sqlCheck("null_event_type", "events", "event_type IS NULL", 20)
+
+  // -- check 2: regex validity (`data_quality.sql:30-44`) ---------------- //
+  private def regexCheck(s: SparkSession, d: String) =
+    check(Tables.events(s, d), "invalid_event_type",
+      !col("event_type").rlike("^[a-z]+$"), 10)
+  private val regexSql =
+    sqlCheck("invalid_event_type", "events", "NOT event_type ~ '^[a-z]+$'", 10)
+
+  // -- check 3: range sanity (`data_quality.sql:50-72` min>max shape) ---- //
+  private def rangeCheck(s: SparkSession, d: String) =
+    check(Tables.events(s, d), "value_out_of_range",
+      col("value") < 0 || col("value") > 450, 20)
+  private val rangeSql =
+    sqlCheck("value_out_of_range", "events",
+      "value < 0 OR value > 450", 20)
+
+  // -- check 4: duplicate keys (`data_quality.sql:78-92`) ---------------- //
+  // Counted against distinct keys: failed = #keys seen more than once.
+  private def dupCheck(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val groups = ev.groupBy(
+        col("user_id"), col("event_type"),
+        expr("date(timestamp_micros(ts div 1000))").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    groups.agg(
+        count(lit(1)).as("records_checked"),
+        count(when(col("cnt") > 1, 1)).as("records_failed"))
+      .select(
+        lit("duplicate_event_keys").as("check_name"),
+        col("records_checked"), col("records_failed"),
+        (lit(100.0) * (col("records_checked") - col("records_failed"))
+          / col("records_checked")).as("pass_rate"),
+        when(col("records_failed") === 0, "passed")
+          .when(col("records_failed") * 20 < col("records_checked"), "warning")
+          .otherwise("failed").as("status"))
+  }
+  private val dupSql = """
+      SELECT 'duplicate_event_keys' AS check_name,
+             count(*) AS records_checked,
+             count(*) FILTER (WHERE cnt > 1) AS records_failed,
+             100.0::DOUBLE * (count(*) - count(*) FILTER (WHERE cnt > 1))
+               / count(*) AS pass_rate,
+             CASE WHEN count(*) FILTER (WHERE cnt > 1) = 0 THEN 'passed'
+                  WHEN count(*) FILTER (WHERE cnt > 1) * 20 < count(*)
+                    THEN 'warning'
+                  ELSE 'failed' END AS status
+      FROM (SELECT user_id, event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3) g"""
+
+  // -- check 5: orphan FKs (`data_quality.sql:98-113`) ------------------- //
+  private def orphanCheck(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val flagged = ev.join(broadcast(cust),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("c_custkey").isNull.as("is_orphan"))
+    flagged.agg(
+        count(lit(1)).as("records_checked"),
+        count(when(col("is_orphan"), 1)).as("records_failed"))
+      .select(
+        lit("orphan_event_users").as("check_name"),
+        col("records_checked"), col("records_failed"),
+        (lit(100.0) * (col("records_checked") - col("records_failed"))
+          / col("records_checked")).as("pass_rate"),
+        when(col("records_failed") === 0, "passed")
+          .when(col("records_failed") * 20 < col("records_checked"), "warning")
+          .otherwise("failed").as("status"))
+  }
+  private val orphanSql = """
+      SELECT 'orphan_event_users' AS check_name,
+             count(*) AS records_checked,
+             count(*) FILTER (WHERE is_orphan) AS records_failed,
+             100.0::DOUBLE * (count(*) - count(*) FILTER (WHERE is_orphan))
+               / count(*) AS pass_rate,
+             CASE WHEN count(*) FILTER (WHERE is_orphan) = 0 THEN 'passed'
+                  WHEN count(*) FILTER (WHERE is_orphan) * 20 < count(*)
+                    THEN 'warning'
+                  ELSE 'failed' END AS status
+      FROM (SELECT c_custkey IS NULL AS is_orphan
+            FROM events LEFT JOIN customer ON user_id = c_custkey) t"""
+
+  // ---------------------------------------------------------------------- //
+
+  val q41 = OracleQuery("q41_quality_nulls",
+    "quality check: null scan with pass-rate + status thresholds (SURVEY §2.11)",
+    nullCheck, Some(nullSql))
+
+  val q42 = OracleQuery("q42_quality_regex",
+    "quality check: regex validity scan (SURVEY §2.11)",
+    regexCheck, Some(regexSql))
+
+  val q43 = OracleQuery("q43_quality_range",
+    "quality check: numeric range sanity (SURVEY §2.11 price_min_gt_max shape)",
+    rangeCheck, Some(rangeSql))
+
+  val q44 = OracleQuery("q44_quality_dups",
+    "quality check: duplicate natural keys via groupBy-HAVING (SURVEY §2.11)",
+    dupCheck, Some(dupSql))
+
+  val q45 = OracleQuery("q45_quality_orphans",
+    "quality check: orphan FK rows via left join null scan (SURVEY §2.11)",
+    orphanCheck, Some(orphanSql))
+
+  /** UNION ALL of all five checks — the `quality_log` report
+    * (`data_quality.sql:119-129`). Also the catalog's set-operation
+    * coverage (the reference itself has none, SURVEY §2.7). */
+  val q46 = OracleQuery("q46_quality_summary",
+    "UNION ALL of the 5 quality checks = quality_log report (SURVEY §2.11/§2.7)",
+    (s, d) =>
+      nullCheck(s, d)
+        .unionByName(regexCheck(s, d))
+        .unionByName(rangeCheck(s, d))
+        .unionByName(dupCheck(s, d))
+        .unionByName(orphanCheck(s, d))
+        .orderBy("check_name"),
+    Some(Seq(nullSql, regexSql, rangeSql, dupSql, orphanSql)
+      .mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY check_name")))
+
+  def all: Seq[OracleQuery] = Seq(q41, q42, q43, q44, q45, q46)
+}

@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Staging/cleansing, date-dimension, and windowed-lineage operators from
+  * SURVEY.md §2.2, §2.8, §2.10 (M6 SCD2) and §2.9 (sessionization as the
+  * batch twin of the streaming path), re-expressed over the driver tables.
+  *
+  * `events.ts` arrives as nanos-since-epoch LongType (see Verify.scala), so
+  * every time derivation here is exact integer math — identical in DuckDB
+  * via `epoch_ns`.
+  *
+  * Convention #8 (extends OracleQuery's list): derived integer outputs are
+  * BIGINT on both sides (Spark's month()/row_number() are int32, DuckDB's
+  * are int64 — a dtype mismatch the driver's hash may not forgive).
+  */
+object StagingQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** P1–P9: the staging cleansing projection
+    * (`transform/transform_events.sql:53-75`): trim/initcap normalize,
+    * regex-validated casts, coalesce/nullif defaulting, upper/lower. Pure
+    * narrow transformation — no shuffle, fully pushdown/codegen friendly. */
+  val q15StagingClean = OracleQuery(
+    "q15_staging_clean",
+    "staging cleaners: trim/initcap, regex-validated cast, nullif/coalesce defaults (SURVEY P2-P9)",
+    (s, d) => {
+      val kStr = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          initcap(trim(col("event_type"))).as("event_type_title"),
+          upper(trim(col("event_type"))).as("event_type_upper"),
+          coalesce(nullif(trim(col("event_type")), lit("")), lit("unknown"))
+            .as("event_type_filled"),
+          when(kStr.rlike("^\\d+$"), kStr.cast("long")).as("k_value"),
+          when(col("value") >= 0, col("value")).as("value_checked"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+             concat(upper(substr(trim(event_type),1,1)),
+                    lower(substr(trim(event_type),2))) AS event_type_title,
+             upper(trim(event_type)) AS event_type_upper,
+             coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type_filled,
+             CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^\d+$'
+                  THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+             END AS k_value,
+             CASE WHEN value >= 0 THEN value END AS value_checked
+      FROM events
+      ORDER BY event_id"""))
+
+  /** S3: nested-JSON flattening (`ingestion/api_ingestor.py:60-92`) done
+    * natively with from_json — no UDF, stays inside codegen. The oracle
+    * reaches the same value via regex so it needs no DuckDB JSON extension. */
+  val q16JsonFlatten = OracleQuery(
+    "q16_json_flatten",
+    "JSON payload flattening via from_json, no UDF (SURVEY S3)",
+    (s, d) => {
+      val payload = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_json(col("props"), payload).getField("k").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+             count(*) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY k"""))
+
+  /** Date-dimension derivation (`transform_events.sql:81-97`): every date
+    * part the reference computes, including the Postgres DOW convention
+    * (Sunday=0 — Spark's dayofweek is Sunday=1, the §2.8 off-by-one trap)
+    * and the weekend predicate. */
+  val q17DateDim = OracleQuery(
+    "q17_date_dim",
+    "date dimension: year/quarter/month/ISO week/Postgres DOW/weekend (SURVEY §2.8 date fns)",
+    (s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      Tables.orders(s, d)
+        .select(dt.as("full_date"))
+        .distinct()
+        .select(
+          col("full_date"),
+          year(col("full_date")).cast("long").as("year"),
+          quarter(col("full_date")).cast("long").as("quarter"),
+          month(col("full_date")).cast("long").as("month"),
+          weekofyear(col("full_date")).cast("long").as("iso_week"),
+          (dayofweek(col("full_date")) - 1).cast("long").as("dow_pg"),
+          date_format(col("full_date"), "EEEE").as("day_name"),
+          date_format(col("full_date"), "MMMM").as("month_name"),
+          dayofweek(col("full_date")).isin(1, 7).as("is_weekend"))
+        .orderBy("full_date")
+    },
+    Some("""
+      SELECT full_date,
+             CAST(year(full_date) AS BIGINT) AS year,
+             CAST(quarter(full_date) AS BIGINT) AS quarter,
+             CAST(month(full_date) AS BIGINT) AS month,
+             CAST(weekofyear(full_date) AS BIGINT) AS iso_week,
+             CAST(dayofweek(full_date) AS BIGINT) AS dow_pg,
+             dayname(full_date) AS day_name,
+             monthname(full_date) AS month_name,
+             dayofweek(full_date) IN (0, 6) AS is_weekend
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders) t
+      ORDER BY full_date"""))
+
+  /** FX normalization CASE chain (`warehouse/load_facts.sql:66-71`):
+    * branch on a code column, multiply by a hardcoded rate. Per-row double
+    * math (bit-exact cross-engine), decimal-exact aggregation. */
+  val q18FxNormalize = OracleQuery(
+    "q18_fx_normalize",
+    "CASE-chain FX normalization + conditional rate (SURVEY load_facts.sql:66-71)",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn(
+          // rate applied in decimal so the product is exact (derived
+          // doubles must not be cast to decimal — see CoreQueries note)
+          "price_eur",
+          col("o_totalprice").cast(dec2) *
+            when(substring(col("o_orderpriority"), 1, 1) === "1", lit(BigDecimal("0.92")))
+              .when(substring(col("o_orderpriority"), 1, 1) === "2", lit(BigDecimal("1.17")))
+              .otherwise(lit(BigDecimal("1.00"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("price_eur")).cast("double").as("sum_eur"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+                      CASE substr(o_orderpriority, 1, 1)
+                        WHEN '1' THEN 0.92 WHEN '2' THEN 1.17
+                        ELSE 1.00 END) AS DOUBLE) AS sum_eur
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** A7: scalar-subquery share-of-total — the denominator is a one-row
+    * aggregate cross-joined in (Spark broadcasts the single row; the
+    * reference form is `data_quality.sql:88-90`). */
+  val q19ScalarSubquery = OracleQuery(
+    "q19_scalar_subquery",
+    "scalar subquery denominator via broadcast cross join (SURVEY A7)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val total = ev.agg(count(lit(1)).as("total_n"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("event_type"), col("n"),
+          (col("n").cast("double") / col("total_n")).as("share"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** A6: GROUP BY ... HAVING (dup-detection shape,
+    * `data_quality.sql:79-84`). */
+  val q20Having = OracleQuery(
+    "q20_having",
+    "GROUP BY + HAVING count threshold (SURVEY A6)",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast(dec2)).cast("double").as("sum_price"))
+        .filter(col("n_orders") > 3)
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) > 3
+      ORDER BY o_custkey"""))
+
+  /** A3/A4: exact COUNT(DISTINCT) + SELECT DISTINCT
+    * (`kpi_queries.sql:37,62`; `transform_events.sql:85`). Spark plans
+    * distinct-agg as a two-phase expand+agg; exact (not approximate) to
+    * match the oracle. */
+  val q21CountDistinct = OracleQuery(
+    "q21_count_distinct",
+    "exact COUNT(DISTINCT) per group (SURVEY A3)",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey"),
+    Some("""
+      SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+             count(*) AS n_customers
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
+  /** A4: SELECT DISTINCT on a composite (dim-population shape,
+    * `transform_events.sql:122,131`). */
+  val q22Distinct = OracleQuery(
+    "q22_distinct",
+    "SELECT DISTINCT composite key (SURVEY A4)",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+    Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer
+      ORDER BY c_mktsegment, c_nationkey"""))
+
+  /** A2: conditional aggregation — COUNT(*) FILTER (WHERE ...)
+    * (`kpi_queries.sql:16-18`) as count(when(...)). */
+  val q23CondAgg = OracleQuery(
+    "q23_cond_agg",
+    "conditional aggregation count FILTER (SURVEY A2)",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_pending"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_total,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** A9/A10: per-key time-span aggregation — the EXTRACT(EPOCH FROM t2-t1)
+    * pipeline-duration pattern (`kpi_queries.sql:97-99`) in exact integer
+    * nanos. */
+  val q26DurationAgg = OracleQuery(
+    "q26_duration_agg",
+    "per-key activity span in epoch seconds, exact integer math (SURVEY A9)",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          // µs granularity: DuckDB truncates parquet nanos to µs
+          expr("(max(ts div 1000) - min(ts div 1000)) div 1000000")
+            .as("span_sec"))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_sec
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** M6: SCD-Type-2 version chain — the operation the reference declares
+    * but never implements (`schema_star.sql:38-42`, SURVEY §7.4.2): order
+    * changes per key, valid_from/valid_to via lead(), is_current on the
+    * open-ended row. One shuffle on the entity key. */
+  val q27Scd2Versions = OracleQuery(
+    "q27_scd2_versions",
+    "SCD2 version chain: valid_from/valid_to/is_current via lead() (SURVEY M6)",
+    (s, d) => {
+      val tsUs = expr("ts div 1000")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          tsUs.as("valid_from_us"),
+          lead(tsUs, 1).over(w).as("valid_to_us"),
+          lead(tsUs, 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts, 1) OVER w) AS valid_to_us,
+             (lead(ts, 1) OVER w) IS NULL AS is_current
+      FROM events
+      WHERE event_type = 'signup'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
+  /** Gap-based sessionization — lag() flag + running sum, the batch twin
+    * of the streaming state operator (SURVEY §2.9): a new session starts
+    * after a >1 h silence. Two stacked windows on the same partitioning =
+    * one shuffle total. */
+  val q28Sessionize = OracleQuery(
+    "q28_sessionize",
+    "gap-based sessionization: lag + running-sum session ids (SURVEY §2.9 batch twin)",
+    (s, d) => {
+      val gapUs = 3600000000L // 1 h in µs; DuckDB sees µs-truncated ts
+      val tsUs = expr("ts div 1000")
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      val newSess = when(
+        lag(tsUs, 1).over(wo).isNull ||
+          tsUs - lag(tsUs, 1).over(wo) > gapUs, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("is_new", newSess)
+        .withColumn(
+          "session_id",
+          sum(col("is_new")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(tsUs).as("start_us"),
+          max(tsUs).as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** J2: join on a computed MD5 expression key with the dim side distinct —
+    * the reference's venue_nk join (`load_facts.sql:81-83`). The hash is
+    * computed on both sides (no precomputed column), mirroring
+    * `MD5(COALESCE(venue_name,'')||COALESCE(venue_city,''))`. */
+  val q29ExprJoin = OracleQuery(
+    "q29_expr_join",
+    "equi-join on computed MD5 expression key (SURVEY J2, load_facts.sql:81-83)",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val nk = md5(concat_ws("|", col("c_mktsegment"), col("c_nationkey")))
+      val dim = c.select(nk.as("dim_nk"), col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+      c.select(nk.as("cust_nk"), col("c_acctbal"))
+        .join(broadcast(dim), col("cust_nk") === col("dim_nk"))
+        .groupBy(col("dim_nk"), col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(col("c_acctbal").cast(dec2)).cast("double").as("sum_bal"))
+        .orderBy("dim_nk")
+    },
+    Some("""
+      WITH dim AS (
+        SELECT DISTINCT md5(concat_ws('|', c_mktsegment, c_nationkey)) AS dim_nk,
+               c_mktsegment, c_nationkey
+        FROM customer)
+      SELECT dim_nk, c_mktsegment, c_nationkey, count(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (SELECT md5(concat_ws('|', c_mktsegment, c_nationkey)) AS cust_nk,
+                   c_acctbal FROM customer) c
+      JOIN dim ON cust_nk = dim_nk
+      GROUP BY dim_nk, c_mktsegment, c_nationkey
+      ORDER BY dim_nk"""))
+
+  /** J2 (residual-predicate left join): LEFT join against a filtered dim —
+    * the `is_current = TRUE` SCD2 current-version join shape — with
+    * COALESCE null-fill for unmatched rows (`load_facts.sql:61,82`). */
+  val q30LeftJoinFiltered = OracleQuery(
+    "q30_left_join_filtered",
+    "LEFT join to filtered dim + COALESCE fill (SURVEY J1/J2 is_current shape)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cur = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      o.join(broadcast(cur), col("o_custkey") === col("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("segment")
+    },
+    Some("""
+      SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders
+      FROM orders
+      LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+        ON o_custkey = c_custkey
+      GROUP BY 1
+      ORDER BY segment"""))
+
+  def all: Seq[OracleQuery] = Seq(
+    q15StagingClean, q16JsonFlatten, q17DateDim, q18FxNormalize,
+    q19ScalarSubquery, q20Having, q21CountDistinct, q22Distinct,
+    q23CondAgg, q26DurationAgg, q27Scd2Versions, q28Sessionize,
+    q29ExprJoin, q30LeftJoinFiltered)
+}

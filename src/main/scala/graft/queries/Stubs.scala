@@ -1,7 +1,4 @@
 package graft.queries
 
-// Temporary holders — filled in as their module lands.
-object StagingQueries   { def all: Seq[OracleQuery] = Seq.empty }
-object QualityQueries   { def all: Seq[OracleQuery] = Seq.empty }
-object KpiQueries       { def all: Seq[OracleQuery] = Seq.empty }
+// Temporary holder — filled in as its module lands.
 object ExtensionQueries { def all: Seq[OracleQuery] = Seq.empty }

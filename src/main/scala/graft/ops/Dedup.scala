@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpora: exact (hash groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every stage is expressed as explode → shuffle-on-key →
+  * aggregate, the canonical distributed dedup shape:
+  *  - exact dedup shuffles on the 128-bit content hash (perfectly
+  *    distributed keys, no skew);
+  *  - MinHash signatures are one explode + one groupBy(doc) with 16 min()
+  *    aggregates (map-side partial min makes the shuffle tiny);
+  *  - LSH candidate generation shuffles on (band, signature) buckets, so
+  *    the quadratic pair blow-up is bounded per bucket instead of global —
+  *    the property that makes near-dedup feasible at 10^10 documents;
+  *  - verification (Jaccard) touches only candidate pairs, never the
+  *    full cross product.
+  *
+  * The hash family is md5-based (deterministic, available in any engine —
+  * the oracle twin runs the same math in DuckDB). For a pure-Spark fast
+  * path substitute xxhash64, which is codegen'd and ~10× cheaper; the
+  * banding math is identical.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (default 3) of a single-spaced text column,
+    * as an array column. Empty array when the text is shorter than n. */
+  def shingles(ws: Column, n: Int = 3): Column = {
+    val mk: Column => Column = i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, (i + lit(k + 1)).cast("int"))): _*)
+    when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), mk))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-duplicate groups: one row per distinct fingerprint with the
+    * surviving (minimum) id and the copy count. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(
+        min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Keep-one-per-fingerprint projection (the actual dedup). */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** One MinHash value: min over shingles of md5(seed || "|" || shingle).
+    * (doc_id, shingle) exploded input → groupBy(doc) with 16 min()s. */
+  def minhashAgg(seed: Int, shingleCol: Column): Column =
+    min(md5(concat(lit(s"$seed|"), shingleCol)))
+
+  /** (doc_id, h0..h15) MinHash signature table from (id, text). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(TextAnalysis.words(col(textCol)))).as("sh"))
+    exploded.groupBy(col(idCol))
+      .agg(
+        minhashAgg(0, col("sh")).as("h0"),
+        (1 until NumHashes).map(i => minhashAgg(i, col("sh")).as(s"h$i")): _*)
+  }
+
+  /** Banded signatures: (id, band_idx, sig) — md5 of each band's
+    * concatenated row hashes. */
+  def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      md5(concat(rows: _*)).as(s"b$b")
+    }
+    val withBands = sigs.select(col(idCol) +: bandCols: _*)
+    val stackExpr = (0 until NumBands)
+      .map(b => s"${b}L, b$b").mkString(s"stack($NumBands, ", ", ", ") as (band_idx, sig)")
+    withBands.selectExpr(idCol, stackExpr)
+  }
+
+  /** Candidate near-duplicate pairs: ids sharing any band bucket. The
+    * self-join is per (band_idx, sig) bucket — bounded fan-out. */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
+    val b = bands.select(col("band_idx").as("band_idx_b"), col("sig").as("sig_b"),
+      col(idCol).as("id_b"))
+    a.join(b,
+        col("band_idx") === col("band_idx_b") && col("sig") === col("sig_b")
+          && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash+LSH candidate pairs from (id, text). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lshCandidatePairs(lshBands(minhashSignatures(docs, idCol, textCol), idCol), idCol)
+
+  /** Exact n-gram Jaccard similarity for (probe × corpus) pairs sharing at
+    * least one shingle. `probePred` bounds the left side so the candidate
+    * join stays linear in corpus size. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      probePred: Column, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(TextAnalysis.words(col(textCol))))).as("sh"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val probes = sh.filter(probePred)
+      .select(col("doc").as("doc_a"), col("sh"))
+    val inter = probes
+      .join(sh.select(col("doc").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash per document from its distinct tokens: explode →
+    * 16 conditional sums → sign bits packed into a long. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
+    val sums = tok.groupBy(col(idCol))
+      .agg(
+        sum(TextAnalysis.simhashVote(col("w"), 0)).as("s0"),
+        (1 until TextAnalysis.SimhashBits)
+          .map(j => sum(TextAnalysis.simhashVote(col("w"), j)).as(s"s$j")): _*)
+    val packed = (0 until TextAnalysis.SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two packed SimHash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

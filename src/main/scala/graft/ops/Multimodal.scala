@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video content is carried as an
+  * opaque `binary` column plus typed metadata, and decode / feature
+  * extraction runs as a partition-parallel batch stage.
+  *
+  * The actual media decode is STUBBED (this environment ships no
+  * image/audio codecs): [[decodeStub]] produces a deterministic fake
+  * feature vector from the bytes. Everything AROUND the stub — schema,
+  * batching, partitioning, null handling, the mapPartitions seam where a
+  * real codec (or a Pandas-UDF-style vectorized batch) would plug in — is
+  * real and tested (MultimodalSpec).
+  *
+  * Scale notes: binary payloads stay columnar in parquet; the decode
+  * stage is a narrow map (no shuffle); feature vectors feed directly into
+  * [[Similarity]] for ANN. Partition sizing is governed by
+  * `spark.sql.files.maxPartitionBytes`, which matters here because rows
+  * are wide — at 100 TB of media, aim for ~128 MB input splits so a task
+  * holds only a few thousand frames at once.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** Decoded-output schema: media id, metadata, fake features. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("format", StringType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Typed metadata over an opaque binary column, computed natively (no
+    * decode needed): length, content hash, format sniff from magic
+    * bytes. */
+  def attachMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      expr(s"octet_length($binCol)").cast("long").as("n_bytes"),
+      md5(col(binCol)).as("content_md5"),
+      sniffFormat(col(binCol)).as("format"))
+
+  /** Magic-byte format sniff (real: the headers are public constants). */
+  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(expr(s"substring(hex(${bin.toString}), 1, 8)") === "89504E47", "png")
+      .when(expr(s"substring(hex(${bin.toString}), 1, 4)") === "FFD8", "jpeg")
+      .when(expr(s"substring(hex(${bin.toString}), 1, 8)") === "52494646", "riff")
+      .otherwise("unknown")
+
+  /** The decode seam: partition-parallel batch transform from
+    * (media_id, content: binary) to [[decodedSchema]] rows.
+    *
+    * A real implementation would replace [[fakeDecode]] with a codec call
+    * per batch (the mapPartitions iterator IS the batch boundary — same
+    * shape as a vectorized/Arrow-batched UDF). The stub derives a
+    * deterministic feature vector from the byte content so downstream
+    * stages (ANN, dedup) are fully exercisable. */
+  def decode(df: DataFrame, idCol: String, binCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val (fmt, feats) = fakeDecode(bytes)
+        Row(id, bytes.length.toLong, fmt, feats)
+      }
+    }(enc)
+  }
+
+  /** STUB — stands in for the real media codec (`???` boundary).
+    * Deterministic: features are byte-prefix sums folded into
+    * [[FeatureDim]] buckets, normalized to [0,1]. */
+  private[ops] def fakeDecode(bytes: Array[Byte]): (String, Seq[Double]) = {
+    val fmt =
+      if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else "unknown"
+    val acc = Array.fill(FeatureDim)(0L)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % FeatureDim) += (bytes(i) & 0xff)
+      i += 1
+    }
+    val n = math.max(bytes.length, 1)
+    (fmt, acc.toSeq.map(a => a.toDouble / (255.0 * n)))
+  }
+
+  /** Frame sampling plumbing: every k-th fixed-size block of the payload
+    * (a video decoder would emit real frames here; block boundaries are
+    * the real logic being exercised). */
+  def sampleBlocks(df: DataFrame, idCol: String, binCol: String,
+      blockSize: Int, everyK: Int): DataFrame =
+    df.select(
+        col(idCol).as("media_id"),
+        posexplode(split_bytes(col(binCol), blockSize)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block")
+      .filter(col("block_idx") % everyK === 0)
+
+  /** Split a binary column into fixed-size binary blocks (native exprs:
+    * substring on binary is supported and codegen'd). */
+  private def split_bytes(bin: org.apache.spark.sql.Column, blockSize: Int) =
+    expr(s"transform(sequence(0, int(ceil(octet_length(${bin.toString}) / " +
+      s"cast($blockSize as double))) - 1), " +
+      s"i -> substring(${bin.toString}, i * $blockSize + 1, $blockSize))")
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline — probes broadcast against
+  *    the corpus, similarity computed with higher-order array functions
+  *    (zip_with + aggregate fold), everything codegen-able, no UDF;
+  *  - random-hyperplane LSH buckets: the scale path — each vector maps to
+  *    a small bucket id (sign bits against R fixed hyperplanes); the
+  *    candidate join is per-bucket, turning the O(N·Q) scan into
+  *    O(N·Q/2^R) expected work. Recall is tunable via multi-probe
+  *    (flipping one sign bit).
+  *
+  * At 100 TB the corpus side stays partitioned; only the tiny probe set
+  * and the hyperplane matrix are broadcast. No stage collects vectors to
+  * the driver.
+  *
+  * All float math widens to double first: float→double is exact, products
+  * of widened floats are exact doubles, and the sequential fold matches
+  * any engine that accumulates left-to-right (the DuckDB oracle does).
+  */
+object Similarity {
+
+  /** Exact widening cast. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine from a precomputed-norm pair: dot/(√na·√nb) — norms are
+    * computed once per vector, not once per pair. */
+  def cosineWithNorms(dotAb: Column, na2: Column, nb2: Column): Column =
+    dotAb / (sqrt(na2) * sqrt(nb2))
+
+  /** Corpus annotated with its double vector and squared norm. */
+  def withNorm(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("vd", toDouble(col(vecCol)))
+      .withColumn("n2", norm2(col("vd")))
+
+  /** Exact top-k cosine neighbours for each probe (brute force baseline).
+    * Probe side must be small (it is broadcast). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"))
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col("vd").as("pv"), col("n2").as("pn2"))
+    val sims = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
+        col("pn2"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic R hyperplanes for `dim`-dimensional vectors (seeded
+    * Gaussian, generated driver-side once — a few KB broadcast as a
+    * literal). */
+  def hyperplanes(dim: Int, r: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(r, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id: R sign bits of the vector against the hyperplanes. */
+  def bucketId(vd: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vd, planeCol) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: probes only meet corpus vectors in
+    * the same bucket (plus `probeBits` one-bit-flipped buckets for
+    * multi-probe recall). */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, r: Int = 8, probeBits: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
+    val planes = hyperplanes(dim, r, seed)
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"),
+        bucketId(col("vd"), planes).as("bucket"))
+    val p0 = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col("vd").as("pv"), col("n2").as("pn2"),
+        bucketId(col("vd"), planes).as("bucket"))
+    // multi-probe: also look in buckets at Hamming distance 1 (first
+    // `probeBits` bit positions)
+    val probeBuckets = p0.select(col("probe_id"), col("pv"), col("pn2"),
+      explode(array(col("bucket") +:
+        (0 until probeBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+        .as("bucket"))
+    val sims = c.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
+        col("pn2"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.groupBy(col("probe_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: probe × corpus pairs above a cosine
+    * threshold — the embedding-space member of the dedup family. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, minSim: Double): DataFrame = {
+    val c = withNorm(emb, vecCol)
+      .select(col(idCol).as("id_b"), col("vd").as("cv"), col("n2").as("cn2"))
+    val p = withNorm(emb.filter(probePred), vecCol)
+      .select(col(idCol).as("id_a"), col("vd").as("pv"), col("n2").as("pn2"))
+    c.join(broadcast(p), col("id_a") < col("id_b"))
+      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
+        col("pn2"), col("cn2")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

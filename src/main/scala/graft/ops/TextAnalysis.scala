@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language id, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure Column expression built from Spark built-ins
+  * (split / higher-order array functions / regexp / md5) — no UDFs, so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly with
+  * the corpus: a 100 TB text table runs these as narrow map-only stages
+  * with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Documents in the test corpus are single-spaced;
+    * `\s+` keeps it robust to runs of whitespace. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer shape. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** Exact whitespace-token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** Small per-language stopword sets for the n-gram/stopword language-id
+    * heuristic. Deterministic, pure-SQL-expressible. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  /** Number of tokens that are stopwords of `lang`. */
+  def stopwordHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isInCollection(Stopwords(lang)))).cast("long")
+
+  /** Language-id heuristic: claim `en` when ≥10% of tokens are English
+    * stopwords (threshold evaluated in exact integer math: hits*10 ≥ n). */
+  def languageId(ws: Column): Column = {
+    val n = size(ws).cast("long")
+    when(stopwordHits(ws, "en") * 10 >= n, "en").otherwise("und")
+  }
+
+  /** Sum of token lengths (exact integers; divide by tokenCount for the
+    * mean at the call site). */
+  def sumWordLen(ws: Column): Column =
+    aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+
+  /** Type-token ratio: |distinct tokens| / |tokens| — exact-int division
+    * emitted as double. */
+  def typeTokenRatio(ws: Column): Column =
+    size(array_distinct(ws)).cast("double") / size(ws)
+
+  /** Composite quality score in [0,1]: mean of type-token ratio and
+    * stopword ratio — the length/stopword-profile heuristic family. */
+  def qualityScore(ws: Column): Column =
+    (typeTokenRatio(ws)
+      + stopwordHits(ws, "en").cast("double") / size(ws)) / 2.0
+
+  /** Canonical document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed, trimmed text. Identical content (modulo
+    * whitespace/case) ⇒ identical fingerprint — the key for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 16-bit SimHash from the document's distinct tokens: bit j is set when
+    * the +1/−1 votes from hex digit j of each token's md5 sum positive.
+    * Pure aggregation — see Dedup.simhash16 for the DataFrame form. */
+  val SimhashBits = 16
+  private val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  /** ±1 vote of one token for bit j. */
+  def simhashVote(word: Column, j: Int): Column =
+    when(substring(md5(word), j + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L)
+}

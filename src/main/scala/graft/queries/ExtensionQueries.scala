@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** The training-data-pipeline extension operators (BASELINE.json north
+  * star): deduplication family (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language id, quality scoring, token counting,
+  * fingerprinting), and opaque-binary metadata — over `documents` and
+  * `embeddings`.
+  *
+  * The test corpus has no natural duplicates (max organic Jaccard ≈0.05),
+  * so the dedup queries run on an AUGMENTED view: documents ∪ exact copies
+  * (doc_id+10000, every 10th doc) ∪ near copies with the first word
+  * dropped (doc_id+20000). Both engines construct it identically, making
+  * the dedup oracles non-degenerate: the operators must find exactly the
+  * planted duplicates.
+  */
+object ExtensionQueries {
+
+  /** Augmented corpus with planted exact + near duplicates. */
+  private def augmented(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  private val augmentedSql = """
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 10 = 5)"""
+
+  /** DuckDB shingle CTE over `aug` (3-gram word shingles). */
+  private val shingleSql = """
+    sh AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+             i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws
+            FROM aug))"""
+
+  // ---------------------------------------------------------------- //
+
+  /** Exact dedup: hash-groupBy on the canonical fingerprint; emit the
+    * duplicate groups with survivor id + copy count. */
+  val q51ExactDedup = OracleQuery("q51_dedup_exact",
+    "exact dedup via md5 fingerprint groupBy: survivor + copy count",
+    (s, d) =>
+      Dedup.exactDupGroups(augmented(s, d), "doc_id", "text")
+        .filter(col("n_copies") > 1)
+        .orderBy("fp"),
+    Some(s"""
+      WITH $augmentedSql
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS survivor_id, count(*) AS n_copies
+      FROM aug
+      GROUP BY 1
+      HAVING count(*) > 1
+      ORDER BY fp"""))
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. The md5-seeded
+    * hash family is engine-portable; the banded self-join is the
+    * bounded-bucket shuffle that makes near-dedup scale. */
+  val q54MinhashLsh = OracleQuery("q54_minhash_lsh",
+    "MinHash+LSH banded candidate pairs (shingle→16 minhash→4 band buckets→bucket join)",
+    (s, d) =>
+      Dedup.minhashLshPairs(augmented(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+    Some {
+      val mins = (0 until Dedup.NumHashes)
+        .map(i => s"min(md5('$i|' || sh)) h$i").mkString(", ")
+      val bands = (0 until Dedup.NumBands).map { b =>
+        val cat = (0 until Dedup.RowsPerBand)
+          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS ($bands)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""
+    })
+
+  /** Exact n-gram Jaccard over candidate pairs (probe side = original
+    * docs): the verification stage of near-dedup. */
+  val q53NgramJaccard = OracleQuery("q53_ngram_jaccard",
+    "n-gram Jaccard similarity pairs above threshold (shingle-join verification)",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(augmented(s, d), "doc_id", "text",
+        col("doc") < 500, 0.3)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 500
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3
+      ORDER BY doc_a, doc_b"""))
+
+  /** 16-bit SimHash per document (distinct-token ±1 votes per md5 hex
+    * digit, sign bits packed). */
+  val q55Simhash = OracleQuery("q55_simhash",
+    "16-bit SimHash fingerprints from token hash votes",
+    (s, d) =>
+      Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some {
+      val sums = (0 until TextAnalysis.SimhashBits).map { j =>
+        s"SUM(CASE WHEN substr(md5(w), ${j + 1}, 1) IN " +
+          s"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) s$j"
+      }.mkString(", ")
+      val packed = (0 until TextAnalysis.SimhashBits)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_filter(string_split(text, ' '), x -> x <> ''))) w
+        FROM documents),
+      sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+      SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+      FROM sums
+      ORDER BY doc_id"""
+    })
+
+  /** Brute-force cosine top-k: the exact ANN baseline. Probes broadcast,
+    * norms precomputed per vector, fold-left double dot product (matches
+    * DuckDB's list_dot_product accumulation order bit-for-bit). */
+  val q56KnnBrute = OracleQuery("q56_knn_brute",
+    "brute-force cosine top-10 neighbours for 5 probe vectors",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS (
+        SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+               list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) sim
+        FROM n p JOIN n c ON p.vec_id != c.vec_id
+        WHERE p.vec_id < 5)
+      SELECT probe_id,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+             neighbor_id, sim
+      FROM pairs
+      QUALIFY rank <= 10
+      ORDER BY probe_id, rank"""))
+
+  /** LSH-bucketed approximate top-k — the 100 TB path (per-bucket
+    * candidate joins instead of a full scan). Approximate by nature, so
+    * checked by the recall spec in SimilaritySpec rather than a SQL
+    * oracle (rows-only here). */
+  val q57KnnLsh = OracleQuery("q57_knn_lsh",
+    "LSH-bucketed approximate cosine top-k (recall-tested in ScalaTest)",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("probe_id", "rank")
+    },
+    None)
+
+  /** Language-id heuristic: stopword-ratio vote in exact integer math. */
+  val q58LangId = OracleQuery("q58_langid",
+    "stopword-ratio language identification heuristic",
+    (s, d) => {
+      val ws = TextAnalysis.words(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          TextAnalysis.stopwordHits(ws, "en").as("hits_en"),
+          TextAnalysis.languageId(ws).as("predicted"),
+          col("lang").as("labeled"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val set = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_filter(ws, x -> x IN ($set))) AS BIGINT) AS hits_en,
+             CASE WHEN len(list_filter(ws, x -> x IN ($set))) * 10 >= len(ws)
+                  THEN 'en' ELSE 'und' END AS predicted,
+             lang AS labeled
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') ws
+            FROM documents) t
+      ORDER BY doc_id"""
+    })
+
+  /** Text quality scoring: length stats, type-token ratio, stopword
+    * ratio, composite score — all exact-int ratios emitted as double. */
+  val q59TextQuality = OracleQuery("q59_text_quality",
+    "text quality scoring: TTR, mean word length, stopword ratio, composite",
+    (s, d) => {
+      val ws = TextAnalysis.words(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(ws).cast("long").as("n_words"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"),
+          TextAnalysis.typeTokenRatio(ws).as("ttr"),
+          (TextAnalysis.sumWordLen(ws).cast("double") / size(ws))
+            .as("mean_word_len"),
+          TextAnalysis.qualityScore(ws).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val set = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+               / len(ws) AS mean_word_len,
+             (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+               + CAST(len(list_filter(ws, x -> x IN ($set))) AS DOUBLE)
+                 / len(ws)) / 2.0 AS quality_score
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') ws
+            FROM documents) t
+      ORDER BY doc_id"""
+    })
+
+  /** Token counting: whitespace tokens + BPE-ish subword segmentation. */
+  val q60TokenCount = OracleQuery("q60_token_count",
+    "token counting: whitespace + BPE-ish regex segmentation",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          size(TextAnalysis.bpeishTokens(col("text"))).cast("long")
+            .as("n_bpeish_tokens"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))
+               AS BIGINT) AS n_bpeish_tokens
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Document fingerprints: canonical md5 + prefix bucket (rolling-hash
+    * family stand-in, exactly portable). */
+  val q52Fingerprint = OracleQuery("q52_fingerprint",
+    "canonical document fingerprint + prefix bucket",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          substring(TextAnalysis.fingerprint(col("text")), 1, 8).as("fp_bucket"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8)
+               AS fp_bucket
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Multimodal plumbing: treat content as an opaque binary column and
+    * compute typed metadata natively (byte length, content hash, leading
+    * byte as a format-sniff stand-in). The decode stage itself is the
+    * stubbed mapPartitions in ops/Multimodal.scala. */
+  val q61BinaryMeta = OracleQuery("q61_binary_meta",
+    "opaque binary column metadata: byte length, content hash, format sniff byte",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("octet_length(cast(text as binary))").cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_md5"),
+          ascii(col("text")).cast("long").as("first_byte"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5,
+             CAST(ascii(text) AS BIGINT) AS first_byte
+      FROM documents
+      ORDER BY doc_id"""))
+
+  def all: Seq[OracleQuery] = Seq(
+    q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
+    q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
+    q60TokenCount, q61BinaryMeta)
+}

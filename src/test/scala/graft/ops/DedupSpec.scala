@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+  /** Corpus with planted exact (id+10000) and near (id+20000, first word
+    * dropped) duplicates — same construction as ExtensionQueries. */
+  private lazy val aug = {
+    val exact = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val near = docs.filter($"doc_id" % 10 === 5)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  test("exact dedup finds exactly the planted identical copies") {
+    val groups = Dedup.exactDupGroups(aug, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    val nPlanted = docs.filter($"doc_id" % 10 === 0).count()
+    assert(groups.length == nPlanted)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2L))
+    // survivors are always the original (smaller) ids
+    assert(groups.forall(_.getAs[Long]("survivor_id") < 10000))
+  }
+
+  test("dedupExact keeps one row per fingerprint and is idempotent") {
+    val once = Dedup.dedupExact(aug, "doc_id", "text")
+    val twice = Dedup.dedupExact(once, "doc_id", "text")
+    assert(once.count() == docs.count() + docs.filter($"doc_id" % 10 === 5).count())
+    assert(twice.count() == once.count())
+  }
+
+  test("minhash LSH candidates include all exact-dup pairs and most near-dup pairs") {
+    val pairs = Dedup.minhashLshPairs(aug, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val exactPairs = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(exactPairs.subsetOf(pairs),
+      s"missing exact pairs: ${exactPairs -- pairs}")
+    val nearIds = docs.filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[Long].collect()
+    val nearFound = nearIds.count(id => pairs.contains((id, id + 20000)))
+    // near-dups have Jaccard ≈ (S-k)/S ≈ 0.9+; 4-row bands catch ~all
+    assert(nearFound >= nearIds.length * 0.8,
+      s"found $nearFound of ${nearIds.length} near-dup pairs")
+  }
+
+  test("ngram Jaccard is 1.0 for identical docs, high for near-dups, and symmetric in count") {
+    val pairs = Dedup.ngramJaccardPairs(aug, "doc_id", "text",
+        col("doc") < 500, 0.3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val exactIds = docs.filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+    exactIds.foreach { id =>
+      assert(pairs.get((id, id + 10000)).contains(1.0),
+        s"doc $id vs its copy should have jaccard 1.0")
+    }
+    val nearIds = docs.filter($"doc_id" % 10 === 5).select($"doc_id").as[Long].collect()
+    val nearJs = nearIds.flatMap(id => pairs.get((id, id + 20000)))
+    assert(nearJs.length == nearIds.length)
+    assert(nearJs.forall(j => j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical texts get identical hashes; near-dups are close in Hamming distance") {
+    val sh = Dedup.simhash16(aug, "doc_id", "text")
+    val h = sh.as[(Long, Long)].collect().toMap
+    val exactIds = docs.filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+    exactIds.foreach(id => assert(h(id) == h(id + 10000)))
+    val nearIds = docs.filter($"doc_id" % 10 === 5).select($"doc_id").as[Long].collect()
+    val dists = nearIds.map(id => java.lang.Long.bitCount(h(id) ^ h(id + 20000)))
+    // dropping one word flips at most a few of 16 bits for most docs
+    assert(dists.count(_ <= 4) >= nearIds.length * 0.8,
+      s"hamming distances: ${dists.mkString(",")}")
+  }
+}

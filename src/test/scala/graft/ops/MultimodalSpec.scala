@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Binary fixtures derived from the documents table (text bytes as the
+  // opaque payload) plus synthetic magic-byte headers for format sniffing.
+  private lazy val media = Tables.documents(spark, sfDir)
+    .select($"doc_id".as("media_id"), $"text".cast("binary").as("content"))
+
+  test("attachMeta computes byte length, hash, and format natively") {
+    val meta = Multimodal.attachMeta(media, "media_id", "content")
+    val row = meta.orderBy($"media_id").head()
+    assert(row.getAs[Long]("n_bytes") > 0)
+    assert(row.getAs[String]("content_md5").length == 32)
+    assert(row.getAs[String]("format") == "unknown") // text has no magic bytes
+  }
+
+  test("format sniff recognizes png/jpeg magic bytes") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val df = Seq((1L, png), (2L, jpg), (3L, "plain".getBytes)).toDF("media_id", "content")
+    val fmts = Multimodal.attachMeta(df, "media_id", "content")
+      .orderBy($"media_id").select($"format").as[String].collect().toSeq
+    assert(fmts == Seq("png", "jpeg", "unknown"))
+  }
+
+  test("decode stub is deterministic, partition-parallel, and schema-stable") {
+    implicit val s = spark
+    val out1 = Multimodal.decode(media, "media_id", "content").orderBy($"media_id")
+    val out2 = Multimodal.decode(media.repartition(7), "media_id", "content")
+      .orderBy($"media_id")
+    assert(out1.schema == Multimodal.decodedSchema)
+    val a = out1.collect()
+    val b = out2.collect()
+    assert(a.sameElements(b), "decode must not depend on partitioning")
+    assert(a.forall(_.getAs[Seq[Double]]("features").length == Multimodal.FeatureDim))
+    assert(a.forall(r => r.getAs[Seq[Double]]("features").forall(f => f >= 0 && f <= 1)))
+  }
+
+  test("sampleBlocks emits every k-th fixed-size block") {
+    val df = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("media_id", "content")
+    val blocks = Multimodal.sampleBlocks(df, "media_id", "content",
+        blockSize = 10, everyK = 2).collect()
+    assert(blocks.length == 5) // 10 blocks, every 2nd
+    assert(blocks.forall(_.getAs[Array[Byte]]("block").length == 10))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val probes = emb.filter($"vec_id" < 10)
+
+  test("cosine similarity of a vector with itself is 1.0") {
+    val self = Similarity.withNorm(emb.limit(5), "embedding")
+      .select((Similarity.dot($"vd", $"vd") / ($"n2")).as("sim"))
+      .as[Double].collect()
+    self.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k returns k ranked neighbours with descending sims") {
+    val res = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect()
+    assert(res.length == 10 * probes.count())
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall@10 against brute force") {
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 10,
+        r = 4, probeBits = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // r=4 ⇒ 16 buckets over ~500 vectors with 3-bit multiprobe: the point
+    // is candidate-set reduction with usable recall, not exactness
+    assert(recall >= 0.3, s"recall@10 = $recall")
+    // and it must actually prune: candidate work ≪ full scan
+    assert(approx.size <= exact.size * 2)
+  }
+
+  test("embedding near-dup pairs: identical vectors are found with sim ≈ 1") {
+    // plant an exact duplicate vector under a new id
+    val dup = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val aug = emb.unionByName(dup)
+    val pairs = Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
+        col("vec_id") === 0, 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, s) =>
+      a == 0L && b == 100000L && math.abs(s - 1.0) < 1e-12 })
+  }
+}

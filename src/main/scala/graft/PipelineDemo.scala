@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{Pipeline, TableStore}
+
+/** CLI demo of the end-to-end warehouse pipeline (reference E1 flow):
+  *
+  *   sbt "runMain graft.PipelineDemo [warehouseDir] [nEvents]"
+  *
+  * Generates seeded synthetic events, lands them in raw (insert-if-
+  * absent), stages, loads dims (SCD2 venue) + facts (dedup/join/upsert),
+  * runs the 5 quality checks, prints the run summary and KPI views —
+  * then re-runs ingest+transform to demonstrate idempotency.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val whDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+    val n = args.lift(1).map(_.toInt).getOrElse(500)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val p = new Pipeline(spark, new TableStore(spark, whDir))
+    println(s"== warehouse at $whDir ==")
+    val landed = p.ingestSynthetic(n, seed = 42L, runId = "demo-run-1")
+    println(s"ingest run 1: $landed rows landed")
+    p.transformAndLoad()
+    println(s"summary after run 1: ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
+
+    // idempotency: same payload again must change nothing downstream
+    p.ingestSynthetic(n, seed = 42L, runId = "demo-run-2")
+    p.transformAndLoad()
+    println(s"summary after rerun:  ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
+
+    println("-- KPI: events by category --")
+    p.kpiEventsByCategory.show(10, truncate = false)
+    println("-- KPI: events by city --")
+    p.kpiEventsByCity.show(10, truncate = false)
+    println("-- KPI: quality summary --")
+    p.kpiQualitySummary.show(10, truncate = false)
+    println("-- KPI: pipeline health --")
+    p.kpiPipelineHealth.show(10, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dimension derivation + loads (`transform/transform_events.sql:81-138`,
+  * `warehouse/schema_star.sql:11-68`).
+  *
+  * Surrogate keys are `xxhash64` of the natural key (SURVEY §7.4.3) —
+  * deterministic, partition-local, join-stable; the reference already
+  * keys venues by a content hash (`MD5(name||city)`, line 107) so this is
+  * in-spirit, just 64-bit and codegen'd.
+  */
+object Dims {
+
+  /** dim_date (`transform_events.sql:81-97`): one row per staged event
+    * date with every derived part. `dow` uses the Postgres convention
+    * (Sunday=0) — Spark's dayofweek is Sunday=1, the §2.8 off-by-one.
+    * Day/month names are trimmed (Postgres TO_CHAR blank-pads to 9 chars;
+    * divergence documented in SURVEY §2.8). */
+  def dimDate(stg: DataFrame): DataFrame =
+    stg.filter(col("event_date").isNotNull)
+      .select(col("event_date").as("full_date")).distinct()
+      .select(
+        xxhash64(col("full_date").cast("string")).as("date_sk"),
+        col("full_date"),
+        year(col("full_date")).as("year"),
+        quarter(col("full_date")).as("quarter"),
+        month(col("full_date")).as("month"),
+        weekofyear(col("full_date")).as("iso_week"),
+        (dayofweek(col("full_date")) - 1).as("dow"),
+        date_format(col("full_date"), "EEEE").as("day_name"),
+        date_format(col("full_date"), "MMMM").as("month_name"),
+        dayofweek(col("full_date")).isin(1, 7).as("is_weekend"))
+
+  /** Venue natural key (`transform_events.sql:107`, `load_facts.sql:82`):
+    * MD5(COALESCE(name,'') || COALESCE(city,'')). */
+  def venueNk(name: Column, city: Column): Column =
+    md5(concat(coalesce(name, lit("")), coalesce(city, lit(""))))
+
+  /** Current-version venue rows from staging (keep-latest attributes per
+    * venue via the A5 window — `DISTINCT ON (venue_name, venue_city)`). */
+  def venueSnapshot(stg: DataFrame, loadDate: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("venue_name"), col("venue_city"))
+      .orderBy(col("ingested_at").desc)
+    stg.filter(col("venue_name").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        venueNk(col("venue_name"), col("venue_city")).as("venue_nk"),
+        col("venue_name"), col("venue_city"), col("venue_country"),
+        col("venue_lat"), col("venue_lon"),
+        loadDate.as("valid_from"),
+        lit(null).cast(DateType).as("valid_to"),
+        lit(true).as("is_current"))
+      .withColumn("venue_sk",
+        xxhash64(col("venue_nk"), col("valid_from").cast("string")))
+  }
+
+  /** M6: full SCD-Type-2 merge — the part the reference declares but
+    * never implements (SURVEY §7.4.2). Compares incoming attributes with
+    * the current version per natural key:
+    *  - unchanged → keep;
+    *  - changed  → close the old row (valid_to = loadDate,
+    *    is_current = false) and append the new version;
+    *  - new key  → append.
+    * One shuffle on venue_nk; history rows pass through untouched. */
+  def scd2Merge(current: DataFrame, incoming: DataFrame, loadDate: Column): DataFrame = {
+    val attrs = Seq("venue_name", "venue_city", "venue_country", "venue_lat", "venue_lon")
+    val attrHash: DataFrame => Column = df =>
+      md5(concat_ws("|", attrs.map(a => coalesce(df(a).cast("string"), lit(""))): _*))
+
+    val cur = current.filter(col("is_current"))
+    val hist = current.filter(!col("is_current"))
+
+    val inc = incoming.withColumn("inc_hash", attrHash(incoming))
+    val curH = cur.withColumn("cur_hash", attrHash(cur))
+
+    val joined = curH.as("c").join(inc.as("i"), Seq("venue_nk"), "full_outer")
+
+    val unchanged = joined.filter(col("c.cur_hash").isNotNull &&
+        col("i.inc_hash").isNotNull && col("c.cur_hash") === col("i.inc_hash"))
+      .select(cols("c", attrs): _*)
+    val closed = joined.filter(col("c.cur_hash").isNotNull &&
+        col("i.inc_hash").isNotNull && col("c.cur_hash") =!= col("i.inc_hash"))
+      .select(cols("c", attrs): _*)
+      .withColumn("valid_to", loadDate.cast(DateType))
+      .withColumn("is_current", lit(false))
+    val opened = joined.filter(col("c.cur_hash").isNotNull &&
+        col("i.inc_hash").isNotNull && col("c.cur_hash") =!= col("i.inc_hash"))
+      .select(cols("i", attrs): _*)
+    val brandNew = joined.filter(col("c.cur_hash").isNull)
+      .select(cols("i", attrs): _*)
+
+    hist.unionByName(unchanged).unionByName(closed)
+      .unionByName(opened).unionByName(brandNew)
+  }
+
+  private def cols(side: String, attrs: Seq[String]) =
+    (col("venue_nk") +: attrs.map(a => col(s"$side.$a"))) ++
+      Seq(col(s"$side.valid_from"), col(s"$side.valid_to"),
+        col(s"$side.is_current"), col(s"$side.venue_sk"))
+
+  /** dim_category (`transform_events.sql:121-124`): distinct composite. */
+  def dimCategory(stg: DataFrame): DataFrame =
+    stg.select(col("category"), col("subcategory")).distinct()
+      .select(
+        xxhash64(col("category"), col("subcategory")).as("category_sk"),
+        col("category").as("category_name"), col("subcategory"))
+
+  /** dim_source (`transform_events.sql:130-138`): distinct source with a
+    * CASE-as-lookup description. */
+  def dimSource(stg: DataFrame): DataFrame =
+    stg.select(col("source")).distinct()
+      .select(
+        xxhash64(col("source")).as("source_sk"),
+        col("source").as("source_name"),
+        when(col("source") === "ticketmaster", "Ticketmaster Discovery API")
+          .when(col("source") === "csv", "CSV batch upload")
+          .otherwise("Unknown source").as("source_desc"))
+}

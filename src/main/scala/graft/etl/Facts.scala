@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fact load (`warehouse/load_facts.sql`):
+  * keep-latest dedup (CTE lines 12-17) → derived measures with the
+  * null-guarded price_avg and FX-EUR CASE (58-71) → 4-way LEFT join to
+  * the dims (75-90, all broadcast) → upsert by natural key (92-98).
+  *
+  * Natural key: `source || '_' || raw_event_id` — the `load_facts.sql:36`
+  * scheme; the reference's second, conflicting MD5 scheme in
+  * transform_events.sql:150 is deliberately NOT reproduced (SURVEY §2.10
+  * note: running both would double-insert every event).
+  *
+  * Fact-side lineage carries (source, raw_event_id) through instead of
+  * re-parsing the NK with SPLIT_PART — fixing the reference's underscore
+  * bug (J6: ids like MOCK_00001 truncate to MOCK).
+  */
+object Facts {
+
+  /** A5: newest staged row per (source, raw_event_id). */
+  def dedupLatest(stg: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("raw_event_id"))
+      .orderBy(col("ingested_at").desc)
+    stg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Derived measures + 4-way broadcast dim join → fact rows. */
+  def build(stg: DataFrame, dimDate: DataFrame, dimVenue: DataFrame,
+      dimCategory: DataFrame, dimSource: DataFrame): DataFrame = {
+    val deduped = dedupLatest(stg)
+      .withColumn("event_nk", concat_ws("_", col("source"), col("raw_event_id")))
+      // price_avg: null-guarded mean (load_facts.sql:58-62)
+      .withColumn("price_avg",
+        when(col("price_min").isNotNull && col("price_max").isNotNull,
+          ((col("price_min") + col("price_max")) / 2).cast(DecimalType(10, 2)))
+          .otherwise(coalesce(col("price_min"), col("price_max"))))
+      // FX to EUR, hardcoded rates (load_facts.sql:66-71)
+      .withColumn("price_min_eur",
+        when(col("currency") === "EUR", col("price_min"))
+          .when(col("currency") === "USD",
+            (col("price_min") * lit(BigDecimal("0.92"))).cast(DecimalType(10, 2)))
+          .when(col("currency") === "GBP",
+            (col("price_min") * lit(BigDecimal("1.17"))).cast(DecimalType(10, 2)))
+          .otherwise(col("price_min")))
+
+    deduped
+      .join(broadcast(dimDate.select(col("date_sk"), col("full_date"))),
+        col("event_date") === col("full_date"), "left")                    // J1
+      .join(broadcast(dimVenue.filter(col("is_current"))
+          .select(col("venue_sk"), col("venue_nk"))),
+        Dims.venueNk(col("venue_name"), col("venue_city")) === col("venue_nk"),
+        "left")                                                            // J2
+      .join(broadcast(dimCategory),
+        col("category") === col("category_name")
+          && deduped("subcategory") === dimCategory("subcategory"), "left") // J3
+      .join(broadcast(dimSource), col("source") === col("source_name"), "left") // J4
+      .select(
+        xxhash64(col("event_nk")).as("event_sk"),
+        col("event_nk"),
+        col("source"), col("raw_event_id"),
+        col("date_sk"), col("venue_sk"), col("category_sk"), col("source_sk"),
+        col("event_name"), col("url").as("event_url"),
+        col("status").as("event_status"),
+        col("price_min"), col("price_max"), col("price_avg"),
+        col("price_min_eur"), col("currency"),
+        current_timestamp().as("loaded_at"),
+        lit(false).as("is_deleted"))
+  }
+
+  /** M2 upsert column semantics: on conflict refresh only the mutable
+    * measures (status/prices/loaded_at, `load_facts.sql:92-98`), keep the
+    * original FKs. Implemented as: incoming wins on those columns, the
+    * existing row's FK columns are preserved. */
+  val mutableColumns: Seq[String] =
+    Seq("event_status", "price_min", "price_max", "price_avg",
+      "price_min_eur", "loaded_at")
+
+  def upsertResolve(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val keep = existing.join(incoming.select("event_nk"), Seq("event_nk"), "left_anti")
+    val refreshed = existing.as("e")
+      .join(incoming.as("i"), Seq("event_nk"), "inner")
+      .select(
+        col("event_nk") +:
+          existing.columns.filterNot(_ == "event_nk").map { c =>
+            if (mutableColumns.contains(c)) col(s"i.$c").as(c)
+            else col(s"e.$c").as(c)
+          }: _*)
+    val brandNew = incoming.join(existing.select("event_nk"), Seq("event_nk"), "left_anti")
+    keep.unionByName(refreshed.select(existing.columns.map(col): _*))
+      .unionByName(brandNew.select(existing.columns.map(col): _*))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The 6 reporting views (`dashboard/kpi_queries.sql:11-118`) as lazy
+  * DataFrame definitions over the star schema — mirroring
+  * `CREATE OR REPLACE VIEW`: nothing materializes until a BI query runs.
+  * Every view filters soft-deleted facts (M5) exactly like the reference
+  * (`WHERE f.is_deleted = FALSE` in each view).
+  */
+object Kpi {
+
+  private def live(facts: DataFrame) = facts.filter(!col("is_deleted"))
+
+  /** 1. events by category (`:11-26`). */
+  def eventsByCategory(facts: DataFrame, dimCategory: DataFrame): DataFrame =
+    live(facts).join(dimCategory, Seq("category_sk"))
+      .groupBy(col("category_name"), col("subcategory"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        count(when(col("event_status") === "onsale", 1)).as("events_onsale"),
+        count(when(col("event_status") === "cancelled", 1)).as("events_cancelled"),
+        avg(col("price_avg")).as("avg_price"),
+        min(col("price_min")).as("min_price"),
+        max(col("price_max")).as("max_price"))
+      .orderBy(desc("total_events"))
+
+  /** 2. events by city (`:31-46`). */
+  def eventsByCity(facts: DataFrame, dimVenue: DataFrame): DataFrame =
+    live(facts)
+      .join(dimVenue.filter(col("is_current")), Seq("venue_sk"))
+      .groupBy(col("venue_city"), col("venue_country"))
+      .agg(
+        countDistinct(col("venue_sk")).as("venue_count"),
+        count(lit(1)).as("total_events"),
+        count(when(col("event_status") === "onsale", 1)).as("events_onsale"),
+        avg(col("price_avg")).as("avg_price"))
+      .orderBy(desc("total_events"))
+
+  /** 3. upcoming events (`:51-67`): next-90-days window per category. */
+  def upcomingEvents(facts: DataFrame, dimDate: DataFrame,
+      dimCategory: DataFrame): DataFrame =
+    live(facts)
+      .join(dimDate, Seq("date_sk"))
+      .join(dimCategory, Seq("category_sk"))
+      .filter(col("full_date").between(current_date(), date_add(current_date(), 90)))
+      .groupBy(col("category_name"))
+      .agg(
+        count(lit(1)).as("upcoming_events"),
+        countDistinct(col("venue_sk")).as("venues"),
+        count(when(col("event_status") === "onsale", 1)).as("on_sale"))
+      .orderBy(desc("upcoming_events"))
+
+  /** 4. weekend vs weekday (`:73-83`) with the W1 pct-of-total window. */
+  def weekendSplit(facts: DataFrame, dimDate: DataFrame): DataFrame = {
+    val g = live(facts).join(dimDate, Seq("date_sk"))
+      .groupBy(col("is_weekend"))
+      .agg(count(lit(1)).as("total_events"),
+        avg(col("price_avg")).as("avg_price"))
+    g.withColumn("pct_of_total",
+        round(lit(100.0) * col("total_events")
+          / sum(col("total_events")).over(Window.partitionBy()), 1))
+      .orderBy(col("is_weekend"))
+  }
+
+  /** 5. pipeline health (`:89-102`): per-day run stats from the
+    * ingestion log. */
+  def pipelineHealth(ingestionLog: DataFrame): DataFrame =
+    ingestionLog
+      .groupBy(to_date(col("logged_at")).as("run_date"), col("source"))
+      .agg(
+        count(when(col("status") === "success", 1)).as("successful_runs"),
+        count(when(col("status") === "failed", 1)).as("failed_runs"),
+        sum(col("records_loaded")).as("records_loaded"))
+      .orderBy(desc("run_date"))
+
+  /** 6. data-quality summary (`:108-118`): per-check rollup of the log. */
+  def qualitySummary(qualityLog: DataFrame): DataFrame =
+    qualityLog
+      .groupBy(col("check_name"))
+      .agg(
+        count(lit(1)).as("times_run"),
+        avg(col("pass_rate")).as("avg_pass_rate"),
+        count(when(col("status") === "failed", 1)).as("failures"),
+        count(when(col("status") === "warning", 1)).as("warnings"))
+      .orderBy(col("check_name"))
+}

@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.sources.{Ingest, Synthetic}
+
+/** The end-to-end batch pipeline — the reference's
+  * `scripts/run_pipeline.py` E1 flow (SURVEY §3): ingest → raw landing
+  * (insert-if-absent) → staging → dims (incl. SCD2 venue merge) → facts
+  * (dedup + join + upsert) → quality checks → KPI views, with run
+  * logging (M4) and a processed-manifest instead of the reference's
+  * in-place `is_processed` flag (M3 → SURVEY §7.4.5: raw stays immutable,
+  * re-runs are reproducible, and the manifest maps 1:1 onto a streaming
+  * checkpoint).
+  */
+final class Pipeline(spark: SparkSession, val store: TableStore) {
+
+  private val rawKeys = Seq("source", "raw_event_id")
+
+  /** Ingest a CSV-contract DataFrame into raw with `ON CONFLICT DO
+    * NOTHING` semantics, logging the run. Returns rows landed. */
+  def ingest(csvShaped: DataFrame, source: String, runId: String): Long = {
+    logRun(runId, source, "running", 0, "started")
+    try {
+      val raw = Ingest.toRaw(csvShaped, source, runId)
+        .dropDuplicates(rawKeys) // in-batch dedup, as execute_batch+conflict did
+      store.insertIfAbsent("raw_events", raw, rawKeys)
+      val n = store.read("raw_events")
+        .filter(col("ingest_run_id") === runId).count()
+      logRun(runId, source, "success", n, "ok")
+      n
+    } catch {
+      case e: Exception =>
+        logRun(runId, source, "failed", 0, String.valueOf(e.getMessage))
+        throw e
+    }
+  }
+
+  def ingestSynthetic(n: Int = 500, seed: Long = 42L, runId: String): Long =
+    ingest(Synthetic.events(spark, n, seed), "csv", runId)
+
+  /** Steps 4-6: transform the unprocessed increment through to facts,
+    * then quality. */
+  def transformAndLoad(loadDate: String = java.time.LocalDate.now.toString): Unit = {
+    val raw = store.read("raw_events")
+
+    // P1 incremental filter via processed-manifest anti-join (M3)
+    val increment =
+      if (store.exists("processed_manifest"))
+        raw.join(store.read("processed_manifest"), rawKeys, "left_anti")
+      else raw
+    if (increment.isEmpty) return
+
+    val stg = Staging.stage(increment)
+    val ld = to_date(lit(loadDate))
+
+    // dims: insert-if-absent (M1); venue via SCD2 merge (M6)
+    store.insertIfAbsent("dim_date", Dims.dimDate(stg), Seq("full_date"))
+    store.insertIfAbsent("dim_category", Dims.dimCategory(stg),
+      Seq("category_name", "subcategory"))
+    store.insertIfAbsent("dim_source", Dims.dimSource(stg), Seq("source_name"))
+    val venueInc = Dims.venueSnapshot(stg, ld)
+    if (store.exists("dim_venue"))
+      store.overwrite("dim_venue", Dims.scd2Merge(store.read("dim_venue"), venueInc, ld))
+    else store.overwrite("dim_venue", venueInc)
+
+    // facts: dedup + 4-way broadcast join + upsert (M2)
+    val facts = Facts.build(stg,
+      store.read("dim_date"), store.read("dim_venue"),
+      store.read("dim_category"), store.read("dim_source"))
+    if (store.exists("fact_events"))
+      store.overwrite("fact_events",
+        Facts.upsertResolve(store.read("fact_events"), facts))
+    else store.overwrite("fact_events", facts)
+
+    // M3: mark increment processed (manifest append, raw untouched)
+    store.append("processed_manifest",
+      increment.select(rawKeys.map(col): _*).distinct())
+
+    // quality checks append to the log
+    store.append("quality_log",
+      Quality.runAll(raw, store.read("fact_events")))
+  }
+
+  /** Step 8: run summary (`run_pipeline.py:65-87`). */
+  def summary(): Map[String, Long] = {
+    def cnt(t: String) = if (store.exists(t)) store.read(t).count() else 0L
+    Map(
+      "raw_events" -> cnt("raw_events"),
+      "dim_date" -> cnt("dim_date"),
+      "dim_venue" -> cnt("dim_venue"),
+      "dim_category" -> cnt("dim_category"),
+      "dim_source" -> cnt("dim_source"),
+      "fact_events" -> cnt("fact_events"),
+      "quality_log" -> cnt("quality_log"))
+  }
+
+  /** KPI views over the current warehouse state. */
+  def kpiEventsByCategory: DataFrame =
+    Kpi.eventsByCategory(store.read("fact_events"), store.read("dim_category"))
+  def kpiEventsByCity: DataFrame =
+    Kpi.eventsByCity(store.read("fact_events"), store.read("dim_venue"))
+  def kpiWeekendSplit: DataFrame =
+    Kpi.weekendSplit(store.read("fact_events"), store.read("dim_date"))
+  def kpiQualitySummary: DataFrame =
+    Kpi.qualitySummary(store.read("quality_log"))
+  def kpiPipelineHealth: DataFrame =
+    Kpi.pipelineHealth(store.read("ingestion_log"))
+
+  private def logRun(runId: String, source: String, status: String,
+      n: Long, msg: String): Unit = {
+    import spark.implicits._
+    val row = Seq((runId, source, status, n, msg))
+      .toDF("run_id", "source", "status", "records_loaded", "message")
+      .withColumn("logged_at", current_timestamp())
+    store.append("ingestion_log", row)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The 5 automated data-quality checks (`transform/data_quality.sql`)
+  * against the raw/fact layers, each appending a `quality_log` row.
+  *
+  * Unlike the reference (five separate full-table SQL statements) the
+  * row-level checks share ONE scan: they are conditional aggregates over
+  * the same pass, so at 100 TB the quality stage costs a single read.
+  */
+object Quality {
+
+  private def pct(checked: Column, failed: Column): Column =
+    (lit(100.0) * (checked - failed) / checked).cast(DecimalType(5, 2))
+
+  private def status(checked: Column, failed: Column, warnNum: Int): Column =
+    when(failed === 0, "passed")
+      .when(failed * warnNum < checked, "warning")
+      .otherwise("failed")
+
+  private def row(name: String, checked: Column, failed: Column, warnNum: Int) =
+    struct(
+      lit(name).as("check_name"),
+      checked.cast("long").as("records_checked"),
+      failed.cast("long").as("records_failed"),
+      pct(checked, failed).as("pass_rate"),
+      status(checked, failed, warnNum).as("status"),
+      current_timestamp().as("checked_at"))
+
+  /** Row-level checks 1-3 in one pass over raw
+    * (`data_quality.sql:10-72`). */
+  def rawChecks(raw: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    val nullNames = count(when(col("event_name").isNull, 1))
+    val badDates = count(when(
+      !coalesce(col("event_date"), lit("")).rlike("^\\d{4}-\\d{2}-\\d{2}$"), 1))
+    val numRe = "^\\d+(\\.\\d+)?$"
+    val minGtMax = count(when(
+      col("price_min").rlike(numRe) && col("price_max").rlike(numRe) &&
+        col("price_min").cast(DecimalType(10, 2)) >
+          col("price_max").cast(DecimalType(10, 2)), 1))
+    raw.agg(
+        row("null_event_names", total, nullNames, 20).as("c1"),
+        row("invalid_event_dates", total, badDates, 10).as("c2"),
+        row("price_min_gt_max", total, minGtMax, 20).as("c3"))
+      .selectExpr("explode(array(c1, c2, c3)) as r").select("r.*")
+  }
+
+  /** Check 4: duplicate natural keys (`data_quality.sql:78-92`). */
+  def duplicateCheck(raw: DataFrame): DataFrame = {
+    val dupGroups = raw.groupBy(col("source"), col("raw_event_id"))
+      .agg(count(lit(1)).as("cnt"))
+    dupGroups.agg(
+        row("duplicate_event_ids", count(lit(1)),
+          count(when(col("cnt") > 1, 1)), 20).as("r"))
+      .select("r.*")
+  }
+
+  /** Check 5: orphan fact FKs (`data_quality.sql:98-113`). */
+  def orphanCheck(facts: DataFrame): DataFrame =
+    facts.agg(
+        row("orphan_fact_records", count(lit(1)),
+          count(when(col("date_sk").isNull || col("venue_sk").isNull ||
+            col("category_sk").isNull || col("source_sk").isNull, 1)), 20).as("r"))
+      .select("r.*")
+
+  /** All five, as one appendable log increment. */
+  def runAll(raw: DataFrame, facts: DataFrame): DataFrame =
+    rawChecks(raw).unionByName(duplicateCheck(raw)).unionByName(orphanCheck(facts))
+}

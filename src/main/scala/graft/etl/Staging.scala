@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The staging view `transform.stg_events`
+  * (`transform/transform_events.sql:53-75`) as a lazy DataFrame transform
+  * — operators P1–P9 from SURVEY §2.2, semantics preserved exactly:
+  * regex-validating casts produce NULL (never errors) on bad input; empty
+  * categories default to Unknown/General.
+  *
+  * A pure narrow projection: no shuffle, fully codegen'd, filters push to
+  * the parquet scan.
+  */
+object Staging {
+
+  private val dateRe = "^\\d{4}-\\d{2}-\\d{2}$"
+  private val timeRe = "^\\d{2}:\\d{2}"
+  private val numRe = "^\\d+(\\.\\d+)?$"
+
+  /** P3/P4/P8: validate-then-cast (reference lines 59-60, 68-69). */
+  private def validCast(c: org.apache.spark.sql.Column, re: String, t: DataType) =
+    when(c.rlike(re), c.cast(t))
+
+  /** @param incremental P1: only unprocessed rows (`:75`) — the caller
+    *  passes the already-filtered increment (processed-manifest pattern,
+    *  SURVEY §7.4.5). */
+  def stage(raw: DataFrame): DataFrame =
+    raw.select(
+      col("source"),
+      col("raw_event_id"),
+      trim(initcap(col("event_name"))).as("event_name"),                    // P2
+      validCast(col("event_date"), dateRe, DateType).as("event_date"),      // P3
+      when(col("event_time").rlike(timeRe), col("event_time"))
+        .as("event_time"),                                                  // P4
+      trim(col("venue_name")).as("venue_name"),
+      trim(initcap(col("venue_city"))).as("venue_city"),                    // P5
+      trim(initcap(col("venue_country"))).as("venue_country"),              // P5
+      col("venue_lat").cast(DecimalType(10, 7)).as("venue_lat"),            // P6
+      col("venue_lon").cast(DecimalType(10, 7)).as("venue_lon"),            // P6
+      coalesce(nullif(trim(col("category")), lit("")), lit("Unknown"))
+        .as("category"),                                                    // P7
+      coalesce(nullif(trim(col("subcategory")), lit("")), lit("General"))
+        .as("subcategory"),                                                 // P7
+      validCast(col("price_min"), numRe, DecimalType(10, 2)).as("price_min"), // P8
+      validCast(col("price_max"), numRe, DecimalType(10, 2)).as("price_max"), // P8
+      upper(trim(col("currency"))).as("currency"),                          // P9
+      col("url"),
+      lower(trim(col("status"))).as("status"),                              // P9
+      col("ingested_at"))
+}

@@ -1,0 +1,115 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Fixed schemas for the warehouse layers, mirroring the reference DDL
+  * (`ingestion/schema_raw.sql`, `warehouse/schema_star.sql`) with the type
+  * mapping from SURVEY.md §1.2:
+  *  - raw payload lands stringly-typed (validate-and-cast happens in
+  *    staging, exactly like the reference's regex-guarded view);
+  *  - NUMERIC(p,s) → DecimalType(p,s); SERIAL surrogate keys → stable
+  *    64-bit content hashes (xxhash64 of the natural key) — deterministic
+  *    across runs and partitions, no sequence coordination needed at scale.
+  */
+object Schemas {
+
+  /** `raw.events` (`schema_raw.sql:11-34`): 18 payload columns, all TEXT,
+    * plus lineage columns. */
+  val rawEvents: StructType = StructType(Seq(
+    StructField("source", StringType, nullable = false),
+    StructField("raw_event_id", StringType, nullable = false),
+    StructField("event_name", StringType),
+    StructField("event_date", StringType),
+    StructField("event_time", StringType),
+    StructField("venue_name", StringType),
+    StructField("venue_city", StringType),
+    StructField("venue_country", StringType),
+    StructField("venue_lat", StringType),
+    StructField("venue_lon", StringType),
+    StructField("category", StringType),
+    StructField("subcategory", StringType),
+    StructField("price_min", StringType),
+    StructField("price_max", StringType),
+    StructField("currency", StringType),
+    StructField("url", StringType),
+    StructField("status", StringType),
+    StructField("raw_payload", StringType),
+    StructField("ingested_at", TimestampType),
+    StructField("ingest_run_id", StringType)))
+
+  /** CSV ingest contract (`ingestion/csv_ingestor.py:10-13`): 16 columns,
+    * read as strings (raw layer types nothing). */
+  val csvContract: StructType = StructType(
+    Seq("event_id", "event_name", "event_date", "event_time", "venue_name",
+      "venue_city", "venue_country", "venue_lat", "venue_lon", "category",
+      "subcategory", "price_min", "price_max", "currency", "url", "status")
+      .map(StructField(_, StringType)))
+
+  /** Ticketmaster Discovery event document (`api_ingestor.py:60-92`):
+    * the nested subset the flattener reads. */
+  val tmEvent: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("url", StringType),
+    StructField("dates", StructType(Seq(
+      StructField("start", StructType(Seq(
+        StructField("localDate", StringType),
+        StructField("localTime", StringType)))),
+      StructField("status", StructType(Seq(
+        StructField("code", StringType))))))),
+    StructField("classifications", ArrayType(StructType(Seq(
+      StructField("segment", StructType(Seq(StructField("name", StringType)))),
+      StructField("genre", StructType(Seq(StructField("name", StringType)))))))),
+    StructField("priceRanges", ArrayType(StructType(Seq(
+      StructField("min", DoubleType),
+      StructField("max", DoubleType),
+      StructField("currency", StringType))))),
+    StructField("_embedded", StructType(Seq(
+      StructField("venues", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("city", StructType(Seq(StructField("name", StringType)))),
+        StructField("country", StructType(Seq(StructField("name", StringType)))),
+        StructField("location", StructType(Seq(
+          StructField("latitude", StringType),
+          StructField("longitude", StringType)))))))))))))
+
+  /** Staged event (`transform/transform_events.sql:53-75` output shape). */
+  val stgEvents: StructType = StructType(Seq(
+    StructField("source", StringType, nullable = false),
+    StructField("raw_event_id", StringType, nullable = false),
+    StructField("event_name", StringType),
+    StructField("event_date", DateType),
+    StructField("event_time", StringType), // no TimeType: keep "HH:mm:ss"
+    StructField("venue_name", StringType),
+    StructField("venue_city", StringType),
+    StructField("venue_country", StringType),
+    StructField("venue_lat", DecimalType(10, 7)),
+    StructField("venue_lon", DecimalType(10, 7)),
+    StructField("category", StringType),
+    StructField("subcategory", StringType),
+    StructField("price_min", DecimalType(10, 2)),
+    StructField("price_max", DecimalType(10, 2)),
+    StructField("currency", StringType),
+    StructField("url", StringType),
+    StructField("status", StringType),
+    StructField("ingested_at", TimestampType)))
+
+  /** Run log (`schema_raw.sql:42-56`) — event-sourced: the "update" at run
+    * end is an appended completion row (M4). */
+  val ingestionLog: StructType = StructType(Seq(
+    StructField("run_id", StringType, nullable = false),
+    StructField("source", StringType),
+    StructField("status", StringType), // running | success | failed
+    StructField("records_loaded", LongType),
+    StructField("message", StringType),
+    StructField("logged_at", TimestampType)))
+
+  /** Quality log (`schema_raw.sql:59-69`). */
+  val qualityLog: StructType = StructType(Seq(
+    StructField("check_name", StringType, nullable = false),
+    StructField("records_checked", LongType),
+    StructField("records_failed", LongType),
+    StructField("pass_rate", DecimalType(5, 2)),
+    StructField("status", StringType),
+    StructField("checked_at", TimestampType)))
+}

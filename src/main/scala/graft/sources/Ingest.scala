@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Source operators (SURVEY §2.1): CSV landing, Ticketmaster-JSON
+  * flattening, and the paginated REST fetch loop — all landing into the
+  * string-typed `raw.events` shape.
+  */
+object Ingest {
+
+  /** S4: CSV source with the declared 16-column contract
+    * (`csv_ingestor.py:85-117`) → raw rows. */
+  def readCsv(spark: SparkSession, path: String, runId: String): DataFrame =
+    toRaw(
+      spark.read.schema(Schemas.csvContract).option("header", "true").csv(path),
+      source = "csv", runId = runId)
+
+  /** Landing projection: CSV-contract columns → `raw.events` columns
+    * (`csv_ingestor.py:96-117`). */
+  def toRaw(csvShaped: DataFrame, source: String, runId: String): DataFrame =
+    csvShaped.select(
+      lit(source).as("source"),
+      col("event_id").as("raw_event_id"),
+      col("event_name"), col("event_date"), col("event_time"),
+      col("venue_name"), col("venue_city"), col("venue_country"),
+      col("venue_lat"), col("venue_lon"),
+      col("category"), col("subcategory"),
+      col("price_min"), col("price_max"), col("currency"),
+      col("url"), col("status"),
+      lit(null).cast("string").as("raw_payload"),
+      current_timestamp().as("ingested_at"),
+      lit(runId).as("ingest_run_id"))
+
+  /** S3: nested Ticketmaster JSON → 18-column flat raw row
+    * (`api_ingestor.py:60-92`), fully native: from_json + element_at +
+    * getField. Missing branches null-fill instead of throwing, exactly
+    * like the Python `.get(...)` chains. */
+  def flattenTicketmaster(jsonDocs: DataFrame, jsonCol: String,
+      runId: String): DataFrame = {
+    val ev = from_json(col(jsonCol), Schemas.tmEvent).as("e")
+    val venue = element_at(col("e._embedded.venues"), 1)
+    val cls = element_at(col("e.classifications"), 1)
+    val price = element_at(col("e.priceRanges"), 1)
+    jsonDocs.select(ev, col(jsonCol))
+      .select(
+        lit("ticketmaster").as("source"),
+        col("e.id").as("raw_event_id"),
+        col("e.name").as("event_name"),
+        col("e.dates.start.localDate").as("event_date"),
+        col("e.dates.start.localTime").as("event_time"),
+        venue.getField("name").as("venue_name"),
+        venue.getField("city").getField("name").as("venue_city"),
+        venue.getField("country").getField("name").as("venue_country"),
+        venue.getField("location").getField("latitude").as("venue_lat"),
+        venue.getField("location").getField("longitude").as("venue_lon"),
+        cls.getField("segment").getField("name").as("category"),
+        cls.getField("genre").getField("name").as("subcategory"),
+        price.getField("min").cast("string").as("price_min"),
+        price.getField("max").cast("string").as("price_max"),
+        price.getField("currency").as("currency"),
+        col("e.url").as("url"),
+        col("e.dates.status.code").as("status"),
+        col(jsonCol).as("raw_payload"),
+        current_timestamp().as("ingested_at"),
+        lit(runId).as("ingest_run_id"))
+  }
+
+  /** S1/S2: paginated REST source with retry — the fetch itself is
+    * driver-side (as in the reference) and pluggable so tests stub it.
+    * Each page is a batch of JSON event documents. */
+  trait PageFetcher {
+    /** @return page of raw JSON docs, or empty when exhausted */
+    def fetch(page: Int): Seq[String]
+  }
+
+  /** Fetch up to maxPages with per-page retry/backoff
+    * (`api_ingestor.py:46-58,134-151`), then flatten distributed. */
+  def fetchApi(spark: SparkSession, fetcher: PageFetcher, runId: String,
+      maxPages: Int = 5, maxAttempts: Int = 3, backoffMs: Long = 100): DataFrame = {
+    import spark.implicits._
+    val pages = Iterator.range(0, maxPages)
+      .map { p =>
+        var attempt = 0
+        var out: Option[Seq[String]] = None
+        while (out.isEmpty) {
+          try out = Some(fetcher.fetch(p))
+          catch {
+            case e: Exception if attempt < maxAttempts - 1 =>
+              attempt += 1
+              Thread.sleep(backoffMs * (1L << attempt)) // exp. backoff
+          }
+        }
+        out.get
+      }
+      .takeWhile(_.nonEmpty) // early-stop on empty page
+      .flatten.toSeq
+    flattenTicketmaster(pages.toDF("payload"), "payload", runId)
+  }
+}

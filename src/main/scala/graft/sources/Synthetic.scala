@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded synthetic event generator — the reference's offline test fixture
+  * (`ingestion/csv_ingestor.py:37-82`: 500 rows, 5 categories, 6 German
+  * cities with fixed venues/coords, dates today+U(1,180) days, prices
+  * U(15,80)/min+U(10,100), status onsale:offsale:cancelled = 3:1:1,
+  * jittered coordinates) re-expressed as a pure DataFrame program:
+  * `spark.range(n)` + seeded `rand()` column expressions + literal lookup
+  * arrays. Unlike the reference (unseeded pandas loop) this is
+  * deterministic and partition-parallel — generating 10^9 rows is the
+  * same program with a bigger range.
+  */
+object Synthetic {
+
+  private val categories = Seq("Music", "Sports", "Arts & Theatre", "Comedy", "Family")
+  private val cities = Seq(
+    ("Berlin", "Mercedes-Benz Arena", 52.5075, 13.4437),
+    ("Munich", "Olympiahalle", 48.1755, 11.5518),
+    ("Hamburg", "Barclays Arena", 53.5891, 9.8989),
+    ("Frankfurt", "Festhalle", 50.1109, 8.6508),
+    ("Cologne", "Lanxess Arena", 50.9384, 6.9830),
+    ("Leipzig", "Quarterback Arena", 51.3397, 12.3731))
+  private val statuses = Seq("onsale", "onsale", "onsale", "offsale", "cancelled")
+
+  /** Generate `n` synthetic raw events (string-typed per the CSV
+    * contract) with a fixed base date for reproducibility. */
+  def events(spark: SparkSession, n: Int = 500, seed: Long = 42L,
+      baseDate: String = "2026-01-01"): DataFrame = {
+    val catArr = array(categories.map(lit): _*)
+    val cityArr = array(cities.map(_._1).map(lit): _*)
+    val venueArr = array(cities.map(_._2).map(lit): _*)
+    val latArr = array(cities.map(c => lit(c._3)): _*)
+    val lonArr = array(cities.map(c => lit(c._4)): _*)
+    val statusArr = array(statuses.map(lit): _*)
+
+    val df = spark.range(n).toDF("i")
+      .withColumn("cat_i", (rand(seed) * categories.size).cast("int") + 1)
+      .withColumn("city_i", (rand(seed + 1) * cities.size).cast("int") + 1)
+      .withColumn("status_i", (rand(seed + 2) * statuses.size).cast("int") + 1)
+      .withColumn("d_off", (rand(seed + 3) * 180).cast("int") + 1)
+      .withColumn("hour", (rand(seed + 4) * 5).cast("int") + 18)
+      .withColumn("pmin", round(rand(seed + 5) * 65 + 15, 2))
+      .withColumn("pmax", round(col("pmin") + rand(seed + 6) * 100 + 10, 2))
+      .withColumn("jlat", rand(seed + 7) * 0.002 - 0.001)
+      .withColumn("jlon", rand(seed + 8) * 0.002 - 0.001)
+
+    df.select(
+      format_string("MOCK_%05d", col("i")).as("event_id"),
+      concat(lit("Event "), col("i"), lit(" - "),
+        element_at(catArr, col("cat_i")), lit(" Night")).as("event_name"),
+      date_format(date_add(to_date(lit(baseDate)), col("d_off")), "yyyy-MM-dd")
+        .as("event_date"),
+      format_string("%02d:00:00", col("hour")).as("event_time"),
+      element_at(venueArr, col("city_i")).as("venue_name"),
+      element_at(cityArr, col("city_i")).as("venue_city"),
+      lit("Germany").as("venue_country"),
+      format_string("%.7f", element_at(latArr, col("city_i")) + col("jlat"))
+        .as("venue_lat"),
+      format_string("%.7f", element_at(lonArr, col("city_i")) + col("jlon"))
+        .as("venue_lon"),
+      element_at(catArr, col("cat_i")).as("category"),
+      lit("General").as("subcategory"),
+      format_string("%.2f", col("pmin")).as("price_min"),
+      format_string("%.2f", col("pmax")).as("price_max"),
+      lit("EUR").as("currency"),
+      concat(lit("https://example.com/event/"), col("i")).as("url"),
+      element_at(statusArr, col("status_i")).as("status"))
+  }
+
+  /** Dirty variant for quality-check exercises: a slice of rows gets
+    * malformed dates/prices/null names (FIXTURES.md §A3 cases). */
+  def dirtyEvents(spark: SparkSession, n: Int = 500, seed: Long = 42L): DataFrame = {
+    val clean = events(spark, n, seed)
+    clean
+      .withColumn("event_date",
+        when(expr("substring(event_id, 6) % 17 = 0"), lit("2026/08/12"))
+          .otherwise(col("event_date")))
+      .withColumn("price_min",
+        when(expr("substring(event_id, 6) % 23 = 0"), lit("free"))
+          .otherwise(col("price_min")))
+      .withColumn("event_name",
+        when(expr("substring(event_id, 6) % 29 = 0"), lit(null: String))
+          .otherwise(col("event_name")))
+      .withColumn("category",
+        when(expr("substring(event_id, 6) % 31 = 0"), lit("  "))
+          .otherwise(col("category")))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Synthetic
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshPipeline(): Pipeline = {
+    val root = Files.createTempDirectory("graft_wh_").toString
+    new Pipeline(spark, new TableStore(spark, root))
+  }
+
+  test("end-to-end: generate → ingest → transform → facts → quality → KPI") {
+    val p = freshPipeline()
+    val landed = p.ingestSynthetic(n = 200, seed = 7L, runId = "run1")
+    assert(landed == 200)
+    p.transformAndLoad("2026-08-12")
+
+    val s = p.summary()
+    assert(s("raw_events") == 200)
+    assert(s("fact_events") == 200)       // unique MOCK ids → one fact each
+    assert(s("dim_source") == 1)
+    assert(s("dim_venue") == 6)           // 6 fixed venues
+    assert(s("dim_category") == 5)
+    assert(s("quality_log") == 5)
+
+    // facts all resolve their dims (synthetic data is clean)
+    val facts = p.store.read("fact_events")
+    assert(facts.filter($"date_sk".isNull || $"venue_sk".isNull ||
+      $"category_sk".isNull || $"source_sk".isNull).count() == 0)
+
+    // KPI views produce rows
+    assert(p.kpiEventsByCategory.count() == 5)
+    assert(p.kpiEventsByCity.count() == 6)
+    assert(p.kpiWeekendSplit.count() == 2)
+    assert(p.kpiQualitySummary.count() == 5)
+    assert(p.kpiPipelineHealth.count() >= 1)
+
+    // quality: clean synthetic data passes every check
+    val ql = p.store.read("quality_log")
+    assert(ql.filter($"status" =!= "passed").count() == 0)
+  }
+
+  test("idempotency: re-ingesting and re-running loads nothing twice") {
+    val p = freshPipeline()
+    p.ingestSynthetic(n = 100, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+    val before = p.summary()
+
+    // same data again (ON CONFLICT DO NOTHING) + second transform run
+    p.ingestSynthetic(n = 100, seed = 7L, runId = "r2")
+    p.transformAndLoad("2026-08-13")
+    val after = p.summary()
+
+    assert(after("raw_events") == before("raw_events"))
+    assert(after("fact_events") == before("fact_events"))
+    assert(after("dim_venue") == before("dim_venue"))
+    assert(after("dim_category") == before("dim_category"))
+  }
+
+  test("upsert refreshes mutable measures but keeps identity (M2)") {
+    val p = freshPipeline()
+    p.ingestSynthetic(n = 50, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+    val skBefore = p.store.read("fact_events")
+      .select($"event_nk", $"event_sk").as[(String, Long)].collect().toMap
+
+    // late re-delivery of the same events with a changed status: rebuild
+    // facts from the updated payload and upsert (ON CONFLICT DO UPDATE)
+    val updated = Synthetic.events(spark, 50, 7L)
+      .withColumn("status", lit("postponed"))
+    val stg = Staging.stage(graft.sources.Ingest.toRaw(updated, "csv", "r2"))
+    val factsNew = Facts.build(stg,
+      p.store.read("dim_date"), p.store.read("dim_venue"),
+      p.store.read("dim_category"), p.store.read("dim_source"))
+    p.store.overwrite("fact_events",
+      Facts.upsertResolve(p.store.read("fact_events"), factsNew))
+
+    val after = p.store.read("fact_events")
+    assert(after.count() == 50, "upsert must not duplicate")
+    assert(after.filter($"event_status" === "postponed").count() == 50,
+      "mutable column refreshed")
+    val skAfter = after.select($"event_nk", $"event_sk")
+      .as[(String, Long)].collect().toMap
+    assert(skAfter == skBefore, "surrogate keys unchanged by upsert")
+  }
+
+  test("SCD2 venue merge closes old versions and appends new ones (M6)") {
+    val p = freshPipeline()
+    p.ingestSynthetic(n = 100, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+    assert(p.store.read("dim_venue").count() == 6)
+
+    // venue attribute change: Berlin's venue renamed → SCD2 close+append
+    val changed = Synthetic.events(spark, 100, 7L)
+      .withColumn("venue_name",
+        when($"venue_city" === "Berlin", lit("Uber Arena"))
+          .otherwise($"venue_name"))
+    val stg = Staging.stage(graft.sources.Ingest.toRaw(changed, "csv", "r2"))
+    val inc = Dims.venueSnapshot(stg, to_date(lit("2026-09-01")))
+    val merged = Dims.scd2Merge(p.store.read("dim_venue"), inc,
+      to_date(lit("2026-09-01")))
+    p.store.overwrite("dim_venue", merged)
+
+    val v = p.store.read("dim_venue")
+    // NOTE: venue_nk = md5(name||city), so a rename is a NEW natural key
+    // (same as the reference's design); the old key simply stops arriving.
+    // Attribute-change-under-same-key is exercised via coordinates:
+    assert(v.filter($"is_current").count() >= 6)
+  }
+
+  test("SCD2: same natural key with changed attributes → old row closed, history kept") {
+    val p = freshPipeline()
+    import org.apache.spark.sql.types.DateType
+    val d1 = to_date(lit("2026-01-01"))
+    val d2 = to_date(lit("2026-02-01"))
+    def snap(lat: String) = Dims.venueSnapshot(
+      Staging.stage(graft.sources.Ingest.toRaw(
+        Synthetic.events(spark, 10, 3L).withColumn("venue_lat", lit(lat)),
+        "csv", "x")), d1)
+    val v1 = snap("50.0000000")
+    val v2 = Dims.venueSnapshot(
+      Staging.stage(graft.sources.Ingest.toRaw(
+        Synthetic.events(spark, 10, 3L).withColumn("venue_lat", lit("51.0000000")),
+        "csv", "y")), d2)
+
+    val merged = Dims.scd2Merge(v1, v2, d2)
+    val byCurrent = merged.groupBy($"is_current").count()
+      .as[(Boolean, Long)].collect().toMap
+    val nVenues = v1.count()
+    assert(byCurrent(true) == nVenues, "one current version per venue")
+    assert(byCurrent.getOrElse(false, 0L) == nVenues, "old versions closed, kept")
+    val closed = merged.filter(!$"is_current")
+    assert(closed.filter($"valid_to".isNull).count() == 0)
+    // current rows carry the new attribute
+    assert(merged.filter($"is_current")
+      .filter($"venue_lat" === new java.math.BigDecimal("51.0000000")).count() == nVenues)
+  }
+
+  test("staging rejects dirty rows into NULLs and quality checks flag them") {
+    val p = freshPipeline()
+    p.ingest(Synthetic.dirtyEvents(spark, 500, 42L), "csv", "r1")
+    p.transformAndLoad("2026-08-12")
+    val ql = p.store.read("quality_log").as[(String, Long, Long, java.math.BigDecimal, String, java.sql.Timestamp)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(ql("invalid_event_dates") > 0)
+    assert(ql("null_event_names") > 0)
+    // staged bad dates became NULL, not errors
+    val stg = Staging.stage(p.store.read("raw_events"))
+    assert(stg.filter($"event_date".isNull).count() == ql("invalid_event_dates"))
+    // empty category defaulted
+    assert(stg.filter($"category" === "Unknown").count() > 0)
+  }
+}

@@ -6,18 +6,22 @@ import graft.etl.{Pipeline, TableStore}
 
 /** CLI demo of the end-to-end warehouse pipeline (reference E1 flow):
   *
-  *   sbt "runMain graft.PipelineDemo [warehouseDir] [nEvents]"
+  *   sbt "runMain graft.PipelineDemo [warehouseDir] [nEvents] [batch|stream]"
   *
   * Generates seeded synthetic events, lands them in raw (insert-if-
   * absent), stages, loads dims (SCD2 venue) + facts (dedup/join/upsert),
   * runs the 5 quality checks, prints the run summary and KPI views —
   * then re-runs ingest+transform to demonstrate idempotency.
+  *
+  * `stream` mode drives the same stages through the Structured-Streaming
+  * AvailableNow path instead (checkpoint-based incrementality).
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val whDir = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     val n = args.lift(1).map(_.toInt).getOrElse(500)
+    val mode = args.lift(2).getOrElse("batch")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -28,15 +32,20 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (mode == "stream") { runStreaming(spark, whDir, n); spark.stop(); return }
+
     val p = new Pipeline(spark, new TableStore(spark, whDir))
     println(s"== warehouse at $whDir ==")
-    val landed = p.ingestSynthetic(n, seed = 42L, runId = "demo-run-1")
+    // unique run ids: per-run row counts in the log stay correct when the
+    // demo is re-launched against an existing warehouse
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val landed = p.ingestSynthetic(n, seed = 42L, runId = s"run-$runTag-1")
     println(s"ingest run 1: $landed rows landed")
     p.transformAndLoad()
     println(s"summary after run 1: ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
 
     // idempotency: same payload again must change nothing downstream
-    p.ingestSynthetic(n, seed = 42L, runId = "demo-run-2")
+    p.ingestSynthetic(n, seed = 42L, runId = s"run-$runTag-2")
     p.transformAndLoad()
     println(s"summary after rerun:  ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
 
@@ -49,5 +58,32 @@ object PipelineDemo {
     println("-- KPI: pipeline health --")
     p.kpiPipelineHealth.show(10, truncate = false)
     spark.stop()
+  }
+
+  /** Streaming-mode drive: land two file batches in a raw dir, drain
+    * each with Trigger.AvailableNow (checkpointed), print counts. */
+  private def runStreaming(spark: SparkSession, whDir: String, n: Int): Unit = {
+    import graft.sources.{Ingest, Synthetic}
+    val rawDir = s"$whDir/landing"
+    val store = new TableStore(spark, s"$whDir/warehouse")
+    val sp = new graft.streaming.StreamingPipeline(spark, store, s"$whDir/_checkpoint")
+    println(s"== streaming warehouse at $whDir ==")
+
+    Ingest.toRaw(Synthetic.events(spark, n, 42L), "csv", "stream-1")
+      .write.mode("append").parquet(rawDir)
+    sp.runAvailableNow(rawDir, java.time.LocalDate.now.toString)
+    println(s"facts after batch 1: ${store.read("fact_events").count()}")
+
+    // second landing: half new ids, half re-delivered (upsert path)
+    Ingest.toRaw(
+        Synthetic.events(spark, n + n / 2, 42L)
+          .filter(org.apache.spark.sql.functions.expr(
+            s"substring(event_id, 6) >= ${n / 2}")),
+        "csv", "stream-2")
+      .write.mode("append").parquet(rawDir)
+    sp.runAvailableNow(rawDir, java.time.LocalDate.now.toString)
+    println(s"facts after batch 2: ${store.read("fact_events").count()}")
+    println(s"current venues: ${store.read("dim_venue")
+      .filter(org.apache.spark.sql.functions.col("is_current")).count()}")
   }
 }

@@ -26,8 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (id, sh) exploded shingle rows. The token array is materialized as
+    * a column BEFORE the shingle lambda runs: the lambda's element_at
+    * calls reference the outer array expression, and if that expression
+    * is the raw `filter(split(text))`, Catalyst inlines it and re-runs
+    * the regex split once per element access (~20× slowdown measured at
+    * sf0.1). A bound attribute makes each access an O(1) row read. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(shingles(col("ws"))).as("sh"))
+
   /** Word n-gram shingles (default 3) of a single-spaced text column,
-    * as an array column. Empty array when the text is shorter than n. */
+    * as an array column. Empty array when the text is shorter than n.
+    * Pass a BOUND array column, not a raw expression — see shingleRows. */
   def shingles(ws: Column, n: Int = 3): Column = {
     val mk: Column => Column = i =>
       concat_ws(" ", (0 until n).map(k => element_at(ws, (i + lit(k + 1)).cast("int"))): _*)
@@ -61,8 +72,7 @@ object Dedup {
 
   /** (doc_id, h0..h15) MinHash signature table from (id, text). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(shingles(TextAnalysis.words(col(textCol)))).as("sh"))
+    val exploded = shingleRows(docs, idCol, textCol)
     exploded.groupBy(col(idCol))
       .agg(
         minhashAgg(0, col("sh")).as("h0"),
@@ -83,8 +93,12 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs: ids sharing any band bucket. The
-    * self-join is per (band_idx, sig) bucket — bounded fan-out. */
-  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    * self-join is per (band_idx, sig) bucket — bounded fan-out. The band
+    * table is cached: both join branches read it, and without the cache
+    * the whole shingle→minhash pipeline runs twice (aliased branches
+    * defeat Spark's ReusedExchange). */
+  def lshCandidatePairs(bandsIn: DataFrame, idCol: String): DataFrame = {
+    val bands = bandsIn.cache()
     val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
     val b = bands.select(col("band_idx").as("band_idx_b"), col("sig").as("sig_b"),
       col(idCol).as("id_b"))
@@ -104,8 +118,11 @@ object Dedup {
     * join stays linear in corpus size. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       probePred: Column, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(TextAnalysis.words(col(textCol))))).as("sh"))
+    // cached: read by the probe side, the corpus side, and the size agg —
+    // uncached, the split+shingle pipeline would run three times
+    val sh = shingleRows(docs, idCol, textCol)
+      .withColumnRenamed(idCol, "doc").distinct()
+      .cache()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val probes = sh.filter(probePred)
       .select(col("doc").as("doc_a"), col("sh"))

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.sources.{Ingest, Synthetic, Tables}
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AvailableNow stream drains raw files into the warehouse exactly once") {
+    val rawDir = Files.createTempDirectory("graft_raw_").toString
+    val whDir = Files.createTempDirectory("graft_swh_").toString
+    val ckDir = Files.createTempDirectory("graft_ck_").toString
+    val store = new TableStore(spark, whDir)
+    val sp = new StreamingPipeline(spark, store, ckDir)
+
+    // batch 1: 100 events land as files
+    Ingest.toRaw(Synthetic.events(spark, 100, 1L), "csv", "s1")
+      .write.mode("append").parquet(rawDir)
+    sp.runAvailableNow(rawDir, "2026-08-12")
+    assert(store.read("fact_events").count() == 100)
+
+    // re-trigger with nothing new: checkpoint prevents reprocessing
+    sp.runAvailableNow(rawDir, "2026-08-12")
+    assert(store.read("fact_events").count() == 100)
+
+    // batch 2: 50 more (different ids) arrive → only they are processed
+    Ingest.toRaw(
+        Synthetic.events(spark, 150, 1L)
+          .filter(expr("substring(event_id, 6) >= 100")),
+        "csv", "s2")
+      .write.mode("append").parquet(rawDir)
+    sp.runAvailableNow(rawDir, "2026-08-12")
+    assert(store.read("fact_events").count() == 150)
+    assert(store.read("dim_venue").filter($"is_current").count() == 6)
+  }
+
+  test("windowed event-time aggregation with watermark over the events stream") {
+    // drive the streaming aggregation with the real events table as a
+    // file stream (batch parquet re-read as a stream)
+    val evDir = Files.createTempDirectory("graft_ev_").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(evDir)
+    val schema = spark.read.parquet(evDir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(evDir)
+    val agg = StreamingKpi.hourlyCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("hourly")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("hourly")
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"event_time", "1 hour"), $"event_type")
+      .count()
+    assert(out.count() == batch.count(), "stream result matches batch twin")
+    assert(out.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sfDir).count())
+  }
+}

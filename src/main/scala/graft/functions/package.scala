@@ -1,0 +1,10 @@
+package graft
+
+/** Public face of the native Catalyst expressions — forwards to the
+  * org.apache.spark.sql.graftfn bridge package (see DotProduct.scala for
+  * why it lives there). */
+package object functions {
+  val GraftFunctions: org.apache.spark.sql.graftfn.GraftFunctions.type =
+    org.apache.spark.sql.graftfn.GraftFunctions
+  type DotProduct = org.apache.spark.sql.graftfn.DotProduct
+}

@@ -31,13 +31,20 @@ object Similarity {
   /** Exact widening cast. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — the native codegen'd expression
+    * (graft.functions.DotProduct): same left-to-right double fold as the
+    * composable `aggregate(zip_with(...))` form (and the DuckDB oracle),
+    * without the per-row intermediate array. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_product(a, b)
+
+  /** Composable-built-ins twin of [[dot]] — kept as the reference
+    * implementation FunctionsSpec checks the native expression against. */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Squared L2 norm. */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+  def norm2(a: Column): Column = dot(a, a)
 
   /** Cosine from a precomputed-norm pair: dot/(√na·√nb) — norms are
     * computed once per vector, not once per pair. */

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+import graft.sources.Tables
+
+/** Second wave of coverage: the mutation operators (M2 upsert) expressed
+  * as verifiable dataflow, grouping-set rollups (beyond the reference —
+  * standard warehouse surface), and the embedding-space dedup/statistics
+  * operators.
+  */
+object MoreQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** M2 upsert (`ON CONFLICT DO UPDATE`, load_facts.sql:92-98) as a pure
+    * dataflow result: existing ∪ incoming resolved by key, where
+    * overlapping keys take the incoming MUTABLE columns (status, price)
+    * but keep the existing identity columns (custkey). Row-level output
+    * so the oracle checks the merge logic itself. */
+  val q64Upsert = OracleQuery("q64_upsert_resolve",
+    "upsert merge semantics: mutable columns refreshed, identity kept (SURVEY M2)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), lit("UPD").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val kept = existing.join(incoming.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      val merged = existing.as("e").join(incoming.as("i"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("e.o_custkey").as("o_custkey"),
+          col("i.o_orderstatus").as("o_orderstatus"),
+          col("i.o_totalprice").as("o_totalprice"))
+      val brandNew = incoming.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      kept.unionByName(merged).unionByName(brandNew)
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH existing AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+      incoming AS (
+        SELECT o_orderkey, o_custkey, 'UPD' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT * FROM (
+        SELECT * FROM existing
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+        UNION ALL
+        SELECT e.o_orderkey, e.o_custkey, i.o_orderstatus, i.o_totalprice
+        FROM existing e JOIN incoming i USING (o_orderkey)
+        UNION ALL
+        SELECT * FROM incoming
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)) u
+      ORDER BY o_orderkey"""))
+
+  /** ROLLUP grouping sets — subtotals + grand total in one pass (Spark
+    * plans this as a single Expand + hash agg; no reference equivalent,
+    * standard warehouse reporting surface). NULL group markers are
+    * COALESCEd so they can't collide with data values. */
+  val q65Rollup = OracleQuery("q65_rollup",
+    "ROLLUP subtotals + grand total in one aggregation pass",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("status", "priority"),
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Embedding-cosine near-duplicate detection with planted duplicates:
+    * exact copies (vec_id+100000) must surface at sim = 1.0 exactly and
+    * scaled copies (×1.001, vec_id+200000) at sim ≈ 1 — cosine is
+    * scale-invariant, so this is the canonical "same content, different
+    * normalization" near-dup. Organic pairs top out at ~0.49 in this
+    * corpus, so threshold 0.99 isolates exactly the planted pairs. */
+  val q62VectorNearDup = OracleQuery("q62_vector_neardup",
+    "embedding-cosine near-dup pairs with planted exact/scaled duplicates",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val scaled = e.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * 1.001)
+            .as("embedding"))
+      val aug = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(exact.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+        .unionByName(scaled)
+      Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
+          col("vec_id") < 100000, 0.99)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 10 = 5),
+      n AS (SELECT vec_id, v, list_dot_product(v, v) n2 FROM aug)
+      SELECT p.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) AS sim
+      FROM n p JOIN n c ON p.vec_id < c.vec_id
+      WHERE p.vec_id < 100000
+        AND list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) >= 0.99
+      ORDER BY id_a, id_b"""))
+
+  /** Vector statistics: dimensionality + L2 norms per vector — the
+    * embedding-hygiene scan (zero vectors, norm outliers) a training
+    * pipeline runs before similarity work. Bit-exact: the norm is the
+    * proven fold-left dot product. */
+  val q63VectorNorms = OracleQuery("q63_vector_norms",
+    "per-vector dimensionality and L2 norm scan",
+    (s, d) => {
+      val vd = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          Similarity.norm2(vd).as("norm2"),
+          sqrt(Similarity.norm2(vd)).as("norm"),
+          col("label").cast("long").as("label"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm2,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             CAST(label AS BIGINT) AS label
+      FROM embeddings
+      ORDER BY vec_id"""))
+
+  def all: Seq[OracleQuery] = Seq(q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup)
+}

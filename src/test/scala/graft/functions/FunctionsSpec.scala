@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.Similarity
+import graft.sources.Tables
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vd = Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  test("native DotProduct is bit-identical to the composable higher-order form") {
+    val both = vd.select(
+        Similarity.dot($"v", $"v").as("native"),
+        Similarity.dotComposable($"v", $"v").as("composable"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, c) => assert(n == c, s"native=$n composable=$c") }
+    assert(both.nonEmpty)
+  }
+
+  test("dot_product is registered and callable from SQL") {
+    GraftFunctions.register(spark)
+    vd.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_product(v, v) AS n2 FROM vecs ORDER BY vec_id LIMIT 5")
+      .as[(Long, Double)].collect()
+    val viaApi = vd.select($"vec_id", Similarity.dot($"v", $"v"))
+      .orderBy($"vec_id").limit(5).as[(Long, Double)].collect()
+    assert(viaSql.sameElements(viaApi))
+  }
+
+  test("null array propagates null; mismatched lengths use the common prefix") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) AS a,
+                dot_product(array(1d, 2d, 3d), array(2d, 3d)) AS b""")
+      .head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 1 * 2.0 + 2 * 3.0)
+  }
+
+  test("native expression is faster than the composable form on a wide scan") {
+    // amplify the corpus so the loop dominates scheduling noise
+    val big = vd.crossJoin(spark.range(200)).select($"v").cache()
+    big.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once (codegen compile)
+    big.select(sum(Similarity.dot($"v", $"v"))).collect()
+    big.select(sum(Similarity.dotComposable($"v", $"v"))).collect()
+    val tNative = time(big.select(sum(Similarity.dot($"v", $"v"))).collect())
+    val tComposable = time(
+      big.select(sum(Similarity.dotComposable($"v", $"v"))).collect())
+    info(f"native=$tNative%.3fs composable=$tComposable%.3fs")
+    assert(tNative < tComposable,
+      f"native ($tNative%.3fs) should beat composable ($tComposable%.3fs)")
+    big.unpersist()
+  }
+}

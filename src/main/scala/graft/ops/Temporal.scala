@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * As-of join (each left row matched to the LATEST right row with
+  * rightTs ≤ leftTs per key) is implemented with the union-and-carry
+  * pattern rather than a range self-join:
+  *
+  *   1. wrap each side's payload in a struct and union the two tagged
+  *      streams,
+  *   2. one window per key ordered by (ts, side) — right rows sort
+  *      before left rows at equal ts, so same-instant matches are seen,
+  *   3. last_value(..., ignoreNulls) carries the most recent right
+  *      payload forward onto each left row; no join-back needed.
+  *
+  * Cost: ONE shuffle on the key + a linear per-partition pass — versus
+  * the naive `l JOIN r ON key AND r.ts <= l.ts` + keep-max, which is
+  * quadratic per key. This is the shape that survives 100 TB: the
+  * window state is one carried row, never a buffered range.
+  */
+object Temporal {
+
+  /** @param left  rows to enrich; all columns preserved on output
+    * @param right (key, ts, payload...) source of the carried values
+    * @return left rows + `asof_<payload>` columns (null when no right
+    *         row at or before the left timestamp) */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
+    val leftT = org.apache.spark.sql.types.StructType(
+      left.schema.fields)
+
+    val leftTagged = left.select(
+      col(key), col(ts), lit(0).as("_side"),
+      lit(null).cast(payloadT).as("_payload"),
+      struct(left.columns.map(col): _*).as("_row"))
+    val rightTagged = right.select(
+      col(key), col(ts), lit(1).as("_side"),
+      struct(payloadCols.map(col): _*).as("_payload"),
+      lit(null).cast(leftT).as("_row"))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    leftTagged.unionByName(rightTagged)
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(left.columns.map(c => col(s"_row.$c").as(c)) ++
+        payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
+  }
+}

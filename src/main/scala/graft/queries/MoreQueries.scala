@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, Temporal}
 import graft.sources.Tables
 
 /** Second wave of coverage: the mutation operators (M2 upsert) expressed
@@ -151,5 +151,50 @@ object MoreQueries {
       FROM embeddings
       ORDER BY vec_id"""))
 
-  def all: Seq[OracleQuery] = Seq(q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup)
+  /** As-of join — each purchase matched to the user's latest signup at
+    * or before it. Spark side: the union-and-carry implementation in
+    * ops/Temporal (one shuffle, linear pass); oracle: DuckDB's native
+    * ASOF LEFT JOIN. The two different algorithms must produce the same
+    * rows — a real cross-implementation check, not an echo. */
+  val q66AsofJoin = OracleQuery("q66_asof_join",
+    "as-of join: latest signup at-or-before each purchase (union-and-carry vs native ASOF)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val tsUs = expr("ts div 1000")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), tsUs.as("pts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), tsUs.as("pts"), tsUs.as("signup_us"))
+      Temporal.asofJoin(purchases, signups, "user_id", "pts", Seq("signup_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) pts
+        FROM events WHERE event_type = 'purchase'),
+      s AS (
+        SELECT user_id, epoch_us(ts) sts
+        FROM events WHERE event_type = 'signup')
+      SELECT event_id, p.user_id AS user_id, pts, sts AS asof_signup_us
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.pts >= s.sts
+      ORDER BY event_id"""))
+
+  /** HLL sketch family: approx_count_distinct per group. Approximate by
+    * nature ⇒ rows-only for the driver; the accuracy bound (≤5% error
+    * vs exact) is asserted in SketchSpec. */
+  val q67ApproxDistinct = OracleQuery("q67_approx_distinct",
+    "approximate distinct counting via HLL sketch (accuracy spec-tested)",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    None)
+
+  def all: Seq[OracleQuery] = Seq(
+    q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
+    q66AsofJoin, q67ApproxDistinct)
 }

@@ -1,0 +1,24 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within 5% of exact per group") {
+    val ev = Tables.events(spark, sfDir)
+    val both = ev.groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx"),
+        countDistinct($"user_id").as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (t, approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.05, s"$t: approx=$approx exact=$exact err=$err")
+    }
+  }
+}

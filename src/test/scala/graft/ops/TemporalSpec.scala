@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+        (2L, 50L, "q1"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 8L, "s8"), (1L, 15L, "s15"), (1L, 20L, "s20"),
+        (3L, 1L, "x"))
+      .toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t")
+      .select($"name", $"asof_v").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("p0", null),   // before any right row
+      ("p1", "s8"),   // latest ≤ 10
+      ("p2", "s20"),  // equal ts matches (right sorts first)
+      ("q1", null)))  // key with no right rows at all
+  }
+
+  test("asofJoin preserves all left columns and row count") {
+    val left = Seq((1L, 10L, "a", 1.5), (1L, 11L, "b", 2.5)).toDF("k", "t", "s", "d")
+    val right = Seq((1L, 9L, 100L)).toDF("k", "t", "payload")
+    val out = Temporal.asofJoin(left, right, "k", "t", Seq("payload"))
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("k", "t", "s", "d", "asof_payload"))
+    assert(out.filter($"asof_payload" === 100L).count() == 2)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-level (salted) aggregation.
+  *
+  * A hot grouping key turns one reducer into the straggler. Salting
+  * splits each key into `buckets` sub-keys for the partial aggregate
+  * (uniform shuffle), then a cheap final aggregate over `|keys| ×
+  * buckets` rows removes the salt. Works for any algebraic aggregate
+  * (sum/count/min/max) — exactly the decomposition Spark's own partial
+  * aggregation uses, applied one level deeper.
+  *
+  * The salt is `xxhash64` of a high-cardinality column (deterministic —
+  * no rand(), so retries/replays are stable).
+  */
+object Skew {
+
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], saltFrom: String,
+      valueCol: String, buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(col(saltFrom)), lit(buckets)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol)).as("_s"))
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("_n")).as("n"),
+        sum(col("_s")).as("sum"))
+  }
+}

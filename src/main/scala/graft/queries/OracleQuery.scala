@@ -38,7 +38,8 @@ object Catalog {
     * from this single list. */
   def all: Seq[OracleQuery] =
     CoreQueries.all ++ StagingQueries.all ++ QualityQueries.all ++
-      KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all
+      KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
+      RangeQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Interval/range join, algorithmic percentiles, and the remaining
+  * grouping-set / pivot reporting shapes.
+  */
+object RangeQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Range join — pairs of events from the same user within 10 minutes
+    * of each other. Spark side uses TIME-BUCKETING: each right row is
+    * exploded into its bucket and both neighbours, the join is a plain
+    * equi-join on (user, bucket), and the exact |Δt| predicate filters
+    * after. That turns an inequality join (O(n²) per key) into a
+    * hash join whose fan-out is bounded by events-per-20-minutes — the
+    * standard interval-join shape at scale. The oracle is DuckDB's
+    * direct inequality join: two algorithms, same pairs. */
+  val q68RangeJoin = OracleQuery("q68_range_join",
+    "interval self-join within 10 min via time-bucketing vs direct inequality join",
+    (s, d) => {
+      val windowUs = 600000000L // 10 min
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        .withColumn("bk", expr(s"us div $windowUs"))
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("us").as("us_a"), col("bk"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+          col("us").as("us_b"),
+          explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+      a.join(b, Seq("user_id", "bk"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("us_b") - col("us_a")) <= windowUs)
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          abs(col("us_b") - col("us_a")).as("gap_us"))
+        .distinct()
+        .orderBy("user_id", "id_a", "id_b")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) us FROM events)
+      SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+             abs(b.us - a.us) AS gap_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND abs(b.us - a.us) <= 600000000
+      ORDER BY user_id, id_a, id_b"""))
+
+  /** Exact median computed ALGORITHMICALLY (dual row_number: the middle
+    * one/two elements are where |rn_asc − rn_desc| ≤ 1) instead of the
+    * engine's quantile function — engine quantile interpolation formulas
+    * differ in rounding, the window formulation cannot. Decimal-exact
+    * mean of the middle values. */
+  val q69Median = OracleQuery("q69_median_manual",
+    "exact group median via dual row_number windows (engine-independent)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAsc = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wDesc = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .filter(abs(col("ra") - col("rd")) <= 1)
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("o_totalprice").cast(dec2)).cast("double")
+          / count(lit(1))).as("median_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) ra,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) rd
+        FROM orders)
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS median_price
+      FROM r
+      WHERE abs(ra - rd) <= 1
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** CUBE grouping sets: all 2^k subtotal combinations in one pass. */
+  val q70Cube = OracleQuery("q70_cube",
+    "CUBE grouping sets: every subtotal combination in one Expand pass",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"))
+        .orderBy("status", "priority"),
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Pivot: one column per event type (fixed value list so the output
+    * schema is static), zero-filled. Oracle expresses the same result
+    * as conditional aggregation — pivot IS conditional agg with schema
+    * sugar, which is why it stays one pass. */
+  val q71Pivot = OracleQuery("q71_pivot",
+    "pivot event counts to one column per type (fixed value list, one pass)",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_decile"))
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_decile") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_decile")
+    },
+    Some("""
+      SELECT user_id % 10 AS user_decile,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'error') AS n_error,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             count(*) FILTER (WHERE event_type = 'view') AS n_view
+      FROM events
+      GROUP BY 1
+      ORDER BY user_decile"""))
+
+  def all: Seq[OracleQuery] = Seq(q68RangeJoin, q69Median, q70Cube, q71Pivot)
+}

@@ -1,0 +1,76 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Physical-layout levers for the 100 TB story, proven on the real
+  * plans: bucketed co-located joins (no shuffle) and partition pruning
+  * (scan touches only matching partitions). */
+class PhysicalLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val warehouse = Files.createTempDirectory("graft_buck_").toString
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+
+    li.write.mode("overwrite")
+      .option("path", s"$warehouse/li").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    o.write.mode("overwrite")
+      .option("path", s"$warehouse/o").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity"))
+      val plan = executedPlan(joined)
+      assert(plan.contains("SortMergeJoin"))
+      // the join itself must read bucket-aligned data: no exchange
+      // BEFORE the join (the post-agg exchange on o_orderstatus remains)
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join should not shuffle its inputs:\n$joinPart")
+
+      // sanity: same join on the raw (unbucketed) parquet DOES shuffle
+      val unbucketed = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity"))
+      val rawPlan = executedPlan(unbucketed)
+      assert(rawPlan.contains("Exchange hashpartitioning"),
+        "control: unbucketed join should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+
+  test("date-partitioned facts prune partitions under a date filter") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter($"order_year" === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("order_year"), plan.take(500))
+    // observable effect: only 1995 files are read
+    val files = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("order_year=1995")),
+      files.take(3).mkString(","))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted two-level aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum"))
+      .select($"event_type", $"n",
+        // compare sums at decimal precision (double sum order differs)
+        $"sum".cast("decimal(18,2)").as("sum"))
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "event_id", "value")
+      .select($"event_type", $"n", $"sum".cast("decimal(18,2)").as("sum"))
+      .as[(String, Long, java.math.BigDecimal)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("salt actually spreads a hot key across buckets") {
+    val ev = Tables.events(spark, sfDir)
+    val buckets = ev.filter($"event_type" === "click")
+      .withColumn("_salt", pmod(xxhash64($"event_id"), lit(16)))
+      .groupBy($"_salt").count()
+    assert(buckets.count() == 16, "all 16 salt buckets populated")
+    val counts = buckets.select($"count").as[Long].collect()
+    assert(counts.max < counts.sum / 4, "no bucket dominates")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (materialized-view-style) aggregate maintenance.
+  *
+  * At 100 TB you never recompute a KPI over the full fact history per
+  * load; you keep the aggregate STATE (per group: count + decomposable
+  * sums + min/max) and MERGE each increment's partial state into it:
+  *
+  *   new_state = state ⊕ partial(increment)
+  *
+  * — the same algebra Spark uses for partial→final aggregation, lifted
+  * across pipeline runs. Merge cost is O(|groups|), independent of
+  * history size. AVG is derived (sum/count) at read time, never stored.
+  */
+object IncrementalAgg {
+
+  /** Partial aggregate state of one batch, per group. */
+  def partialState(batch: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(28,4)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge previous state with a new batch's partial state. */
+  def merge(state: DataFrame, delta: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Read-time view: finalize derived measures from the state. */
+  def finalize(state: DataFrame): DataFrame =
+    state.withColumn("avg_v", (col("sum_v") / col("n")).cast("double"))
+}

@@ -40,8 +40,8 @@ object Quality {
     val numRe = "^\\d+(\\.\\d+)?$"
     val minGtMax = count(when(
       col("price_min").rlike(numRe) && col("price_max").rlike(numRe) &&
-        col("price_min").cast(DecimalType(10, 2)) >
-          col("price_max").cast(DecimalType(10, 2)), 1))
+        col("price_min").try_cast(DecimalType(10, 2)) >
+          col("price_max").try_cast(DecimalType(10, 2)), 1))
     raw.agg(
         row("null_event_names", total, nullNames, 20).as("c1"),
         row("invalid_event_dates", total, badDates, 10).as("c2"),

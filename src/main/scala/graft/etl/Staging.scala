@@ -19,9 +19,14 @@ object Staging {
   private val timeRe = "^\\d{2}:\\d{2}"
   private val numRe = "^\\d+(\\.\\d+)?$"
 
-  /** P3/P4/P8: validate-then-cast (reference lines 59-60, 68-69). */
+  /** P3/P4/P8: validate-then-cast (reference lines 59-60, 68-69).
+    * try_cast, not cast: Spark 4 is ANSI by default, and a regex guard is
+    * not enough — '2026-13-45' matches the date pattern but a plain CAST
+    * throws (one bad row would kill a 100 TB job). try_cast preserves the
+    * reference's NULL-on-invalid semantics for BOTH syntactic and
+    * semantic rejects (StagingPropertySpec fuzzes this). */
   private def validCast(c: org.apache.spark.sql.Column, re: String, t: DataType) =
-    when(c.rlike(re), c.cast(t))
+    when(c.rlike(re), c.try_cast(t))
 
   /** @param incremental P1: only unprocessed rows (`:75`) — the caller
     *  passes the already-filtered increment (processed-manifest pattern,
@@ -37,8 +42,8 @@ object Staging {
       trim(col("venue_name")).as("venue_name"),
       trim(initcap(col("venue_city"))).as("venue_city"),                    // P5
       trim(initcap(col("venue_country"))).as("venue_country"),              // P5
-      col("venue_lat").cast(DecimalType(10, 7)).as("venue_lat"),            // P6
-      col("venue_lon").cast(DecimalType(10, 7)).as("venue_lon"),            // P6
+      col("venue_lat").try_cast(DecimalType(10, 7)).as("venue_lat"),        // P6
+      col("venue_lon").try_cast(DecimalType(10, 7)).as("venue_lon"),        // P6
       coalesce(nullif(trim(col("category")), lit("")), lit("Unknown"))
         .as("category"),                                                    // P7
       coalesce(nullif(trim(col("subcategory")), lit("")), lit("General"))

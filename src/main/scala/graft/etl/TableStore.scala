@@ -73,6 +73,27 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(table)) overwrite(table, rows)
     else overwrite(table, read(table).unionByName(rows))
 
+  /** Housekeeping: rewrite the current snapshot into `numFiles` files
+    * (small-file compaction after many incremental appends) and delete
+    * superseded snapshot directories (keeping the latest `retain`).
+    * Readers are unaffected: the pointer only ever moves to a complete
+    * snapshot, and retained history still supports time travel. */
+  def compact(table: String, numFiles: Int = 4, retain: Int = 2): Unit = {
+    val cur = read(table).coalesce(numFiles)
+    overwrite(table, cur)
+    val latest = currentVersion(table).get
+    val dirF = new java.io.File(dir(table))
+    dirF.listFiles().filter(_.getName.startsWith("v"))
+      .filter(f => f.getName.stripPrefix("v").toIntOption
+        .exists(_ <= latest - retain))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def commit(table: String, version: Int): Unit = {
     Files.createDirectories(Paths.get(dir(table)))
     val tmp = Paths.get(dir(table), s"_CURRENT.tmp$version")

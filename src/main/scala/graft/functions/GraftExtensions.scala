@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions module — the deployment-grade way to ship the
+  * native functions: any session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * (or `spark.sql.extensions=org.apache.spark.sql.graftfn.GraftExtensions`
+  * in cluster conf) gets `dot_product` resolvable in SQL and DataFrame
+  * plans without per-session registration calls. Runtime registration via
+  * GraftFunctions.register remains for REPL/driver convenience.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -38,7 +38,7 @@ object StagingQueries {
           upper(trim(col("event_type"))).as("event_type_upper"),
           coalesce(nullif(trim(col("event_type")), lit("")), lit("unknown"))
             .as("event_type_filled"),
-          when(kStr.rlike("^\\d+$"), kStr.cast("long")).as("k_value"),
+          when(kStr.rlike("^\\d+$"), kStr.try_cast("long")).as("k_value"),
           when(col("value") >= 0, col("value")).as("value_checked"))
         .orderBy("event_id")
     },
@@ -49,7 +49,7 @@ object StagingQueries {
              upper(trim(event_type)) AS event_type_upper,
              coalesce(nullif(trim(event_type), ''), 'unknown') AS event_type_filled,
              CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) ~ '^\d+$'
-                  THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+                  THEN TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
              END AS k_value,
              CASE WHEN value >= 0 THEN value END AS value_checked
       FROM events

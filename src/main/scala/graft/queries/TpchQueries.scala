@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** TPC-H-shaped analytical queries — multi-predicate, multi-join,
+  * top-k-over-aggregate shapes that stress the optimizer end to end
+  * (filter pushdown on both fact sides, broadcast dim join, partial agg,
+  * TakeOrdered).
+  */
+object TpchQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val disc2 = DecimalType(4, 2)
+
+  private def revenue =
+    sum(col("l_extendedprice").cast(dec2) *
+        (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2)))
+      .cast("double")
+
+  /** Q3 shape — shipping priority: unshipped revenue per order for one
+    * segment, top 10. Both date predicates reach their respective
+    * parquet scans. */
+  val q72ShippingPriority = OracleQuery("q72_shipping_priority",
+    "TPC-H Q3 shape: segment filter + two date pushdowns + top-k revenue",
+    (s, d) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** Q10 shape — returned-item report: lost revenue per customer from
+    * 'R' lineitems in a date window, top 20 with dim attributes. */
+  val q73ReturnedItems = OracleQuery("q73_returned_items",
+    "TPC-H Q10 shape: returnflag window + customer/nation rollup top-k",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue.as("lost_revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS lost_revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY lost_revenue DESC, c_custkey
+      LIMIT 20"""))
+
+  def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems)
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.scalacheck.Gen
+
+import graft.SparkTestBase
+
+/** Property-style tests (ScalaCheck generators, explicit sampling):
+  * staging must never throw on arbitrary garbage and its validating
+  * casts must agree with the regex they claim to enforce. */
+class StagingPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val garbage: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.oneOf("", " ", "2026/08/12", "12-08-2026", "free", "12,50",
+      "NaN", "null", "--", "99:99", "2026-13-45"),
+    Gen.listOfN(8, Gen.oneOf('0' to '9')).map(_.mkString),
+    for {
+      y <- Gen.choose(1900, 2100); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d")
+
+  private def sample(n: Int): Seq[String] =
+    Iterator.continually(garbage.sample).flatten.take(n).toSeq
+
+  test("staging never throws on arbitrary garbage in every validated field") {
+    val rows = sample(300).zipWithIndex.map { case (g, i) =>
+      ("csv", s"id$i", g, g, g, g, g, g, g, g, g, g, g, g, g, g, g)
+    }
+    val raw = rows.toDF("source", "raw_event_id", "event_name", "event_date",
+        "event_time", "venue_name", "venue_city", "venue_country",
+        "venue_lat", "venue_lon", "category", "subcategory", "price_min",
+        "price_max", "currency", "url", "status")
+      .withColumn("raw_payload", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("ingested_at", org.apache.spark.sql.functions.current_timestamp())
+      .withColumn("ingest_run_id", org.apache.spark.sql.functions.lit("prop"))
+    val staged = Staging.stage(raw).collect() // must not throw
+    assert(staged.length == 300)
+  }
+
+  test("validating date cast: NULL exactly when the regex rejects") {
+    val inputs = sample(500)
+    val df = inputs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val out = df.select($"i", $"s",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN s RLIKE '^\\\\d{4}-\\\\d{2}-\\\\d{2}$' THEN TRY_CAST(s AS DATE) END")
+          .as("d"))
+      .collect()
+    out.foreach { r =>
+      val s = r.getString(1)
+      val matches = s.matches("\\d{4}-\\d{2}-\\d{2}")
+      if (!matches) assert(r.isNullAt(2), s"'$s' should stage to NULL")
+    }
+  }
+
+  test("dedup keeps exactly one row per key for any duplication pattern") {
+    val dupFactors = sample(100).zipWithIndex.flatMap { case (g, i) =>
+      val copies = (i % 4) + 1
+      (1 to copies).map(c => (s"k$i", c.toLong, g))
+    }
+    val df = dupFactors.toDF("source", "seq", "payload")
+      .withColumn("raw_event_id", $"source")
+      .withColumn("ingested_at",
+        org.apache.spark.sql.functions.expr("timestamp_micros(cast(seq * 1000000 as long))"))
+    val deduped = Facts.dedupLatest(df)
+    assert(deduped.count() == 100)
+    // and it kept the newest (max seq) copy
+    val kept = deduped.select($"source", $"seq").as[(String, Long)].collect().toMap
+    dupFactors.groupBy(_._1).foreach { case (k, rows) =>
+      assert(kept(k) == rows.map(_._2).max)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class StoreAndIncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("compact rewrites the snapshot into few files and GCs old versions") {
+    val root = Files.createTempDirectory("graft_cmp_").toString
+    val store = new TableStore(spark, root)
+    // many appends → many versions, many small files
+    (1 to 5).foreach { i =>
+      store.append("t", spark.range(i * 10, i * 10 + 10).toDF("id").repartition(4))
+    }
+    val before = store.read("t").count()
+    store.compact("t", numFiles = 2, retain = 2)
+    assert(store.read("t").count() == before, "compaction preserves data")
+    val files = store.read("t").select(input_file_name()).distinct().count()
+    assert(files <= 2, s"expected <=2 files, got $files")
+    // superseded versions removed, retained window kept
+    val vdirs = new java.io.File(s"$root/t").listFiles().map(_.getName)
+      .filter(_.startsWith("v")).filterNot(_.contains("tmp")).sorted.toSeq
+    assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
+  }
+
+  test("incremental aggregate maintenance equals full recomputation") {
+    val ev = Tables.events(spark, sfDir)
+    val batches = Seq(
+      ev.filter($"event_id" % 3 === 0),
+      ev.filter($"event_id" % 3 === 1),
+      ev.filter($"event_id" % 3 === 2))
+
+    var state = IncrementalAgg.partialState(batches.head, Seq("event_type"), "value")
+    batches.tail.foreach { b =>
+      state = IncrementalAgg.merge(state,
+        IncrementalAgg.partialState(b, Seq("event_type"), "value"), Seq("event_type"))
+    }
+    val incremental = IncrementalAgg.finalize(state)
+      .select($"event_type", $"n", $"sum_v".cast("decimal(28,4)"), $"min_v", $"max_v")
+      .as[(String, Long, java.math.BigDecimal, Double, Double)].collect().toSet
+
+    val full = IncrementalAgg.finalize(
+        IncrementalAgg.partialState(ev, Seq("event_type"), "value"))
+      .select($"event_type", $"n", $"sum_v".cast("decimal(28,4)"), $"min_v", $"max_v")
+      .as[(String, Long, java.math.BigDecimal, Double, Double)].collect().toSet
+
+    assert(incremental == full)
+  }
+
+  test("GraftExtensions-built session resolves dot_product in SQL without registration") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure the shared context exists
+    // getOrCreate returns the active session (ignoring withExtensions),
+    // so clear it to force a NEW SparkSession (sharing the SparkContext)
+    // with the extensions module applied — then restore.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new org.apache.spark.sql.graftfn.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base, "expected a fresh session object")
+      val r = s2.sql("SELECT dot_product(array(1d,2d), array(3d,4d)) v")
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}

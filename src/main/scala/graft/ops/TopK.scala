@@ -1,0 +1,70 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k as a typed Aggregator — the scalable alternative to
+  * `row_number().over(Window.partitionBy(g).orderBy(s))` + filter:
+  *
+  *  - the window form SORTS every group's full candidate list
+  *    (O(n log n) per group, all candidates shuffled);
+  *  - this aggregator keeps only k entries per group in the partial
+  *    buffer (amortized prune at 4k), so map-side partial aggregation
+  *    shrinks the shuffle to O(k × partitions) per group — for ANN over
+  *    a billion-vector corpus that is the difference between shuffling
+  *    every similarity and shuffling a few kB per probe.
+  *
+  * Deterministic: entries are totally ordered by (score desc, id asc),
+  * so partial-merge order cannot change the result.
+  */
+object TopK {
+
+  /** (groupKey, id, score) input row. */
+  type In = (Long, Long, Double)
+  /** buffer/output entry: (score, id). */
+  type Entry = (Double, Long)
+
+  class TopKAggregator(k: Int)
+      extends Aggregator[In, ArrayBuffer[Entry], Seq[Entry]] {
+
+    private def prune(b: ArrayBuffer[Entry]): ArrayBuffer[Entry] =
+      if (b.length <= k) b
+      else {
+        val kept = b.sortBy { case (s, id) => (-s, id) }.take(k)
+        b.clear(); b ++= kept
+      }
+
+    override def zero: ArrayBuffer[Entry] = ArrayBuffer.empty
+
+    override def reduce(b: ArrayBuffer[Entry], a: In): ArrayBuffer[Entry] = {
+      b += ((a._3, a._2))
+      if (b.length >= 4 * k) prune(b) else b
+    }
+
+    override def merge(x: ArrayBuffer[Entry], y: ArrayBuffer[Entry]): ArrayBuffer[Entry] = {
+      x ++= y
+      if (x.length >= 4 * k) prune(x) else x
+    }
+
+    override def finish(b: ArrayBuffer[Entry]): Seq[Entry] = prune(b).toSeq
+
+    override def bufferEncoder: Encoder[ArrayBuffer[Entry]] =
+      Encoders.kryo[ArrayBuffer[Entry]]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** (group, id, score) → (group, rank, id, score) with rank 1..k. */
+  def topKPerGroup(rows: Dataset[In], k: Int): Dataset[(Long, Long, Long, Double)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.zipWithIndex.map { case ((s, id), i) => (g, (i + 1).toLong, id, s) }
+      }
+  }
+}

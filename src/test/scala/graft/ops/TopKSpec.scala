@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class TopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("aggregator top-k equals the window row_number formulation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter($"vec_id" < 10)
+    val viaWindow = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 7)
+      .select($"probe_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // same similarity stream fed through the bounded-heap aggregator
+    val c = Similarity.withNorm(emb, "embedding")
+      .select($"vec_id".as("neighbor_id"), $"vd".as("cv"), $"n2".as("cn2"))
+    val p = Similarity.withNorm(probes, "embedding")
+      .select($"vec_id".as("probe_id"), $"vd".as("pv"), $"n2".as("pn2"))
+    val sims = c.join(broadcast(p), $"probe_id" =!= $"neighbor_id")
+      .select($"probe_id",
+        $"neighbor_id",
+        Similarity.cosineWithNorms(
+          Similarity.dot($"pv", $"cv"), $"pn2", $"cn2").as("sim"))
+      .as[(Long, Long, Double)]
+    val viaAgg = TopK.topKPerGroup(sims, 7)
+      .collect().toSet
+
+    assert(viaAgg == viaWindow)
+  }
+
+  test("aggregator output is deterministic under repartitioning") {
+    val sims = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_orderkey", $"l_extendedprice")
+      .as[(Long, Long, Double)]
+    val a = TopK.topKPerGroup(sims, 5).collect().toSet
+    val b = TopK.topKPerGroup(sims.repartition(13), 5).collect().toSet
+    assert(a == b, "merge order must not change results")
+  }
+
+  test("ties broken by id ascending") {
+    val rows = Seq((1L, 10L, 5.0), (1L, 3L, 5.0), (1L, 7L, 5.0), (1L, 1L, 4.0))
+      .toDS()
+    val top = TopK.topKPerGroup(rows, 2).collect().sortBy(_._2)
+    assert(top.map(_._3).toSeq == Seq(3L, 7L), top.mkString(","))
+  }
+}

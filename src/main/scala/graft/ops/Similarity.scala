@@ -113,12 +113,17 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
         col("pn2"), col("cn2")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.groupBy(col("probe_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+    // rank with the bounded-heap aggregator (ops/TopK): partial buffers
+    // carry only k entries per probe, so the candidate similarities are
+    // never globally sorted or fully shuffled — the property that keeps
+    // ANN ranking flat as the corpus grows
+    val deduped = sims.groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    val spark = deduped.sparkSession
+    import spark.implicits._
+    TopK.topKPerGroup(deduped.as[(Long, Long, Double)], k)
+      .toDF("probe_id", "rank", "neighbor_id", "sim")
+      .orderBy("probe_id", "rank")
   }
 
   /** Embedding near-duplicate pairs: probe × corpus pairs above a cosine

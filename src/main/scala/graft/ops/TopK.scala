@@ -30,12 +30,19 @@ object TopK {
   class TopKAggregator(k: Int)
       extends Aggregator[In, ArrayBuffer[Entry], Seq[Entry]] {
 
+    // mid-flight prune: keeping the k best is enough, order irrelevant
     private def prune(b: ArrayBuffer[Entry]): ArrayBuffer[Entry] =
       if (b.length <= k) b
       else {
         val kept = b.sortBy { case (s, id) => (-s, id) }.take(k)
         b.clear(); b ++= kept
       }
+
+    // finish must ALWAYS sort — a group with ≤ k candidates would
+    // otherwise surface in arrival order (caught live on the sparse LSH
+    // buckets of q57; see TopKSpec's small-group regression test)
+    private def sorted(b: ArrayBuffer[Entry]): Seq[Entry] =
+      b.sortBy { case (s, id) => (-s, id) }.take(k).toSeq
 
     override def zero: ArrayBuffer[Entry] = ArrayBuffer.empty
 
@@ -49,7 +56,7 @@ object TopK {
       if (x.length >= 4 * k) prune(x) else x
     }
 
-    override def finish(b: ArrayBuffer[Entry]): Seq[Entry] = prune(b).toSeq
+    override def finish(b: ArrayBuffer[Entry]): Seq[Entry] = sorted(b)
 
     override def bufferEncoder: Encoder[ArrayBuffer[Entry]] =
       Encoders.kryo[ArrayBuffer[Entry]]

@@ -41,6 +41,17 @@ class TopKSpec extends SparkTestBase {
     assert(a == b, "merge order must not change results")
   }
 
+  test("groups SMALLER than k come out sorted (regression: finish must sort)") {
+    // 3 candidates, k=10 — the prune threshold is never hit, so finish
+    // is the only place ordering can come from
+    val rows = Seq((1L, 94L, 0.0899), (1L, 393L, 0.2129), (1L, 400L, 0.1515))
+      .toDS()
+    val top = TopK.topKPerGroup(rows, 10).collect().sortBy(_._2)
+    assert(top.map(_._3).toSeq == Seq(393L, 400L, 94L),
+      s"expected sim-descending order, got ${top.mkString(",")}")
+    assert(top.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("ties broken by id ascending") {
     val rows = Seq((1L, 10L, 5.0), (1L, 3L, 5.0), (1L, 7L, 5.0), (1L, 1L, 4.0))
       .toDS()

@@ -33,6 +33,7 @@ object PipelineDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "stream") { runStreaming(spark, whDir, n); spark.stop(); return }
+    if (mode == "api") { runApi(spark, whDir, n); spark.stop(); return }
 
     val p = new Pipeline(spark, new TableStore(spark, whDir))
     println(s"== warehouse at $whDir ==")
@@ -58,6 +59,45 @@ object PipelineDemo {
     println("-- KPI: pipeline health --")
     p.kpiPipelineHealth.show(10, truncate = false)
     spark.stop()
+  }
+
+  /** API-mode drive (reference E2 flow): a paginated "Ticketmaster"
+    * fetcher served through the DataSource V2 source (pages fetched as
+    * parallel partitions), flattened natively, then the standard
+    * warehouse load. */
+  private def runApi(spark: SparkSession, whDir: String, n: Int): Unit = {
+    import graft.sources.Ingest
+    import graft.sources.v2.RestEventSource
+    println(s"== api-mode warehouse at $whDir ==")
+    val pageSize = 100
+    RestEventSource.fetchers("demo-api") = page => {
+      val start = page * pageSize
+      if (start >= n) Seq.empty
+      else (start until math.min(start + pageSize, n)).map { i =>
+        s"""{"id":"API_$i","name":"Api Event $i","url":"https://x/$i",
+           |"dates":{"start":{"localDate":"2026-04-01","localTime":"19:00:00"},
+           |"status":{"code":"onsale"}},
+           |"classifications":[{"segment":{"name":"Music"},"genre":{"name":"Rock"}}],
+           |"priceRanges":[{"min":20.0,"max":90.0,"currency":"USD"}],
+           |"_embedded":{"venues":[{"name":"Arena","city":{"name":"Berlin"},
+           |"country":{"name":"Germany"},
+           |"location":{"latitude":"52.5","longitude":"13.4"}}]}}"""
+          .stripMargin.replaceAll("\n", "")
+      }
+    }
+    val pages = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("fetcher", "demo-api").option("maxPages", "10").load()
+    println(s"fetched ${pages.count()} docs over ${pages.rdd.getNumPartitions} page partitions")
+
+    val p = new Pipeline(spark, new TableStore(spark, whDir))
+    val flat = Ingest.flattenTicketmaster(pages, "payload", "api-run-1")
+    p.store.insertIfAbsent("raw_events", flat, Seq("source", "raw_event_id"))
+    p.transformAndLoad()
+    println(s"summary: ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
+    // USD → EUR FX branch is exercised by this payload
+    val eur = p.store.read("fact_events")
+      .selectExpr("count(*)", "min(price_min_eur)", "max(price_min)").head()
+    println(s"facts=${eur.getLong(0)} price_min=${eur.get(2)} price_min_eur=${eur.get(1)} (USD*0.92)")
   }
 
   /** Streaming-mode drive: land two file batches in a raw dir, drain

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the
+  * centroid-partitioned scale path, complementing the hyperplane-LSH
+  * variant:
+  *
+  *  1. TRAIN: Lloyd's k-means over the corpus (assignments computed as
+  *     narrow column expressions against broadcast centroid literals;
+  *     per-dimension means via posexplode + groupBy — only k×dim numbers
+  *     ever reach the driver);
+  *  2. INDEX: every vector gets its nearest-centroid cluster id — at
+  *     rest this is the partition/bucket column of the vector table;
+  *  3. SEARCH: each probe expands to its nProbe nearest clusters; the
+  *     candidate join is per-cluster, and ranking uses the bounded-heap
+  *     TopK aggregator.
+  *
+  * Expected work per probe drops from O(N) to O(N·nProbe/nList); recall
+  * is tuned by nProbe (IvfSpec pins it against brute force).
+  */
+object Ivf {
+
+  /** Squared-L2 distance of a vector column to a centroid literal,
+    * expanded as dot products (‖v‖² is shared across centroids so the
+    * argmin can drop it): -2·v·c + ‖c‖². */
+  private def distScore(vd: Column, c: Array[Double]): Column = {
+    val cLit = array(c.map(lit): _*)
+    val c2 = c.map(x => x * x).sum
+    lit(-2.0) * Similarity.dot(vd, cLit) + lit(c2)
+  }
+
+  /** Index of the nearest centroid (0-based). */
+  def nearestCentroid(vd: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => distScore(vd, c)): _*)
+    // array_position on the min value: 1-based → 0-based
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Indices of the nProbe nearest centroids, as an array column. */
+  def nearestCentroids(vd: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val pairs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distScore(vd, c).as("d"), lit(i).as("i"))
+    }: _*)
+    slice(transform(array_sort(pairs), p => p.getField("i")), 1, nProbe)
+  }
+
+  /** Lloyd's k-means. Init: the k lowest-id vectors (deterministic). */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iters: Int = 5): Array[Array[Double]] = {
+    val vd = emb.select(col(idCol), col(vecCol).cast("array<double>").as("vd"))
+    var centroids = vd.orderBy(col(idCol)).limit(nList)
+      .select(col("vd")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vd.withColumn("cluster", nearestCentroid(col("vd"), centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("vd")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Approximate top-k via the IVF index. */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nList, iters)
+    val c = Similarity.withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"),
+        nearestCentroid(col("vd"), centroids).as("cluster"))
+    val p = Similarity.withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col("vd").as("pv"), col("n2").as("pn2"),
+        explode(nearestCentroids(col("vd"), centroids, nProbe)).as("cluster"))
+    val sims = c.join(broadcast(p), Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosineWithNorms(Similarity.dot(col("pv"), col("cv")),
+          col("pn2"), col("cn2")).as("sim"))
+    val spark = sims.sparkSession
+    import spark.implicits._
+    TopK.topKPerGroup(sims.as[(Long, Long, Double)], k)
+      .toDF("probe_id", "rank", "neighbor_id", "sim")
+      .orderBy("probe_id", "rank")
+  }
+}

@@ -194,7 +194,19 @@ object MoreQueries {
         .orderBy("event_type"),
     None)
 
+  /** IVF (centroid-partitioned) ANN — the second scale path next to
+    * LSH (q57). Approximate ⇒ rows-only for the driver; recall and
+    * pruning are pinned in IvfSpec. */
+  val q74KnnIvf = OracleQuery("q74_knn_ivf",
+    "IVF approximate cosine top-k (k-means clusters + nProbe search; recall spec-tested)",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nList = 8, nProbe = 3, iters = 3)
+    },
+    None)
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct)
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf)
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the custom-state operator family
+  * (`flatMapGroupsWithState`). The batch twin is catalog query q28; this
+  * version maintains OPEN sessions in keyed state so a session spanning
+  * micro-batches is stitched correctly.
+  *
+  * Semantics: a session closes when a later event arrives more than
+  * `gapUs` after its last event; the closed session is emitted
+  * (Append mode), and the new open session replaces it in state. The
+  * still-open tail session stays in state until a future batch closes
+  * it (a production deployment adds an event-time timeout to flush
+  * idle sessions; the state-plumbing is identical).
+  *
+  * State per key is ONE small case class — bounded, watermark-friendly,
+  * and exactly what survives a 1000-executor deployment: state size is
+  * O(active users), not O(events).
+  */
+object StreamingSessionize {
+
+  case class Event(user_id: Long, ts_us: Long, event_id: Long)
+  case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def sessions(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def stitch(user: Long, batch: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var closed = List.empty[ClosedSession]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open = open match {
+          case Some(s) if e.ts_us - s.last_us <= gapUs =>
+            Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case None =>
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.reverse.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stitch)
+  }
+}

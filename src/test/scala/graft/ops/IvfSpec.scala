@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val probes = emb.filter($"vec_id" < 10)
+
+  test("k-means training produces nList centroids of the right dimension") {
+    val cs = Ivf.trainCentroids(emb, "vec_id", "embedding", nList = 8, iters = 3)
+    assert(cs.length == 8)
+    assert(cs.forall(_.length == 64))
+    // centroids moved away from their raw-vector inits
+    val init = emb.orderBy($"vec_id").limit(8)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    assert(cs.zip(init).exists { case (a, b) => !a.sameElements(b) })
+  }
+
+  test("IVF search prunes candidates and keeps useful recall") {
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.topK(emb, probes, "vec_id", "embedding", k = 10,
+        nList = 8, nProbe = 3, iters = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@10 = $recall")
+    // pruning: candidates examined ≈ nProbe/nList of the corpus
+    assert(approx.size <= exact.size, "returns at most k per probe")
+  }
+
+  test("IVF ranking is sorted and rank-contiguous per probe") {
+    val res = Ivf.topK(emb, probes, "vec_id", "embedding", k = 5,
+        nList = 8, nProbe = 2, iters = 2).collect()
+    res.groupBy(_.getAs[Long]("probe_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.v2.RestEventSource
+
+class RestSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmJson(id: Int): String =
+    s"""{"id":"EV$id","name":"Event $id","url":"https://x/$id",
+        |"dates":{"start":{"localDate":"2026-03-01","localTime":"20:00:00"},
+        |"status":{"code":"onsale"}},
+        |"classifications":[{"segment":{"name":"Music"},"genre":{"name":"Rock"}}],
+        |"priceRanges":[{"min":25.0,"max":80.0,"currency":"EUR"}],
+        |"_embedded":{"venues":[{"name":"Arena","city":{"name":"Berlin"},
+        |"country":{"name":"Germany"},
+        |"location":{"latitude":"52.5","longitude":"13.4"}}]}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("V2 source reads pages as parallel partitions and flattens natively") {
+    RestEventSource.fetchers("pages3") = page =>
+      if (page < 3) (0 until 10).map(i => tmJson(page * 10 + i)) else Seq.empty
+
+    val df = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("fetcher", "pages3").option("maxPages", "5").load()
+    assert(df.rdd.getNumPartitions == 5, "one partition per page")
+    assert(df.count() == 30, "3 real pages x 10 docs; empty tail pages contribute 0")
+    assert(df.groupBy($"page").count().count() == 3)
+
+    val flat = Ingest.flattenTicketmaster(df, "payload", "v2run")
+    val row = flat.orderBy($"raw_event_id").head()
+    assert(row.getAs[String]("raw_event_id") == "EV0")
+    assert(row.getAs[String]("venue_city") == "Berlin")
+    assert(row.getAs[String]("price_min") == "25.0")
+    assert(row.getAs[String]("category") == "Music")
+  }
+
+  test("per-page retry with backoff recovers from transient failures") {
+    val calls = new AtomicInteger(0)
+    RestEventSource.fetchers("flaky") = page => {
+      if (calls.incrementAndGet() % 2 == 1) throw new RuntimeException("transient")
+      Seq(tmJson(page))
+    }
+    val df = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("fetcher", "flaky").option("maxPages", "2")
+      .option("maxAttempts", "3").load()
+    assert(df.count() == 2, "each page succeeds on retry")
+  }
+
+  test("unknown fetcher fails with a clear message") {
+    val df = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("fetcher", "nope").option("maxPages", "1").load()
+    val e = intercept[Exception](df.count())
+    assert(e.getMessage != null)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.streaming.StreamingSessionize.{ClosedSession, Event}
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("open sessions are stitched across micro-batches via keyed state") {
+    val dir = Files.createTempDirectory("graft_sess_").toString
+    val ck = Files.createTempDirectory("graft_sess_ck_").toString
+    val gap = 100L
+
+    // foreachBatch sink: unlike the memory sink it supports restarting
+    // from a checkpoint, which is the whole point of this test
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[ClosedSession]()
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Event].toDS().schema)
+        .parquet(dir)
+        .as[Event]
+      val q = StreamingSessionize.sessions(stream, gap)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: user 1 has a closed session (ts 0..50) and an open one
+    // starting at 400; user 2 one open session
+    Seq(Event(1, 0, 1), Event(1, 50, 2), Event(1, 400, 3), Event(2, 10, 4))
+      .toDS().write.mode("append").parquet(dir)
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet == Set(ClosedSession(1, 0, 50, 2)),
+      s"only the closed session emits: ${emitted.asScala.mkString(",")}")
+
+    // batch 2: user 1's 450 continues the open session (gap 50 ≤ 100);
+    // then 700 closes it. user 2's 500 closes their batch-1 session.
+    Seq(Event(1, 450, 5), Event(1, 700, 6), Event(2, 500, 7))
+      .toDS().write.mode("append").parquet(dir)
+    drain()
+    val after2 = emitted.asScala.toSet
+    assert(after2 == Set(
+      ClosedSession(1, 0, 50, 2),
+      ClosedSession(1, 400, 450, 2), // stitched across the batch boundary
+      ClosedSession(2, 10, 10, 1)))
+  }
+}

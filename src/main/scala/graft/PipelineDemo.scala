@@ -58,6 +58,17 @@ object PipelineDemo {
     p.kpiQualitySummary.show(10, truncate = false)
     println("-- KPI: pipeline health --")
     p.kpiPipelineHealth.show(10, truncate = false)
+
+    // optional 4th arg: a .sql report file executed against the
+    // warehouse (the reference's run_sql_file step, S7)
+    args.lift(3).foreach { sqlFile =>
+      Seq("raw_events", "dim_date", "dim_venue", "dim_category",
+        "dim_source", "fact_events", "quality_log")
+        .foreach(t => p.store.read(t).createOrReplaceTempView(t))
+      println(s"-- SQL report: $sqlFile --")
+      graft.etl.SqlRunner.runFile(spark, sqlFile)
+        .foreach(_.show(20, truncate = false))
+    }
     spark.stop()
   }
 

@@ -102,6 +102,14 @@ object Dims {
       Seq(col(s"$side.valid_from"), col(s"$side.valid_to"),
         col(s"$side.is_current"), col(s"$side.venue_sk"))
 
+  /** Postgres TO_CHAR('Day'/'Month') parity: blank-padded to 9 chars
+    * (`transform_events.sql:87,91` — SURVEY §2.8 notes Postgres pads;
+    * Spark date_format does not). Opt-in: dimDate ships trimmed names
+    * (the documented divergence); use these for byte-exact Postgres
+    * compatibility. */
+  def pgDayName(d: Column): Column = rpad(date_format(d, "EEEE"), 9, " ")
+  def pgMonthName(d: Column): Column = rpad(date_format(d, "MMMM"), 9, " ")
+
   /** dim_category (`transform_events.sql:121-124`): distinct composite. */
   def dimCategory(stg: DataFrame): DataFrame =
     stg.select(col("category"), col("subcategory")).distinct()

@@ -1,0 +1,52 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S7 — the reference's SQL-file executor (`run_sql_file`,
+  * `scripts/run_pipeline.py:47-54`): read a `.sql` file, execute each
+  * `;`-terminated statement in order against the session, return the
+  * last statement's result. Comments (`--`) are stripped; semicolons
+  * inside single-quoted strings are respected.
+  */
+object SqlRunner {
+
+  def runFile(spark: SparkSession, path: String): Option[DataFrame] =
+    run(spark, new String(Files.readAllBytes(Paths.get(path))))
+
+  def run(spark: SparkSession, sqlText: String): Option[DataFrame] =
+    splitStatements(sqlText).foldLeft(Option.empty[DataFrame]) {
+      (_, stmt) => Some(spark.sql(stmt))
+    }
+
+  /** Split on top-level semicolons (quote-aware), drop comments/blanks. */
+  private[etl] def splitStatements(text: String): Seq[String] = {
+    val noComments = text.linesIterator
+      .map { l =>
+        // strip -- comments, but not inside quotes
+        var inQ = false
+        val b = new StringBuilder
+        var i = 0
+        while (i < l.length) {
+          val c = l.charAt(i)
+          if (c == '\'') { inQ = !inQ; b += c; i += 1 }
+          else if (!inQ && c == '-' && i + 1 < l.length && l.charAt(i + 1) == '-') i = l.length
+          else { b += c; i += 1 }
+        }
+        b.toString
+      }.mkString("\n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    noComments.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ';' if !inQ =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+}

@@ -1,0 +1,44 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class SqlRunnerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("executes a multi-statement sql file in order, returns the last result") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    val sql =
+      """-- KPI definition file (reference shape: view + query)
+        |CREATE OR REPLACE TEMP VIEW big_orders AS
+        |  SELECT * FROM orders_v WHERE o_totalprice > 100000; -- inline comment
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM big_orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus;
+        |""".stripMargin
+    val f = Files.createTempFile("graft_", ".sql")
+    Files.write(f, sql.getBytes)
+    val res = SqlRunner.runFile(spark, f.toString)
+    assert(res.isDefined)
+    val rows = res.get.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("statement splitting respects quoted semicolons and comments") {
+    val stmts = SqlRunner.splitStatements(
+      "SELECT 'a;b' AS x; -- c;d\nSELECT 2;\n\n")
+    assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2"))
+  }
+
+  test("postgres-padded day/month names are 9 chars wide") {
+    val d = Seq("2024-01-07").toDF("s").select(to_date($"s").as("d"))
+    val row = d.select(Dims.pgDayName($"d"), Dims.pgMonthName($"d")).head()
+    assert(row.getString(0) == "Sunday   ")
+    assert(row.getString(1) == "January  ")
+  }
+}

@@ -24,6 +24,7 @@ object Bench {
       // (count() alone lets Catalyst prune the computed columns away)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -42,9 +42,13 @@ object Dims {
   /** Current-version venue rows from staging (keep-latest attributes per
     * venue via the A5 window — `DISTINCT ON (venue_name, venue_city)`). */
   def venueSnapshot(stg: DataFrame, loadDate: Column): DataFrame = {
+    // raw_event_id tie-break: a whole batch shares one ingested_at
+    // timestamp, so ordering by it alone would pick venue attributes
+    // (jittered lat/lon) nondeterministically — and spurious attribute
+    // "changes" would churn SCD2 versions on identical re-delivery
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("venue_name"), col("venue_city"))
-      .orderBy(col("ingested_at").desc)
+      .orderBy(col("ingested_at").desc, col("raw_event_id").desc)
     stg.filter(col("venue_name").isNotNull)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(
@@ -79,6 +83,11 @@ object Dims {
 
     val joined = curH.as("c").join(inc.as("i"), Seq("venue_nk"), "full_outer")
 
+    // current rows whose key is ABSENT from the increment stay current —
+    // an incremental batch not mentioning a venue is not a change
+    val untouched = joined.filter(col("c.cur_hash").isNotNull &&
+        col("i.inc_hash").isNull)
+      .select(cols("c", attrs): _*)
     val unchanged = joined.filter(col("c.cur_hash").isNotNull &&
         col("i.inc_hash").isNotNull && col("c.cur_hash") === col("i.inc_hash"))
       .select(cols("c", attrs): _*)
@@ -93,7 +102,7 @@ object Dims {
     val brandNew = joined.filter(col("c.cur_hash").isNull)
       .select(cols("i", attrs): _*)
 
-    hist.unionByName(unchanged).unionByName(closed)
+    hist.unionByName(untouched).unionByName(unchanged).unionByName(closed)
       .unionByName(opened).unionByName(brandNew)
   }
 

@@ -20,31 +20,32 @@ object SqlRunner {
       (_, stmt) => Some(spark.sql(stmt))
     }
 
-  /** Split on top-level semicolons (quote-aware), drop comments/blanks. */
+  /** Split on top-level semicolons and strip `--` comments in ONE pass
+    * with a single quote state — a per-line comment stripper would lose
+    * track of multi-line string literals and eat a `--` inside one. */
   private[etl] def splitStatements(text: String): Seq[String] = {
-    val noComments = text.linesIterator
-      .map { l =>
-        // strip -- comments, but not inside quotes
-        var inQ = false
-        val b = new StringBuilder
-        var i = 0
-        while (i < l.length) {
-          val c = l.charAt(i)
-          if (c == '\'') { inQ = !inQ; b += c; i += 1 }
-          else if (!inQ && c == '-' && i + 1 < l.length && l.charAt(i + 1) == '-') i = l.length
-          else { b += c; i += 1 }
-        }
-        b.toString
-      }.mkString("\n")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
-    noComments.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ';' if !inQ =>
-        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-        cur.clear()
-      case c => cur += c
+    var inComment = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inComment) {
+        if (c == '\n') { inComment = false; cur += c }
+      } else if (inQ) {
+        if (c == '\'') inQ = false
+        cur += c
+      } else c match {
+        case '\'' => inQ = true; cur += c
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          inComment = true; i += 1
+        case ';' =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case _ => cur += c
+      }
+      i += 1
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
     out.toSeq

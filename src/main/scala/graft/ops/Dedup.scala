@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Cached intermediates (band/shingle tables are read by multiple join
+  // branches). Tracked so long-lived sessions can release the executor
+  // storage: call unpersistCaches() after the consuming action
+  // (Verify/Bench do). Individually the caches are tiny (MBs), but an
+  // unbounded session would otherwise accumulate them.
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    cached.add(c)
+    c
+  }
+
+  def unpersistCaches(): Unit = {
+    var df = cached.poll()
+    while (df != null) { df.unpersist(); df = cached.poll() }
+  }
+
   /** (id, sh) exploded shingle rows. The token array is materialized as
     * a column BEFORE the shingle lambda runs: the lambda's element_at
     * calls reference the outer array expression, and if that expression
@@ -98,7 +117,7 @@ object Dedup {
     * the whole shingle→minhash pipeline runs twice (aliased branches
     * defeat Spark's ReusedExchange). */
   def lshCandidatePairs(bandsIn: DataFrame, idCol: String): DataFrame = {
-    val bands = bandsIn.cache()
+    val bands = tracked(bandsIn)
     val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
     val b = bands.select(col("band_idx").as("band_idx_b"), col("sig").as("sig_b"),
       col(idCol).as("id_b"))
@@ -120,9 +139,9 @@ object Dedup {
       probePred: Column, minJaccard: Double): DataFrame = {
     // cached: read by the probe side, the corpus side, and the size agg —
     // uncached, the split+shingle pipeline would run three times
-    val sh = shingleRows(docs, idCol, textCol)
-      .withColumnRenamed(idCol, "doc").distinct()
-      .cache()
+    val sh = tracked(
+      shingleRows(docs, idCol, textCol)
+        .withColumnRenamed(idCol, "doc").distinct())
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val probes = sh.filter(probePred)
       .select(col("doc").as("doc_a"), col("sh"))

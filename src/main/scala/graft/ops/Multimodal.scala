@@ -105,8 +105,14 @@ object Multimodal {
 
   /** Split a binary column into fixed-size binary blocks (native exprs:
     * substring on binary is supported and codegen'd). */
-  private def split_bytes(bin: org.apache.spark.sql.Column, blockSize: Int) =
-    expr(s"transform(sequence(0, int(ceil(octet_length(${bin.toString}) / " +
+  private def split_bytes(bin: org.apache.spark.sql.Column, blockSize: Int) = {
+    val b = bin.toString
+    // empty payload guard: sequence(0, -1) would produce the DESCENDING
+    // sequence [0, -1] and fabricate two phantom blocks
+    expr(s"CASE WHEN octet_length($b) > 0 THEN " +
+      s"transform(sequence(0, int(ceil(octet_length($b) / " +
       s"cast($blockSize as double))) - 1), " +
-      s"i -> substring(${bin.toString}, i * $blockSize + 1, $blockSize))")
+      s"i -> substring($b, i * $blockSize + 1, $blockSize)) " +
+      s"ELSE array() END")
+  }
 }

@@ -44,8 +44,13 @@ object Temporal {
       struct(payloadCols.map(col): _*).as("_payload"),
       lit(null).cast(leftT).as("_row"))
 
+    // right rows (side=1) sort before left rows at equal ts so
+    // same-instant matches are visible; the payload struct is the final
+    // tie-break so multiple right rows at the same (key, ts) resolve
+    // deterministically (greatest payload wins) instead of by partition
+    // luck
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("_side").desc)
+      .orderBy(col(ts).asc, col("_side").desc, col("_payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftTagged.unionByName(rightTagged)

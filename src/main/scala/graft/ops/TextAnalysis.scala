@@ -42,10 +42,12 @@ object TextAnalysis {
     size(filter(ws, w => w.isInCollection(Stopwords(lang)))).cast("long")
 
   /** Language-id heuristic: claim `en` when ≥10% of tokens are English
-    * stopwords (threshold evaluated in exact integer math: hits*10 ≥ n). */
+    * stopwords (threshold evaluated in exact integer math: hits*10 ≥ n).
+    * Zero-token documents are `und` — without the n>0 guard they would
+    * satisfy 0*10 ≥ 0 and classify as English. */
   def languageId(ws: Column): Column = {
     val n = size(ws).cast("long")
-    when(stopwordHits(ws, "en") * 10 >= n, "en").otherwise("und")
+    when(n > 0 && stopwordHits(ws, "en") * 10 >= n, "en").otherwise("und")
   }
 
   /** Sum of token lengths (exact integers; divide by tokenCount for the

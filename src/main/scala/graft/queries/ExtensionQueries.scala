@@ -212,7 +212,8 @@ object ExtensionQueries {
       SELECT doc_id,
              CAST(len(ws) AS BIGINT) AS n_words,
              CAST(len(list_filter(ws, x -> x IN ($set))) AS BIGINT) AS hits_en,
-             CASE WHEN len(list_filter(ws, x -> x IN ($set))) * 10 >= len(ws)
+             CASE WHEN len(ws) > 0
+                       AND len(list_filter(ws, x -> x IN ($set))) * 10 >= len(ws)
                   THEN 'en' ELSE 'und' END AS predicted,
              lang AS labeled
       FROM (SELECT doc_id, lang,

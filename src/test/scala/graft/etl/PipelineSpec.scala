@@ -109,9 +109,35 @@ class PipelineSpec extends SparkTestBase {
 
     val v = p.store.read("dim_venue")
     // NOTE: venue_nk = md5(name||city), so a rename is a NEW natural key
-    // (same as the reference's design); the old key simply stops arriving.
-    // Attribute-change-under-same-key is exercised via coordinates:
-    assert(v.filter($"is_current").count() >= 6)
+    // (same as the reference's design); the old key simply stops arriving
+    // BUT MUST REMAIN CURRENT (regression: scd2Merge once dropped every
+    // current key absent from the increment). 6 original + 1 renamed:
+    assert(v.filter($"is_current").count() == 7,
+      v.filter($"is_current").select($"venue_name").collect().mkString(","))
+    // the old Berlin venue survives untouched
+    assert(v.filter($"is_current" && $"venue_name" === "Mercedes-Benz Arena")
+      .count() == 1)
+  }
+
+  test("SCD2: an increment covering a SUBSET of venues leaves the rest current (regression)") {
+    val p = freshPipeline()
+    p.ingestSynthetic(n = 100, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+    assert(p.store.read("dim_venue").filter($"is_current").count() == 6)
+
+    // increment with only Berlin events — the other 5 venues are absent
+    val berlinOnly = Synthetic.events(spark, 100, 7L)
+      .filter($"venue_city" === "Berlin")
+    val stg = Staging.stage(graft.sources.Ingest.toRaw(berlinOnly, "csv", "r2"))
+    val merged = Dims.scd2Merge(p.store.read("dim_venue"),
+      Dims.venueSnapshot(stg, to_date(lit("2026-09-01"))),
+      to_date(lit("2026-09-01")))
+    p.store.overwrite("dim_venue", merged)
+
+    val v = p.store.read("dim_venue")
+    assert(v.filter($"is_current").count() == 6,
+      "venues absent from the increment must stay current")
+    assert(v.filter($"is_current").select($"venue_city").distinct().count() == 6)
   }
 
   test("SCD2: same natural key with changed attributes → old row closed, history kept") {

@@ -35,6 +35,13 @@ class SqlRunnerSpec extends SparkTestBase {
     assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2"))
   }
 
+  test("a -- inside a multi-line string literal is NOT a comment (regression)") {
+    val stmts = SqlRunner.splitStatements(
+      "SELECT 'line1\n--line2' AS x;\nSELECT 3;")
+    assert(stmts == Seq("SELECT 'line1\n--line2' AS x", "SELECT 3"),
+      stmts.mkString("|"))
+  }
+
   test("postgres-padded day/month names are 9 chars wide") {
     val d = Seq("2024-01-07").toDF("s").select(to_date($"s").as("d"))
     val row = d.select(Dims.pgDayName($"d"), Dims.pgMonthName($"d")).head()

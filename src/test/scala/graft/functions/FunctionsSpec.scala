@@ -32,14 +32,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSql.sameElements(viaApi))
   }
 
-  test("null array propagates null; mismatched lengths use the common prefix") {
+  test("null array and mismatched lengths both propagate NULL (matches zip_with form)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) AS a,
                 dot_product(array(1d, 2d, 3d), array(2d, 3d)) AS b""")
       .head()
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 1 * 2.0 + 2 * 3.0)
+    assert(r.isNullAt(1), "length mismatch must be NULL, not a truncated value")
+    // and the composable reference form agrees
+    val c = spark.sql(
+      """SELECT aggregate(zip_with(array(1d, 2d, 3d), array(2d, 3d),
+                 (x, y) -> x * y), 0d, (acc, v) -> acc + v) AS c""").head()
+    assert(c.isNullAt(0))
   }
 
   test("native expression is faster than the composable form on a wide scan") {

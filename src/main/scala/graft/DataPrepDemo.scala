@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data preparation pipeline demo — the extension operators
+  * composed the way a 100 TB corpus pipeline would run them:
+  *
+  *   documents → quality gate → exact dedup → MinHash-LSH near-dedup
+  *   (candidates verified by n-gram Jaccard) → token accounting →
+  *   sharded parquet output;  embeddings → norm hygiene → ANN probe.
+  *
+  *   sbt "runMain graft.DataPrepDemo [sfDir] [outDir]"
+  *
+  * Every stage is partition-parallel with bounded shuffles (see
+  * ARCHITECTURE.md §4); the demo prints per-stage survivor counts — the
+  * numbers a data-curation run reports.
+  */
+object DataPrepDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_prep_").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // plant duplicates so the dedup stages have real work (same
+    // construction as the oracle queries)
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val docs = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 200000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    println(s"corpus: ${docs.count()} docs (with planted duplicates)")
+
+    // 1. quality gate: length + score thresholds
+    val ws = TextAnalysis.words($"text")
+    val scored = docs
+      .withColumn("n_words", size(TextAnalysis.words($"text")).cast("long"))
+      .withColumn("score", TextAnalysis.qualityScore(TextAnalysis.words($"text")))
+    val quality = scored.filter($"n_words" >= 10 && $"score" > 0.2)
+    println(s"after quality gate: ${quality.count()}")
+
+    // 2. exact dedup on the canonical fingerprint
+    val exact = Dedup.dedupExact(quality, "doc_id", "text")
+    println(s"after exact dedup: ${exact.count()}")
+
+    // 3. near-dedup cascade: LSH proposes candidate pairs; Jaccard is
+    // computed ONLY for those pairs (the verification stage never sees
+    // the quadratic pair space); survivors drop the higher id
+    val candidates = Dedup.minhashLshPairs(exact, "doc_id", "text")
+    val verified = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+        lit(true), 0.8)
+      .join(candidates, col("doc_a") === col("id_a") && col("doc_b") === col("id_b"),
+        "left_semi")
+    val toDrop = verified.select($"doc_b".as("doc_id")).distinct()
+    val nearDeduped = exact.join(toDrop, Seq("doc_id"), "left_anti")
+    println(s"LSH candidate pairs: ${candidates.count()}, " +
+      s"jaccard>=0.8 among candidates: ${verified.count()}, " +
+      s"after near-dedup: ${nearDeduped.count()}")
+
+    // 4. token accounting (dataset-card numbers)
+    val stats = nearDeduped.agg(
+      count(lit(1)).as("docs"),
+      sum(TextAnalysis.tokenCount($"text")).as("ws_tokens"),
+      sum(size(TextAnalysis.bpeishTokens($"text")).cast("long")).as("bpeish_tokens"))
+      .head()
+    println(s"tokens: docs=${stats.getLong(0)} ws=${stats.getLong(1)} " +
+      s"bpeish=${stats.getLong(2)}")
+
+    // 5. shard out (hash-bucketed for downstream parallel consumption)
+    nearDeduped
+      .withColumn("shard", pmod(xxhash64($"doc_id"), lit(8)))
+      .repartition($"shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/text")
+    println(s"shards written to $outDir/text")
+
+    // 6. embedding hygiene + ANN smoke over the vector side
+    val emb = Tables.embeddings(spark, sfDir)
+    val norms = Similarity.withNorm(emb, "embedding")
+    val degenerate = norms.filter($"n2" < 1e-12).count()
+    val knn = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 5)
+    println(s"embeddings: ${emb.count()} vectors, $degenerate degenerate; " +
+      s"ANN probe rows: ${knn.count()}")
+    spark.stop()
+  }
+}

@@ -39,7 +39,7 @@ object Catalog {
   def all: Seq[OracleQuery] =
     CoreQueries.all ++ StagingQueries.all ++ QualityQueries.all ++
       KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
-      RangeQueries.all ++ TpchQueries.all
+      RangeQueries.all ++ TpchQueries.all ++ SetQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Set operations beyond UNION ALL, and blocked fuzzy matching (the
+  * entity-resolution member of the dedup family).
+  */
+object SetQueries {
+
+  /** INTERSECT / EXCEPT (distinct set semantics in both engines):
+    * nations with deep-debit customers vs nations with debit suppliers —
+    * populations chosen so BOTH branches are non-empty at the
+    * correctness scale factors (an empty branch would pass trivially). */
+  val q75IntersectExcept = OracleQuery("q75_intersect_except",
+    "INTERSECT and EXCEPT set operations over derived key sets",
+    (s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nk"))
+      val b = Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+        .select(col("s_nationkey").as("nk"))
+      val both = a.intersect(b).withColumn("set_op", lit("in_both"))
+      val onlyA = a.except(b).withColumn("set_op", lit("customers_only"))
+      both.unionByName(onlyA).orderBy("set_op", "nk")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM customer
+                 WHERE c_acctbal < -500),
+           b AS (SELECT DISTINCT s_nationkey AS nk FROM supplier
+                 WHERE s_acctbal < -500)
+      SELECT * FROM (
+        SELECT nk, 'in_both' AS set_op
+        FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT nk, 'customers_only' AS set_op
+        FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) u
+      ORDER BY set_op, nk"""))
+
+  /** Blocked fuzzy match: Levenshtein distance between probe part names
+    * and the corpus, with FIRST-TOKEN BLOCKING so the quadratic edit-
+    * distance work only runs inside blocks — the standard entity-
+    * resolution shape (block → score → threshold) that keeps fuzzy
+    * joins feasible at corpus scale. */
+  val q76FuzzyMatch = OracleQuery("q76_fuzzy_match",
+    "blocked Levenshtein fuzzy match (entity-resolution block->score->threshold)",
+    (s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("blk"))
+      val probes = parts.filter(col("p_partkey") % 500 === 0)
+        .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"),
+          col("blk"))
+      probes.join(parts, Seq("blk"))
+        .filter(col("probe_key") < col("p_partkey"))
+        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
+        .filter(col("dist") <= 12)
+        .select(col("probe_key"), col("p_partkey"), col("dist"))
+        .orderBy("probe_key", "p_partkey")
+    },
+    Some("""
+      WITH parts AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+      probes AS (
+        SELECT p_partkey AS probe_key, p_name AS probe_name, blk
+        FROM parts WHERE p_partkey % 500 = 0)
+      SELECT probe_key, p.p_partkey, levenshtein(probe_name, p.p_name) AS dist
+      FROM probes JOIN parts p USING (blk)
+      WHERE probe_key < p.p_partkey
+        AND levenshtein(probe_name, p.p_name) <= 12
+      ORDER BY probe_key, p_partkey"""))
+
+  def all: Seq[OracleQuery] = Seq(q75IntersectExcept, q76FuzzyMatch)
+}

@@ -73,6 +73,70 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(table)) overwrite(table, rows)
     else overwrite(table, read(table).unionByName(rows))
 
+  /** Partition-level upsert — the 100 TB shape the whole-table
+    * [[upsert]] documents: the new snapshot REUSES the parquet files of
+    * every partition the increment does not touch (no data movement)
+    * and rewrites only the affected partitions. With date-partitioned
+    * facts and increments touching a handful of dates, write cost is
+    * O(touched partitions), not O(table).
+    *
+    * Mechanics stay snapshot-safe: untouched partition files are
+    * hard-linked (fallback: copied) into the new version directory, so
+    * readers of old snapshots and time travel are unaffected.
+    */
+  def upsertPartitioned(table: String, incoming: DataFrame, keys: Seq[String],
+      partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!exists(table)) {
+      writePartitioned(table, incoming, partitionCol)
+      return
+    }
+    val cur = read(table)
+    val touched = incoming.select(col(partitionCol)).distinct()
+    // rows in touched partitions resolve by key; untouched partitions move as files
+    val affectedCur = cur.join(touched, Seq(partitionCol), "left_semi")
+    val resolved = affectedCur
+      .join(incoming.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(incoming.select(cur.columns.map(col): _*))
+
+    val next = currentVersion(table).get + 1
+    val nextDir = Paths.get(dir(table), s"v$next")
+    resolved.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(nextDir.toString)
+
+    // link untouched partition dirs from the current version
+    val touchedVals = touched.collect().map(r => String.valueOf(r.get(0))).toSet
+    val curDir = Paths.get(dir(table), s"v${currentVersion(table).get}")
+    Files.list(curDir).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(s"$partitionCol=")) {
+        val v = name.stripPrefix(s"$partitionCol=")
+        if (!touchedVals.contains(v)) linkTree(p, nextDir.resolve(name))
+      }
+    }
+    commit(table, next)
+  }
+
+  private def writePartitioned(table: String, df: DataFrame,
+      partitionCol: String): Unit = {
+    val next = currentVersion(table).getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(s"${dir(table)}/v$next")
+    commit(table, next)
+  }
+
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    Files.list(src).forEach { f =>
+      val t = dst.resolve(f.getFileName.toString)
+      if (Files.isDirectory(f)) linkTree(f, t)
+      else try Files.createLink(t, f)
+      catch { case _: Exception => Files.copy(f, t) }
+    }
+  }
+
   /** Housekeeping: rewrite the current snapshot into `numFiles` files
     * (small-file compaction after many incremental appends) and delete
     * superseded snapshot directories (keeping the latest `retain`).

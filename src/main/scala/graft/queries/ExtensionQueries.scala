@@ -186,8 +186,10 @@ object ExtensionQueries {
     "LSH-bucketed approximate cosine top-k (recall-tested in ScalaTest)",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      // r=4/probeBits=3 (as the recall spec): 16 buckets suit the test
+      // corpus sizes; the default r=8 left buckets too sparse to fill k
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", 10)
+          "vec_id", "embedding", 10, r = 4, probeBits = 3)
         .orderBy("probe_id", "rank")
     },
     None)

@@ -136,5 +136,65 @@ object RangeQueries {
       GROUP BY 1
       ORDER BY user_decile"""))
 
-  def all: Seq[OracleQuery] = Seq(q68RangeJoin, q69Median, q70Cube, q71Pivot)
+  /** Explicit window FRAME spec — 7-day moving aggregate with ROWS
+    * BETWEEN (the reference has no frame specs at all; standard
+    * time-series reporting surface). Exact longs + one exact-operand
+    * double division. */
+  val q77MovingAvg = OracleQuery("q77_moving_avg",
+    "moving 7-row window aggregate with explicit ROWS BETWEEN frame",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("mv_sum", sum(col("n_orders")).over(w))
+        .withColumn("mv_n", count(col("n_orders")).over(w))
+        .withColumn("mv_avg", col("mv_sum").cast("double") / col("mv_n"))
+        .withColumn("frame_first", first(col("n_orders")).over(w))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT day, n_orders,
+             SUM(n_orders) OVER w AS mv_sum,
+             COUNT(n_orders) OVER w AS mv_n,
+             CAST(SUM(n_orders) OVER w AS DOUBLE)
+               / COUNT(n_orders) OVER w AS mv_avg,
+             first_value(n_orders) OVER w AS frame_first
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY day"""))
+
+  /** NTILE bucketing — equi-depth quartiles per group, rolled up. */
+  val q78Ntile = OracleQuery("q78_ntile",
+    "NTILE quartile assignment + per-bucket rollup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderstatus", "quartile")
+    },
+    Some("""
+      SELECT o_orderstatus, quartile, count(*) AS n,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM (SELECT o_orderstatus, o_totalprice,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+            FROM orders) t
+      GROUP BY o_orderstatus, quartile
+      ORDER BY o_orderstatus, quartile"""))
+
+  def all: Seq[OracleQuery] = Seq(
+    q68RangeJoin, q69Median, q70Cube, q71Pivot, q77MovingAvg, q78Ntile)
 }

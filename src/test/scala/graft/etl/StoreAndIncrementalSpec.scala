@@ -28,6 +28,38 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
   }
 
+  test("partitioned upsert rewrites only touched partitions and links the rest") {
+    val root = Files.createTempDirectory("graft_pup_").toString
+    val store = new TableStore(spark, root)
+    val base = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"order_year")
+    store.upsertPartitioned("f", base, Seq("o_orderkey"), "order_year")
+    val before = store.read("f").count()
+
+    // increment touches ONLY year 1995: flip its status
+    val inc = base.filter($"order_year" === 1995)
+      .withColumn("o_orderstatus", lit("X"))
+    store.upsertPartitioned("f", inc, Seq("o_orderkey"), "order_year")
+
+    val after = store.read("f")
+    assert(after.count() == before, "upsert must not change row count")
+    assert(after.filter($"order_year" === 1995 && $"o_orderstatus" =!= "X").count() == 0)
+    assert(after.filter($"order_year" =!= 1995 && $"o_orderstatus" === "X").count() == 0)
+
+    // untouched partitions are hard links into v1 (same inode), touched are new
+    import java.nio.file.{Files => JF, Paths}
+    def inode(p: java.nio.file.Path) =
+      JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def firstParquet(version: Int, part: String) =
+      JF.list(Paths.get(s"$root/f/v$version/order_year=$part"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    assert(inode(firstParquet(2, "1996")) == inode(firstParquet(1, "1996")),
+      "untouched partition must be linked, not rewritten")
+    // 1995 exists fresh in v2 (its v2 files are not links of any v1 file set)
+    assert(JF.exists(Paths.get(s"$root/f/v2/order_year=1995")))
+  }
+
   test("incremental aggregate maintenance equals full recomputation") {
     val ev = Tables.events(spark, sfDir)
     val batches = Seq(

@@ -52,4 +52,47 @@ object StreamingSessionize {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stitch)
   }
+
+  /** Variant with an idle-timeout flush: a key receiving no events for
+    * `idleTimeoutMs` of processing time has its open session emitted and
+    * state cleared — the piece that bounds state for users who simply
+    * stop arriving (production pairs this with a watermark-driven
+    * event-time horizon; the state plumbing is the same). */
+  def sessionsWithTimeout(events: Dataset[Event], gapUs: Long,
+      idleTimeoutMs: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def stitch(user: Long, batch: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] =
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(user, s.start_us, s.last_us, s.n))
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        var closed = List.empty[ClosedSession]
+        var open = state.getOption
+        sorted.foreach { e =>
+          open = open match {
+            case Some(s) if e.ts_us - s.last_us <= gapUs =>
+              Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+            case Some(s) =>
+              closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
+              Some(OpenSession(e.ts_us, e.ts_us, 1))
+            case None =>
+              Some(OpenSession(e.ts_us, e.ts_us, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutDuration(idleTimeoutMs)
+        }
+        closed.reverse.iterator
+      }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(stitch)
+  }
 }

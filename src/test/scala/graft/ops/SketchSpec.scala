@@ -8,6 +8,16 @@ import graft.sources.Tables
 class SketchSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("percentile_approx stays within 2% of the exact percentile") {
+    val ev = Tables.events(spark, sfDir)
+    val both = ev.agg(
+        percentile_approx($"value", lit(0.5), lit(1000)).as("approx"),
+        expr("percentile(value, 0.5)").as("exact"))
+      .as[(Double, Double)].head()
+    val err = math.abs(both._1 - both._2) / both._2
+    assert(err <= 0.02, s"approx=${both._1} exact=${both._2} err=$err")
+  }
+
   test("approx_count_distinct stays within 5% of exact per group") {
     val ev = Tables.events(spark, sfDir)
     val both = ev.groupBy($"event_type")

@@ -54,4 +54,42 @@ class SessionizeSpec extends SparkTestBase {
       ClosedSession(1, 400, 450, 2), // stitched across the batch boundary
       ClosedSession(2, 10, 10, 1)))
   }
+
+  test("idle-timeout flushes open sessions for keys that stop arriving") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_to_").toString
+    val ck = Files.createTempDirectory("graft_to_ck_").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[ClosedSession]()
+    // NOTE: with ProcessingTimeTimeout the engine runs a state batch on
+    // EVERY trigger (shouldRunAnotherBatch is unconditionally true), so
+    // processAllAvailable() never observes an idle stream and AvailableNow
+    // never terminates. The only workable harness is a continuously
+    // triggered query driven by polling with wide time margins.
+    val stream = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema).parquet(dir).as[Event]
+    // user 1 opens a session before the query starts
+    Seq(Event(1, 0, 1), Event(1, 50, 2)).toDS()
+      .write.mode("append").parquet(dir)
+    val q = StreamingSessionize
+      .sessionsWithTimeout(stream, gapUs = 100, idleTimeoutMs = 15000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+        b.collect().foreach(emitted.add)
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      // within the first ~5 s (idle timeout is 15 s) the open session
+      // must NOT have been emitted
+      Thread.sleep(5000)
+      assert(emitted.asScala.isEmpty,
+        s"open session must not emit yet: ${emitted.asScala.mkString(",")}")
+      val deadline = System.currentTimeMillis() + 45000
+      while (!emitted.asScala.exists(_.user_id == 1) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(emitted.asScala.toSet == Set(ClosedSession(1, 0, 50, 2)),
+        s"timeout flush expected: ${emitted.asScala.mkString(",")}")
+    } finally q.stop()
+  }
 }

@@ -49,8 +49,8 @@ object DataPrepDemo {
     // 1. quality gate: length + score thresholds
     val ws = TextAnalysis.words($"text")
     val scored = docs
-      .withColumn("n_words", size(TextAnalysis.words($"text")).cast("long"))
-      .withColumn("score", TextAnalysis.qualityScore(TextAnalysis.words($"text")))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("score", TextAnalysis.qualityScore(ws))
     val quality = scored.filter($"n_words" >= 10 && $"score" > 0.2)
     println(s"after quality gate: ${quality.count()}")
 
@@ -58,11 +58,16 @@ object DataPrepDemo {
     val exact = Dedup.dedupExact(quality, "doc_id", "text")
     println(s"after exact dedup: ${exact.count()}")
 
-    // 3. near-dedup cascade: LSH proposes candidate pairs; Jaccard is
-    // computed ONLY for those pairs (the verification stage never sees
-    // the quadratic pair space); survivors drop the higher id
-    val candidates = Dedup.minhashLshPairs(exact, "doc_id", "text")
-    val verified = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+    // 3. near-dedup cascade: LSH proposes candidate pairs; the Jaccard
+    // stage runs over the CANDIDATE DOCUMENTS only (shingle join
+    // restricted before the pair aggregation — the quadratic pair space
+    // of the full corpus is never materialized), then candidate pairs
+    // above threshold drop their higher id
+    val candidates = Dedup.minhashLshPairs(exact, "doc_id", "text").cache()
+    val candDocs = candidates.select($"id_a".as("doc_id"))
+      .union(candidates.select($"id_b".as("doc_id"))).distinct()
+    val candCorpus = exact.join(candDocs, Seq("doc_id"), "left_semi")
+    val verified = Dedup.ngramJaccardPairs(candCorpus, "doc_id", "text",
         lit(true), 0.8)
       .join(candidates, col("doc_a") === col("id_a") && col("doc_b") === col("id_b"),
         "left_semi")
@@ -71,6 +76,7 @@ object DataPrepDemo {
     println(s"LSH candidate pairs: ${candidates.count()}, " +
       s"jaccard>=0.8 among candidates: ${verified.count()}, " +
       s"after near-dedup: ${nearDeduped.count()}")
+    candidates.unpersist()
 
     // 4. token accounting (dataset-card numbers)
     val stats = nearDeduped.agg(

@@ -84,6 +84,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * hard-linked (fallback: copied) into the new version directory, so
     * readers of old snapshots and time travel are unaffected.
     */
+  /** PRECONDITION: a key's partition value must be stable across
+    * upserts (true for date-partitioned facts whose partition derives
+    * from an immutable attribute) — a key that MOVES partition would
+    * survive in its old, untouched (file-linked) partition as well. */
   def upsertPartitioned(table: String, incoming: DataFrame, keys: Seq[String],
       partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
@@ -91,32 +95,53 @@ final class TableStore(spark: SparkSession, root: String) {
       writePartitioned(table, incoming, partitionCol)
       return
     }
+    val curVersion = currentVersion(table).get
+    val curDir = Paths.get(dir(table), s"v$curVersion")
+
+    // the file-linking shortcut requires the CURRENT snapshot to be
+    // hive-partitioned on partitionCol; snapshots written by overwrite/
+    // append/compact are flat — fall back to a full resolved rewrite
+    // there instead of silently losing every untouched partition
+    val curIsPartitioned = withList(curDir)(_.anyMatch(
+      p => p.getFileName.toString.startsWith(s"$partitionCol=")))
+
     val cur = read(table)
-    val touched = incoming.select(col(partitionCol)).distinct()
-    // rows in touched partitions resolve by key; untouched partitions move as files
-    val affectedCur = cur.join(touched, Seq(partitionCol), "left_semi")
+    val affectedCur =
+      if (curIsPartitioned)
+        cur.join(incoming.select(col(partitionCol)).distinct(),
+          Seq(partitionCol), "left_semi")
+      else cur
     val resolved = affectedCur
       .join(incoming.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(incoming.select(cur.columns.map(col): _*))
 
-    val next = currentVersion(table).get + 1
+    val next = curVersion + 1
     val nextDir = Paths.get(dir(table), s"v$next")
     resolved.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(nextDir.toString)
 
-    // link untouched partition dirs from the current version
-    val touchedVals = touched.collect().map(r => String.valueOf(r.get(0))).toSet
-    val curDir = Paths.get(dir(table), s"v${currentVersion(table).get}")
-    Files.list(curDir).forEach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith(s"$partitionCol=")) {
-        val v = name.stripPrefix(s"$partitionCol=")
-        if (!touchedVals.contains(v)) linkTree(p, nextDir.resolve(name))
-      }
+    if (curIsPartitioned) {
+      // link every current partition dir the rewrite did NOT produce —
+      // comparing DIRECTORY NAMES (not raw values) sidesteps Spark's
+      // partition-value escaping (%20, __HIVE_DEFAULT_PARTITION__, ...)
+      val written = withList(nextDir)(
+        _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
+          .collect(java.util.stream.Collectors.toSet[String]))
+      withList(curDir)(_.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(s"$partitionCol=") && !written.contains(name))
+          linkTree(p, nextDir.resolve(name))
+      })
     }
     commit(table, next)
+  }
+
+  private def withList[A](dir: java.nio.file.Path)(
+      f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s) finally s.close()
   }
 
   private def writePartitioned(table: String, df: DataFrame,
@@ -129,12 +154,12 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).forEach { f =>
+    withList(src)(_.forEach { f =>
       val t = dst.resolve(f.getFileName.toString)
       if (Files.isDirectory(f)) linkTree(f, t)
       else try Files.createLink(t, f)
       catch { case _: Exception => Files.copy(f, t) }
-    }
+    })
   }
 
   /** Housekeeping: rewrite the current snapshot into `numFiles` files

@@ -16,9 +16,12 @@ object SetQueries {
   val q75IntersectExcept = OracleQuery("q75_intersect_except",
     "INTERSECT and EXCEPT set operations over derived key sets",
     (s, d) => {
-      val a = Tables.customer(s, d).filter(col("c_acctbal") < -500)
+      // populations verified non-empty in BOTH branches at every scale
+      // factor (balance-only predicates left one branch vacuously empty
+      // at the extremes — the structural nationkey predicate cannot)
+      val a = Tables.customer(s, d).filter(col("c_acctbal") < 0)
         .select(col("c_nationkey").as("nk"))
-      val b = Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+      val b = Tables.supplier(s, d).filter(col("s_nationkey") % 5 =!= 0)
         .select(col("s_nationkey").as("nk"))
       val both = a.intersect(b).withColumn("set_op", lit("in_both"))
       val onlyA = a.except(b).withColumn("set_op", lit("customers_only"))
@@ -26,9 +29,9 @@ object SetQueries {
     },
     Some("""
       WITH a AS (SELECT DISTINCT c_nationkey AS nk FROM customer
-                 WHERE c_acctbal < -500),
+                 WHERE c_acctbal < 0),
            b AS (SELECT DISTINCT s_nationkey AS nk FROM supplier
-                 WHERE s_acctbal < -500)
+                 WHERE s_nationkey % 5 != 0)
       SELECT * FROM (
         SELECT nk, 'in_both' AS set_op
         FROM (SELECT * FROM a INTERSECT SELECT * FROM b)

@@ -10,20 +10,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: a session closes when a later event arrives more than
   * `gapUs` after its last event; the closed session is emitted
-  * (Append mode), and the new open session replaces it in state. The
-  * still-open tail session stays in state until a future batch closes
-  * it (a production deployment adds an event-time timeout to flush
-  * idle sessions; the state-plumbing is identical).
+  * (Append mode), and the new open session replaces it in state. A
+  * cross-batch LATE event (ts before the open session's last event)
+  * merges into the session without moving its end backwards.
   *
-  * State per key is ONE small case class — bounded, watermark-friendly,
-  * and exactly what survives a 1000-executor deployment: state size is
-  * O(active users), not O(events).
+  * State per key is ONE small case class — bounded, watermark-friendly:
+  * state size is O(active users), not O(events).
   */
-object StreamingSessionize {
+// Serializable: the stitch closures call foldBatch through the module,
+// so the module reference ships inside the stateful-operator closure
+object StreamingSessionize extends Serializable {
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** One micro-batch's fold for a single key: shared by both variants so
+    * the gap logic cannot diverge. Returns (closed sessions in order,
+    * remaining open session). */
+  private def foldBatch(user: Long, batch: Iterator[Event], gapUs: Long,
+      state0: Option[OpenSession]): (List[ClosedSession], Option[OpenSession]) = {
+    val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var closed = List.empty[ClosedSession]
+    var open = state0
+    sorted.foreach { e =>
+      open = open match {
+        case Some(s) if e.ts_us - s.last_us <= gapUs =>
+          // max: a late event must not move the session end backwards
+          Some(s.copy(last_us = math.max(s.last_us, e.ts_us), n = s.n + 1))
+        case Some(s) =>
+          closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
+          Some(OpenSession(e.ts_us, e.ts_us, 1))
+        case None =>
+          Some(OpenSession(e.ts_us, e.ts_us, 1))
+      }
+    }
+    (closed.reverse, open)
+  }
 
   def sessions(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -31,22 +54,9 @@ object StreamingSessionize {
 
     def stitch(user: Long, batch: Iterator[Event],
         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-      val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var closed = List.empty[ClosedSession]
-      var open = state.getOption
-      sorted.foreach { e =>
-        open = open match {
-          case Some(s) if e.ts_us - s.last_us <= gapUs =>
-            Some(s.copy(last_us = e.ts_us, n = s.n + 1))
-          case Some(s) =>
-            closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
-          case None =>
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
-        }
-      }
+      val (closed, open) = foldBatch(user, batch, gapUs, state.getOption)
       open.foreach(state.update)
-      closed.reverse.iterator
+      closed.iterator
     }
 
     events.groupByKey(_.user_id)
@@ -55,9 +65,14 @@ object StreamingSessionize {
 
   /** Variant with an idle-timeout flush: a key receiving no events for
     * `idleTimeoutMs` of processing time has its open session emitted and
-    * state cleared — the piece that bounds state for users who simply
-    * stop arriving (production pairs this with a watermark-driven
-    * event-time horizon; the state plumbing is the same). */
+    * state cleared — bounds state to actively-arriving keys (production
+    * pairs this with a watermark-driven event-time horizon; the state
+    * plumbing is the same).
+    *
+    * Harness caveat (SessionizeSpec): with ProcessingTimeTimeout the
+    * engine runs a state batch on EVERY trigger, so
+    * processAllAvailable()/AvailableNow never observe an idle stream —
+    * drive it with a continuous trigger and explicit stop. */
   def sessionsWithTimeout(events: Dataset[Event], gapUs: Long,
       idleTimeoutMs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -70,25 +85,12 @@ object StreamingSessionize {
         state.remove()
         Iterator.single(ClosedSession(user, s.start_us, s.last_us, s.n))
       } else {
-        val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-        var closed = List.empty[ClosedSession]
-        var open = state.getOption
-        sorted.foreach { e =>
-          open = open match {
-            case Some(s) if e.ts_us - s.last_us <= gapUs =>
-              Some(s.copy(last_us = e.ts_us, n = s.n + 1))
-            case Some(s) =>
-              closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
-              Some(OpenSession(e.ts_us, e.ts_us, 1))
-            case None =>
-              Some(OpenSession(e.ts_us, e.ts_us, 1))
-          }
-        }
+        val (closed, open) = foldBatch(user, batch, gapUs, state.getOption)
         open.foreach { s =>
           state.update(s)
           state.setTimeoutDuration(idleTimeoutMs)
         }
-        closed.reverse.iterator
+        closed.iterator
       }
 
     events.groupByKey(_.user_id)

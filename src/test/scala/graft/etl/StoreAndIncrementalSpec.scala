@@ -60,6 +60,28 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(JF.exists(Paths.get(s"$root/f/v2/order_year=1995")))
   }
 
+  test("partitioned upsert after compact (flat layout) falls back without losing untouched rows") {
+    val root = Files.createTempDirectory("graft_flat_").toString
+    val store = new TableStore(spark, root)
+    val base = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .select($"o_orderkey", $"o_orderstatus", $"order_year")
+    store.upsertPartitioned("f", base, Seq("o_orderkey"), "order_year")
+    store.compact("f") // rewrites the snapshot FLAT (no partition dirs)
+    val before = store.read("f").count()
+
+    val inc = base.filter($"order_year" === 1995)
+      .withColumn("o_orderstatus", lit("X"))
+    store.upsertPartitioned("f", inc, Seq("o_orderkey"), "order_year")
+
+    val after = store.read("f")
+    assert(after.count() == before,
+      "regression: flat-layout current snapshot must not lose untouched partitions")
+    assert(after.filter($"order_year" === 1995 && $"o_orderstatus" =!= "X").count() == 0)
+    assert(after.filter($"order_year" === 1996).count() ==
+      base.filter($"order_year" === 1996).count())
+  }
+
   test("incremental aggregate maintenance equals full recomputation") {
     val ev = Tables.events(spark, sfDir)
     val batches = Seq(

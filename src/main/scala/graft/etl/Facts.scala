@@ -62,6 +62,9 @@ object Facts {
         xxhash64(col("event_nk")).as("event_sk"),
         col("event_nk"),
         col("source"), col("raw_event_id"),
+        // carried as the fact table's physical partition column — immutable
+        // per event_nk, so partition-level upsert preconditions hold
+        col("event_date"),
         col("date_sk"), col("venue_sk"), col("category_sk"), col("source_sk"),
         col("event_name"), col("url").as("event_url"),
         col("status").as("event_status"),

@@ -66,14 +66,17 @@ final class Pipeline(spark: SparkSession, val store: TableStore) {
       store.overwrite("dim_venue", Dims.scd2Merge(store.read("dim_venue"), venueInc, ld))
     else store.overwrite("dim_venue", venueInc)
 
-    // facts: dedup + 4-way broadcast join + upsert (M2)
+    // facts: dedup + 4-way broadcast join + upsert (M2). Partition-level:
+    // the snapshot is hive-partitioned on event_date (immutable per
+    // event_nk), untouched date partitions are hard-linked into the new
+    // version — write cost O(touched dates), not O(table). At 100 TB this
+    // is the difference between rewriting the fact table daily and
+    // rewriting a handful of date partitions.
     val facts = Facts.build(stg,
       store.read("dim_date"), store.read("dim_venue"),
       store.read("dim_category"), store.read("dim_source"))
-    if (store.exists("fact_events"))
-      store.overwrite("fact_events",
-        Facts.upsertResolve(store.read("fact_events"), facts))
-    else store.overwrite("fact_events", facts)
+    store.upsertPartitionedWith("fact_events", facts, "event_date")(
+      Facts.upsertResolve)
 
     // M3: mark increment processed (manifest append, raw untouched)
     store.append("processed_manifest",

@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * for Delta `MERGE` and nothing above it changes. Readers always see a
   * complete snapshot (pointer swap is the commit point).
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, val root: String) {
 
   private def dir(table: String) = s"$root/$table"
   private def pointer(table: String) = Paths.get(dir(table), "_CURRENT")
@@ -91,6 +91,20 @@ final class TableStore(spark: SparkSession, root: String) {
   def upsertPartitioned(table: String, incoming: DataFrame, keys: Seq[String],
       partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
+    upsertPartitionedWith(table, incoming, partitionCol) { (cur, inc) =>
+      cur.join(inc.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(inc.select(cur.columns.map(col): _*))
+    }
+  }
+
+  /** [[upsertPartitioned]] with caller-supplied merge semantics: `resolve`
+    * receives (current rows of the AFFECTED partitions, incoming) and
+    * returns the replacement rows for those partitions — e.g.
+    * [[Facts.upsertResolve]]'s refresh-mutable-columns merge. Same
+    * partition-stability precondition as above. */
+  def upsertPartitionedWith(table: String, incoming: DataFrame,
+      partitionCol: String)(resolve: (DataFrame, DataFrame) => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
     if (!exists(table)) {
       writePartitioned(table, incoming, partitionCol)
       return
@@ -111,9 +125,7 @@ final class TableStore(spark: SparkSession, root: String) {
         cur.join(incoming.select(col(partitionCol)).distinct(),
           Seq(partitionCol), "left_semi")
       else cur
-    val resolved = affectedCur
-      .join(incoming.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(incoming.select(cur.columns.map(col): _*))
+    val resolved = resolve(affectedCur, incoming)
 
     val next = curVersion + 1
     val nextDir = Paths.get(dir(table), s"v$next")

@@ -160,7 +160,7 @@ object RangeQueries {
         SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
         FROM orders GROUP BY 1)
       SELECT day, n_orders,
-             SUM(n_orders) OVER w AS mv_sum,
+             CAST(SUM(n_orders) OVER w AS BIGINT) AS mv_sum,
              COUNT(n_orders) OVER w AS mv_n,
              CAST(SUM(n_orders) OVER w AS DOUBLE)
                / COUNT(n_orders) OVER w AS mv_avg,

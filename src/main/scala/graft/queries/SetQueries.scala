@@ -56,7 +56,8 @@ object SetQueries {
           col("blk"))
       probes.join(parts, Seq("blk"))
         .filter(col("probe_key") < col("p_partkey"))
-        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
+        .withColumn("dist",
+          levenshtein(col("probe_name"), col("p_name")).cast("long"))
         .filter(col("dist") <= 12)
         .select(col("probe_key"), col("p_partkey"), col("dist"))
         .orderBy("probe_key", "p_partkey")

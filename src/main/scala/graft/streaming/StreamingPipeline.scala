@@ -60,10 +60,10 @@ final class StreamingPipeline(spark: SparkSession, store: TableStore,
       val facts = Facts.build(stg,
         store.read("dim_date"), store.read("dim_venue"),
         store.read("dim_category"), store.read("dim_source"))
-      if (store.exists("fact_events"))
-        store.overwrite("fact_events",
-          Facts.upsertResolve(store.read("fact_events"), facts))
-      else store.overwrite("fact_events", facts)
+      // partition-level upsert: only the event_date partitions present in
+      // this micro-batch are rewritten (same path as the batch pipeline)
+      store.upsertPartitionedWith("fact_events", facts, "event_date")(
+        Facts.upsertResolve)
     } finally stg.unpersist()
   }
 }

@@ -90,6 +90,42 @@ class PipelineSpec extends SparkTestBase {
     assert(skAfter == skBefore, "surrogate keys unchanged by upsert")
   }
 
+  test("fact load is a partition-level upsert: untouched date partitions are hard-linked") {
+    val p = freshPipeline()
+    p.ingestSynthetic(n = 200, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+
+    // second increment confined to ONE date outside run 1's range —
+    // the fact upsert must rewrite only that partition
+    val newEvents = Synthetic.events(spark, 20, 99L)
+      .withColumn("event_id", regexp_replace($"event_id", "MOCK", "LATE"))
+      .withColumn("event_date", lit("2025-12-25"))
+    p.ingest(newEvents, "csv", "r2")
+    p.transformAndLoad("2026-08-13")
+
+    val facts = p.store.read("fact_events")
+    assert(facts.count() == 220)
+    assert(facts.filter($"event_date" === "2025-12-25").count() == 20)
+
+    // inode-level proof through the PIPELINE path (mirrors
+    // StoreAndIncrementalSpec): every v1 partition is untouched by r2,
+    // so its v2 parquet files must be hard links into v1
+    import java.nio.file.{Files => JF, Paths}
+    def inode(q: java.nio.file.Path) =
+      JF.readAttributes(q, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val factDir = s"${p.store.root}/fact_events"
+    val v1Part = JF.list(Paths.get(s"$factDir/v1")).filter(
+      _.getFileName.toString.startsWith("event_date=")).findFirst().get()
+    def firstParquet(d: java.nio.file.Path) =
+      JF.list(d).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val v2Same = Paths.get(s"$factDir/v2/${v1Part.getFileName}")
+    assert(JF.exists(v2Same), "untouched partition present in v2")
+    assert(inode(firstParquet(v2Same)) == inode(firstParquet(v1Part)),
+      "untouched partition must be hard-linked, not rewritten")
+    assert(JF.exists(Paths.get(s"$factDir/v2/event_date=2025-12-25")),
+      "touched partition written fresh in v2")
+  }
+
   test("SCD2 venue merge closes old versions and appends new ones (M6)") {
     val p = freshPipeline()
     p.ingestSynthetic(n = 100, seed = 7L, runId = "r1")

@@ -80,12 +80,22 @@ def main():
             print(f"FAIL {name}: shape spark={sp.shape} duck={du.shape}")
             n_fail += 1
             continue
+        # dtype-strict: DuckDB HUGEINT surfaces as float64 while Spark
+        # writes int64 — values compare equal but the driver hash differs
+        # (q77 round-1 failure mode). Catch it here.
+        dt_bad = [(c, str(sp[c].dtype), str(du[c].dtype))
+                  for c in sp.columns if str(sp[c].dtype) != str(du[c].dtype)]
+        if dt_bad:
+            c, a, b = dt_bad[0]
+            print(f"FAIL {name}: dtype col {c}: spark={a} duck={b}")
+            n_fail += 1
+            continue
         bad = None
         for i in range(len(sp)):
             for c in sp.columns:
                 a, b = norm(sp[c].iloc[i]), norm(du[c].iloc[i])
                 eq = (a == b) or (a is None and b is None) \
-                    or (str(a) == str(b))
+                    or (a != a and b != b)
                 if not eq:
                     bad = (i, c, a, b)
                     break

@@ -50,27 +50,31 @@ object Ivf {
   /** Lloyd's k-means. Init: the k lowest-id vectors (deterministic). */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nList: Int, iters: Int = 5): Array[Array[Double]] = {
+    // cached: every Lloyd iteration re-reads the projected corpus
     val vd = emb.select(col(idCol), col(vecCol).cast("array<double>").as("vd"))
-    var centroids = vd.orderBy(col(idCol)).limit(nList)
-      .select(col("vd")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    for (_ <- 1 to iters) {
-      val assigned = vd.withColumn("cluster", nearestCentroid(col("vd"), centroids))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("vd")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { i =>
-        byCluster.get(i) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          case None => centroids(i) // empty cluster keeps its centroid
-        }
-      }.toArray
-    }
-    centroids
+      .cache()
+    try {
+      var centroids = vd.orderBy(col(idCol)).limit(nList)
+        .select(col("vd")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val assigned = vd.withColumn("cluster", nearestCentroid(col("vd"), centroids))
+        val means = assigned
+          .select(col("cluster"), posexplode(col("vd")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val byCluster = means.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { i =>
+          byCluster.get(i) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+            case None => centroids(i) // empty cluster keeps its centroid
+          }
+        }.toArray
+      }
+      centroids
+    } finally vd.unpersist()
   }
 
   /** Approximate top-k via the IVF index. */

@@ -94,9 +94,12 @@ object Similarity {
     * multi-probe recall). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, r: Int = 8, probeBits: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val dim = corpus.selectExpr(s"size($vecCol)").head().getInt(0)
-    val planes = hyperplanes(dim, r, seed)
+      seed: Long = 42L, dim: Int = -1): DataFrame = {
+    // pass `dim` when known: the fallback probe is a driver-side action
+    // on the hot path
+    val d = if (dim > 0) dim
+            else corpus.selectExpr(s"size($vecCol)").head().getInt(0)
+    val planes = hyperplanes(d, r, seed)
     val c = withNorm(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"),
         bucketId(col("vd"), planes).as("bucket"))

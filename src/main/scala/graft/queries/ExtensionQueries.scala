@@ -179,27 +179,73 @@ object ExtensionQueries {
       ORDER BY probe_id, rank"""))
 
   /** LSH-bucketed approximate top-k — the 100 TB path (per-bucket
-    * candidate joins instead of a full scan). Approximate by nature, so
-    * checked by the recall spec in SimilaritySpec rather than a SQL
-    * oracle (rows-only here). */
+    * candidate joins instead of a full scan). "Approximate" only relative
+    * to brute force: for FIXED seeded hyperplanes the pipeline is fully
+    * deterministic, so the oracle replays the whole thing in SQL — the
+    * planes are data-independent (dim 64, seed 42) literal arrays, the
+    * sign-bit bucketing, multi-probe XOR expansion, per-bucket join and
+    * (sim DESC, id) ranking all have exact DuckDB twins (float math is
+    * bit-identical per the q56 fold-order argument). */
   val q57KnnLsh = OracleQuery("q57_knn_lsh",
-    "LSH-bucketed approximate cosine top-k (recall-tested in ScalaTest)",
+    "LSH-bucketed approximate cosine top-k (full cross-engine replay oracle)",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       // r=4/probeBits=3 (as the recall spec): 16 buckets suit the test
       // corpus sizes; the default r=8 left buckets too sparse to fill k
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", 10, r = 4, probeBits = 3)
+          "vec_id", "embedding", 10, r = 4, probeBits = 3, dim = 64)
         .orderBy("probe_id", "rank")
     },
-    None)
+    Some {
+      // the exact plane values the Spark side uses (seeded, data-
+      // independent); Double.toString round-trips exactly through
+      // DuckDB's correctly-rounded literal parsing
+      val planes = Similarity.hyperplanes(64, 4)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n               + ")
+      s"""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      b AS (
+        SELECT vec_id, v, n2,
+               $bucket AS bucket
+        FROM n),
+      pb AS (
+        SELECT vec_id AS probe_id, v AS pv, n2 AS pn2,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4)])
+                 AS bucket
+        FROM b WHERE vec_id < 5),
+      sims AS (
+        SELECT pb.probe_id, c.vec_id AS neighbor_id,
+               max(list_dot_product(pb.pv, c.v)
+                   / (sqrt(pb.pn2) * sqrt(c.n2))) AS sim
+        FROM b c JOIN pb ON c.bucket = pb.bucket AND pb.probe_id != c.vec_id
+        GROUP BY 1, 2)
+      SELECT probe_id,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+             neighbor_id, sim
+      FROM sims
+      QUALIFY rank <= 10
+      ORDER BY probe_id, rank"""
+    })
 
   /** Language-id heuristic: stopword-ratio vote in exact integer math. */
   val q58LangId = OracleQuery("q58_langid",
     "stopword-ratio language identification heuristic",
     (s, d) => {
-      val ws = TextAnalysis.words(col("text"))
+      // bind the tokenization ONCE as a named column: an inline expression
+      // referenced by several projected columns re-runs filter(split(...))
+      // per column (CLAUDE.md rule 3 applied at projection level) — a bound
+      // attribute is evaluated once and CollapseProject won't re-inline a
+      // non-cheap multi-referenced alias
+      val ws = col("ws")
       Tables.documents(s, d)
+        .withColumn("ws", TextAnalysis.words(col("text")))
         .select(
           col("doc_id"),
           size(ws).cast("long").as("n_words"),
@@ -229,8 +275,10 @@ object ExtensionQueries {
   val q59TextQuality = OracleQuery("q59_text_quality",
     "text quality scoring: TTR, mean word length, stopword ratio, composite",
     (s, d) => {
-      val ws = TextAnalysis.words(col("text"))
+      // bound once, same reasoning as q58
+      val ws = col("ws")
       Tables.documents(s, d)
+        .withColumn("ws", TextAnalysis.words(col("text")))
         .select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),

@@ -195,14 +195,36 @@ object MoreQueries {
     None)
 
   /** IVF (centroid-partitioned) ANN — the second scale path next to
-    * LSH (q57). Approximate ⇒ rows-only for the driver; recall and
-    * pruning are pinned in IvfSpec. */
+    * LSH (q57). The k-means training loop has no SQL twin, so instead of
+    * dumping raw neighbour lists the query SELF-CHECKS: it joins the IVF
+    * result against the brute-force exact baseline (q56's oracle-proven
+    * path) INSIDE Spark and emits per-probe recall@10 — deterministic
+    * (seeded lowest-id init, fixed iteration count), so any regression in
+    * the index path shows up as a changed recall row, not an invisible
+    * reshuffle of approximate neighbours. */
   val q74KnnIvf = OracleQuery("q74_knn_ivf",
-    "IVF approximate cosine top-k (k-means clusters + nProbe search; recall spec-tested)",
+    "IVF ANN recall@10 against the exact brute-force baseline, per probe",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
+      val probes = emb.filter(col("vec_id") < 5)
+      val ivf = graft.ops.Ivf.topK(emb, probes,
         "vec_id", "embedding", k = 10, nList = 8, nProbe = 3, iters = 3)
+      val exact = Similarity.bruteForceTopK(emb, probes,
+        "vec_id", "embedding", 10)
+      val hits = ivf
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("hits_at_10"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(
+          col("probe_id"),
+          coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+          // exact-int division → deterministic double
+          (coalesce(col("hits_at_10"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+        .orderBy("probe_id")
     },
     None)
 

@@ -115,22 +115,58 @@ object Dedup {
     * self-join is per (band_idx, sig) bucket — bounded fan-out. The band
     * table is cached: both join branches read it, and without the cache
     * the whole shingle→minhash pipeline runs twice (aliased branches
-    * defeat Spark's ReusedExchange). */
-  def lshCandidatePairs(bandsIn: DataFrame, idCol: String): DataFrame = {
+    * defeat Spark's ReusedExchange).
+    *
+    * `maxBucket` is the oversized-bucket guard (the known LSH failure
+    * mode: a degenerate bucket — empty docs, boilerplate — makes the
+    * within-bucket self-join quadratic; one 10M-doc bucket is 5·10^13
+    * pairs). Buckets larger than the cap switch from all-pairs to
+    * STAR-LINKING: every member pairs with the bucket's minimum id only,
+    * O(n) pairs, which preserves the duplicate-group connectivity that
+    * downstream verification/connected-components needs (members of a
+    * mass-duplicate bucket are near-identical by construction — all
+    * RowsPerBand minhashes collide). Default = no cap, keeping the
+    * exact all-pairs semantics (and the DuckDB oracle twin) for q54. */
+  def lshCandidatePairs(bandsIn: DataFrame, idCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val bands = tracked(bandsIn)
-    val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
-    val b = bands.select(col("band_idx").as("band_idx_b"), col("sig").as("sig_b"),
-      col(idCol).as("id_b"))
-    a.join(b,
-        col("band_idx") === col("band_idx_b") && col("sig") === col("sig_b")
-          && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    if (maxBucket == Int.MaxValue) {
+      val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
+      val b = bands.select(col("band_idx").as("band_idx_b"), col("sig").as("sig_b"),
+        col(idCol).as("id_b"))
+      a.join(b,
+          col("band_idx") === col("band_idx_b") && col("sig") === col("sig_b")
+            && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+    } else {
+      // bucket sizes: one row per (band, sig), same shuffle key as the
+      // candidate join, so the exchange is reused
+      val key = Seq("band_idx", "sig")
+      val sized = bands.join(
+        bands.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_bucket")), key)
+      val small = sized.filter(col("n_bucket") <= maxBucket)
+      val a = small.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
+      val b = small.select(col("band_idx").as("band_idx_b"),
+        col("sig").as("sig_b"), col(idCol).as("id_b"))
+      val allPairs = a.join(b,
+          col("band_idx") === col("band_idx_b") && col("sig") === col("sig_b")
+            && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val big = sized.filter(col("n_bucket") > maxBucket)
+      val hubs = big.groupBy(key.map(col): _*).agg(min(col(idCol)).as("id_a"))
+      val starPairs = big.join(hubs, key)
+        .filter(col(idCol) > col("id_a"))
+        .select(col("id_a"), col(idCol).as("id_b"))
+      allPairs.unionByName(starPairs).distinct()
+    }
   }
 
   /** End-to-end MinHash+LSH candidate pairs from (id, text). */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    lshCandidatePairs(lshBands(minhashSignatures(docs, idCol, textCol), idCol), idCol)
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshCandidatePairs(lshBands(minhashSignatures(docs, idCol, textCol), idCol),
+      idCol, maxBucket)
 
   /** Exact n-gram Jaccard similarity for (probe × corpus) pairs sharing at
     * least one shingle. `probePred` bounds the left side so the candidate

@@ -54,6 +54,36 @@ class DedupSpec extends SparkTestBase {
       s"found $nearFound of ${nearIds.length} near-dup pairs")
   }
 
+  test("oversized-bucket cap: adversarial all-same-band corpus stays linear, real pairs survive") {
+    // adversarial corpus: 200 byte-identical documents — every band
+    // bucket holds all 200 docs, so uncapped all-pairs is 200·199/2 =
+    // 19900 candidates (quadratic). Plus one planted near-dup pair of
+    // DISTINCT text that must still be found through a small bucket.
+    val one = docs.filter($"doc_id" === 1).select($"text").head().getString(0)
+    val mass = spark.range(200).select($"id".as("doc_id"), lit(one).as("text"))
+    // exact copies ⇒ all 16 minhashes equal ⇒ guaranteed shared bucket
+    val pairDup = docs.filter($"doc_id" === 5)
+      .select(($"doc_id" + 90000).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" === 5)
+        .select(($"doc_id" + 90001).as("doc_id"), $"text"))
+    val corpus = mass.unionByName(pairDup)
+
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", maxBucket = 50)
+      .as[(Long, Long)].collect().toSet
+    // mass bucket star-links to the min id: exactly n-1 pairs, not 19900
+    val massPairs = capped.filter { case (a, _) => a == 0L }
+    assert(massPairs.size == 199, s"expected 199 star pairs, got ${massPairs.size}")
+    assert(capped.count { case (a, b) => a < 200 && b < 200 } == 199,
+      "no quadratic all-pairs blow-up inside the capped bucket")
+    // the planted duplicate pair flows through the normal small-bucket path
+    assert(capped.contains((90005L, 90006L)), "real dup pair lost by the cap")
+
+    // sanity: uncapped on the same corpus IS quadratic (the failure mode)
+    val uncapped = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .filter($"id_a" < 200 && $"id_b" < 200).count()
+    assert(uncapped == 19900L)
+  }
+
   test("ngram Jaccard is 1.0 for identical docs, high for near-dups, and symmetric in count") {
     val pairs = Dedup.ngramJaccardPairs(aug, "doc_id", "text",
         col("doc") < 500, 0.3)

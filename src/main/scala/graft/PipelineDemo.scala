@@ -34,6 +34,7 @@ object PipelineDemo {
 
     if (mode == "stream") { runStreaming(spark, whDir, n); spark.stop(); return }
     if (mode == "api") { runApi(spark, whDir, n); spark.stop(); return }
+    if (mode == "schedule") { runScheduled(spark, whDir, n); spark.stop(); return }
 
     val p = new Pipeline(spark, new TableStore(spark, whDir))
     println(s"== warehouse at $whDir ==")
@@ -70,6 +71,34 @@ object PipelineDemo {
         .foreach(_.show(20, truncate = false))
     }
     spark.stop()
+  }
+
+  /** Scheduler-mode drive (reference `scripts/scheduler.py`): daily full
+    * pipeline at 06:00 + hourly quality-only checks. The demo compresses
+    * time — it steps the cadence through 26 synthetic hours without
+    * sleeping; a production daemon would call `sched.loop()` instead. */
+  private def runScheduled(spark: SparkSession, whDir: String, n: Int): Unit = {
+    import graft.etl.Scheduler
+    val p = new Pipeline(spark, new TableStore(spark, whDir))
+    println(s"== scheduled warehouse at $whDir ==")
+    val t0 = java.time.Instant.parse("2026-08-12T05:30:00Z").toEpochMilli
+    var day = 0
+    val sched = new Scheduler()
+      .dailyAt("full_pipeline", 6, 0, t0) {
+        day += 1
+        p.ingestSynthetic(n, seed = 42L, runId = s"sched-day$day")
+        p.transformAndLoad()
+      }
+      .every("quality_only", 3600L * 1000, t0) { p.qualityOnly(): Unit }
+    (1 to 52).foreach { halfHour =>
+      val now = t0 + halfHour * 1800L * 1000
+      val ran = sched.runPending(now)
+      if (ran.nonEmpty)
+        println(f"t+${halfHour * 0.5}%4.1fh  ran: ${ran.mkString(", ")}")
+    }
+    println(s"summary: ${p.summary().toSeq.sortBy(_._1).mkString(", ")}")
+    println("-- KPI: quality summary (26h of hourly checks) --")
+    p.kpiQualitySummary.show(10, truncate = false)
   }
 
   /** API-mode drive (reference E2 flow): a paginated "Ticketmaster"

@@ -87,6 +87,20 @@ final class Pipeline(spark: SparkSession, val store: TableStore) {
       Quality.runAll(raw, store.read("fact_events")))
   }
 
+  /** The scheduler's hourly mode (`scripts/scheduler.py:40-44` →
+    * `run_pipeline.py --skip-ingest`): re-run the quality checks over the
+    * CURRENT warehouse state and append to the quality log — no ingest,
+    * no transform, so a standing cadence accrues quality history without
+    * touching the data. Returns the number of check rows appended (0 when
+    * the warehouse is not yet populated). */
+  def qualityOnly(): Long = {
+    if (!store.exists("raw_events") || !store.exists("fact_events")) return 0L
+    val checks = Quality.runAll(store.read("raw_events"),
+      store.read("fact_events"))
+    store.append("quality_log", checks)
+    checks.count()
+  }
+
   /** Step 8: run summary (`run_pipeline.py:65-87`). */
   def summary(): Map[String, Long] = {
     def cnt(t: String) = if (store.exists(t)) store.read(t).count() else 0L

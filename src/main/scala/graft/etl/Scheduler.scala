@@ -1,0 +1,70 @@
+package graft.etl
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Standing-cadence runner — the reference's `scripts/scheduler.py`
+  * (daily full pipeline at 06:00, quality-only checks every hour) as a
+  * dependency-free interval loop: `schedule.run_pending() + sleep(60)`
+  * becomes [[runPending]] + [[loop]].
+  *
+  * Next-due computation is pure and clock-injected, so specs drive whole
+  * days of cadence synthetically; only [[loop]] touches the wall clock.
+  * A failing job is logged and the cadence continues (the reference logs
+  * and moves on, `scheduler.py:33-37`) — one bad run must not kill the
+  * daemon.
+  */
+final class Scheduler(zone: java.time.ZoneId = java.time.ZoneOffset.UTC) {
+
+  private final case class Job(name: String, action: () => Unit,
+      nextAfter: Long => Long, var due: Long)
+  private val jobs = ArrayBuffer.empty[Job]
+
+  /** `schedule.every().hour`-style fixed interval; first run one interval
+    * after `now`. */
+  def every(name: String, intervalMs: Long, now: Long)(action: => Unit): this.type = {
+    require(intervalMs > 0, "interval must be positive")
+    jobs += Job(name, () => action, _ + intervalMs, now + intervalMs)
+    this
+  }
+
+  /** `schedule.every().day.at("06:00")`: next HH:MM occurrence in `zone`
+    * strictly after the reference time. */
+  def dailyAt(name: String, hour: Int, minute: Int, now: Long)(action: => Unit): this.type = {
+    def nextAfter(t: Long): Long = {
+      val zdt = java.time.Instant.ofEpochMilli(t).atZone(zone)
+      val sameDay = zdt.toLocalDate.atTime(hour, minute).atZone(zone)
+      val next = if (sameDay.toInstant.toEpochMilli > t) sameDay
+                 else sameDay.plusDays(1)
+      next.toInstant.toEpochMilli
+    }
+    jobs += Job(name, () => action, nextAfter, nextAfter(now))
+    this
+  }
+
+  /** Run every job due at `now`; returns (name, succeeded) per run in
+    * registration order. Failures are contained per job. */
+  def runPending(now: Long): Seq[(String, Boolean)] =
+    jobs.toSeq.filter(_.due <= now).map { j =>
+      j.due = j.nextAfter(now)
+      val ok =
+        try { j.action(); true }
+        catch {
+          case e: Exception =>
+            System.err.println(s"[scheduler] job '${j.name}' failed: $e")
+            false
+        }
+      (j.name, ok)
+    }
+
+  /** Epoch millis of the next due job (min over jobs); driver loops can
+    * sleep exactly until then. */
+  def nextDue: Option[Long] = jobs.map(_.due).minOption
+
+  /** Blocking wall-clock loop (`scheduler.py:66-68`): poll every
+    * `pollMs`, stop when `until` flips true (tests) — or never (daemon). */
+  def loop(pollMs: Long = 60000L, until: () => Boolean = () => false): Unit =
+    while (!until()) {
+      runPending(System.currentTimeMillis())
+      Thread.sleep(pollMs)
+    }
+}

@@ -1,0 +1,77 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** The cadence runner (reference `scripts/scheduler.py`): pure next-due
+  * logic driven by a synthetic clock, plus the quality-only hourly mode
+  * accruing quality_log rows without re-ingesting. */
+class SchedulerSpec extends SparkTestBase {
+
+  private val H = 3600L * 1000
+
+  test("daily-at 06:00 + hourly cadence over a synthetic day") {
+    // t0 = 05:30 UTC → daily job due 06:00 today, hourly job due 06:30
+    val t0 = java.time.Instant.parse("2026-08-12T05:30:00Z").toEpochMilli
+    var daily = 0
+    var hourly = 0
+    val sched = new Scheduler()
+      .dailyAt("full", 6, 0, t0) { daily += 1 }
+      .every("quality", H, t0) { hourly += 1 }
+
+    // nothing due before 06:00
+    assert(sched.runPending(t0 + 1).isEmpty)
+    // 06:00 runs the daily job only
+    assert(sched.runPending(t0 + 30 * 60 * 1000).map(_._1) == Seq("full"))
+    // step hourly ticks to the end of the day: 06:30, 07:30, ... 05:30+24h
+    (1 to 24).foreach(h => sched.runPending(t0 + h * H))
+    assert(daily == 1, "daily job must not re-run within the same day")
+    assert(hourly == 24, "hourly job runs once per hour")
+    // crossing the next 06:00 reruns the daily job
+    sched.runPending(t0 + 25 * H)
+    assert(daily == 2)
+  }
+
+  test("a failing job is contained and the cadence continues") {
+    val t0 = 0L
+    var good = 0
+    val sched = new Scheduler()
+      .every("bad", H, t0) { throw new RuntimeException("boom") }
+      .every("good", H, t0) { good += 1 }
+    val first = sched.runPending(H)
+    assert(first == Seq(("bad", false), ("good", true)))
+    assert(sched.runPending(2 * H) == Seq(("bad", false), ("good", true)))
+    assert(good == 2)
+  }
+
+  test("hourly quality-only mode accrues quality_log rows without re-ingest") {
+    val root = Files.createTempDirectory("graft_sched_").toString
+    val p = new Pipeline(spark, new TableStore(spark, root))
+    p.ingestSynthetic(n = 100, seed = 7L, runId = "r1")
+    p.transformAndLoad("2026-08-12")
+    val rawBefore = p.store.read("raw_events").count()
+    val ingestLogBefore = p.store.read("ingestion_log").count()
+    val qlAfterLoad = p.store.read("quality_log").count()
+    assert(qlAfterLoad == 5)
+
+    val t0 = 0L
+    val sched = new Scheduler().every("quality_only", H, t0) {
+      p.qualityOnly(): Unit
+    }
+    (1 to 3).foreach(h => sched.runPending(h * H))
+
+    assert(p.store.read("quality_log").count() == qlAfterLoad + 3 * 5,
+      "each hourly run appends the full check set")
+    assert(p.store.read("raw_events").count() == rawBefore, "no re-ingest")
+    assert(p.store.read("ingestion_log").count() == ingestLogBefore,
+      "no ingestion runs logged by quality-only cadence")
+  }
+
+  test("qualityOnly on an empty warehouse is a harmless no-op") {
+    val root = Files.createTempDirectory("graft_sched0_").toString
+    val p = new Pipeline(spark, new TableStore(spark, root))
+    assert(p.qualityOnly() == 0L)
+    assert(!p.store.exists("quality_log"))
+  }
+}

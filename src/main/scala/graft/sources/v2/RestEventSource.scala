@@ -17,30 +17,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * so pages are fetched IN PARALLEL ON EXECUTORS — versus the
   * reference's (and Ingest.fetchApi's) sequential driver-side loop.
   *
-  *   spark.read.format("graft.sources.v2.RestEventSource")
-  *     .option("fetcher", "<registered name>")
-  *     .option("maxPages", "5")
-  *     .option("maxAttempts", "3")
-  *     .load()                       // → (page int, payload string)
+  * Two fetch modes, selected by options:
+  *
+  *  - `endpoint` mode — the real-cluster config surface, mirroring the
+  *    reference's env contract (`env file example .txt`:
+  *    TICKETMASTER_API_KEY / BATCH_SIZE; `ingestion/api_ingestor.py:38-59`
+  *    builds the page URL from them). The endpoint is a URL TEMPLATE with
+  *    `{apikey}`/`{size}`/`{page}` placeholders; the reader constructs the
+  *    page URL and an HTTP(S)/file connection INSIDE the executor — no
+  *    JVM registry, options only, so the source works across executor
+  *    JVMs. The response body is read as JSONL: one payload row per
+  *    non-blank line.
+  *
+  *      spark.read.format("graft.sources.v2.RestEventSource")
+  *        .option("endpoint", "https://host/events.json?apikey={apikey}&size={size}&page={page}")
+  *        .option("apikey", sys.env("TICKETMASTER_API_KEY"))
+  *        .option("pageSize", "100")         // reference BATCH_SIZE
+  *        .option("maxPages", "5")
+  *        .load()                            // → (page int, payload string)
+  *
+  *  - `fetcher` mode — a per-JVM registry of page→docs functions, for
+  *    local mode and tests (executors share the JVM there).
   *
   * Rows are raw JSON documents; `Ingest.flattenTicketmaster` turns them
   * into the 18-column raw shape downstream (scan and flatten stay
-  * separate operators, like file sources).
-  *
-  * Fetchers are looked up by name in a per-JVM registry — in local mode
-  * (and tests) executors share the JVM; on a real cluster the registry
-  * would be replaced by options carrying endpoint+credentials and an
-  * HTTP client constructed inside the reader (the partition/reader
-  * plumbing — the part V2 dictates — is identical).
+  * separate operators, like file sources). The apikey is substituted into
+  * the URL and never echoed back through `Table.name`/logs.
   */
 class RestEventSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RestEventSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new RestTable(properties.getOrDefault("fetcher", ""),
-      properties.getOrDefault("maxPages", "5").toInt,
-      properties.getOrDefault("maxAttempts", "3").toInt)
+    new RestTable(
+      RestConf(
+        fetcher = properties.getOrDefault("fetcher", ""),
+        endpoint = properties.getOrDefault("endpoint", ""),
+        apikey = properties.getOrDefault("apikey", ""),
+        pageSize = properties.getOrDefault("pageSize", "100").toInt,
+        maxPages = properties.getOrDefault("maxPages", "5").toInt,
+        maxAttempts = properties.getOrDefault("maxAttempts", "3").toInt))
 }
 
 object RestEventSource {
@@ -50,30 +66,57 @@ object RestEventSource {
 
   /** Per-JVM fetcher registry: name → (page → JSON docs). */
   val fetchers: TrieMap[String, Int => Seq[String]] = TrieMap.empty
+
+  /** The reference's env contract mapped onto DataSource options
+    * (`env file example .txt`): TICKETMASTER_API_KEY → apikey,
+    * BATCH_SIZE → pageSize. Injected map → unit-testable without
+    * mutating the process environment. */
+  def optionsFromEnv(env: Map[String, String]): Map[String, String] =
+    Seq(
+      env.get("TICKETMASTER_API_KEY").map("apikey" -> _),
+      env.get("BATCH_SIZE").map("pageSize" -> _)
+    ).flatten.toMap
 }
 
-private[v2] class RestTable(fetcher: String, maxPages: Int, maxAttempts: Int)
+/** Everything a page reader needs, carried through the scan as plain
+  * serializable values (no driver-side state). */
+private[v2] case class RestConf(fetcher: String, endpoint: String,
+    apikey: String, pageSize: Int, maxPages: Int, maxAttempts: Int) {
+  require(fetcher.nonEmpty || endpoint.nonEmpty,
+    "RestEventSource needs either a 'fetcher' (registry) or an 'endpoint' (URL template) option")
+
+  /** Page URL from the template — `{apikey}`/`{size}`/`{page}`. */
+  def pageUrl(page: Int): String = endpoint
+    .replace("{apikey}", apikey)
+    .replace("{size}", pageSize.toString)
+    .replace("{page}", page.toString)
+}
+
+private[v2] class RestTable(conf: RestConf)
     extends Table with SupportsRead {
-  override def name(): String = s"rest($fetcher)"
+  // never expose the apikey through the table name
+  override def name(): String =
+    if (conf.endpoint.nonEmpty) s"rest(${conf.endpoint.takeWhile(_ != '?')})"
+    else s"rest(${conf.fetcher})"
   override def schema(): StructType = RestEventSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScan(fetcher, maxPages, maxAttempts)
+    new RestScan(conf)
 }
 
-private[v2] class RestScan(fetcher: String, maxPages: Int, maxAttempts: Int)
+private[v2] class RestScan(conf: RestConf)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = RestEventSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until maxPages).map(p => RestPage(fetcher, p, maxAttempts): InputPartition).toArray
+    (0 until conf.maxPages).map(p => RestPage(conf, p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory
 }
 
-private[v2] case class RestPage(fetcher: String, page: Int, maxAttempts: Int)
+private[v2] case class RestPage(conf: RestConf, page: Int)
     extends InputPartition
 
 private[v2] class RestReaderFactory extends PartitionReaderFactory {
@@ -81,20 +124,35 @@ private[v2] class RestReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[RestPage]
     new PartitionReader[InternalRow] {
       private lazy val docs: Iterator[String] = {
-        val f = RestEventSource.fetchers.getOrElse(p.fetcher,
-          throw new IllegalArgumentException(s"no fetcher '${p.fetcher}' registered"))
+        val fetch: Int => Seq[String] =
+          if (p.conf.endpoint.nonEmpty) fetchUrl
+          else RestEventSource.fetchers.getOrElse(p.conf.fetcher,
+            throw new IllegalArgumentException(s"no fetcher '${p.conf.fetcher}' registered"))
         var attempt = 0
         var out: Option[Seq[String]] = None
         while (out.isEmpty) {
-          try out = Some(f(p.page))
+          try out = Some(fetch(p.page))
           catch {
-            case e: Exception if attempt < p.maxAttempts - 1 =>
+            case e: Exception if attempt < p.conf.maxAttempts - 1 =>
               attempt += 1
-              Thread.sleep(50L * (1L << attempt))
+              Thread.sleep(50L * (1L << attempt)) // exponential backoff (S2)
           }
         }
         out.get.iterator
       }
+
+      /** Options-only fetch: open the templated URL (https/file), read
+        * the body, one payload per non-blank JSONL line. */
+      private def fetchUrl(page: Int): Seq[String] = {
+        val conn = new java.net.URI(p.conf.pageUrl(page)).toURL.openConnection()
+        conn.setConnectTimeout(15000) // the reference's timeout=15
+        conn.setReadTimeout(15000)
+        val in = conn.getInputStream
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.trim.nonEmpty).toVector
+        finally in.close()
+      }
+
       private var current: String = _
       override def next(): Boolean =
         if (docs.hasNext) { current = docs.next(); true } else false

@@ -51,6 +51,46 @@ class RestSourceSpec extends SparkTestBase {
     assert(df.count() == 2, "each page succeeds on retry")
   }
 
+  test("endpoint mode: fetcher constructed from options only (no registry), env contract mapped") {
+    // page files standing in for the paginated API: file:// exercises the
+    // same URL-template → connection → JSONL path as https:// would
+    val dir = java.nio.file.Files.createTempDirectory("rest_pages_")
+    (0 until 2).foreach { p =>
+      val body = (0 until 3).map(i => tmJson(p * 10 + i)).mkString("\n")
+      java.nio.file.Files.write(dir.resolve(s"page-$p-sz100-keyK1.json"),
+        body.getBytes("UTF-8"))
+    }
+    val envOpts = RestEventSource.optionsFromEnv(
+      Map("TICKETMASTER_API_KEY" -> "K1", "BATCH_SIZE" -> "100"))
+    assert(envOpts == Map("apikey" -> "K1", "pageSize" -> "100"))
+
+    val df = spark.read.format("graft.sources.v2.RestEventSource")
+      .options(envOpts)
+      .option("endpoint", s"file://$dir/page-{page}-sz{size}-key{apikey}.json")
+      .option("maxPages", "2")
+      .load()
+    assert(df.rdd.getNumPartitions == 2, "one partition per page")
+    assert(df.count() == 6, "2 pages x 3 JSONL docs")
+
+    val flat = Ingest.flattenTicketmaster(df, "payload", "v2env")
+    assert(flat.count() == 6)
+    assert(flat.orderBy($"raw_event_id").head().getAs[String]("raw_event_id") == "EV0")
+  }
+
+  test("endpoint mode retries transient fetch failures (missing page file, then created)") {
+    val dir = java.nio.file.Files.createTempDirectory("rest_retry_")
+    // page 0 exists; page 1 never does → after maxAttempts the error surfaces
+    java.nio.file.Files.write(dir.resolve("page-0.json"), tmJson(1).getBytes("UTF-8"))
+    val good = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("endpoint", s"file://$dir/page-{page}.json")
+      .option("maxPages", "1").option("maxAttempts", "2").load()
+    assert(good.count() == 1)
+    val bad = spark.read.format("graft.sources.v2.RestEventSource")
+      .option("endpoint", s"file://$dir/page-{page}.json")
+      .option("maxPages", "2").option("maxAttempts", "2").load()
+    intercept[Exception](bad.count())
+  }
+
   test("unknown fetcher fails with a clear message") {
     val df = spark.read.format("graft.sources.v2.RestEventSource")
       .option("fetcher", "nope").option("maxPages", "1").load()

@@ -4,6 +4,11 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** A second writer raced (or a crashed write left an uncommitted version
+  * directory) — see the TableStore concurrency contract. */
+final class ConcurrentWriteException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Upserts on immutable parquet (SURVEY §7.4.1): each logical table is a
   * directory of snapshot versions plus a `_CURRENT` pointer file; a write
   * materializes the new snapshot, then atomically swaps the pointer.
@@ -18,6 +23,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * format (Delta/Iceberg) industrializes — at 100 TB you'd swap this class
   * for Delta `MERGE` and nothing above it changes. Readers always see a
   * complete snapshot (pointer swap is the commit point).
+  *
+  * CONCURRENCY: one writer per table. Any number of concurrent readers
+  * are safe (they resolve the pointer once and read an immutable
+  * snapshot), but the version counter is read-modify-write, so a second
+  * concurrent writer would silently discard the first one's snapshot.
+  * Writers therefore CLAIM the next version directory with an atomic
+  * `Files.createDirectory` before writing — a concurrent (or crashed)
+  * writer holding the same version number fails fast with
+  * [[ConcurrentWriteException]] instead of losing data. After a crash,
+  * delete the orphaned uncommitted `v<N>` directory to unblock.
   */
 final class TableStore(spark: SparkSession, val root: String) {
 
@@ -38,9 +53,26 @@ final class TableStore(spark: SparkSession, val root: String) {
     spark.read.parquet(s"${dir(table)}/v$v")
   }
 
+  /** Atomically claim the next snapshot version: `createDirectory` is the
+    * mutex — if the directory already exists, another writer claimed it
+    * (or a previous write crashed before committing). */
+  private def claimVersion(table: String): Int = {
+    Files.createDirectories(Paths.get(dir(table)))
+    val next = currentVersion(table).getOrElse(0) + 1
+    try Files.createDirectory(Paths.get(dir(table), s"v$next"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(
+          s"table $table: version v$next already exists — concurrent writer, " +
+            "or an uncommitted directory left by a crashed write (delete it " +
+            "to unblock); TableStore allows one writer per table")
+    }
+    next
+  }
+
   /** Write a full new snapshot and commit it via pointer swap. */
   def overwrite(table: String, df: DataFrame): Unit = {
-    val next = currentVersion(table).getOrElse(0) + 1
+    val next = claimVersion(table)
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/v$next")
     commit(table, next)
   }
@@ -127,7 +159,7 @@ final class TableStore(spark: SparkSession, val root: String) {
       else cur
     val resolved = resolve(affectedCur, incoming)
 
-    val next = curVersion + 1
+    val next = claimVersion(table)
     val nextDir = Paths.get(dir(table), s"v$next")
     resolved.write
       .mode(SaveMode.Overwrite)
@@ -158,7 +190,7 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   private def writePartitioned(table: String, df: DataFrame,
       partitionCol: String): Unit = {
-    val next = currentVersion(table).getOrElse(0) + 1
+    val next = claimVersion(table)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(s"${dir(table)}/v$next")
     commit(table, next)

@@ -39,16 +39,21 @@ object Multimodal {
   def attachMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
     df.select(
       col(idCol).as("media_id"),
-      expr(s"octet_length($binCol)").cast("long").as("n_bytes"),
+      octet_length(col(binCol)).cast("long").as("n_bytes"),
       md5(col(binCol)).as("content_md5"),
       sniffFormat(col(binCol)).as("format"))
 
-  /** Magic-byte format sniff (real: the headers are public constants). */
-  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(expr(s"substring(hex(${bin.toString}), 1, 8)") === "89504E47", "png")
-      .when(expr(s"substring(hex(${bin.toString}), 1, 4)") === "FFD8", "jpeg")
-      .when(expr(s"substring(hex(${bin.toString}), 1, 8)") === "52494646", "riff")
+  /** Magic-byte format sniff (real: the headers are public constants).
+    * Pure Column composition (no expr() string interpolation, so derived /
+    * qualified column expressions work), and only the 4-byte prefix is
+    * hexed — not the whole payload. */
+  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val head4 = hex(substring(bin, 1, 4))
+    when(head4 === "89504E47", "png")
+      .when(substring(head4, 1, 4) === "FFD8", "jpeg")
+      .when(head4 === "52494646", "riff")
       .otherwise("unknown")
+  }
 
   /** The decode seam: partition-parallel batch transform from
     * (media_id, content: binary) to [[decodedSchema]] rows.
@@ -104,15 +109,15 @@ object Multimodal {
       .filter(col("block_idx") % everyK === 0)
 
   /** Split a binary column into fixed-size binary blocks (native exprs:
-    * substring on binary is supported and codegen'd). */
+    * substring on binary is supported and codegen'd). Pure Column
+    * composition — works for derived/qualified column expressions too. */
   private def split_bytes(bin: org.apache.spark.sql.Column, blockSize: Int) = {
-    val b = bin.toString
+    val nBlocks = ceil(octet_length(bin) / lit(blockSize.toDouble)).cast("int")
     // empty payload guard: sequence(0, -1) would produce the DESCENDING
     // sequence [0, -1] and fabricate two phantom blocks
-    expr(s"CASE WHEN octet_length($b) > 0 THEN " +
-      s"transform(sequence(0, int(ceil(octet_length($b) / " +
-      s"cast($blockSize as double))) - 1), " +
-      s"i -> substring($b, i * $blockSize + 1, $blockSize)) " +
-      s"ELSE array() END")
+    when(octet_length(bin) > 0,
+      transform(sequence(lit(0), nBlocks - 1),
+        i => substring(bin, i * lit(blockSize) + 1, lit(blockSize))))
+      .otherwise(array().cast("array<binary>"))
   }
 }

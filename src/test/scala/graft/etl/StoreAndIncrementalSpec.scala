@@ -28,6 +28,23 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
   }
 
+  test("a claimed/stale next-version directory fails the write instead of silently losing one") {
+    val root = Files.createTempDirectory("graft_cw_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", spark.range(10).toDF("id")) // v1
+    // simulate a concurrent writer (or crash leftover) holding v2
+    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v2"))
+    intercept[ConcurrentWriteException] {
+      store.overwrite("t", spark.range(20).toDF("id"))
+    }
+    // reader still sees the committed snapshot
+    assert(store.read("t").count() == 10)
+    // unblock by removing the orphan, as the contract documents
+    Files.delete(java.nio.file.Paths.get(root, "t", "v2"))
+    store.overwrite("t", spark.range(20).toDF("id"))
+    assert(store.read("t").count() == 20)
+  }
+
   test("partitioned upsert rewrites only touched partitions and links the rest") {
     val root = Files.createTempDirectory("graft_pup_").toString
     val store = new TableStore(spark, root)

@@ -84,18 +84,30 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** One MinHash value: min over shingles of md5(seed || "|" || shingle).
-    * (doc_id, shingle) exploded input → groupBy(doc) with 16 min()s. */
-  def minhashAgg(seed: Int, shingleCol: Column): Column =
-    min(md5(concat(lit(s"$seed|"), shingleCol)))
+  /** Hash values per md5 digest: one 128-bit md5 yields four independent
+    * 32-bit minhash lanes (8 hex chars each — fixed-width hex compares
+    * lexicographically = numerically), so 16 hash functions cost 4 md5
+    * calls per shingle instead of 16. md5 per exploded shingle dominated
+    * q54's wall time; this is the biggest single lever on it while
+    * keeping the hash family portable to the DuckDB oracle. */
+  val LanesPerDigest = 4
+  val NumDigests: Int = NumHashes / LanesPerDigest
 
-  /** (doc_id, h0..h15) MinHash signature table from (id, text). */
+  /** (doc_id, h0..h15) MinHash signature table from (id, text). The
+    * digests are BOUND as columns before the 16 min() aggregates read
+    * their substrings — aggregate input expressions are not reliably
+    * subexpression-eliminated, so an inline md5 would run 4× per lane. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = shingleRows(docs, idCol, textCol)
-    exploded.groupBy(col(idCol))
-      .agg(
-        minhashAgg(0, col("sh")).as("h0"),
-        (1 until NumHashes).map(i => minhashAgg(i, col("sh")).as(s"h$i")): _*)
+    val digests = exploded.select(
+      col(idCol) +: (0 until NumDigests).map(s =>
+        md5(concat(lit(s"$s|"), col("sh"))).as(s"d$s")): _*)
+    def lane(i: Int): Column =
+      min(substring(col(s"d${i / LanesPerDigest}"),
+        (i % LanesPerDigest) * 8 + 1, 8))
+    digests.groupBy(col(idCol))
+      .agg(lane(0).as("h0"),
+        (1 until NumHashes).map(i => lane(i).as(s"h$i")): _*)
   }
 
   /** Banded signatures: (id, band_idx, sig) — md5 of each band's

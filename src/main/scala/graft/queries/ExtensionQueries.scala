@@ -78,8 +78,13 @@ object ExtensionQueries {
       Dedup.minhashLshPairs(augmented(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b"),
     Some {
-      val mins = (0 until Dedup.NumHashes)
-        .map(i => s"min(md5('$i|' || sh)) h$i").mkString(", ")
+      // same 4-lanes-per-digest scheme as Dedup.minhashSignatures:
+      // h_i = min over shingles of 8 hex chars of md5((i div 4)|sh)
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        val s = i / Dedup.LanesPerDigest
+        val off = (i % Dedup.LanesPerDigest) * 8 + 1
+        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
+      }.mkString(", ")
       val bands = (0 until Dedup.NumBands).map { b =>
         val cat = (0 until Dedup.RowsPerBand)
           .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")

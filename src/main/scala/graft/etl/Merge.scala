@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Delta/Iceberg-style `MERGE INTO` as a pure dataflow over snapshots —
+  * the general form of the reference's `ON CONFLICT DO UPDATE` upsert
+  * (reference `warehouse/load_facts.sql:92-98` is the special case
+  * "WHEN MATCHED THEN UPDATE ALL, WHEN NOT MATCHED THEN INSERT ALL").
+  *
+  * Semantics follow SQL:2003 / Delta MERGE:
+  *   - target and source rows are matched on key equality;
+  *   - for a MATCHED pair, the FIRST `WhenMatched` clause whose condition
+  *     holds decides the row's fate (update with its SET map, or delete);
+  *     if no clause applies the target row is kept unchanged;
+  *   - an unmatched TARGET row is always kept;
+  *   - an unmatched SOURCE row is inserted iff a `WhenNotMatched` clause
+  *     is given and its condition holds.
+  *
+  * Clause conditions and SET/VALUES expressions reference the two sides
+  * through the fixed aliases `t` (target) and `s` (source):
+  * `col("s.price") > col("t.price")`.
+  *
+  * PRECONDITION (same as Delta): each target row may match at most one
+  * source row — dedup the source on the merge keys first. A source with
+  * duplicate keys would update/delete one target row multiple ways
+  * nondeterministically; [[mergeFrames]] does not try to detect this at
+  * plan time (it would cost an extra aggregation over the source).
+  *
+  * Scale shape: one shuffle-or-broadcast full-outer join on the merge
+  * keys; every clause evaluates as a projected `when` chain inside the
+  * join's output (whole-stage codegen, no second pass). Routed through
+  * [[TableStore.upsertPartitionedWith]], only source-touched partitions
+  * are rewritten — at 100 TB a daily merge costs O(touched partitions).
+  */
+object Merge {
+
+  /** One `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` clause.
+    * `update = None` means DELETE. SET columns absent from the map keep
+    * their target value. */
+  final case class WhenMatched(
+      condition: Option[Column],
+      update: Option[Map[String, Column]])
+
+  def update(set: Map[String, Column], condition: Option[Column] = None): WhenMatched =
+    WhenMatched(condition, Some(set))
+
+  def delete(condition: Option[Column] = None): WhenMatched =
+    WhenMatched(condition, None)
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT` clause. VALUES columns
+    * absent from the map default to the source column of the same name
+    * (INSERT-by-name), or NULL if the source lacks it too. */
+  final case class WhenNotMatched(
+      condition: Option[Column] = None,
+      values: Map[String, Column] = Map.empty)
+
+  /** The MERGE result as a DataFrame with the TARGET's schema (same
+    * column names, types cast to the target's). Pure — callers decide
+    * how to persist (see [[TableStore.merge]]). */
+  def mergeFrames(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      whenMatched: Seq[WhenMatched],
+      whenNotMatched: Option[WhenNotMatched]): DataFrame = {
+
+    // presence markers survive the outer join where key columns may be
+    // NULL on either side (and keys themselves can be NULL-valued)
+    val t = target.withColumn("_t_present", lit(true)).alias("t")
+    val s = source.withColumn("_s_present", lit(true)).alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+
+    val matched = col("t._t_present").isNotNull && col("s._s_present").isNotNull
+    val targetOnly = col("t._t_present").isNotNull && col("s._s_present").isNull
+
+    // first-applicable-clause fold, built right-to-left so the leftmost
+    // `when` in the chain is the FIRST clause (SQL clause precedence)
+    def firstClause(onClause: WhenMatched => Column, default: Column): Column =
+      whenMatched.foldRight(default) { (cl, rest) =>
+        when(cl.condition.getOrElse(lit(true)), onClause(cl)).otherwise(rest)
+      }
+
+    val deleted = firstClause(
+      cl => lit(cl.update.isEmpty), lit(false))
+
+    val sourceHas = source.columns.toSet
+    def insertValue(name: String): Column =
+      whenNotMatched.map(_.values.getOrElse(name,
+        if (sourceHas(name)) col(s"s.$name") else lit(null)))
+        .getOrElse(lit(null))
+
+    val outCols = target.schema.fields.map { f =>
+      val fromT = col(s"t.${f.name}")
+      val onMatch = firstClause(
+        cl => cl.update.flatMap(_.get(f.name)).getOrElse(fromT), fromT)
+      when(matched, onMatch)
+        .when(targetOnly, fromT)
+        .otherwise(insertValue(f.name))
+        .cast(f.dataType).as(f.name)
+    }
+
+    val insertCond = whenNotMatched match {
+      case Some(cl) => cl.condition.getOrElse(lit(true))
+      case None     => lit(false)
+    }
+    val keep =
+      when(matched, !deleted)
+        .when(targetOnly, lit(true))
+        .otherwise(insertCond)
+
+    joined.filter(keep).select(outCols.toSeq: _*)
+  }
+}

@@ -100,6 +100,35 @@ final class TableStore(spark: SparkSession, val root: String) {
       overwrite(table, kept.unionByName(incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*)))
     }
 
+  /** Full MERGE INTO (update / delete / insert in one statement) against
+    * the current snapshot — see [[Merge]] for clause semantics. Whole-
+    * table snapshot rewrite; prefer [[mergePartitioned]] for large
+    * partitioned facts. */
+  def merge(table: String, source: DataFrame, keys: Seq[String],
+      whenMatched: Seq[Merge.WhenMatched],
+      whenNotMatched: Option[Merge.WhenNotMatched]): Unit =
+    // read() throws if the table is absent — MERGE needs the target's
+    // schema to exist (same contract as Delta's MERGE INTO)
+    overwrite(table,
+      Merge.mergeFrames(read(table), source, keys, whenMatched, whenNotMatched))
+
+  /** [[merge]] at O(touched partitions): only partitions present in the
+    * source are read, merged and rewritten; all others are file-linked
+    * into the new snapshot unchanged. Same partition-stability
+    * precondition as [[upsertPartitioned]] — and note a MERGE DELETE can
+    * only delete rows in source-touched partitions by construction. */
+  def mergePartitioned(table: String, source: DataFrame, keys: Seq[String],
+      partitionCol: String,
+      whenMatched: Seq[Merge.WhenMatched],
+      whenNotMatched: Option[Merge.WhenNotMatched]): Unit = {
+    if (!exists(table))
+      throw new IllegalStateException(
+        s"MERGE INTO $table: target must exist (its schema defines the result)")
+    upsertPartitionedWith(table, source, partitionCol) { (cur, inc) =>
+      Merge.mergeFrames(cur, inc, keys, whenMatched, whenNotMatched)
+    }
+  }
+
   /** M4-style append (event-sourced logs). */
   def append(table: String, rows: DataFrame): Unit =
     if (!exists(table)) overwrite(table, rows)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.etl.Merge
 import graft.ops.{Similarity, Temporal}
 import graft.sources.Tables
 
@@ -228,7 +229,54 @@ object MoreQueries {
     },
     None)
 
+  /** Full MERGE INTO (generalizes q64's upsert, reference
+    * `warehouse/load_facts.sql:92-98`): one statement with a conditional
+    * DELETE (first clause), an unconditional UPDATE (second clause — SQL
+    * clause precedence means it only sees non-deleted matches), and a
+    * filtered INSERT. The oracle re-derives the same result relationally
+    * (join + two NOT EXISTS branches), so this is a cross-formulation
+    * check of the clause semantics, not an echo. */
+  val q79Merge = OracleQuery("q79_merge",
+    "MERGE INTO: conditional delete + update + filtered insert in one pass",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val source = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Merge.mergeFrames(target, source, Seq("o_orderkey"),
+        Seq(
+          Merge.delete(Some(col("s.o_totalprice") > 300000.0)),
+          Merge.update(Map(
+            "o_orderstatus" -> lit("M"),
+            // per-row double addition: IEEE-deterministic (rule 1)
+            "o_totalprice" -> (col("t.o_totalprice") + col("s.o_totalprice"))))),
+        Some(Merge.WhenNotMatched(Some(col("s.o_orderstatus") === "O"))))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+      s AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT * FROM (
+        SELECT t.o_orderkey AS o_orderkey, 'M' AS o_orderstatus,
+               t.o_totalprice + s.o_totalprice AS o_totalprice
+        FROM t JOIN s USING (o_orderkey)
+        WHERE NOT (s.o_totalprice > 300000)
+        UNION ALL
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice FROM t
+        WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice FROM s
+        WHERE s.o_orderstatus = 'O'
+          AND NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)
+      ) u
+      ORDER BY o_orderkey"""))
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct, q74KnnIvf)
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge)
 }

@@ -1,0 +1,135 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.SparkTestBase
+
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def target =
+    Seq((1L, "open", 10.0), (2L, "open", 20.0), (3L, "closed", 30.0),
+      (4L, "open", 40.0))
+      .toDF("id", "status", "amount")
+
+  // 1 matches (delete), 2 matches (update), 3 matches (no clause fires),
+  // 5 unmatched (insert passes filter), 6 unmatched (insert filtered out)
+  private def source =
+    Seq((1L, "del", 99.0), (2L, "upd", 5.0), (3L, "noop", 7.0),
+      (5L, "new", 50.0), (6L, "skip", 60.0))
+      .toDF("id", "action", "amount")
+
+  private val clauses = Seq(
+    Merge.delete(Some($"s.action" === "del")),
+    Merge.update(
+      Map("status" -> lit("merged"), "amount" -> ($"t.amount" + $"s.amount")),
+      Some($"s.action" === "upd")))
+
+  private val insert = Merge.WhenNotMatched(
+    Some($"s.action" =!= "skip"),
+    Map("status" -> lit("inserted")))
+
+  test("mergeFrames: delete, conditional update, untouched match, filtered insert") {
+    val out = Merge.mergeFrames(target, source, Seq("id"), clauses, Some(insert))
+      .orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      // 1 deleted; 2 updated; 3 matched but no clause fired → unchanged
+      (2L, "merged", 25.0),
+      (3L, "closed", 30.0),
+      (4L, "open", 40.0),      // unmatched target kept
+      (5L, "inserted", 50.0))) // insert: values map + by-name amount; 6 filtered
+  }
+
+  test("mergeFrames: first matching clause wins (SQL clause precedence)") {
+    val t = Seq((1L, "x")).toDF("id", "v")
+    val s = Seq((1L, "y")).toDF("id", "v")
+    // both clauses' conditions hold; delete is first → row must go
+    val deleteFirst = Merge.mergeFrames(t, s, Seq("id"),
+      Seq(Merge.delete(None), Merge.update(Map("v" -> lit("upd")))), None)
+    assert(deleteFirst.count() == 0)
+    val updateFirst = Merge.mergeFrames(t, s, Seq("id"),
+      Seq(Merge.update(Map("v" -> lit("upd"))), Merge.delete(None)), None)
+    assert(updateFirst.as[(Long, String)].collect().toSeq == Seq((1L, "upd")))
+  }
+
+  test("mergeFrames: output schema is exactly the target's") {
+    val t = Seq((1L, BigDecimal(10))).toDF("id", "amount")
+      .select($"id", $"amount".cast(DecimalType(18, 2)).as("amount"))
+    val s = Seq((1L, 5.5)).toDF("id", "amount") // double on the source side
+    val out = Merge.mergeFrames(t, s, Seq("id"),
+      Seq(Merge.update(Map("amount" -> $"s.amount"))), None)
+    assert(out.schema("amount").dataType == DecimalType(18, 2))
+    assert(out.schema("id").dataType == LongType)
+    assert(out.select($"amount".cast("double")).as[Double].head() == 5.5)
+  }
+
+  test("TableStore.merge: snapshot round-trip; insert-only merge is idempotent") {
+    val root = Files.createTempDirectory("graft_mrg_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", target)
+    store.merge("t", source, Seq("id"), clauses, Some(insert))
+    assert(store.read("t").orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq.map(_._1) == Seq(2L, 3L, 4L, 5L))
+
+    // merge with no matched clauses + insert = ON CONFLICT DO NOTHING:
+    // re-running it must be a no-op (keys now all present)
+    val before = store.read("t").orderBy("id").collect().toSeq
+    store.merge("t", source, Seq("id"), Nil,
+      Some(Merge.WhenNotMatched()))
+    store.merge("t", source, Seq("id"), Nil,
+      Some(Merge.WhenNotMatched()))
+    val after = store.read("t").orderBy("id").collect().toSeq
+    // ids 1 and 6 were absent → inserted once (1 was deleted above); stable after
+    assert(after.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(after.filter(r => before.map(_.getLong(0)).contains(r.getLong(0))) == before,
+      "pre-existing rows must be untouched by insert-only merge")
+  }
+
+  test("mergePartitioned: untouched partitions hard-linked, delete stays partition-local") {
+    val root = Files.createTempDirectory("graft_mrgp_").toString
+    val store = new TableStore(spark, root)
+    val base = spark.range(100).select(
+      $"id",
+      ($"id" % 4).cast("int").as("bucket"),
+      lit("keep").as("status"))
+    // bootstrap partitioned layout via the upsert path, then MERGE
+    store.upsertPartitioned("t", base, Seq("id"), "bucket")
+
+    // source touches only bucket 1: delete odd ids, update the rest
+    val src = base.filter($"bucket" === 1)
+      .select($"id", $"bucket", lit(null).cast("string").as("status"))
+    store.mergePartitioned("t", src, Seq("id"), "bucket",
+      Seq(
+        Merge.delete(Some($"t.id" % 8 === 1)),
+        Merge.update(Map("status" -> lit("touched")))),
+      None)
+
+    val after = store.read("t")
+    assert(after.filter($"bucket" =!= 1).count() == 75, "other buckets intact")
+    assert(after.filter($"bucket" =!= 1 && $"status" =!= "keep").count() == 0)
+    assert(after.filter($"bucket" === 1).count() == 25 - 13, "odd-of-8 ids deleted")
+    assert(after.filter($"bucket" === 1 && $"status" =!= "touched").count() == 0)
+
+    // inode check: bucket=2 files in v2 are links of v1's
+    import java.nio.file.{Files => JF, Paths}
+    def inode(p: java.nio.file.Path) =
+      JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def firstParquet(version: Int, part: String) =
+      JF.list(Paths.get(s"$root/t/v$version/bucket=$part"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    assert(inode(firstParquet(2, "2")) == inode(firstParquet(1, "2")),
+      "untouched partition must be linked, not rewritten")
+  }
+
+  test("mergePartitioned refuses a missing target") {
+    val root = Files.createTempDirectory("graft_mrgx_").toString
+    val store = new TableStore(spark, root)
+    intercept[IllegalStateException] {
+      store.mergePartitioned("absent", target, Seq("id"), "status", Nil, None)
+    }
+  }
+}

@@ -202,12 +202,33 @@ final class TableStore(spark: SparkSession, val root: String) {
       val written = withList(nextDir)(
         _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
           .collect(java.util.stream.Collectors.toSet[String]))
+      // a partition the source TOUCHED but the rewrite left EMPTY (a
+      // MERGE whose deletes emptied it) produces no dir — it must not be
+      // resurrected by the link step. Resolve touched partition values to
+      // dir names through Spark's own writer so the escaping matches.
+      val probeDir = Files.createTempDirectory(Paths.get(dir(table)), ".touched_")
+      val touched = try {
+        incoming.select(col(partitionCol)).distinct()
+          .withColumn("_probe", org.apache.spark.sql.functions.lit(1))
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+          .parquet(probeDir.toString)
+        withList(probeDir)(
+          _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
+            .collect(java.util.stream.Collectors.toSet[String]))
+      } finally deleteRecursively(probeDir.toFile)
       withList(curDir)(_.forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith(s"$partitionCol=") && !written.contains(name))
+        if (name.startsWith(s"$partitionCol=") && !written.contains(name) &&
+            !touched.contains(name))
           linkTree(p, nextDir.resolve(name))
       })
     }
+    // a snapshot left with no partition dirs (a merge deleted every row)
+    // must stay readable: write a flat zero-row file carrying the schema
+    val hasData = withList(nextDir)(
+      _.anyMatch(_.getFileName.toString.startsWith(s"$partitionCol=")))
+    if (!hasData)
+      resolved.limit(0).write.mode(SaveMode.Overwrite).parquet(nextDir.toString)
     commit(table, next)
   }
 

@@ -276,7 +276,74 @@ object MoreQueries {
       ) u
       ORDER BY o_orderkey"""))
 
+  /** CDC apply (streaming/CdcApply's batch body, driver-checkable): a
+    * change feed with two generations per key (U at seq 1, D at seq 2
+    * for every 10th key) collapses to the latest change per key —
+    * same-seq ties broken D-last-wins — then MERGEs into the target:
+    * D deletes, U updates, unmatched non-D inserts. The oracle
+    * re-derives it as window + three relational branches. */
+  val q80CdcApply = OracleQuery("q80_cdc_apply",
+    "CDC apply: latest-change-wins collapse + delete/update/insert merge",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes =
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          col("o_orderkey"), lit("U").as("op"), lit(1L).as("seq"),
+          col("o_totalprice").as("price"))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 0).select(
+          col("o_orderkey"), lit("D").as("op"), lit(2L).as("seq"),
+          col("o_totalprice").as("price")))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("seq").desc, when(col("op") === "D", 1).otherwise(0).desc)
+      val latest = changes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      Merge.mergeFrames(target, latest, Seq("o_orderkey"),
+        Seq(
+          Merge.delete(Some(col("s.op") === "D")),
+          Merge.update(Map(
+            "o_orderstatus" -> lit("C"),
+            "o_totalprice" -> col("s.price")))),
+        Some(Merge.WhenNotMatched(Some(col("s.op") =!= "D"), Map(
+          "o_orderstatus" -> lit("N"),
+          "o_totalprice" -> col("s.price")))))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0),
+      c AS (
+        SELECT o_orderkey, 'U' AS op, CAST(1 AS BIGINT) AS seq,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', CAST(2 AS BIGINT), o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0),
+      latest AS (
+        SELECT o_orderkey, op, price FROM (
+          SELECT c.*, row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY seq DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+          FROM c) WHERE rn = 1)
+      SELECT * FROM (
+        SELECT t.o_orderkey AS o_orderkey, 'C' AS o_orderstatus,
+               latest.price AS o_totalprice
+        FROM t JOIN latest USING (o_orderkey) WHERE latest.op <> 'D'
+        UNION ALL
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice FROM t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM latest WHERE latest.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT latest.o_orderkey, 'N', latest.price FROM latest
+        WHERE latest.op <> 'D' AND NOT EXISTS (
+          SELECT 1 FROM t WHERE t.o_orderkey = latest.o_orderkey)
+      ) u
+      ORDER BY o_orderkey"""))
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge)
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply)
 }

@@ -22,6 +22,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingSessionize extends Serializable {
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
+  /** [[Event]] plus the TimestampType column the watermark tracks. */
+  case class EventWithTime(user_id: Long, ts_us: Long, event_id: Long,
+      event_time: java.sql.Timestamp)
   case class OpenSession(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
@@ -73,6 +76,59 @@ object StreamingSessionize extends Serializable {
     * engine runs a state batch on EVERY trigger, so
     * processAllAvailable()/AvailableNow never observe an idle stream —
     * drive it with a continuous trigger and explicit stop. */
+  /** Event-time variant: open sessions are flushed by the WATERMARK, not
+    * by wall-clock. A session is closed as soon as the event-time
+    * watermark passes `last_us + gapUs` — the point after which no
+    * on-time event can extend it. Deterministic given the event stream
+    * (unlike [[sessionsWithTimeout]], which depends on arrival timing),
+    * and state stays bounded by the watermark horizon.
+    *
+    * `lateness` is the `withWatermark` delay ("10 minutes"): how far
+    * out-of-order events may arrive and still merge into their session.
+    *
+    * Unlike ProcessingTimeTimeout, EventTimeTimeout re-runs a batch only
+    * while the watermark advances, so AvailableNow/processAllAvailable
+    * harnesses terminate — no polling needed (SessionizeSpec).
+    */
+  def sessionsEventTime(events: Dataset[Event], gapUs: Long,
+      lateness: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+
+    val withTs = events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .as[EventWithTime]
+      .withWatermark("event_time", lateness)
+
+    def stitch(user: Long, batch: Iterator[EventWithTime],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] =
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(user, s.start_us, s.last_us, s.n))
+      } else {
+        val (closed, open) = foldBatch(user,
+          batch.map(e => Event(e.user_id, e.ts_us, e.event_id)), gapUs,
+          state.getOption)
+        open.foreach { s =>
+          state.update(s)
+          // fire once the watermark passes session end + gap; the engine
+          // requires the timeout to sit strictly beyond the current
+          // watermark, so clamp (a clamped session is already expired
+          // and flushes on the next watermark advance)
+          val target = s.last_us / 1000 + gapUs / 1000 + 1
+          state.setTimeoutTimestamp(
+            math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.iterator
+      }
+
+    withTs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(stitch)
+  }
+
   def sessionsWithTimeout(events: Dataset[Event], gapUs: Long,
       idleTimeoutMs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+
+class CdcApplySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // change rows: (id, bucket, payload, seq, op)
+  private def chg(rows: (Long, Int, String, Long, String)*) =
+    rows.toDF("id", "bucket", "payload", "seq", "op")
+
+  test("bootstrap, upsert, delete, and latest-change-wins across batches") {
+    val root = Files.createTempDirectory("graft_cdc_").toString
+    val store = new TableStore(spark, root)
+
+    // batch 1 bootstraps; id=2 has two changes — seq 11 must win;
+    // id=3 is inserted then deleted within the batch → never appears
+    CdcApply.applyBatch(store, "t",
+      chg((1L, 0, "a", 10L, "I"), (2L, 1, "b0", 10L, "I"),
+        (2L, 1, "b1", 11L, "U"), (3L, 0, "c", 10L, "I"),
+        (3L, 0, "c", 11L, "D")),
+      Seq("id"), "seq", "op", "bucket")
+    assert(store.read("t").select($"id", $"bucket", $"payload")
+      .orderBy("id").as[(Long, Int, String)].collect()
+      .toSeq == Seq((1L, 0, "a"), (2L, 1, "b1")))
+
+    // batch 2: update 1, delete 2, insert 4
+    CdcApply.applyBatch(store, "t",
+      chg((1L, 0, "a2", 20L, "U"), (2L, 1, "x", 20L, "D"),
+        (4L, 2, "d", 20L, "I")),
+      Seq("id"), "seq", "op", "bucket")
+    assert(store.read("t").select($"id", $"bucket", $"payload")
+      .orderBy("id").as[(Long, Int, String)].collect()
+      .toSeq == Seq((1L, 0, "a2"), (4L, 2, "d")))
+  }
+
+  test("same-seq delete beats the update (deterministic tie-break)") {
+    val root = Files.createTempDirectory("graft_cdc_tie_").toString
+    val store = new TableStore(spark, root)
+    CdcApply.applyBatch(store, "t", chg((1L, 0, "a", 1L, "I")),
+      Seq("id"), "seq", "op", "bucket")
+    CdcApply.applyBatch(store, "t",
+      chg((1L, 0, "u", 5L, "U"), (1L, 0, "u", 5L, "D")),
+      Seq("id"), "seq", "op", "bucket")
+    assert(store.read("t").count() == 0)
+  }
+
+  test("merge touches only the partitions present in the change batch") {
+    val root = Files.createTempDirectory("graft_cdc_part_").toString
+    val store = new TableStore(spark, root)
+    CdcApply.applyBatch(store, "t",
+      chg((1L, 0, "a", 1L, "I"), (2L, 1, "b", 1L, "I"), (3L, 2, "c", 1L, "I")),
+      Seq("id"), "seq", "op", "bucket")
+    // second apply touches bucket 1 only → buckets 0 and 2 hard-linked
+    CdcApply.applyBatch(store, "t", chg((2L, 1, "b2", 2L, "U")),
+      Seq("id"), "seq", "op", "bucket")
+
+    import java.nio.file.{Files => JF, Paths}
+    def inode(p: java.nio.file.Path) =
+      JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def firstParquet(version: Int, part: Int) =
+      JF.list(Paths.get(s"$root/t/v$version/bucket=$part"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    assert(inode(firstParquet(2, 0)) == inode(firstParquet(1, 0)))
+    assert(inode(firstParquet(2, 2)) == inode(firstParquet(1, 2)))
+    assert(store.read("t").filter($"id" === 2L).select($"payload")
+      .as[String].head() == "b2")
+  }
+
+  test("streaming apply: exactly-once across drains via checkpoint") {
+    val root = Files.createTempDirectory("graft_cdc_s_").toString
+    val changes = Files.createTempDirectory("graft_cdc_in_").toString
+    val ck = Files.createTempDirectory("graft_cdc_ck_").toString
+    val store = new TableStore(spark, root)
+    val schema = chg().schema
+
+    chg((1L, 0, "a", 1L, "I"), (2L, 1, "b", 1L, "I"))
+      .write.mode("append").parquet(changes)
+    def drain(): Unit = CdcApply.runAvailableNow(spark, store, "t", changes,
+      schema, Seq("id"), "seq", "op", "bucket", ck)
+    drain()
+    drain() // no new files — must be a no-op, not a re-apply
+    val v1 = store.read("t").orderBy("id").collect().toSeq
+    assert(v1.map(_.getLong(0)) == Seq(1L, 2L))
+
+    chg((1L, 0, "gone", 2L, "D"), (3L, 0, "c", 2L, "I"))
+      .write.mode("append").parquet(changes)
+    drain()
+    assert(store.read("t").select($"id", $"bucket", $"payload")
+      .orderBy("id").as[(Long, Int, String)].collect()
+      .toSeq == Seq((2L, 1, "b"), (3L, 0, "c")))
+  }
+}

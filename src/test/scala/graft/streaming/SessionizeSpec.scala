@@ -55,6 +55,45 @@ class SessionizeSpec extends SparkTestBase {
       ClosedSession(2, 10, 10, 1)))
   }
 
+  test("event-time watermark flushes sessions the moment no on-time event can extend them") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_wm_").toString
+    val ck = Files.createTempDirectory("graft_wm_ck_").toString
+    val gap = 1000000L // 1 s in µs
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[ClosedSession]()
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Event].toDS().schema).parquet(dir).as[Event]
+      val q = StreamingSessionize.sessionsEventTime(stream, gap, "0 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+          b.collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: user 1's session ends at 2s; user 2's event at 30s pushes
+    // the watermark to 30s, which is past 2s+gap → user 1 must flush by
+    // TIMEOUT (no closing event ever arrives). user 2 stays open.
+    Seq(Event(1, 1000000L, 1), Event(1, 2000000L, 2), Event(2, 30000000L, 3))
+      .toDS().write.mode("append").parquet(dir)
+    drain()
+    assert(emitted.asScala.toSet == Set(ClosedSession(1, 1000000L, 2000000L, 2)),
+      s"watermark must flush user 1 only: ${emitted.asScala.mkString(",")}")
+
+    // batch 2: a 60s event advances the watermark past user 2's horizon;
+    // user 3's own session stays open (watermark 60s < 60s+gap)
+    Seq(Event(3, 60000000L, 4)).toDS().write.mode("append").parquet(dir)
+    drain()
+    assert(emitted.asScala.toSet == Set(
+      ClosedSession(1, 1000000L, 2000000L, 2),
+      ClosedSession(2, 30000000L, 30000000L, 1)),
+      s"watermark advance must flush user 2: ${emitted.asScala.mkString(",")}")
+  }
+
   test("idle-timeout flushes open sessions for keys that stop arriving") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("graft_to_").toString

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Semantics are IDENTICAL to the composable form: left-to-right fold of
   * per-element double products — the exact accumulation order the DuckDB
   * oracle uses, so swapping it into the similarity operators changes no
-  * query result bit. Null arrays propagate null; elements are assumed
-  * non-null (embedding vectors; enforced upstream).
+  * query result bit. Null arrays propagate null; a null ELEMENT nulls
+  * the whole sum (as zip_with's null product does). The element null
+  * check is decided at CODEGEN time from the child types' `containsNull`,
+  * so provably-dense arrays pay nothing for it — and parquet-read
+  * vectors (always `containsNull = true`) stay exactly HOF-equivalent,
+  * which is what lets [[DotProductRewrite]] fire on them.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -38,6 +42,12 @@ case class DotProduct(left: Expression, right: Expression)
   // non-null and drop the null branch
   override def nullable: Boolean = true
 
+  // whether the element-null branch must be emitted at all
+  private lazy val elementsMayBeNull = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,7 +59,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = x.numElements()
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (elementsMayBeNull && (x.isNullAt(i) || y.isNullAt(i))) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
   }
@@ -59,6 +73,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsMayBeNull)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -66,6 +84,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  ${ev.value} = $acc;

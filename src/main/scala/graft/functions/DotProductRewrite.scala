@@ -1,0 +1,67 @@
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule: rewrite the declarative dot-product idiom
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)
+  *
+  * into the native codegen'd [[DotProduct]] — users (and the DuckDB
+  * oracle twins) write the portable higher-order-function form, the
+  * cluster runs the fused loop (~3× on the ANN hot path, FunctionsSpec).
+  *
+  * Safe for any `array<double>` inputs: DotProduct matches the HOF form
+  * on null arrays, length mismatch AND null elements (the element check
+  * is emitted only when the child types admit nulls — DotProduct
+  * Scaladoc), so the rewrite needs no nullability gate. Non-double
+  * arrays can't match the pattern: zip_with over them inserts casts
+  * inside the lambda, which breaks the bare `x * y` shape.
+  *
+  * Ships in [[GraftExtensions]] (`injectOptimizerRule`) and is equally
+  * usable via `spark.experimental.extraOptimizations` in a REPL.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def sameVar(e: Expression, v: NamedExpression): Boolean = (e, v) match {
+    case (a: NamedLambdaVariable, b: NamedLambdaVariable) => a.exprId == b.exprId
+    case _ => false
+  }
+
+  /** x * y in either operand order over exactly the lambda's two params. */
+  private def isPairProduct(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Multiply(l, r, _), Seq(x, y), _) =>
+      (sameVar(l, x) && sameVar(r, y)) || (sameVar(l, y) && sameVar(r, x))
+    case _ => false
+  }
+
+  private def isPairSum(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Add(l, r, _), Seq(acc, el), _) =>
+      (sameVar(l, acc) && sameVar(r, el)) || (sameVar(l, el) && sameVar(r, acc))
+    case _ => false
+  }
+
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(arg), _) => sameVar(body, arg)
+    case _ => false
+  }
+
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, product: LambdaFunction),
+            Literal(0.0, DoubleType),
+            merge: LambdaFunction,
+            finish)
+          if isPairProduct(product) && isPairSum(merge) && isIdentity(finish) &&
+            doubleArray(a) && doubleArray(b) =>
+        DotProduct(a, b)
+    }
+}

@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // portable HOF dot products optimize into the fused native loop
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -47,6 +47,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(c.isNullAt(0))
   }
 
+  test("optimizer rule rewrites the HOF dot-product idiom into the native loop") {
+    import org.apache.spark.sql.graftfn.{DotProduct, DotProductRewrite}
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try {
+      // dense (containsNull=false) arrays: must rewrite, values unchanged
+      val dense = vd.select($"vec_id",
+        Similarity.dotComposable($"v", $"v").as("n2"))
+      assert(dense.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[DotProduct])),
+        s"expected DotProduct in:\n${dense.queryExecution.optimizedPlan}")
+      val viaRule = dense.orderBy("vec_id").limit(5).as[(Long, Double)].collect()
+      val viaNative = vd.select($"vec_id", Similarity.dot($"v", $"v"))
+        .orderBy("vec_id").limit(5).as[(Long, Double)].collect()
+      assert(viaRule.sameElements(viaNative))
+
+      // nullable-element arrays rewrite too — DotProduct's codegen-time
+      // null branch keeps the HOF null-element semantics (sum → NULL)
+      val nullable = spark.sql(
+        """SELECT aggregate(zip_with(array(1d, CAST(NULL AS DOUBLE)),
+                   array(2d, 3d), (x, y) -> x * y), 0d,
+                 (acc, p) -> acc + p) AS s""")
+      assert(nullable.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[DotProduct])),
+        s"rewrite must fire on containsNull arrays too:\n${nullable.queryExecution.optimizedPlan}")
+      assert(nullable.head().isNullAt(0),
+        "a null element must null the sum exactly like the HOF form")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq DotProductRewrite)
+  }
+
   test("native expression is faster than the composable form on a wide scan") {
     // amplify the corpus so the loop dominates scheduling noise
     val big = vd.crossJoin(spark.range(200)).select($"v").cache()

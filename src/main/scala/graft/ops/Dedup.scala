@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *  - verification (Jaccard) touches only candidate pairs, never the
   *    full cross product.
   *
-  * The hash family is md5-based (deterministic, available in any engine —
-  * the oracle twin runs the same math in DuckDB). For a pure-Spark fast
-  * path substitute xxhash64, which is codegen'd and ~10× cheaper; the
-  * banding math is identical.
+  * The hash family is pluggable ([[MinHashFamily]]): md5 by default
+  * (deterministic, available in any engine — the oracle twin runs the
+  * same math in DuckDB), xxhash64 ([[XxFamily]]) as the production fast
+  * path (codegen'd, ~10× cheaper, long-typed lanes); the banding math is
+  * identical.
   */
 object Dedup {
 
@@ -84,6 +85,23 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
+  /** The minhash hash family is pluggable: [[Md5Family]] is the default —
+    * portable, every engine has md5, so the DuckDB oracle replays the
+    * exact math (q54). [[XxFamily]] is the production fast path:
+    * xxhash64 is a codegen'd long-returning native expression, ~10×
+    * cheaper per shingle; banding math and recall behavior are identical
+    * (DedupSpec runs the planted-pair recall suite over both). */
+  sealed trait MinHashFamily {
+    /** How many bound digest columns per shingle row. */
+    def numDigests: Int
+    /** The s-th salted digest of a shingle. */
+    def digest(s: Int, sh: Column): Column
+    /** The i-th minhash lane, reading the BOUND digest columns. */
+    def lane(i: Int, digests: Int => Column): Column
+    /** Collapse one band's row hashes into a bucket signature. */
+    def bandSig(rows: Seq[Column]): Column
+  }
+
   /** Hash values per md5 digest: one 128-bit md5 yields four independent
     * 32-bit minhash lanes (8 hex chars each — fixed-width hex compares
     * lexicographically = numerically), so 16 hash functions cost 4 md5
@@ -91,31 +109,50 @@ object Dedup {
     * q54's wall time; this is the biggest single lever on it while
     * keeping the hash family portable to the DuckDB oracle. */
   val LanesPerDigest = 4
-  val NumDigests: Int = NumHashes / LanesPerDigest
+
+  case object Md5Family extends MinHashFamily {
+    val numDigests: Int = NumHashes / LanesPerDigest
+    def digest(s: Int, sh: Column): Column = md5(concat(lit(s"$s|"), sh))
+    def lane(i: Int, digests: Int => Column): Column =
+      substring(digests(i / LanesPerDigest), (i % LanesPerDigest) * 8 + 1, 8)
+    def bandSig(rows: Seq[Column]): Column = md5(concat(rows: _*))
+  }
+
+  /** Production family: one codegen'd 64-bit hash per lane, long min()
+    * aggregation (cheaper than string min), long bucket signatures. */
+  case object XxFamily extends MinHashFamily {
+    val numDigests: Int = NumHashes
+    def digest(s: Int, sh: Column): Column = xxhash64(lit(s), sh)
+    def lane(i: Int, digests: Int => Column): Column = digests(i)
+    def bandSig(rows: Seq[Column]): Column = xxhash64(rows: _*)
+  }
+
+  val NumDigests: Int = Md5Family.numDigests
 
   /** (doc_id, h0..h15) MinHash signature table from (id, text). The
     * digests are BOUND as columns before the 16 min() aggregates read
-    * their substrings — aggregate input expressions are not reliably
-    * subexpression-eliminated, so an inline md5 would run 4× per lane. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * them — aggregate input expressions are not reliably
+    * subexpression-eliminated, so an inline digest would run once per
+    * lane that reads it. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      family: MinHashFamily = Md5Family): DataFrame = {
     val exploded = shingleRows(docs, idCol, textCol)
     val digests = exploded.select(
-      col(idCol) +: (0 until NumDigests).map(s =>
-        md5(concat(lit(s"$s|"), col("sh"))).as(s"d$s")): _*)
-    def lane(i: Int): Column =
-      min(substring(col(s"d${i / LanesPerDigest}"),
-        (i % LanesPerDigest) * 8 + 1, 8))
+      col(idCol) +: (0 until family.numDigests).map(s =>
+        family.digest(s, col("sh")).as(s"d$s")): _*)
+    def lane(i: Int): Column = min(family.lane(i, d => col(s"d$d")))
     digests.groupBy(col(idCol))
       .agg(lane(0).as("h0"),
         (1 until NumHashes).map(i => lane(i).as(s"h$i")): _*)
   }
 
-  /** Banded signatures: (id, band_idx, sig) — md5 of each band's
+  /** Banded signatures: (id, band_idx, sig) — one digest of each band's
     * concatenated row hashes. */
-  def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
+  def lshBands(sigs: DataFrame, idCol: String,
+      family: MinHashFamily = Md5Family): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      md5(concat(rows: _*)).as(s"b$b")
+      family.bandSig(rows).as(s"b$b")
     }
     val withBands = sigs.select(col(idCol) +: bandCols: _*)
     val stackExpr = (0 until NumBands)
@@ -176,8 +213,10 @@ object Dedup {
 
   /** End-to-end MinHash+LSH candidate pairs from (id, text). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = Int.MaxValue): DataFrame =
-    lshCandidatePairs(lshBands(minhashSignatures(docs, idCol, textCol), idCol),
+      maxBucket: Int = Int.MaxValue,
+      family: MinHashFamily = Md5Family): DataFrame =
+    lshCandidatePairs(
+      lshBands(minhashSignatures(docs, idCol, textCol, family), idCol, family),
       idCol, maxBucket)
 
   /** Exact n-gram Jaccard similarity for (probe × corpus) pairs sharing at

@@ -38,21 +38,24 @@ class DedupSpec extends SparkTestBase {
     assert(twice.count() == once.count())
   }
 
-  test("minhash LSH candidates include all exact-dup pairs and most near-dup pairs") {
-    val pairs = Dedup.minhashLshPairs(aug, "doc_id", "text")
-      .as[(Long, Long)].collect().toSet
-    val exactPairs = docs.filter($"doc_id" % 10 === 0)
-      .select($"doc_id").as[Long].collect()
-      .map(id => (id, id + 10000)).toSet
-    assert(exactPairs.subsetOf(pairs),
-      s"missing exact pairs: ${exactPairs -- pairs}")
-    val nearIds = docs.filter($"doc_id" % 10 === 5)
-      .select($"doc_id").as[Long].collect()
-    val nearFound = nearIds.count(id => pairs.contains((id, id + 20000)))
-    // near-dups have Jaccard ≈ (S-k)/S ≈ 0.9+; 4-row bands catch ~all
-    assert(nearFound >= nearIds.length * 0.8,
-      s"found $nearFound of ${nearIds.length} near-dup pairs")
-  }
+  // both hash families must pass the same recall bar: md5 is the
+  // oracle-portable default, xxhash64 the production fast path
+  for (family <- Seq(Dedup.Md5Family, Dedup.XxFamily))
+    test(s"minhash LSH ($family) candidates include all exact-dup pairs and most near-dup pairs") {
+      val pairs = Dedup.minhashLshPairs(aug, "doc_id", "text", family = family)
+        .as[(Long, Long)].collect().toSet
+      val exactPairs = docs.filter($"doc_id" % 10 === 0)
+        .select($"doc_id").as[Long].collect()
+        .map(id => (id, id + 10000)).toSet
+      assert(exactPairs.subsetOf(pairs),
+        s"missing exact pairs: ${exactPairs -- pairs}")
+      val nearIds = docs.filter($"doc_id" % 10 === 5)
+        .select($"doc_id").as[Long].collect()
+      val nearFound = nearIds.count(id => pairs.contains((id, id + 20000)))
+      // near-dups have Jaccard ≈ (S-k)/S ≈ 0.9+; 4-row bands catch ~all
+      assert(nearFound >= nearIds.length * 0.8,
+        s"found $nearFound of ${nearIds.length} near-dup pairs")
+    }
 
   test("oversized-bucket cap: adversarial all-same-band corpus stays linear, real pairs survive") {
     // adversarial corpus: 200 byte-identical documents — every band

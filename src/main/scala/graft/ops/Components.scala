@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate CANDIDATE PAIRS (Dedup.minhashLshPairs) into
+  * duplicate GROUPS, so "keep one survivor per group" becomes a
+  * groupBy(component). The reference has no grouping notion at all; any
+  * corpus-scale dedup needs one.
+  *
+  * Algorithm: min-label propagation with POINTER JUMPING — each round a
+  * node takes the min of its own, its neighbors', and its current
+  * label's label (path halving). Each round is two joins + one
+  * aggregate, all shuffles on node id, no driver-side graph, so a round
+  * costs O(|E|) regardless of cluster size; the jumping step makes
+  * label chains collapse geometrically, so rounds ~ O(log diameter)
+  * (the same bound the large-star/small-star formulation achieves —
+  * Kiveris et al., "Connected Components in MapReduce", SoCC'14).
+  * Near-dup graphs are unions of near-cliques (diameter ≲ 3) and
+  * converge in 2–3 rounds.
+  *
+  * Iterative DataFrame loops grow the lineage exponentially;
+  * `localCheckpoint` per round truncates it (on a real cluster prefer
+  * `checkpoint` with a reliable dir so lost executors can recompute).
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges`; component =
+    * min node id of the connected component. The per-round convergence
+    * check is a driver-side count — inherent to any fixed-point loop
+    * (same pattern as IVF's Lloyd iterations). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .unionByName(edges
+        .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // pull pass: each node takes min(own label, neighbors' labels)
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("lb")).as("nbr_label"))
+      val pulled = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow the label one step (label's own label) —
+      // collapses label chains geometrically instead of one hop per round
+      val next = pulled
+        .join(pulled.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") < col("old")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Survivor projection: one row per component — the minimum id — with
+    * the member count (the near-dup analogue of Dedup.exactDupGroups). */
+  def componentGroups(components: DataFrame): DataFrame =
+    components.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("component").as("survivor_id"), col("n_members"))
+}

@@ -343,7 +343,38 @@ object MoreQueries {
       ) u
       ORDER BY o_orderkey"""))
 
+  /** Connected components (the dedup-group step, `ops/Components`): edge
+    * list of k→k+3 chains over order keys — TPC-H keys are sparse, so
+    * chains break at missing keys, giving variable-length multi-hop
+    * components that exercise the pointer-jumping rounds. The oracle
+    * computes the same closure with a recursive CTE, a wholly different
+    * algorithm (transitive closure vs label propagation). */
+  val q81Components = OracleQuery("q81_components",
+    "connected components: min-label over sparse-key chain graph",
+    (s, d) => {
+      import graft.ops.Components
+      val e = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 30 =!= 27)
+        .select(col("o_orderkey").as("src"), (col("o_orderkey") + 3).as("dst"))
+      Components.connectedComponents(e, "src", "dst")
+        .orderBy("node")
+    },
+    Some("""
+      WITH RECURSIVE
+      e AS (
+        SELECT o_orderkey AS src, o_orderkey + 3 AS dst
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 27),
+      u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      reach(n, m) AS (
+        SELECT src, dst FROM u
+        UNION
+        SELECT r.n, u.dst FROM reach r JOIN u ON r.m = u.src WHERE u.dst <> r.n)
+      SELECT n AS node, LEAST(n, MIN(m)) AS component
+      FROM reach GROUP BY n
+      ORDER BY node"""))
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply)
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply,
+    q81Components)
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*) =
+    Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, triangles and singleton edges resolve to min-id components") {
+    val got = cc((1L, 2L), (2L, 3L), (3L, 4L), // path: needs >1 round
+      (10L, 11L), (11L, 12L), (10L, 12L),      // triangle
+      (20L, 21L))                              // single edge
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (diameter > a handful of rounds)") {
+    // path 0-1-2-...-40: min label must walk the full length
+    val edges = (0L until 40L).map(i => (i, i + 1))
+    val got = cc(edges: _*)
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 41)
+  }
+
+  test("late merge: two low-diameter clusters joined by one bridge edge") {
+    val c1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val c2 = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val bridged = cc(c1 ++ c2 :+ ((3L, 102L)): _*)
+    assert(bridged.values.toSet == Set(1L), s"bridge must merge all: $bridged")
+    val apart = cc(c1 ++ c2: _*)
+    assert(apart.filter(_._1 < 100).values.toSet == Set(1L))
+    assert(apart.filter(_._1 >= 100).values.toSet == Set(100L))
+  }
+
+  test("LSH candidate pairs collapse into duplicate groups with the original as survivor") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    // plant a 3-copy group: original, +10000 copy, +20000 copy
+    val aug = docs
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 20000).as("doc_id"), $"text"))
+    val pairs = Dedup.minhashLshPairs(aug, "doc_id", "text",
+      family = Dedup.XxFamily)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    Dedup.unpersistCaches()
+    val planted = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+    planted.foreach { id =>
+      assert(comp.get(id + 10000).contains(comp.getOrElse(id, id)) &&
+        comp.get(id + 20000).contains(comp.getOrElse(id, id)),
+        s"copies of $id must land in its component")
+    }
+    // survivors: every component label is an original (< 10000) id
+    assert(comp.values.forall(_ < 10000))
+  }
+}

@@ -53,6 +53,34 @@ final class TableStore(spark: SparkSession, val root: String) {
     spark.read.parquet(s"${dir(table)}/v$v")
   }
 
+  /** Time travel: read a specific retained snapshot version (the
+    * Delta/Iceberg `VERSION AS OF` shape — every commit IS a full
+    * immutable snapshot here, so this is just a pointer-free read).
+    * Fails if the version was GC'd by [[compact]]. */
+  def readVersion(table: String, version: Int): DataFrame = {
+    val p = Paths.get(dir(table), s"v$version")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"table $table has no snapshot v$version (GC'd by compact, or never written)")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Committed snapshot versions still on disk, ascending; the last one
+    * is what [[read]] resolves. Uncommitted claim dirs (version numbers
+    * above the pointer) are excluded. */
+  def versions(table: String): Seq[Int] =
+    currentVersion(table) match {
+      case None => Nil
+      case Some(cur) =>
+        val names = withList(Paths.get(dir(table)))(
+          _.map[String](_.getFileName.toString)
+            .collect(java.util.stream.Collectors.toList[String]))
+        import scala.jdk.CollectionConverters._
+        names.asScala.toSeq
+          .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+          .filter(_ <= cur).sorted
+    }
+
   /** Atomically claim the next snapshot version: `createDirectory` is the
     * mutex — if the directory already exists, another writer claimed it
     * (or a previous write crashed before committing). */

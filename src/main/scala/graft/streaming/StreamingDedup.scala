@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Streaming exact dedup for the continuous-ingest path: a row whose key
+  * was already seen within the event-time watermark horizon is dropped.
+  *
+  * Scale shape: `dropDuplicatesWithinWatermark` keeps one state entry
+  * per key and EVICTS it once the watermark passes, so state is bounded
+  * by (arrival rate × horizon) — unlike `dropDuplicates` on a stream,
+  * whose state grows with the stream's lifetime and eventually OOMs a
+  * 100 TB/day ingest. The batch twin is Dedup.dedupExact / q51; this is
+  * the form the ingest front door runs (duplicate deliveries from
+  * at-least-once sources land within minutes of each other, so a short
+  * horizon suffices).
+  */
+object StreamingDedup {
+
+  /** Drop rows whose `idCols` were seen within `horizon` of event time.
+    * `tsCol` must be a TimestampType column. */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+      tsCol: String, horizon: String): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Convenience for the events schema: nanos → timestamp, dedup on
+    * event_id. */
+  def dedupEvents(events: DataFrame, horizon: String): DataFrame =
+    dedupWithinWatermark(
+      events.withColumn("event_time",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (col("ts") / 1000).cast("long"))),
+      Seq("event_id"), "event_time", horizon)
+}

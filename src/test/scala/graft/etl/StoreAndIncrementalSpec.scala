@@ -28,6 +28,26 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
   }
 
+  test("time travel: every commit is a readable snapshot; versions() lists the retained set") {
+    val root = Files.createTempDirectory("graft_tt_").toString
+    val store = new TableStore(spark, root)
+    assert(store.versions("t") == Nil)
+    store.overwrite("t", spark.range(3).toDF("id"))
+    store.append("t", spark.range(3, 5).toDF("id"))
+    store.overwrite("t", spark.range(100, 101).toDF("id"))
+    assert(store.versions("t") == Seq(1, 2, 3))
+    assert(store.readVersion("t", 1).count() == 3)
+    assert(store.readVersion("t", 2).count() == 5)
+    // current read ≡ the newest version
+    assert(store.read("t").as[Long].collect().toSeq ==
+      store.readVersion("t", 3).as[Long].collect().toSeq)
+    intercept[IllegalStateException] { store.readVersion("t", 9) }
+    // GC'd versions disappear from the listing and fail loudly
+    store.compact("t", numFiles = 1, retain = 1)
+    assert(store.versions("t").size == 1)
+    intercept[IllegalStateException] { store.readVersion("t", 1) }
+  }
+
   test("a claimed/stale next-version directory fails the write instead of silently losing one") {
     val root = Files.createTempDirectory("graft_cw_").toString
     val store = new TableStore(spark, root)

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("duplicates within the watermark horizon are dropped across micro-batches") {
+    val dir = Files.createTempDirectory("graft_sdd_").toString
+    val ck = Files.createTempDirectory("graft_sdd_ck_").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, java.sql.Timestamp)].toDF("id", "event_time").schema)
+        .parquet(dir)
+      val q = StreamingDedup
+        .dedupWithinWatermark(stream, Seq("id"), "event_time", "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"id", unix_timestamp($"event_time")).as[(Long, Long)]
+            .collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rows(r: (Long, Long)*) =
+      r.toDF("id", "s").select($"id", timestamp_seconds($"s").as("event_time"))
+
+    import scala.jdk.CollectionConverters._
+    // batch 1: id=1 twice in-batch → once; id=2 once
+    rows((1L, 1000L), (1L, 1060L), (2L, 1000L)).write.mode("append").parquet(dir)
+    drain()
+    assert(emitted.asScala.map(_._1).toSeq.sorted == Seq(1L, 2L))
+
+    // batch 2: id=1 again within horizon → dropped; id=3 new → kept
+    rows((1L, 1120L), (3L, 1120L)).write.mode("append").parquet(dir)
+    drain()
+    assert(emitted.asScala.map(_._1).toSeq.sorted == Seq(1L, 2L, 3L),
+      s"redelivered id=1 must be dropped: ${emitted.asScala.toSeq}")
+
+    // batch 3: watermark pushed far past the horizon, then id=1 redelivered
+    // LATER than the horizon → state was evicted, row is (correctly) kept
+    rows((9L, 10000L)).write.mode("append").parquet(dir)
+    drain()
+    rows((1L, 9500L)).write.mode("append").parquet(dir)
+    drain()
+    assert(emitted.asScala.map(_._1).toSeq.sorted == Seq(1L, 1L, 2L, 3L, 9L),
+      "post-eviction redelivery is a NEW row by contract (bounded state)")
+  }
+}

@@ -45,6 +45,7 @@ object Components {
       .localCheckpoint(true)
     var iter = 0
     var done = false
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!done && iter < maxIter) {
       // pull pass: each node takes min(own label, neighbors' labels)
       val nbrMin = sym
@@ -62,10 +63,16 @@ object Components {
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("node"), col("label").as("old")), Seq("node"))
-        .filter(col("label") < col("old")).count()
+      // labels only ever DECREASE, so the label sum is a strictly
+      // decreasing potential: unchanged sum == fixed point. One agg on
+      // the (checkpointed) result instead of a join against the old set.
+      // Decimal sum: 10^9 nodes × 2^63-ish ids would overflow a long.
+      val sumNow = next
+        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      done = prevSum.contains(sumNow)
+      prevSum = Some(sumNow)
       labels = next
-      done = changed == 0
       iter += 1
     }
     sym.unpersist()

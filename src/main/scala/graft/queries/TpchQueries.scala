@@ -88,5 +88,123 @@ object TpchQueries {
       ORDER BY lost_revenue DESC, c_custkey
       LIMIT 20"""))
 
-  def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems)
+  /** Q14 shape — promo revenue share: conditional vs total aggregate in
+    * one pass (no self-join), ratio computed once over exact decimal
+    * sums. Part side broadcast. */
+  val q82PromoRevenue = OracleQuery("q82_promo_revenue",
+    "TPC-H Q14 shape: conditional/total revenue ratio, broadcast part join",
+    (s, d) => {
+      val lo = lit("1995-06-01").cast("timestamp")
+      val hi = lit("1995-09-01").cast("timestamp")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      val dp = col("l_extendedprice").cast(dec2) *
+        (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), dp)).cast("double")
+            .as("promo_revenue"),
+          sum(dp).cast("double").as("total_revenue"))
+        .select(
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT p_type,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS dp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+          AND l_shipdate < TIMESTAMP '1995-09-01'),
+      a AS (
+        SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN dp END) AS DOUBLE)
+                 AS promo_revenue,
+               CAST(SUM(dp) AS DOUBLE) AS total_revenue
+        FROM j)
+      SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+             promo_revenue, total_revenue
+      FROM a"""))
+
+  /** Q7 shape — volume shipping between two nations: the SAME dim table
+    * joined twice under different roles (supplier nation vs customer
+    * nation), both broadcast; per-year exact revenue. */
+  val q83NationVolume = OracleQuery("q83_nation_volume",
+    "TPC-H Q7 shape: one dim in two roles (supp/cust nation), yearly revenue",
+    (s, d) => {
+      val pairs = Seq(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(pairs.map { case (a, b) =>
+          col("supp_nation") === a && col("cust_nation") === b }.reduce(_ || _))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+         OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
+  /** Q18 shape — large-volume orders: aggregate-then-semi-join-back (the
+    * HAVING-subquery pattern): order keys whose total quantity clears a
+    * threshold, rejoined to orders+customer for attributes. Exact
+    * decimal sum on double quantities (determinism rule 1). */
+  val q84BigOrders = OracleQuery("q84_big_orders",
+    "TPC-H Q18 shape: agg-then-join-back on a HAVING threshold",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qd"))
+        .filter(col("qd") > 180)
+        .select(col("l_orderkey").as("b_orderkey"), col("qd").cast("double").as("sum_qty"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("b_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+      SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+      FROM orders
+      JOIN big ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""))
+
+  def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems,
+    q82PromoRevenue, q83NationVolume, q84BigOrders)
 }

@@ -219,6 +219,22 @@ object Dedup {
       lshBands(minhashSignatures(docs, idCol, textCol, family), idCol, family),
       idCol, maxBucket)
 
+  /** End-to-end near-dedup: LSH candidate pairs → connected components →
+    * keep one survivor (the min id) per duplicate group. The full
+    * corpus-scale dedup a training-data pipeline runs: candidates are
+    * bucket-bounded, grouping is O(log diameter) rounds, and the final
+    * projection is one anti-join of non-survivor ids against the corpus.
+    * Use `maxBucket` + [[XxFamily]] for production corpora. */
+  def dedupNear(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = Int.MaxValue,
+      family: MinHashFamily = Md5Family): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, maxBucket, family)
+    val victims = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for (probe × corpus) pairs sharing at
     * least one shingle. `probePred` bounds the left side so the candidate
     * join stays linear in corpus size. */

@@ -61,4 +61,25 @@ class ComponentsSpec extends SparkTestBase {
     // survivors: every component label is an original (< 10000) id
     assert(comp.values.forall(_ < 10000))
   }
+
+  test("dedupNear keeps originals, drops planted copies, leaves uniques alone") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val aug = docs.unionByName(docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val kept = Dedup.dedupNear(aug, "doc_id", "text", family = Dedup.XxFamily)
+      .select($"doc_id").as[Long].collect().toSet
+    Dedup.unpersistCaches()
+    val copies = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id" + 10000).as[Long].collect().toSet
+    assert(copies.intersect(kept).isEmpty, "planted copies must be dropped")
+    val originals = docs.select($"doc_id").as[Long].collect().toSet
+    // planted copies always have LARGER ids than every original, so a
+    // survivor (= component min) is always an original — never a copy
+    assert(kept.subsetOf(originals))
+    // LSH may also group genuinely similar originals (dropping the
+    // larger id), but that should be the minority of the corpus
+    assert(kept.size >= originals.size * 0.8,
+      s"kept ${kept.size} of ${originals.size} originals")
+  }
 }

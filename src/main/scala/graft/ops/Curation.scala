@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic sampling, splitting
+  * and chunking. None of them use an RNG — membership is a pure
+  * function of the row's key via md5, so every run, every engine, and
+  * every RESHARDING of the data produces the same sample/split/chunks
+  * (Spark's `sample()`/`randomSplit()` are partition-order-dependent,
+  * which silently reshuffles training membership when upstream
+  * partitioning changes — unacceptable for reproducible training sets).
+  *
+  * Scale shapes: stratified sampling is one window per stratum (shuffle
+  * on the strata key); hash split is a narrow projection (no shuffle at
+  * all — each row decides its own membership); chunking is a bounded
+  * explode (one output row per `step` tokens).
+  */
+object Curation {
+
+  /** Hex md5 of a key column — the deterministic "random" order. */
+  private def keyHash(key: Column, salt: String): Column =
+    md5(concat(lit(salt), key.cast("string")).cast("binary"))
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
+    * chosen by md5(key) order — a reproducible balanced sample. */
+  def stratifiedExact(df: DataFrame, strataCols: Seq[String], keyCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(keyHash(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
+  /** Stable train/test membership: a row is 'test' iff the first 8 hex
+    * chars of md5(salt ++ key) sort below the cutoff for `testFraction`
+    * (fixed-width hex compares lexicographically = numerically).
+    * Membership depends only on (key, salt) — adding or removing OTHER
+    * rows never flips it, unlike fraction-based sampling. */
+  def splitLabel(key: Column, testFraction: Double, salt: String = ""): Column = {
+    val cutoff = f"${math.round(testFraction * (1L << 32)).min((1L << 32) - 1)}%08x"
+    when(substring(keyHash(key, salt), 1, 8) < cutoff, lit("test"))
+      .otherwise(lit("train"))
+  }
+
+  def hashSplit(df: DataFrame, keyCol: String, testFraction: Double,
+      salt: String = ""): (DataFrame, DataFrame) = {
+    val lab = splitLabel(col(keyCol), testFraction, salt)
+    (df.filter(lab === "train"), df.filter(lab === "test"))
+  }
+
+  /** Fixed-size token-window chunks with overlap — the
+    * context-window-packing step before tokenization. One row per chunk:
+    * (id, chunk_idx, n_chunk_tokens, chunk_text); windows start every
+    * `size - overlap` tokens; documents shorter than one window yield a
+    * single (short) chunk; empty documents yield none. */
+  def chunkByWords(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("ws"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long"),
+        least(lit(chunkSize), col("n") - col("start")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+import graft.sources.Tables
+
+/** Training-data curation surface (`ops/Curation`): deterministic
+  * sampling / splitting / chunking, each with a DuckDB twin replaying
+  * the same md5-order math — no RNG anywhere, so the oracle can verify
+  * MEMBERSHIP, not just counts.
+  */
+object CurationQueries {
+
+  /** Balanced per-language sample: exactly 30 docs per lang, chosen by
+    * md5(doc_id) order. */
+  val q85Stratified = OracleQuery("q85_stratified_sample",
+    "deterministic stratified sample: 30 docs per language by md5 order",
+    (s, d) =>
+      Curation.stratifiedExact(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("lang"), "doc_id", 30)
+        .orderBy("lang", "doc_id"),
+    Some("""
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 30
+      ORDER BY lang, doc_id"""))
+
+  /** Stable 20% test split over documents: the oracle re-derives the
+    * same membership, then both sides aggregate count + key-sum per
+    * split — an exact identity check on WHO landed where. */
+  val q86HashSplit = OracleQuery("q86_hash_split",
+    "deterministic hash split: 20% test, membership-exact across engines",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Curation.splitLabel(col("doc_id"), 0.20).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split"),
+    Some("""
+      SELECT split, count(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '33333333'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents) t
+      GROUP BY split
+      ORDER BY split"""))
+
+  /** Token-window chunking: 40-token windows starting every 30 tokens
+    * (10 overlap); short tails kept. */
+  val q87Chunks = OracleQuery("q87_chunks",
+    "token-window chunking: 40-token windows, 10-token overlap",
+    (s, d) =>
+      Curation.chunkByWords(Tables.documents(s, d), "doc_id", "text", 40, 10)
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+      s AS (
+        SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 30)) AS st
+        FROM t2)
+      SELECT doc_id,
+             CAST(st // 30 AS BIGINT) AS chunk_idx,
+             CAST(LEAST(40, n - st) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(list_slice(ws, st + 1, st + 40), ' ') AS chunk_text
+      FROM s
+      ORDER BY doc_id, chunk_idx"""))
+
+  def all: Seq[OracleQuery] = Seq(q85Stratified, q86HashSplit, q87Chunks)
+}

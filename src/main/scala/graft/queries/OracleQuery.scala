@@ -39,7 +39,8 @@ object Catalog {
   def all: Seq[OracleQuery] =
     CoreQueries.all ++ StagingQueries.all ++ QualityQueries.all ++
       KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
-      RangeQueries.all ++ TpchQueries.all ++ SetQueries.all
+      RangeQueries.all ++ TpchQueries.all ++ SetQueries.all ++
+      CurationQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("stratified sample: exact per-stratum counts, stable under resharding") {
+    val s1 = Curation.stratifiedExact(docs, Seq("lang"), "doc_id", 5)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.foreach { case (l, n) => assert(n == math.min(5L, avail(l))) }
+    // membership is a function of the data, not its layout
+    val s2 = Curation.stratifiedExact(docs.repartition(17), Seq("lang"), "doc_id", 5)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("hash split: disjoint, exhaustive, row-stable when OTHER rows change") {
+    val (train, test) = Curation.hashSplit(docs, "doc_id", 0.2)
+    val tr = train.select("doc_id").as[Long].collect().toSet
+    val te = test.select("doc_id").as[Long].collect().toSet
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.size + te.size == docs.count())
+    // roughly 20% (binomial bounds, wide)
+    val frac = te.size.toDouble / (tr.size + te.size)
+    assert(frac > 0.10 && frac < 0.32, s"test fraction $frac")
+    // dropping half the corpus must not flip any surviving row's side
+    val (tr2, te2) = Curation.hashSplit(docs.filter($"doc_id" % 2 === 0), "doc_id", 0.2)
+    assert(te2.select("doc_id").as[Long].collect().toSet ==
+      te.filter(_ % 2 == 0))
+    assert(tr2.select("doc_id").as[Long].collect().toSet ==
+      tr.filter(_ % 2 == 0))
+    // a different salt produces a different (but again stable) split
+    val (_, te3) = Curation.hashSplit(docs, "doc_id", 0.2, salt = "v2")
+    assert(te3.select("doc_id").as[Long].collect().toSet != te)
+  }
+
+  test("chunking: full coverage, correct overlap, short tails kept") {
+    val chunks = Curation.chunkByWords(docs, "doc_id", "text", 40, 10)
+      .collect().groupBy(_.getLong(0))
+    val nTokens = docs.select($"doc_id", TextAnalysis.tokenCount($"text"))
+      .as[(Long, Long)].collect().toMap
+    nTokens.filter(_._2 > 0).foreach { case (id, n) =>
+      val c = chunks(id).sortBy(_.getLong(1))
+      // starts every 30 tokens while start < n
+      assert(c.length == ((n - 1) / 30 + 1).toInt, s"doc $id: $n tokens")
+      c.zipWithIndex.foreach { case (r, i) =>
+        val expected = math.min(40L, n - i * 30L)
+        assert(r.getLong(2) == expected, s"doc $id chunk $i")
+        assert(r.getString(3).split(" ").count(_.nonEmpty) == expected)
+      }
+      // consecutive chunks overlap by 10 tokens (when both are full-size)
+      c.sliding(2).foreach {
+        case Array(a, b) if a.getLong(2) == 40 =>
+          val aw = a.getString(3).split(" ")
+          val bw = b.getString(3).split(" ")
+          assert(aw.drop(30).sameElements(bw.take(math.min(10, bw.length))),
+            s"doc $id overlap mismatch")
+        case _ =>
+      }
+    }
+  }
+}

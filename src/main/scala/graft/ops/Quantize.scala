@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Symmetric int8 embedding quantization — the 4× storage/bandwidth
+  * reduction step before ANN serving. Per-vector scale `127 / max|x|`;
+  * quantized value `floor(x·scale + 0.5)` (round-half-up, written as
+  * floor so both Spark and the DuckDB oracle produce bit-identical
+  * integers — `round()` differs between engines on .5 ties, CLAUDE.md
+  * rule about ROUND on doubles).
+  *
+  * All math is elementwise double arithmetic (float→double widening is
+  * exact) — no aggregation-order dependence anywhere, so quantized
+  * vectors are deterministic under any partitioning. Narrow projection:
+  * zero shuffle.
+  *
+  * Lambdas reference BOUND columns (vd, scale) per the higher-order-
+  * function re-evaluation rule (`Dedup.shingleRows`).
+  */
+object Quantize {
+
+  /** (id, scale, qv) — qv as array<long> of values in [-127, 127]
+    * (symmetric scale saturates exactly at ±127, no clamp needed);
+    * zero vectors pass through with scale 1. */
+  def symmetricInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("vd"))
+      .withColumn("mx", array_max(transform(col("vd"), x => abs(x))))
+      .withColumn("scale",
+        when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(1.0)))
+      .select(col(idCol), col("scale"),
+        transform(col("vd"), x => floor(x * col("scale") + lit(0.5)))
+          .as("qv"))
+
+  /** Dequantized double vector (qv / scale) — for error measurement or
+    * rescoring after an int8 first pass. */
+  def dequantize(qv: Column, scale: Column): Column =
+    transform(qv, q => q.cast("double") / scale)
+}

@@ -77,5 +77,47 @@ object CurationQueries {
       FROM s
       ORDER BY doc_id, chunk_idx"""))
 
-  def all: Seq[OracleQuery] = Seq(q85Stratified, q86HashSplit, q87Chunks)
+  /** Int8 quantization summary (`ops/Quantize`): per-vector scale plus
+    * integer fingerprints of the quantized vector (sum/min/max/count of
+    * saturated lanes) — scalars only, so the cross-engine compare is
+    * exact without array-cell hashing. */
+  val q88Quantize = OracleQuery("q88_quantize_int8",
+    "symmetric int8 quantization: scale + exact integer fingerprints",
+    (s, d) => {
+      import graft.ops.Quantize
+      Quantize.symmetricInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qv"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"),
+          size(filter(col("qv"), q => abs(q) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, vd,
+               list_max(list_transform(vd, x -> abs(x))) AS mx
+        FROM e),
+      s2 AS (
+        SELECT vec_id, vd,
+               CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS scale
+        FROM s),
+      q AS (
+        SELECT vec_id, scale,
+               list_transform(vd, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        FROM s2)
+      SELECT vec_id, scale,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             list_min(qv) AS q_min,
+             list_max(qv) AS q_max,
+             CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      FROM q
+      ORDER BY vec_id"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize)
 }

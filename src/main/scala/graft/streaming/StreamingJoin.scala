@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the attribution shape
+  * (impression ⋈ click within a window) that needs BOTH sides buffered
+  * in state. The watermarks + the interval condition bound that state:
+  * Spark evicts a buffered left row once the right watermark passes
+  * `left.time + window` (and vice versa), so state is
+  * O(arrival rate × window), not O(stream length). Without the interval
+  * condition a stream-stream join's state grows forever — the condition
+  * is load-bearing, not an optimization.
+  *
+  * Batch twin: `ops/Temporal` range joins (q68) — same semantics, so
+  * backfill and live paths agree.
+  */
+object StreamingJoin {
+
+  /** Left events matched to right events with `r.time ∈ [l.time,
+    * l.time + windowSec]`, equi-keyed on `keyCol`. Both inputs need an
+    * `event_time` TimestampType column; late rows beyond `lateness` are
+    * dropped by the watermark. Inner join: unmatched rows age out of
+    * state silently (use leftOuter for "unattributed" rows — same state
+    * bounds). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      windowSec: Long, lateness: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("event_time", lateness).alias("l")
+    val r = right.withWatermark("event_time", lateness).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.event_time") >= col("l.event_time") &&
+        col("r.event_time") <= col("l.event_time") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class QuantizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("int8 quantization: values in [-127,127], roundtrip error within half a step") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val q = Quantize.symmetricInt8(vecs, "vec_id", "embedding")
+    val bounds = q.select(
+        array_min($"qv").as("lo"), array_max($"qv").as("hi"))
+      .agg(min($"lo"), max($"hi")).as[(Long, Long)].head()
+    assert(bounds._1 >= -127 && bounds._2 <= 127)
+
+    // max |x - q/scale| over every lane ≤ 0.5/scale (+1 ulp slack)
+    val err = q
+      .join(vecs.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("vd")), Seq("vec_id"))
+      .withColumn("dq", Quantize.dequantize($"qv", $"scale"))
+      .select($"vec_id", $"scale",
+        aggregate(zip_with($"vd", $"dq", (a, b) => abs(a - b)),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+      .filter($"max_err" > lit(0.5000001) / $"scale")
+      .count()
+    assert(err == 0, s"$err vectors exceed the quantization error bound")
+
+    // the max-|x| lane saturates exactly: every vector has a ±127 lane
+    assert(q.filter(size(filter($"qv", x => abs(x) === 127)) === 0).count() == 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+class StreamingJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interval join matches within the window, across micro-batches, drops outside it") {
+    val lDir = Files.createTempDirectory("graft_sj_l_").toString
+    val rDir = Files.createTempDirectory("graft_sj_r_").toString
+    val ck = Files.createTempDirectory("graft_sj_ck_").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+
+    def rows(r: (Long, Long)*) =
+      r.toDF("key", "s").select($"key", timestamp_seconds($"s").as("event_time"))
+    def drain(): Unit = {
+      val schema = rows().schema
+      val l = spark.readStream.schema(schema).parquet(lDir)
+      val r = spark.readStream.schema(schema).parquet(rDir)
+      val q = StreamingJoin.intervalJoin(l, r, "key", windowSec = 60,
+          lateness = "0 seconds")
+        .select(col("l.key"), unix_timestamp(col("l.event_time")),
+          unix_timestamp(col("r.event_time")))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[(Long, Long, Long)].collect().foreach(emitted.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    import scala.jdk.CollectionConverters._
+    // batch 1: impression k=1 @1000; clicks @1030 (in window) and
+    // @1070 (outside 60s); k=2 impression with no click yet
+    rows((1L, 1000L), (2L, 1000L)).write.mode("append").parquet(lDir)
+    rows((1L, 1030L), (1L, 1070L)).write.mode("append").parquet(rDir)
+    drain()
+    assert(emitted.asScala.toSet == Set((1L, 1000L, 1030L)),
+      s"only the in-window click matches: ${emitted.asScala.mkString(",")}")
+
+    // batch 2: k=2's click arrives a batch later, still in window —
+    // the buffered left row must still be in state
+    rows((2L, 1050L)).write.mode("append").parquet(rDir)
+    drain()
+    assert(emitted.asScala.toSet ==
+      Set((1L, 1000L, 1030L), (2L, 1000L, 1050L)),
+      s"cross-batch match expected: ${emitted.asScala.mkString(",")}")
+
+    // batch 3: more traffic arrives — the out-of-window click from
+    // batch 1 (k=1 @1070) must STILL be excluded (the interval condition
+    // is a hard guarantee; watermark-based late-drop is only best-effort
+    // state cleanup, so it is deliberately not asserted here)
+    rows((9L, 100000L)).write.mode("append").parquet(rDir)
+    rows((9L, 100000L)).write.mode("append").parquet(lDir)
+    drain()
+    assert(!emitted.asScala.exists(e => e._1 == 1L && e._3 == 1070L),
+      s"out-of-window click must never match: ${emitted.asScala.mkString(",")}")
+    assert(emitted.asScala.toSet ==
+      Set((1L, 1000L, 1030L), (2L, 1000L, 1050L), (9L, 100000L, 100000L)))
+  }
+}

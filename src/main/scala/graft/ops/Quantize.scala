@@ -38,4 +38,37 @@ object Quantize {
     * rescoring after an int8 first pass. */
   def dequantize(qv: Column, scale: Column): Column =
     transform(qv, q => q.cast("double") / scale)
+
+  /** Approximate cosine top-k over QUANTIZED vectors — the serving-side
+    * first pass: the pairwise work is integer multiply-adds (the int8
+    * payload is also what a SIMD/GPU scorer would consume), with one
+    * double correction per pair. Cosine is scale-invariant, so the
+    * per-vector quantization scales cancel: cos ≈ (qa·qb)/(|qa||qb|).
+    * Same broadcast-probe / never-shuffle-the-corpus shape as
+    * `Similarity.bruteForceTopK`; recall bound in QuantizeSpec.
+    */
+  def int8TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def qside(df: DataFrame, prefix: String) =
+      symmetricInt8(df, idCol, vecCol)
+        .select(col(idCol).as(s"${prefix}_id"), col("qv").as(s"${prefix}v"))
+        .withColumn(s"${prefix}n2",
+          aggregate(col(s"${prefix}v"), lit(0L), (acc, q) => acc + q * q))
+    val c = qside(corpus, "neighbor")
+    val p = qside(probes, "probe")
+    val qdot = aggregate(
+      zip_with(col("probev"), col("neighborv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val sims = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        qdot.cast("double") /
+          (sqrt(col("proben2").cast("double")) *
+            sqrt(col("neighborn2").cast("double"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

@@ -31,4 +31,21 @@ class QuantizeSpec extends SparkTestBase {
     // the max-|x| lane saturates exactly: every vector has a ±127 lane
     assert(q.filter(size(filter($"qv", x => abs(x) === 127)) === 0).count() == 0)
   }
+
+  test("int8 ANN first pass: high recall against the exact float top-k") {
+    val vecs = Tables.embeddings(spark, sfDir)
+    val probes = vecs.filter($"vec_id" < 8)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Quantize.int8TopK(vecs, probes, "vec_id", "embedding", k)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (p, e) =>
+      quant.getOrElse(p, Set.empty).intersect(e).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k = $mean%.3f")
+    assert(mean >= 0.85, f"int8 recall too low: $mean%.3f")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data preparation pipeline demo — the extension operators
@@ -11,7 +11,9 @@ import graft.sources.Tables
   *
   *   documents → quality gate → exact dedup → MinHash-LSH near-dedup
   *   (candidates verified by n-gram Jaccard) → token accounting →
-  *   sharded parquet output;  embeddings → norm hygiene → ANN probe.
+  *   doc-level train/test split → token-window chunking → sharded
+  *   parquet output;  embeddings → norm hygiene → int8 quantization →
+  *   ANN probe (float + int8 first pass).
   *
   *   sbt "runMain graft.DataPrepDemo [sfDir] [outDir]"
   *
@@ -87,21 +89,35 @@ object DataPrepDemo {
     println(s"tokens: docs=${stats.getLong(0)} ws=${stats.getLong(1)} " +
       s"bpeish=${stats.getLong(2)}")
 
-    // 5. shard out (hash-bucketed for downstream parallel consumption)
-    nearDeduped
-      .withColumn("shard", pmod(xxhash64($"doc_id"), lit(8)))
-      .repartition($"shard")
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/text")
-    println(s"shards written to $outDir/text")
+    // 5. DOCUMENT-level train/test split (before chunking, so chunks of
+    // one document never straddle the split), then token-window chunks
+    val (trainDocs, testDocs) = Curation.hashSplit(nearDeduped, "doc_id", 0.05)
+    val trainChunks = Curation.chunkByWords(trainDocs, "doc_id", "text", 256, 32)
+    val testChunks = Curation.chunkByWords(testDocs, "doc_id", "text", 256, 32)
+    println(s"split: train=${trainDocs.count()} test=${testDocs.count()} docs; " +
+      s"chunks: train=${trainChunks.count()} test=${testChunks.count()}")
 
-    // 6. embedding hygiene + ANN smoke over the vector side
+    // 6. shard out (hash-bucketed for downstream parallel consumption)
+    Seq(("train", trainChunks), ("test", testChunks)).foreach { case (name, c) =>
+      c.withColumn("shard", pmod(xxhash64($"doc_id"), lit(8)))
+        .repartition($"shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/$name")
+    }
+    println(s"shards written to $outDir/{train,test}")
+
+    // 7. embedding hygiene + int8 quantization + ANN smoke
     val emb = Tables.embeddings(spark, sfDir)
     val norms = Similarity.withNorm(emb, "embedding")
     val degenerate = norms.filter($"n2" < 1e-12).count()
+    val quant = graft.ops.Quantize.symmetricInt8(emb, "vec_id", "embedding")
+    quant.write.mode("overwrite").parquet(s"$outDir/vectors_int8")
     val knn = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
       "vec_id", "embedding", 5)
+    val knn8 = graft.ops.Quantize.int8TopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 5)
     println(s"embeddings: ${emb.count()} vectors, $degenerate degenerate; " +
-      s"ANN probe rows: ${knn.count()}")
+      s"int8 snapshot at $outDir/vectors_int8; " +
+      s"ANN probe rows: float=${knn.count()} int8=${knn8.count()}")
     spark.stop()
   }
 }

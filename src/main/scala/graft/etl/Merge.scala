@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * `col("s.price") > col("t.price")`.
   *
   * PRECONDITION (same as Delta): each target row may match at most one
-  * source row — dedup the source on the merge keys first. A source with
+  * source row — dedup the source on the merge keys first (CdcApply's
+  * latest-change-wins collapse is the canonical way). A source with
   * duplicate keys would update/delete one target row multiple ways
-  * nondeterministically; [[mergeFrames]] does not try to detect this at
-  * plan time (it would cost an extra aggregation over the source).
+  * nondeterministically. [[mergeFrames]] does not detect this by
+  * default (it costs an extra aggregation over the source);
+  * `strict = true` adds that check and fails fast like Delta's
+  * "multiple source rows matched" error.
   *
   * Scale shape: one shuffle-or-broadcast full-outer join on the merge
   * keys; every clause evaluates as a projected `when` chain inside the
@@ -63,7 +66,19 @@ object Merge {
       source: DataFrame,
       keys: Seq[String],
       whenMatched: Seq[WhenMatched],
-      whenNotMatched: Option[WhenNotMatched]): DataFrame = {
+      whenNotMatched: Option[WhenNotMatched],
+      strict: Boolean = false): DataFrame = {
+
+    if (strict) {
+      val dups = source.groupBy(keys.map(col): _*)
+        .count().filter(col("count") > 1).limit(5)
+        .collect()
+      if (dups.nonEmpty)
+        throw new IllegalArgumentException(
+          "MERGE source has duplicate merge keys (nondeterministic match): " +
+            dups.map(_.toSeq.init.mkString("(", ",", ")")).mkString(", ") +
+            " — dedup the source first (e.g. CdcApply's latest-wins collapse)")
+    }
 
     // presence markers survive the outer join where key columns may be
     // NULL on either side (and keys themselves can be NULL-valued)

@@ -125,6 +125,20 @@ class MergeSpec extends SparkTestBase {
       "untouched partition must be linked, not rewritten")
   }
 
+  test("strict mode rejects a duplicate-key source; clean sources pass") {
+    val t = Seq((1L, "x")).toDF("id", "v")
+    val dupSrc = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.mergeFrames(t, dupSrc, Seq("id"),
+        Seq(Merge.update(Map("v" -> $"s.v"))), None, strict = true)
+    }
+    assert(ex.getMessage.contains("duplicate merge keys"))
+    // unique keys sail through with the check enabled
+    val ok = Merge.mergeFrames(t, Seq((1L, "a")).toDF("id", "v"), Seq("id"),
+      Seq(Merge.update(Map("v" -> $"s.v"))), None, strict = true)
+    assert(ok.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("mergePartitioned refuses a missing target") {
     val root = Files.createTempDirectory("graft_mrgx_").toString
     val store = new TableStore(spark, root)

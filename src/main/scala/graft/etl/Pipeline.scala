@@ -95,10 +95,14 @@ final class Pipeline(spark: SparkSession, val store: TableStore) {
     * the warehouse is not yet populated). */
   def qualityOnly(): Long = {
     if (!store.exists("raw_events") || !store.exists("fact_events")) return 0L
+    // cached: append materializes the checks and count() would otherwise
+    // re-run the full raw+fact scan a second time every cadence tick
     val checks = Quality.runAll(store.read("raw_events"),
-      store.read("fact_events"))
-    store.append("quality_log", checks)
-    checks.count()
+      store.read("fact_events")).cache()
+    try {
+      store.append("quality_log", checks)
+      checks.count()
+    } finally checks.unpersist()
   }
 
   /** Step 8: run summary (`run_pipeline.py:65-87`). */

@@ -26,13 +26,16 @@ final class ConcurrentWriteException(msg: String)
   *
   * CONCURRENCY: one writer per table. Any number of concurrent readers
   * are safe (they resolve the pointer once and read an immutable
-  * snapshot), but the version counter is read-modify-write, so a second
-  * concurrent writer would silently discard the first one's snapshot.
-  * Writers therefore CLAIM the next version directory with an atomic
-  * `Files.createDirectory` before writing — a concurrent (or crashed)
-  * writer holding the same version number fails fast with
-  * [[ConcurrentWriteException]] instead of losing data. After a crash,
-  * delete the orphaned uncommitted `v<N>` directory to unblock.
+  * snapshot). Two mechanisms make overlapping writers fail fast instead
+  * of losing data: (1) writers CLAIM the next version directory with an
+  * atomic `Files.createDirectory`, so same-number collisions throw
+  * [[ConcurrentWriteException]]; (2) every read-modify-write mutation
+  * (upsert/merge/append/compact/...) records the version it READ and
+  * refuses to commit if the pointer has moved since — a stale-basis
+  * writer also throws instead of silently discarding the other writer's
+  * committed snapshot. Plain [[overwrite]] is content-independent and
+  * stays last-writer-wins by design. After a crash, delete the orphaned
+  * uncommitted `v<N>` directory to unblock.
   */
 final class TableStore(spark: SparkSession, val root: String) {
 
@@ -84,9 +87,21 @@ final class TableStore(spark: SparkSession, val root: String) {
   /** Atomically claim the next snapshot version: `createDirectory` is the
     * mutex — if the directory already exists, another writer claimed it
     * (or a previous write crashed before committing). */
-  private def claimVersion(table: String): Int = {
+  private def claimVersion(table: String,
+      expectedBase: Option[Int] = None): Int = {
     Files.createDirectories(Paths.get(dir(table)))
-    val next = currentVersion(table).getOrElse(0) + 1
+    val cur = currentVersion(table).getOrElse(0)
+    // read-compute-commit guard: a writer that derived its snapshot from
+    // version B must not commit over someone else's B+1 — without this,
+    // two overlapping writers collide only if they CLAIM the same number;
+    // one that claims later would silently base itself on a stale read
+    expectedBase.foreach { base =>
+      if (cur != base)
+        throw new ConcurrentWriteException(
+          s"table $table: snapshot advanced v$base -> v$cur while this " +
+            "write was computing — rerun against the current snapshot")
+    }
+    val next = cur + 1
     try Files.createDirectory(Paths.get(dir(table), s"v$next"))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -98,9 +113,19 @@ final class TableStore(spark: SparkSession, val root: String) {
     next
   }
 
-  /** Write a full new snapshot and commit it via pointer swap. */
+  /** Write a full new snapshot and commit it via pointer swap.
+    * Content-independent (last-writer-wins is the intended semantics);
+    * the derived mutations below guard their read basis instead. */
   def overwrite(table: String, df: DataFrame): Unit = {
     val next = claimVersion(table)
+    df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/v$next")
+    commit(table, next)
+  }
+
+  /** Commit `df` as the next snapshot iff the table is still at `base` —
+    * the write path for every read-modify-write mutation. */
+  private def replaceFrom(table: String, base: Int, df: DataFrame): Unit = {
+    val next = claimVersion(table, Some(base))
     df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/v$next")
     commit(table, next)
   }
@@ -111,10 +136,11 @@ final class TableStore(spark: SparkSession, val root: String) {
   def insertIfAbsent(table: String, incoming: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, incoming)
     else {
-      val cur = read(table)
+      val base = currentVersion(table).get
+      val cur = readVersion(table, base)
       val novel = incoming.join(cur.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
-      overwrite(table, cur.unionByName(novel))
+      replaceFrom(table, base, cur.unionByName(novel))
     }
 
   /** M2: upsert (`ON CONFLICT DO UPDATE`) — keep current rows whose key
@@ -122,10 +148,12 @@ final class TableStore(spark: SparkSession, val root: String) {
   def upsert(table: String, incoming: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, incoming)
     else {
-      val cur = read(table)
+      val base = currentVersion(table).get
+      val cur = readVersion(table, base)
       val kept = cur.join(incoming.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
-      overwrite(table, kept.unionByName(incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*)))
+      replaceFrom(table, base,
+        kept.unionByName(incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*)))
     }
 
   /** Full MERGE INTO (update / delete / insert in one statement) against
@@ -137,8 +165,12 @@ final class TableStore(spark: SparkSession, val root: String) {
       whenNotMatched: Option[Merge.WhenNotMatched]): Unit =
     // read() throws if the table is absent — MERGE needs the target's
     // schema to exist (same contract as Delta's MERGE INTO)
-    overwrite(table,
-      Merge.mergeFrames(read(table), source, keys, whenMatched, whenNotMatched))
+    {
+      val base = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"table $table does not exist under $root"))
+      replaceFrom(table, base, Merge.mergeFrames(
+        readVersion(table, base), source, keys, whenMatched, whenNotMatched))
+    }
 
   /** [[merge]] at O(touched partitions): only partitions present in the
     * source are read, merged and rewritten; all others are file-linked
@@ -160,7 +192,10 @@ final class TableStore(spark: SparkSession, val root: String) {
   /** M4-style append (event-sourced logs). */
   def append(table: String, rows: DataFrame): Unit =
     if (!exists(table)) overwrite(table, rows)
-    else overwrite(table, read(table).unionByName(rows))
+    else {
+      val base = currentVersion(table).get
+      replaceFrom(table, base, readVersion(table, base).unionByName(rows))
+    }
 
   /** Partition-level upsert — the 100 TB shape the whole-table
     * [[upsert]] documents: the new snapshot REUSES the parquet files of
@@ -210,13 +245,20 @@ final class TableStore(spark: SparkSession, val root: String) {
 
     val cur = read(table)
     val affectedCur =
-      if (curIsPartitioned)
-        cur.join(incoming.select(col(partitionCol)).distinct(),
-          Seq(partitionCol), "left_semi")
-      else cur
+      if (curIsPartitioned) {
+        // null-SAFE partition match: a NULL partition value (dirty rows
+        // land in __HIVE_DEFAULT_PARTITION__) must select the current
+        // null-partition rows too — a plain semi join would exclude them
+        // from the resolve while the touched-probe below stops the link
+        // step from preserving them, silently dropping every existing
+        // NULL-partition row
+        val touchedVals = incoming
+          .select(col(partitionCol).as("_tp")).distinct()
+        cur.join(touchedVals, cur(partitionCol) <=> col("_tp"), "left_semi")
+      } else cur
     val resolved = resolve(affectedCur, incoming)
 
-    val next = claimVersion(table)
+    val next = claimVersion(table, Some(curVersion))
     val nextDir = Paths.get(dir(table), s"v$next")
     resolved.write
       .mode(SaveMode.Overwrite)
@@ -269,8 +311,17 @@ final class TableStore(spark: SparkSession, val root: String) {
   private def writePartitioned(table: String, df: DataFrame,
       partitionCol: String): Unit = {
     val next = claimVersion(table)
+    val nextDir = Paths.get(dir(table), s"v$next")
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-      .parquet(s"${dir(table)}/v$next")
+      .parquet(nextDir.toString)
+    // an EMPTY partitioned write produces no files at all (only
+    // _SUCCESS), which would commit a schema-less snapshot that poisons
+    // every later read — e.g. a CDC bootstrap batch that is all deletes.
+    // Same guard as the upsert path: keep a zero-row flat schema file.
+    val hasData = withList(nextDir)(
+      _.anyMatch(_.getFileName.toString.startsWith(s"$partitionCol=")))
+    if (!hasData)
+      df.limit(0).write.mode(SaveMode.Overwrite).parquet(nextDir.toString)
     commit(table, next)
   }
 
@@ -290,8 +341,9 @@ final class TableStore(spark: SparkSession, val root: String) {
     * Readers are unaffected: the pointer only ever moves to a complete
     * snapshot, and retained history still supports time travel. */
   def compact(table: String, numFiles: Int = 4, retain: Int = 2): Unit = {
-    val cur = read(table).coalesce(numFiles)
-    overwrite(table, cur)
+    val base = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist under $root"))
+    replaceFrom(table, base, readVersion(table, base).coalesce(numFiles))
     val latest = currentVersion(table).get
     val dirF = new java.io.File(dir(table))
     dirF.listFiles().filter(_.getName.startsWith("v"))

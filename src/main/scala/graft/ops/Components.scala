@@ -32,6 +32,19 @@ object Components {
     * (same pattern as IVF's Lloyd iterations). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    // ids must already be integral: a blind cast("long") on string ids
+    // would throw mid-job under ANSI — or, with ANSI off, null every
+    // edge and silently report zero components. Hash non-numeric ids
+    // (e.g. xxhash64) before calling.
+    Seq(srcCol, dstCol).foreach { c =>
+      edges.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents needs integral node ids; $c is $other — " +
+            "hash string ids first (e.g. xxhash64)")
+      }
+    }
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .unionByName(edges

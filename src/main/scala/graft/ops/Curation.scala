@@ -63,8 +63,13 @@ object Curation {
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
       .filter(col("n") > 0)
+      // a window only exists where it adds content beyond the previous
+      // one's overlap: start <= n - overlap - 1. Running starts to n-1
+      // would emit a trailing chunk fully contained in its predecessor
+      // (duplicated training text)
       .select(col(idCol), col("ws"), col("n"),
-        posexplode(sequence(lit(0), col("n") - 1, lit(step)))
+        posexplode(sequence(lit(0),
+          greatest(col("n") - (overlap + 1), lit(0)), lit(step)))
           .as(Seq("chunk_idx", "start")))
       .select(
         col(idCol),

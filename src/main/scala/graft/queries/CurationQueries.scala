@@ -68,7 +68,7 @@ object CurationQueries {
         FROM documents),
       t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
       s AS (
-        SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 30)) AS st
+        SELECT doc_id, ws, n, unnest(generate_series(0, GREATEST(n - 11, 0), 30)) AS st
         FROM t2)
       SELECT doc_id,
              CAST(st // 30 AS BIGINT) AS chunk_idx,

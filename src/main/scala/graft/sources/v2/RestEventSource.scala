@@ -143,15 +143,26 @@ private[v2] class RestReaderFactory extends PartitionReaderFactory {
 
       /** Options-only fetch: open the templated URL (https/file), read
         * the body, one payload per non-blank JSONL line. */
-      private def fetchUrl(page: Int): Seq[String] = {
-        val conn = new java.net.URI(p.conf.pageUrl(page)).toURL.openConnection()
-        conn.setConnectTimeout(15000) // the reference's timeout=15
-        conn.setReadTimeout(15000)
-        val in = conn.getInputStream
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.trim.nonEmpty).toVector
-        finally in.close()
-      }
+      private def fetchUrl(page: Int): Seq[String] =
+        // the JDK embeds the full URL (apikey included) in connection
+        // exception messages, which would land in task failures, driver
+        // logs and the UI — rethrow with the secret scrubbed
+        try {
+          val conn = new java.net.URI(p.conf.pageUrl(page)).toURL.openConnection()
+          conn.setConnectTimeout(15000) // the reference's timeout=15
+          conn.setReadTimeout(15000)
+          val in = conn.getInputStream
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.trim.nonEmpty).toVector
+          finally in.close()
+        } catch {
+          case e: Exception if p.conf.apikey.nonEmpty &&
+              Option(e.getMessage).exists(_.contains(p.conf.apikey)) =>
+            // no cause attached: the original exception's message (and
+            // its cause chain) is what carries the secret
+            throw new java.io.IOException(s"${e.getClass.getName}: " +
+              e.getMessage.replace(p.conf.apikey, "[redacted]"))
+        }
 
       private var current: String = _
       override def next(): Boolean =

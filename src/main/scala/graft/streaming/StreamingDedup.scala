@@ -29,8 +29,9 @@ object StreamingDedup {
     * event_id. */
   def dedupEvents(events: DataFrame, horizon: String): DataFrame =
     dedupWithinWatermark(
+      // integer div, not double division: rule 5 — epoch math stays exact
       events.withColumn("event_time",
         org.apache.spark.sql.functions.timestamp_micros(
-          (col("ts") / 1000).cast("long"))),
+          org.apache.spark.sql.functions.expr("ts div 1000"))),
       Seq("event_id"), "event_time", horizon)
 }

@@ -28,6 +28,25 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
   }
 
+  test("partitioned upsert preserves existing NULL-partition rows it touches") {
+    val root = Files.createTempDirectory("graft_np_").toString
+    val store = new TableStore(spark, root)
+    // keys 1,2 land in the NULL partition; key 3 in bucket "a"
+    val base = Seq((1L, Option.empty[String], "old1"),
+      (2L, Option.empty[String], "old2"), (3L, Some("a"), "old3"))
+      .toDF("id", "bucket", "v")
+    store.upsertPartitioned("t", base, Seq("id"), "bucket")
+    // increment touches the NULL partition: replaces key 2, adds key 4
+    val inc = Seq((2L, Option.empty[String], "new2"),
+      (4L, Option.empty[String], "new4")).toDF("id", "bucket", "v")
+    store.upsertPartitioned("t", inc, Seq("id"), "bucket")
+    val after = store.read("t").select($"id", $"v").as[(Long, String)]
+      .collect().toMap
+    // key 1 (untouched NULL-partition row) must survive the rewrite
+    assert(after == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"),
+      s"got $after")
+  }
+
   test("time travel: every commit is a readable snapshot; versions() lists the retained set") {
     val root = Files.createTempDirectory("graft_tt_").toString
     val store = new TableStore(spark, root)

@@ -48,8 +48,9 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     nTokens.filter(_._2 > 0).foreach { case (id, n) =>
       val c = chunks(id).sortBy(_.getLong(1))
-      // starts every 30 tokens while start < n
-      assert(c.length == ((n - 1) / 30 + 1).toInt, s"doc $id: $n tokens")
+      // starts every 30 tokens while start + overlap < n (no trailing
+      // chunk that is pure overlap of its predecessor)
+      assert(c.length == (math.max(n - 11, 0) / 30 + 1).toInt, s"doc $id: $n tokens")
       c.zipWithIndex.foreach { case (r, i) =>
         val expected = math.min(40L, n - i * 30L)
         assert(r.getLong(2) == expected, s"doc $id chunk $i")

@@ -39,6 +39,18 @@ class CdcApplySpec extends SparkTestBase {
       .toSeq == Seq((1L, 0, "a2"), (4L, 2, "d")))
   }
 
+  test("an all-deletes first batch bootstraps an EMPTY but readable table") {
+    val root = Files.createTempDirectory("graft_cdc_ed_").toString
+    val store = new TableStore(spark, root)
+    CdcApply.applyBatch(store, "t", chg((1L, 0, "x", 1L, "D")),
+      Seq("id"), "seq", "op", "bucket")
+    assert(store.read("t").count() == 0, "schema-bearing empty snapshot")
+    // and the table is not poisoned: a later insert batch works
+    CdcApply.applyBatch(store, "t", chg((2L, 1, "b", 2L, "I")),
+      Seq("id"), "seq", "op", "bucket")
+    assert(store.read("t").select($"id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("same-seq delete beats the update (deterministic tie-break)") {
     val root = Files.createTempDirectory("graft_cdc_tie_").toString
     val store = new TableStore(spark, root)

@@ -82,6 +82,43 @@ object Facts {
     Seq("event_status", "price_min", "price_max", "price_avg",
       "price_min_eur", "loaded_at")
 
+  /** The fact table's partition-level load, shared by the batch and
+    * streaming pipelines. Two hazards of a naive partition-scoped upsert
+    * are handled here:
+    *
+    *  - a key whose upstream event_date CHANGED (rescheduled event)
+    *    would look brand-new in its new partition while its old row
+    *    survives in an untouched (file-linked) partition → duplicate.
+    *    The current partitions of incoming keys are passed as
+    *    `extraTouched`, so [[upsertResolve]] sees those rows and
+    *    refreshes them in place (event_date is immutable per nk by
+    *    upsert semantics — it is not in [[mutableColumns]]). The lookup
+    *    is a two-column scan of the fact table semi-joined on nk —
+    *    the same price Delta's MERGE pays to find matching files.
+    *
+    *  - a PRE-PARTITIONING fact snapshot (no event_date column) would
+    *    crash `partitionBy`; it is migrated once by recomputing
+    *    event_date from date_sk via dim_date before the load proceeds. */
+  def loadPartitioned(store: TableStore, facts: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    if (store.exists("fact_events")) {
+      if (!store.read("fact_events").columns.contains("event_date")) {
+        val dd = store.read("dim_date")
+          .select(col("date_sk").as("_dsk"), col("full_date").as("event_date"))
+        store.overwrite("fact_events",
+          store.read("fact_events")
+            .join(broadcast(dd), col("date_sk") === col("_dsk"), "left")
+            .drop("_dsk"))
+      }
+      val oldParts = store.read("fact_events")
+        .join(facts.select("event_nk").distinct(), Seq("event_nk"), "left_semi")
+        .select(col("event_date")).distinct()
+      store.upsertPartitionedWith("fact_events", facts, "event_date",
+        extraTouched = Some(oldParts))(upsertResolve)
+    } else
+      store.upsertPartitionedWith("fact_events", facts, "event_date")(upsertResolve)
+  }
+
   def upsertResolve(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val keep = existing.join(incoming.select("event_nk"), Seq("event_nk"), "left_anti")
     val refreshed = existing.as("e")

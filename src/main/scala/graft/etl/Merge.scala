@@ -69,21 +69,32 @@ object Merge {
       whenNotMatched: Option[WhenNotMatched],
       strict: Boolean = false): DataFrame = {
 
-    if (strict) {
-      val dups = source.groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(5)
-        .collect()
-      if (dups.nonEmpty)
-        throw new IllegalArgumentException(
-          "MERGE source has duplicate merge keys (nondeterministic match): " +
-            dups.map(_.toSeq.init.mkString("(", ",", ")")).mkString(", ") +
-            " — dedup the source first (e.g. CdcApply's latest-wins collapse)")
-    }
+    // strict: the duplicate-key check rides INSIDE the merge plan — a
+    // window count over the same source rows the join consumes, asserted
+    // through the `_s_present` marker (which the match logic genuinely
+    // reads, so projection pruning cannot eliminate the check). A
+    // non-deterministic source therefore cannot pass a separate
+    // pre-check yet feed duplicates to the join, and the source is never
+    // computed twice. Fails at execution like Delta's "multiple source
+    // rows matched" error; assert_true returns NULL on success, so the
+    // marker stays `true`.
+    val presentMarker: Column =
+      if (!strict) lit(true)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        coalesce(
+          assert_true(count(lit(1)).over(w) <= 1,
+            lit("MERGE source has duplicate merge keys " +
+              s"(${keys.mkString(",")}) — dedup the source first, e.g. " +
+              "CdcApply's latest-wins collapse")).cast("boolean"),
+          lit(true))
+      }
 
     // presence markers survive the outer join where key columns may be
     // NULL on either side (and keys themselves can be NULL-valued)
     val t = target.withColumn("_t_present", lit(true)).alias("t")
-    val s = source.withColumn("_s_present", lit(true)).alias("s")
+    val s = source.withColumn("_s_present", presentMarker).alias("s")
     val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
 

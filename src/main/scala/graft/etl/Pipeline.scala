@@ -75,8 +75,7 @@ final class Pipeline(spark: SparkSession, val store: TableStore) {
     val facts = Facts.build(stg,
       store.read("dim_date"), store.read("dim_venue"),
       store.read("dim_category"), store.read("dim_source"))
-    store.upsertPartitionedWith("fact_events", facts, "event_date")(
-      Facts.upsertResolve)
+    Facts.loadPartitioned(store, facts)
 
     // M3: mark increment processed (manifest append, raw untouched)
     store.append("processed_manifest",

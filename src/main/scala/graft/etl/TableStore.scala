@@ -4,8 +4,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** A second writer raced (or a crashed write left an uncommitted version
-  * directory) — see the TableStore concurrency contract. */
+/** A second writer raced this one (same-number rename collision or a
+  * stale read basis) — see the TableStore concurrency contract. */
 final class ConcurrentWriteException(msg: String)
   extends IllegalStateException(msg)
 
@@ -27,15 +27,18 @@ final class ConcurrentWriteException(msg: String)
   * CONCURRENCY: one writer per table. Any number of concurrent readers
   * are safe (they resolve the pointer once and read an immutable
   * snapshot). Two mechanisms make overlapping writers fail fast instead
-  * of losing data: (1) writers CLAIM the next version directory with an
-  * atomic `Files.createDirectory`, so same-number collisions throw
-  * [[ConcurrentWriteException]]; (2) every read-modify-write mutation
-  * (upsert/merge/append/compact/...) records the version it READ and
-  * refuses to commit if the pointer has moved since — a stale-basis
-  * writer also throws instead of silently discarding the other writer's
-  * committed snapshot. Plain [[overwrite]] is content-independent and
-  * stays last-writer-wins by design. After a crash, delete the orphaned
-  * uncommitted `v<N>` directory to unblock.
+  * of losing data: (1) writes land in a `v<N>._tmp*` staging dir and
+  * publish via atomic RENAME to `v<N>` — the second of two same-number
+  * writers throws [[ConcurrentWriteException]] at the rename; (2) every
+  * read-modify-write mutation (upsert/merge/append/compact/...) records
+  * the version it READ and refuses to commit if the pointer has moved
+  * since — a stale-basis writer also throws instead of silently
+  * discarding the other writer's committed snapshot. Plain [[overwrite]]
+  * is content-independent and stays last-writer-wins by design.
+  * CRASH SAFETY: a writer dying at any point leaves only a `._tmp`
+  * staging dir (ignored by reads, GC'd by [[compact]]), so a
+  * checkpoint-replayed retry — the streaming/CDC restart path — simply
+  * stages again and succeeds; no manual cleanup is ever needed.
   */
 final class TableStore(spark: SparkSession, val root: String) {
 
@@ -84,17 +87,20 @@ final class TableStore(spark: SparkSession, val root: String) {
           .filter(_ <= cur).sorted
     }
 
-  /** Atomically claim the next snapshot version: `createDirectory` is the
-    * mutex — if the directory already exists, another writer claimed it
-    * (or a previous write crashed before committing). */
-  private def claimVersion(table: String,
-      expectedBase: Option[Int] = None): Int = {
+  /** Stage the next snapshot version: writes go to a `v<N>._tmp*`
+    * staging directory and only an atomic RENAME to `v<N>` publishes
+    * them ([[commitStaged]]). A crash at any point therefore leaves only
+    * an ignorable `._tmp` dir (GC'd by [[compact]]) — never a bare
+    * `v<N>` that would block every checkpoint-replayed retry and
+    * crash-loop the streaming/CDC apply paths. */
+  private def stageVersion(table: String,
+      expectedBase: Option[Int] = None): (Int, java.nio.file.Path) = {
     Files.createDirectories(Paths.get(dir(table)))
     val cur = currentVersion(table).getOrElse(0)
     // read-compute-commit guard: a writer that derived its snapshot from
     // version B must not commit over someone else's B+1 — without this,
-    // two overlapping writers collide only if they CLAIM the same number;
-    // one that claims later would silently base itself on a stale read
+    // overlapping writers collide only on the same NUMBER; one claiming
+    // later would silently base itself on a stale read
     expectedBase.foreach { base =>
       if (cur != base)
         throw new ConcurrentWriteException(
@@ -102,32 +108,50 @@ final class TableStore(spark: SparkSession, val root: String) {
             "write was computing — rerun against the current snapshot")
     }
     val next = cur + 1
-    try Files.createDirectory(Paths.get(dir(table), s"v$next"))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+    (next, Files.createTempDirectory(Paths.get(dir(table)), s"v$next._tmp"))
+  }
+
+  /** Publish a staged snapshot: re-check the basis, atomically rename
+    * the staging dir to `v<N>` (rename onto a CONCURRENT writer's
+    * non-empty v<N> fails → [[ConcurrentWriteException]]), then swap the
+    * pointer. */
+  private def commitStaged(table: String, next: Int, stage: java.nio.file.Path,
+      expectedBase: Option[Int] = None): Unit = {
+    expectedBase.foreach { base =>
+      if (currentVersion(table).getOrElse(0) != base) {
+        deleteRecursively(stage.toFile)
         throw new ConcurrentWriteException(
-          s"table $table: version v$next already exists — concurrent writer, " +
-            "or an uncommitted directory left by a crashed write (delete it " +
-            "to unblock); TableStore allows one writer per table")
+          s"table $table: snapshot advanced past v$base while this write " +
+            "was computing — rerun against the current snapshot")
+      }
     }
-    next
+    try Files.move(stage, Paths.get(dir(table), s"v$next"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        deleteRecursively(stage.toFile)
+        throw new ConcurrentWriteException(
+          s"table $table: version v$next was committed by a concurrent " +
+            "writer; TableStore allows one writer per table")
+    }
+    commit(table, next)
   }
 
   /** Write a full new snapshot and commit it via pointer swap.
     * Content-independent (last-writer-wins is the intended semantics);
     * the derived mutations below guard their read basis instead. */
   def overwrite(table: String, df: DataFrame): Unit = {
-    val next = claimVersion(table)
-    df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/v$next")
-    commit(table, next)
+    val (next, stage) = stageVersion(table)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    commitStaged(table, next, stage)
   }
 
   /** Commit `df` as the next snapshot iff the table is still at `base` —
     * the write path for every read-modify-write mutation. */
   private def replaceFrom(table: String, base: Int, df: DataFrame): Unit = {
-    val next = claimVersion(table, Some(base))
-    df.write.mode(SaveMode.Overwrite).parquet(s"${dir(table)}/v$next")
-    commit(table, next)
+    val (next, stage) = stageVersion(table, Some(base))
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    commitStaged(table, next, stage, Some(base))
   }
 
   /** M1: insert-if-absent (`ON CONFLICT DO NOTHING`) — append only the
@@ -184,7 +208,8 @@ final class TableStore(spark: SparkSession, val root: String) {
     if (!exists(table))
       throw new IllegalStateException(
         s"MERGE INTO $table: target must exist (its schema defines the result)")
-    upsertPartitionedWith(table, source, partitionCol) { (cur, inc) =>
+    upsertPartitionedWith(table, source, partitionCol,
+      mayDelete = true) { (cur, inc) =>
       Merge.mergeFrames(cur, inc, keys, whenMatched, whenNotMatched)
     }
   }
@@ -224,10 +249,25 @@ final class TableStore(spark: SparkSession, val root: String) {
   /** [[upsertPartitioned]] with caller-supplied merge semantics: `resolve`
     * receives (current rows of the AFFECTED partitions, incoming) and
     * returns the replacement rows for those partitions — e.g.
-    * [[Facts.upsertResolve]]'s refresh-mutable-columns merge. Same
-    * partition-stability precondition as above. */
+    * [[Facts.upsertResolve]]'s refresh-mutable-columns merge.
+    *
+    * `extraTouched` (single-column DataFrame of partition values) widens
+    * the affected set beyond the increment's own partitions — pass the
+    * CURRENT partitions of incoming keys to handle keys whose upstream
+    * partition value changed (the resolve then sees their existing rows
+    * and can keep/refresh them in place instead of double-inserting).
+    * Unless `mayDelete`, every affected partition must remain non-empty
+    * after resolve.
+    *
+    * `mayDelete = true` (the MERGE path) enables the touched-partition
+    * probe so a partition the resolve EMPTIES is dropped rather than
+    * resurrected by the link step; plain upserts skip that extra job —
+    * their resolve unions the increment, so a touched partition can
+    * never end up empty. */
   def upsertPartitionedWith(table: String, incoming: DataFrame,
-      partitionCol: String)(resolve: (DataFrame, DataFrame) => DataFrame): Unit = {
+      partitionCol: String, extraTouched: Option[DataFrame] = None,
+      mayDelete: Boolean = false)(
+      resolve: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     if (!exists(table)) {
       writePartitioned(table, incoming, partitionCol)
@@ -252,14 +292,14 @@ final class TableStore(spark: SparkSession, val root: String) {
         // from the resolve while the touched-probe below stops the link
         // step from preserving them, silently dropping every existing
         // NULL-partition row
-        val touchedVals = incoming
-          .select(col(partitionCol).as("_tp")).distinct()
+        val touchedVals = extraTouched.foldLeft(
+          incoming.select(col(partitionCol).as("_tp")))(
+            (acc, e) => acc.unionByName(e.toDF("_tp"))).distinct()
         cur.join(touchedVals, cur(partitionCol) <=> col("_tp"), "left_semi")
       } else cur
     val resolved = resolve(affectedCur, incoming)
 
-    val next = claimVersion(table, Some(curVersion))
-    val nextDir = Paths.get(dir(table), s"v$next")
+    val (next, nextDir) = stageVersion(table, Some(curVersion))
     resolved.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
@@ -276,16 +316,22 @@ final class TableStore(spark: SparkSession, val root: String) {
       // MERGE whose deletes emptied it) produces no dir — it must not be
       // resurrected by the link step. Resolve touched partition values to
       // dir names through Spark's own writer so the escaping matches.
-      val probeDir = Files.createTempDirectory(Paths.get(dir(table)), ".touched_")
-      val touched = try {
-        incoming.select(col(partitionCol)).distinct()
-          .withColumn("_probe", org.apache.spark.sql.functions.lit(1))
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-          .parquet(probeDir.toString)
-        withList(probeDir)(
-          _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
-            .collect(java.util.stream.Collectors.toSet[String]))
-      } finally deleteRecursively(probeDir.toFile)
+      // Only the delete-capable path pays this probe job.
+      val touched: java.util.Set[String] =
+        if (!mayDelete) java.util.Collections.emptySet[String]()
+        else {
+          val probeDir = Files.createTempDirectory(Paths.get(dir(table)), ".touched_")
+          try {
+            extraTouched.foldLeft(incoming.select(col(partitionCol)))(
+                (acc, e) => acc.unionByName(e.toDF(partitionCol))).distinct()
+              .withColumn("_probe", org.apache.spark.sql.functions.lit(1))
+              .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+              .parquet(probeDir.toString)
+            withList(probeDir)(
+              _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
+                .collect(java.util.stream.Collectors.toSet[String]))
+          } finally deleteRecursively(probeDir.toFile)
+        }
       withList(curDir)(_.forEach { p =>
         val name = p.getFileName.toString
         if (name.startsWith(s"$partitionCol=") && !written.contains(name) &&
@@ -299,7 +345,7 @@ final class TableStore(spark: SparkSession, val root: String) {
       _.anyMatch(_.getFileName.toString.startsWith(s"$partitionCol=")))
     if (!hasData)
       resolved.limit(0).write.mode(SaveMode.Overwrite).parquet(nextDir.toString)
-    commit(table, next)
+    commitStaged(table, next, nextDir, Some(curVersion))
   }
 
   private def withList[A](dir: java.nio.file.Path)(
@@ -310,8 +356,7 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   private def writePartitioned(table: String, df: DataFrame,
       partitionCol: String): Unit = {
-    val next = claimVersion(table)
-    val nextDir = Paths.get(dir(table), s"v$next")
+    val (next, nextDir) = stageVersion(table)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
       .parquet(nextDir.toString)
     // an EMPTY partitioned write produces no files at all (only
@@ -322,7 +367,7 @@ final class TableStore(spark: SparkSession, val root: String) {
       _.anyMatch(_.getFileName.toString.startsWith(s"$partitionCol=")))
     if (!hasData)
       df.limit(0).write.mode(SaveMode.Overwrite).parquet(nextDir.toString)
-    commit(table, next)
+    commitStaged(table, next, nextDir)
   }
 
   private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
@@ -349,6 +394,10 @@ final class TableStore(spark: SparkSession, val root: String) {
     dirF.listFiles().filter(_.getName.startsWith("v"))
       .filter(f => f.getName.stripPrefix("v").toIntOption
         .exists(_ <= latest - retain))
+      .foreach(deleteRecursively)
+    // GC staging dirs orphaned by crashed writes (single-writer contract:
+    // nobody else can be mid-write while this compact runs)
+    dirF.listFiles().filter(_.getName.matches("v\\d+\\._tmp.*"))
       .foreach(deleteRecursively)
   }
 

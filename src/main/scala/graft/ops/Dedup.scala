@@ -192,8 +192,10 @@ object Dedup {
       // bucket sizes: one row per (band, sig), same shuffle key as the
       // candidate join, so the exchange is reused
       val key = Seq("band_idx", "sig")
-      val sized = bands.join(
-        bands.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_bucket")), key)
+      // tracked-cached: four branches (both allPairs legs, big, hubs)
+      // consume it — uncached, the count aggregate + join would run 4x
+      val sized = tracked(bands.join(
+        bands.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_bucket")), key))
       val small = sized.filter(col("n_bucket") <= maxBucket)
       val a = small.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
       val b = small.select(col("band_idx").as("band_idx_b"),

@@ -61,9 +61,9 @@ final class StreamingPipeline(spark: SparkSession, store: TableStore,
         store.read("dim_date"), store.read("dim_venue"),
         store.read("dim_category"), store.read("dim_source"))
       // partition-level upsert: only the event_date partitions present in
-      // this micro-batch are rewritten (same path as the batch pipeline)
-      store.upsertPartitionedWith("fact_events", facts, "event_date")(
-        Facts.upsertResolve)
+      // this micro-batch are rewritten (same path as the batch pipeline,
+      // incl. moved-key and legacy-schema handling)
+      Facts.loadPartitioned(store, facts)
     } finally stg.unpersist()
   }
 }

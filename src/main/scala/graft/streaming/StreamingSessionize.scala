@@ -66,16 +66,6 @@ object StreamingSessionize extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stitch)
   }
 
-  /** Variant with an idle-timeout flush: a key receiving no events for
-    * `idleTimeoutMs` of processing time has its open session emitted and
-    * state cleared — bounds state to actively-arriving keys (production
-    * pairs this with a watermark-driven event-time horizon; the state
-    * plumbing is the same).
-    *
-    * Harness caveat (SessionizeSpec): with ProcessingTimeTimeout the
-    * engine runs a state batch on EVERY trigger, so
-    * processAllAvailable()/AvailableNow never observe an idle stream —
-    * drive it with a continuous trigger and explicit stop. */
   /** Event-time variant: open sessions are flushed by the WATERMARK, not
     * by wall-clock. A session is closed as soon as the event-time
     * watermark passes `last_us + gapUs` — the point after which no
@@ -117,7 +107,10 @@ object StreamingSessionize extends Serializable {
           // requires the timeout to sit strictly beyond the current
           // watermark, so clamp (a clamped session is already expired
           // and flushes on the next watermark advance)
-          val target = s.last_us / 1000 + gapUs / 1000 + 1
+          // sum BEFORE the ms truncation: truncating the two terms
+          // separately can fire up to ~2ms early and split a session an
+          // on-time event would have extended
+          val target = (s.last_us + gapUs) / 1000 + 1
           state.setTimeoutTimestamp(
             math.max(target, state.getCurrentWatermarkMs() + 1))
         }
@@ -129,6 +122,16 @@ object StreamingSessionize extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(stitch)
   }
 
+  /** Variant with an idle-timeout flush: a key receiving no events for
+    * `idleTimeoutMs` of processing time has its open session emitted and
+    * state cleared — bounds state to actively-arriving keys (production
+    * pairs this with a watermark-driven event-time horizon; the state
+    * plumbing is the same).
+    *
+    * Harness caveat (SessionizeSpec): with ProcessingTimeTimeout the
+    * engine runs a state batch on EVERY trigger, so
+    * processAllAvailable()/AvailableNow never observe an idle stream —
+    * drive it with a continuous trigger and explicit stop. */
   def sessionsWithTimeout(events: Dataset[Event], gapUs: Long,
       idleTimeoutMs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession

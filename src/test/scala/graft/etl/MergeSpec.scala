@@ -128,11 +128,14 @@ class MergeSpec extends SparkTestBase {
   test("strict mode rejects a duplicate-key source; clean sources pass") {
     val t = Seq((1L, "x")).toDF("id", "v")
     val dupSrc = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
-    val ex = intercept[IllegalArgumentException] {
+    // the check executes INSIDE the merge plan (not a separate pre-scan),
+    // so it surfaces when the merge runs
+    val ex = intercept[Exception] {
       Merge.mergeFrames(t, dupSrc, Seq("id"),
-        Seq(Merge.update(Map("v" -> $"s.v"))), None, strict = true)
+        Seq(Merge.update(Map("v" -> $"s.v"))), None, strict = true).count()
     }
-    assert(ex.getMessage.contains("duplicate merge keys"))
+    assert(ex.getMessage.contains("duplicate merge keys"),
+      s"unexpected: ${ex.getMessage}")
     // unique keys sail through with the check enabled
     val ok = Merge.mergeFrames(t, Seq((1L, "a")).toDF("id", "v"), Seq("id"),
       Seq(Merge.update(Map("v" -> $"s.v"))), None, strict = true)

@@ -47,6 +47,37 @@ class StoreAndIncrementalSpec extends SparkTestBase {
       s"got $after")
   }
 
+  test("extraTouched: a key whose partition value changed refreshes in place, no duplicate") {
+    val root = Files.createTempDirectory("graft_mv_").toString
+    val store = new TableStore(spark, root)
+    // immutable-partition resolve (the Facts.upsertResolve shape):
+    // matched keys keep their EXISTING partition, refresh the value
+    def resolve(cur: org.apache.spark.sql.DataFrame,
+        inc: org.apache.spark.sql.DataFrame) = {
+      val kept = cur.join(inc.select("id"), Seq("id"), "left_anti")
+      val refreshed = cur.as("e").join(inc.as("i"), Seq("id"))
+        .select(col("id"), col("e.bucket").as("bucket"), col("i.v").as("v"))
+      val brandNew = inc.join(cur.select("id"), Seq("id"), "left_anti")
+      kept.unionByName(refreshed)
+        .unionByName(brandNew.select(col("id"), col("bucket"), col("v")))
+    }
+    store.upsertPartitioned("t",
+      Seq((1L, "a", "old1"), (2L, "b", "old2")).toDF("id", "bucket", "v"),
+      Seq("id"), "bucket")
+    // id=1 arrives claiming bucket "b" (rescheduled); its current
+    // partition "a" is passed as extraTouched so the resolve sees it
+    val inc = Seq((1L, "b", "new1")).toDF("id", "bucket", "v")
+    val oldParts = store.read("t")
+      .join(inc.select("id"), Seq("id"), "left_semi")
+      .select($"bucket").distinct()
+    store.upsertPartitionedWith("t", inc, "bucket",
+      extraTouched = Some(oldParts))(resolve)
+    val rows = store.read("t").select($"id", $"bucket", $"v")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", "new1"), (2L, "b", "old2")),
+      s"moved key must refresh in place, not duplicate: $rows")
+  }
+
   test("time travel: every commit is a readable snapshot; versions() lists the retained set") {
     val root = Files.createTempDirectory("graft_tt_").toString
     val store = new TableStore(spark, root)
@@ -67,21 +98,54 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     intercept[IllegalStateException] { store.readVersion("t", 1) }
   }
 
-  test("a claimed/stale next-version directory fails the write instead of silently losing one") {
+  test("concurrent committed version fails the write; crash-orphaned staging dirs never block") {
     val root = Files.createTempDirectory("graft_cw_").toString
     val store = new TableStore(spark, root)
     store.overwrite("t", spark.range(10).toDF("id")) // v1
-    // simulate a concurrent writer (or crash leftover) holding v2
-    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v2"))
+    // a CONCURRENT writer's committed (non-empty) v2 → rename collides
+    val v2 = java.nio.file.Paths.get(root, "t", "v2")
+    Files.createDirectory(v2)
+    Files.write(v2.resolve("part-0.parquet"), Array[Byte](1))
     intercept[ConcurrentWriteException] {
       store.overwrite("t", spark.range(20).toDF("id"))
     }
     // reader still sees the committed snapshot
     assert(store.read("t").count() == 10)
-    // unblock by removing the orphan, as the contract documents
-    Files.delete(java.nio.file.Paths.get(root, "t", "v2"))
+    Files.delete(v2.resolve("part-0.parquet")); Files.delete(v2)
+
+    // a CRASHED write's staging leftover must NOT block the retry —
+    // this is the checkpoint-replay path of the streaming/CDC sinks
+    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v2._tmp123"))
     store.overwrite("t", spark.range(20).toDF("id"))
     assert(store.read("t").count() == 20)
+    // and compact GCs the orphan
+    store.compact("t", numFiles = 1, retain = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "v2._tmp123")))
+  }
+
+  test("stale-basis writer throws instead of discarding a concurrent commit") {
+    val root = Files.createTempDirectory("graft_sb_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", spark.range(10).toDF("id")) // v1
+    // writer B commits v2 while writer A's upsert is "computing":
+    // simulate by moving the pointer under A via a raw overwrite after
+    // A has read — easiest deterministic simulation: advance the pointer
+    // between A's read and commit using the public API from this thread
+    val cur = store.read("t") // A's basis: v1
+    store.overwrite("t", spark.range(30).toDF("id")) // B commits v2
+    intercept[ConcurrentWriteException] {
+      // A now tries a derived mutation computed against v1
+      store.upsert("t_other_does_not_help", cur, Seq("id")) // bootstrap, fine
+      // the real check: a read-modify-write on t must notice the move.
+      // upsert() re-reads internally, so drive replaceFrom via append on
+      // a racing pointer: stage the race by hand
+      val m = classOf[TableStore].getDeclaredMethod("replaceFrom",
+        classOf[String], classOf[Int], classOf[org.apache.spark.sql.DataFrame])
+      m.setAccessible(true)
+      try m.invoke(store, "t", Integer.valueOf(1), cur)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(store.read("t").count() == 30, "B's commit must survive")
   }
 
   test("partitioned upsert rewrites only touched partitions and links the rest") {

@@ -118,6 +118,51 @@ object CurationQueries {
       FROM q
       ORDER BY vec_id"""))
 
+  /** int8 ANN first pass, ORACLE-exact (unlike the float LSH/IVF paths,
+    * nothing here is approximate-by-construction): quantization is
+    * deterministic (q88), integer dot products are exact in a double
+    * (64 lanes × 127² ≪ 2⁵³), and ranking ties break on neighbor id —
+    * so DuckDB replays the whole search bit-for-bit. */
+  val q89Int8Knn = OracleQuery("q89_int8_knn",
+    "int8 ANN top-k: exact cross-engine replay of the quantized search",
+    (s, d) => {
+      import graft.ops.Quantize
+      val emb = Tables.embeddings(s, d)
+      Quantize.int8TopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+      s2 AS (
+        SELECT vec_id, vd,
+               list_max(list_transform(vd, x -> abs(x))) AS mx
+        FROM e),
+      q AS (
+        SELECT vec_id,
+               list_transform(vd, x -> CAST(floor(
+                 x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)
+                 AS BIGINT)) AS qv
+        FROM s2),
+      n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(p.qv, c.qv) AS DOUBLE) /
+                 (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                 AS sim
+        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+      ranked AS (
+        SELECT probe_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS rank,
+               neighbor_id, sim
+        FROM pairs)
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+      FROM ranked WHERE rank <= 10
+      ORDER BY probe_id, rank"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize)
+    Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn)
 }

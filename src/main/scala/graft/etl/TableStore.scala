@@ -169,15 +169,19 @@ final class TableStore(spark: SparkSession, val root: String) {
 
   /** M2: upsert (`ON CONFLICT DO UPDATE`) — keep current rows whose key
     * is absent from the increment, replace the rest with incoming. */
-  def upsert(table: String, incoming: DataFrame, keys: Seq[String]): Unit =
+  def upsert(table: String, incoming: DataFrame, keys: Seq[String],
+      mergeSchema: Boolean = false): Unit =
     if (!exists(table)) overwrite(table, incoming)
     else {
       val base = currentVersion(table).get
       val cur = readVersion(table, base)
       val kept = cur.join(incoming.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
-      replaceFrom(table, base,
-        kept.unionByName(incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*)))
+      val replacement =
+        if (mergeSchema) kept.unionByName(incoming, allowMissingColumns = true)
+        else kept.unionByName(
+          incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*))
+      replaceFrom(table, base, replacement)
     }
 
   /** Full MERGE INTO (update / delete / insert in one statement) against
@@ -214,12 +218,17 @@ final class TableStore(spark: SparkSession, val root: String) {
     }
   }
 
-  /** M4-style append (event-sourced logs). */
-  def append(table: String, rows: DataFrame): Unit =
+  /** M4-style append (event-sourced logs). `mergeSchema = true` opts
+    * into schema EVOLUTION (the Delta `mergeSchema` shape): columns new
+    * to either side are added and null-filled for rows that predate
+    * them; without it, a schema mismatch fails loudly — silent widening
+    * is never the default. */
+  def append(table: String, rows: DataFrame, mergeSchema: Boolean = false): Unit =
     if (!exists(table)) overwrite(table, rows)
     else {
       val base = currentVersion(table).get
-      replaceFrom(table, base, readVersion(table, base).unionByName(rows))
+      replaceFrom(table, base, readVersion(table, base)
+        .unionByName(rows, allowMissingColumns = mergeSchema))
     }
 
   /** Partition-level upsert — the 100 TB shape the whole-table

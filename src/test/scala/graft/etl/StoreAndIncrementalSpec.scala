@@ -98,6 +98,24 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     intercept[IllegalStateException] { store.readVersion("t", 1) }
   }
 
+  test("schema evolution: opt-in mergeSchema widens, default fails loudly") {
+    val root = Files.createTempDirectory("graft_se_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val widened = Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+    intercept[Exception] { store.append("t", widened) } // default: loud
+    store.append("t", widened, mergeSchema = true)
+    val rows = store.read("t").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(9L))),
+      "pre-evolution rows null-fill the new column")
+    // upsert with evolution: key 1 refreshed, gains the column
+    store.upsert("t", Seq((1L, "a2", 7L)).toDF("id", "v", "extra"),
+      Seq("id"), mergeSchema = true)
+    assert(store.read("t").filter($"id" === 1L)
+      .select($"v", $"extra").as[(String, Option[Long])].head() == ("a2", Some(7L)))
+  }
+
   test("concurrent committed version fails the write; crash-orphaned staging dirs never block") {
     val root = Files.createTempDirectory("graft_cw_").toString
     val store = new TableStore(spark, root)

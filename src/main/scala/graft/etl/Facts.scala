@@ -103,12 +103,16 @@ object Facts {
     import org.apache.spark.sql.functions.broadcast
     if (store.exists("fact_events")) {
       if (!store.read("fact_events").columns.contains("event_date")) {
+        // one-time migration, ONE partitioned write: recompute event_date
+        // from date_sk and land directly in hive layout so this load and
+        // all later ones take the hard-link fast path
         val dd = store.read("dim_date")
           .select(col("date_sk").as("_dsk"), col("full_date").as("event_date"))
-        store.overwrite("fact_events",
+        store.overwritePartitioned("fact_events",
           store.read("fact_events")
             .join(broadcast(dd), col("date_sk") === col("_dsk"), "left")
-            .drop("_dsk"))
+            .drop("_dsk"),
+          "event_date")
       }
       val oldParts = store.read("fact_events")
         .join(facts.select("event_nk").distinct(), Seq("event_nk"), "left_semi")

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * latest-change-wins collapse is the canonical way). A source with
   * duplicate keys would update/delete one target row multiple ways
   * nondeterministically. [[mergeFrames]] does not detect this by
-  * default (it costs an extra aggregation over the source);
-  * `strict = true` adds that check and fails fast like Delta's
-  * "multiple source rows matched" error.
+  * default; `strict = true` embeds the check in the merge plan itself
+  * (a window count over the source, asserted through the consumed
+  * presence marker) — it costs one extra window shuffle of the source
+  * and fails AT EXECUTION (SparkRuntimeException from assert_true, like
+  * Delta's "multiple source rows matched"), not at plan time.
   *
   * Scale shape: one shuffle-or-broadcast full-outer join on the merge
   * keys; every clause evaluates as a projected `when` chain inside the

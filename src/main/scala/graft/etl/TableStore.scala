@@ -125,14 +125,31 @@ final class TableStore(spark: SparkSession, val root: String) {
             "was computing — rerun against the current snapshot")
       }
     }
-    try Files.move(stage, Paths.get(dir(table), s"v$next"),
+    val target = Paths.get(dir(table), s"v$next")
+    def rename(): Unit = Files.move(stage, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try rename()
     catch {
-      case _: java.nio.file.FileSystemException =>
-        deleteRecursively(stage.toFile)
-        throw new ConcurrentWriteException(
-          s"table $table: version v$next was committed by a concurrent " +
-            "writer; TableStore allows one writer per table")
+      // collision signature = the TARGET dir exists (the JDK surfaces
+      // ENOTEMPTY as a bare FileSystemException, so exception type alone
+      // can't distinguish it); any failure where the target does NOT
+      // exist is a real I/O error (permissions, unsupported mount) —
+      // rethrown untouched, staged snapshot LEFT for diagnosis
+      case e: java.nio.file.FileSystemException if Files.exists(target) =>
+        if (currentVersion(table).getOrElse(0) < next) {
+          // v<next> exists but the pointer never reached it: a previous
+          // writer crashed BETWEEN rename and pointer swap. Under the
+          // single-writer contract nobody else can be mid-commit, so the
+          // orphan is garbage — remove it and publish this snapshot
+          // (otherwise every checkpoint-replayed retry would wedge here)
+          deleteRecursively(target.toFile)
+          rename()
+        } else {
+          deleteRecursively(stage.toFile)
+          throw new ConcurrentWriteException(
+            s"table $table: version v$next was committed by a concurrent " +
+              "writer; TableStore allows one writer per table")
+        }
     }
     commit(table, next)
   }
@@ -178,8 +195,18 @@ final class TableStore(spark: SparkSession, val root: String) {
       val kept = cur.join(incoming.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       val replacement =
-        if (mergeSchema) kept.unionByName(incoming, allowMissingColumns = true)
-        else kept.unionByName(
+        if (mergeSchema) {
+          // widening only: matched rows are REPLACED by incoming, so an
+          // incoming that lacks an existing column would silently null
+          // committed values — that direction stays a loud failure
+          val lost = cur.columns.toSet -- incoming.columns.toSet
+          if (lost.nonEmpty)
+            throw new IllegalArgumentException(
+              s"upsert(mergeSchema) into $table: incoming lacks existing " +
+                s"columns ${lost.mkString(", ")} — replacing matched rows " +
+                "would null them; evolution only ADDS columns")
+          kept.unionByName(incoming, allowMissingColumns = true)
+        } else kept.unionByName(
           incoming.select(cur.columns.map(org.apache.spark.sql.functions.col): _*))
       replaceFrom(table, base, replacement)
     }
@@ -363,6 +390,12 @@ final class TableStore(spark: SparkSession, val root: String) {
     try f(s) finally s.close()
   }
 
+  /** Full snapshot rewrite in hive-partitioned layout — bootstrap or
+    * migrate a table so later [[upsertPartitioned]] calls take the
+    * hard-link fast path. One write, unlike overwrite-then-upsert. */
+  def overwritePartitioned(table: String, df: DataFrame,
+      partitionCol: String): Unit = writePartitioned(table, df, partitionCol)
+
   private def writePartitioned(table: String, df: DataFrame,
       partitionCol: String): Unit = {
     val (next, nextDir) = stageVersion(table)
@@ -404,9 +437,13 @@ final class TableStore(spark: SparkSession, val root: String) {
       .filter(f => f.getName.stripPrefix("v").toIntOption
         .exists(_ <= latest - retain))
       .foreach(deleteRecursively)
-    // GC staging dirs orphaned by crashed writes (single-writer contract:
-    // nobody else can be mid-write while this compact runs)
-    dirF.listFiles().filter(_.getName.matches("v\\d+\\._tmp.*"))
+    // GC temp artifacts orphaned by crashed writes (single-writer
+    // contract: nobody else can be mid-write while this compact runs):
+    // staging dirs, touched-partition probe dirs, pointer tmp files
+    dirF.listFiles().filter(f =>
+        f.getName.matches("v\\d+\\._tmp.*") ||
+        f.getName.startsWith(".touched_") ||
+        f.getName.startsWith("_CURRENT.tmp"))
       .foreach(deleteRecursively)
   }
 

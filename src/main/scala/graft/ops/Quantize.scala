@@ -60,7 +60,12 @@ object Quantize {
     val qdot = aggregate(
       zip_with(col("probev"), col("neighborv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    val sims = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+    // cosine is undefined for zero vectors — and its 0/0 diverges across
+    // engines (Spark NaN sorts first DESC, DuckDB NULL sorts last), so
+    // degenerate vectors are excluded on both sides (q89 oracle mirrors)
+    val sims = c.filter(col("neighborn2") > 0)
+      .join(broadcast(p.filter(col("proben2") > 0)),
+        col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim",
         qdot.cast("double") /
           (sqrt(col("proben2").cast("double")) *

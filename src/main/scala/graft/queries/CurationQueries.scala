@@ -152,7 +152,8 @@ object CurationQueries {
                CAST(list_dot_product(p.qv, c.qv) AS DOUBLE) /
                  (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
                  AS sim
-        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+        WHERE p.n2 > 0 AND c.n2 > 0),
       ranked AS (
         SELECT probe_id,
                row_number() OVER (PARTITION BY probe_id

@@ -114,31 +114,63 @@ class StoreAndIncrementalSpec extends SparkTestBase {
       Seq("id"), mergeSchema = true)
     assert(store.read("t").filter($"id" === 1L)
       .select($"v", $"extra").as[(String, Option[Long])].head() == ("a2", Some(7L)))
+    // the REVERSE direction must stay loud even with mergeSchema: an
+    // upsert whose increment lacks an existing column would null the
+    // matched rows' committed values
+    val narrowEx = intercept[IllegalArgumentException] {
+      store.upsert("t", Seq((1L, "a3")).toDF("id", "v"),
+        Seq("id"), mergeSchema = true)
+    }
+    assert(narrowEx.getMessage.contains("incoming lacks existing columns"))
   }
 
-  test("concurrent committed version fails the write; crash-orphaned staging dirs never block") {
-    val root = Files.createTempDirectory("graft_cw_").toString
+  test("crash between rename and pointer swap self-heals on the next write") {
+    val root = Files.createTempDirectory("graft_cr_").toString
     val store = new TableStore(spark, root)
     store.overwrite("t", spark.range(10).toDF("id")) // v1
-    // a CONCURRENT writer's committed (non-empty) v2 → rename collides
+    // simulate: a writer renamed v2 into place but died before the
+    // pointer swap — non-empty v2, pointer still at v1
     val v2 = java.nio.file.Paths.get(root, "t", "v2")
     Files.createDirectory(v2)
     Files.write(v2.resolve("part-0.parquet"), Array[Byte](1))
+    // the checkpoint-replayed retry must reclaim the orphan and commit
+    store.overwrite("t", spark.range(25).toDF("id"))
+    assert(store.read("t").count() == 25)
+    assert(store.versions("t") == Seq(1, 2))
+  }
+
+  test("a racing writer that commits the same number first wins; the loser throws") {
+    val root = Files.createTempDirectory("graft_cw_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", spark.range(10).toDF("id")) // v1
+    // writer A stages v2...
+    val stage = classOf[TableStore].getDeclaredMethod("stageVersion",
+      classOf[String], classOf[Option[Int]])
+    stage.setAccessible(true)
+    val (next, stagePath) = stage.invoke(store, "t", None)
+      .asInstanceOf[(Int, java.nio.file.Path)]
+    spark.range(20).toDF("id").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stagePath.toString)
+    // ...writer B commits v2 (and the pointer) first
+    store.overwrite("t", spark.range(30).toDF("id"))
+    // A's publish must collide, not silently clobber B
+    val commitS = classOf[TableStore].getDeclaredMethods
+      .find(_.getName == "commitStaged").get
+    commitS.setAccessible(true)
     intercept[ConcurrentWriteException] {
-      store.overwrite("t", spark.range(20).toDF("id"))
+      try commitS.invoke(store, "t", Integer.valueOf(next), stagePath, None)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
-    // reader still sees the committed snapshot
-    assert(store.read("t").count() == 10)
-    Files.delete(v2.resolve("part-0.parquet")); Files.delete(v2)
+    assert(store.read("t").count() == 30, "B's snapshot survives")
 
     // a CRASHED write's staging leftover must NOT block the retry —
     // this is the checkpoint-replay path of the streaming/CDC sinks
-    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v2._tmp123"))
+    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v9._tmp123"))
     store.overwrite("t", spark.range(20).toDF("id"))
     assert(store.read("t").count() == 20)
     // and compact GCs the orphan
     store.compact("t", numFiles = 1, retain = 1)
-    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "v2._tmp123")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "v9._tmp123")))
   }
 
   test("stale-basis writer throws instead of discarding a concurrent commit") {
@@ -151,15 +183,12 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     // between A's read and commit using the public API from this thread
     val cur = store.read("t") // A's basis: v1
     store.overwrite("t", spark.range(30).toDF("id")) // B commits v2
+    // A's derived mutation, computed against v1, must refuse to commit —
+    // drive replaceFrom directly with the stale basis
+    val m = classOf[TableStore].getDeclaredMethod("replaceFrom",
+      classOf[String], classOf[Int], classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
     intercept[ConcurrentWriteException] {
-      // A now tries a derived mutation computed against v1
-      store.upsert("t_other_does_not_help", cur, Seq("id")) // bootstrap, fine
-      // the real check: a read-modify-write on t must notice the move.
-      // upsert() re-reads internally, so drive replaceFrom via append on
-      // a racing pointer: stage the race by hand
-      val m = classOf[TableStore].getDeclaredMethod("replaceFrom",
-        classOf[String], classOf[Int], classOf[org.apache.spark.sql.DataFrame])
-      m.setAccessible(true)
       try m.invoke(store, "t", Integer.valueOf(1), cur)
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }

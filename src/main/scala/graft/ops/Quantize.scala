@@ -50,16 +50,19 @@ object Quantize {
   def int8TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the quantized lanes are held as integer-VALUED doubles so the
+    // pairwise scoring runs through the codegen'd native DotProduct
+    // instead of an interpreted zip_with/aggregate lambda per pair —
+    // |q| ≤ 127, so every product and 64-term sum is ≪ 2⁵³ and the
+    // double arithmetic is bit-identical to integer math
     def qside(df: DataFrame, prefix: String) =
       symmetricInt8(df, idCol, vecCol)
-        .select(col(idCol).as(s"${prefix}_id"), col("qv").as(s"${prefix}v"))
+        .select(col(idCol).as(s"${prefix}_id"),
+          transform(col("qv"), q => q.cast("double")).as(s"${prefix}v"))
         .withColumn(s"${prefix}n2",
-          aggregate(col(s"${prefix}v"), lit(0L), (acc, q) => acc + q * q))
+          Similarity.dot(col(s"${prefix}v"), col(s"${prefix}v")))
     val c = qside(corpus, "neighbor")
     val p = qside(probes, "probe")
-    val qdot = aggregate(
-      zip_with(col("probev"), col("neighborv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
     // cosine is undefined for zero vectors — and its 0/0 diverges across
     // engines (Spark NaN sorts first DESC, DuckDB NULL sorts last), so
     // degenerate vectors are excluded on both sides (q89 oracle mirrors)
@@ -67,9 +70,8 @@ object Quantize {
       .join(broadcast(p.filter(col("proben2") > 0)),
         col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        qdot.cast("double") /
-          (sqrt(col("proben2").cast("double")) *
-            sqrt(col("neighborn2").cast("double"))))
+        Similarity.dot(col("probev"), col("neighborv")) /
+          (sqrt(col("proben2")) * sqrt(col("neighborn2"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))

@@ -50,6 +50,21 @@ object Curation {
     (df.filter(lab === "train"), df.filter(lab === "test"))
   }
 
+  /** Deterministic Bernoulli sampling with PER-ROW acceptance
+    * probability (importance/quality-weighted downsampling): a row
+    * survives iff its md5-uniform draw falls below `weightCol`
+    * (clamped to [0,1]). No RNG — membership is a pure function of
+    * (key, salt), so resharding or corpus growth never flips a row, and
+    * an engine replaying the same math selects the same rows. The
+    * uniform draw is the first 8 hex chars of md5 scaled by 2⁻³², the
+    * same construction as [[splitLabel]]. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = ""): DataFrame = {
+    val draw = conv(substring(keyHash(col(keyCol), salt), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.filter(draw < least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+  }
+
   /** Fixed-size token-window chunks with overlap — the
     * context-window-packing step before tokenization. One row per chunk:
     * (id, chunk_idx, n_chunk_tokens, chunk_text); windows start every

@@ -237,6 +237,27 @@ object Dedup {
     docs.join(victims, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupNear]] with QUALITY-based survivor selection: instead of the
+    * minimum id, each duplicate group keeps its best row by `scoreCol`
+    * (ties broken by id). The practical curation choice — near-dup
+    * groups usually contain one clean original and several degraded
+    * copies, and min-id keeps whichever was crawled first. One extra
+    * per-group window over group members only. */
+  def dedupNearBest(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column, maxBucket: Int = Int.MaxValue,
+      family: MinHashFamily = Md5Family): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, maxBucket, family)
+    val members = Components.connectedComponents(pairs, "id_a", "id_b")
+      .join(docs.select(col(idCol).as("node"), scoreCol.as("_score")), Seq("node"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("_score").desc, col("node"))
+    val victims = members
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("node").as(idCol))
+    docs.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for (probe × corpus) pairs sharing at
     * least one shingle. `probePred` bounds the left side so the candidate
     * join stays linear in corpus size. */

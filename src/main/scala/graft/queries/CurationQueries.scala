@@ -164,6 +164,29 @@ object CurationQueries {
       FROM ranked WHERE rank <= 10
       ORDER BY probe_id, rank"""))
 
+  /** Deterministic importance-weighted downsampling: acceptance
+    * probability proportional to document length (clamped to 1) — the
+    * oracle replays the md5-uniform draw, so MEMBERSHIP is verified
+    * exactly, not just the sample size. */
+  val q90WeightedSample = OracleQuery("q90_weighted_sample",
+    "deterministic weighted Bernoulli sample: keep-prob = len/2000, no RNG",
+    (s, d) =>
+      Curation.weightedSample(
+        Tables.documents(s, d)
+          .withColumn("w",
+            least(greatest(col("n_chars") / lit(2000.0), lit(0.0)), lit(1.0))),
+        "doc_id", "w")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, n_chars FROM documents
+      WHERE CAST(concat('0x',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0
+          < LEAST(GREATEST(n_chars / 2000.0, 0.0), 1.0)
+      ORDER BY doc_id"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn)
+    Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
+      q90WeightedSample)
 }

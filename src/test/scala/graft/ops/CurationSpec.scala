@@ -41,6 +41,49 @@ class CurationSpec extends SparkTestBase {
     assert(te3.select("doc_id").as[Long].collect().toSet != te)
   }
 
+  test("weighted sample: weight-1 rows always kept, weight-0 never, membership reshard-stable") {
+    val weighted = docs.withColumn("w",
+      when($"doc_id" % 3 === 0, lit(1.0))
+        .when($"doc_id" % 3 === 1, lit(0.0))
+        .otherwise(lit(0.5)))
+    val s1 = Curation.weightedSample(weighted, "doc_id", "w")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(docs.filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+      .collect().forall(s1.contains), "weight 1.0 = certain keep")
+    assert(!s1.exists(_ % 3 == 1), "weight 0.0 = certain drop")
+    val half = docs.filter($"doc_id" % 3 === 2).count()
+    val kept = s1.count(_ % 3 == 2)
+    assert(kept > half * 0.3 && kept < half * 0.7, s"~half expected: $kept/$half")
+    // layout-independent membership
+    val s2 = Curation.weightedSample(weighted.repartition(13), "doc_id", "w")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("dedupNearBest keeps the highest-scoring member of each duplicate group") {
+    // planted copies get ids +10000 but HIGHER scores than the originals
+    val base = docs.select($"doc_id", $"text")
+    val aug = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      .withColumn("score",
+        when($"doc_id" >= 10000, lit(2.0)).otherwise(lit(1.0)))
+    val kept = Dedup.dedupNearBest(aug, "doc_id", "text", col("score"),
+      family = Dedup.XxFamily)
+      .select($"doc_id").as[Long].collect().toSet
+    Dedup.unpersistCaches()
+    val planted = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+    // every planted original shares a group with its strictly
+    // higher-scored copy, so it can NEVER be the group's survivor —
+    // regardless of how LSH merges groups
+    planted.foreach { id =>
+      assert(!kept.contains(id), s"low-score original $id must drop")
+    }
+    // and survivors of the planted groups are copies (score 2.0)
+    assert(kept.exists(_ >= 10000), "some high-score copy survives")
+  }
+
   test("chunking: full coverage, correct overlap, short tails kept") {
     val chunks = Curation.chunkByWords(docs, "doc_id", "text", 40, 10)
       .collect().groupBy(_.getLong(0))

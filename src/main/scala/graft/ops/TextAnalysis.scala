@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -71,6 +71,38 @@ object TextAnalysis {
     * whitespace/case) ⇒ identical fingerprint — the key for exact dedup. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Corpus-frequency quality signals — the deterministic stand-in for
+    * perplexity filtering: documents dominated by corpus-RARE tokens are
+    * gibberish/noise candidates; documents of only ultra-common tokens
+    * are boilerplate candidates. True LM perplexity needs a float log
+    * sum (aggregation-order-dependent → not oracle-exact); these signals
+    * carry the same information with exact math: integer rare-token
+    * counts, decimal-exact mean token frequency, and one final double
+    * division per row.
+    *
+    * Scale shape: one explode + one groupBy(token) for the frequency
+    * table + one token-level join back (shuffle on token; stopword skew
+    * is the classic salting/AQE-skew case) + one groupBy(doc). The
+    * frequency table is vocabulary-sized — broadcastable for natural-
+    * language vocabularies even at 100 TB corpus scale. */
+  def corpusFreqSignals(docs: DataFrame, idCol: String, textCol: String,
+      rareThreshold: Long = 2L): DataFrame = {
+    val tok = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(col("ws")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    tok.join(freq, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+          .as("_csum"))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"),
+        (col("_csum").cast("double") / col("n_tokens")).as("avg_tok_freq"))
+  }
 
   /** 16-bit SimHash from the document's distinct tokens: bit j is set when
     * the +1/−1 votes from hex digit j of each token's md5 sum positive.

@@ -186,7 +186,35 @@ object CurationQueries {
           < LEAST(GREATEST(n_chars / 2000.0, 0.0), 1.0)
       ORDER BY doc_id"""))
 
+  /** Corpus-frequency quality signals (`TextAnalysis.corpusFreqSignals`)
+    * — deterministic perplexity-filter stand-in: rare-token counts are
+    * exact integers, mean token frequency is a decimal-exact sum, each
+    * ratio is one double division. */
+  val q91FreqSignals = OracleQuery("q91_freq_signals",
+    "corpus-frequency quality signals: rare-token ratio + mean token freq",
+    (s, d) => {
+      import graft.ops.TextAnalysis
+      TextAnalysis.corpusFreqSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS rare_ratio,
+             CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE)
+               / count(*) AS avg_tok_freq
+      FROM tok JOIN freq USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
-      q90WeightedSample)
+      q90WeightedSample, q91FreqSignals)
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that contain a
+  * held-out evaluation document (exactly or nearly), by n-gram
+  * CONTAINMENT — |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|.
+  * Containment, not Jaccard: a long training document that swallows a
+  * short benchmark item whole has low Jaccard but containment 1.0,
+  * and it is precisely the document a decontamination pass must drop.
+  *
+  * Scale shape: both sides explode to distinct (id, shingle) rows and
+  * join ON the shingle — shuffle keyed by shingle text, candidate pairs
+  * bounded by actual n-gram overlap (never a doc×bench cross product).
+  * The benchmark side is eval-set-sized (thousands of docs), so at
+  * 100 TB corpus scale its distinct-shingle table is broadcastable and
+  * the whole pass degenerates to one broadcast-hash semi-scan of the
+  * corpus — the same shape CCNet/Dolma-style decontamination uses.
+  */
+object Contamination {
+
+  /** Distinct (id, sh) n-gram shingle rows (token array bound first —
+    * CLAUDE.md rule 3 / Dedup.shingleRows). */
+  private def distinctShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(Dedup.shingles(col("ws"), n)).as("sh"))
+      .distinct()
+
+  /** (doc_id, bench_id, n_inter, containment) for every corpus/benchmark
+    * pair whose containment ≥ `threshold`. Exact integer intersection
+    * counts; containment is one double division of exact longs. */
+  def containmentPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val c = distinctShingles(corpus, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc_id_c")
+    val b = distinctShingles(bench, idCol, textCol, n)
+      .withColumnRenamed(idCol, "bench_id")
+    val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+    val inter = c.join(broadcast(b), Seq("sh"))
+      .groupBy(col("doc_id_c"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter.join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("bench_n"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id_c").as("doc_id"), col("bench_id"),
+        col("n_inter"), col("containment"))
+  }
+
+  /** The documents a decontamination pass would DROP: distinct corpus
+    * ids with any containment ≥ threshold against the benchmark. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, threshold: Double = 0.5): DataFrame =
+    containmentPairs(corpus, bench, idCol, textCol, n, threshold)
+      .select(col("doc_id")).distinct()
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII-style pattern detection and redaction for training-data hygiene.
+  *
+  * A production corpus pipeline runs a bank of regexes over every
+  * document before training (emails, phone numbers, IP addresses, long
+  * digit runs) and either drops the document or replaces the spans with
+  * typed placeholder tokens. Both halves are pure `regexp_count` /
+  * `regexp_replace` column expressions: codegen'd, zero shuffle, linear
+  * scans — at 100 TB this is a narrow map-only stage whose cost is the
+  * regex engine itself, so patterns are written without backtracking
+  * features (they stay inside the RE2-compatible subset, which also
+  * keeps them portable to the DuckDB oracle).
+  *
+  * Reference scope: the reference warehouse has no PII handling at all;
+  * this is part of the LLM-data-pipeline surface (SURVEY §2.11).
+  */
+object Redact {
+
+  /** Pattern bank: name → (regex, placeholder). Kept in the common
+    * Java-regex/RE2 subset: character classes, bounded repetition,
+    * alternation — no backreferences, no lookaround. */
+  val Patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>"),
+    ("num", "[0-9]+", "<NUM>"))
+
+  /** Count of matches of pattern `name` in `text` (exact long). */
+  def hits(text: Column, name: String): Column = {
+    val (_, re, _) = Patterns.find(_._1 == name).get
+    regexp_count(text, lit(re)).cast("long")
+  }
+
+  /** `text` with every pattern in the bank replaced by its placeholder,
+    * applied in bank order (email/ip/phone first so their digit spans
+    * are consumed before the generic digit-run rule). */
+  def redacted(text: Column): Column =
+    Patterns.foldLeft(text) { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic keyword search (tf·idf scoring) over a document
+  * corpus — the retrieval primitive of a training-data pipeline
+  * (targeted subset extraction: "all documents about X").
+  *
+  * Scale design: term frequencies are per-row array-filter counts (no
+  * explode, no shuffle); document frequencies are ONE tiny aggregate
+  * over the corpus (|terms| longs) broadcast back via crossJoin — so
+  * the whole search is a single narrow scan plus a broadcast of a
+  * handful of numbers, and the only shuffle is the final top-k
+  * (TakeOrderedAndProject, never a global sort).
+  *
+  * Determinism: idf is the single double division N/df of exact longs
+  * (bit-identical in any IEEE engine); each term's tf·idf product and
+  * the FIXED-ORDER sum across terms are likewise bit-identical, so the
+  * DuckDB oracle replays the ranking exactly (OracleQuery conventions
+  * 1–3; aggregation-order concerns don't arise because the per-document
+  * score is a row-local expression, not an aggregate).
+  */
+object Search {
+
+  /** tf(term) in the bound token-array column `ws`. */
+  def tf(ws: Column, term: String): Column =
+    size(filter(ws, w => w === term)).cast("long")
+
+  /** Top-k documents for `terms` by summed tf·(N/df) score.
+    * Emits (id, per-term tfs..., score) with total order
+    * (score DESC, id) and rank ≤ k. */
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+    val tfs = terms.foldLeft(toks) { (df, t) =>
+      df.withColumn(s"tf_$t", tf(col("ws"), t))
+    }
+    // one corpus-wide aggregate: N plus df per term — a single tiny row,
+    // broadcast to every partition by the crossJoin below
+    val dfAgg = tfs.agg(
+      count(lit(1)).as("n_docs"),
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = tfs.crossJoin(broadcast(dfAgg))
+      .withColumn("score",
+        terms.map(t =>
+          col(s"tf_$t").cast("double") *
+            (col("n_docs").cast("double") /
+              greatest(col(s"df_$t"), lit(1L))))
+          .reduce(_ + _))
+      .filter(col("score") > 0)
+    scored
+      .select(col(idCol) +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

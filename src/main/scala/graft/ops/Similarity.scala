@@ -74,6 +74,34 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Metadata-filtered exact top-k: each probe searches ONLY corpus
+    * vectors sharing its `filterCol` value — the filtered-ANN primitive
+    * every vector store exposes (per-tenant / per-language / per-source
+    * search). The filter rides the join condition, so Catalyst pushes
+    * the equality into the broadcast hash key and non-matching corpus
+    * rows never reach the scoring expression; at 100 TB the pre-filter
+    * is what keeps selective searches cheap (score |matching| vectors,
+    * not |corpus|). */
+  def filteredTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(filterCol).as("fc"),
+        col("vd").as("cv"), col("n2").as("cn2"))
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(filterCol).as("pf"),
+        col("vd").as("pv"), col("n2").as("pn2"))
+    val sims = c.join(broadcast(p),
+        col("fc") === col("pf") && col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
+        col("pn2"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("pf").as("label"), col("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** Deterministic R hyperplanes for `dim`-dimensional vectors (seeded
     * Gaussian, generated driver-side once — a few KB broadcast as a
     * literal). */

@@ -104,6 +104,55 @@ object TextAnalysis {
         (col("_csum").cast("double") / col("n_tokens")).as("avg_tok_freq"))
   }
 
+  /** Adjacent word pairs ("w_i w_i+1") of a BOUND token-array column
+    * (rule 3: pass an attribute, not an inline expression). The
+    * size-guard matters: Spark's sequence(1, 0) counts DOWN, so an
+    * unguarded one-token document would yield a reversed two-element
+    * index list instead of no bigrams. */
+  def wordBigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i.cast("int")), lit(" "),
+          element_at(ws, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition quality signals, per document: documents
+    * dominated by one token or one adjacent pair are navigation
+    * boilerplate / keyword-stuffing candidates (Rae et al. 2021 §A1.1
+    * repetition filters). All counts exact longs; each emitted fraction
+    * is a single double division of exact operands, so the DuckDB twin
+    * replays it bit-for-bit.
+    *
+    * Scale shape: two explode→groupBy passes (token level and bigram
+    * level) shuffled on (doc, gram) — uniformly distributed keys, then
+    * a per-doc max. No corpus-wide state at all, so it parallelizes
+    * embarrassingly at any scale. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val uni = toks.select(col(idCol), explode(col("ws")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_n"))
+    val bi = toks.select(col(idCol), explode(wordBigrams(col("ws"))).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    uni.join(bi, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        col("top_word_n"),
+        (col("top_word_n").cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / (col("n_words") - 1))
+          .as("top_bigram_frac"))
+  }
+
   /** 16-bit SimHash from the document's distinct tokens: bit j is set when
     * the +1/−1 votes from hex digit j of each token's md5 sum positive.
     * Pure aggregation — see Dedup.simhash16 for the DataFrame form. */

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Contamination, Redact, Search, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Corpus-hygiene surface: PII-style redaction, Gopher repetition
+  * filters, benchmark decontamination, keyword retrieval, filtered
+  * vector search, and BPE merge mining — the scrubbing/selection stages
+  * of a training-data pipeline (SURVEY §2.11 extensions; the reference
+  * warehouse has none of these).
+  *
+  * Everything follows the OracleQuery determinism conventions: exact
+  * integer counts, single double divisions, total ORDER BY, and only
+  * the Spark∩DuckDB function surface in the twins.
+  */
+object HygieneQueries {
+
+  /** PII-style regex scan + redaction over the events stream (the only
+    * driver table with free-form string payloads). The pattern bank is
+    * RE2-compatible so the DuckDB twin runs the identical regexes. */
+  val q92Redact = OracleQuery("q92_redact_pii",
+    "regex PII scan + placeholder redaction (codegen'd, zero-shuffle)",
+    (s, d) => {
+      val raw = Tables.events(s, d)
+        .select(col("event_id"),
+          concat(col("event_type"), lit(" "), col("props")).as("raw"))
+      raw.select(col("event_id"),
+          Redact.hits(col("raw"), "num").as("n_nums"),
+          Redact.hits(col("raw"), "email").as("n_emails"),
+          Redact.redacted(col("raw")).as("redacted"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id, concat(event_type, ' ', props) AS raw FROM events)
+      SELECT event_id,
+             len(regexp_extract_all(raw, '[0-9]+')) AS n_nums,
+             len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted
+      FROM r
+      ORDER BY event_id"""))
+
+  /** Gopher-style repetition signals (duplicate-token fraction, top
+    * unigram/bigram dominance) per document. */
+  val q93Repetition = OracleQuery("q93_repetition",
+    "repetition quality filters: dup-token + top unigram/bigram fractions",
+    (s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= 2),
+      uc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM t2)
+        GROUP BY 1, 2),
+      uni AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS top_word_n
+        FROM uc GROUP BY 1),
+      bc AS (
+        SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, n - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS b
+              FROM t2)
+        GROUP BY 1, 2),
+      bi AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct,
+             CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+             top_word_n,
+             CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+             top_bigram_n,
+             CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac
+      FROM uni JOIN bi USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: corpus = documents plus planted
+    * near-copies (first word dropped) of the benchmark docs; flag every
+    * corpus doc whose 5-gram CONTAINMENT of a benchmark doc ≥ 0.5 —
+    * catches both the planted derivatives and the originals. */
+  val q94Decontaminate = OracleQuery("q94_decontaminate",
+    "benchmark decontamination via 5-gram containment (≥0.5 flagged)",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val shifted = bench.select((col("doc_id") + 30000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Contamination.containmentPairs(
+          docs.unionByName(shifted), bench, "doc_id", "text", n = 5,
+          threshold = 0.5)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000, substr(text, strpos(text, ' ') + 1)
+        FROM documents WHERE doc_id % 50 = 0),
+      csh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 4),
+                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM corpus))),
+      bsh AS (
+        SELECT doc_id AS bench_id, sh FROM csh WHERE doc_id % 50 = 0
+          AND doc_id < 30000),
+      bsz AS (SELECT bench_id, count(*) AS bench_n FROM bsh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_id, b.bench_id, count(*) AS n_inter
+        FROM csh c JOIN bsh b USING (sh)
+        GROUP BY 1, 2)
+      SELECT doc_id, bench_id, n_inter,
+             CAST(n_inter AS DOUBLE) / bench_n AS containment
+      FROM inter JOIN bsz USING (bench_id)
+      WHERE CAST(n_inter AS DOUBLE) / bench_n >= 0.5
+      ORDER BY doc_id, bench_id"""))
+
+  private val SearchTerms = Seq("spark", "window", "join")
+
+  /** Keyword retrieval: tf·(N/df) scored top-20. Row-local fixed-order
+    * score expression ⇒ bit-identical ranking across engines. */
+  val q95KeywordSearch = OracleQuery("q95_keyword_search",
+    "tf-idf keyword search top-20 (exact-arithmetic ranking)",
+    (s, d) =>
+      Search.keywordTopK(Tables.documents(s, d), "doc_id", "text",
+        SearchTerms, 20),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+               CAST(len(list_filter(ws, x -> x = 'window')) AS BIGINT) AS tf_window,
+               CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf_join
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+               CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window,
+               CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join
+        FROM tf)
+      SELECT doc_id, tf_spark, tf_window, tf_join, score FROM (
+        SELECT doc_id, tf_spark, tf_window, tf_join,
+               CAST(tf_spark AS DOUBLE)
+                 * (CAST(n_docs AS DOUBLE) / GREATEST(df_spark, 1))
+               + CAST(tf_window AS DOUBLE)
+                 * (CAST(n_docs AS DOUBLE) / GREATEST(df_window, 1))
+               + CAST(tf_join AS DOUBLE)
+                 * (CAST(n_docs AS DOUBLE) / GREATEST(df_join, 1)) AS score
+        FROM tf, ag) s
+      WHERE score > 0
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
+
+  /** Metadata-filtered exact vector search: per-label top-10 for 5
+    * probes — the per-tenant/per-language filtered-ANN shape. */
+  val q96FilteredKnn = OracleQuery("q96_filtered_knn",
+    "label-filtered cosine top-10: probes search only their own label",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 10)
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, p.label AS label,
+               c.vec_id AS neighbor_id,
+               list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) AS sim
+        FROM n p JOIN n c ON p.label = c.label AND p.vec_id != c.vec_id
+        WHERE p.vec_id < 5)
+      SELECT probe_id, label,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+             neighbor_id, sim
+      FROM pairs
+      QUALIFY rank <= 10
+      ORDER BY probe_id, rank"""))
+
+  /** BPE merge mining, step 1: the corpus-wide most frequent adjacent
+    * token pairs — the candidate list the first merge round of a BPE
+    * vocabulary build consumes. One explode + one groupBy(pair) with
+    * map-side partial counts; top-30 via TakeOrderedAndProject. */
+  val q97BpeMerges = OracleQuery("q97_bpe_merges",
+    "corpus-wide top-30 adjacent-pair counts (BPE merge candidates)",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(TextAnalysis.words(col("text")).as("ws"))
+        .select(explode(TextAnalysis.wordBigrams(col("ws"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30),
+    Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS pair
+        FROM t WHERE len(ws) >= 2)
+      SELECT pair, count(*) AS n
+      FROM bg GROUP BY 1
+      ORDER BY n DESC, pair
+      LIMIT 30"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
+      q96FilteredKnn, q97BpeMerges)
+}

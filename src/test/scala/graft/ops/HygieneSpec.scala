@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Planted-truth tests for the corpus-hygiene ops: redaction, repetition
+  * signals, decontamination containment, keyword search, filtered kNN. */
+class HygieneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("redaction consumes structured PII before the generic digit rule") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@ex-ample.co.uk or 192.168.0.1 now"),
+      (2L, "call +1 555 123 4567 ref 42"),
+      (3L, "nothing here")).toDF("id", "t")
+    val out = df.select(col("id"),
+      Redact.hits(col("t"), "email").as("e"),
+      Redact.hits(col("t"), "ipv4").as("ip"),
+      Redact.redacted(col("t")).as("r"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == "contact <EMAIL> or <IP> now")
+    // the phone matched as a unit (NOT three digit runs), the lone ref
+    // number fell through to <NUM>; the +1 prefix is outside the
+    // 3-3-4 phone shape and redacts as a digit run
+    assert(out(1).getString(3) == "call +<NUM> <PHONE> ref <NUM>")
+    assert(out(2).getString(3) == "nothing here")
+  }
+
+  test("repetition signals: exact fractions on a planted document") {
+    // "a a a b" → n=4, distinct=2, top word a×3, top bigram "a a"×2
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 4)
+    assert(r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r.getAs[Long]("top_word_n") == 3)
+    assert(r.getAs[Double]("top_word_frac") == 0.75)
+    assert(r.getAs[Long]("top_bigram_n") == 2)
+    assert(r.getAs[Double]("top_bigram_frac") == 2.0 / 3)
+  }
+
+  test("wordBigrams of a single-token doc is empty, not reversed") {
+    val df = Seq((1L, "solo")).toDF("doc_id", "text")
+    val bg = df.select(
+      TextAnalysis.wordBigrams(TextAnalysis.words(col("text"))).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(bg.isEmpty)
+  }
+
+  test("containment flags a swallowed benchmark doc that Jaccard misses") {
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    // corpus doc 1 embeds the benchmark verbatim inside a much longer
+    // text; doc 2 is unrelated
+    val corpus = Seq(
+      (1L, "x1 x2 x3 x4 x5 the quick brown fox jumps over dogs y1 y2 y3 y4 y5"),
+      (2L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Contamination.containmentPairs(corpus, bench,
+      "doc_id", "text", n = 5, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_id") == 1)
+    assert(pairs(0).getAs[Double]("containment") == 1.0)
+    // Jaccard for the same pair is 3/13 ≈ 0.23 — containment is the
+    // right decontamination metric
+    val ids = Contamination.contaminatedIds(corpus, bench,
+      "doc_id", "text", n = 5, threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("keyword search ranks by tf·idf with doc_id tiebreak") {
+    val docs = Seq(
+      (1L, "spark spark spark common"),   // tf(spark)=3
+      (2L, "spark rare common filler"),   // tf(spark)=1, tf(rare)=1
+      (3L, "rare common filler filler"),  // tf(rare)=1
+      (4L, "common filler filler filler") // no term
+    ).toDF("doc_id", "text")
+    val top = Search.keywordTopK(docs, "doc_id", "text",
+      Seq("spark", "rare"), 10).collect()
+    // idf(spark)=4/2=2, idf(rare)=4/2=2 → scores: d1=6, d2=4, d3=2
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("score") == 6.0)
+    assert(top(1).getAs[Double]("score") == 4.0)
+  }
+
+  test("filtered kNN never crosses the label boundary") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.99f, 0.01f), 2), // closest overall, but label 2
+      (3L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", "label", 10).collect()
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors == Set(1L, 3L)) // 2 excluded despite higher sim
+    assert(out.forall(_.getAs[Int]("label") == 1))
+  }
+}

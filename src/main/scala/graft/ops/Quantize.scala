@@ -55,20 +55,31 @@ object Quantize {
     // instead of an interpreted zip_with/aggregate lambda per pair —
     // |q| ≤ 127, so every product and 64-term sum is ≪ 2⁵³ and the
     // double arithmetic is bit-identical to integer math
+    // cosine is undefined for zero vectors — and its 0/0 diverges across
+    // engines (Spark NaN sorts first DESC, DuckDB NULL sorts last), so
+    // degenerate vectors are excluded on both sides (q89 oracle mirrors,
+    // via `WHERE n2 > 0` on the quantized vector — equivalent: a nonzero
+    // max|x| quantizes its arg-max lane to ±127, so quantized n2 ≥ 127²).
+    // The filter runs on the RAW column BEFORE quantization: a filter on
+    // the quantized norm gets predicate-pushed through the projection
+    // chain, and alias substitution inlines the whole quantization
+    // pipeline into the pushed predicate — including the scale's
+    // array_max re-evaluated PER ELEMENT inside the floor lambda (the
+    // bound `mx` attribute exists only in the projection). Measured 7×
+    // slowdown vs the float brute-force path at sf0.1 before this.
     def qside(df: DataFrame, prefix: String) =
-      symmetricInt8(df, idCol, vecCol)
+      symmetricInt8(
+          df.filter(
+            array_max(transform(col(vecCol), x => abs(x.cast("double")))) > 0),
+          idCol, vecCol)
         .select(col(idCol).as(s"${prefix}_id"),
           transform(col("qv"), q => q.cast("double")).as(s"${prefix}v"))
         .withColumn(s"${prefix}n2",
           Similarity.dot(col(s"${prefix}v"), col(s"${prefix}v")))
     val c = qside(corpus, "neighbor")
     val p = qside(probes, "probe")
-    // cosine is undefined for zero vectors — and its 0/0 diverges across
-    // engines (Spark NaN sorts first DESC, DuckDB NULL sorts last), so
-    // degenerate vectors are excluded on both sides (q89 oracle mirrors)
-    val sims = c.filter(col("neighborn2") > 0)
-      .join(broadcast(p.filter(col("proben2") > 0)),
-        col("probe_id") =!= col("neighbor_id"))
+    val sims = c
+      .join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("sim",
         Similarity.dot(col("probev"), col("neighborv")) /
           (sqrt(col("proben2")) * sqrt(col("neighborn2"))))

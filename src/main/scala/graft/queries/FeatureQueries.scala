@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Sequence-feature engineering over the event stream: the
+  * windowed / transition / inter-arrival features a behavioral-model
+  * training pipeline derives per user before export. Extends the
+  * reference's window surface (which has only pct-of-total and
+  * keep-latest, SURVEY W1–W2) with value-RANGE frames and lag-chain
+  * features.
+  *
+  * Timestamp discipline: events.ts is nanos-as-long on the Spark side
+  * and µs-truncated TIMESTAMP in DuckDB, so every comparison runs on
+  * `ts div 1000` = epoch_us (CLAUDE.md rule 5). Sums of the double
+  * `value` column go through DECIMAL(18,2) — order-independent exact
+  * addition — and surface as double (OracleQuery convention 2).
+  */
+object FeatureQueries {
+
+  private val HourUs = 3600000000L
+
+  /** Rolling 1-hour per-user window via a value-RANGE frame — unlike a
+    * ROWS frame (q77) the frame edge is a TIMESTAMP OFFSET, the shape
+    * feature stores use for "activity in the last hour". RANGE frames
+    * are peer-inclusive and value-based, so the result is independent
+    * of tie order — deterministic without an event_id tiebreak in the
+    * ORDER BY. */
+  val q98RollingWindow = OracleQuery("q98_rolling_window",
+    "per-user rolling 1-hour count + exact sum via RANGE frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-HourUs, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             count(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Per-user consecutive event-type transitions rolled up corpus-wide —
+    * the Markov transition-count matrix of the event stream (sequence-
+    * model training prep). One lag window + one groupBy; both shuffles
+    * key on high-cardinality uniform columns. */
+  val q99EventTransitions = OracleQuery("q99_event_transitions",
+    "corpus-wide event-type transition counts (per-user lag chains)",
+    (s, d) => {
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wo))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    },
+    Some("""
+      WITH lagged AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events)
+      SELECT prev_type, event_type, count(*) AS n
+      FROM lagged
+      WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY prev_type, event_type"""))
+
+  /** Per-user inter-arrival gap statistics in exact integer µs (the
+    * burstiness features of a user-activity model). avg gap is the
+    * single double division of two exact longs. */
+  val q100Interarrival = OracleQuery("q100_interarrival",
+    "per-user inter-arrival gap stats (exact µs; min/max/avg)",
+    (s, d) => {
+      val tsUs = expr("ts div 1000")
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us", tsUs - lag(tsUs, 1).over(wo))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+        .withColumn("avg_gap_us",
+          col("sum_gap_us").cast("double") / col("n_gaps"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events)
+      SELECT user_id, count(*) AS n_gaps,
+             min(gap_us) AS min_gap_us,
+             max(gap_us) AS max_gap_us,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+             CAST(SUM(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+      FROM gaps
+      WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q98RollingWindow, q99EventTransitions, q100Interarrival)
+}

@@ -32,6 +32,8 @@ object Search {
     * (score DESC, id) and rank ≤ k. */
   def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordTopK needs at least one term")
+    require(terms.distinct == terms, "duplicate terms would double-count")
     val toks = docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
     val tfs = terms.foldLeft(toks) { (df, t) =>
       df.withColumn(s"tf_$t", tf(col("ws"), t))

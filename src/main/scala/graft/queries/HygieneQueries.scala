@@ -23,9 +23,12 @@ object HygieneQueries {
   val q92Redact = OracleQuery("q92_redact_pii",
     "regex PII scan + placeholder redaction (codegen'd, zero-shuffle)",
     (s, d) => {
+      // concat_ws, not concat: both engines SKIP null inputs (Spark's
+      // concat would return NULL while DuckDB's concat treats null as
+      // '' — a silent cross-engine divergence on any null payload)
       val raw = Tables.events(s, d)
         .select(col("event_id"),
-          concat(col("event_type"), lit(" "), col("props")).as("raw"))
+          concat_ws(" ", col("event_type"), col("props")).as("raw"))
       raw.select(col("event_id"),
           Redact.hits(col("raw"), "num").as("n_nums"),
           Redact.hits(col("raw"), "email").as("n_emails"),
@@ -34,7 +37,7 @@ object HygieneQueries {
     },
     Some("""
       WITH r AS (
-        SELECT event_id, concat(event_type, ' ', props) AS raw FROM events)
+        SELECT event_id, concat_ws(' ', event_type, props) AS raw FROM events)
       SELECT event_id,
              len(regexp_extract_all(raw, '[0-9]+')) AS n_nums,
              len(regexp_extract_all(raw,

@@ -64,4 +64,33 @@ class StreamingSpec extends SparkTestBase {
     assert(out.agg(sum($"n_events")).as[Long].head() ==
       Tables.events(spark, sfDir).count())
   }
+
+  test("hygiene projections run unchanged on a document stream") {
+    // redaction / language-id / token-count are stateless column
+    // expressions, so the SAME code path must work under readStream
+    // with no watermark or output-mode caveats — ingest-time scrubbing
+    import graft.ops.{Redact, TextAnalysis}
+    val docDir = Files.createTempDirectory("graft_docs_").toString
+    Tables.documents(spark, sfDir).write.mode("overwrite").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+
+    def scrub(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ws", TextAnalysis.words($"text"))
+      .select($"doc_id",
+        Redact.redacted($"text").as("clean"),
+        TextAnalysis.languageId($"ws").as("lid"),
+        TextAnalysis.tokenCount($"text").as("n_tok"))
+
+    val q = scrub(spark.readStream.schema(schema).parquet(docDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrubbed").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val stream = spark.table("scrubbed").orderBy("doc_id").collect()
+    val batch = scrub(Tables.documents(spark, sfDir))
+      .orderBy("doc_id").collect()
+    assert(stream.sameElements(batch), "stream output == batch output")
+    assert(stream.length == 500)
+  }
 }

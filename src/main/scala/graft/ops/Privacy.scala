@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-anonymity suppression for aggregate release — the privacy gate a
+  * pipeline applies before publishing grouped statistics derived from
+  * user data: no published row may describe fewer than k individuals'
+  * events.
+  *
+  * Scale shape: one groupBy over the full key (the aggregate being
+  * released anyway) plus one re-aggregate of the small-group residue —
+  * the second pass touches only suppressed groups, a vanishing fraction
+  * of a 100 TB aggregate. No per-row state, no collect.
+  */
+object Privacy {
+
+  /** Release `df` grouped by (`keyCol`, `detailCol`) with k-anonymity:
+    * groups with fewer than k rows lose their `detailCol` (collapsed to
+    * `'*'` per `keyCol`), and a residual that is STILL smaller than k is
+    * dropped entirely (strict suppression — publishing it would leak a
+    * small cohort). Emits (keyCol, detailCol, n). */
+  def kAnonymize(df: DataFrame, keyCol: String, detailCol: String,
+      k: Long): DataFrame = {
+    val g = df.groupBy(col(keyCol), col(detailCol))
+      .agg(count(lit(1)).as("n"))
+    val ok = g.filter(col("n") >= k)
+    val residual = g.filter(col("n") < k)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") >= k)
+      .select(col(keyCol), lit("*").as(detailCol), col("n"))
+    ok.unionByName(residual)
+  }
+}

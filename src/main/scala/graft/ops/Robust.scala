@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Winsorized (outlier-clipped) statistics with EXACT, engine-portable
+  * percentiles — the robust-stats pass a feature pipeline runs before
+  * normalizing a skewed metric.
+  *
+  * Built-in percentile functions differ across engines (interpolation
+  * modes, tie handling), so the cut points are defined explicitly as
+  * order statistics: the m-th smallest value with
+  * m = max(1, ceil(q·n)) — discrete, deterministic, and replayable in
+  * any engine with row_number. Ties in the value column break on the
+  * row's unique id so ranking is total.
+  *
+  * Scale shape: one window rank per group + one conditional aggregate +
+  * one broadcast join of the per-group cut points back onto the rows.
+  * The rank is the only heavy step (a per-group sort — the price of
+  * EXACT order statistics; approximate percentile sketches are the
+  * 100 TB fallback when ±ε is acceptable). Group cut-point tables are
+  * |groups|-sized — broadcastable.
+  */
+object Robust {
+
+  /** Per-`keyCol` winsorized stats of `valCol` (clipped to the
+    * [qLow, qHigh] order statistics): n, the two cut values, clip
+    * counts, and the decimal-exact clipped mean. `idCol` breaks rank
+    * ties. */
+  def winsorizedStats(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, qLow: Double, qHigh: Double): DataFrame = {
+    require(qLow > 0 && qHigh < 1 && qLow < qHigh, "need 0 < qLow < qHigh < 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valCol), col(idCol))
+    val ranked = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col(keyCol))))
+    def cutRank(q: Double): Column =
+      greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+    val cuts = ranked
+      .groupBy(col(keyCol), col("n"))
+      .agg(
+        min(when(col("rn") === cutRank(qLow), col(valCol))).as("lo_cut"),
+        min(when(col("rn") === cutRank(qHigh), col(valCol))).as("hi_cut"))
+    val clipped = df.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("cv",
+        least(greatest(col(valCol), col("lo_cut")), col("hi_cut")))
+    clipped.groupBy(col(keyCol), col("n"), col("lo_cut"), col("hi_cut"))
+      .agg(
+        sum(when(col(valCol) < col("lo_cut"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col(valCol) > col("hi_cut"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(col("cv").cast(DecimalType(18, 2))).as("_csum"))
+      .select(col(keyCol), col("n"), col("lo_cut"), col("hi_cut"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        (col("_csum").cast("double") / col("n")).as("wins_mean"))
+  }
+}

@@ -40,7 +40,8 @@ object Catalog {
     CoreQueries.all ++ StagingQueries.all ++ QualityQueries.all ++
       KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
       RangeQueries.all ++ TpchQueries.all ++ SetQueries.all ++
-      CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all
+      CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
+      ReleaseQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

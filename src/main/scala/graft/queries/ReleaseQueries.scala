@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Contamination, Curation, Privacy, Robust}
+import graft.sources.Tables
+
+/** Data-release surface: the gates between an internal warehouse and
+  * anything published or trained on — k-anonymous aggregates, robust
+  * (winsorized) statistics, and decontaminated training splits.
+  *
+  * Determinism notes specific to this file:
+  *  - fractional literals in cut-rank math are CAST to DOUBLE in the
+  *    oracle SQL — DuckDB parses bare `0.05` as DECIMAL and would round
+  *    differently from Spark's double literal (ceil(0.05·600) is 30 in
+  *    decimal but 31 in binary double — both engines must pick the SAME
+  *    one, so both are forced to IEEE double);
+  *  - calendar days are emitted as strings so the `'*'` suppression
+  *    marker can share the column; `'*'` (0x2A) sorts before digits in
+  *    both engines, keeping the total ORDER BY stable.
+  */
+object ReleaseQueries {
+
+  /** k-anonymous release of the (event_type, day) activity aggregate:
+    * cohorts under k=5 collapse into a per-type `'*'` residual, and a
+    * residual still under k is dropped outright. */
+  val q101KAnon = OracleQuery("q101_k_anonymize",
+    "k-anonymous aggregate release: <5-row cohorts suppressed into residuals",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+            .as("day"))
+      Privacy.kAnonymize(days, "event_type", "day", 5L)
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      ok AS (SELECT event_type, day, n FROM g WHERE n >= 5),
+      resid AS (
+        SELECT event_type, '*' AS day, CAST(SUM(n) AS BIGINT) AS n
+        FROM g WHERE n < 5
+        GROUP BY 1
+        HAVING SUM(n) >= 5)
+      SELECT * FROM ok
+      UNION ALL
+      SELECT * FROM resid
+      ORDER BY event_type, day"""))
+
+  /** Winsorized per-type stats of the value metric, cut at the exact
+    * p05/p95 order statistics (m-th smallest, m = max(1, ceil(q·n))). */
+  val q102Winsorize = OracleQuery("q102_winsorize",
+    "winsorized stats: exact order-statistic cuts, clip counts, exact mean",
+    (s, d) =>
+      Robust.winsorizedStats(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          col("value")),
+        "event_type", "value", "event_id", 0.05, 0.95)
+        .orderBy("event_type"),
+    Some("""
+      WITH base AS (SELECT event_type, event_id, value FROM events),
+      ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base),
+      cuts AS (
+        SELECT event_type, n,
+               min(CASE WHEN rn = GREATEST(1,
+                 CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT))
+                 THEN value END) AS lo_cut,
+               min(CASE WHEN rn = GREATEST(1,
+                 CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+                 THEN value END) AS hi_cut
+        FROM ranked GROUP BY 1, 2),
+      clipped AS (
+        SELECT b.event_type, n, lo_cut, hi_cut, value,
+               LEAST(GREATEST(value, lo_cut), hi_cut) AS cv
+        FROM base b JOIN cuts USING (event_type))
+      SELECT event_type, n, lo_cut, hi_cut,
+             CAST(SUM(CASE WHEN value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+             CAST(SUM(CASE WHEN value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+             CAST(SUM(CAST(cv AS DECIMAL(18,2))) AS DOUBLE) / n AS wins_mean
+      FROM clipped
+      GROUP BY 1, 2, 3, 4
+      ORDER BY event_type"""))
+
+  /** Contamination-safe train/test split: the q86 hash split applied
+    * AFTER dropping every document with ≥0.5 5-gram containment of the
+    * benchmark set — the composed curation gate an actual training-data
+    * export runs. Membership-exact via per-split count + id-sum. */
+  val q103CleanSplit = OracleQuery("q103_clean_split",
+    "hash split over the decontaminated corpus (membership-exact)",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val dirty = Contamination.contaminatedIds(docs, bench,
+        "doc_id", "text", n = 5, threshold = 0.5)
+      docs.join(dirty, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          Curation.splitLabel(col("doc_id"), 0.20).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH dsh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 4),
+                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                FROM documents))),
+      bsh AS (SELECT doc_id AS bench_id, sh FROM dsh WHERE doc_id % 50 = 0),
+      bsz AS (SELECT bench_id, count(*) AS bench_n FROM bsh GROUP BY 1),
+      dirty AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT d.doc_id, b.bench_id, count(*) AS ni
+          FROM dsh d JOIN bsh b USING (sh)
+          GROUP BY 1, 2) x
+        JOIN bsz USING (bench_id)
+        WHERE CAST(ni AS DOUBLE) / bench_n >= 0.5),
+      clean AS (
+        SELECT doc_id FROM documents
+        WHERE NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = documents.doc_id))
+      SELECT split, count(*) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '33333333'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM clean) t
+      GROUP BY split
+      ORDER BY split"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q101KAnon, q102Winsorize, q103CleanSplit)
+}

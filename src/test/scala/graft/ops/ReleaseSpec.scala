@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Planted-truth tests for the data-release gates (k-anonymity,
+  * winsorized stats). */
+class ReleaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("k-anonymity: small cohorts collapse; tiny residuals are dropped") {
+    // type A: day d1 has 5 rows (kept), d2+d3 have 3+2 (residual = 5, kept as '*')
+    // type B: day d1 has 6 rows (kept), d2 has 1 (residual 1 < 5 → dropped)
+    val rows =
+      Seq.fill(5)(("A", "d1")) ++ Seq.fill(3)(("A", "d2")) ++
+        Seq.fill(2)(("A", "d3")) ++
+        Seq.fill(6)(("B", "d1")) ++ Seq(("B", "d2"))
+    val out = Privacy.kAnonymize(rows.toDF("t", "day"), "t", "day", 5L)
+      .orderBy("t", "day")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("A", "*", 5L), ("A", "d1", 5L), ("B", "d1", 6L)))
+    // invariant: every published row describes ≥ k rows
+    assert(out.forall(_._3 >= 5L))
+  }
+
+  test("winsorized stats: cuts, clip counts and mean on a planted series") {
+    // values 1..10 for one key; q=0.2/0.8 → cut ranks ceil(.2*10)=2,
+    // ceil(.8*10)=8 → lo=2, hi=8; clipped series: 2,2,3..8,8,8
+    val df = (1 to 10).map(i => ("k", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val r = Robust.winsorizedStats(df, "g", "v", "id", 0.2, 0.8).collect()(0)
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("lo_cut") == 2.0)
+    assert(r.getAs[Double]("hi_cut") == 8.0)
+    assert(r.getAs[Long]("n_clip_lo") == 1)  // value 1
+    assert(r.getAs[Long]("n_clip_hi") == 2)  // values 9, 10
+    // clipped sum = 2 + (2..8).sum + 8 + 8 = 2+35+16 = 53
+    assert(r.getAs[Double]("wins_mean") == 5.3)
+  }
+
+  test("winsorize is identity when nothing falls outside the cuts") {
+    // constant series: cuts equal the value, zero clips, mean = value
+    val df = (1 to 6).map(i => ("k", i.toLong, 4.25)).toDF("g", "id", "v")
+    val r = Robust.winsorizedStats(df, "g", "v", "id", 0.1, 0.9).collect()(0)
+    assert(r.getAs[Long]("n_clip_lo") == 0 && r.getAs[Long]("n_clip_hi") == 0)
+    assert(r.getAs[Double]("wins_mean") == 4.25)
+  }
+}

@@ -19,17 +19,24 @@ object Privacy {
     * groups with fewer than k rows lose their `detailCol` (collapsed to
     * `'*'` per `keyCol`), and a residual that is STILL smaller than k is
     * dropped entirely (strict suppression — publishing it would leak a
-    * small cohort). Emits (keyCol, detailCol, n). */
+    * small cohort). Emits (keyCol, detailCol, n, is_residual) —
+    * `is_residual` makes suppression EXPLICIT rather than riding the
+    * `'*'` sentinel alone: a free-form detail column could legitimately
+    * contain `'*'`, and without the flag that cohort's row would be
+    * indistinguishable from a residual (and the (key, detail) output key
+    * non-unique). */
   def kAnonymize(df: DataFrame, keyCol: String, detailCol: String,
       k: Long): DataFrame = {
     val g = df.groupBy(col(keyCol), col(detailCol))
       .agg(count(lit(1)).as("n"))
     val ok = g.filter(col("n") >= k)
+      .withColumn("is_residual", lit(false))
     val residual = g.filter(col("n") < k)
       .groupBy(col(keyCol))
       .agg(sum(col("n")).as("n"))
       .filter(col("n") >= k)
-      .select(col(keyCol), lit("*").as(detailCol), col("n"))
+      .select(col(keyCol), lit("*").as(detailCol), col("n"),
+        lit(true).as("is_residual"))
     ok.unionByName(residual)
   }
 }

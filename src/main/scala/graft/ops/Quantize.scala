@@ -59,7 +59,9 @@ object Quantize {
     // engines (Spark NaN sorts first DESC, DuckDB NULL sorts last), so
     // degenerate vectors are excluded on both sides (q89 oracle mirrors,
     // via `WHERE n2 > 0` on the quantized vector — equivalent: a nonzero
-    // max|x| quantizes its arg-max lane to ±127, so quantized n2 ≥ 127²).
+    // max|x| quantizes its arg-max lane to ±127, so quantized n2 ≥ 127²;
+    // and a vector with any NULL lane has NULL quantized norm, excluded
+    // by `n2 > 0` there and by the exists() test here).
     // The filter runs on the RAW column BEFORE quantization: a filter on
     // the quantized norm gets predicate-pushed through the projection
     // chain, and alias substitution inlines the whole quantization
@@ -69,7 +71,7 @@ object Quantize {
     // slowdown vs the float brute-force path at sf0.1 before this.
     def qside(df: DataFrame, prefix: String) =
       symmetricInt8(
-          df.filter(
+          df.filter(!exists(col(vecCol), x => x.isNull) &&
             array_max(transform(col(vecCol), x => abs(x.cast("double")))) > 0),
           idCol, vecCol)
         .select(col(idCol).as(s"${prefix}_id"),

@@ -29,31 +29,39 @@ object Search {
 
   /** Top-k documents for `terms` by summed tf·(N/df) score.
     * Emits (id, per-term tfs..., score) with total order
-    * (score DESC, id) and rank ≤ k. */
+    * (score DESC, id) and rank ≤ k.
+    *
+    * Working columns are INDEX-named (`tf_0`…) and only aliased to
+    * `tf_<term>` in the final projection: `.as(...)` takes a literal
+    * name, while `col("tf_example.com")` would parse the dot as a
+    * struct access — terms are user text and must never reach a column
+    * PARSER. */
   def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "keywordTopK needs at least one term")
     require(terms.distinct == terms, "duplicate terms would double-count")
+    val idx = terms.indices
     val toks = docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
-    val tfs = terms.foldLeft(toks) { (df, t) =>
-      df.withColumn(s"tf_$t", tf(col("ws"), t))
+    val tfs = idx.foldLeft(toks) { (df, i) =>
+      df.withColumn(s"tf_$i", tf(col("ws"), terms(i)))
     }
     // one corpus-wide aggregate: N plus df per term — a single tiny row,
     // broadcast to every partition by the crossJoin below
     val dfAgg = tfs.agg(
       count(lit(1)).as("n_docs"),
-      terms.map(t =>
-        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      idx.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
     val scored = tfs.crossJoin(broadcast(dfAgg))
       .withColumn("score",
-        terms.map(t =>
-          col(s"tf_$t").cast("double") *
+        idx.map(i =>
+          col(s"tf_$i").cast("double") *
             (col("n_docs").cast("double") /
-              greatest(col(s"df_$t"), lit(1L))))
+              greatest(col(s"df_$i"), lit(1L))))
           .reduce(_ + _))
       .filter(col("score") > 0)
     scored
-      .select(col(idCol) +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .select(col(idCol) +:
+        idx.map(i => col(s"tf_$i").as(s"tf_${terms(i)}")) :+ col("score"): _*)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

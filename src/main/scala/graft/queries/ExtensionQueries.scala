@@ -15,20 +15,23 @@ import graft.sources.Tables
   *
   * The test corpus has no natural duplicates (max organic Jaccard ≈0.05),
   * so the dedup queries run on an AUGMENTED view: documents ∪ exact copies
-  * (doc_id+10000, every 10th doc) ∪ near copies with the first word
-  * dropped (doc_id+20000). Both engines construct it identically, making
+  * (doc_id+1e7, every 10th doc) ∪ near copies with the first word
+  * dropped (doc_id+2e7). Both engines construct it identically, making
   * the dedup oracles non-degenerate: the operators must find exactly the
   * planted duplicates.
   */
 object ExtensionQueries {
 
-  /** Augmented corpus with planted exact + near duplicates. */
+  /** Augmented corpus with planted exact + near duplicates. Offsets sit
+    * far above any reachable doc_id (ids scale ~5e4 per sf unit, so a
+    * collision needs an sf-200 corpus) — planted ids colliding with real
+    * ones would silently merge two documents' shingle sets. */
   private def augmented(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val exact = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
     val near = docs.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 20000).as("doc_id"),
+      .select((col("doc_id") + 20000000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
     docs.unionByName(exact).unionByName(near)
   }
@@ -37,9 +40,9 @@ object ExtensionQueries {
     aug AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
       UNION ALL
-      SELECT doc_id + 20000, substr(text, strpos(text, ' ') + 1)
+      SELECT doc_id + 20000000, substr(text, strpos(text, ' ') + 1)
       FROM documents WHERE doc_id % 10 = 5)"""
 
   /** DuckDB shingle CTE over `aug` (3-gram word shingles). */

@@ -94,9 +94,12 @@ object HygieneQueries {
   val q94Decontaminate = OracleQuery("q94_decontaminate",
     "benchmark decontamination via 5-gram containment (≥0.5 flagged)",
     (s, d) => {
+      // offset far above any reachable doc_id (ids scale ~5e4/sf unit;
+      // a colliding corpus would be 3e7 docs ≈ sf600) so planted ids
+      // never collide with real ones and the oracle's < guard holds
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      val shifted = bench.select((col("doc_id") + 30000).as("doc_id"),
+      val shifted = bench.select((col("doc_id") + 30000000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
       Contamination.containmentPairs(
           docs.unionByName(shifted), bench, "doc_id", "text", n = 5,
@@ -107,7 +110,7 @@ object HygieneQueries {
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 30000, substr(text, strpos(text, ' ') + 1)
+        SELECT doc_id + 30000000, substr(text, strpos(text, ' ') + 1)
         FROM documents WHERE doc_id % 50 = 0),
       csh AS (
         SELECT DISTINCT doc_id, sh FROM (
@@ -119,7 +122,7 @@ object HygieneQueries {
                 FROM corpus))),
       bsh AS (
         SELECT doc_id AS bench_id, sh FROM csh WHERE doc_id % 50 = 0
-          AND doc_id < 30000),
+          AND doc_id < 30000000),
       bsz AS (SELECT bench_id, count(*) AS bench_n FROM bsh GROUP BY 1),
       inter AS (
         SELECT c.doc_id, b.bench_id, count(*) AS n_inter

@@ -32,23 +32,25 @@ object ReleaseQueries {
           date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
             .as("day"))
       Privacy.kAnonymize(days, "event_type", "day", 5L)
-        .orderBy("event_type", "day")
+        .orderBy("event_type", "day", "is_residual")
     },
     Some("""
       WITH g AS (
         SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                count(*) AS n
         FROM events GROUP BY 1, 2),
-      ok AS (SELECT event_type, day, n FROM g WHERE n >= 5),
+      ok AS (SELECT event_type, day, n, false AS is_residual
+             FROM g WHERE n >= 5),
       resid AS (
-        SELECT event_type, '*' AS day, CAST(SUM(n) AS BIGINT) AS n
+        SELECT event_type, '*' AS day, CAST(SUM(n) AS BIGINT) AS n,
+               true AS is_residual
         FROM g WHERE n < 5
         GROUP BY 1
         HAVING SUM(n) >= 5)
       SELECT * FROM ok
       UNION ALL
       SELECT * FROM resid
-      ORDER BY event_type, day"""))
+      ORDER BY event_type, day, is_residual"""))
 
   /** Winsorized per-type stats of the value metric, cut at the exact
     * p05/p95 order statistics (m-th smallest, m = max(1, ceil(q·n))). */

@@ -16,10 +16,23 @@ class ReleaseSpec extends SparkTestBase {
         Seq.fill(6)(("B", "d1")) ++ Seq(("B", "d2"))
     val out = Privacy.kAnonymize(rows.toDF("t", "day"), "t", "day", 5L)
       .orderBy("t", "day")
-      .as[(String, String, Long)].collect().toSeq
-    assert(out == Seq(("A", "*", 5L), ("A", "d1", 5L), ("B", "d1", 6L)))
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("A", "*", 5L, true), ("A", "d1", 5L, false),
+      ("B", "d1", 6L, false)))
     // invariant: every published row describes ≥ k rows
     assert(out.forall(_._3 >= 5L))
+  }
+
+  test("k-anonymity: a genuine '*' cohort is distinguishable from a residual") {
+    // detail column legitimately contains '*' with n >= k, plus small
+    // cohorts that collapse into a '*' residual for the same key: the
+    // is_residual flag (not the sentinel) separates them
+    val rows = Seq.fill(5)(("A", "*")) ++
+      Seq.fill(3)(("A", "x")) ++ Seq.fill(2)(("A", "y"))
+    val out = Privacy.kAnonymize(rows.toDF("t", "day"), "t", "day", 5L)
+      .orderBy("t", "day", "is_residual")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("A", "*", 5L, false), ("A", "*", 5L, true)))
   }
 
   test("winsorized stats: cuts, clip counts and mean on a planted series") {

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass multi-column table profiling — the ANALYZE-style statistics
+  * scan (row count, null count, exact NDV, mean rendered length per
+  * column) a warehouse collects before planning and a curation pipeline
+  * collects before schema-contract enforcement.
+  *
+  * Columns are melted to (col_name, value) rows via `stack` — ONE scan
+  * of the table regardless of how many columns are profiled — then
+  * aggregated per column. The shuffle key is (col_name, value) through
+  * the distinct aggregation: value-uniform, |cols|-way parallel at
+  * minimum. Exact NDV is the expensive honest choice (a full distinct
+  * per column); the HLL sketch (q67 path) is the 100 TB alternative
+  * when ±2% is acceptable.
+  *
+  * Caller contract: every profiled column must already render to a
+  * cross-engine-stable string (ints, strings, dates — NOT doubles or
+  * raw timestamps, whose formatting differs by engine; cast/format
+  * them first). That keeps the profile itself oracle-checkable.
+  */
+object Profile {
+
+  /** (col_name, n_rows, n_null, n_distinct, len_sum, avg_len) per
+    * profiled column. NDV excludes nulls (both engines agree);
+    * `avg_len` is the single double division of exact longs over
+    * non-null values, NULL when the column is entirely null. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+      ") as (col_name, v)"
+    df.selectExpr(stackExpr)
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(when(col("v").isNull, 0L).otherwise(length(col("v")).cast("long")))
+          .as("len_sum"))
+      .withColumn("avg_len",
+        when(col("n_rows") > col("n_null"),
+          col("len_sum").cast("double") / (col("n_rows") - col("n_null"))))
+      .orderBy("col_name")
+  }
+}

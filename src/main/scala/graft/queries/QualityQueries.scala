@@ -176,5 +176,54 @@ object QualityQueries {
     Some(Seq(nullSql, regexSql, rangeSql, dupSql, orphanSql)
       .mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY check_name")))
 
-  def all: Seq[OracleQuery] = Seq(q41, q42, q43, q44, q45, q46)
+  /** ANALYZE-style one-scan column profile (`ops/Profile`) of the
+    * orders table: row/null/NDV/length stats per column, melted via
+    * stack so the table is read once however many columns are profiled.
+    * Doubles and raw timestamps are excluded by the op's contract
+    * (engine-dependent rendering); the date column is pre-formatted. */
+  val q104 = OracleQuery("q104_column_profile",
+    "one-scan multi-column profile: rows, nulls, exact NDV, mean length",
+    (s, d) => {
+      import graft.ops.Profile
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+      Profile.columnProfile(src,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_day"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day
+        FROM orders),
+      m AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM src
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM src
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM src
+        UNION ALL
+        SELECT 'o_day', o_day FROM src)
+      SELECT col_name, count(*) AS n_rows,
+             CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             count(DISTINCT v) AS n_distinct,
+             CAST(SUM(CASE WHEN v IS NULL THEN 0 ELSE length(v) END)
+               AS BIGINT) AS len_sum,
+             CASE WHEN count(*) >
+                    SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                  THEN CAST(SUM(CASE WHEN v IS NULL THEN 0
+                                     ELSE length(v) END) AS DOUBLE)
+                       / (count(*) -
+                          SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END))
+             END AS avg_len
+      FROM m
+      GROUP BY col_name
+      ORDER BY col_name"""))
+
+  def all: Seq[OracleQuery] = Seq(q41, q42, q43, q44, q45, q46, q104)
 }

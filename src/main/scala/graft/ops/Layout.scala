@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data
+  * skipping — the layout technique behind Delta/Iceberg `ZORDER BY`:
+  * interleave the bits of several sort keys so that RANGE-partitioned
+  * files are simultaneously narrow in EVERY key, and a min/max-pruned
+  * scan can skip files for predicates on any of them. A plain linear
+  * sort clusters only its leading column; at 100 TB the difference is
+  * whether a filter on the second dimension reads 1% of files or all
+  * of them.
+  *
+  * The z-value is a pure Column expression (shifts and ORs unrolled
+  * per bit — codegen'd, no UDF), so clustering is just
+  * `repartitionByRange(n, z).sortWithinPartitions(z)` and composes
+  * with any writer. Keys are first normalized to [0, 2^bits) rank
+  * space by linear min-max scaling (cheap, order-preserving; exact
+  * rank scaling would need a per-key sort).
+  */
+object Layout {
+
+  /** Morton interleave of two non-negative `bits`-bit integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  def interleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Min-max scale a numeric column to integer [0, 2^bits - 1].
+    * `lo`/`hi` are the column's global bounds (one tiny agg, computed
+    * once and passed as literals — at scale they come from table
+    * stats). Degenerate lo == hi maps to 0. */
+  def rankScale(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val span = hi - lo
+    val max = (1L << bits) - 1
+    if (span <= 0) lit(0L)
+    else least(lit(max),
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(max + 1.0))
+        .cast("long"))
+  }
+
+  /** Cluster `df` into `nFiles` range partitions by the z-value of two
+    * numeric keys (each scaled to `bits` bits). The caller writes the
+    * result; every output file is then narrow in BOTH keys. */
+  def zorderBy(df: DataFrame, aCol: String, bCol: String, nFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val Array(aLo, aHi, bLo, bHi) = df
+      .agg(min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
+        min(col(bCol)).cast("double"), max(col(bCol)).cast("double"))
+      .head().toSeq.map(v => v.asInstanceOf[Double]).toArray
+    val z = interleave(
+      rankScale(col(aCol), aLo, aHi, bits),
+      rankScale(col(bCol), bLo, bHi, bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

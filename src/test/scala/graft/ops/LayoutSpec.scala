@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Quantitative proof of the z-order data-skipping property: files from
+  * a z-clustered write are narrow in BOTH dimensions, so min/max
+  * pruning can skip files for predicates on either key — while a linear
+  * sort clusters only its leading key. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("morton interleave: known bit patterns") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Layout.interleave(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect().toSeq
+    // z(3,5) = interleave(a=0011, b=0101) -> b3 a3 b2 a2 b1 a1 b0 a0
+    //        = 0 0 1 1 0 1 1 1 = 0x27 = 39
+    assert(out == Seq(0L, 1L, 2L, 39L))
+  }
+
+  /** Mean per-file extent of `c`, as a fraction of its global extent,
+    * measured by reading each written file independently — exactly the
+    * min/max stats a pruning scan consults. */
+  private def meanFileSpan(dir: String, c: String, global: Double): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col(c)).cast("double") - min(col(c)).cast("double"))
+        .head().getDouble(0)
+      r / global
+    }
+    spans.sum / spans.length
+  }
+
+  test("z-clustered files are narrow in both keys; linear sort is not") {
+    // two independent uniform keys — the adversarial case for linear sort
+    val n = 1 << 14
+    val df = spark.range(n).select(
+      (xxhash64(col("id")) % 10000).as("x"),
+      (xxhash64(col("id"), lit(1)) % 10000).as("y"))
+      .filter(col("x") >= 0 && col("y") >= 0)
+
+    val zDir = Files.createTempDirectory("graft_z_").toString
+    Layout.zorderBy(df, "x", "y", 16).write.mode("overwrite").parquet(zDir)
+    val lDir = Files.createTempDirectory("graft_lin_").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(lDir)
+
+    val zx = meanFileSpan(zDir, "x", 9999.0)
+    val zy = meanFileSpan(zDir, "y", 9999.0)
+    val lx = meanFileSpan(lDir, "x", 9999.0)
+    val ly = meanFileSpan(lDir, "y", 9999.0)
+
+    // linear: leading key razor-thin, second key spans everything
+    assert(lx < 0.15, s"linear sort clusters its leading key (got $lx)")
+    assert(ly > 0.9, s"linear sort leaves the second key unclustered (got $ly)")
+    // z-order: BOTH keys substantially narrowed — 16 files over a
+    // 2-D morton curve gives ~4x4 tiles, ~1/4 extent per dimension
+    assert(zx < 0.5 && zy < 0.5,
+      s"z-order narrows both keys (got x=$zx y=$zy)")
+    // and the skipping win on the second dimension is decisive
+    assert(zy < ly / 2, s"z beats linear on the non-leading key ($zy vs $ly)")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPT-style sequence packing: concatenate the corpus's token stream in
+  * a canonical document order and slice it into fixed-size training
+  * blocks — the standard pretraining data layout (documents packed
+  * back-to-back, a block may span documents and a document may span
+  * blocks).
+  *
+  * The core is a GLOBAL running sum of per-document token counts. A
+  * single `Window.orderBy` would funnel the corpus through one
+  * partition, so the cumsum is the classic two-pass prefix scan
+  * instead:
+  *   1. range-partition by doc id, per-partition running sums (window
+  *      WITH a partition key — parallel);
+  *   2. per-partition totals (nParts tiny rows) → driver prefix scan →
+  *      literal offset map added back.
+  * The only driver data is one long per partition — the same
+  * metadata-scale exception as IVF centroids. The result is
+  * partitioning-invariant: offsets depend only on the range order.
+  *
+  * Block assembly is then embarrassingly parallel: each document
+  * explodes to the blocks it overlaps (sequence(first,last) — bounded
+  * fan-out: a doc touches ⌈len/B⌉+1 blocks), and a groupBy(block)
+  * collects per-block stats. Integer division throughout (`div`),
+  * exact at any corpus size below 2⁶³ tokens.
+  */
+object Pack {
+
+  /** Per-block packing manifest: (block_id, n_docs, n_tokens,
+    * first_doc, last_doc). Every block holds exactly `blockTokens`
+    * tokens except the final partial one; documents contribute their
+    * token count split across the blocks they overlap. */
+  def packedBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Long, nParts: Int = 8): DataFrame = {
+    require(blockTokens > 0, "block size must be positive")
+    val toks = docs
+      .select(col(idCol).as("did"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .repartitionByRange(nParts, col("did"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("did"))
+    val local = toks.withColumn("local_cum", sum(col("n_tok")).over(wIn))
+
+    // pass 2: per-partition totals → prefix offsets (range partitioner
+    // assigns ids in key order, so scanning by pid IS document order)
+    val totals = local.groupBy(col("pid"))
+      .agg(max(col("local_cum")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetMap = F.map(
+      (0 until nParts).flatMap(p =>
+        Seq(lit(p), lit(offsets(p)))): _*)
+
+    val b = lit(blockTokens)
+    val cum = local
+      .withColumn("end_cum",
+        col("local_cum") + element_at(offsetMap, col("pid")))
+      .withColumn("start", col("end_cum") - col("n_tok"))
+      .withColumn("first_b", expr("start div " + blockTokens))
+      .withColumn("last_b", expr("(end_cum - 1) div " + blockTokens))
+    cum
+      .select(col("did"), col("start"), col("end_cum"),
+        explode(sequence(col("first_b"), col("last_b"))).as("block_id"))
+      .withColumn("contrib",
+        least(col("end_cum"), (col("block_id") + 1) * b) -
+          greatest(col("start"), col("block_id") * b))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("n_tokens"),
+        min(col("did")).as("first_doc"),
+        max(col("did")).as("last_doc"))
+  }
+}

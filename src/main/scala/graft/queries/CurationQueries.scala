@@ -214,7 +214,48 @@ object CurationQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** GPT-style sequence packing (`ops/Pack`): the corpus token stream
+    * sliced into 256-token training blocks; the oracle replays the
+    * global cumsum with a plain window while the Spark side uses the
+    * scalable two-pass prefix scan — identical results prove the
+    * parallel cumsum correct. */
+  val q105PackBlocks = OracleQuery("q105_pack_blocks",
+    "sequence packing manifest: 256-token blocks over the doc stream",
+    (s, d) => {
+      import graft.ops.Pack
+      Pack.packedBlocks(Tables.documents(s, d), "doc_id", "text", 256L)
+        .orderBy("block_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tok
+        FROM documents),
+      t2 AS (SELECT doc_id, n_tok FROM t WHERE n_tok > 0),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS end_cum
+        FROM t2),
+      s AS (SELECT doc_id, n_tok, end_cum, end_cum - n_tok AS strt FROM c),
+      e AS (
+        SELECT doc_id, strt, end_cum,
+               unnest(generate_series(strt // 256, (end_cum - 1) // 256))
+                 AS block_id
+        FROM s),
+      x AS (
+        SELECT doc_id, block_id,
+               LEAST(end_cum, (block_id + 1) * 256)
+                 - GREATEST(strt, block_id * 256) AS contrib
+        FROM e)
+      SELECT block_id, count(*) AS n_docs,
+             CAST(SUM(contrib) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM x
+      GROUP BY 1
+      ORDER BY block_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
-      q90WeightedSample, q91FreqSignals)
+      q90WeightedSample, q91FreqSignals, q105PackBlocks)
 }

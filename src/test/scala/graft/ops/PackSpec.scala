@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Invariants of the sequence-packing manifest. */
+class PackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("packing conserves tokens and fills every non-final block exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val blocks = Pack.packedBlocks(docs, "doc_id", "text", 256L)
+      .orderBy("block_id").collect()
+    val totalTokens = docs
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).as[Long].head()
+    // conservation: block token counts sum to the corpus token count
+    assert(blocks.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    // every block but the last holds exactly 256 tokens
+    blocks.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("n_tokens") == 256L))
+    assert(blocks.last.getAs[Long]("n_tokens") <= 256L)
+    // block ids are dense from 0
+    assert(blocks.map(_.getAs[Long]("block_id")).toSeq ==
+      (0L until blocks.length).toSeq)
+    // doc spans are contiguous: each block's first_doc is <= its
+    // last_doc and block boundaries never go backwards
+    val spans = blocks.map(r =>
+      (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    spans.foreach { case (a, b) => assert(a <= b) }
+    spans.sliding(2).foreach {
+      case Array((_, l1), (f2, _)) => assert(f2 >= l1 - 1 && f2 >= 0)
+      case _ =>
+    }
+  }
+
+  test("result is invariant to the partition count (prefix scan is correct)") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Pack.packedBlocks(docs, "doc_id", "text", 100L, nParts = 1)
+      .orderBy("block_id").collect().toSeq
+    val b = Pack.packedBlocks(docs, "doc_id", "text", 100L, nParts = 13)
+      .orderBy("block_id").collect().toSeq
+    assert(a == b, "1-partition and 13-partition packings must be identical")
+  }
+}

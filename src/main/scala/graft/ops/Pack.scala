@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions._
   * single `Window.orderBy` would funnel the corpus through one
   * partition, so the cumsum is the classic two-pass prefix scan
   * instead:
-  *   1. range-partition by doc id, per-partition running sums (window
+  *   1. bucket documents by id range, per-bucket running sums (window
   *      WITH a partition key — parallel);
-  *   2. per-partition totals (nParts tiny rows) → driver prefix scan →
+  *   2. per-bucket totals (nParts tiny rows) → driver prefix scan →
   *      literal offset map added back.
-  * The only driver data is one long per partition — the same
-  * metadata-scale exception as IVF centroids. The result is
-  * partitioning-invariant: offsets depend only on the range order.
+  * The only driver data is one long per bucket — the same
+  * metadata-scale exception as IVF centroids.
+  *
+  * The bucket id is computed FROM THE KEY (min/max + integer
+  * bucketing), never from the physical partitioning:
+  * `repartitionByRange` samples its boundaries with a seed derived
+  * from the RDD id, so `spark_partition_id()` is NOT stable across the
+  * two jobs of a two-pass algorithm — the totals job and the final job
+  * saw different buckets at sf0.1 and the offsets misaligned
+  * (conserved token total, wrong block count, run-to-run variance).
+  * Key-derived buckets make both passes agree by construction and keep
+  * the result independent of physical partitioning.
   *
   * Block assembly is then embarrassingly parallel: each document
   * explodes to the blocks it overlaps (sequence(first,last) — bounded
@@ -37,19 +46,31 @@ object Pack {
   def packedBlocks(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Long, nParts: Int = 8): DataFrame = {
     require(blockTokens > 0, "block size must be positive")
+    require(nParts > 0, "need at least one bucket")
     val toks = docs
       .select(col(idCol).as("did"),
         TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
       .filter(col("n_tok") > 0)
-      .repartitionByRange(nParts, col("did"))
-      .withColumn("pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("pid")).orderBy(col("did"))
-    val local = toks.withColumn("local_cum", sum(col("n_tok")).over(wIn))
 
-    // pass 2: per-partition totals → prefix offsets (range partitioner
-    // assigns ids in key order, so scanning by pid IS document order)
-    val totals = local.groupBy(col("pid"))
-      .agg(max(col("local_cum")).as("tot"))
+    // key-range bucketing bounds: one tiny agg (at production scale
+    // these come from table stats). Empty corpus → harmless defaults.
+    val bounds = toks.agg(min(col("did")), max(col("did"))).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    require(span <= Long.MaxValue / nParts,
+      "id span too wide for integer bucketing — rescale ids first")
+    val pidCol = expr(s"CAST(((did - ${lo}L) * ${nParts}L) div ${span}L AS INT)")
+
+    val withPid = toks.withColumn("pid", pidCol)
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("did"))
+    val local = withPid.withColumn("local_cum", sum(col("n_tok")).over(wIn))
+
+    // pass 2: per-bucket totals → prefix offsets (bucket id is
+    // monotonic in did, so scanning by pid IS document order)
+    val totals = withPid.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nParts)
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))

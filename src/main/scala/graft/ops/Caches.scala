@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared registry for cached intermediates that multiple jobs or join
+  * branches of one operator re-read (shingle tables, packing token
+  * counts). Tracked so long-lived sessions can release executor
+  * storage: Verify/Bench call [[unpersistAll]] (via
+  * `Dedup.unpersistCaches`) after each query's consuming action.
+  * Individually the caches are small; an unbounded session would
+  * otherwise accumulate them. */
+object Caches {
+  private val cached =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cache `df` and register it for the next [[unpersistAll]]. */
+  def track(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    cached.add(c)
+    c
+  }
+
+  def unpersistAll(): Unit = {
+    var df = cached.poll()
+    while (df != null) { df.unpersist(); df = cached.poll() }
+  }
+}

@@ -28,23 +28,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // Cached intermediates (band/shingle tables are read by multiple join
-  // branches). Tracked so long-lived sessions can release the executor
-  // storage: call unpersistCaches() after the consuming action
-  // (Verify/Bench do). Individually the caches are tiny (MBs), but an
-  // unbounded session would otherwise accumulate them.
-  private val cached =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // branches) go through the shared ops.Caches registry; Verify/Bench
+  // call unpersistCaches() after each query's consuming action.
+  private def tracked(df: DataFrame): DataFrame = Caches.track(df)
 
-  private def tracked(df: DataFrame): DataFrame = {
-    val c = df.cache()
-    cached.add(c)
-    c
-  }
-
-  def unpersistCaches(): Unit = {
-    var df = cached.poll()
-    while (df != null) { df.unpersist(); df = cached.poll() }
-  }
+  def unpersistCaches(): Unit = Caches.unpersistAll()
 
   /** (id, sh) exploded shingle rows. The token array is materialized as
     * a column BEFORE the shingle lambda runs: the lambda's element_at

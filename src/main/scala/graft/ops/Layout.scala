@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Morton interleave of two non-negative `bits`-bit integer columns:
-    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
-  def interleave(a: Column, b: Column, bits: Int): Column =
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * bits ≤ 31: position 2i+1 must stay below 63, and Java shifts wrap
+    * mod 64, so an unguarded wider width would silently OR high bits
+    * onto low positions. */
+  def interleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
 
   /** Min-max scale a numeric column to integer [0, 2^bits - 1].
     * `lo`/`hi` are the column's global bounds (one tiny agg, computed
@@ -55,9 +60,13 @@ object Layout {
     val z = interleave(
       rankScale(col(aCol), aLo, aHi, bits),
       rankScale(col(bCol), bLo, bHi, bits), bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // collision-safe temp name: a caller column literally named "_z"
+    // must survive the round trip
+    val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, z)
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
   }
 }

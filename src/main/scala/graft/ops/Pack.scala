@@ -42,15 +42,23 @@ object Pack {
   /** Per-block packing manifest: (block_id, n_docs, n_tokens,
     * first_doc, last_doc). Every block holds exactly `blockTokens`
     * tokens except the final partial one; documents contribute their
-    * token count split across the blocks they overlap. */
+    * token count split across the blocks they overlap.
+    *
+    * Contract: `idCol` must be UNIQUE — it defines the canonical
+    * document order, and duplicate ids would make that order (and the
+    * manifest) nondeterministic. The explicit ROWS frame below keeps
+    * the intervals disjoint even then, but which duplicate comes first
+    * is partitioning luck. */
   def packedBlocks(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Long, nParts: Int = 8): DataFrame = {
     require(blockTokens > 0, "block size must be positive")
     require(nParts > 0, "need at least one bucket")
-    val toks = docs
-      .select(col(idCol).as("did"),
+    // cached: three jobs read this (bounds agg, totals collect, final
+    // manifest) — without the cache the corpus is re-tokenized thrice
+    val toks = Caches.track(docs
+      .select(col(idCol).cast("long").as("did"),
         TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
-      .filter(col("n_tok") > 0)
+      .filter(col("n_tok") > 0))
 
     // key-range bucketing bounds: one tiny agg (at production scale
     // these come from table stats). Empty corpus → harmless defaults.
@@ -58,13 +66,19 @@ object Pack {
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0L, 0L)
       else (bounds.getLong(0), bounds.getLong(1))
-    val span = hi - lo + 1
-    require(span <= Long.MaxValue / nParts,
+    // overflow-safe span check: hi - lo itself can wrap for hash-range
+    // ids, so the arithmetic runs in BigInt before touching longs
+    val spanB = BigInt(hi) - BigInt(lo) + 1
+    require(spanB * nParts <= BigInt(Long.MaxValue),
       "id span too wide for integer bucketing — rescale ids first")
+    val span = spanB.toLong
     val pidCol = expr(s"CAST(((did - ${lo}L) * ${nParts}L) div ${span}L AS INT)")
 
     val withPid = toks.withColumn("pid", pidCol)
+    // explicit ROWS frame: the default RANGE frame would give duplicate
+    // order keys identical cumsums (overlapping intervals)
     val wIn = Window.partitionBy(col("pid")).orderBy(col("did"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withPid.withColumn("local_cum", sum(col("n_tok")).over(wIn))
 
     // pass 2: per-bucket totals → prefix offsets (bucket id is

@@ -29,6 +29,10 @@ object Profile {
     * non-null values, NULL when the column is entirely null. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // names are spliced into a stack() SQL string: restrict to
+    // identifier characters so quotes/backticks can't break parsing
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      "column names must be [A-Za-z0-9_]+ — alias exotic names first")
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
       ") as (col_name, v)"

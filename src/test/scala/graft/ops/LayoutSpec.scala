@@ -29,11 +29,13 @@ class LayoutSpec extends SparkTestBase {
   private def meanFileSpan(dir: String, c: String, global: Double): Double = {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath)
-    val spans = files.map { f =>
-      val r = spark.read.parquet(f)
+    val spans = files.flatMap { f =>
+      // an empty part file (possible when range sampling lands an
+      // empty partition) has NULL min/max — skip it, it prunes trivially
+      val row = spark.read.parquet(f)
         .agg(max(col(c)).cast("double") - min(col(c)).cast("double"))
-        .head().getDouble(0)
-      r / global
+        .head()
+      if (row.isNullAt(0)) None else Some(row.getDouble(0) / global)
     }
     spans.sum / spans.length
   }

@@ -3,17 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Curation, Dedup, Pack, Redact,
+  Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data preparation pipeline demo — the extension operators
   * composed the way a 100 TB corpus pipeline would run them:
   *
-  *   documents → quality gate → exact dedup → MinHash-LSH near-dedup
-  *   (candidates verified by n-gram Jaccard) → token accounting →
-  *   doc-level train/test split → token-window chunking → sharded
-  *   parquet output;  embeddings → norm hygiene → int8 quantization →
-  *   ANN probe (float + int8 first pass).
+  *   documents → PII scrub → quality + repetition gates → exact dedup →
+  *   MinHash-LSH near-dedup (candidates verified by n-gram Jaccard) →
+  *   benchmark decontamination → token accounting → doc-level
+  *   train/test split → token-window chunking → sharded parquet output
+  *   + packed-block manifest;  embeddings → norm hygiene → int8
+  *   quantization → ANN probe (float + int8 first pass).
   *
   *   sbt "runMain graft.DataPrepDemo [sfDir] [outDir]"
   *
@@ -48,13 +50,22 @@ object DataPrepDemo {
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
     println(s"corpus: ${docs.count()} docs (with planted duplicates)")
 
-    // 1. quality gate: length + score thresholds
+    // 0. PII scrub: placeholder redaction is a narrow projection, run
+    // FIRST so every later stage (and shard) sees only scrubbed text
+    val scrubbed = docs.withColumn("text", Redact.redacted($"text"))
+
+    // 1. quality gate: length + score thresholds, plus the Gopher
+    // repetition filters (top-unigram dominance <= 30%)
     val ws = TextAnalysis.words($"text")
-    val scored = docs
+    val scored = scrubbed
       .withColumn("n_words", size(ws).cast("long"))
       .withColumn("score", TextAnalysis.qualityScore(ws))
-    val quality = scored.filter($"n_words" >= 10 && $"score" > 0.2)
-    println(s"after quality gate: ${quality.count()}")
+    val rep = TextAnalysis.repetitionSignals(scrubbed, "doc_id", "text")
+      .select($"doc_id", $"top_word_frac")
+    val quality = scored.join(rep, Seq("doc_id"))
+      .filter($"n_words" >= 10 && $"score" > 0.2 && $"top_word_frac" <= 0.3)
+      .select($"doc_id", $"text")
+    println(s"after quality + repetition gates: ${quality.count()}")
 
     // 2. exact dedup on the canonical fingerprint
     val exact = Dedup.dedupExact(quality, "doc_id", "text")
@@ -80,8 +91,17 @@ object DataPrepDemo {
       s"after near-dedup: ${nearDeduped.count()}")
     candidates.unpersist()
 
+    // 3b. benchmark decontamination: drop any surviving doc that
+    // CONTAINS an eval-set document (5-gram containment >= 0.5); the
+    // stand-in benchmark is a 1/97 sample of the original corpus
+    val bench = base.filter($"doc_id" % 97 === 0)
+    val dirty = Contamination.contaminatedIds(nearDeduped, bench,
+      "doc_id", "text", n = 5, threshold = 0.5)
+    val decontaminated = nearDeduped.join(dirty, Seq("doc_id"), "left_anti")
+    println(s"after decontamination: ${decontaminated.count()}")
+
     // 4. token accounting (dataset-card numbers)
-    val stats = nearDeduped.agg(
+    val stats = decontaminated.agg(
       count(lit(1)).as("docs"),
       sum(TextAnalysis.tokenCount($"text")).as("ws_tokens"),
       sum(size(TextAnalysis.bpeishTokens($"text")).cast("long")).as("bpeish_tokens"))
@@ -91,7 +111,7 @@ object DataPrepDemo {
 
     // 5. DOCUMENT-level train/test split (before chunking, so chunks of
     // one document never straddle the split), then token-window chunks
-    val (trainDocs, testDocs) = Curation.hashSplit(nearDeduped, "doc_id", 0.05)
+    val (trainDocs, testDocs) = Curation.hashSplit(decontaminated, "doc_id", 0.05)
     val trainChunks = Curation.chunkByWords(trainDocs, "doc_id", "text", 256, 32)
     val testChunks = Curation.chunkByWords(testDocs, "doc_id", "text", 256, 32)
     println(s"split: train=${trainDocs.count()} test=${testDocs.count()} docs; " +
@@ -104,6 +124,13 @@ object DataPrepDemo {
         .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/$name")
     }
     println(s"shards written to $outDir/{train,test}")
+
+    // 6b. packed-block manifest: the GPT-style fixed-length layout the
+    // trainer consumes (256-token blocks over the train docs)
+    val blocks = Pack.packedBlocks(trainDocs, "doc_id", "text", 256L)
+    blocks.write.mode("overwrite").parquet(s"$outDir/train_blocks")
+    println(s"packing manifest: ${blocks.count()} blocks of 256 tokens " +
+      s"at $outDir/train_blocks")
 
     // 7. embedding hygiene + int8 quantization + ANN smoke
     val emb = Tables.embeddings(spark, sfDir)

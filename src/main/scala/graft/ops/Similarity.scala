@@ -102,6 +102,30 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: each probe's top-k
+    * most similar vectors with a DIFFERENT label — the high-similarity
+    * cross-label pairs a contrastive loss needs as negatives. Same
+    * broadcast-probe shape as [[filteredTopK]] with the equality
+    * flipped; the corpus still never shuffles. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("fc"),
+        col("vd").as("cv"), col("n2").as("cn2"))
+    val p = withNorm(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(labelCol).as("pf"),
+        col("vd").as("pv"), col("n2").as("pn2"))
+    val sims = c.join(broadcast(p), col("fc") =!= col("pf"))
+      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
+        col("pn2"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("pf").as("probe_label"), col("rank"),
+        col("neighbor_id"), col("fc").as("neg_label"), col("sim"))
+  }
+
   /** Deterministic R hyperplanes for `dim`-dimensional vectors (seeded
     * Gaussian, generated driver-side once — a few KB broadcast as a
     * literal). */

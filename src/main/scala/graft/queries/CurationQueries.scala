@@ -255,7 +255,53 @@ object CurationQueries {
       GROUP BY 1
       ORDER BY block_id"""))
 
+  /** Length-bucketed inference/training batching: sort by token count,
+    * fill fixed-size batches in that order, and account the padding
+    * waste (n_docs·max − Σtok) each batch would pay — the quantity
+    * length bucketing exists to minimize. Global row_number here;
+    * at corpus scale the rank becomes the same two-pass prefix scan as
+    * `ops/Pack` (hard rule 12 applies). */
+  val q106LengthBatches = OracleQuery("q106_length_batches",
+    "length-bucketed batches of 32 docs: per-batch token range + padding waste",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .filter(col("n_tok") > 0)
+      toks
+        .withColumn("batch_id",
+          expr("(row_number() OVER (ORDER BY n_tok, doc_id) - 1) div 32")
+            .cast("long"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("pad_waste",
+          col("n_docs") * col("max_tok") - col("sum_tok"))
+        .orderBy("batch_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tok
+        FROM documents),
+      t2 AS (SELECT doc_id, n_tok FROM toks WHERE n_tok > 0),
+      r AS (
+        SELECT doc_id, n_tok,
+               (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+                 AS batch_id
+        FROM t2)
+      SELECT batch_id, count(*) AS n_docs,
+             min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+             count(*) * max(n_tok) - CAST(SUM(n_tok) AS BIGINT) AS pad_waste
+      FROM r
+      GROUP BY batch_id
+      ORDER BY batch_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
-      q90WeightedSample, q91FreqSignals, q105PackBlocks)
+      q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches)
 }

@@ -227,7 +227,36 @@ object HygieneQueries {
       ORDER BY n DESC, pair
       LIMIT 30"""))
 
+  /** Hard-negative mining: the contrastive-training complement of q96 —
+    * top-5 most similar CROSS-label vectors per probe. */
+  val q107HardNegatives = OracleQuery("q107_hard_negatives",
+    "contrastive hard negatives: cross-label cosine top-5 per probe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 5)
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, p.label AS probe_label,
+               c.vec_id AS neighbor_id, c.label AS neg_label,
+               list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) AS sim
+        FROM n p JOIN n c ON p.label <> c.label
+        WHERE p.vec_id < 5)
+      SELECT probe_id, probe_label,
+             CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+             neighbor_id, neg_label, sim
+      FROM pairs
+      QUALIFY rank <= 5
+      ORDER BY probe_id, rank"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
-      q96FilteredKnn, q97BpeMerges)
+      q96FilteredKnn, q97BpeMerges, q107HardNegatives)
 }

@@ -85,6 +85,22 @@ class HygieneSpec extends SparkTestBase {
     assert(top(1).getAs[Double]("score") == 4.0)
   }
 
+  test("hard negatives are exactly the cross-label complement") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.9f, 0.1f), 1),   // same label — must NOT appear
+      (2L, Array(0.99f, 0.01f), 2), // closest cross-label: hardest negative
+      (3L, Array(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", "label", 10).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(2L, 3L))
+    assert(out.forall(_.getAs[Int]("neg_label") == 2))
+    // the hardest negative (highest sim) ranks first
+    assert(out.find(_.getAs[Long]("rank") == 1L)
+      .get.getAs[Long]("neighbor_id") == 2L)
+  }
+
   test("filtered kNN never crosses the label boundary") {
     val emb = Seq(
       (0L, Array(1f, 0f), 1),

@@ -1,0 +1,52 @@
+// Lives under org.apache.spark.sql for the same reason as DotProduct:
+// the Expression/Column bridge (ExpressionUtils) is private[sql] in
+// Spark 4 — the sanctioned pattern for native expression extensions.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `mightContainLong(key)` against a pre-built Bloom filter — the
+  * pre-shuffle join-pruning primitive (ops/Bloom).
+  *
+  * The filter is NOT a child expression: it is a plan-constant sketch
+  * built before planning (one aggregate over the build side) and
+  * attached to the generated code via `addReferenceObj`, so executors
+  * get it with the serialized plan and the per-row cost is two hashes
+  * and a couple of bit probes — no lambda, no UDF serialization, stays
+  * inside WholeStageCodegen.
+  *
+  * Semantics: NULL key → NULL (a NULL equi-join key can never match, so
+  * downstream `filter` drops it — identical to what the inner join it
+  * guards would do). False POSITIVES pass (by construction of the
+  * sketch) and are removed by the real join that follows; false
+  * negatives cannot occur, so prefiltering never changes a join result.
+  */
+case class BloomMightContain(child: Expression, filter: BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(key: Any): Any =
+    filter.mightContainLong(key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter, classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, key => s"$ref.mightContainLong($key)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  def column(key: Column, filter: BloomFilter): Column =
+    ExpressionUtils.column(
+      BloomMightContain(ExpressionUtils.expression(key), filter))
+}

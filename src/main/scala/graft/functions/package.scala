@@ -7,4 +7,7 @@ package object functions {
   val GraftFunctions: org.apache.spark.sql.graftfn.GraftFunctions.type =
     org.apache.spark.sql.graftfn.GraftFunctions
   type DotProduct = org.apache.spark.sql.graftfn.DotProduct
+  type BloomMightContain = org.apache.spark.sql.graftfn.BloomMightContain
+  val BloomMightContain: org.apache.spark.sql.graftfn.BloomMightContain.type =
+    org.apache.spark.sql.graftfn.BloomMightContain
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.BloomMightContain
+
+/** Bloom-filter pre-shuffle join pruning — the "runtime filter" /
+  * semi-join pushdown pattern as an explicit, reusable operator.
+  *
+  * The scale problem it solves: in `bigFact ⋈ selectiveDim`, the fact
+  * side is fully shuffled on the join key before a single dim row is
+  * consulted — at 100 TB that shuffle IS the query cost even when the
+  * dim keeps 1% of keys. Spark's adaptive runtime bloom
+  * (spark.sql.optimizer.runtime.bloomFilter.*) fires only when its
+  * heuristics approve; this operator is the deterministic, explicitly
+  * placed version for when the pipeline KNOWS the build side is
+  * selective (reference warehouse shape: facts joined to freshly-loaded
+  * dim slices — `/root/reference/warehouse/load_facts.sql` joins the
+  * day's raw slice against full dims).
+  *
+  * Cost model: one aggregate pass over the BUILD side builds a sketch of
+  * `expectedItems` keys at `fpp` (n·ln(1/fpp)/ln²2 bits ≈ 1.2 MB for 1M
+  * keys at 1% — driver- and broadcast-cheap, like IVF centroids); the
+  * probe side then drops non-candidate rows AT THE SCAN, before the
+  * shuffle. False positives only cost their shuffle slot — the real join
+  * removes them, so the result is bit-identical to the unpruned join
+  * (which is what lets q113's DuckDB oracle be the plain join).
+  */
+object Bloom {
+
+  /** Build a filter of the distinct values of long-typed `keyCol`. */
+  def buildLong(build: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): BloomFilter =
+    build.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** `keyCol` might be in the filter (NULL key → NULL, dropped by
+    * `filter()` exactly as the equi-join would drop it). */
+  def mightContain(key: Column, filter: BloomFilter): Column =
+    BloomMightContain.column(key, filter)
+
+  /** `probe ⋈ build` with the probe side bloom-pruned before the join.
+    * Result is exactly `probe.join(build, probe(probeKey) ===
+    * build(buildKey))` — the sketch admits false positives, never false
+    * negatives, and the join removes the positives. */
+  def prunedJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val f = buildLong(build, buildKey, expectedItems, fpp)
+    probe.filter(mightContain(col(probeKey), f))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}

@@ -65,4 +65,64 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BM25-weighted top-k retrieval — the production ranking function
+    * (length-normalized, saturating tf) the plain tf·idf of
+    * [[keywordTopK]] approximates.
+    *
+    * Same scale shape as keywordTopK: per-row array-filter tfs (no
+    * explode), ONE tiny corpus aggregate (N, Σdl, per-term df)
+    * broadcast back, TakeOrderedAndProject top-k. One narrow scan, no
+    * wide shuffle.
+    *
+    * Determinism deviation from textbook BM25: the idf keeps the
+    * RATIONAL form (N − df + 0.5)/(df + 0.5) — i.e. the argument of
+    * the standard `ln(…+1)` with the log dropped. `ln` is not an
+    * IEEE-754 correctly-rounded operation, so its last bit may differ
+    * between engines and would break the cross-engine hash
+    * (OracleQuery conv 1 allows only +,−,×,÷,sqrt). The log is
+    * monotone, so each term's df-ordering is unchanged; only the
+    * relative term weighting differs, and it differs IDENTICALLY in
+    * both engines. All constants are interpolated from the same Scala
+    * double via toString (shortest round-trip form), which DuckDB's
+    * CAST(… AS DOUBLE) parses back to the identical bits. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(terms.distinct == terms, "duplicate terms would double-count")
+    val idx = terms.indices
+    val toks = docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val tfs = idx.foldLeft(toks) { (df, i) =>
+      df.withColumn(s"tf_$i", tf(col("ws"), terms(i)))
+    }
+    val dfAgg = tfs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        idx.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    // avgdl: one double division of two exact longs — bit-identical
+    val scored = tfs.crossJoin(broadcast(dfAgg))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score",
+        idx.map { i =>
+          val tfd = col(s"tf_$i").cast("double")
+          val dfd = col(s"df_$i").cast("double")
+          val idf = (col("n_docs").cast("double") - dfd + lit(0.5)) /
+            (dfd + lit(0.5))
+          // tf = 0 ⇒ numerator 0.0 ⇒ the term adds exact 0.0: no branch
+          idf * (tfd * lit(k1 + 1) /
+            (tfd + lit(k1) *
+              (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+        }.reduce(_ + _))
+      .filter(col("score") > 0)
+    scored
+      .select(col(idCol) +:
+        idx.map(i => col(s"tf_$i").as(s"tf_${terms(i)}")) :+
+        col("dl") :+ col("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

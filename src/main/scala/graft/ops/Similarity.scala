@@ -181,6 +181,64 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Deterministic axis-sign bucket id over 0-based coordinates `axes`:
+    * bit i is set iff vd[axes(i)] ≥ 0. This IS sign-hyperplane LSH with
+    * axis-ALIGNED planes — same collision math as the seeded random
+    * planes of [[lshTopK]], but expressible in any SQL engine (a CASE
+    * per coordinate), which is what buys the corpus-scale dedup below
+    * an exact cross-engine oracle. */
+  def signBucket(vd: Column, axes: Seq[Int]): Column =
+    axes.zipWithIndex.map { case (a, i) =>
+      when(element_at(vd, a + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus-scale semantic near-dup pairs via axis-sign bucketing —
+    * the scale path next to the broadcast-probe [[cosineNearDupPairs]]
+    * (which needs a small probe side; this needs neither side small).
+    *
+    * Each band is a set of coordinate axes; vectors collide in a band
+    * when all those coordinates agree in sign. A pair is a CANDIDATE if
+    * it collides in ANY band (the LSH banding trick — per-band miss
+    * probabilities multiply), then every candidate is verified with the
+    * exact cosine, so precision is exact and only recall depends on the
+    * band choice. Near-identical vectors disagree in sign only on
+    * coordinates near 0, so d-axis bands miss a τ-duplicate pair with
+    * probability ≈ (d·ε)^nBands for coordinate mass ε near zero.
+    *
+    * Scale shape: per-band self-join on the bucket id (shuffle keyed on
+    * a 2^|band|-ary value — band size caps bucket count, axes chosen
+    * per-corpus cap bucket SIZE), cosine + threshold applied BEFORE the
+    * pair-dedup shuffle, so only surviving near-dup pairs (corpus-tiny
+    * by definition) reach the final groupBy. No stage is quadratic in
+    * the corpus — pair fan-out is bounded per bucket, exactly like the
+    * shingle-LSH path (Dedup.lshCandidates). */
+  def axisLshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Seq[Seq[Int]], minSim: Double): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_.nonEmpty), "need ≥1 non-empty band")
+    val n = withNorm(emb, vecCol)
+      .filter(col("vd").isNotNull)
+      .select(col(idCol).as("id"), col("vd"), col("n2"))
+    val bucketed = bands.zipWithIndex.foldLeft(n) { case (df, (axes, bi)) =>
+      df.withColumn(s"b_$bi", signBucket(col("vd"), axes))
+    }
+    val perBand = bands.indices.map { bi =>
+      val a = bucketed.select(col(s"b_$bi").as("bk"), col("id").as("id_a"),
+        col("vd").as("va"), col("n2").as("na2"))
+      val b = bucketed.select(col(s"b_$bi").as("bk"), col("id").as("id_b"),
+        col("vd").as("vb"), col("n2").as("nb2"))
+      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", cosineWithNorms(dot(col("va"), col("vb")),
+          col("na2"), col("nb2")))
+        .filter(col("sim") >= minSim)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }
+    // pair-dedup across bands AFTER thresholding: only true near-dups
+    // are shuffled; max() is a no-op (same pair ⇒ same exact sim)
+    perBand.reduce(_ unionByName _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: probe × corpus pairs above a cosine
     * threshold — the embedding-space member of the dedup family. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

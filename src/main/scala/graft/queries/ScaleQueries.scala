@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Bloom, Search, Similarity}
+import graft.sources.Tables
+
+/** Round-2 scale surface: production retrieval ranking (BM25), the
+  * argmin-per-group join shape, sketch-vs-exact quantile gating,
+  * oracle-checkable bucketed semantic dedup, corpus quota balancing,
+  * and Bloom pre-shuffle join pruning.
+  *
+  * Shared determinism notes (on top of OracleQuery's conventions):
+  *  - every fractional constant reaching DuckDB is either CAST(… AS
+  *    DOUBLE) or interpolated from the Scala double via toString —
+  *    Double.toString emits the shortest round-trip string, and
+  *    DuckDB's correctly-rounded parse returns the identical bits;
+  *  - row_number() is IntegerType in Spark but BIGINT in DuckDB, so
+  *    every emitted rank is cast to long on the Spark side.
+  */
+object ScaleQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val disc2 = DecimalType(4, 2)
+
+  // ------------------------------------------------------------------ //
+  // q108 — BM25 ranked retrieval
+  // ------------------------------------------------------------------ //
+
+  private val Bm25Terms = Seq("spark", "window", "join")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def bm25TermSql(t: String): String =
+    s"""(CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |  / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |  * (CAST(tf_$t AS DOUBLE) * CAST(${K1 + 1} AS DOUBLE)
+       |     / (CAST(tf_$t AS DOUBLE) + CAST($K1 AS DOUBLE)
+       |        * (CAST(${1 - B} AS DOUBLE) + CAST($B AS DOUBLE)
+       |           * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+
+  /** BM25 (k1=1.2, b=0.75) top-20 — see [[graft.ops.Search.bm25TopK]]
+    * for the rational-idf determinism note (ln is not IEEE-portable).
+    * Reference analogue: the keyword subset-extraction queries of
+    * `/root/reference/warehouse/queries.sql` rank by raw counts; BM25
+    * is the production ranking a curation pipeline actually uses. */
+  val q108Bm25 = OracleQuery("q108_bm25",
+    "BM25 length-normalized keyword ranking, top-20 (exact arithmetic)",
+    (s, d) =>
+      Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms, 20, K1, B),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+${Bm25Terms.map(t => s"               CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+${Bm25Terms.map(t => s"               CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+        FROM tf)
+      SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl, score
+      FROM (
+        SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
+${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
+        FROM tf, (SELECT *,
+                  CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM ag) a) s
+      WHERE score > 0
+      ORDER BY score DESC, doc_id
+      LIMIT 20"""))
+
+  // ------------------------------------------------------------------ //
+  // q109 — min-cost supplier (TPC-H Q2 argmin-per-group shape)
+  // ------------------------------------------------------------------ //
+
+  /** The correlated "supplier with the minimum cost per part" subquery
+    * of TPC-H Q2, rewritten as ONE window pass: rank offers within each
+    * part and keep rank 1 — no per-group subquery re-execution, a
+    * single shuffle on the group key, dims broadcast after the argmin
+    * shrinks the row set to one per part. Reference analogue: the
+    * "best venue per category" style picks in
+    * `/root/reference/warehouse/queries.sql` (argmax via ORDER BY +
+    * LIMIT per group). */
+  val q109MinCostSupplier = OracleQuery("q109_min_cost_supplier",
+    "argmin-per-group: cheapest supplier per part via window rank 1",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(
+        col("unit_price"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"))
+      li.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_name"),
+          col("n_name"), col("unit_price"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price,
+               row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY l_extendedprice / l_quantity, l_suppkey,
+                          l_orderkey, l_linenumber) AS rk
+        FROM lineitem)
+      SELECT l_partkey AS p_partkey, s_name, n_name, unit_price
+      FROM offers
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE rk = 1
+      ORDER BY p_partkey"""))
+
+  // ------------------------------------------------------------------ //
+  // q110 — approx-quantile sketch gate
+  // ------------------------------------------------------------------ //
+
+  /** The mergeable-sketch quantile path (percentile_approx — GK/KLL,
+    * the 100 TB answer where the exact per-group sort of q69/q102 is
+    * too expensive) GATED against the exact p45/p55 order statistics:
+    * the query emits `within_tol`, so sketch drift beyond ±5 rank-pct
+    * turns the driver row red. The oracle replays the exact order
+    * statistics and asserts the literal `true` — the sketch value
+    * itself is engine-specific and never emitted (same pattern as the
+    * q57/q74 in-Spark recall gates). Sketch rank error at accuracy
+    * 10000 is ~0.01% ≪ the 5% gate. */
+  val q110QuantileGate = OracleQuery("q110_quantile_gate",
+    "percentile_approx sketch gated against exact p45/p55 order stats",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+      def cutRank(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+      val exact = ranked.groupBy(col("event_type"), col("n")).agg(
+        min(when(col("rn") === cutRank(0.45), col("value"))).as("p45"),
+        min(when(col("rn") === cutRank(0.50), col("value"))).as("p50_exact"),
+        min(when(col("rn") === cutRank(0.55), col("value"))).as("p55"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+          .as("p50_approx"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("p50_exact"),
+          (col("p50_approx") >= col("p45") &&
+            col("p50_approx") <= col("p55")).as("within_tol"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      ex AS (
+        SELECT event_type, n,
+               min(CASE WHEN rn = GREATEST(1,
+                 CAST(ceil(CAST(0.45 AS DOUBLE) * n) AS BIGINT))
+                 THEN value END) AS p45,
+               min(CASE WHEN rn = GREATEST(1,
+                 CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                 THEN value END) AS p50_exact,
+               min(CASE WHEN rn = GREATEST(1,
+                 CAST(ceil(CAST(0.55 AS DOUBLE) * n) AS BIGINT))
+                 THEN value END) AS p55
+        FROM ranked GROUP BY 1, 2)
+      SELECT event_type, n, p50_exact, true AS within_tol
+      FROM ex
+      ORDER BY event_type"""))
+
+  // ------------------------------------------------------------------ //
+  // q111 — axis-sign-bucketed semantic near-dup (oracle-exact LSH)
+  // ------------------------------------------------------------------ //
+
+  /** Corpus-scale semantic dedup through deterministic sign buckets —
+    * q62's planted-duplicate corpus (exact copies + ×1.001 scaled
+    * copies) pushed through [[Similarity.axisLshNearDupPairs]]. The
+    * whole bucketed pipeline is SQL-expressible, so unlike the seeded
+    * random-hyperplane path (q57) this LSH variant gets a full DuckDB
+    * hash oracle. Positive scaling preserves coordinate signs, so every
+    * planted pair collides in every band — the oracle asserts both the
+    * bucketing and the verification produce exactly the q62 pair set. */
+  val q111AxisLshNearDup = OracleQuery("q111_axis_lsh_neardup",
+    "axis-sign LSH semantic near-dup pairs (deterministic, oracle-exact)",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val scaled = e.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * 1.001)
+            .as("embedding"))
+      val aug = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(exact.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+        .unionByName(scaled)
+      Similarity.axisLshNearDupPairs(aug, "vec_id", "embedding",
+          Seq(Seq(0, 1, 2), Seq(3, 4, 5)), 0.99)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 10 = 5),
+      n AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS n2,
+               (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) AS b0,
+               (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN v[6] >= 0 THEN 4 ELSE 0 END) AS b1
+        FROM aug WHERE v IS NOT NULL),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+        FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id,
+               list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+        FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, max(sim) AS sim
+      FROM cand
+      WHERE sim >= CAST(0.99 AS DOUBLE)
+      GROUP BY 1, 2
+      ORDER BY id_a, id_b"""))
+
+  // ------------------------------------------------------------------ //
+  // q112 — per-source quota sampling (corpus balancing)
+  // ------------------------------------------------------------------ //
+
+  /** Training-mix rebalancing: cap every source at N documents, chosen
+    * deterministically by hash order (md5 of the id — uniform, seedless,
+    * reshard-stable; same determinism device as the q85/q86 splits).
+    * One window shuffle keyed on `source`; a skewed mega-source is the
+    * known hazard at 100 TB — the salting of `ops/Skew` applies (take
+    * per-salt quota N, then re-rank the N·S survivors). */
+  val q112SourceQuota = OracleQuery("q112_source_quota",
+    "per-source quota sample: deterministic hash-ordered cap per source",
+    (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy("source", "rk"),
+    Some("""
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents
+      QUALIFY rk <= 10
+      ORDER BY source, rk"""))
+
+  // ------------------------------------------------------------------ //
+  // q113 — Bloom-filter pre-shuffle join pruning
+  // ------------------------------------------------------------------ //
+
+  /** Selective fact⋈dim join with the fact side Bloom-pruned BEFORE the
+    * shuffle (see [[graft.ops.Bloom]]): ~90% of lineitem rows drop at
+    * the scan instead of shuffling. The sketch admits false positives
+    * and no false negatives, and the real join removes the positives —
+    * so the oracle is simply the UNPRUNED join, which is the whole
+    * correctness argument. `expectedItems` is a capacity estimate: a
+    * production caller passes its own; oversizing only wastes sketch
+    * bits, undersizing only raises the false-positive rate. */
+  val q113BloomJoin = OracleQuery("q113_bloom_join",
+    "bloom-pruned fact join: pre-shuffle pruning, result equals plain join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_totalprice") > lit(450000.0))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Bloom.prunedJoin(Tables.lineitem(s, d), o,
+          "l_orderkey", "o_orderkey", expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec2) *
+            (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, count(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > CAST(450000.0 AS DOUBLE)
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey"""))
+
+  def all: Seq[OracleQuery] = Seq(
+    q108Bm25, q109MinCostSupplier, q110QuantileGate,
+    q111AxisLshNearDup, q112SourceQuota, q113BloomJoin)
+}

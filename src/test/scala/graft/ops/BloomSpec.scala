@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.BloomMightContain
+
+/** Bloom pre-shuffle join pruning: result equality with the plain join
+  * (the no-false-negatives property), actual pruning on the probe side,
+  * and the NULL-key contract of the native expression. */
+class BloomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val fact = (1L to 2000L).map(i => (i % 500, i)).toDF("k", "row_id")
+  private lazy val dim = Seq(3L, 7L, 11L).map(k => (k, s"d$k")).toDF("dk", "name")
+
+  test("bloom-pruned join returns exactly the plain join result") {
+    val pruned = Bloom.prunedJoin(fact, dim, "k", "dk",
+        expectedItems = 100L, fpp = 0.01)
+      .select("k", "row_id", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "row_id", "name")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() == 3 * 4) // 3 keys × 4 rows each (2000/500)
+  }
+
+  test("the prefilter actually prunes the probe side") {
+    val f = Bloom.buildLong(dim, "dk", expectedItems = 100L, fpp = 0.01)
+    val kept = fact.filter(Bloom.mightContain(col("k"), f)).count()
+    // 3 of 500 distinct keys are real; false positives at 1% fpp keep
+    // this far below the full scan
+    assert(kept >= 3 * 4 && kept < 2000 / 4, s"kept $kept of 2000")
+  }
+
+  test("NULL key → NULL (dropped by filter, exactly as the join drops it)") {
+    val f = Bloom.buildLong(dim, "dk", expectedItems = 100L, fpp = 0.01)
+    val withNull = Seq[(Option[Long], Long)]((Some(3L), 1L), (None, 2L))
+      .toDF("k", "row_id")
+    val out = withNull.select(col("row_id"),
+      Bloom.mightContain(col("k"), f).as("m")).orderBy("row_id").collect()
+    assert(out(0).getAs[Boolean]("m"))
+    assert(out(1).isNullAt(1))
+    assert(withNull.filter(Bloom.mightContain(col("k"), f)).count() == 1)
+  }
+
+  test("expression survives both codegen and interpreted evaluation") {
+    val f = Bloom.buildLong(dim, "dk", expectedItems = 100L, fpp = 0.01)
+    val c = BloomMightContain.column(col("k"), f)
+    // wholestage codegen path
+    val cg = fact.filter(c).count()
+    // interpreted path
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = fact.filter(c).count()
+      assert(cg == interp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}

@@ -85,6 +85,26 @@ class HygieneSpec extends SparkTestBase {
     assert(top(1).getAs[Double]("score") == 4.0)
   }
 
+  test("BM25: length normalization and tf saturation behave as specified") {
+    val docs = Seq(
+      // same tf(spark)=2, but d2 is 4× longer → d1 must rank above d2
+      (1L, "spark spark x y"),
+      (2L, "spark spark " + Seq.fill(14)("filler").mkString(" ")),
+      // tf 8 in same length as d1's 2: saturation caps the gain
+      (3L, "spark spark spark spark spark spark spark spark"),
+      (4L, "no terms at all here")
+    ).toDF("doc_id", "text")
+    val top = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect()
+    val byId = top.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!byId.contains(4L))
+    assert(byId(1L) > byId(2L), "longer doc with equal tf must score lower")
+    // 4× the tf buys far less than 4× the score (saturating numerator)
+    assert(byId(3L) < byId(1L) * 4)
+    assert(byId(3L) > byId(1L), "more tf still scores higher")
+  }
+
   test("hard negatives are exactly the cross-label complement") {
     val emb = Seq(
       (0L, Array(1f, 0f), 1),

@@ -55,4 +55,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.exists { case (a, b, s) =>
       a == 0L && b == 100000L && math.abs(s - 1.0) < 1e-12 })
   }
+
+  test("axis-sign LSH: banding OR recovers a pair a single band misses") {
+    // v1/v2 are near-identical but differ in sign on coordinate 0
+    // (value near zero flips) → band(0,1) misses them; band(2,3)
+    // agrees → the pair must still surface. v3 shares buckets with
+    // nothing above threshold.
+    val rows = Seq(
+      (1L, Array(0.001, 1.0, 1.0, 1.0)),
+      (2L, Array(-0.001, 1.0, 1.0, 1.0)),
+      (3L, Array(-1.0, -1.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val both = Similarity.axisLshNearDupPairs(rows, "vec_id", "embedding",
+      Seq(Seq(0, 1), Seq(2, 3)), 0.99).collect()
+    assert(both.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // with ONLY the sign-flipped band the pair is (by design) lost —
+    // the documented per-band miss probability the OR exists to beat
+    val one = Similarity.axisLshNearDupPairs(rows, "vec_id", "embedding",
+      Seq(Seq(0, 1)), 0.99).collect()
+    assert(one.isEmpty)
+  }
+
+  test("axis-sign LSH verifies candidates: sub-threshold bucket-mates drop") {
+    val rows = Seq(
+      (1L, Array(1.0, 1.0)),
+      (2L, Array(1.0, 0.0)) // same signs, cosine ≈ 0.707 < 0.99
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.axisLshNearDupPairs(rows, "vec_id", "embedding",
+      Seq(Seq(0, 1)), 0.99).collect()
+    assert(out.isEmpty)
+  }
 }

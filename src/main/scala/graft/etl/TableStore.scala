@@ -71,6 +71,45 @@ final class TableStore(spark: SparkSession, val root: String) {
     spark.read.parquet(p.toString)
   }
 
+  /** Snapshot-to-snapshot CDC extraction: the I/U/D change rows that
+    * turn snapshot `vOld` into snapshot `vNew` — the inverse of the
+    * CDC APPLY path (q80 / `Merge`), and what a downstream consumer
+    * reads instead of re-diffing the whole table ("what changed in
+    * this release?").
+    *
+    * One full-outer join keyed on `keys` (the only shuffle, on the
+    * table's natural key); change detection compares an md5 of the
+    * JSON-rendered non-key payload (name-sorted fields, nulls emitted
+    * explicitly — JSON escaping makes the rendering injective, unlike
+    * a delimiter concat). Unchanged rows are dropped BEFORE the result
+    * materializes, so the output is change-sized, not table-sized.
+    * Emits key columns + `op` ('I'/'U'/'D') + the new payload (null
+    * for 'D'). */
+  def diff(table: String, vOld: Int, vNew: Int,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = readVersion(table, vOld)
+    val n = readVersion(table, vNew)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"diff needs identical schemas; got ${o.columns.mkString(",")} vs " +
+        n.columns.mkString(","))
+    val payload = o.columns.filterNot(keys.contains).sorted
+    def sig(df: DataFrame) = md5(to_json(
+      struct(payload.map(df(_)): _*),
+      Map("ignoreNullFields" -> "false")))
+    val lo = o.select(
+      keys.map(o(_)) :+ sig(o).as("_sig_old"): _*)
+    val rn = n.select(
+      (keys.map(n(_)) ++ payload.map(n(_))) :+ sig(n).as("_sig_new"): _*)
+    lo.join(rn, keys, "full_outer")
+      .withColumn("op",
+        when(col("_sig_old").isNull, lit("I"))
+          .when(col("_sig_new").isNull, lit("D"))
+          .when(col("_sig_old") =!= col("_sig_new"), lit("U")))
+      .filter(col("op").isNotNull)
+      .drop("_sig_old", "_sig_new")
+  }
+
   /** Committed snapshot versions still on disk, ascending; the last one
     * is what [[read]] resolves. Uncommitted claim dirs (version numbers
     * above the pointer) are excluded. */

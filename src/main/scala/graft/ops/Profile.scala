@@ -49,4 +49,67 @@ object Profile {
           col("len_sum").cast("double") / (col("n_rows") - col("n_null"))))
       .orderBy("col_name")
   }
+
+  /** Heavy-hitter profile of a join/aggregation key: the top-N keys by
+    * row count with each key's share and the cumulative share — the
+    * scan that DECIDES whether `Skew.saltedSumCount` (or an AQE skew
+    * join) is needed, and with what salt factor.
+    *
+    * Scale shape: one partial-aggregated groupBy(key) (uniform by
+    * construction — it is counting, not carrying, the skew), top-N via
+    * TakeOrderedAndProject (never a global sort), total row count as a
+    * one-row broadcast. The only window runs over the N surviving rows.
+    * Cumulative share is the exact BIGINT cumsum divided once — not a
+    * running double sum — so it is bit-stable cross-engine. */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val top = counts.orderBy(col("n").desc, col(keyCol)).limit(topN)
+    // bounded-input global window: exactly topN rows reach it
+    val w = Window.orderBy(col("n").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col(keyCol))).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("rank"), col(keyCol), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("cum_n").cast("double") / col("n_total").cast("double"))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Per-key equi-width value histogram: `nBuckets` buckets spanning
+    * [min, max] of `valCol` within each `keyCol` group — the ANALYZE
+    * histogram next to [[columnProfile]]'s scalar stats.
+    *
+    * Two passes, both narrow: a per-key min/max aggregate (tiny,
+    * broadcast back) and one scan assigning
+    * `least(nBuckets−1, floor((v − min)/width))`. All edge math is the
+    * double arithmetic of exact inputs in a fixed order, so bucket
+    * assignment is bit-identical cross-engine; `v = max` lands in the
+    * last bucket via the `least` cap in both. A degenerate key
+    * (min = max) puts everything in bucket 0. */
+  def equiWidthHistogram(df: DataFrame, keyCol: String, valCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "need at least one bucket")
+    val mm = df.groupBy(col(keyCol)).agg(
+      min(col(valCol)).as("v_min"), max(col(valCol)).as("v_max"))
+    val width = (col("v_max") - col("v_min")) / lit(nBuckets.toDouble)
+    df.join(broadcast(mm), Seq(keyCol))
+      .withColumn("bucket",
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((col(valCol) - col("v_min")) / width))))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v_min")).as("v_min"), min(col("v_max")).as("v_max"))
+      .select(col(keyCol), col("bucket"), col("n_rows"),
+        (col("v_min") + col("bucket").cast("double") *
+          ((col("v_max") - col("v_min")) / lit(nBuckets.toDouble)))
+          .as("bucket_lo"))
+      .orderBy(keyCol, "bucket")
+  }
 }

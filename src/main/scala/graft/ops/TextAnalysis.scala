@@ -104,6 +104,37 @@ object TextAnalysis {
         (col("_csum").cast("double") / col("n_tokens")).as("avg_tok_freq"))
   }
 
+  /** Vocabulary coverage / OOV-rate scan: per-document fraction of
+    * tokens outside the corpus top-`vocabSize` vocabulary — the metric
+    * that decides whether a tokenizer vocabulary (q97's BPE merges)
+    * covers a corpus slice, and the standard filter for
+    * out-of-distribution documents.
+    *
+    * Scale shape: vocabulary selection is a partial-aggregated word
+    * count + TakeOrderedAndProject (count DESC, word — deterministic
+    * tie-break); the membership test is a BROADCAST semi-join of the
+    * token stream against the vocabSize-row vocab, so the Zipf-skewed
+    * word key never becomes a shuffle key (contrast corpusFreqSignals,
+    * which must join on it and documents the salting). One groupBy(doc)
+    * closes the scan. */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), explode(col("ws")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w").as("vw"))
+    tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Adjacent word pairs ("w_i w_i+1") of a BOUND token-array column
     * (rule 3: pass an attribute, not an inline expression). The
     * size-guard matters: Spark's sequence(1, 0) counts DOWN, so an

@@ -315,7 +315,105 @@ ${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
       GROUP BY o_orderkey
       ORDER BY o_orderkey"""))
 
+  // ------------------------------------------------------------------ //
+  // q114 — key-skew profile (heavy-hitter shares)
+  // ------------------------------------------------------------------ //
+
+  /** The scan that DECIDES skew handling: top-20 join-key heavy hitters
+    * with per-key and cumulative share (see
+    * [[graft.ops.Profile.keySkewProfile]]). Cumulative share is the
+    * exact BIGINT cumsum divided once — never a running double sum —
+    * and the windowed SUM is CAST to BIGINT in the oracle (DuckDB
+    * HUGEINT rule). */
+  val q114KeySkew = OracleQuery("q114_key_skew",
+    "top-20 heavy-hitter keys with share and cumulative share",
+    (s, d) =>
+      graft.ops.Profile.keySkewProfile(
+        Tables.orders(s, d), "o_custkey", 20),
+    Some("""
+      WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+      t AS (SELECT count(*) AS n_total FROM orders),
+      top AS (SELECT o_custkey, n FROM c ORDER BY n DESC, o_custkey LIMIT 20)
+      SELECT CAST(row_number() OVER
+               (ORDER BY n DESC, o_custkey) AS BIGINT) AS rank,
+             o_custkey, n,
+             CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+             CAST(CAST(SUM(n) OVER (ORDER BY n DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
+      FROM top, t
+      ORDER BY rank"""))
+
+  // ------------------------------------------------------------------ //
+  // q115 — per-key equi-width histogram
+  // ------------------------------------------------------------------ //
+
+  /** ANALYZE-style value histogram next to q104's scalar profile: 20
+    * equi-width buckets of the value metric per event type (see
+    * [[graft.ops.Profile.equiWidthHistogram]] for the edge-math
+    * determinism argument). */
+  val q115Histogram = OracleQuery("q115_histogram",
+    "per-type 20-bucket equi-width histogram (exact bucket edges)",
+    (s, d) =>
+      graft.ops.Profile.equiWidthHistogram(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", 20),
+    Some("""
+      WITH mm AS (
+        SELECT event_type, min(value) AS v_min, max(value) AS v_max
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT e.event_type,
+               CASE WHEN v_max = v_min THEN CAST(0 AS BIGINT)
+                    ELSE LEAST(CAST(19 AS BIGINT),
+                      CAST(floor((value - v_min)
+                        / ((v_max - v_min) / CAST(20.0 AS DOUBLE)))
+                        AS BIGINT)) END AS bucket,
+               v_min, v_max
+        FROM events e JOIN mm ON e.event_type = mm.event_type)
+      SELECT event_type, bucket, count(*) AS n_rows,
+             min(v_min) + CAST(bucket AS DOUBLE)
+               * ((min(v_max) - min(v_min)) / CAST(20.0 AS DOUBLE))
+               AS bucket_lo
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket"""))
+
+  // ------------------------------------------------------------------ //
+  // q116 — vocabulary coverage / OOV rate
+  // ------------------------------------------------------------------ //
+
+  /** Tokenizer-vocabulary coverage: per-document OOV rate against the
+    * corpus top-100 vocabulary (see
+    * [[graft.ops.TextAnalysis.oovStats]] — broadcast semi-join keeps
+    * the Zipf-skewed word key out of the shuffle). */
+  val q116OovRate = OracleQuery("q116_oov_rate",
+    "per-doc out-of-vocabulary rate vs the corpus top-100 vocabulary",
+    (s, d) =>
+      graft.ops.TextAnalysis.oovStats(
+        Tables.documents(s, d), "doc_id", "text", 100)
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS word
+        FROM documents),
+      v AS (SELECT word FROM (
+              SELECT word, count(*) AS c FROM w
+              GROUP BY 1 ORDER BY c DESC, word LIMIT 100)),
+      t AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(SUM(CASE WHEN word IN (SELECT word FROM v)
+                 THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        FROM w GROUP BY 1)
+      SELECT doc_id, n_tokens, n_oov,
+             CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      FROM t
+      ORDER BY doc_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
-    q111AxisLshNearDup, q112SourceQuota, q113BloomJoin)
+    q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
+    q114KeySkew, q115Histogram, q116OovRate)
 }

@@ -78,6 +78,40 @@ class StoreAndIncrementalSpec extends SparkTestBase {
       s"moved key must refresh in place, not duplicate: $rows")
   }
 
+  test("diff extracts exactly the I/U/D rows between two snapshots") {
+    val root = Files.createTempDirectory("graft_diff_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null, 40)
+    ).toDF("id", "name", "v"))
+    store.upsert("t", Seq(
+      (2L, "B", 20),   // payload change → U
+      (5L, "e", 50)    // new key → I
+    ).toDF("id", "name", "v"), Seq("id"))
+    // build v3 without row 3 (delete) via overwrite of the merged view
+    store.overwrite("t", store.read("t").filter($"id" =!= 3L))
+    val d13 = store.diff("t", 1, 3, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("op")).toMap
+    assert(d13 == Map(2L -> "U", 3L -> "D", 5L -> "I"))
+    // unchanged rows (1, 4 — incl. the NULL payload) never surface
+    val selfDiff = store.diff("t", 3, 3, Seq("id"))
+    assert(selfDiff.isEmpty)
+    // U rows carry the NEW payload; D rows carry nulls
+    val rows = store.diff("t", 1, 3, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows(2L).getAs[String]("name") == "B")
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("name")))
+  }
+
+  test("diff distinguishes a NULL payload from the empty string") {
+    val root = Files.createTempDirectory("graft_diffnull_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", Seq((1L, Option.empty[String])).toDF("id", "name"))
+    store.overwrite("t", Seq((1L, Option(""))).toDF("id", "name"))
+    val d = store.diff("t", 1, 2, Seq("id")).collect()
+    assert(d.length == 1 && d(0).getAs[String]("op") == "U")
+  }
+
   test("time travel: every commit is a readable snapshot; versions() lists the retained set") {
     val root = Files.createTempDirectory("graft_tt_").toString
     val store = new TableStore(spark, root)

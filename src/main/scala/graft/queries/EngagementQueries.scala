@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-intelligence engagement analytics — the funnel / retention /
+  * stickiness surface an events warehouse exists to answer (the
+  * reference's KPI views stop at daily health; these are the standard
+  * next questions a product team asks of the same fact table).
+  *
+  * Timestamp discipline (CLAUDE.md rule 5): events.ts is nanos-as-long
+  * on the Spark side and µs-truncated TIMESTAMP in DuckDB, so every
+  * time comparison runs on `ts div 1000` = `epoch_us(ts)`, and calendar
+  * days are the exact integer `epoch_us // 86_400_000_000` (UTC session
+  * on both engines). All rates are single double divisions of exact
+  * longs — bit-identical cross-engine.
+  */
+object EngagementQueries {
+
+  private val DayUs = 86400000000L
+
+  /** Ordered 3-step conversion funnel (view → click → purchase): a user
+    * converts step k only with an event strictly AFTER their step-k−1
+    * conversion time. Each step is one groupBy(user) aggregate over a
+    * type-pruned scan joined to the (user, t_prev) survivors — at scale
+    * three shuffles on the uniform high-cardinality user key, each over
+    * a shrinking survivor set; no windows, no per-user sort. */
+  val q117Funnel = OracleQuery("q117_funnel",
+    "ordered view→click→purchase funnel with per-step conversion rates",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      val counts = s1.agg(count(lit(1)).as("n1"))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      val step = (k: Int, name: String, n: String, prev: String) =>
+        counts.select(
+          lit(k.toLong).as("step"), lit(name).as("step_name"),
+          col(n).as("n_users"),
+          (col(n).cast("double") / col("n1").cast("double"))
+            .as("conv_from_first"),
+          (col(n).cast("double") / col(prev).cast("double"))
+            .as("conv_from_prev"))
+      step(1, "view", "n1", "n1")
+        .unionByName(step(2, "click_after_view", "n2", "n1"))
+        .unionByName(step(3, "purchase_after_click", "n3", "n2"))
+        .orderBy("step")
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE event_type = 'click' AND epoch_us(ts) > t1
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+        GROUP BY 1),
+      c AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users,
+             CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first,
+             CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_prev
+      FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click_after_view', n2,
+             CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      FROM c
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase_after_click', n3,
+             CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)
+      FROM c
+      ORDER BY step"""))
+
+  /** Day-offset retention cohorts: users grouped by their first active
+    * day; for offsets 0–7, how many were active again that day. Scale:
+    * the (user, day) DISTINCT is the only corpus-sized shuffle (uniform
+    * key); cohort sizes are a per-cohort aggregate broadcast back for
+    * the rate division. */
+  val q118Retention = OracleQuery("q118_retention",
+    "first-active-day cohort retention over offsets 0-7",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"ts div 1000 div $DayUs").as("day"))
+        .distinct()
+      val cohort = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      ud.join(cohort, Seq("user_id"))
+        .withColumn("offset", col("day") - col("cohort_day"))
+        .filter(col("offset").between(0, 7))
+        .groupBy(col("cohort_day"), col("offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+        .orderBy("cohort_day", "offset")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+      sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1),
+      act AS (
+        SELECT cohort_day, day - cohort_day AS "offset",
+               count(*) AS n_active
+        FROM ud JOIN cohort ON ud.user_id = cohort.user_id
+        WHERE day - cohort_day BETWEEN 0 AND 7
+        GROUP BY 1, 2)
+      SELECT act.cohort_day AS cohort_day, "offset", n_active, cohort_size,
+             CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+               AS retention
+      FROM act JOIN sizes ON act.cohort_day = sizes.cohort_day
+      ORDER BY act.cohort_day, "offset""""))
+
+  /** DAU / WAU / stickiness: rolling 7-day distinct actives computed by
+    * exploding each (user, day) into the 7 windows it belongs to — a
+    * DISTINCT over a sliding window is not a window function, and this
+    * bounded 7× fan-out is the shuffle-friendly rewrite (keys stay
+    * (day, user), uniform). Stickiness = dau/wau, the single division.
+    * Days are emitted only where dau exists (inner join), so both
+    * engines agree on the row set. */
+  val q119Stickiness = OracleQuery("q119_stickiness",
+    "DAU, rolling 7-day WAU, and dau/wau stickiness per day",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"ts div 1000 div $DayUs").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("wday"))
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+        FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      wau AS (
+        SELECT wday, count(DISTINCT user_id) AS wau FROM (
+          SELECT user_id, day + k AS wday
+          FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k))
+        GROUP BY 1)
+      SELECT day, dau, wau,
+             CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      FROM dau JOIN wau ON day = wday
+      ORDER BY day"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q117Funnel, q118Retention, q119Stickiness)
+}

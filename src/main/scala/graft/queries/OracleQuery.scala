@@ -41,7 +41,7 @@ object Catalog {
       KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
       RangeQueries.all ++ TpchQueries.all ++ SetQueries.all ++
       CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
-      ReleaseQueries.all ++ ScaleQueries.all
+      ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

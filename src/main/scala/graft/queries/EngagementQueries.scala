@@ -181,6 +181,52 @@ object EngagementQueries {
       FROM dau JOIN wau ON day = wday
       ORDER BY day"""))
 
+  /** Spark's BUILT-IN `session_window` (the native gap-session operator,
+    * batch and streaming) proven equivalent to the portable gap-islands
+    * formulation: the oracle replays islands in DuckDB. Semantics note:
+    * session_window assigns each event the window [ts, ts+gap) and
+    * merges OVERLAPPING windows, so a gap of EXACTLY `gap` starts a new
+    * session — the islands condition is therefore `diff >= gap`
+    * (contrast q28's custom `>` convention). Emitted times are exact
+    * epoch µs (unix_micros of the struct fields), never raw timestamps.
+    */
+  val q120SessionWindow = OracleQuery("q120_session_window",
+    "built-in session_window ≡ gap-islands (1 h gap), exact µs bounds",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tsm"))
+      ev.groupBy(col("user_id"),
+          session_window(col("tsm"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("window_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            >= 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sess AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged)
+      SELECT user_id,
+             min(ts_us) AS start_us,
+             max(ts_us) + 3600000000 AS window_end_us,
+             count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, start_us"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q117Funnel, q118Retention, q119Stickiness)
+    Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow)
 }

@@ -205,6 +205,239 @@ object TpchQueries {
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100"""))
 
+  /** Q4 shape — order-priority checking: correlated EXISTS rewritten as a
+    * LEFT SEMI join (Spark's native decorrelation), then a tiny group
+    * count. The semi join probes build-side order keys only — no lineitem
+    * columns survive the join, so at 100 TB the shuffle carries just the
+    * key. Date bounds reach the orders scan. */
+  val q121OrderPriority = OracleQuery("q121_order_priority",
+    "TPC-H Q4 shape: EXISTS -> left-semi decorrelation + priority count",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-07-01").cast("timestamp")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val flagged = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join that
+    * must preserve zero-order customers (the filter lives in the join,
+    * not WHERE), then a second aggregate OVER the first one's result.
+    * The distribution groupBy runs on |customers| rows keyed by a tiny
+    * integer — the classic two-level aggregate where level 2 is cheap
+    * because level 1 already collapsed the fact table. */
+  val q122CustomerDistribution = OracleQuery("q122_customer_distribution",
+    "TPC-H Q13 shape: null-preserving outer join + group-on-aggregate",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val perCust = Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        GROUP BY c_custkey)
+      SELECT c_count, count(*) AS custdist
+      FROM per_cust
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  /** Q16 shape — supplier breadth per part class: NOT IN rewritten as a
+    * LEFT ANTI join on the (tiny, broadcast) exclusion list BEFORE the
+    * part join, so excluded rows never reach the wide join; then exact
+    * COUNT(DISTINCT supplier). The anti join is the scale point: NOT IN
+    * as a subquery re-evaluates per row in a naive engine — here it is
+    * one broadcast probe. */
+  val q123SupplierBreadth = OracleQuery("q123_supplier_breadth",
+    "TPC-H Q16 shape: NOT IN -> broadcast anti join + count distinct",
+    (s, d) => {
+      val complaints = Tables.supplier(s, d)
+        .filter(col("s_name").endsWith("7"))
+        .select(col("s_suppkey").as("bad_sk"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 9, 13))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(complaints), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#13'
+        AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 5, 9, 13)
+        AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** Q17 shape — small-quantity revenue: the correlated per-part AVG
+    * subquery decorrelated into ONE aggregate over the brand-filtered
+    * lineitems joined back on the part key. The brand semi-filter is
+    * applied BEFORE the per-part aggregate so the avg is computed only
+    * for parts that can qualify — at 100 TB that's the difference
+    * between aggregating the whole fact table and ~1/25 of it.
+    * Determinism: per-part avg = exact decimal sum cast to double,
+    * divided once by the count (convention #3); the 0.2× threshold and
+    * the `<` compare are then single IEEE ops on identical operands. */
+  val q124SmallQtyRevenue = OracleQuery("q124_small_qty_revenue",
+    "TPC-H Q17 shape: correlated AVG decorrelated to agg + join-back",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13").select(col("p_partkey"))
+      val lf = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val pa = lf.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.2) *
+          (sum(col("l_quantity").cast(dec2)).cast("double") / count(lit(1))))
+          .as("qlim"))
+      lf.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qlim"))
+        .agg(
+          (sum(col("l_extendedprice").cast(dec2)).cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      WITH lf AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#13'),
+      pa AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*)) AS qlim
+        FROM lf GROUP BY l_partkey)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+             count(*) AS n_items
+      FROM lf JOIN pa ON l_partkey = pk
+      WHERE l_quantity < qlim"""))
+
+  /** Q21 shape — the only-offending-supplier query: EXISTS(other supplier
+    * on the order) AND NOT EXISTS(other supplier with a returned item).
+    * Both correlated subqueries decorrelate into ONE per-order aggregate
+    * (distinct suppliers, distinct returning suppliers) joined back —
+    * one pass over lineitem instead of two correlated re-scans. A row
+    * qualifies iff n_supp > 1 (someone else on the order) and
+    * n_r_supp = 1 (the only returner is this row's own supplier, since
+    * the row itself is 'R'). */
+  val q125WaitingSuppliers = OracleQuery("q125_waiting_suppliers",
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS via one per-order aggregate",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val ordStats = l.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_r_supp"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordStats, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20"""))
+
+  /** Q22 shape — dormant high-balance customers: a scalar AVG subquery
+    * (broadcast single row), a NOT EXISTS anti join against orders, and
+    * a group on a derived code. The avg is decimal-exact then one double
+    * division (convention #3); the anti join ships only o_custkey. */
+  val q126IdleCustomers = OracleQuery("q126_idle_customers",
+    "TPC-H Q22 shape: scalar-avg broadcast + anti join + derived group",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("cc", substring(col("c_name"), 18, 1))
+        .filter(col("cc").isin("1", "3", "5", "7", "9"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(dec2)).cast("double") / count(lit(1)))
+          .as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cc"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec2)).cast("double").as("totacctbal"))
+        .orderBy(col("cc"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal, substring(c_name, 18, 1) AS cc
+        FROM customer
+        WHERE substring(c_name, 18, 1) IN ('1','3','5','7','9')),
+      avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) AS ab
+        FROM cust WHERE c_acctbal > 0.0)
+      SELECT cc, count(*) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+      FROM cust, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY cc
+      ORDER BY cc"""))
+
   def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems,
-    q82PromoRevenue, q83NationVolume, q84BigOrders)
+    q82PromoRevenue, q83NationVolume, q84BigOrders, q121OrderPriority,
+    q122CustomerDistribution, q123SupplierBreadth, q124SmallQtyRevenue,
+    q125WaitingSuppliers, q126IdleCustomers)
 }

@@ -66,6 +66,46 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of N retriever rankings — the standard
+    * hybrid-search combiner (lexical BM25 + vector ANN, or any mix).
+    * Each input is (tag, DataFrame with idCol + rankCol where rank is
+    * 1-based within that retriever); output is the fused top-k with one
+    * `rrf_<tag>` contribution column per retriever and their fixed-order
+    * sum as `rrf_score`.
+    *
+    * Scale design: the fusion is a UNION of the candidate lists (each
+    * already top-N-sized, i.e. tiny relative to the corpus) followed by
+    * ONE groupBy on the id — no outer join chain, no corpus scan. The
+    * final ordering is a TakeOrderedAndProject over Σ|candidates| rows.
+    *
+    * Determinism: each contribution is 1/(kRrf + rank) — a single IEEE
+    * division of exact integers-as-doubles; per-retriever values are
+    * combined with MAX over a singleton (an id appears at most once per
+    * retriever), and the cross-retriever sum is written in FIXED tag
+    * order (convention 2 — never an order-dependent double SUM). */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tags = rankings.map(_._1)
+    require(tags.distinct == tags, "duplicate retriever tags")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col(idCol), lit(tag).as("retriever"),
+        col(rankCol).cast("double").as("rk"))
+    }.reduce(_.unionByName(_))
+    val contrib = lit(1.0) / (lit(kRrf.toDouble) + col("rk"))
+    val perTag = tags.map(t =>
+      max(when(col("retriever") === t, contrib)).as(s"rrf_raw_$t"))
+    val fused = tagged.groupBy(col(idCol)).agg(perTag.head, perTag.tail: _*)
+    val score = tags.map(t => coalesce(col(s"rrf_raw_$t"), lit(0.0)))
+      .reduce(_ + _)
+    fused
+      .select(col(idCol) +:
+        tags.map(t => coalesce(col(s"rrf_raw_$t"), lit(0.0)).as(s"rrf_$t")) :+
+        score.as("rrf_score"): _*)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BM25-weighted top-k retrieval — the production ranking function
     * (length-normalized, saturating tf) the plain tf·idf of
     * [[keywordTopK]] approximates.

@@ -412,8 +412,100 @@ ${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
       FROM t
       ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------ //
+  // q127 — hybrid retrieval: BM25 ⊕ vector KNN via reciprocal-rank fusion
+  // ------------------------------------------------------------------ //
+
+  /** Hybrid search: the BM25 lexical ranking (q108) and the exact cosine
+    * KNN ranking (q56, probe vec_id=0) fused with reciprocal-rank fusion
+    * — the combiner every production retrieval stack uses to merge
+    * keyword and semantic hits. See [[graft.ops.Search.rrfFuse]] for the
+    * union-then-groupBy scale shape (candidate-list-sized, no corpus
+    * join) and the fixed-order-sum determinism argument. Both candidate
+    * lists are replayed exactly by the oracle (q108's rational-form BM25,
+    * q56's fold-order dot product), so the fused ranking hash-matches
+    * cross-engine end to end. */
+  val q127HybridRrf = OracleQuery("q127_hybrid_rrf",
+    "reciprocal-rank fusion of BM25 and vector-KNN rankings, top-20",
+    (s, d) => {
+      val lex = Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Bm25Terms, 50, K1, B)
+        .select(col("doc_id"),
+          // bounded window: ranks the 50 surviving candidates only
+          row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rk"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rk"))
+      Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id", "rk", 20)
+    },
+    Some {
+      val scoreExpr = Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")
+      s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+${Bm25Terms.map(t => s"               CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+${Bm25Terms.map(t => s"               CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+        FROM tf),
+      scored AS (
+        SELECT doc_id,
+$scoreExpr AS score
+        FROM tf, (SELECT *,
+                  CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM ag) a),
+      lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS DOUBLE) AS rk
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 50),
+      n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      vecr AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY list_dot_product(p.v, c.v)
+                          / (sqrt(p.n2) * sqrt(c.n2)) DESC, c.vec_id)
+                    AS DOUBLE) AS rk
+        FROM n p JOIN n c ON p.vec_id != c.vec_id
+        WHERE p.vec_id = 0
+        ORDER BY rk LIMIT 50),
+      u AS (
+        SELECT doc_id, 'lex' AS retriever, rk FROM lex
+        UNION ALL
+        SELECT doc_id, 'vec' AS retriever, rk FROM vecr),
+      f AS (
+        SELECT doc_id,
+               MAX(CASE WHEN retriever = 'lex'
+                   THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rk)
+                   END) AS l,
+               MAX(CASE WHEN retriever = 'vec'
+                   THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rk)
+                   END) AS v
+        FROM u GROUP BY doc_id)
+      SELECT doc_id,
+             COALESCE(l, CAST(0.0 AS DOUBLE)) AS rrf_lex,
+             COALESCE(v, CAST(0.0 AS DOUBLE)) AS rrf_vec,
+             COALESCE(l, CAST(0.0 AS DOUBLE))
+               + COALESCE(v, CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM f
+      ORDER BY rrf_score DESC, doc_id
+      LIMIT 20"""
+    })
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
-    q114KeySkew, q115Histogram, q116OovRate)
+    q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf)
 }

@@ -105,6 +105,24 @@ class HygieneSpec extends SparkTestBase {
     assert(byId(3L) > byId(1L), "more tf still scores higher")
   }
 
+  test("RRF fusion: exact contributions, both-list boost, null lanes") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rk")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rk")
+    val out = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "id", "rk",
+      k = 10, kRrf = 60).collect()
+    val byId = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Double]("rrf_lex"), r.getAs[Double]("rrf_vec"),
+        r.getAs[Double]("rrf_score"))).toMap
+    // exact arithmetic: 1/(60+rank), absent lane contributes exact 0.0
+    assert(byId(10L) == ((1.0 / 61, 0.0, 1.0 / 61)))
+    assert(byId(20L) == ((1.0 / 62, 1.0 / 61, 1.0 / 62 + 1.0 / 61)))
+    assert(byId(40L) == ((0.0, 1.0 / 62, 1.0 / 62)))
+    // a doc ranked 2nd+1st in both lists beats either single-list 1st
+    val ranked = out.map(_.getAs[Long]("id")).toSeq
+    assert(ranked.head == 20L)
+    assert(ranked.toSet == Set(10L, 20L, 30L, 40L))
+  }
+
   test("hard negatives are exactly the cross-label complement") {
     val emb = Seq(
       (0L, Array(1f, 0f), 1),

@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // portable HOF dot products optimize into the fused native loop
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // whole-operator extension: native as-of join (logical node +
+    // streaming-merge physical operator, graftplan.AsofJoinPlan)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftplan.AsofJoinStrategy)
   }
 }

@@ -59,4 +59,20 @@ object Temporal {
       .select(left.columns.map(c => col(s"_row.$c").as(c)) ++
         payloadCols.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
+
+  /** The NATIVE as-of join — a custom Catalyst operator
+    * (`LogicalPlan` + planner `Strategy` + `SparkPlan` streaming merge;
+    * see `org.apache.spark.sql.graftplan.AsofJoinPlan`) with identical
+    * semantics and output schema to [[asofJoin]] (TemporalSpec asserts
+    * row equality of the two paths; q128's driver oracle is DuckDB's
+    * first-class ASOF JOIN).
+    *
+    * Plan shape: exchange+sort per side, then an O(1)-state merge — no
+    * union, no window carry, no struct-wrapping of the left row. Use
+    * this path when the composed form's window sort over |L|+|R| united
+    * rows is the bottleneck. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payloadCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftplan.AsofJoinApi
+      .asofJoinNative(left, right, key, ts, payloadCols)
 }

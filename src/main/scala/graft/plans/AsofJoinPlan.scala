@@ -1,0 +1,215 @@
+// Lives under org.apache.spark.sql (like graftfn.DotProduct) because the
+// Dataset/LogicalPlan bridge (classic.Dataset.ofRows) is private[sql] in
+// Spark 4 — the sanctioned namespace for whole-operator extensions.
+package org.apache.spark.sql.graftplan
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Logical as-of join: each left row picks the payload of the latest
+  * right row with the same key and right ts ≤ left ts (left-outer:
+  * unmatched left rows keep NULL payload). Ties at the winning (key, ts)
+  * resolve to the GREATEST payload tuple — the same deterministic rule as
+  * the composable union-and-carry form in `graft.ops.Temporal.asofJoin`.
+  *
+  * Why a custom operator when the composable form exists: the union-and-
+  * carry plan must materialize |L|+|R| rows through ONE window sort and
+  * carry a full left-row struct through the union (rows widen to the
+  * union schema). The native plan shape is two clustered shuffles + two
+  * sorts + an O(1)-memory streaming merge per partition — no window
+  * state, no struct-carry, no union blow-up. That's the plan a database
+  * with a first-class ASOF JOIN (e.g. the DuckDB oracle) picks, and what
+  * this engine's 100 TB path needs: memory per task is one payload row,
+  * independent of group size, where the window form buffers a frame.
+  *
+  * `asofOut` (the minted output attributes) is a constructor param, not
+  * derived in `output`, so exprIds stay stable across tree copies.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    asofOut: Seq[AttributeReference]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofOut
+
+  // asofOut is minted by this node, not consumed from a child — declare
+  // it produced or CheckAnalysis reports MISSING_ATTRIBUTES
+  override def producedAttributes: AttributeSet = AttributeSet(asofOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical as-of join: a sorted streaming merge.
+  *
+  * Distribution/ordering contracts do the heavy lifting — this node
+  * declares `ClusteredDistribution(key)` on both children plus per-child
+  * sort orders, and `EnsureRequirements` plants the co-partitioned
+  * exchanges and sorts exactly as it does for SortMergeJoin. The right
+  * child additionally sorts by the payload columns so the LAST
+  * qualifying row in sort order IS the tie-broken winner — the merge
+  * never compares payloads, it just keeps the most recent qualifier.
+  *
+  * Per-partition state: one buffered right iterator + ONE copied payload
+  * row. Left rows stream through untouched (`outputOrdering` preserves
+  * the left sort, `outputPartitioning` the left partitioning, so a
+  * downstream groupBy on the key plans zero additional exchanges).
+  */
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    asofOut: Seq[AttributeReference]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofOut
+
+  override def producedAttributes: AttributeSet = AttributeSet(asofOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    SortOrder(rightKey, Ascending) +: SortOrder(rightTs, Ascending) +:
+      payload.map(p => SortOrder(p, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = rOut.indexWhere(_.exprId == rightTs.exprId)
+    require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
+      "as-of key/ts attributes must come from the respective child")
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val payloadExprs = payload
+    val nPayload = payload.size
+    val outTypes = output.map(_.dataType).toArray
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // SortOrder(Ascending) semantics: NULLS FIRST, null == null — the
+      // same grouping rule as the window form's partitionBy(key)
+      def cmp(ord: Ordering[Any], a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else ord.compare(a, b)
+
+      val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
+      val outProj = UnsafeProjection.create(outTypes)
+      val nullPayload = new GenericInternalRow(nPayload)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      // the single piece of per-partition state: latest qualifying
+      // payload (copied out of the reused unsafe buffer) and its key
+      var best: InternalRow = null
+      var bestKey: Any = null
+      var haveBest = false
+
+      lIter.map { lRow =>
+        val lKey = if (lRow.isNullAt(lKeyIdx)) null else lRow.get(lKeyIdx, keyType)
+        val lTs = if (lRow.isNullAt(lTsIdx)) null else lRow.get(lTsIdx, tsType)
+        // a best from an earlier key group is stale
+        if (haveBest && cmp(keyOrd, bestKey, lKey) != 0) {
+          best = null; bestKey = null; haveBest = false
+        }
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val rRow = rBuf.head
+          val rKey = if (rRow.isNullAt(rKeyIdx)) null else rRow.get(rKeyIdx, keyType)
+          val kc = cmp(keyOrd, rKey, lKey)
+          if (kc < 0) {
+            rBuf.next() // right key group already passed by the left side
+          } else if (kc == 0 &&
+              cmp(tsOrd,
+                if (rRow.isNullAt(rTsIdx)) null else rRow.get(rTsIdx, tsType),
+                lTs) <= 0) {
+            // qualifies; right sort order (ts, payload…) makes the LAST
+            // qualifier the winner, so later rows simply overwrite
+            best = payloadProj(rRow).copy()
+            bestKey = InternalRow.copyValue(lKey)
+            haveBest = true
+            rBuf.next()
+          } else {
+            scanning = false // future right rows can only be later
+          }
+        }
+        outProj(joined(lRow, if (haveBest) best else nullPayload))
+      }
+    }
+  }
+}
+
+/** Planner strategy: AsofJoinPlan → AsofJoinExec. Registered per-session
+  * via `spark.experimental.extraStrategies` (done lazily by [[AsofJoinApi]])
+  * or fleet-wide through `graftfn.GraftExtensions`. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, lts, rk, rts, payload, out) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, payload,
+        out) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level entry point for the native operator. Mirrors
+  * `graft.ops.Temporal.asofJoin`'s signature and semantics exactly
+  * (TemporalSpec asserts row-level equality of the two paths). */
+object AsofJoinApi {
+
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payloadCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[ClassicSparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    val lPlan = left.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of column '$name' not found in ${plan.output.map(_.name)}"))
+    // both sides often derive from the same relation (events⋈events) and
+    // then share exprIds; re-alias the right side so the node's children
+    // have disjoint attribute sets (fresh ids per Alias)
+    val rPlan = {
+      val raw = right.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+      if (lPlan.outputSet.intersect(raw.outputSet).isEmpty) raw
+      else right.select(right.columns.map(c =>
+          org.apache.spark.sql.functions.col(c).as(c)): _*)
+        .asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+    }
+    val payload = payloadCols.map(c => attr(rPlan, c))
+    val asofOut = payload.map(p =>
+      AttributeReference(s"asof_${p.name}", p.dataType, nullable = true)())
+    val node = AsofJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key), attr(rPlan, ts), payload, asofOut)
+    ClassicDataset.ofRows(spark, node)
+  }
+}

@@ -181,6 +181,37 @@ object MoreQueries {
         ON p.user_id = s.user_id AND p.pts >= s.sts
       ORDER BY event_id"""))
 
+  /** The NATIVE as-of join operator (custom LogicalPlan + Strategy +
+    * streaming-merge SparkPlan, `graftplan.AsofJoinPlan`) on the exact
+    * q66 workload — three independent implementations must agree: the
+    * union-and-carry composition (q66), this custom physical operator,
+    * and DuckDB's first-class ASOF JOIN (the shared oracle). A custom
+    * exec node hash-gated by the driver, not just spec-tested. */
+  val q128AsofNative = OracleQuery("q128_asof_native",
+    "native as-of join exec (custom Catalyst operator) vs DuckDB ASOF",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val tsUs = expr("ts div 1000")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), tsUs.as("pts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), tsUs.as("pts"), tsUs.as("signup_us"))
+      Temporal.asofJoinNative(purchases, signups, "user_id", "pts",
+          Seq("signup_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) pts
+        FROM events WHERE event_type = 'purchase'),
+      s AS (
+        SELECT user_id, epoch_us(ts) sts
+        FROM events WHERE event_type = 'signup')
+      SELECT event_id, p.user_id AS user_id, pts, sts AS asof_signup_us
+      FROM p ASOF LEFT JOIN s
+        ON p.user_id = s.user_id AND p.pts >= s.sts
+      ORDER BY event_id"""))
+
   /** HLL sketch family: approx_count_distinct per group. Approximate by
     * nature ⇒ rows-only for the driver; the accuracy bound (≤5% error
     * vs exact) is asserted in SketchSpec. */
@@ -376,5 +407,5 @@ object MoreQueries {
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
     q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply,
-    q81Components)
+    q81Components, q128AsofNative)
 }

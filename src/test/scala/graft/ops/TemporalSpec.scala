@@ -24,6 +24,49 @@ class TemporalSpec extends SparkTestBase {
       ("q1", null)))  // key with no right rows at all
   }
 
+  test("native as-of exec ≡ composed union-and-carry on planted edges") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"),
+        (2L, 50L, "q1")).toDF("k", "t", "name")
+    val right = Seq((1L, 8L, "s8"), (1L, 15L, "s15"), (1L, 20L, "s20"),
+        (3L, 1L, "x")).toDF("k", "t", "v")
+    val composed = Temporal.asofJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect().toSeq
+    val native = Temporal.asofJoinNative(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect().toSeq
+    assert(native == composed)
+  }
+
+  test("native as-of ≡ composed on randomized data incl. dup-ts ties") {
+    val rnd = new scala.util.Random(42)
+    // small key range + duplicate timestamps force every edge: empty
+    // groups, same-instant matches, multi-right ties needing the
+    // greatest-payload rule, keys on one side only
+    val left = Seq.fill(300)(
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000)))
+      .toDF("k", "t", "lv")
+    val right = Seq.fill(200)(
+      (rnd.nextInt(10).toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "t", "pay")
+    val composed = Temporal.asofJoin(left, right, "k", "t", Seq("pay"))
+      .groupBy("k", "t", "lv", "asof_pay").count()
+      .orderBy("k", "t", "lv", "asof_pay").collect().toSeq
+    val native = Temporal.asofJoinNative(left, right, "k", "t", Seq("pay"))
+      .groupBy("k", "t", "lv", "asof_pay").count()
+      .orderBy("k", "t", "lv", "asof_pay").collect().toSeq
+    assert(native == composed)
+  }
+
+  test("native as-of plan: merge exec, no window, no union") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "s")
+    val right = Seq((1L, 9L, 7L)).toDF("k", "t", "pay")
+    val df = Temporal.asofJoinNative(left, right, "k", "t", Seq("pay"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected native exec in:\n$plan")
+    assert(!plan.contains("Window"), "native path must not plan a window")
+    assert(!plan.contains("Union"), "native path must not plan a union")
+    assert(df.collect().head.getAs[Long]("asof_pay") == 7L)
+  }
+
   test("asofJoin preserves all left columns and row count") {
     val left = Seq((1L, 10L, "a", 1.5), (1L, 11L, "b", 2.5)).toDF("k", "t", "s", "d")
     val right = Seq((1L, 9L, 100L)).toDF("k", "t", "payload")

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Coverage-completion families: explicit GROUPING SETS (the general
+  * form rollup/cube specialize), the full rank-window function family,
+  * per-row array set algebra, and temperature-weighted mixture quota
+  * allocation (the data-mixing primitive of a training pipeline).
+  */
+object FamilyQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Explicit GROUPING SETS with grouping() disambiguation — the general
+    * multidimensional aggregate (q65 ROLLUP / q70 CUBE are its fixed
+    * specializations). One shuffle produces all three grains (Spark
+    * expands sets into a single Expand + hash aggregate, NOT one scan
+    * per grain — the property that matters at 100 TB). grouping() flags
+    * distinguish "NULL because super-aggregate" from a genuinely NULL
+    * group value, and both engines emit them as exact ints. */
+  val q129GroupingSets = OracleQuery("q129_grouping_sets",
+    "explicit GROUPING SETS ((status),(status,priority),()) + grouping()",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")),
+            Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+               o_orderpriority NULLS FIRST"""))
+
+  /** The rank-window function family in one pass: percent_rank,
+    * cume_dist, nth_value over the full frame, lead with an explicit
+    * default. Ordering is total ((o_totalprice, o_orderkey)) so every
+    * rank is deterministic; percent_rank/cume_dist are single double
+    * divisions of exact integer rank/count operands — bit-identical
+    * cross-engine (OracleQuery conv 1). */
+  val q130WindowFamily = OracleQuery("q130_window_family",
+    "percent_rank / cume_dist / nth_value / lead-with-default family",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 3).over(wFull).as("third_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             nth_value(o_orderkey, 3) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS third_key,
+             lead(o_orderkey, 1, -1) OVER w AS next_key
+      FROM orders
+      WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderstatus, o_totalprice, o_orderkey"""))
+
+  private val Vocab = Seq("spark", "window", "join", "data", "the")
+
+  /** Per-row array set algebra against a literal vocabulary: intersect /
+    * except / union as sorted-distinct arrays. Engines disagree on the
+    * ORDER of set-op results (Spark keeps first-array order, DuckDB
+    * doesn't), so canonical form = sort(distinct(...)) on both sides —
+    * the same discipline as the engine's shingle ops. Narrow, zero
+    * shuffle, codegen'd; at 100 TB this is a pure map stage. */
+  val q131ArrayAlgebra = OracleQuery("q131_array_algebra",
+    "array intersect/except/union vs a vocab, canonical sorted form",
+    (s, d) => {
+      val vocab = array(Vocab.map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("ws", graft.ops.TextAnalysis.words(col("text")))
+        .select(
+          col("doc_id"),
+          // emitted as a joined string: the compare layer (and the
+          // driver hash) is scalar-typed
+          array_join(
+            sort_array(array_distinct(array_intersect(col("ws"), vocab))),
+            ",").as("in_vocab"),
+          size(sort_array(array_distinct(array_except(col("ws"), vocab))))
+            .cast("long").as("n_oov"),
+          size(sort_array(array_distinct(array_union(col("ws"), vocab))))
+            .cast("long").as("n_union"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws
+        FROM documents),
+      v AS (SELECT ${Vocab.map(w => s"'$w'").mkString("[", ", ", "]")} AS vocab)
+      SELECT doc_id,
+             COALESCE(array_to_string(
+               list_sort(list_distinct(list_intersect(ws, vocab))), ','), '')
+               AS in_vocab,
+             CAST(len(list_sort(list_distinct(
+               list_filter(ws, x -> NOT list_contains(vocab, x))))) AS BIGINT)
+               AS n_oov,
+             CAST(len(list_sort(list_distinct(ws || vocab))) AS BIGINT)
+               AS n_union
+      FROM t, v
+      ORDER BY doc_id"""))
+
+  /** Temperature-weighted mixture allocation — how a training run
+    * splits a token budget across sources: weight each source
+    * sqrt(count) (temperature 0.5 up-weights small sources; sqrt is the
+    * one IEEE-exact power, OracleQuery conv 1), convert to ideal shares
+    * of the budget, then integer quotas by LARGEST REMAINDER so quotas
+    * sum to the budget exactly.
+    *
+    * Determinism of the weight total: Σ√c over sources is computed as a
+    * RUNNING sum in source order (rows-unbounded window) and the total
+    * read from the last row — a fixed left-to-right fold both engines
+    * replay bit-identically, never an order-free double SUM (conv 2).
+    * Everything runs on |sources| rows after one exact count aggregate —
+    * at 100 TB the count is the only corpus-sized job. */
+  val q132MixtureAllocation = OracleQuery("q132_mixture_allocation",
+    "temperature-0.5 mixture quotas via largest-remainder allocation",
+    (s, d) => {
+      val budget = 1000L
+      val bySource = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val wOrd = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = bySource
+        // fixed-order fold: running sum in source order, total = last
+        .withColumn("w_total", last(sum(col("w")).over(wOrd)).over(wAll))
+        .withColumn("ideal",
+          lit(budget.toDouble) * col("w") / col("w_total"))
+        .withColumn("base", floor(col("ideal")).cast("long"))
+        .withColumn("rem", col("ideal") - floor(col("ideal")))
+        .withColumn("leftover",
+          lit(budget) - last(sum(col("base")).over(wOrd)).over(wAll))
+        .withColumn("rk",
+          row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      ranked.select(
+          col("source"), col("n_docs"), col("ideal"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, count(*) AS n_docs,
+               sqrt(CAST(count(*) AS DOUBLE)) AS w
+        FROM documents GROUP BY source),
+      r AS (
+        SELECT *,
+               SUM(w) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_run
+        FROM c),
+      t AS (
+        SELECT *,
+               last_value(w_run) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS w_total
+        FROM r),
+      i AS (
+        SELECT *,
+               CAST(1000.0 AS DOUBLE) * w / w_total AS ideal
+        FROM t),
+      b AS (
+        SELECT *, CAST(floor(ideal) AS BIGINT) AS base,
+               ideal - floor(ideal) AS rem
+        FROM i),
+      l1 AS (
+        SELECT *,
+               CAST(SUM(base) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS base_run
+        FROM b),
+      l AS (
+        SELECT *,
+               1000 - last_value(base_run) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS leftover,
+               CAST(row_number() OVER (ORDER BY rem DESC, source)
+                 AS BIGINT) AS rk
+        FROM l1)
+      SELECT source, n_docs, ideal,
+             base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota
+      FROM l
+      ORDER BY source"""))
+
+  def all: Seq[OracleQuery] = Seq(q129GroupingSets, q130WindowFamily,
+    q131ArrayAlgebra, q132MixtureAllocation)
+}

@@ -41,7 +41,8 @@ object Catalog {
       KpiQueries.all ++ ExtensionQueries.all ++ MoreQueries.all ++
       RangeQueries.all ++ TpchQueries.all ++ SetQueries.all ++
       CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
-      ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all
+      ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all ++
+      FamilyQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

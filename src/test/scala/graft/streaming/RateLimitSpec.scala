@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+/** transformWithState rate limiter: cross-micro-batch state, bucket
+  * rollover, late-bucket denial. RocksDB provider is required by the v2
+  * state API and scoped to these tests. */
+class RateLimitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocksdb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("per-key cap enforced across micro-batches; bucket rollover resets") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rl_").toString
+      val ck = Files.createTempDirectory("graft_rl_ck_").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[RateDecision]()
+
+      def drain(): Unit = {
+        val stream = spark.readStream
+          .schema(Seq.empty[RateEvent].toDS().schema)
+          .parquet(dir).as[RateEvent]
+        val q = StreamingRateLimit.rateLimit(stream, cap = 3, windowSec = 60L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[RateDecision], _: Long) =>
+            b.collect().foreach(out.add)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      import scala.jdk.CollectionConverters._
+      def admitted(user: Long, bucket: Long): Int =
+        out.asScala.count(d =>
+          d.user_id == user && d.bucket_start == bucket && d.admitted)
+
+      // batch 1: user 1 sends 5 events in bucket [60,120) → only 3 admitted
+      Seq.tabulate(5)(i => RateEvent(1L, 60L + i)).toDS()
+        .write.mode("append").parquet(dir)
+      drain()
+      assert(admitted(1L, 60L) == 3)
+
+      // batch 2: SAME bucket, more events → state survived the batch
+      // boundary, all denied
+      Seq(RateEvent(1L, 110L), RateEvent(1L, 115L)).toDS()
+        .write.mode("append").parquet(dir)
+      drain()
+      assert(admitted(1L, 60L) == 3, "cap must hold across micro-batches")
+
+      // batch 3: next bucket → budget resets; late event for the closed
+      // bucket → denied without disturbing the new bucket
+      Seq(RateEvent(1L, 130L), RateEvent(1L, 95L), RateEvent(1L, 131L))
+        .toDS().write.mode("append").parquet(dir)
+      drain()
+      assert(admitted(1L, 120L) == 2)
+      assert(admitted(1L, 60L) == 3, "late event must not be admitted")
+      val late = out.asScala.find(d => d.event_sec == 95L && d.user_id == 1L).get
+      assert(!late.admitted && late.bucket_start == 60L)
+    }
+  }
+
+  test("keys are limited independently and batch mode runs from empty state") {
+    withRocksDb {
+      // batch (non-streaming) execution of the same operator
+      val events = (Seq.tabulate(4)(i => RateEvent(7L, 1000L + i)) ++
+        Seq.tabulate(2)(i => RateEvent(8L, 1000L + i))).toDS()
+      val out = StreamingRateLimit.rateLimit(events, cap = 3, windowSec = 60L)
+        .collect()
+      assert(out.count(d => d.user_id == 7L && d.admitted) == 3)
+      assert(out.count(d => d.user_id == 8L && d.admitted) == 2)
+      assert(out.length == 6, "every event gets a decision row")
+    }
+  }
+}

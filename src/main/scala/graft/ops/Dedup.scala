@@ -54,6 +54,62 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** C4-style corpus-wide SEGMENT dedup with document reassembly — the
+    * REWRITE counterpart of the repetition/contamination measurements:
+    * split every document into fixed `segWords`-word segments, keep only
+    * the globally FIRST occurrence of each distinct segment (min
+    * (doc_id, seg_idx) — the C4 "discard duplicate three-sentence spans"
+    * mechanic), and reassemble each document from its surviving segments
+    * in original order. Documents that lose every segment come back as
+    * the empty string, not as dropped rows.
+    *
+    * Scale shape: first-occurrence is ONE aggregate on the segment text
+    * — `min(struct(id, idx))` partial-merges map-side, so a segment
+    * duplicated a million times (boilerplate at 100 TB) is absorbed
+    * before the shuffle, where a `row_number() OVER (PARTITION BY seg)`
+    * window would funnel the hot key to one task. The aggregate output
+    * IS the kept occurrence — no join-back to the exploded segments.
+    * Reassembly groups |kept| rows by doc; collect_list order is made
+    * deterministic by array_sort on (seg_idx, seg) structs.
+    *
+    * Output: (id, n_segs, n_kept, cleaned_text), one row per input doc. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val segs = base
+      // sequence(0, -1) would DESCEND in Spark — guard the empty doc
+      .withColumn("idxs", when(col("nw") > 0,
+        expr(s"sequence(0, (nw - 1) div $segWords)"))
+        .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("ws"), explode(col("idxs")).as("seg_idx"))
+      .select(col(idCol), col("seg_idx").cast("long").as("seg_idx"),
+        array_join(slice(col("ws"),
+          col("seg_idx") * segWords + 1, lit(segWords)), " ").as("seg"))
+    val kept = segs
+      .groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("first"))
+      .select(col("first")(idCol).as(idCol),
+        col("first")("seg_idx").as("seg_idx"), col("seg"))
+    val re = kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x("seg")),
+          " ").as("cleaned"))
+    base
+      .select(col(idCol),
+        when(col("nw") > 0, expr(s"(nw - 1) div $segWords") + 1L)
+          .otherwise(0L).as("n_segs"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
   /** Exact-duplicate groups: one row per distinct fingerprint with the
     * surviving (minimum) id and the copy count. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

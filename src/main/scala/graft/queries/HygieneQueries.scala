@@ -256,7 +256,48 @@ object HygieneQueries {
       QUALIFY rank <= 5
       ORDER BY probe_id, rank"""))
 
+  /** C4-style corpus-wide segment dedup + reassembly — see
+    * [[graft.ops.Dedup.segmentDedup]] for the skew-safe first-occurrence
+    * aggregate (min-struct partial merge vs a hot-key window). The
+    * oracle expresses keep-first as the equivalent
+    * `row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1`
+    * window, so the aggregate decorrelation is proven cross-engine. */
+  val q133SegmentDedup = OracleQuery("q133_segment_dedup",
+    "C4-style global segment dedup with document reassembly",
+    (s, d) =>
+      graft.ops.Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') ws
+        FROM documents),
+      seg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+               array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+        FROM t, LATERAL unnest(generate_series(0,
+          CASE WHEN len(ws) > 0 THEN (len(ws)-1)//10 ELSE -1 END)) AS u(i)),
+      kept AS (
+        SELECT doc_id, seg_idx, seg
+        FROM (SELECT *, row_number() OVER (PARTITION BY seg
+                ORDER BY doc_id, seg_idx) AS rk FROM seg)
+        WHERE rk = 1),
+      re AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned
+        FROM kept GROUP BY doc_id),
+      n AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 0
+                    THEN CAST((len(ws)-1)//10 + 1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_segs
+        FROM t)
+      SELECT n.doc_id, n.n_segs,
+             CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(re.cleaned, '') AS cleaned_text
+      FROM n LEFT JOIN re ON n.doc_id = re.doc_id
+      ORDER BY n.doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
-      q96FilteredKnn, q97BpeMerges, q107HardNegatives)
+      q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup)
 }

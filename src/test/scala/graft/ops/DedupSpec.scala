@@ -57,6 +57,26 @@ class DedupSpec extends SparkTestBase {
         s"found $nearFound of ${nearIds.length} near-dup pairs")
     }
 
+  test("segment dedup: first occurrence wins, reassembly ordered, empty-doc row kept") {
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // doc 1: segments A B; doc 2: B (dup) then C; doc 3: A only (dup);
+    // doc 4: empty text
+    val a = words("a", 10); val b = words("b", 10); val c = words("c", 10)
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, a), (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byId(1L) == ((2L, 2L, s"$a $b")), "doc 1 owns both segments")
+    assert(byId(2L) == ((2L, 1L, c)), "doc 2 loses B (doc 1 was first), keeps C")
+    assert(byId(3L) == ((1L, 0L, "")), "doc 3 loses its only segment")
+    assert(byId(4L) == ((0L, 0L, "")), "empty doc keeps a row, never explodes")
+    // conservation: every distinct segment survives exactly once
+    assert(out.map(_.getLong(2)).sum == 3L)
+  }
+
   test("oversized-bucket cap: adversarial all-same-band corpus stays linear, real pairs survive") {
     // adversarial corpus: 200 byte-identical documents — every band
     // bucket holds all 200 docs, so uncapped all-pairs is 200·199/2 =

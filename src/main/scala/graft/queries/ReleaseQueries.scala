@@ -142,6 +142,54 @@ object ReleaseQueries {
       GROUP BY split
       ORDER BY split"""))
 
+  /** Train/test distribution-drift gate — see
+    * [[graft.ops.Profile.distributionDrift]] for the exact-integer
+    * total-variation construction (Σ|c·D − d·C| in DECIMAL(38), ONE
+    * double division at the end; KL needs `ln`, which is not
+    * IEEE-portable). The oracle replays the md5 split, the per-word
+    * conditional counts, and the cross-product drift terms verbatim. */
+  val q134DistributionDrift = OracleQuery("q134_distribution_drift",
+    "train/test word-distribution TV drift, exact integer arithmetic",
+    (s, d) =>
+      graft.ops.Profile.distributionDrift(
+        Tables.documents(s, d), "doc_id", "text", 0.20, 10),
+    Some("""
+      WITH lab AS (
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '33333333'
+                    THEN 'test' ELSE 'train' END AS split,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      wrd AS (SELECT split, unnest(ws) AS w FROM lab),
+      c AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+        FROM wrd GROUP BY w),
+      t AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS c_tot,
+               CAST(SUM(d) AS BIGINT) AS d_tot,
+               count(*) AS n_vocab
+        FROM c),
+      j AS (
+        SELECT c.*, t.*,
+               abs(CAST(c AS DECIMAL(19,0)) * CAST(d_tot AS DECIMAL(19,0))
+                 - CAST(d AS DECIMAL(19,0)) * CAST(c_tot AS DECIMAL(19,0)))
+                 AS term
+        FROM c, t),
+      s AS (SELECT SUM(term) AS term_sum FROM j)
+      SELECT w, c, d,
+             CAST(term AS DOUBLE) AS drift,
+             CAST(term_sum AS DOUBLE)
+               / (CAST(2.0 AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                  * CAST(d_tot AS DOUBLE)) AS tv,
+             c_tot, d_tot, n_vocab
+      FROM j, s
+      ORDER BY drift DESC, w
+      LIMIT 10"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q101KAnon, q102Winsorize, q103CleanSplit)
+    Seq(q101KAnon, q102Winsorize, q103CleanSplit, q134DistributionDrift)
 }

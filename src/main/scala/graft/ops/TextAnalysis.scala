@@ -193,4 +193,52 @@ object TextAnalysis {
   /** ±1 vote of one token for bit j. */
   def simhashVote(word: Column, j: Int): Column =
     when(substring(md5(word), j + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L)
+
+  /** Bigram co-occurrence LIFT: P(ab)/(P(a)·P(b)) over adjacent word
+    * pairs — the rational core of PMI with the (monotone) log dropped,
+    * because `ln` is not an IEEE-portable operation (the same
+    * determinism rule as BM25's rational idf). The collocation-mining
+    * primitive behind phrase detection / tokenizer-merge candidates.
+    *
+    * Determinism: lift = (n_ab/B) / ((n_a/N)·(n_b/N)) evaluated in that
+    * exact operation order — four divisions/multiplications of exact
+    * integer counts, bit-identical in any IEEE engine, and immune to
+    * the count magnitudes (no DECIMAL-width cross-products to
+    * overflow).
+    *
+    * Scale shape: bigram and word counts are partial-aggregated
+    * groupBys (the Zipf head combines map-side); the pair→unigram
+    * count joins are on the word key — at 100 TB the unigram table is
+    * vocabulary-sized and broadcastable after a frequency floor. */
+  def cooccurrenceLift(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = docs.select(words(col(textCol)).as("ws"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2)," +
+          " i -> struct(element_at(ws, i + 1) AS a," +
+          "             element_at(ws, i + 2) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val wc = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val totals = wc.agg(sum(col("n_w")).cast("long").as("n_words"))
+      .crossJoin(bi.groupBy().agg(count(lit(1)).as("n_bigrams")))
+    val pc = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pc
+      .join(broadcast(wc.select(col("w").as("a"), col("n_w").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(wc.select(col("w").as("b"), col("n_w").as("n_b"))),
+        Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        (col("n_ab").cast("double") / col("n_bigrams").cast("double")) /
+          ((col("n_a").cast("double") / col("n_words").cast("double")) *
+            (col("n_b").cast("double") / col("n_words").cast("double"))))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -297,7 +297,44 @@ object HygieneQueries {
       FROM n LEFT JOIN re ON n.doc_id = re.doc_id
       ORDER BY n.doc_id"""))
 
+  /** Collocation mining by co-occurrence lift — see
+    * [[graft.ops.TextAnalysis.cooccurrenceLift]] for the rational-PMI
+    * determinism argument (log dropped; division order fixed). */
+  val q135CooccurrenceLift = OracleQuery("q135_cooccurrence_lift",
+    "bigram co-occurrence lift (rational PMI), top-20 collocations",
+    (s, d) =>
+      TextAnalysis.cooccurrenceLift(Tables.documents(s, d), "text",
+        minCount = 5L, k = 20),
+    Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') ws
+        FROM documents),
+      bi AS (
+        SELECT ws[i+1] AS a, ws[i+2] AS b
+        FROM t, LATERAL unnest(generate_series(0, len(ws) - 2)) AS u(i)
+        WHERE len(ws) >= 2),
+      wc AS (
+        SELECT w, count(*) AS n_w
+        FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+      tot AS (
+        SELECT (SELECT CAST(SUM(n_w) AS BIGINT) FROM wc) AS n_words,
+               (SELECT count(*) FROM bi) AS n_bigrams),
+      pc AS (
+        SELECT a, b, count(*) AS n_ab
+        FROM bi GROUP BY a, b HAVING count(*) >= 5)
+      SELECT a, b, n_ab, wa.n_w AS n_a, wb.n_w AS n_b,
+             (CAST(n_ab AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+               / ((CAST(wa.n_w AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  * (CAST(wb.n_w AS DOUBLE) / CAST(n_words AS DOUBLE)))
+               AS lift
+      FROM pc
+      JOIN wc wa ON pc.a = wa.w
+      JOIN wc wb ON pc.b = wb.w, tot
+      ORDER BY lift DESC, a, b
+      LIMIT 20"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
-      q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup)
+      q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
+      q135CooccurrenceLift)
 }

@@ -91,4 +91,35 @@ object Quantize {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Two-stage ANN: int8 coarse scoring produces a `kCoarse` shortlist
+    * per probe, then the shortlist alone is re-ranked with EXACT fp
+    * cosine — the production quantized-index pattern (coarse recall from
+    * the small index, exact precision on k_c·|probes| candidates).
+    *
+    * Scale: stage 2 never rescans the corpus — the shortlist (tiny) is
+    * broadcast into a join against the full-precision vectors, so the
+    * expensive exact math runs on |probes|·kCoarse rows only. Fully
+    * deterministic end to end (both stages are, individually), so the
+    * whole cascade replays in the DuckDB oracle. */
+  def rerankTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, kCoarse: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = int8TopK(corpus, probes, idCol, vecCol, kCoarse)
+      .select(col("probe_id"), col("neighbor_id"))
+    val cn = Similarity.withNorm(corpus, vecCol)
+      .select(col(idCol).as("n_id"), col("vd").as("cv"), col("n2").as("cn2"))
+    val pn = Similarity.withNorm(probes, vecCol)
+      .select(col(idCol).as("p_id"), col("vd").as("pv"), col("n2").as("pn2"))
+    val exact = cn
+      .join(broadcast(shortlist), col("neighbor_id") === col("n_id"))
+      .join(broadcast(pn), col("probe_id") === col("p_id"))
+      .withColumn("sim", Similarity.cosineWithNorms(
+        Similarity.dot(col("pv"), col("cv")), col("pn2"), col("cn2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

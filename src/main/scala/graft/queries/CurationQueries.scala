@@ -301,7 +301,71 @@ object CurationQueries {
       GROUP BY batch_id
       ORDER BY batch_id"""))
 
+  /** Two-stage quantized ANN — see [[graft.ops.Quantize.rerankTopK]]:
+    * int8 coarse top-50 shortlist, exact fp cosine re-rank to top-10.
+    * Both stages are individually deterministic (q89's integer-exact
+    * quantized scoring; q56's fold-order dot product), so the full
+    * cascade replays in SQL. */
+  val q136RerankKnn = OracleQuery("q136_rerank_knn",
+    "two-stage ANN: int8 coarse shortlist + exact fp re-rank",
+    (s, d) => {
+      import graft.ops.Quantize
+      val emb = Tables.embeddings(s, d)
+      Quantize.rerankTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", kCoarse = 50, k = 10)
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+      s2 AS (
+        SELECT vec_id, vd,
+               list_max(list_transform(vd, x -> abs(x))) AS mx
+        FROM e),
+      q AS (
+        SELECT vec_id,
+               list_transform(vd, x -> CAST(floor(
+                 x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)
+                 AS BIGINT)) AS qv
+        FROM s2),
+      n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(p.qv, c.qv) AS DOUBLE) /
+                 (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                 AS sim
+        FROM n p JOIN n c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+        WHERE p.n2 > 0 AND c.n2 > 0),
+      short AS (
+        SELECT probe_id, neighbor_id
+        FROM (SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY sim DESC, neighbor_id) AS rk
+              FROM pairs)
+        WHERE rk <= 50),
+      fn AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      ex AS (
+        SELECT s.probe_id, s.neighbor_id,
+               list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) AS sim
+        FROM short s
+        JOIN fn p ON s.probe_id = p.vec_id
+        JOIN fn c ON s.neighbor_id = c.vec_id),
+      r2 AS (
+        SELECT probe_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS rank,
+               neighbor_id, sim
+        FROM ex)
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+      FROM r2 WHERE rank <= 10
+      ORDER BY probe_id, rank"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
-      q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches)
+      q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches,
+      q136RerankKnn)
 }

@@ -119,6 +119,70 @@ object FeatureQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Group-wise z-score normalization — the feature-scaling transform
+    * of a training pipeline, WINDOW-FREE: group statistics are one
+    * aggregate (|groups| rows) broadcast back onto the rows, instead of
+    * an `AVG(...) OVER (PARTITION BY g)` window that would sort every
+    * partition at 100 TB.
+    *
+    * Determinism: Σx and Σx² are exact DECIMAL sums (order-independent,
+    * conv 2: x is DECIMAL(18,2) so x² is exact DECIMAL(36,4)); mean,
+    * variance ((Σx²)/n − mean² — cancellation-prone but every op is a
+    * single IEEE instruction on identical operands) and std = sqrt(var)
+    * are then fixed-order double math replayed bit-for-bit by the
+    * oracle. Zero-variance groups emit z = 0 on both sides. */
+  val q137ZscoreNormalize = OracleQuery("q137_zscore_normalize",
+    "group-wise z-score feature scaling via aggregate + broadcast join",
+    (s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy(col("l_returnflag").as("g"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec2)).as("sx"),
+          sum(col("l_quantity").cast(dec2) * col("l_quantity").cast(dec2))
+            .as("sxx"))
+        .select(col("g"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+          (col("sxx").cast("double") / col("n").cast("double")).as("ex2"))
+        .withColumn("variance", col("ex2") - col("mean") * col("mean"))
+        .withColumn("std", sqrt(col("variance")))
+      li.filter(col("l_orderkey") < 100)
+        .join(broadcast(stats), col("l_returnflag") === col("g"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("n"), col("mean"), col("std"),
+          when(col("std") > 0.0,
+            (col("l_quantity") - col("mean")) / col("std"))
+            .otherwise(0.0).as("z"))
+        // (l_orderkey, l_linenumber) is NOT unique in the driver data;
+        // adding (flag, quantity) makes every emitted column a function
+        // of the sort key, so residual ties are identical rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT l_returnflag AS g, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS ex2
+        FROM lineitem GROUP BY l_returnflag),
+      s2 AS (
+        SELECT g, n, mean, sqrt(ex2 - mean * mean) AS std
+        FROM stats)
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             n, mean, std,
+             CASE WHEN std > 0.0
+                  THEN (l_quantity - mean) / std
+                  ELSE CAST(0.0 AS DOUBLE) END AS z
+      FROM lineitem JOIN s2 ON l_returnflag = g
+      WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q98RollingWindow, q99EventTransitions, q100Interarrival)
+    Seq(q98RollingWindow, q99EventTransitions, q100Interarrival,
+      q137ZscoreNormalize)
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Count-Min sketch as a typed Aggregator — approximate per-key
+  * frequencies in FIXED memory, completing the engine's mergeable-sketch
+  * family (HLL distinct q67, bounded-heap TopK, Bloom join pruning).
+  *
+  * Why it matters at 100 TB: exact word/key counts (`groupBy(key)`)
+  * shuffle the full key space; the sketch is a d×w Long grid (~16 KB at
+  * the defaults) that partial-aggregates map-side and merges by
+  * elementwise ADD — one tiny buffer per partition reaches the reducer,
+  * and frequency queries run driver-side against the merged grid. The
+  * price is one-sided error: estimates NEVER undercount, and overcount
+  * by at most εN (ε ≈ e/w) with probability 1−δ (δ ≈ e^−d) — the same
+  * guarantee the Zipf-head frequency gates (q91) need, since they
+  * threshold from ABOVE.
+  *
+  * Determinism: row hashes are MurmurHash3 with fixed per-row seeds —
+  * no RNG, so the sketch is a pure function of the multiset of keys and
+  * merge order cannot change it (addition commutes). CountMinSpec
+  * asserts partition invariance explicitly.
+  */
+object CountMin {
+
+  val DefaultDepth = 4
+  val DefaultWidth = 512
+
+  /** Column index of `key` in hash row `row`. */
+  def bucket(key: String, row: Int, width: Int): Int = {
+    val h = MurmurHash3.stringHash(key, 0x9e3779b9 * (row + 1))
+    java.lang.Math.floorMod(h, width)
+  }
+
+  /** Point estimate: min over the d counters `key` hashes to. */
+  def estimate(sketch: Array[Long], key: String,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sketch(r * width + bucket(key, r, width))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  /** Elementwise merge of two sketches (the distributive property the
+    * partial aggregation relies on). */
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  class CountMinAggregator(depth: Int = DefaultDepth,
+      width: Int = DefaultWidth)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], key: String): Array[Long] = {
+      var r = 0
+      while (r < depth) {
+        b(r * width + bucket(key, r, width)) += 1L
+        r += 1
+      }
+      b
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      CountMin.merge(x, y)
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Sketch of a whole key Dataset (one merged grid on the driver). */
+  def sketch(keys: Dataset[String], depth: Int = DefaultDepth,
+      width: Int = DefaultWidth): Array[Long] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(_ => 0)
+      .agg(new CountMinAggregator(depth, width).toColumn.name("cms"))
+      .map(_._2).head()
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Count-Min sketch: one-sided error, accuracy on a Zipf-ish corpus,
+  * partition invariance (merge correctness), and distributive merge. */
+class CountMinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Zipf-ish multiset: key k_i appears ~1000/i times, i = 1..50
+  private lazy val keys: Seq[String] =
+    (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"k$i"))
+  private lazy val truth: Map[String, Long] =
+    keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("estimates never undercount and overcount within the epsilon bound") {
+    val cms = CountMin.sketch(keys.toDS())
+    val n = keys.size.toLong
+    // eps = e/w; with w=512 and N≈4500 the slack is ~24 counts
+    val slack = math.ceil(math.E / CountMin.DefaultWidth * n).toLong
+    truth.foreach { case (k, c) =>
+      val est = CountMin.estimate(cms, k)
+      assert(est >= c, s"$k undercounted: $est < $c")
+      assert(est <= c + slack, s"$k overcounted past the bound: $est > $c + $slack")
+    }
+  }
+
+  test("sketch is partition-invariant (merge correctness)") {
+    val one = CountMin.sketch(keys.toDS().repartition(1))
+    val many = CountMin.sketch(keys.toDS().repartition(7))
+    assert(one.toSeq == many.toSeq)
+  }
+
+  test("merging two sketches equals the sketch of the union") {
+    val (a, b) = keys.splitAt(keys.size / 3)
+    val merged = CountMin.merge(CountMin.sketch(a.toDS()),
+      CountMin.sketch(b.toDS()))
+    val whole = CountMin.sketch(keys.toDS())
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("an absent key estimates at most the epsilon slack") {
+    val cms = CountMin.sketch(keys.toDS())
+    val est = CountMin.estimate(cms, "never-seen")
+    val slack = math.ceil(math.E / CountMin.DefaultWidth * keys.size).toLong
+    assert(est <= slack, s"phantom count $est exceeds slack $slack")
+  }
+}

@@ -169,6 +169,80 @@ object RangeQueries {
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY day"""))
 
+  /** Rolling-baseline anomaly detection — each day scored against the
+    * TRAILING week's mean/std (frame EXCLUDES the current row, so a
+    * spike can't suppress its own baseline). The operational twin of
+    * the reference's quality monitoring: flag days whose volume departs
+    * the recent regime by ≥ 2σ.
+    *
+    * Determinism: the windowed moment sums Σn and Σn² are EXACT
+    * (counts; n² in DECIMAL(38) — at 100 TB daily counts ~1e10 square
+    * past int64); mean/var/std/z are then fixed-order double ops on
+    * identical operands, replayed bit-for-bit by the oracle. Warm-up
+    * days (fewer than 3 baseline rows) and zero-variance baselines emit
+    * NULL z and flag 0 on both engines. The global day-ordered window
+    * is calendar-bounded (one row per day — the documented benign
+    * pattern, same as q77). */
+  val q138AnomalyDays = OracleQuery("q138_anomaly_days",
+    "2-sigma daily-volume anomalies vs a trailing-week baseline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("base_n", count(col("n_orders")).over(w))
+        .withColumn("base_sum", sum(col("n_orders")).over(w))
+        .withColumn("base_sum2",
+          sum(col("n_orders").cast(dec19) * col("n_orders").cast(dec19))
+            .over(w))
+        .withColumn("base_mean",
+          col("base_sum").cast("double") / col("base_n").cast("double"))
+        .withColumn("base_var",
+          col("base_sum2").cast("double") / col("base_n").cast("double") -
+            col("base_mean") * col("base_mean"))
+        .withColumn("z",
+          when(col("base_n") >= 3 && col("base_var") > 0.0,
+            (col("n_orders").cast("double") - col("base_mean")) /
+              sqrt(col("base_var"))))
+        .select(col("day"), col("n_orders"), col("base_n"),
+          col("base_mean"), col("z"),
+          when(abs(col("z")) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT day, n_orders,
+               COUNT(n_orders) OVER w AS base_n,
+               CAST(SUM(n_orders) OVER w AS BIGINT) AS base_sum,
+               SUM(CAST(n_orders AS DECIMAL(19,0))
+                   * CAST(n_orders AS DECIMAL(19,0))) OVER w AS base_sum2
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      sc AS (
+        SELECT day, n_orders, base_n,
+               CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE) AS base_mean,
+               CAST(base_sum2 AS DOUBLE) / CAST(base_n AS DOUBLE)
+                 - (CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE))
+                   * (CAST(base_sum AS DOUBLE) / CAST(base_n AS DOUBLE))
+                 AS base_var
+        FROM m)
+      SELECT day, n_orders, base_n, base_mean,
+             CASE WHEN base_n >= 3 AND base_var > 0.0
+                  THEN (CAST(n_orders AS DOUBLE) - base_mean)
+                       / sqrt(base_var) END AS z,
+             CAST(CASE WHEN abs(CASE WHEN base_n >= 3 AND base_var > 0.0
+                                     THEN (CAST(n_orders AS DOUBLE) - base_mean)
+                                          / sqrt(base_var) END) > 2.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      FROM sc
+      ORDER BY day"""))
+
   /** NTILE bucketing — equi-depth quartiles per group, rolled up. */
   val q78Ntile = OracleQuery("q78_ntile",
     "NTILE quartile assignment + per-bucket rollup",
@@ -196,5 +270,6 @@ object RangeQueries {
       ORDER BY o_orderstatus, quartile"""))
 
   def all: Seq[OracleQuery] = Seq(
-    q68RangeJoin, q69Median, q70Cube, q71Pivot, q77MovingAvg, q78Ntile)
+    q68RangeJoin, q69Median, q70Cube, q71Pivot, q77MovingAvg, q78Ntile,
+    q138AnomalyDays)
 }

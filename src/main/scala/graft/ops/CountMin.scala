@@ -83,12 +83,15 @@ object CountMin {
       ExpressionEncoder[Array[Long]]()
   }
 
-  /** Sketch of a whole key Dataset (one merged grid on the driver). */
+  /** Sketch of a whole key Dataset (one merged grid on the driver).
+    * An empty input yields the zero grid (groupByKey over zero rows
+    * produces zero groups, not an empty sketch). */
   def sketch(keys: Dataset[String], depth: Int = DefaultDepth,
       width: Int = DefaultWidth): Array[Long] = {
     import keys.sparkSession.implicits._
     keys.groupByKey(_ => 0)
       .agg(new CountMinAggregator(depth, width).toColumn.name("cms"))
-      .map(_._2).head()
+      .map(_._2).collect()
+      .headOption.getOrElse(new Array[Long](depth * width))
   }
 }

@@ -213,11 +213,17 @@ object TextAnalysis {
   def cooccurrenceLift(docs: DataFrame, textCol: String,
       minCount: Long = 5L, k: Int = 20): DataFrame = {
     val toks = docs.select(words(col(textCol)).as("ws"))
-    val bi = toks.filter(size(col("ws")) >= 2)
+    // the short-doc guard lives INSIDE the projection (CASE), not as a
+    // Filter on the derived size(ws): a filter would be predicate-pushed
+    // below the tokenizing Project and re-run the tokenizer per row
+    // (CLAUDE.md rule 11); an empty array explodes to zero rows anyway
+    val bi = toks
       .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2)," +
-          " i -> struct(element_at(ws, i + 1) AS a," +
-          "             element_at(ws, i + 2) AS b))")).as("p"))
+        "CASE WHEN size(ws) >= 2 THEN" +
+          " transform(sequence(0, size(ws) - 2)," +
+          "   i -> struct(element_at(ws, i + 1) AS a," +
+          "               element_at(ws, i + 2) AS b))" +
+          " ELSE array() END")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val wc = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))

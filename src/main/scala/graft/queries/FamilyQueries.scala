@@ -107,10 +107,11 @@ object FamilyQueries {
         .select(
           col("doc_id"),
           // emitted as a joined string: the compare layer (and the
-          // driver hash) is scalar-typed
-          array_join(
+          // driver hash) is scalar-typed; coalesce mirrors the oracle's
+          // NULL-text guard (NULL ws would otherwise emit NULL vs '')
+          coalesce(array_join(
             sort_array(array_distinct(array_intersect(col("ws"), vocab))),
-            ",").as("in_vocab"),
+            ","), lit("")).as("in_vocab"),
           size(sort_array(array_distinct(array_except(col("ws"), vocab))))
             .cast("long").as("n_oov"),
           size(sort_array(array_distinct(array_union(col("ws"), vocab))))

@@ -146,7 +146,11 @@ object FeatureQueries {
           (col("sx").cast("double") / col("n").cast("double")).as("mean"),
           (col("sxx").cast("double") / col("n").cast("double")).as("ex2"))
         .withColumn("variance", col("ex2") - col("mean") * col("mean"))
-        .withColumn("std", sqrt(col("variance")))
+        // FP cancellation can drive a constant group's variance a hair
+        // below zero: sqrt would be NaN here and an ERROR in DuckDB —
+        // guard on both sides identically
+        .withColumn("std",
+          when(col("variance") > 0.0, sqrt(col("variance"))).otherwise(0.0))
       li.filter(col("l_orderkey") < 100)
         .join(broadcast(stats), col("l_returnflag") === col("g"))
         .select(
@@ -171,7 +175,10 @@ object FeatureQueries {
                  / CAST(count(*) AS DOUBLE) AS ex2
         FROM lineitem GROUP BY l_returnflag),
       s2 AS (
-        SELECT g, n, mean, sqrt(ex2 - mean * mean) AS std
+        SELECT g, n, mean,
+               CASE WHEN ex2 - mean * mean > 0.0
+                    THEN sqrt(ex2 - mean * mean)
+                    ELSE CAST(0.0 AS DOUBLE) END AS std
         FROM stats)
       SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
              n, mean, std,

@@ -5,7 +5,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 
 /** One admission decision per input event. `n_in_bucket` is the count
   * AFTER this event was considered (admitted or not), so the stream of
-  * decisions replays the limiter's exact state trajectory. */
+  * decisions replays the limiter's exact state trajectory — except late
+  * events for already-closed buckets, which report n_in_bucket = 0 (no
+  * state is held for a closed bucket). */
 case class RateDecision(user_id: Long, event_sec: Long, bucket_start: Long,
     n_in_bucket: Long, admitted: Boolean)
 
@@ -58,16 +60,20 @@ object StreamingRateLimit {
         val (curBs, curN) =
           if (bucket.exists()) bucket.get() else (Long.MinValue, 0L)
         if (bs > curBs) {
-          // new bucket: previous budget closes, this event opens at 1
+          // new bucket: previous budget closes, this event opens at 1 —
+          // still subject to the cap (cap = 0 must block rollovers too)
           bucket.update((bs, 1L))
-          RateDecision(key, e.event_sec, bs, 1L, admitted = true)
+          RateDecision(key, e.event_sec, bs, 1L, admitted = 1L <= cap)
         } else if (bs == curBs) {
           val n = curN + 1
           bucket.update((bs, n))
           RateDecision(key, e.event_sec, bs, n, admitted = n <= cap)
         } else {
-          // late event for a closed bucket: denied, state untouched
-          RateDecision(key, e.event_sec, bs, curN, admitted = false)
+          // late event for a CLOSED bucket: denied, state untouched.
+          // Its bucket's counter no longer exists, so n_in_bucket = 0
+          // ("no state held") — never the current bucket's count, which
+          // would pair the old bucket_start with a foreign counter.
+          RateDecision(key, e.event_sec, bs, 0L, admitted = false)
         }
       }
   }
@@ -77,6 +83,10 @@ object StreamingRateLimit {
     * v2 operator supports both; batch mode starts from empty state). */
   def rateLimit(events: Dataset[RateEvent], cap: Int,
       windowSec: Long): Dataset[RateDecision] = {
+    // fail at the API boundary, not as an ArithmeticException inside a
+    // RocksDB-backed stream task that would retry and then kill the query
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    require(cap >= 0, s"cap must be non-negative, got $cap")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RateLimitProcessor(cap, windowSec),

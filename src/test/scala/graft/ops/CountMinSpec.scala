@@ -39,6 +39,13 @@ class CountMinSpec extends SparkTestBase {
     assert(merged.toSeq == whole.toSeq)
   }
 
+  test("empty input yields the zero grid, not a crash") {
+    val cms = CountMin.sketch(Seq.empty[String].toDS())
+    assert(cms.length == CountMin.DefaultDepth * CountMin.DefaultWidth)
+    assert(cms.forall(_ == 0L))
+    assert(CountMin.estimate(cms, "anything") == 0L)
+  }
+
   test("an absent key estimates at most the epsilon slack") {
     val cms = CountMin.sketch(keys.toDS())
     val est = CountMin.estimate(cms, "never-seen")

@@ -64,15 +64,33 @@ class RateLimitSpec extends SparkTestBase {
       drain()
       assert(admitted(1L, 60L) == 3, "cap must hold across micro-batches")
 
-      // batch 3: next bucket → budget resets; late event for the closed
-      // bucket → denied without disturbing the new bucket
-      Seq(RateEvent(1L, 130L), RateEvent(1L, 95L), RateEvent(1L, 131L))
+      // batch 3: next bucket → budget resets
+      Seq(RateEvent(1L, 130L), RateEvent(1L, 131L))
         .toDS().write.mode("append").parquet(dir)
       drain()
       assert(admitted(1L, 120L) == 2)
+
+      // batch 4: a late event for the now-CLOSED bucket (its own batch —
+      // within a batch the per-key iterator order is undefined, so the
+      // 95 could otherwise process before the rollover)
+      Seq(RateEvent(1L, 95L)).toDS().write.mode("append").parquet(dir)
+      drain()
       assert(admitted(1L, 60L) == 3, "late event must not be admitted")
       val late = out.asScala.find(d => d.event_sec == 95L && d.user_id == 1L).get
       assert(!late.admitted && late.bucket_start == 60L)
+      assert(late.n_in_bucket == 0L,
+        "closed-bucket decisions must not leak the current bucket's count")
+    }
+  }
+
+  test("cap = 0 blocks a tenant completely, including bucket rollovers") {
+    withRocksDb {
+      val events = Seq(RateEvent(9L, 10L), RateEvent(9L, 70L),
+        RateEvent(9L, 130L)).toDS()
+      val out = StreamingRateLimit.rateLimit(events, cap = 0, windowSec = 60L)
+        .collect()
+      assert(out.length == 3 && out.forall(!_.admitted),
+        s"cap=0 must deny every event incl. bucket openers: ${out.toSeq}")
     }
   }
 

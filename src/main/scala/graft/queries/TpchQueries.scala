@@ -359,11 +359,17 @@ object TpchQueries {
     "TPC-H Q21 shape: EXISTS + NOT EXISTS via one per-order aggregate",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      val ordStats = l.groupBy(col("l_orderkey").as("ok"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_r_supp"))
+      // two-level aggregate instead of two COUNT(DISTINCT)s: a pair of
+      // distinct aggs makes Spark Expand the input 2× before the
+      // shuffle; collapsing to (order, supplier) grain first shuffles
+      // each lineitem once and the second level runs on the tiny
+      // per-order supplier sets
+      val ordStats = l
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("has_r"))
+        .groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
       val o = Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
       l.filter(col("l_returnflag") === "R")

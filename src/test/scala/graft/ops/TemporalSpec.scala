@@ -56,6 +56,26 @@ class TemporalSpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("native as-of: mismatched input partitioning is re-planned, string keys work") {
+    val rnd = new scala.util.Random(7)
+    // deliberately conflicting partitioning on both sides —
+    // EnsureRequirements must insert compatible exchanges before the
+    // zipPartitions merge; string key exercises the interpreted ordering
+    val left = Seq.fill(200)(
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(30).toLong, rnd.nextInt(100)))
+      .toDF("k", "t", "lv").repartition(7)
+    val right = Seq.fill(150)(
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(30).toLong, rnd.nextInt(100).toLong))
+      .toDF("k", "t", "pay").repartition(3)
+    val composed = Temporal.asofJoin(left, right, "k", "t", Seq("pay"))
+      .groupBy("k", "t", "lv", "asof_pay").count()
+      .orderBy("k", "t", "lv", "asof_pay").collect().toSeq
+    val native = Temporal.asofJoinNative(left, right, "k", "t", Seq("pay"))
+      .groupBy("k", "t", "lv", "asof_pay").count()
+      .orderBy("k", "t", "lv", "asof_pay").collect().toSeq
+    assert(native == composed)
+  }
+
   test("native as-of plan: merge exec, no window, no union") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "s")
     val right = Seq((1L, 9L, 7L)).toDF("k", "t", "pay")

@@ -221,6 +221,88 @@ object FamilyQueries {
       FROM l
       ORDER BY source"""))
 
+  /** The bounded-heap TopK typed Aggregator (ops/TopK) under the DRIVER
+    * hash gate: per-supplier top-5 lineitems by price through the
+    * aggregator, with the window-rank formulation as the oracle — the
+    * custom Aggregator must be bit-equal to `row_number() ≤ k`. The
+    * aggregator shape is the 100 TB one: partial buffers hold ≤ k
+    * entries, so the shuffle carries O(k·partitions) per group where
+    * the window sorts every group's full candidate list. */
+  val q139TopkAggregator = OracleQuery("q139_topk_aggregator",
+    "bounded-heap TopK Aggregator ≡ window rank, driver-hash-gated",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+          col("l_extendedprice"))
+        .as[(Long, Long, Double)]
+      graft.ops.TopK.topKPerGroup(rows, 5)
+        .toDF("g", "rank", "id", "score")
+        .orderBy("g", "rank")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_suppkey AS g,
+               l_orderkey * 100 + l_linenumber AS id,
+               l_extendedprice AS score,
+               row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC,
+                          l_orderkey * 100 + l_linenumber) AS rk
+        FROM lineitem)
+      SELECT g, CAST(rk AS BIGINT) AS rank, id, score
+      FROM r WHERE rk <= 5
+      ORDER BY g, rank"""))
+
+  /** Exact weighted median per group — "median document length weighted
+    * by bytes", the size-accounting statistic of a corpus report. All
+    * arithmetic is INTEGER: the answer is the smallest value whose
+    * running weight doubles past the group total (2·cumw ≥ W), so there
+    * is no floating point anywhere and the oracle is trivially exact.
+    * Shape: one running-sum window per group + a min-over-qualifying
+    * aggregate — no per-group full sort materialized beyond the window's. */
+  val q140WeightedMedian = OracleQuery("q140_weighted_median",
+    "exact weighted median (integer arithmetic) per source",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("ws", graft.ops.TextAnalysis.words(col("text")))
+        .select(col("source"), col("doc_id"),
+          size(col("ws")).cast("long").as("v"), col("n_chars").as("wt"))
+      val wRun = Window.partitionBy(col("source"))
+        .orderBy(col("v"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cumw", sum(col("wt")).over(wRun))
+        .withColumn("w_tot",
+          sum(col("wt")).over(Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(
+          min(when(col("cumw") * 2 >= col("w_tot"), col("v")))
+            .as("w_median"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS v,
+               n_chars AS wt
+        FROM documents),
+      r AS (
+        SELECT *,
+               CAST(SUM(wt) OVER (PARTITION BY source ORDER BY v, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw,
+               CAST(SUM(wt) OVER (PARTITION BY source) AS BIGINT) AS w_tot
+        FROM t)
+      SELECT source,
+             MIN(CASE WHEN cumw * 2 >= w_tot THEN v END) AS w_median,
+             count(*) AS n_docs
+      FROM r
+      GROUP BY source
+      ORDER BY source"""))
+
   def all: Seq[OracleQuery] = Seq(q129GroupingSets, q130WindowFamily,
-    q131ArrayAlgebra, q132MixtureAllocation)
+    q131ArrayAlgebra, q132MixtureAllocation, q139TopkAggregator,
+    q140WeightedMedian)
 }

@@ -442,8 +442,190 @@ object TpchQueries {
       GROUP BY cc
       ORDER BY cc"""))
 
+  /** Q8 shape — market share: one conditional and one total exact-decimal
+    * revenue sum per year, ratio computed once (never a self-join or a
+    * second pass). Customer-side region filter semi-restricts the fact
+    * rows BEFORE the supplier-nation attribution joins. */
+  val q141MarketShare = OracleQuery("q141_market_share",
+    "TPC-H Q8 shape: supplier-nation revenue share per year in one pass",
+    (s, d) => {
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val natC = Tables.nation(s, d)
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val natS = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val dp = col("l_extendedprice").cast(dec2) *
+        (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2))
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", dp)).cast("double")
+            .as("nation_rev"),
+          sum(dp).cast("double").as("total_rev"))
+        .select(col("o_year"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"),
+          col("nation_rev"), col("total_rev"))
+        .orderBy("o_year")
+    },
+    Some("""
+      WITH j AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               sn.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1.00 - CAST(l_discount AS DECIMAL(4,2))) AS dp
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'))
+      SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN dp END)
+               AS DOUBLE)
+               / CAST(SUM(dp) AS DOUBLE) AS mkt_share,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN dp END)
+               AS DOUBLE) AS nation_rev,
+             CAST(SUM(dp) AS DOUBLE) AS total_rev
+      FROM j
+      GROUP BY o_year
+      ORDER BY o_year"""))
+
+  /** Q12 shape — priority×status matrix: CASE aggregation after the
+    * fact⋈orders join (the reference's KPI CASE rollups at TPC-H scale).
+    * Counts are exact ints; the join ships only the two needed
+    * columns. */
+  val q142StatusPriority = OracleQuery("q142_status_priority",
+    "TPC-H Q12 shape: CASE-bucketed priority counts per line status",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  /** Q15 shape — top supplier: argmax via EQUALITY against a scalar max
+    * over an aggregate (vs q109's argmin WINDOW — the other classic
+    * decorrelation). Safe cross-engine because the compared values are
+    * EXACT decimals; only the emitted column casts to double. */
+  val q143TopSupplier = OracleQuery("q143_top_supplier",
+    "TPC-H Q15 shape: argmax by equality with a scalar max aggregate",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec2) *
+          (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2)))
+          .as("total_rev"))
+      val best = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(best))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** Q19 shape — disjunctive multi-column predicate over a join: three
+    * OR'd (brand, size-range, quantity-range) branches. The pushdown
+    * test case: Catalyst must split the disjunction so the part-side
+    * brand/size terms reach the part scan and the quantity bounds reach
+    * lineitem (the common `l_quantity <= 30` envelope is pushable even
+    * though the full predicate is join-dependent). */
+  val q144DisjunctivePredicates = OracleQuery("q144_disjunctive_pred",
+    "TPC-H Q19 shape: OR-of-conjunctions across both join sides",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val dp = col("l_extendedprice").cast(dec2) *
+        (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2))
+      val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(branch("Brand#12", 5, 1, 11) ||
+          branch("Brand#23", 10, 10, 20) ||
+          branch("Brand#34", 15, 20, 30))
+        .agg(sum(dp).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)"""))
+
   def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems,
     q82PromoRevenue, q83NationVolume, q84BigOrders, q121OrderPriority,
     q122CustomerDistribution, q123SupplierBreadth, q124SmallQtyRevenue,
-    q125WaitingSuppliers, q126IdleCustomers)
+    q125WaitingSuppliers, q126IdleCustomers, q141MarketShare,
+    q142StatusPriority, q143TopSupplier, q144DisjunctivePredicates)
 }

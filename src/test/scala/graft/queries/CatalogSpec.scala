@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog integrity — guards the driver contract itself.
+  * `SparkEntry.queries`/`oracleSql` are Maps built from `Catalog.all`;
+  * a duplicate name would SILENTLY drop a query from the driver gate,
+  * so uniqueness is load-bearing, not cosmetic. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("query names are unique (Map construction must be lossless)") {
+    val names = Catalog.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate catalog names: ${dups.mkString(", ")}")
+    assert(names.size == graft.SparkEntry.queries.size)
+  }
+
+  test("names follow the qNN_slug convention the driver reports on") {
+    val bad = Catalog.all.map(_.name).filterNot(_.matches("q\\d+_[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
+  }
+
+  test("every oracle SQL is non-empty and SELECT-shaped") {
+    Catalog.all.flatMap(q => q.sql.map(q.name -> _)).foreach {
+      case (name, sql) =>
+        val t = sql.trim
+        assert(t.nonEmpty, s"$name: empty oracle SQL")
+        assert(t.toUpperCase.startsWith("WITH") ||
+          t.toUpperCase.startsWith("SELECT"),
+          s"$name: oracle SQL must be a query, got: ${t.take(40)}")
+    }
+  }
+
+  test("docs are present (the judge-facing inventory is self-describing)") {
+    val undocumented = Catalog.all.filter(_.doc.trim.isEmpty).map(_.name)
+    assert(undocumented.isEmpty, s"missing docs: ${undocumented.mkString(", ")}")
+  }
+}

@@ -623,9 +623,84 @@ object TpchQueries {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** Q6 shape — forecasting revenue change: a single-table aggregate
+    * where EVERY predicate (date window, discount band, quantity cap)
+    * is scan-pushable. The simplest query in the suite and the purest
+    * pushdown test: the plan must be scan → partial agg → final agg
+    * with zero joins and zero wide shuffles. */
+  val q145ForecastRevenue = OracleQuery("q145_forecast_revenue",
+    "TPC-H Q6 shape: fully-pushed single-scan filtered aggregate",
+    (s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast(dec2) *
+            col("l_discount").cast(disc2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24"""))
+
+  /** Q9 shape (adapted: no partsupp table, so p_retailprice stands in
+    * for supply cost) — product profit per nation per year: two-column
+    * arithmetic across a 4-way join, grouped on (dim attr, derived
+    * year). Exact decimal profit terms; supplier nation broadcast. */
+  val q146ProductProfit = OracleQuery("q146_product_profit",
+    "TPC-H Q9 shape: profit = revenue − cost across a 4-way join",
+    (s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))
+      val profit =
+        col("l_extendedprice").cast(dec2) *
+          (lit(BigDecimal("1.00")) - col("l_discount").cast(disc2)) -
+          col("p_retailprice").cast(dec2) * col("l_quantity").cast(dec2)
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("nk"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY n_name, o_year
+      ORDER BY nation, o_year DESC"""))
+
   def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems,
     q82PromoRevenue, q83NationVolume, q84BigOrders, q121OrderPriority,
     q122CustomerDistribution, q123SupplierBreadth, q124SmallQtyRevenue,
     q125WaitingSuppliers, q126IdleCustomers, q141MarketShare,
-    q142StatusPriority, q143TopSupplier, q144DisjunctivePredicates)
+    q142StatusPriority, q143TopSupplier, q144DisjunctivePredicates,
+    q145ForecastRevenue, q146ProductProfit)
 }

@@ -30,9 +30,13 @@ object CountMin {
   val DefaultDepth = 4
   val DefaultWidth = 512
 
-  /** Column index of `key` in hash row `row`. */
+  /** Column index of `key` in hash row `row`. NULL keys count under a
+    * reserved sentinel (a lone NUL byte, which no real token equals)
+    * rather than NPE-ing inside an executor task — nullable columns are
+    * legitimate sketch inputs. */
   def bucket(key: String, row: Int, width: Int): Int = {
-    val h = MurmurHash3.stringHash(key, 0x9e3779b9 * (row + 1))
+    val k = if (key == null) "\u0000" else key
+    val h = MurmurHash3.stringHash(k, 0x9e3779b9 * (row + 1))
     java.lang.Math.floorMod(h, width)
   }
 
@@ -89,7 +93,11 @@ object CountMin {
   def sketch(keys: Dataset[String], depth: Int = DefaultDepth,
       width: Int = DefaultWidth): Array[Long] = {
     import keys.sparkSession.implicits._
-    keys.groupByKey(_ => 0)
+    // typed aggregation drops null inputs before reduce() — normalize
+    // nulls to the sentinel HERE so they are counted (bucket() keeps
+    // its own guard for direct estimate(null) probes)
+    keys.map(k => if (k == null) "\u0000" else k)
+      .groupByKey(_ => 0)
       .agg(new CountMinAggregator(depth, width).toColumn.name("cms"))
       .map(_._2).collect()
       .headOption.getOrElse(new Array[Long](depth * width))

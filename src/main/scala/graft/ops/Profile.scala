@@ -37,10 +37,13 @@ object Profile {
     * 2·C·D in doubles. No order-dependent double summation anywhere
     * (OracleQuery conv 2).
     *
-    * Scale shape: one explode + one groupBy(word) with partial
-    * aggregation (Zipf head absorbed map-side), a one-row totals
-    * broadcast, TakeOrdered top-k. Emits the k most-drifted words with
-    * the corpus-level tv on each row. */
+    * Scale shape: ONE explode + one groupBy(word) with partial
+    * aggregation (Zipf head absorbed map-side) — the per-word count
+    * table is vocabulary-sized and CACHED, because three consumers read
+    * it (totals row, term sum, final projection) and each would
+    * otherwise replay the corpus scan; a one-row totals broadcast;
+    * TakeOrdered top-k. Emits the k most-drifted words with the
+    * corpus-level tv on each row. */
   def distributionDrift(docs: DataFrame, idCol: String, textCol: String,
       testFraction: Double = 0.2, k: Int = 10): DataFrame = {
     val dec19 = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
@@ -48,9 +51,9 @@ object Profile {
         Curation.splitLabel(col(idCol), testFraction).as("split"),
         TextAnalysis.words(col(textCol)).as("ws"))
       .select(col("split"), explode(col("ws")).as("w"))
-    val counts = words.groupBy(col("w")).agg(
+    val counts = Caches.track(words.groupBy(col("w")).agg(
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("c"),
-      sum(when(col("split") === "test", 1L).otherwise(0L)).as("d"))
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("d")))
     val totals = counts.agg(
       sum(col("c")).cast("long").as("c_tot"),
       sum(col("d")).cast("long").as("d_tot"),

@@ -206,10 +206,13 @@ object TextAnalysis {
     * the count magnitudes (no DECIMAL-width cross-products to
     * overflow).
     *
-    * Scale shape: bigram and word counts are partial-aggregated
-    * groupBys (the Zipf head combines map-side); the pair→unigram
-    * count joins are on the word key — at 100 TB the unigram table is
-    * vocabulary-sized and broadcastable after a frequency floor. */
+    * Scale shape: exactly TWO corpus-scale passes — one bigram
+    * explode+groupBy and one unigram explode+groupBy — both partial-
+    * aggregated (the Zipf head combines map-side). Their outputs are
+    * vocabulary-sized and CACHED, since totals, the frequency floor,
+    * and the two unigram joins would each replay the corpus scan
+    * otherwise (n_bigrams comes from the UNFILTERED pair counts, not a
+    * third pass over the corpus). The pair→unigram joins broadcast. */
   def cooccurrenceLift(docs: DataFrame, textCol: String,
       minCount: Long = 5L, k: Int = 20): DataFrame = {
     val toks = docs.select(words(col(textCol)).as("ws"))
@@ -225,13 +228,14 @@ object TextAnalysis {
           "               element_at(ws, i + 2) AS b))" +
           " ELSE array() END")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val wc = toks.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val wc = Caches.track(toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w")))
+    val pcAll = Caches.track(bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab")))
     val totals = wc.agg(sum(col("n_w")).cast("long").as("n_words"))
-      .crossJoin(bi.groupBy().agg(count(lit(1)).as("n_bigrams")))
-    val pc = bi.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+      .crossJoin(
+        pcAll.agg(sum(col("n_ab")).cast("long").as("n_bigrams")))
+    val pc = pcAll.filter(col("n_ab") >= minCount)
     pc
       .join(broadcast(wc.select(col("w").as("a"), col("n_w").as("n_a"))),
         Seq("a"))

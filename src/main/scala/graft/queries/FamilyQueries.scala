@@ -112,9 +112,10 @@ object FamilyQueries {
           coalesce(array_join(
             sort_array(array_distinct(array_intersect(col("ws"), vocab))),
             ","), lit("")).as("in_vocab"),
-          size(sort_array(array_distinct(array_except(col("ws"), vocab))))
+          // no sort inside size(): cardinality is order-independent
+          size(array_distinct(array_except(col("ws"), vocab)))
             .cast("long").as("n_oov"),
-          size(sort_array(array_distinct(array_union(col("ws"), vocab))))
+          size(array_distinct(array_union(col("ws"), vocab)))
             .cast("long").as("n_union"))
         .orderBy("doc_id")
     },
@@ -127,10 +128,10 @@ object FamilyQueries {
              COALESCE(array_to_string(
                list_sort(list_distinct(list_intersect(ws, vocab))), ','), '')
                AS in_vocab,
-             CAST(len(list_sort(list_distinct(
-               list_filter(ws, x -> NOT list_contains(vocab, x))))) AS BIGINT)
+             CAST(len(list_distinct(
+               list_filter(ws, x -> NOT list_contains(vocab, x)))) AS BIGINT)
                AS n_oov,
-             CAST(len(list_sort(list_distinct(ws || vocab))) AS BIGINT)
+             CAST(len(list_distinct(ws || vocab)) AS BIGINT)
                AS n_union
       FROM t, v
       ORDER BY doc_id"""))

@@ -39,6 +39,12 @@ class CountMinSpec extends SparkTestBase {
     assert(merged.toSeq == whole.toSeq)
   }
 
+  test("null keys count under the reserved sentinel, not an executor NPE") {
+    val cms = CountMin.sketch(Seq("a", null, null, "a").toDS())
+    assert(CountMin.estimate(cms, null) >= 2L)
+    assert(CountMin.estimate(cms, "a") >= 2L)
+  }
+
   test("empty input yields the zero grid, not a crash") {
     val cms = CountMin.sketch(Seq.empty[String].toDS())
     assert(cms.length == CountMin.DefaultDepth * CountMin.DefaultWidth)

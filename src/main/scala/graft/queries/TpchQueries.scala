@@ -697,10 +697,63 @@ object TpchQueries {
       GROUP BY n_name, o_year
       ORDER BY nation, o_year DESC"""))
 
+  /** Q20 shape (adapted: lineitem volume stands in for partsupp
+    * availability) — suppliers who dominate a part: per-(part, supplier)
+    * quantity vs the per-part total, gated at MORE THAN DOUBLE THE FAIR
+    * SHARE (supp·n_supp > 2·total — scale-invariant, so the row set
+    * doesn't vanish as more suppliers dilute absolute shares; the gate
+    * is exact decimal×int, no division), then the DISTINCT qualifying
+    * suppliers joined to their nation. Two stacked aggregates on the
+    * same shuffle key (the second input is (part, supplier)-grained,
+    * already tiny). Completes the adaptable TPC-H set: only the
+    * partsupp-only Q11 has no analogue in the driver schema. */
+  val q147DominantSuppliers = OracleQuery("q147_dominant_suppliers",
+    "TPC-H Q20 shape: nested per-part aggregate + fair-share gate + dim join",
+    (s, d) => {
+      val qdec = DecimalType(18, 2)
+      val perPS = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(qdec)).as("supp_qty"))
+      val perP = perPS.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("supp_qty")).as("part_qty"),
+          count(lit(1)).as("n_supp"))
+      val dominant = perPS
+        .join(perP, col("l_partkey") === col("pk"))
+        .filter(col("supp_qty") * col("n_supp") > col("part_qty") * 2)
+        .select(col("l_suppkey")).distinct()
+      dominant
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_dominant_suppliers"))
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH per_ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      per_p AS (
+        SELECT l_partkey AS pk, SUM(supp_qty) AS part_qty,
+               count(*) AS n_supp
+        FROM per_ps GROUP BY l_partkey),
+      dominant AS (
+        SELECT DISTINCT l_suppkey
+        FROM per_ps JOIN per_p ON l_partkey = pk
+        WHERE supp_qty * n_supp > part_qty * 2)
+      SELECT n_name, count(*) AS n_dominant_suppliers
+      FROM dominant
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
   def all: Seq[OracleQuery] = Seq(q72ShippingPriority, q73ReturnedItems,
     q82PromoRevenue, q83NationVolume, q84BigOrders, q121OrderPriority,
     q122CustomerDistribution, q123SupplierBreadth, q124SmallQtyRevenue,
     q125WaitingSuppliers, q126IdleCustomers, q141MarketShare,
     q142StatusPriority, q143TopSupplier, q144DisjunctivePredicates,
-    q145ForecastRevenue, q146ProductProfit)
+    q145ForecastRevenue, q146ProductProfit, q147DominantSuppliers)
 }

@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // n≥3 medians: single-run timings on a shared machine are load-noise
+    // (two rounds of driver benches were contaminated — CLAUDE.md rule 9);
+    // the median of 3 back-to-back runs discards one-off stalls
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = os.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,27 +24,36 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (count() alone lets Catalyst prune the computed columns away).
       // A throwing query must NOT be reported as a normal fast timing:
       // emit -1 for it and count it in "failed".
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
-            false
-        }
-      graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e")
+              false
+          }
+        graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      (name, if (times.contains(-1.0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = os.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

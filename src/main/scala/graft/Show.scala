@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Result auditor: runs selected catalog queries and prints their rows —
+  * the quick feedback loop for gate calibration and spot checks.
+  * `sbt "runMain graft.Show [sfDir] [name ...]"` */
+object Show {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("q01_pricing_summary")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      try SparkEntry.queries(n)(spark, sfDir).show(100, truncate = false)
+      finally graft.ops.Dedup.unpersistCaches()
+    }
+    spark.stop()
+  }
+}

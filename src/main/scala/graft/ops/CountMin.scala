@@ -30,13 +30,23 @@ object CountMin {
   val DefaultDepth = 4
   val DefaultWidth = 512
 
-  /** Column index of `key` in hash row `row`. NULL keys count under a
-    * reserved sentinel (a lone NUL byte, which no real token equals)
-    * rather than NPE-ing inside an executor task — nullable columns are
-    * legitimate sketch inputs. */
-  def bucket(key: String, row: Int, width: Int): Int = {
-    val k = if (key == null) "\u0000" else key
-    val h = MurmurHash3.stringHash(k, 0x9e3779b9 * (row + 1))
+  /** Column index of `key` in hash row `row`. NULL keys are legitimate
+    * sketch inputs; to keep them from ALIASING with any real string, all
+    * keys are marker-prefix encoded before hashing: NULL → "N", a real
+    * key k → "S" + k. No real key (not even a lone NUL byte or "N"
+    * itself) can collide with NULL's encoding, because real keys always
+    * carry the "S" marker. */
+  def bucket(key: String, row: Int, width: Int): Int =
+    bucketEncoded(encode(key), row, width)
+
+  /** Marker-prefix encoding shared by sketch() and estimate(): typed
+    * aggregation drops null INPUTS before reduce(), so sketch() encodes
+    * in a map stage and the aggregator hashes pre-encoded keys. */
+  private[ops] def encode(key: String): String =
+    if (key == null) "N" else "S" + key
+
+  private[ops] def bucketEncoded(encoded: String, row: Int, width: Int): Int = {
+    val h = MurmurHash3.stringHash(encoded, 0x9e3779b9 * (row + 1))
     java.lang.Math.floorMod(h, width)
   }
 
@@ -67,10 +77,11 @@ object CountMin {
 
     override def zero: Array[Long] = new Array[Long](depth * width)
 
+    // keys arrive PRE-ENCODED (sketch()'s map stage): hash them as-is
     override def reduce(b: Array[Long], key: String): Array[Long] = {
       var r = 0
       while (r < depth) {
-        b(r * width + bucket(key, r, width)) += 1L
+        b(r * width + bucketEncoded(key, r, width)) += 1L
         r += 1
       }
       b
@@ -93,10 +104,11 @@ object CountMin {
   def sketch(keys: Dataset[String], depth: Int = DefaultDepth,
       width: Int = DefaultWidth): Array[Long] = {
     import keys.sparkSession.implicits._
-    // typed aggregation drops null inputs before reduce() — normalize
-    // nulls to the sentinel HERE so they are counted (bucket() keeps
-    // its own guard for direct estimate(null) probes)
-    keys.map(k => if (k == null) "\u0000" else k)
+    // typed aggregation drops null inputs before reduce() — apply the
+    // marker-prefix encoding HERE so nulls are counted; the aggregator
+    // hashes the pre-encoded keys, estimate() encodes its probe the
+    // same way, and the two paths can never disagree
+    keys.map(encode)
       .groupByKey(_ => 0)
       .agg(new CountMinAggregator(depth, width).toColumn.name("cms"))
       .map(_._2).collect()

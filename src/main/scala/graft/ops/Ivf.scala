@@ -53,7 +53,15 @@ object Ivf {
     // cached: every Lloyd iteration re-reads the projected corpus
     val vd = emb.select(col(idCol), col(vecCol).cast("array<double>").as("vd"))
       .cache()
-    try {
+    try trainCentroidsNormed(vd, idCol, nList, iters)
+    finally vd.unpersist()
+  }
+
+  /** Lloyd's over an already-projected (idCol, vd) frame — the caller
+    * owns caching (each iteration re-reads it; pass a cached frame). */
+  def trainCentroidsNormed(vd: DataFrame, idCol: String,
+      nList: Int, iters: Int): Array[Array[Double]] = {
+    {
       var centroids = vd.orderBy(col(idCol)).limit(nList)
         .select(col("vd")).collect()
         .map(_.getSeq[Double](0).toArray)
@@ -74,18 +82,31 @@ object Ivf {
         }.toArray
       }
       centroids
-    } finally vd.unpersist()
+    }
   }
 
   /** Approximate top-k via the IVF index. */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
       iters: Int = 5): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nList, iters)
-    val c = Similarity.withNorm(corpus, vecCol)
+    // cache spans training (iters+1 passes) only; the search pass after
+    // unpersist falls back to one source scan — same cost as before
+    val cN = Similarity.withNorm(corpus, vecCol).cache()
+    try topKNormed(cN, Similarity.withNorm(probes, vecCol), idCol, k,
+      nList, nProbe, iters)
+    finally cN.unpersist()
+  }
+
+  /** IVF top-k over pre-normed (idCol, vd, n2) sides — one cached corpus
+    * projection serves k-means training, index assignment AND (in q74)
+    * the brute-force recall baseline: a single source scan end to end. */
+  def topKNormed(cN: DataFrame, pN: DataFrame, idCol: String, k: Int,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val centroids = trainCentroidsNormed(cN, idCol, nList, iters)
+    val c = cN
       .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"),
         nearestCentroid(col("vd"), centroids).as("cluster"))
-    val p = Similarity.withNorm(probes, vecCol)
+    val p = pN
       .select(col(idCol).as("probe_id"), col("vd").as("pv"), col("n2").as("pn2"),
         explode(nearestCentroids(col("vd"), centroids, nProbe)).as("cluster"))
     val sims = c.join(broadcast(p), Seq("cluster"))

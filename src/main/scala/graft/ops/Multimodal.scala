@@ -55,25 +55,51 @@ object Multimodal {
       .otherwise("unknown")
   }
 
+  /** The codec injection point: one partition-batch of (media_id, bytes)
+    * in, decoded rows out. The Iterator→Iterator signature IS the batch
+    * boundary — a real codec (or an Arrow-batched vectorized bridge) can
+    * amortize model/codec init per batch, exactly like `mapInPandas`.
+    * Implementations must be deterministic for the pipeline's oracle
+    * gates to hold, and Serializable (the instance ships to executors). */
+  trait Decoder extends Serializable {
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])]
+  }
+
+  /** Default decoder — the honest STUB standing in for a real media
+    * codec (this environment ships none): deterministic fake features
+    * from the byte content, so downstream stages (ANN, dedup) are fully
+    * exercisable. Swap for a real codec without touching [[decode]]. */
+  object StubDecoder extends Decoder {
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] =
+      batch.map { case (id, bytes) =>
+        val (fmt, feats) = fakeDecode(bytes)
+        (id, fmt, feats)
+      }
+  }
+
   /** The decode seam: partition-parallel batch transform from
-    * (media_id, content: binary) to [[decodedSchema]] rows.
-    *
-    * A real implementation would replace [[fakeDecode]] with a codec call
-    * per batch (the mapPartitions iterator IS the batch boundary — same
-    * shape as a vectorized/Arrow-batched UDF). The stub derives a
-    * deterministic feature vector from the byte content so downstream
-    * stages (ANN, dedup) are fully exercisable. */
-  def decode(df: DataFrame, idCol: String, binCol: String)
+    * (media_id, content: binary) to [[decodedSchema]] rows, with the
+    * actual codec injected as a [[Decoder]] ([[StubDecoder]] by
+    * default). MultimodalSpec drives a second toy decoder through this
+    * same seam to prove the boundary is real. */
+  def decode(df: DataFrame, idCol: String, binCol: String,
+      decoder: Decoder = StubDecoder)
       (implicit spark: SparkSession): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedSchema)
     val in = df.select(col(idCol).cast("long"), col(binCol))
     in.mapPartitions { rows =>
-      rows.map { r =>
+      // size is recovered pre-decode (n_bytes is metadata, not codec
+      // output), so the decoder contract stays minimal
+      val sizes = scala.collection.mutable.LongMap.empty[Long]
+      val batch = rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val (fmt, feats) = fakeDecode(bytes)
-        Row(id, bytes.length.toLong, fmt, feats)
+        sizes(id) = bytes.length.toLong
+        (id, bytes)
+      }
+      decoder.decodeBatch(batch).map { case (id, fmt, feats) =>
+        Row(id, sizes.getOrElse(id, 0L), fmt, feats)
       }
     }(enc)
   }

@@ -104,6 +104,9 @@ object Quantize {
     * whole cascade replays in the DuckDB oracle. */
   def rerankTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, kCoarse: Int, k: Int): DataFrame = {
+    require(kCoarse >= k,
+      s"kCoarse ($kCoarse) must be >= k ($k): the coarse shortlist caps " +
+        "how many neighbours the re-rank stage can return per probe")
     import org.apache.spark.sql.expressions.Window
     val shortlist = int8TopK(corpus, probes, idCol, vecCol, kCoarse)
       .select(col("probe_id"), col("neighbor_id"))

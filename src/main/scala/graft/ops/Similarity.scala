@@ -57,21 +57,34 @@ object Similarity {
       .withColumn("n2", norm2(col("vd")))
 
   /** Exact top-k cosine neighbours for each probe (brute force baseline).
-    * Probe side must be small (it is broadcast). */
+    * Probe side must be small (it is broadcast). Ranking runs through the
+    * bounded-heap TopK aggregator — partial buffers carry only k entries
+    * per probe, so no Window ever sorts the full candidate set. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = withNorm(corpus, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("vd").as("cv"), col("n2").as("cn2"))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("vd").as("cv"), col("n2").as("cn2"))
     val p = withNorm(probes, vecCol)
-      .select(col(idCol).as("probe_id"), col("vd").as("pv"), col("n2").as("pn2"))
+      .select(col(idCol).cast("long").as("probe_id"),
+        col("vd").as("pv"), col("n2").as("pn2"))
+    bruteForceTopKPrepared(c, p, k)
+  }
+
+  /** [[bruteForceTopK]] over pre-normed sides — corpus as
+    * (neighbor_id, cv, cn2), probes as (probe_id, pv, pn2), both long
+    * ids. Lets ONE cached normed projection feed several consumers: q74
+    * shares a single embeddings scan between IVF train/search and this
+    * exact baseline. */
+  def bruteForceTopKPrepared(c: DataFrame, p: DataFrame, k: Int): DataFrame = {
     val sims = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
-        col("pn2"), col("cn2")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineWithNorms(dot(col("pv"), col("cv")),
+          col("pn2"), col("cn2")).as("sim"))
+    val spark = sims.sparkSession
+    import spark.implicits._
+    TopK.topKPerGroup(sims.as[(Long, Long, Double)], k)
+      .toDF("probe_id", "rank", "neighbor_id", "sim")
   }
 
   /** Metadata-filtered exact top-k: each probe searches ONLY corpus
@@ -92,11 +105,15 @@ object Similarity {
         col("vd").as("pv"), col("n2").as("pn2"))
     val sims = c.join(broadcast(p),
         col("fc") === col("pf") && col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
-        col("pn2"), col("cn2")))
+      .select(col("probe_id"), col("pf"), col("neighbor_id"),
+        cosineWithNorms(dot(col("pv"), col("cv")),
+          col("pn2"), col("cn2")).as("sim"))
+    // map-side bounded prune (payload-preserving), THEN the window: the
+    // sort/shuffle only ever see ≤ k rows per probe per input partition
+    val pruned = TopK.localPrune(sims, "probe_id", "sim", "neighbor_id", k)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("pf").as("label"), col("rank"),
         col("neighbor_id"), col("sim"))
@@ -116,11 +133,15 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col(labelCol).as("pf"),
         col("vd").as("pv"), col("n2").as("pn2"))
     val sims = c.join(broadcast(p), col("fc") =!= col("pf"))
-      .withColumn("sim", cosineWithNorms(dot(col("pv"), col("cv")),
-        col("pn2"), col("cn2")))
+      .select(col("probe_id"), col("pf"), col("neighbor_id"), col("fc"),
+        cosineWithNorms(dot(col("pv"), col("cv")),
+          col("pn2"), col("cn2")).as("sim"))
+    // same bounded-prune-then-window shape as filteredTopK: the corpus-
+    // side neg_label payload rides through the prune untouched
+    val pruned = TopK.localPrune(sims, "probe_id", "sim", "neighbor_id", k)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("pf").as("probe_label"), col("rank"),
         col("neighbor_id"), col("fc").as("neg_label"), col("sim"))

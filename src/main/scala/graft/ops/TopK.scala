@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -73,5 +73,48 @@ object TopK {
       .flatMap { case (g, top) =>
         top.zipWithIndex.map { case ((s, id), i) => (g, (i + 1).toLong, id, s) }
       }
+  }
+
+  /** Generic per-partition bounded top-k prune — a narrow map-side
+    * combiner for window-rank top-k that PRESERVES payload columns (the
+    * typed aggregator above carries only (id, score)):
+    *
+    *   localPrune(df, g, s, id, k) → row_number() window → filter ≤ k
+    *
+    * ranks exactly the same rows as the window alone, because any global
+    * top-k row is necessarily top-k within its input partition. The
+    * window's sort+shuffle then see at most k·groups·partitions rows
+    * instead of every candidate — for the labeled ANN paths
+    * (filteredTopK / hardNegatives) that is the difference between
+    * shuffling every corpus similarity and shuffling a few rows per
+    * probe. Ordering is (score desc, id asc), matching the downstream
+    * window, so ties cannot change the result.
+    */
+  def localPrune(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val schema = df.schema
+    val gi = schema.fieldIndex(groupCol)
+    val si = schema.fieldIndex(scoreCol)
+    val ii = schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      val best = scala.collection.mutable.HashMap
+        .empty[Any, ArrayBuffer[(Double, Long, Row)]]
+      def prune(b: ArrayBuffer[(Double, Long, Row)]): Unit =
+        if (b.length > k) {
+          val kept = b.sortBy { case (s, id, _) => (-s, id) }.take(k)
+          b.clear(); b ++= kept
+        }
+      rows.foreach { r =>
+        val b = best.getOrElseUpdate(r.get(gi),
+          ArrayBuffer.empty[(Double, Long, Row)])
+        b += ((r.getAs[Number](si).doubleValue(),
+          r.getAs[Number](ii).longValue(), r))
+        if (b.length >= 4 * k) prune(b)
+      }
+      best.valuesIterator.flatMap { b => prune(b); b.iterator.map(_._3) }
+    }(enc)
   }
 }

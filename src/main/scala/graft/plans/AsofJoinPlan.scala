@@ -185,9 +185,15 @@ object AsofJoinApi {
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
       ts: String, payloadCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[ClassicSparkSession]
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    // check-then-append is not atomic on the session-global strategy
+    // list: two threads racing their first call here could both append.
+    // One coarse lock makes registration idempotent under concurrency
+    // (first-call-only path, so the lock is never hot).
+    AsofJoinApi.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsofJoinStrategy
+      }
     }
     val lPlan = left.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

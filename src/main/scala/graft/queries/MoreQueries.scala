@@ -212,53 +212,108 @@ object MoreQueries {
         ON p.user_id = s.user_id AND p.pts >= s.sts
       ORDER BY event_id"""))
 
-  /** HLL sketch family: approx_count_distinct per group. Approximate by
-    * nature ⇒ rows-only for the driver; the accuracy bound (≤5% error
-    * vs exact) is asserted in SketchSpec. */
+  /** HLL sketch family, driver-hash-gated (q110 pattern): the sketch
+    * estimate itself is engine-specific and never emitted; instead the
+    * query emits the EXACT distinct count (DuckDB-replayable) plus a
+    * `within_5pct` gate comparing the HLL estimate (rsd 0.01 — typical
+    * error ≪ the 5% tolerance) against it. HLL is deterministic for
+    * fixed data, so the gate is stable run-to-run; sketch drift beyond
+    * ±5% turns the driver row red. Tighter ≤5%-at-default-rsd accuracy
+    * bounds stay in SketchSpec. */
   val q67ApproxDistinct = OracleQuery("q67_approx_distinct",
-    "approximate distinct counting via HLL sketch (accuracy spec-tested)",
+    "HLL approx distinct gated against the exact distinct count (±5%)",
     (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            <= lit(0.05) * col("exact_users").cast("double"))
+            .as("within_5pct"))
         .orderBy("event_type"),
-    None)
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS exact_users,
+             true AS within_5pct
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
 
   /** IVF (centroid-partitioned) ANN — the second scale path next to
     * LSH (q57). The k-means training loop has no SQL twin, so instead of
-    * dumping raw neighbour lists the query SELF-CHECKS: it joins the IVF
-    * result against the brute-force exact baseline (q56's oracle-proven
-    * path) INSIDE Spark and emits per-probe recall@10 — deterministic
-    * (seeded lowest-id init, fixed iteration count), so any regression in
-    * the index path shows up as a changed recall row, not an invisible
-    * reshuffle of approximate neighbours. */
+    * dumping raw neighbour lists the query SELF-CHECKS (q110 pattern):
+    * it joins the IVF result against the brute-force exact baseline
+    * (q56's oracle-proven path) INSIDE Spark and emits the exact side
+    * (per-probe neighbour count + top-1 id, both DuckDB-replayable)
+    * plus a recall@10 gate — so an index regression flips `gate_pass`
+    * and turns the driver hash row red, while the approximate neighbour
+    * lists themselves never need a SQL twin. */
   val q74KnnIvf = OracleQuery("q74_knn_ivf",
-    "IVF ANN recall@10 against the exact brute-force baseline, per probe",
+    "IVF ANN gated on recall@10 vs the exact baseline (exact side DuckDB-replayable)",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val probes = emb.filter(col("vec_id") < 5)
-      val ivf = graft.ops.Ivf.topK(emb, probes,
-        "vec_id", "embedding", k = 10, nList = 8, nProbe = 3, iters = 3)
-      val exact = Similarity.bruteForceTopK(emb, probes,
-        "vec_id", "embedding", 10)
+      // ONE source scan: the cached normed projection feeds IVF k-means
+      // training, IVF search, AND the brute-force exact baseline
+      val embN = graft.ops.Caches.track(
+        Similarity.withNorm(emb, "embedding")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("vd"), col("n2")))
+      val probesN = embN.filter(col("vec_id") < 5)
+      val ivf = graft.ops.Ivf.topKNormed(embN, probesN, "vec_id",
+        k = 10, nList = 8, nProbe = 3, iters = 3)
+      val exact = Similarity.bruteForceTopKPrepared(
+        embN.select(col("vec_id").as("neighbor_id"),
+          col("vd").as("cv"), col("n2").as("cn2")),
+        probesN.select(col("vec_id").as("probe_id"),
+          col("vd").as("pv"), col("n2").as("pn2")), 10)
       val hits = ivf
         .join(exact.select(col("probe_id"), col("neighbor_id")),
           Seq("probe_id", "neighbor_id"), "left_semi")
         .groupBy(col("probe_id"))
         .agg(count(lit(1)).as("hits_at_10"))
-      probes.select(col("vec_id").as("probe_id"))
+      // emitted columns: the EXACT side (count + top-1 id, both with a
+      // DuckDB twin) plus the recall gate; the IVF neighbour lists stay
+      // engine-side. Deterministic: seeded lowest-id k-means init +
+      // fixed iterations ⇒ recall is a constant of the dataset, so the
+      // 0.5 gate (observed ≥0.8 at every test sf) is stable, not flaky.
+      exact.groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).as("exact_n"),
+          min(when(col("rank") === 1, col("neighbor_id")))
+            .as("exact_top1_id"))
         .join(hits, Seq("probe_id"), "left")
         .select(
-          col("probe_id"),
-          coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
-          // exact-int division → deterministic double
-          (coalesce(col("hits_at_10"), lit(0L)).cast("double") / 10)
-            .as("recall_at_10"))
+          col("probe_id"), col("exact_n"), col("exact_top1_id"),
+          (coalesce(col("hits_at_10"), lit(0L)).cast("double")
+            >= lit(0.5) * col("exact_n").cast("double")).as("gate_pass"))
         .orderBy("probe_id")
     },
-    None)
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS (
+        SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+               list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) sim
+        FROM n p JOIN n c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 5),
+      rk AS (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM pairs)
+      SELECT probe_id,
+             count(*) AS exact_n,
+             min(CASE WHEN rnk = 1 THEN neighbor_id END) AS exact_top1_id,
+             true AS gate_pass
+      FROM rk WHERE rnk <= 10
+      GROUP BY probe_id
+      ORDER BY probe_id"""))
 
   /** Full MERGE INTO (generalizes q64's upsert, reference
     * `warehouse/load_facts.sql:92-98`): one statement with a conditional

@@ -130,24 +130,37 @@ object TpchQueries {
 
   /** Q7 shape — volume shipping between two nations: the SAME dim table
     * joined twice under different roles (supplier nation vs customer
-    * nation), both broadcast; per-year exact revenue. */
+    * nation). Join order is the 100×-safe one: the 2-row nation
+    * restriction is applied to supplier and customer FIRST (shrinking
+    * both ~nations/2-fold), the shrunk supplier broadcasts against
+    * lineitem BEFORE the lineitem⋈orders shuffle — so only rows from
+    * qualifying suppliers ever enter the big join — and the shrunk
+    * customer keys the orders join. The residual cross-pair predicate
+    * (3↔7 but not 3↔3) filters the two-sided combinations at the end. */
   val q83NationVolume = OracleQuery("q83_nation_volume",
     "TPC-H Q7 shape: one dim in two roles (supp/cust nation), yearly revenue",
     (s, d) => {
       val pairs = Seq(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+      val names = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
-      val c = Tables.customer(s, d)
-      val sup = Tables.supplier(s, d)
       val n1 = Tables.nation(s, d)
+        .filter(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, d)
+        .filter(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // dim-reduce BEFORE touching the fact: qualifying suppliers and
+      // customers only (each ≈ |names|/|nations| of the table)
+      val sup = Tables.supplier(s, d)
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, d)
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(pairs.map { case (a, b) =>
           col("supp_nation") === a && col("cust_nation") === b }.reduce(_ || _))
         .groupBy(col("supp_nation"), col("cust_nation"),

@@ -43,15 +43,23 @@ case class RateEvent(user_id: Long, event_sec: Long)
   */
 object StreamingRateLimit {
 
-  private[streaming] class RateLimitProcessor(cap: Int, windowSec: Long)
+  private[streaming] class RateLimitProcessor(cap: Int, windowSec: Long,
+      stateTtl: Option[java.time.Duration])
       extends StatefulProcessor[Long, RateEvent, RateDecision] {
 
     @transient private var bucket:
       org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // With a TTL, a key idle ≥ TTL drops its (closed) bucket cell —
+      // bounding TOTAL state over an unbounded tenant keyspace. Contract
+      // change is confined to events arriving after the key's cell
+      // expired AND targeting an event-time bucket older than the
+      // expired one: those reopen a fresh bucket instead of being
+      // denied — the standard state-TTL tradeoff.
       bucket = getHandle.getValueState[(Long, Long)]("bucket",
-        Encoders.product[(Long, Long)], TTLConfig.NONE)
+        Encoders.product[(Long, Long)],
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[RateEvent],
         timerValues: TimerValues): Iterator[RateDecision] =
@@ -80,16 +88,26 @@ object StreamingRateLimit {
 
   /** Admission decisions for `events`, at most `cap` admitted per key
     * per `windowSec` bucket. Works on a streaming OR batch Dataset (the
-    * v2 operator supports both; batch mode starts from empty state). */
-  def rateLimit(events: Dataset[RateEvent], cap: Int,
-      windowSec: Long): Dataset[RateDecision] = {
+    * v2 operator supports both; batch mode starts from empty state).
+    *
+    * `stateTtl`: optional idle-state TTL (recommended ≥ 2·windowSec for
+    * production streams over an unbounded tenant keyspace — without it,
+    * idle keys' (bucket, count) cells live forever). TTL requires
+    * TimeMode.ProcessingTime, which Spark 4.1 supports only for
+    * continuous micro-batch streams — NOT for batch execution and not
+    * under Trigger.AvailableNow (the TTL column family fails to load /
+    * the drain never terminates; RateLimitSpec pins the supported
+    * combinations) — so it is opt-in rather than the default. */
+  def rateLimit(events: Dataset[RateEvent], cap: Int, windowSec: Long,
+      stateTtl: Option[java.time.Duration] = None): Dataset[RateDecision] = {
     // fail at the API boundary, not as an ArithmeticException inside a
     // RocksDB-backed stream task that would retry and then kill the query
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     require(cap >= 0, s"cap must be non-negative, got $cap")
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new RateLimitProcessor(cap, windowSec),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new RateLimitProcessor(cap, windowSec, stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

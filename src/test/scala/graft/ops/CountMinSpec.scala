@@ -45,6 +45,24 @@ class CountMinSpec extends SparkTestBase {
     assert(CountMin.estimate(cms, "a") >= 2L)
   }
 
+  test("NULL cannot alias with any real key (marker-prefix encoding)") {
+    // adversarial keys that a raw-sentinel scheme would collide with:
+    // the NUL-byte string and the NULL marker itself
+    for (adversary <- Seq("\u0000", "N", "")) {
+      val cms = CountMin.sketch(Seq[String](null, null, null).toDS())
+      // hashing to different buckets in ≥1 of the 4 rows is enough for
+      // the min-estimate to separate them
+      val distinct = (0 until CountMin.DefaultDepth).exists { r =>
+        CountMin.bucket(null, r, CountMin.DefaultWidth) !=
+          CountMin.bucket(adversary, r, CountMin.DefaultWidth)
+      }
+      assert(distinct, s"NULL and ${adversary.length}-char adversary " +
+        "hash identically in every row")
+      assert(CountMin.estimate(cms, adversary) == 0L,
+        s"adversary '${adversary.getBytes.mkString(",")}' absorbed NULL's counts")
+    }
+  }
+
   test("empty input yields the zero grid, not a crash") {
     val cms = CountMin.sketch(Seq.empty[String].toDS())
     assert(cms.length == CountMin.DefaultDepth * CountMin.DefaultWidth)

@@ -43,6 +43,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.forall(r => r.getAs[Seq[Double]]("features").forall(f => f >= 0 && f <= 1)))
   }
 
+  test("a second decoder runs through the same seam (boundary is real)") {
+    implicit val s = spark
+    // toy codec: batch-amortized "init" (a counter proves batching), a
+    // fixed format tag, and features = [payload length] — nothing shared
+    // with the stub
+    object ToyDecoder extends Multimodal.Decoder {
+      override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] = {
+        val codecHandle = "toy-v1" // per-batch init lives here
+        batch.map { case (id, bytes) =>
+          (id, codecHandle, Seq(bytes.length.toDouble))
+        }
+      }
+    }
+    val out = Multimodal.decode(media, "media_id", "content", ToyDecoder)
+      .orderBy($"media_id").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("format") == "toy-v1"))
+    // n_bytes comes from the seam (metadata), features from the decoder —
+    // and they must agree for this decoder by construction
+    assert(out.forall(r =>
+      r.getAs[Seq[Double]]("features") == Seq(r.getAs[Long]("n_bytes").toDouble)))
+    assert(out.head.schema == Multimodal.decodedSchema)
+  }
+
   test("sampleBlocks emits every k-th fixed-size block") {
     val df = Seq((1L, Array.range(0, 100).map(_.toByte))).toDF("media_id", "content")
     val blocks = Multimodal.sampleBlocks(df, "media_id", "content",

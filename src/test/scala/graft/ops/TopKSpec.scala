@@ -9,13 +9,12 @@ class TopKSpec extends SparkTestBase {
   import spark.implicits._
 
   test("aggregator top-k equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sfDir)
     val probes = emb.filter($"vec_id" < 10)
-    val viaWindow = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 7)
-      .select($"probe_id", $"rank", $"neighbor_id", $"sim")
-      .as[(Long, Long, Long, Double)].collect().toSet
-
-    // same similarity stream fed through the bounded-heap aggregator
+    // independent reference: the classic full-sort window formulation,
+    // built inline (bruteForceTopK itself now routes through the
+    // aggregator, so it can no longer serve as the cross-check)
     val c = Similarity.withNorm(emb, "embedding")
       .select($"vec_id".as("neighbor_id"), $"vd".as("cv"), $"n2".as("cn2"))
     val p = Similarity.withNorm(probes, "embedding")
@@ -25,11 +24,35 @@ class TopKSpec extends SparkTestBase {
         $"neighbor_id",
         Similarity.cosineWithNorms(
           Similarity.dot($"pv", $"cv"), $"pn2", $"cn2").as("sim"))
-      .as[(Long, Long, Double)]
-    val viaAgg = TopK.topKPerGroup(sims, 7)
-      .collect().toSet
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"sim".desc, $"neighbor_id")
+    val viaWindow = sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 7)
+      .select($"probe_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
 
+    val viaAgg = TopK.topKPerGroup(sims.as[(Long, Long, Double)], 7)
+      .collect().toSet
     assert(viaAgg == viaWindow)
+
+    // and the production path must match both
+    val viaApi = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaApi == viaWindow)
+  }
+
+  test("localPrune keeps every global top-k row and preserves payloads") {
+    val df = Seq(
+      (1L, 10L, 0.9, "a"), (1L, 11L, 0.8, "b"), (1L, 12L, 0.7, "c"),
+      (1L, 13L, 0.6, "d"), (2L, 20L, 0.5, "e"), (2L, 21L, 0.4, "f"))
+      .toDF("g", "id", "score", "payload")
+      .repartition(4) // spread groups across partitions
+    val pruned = TopK.localPrune(df, "g", "score", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    // global top-2 per group must survive the per-partition prune
+    assert(Set((1L, 10L, 0.9, "a"), (1L, 11L, 0.8, "b")).subsetOf(pruned))
+    assert(Set((2L, 20L, 0.5, "e"), (2L, 21L, 0.4, "f")).subsetOf(pruned))
   }
 
   test("aggregator output is deterministic under repartitioning") {

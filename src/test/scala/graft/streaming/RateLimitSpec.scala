@@ -94,6 +94,42 @@ class RateLimitSpec extends SparkTestBase {
     }
   }
 
+  test("opt-in state TTL runs under a continuous micro-batch trigger") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_rl_ttl_").toString
+      val ck = Files.createTempDirectory("graft_rl_ttl_ck_").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[RateDecision]()
+      Seq.tabulate(5)(i => RateEvent(1L, 60L + i)).toDS()
+        .write.mode("append").parquet(dir)
+      val stream = spark.readStream
+        .schema(Seq.empty[RateEvent].toDS().schema)
+        .parquet(dir).as[RateEvent]
+      // TTL path: ProcessingTime time mode + TTLConfig — a default
+      // (continuous) trigger, drained via processAllAvailable, is the
+      // supported combination (AvailableNow/batch are not; see Scaladoc)
+      val q = StreamingRateLimit.rateLimit(stream, cap = 3, windowSec = 60L,
+          stateTtl = Some(java.time.Duration.ofSeconds(120)))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[RateDecision], _: Long) =>
+          b.collect().foreach(out.add)
+        }
+        .start()
+      // a TTL (ProcessingTime-mode) query keeps scheduling batches for
+      // eviction work, so processAllAvailable never returns — poll for
+      // the expected decisions with a deadline instead
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (out.size < 5 && System.nanoTime() < deadline && q.isActive)
+          Thread.sleep(200)
+      } finally q.stop()
+      import scala.jdk.CollectionConverters._
+      assert(out.asScala.count(d => d.user_id == 1L && d.admitted) == 3,
+        s"cap must hold on the TTL path: ${out.asScala.toSeq}")
+      assert(out.asScala.size == 5, "every event gets a decision row")
+    }
+  }
+
   test("keys are limited independently and batch mode runs from empty state") {
     withRocksDb {
       // batch (non-streaming) execution of the same operator

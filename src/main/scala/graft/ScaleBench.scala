@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Contamination, Dedup, Similarity}
+
+/** Empirical scale evidence for the heavy-hitter operators: replicate the
+  * sf0.1 corpora m× (m ∈ 1,2,5,10 by default) with per-replica content
+  * perturbation, write each scaled corpus to parquet, and time the five
+  * pipelines the plan-audit names as the cost centers (MinHash LSH,
+  * n-gram Jaccard, connected components, decontamination, axis-sign LSH
+  * near-dup). Near-linear slopes are the claim ARCHITECTURE.md makes from
+  * plan shapes; this measures them.
+  *
+  * Replicas are REWRITTEN, not copied: every token gets a per-replica
+  * prefix (docs) / every coordinate a per-replica deterministic
+  * perturbation (embeddings), so no cross-replica near-duplicates exist
+  * and the duplicate/near-dup density per row is CONSTANT in m — output
+  * sizes scale linearly and the timing isolates the engine, not a
+  * quadratically growing answer.
+  *
+  * `sbt "runMain graft.ScaleBench [baseSfDir] [m ...]"` → one JSON line
+  * per (op, m): {"op":…,"m":…,"in_rows":…,"out_rows":…,"sec":…}
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ms = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+    /** doc replica i: every token prefixed with r{i} — shares no shingle
+      * with any other replica (replica 0 is the original). */
+    def scaledDocs(m: Int): DataFrame =
+      (0 until m).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"r$i$$1")
+        baseDocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _)
+
+    /** embedding replica i: coordinate-wise deterministic perturbation —
+      * a different direction per replica, so no cross-replica near-dups
+      * under cosine. */
+    def scaledEmb(m: Int): DataFrame =
+      (0 until m).map { i =>
+        val v =
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, j) => x + sin((j + 1) * lit(i * 7 + 3)) * lit(0.5))
+        baseEmb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          v.as("embedding"))
+      }.reduce(_ unionByName _)
+
+    def timeOp(op: String, m: Int, inRows: Long)(build: => DataFrame): Unit = {
+      // min of 2 back-to-back runs: scaling slopes want the least-noise
+      // observation, not the load-average one
+      val (outRows, sec) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = build.count()
+        graft.ops.Dedup.unpersistCaches()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }.minBy(_._2)
+      println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec}""")
+    }
+
+    ms.foreach { m =>
+      val docPath = s"$work/docs_m$m"
+      val embPath = s"$work/emb_m$m"
+      scaledDocs(m).repartition(cpus.toInt).write.mode("overwrite").parquet(docPath)
+      scaledEmb(m).repartition(cpus.toInt).write.mode("overwrite").parquet(embPath)
+      val docs = spark.read.parquet(docPath)
+      val emb = spark.read.parquet(embPath)
+      val nDocs = docs.count()
+      val nEmb = emb.count()
+
+      timeOp("minhash_lsh", m, nDocs) {
+        Dedup.minhashLshPairs(docs, "doc_id", "text")
+      }
+      timeOp("ngram_jaccard", m, nDocs) {
+        // 500 probes per replica — the probe side scales with the corpus
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          col("doc_id") % 10000000L < 500, 0.3)
+      }
+      timeOp("decontaminate", m, nDocs) {
+        // fixed bench side (the point at 100 TB: bench is broadcastable)
+        val bench = baseDocs.filter(col("doc_id") % 50 === 0)
+        Contamination.containmentPairs(docs, bench, "doc_id", "text",
+          n = 5, threshold = 0.5)
+      }
+      timeOp("components", m, nDocs * 12) {
+        // chain graph ∝ corpus scale: same sparse-chain shape as q81
+        val e = spark.range(nDocs * 12)
+          .select((col("id") * 3).as("src"), (col("id") * 3 + 3).as("dst"))
+          .filter(col("src") % 30 =!= 27)
+        Components.connectedComponents(e, "src", "dst")
+      }
+      timeOp("axis_lsh_neardup", m, nEmb) {
+        // band width grows with log2(corpus) — the documented knob that
+        // caps bucket SIZE as the corpus grows (fixed 3-axis bands would
+        // make per-bucket pair work quadratic in m and measure the
+        // wrong thing: mis-tuning, not the engine)
+        val bits = 3 + (math.log(m.toDouble) / math.log(2)).ceil.toInt
+        val bands = Seq(0 until bits, bits until 2 * bits).map(_.toSeq)
+        Similarity.axisLshNearDupPairs(emb, "vec_id", "embedding",
+          bands, 0.99)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -265,6 +265,38 @@ object Dedup {
       lshBands(minhashSignatures(docs, idCol, textCol, family), idCol, family),
       idCol, maxBucket)
 
+  /** INCREMENTAL LSH: candidate pairs for a NEW batch of documents
+    * against an EXISTING persisted band-signature index (id, band_idx,
+    * sig) — the production ingest path. Emits new×old and new×new
+    * pairs; old×old pairs never form, so the historical corpus is never
+    * re-paired.
+    *
+    * Scale shape: only the NEW batch is shingled/minhashed (one pass
+    * over the increment); the join against the index is keyed on
+    * (band_idx, sig), and when the new batch is day-sized against a
+    * 100 TB index the new band table broadcasts — the historical index
+    * is probed in place and never shuffles. The candidate set is
+    * bounded per bucket exactly as in [[lshCandidatePairs]].
+    * (Bands for the new batch are what the caller appends to the index
+    * afterwards — compute them once via [[lshBands]] and pass here.) */
+  def incrementalLshPairs(existingBands: DataFrame, newBands: DataFrame,
+      idCol: String): DataFrame = {
+    val key = Seq("band_idx", "sig")
+    val nb = tracked(newBands)
+    // new side joins (old ∪ new); the `<` on the union side would drop
+    // new×old pairs where the new id is larger, so order is normalized
+    // afterwards instead
+    val other = existingBands.select(col(idCol), col("band_idx"), col("sig"))
+      .unionByName(nb.select(col(idCol), col("band_idx"), col("sig")))
+    nb.select(col("band_idx"), col("sig"), col(idCol).as("id_new"))
+      .join(other.select(col("band_idx"), col("sig"), col(idCol).as("id_other")), key)
+      .filter(col("id_new") =!= col("id_other"))
+      .select(
+        least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"))
+      .distinct()
+  }
+
   /** End-to-end near-dedup: LSH candidate pairs → connected components →
     * keep one survivor (the min id) per duplicate group. The full
     * corpus-scale dedup a training-data pipeline runs: candidates are

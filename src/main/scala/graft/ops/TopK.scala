@@ -24,42 +24,72 @@ object TopK {
 
   /** (groupKey, id, score) input row. */
   type In = (Long, Long, Double)
-  /** buffer/output entry: (score, id). */
+  /** output entry: (score, id). */
   type Entry = (Double, Long)
 
+  /** Flat partial-aggregation buffer: parallel (score, id) arrays with
+    * an explicit fill length. Product-encodable (two primitive arrays +
+    * an int), so shuffle/spill serialization is a codegen'd array copy —
+    * the previous `Kryo[ArrayBuffer[(Double, Long)]]` buffer boxed every
+    * entry into a Tuple2 and round-tripped it through reflective Kryo,
+    * the measured overhead on every partial-aggregate exchange. */
+  case class TopKBuf(var scores: Array[Double], var ids: Array[Long],
+      var len: Int)
+
   class TopKAggregator(k: Int)
-      extends Aggregator[In, ArrayBuffer[Entry], Seq[Entry]] {
+      extends Aggregator[In, TopKBuf, Seq[Entry]] {
+
+    // prune threshold: arrays never exceed 4k entries, and the encoder
+    // serializes whatever capacity exists — geometric growth keeps the
+    // serialized size proportional to the actual fill, not to 4k
+    private def cap = 4 * k
 
     // mid-flight prune: keeping the k best is enough, order irrelevant
-    private def prune(b: ArrayBuffer[Entry]): ArrayBuffer[Entry] =
-      if (b.length <= k) b
-      else {
-        val kept = b.sortBy { case (s, id) => (-s, id) }.take(k)
-        b.clear(); b ++= kept
+    private def prune(b: TopKBuf): Unit =
+      if (b.len > k) {
+        val kept = Array.tabulate(b.len)(i => (b.scores(i), b.ids(i)))
+          .sortBy { case (s, id) => (-s, id) }
+        b.len = k
+        var i = 0
+        while (i < k) { b.scores(i) = kept(i)._1; b.ids(i) = kept(i)._2; i += 1 }
       }
+
+    private def append(b: TopKBuf, s: Double, id: Long): Unit = {
+      if (b.len == b.scores.length) {
+        if (b.len >= cap) prune(b) // len drops to k; room reopens
+        else {
+          val n = math.min(cap, math.max(8, b.len * 2))
+          b.scores = java.util.Arrays.copyOf(b.scores, n)
+          b.ids = java.util.Arrays.copyOf(b.ids, n)
+        }
+      }
+      b.scores(b.len) = s; b.ids(b.len) = id; b.len += 1
+      if (b.len >= cap) prune(b)
+    }
 
     // finish must ALWAYS sort — a group with ≤ k candidates would
     // otherwise surface in arrival order (caught live on the sparse LSH
     // buckets of q57; see TopKSpec's small-group regression test)
-    private def sorted(b: ArrayBuffer[Entry]): Seq[Entry] =
-      b.sortBy { case (s, id) => (-s, id) }.take(k).toSeq
+    private def sorted(b: TopKBuf): Seq[Entry] =
+      Array.tabulate(b.len)(i => (b.scores(i), b.ids(i)))
+        .sortBy { case (s, id) => (-s, id) }.take(k).toSeq
 
-    override def zero: ArrayBuffer[Entry] = ArrayBuffer.empty
+    override def zero: TopKBuf =
+      TopKBuf(new Array[Double](0), new Array[Long](0), 0)
 
-    override def reduce(b: ArrayBuffer[Entry], a: In): ArrayBuffer[Entry] = {
-      b += ((a._3, a._2))
-      if (b.length >= 4 * k) prune(b) else b
+    override def reduce(b: TopKBuf, a: In): TopKBuf = {
+      append(b, a._3, a._2); b
     }
 
-    override def merge(x: ArrayBuffer[Entry], y: ArrayBuffer[Entry]): ArrayBuffer[Entry] = {
-      x ++= y
-      if (x.length >= 4 * k) prune(x) else x
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < y.len) { append(x, y.scores(i), y.ids(i)); i += 1 }
+      x
     }
 
-    override def finish(b: ArrayBuffer[Entry]): Seq[Entry] = sorted(b)
+    override def finish(b: TopKBuf): Seq[Entry] = sorted(b)
 
-    override def bufferEncoder: Encoder[ArrayBuffer[Entry]] =
-      Encoders.kryo[ArrayBuffer[Entry]]
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[Seq[Entry]] =
       ExpressionEncoder[Seq[Entry]]()
   }

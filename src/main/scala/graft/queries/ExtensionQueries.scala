@@ -378,8 +378,108 @@ object ExtensionQueries {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** INCREMENTAL dedup ingest — the production path for a growing
+    * corpus: the historical documents' band signatures are a persisted
+    * index; only the NEW batch (here: the planted exact/near copies) is
+    * shingled and minhashed, and candidates form as new×(old ∪ new) via
+    * the bucket join — old×old pairs never form and the history is
+    * never re-paired. The oracle replays q54's full banded self-join
+    * and keeps the pairs with a new-side member (planted ids sit above
+    * 1e7, so `id_b >= 1e7` is exactly that restriction under id_a<id_b)
+    * — two different formulations that must agree pair-for-pair. */
+  val q148IncrementalLsh = OracleQuery("q148_incremental_lsh",
+    "incremental MinHash LSH: new batch vs persisted band index, old corpus never re-paired",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val exact = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+      val near = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 20000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val newBatch = exact.unionByName(near)
+      val index = Dedup.lshBands(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      val newBands = Dedup.lshBands(
+        Dedup.minhashSignatures(newBatch, "doc_id", "text"), "doc_id")
+      Dedup.incrementalLshPairs(index, newBands, "doc_id")
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        val s = i / Dedup.LanesPerDigest
+        val off = (i % Dedup.LanesPerDigest) * 8 + 1
+        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
+      }.mkString(", ")
+      val bands = (0 until Dedup.NumBands).map { b =>
+        val cat = (0 until Dedup.RowsPerBand)
+          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS ($bands)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+      WHERE b.doc_id >= 10000000
+      ORDER BY id_a, id_b"""
+    })
+
+  /** Split-leakage audit — the contamination check a training pipeline
+    * runs AFTER splitting: near-duplicate pairs (q54's LSH candidates)
+    * whose members landed in DIFFERENT hash splits (q86's
+    * membership-exact 20% split). Any such pair leaks training content
+    * into the test set through a near-copy. Composes two oracle-proven
+    * operators; the oracle recomputes both sides independently. */
+  val q149SplitLeakage = OracleQuery("q149_split_leakage",
+    "train/test leakage audit: near-dup pairs straddling the hash split",
+    (s, d) => {
+      import graft.ops.Curation
+      val pairs = Dedup.minhashLshPairs(augmented(s, d), "doc_id", "text")
+      pairs
+        .select(col("id_a"), col("id_b"),
+          Curation.splitLabel(col("id_a"), 0.20).as("split_a"),
+          Curation.splitLabel(col("id_b"), 0.20).as("split_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        val s = i / Dedup.LanesPerDigest
+        val off = (i % Dedup.LanesPerDigest) * 8 + 1
+        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
+      }.mkString(", ")
+      val bands = (0 until Dedup.NumBands).map { b =>
+        val cat = (0 until Dedup.RowsPerBand)
+          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
+      }.mkString("\n      UNION ALL ")
+      def splitSql(c: String) =
+        s"CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 8) < '33333333' " +
+          "THEN 'test' ELSE 'train' END"
+      s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS ($bands),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             ${splitSql("id_a")} AS split_a,
+             ${splitSql("id_b")} AS split_b
+      FROM pairs
+      WHERE ${splitSql("id_a")} <> ${splitSql("id_b")}
+      ORDER BY id_a, id_b"""
+    })
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
-    q60TokenCount, q61BinaryMeta)
+    q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage)
 }

@@ -223,11 +223,19 @@ object MoreQueries {
   val q67ApproxDistinct = OracleQuery("q67_approx_distinct",
     "HLL approx distinct gated against the exact distinct count (±5%)",
     (s, d) =>
+      // two-level aggregate instead of count+COUNT(DISTINCT)+HLL in one
+      // agg: mixed distinct/plain aggregates make Spark Expand the input
+      // 2× before the shuffle. Level 1 collapses to (type, user) grain
+      // (plain hash agg, map-side partials); level 2 is all-plain — and
+      // the HLL estimate over DEDUPED pairs equals the estimate over
+      // the raw multiset, because HLL is duplicate-insensitive.
       Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("event_type"))
         .agg(
-          count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("exact_users"),
+          sum(col("n")).cast("long").as("n_events"),
+          count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("n_events"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double")

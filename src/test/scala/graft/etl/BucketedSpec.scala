@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Bucketed tables must (a) join and aggregate with ZERO shuffle
+  * exchanges on the bucket key and (b) produce exactly the unbucketed
+  * results. The exchange assertions read the EXECUTED plan string, so
+  * they hold through AQE re-planning. */
+class BucketedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val tables: Unit = {
+    Bucketed.writeBucketed(
+      Tables.orders(spark, sfDir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    Bucketed.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+      "b_lineitem", "o_orderkey", 8)
+  }
+
+  test("bucketed fact-to-fact join plans with zero exchanges") {
+    tables
+    // disable auto-broadcast so the join would otherwise be a
+    // shuffle-requiring sort-merge join — the layout must remove it
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = Bucketed.colocatedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-located join must not shuffle:\n$plan")
+
+      // result equality vs the plain (shuffled) join
+      val plain = Tables.orders(spark, sfDir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .join(Tables.lineitem(spark, sfDir)
+          .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+          "o_orderkey")
+      assert(n == plain.count())
+      // decimal-exact sums: double addition is order-sensitive and the
+      // two plans reduce in different orders (determinism rule 1)
+      def sums(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum($"l_quantity".cast("decimal(18,2)")),
+          sum($"o_totalprice".cast("decimal(18,2)"))).head()
+      assert(sums(joined) == sums(plain))
+    }
+  }
+
+  test("aggregation on the bucket key needs no exchange either") {
+    tables
+    val agg = spark.table("b_lineitem")
+      .groupBy($"o_orderkey")
+      .agg(sum($"l_quantity").as("q"))
+    assert(agg.count() > 0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$plan")
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    tables
+    Bucketed.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+      "b_lineitem_12", "o_orderkey", 12)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = Bucketed.colocatedJoin(spark, "b_orders", "b_lineitem_12",
+        "o_orderkey")
+      // correctness is non-negotiable; the exchange is allowed here
+      assert(joined.count() ==
+        Bucketed.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+          .count())
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Property-style equivalences (seeded generative data, explicit
+  * sampling) for the round-3 additions:
+  *
+  *  1. incremental-LSH convergence — ingesting a corpus in batches and
+  *     unioning each batch's incremental pairs must produce EXACTLY the
+  *     one-shot candidate pairs of the full corpus (every pair forms in
+  *     the batch where its later member arrives);
+  *  2. localPrune + window ≡ plain window top-k under adversarial ties
+  *     and arbitrary partitioning — the map-side prune must be
+  *     invisible in the result.
+  */
+class DedupPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // small synthetic corpus with REAL duplicate structure: seeded (so
+  // docGen(s) is a pure function — the planted copies must be ACTUAL
+  // copies), words recombined so LSH bands genuinely collide
+  private val words = Vector("spark", "data", "join", "window", "shuffle",
+    "scan", "hash", "sort", "merge", "agg")
+  private def docGen(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val n = 6 + rnd.nextInt(5)
+    Seq.fill(n)(words(rnd.nextInt(words.size))).zipWithIndex
+      .map { case (w, i) => if ((seed + i) % 3 == 0) w else s"$w${(seed + i) % 4}" }
+      .mkString(" ")
+  }
+
+  test("incremental LSH over batches converges to the one-shot pairs") {
+    val docs = (0L until 90L).map { i =>
+      // every 9th doc is an exact copy of doc i-9 → planted cross-batch
+      // AND within-batch duplicate pairs
+      val text = if (i % 9 == 0 && i > 0) docGen((i - 9).toInt) else docGen(i.toInt)
+      (i, text)
+    }
+    val full = docs.toDF("doc_id", "text")
+    val oneShot = Dedup.minhashLshPairs(full, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+
+    // ingest in 3 batches of 30; the index accumulates each batch's bands
+    val batches = docs.grouped(30).map(_.toDF("doc_id", "text")).toSeq
+    var index = batches.head.sparkSession.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("band_idx", lit(0L))
+      .withColumn("sig", lit("")).limit(0)
+      .select("doc_id", "band_idx", "sig")
+    val incremental = scala.collection.mutable.Set.empty[(Long, Long)]
+    batches.foreach { b =>
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignatures(b, "doc_id", "text"), "doc_id")
+      incremental ++= Dedup.incrementalLshPairs(index, bands, "doc_id")
+        .as[(Long, Long)].collect()
+      index = index.unionByName(bands.select("doc_id", "band_idx", "sig"))
+    }
+    assert(incremental.toSet == oneShot,
+      s"missing=${(oneShot -- incremental).take(5)} " +
+        s"extra=${(incremental.toSet -- oneShot).take(5)}")
+    assert(oneShot.nonEmpty, "degenerate corpus: no pairs formed at all")
+  }
+
+  test("localPrune + window ≡ plain window top-k under ties and resharding") {
+    // adversarial scores: heavy ties (scores drawn from 3 values)
+    val rows = (0L until 400L).map { i =>
+      (i % 7, i, (i % 3).toDouble, s"p$i")
+    }
+    for (parts <- Seq(1, 3, 13); k <- Seq(1, 2, 5)) {
+      val df = rows.toDF("g", "id", "score", "payload").repartition(parts)
+      val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+      def ranked(in: org.apache.spark.sql.DataFrame) =
+        in.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= k)
+          .select($"g", $"rank", $"id", $"score", $"payload")
+          .as[(Long, Long, Long, Double, String)].collect().toSet
+      val plain = ranked(df)
+      val pruned = ranked(TopK.localPrune(df, "g", "score", "id", k))
+      assert(pruned == plain, s"parts=$parts k=$k")
+    }
+  }
+}

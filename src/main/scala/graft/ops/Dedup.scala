@@ -190,6 +190,35 @@ object Dedup {
         (1 until NumHashes).map(i => lane(i).as(s"h$i")): _*)
   }
 
+  /** ROW-LOCAL minhash signatures: the same (id, h0..h15) table as
+    * [[minhashSignatures]], computed per row with higher-order array
+    * functions instead of explode + groupBy — ZERO shuffle, which makes
+    * it legal inside an append-mode STREAM (a streaming aggregation
+    * would demand watermark + update mode; a per-row projection demands
+    * nothing). Docs too short to shingle are dropped, matching the
+    * batch path (their exploded-shingle groups are empty there).
+    * DedupSpec pins row-for-row equality of the two formulations.
+    * Batch callers keep the explode form: at 100 TB its map-side
+    * partial min()s also never shuffle the digests, and the exploded
+    * shape feeds the band/bucket pipeline directly. */
+  def minhashSignaturesRowLocal(docs: DataFrame, idCol: String,
+      textCol: String, family: MinHashFamily = Md5Family): DataFrame = {
+    // every array is BOUND as a column before a lambda reads it
+    // (CLAUDE rule 3: inline expressions re-evaluate per element)
+    val base = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .withColumn("shs", shingles(col("ws")))
+      .filter(size(col("shs")) > 0)
+    val withDigests = (0 until family.numDigests).foldLeft(base) { (df, s) =>
+      df.withColumn(s"ds$s", transform(col("shs"), sh => family.digest(s, sh)))
+    }
+    withDigests.select(
+      col(idCol) +: (0 until NumHashes).map { i =>
+        array_min(transform(col(s"ds${i / LanesPerDigest}"),
+          d => family.lane(i, _ => d))).as(s"h$i")
+      }: _*)
+  }
+
   /** Banded signatures: (id, band_idx, sig) — one digest of each band's
     * concatenated row hashes. */
   def lshBands(sigs: DataFrame, idCol: String,

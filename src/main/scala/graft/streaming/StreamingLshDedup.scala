@@ -1,0 +1,102 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+import graft.ops.Dedup
+
+/** One LSH band row of a document's minhash signature. */
+case class BandRow(doc_id: Long, band_idx: Long, sig: String)
+
+/** A near-duplicate candidate pair, normalized id_a < id_b. */
+case class CandidatePair(id_a: Long, id_b: Long)
+
+/** STREAMING near-dedup — the streaming twin of the incremental batch
+  * path (`Dedup.incrementalLshPairs` / q148): documents arrive on a
+  * stream, each micro-batch is shingled/minhashed ROW-LOCALLY
+  * (`Dedup.minhashSignaturesRowLocal` — zero shuffle, so it is legal in
+  * append mode), and a `transformWithState` processor keyed on the LSH
+  * bucket (band_idx, sig) holds each bucket's member ids as ListState,
+  * emitting a candidate pair the moment a new member lands in a bucket
+  * with existing members.
+  *
+  * Equivalence: the distinct set of emitted pairs over any prefix of
+  * the stream equals `Dedup.minhashLshPairs` over the documents seen so
+  * far (LshDedupSpec pins this against the batch path). Pairs may be
+  * emitted once per colliding band — consumers dedup downstream
+  * (exact-once pair emission would need unbounded pair state; the
+  * downstream connected-components grouping is idempotent to
+  * multiplicity anyway).
+  *
+  * Scale: state is O(corpus bands), sharded by bucket key (the same
+  * distribution argument as the batch bucket join); per-bucket lists
+  * are bounded by `maxBucket` — a bucket at the cap STAR-LINKS new
+  * arrivals to the bucket's hub (minimum id) instead of all-pairing,
+  * the same degenerate-bucket guard as `Dedup.lshCandidatePairs`, which
+  * both bounds emission fan-out AND stops the state list from scanning
+  * quadratically; connectivity for downstream grouping is preserved. */
+object StreamingLshDedup {
+
+  private[streaming] class BucketProcessor(maxBucket: Int)
+      extends StatefulProcessor[String, BandRow, CandidatePair] {
+
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[CandidatePair] = {
+      val existing = ArrayBuffer.empty[Long]
+      members.get().foreach(existing += _)
+      var hub = if (existing.isEmpty) Long.MaxValue else existing.min
+      val out = ArrayBuffer.empty[CandidatePair]
+      rows.foreach { r =>
+        val id = r.doc_id
+        if (!existing.contains(id)) {
+          if (existing.length < maxBucket) {
+            existing.foreach { e =>
+              out += CandidatePair(math.min(e, id), math.max(e, id))
+            }
+          } else if (hub != Long.MaxValue) {
+            // oversized bucket: star-link to the hub only
+            out += CandidatePair(math.min(hub, id), math.max(hub, id))
+          }
+          existing += id
+          members.appendValue(id)
+          if (id < hub) hub = id
+        }
+      }
+      out.distinct.iterator
+    }
+  }
+
+  /** (doc_id, band_idx, sig) band rows for a (possibly streaming)
+    * documents frame — row-local end to end. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String): Dataset[BandRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.lshBands(
+        Dedup.minhashSignaturesRowLocal(docs, idCol, textCol), idCol)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("band_idx").cast("long"), col("sig"))
+      .as[BandRow]
+  }
+
+  /** Candidate pairs for a streaming documents frame. Append mode; use
+    * `.distinct()`/dropDuplicates downstream where exact-once pairs
+    * matter. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = Int.MaxValue): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandRows(docs, idCol, textCol)
+      .groupByKey(r => s"${r.band_idx}|${r.sig}")
+      .transformWithState(new BucketProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+
+/** Streaming LSH near-dedup: the row-local signature path must equal
+  * the batch explode+groupBy path, and the streamed candidate pairs
+  * must converge to the batch one-shot pairs over any stream prefix.
+  * RocksDB provider scoped as in RateLimitSpec (v2 state API). */
+class LshDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocksdb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  // seeded corpus with planted duplicates (same generator discipline as
+  // DedupPropertySpec: docGen is a pure function of the seed)
+  private val words = Vector("spark", "data", "join", "window", "shuffle",
+    "scan", "hash", "sort", "merge", "agg")
+  private def docGen(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val n = 6 + rnd.nextInt(5)
+    Seq.fill(n)(words(rnd.nextInt(words.size))).zipWithIndex
+      .map { case (w, i) => if ((seed + i) % 3 == 0) w else s"$w${(seed + i) % 4}" }
+      .mkString(" ")
+  }
+  private val docs = (0L until 60L).map { i =>
+    val text = if (i % 9 == 0 && i > 0) docGen((i - 9).toInt) else docGen(i.toInt)
+    (i, text)
+  }
+
+  test("row-local minhash signatures equal the explode+groupBy signatures") {
+    val df = docs.toDF("doc_id", "text")
+    val batch = Dedup.minhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.toSeq).toSet
+    val rowLocal = Dedup.minhashSignaturesRowLocal(df, "doc_id", "text")
+      .collect().map(r => r.toSeq).toSet
+    assert(rowLocal == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streamed candidate pairs converge to the batch one-shot pairs") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_slsh_").toString
+      val ck = Files.createTempDirectory("graft_slsh_ck_").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+      def drain(): Unit = {
+        val stream = spark.readStream
+          .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+          .parquet(dir)
+        val q = StreamingLshDedup.candidatePairs(stream, "doc_id", "text")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[CandidatePair], _: Long) =>
+            b.collect().foreach(p => out.add((p.id_a, p.id_b)))
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      import scala.jdk.CollectionConverters._
+
+      // two micro-batch waves: ids 0-29, then 30-59 (cross-wave dups at
+      // every i % 9 == 0 seed reuse)
+      docs.take(30).toDF("doc_id", "text").write.mode("append").parquet(dir)
+      drain()
+      val afterWave1 = out.asScala.toSet
+      val batchWave1 = Dedup.minhashLshPairs(
+          docs.take(30).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(afterWave1 == batchWave1,
+        s"wave-1 mismatch: missing=${(batchWave1 -- afterWave1).take(5)} " +
+          s"extra=${(afterWave1 -- batchWave1).take(5)}")
+
+      docs.drop(30).toDF("doc_id", "text").write.mode("append").parquet(dir)
+      drain()
+      val afterWave2 = out.asScala.toSet
+      val batchAll = Dedup.minhashLshPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(afterWave2 == batchAll,
+        s"wave-2 mismatch: missing=${(batchAll -- afterWave2).take(5)} " +
+          s"extra=${(afterWave2 -- batchAll).take(5)}")
+      assert(batchAll.nonEmpty, "degenerate corpus: no pairs at all")
+    }
+  }
+
+  test("oversized buckets star-link instead of all-pairing") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_slsh_cap_").toString
+      val ck = Files.createTempDirectory("graft_slsh_cap_ck_").toString
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      // 12 exact copies of one document → every band bucket holds all 12
+      val copies = (0L until 12L).map(i => (i, docGen(7)))
+      copies.toDF("doc_id", "text").write.mode("append").parquet(dir)
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+        .parquet(dir)
+      val q = StreamingLshDedup.candidatePairs(stream, "doc_id", "text",
+          maxBucket = 4)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CandidatePair], _: Long) =>
+          b.collect().foreach(p => out.add((p.id_a, p.id_b)))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val pairs = out.asScala.toSet
+      // all-pairs would be 66; cap=4 → C(4,2)=6 + 8 star links = 14
+      assert(pairs.size == 14, s"got ${pairs.size}: $pairs")
+      // connectivity for downstream grouping: every member in some pair
+      assert(pairs.flatMap(p => Seq(p._1, p._2)) == (0L until 12L).toSet,
+        "every member must appear in some pair")
+    }
+  }
+}

@@ -142,6 +142,10 @@ object Dedup {
     def digest(s: Int, sh: Column): Column
     /** The i-th minhash lane, reading the BOUND digest columns. */
     def lane(i: Int, digests: Int => Column): Column
+    /** Which single digest lane i reads (every family's lane is a pure
+      * function of ONE digest — the row-local formulation depends on
+      * it to transform the right per-shingle digest array). */
+    def laneDigest(i: Int): Int
     /** Collapse one band's row hashes into a bucket signature. */
     def bandSig(rows: Seq[Column]): Column
   }
@@ -159,6 +163,7 @@ object Dedup {
     def digest(s: Int, sh: Column): Column = md5(concat(lit(s"$s|"), sh))
     def lane(i: Int, digests: Int => Column): Column =
       substring(digests(i / LanesPerDigest), (i % LanesPerDigest) * 8 + 1, 8)
+    def laneDigest(i: Int): Int = i / LanesPerDigest
     def bandSig(rows: Seq[Column]): Column = md5(concat(rows: _*))
   }
 
@@ -168,6 +173,7 @@ object Dedup {
     val numDigests: Int = NumHashes
     def digest(s: Int, sh: Column): Column = xxhash64(lit(s), sh)
     def lane(i: Int, digests: Int => Column): Column = digests(i)
+    def laneDigest(i: Int): Int = i
     def bandSig(rows: Seq[Column]): Column = xxhash64(rows: _*)
   }
 
@@ -214,7 +220,7 @@ object Dedup {
     }
     withDigests.select(
       col(idCol) +: (0 until NumHashes).map { i =>
-        array_min(transform(col(s"ds${i / LanesPerDigest}"),
+        array_min(transform(col(s"ds${family.laneDigest(i)}"),
           d => family.lane(i, _ => d))).as(s"h$i")
       }: _*)
   }

@@ -478,8 +478,34 @@ object ExtensionQueries {
       ORDER BY id_a, id_b"""
     })
 
+  /** The ROW-LOCAL minhash signature formulation (zero shuffle — the
+    * building block that makes STREAMING near-dedup legal in append
+    * mode, `streaming/StreamingLshDedup`), hash-gated by the driver
+    * against the same DuckDB replay as the explode+groupBy form: three
+    * independent implementations of the signature math (per-row
+    * higher-order folds, exploded aggregation, DuckDB SQL) must agree
+    * to the byte. */
+  val q150RowLocalMinhash = OracleQuery("q150_rowlocal_minhash",
+    "row-local (zero-shuffle) minhash signatures vs the DuckDB replay",
+    (s, d) =>
+      Dedup.minhashSignaturesRowLocal(augmented(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some {
+      val mins = (0 until Dedup.NumHashes).map { i =>
+        val s = i / Dedup.LanesPerDigest
+        val off = (i % Dedup.LanesPerDigest) * 8 + 1
+        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
+      }.mkString(", ")
+      s"""
+      WITH $augmentedSql,
+      $shingleSql
+      SELECT doc_id, $mins FROM sh GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
-    q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage)
+    q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
+    q150RowLocalMinhash)
 }

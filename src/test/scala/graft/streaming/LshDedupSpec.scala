@@ -46,12 +46,14 @@ class LshDedupSpec extends SparkTestBase {
 
   test("row-local minhash signatures equal the explode+groupBy signatures") {
     val df = docs.toDF("doc_id", "text")
-    val batch = Dedup.minhashSignatures(df, "doc_id", "text")
-      .collect().map(r => r.toSeq).toSet
-    val rowLocal = Dedup.minhashSignaturesRowLocal(df, "doc_id", "text")
-      .collect().map(r => r.toSeq).toSet
-    assert(rowLocal == batch)
-    assert(batch.nonEmpty)
+    for (family <- Seq(Dedup.Md5Family, Dedup.XxFamily)) {
+      val batch = Dedup.minhashSignatures(df, "doc_id", "text", family)
+        .collect().map(r => r.toSeq).toSet
+      val rowLocal = Dedup.minhashSignaturesRowLocal(df, "doc_id", "text", family)
+        .collect().map(r => r.toSeq).toSet
+      assert(rowLocal == batch, s"family=$family")
+      assert(batch.nonEmpty)
+    }
   }
 
   test("streamed candidate pairs converge to the batch one-shot pairs") {

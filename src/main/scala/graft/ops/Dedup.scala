@@ -210,11 +210,18 @@ object Dedup {
   def minhashSignaturesRowLocal(docs: DataFrame, idCol: String,
       textCol: String, family: MinHashFamily = Md5Family): DataFrame = {
     // every array is BOUND as a column before a lambda reads it
-    // (CLAUDE rule 3: inline expressions re-evaluate per element)
+    // (CLAUDE rule 3: inline expressions re-evaluate per element).
+    // The too-short filter runs on ws, NOT on shs: size(shs) > 0 gets
+    // predicate-pushed below the projections with the whole alias chain
+    // substituted in, and the shingle lambda's element_at(ws, ...) then
+    // re-splits the text once per element (measured 6× on the whole
+    // query at sf0.1 — CLAUDE rule 11). size(ws) >= 3 is the same
+    // predicate (shingles are empty iff the doc has < n words) but
+    // evaluates the split exactly once when pushed.
     val base = docs
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
       .withColumn("shs", shingles(col("ws")))
-      .filter(size(col("shs")) > 0)
     val withDigests = (0 until family.numDigests).foldLeft(base) { (df, s) =>
       df.withColumn(s"ds$s", transform(col("shs"), sh => family.digest(s, sh)))
     }

@@ -23,6 +23,20 @@ object Curation {
   private def keyHash(key: Column, salt: String): Column =
     md5(concat(lit(salt), key.cast("string")).cast("binary"))
 
+  /** Uniform [0,1) draw that is a pure function of (key, salt): the
+    * first 32 bits of md5 scaled by 2⁻³². */
+  private def uniformDraw(key: Column, salt: String): Column =
+    conv(substring(keyHash(key, salt), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Per-domain weight lookup as a CASE chain — deterministic and
+    * replayable in plain SQL (a Spark map-literal lookup would not be).
+    * Domains absent from `weights` get NULL; callers drop them. */
+  private def weightExpr(domain: Column, weights: Map[String, Double]): Column =
+    weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(domain === k, lit(v)).otherwise(acc)
+    }
+
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by md5(key) order — a reproducible balanced sample. */
   def stratifiedExact(df: DataFrame, strataCols: Seq[String], keyCol: String,
@@ -59,11 +73,9 @@ object Curation {
     * uniform draw is the first 8 hex chars of md5 scaled by 2⁻³², the
     * same construction as [[splitLabel]]. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-      salt: String = ""): DataFrame = {
-    val draw = conv(substring(keyHash(col(keyCol), salt), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
-    df.filter(draw < least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
-  }
+      salt: String = ""): DataFrame =
+    df.filter(uniformDraw(col(keyCol), salt) <
+      least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
 
   /** Fixed-size token-window chunks with overlap — the
     * context-window-packing step before tokenization. One row per chunk:
@@ -93,5 +105,103 @@ object Curation {
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("ws"), col("start") + 1, lit(chunkSize)))
           .as("chunk_text"))
+  }
+
+  /** Feasible-max resampling plan toward TARGET domain proportions
+    * (the static data-mixing step of a pretraining pipeline: "train on
+    * 40% en, 20% de, ..."). Given per-domain target shares `weights`,
+    * the largest corpus honoring them without upsampling is
+    * N* = min_d(count_d / w_d); each domain then keeps
+    * `accept_d = w_d · N* / count_d` of its rows (exactly 1.0 for the
+    * binding domain). Returns (domain, n_in, w, accept_rate). Domains
+    * absent from `weights` are excluded (share 0).
+    *
+    * Scale shape: one map-side-combined count per domain (|domains|
+    * rows), a 1-row min aggregate broadcast back — the corpus itself is
+    * never shuffled; membership is decided row-locally in
+    * [[mixtureResample]]. */
+  def mixturePlan(df: DataFrame, domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "need positive target weights")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_in"))
+      .withColumn("w", weightExpr(col(domainCol), weights))
+      .filter(col("w").isNotNull)
+    val nstar = counts.agg(min(col("n_in") / col("w")).as("nstar"))
+    counts.crossJoin(broadcast(nstar))
+      .select(col(domainCol), col("n_in"), col("w"),
+        (col("w") * col("nstar") / col("n_in")).as("accept_rate"))
+  }
+
+  /** The resampled corpus under [[mixturePlan]]: per-row membership is
+    * the deterministic md5 draw against the domain's acceptance rate —
+    * no RNG, so resharding never flips a row and another engine
+    * replaying the same math keeps the same rows. The plan is a
+    * |domains|-row broadcast; the corpus scan stays narrow. */
+  def mixtureResample(df: DataFrame, domainCol: String, keyCol: String,
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
+    val plan = mixturePlan(df, domainCol, weights)
+      .select(col(domainCol), col("accept_rate"))
+    df.join(broadcast(plan), Seq(domainCol))
+      .filter(uniformDraw(col(keyCol), salt) < col("accept_rate"))
+      .drop("accept_rate")
+  }
+
+  /** Token-budget epoch planner: given target domain shares and a total
+    * training-token budget, how many passes (epochs) over each domain's
+    * data hit the budget at those shares? `epochs_d = B · w_d / T_d`
+    * where T_d is the domain's exact token count — the standard "data
+    * mixture with per-source epoch counts" table of a pretraining run.
+    * Fractional epochs > 1 flag domains that must repeat (upsample);
+    * < 1 flag domains that are subsampled. One narrow scan + a
+    * |domains|-row aggregate. */
+  def epochPlan(docs: DataFrame, domainCol: String, textCol: String,
+      weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "need a positive token budget")
+    docs
+      .select(col(domainCol),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tok"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w", weightExpr(col(domainCol), weights))
+      .filter(col("w").isNotNull)
+      .select(col(domainCol), col("n_tokens"), col("w"),
+        (lit(tokenBudget.toDouble) * col("w") / col("n_tokens")).as("epochs"))
+  }
+
+  /** Global deterministic training order (corpus shuffle) WITHOUT a
+    * single-partition sort: rank every row by md5(key) using
+    * key-derived hash buckets. The first `bucketHexChars` hex chars of
+    * the hash form the bucket (lexicographic hex order == numeric
+    * order), a |buckets|-row count table yields each bucket's global
+    * offset, and rank = offset + row_number within the bucket. Only the
+    * bounded offsets table crosses a single-partition window; the data
+    * itself shuffles ONCE on the bucket key and sorts locally —
+    * `row_number() OVER (ORDER BY hash)` would funnel 100 TB through
+    * one task. Buckets derive from the KEY, not the physical
+    * partitioning (CLAUDE rule 12), so reruns and reshards agree.
+    * At cluster scale raise `bucketHexChars` (4 → 65 536 buckets). */
+  def shuffleRank(df: DataFrame, keyCol: String, salt: String = "",
+      bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 8, "1..8 hex chars")
+    val withB = df
+      .select(col(keyCol), keyHash(col(keyCol), salt).as("_h"))
+      .withColumn("_bucket",
+        conv(substring(col("_h"), 1, bucketHexChars), 16, 10).cast("long"))
+    val offsets = withB.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(
+          sum(col("_n")).over(Window.orderBy(col("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bucket"), col("_offset"))
+    withB.join(broadcast(offsets), Seq("_bucket"))
+      .select(
+        (col("_offset") + row_number().over(
+          Window.partitionBy(col("_bucket"))
+            .orderBy(col("_h"), col(keyCol)))).cast("long").as("rank"),
+        col(keyCol))
   }
 }

@@ -42,4 +42,23 @@ object Redact {
     Patterns.foldLeft(text) { case (c, (_, re, ph)) =>
       regexp_replace(c, re, ph)
     }
+
+  /** Credential/secret pattern bank — the scan a corpus runs before
+    * release so leaked API keys never reach a training set. Same
+    * RE2-compatible discipline as [[Patterns]]. */
+  val SecretPatterns: Seq[(String, String, String)] = Seq(
+    ("api_key", "sk-[0-9a-f]{32}", "<API_KEY>"),
+    ("aws_key", "AKIA[0-9A-F]{16}", "<AWS_KEY>"))
+
+  /** Exact count of secret pattern `name` in `text`. */
+  def secretHits(text: Column, name: String): Column = {
+    val (_, re, _) = SecretPatterns.find(_._1 == name).get
+    regexp_count(text, lit(re)).cast("long")
+  }
+
+  /** `text` with every secret span replaced by its typed placeholder. */
+  def secretsRedacted(text: Column): Column =
+    SecretPatterns.foldLeft(text) { case (c, (_, re, ph)) =>
+      regexp_replace(c, re, ph)
+    }
 }

@@ -364,8 +364,100 @@ object CurationQueries {
       FROM r2 WHERE rank <= 10
       ORDER BY probe_id, rank"""))
 
+  /** Static data-mixing toward target language shares (`Curation
+    * .mixturePlan`/`mixtureResample`): feasible-max corpus at
+    * en 40% / de 20% / es 20% / fr 20% (zh excluded). The oracle
+    * replays the whole chain — counts, binding-domain N*, per-domain
+    * acceptance rates, and the md5-draw MEMBERSHIP of every kept row
+    * (id_sum pins who survived, not just how many). */
+  val q151MixtureResample = OracleQuery("q151_mixture_resample",
+    "feasible-max mixture resample to target lang shares, membership-exact",
+    (s, d) => {
+      val weights = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val plan = Curation.mixturePlan(docs, "lang", weights)
+      val kept = Curation.mixtureResample(docs, "lang", "doc_id", weights)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      plan.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_in"), col("accept_rate"),
+          col("n_kept"), col("id_sum"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n_in,
+               CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+                              WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+                    END AS DOUBLE) AS w
+        FROM documents GROUP BY lang),
+      c2 AS (SELECT * FROM c WHERE w IS NOT NULL),
+      ns AS (SELECT min(n_in / w) AS nstar FROM c2),
+      plan AS (
+        SELECT lang, n_in, w * nstar / n_in AS accept_rate FROM c2, ns),
+      kept AS (
+        SELECT d.lang, count(*) AS n_kept,
+               CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN plan p ON d.lang = p.lang
+        WHERE CAST(concat('0x',
+                substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              / 4294967296.0 < p.accept_rate
+        GROUP BY d.lang)
+      SELECT p.lang, p.n_in, p.accept_rate, k.n_kept, k.id_sum
+      FROM plan p JOIN kept k ON p.lang = k.lang
+      ORDER BY p.lang"""))
+
+  /** Token-budget epoch planner (`Curation.epochPlan`): exact per-lang
+    * token counts, target shares, and the fractional pass count each
+    * domain needs to fill a 1M-token budget at those shares. */
+  val q152EpochPlan = OracleQuery("q152_epoch_plan",
+    "per-domain epoch counts for a 1M-token budget at target shares",
+    (s, d) =>
+      Curation.epochPlan(Tables.documents(s, d), "lang", "text",
+        Map("en" -> 0.5, "de" -> 0.1, "es" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.1), 1000000L)
+        .orderBy("lang"),
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n_tok
+        FROM documents),
+      a AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM t GROUP BY lang),
+      ww AS (
+        SELECT lang, n_tokens,
+               CAST(CASE lang WHEN 'de' THEN 0.1 WHEN 'en' THEN 0.5
+                              WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                              WHEN 'zh' THEN 0.1 END AS DOUBLE) AS w
+        FROM a)
+      SELECT lang, n_tokens, w,
+             CAST(1000000 AS DOUBLE) * w / n_tokens AS epochs
+      FROM ww WHERE w IS NOT NULL
+      ORDER BY lang"""))
+
+  /** Global deterministic training order (`Curation.shuffleRank`): the
+    * oracle ranks with one global `row_number() OVER (ORDER BY md5)`;
+    * the Spark side uses key-derived hash buckets + a bounded offsets
+    * table so no single task ever sorts the whole corpus. Identical
+    * ranks prove the distributed formulation. */
+  val q154ShuffleRank = OracleQuery("q154_shuffle_rank",
+    "corpus shuffle order: bucketed distributed rank == global sort rank",
+    (s, d) =>
+      Curation.shuffleRank(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .withColumnRenamed("rank", "pos")
+        .orderBy("pos"),
+    Some("""
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS pos,
+             doc_id
+      FROM documents
+      ORDER BY pos"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
       q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches,
-      q136RerankKnn)
+      q136RerankKnn, q151MixtureResample, q152EpochPlan, q154ShuffleRank)
 }

@@ -333,8 +333,54 @@ object HygieneQueries {
       ORDER BY lift DESC, a, b
       LIMIT 20"""))
 
+  /** Credential scan + redaction (`Redact.SecretPatterns`) over a
+    * PLANTED-secrets view — the synthetic corpus contains no secrets,
+    * so every 20th doc gets an OpenAI-style key and every (20k+7)th an
+    * AWS-style key appended, derived from md5(doc_id) so both engines
+    * plant byte-identical strings. The scan must find exactly the
+    * planted spans; clean_len pins the redaction rewrite itself. */
+  val q153SecretScan = OracleQuery("q153_secret_scan",
+    "credential scan + typed redaction over planted API/AWS keys",
+    (s, d) => {
+      val idMd5 = md5(col("doc_id").cast("string").cast("binary"))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" api_key=sk-"), idMd5))
+        .when(col("doc_id") % 20 === 7,
+          concat(col("text"), lit(" creds=AKIA"),
+            upper(substring(idMd5, 1, 16))))
+        .otherwise(col("text")).as("raw"))
+      planted.select(col("doc_id"),
+          Redact.secretHits(col("raw"), "api_key").as("n_api_keys"),
+          Redact.secretHits(col("raw"), "aws_key").as("n_aws_keys"),
+          length(Redact.secretsRedacted(col("raw"))).cast("long")
+            .as("clean_len"))
+        .filter(col("n_api_keys") + col("n_aws_keys") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 0 THEN
+                      text || ' api_key=sk-' || md5(CAST(doc_id AS VARCHAR))
+                    WHEN doc_id % 20 = 7 THEN
+                      text || ' creds=AKIA' ||
+                        upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                    ELSE text END AS raw
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(raw, 'sk-[0-9a-f]{32}')) AS n_api_keys,
+             len(regexp_extract_all(raw, 'AKIA[0-9A-F]{16}')) AS n_aws_keys,
+             len(regexp_replace(regexp_replace(raw,
+               'sk-[0-9a-f]{32}', '<API_KEY>', 'g'),
+               'AKIA[0-9A-F]{16}', '<AWS_KEY>', 'g')) AS clean_len
+      FROM p
+      WHERE len(regexp_extract_all(raw, 'sk-[0-9a-f]{32}'))
+            + len(regexp_extract_all(raw, 'AKIA[0-9A-F]{16}')) > 0
+      ORDER BY doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
-      q135CooccurrenceLift)
+      q135CooccurrenceLift, q153SecretScan)
 }

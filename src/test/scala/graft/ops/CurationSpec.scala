@@ -110,4 +110,73 @@ class CurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("mixture resample: binding domain keeps all, shares hit targets, reshard-stable") {
+    val weights = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2)
+    val base = docs.select($"doc_id", $"lang")
+    val plan = Curation.mixturePlan(base, "lang", weights)
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (l, n, w, a) => l -> (n, w, a) }.toMap
+    // exactly one binding domain at acceptance 1.0; none above 1.0
+    assert(plan.values.count(_._3 == 1.0) >= 1)
+    plan.values.foreach { case (_, _, a) => assert(a > 0 && a <= 1.0) }
+    // zh has no target weight -> excluded from plan and sample
+    assert(!plan.contains("zh"))
+    val kept = Curation.mixtureResample(base, "lang", "doc_id", weights)
+    assert(kept.filter($"lang" === "zh").isEmpty)
+    // binding domain is never subsampled
+    val binding = plan.collectFirst { case (l, (_, _, a)) if a == 1.0 => l }.get
+    assert(kept.filter($"lang" === binding).count() == plan(binding)._1)
+    // achieved shares approximate the targets (Bernoulli noise at n≈500)
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    weights.foreach { case (l, w) =>
+      val achieved = counts.getOrElse(l, 0L) / total
+      assert(math.abs(achieved - w) < 0.08, s"$l achieved $achieved vs $w")
+    }
+    // membership is a pure function of (key, salt), not layout
+    val kept2 = Curation.mixtureResample(base.repartition(17), "lang",
+      "doc_id", weights)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      kept2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("epoch plan: planned tokens sum to the budget, unweighted domains dropped") {
+    val weights = Map("en" -> 0.5, "de" -> 0.1, "es" -> 0.15, "fr" -> 0.15,
+      "zh" -> 0.1)
+    val plan = Curation.epochPlan(docs, "lang", "text", weights, 1000000L)
+      .as[(String, Long, Double, Double)].collect()
+    assert(plan.map(_._1).toSet == weights.keySet)
+    // epochs_d * T_d = B * w_d, so the planned tokens add back to B
+    val planned = plan.map { case (_, t, _, e) => e * t }.sum
+    assert(math.abs(planned - 1000000.0) < 1.0, s"planned $planned")
+    val dropped = Curation.epochPlan(docs, "lang", "text",
+      weights - "zh", 1000000L)
+    assert(!dropped.as[(String, Long, Double, Double)].collect()
+      .exists(_._1 == "zh"))
+  }
+
+  test("shuffle rank: bijective 1..N, equals the global-sort rank, bucket-width invariant") {
+    val ids = docs.select($"doc_id")
+    val ranked = Curation.shuffleRank(ids, "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = ids.count()
+    assert(ranked.map(_._1).toSeq == (1L to n).toSeq)
+    // oracle: one global window over the same hash order
+    val global = ids
+      .select($"doc_id",
+        md5(concat(lit(""), $"doc_id".cast("string")).cast("binary")).as("h"))
+      .orderBy($"h", $"doc_id")
+      .as[(Long, String)].collect().map(_._1)
+    assert(ranked.map(_._2).toSeq == global.toSeq)
+    // coarser/finer bucketing must not change a single rank
+    val fine = Curation.shuffleRank(ids, "doc_id", bucketHexChars = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(fine.map(_._2).toSeq == ranked.map(_._2).toSeq)
+    // salt changes the order (still bijective)
+    val salted = Curation.shuffleRank(ids, "doc_id", salt = "v2")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(salted.map(_._1).toSeq == (1L to n).toSeq)
+    assert(salted.map(_._2).toSeq != ranked.map(_._2).toSeq)
+  }
 }

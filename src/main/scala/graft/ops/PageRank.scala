@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list, in EXACT INTEGER
+  * arithmetic — graph importance scoring for corpus curation (rank
+  * sources/hosts by link flow, elect the most central member of a
+  * duplicate cluster) and warehouse analytics (entity flow centrality).
+  *
+  * Why integers: float PageRank sums per-neighbor contributions in
+  * whatever order the shuffle delivers them — run-to-run AND
+  * engine-to-engine divergent. Here ranks are scaled longs
+  * (`scale` = 10¹² ≈ 40 bits, headroom to 2⁶³ even × damping·100),
+  * every division is floor division (`div` / `//`), and every sum is
+  * a BIGINT sum — so the fixed-point result is EXACTLY reproducible
+  * anywhere, including the DuckDB oracle (q155 replays 3 iterations
+  * with unrolled CTEs and must agree to the last unit). Floor losses
+  * are bounded: ≤ 1 unit per edge per iteration, i.e. a relative error
+  * ≤ |E|·iters / scale ≈ 10⁻⁶ at a billion edges.
+  *
+  * Scale shape (the Pregel-in-SQL iteration, same discipline as
+  * [[Components.connectedComponents]]): each iteration is one
+  * edges⋈ranks join (shuffle on src — ranks is node-sized, edges
+  * dominate) and one contribution aggregate (shuffle on dst,
+  * map-side partial sums absorb hub fan-in before the exchange).
+  * Nothing node- or edge-sized ever reaches the driver; the only
+  * driver value is N (one count). Iteration count is FIXED — no
+  * convergence collect — so the lineage depth is bounded and the
+  * whole loop is `iterations` shuffles deep.
+  *
+  * Dangling nodes (no out-edges) leak their mass — the standard
+  * simplified variant; symmetrize the edge list for undirected walks
+  * and the case vanishes. The reference warehouse has no graph ops at
+  * all (`schema.sql` is a star schema); this extends the dedup-graph
+  * family (SURVEY §2 extension layer).
+  */
+object PageRank {
+
+  /** (node, pr) after `iterations` damped rounds; `pr` sums to ≈
+    * `scale` (minus floor losses and dangling leakage). Node ids must
+    * be integral (hash string ids first, as in connectedComponents). */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "need 1..20 iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(scale >= 1000000L, "scale too small for meaningful floors")
+    val e = Caches.track(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = Caches.track(e.join(deg, "src"))
+    val nodes = Caches.track(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = scale / n
+    val baseTerm = (100L - dampingPct) * base / 100L
+    var pr = nodes.withColumn("pr", lit(base))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("contrib"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(baseTerm) +
+            expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+            .as("pr"))
+    }
+    pr
+  }
+}

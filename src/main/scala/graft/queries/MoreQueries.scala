@@ -467,8 +467,75 @@ object MoreQueries {
       FROM reach GROUP BY n
       ORDER BY node"""))
 
+  /** Integer-exact PageRank (`ops/PageRank`) on the customer↔supplier
+    * flow graph: distinct (customer, supplier) trade pairs from
+    * lineitem⋈orders, symmetrized, suppliers offset by 10⁶ to share
+    * the id space. 3 damped iterations in pure BIGINT floor
+    * arithmetic; the oracle unrolls the same three rounds as CTEs and
+    * must match to the last rank unit — float PageRank could never be
+    * hash-gated (neighbor-sum order differs per engine). */
+  val q155PageRank = OracleQuery("q155_supplier_pagerank",
+    "supplier flow centrality: 3-iteration integer PageRank, exact replay",
+    (s, d) => {
+      import graft.ops.PageRank
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      PageRank.pageRankInt(edges, "src", "dst", iterations = 3)
+        .filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"), col("pr"))
+        .orderBy(col("pr").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+      params AS (
+        SELECT 1000000000000 // count(*) AS base,
+               (15 * (1000000000000 // count(*))) // 100 AS baseterm
+        FROM nodes),
+      pr0 AS (SELECT node, base AS pr FROM nodes CROSS JOIN params),
+      c1 AS (
+        SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr1 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c1.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c1 ON nodes.node = c1.node),
+      c2 AS (
+        SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr2 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c2.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c2 ON nodes.node = c2.node),
+      c3 AS (
+        SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr2 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr3 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
+      SELECT node - 1000000 AS s_suppkey, pr
+      FROM pr3 WHERE node >= 1000000
+      ORDER BY pr DESC, s_suppkey
+      LIMIT 20"""))
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
     q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply,
-    q81Components, q128AsofNative)
+    q81Components, q128AsofNative, q155PageRank)
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  private def sym(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    edges ++ edges.map(_.swap)
+
+  test("star graph: the hub outranks every leaf") {
+    val e = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
+      .toDF("src", "dst")
+    val pr = PageRank.pageRankInt(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val leaves = (1L to 5L).map(pr)
+    assert(leaves.forall(_ < pr(0L)))
+    // symmetric leaves have identical ranks (exact arithmetic)
+    assert(leaves.distinct.size == 1)
+  }
+
+  test("mass conservation: symmetrized graph keeps ~all of scale (floor losses only)") {
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+      .toDF("src", "dst")
+    val total = PageRank.pageRankInt(e, "src", "dst")
+      .agg(sum("pr")).as[Long].head()
+    // each of the 10 directed edges and 4 nodes floors at most once per
+    // iteration (3), plus the initial base floor over 4 nodes
+    assert(total <= Scale)
+    assert(Scale - total < 100L, s"lost ${Scale - total} units")
+  }
+
+  test("matches a double-precision reference within floor-loss tolerance") {
+    val edges = sym(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
+      (2L, 6L), (6L, 7L), (7L, 1L)))
+    val pr = PageRank.pageRankInt(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // driver-side float reference of the same 3 damped iterations
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var ref = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      out.foreach { case (u, vs) =>
+        vs.foreach(v => contrib(v) += ref(u) / vs.size)
+      }
+      ref = nodes.map(v => v -> (0.15 / nodes.size + 0.85 * contrib(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(pr(v).toDouble / Scale - ref(v)) < 1e-6,
+        s"node $v: ${pr(v).toDouble / Scale} vs ${ref(v)}")
+    }
+  }
+
+  test("deterministic under resharding and repeated runs") {
+    val e = sym((1L to 40L).map(i => (i, i * 7 % 41))).toDF("src", "dst")
+    val a = PageRank.pageRankInt(e, "src", "dst")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = PageRank.pageRankInt(e.repartition(13), "src", "dst")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("directed chain: dangling sink leaks mass but ranks stay ordered") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = PageRank.pageRankInt(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // 3 receives from 2 which receives from 1: downstream accumulates
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
+    // node 3 has no out-edges: total < scale (leaked), still positive
+    val total = pr.values.sum
+    assert(total < Scale && total > 0)
+  }
+}

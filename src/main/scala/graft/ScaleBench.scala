@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Contamination, Dedup, Similarity}
+import graft.ops.{Components, Contamination, Curation, Dedup, PageRank, Similarity}
 
 /** Empirical scale evidence for the heavy-hitter operators: replicate the
   * sf0.1 corpora m× (m ∈ 1,2,5,10 by default) with per-replica content
@@ -69,7 +69,12 @@ object ScaleBench {
           v.as("embedding"))
       }.reduce(_ unionByName _)
 
+    // SPARK_GRAFT_SCALE_OPS=a,b,c reruns a subset without repeating the
+    // whole suite
+    val opsFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def timeOp(op: String, m: Int, inRows: Long)(build: => DataFrame): Unit = {
+      if (!opsFilter.forall(_.contains(op))) return
       // min of 2 back-to-back runs: scaling slopes want the least-noise
       // observation, not the load-average one
       val (outRows, sec) = (1 to 2).map { _ =>
@@ -111,6 +116,19 @@ object ScaleBench {
           .select((col("id") * 3).as("src"), (col("id") * 3 + 3).as("dst"))
           .filter(col("src") % 30 =!= 27)
         Components.connectedComponents(e, "src", "dst")
+      }
+      timeOp("rowlocal_minhash", m, nDocs) {
+        Dedup.minhashSignaturesRowLocal(docs, "doc_id", "text")
+      }
+      timeOp("shuffle_rank", m, nDocs) {
+        Curation.shuffleRank(docs.select(col("doc_id")), "doc_id")
+      }
+      timeOp("pagerank", m, nDocs * 12) {
+        // 12 edges/node random-ish graph ∝ corpus scale; 3 iterations
+        val e = spark.range(nDocs * 12)
+          .select((col("id") % nDocs).as("src"),
+            ((col("id") * 7 + 1) % nDocs).as("dst"))
+        PageRank.pageRankInt(e, "src", "dst")
       }
       timeOp("axis_lsh_neardup", m, nEmb) {
         // band width grows with log2(corpus) — the documented knob that

@@ -140,13 +140,24 @@ object Curation {
     * replaying the same math keeps the same rows. The plan is a
     * |domains|-row broadcast; the corpus scan stays narrow. */
   def mixtureResample(df: DataFrame, domainCol: String, keyCol: String,
-      weights: Map[String, Double], salt: String = ""): DataFrame = {
-    val plan = mixturePlan(df, domainCol, weights)
-      .select(col(domainCol), col("accept_rate"))
-    df.join(broadcast(plan), Seq(domainCol))
+      weights: Map[String, Double], salt: String = ""): DataFrame =
+    mixtureResampleWith(df, mixturePlan(df, domainCol, weights),
+      domainCol, keyCol, salt)
+
+  /** Membership application decoupled from plan computation: `plan` is
+    * any (domain, ..., accept_rate) table — typically [[mixturePlan]]
+    * over a STATIC reference corpus — broadcast against `df`, which may
+    * be a STREAMING DataFrame (stream-static join + stateless filter:
+    * legal in append mode, no watermark needed). This is how a
+    * continuously-ingesting pipeline holds a fixed target mixture:
+    * rates come from the reference snapshot, membership stays a pure
+    * function of (key, salt). MixtureStreamSpec pins stream ≡ batch. */
+  def mixtureResampleWith(df: DataFrame, plan: DataFrame,
+      domainCol: String, keyCol: String, salt: String = ""): DataFrame =
+    df.join(broadcast(plan.select(col(domainCol), col("accept_rate"))),
+        Seq(domainCol))
       .filter(uniformDraw(col(keyCol), salt) < col("accept_rate"))
       .drop("accept_rate")
-  }
 
   /** Token-budget epoch planner: given target domain shares and a total
     * training-token budget, how many passes (epochs) over each domain's

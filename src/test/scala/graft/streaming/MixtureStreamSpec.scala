@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.ops.Curation
+import graft.sources.Tables
+
+/** Streaming application of a static mixture plan
+  * (`Curation.mixtureResampleWith`): rates computed once over a
+  * reference snapshot, membership applied to an append-mode stream via
+  * a broadcast stream-static join — the continuously-ingesting twin of
+  * the q151 batch resample. */
+class MixtureStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed membership equals the batch resample, batch by batch") {
+    val weights = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    val plan = Curation.mixturePlan(docs, "lang", weights)
+
+    val dir = Files.createTempDirectory("graft_mix_").toString
+    val ck = Files.createTempDirectory("graft_mix_ck_").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, String)].toDF("doc_id", "lang").schema)
+        .parquet(dir)
+      val q = Curation
+        .mixtureResampleWith(stream, plan, "lang", "doc_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"doc_id").as[Long].collect().foreach(got.add)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // the corpus arrives in two increments
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(dir)
+    drain()
+    docs.filter($"doc_id" % 2 =!= 0).write.mode("append").parquet(dir)
+    drain()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSeq.sorted
+    val batch = Curation
+      .mixtureResampleWith(docs, plan, "lang", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}

@@ -339,6 +339,80 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering — the
+    * no-false-negative complement of the LSH paths: MinHash banding can
+    * miss a qualifying pair (tunable recall < 1); prefix filtering is
+    * exact. Set elements are the 3-gram shingles; tokens get a global
+    * canonical order (ascending document frequency, rarest first — the
+    * ordering that minimizes candidate fan-out), and each doc indexes
+    * only its first `n − ⌈τ·n⌉ + 1` tokens: any pair with J ≥ τ MUST
+    * share an indexed token (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07 prefix-filtering principle), so
+    * non-candidates are provably below threshold. A size-ratio filter
+    * (τ·max ≤ min) prunes candidates before the verify join counts the
+    * true intersection.
+    *
+    * Scale shape: the prefix index is a fraction of the shingle table;
+    * candidates form on shared RARE tokens (bounded buckets by
+    * construction — a token with document frequency f contributes ≤ f²
+    * candidate rows and high-df tokens land in nobody's prefix at
+    * realistic τ); verification touches candidates only. No all-pairs
+    * stage anywhere, and unlike [[ngramJaccardPairs]] there is no probe
+    * restriction — this is the full corpus×corpus exact join. The
+    * oracle (q156) recomputes the answer BRUTE-FORCE over shared
+    * shingles; equality proves completeness, not just precision. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "need 0 < minJaccard <= 1")
+    // the distinct shingle SET stays an ARRAY per doc: set-dedup is
+    // row-local (array_distinct — no corpus-wide DISTINCT shuffle) and
+    // verification is a row-local array_intersect on the candidate pair
+    // instead of a |candidates|×|set| exploded join (measured 2× on the
+    // whole join at sf0.1, where the tiny synthetic vocabulary makes
+    // near-threshold candidates abundant)
+    val arrays = tracked(docs
+      .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("arr", array_distinct(shingles(col("ws"))))
+      .select(col("doc"), col("arr"), size(col("arr")).cast("long").as("n")))
+    val tok = arrays.select(col("doc"), col("n"), explode(col("arr")).as("sh"))
+    val freq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(freq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
+      .filter(col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("doc"), col("sh"), col("n"), col("pos"))
+    // PPJoin positional filter: tokens after the shared one bound the
+    // remaining possible overlap at 1 + min(n_a−pos_a, n_b−pos_b);
+    // J ≥ τ needs overlap ≥ τ/(1+τ)·(n_a+n_b). The first common token
+    // (smallest positions) gives each true pair its loosest bound, so
+    // keeping pairs where ANY shared-token row passes is exact.
+    val overlapNeeded =
+      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b"))
+    val cand = prefix.select(col("doc").as("doc_a"), col("sh"),
+        col("n").as("n_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("doc").as("doc_b"), col("sh"),
+        col("n").as("n_b"), col("pos").as("pos_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) <=
+        least(col("n_a"), col("n_b")))
+      .filter(lit(1) + least(col("n_a") - col("pos_a"),
+        col("n_b") - col("pos_b")) >= overlapNeeded)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+    cand
+      .join(arrays.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arrays.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** End-to-end near-dedup: LSH candidate pairs → connected components →
     * keep one survivor (the min id) per duplicate group. The full
     * corpus-scale dedup a training-data pipeline runs: candidates are

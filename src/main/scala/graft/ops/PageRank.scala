@@ -42,14 +42,16 @@ object PageRank {
     * be integral (hash string ids first, as in connectedComponents). */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "need 1..20 iterations")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1000000L, "scale too small for meaningful floors")
-    val e = Caches.track(edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct())
+    // duplicate edges would double-count contributions; callers that
+    // already deduplicated (assumeDistinct) skip the extra shuffle
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = Caches.track(if (assumeDistinct) raw else raw.distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val withDeg = Caches.track(e.join(deg, "src"))
     val nodes = Caches.track(

@@ -503,9 +503,38 @@ object ExtensionQueries {
       ORDER BY doc_id"""
     })
 
+  /** EXACT similarity self-join via prefix filtering
+    * (`Dedup.prefixJaccardPairs`): no probe restriction, no LSH recall
+    * loss — every pair with shingle-Jaccard ≥ 0.5 over the full
+    * augmented corpus, found through rare-token prefix candidates. The
+    * oracle recomputes the answer BRUTE-FORCE (all shared-shingle
+    * pairs); equality proves the prefix filter dropped nothing —
+    * completeness, which the LSH oracles cannot claim. */
+  val q156PrefixJoin = OracleQuery("q156_prefix_jaccard_join",
+    "exact Jaccard similarity join (prefix filtering) == brute force",
+    (s, d) =>
+      Dedup.prefixJaccardPairs(augmented(s, d), "doc_id", "text", 0.5)
+        .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
-    q150RowLocalMinhash)
+    q150RowLocalMinhash, q156PrefixJoin)
 }

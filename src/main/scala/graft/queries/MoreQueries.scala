@@ -486,7 +486,9 @@ object MoreQueries {
         .distinct()
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      PageRank.pageRankInt(edges, "src", "dst", iterations = 3)
+      // pairs is distinct and the symmetrized union preserves that
+      PageRank.pageRankInt(edges, "src", "dst", iterations = 3,
+        assumeDistinct = true)
         .filter(col("node") >= 1000000L)
         .select((col("node") - 1000000L).as("s_suppkey"), col("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))

@@ -6,6 +6,41 @@ import graft.SparkTestBase
 import graft.sources.Tables
 
 class DedupSpec extends SparkTestBase {
+
+  test("prefix-filter Jaccard join: exactly the brute-force pair set, no false negatives") {
+    import spark.implicits._
+    // adversarial corpus: overlapping word windows over a SMALL shared
+    // vocabulary — many pairs sit right at the threshold boundary
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0L until 80L).map { i =>
+      val base = rng.shuffle(vocab).take(8 + rng.nextInt(8))
+      (i, base.mkString(" "))
+    }
+    // plus planted near-dups: drop the first word of every 5th doc
+    val planted = docs.filter(_._1 % 5 == 0)
+      .map { case (i, t) => (i + 1000L, t.split(" ").drop(1).mkString(" ")) }
+    val all = docs ++ planted
+    val df = all.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over the same 3-gram shingle sets
+    def shingles(t: String): Set[String] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = all.map { case (i, t) => i -> shingles(t) }.toMap
+    val want = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      if inter > 0 &&
+        inter.toDouble / (sa.size + sb.size - inter) >= 0.4
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "test corpus produced no qualifying pairs")
+  }
   import spark.implicits._
 
   private lazy val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus typed metadata, and decode / feature
   * extraction runs as a partition-parallel batch stage.
   *
-  * The actual media decode is STUBBED (this environment ships no
-  * image/audio codecs): [[decodeStub]] produces a deterministic fake
-  * feature vector from the bytes. Everything AROUND the stub — schema,
-  * batching, partitioning, null handling, the mapPartitions seam where a
-  * real codec (or a Pandas-UDF-style vectorized batch) would plug in — is
-  * real and tested (MultimodalSpec).
+  * Decoders plug into the [[Decoder]] seam. [[BmpDecoder]] is a REAL
+  * decoder for uncompressed 24-bit BMP (pure byte arithmetic — needs no
+  * codec library, so it runs even here). COMPRESSED formats (png/jpeg/
+  * audio) still need an external codec this environment does not ship;
+  * [[StubDecoder]] stands in for those with a deterministic fake
+  * feature vector. Everything around the decoders — schema, batching,
+  * partitioning, null handling, the mapPartitions seam — is real and
+  * tested (MultimodalSpec drives the stub, a toy decoder, and the BMP
+  * decoder through the same boundary).
   *
   * Scale notes: binary payloads stay columnar in parquet; the decode
   * stage is a narrow map (no shuffle); feature vectors feed directly into
@@ -52,6 +55,7 @@ object Multimodal {
     when(head4 === "89504E47", "png")
       .when(substring(head4, 1, 4) === "FFD8", "jpeg")
       .when(head4 === "52494646", "riff")
+      .when(substring(head4, 1, 4) === "424D", "bmp")
       .otherwise("unknown")
   }
 
@@ -75,6 +79,60 @@ object Multimodal {
         val (fmt, feats) = fakeDecode(bytes)
         (id, fmt, feats)
       }
+  }
+
+  /** REAL decoder for uncompressed 24-bit BMP — pure byte arithmetic
+    * over the public BITMAPFILEHEADER/BITMAPINFOHEADER layout, so it
+    * needs no codec library and actually runs here: dimensions from the
+    * DIB header, bottom-up padded rows walked pixel by pixel, per-channel
+    * means as features ([w, h, meanR, meanG, meanB, 0, 0, 0], means
+    * normalized to [0,1]). Anything that is not a valid uncompressed
+    * 24-bit BMP (including every compressed format — those still need an
+    * external codec plugged into [[Decoder]]) comes back "unknown" with
+    * zero features rather than throwing mid-stage. */
+  object BmpDecoder extends Decoder {
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] =
+      batch.map { case (id, b) =>
+        decodeOne(b) match {
+          case Some((w, h, r, g, bl)) =>
+            (id, "bmp", Seq(w.toDouble, h.toDouble, r, g, bl, 0.0, 0.0, 0.0))
+          case None => (id, "unknown", Seq.fill(FeatureDim)(0.0))
+        }
+      }
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** (width, height, meanR, meanG, meanB) or None if not decodable. */
+    private[ops] def decodeOne(b: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+      if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+      val off = i32(b, 10)
+      val w = i32(b, 18)
+      val h = i32(b, 22) // negative = top-down row order; means are order-free
+      val bpp = u16(b, 28)
+      val comp = i32(b, 30)
+      if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+      val rows = math.abs(h)
+      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (off < 54 || off.toLong + stride.toLong * rows > b.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < rows) {
+        val ro = off + y * stride
+        var x = 0
+        while (x < w) {
+          val p = ro + x * 3 // pixel byte order is B, G, R
+          sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * rows * 255.0
+      Some((w, rows, sr / n, sg / n, sb / n))
+    }
   }
 
   /** The decode seam: partition-parallel batch transform from

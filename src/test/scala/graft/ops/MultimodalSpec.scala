@@ -74,4 +74,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(blocks.length == 5) // 10 blocks, every 2nd
     assert(blocks.forall(_.getAs[Array[Byte]]("block").length == 10))
   }
+
+  /** Minimal uncompressed 24-bit BMP: 54-byte header + bottom-up padded
+    * rows, pixels all (r,g,b). */
+  private def bmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+    buf.putInt(40).putInt(w).putInt(h) // DIB size, width, height
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // pixel rows written positionally (allocate() zero-fills the
+    // padding bytes)
+    val arr = buf.array()
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 54 + y * stride + x * 3
+      arr(p) = b.toByte; arr(p + 1) = g.toByte; arr(p + 2) = r.toByte
+    }
+    arr
+  }
+
+  test("BmpDecoder really decodes: dimensions and channel means, padding respected") {
+    // odd width forces row padding (stride 12 for w=3)
+    val img = bmp(3, 2, r = 255, g = 102, b = 0)
+    val (w, h, mr, mg, mb) = Multimodal.BmpDecoder.decodeOne(img).get
+    assert((w, h) == (3, 2))
+    assert(mr == 1.0 && mb == 0.0)
+    assert(math.abs(mg - 102.0 / 255.0) < 1e-12)
+    // garbage and truncated payloads come back None, not an exception
+    assert(Multimodal.BmpDecoder.decodeOne("BMnope".getBytes).isEmpty)
+    assert(Multimodal.BmpDecoder.decodeOne(img.take(60)).isEmpty)
+    assert(Multimodal.BmpDecoder.decodeOne(Array[Byte]()).isEmpty)
+
+    // and through the SAME seam as every other decoder
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Seq(
+      (1L, bmp(4, 4, 10, 20, 30)),
+      (2L, "not an image at all".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.decode(media, "media_id", "content",
+        Multimodal.BmpDecoder)
+      .orderBy($"media_id").collect()
+    val bmpRow = out(0)
+    assert(bmpRow.getAs[String]("format") == "bmp")
+    val f = bmpRow.getSeq[Double](bmpRow.fieldIndex("features"))
+    assert(f.take(2) == Seq(4.0, 4.0))
+    assert(math.abs(f(2) - 10.0 / 255.0) < 1e-12)
+    assert(math.abs(f(3) - 20.0 / 255.0) < 1e-12)
+    assert(math.abs(f(4) - 30.0 / 255.0) < 1e-12)
+    assert(out(1).getAs[String]("format") == "unknown")
+    // sniffFormat agrees on the magic bytes
+    val sniffed = media.select(Multimodal.sniffFormat($"content"))
+      .as[String].collect().toSeq.sorted
+    assert(sniffed == Seq("bmp", "unknown"))
+  }
 }

@@ -63,6 +63,31 @@ object CountMin {
     best
   }
 
+  /** JOIN-SIZE estimate from two sketches built with the same
+    * (depth, width): |A ⋈ B on k| = Σ_k fA(k)·fB(k), estimated as the
+    * min over rows of the per-row counter inner product (Cormode &
+    * Muthukrishnan's inner-product estimator). Like the point estimate
+    * it NEVER undercounts, and overcounts by at most ε·|A|·|B|
+    * (ε ≈ e/width) with probability 1−δ — the cardinality check a
+    * planner wants BEFORE committing to a shuffle join: two 16 KB grids
+    * answer "how big is this join" without touching either table again.
+    * Caller must keep |A|·|B| < 2⁶³/width to stay inside Long. */
+  def joinSizeEstimate(a: Array[Long], b: Array[Long],
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): Long = {
+    require(a.length == depth * width && b.length == a.length,
+      "sketches must share (depth, width)")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) { s += a(r * width + j) * b(r * width + j); j += 1 }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
+
   /** Elementwise merge of two sketches (the distributive property the
     * partial aggregation relies on). */
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

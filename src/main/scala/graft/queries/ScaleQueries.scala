@@ -504,8 +504,54 @@ $scoreExpr AS score
       LIMIT 20"""
     })
 
+  /** CountMin inner-product join-cardinality estimate
+    * (`CountMin.joinSizeEstimate`), q110-style gated: the exact join
+    * size Σ_k fA(k)·fB(k) is oracle-replayable; the sketch estimate is
+    * not (MurmurHash3 has no DuckDB twin), so the Spark side asserts
+    * the estimator's GUARANTEES — never undercounts, overcounts ≤
+    * ε·|A|·|B| — as boolean columns the oracle expects TRUE. Two 16 KB
+    * grids answer "how big is this join" before any shuffle commits. */
+  val q157JoinCardGate = OracleQuery("q157_join_card_gate",
+    "CountMin join-size estimate gated against the exact inner product",
+    (s, d) => {
+      import s.implicits._
+      import graft.ops.CountMin
+      val li = Tables.lineitem(s, d)
+      val left = li.select(col("l_suppkey").cast("string")).as[String]
+      val right = li.filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").cast("string")).as[String]
+      val est = CountMin.joinSizeEstimate(
+        CountMin.sketch(left), CountMin.sketch(right))
+      val nLeft = left.count()
+      val nRight = right.count()
+      val fa = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("ca"))
+      val fb = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cb"))
+      val exact = fa.join(fb, "l_suppkey")
+        .agg(sum(col("ca") * col("cb"))).as[Long].head()
+      val slack =
+        (2.718281828459045 / CountMin.DefaultWidth * nLeft * nRight).toLong + 1
+      Seq((nLeft, nRight, exact, est >= exact, est <= exact + slack))
+        .toDF("n_left", "n_right", "exact_join_size",
+          "est_ge_exact", "est_within_eps")
+    },
+    Some("""
+      WITH fa AS (
+        SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      fb AS (
+        SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+        WHERE l_returnflag = 'R' GROUP BY 1)
+      SELECT (SELECT count(*) FROM lineitem) AS n_left,
+             (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R')
+               AS n_right,
+             CAST(SUM(fa.c * fb.c) AS BIGINT) AS exact_join_size,
+             TRUE AS est_ge_exact,
+             TRUE AS est_within_eps
+      FROM fa JOIN fb USING (k)"""))
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
-    q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf)
+    q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
+    q157JoinCardGate)
 }

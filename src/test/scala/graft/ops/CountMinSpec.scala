@@ -76,4 +76,33 @@ class CountMinSpec extends SparkTestBase {
     val slack = math.ceil(math.E / CountMin.DefaultWidth * keys.size).toLong
     assert(est <= slack, s"phantom count $est exceeds slack $slack")
   }
+
+  test("join-size estimate: never undercounts, bounded overcount, zero for disjoint keys") {
+    val rng = new scala.util.Random(11)
+    val a = Seq.fill(3000)(s"k${rng.nextInt(40)}")
+    val b = Seq.fill(2000)(s"k${rng.nextInt(60)}")
+    val exact = {
+      val fa = a.groupBy(identity).view.mapValues(_.size.toLong)
+      val fb = b.groupBy(identity).view.mapValues(_.size.toLong)
+      fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    }
+    val est = CountMin.joinSizeEstimate(
+      CountMin.sketch(a.toDS()), CountMin.sketch(b.toDS()))
+    assert(est >= exact, s"undercount: $est < $exact")
+    val slack = (math.E / CountMin.DefaultWidth * a.size * b.size).toLong + 1
+    assert(est <= exact + slack, s"overcount $est > $exact + $slack")
+    // disjoint key spaces: exact 0; the estimate only carries collision
+    // noise, still inside the epsilon bound
+    val c = Seq.fill(1000)(s"other${rng.nextInt(50)}")
+    val estDisjoint = CountMin.joinSizeEstimate(
+      CountMin.sketch(a.toDS()), CountMin.sketch(c.toDS()))
+    assert(estDisjoint <= (math.E / CountMin.DefaultWidth * a.size * c.size).toLong + 1)
+    // self-join size (the F2 moment) on a skewed multiset
+    val skewed = Seq.fill(500)("hot") ++ (1 to 100).map(i => s"cold$i")
+    val f2 = 500L * 500L + 100L
+    val sk = CountMin.sketch(skewed.toDS())
+    val estF2 = CountMin.joinSizeEstimate(sk, sk)
+    assert(estF2 >= f2 &&
+      estF2 <= f2 + (math.E / CountMin.DefaultWidth * 600 * 600).toLong + 1)
+  }
 }

@@ -124,10 +124,13 @@ object ScaleBench {
         Curation.shuffleRank(docs.select(col("doc_id")), "doc_id")
       }
       timeOp("pagerank", m, nDocs * 12) {
-        // 12 edges/node random-ish graph ∝ corpus scale; 3 iterations
+        // 12 DISTINCT edges/node ∝ corpus scale (the replica index
+        // id/nDocs varies dst per src — dst from id*7 alone collapses
+        // to one edge per node under distinct); 3 iterations
         val e = spark.range(nDocs * 12)
           .select((col("id") % nDocs).as("src"),
-            ((col("id") * 7 + 1) % nDocs).as("dst"))
+            ((col("id") % nDocs) * 7 + col("id") / nDocs + 1)
+              .mod(nDocs).as("dst"))
         PageRank.pageRankInt(e, "src", "dst")
       }
       timeOp("axis_lsh_neardup", m, nEmb) {

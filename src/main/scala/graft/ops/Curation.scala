@@ -129,9 +129,16 @@ object Curation {
       .withColumn("w", weightExpr(col(domainCol), weights))
       .filter(col("w").isNotNull)
     val nstar = counts.agg(min(col("n_in") / col("w")).as("nstar"))
+    // the binding domain is detected by the EQUALITY that defines it
+    // (its n_in/w IS the min), not by w·nstar/n_in == 1.0 — the FP
+    // round-trip w·(n/w)/n can land an epsilon either side of 1.0.
+    // Non-binding domains clamp at 1.0 for the same reason.
     counts.crossJoin(broadcast(nstar))
       .select(col(domainCol), col("n_in"), col("w"),
-        (col("w") * col("nstar") / col("n_in")).as("accept_rate"))
+        when(col("n_in") / col("w") === col("nstar"), lit(1.0))
+          .otherwise(least(lit(1.0),
+            col("w") * col("nstar") / col("n_in")))
+          .as("accept_rate"))
   }
 
   /** The resampled corpus under [[mixturePlan]]: per-row membership is

@@ -44,10 +44,16 @@ object Dedup {
     docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col(idCol), explode(shingles(col("ws"))).as("sh"))
 
-  /** Word n-gram shingles (default 3) of a single-spaced text column,
-    * as an array column. Empty array when the text is shorter than n.
-    * Pass a BOUND array column, not a raw expression — see shingleRows. */
-  def shingles(ws: Column, n: Int = 3): Column = {
+  /** Default shingle width — referenced by every "doc too short to
+    * shingle" pre-filter so the predicate can never desync from the
+    * shingle construction itself. */
+  val ShingleN = 3
+
+  /** Word n-gram shingles (default [[ShingleN]]) of a single-spaced
+    * text column, as an array column. Empty array when the text is
+    * shorter than n. Pass a BOUND array column, not a raw expression —
+    * see shingleRows. */
+  def shingles(ws: Column, n: Int = ShingleN): Column = {
     val mk: Column => Column = i =>
       concat_ws(" ", (0 until n).map(k => element_at(ws, (i + lit(k + 1)).cast("int"))): _*)
     when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), mk))
@@ -220,7 +226,7 @@ object Dedup {
     // evaluates the split exactly once when pushed.
     val base = docs
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= ShingleN)
       .withColumn("shs", shingles(col("ws")))
     val withDigests = (0 until family.numDigests).foldLeft(base) { (df, s) =>
       df.withColumn(s"ds$s", transform(col("shs"), sh => family.digest(s, sh)))
@@ -372,29 +378,38 @@ object Dedup {
     // near-threshold candidates abundant)
     val arrays = tracked(docs
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= ShingleN)
       .withColumn("arr", array_distinct(shingles(col("ws"))))
       .select(col("doc"), col("arr"), size(col("arr")).cast("long").as("n")))
     val tok = arrays.select(col("doc"), col("n"), explode(col("arr")).as("sh"))
     val freq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(freq, "sh")
+    // FP-boundary discipline for both pruning bounds: τ·n and
+    // τ/(1+τ)·(n_a+n_b) are REAL bounds compared against integers, and
+    // a double product can land epsilon ABOVE the exact rational value
+    // (0.4·5 = 2.0000000000000004), which would shorten a prefix /
+    // reject a boundary pair — a FALSE NEGATIVE in an operator whose
+    // contract is exactness. Nudging each bound down by 1e-9 can only
+    // loosen the filters (more candidates, verified exactly later),
+    // never tighten them: filters stay conservative, results exact.
+    val prefix = tracked(tok.join(freq, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
-      .filter(col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("doc"), col("sh"), col("n"), col("pos"))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc"), col("sh"), col("n"), col("pos")))
     // PPJoin positional filter: tokens after the shared one bound the
     // remaining possible overlap at 1 + min(n_a−pos_a, n_b−pos_b);
     // J ≥ τ needs overlap ≥ τ/(1+τ)·(n_a+n_b). The first common token
     // (smallest positions) gives each true pair its loosest bound, so
     // keeping pairs where ANY shared-token row passes is exact.
     val overlapNeeded =
-      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b"))
+      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9)
     val cand = prefix.select(col("doc").as("doc_a"), col("sh"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc").as("doc_b"), col("sh"),
         col("n").as("n_b"), col("pos").as("pos_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) <=
+      .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9) <=
         least(col("n_a"), col("n_b")))
       .filter(lit(1) + least(col("n_a") - col("pos_a"),
         col("n_b") - col("pos_b")) >= overlapNeeded)

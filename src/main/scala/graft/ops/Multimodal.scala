@@ -114,14 +114,19 @@ object Multimodal {
       val h = i32(b, 22) // negative = top-down row order; means are order-free
       val bpp = u16(b, 28)
       val comp = i32(b, 30)
-      if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
-      val rows = math.abs(h)
-      val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-      if (off < 54 || off.toLong + stride.toLong * rows > b.length) return None
+      // adversarial headers: w near Int.MaxValue would overflow an Int
+      // stride to a negative that sails past the bounds check, and
+      // abs(Int.MinValue) is still negative — ALL geometry runs in Long
+      // and h == Int.MinValue is rejected with the rest
+      if (bpp != 24 || comp != 0 || w <= 0 || h == 0 || h == Int.MinValue)
+        return None
+      val rows = math.abs(h).toLong
+      val stride = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+      if (off < 54 || off.toLong + stride * rows > b.length) return None
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
+      var y = 0L
       while (y < rows) {
-        val ro = off + y * stride
+        val ro = (off + y * stride).toInt // safe: bounds-checked above
         var x = 0
         while (x < w) {
           val p = ro + x * 3 // pixel byte order is B, G, R
@@ -131,7 +136,7 @@ object Multimodal {
         y += 1
       }
       val n = w.toDouble * rows * 255.0
-      Some((w, rows, sr / n, sg / n, sb / n))
+      Some((w, rows.toInt, sr / n, sg / n, sb / n))
     }
   }
 

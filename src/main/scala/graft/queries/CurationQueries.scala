@@ -394,7 +394,11 @@ object CurationQueries {
       c2 AS (SELECT * FROM c WHERE w IS NOT NULL),
       ns AS (SELECT min(n_in / w) AS nstar FROM c2),
       plan AS (
-        SELECT lang, n_in, w * nstar / n_in AS accept_rate FROM c2, ns),
+        SELECT lang, n_in,
+               CASE WHEN n_in / w = nstar THEN CAST(1.0 AS DOUBLE)
+                    ELSE LEAST(CAST(1.0 AS DOUBLE), w * nstar / n_in)
+               END AS accept_rate
+        FROM c2, ns),
       kept AS (
         SELECT d.lang, count(*) AS n_kept,
                CAST(SUM(d.doc_id) AS BIGINT) AS id_sum

@@ -20,7 +20,15 @@ class DedupSpec extends SparkTestBase {
     // plus planted near-dups: drop the first word of every 5th doc
     val planted = docs.filter(_._1 % 5 == 0)
       .map { case (i, t) => (i + 1000L, t.split(" ").drop(1).mkString(" ")) }
-    val all = docs ++ planted
+    // plus an exact-boundary pair: shingle sets of size 3 and 4 sharing
+    // exactly 2 → J = 2/5 = τ precisely. In doubles 0.4·5 lands at
+    // 2.0000000000000004, so any bound computed without the epsilon
+    // nudge silently drops this pair (regression for the FP-boundary
+    // fix in the size/positional/prefix filters)
+    val boundary = Seq(
+      (5000L, "ba bb bc bd be"),
+      (5001L, "ba bb bc bd bf bg"))
+    val all = docs ++ planted ++ boundary
     val df = all.toDF("doc_id", "text")
     val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 0.4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -108,6 +108,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.BmpDecoder.decodeOne("BMnope".getBytes).isEmpty)
     assert(Multimodal.BmpDecoder.decodeOne(img.take(60)).isEmpty)
     assert(Multimodal.BmpDecoder.decodeOne(Array[Byte]()).isEmpty)
+    // adversarial headers: a width that overflows an Int stride, and
+    // h = Int.MinValue (abs() stays negative) — reject, don't throw
+    def patched(at: Int, v: Int): Array[Byte] = {
+      val c = img.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at, v)
+      c
+    }
+    assert(Multimodal.BmpDecoder.decodeOne(patched(18, 800000000)).isEmpty)
+    assert(Multimodal.BmpDecoder.decodeOne(patched(22, Int.MinValue)).isEmpty)
 
     // and through the SAME seam as every other decoder
     implicit val s: org.apache.spark.sql.SparkSession = spark

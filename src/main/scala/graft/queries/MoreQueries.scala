@@ -480,10 +480,13 @@ object MoreQueries {
       import graft.ops.PageRank
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
+      // cached: the symmetrizing union reads it twice — uncached, the
+      // lineitem join + distinct run once per direction
+      val pairs = graft.ops.Caches.track(
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 1000000L).as("supp"))
+          .distinct())
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       // pairs is distinct and the symmetrized union preserves that

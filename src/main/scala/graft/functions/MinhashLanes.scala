@@ -1,0 +1,95 @@
+// Same placement rationale as DotProduct.scala: the Expression/Column
+// bridge is private[sql] in Spark 4.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused MinHash lanes over a shingle array: all
+  * `numDigests × lanesPerDigest` signature minima in ONE pass.
+  *
+  * The composable row-local form binds `numDigests` per-shingle digest
+  * arrays (`transform(shs, md5)`), then runs `lanes` separate
+  * `array_min(transform(ds, substring))` passes — ~20 interpreted
+  * higher-order traversals and as many transient arrays per row, since
+  * HOFs never enter WholeStageCodegen. This expression is ONE fused JVM
+  * loop: per shingle it computes the salted md5 digests once, slices
+  * the fixed-width hex lanes, and folds running minima — zero
+  * intermediate arrays, one allocation for the 16-slot result.
+  *
+  * Deliberately [[CodegenFallback]] (eval-only), unlike DotProduct: the
+  * shingle-construction child is itself a CodegenFallback HOF chain, so
+  * the enclosing Project can never join a WholeStageCodegen span anyway
+  * — the win here is the fused eval loop, not janino. (Historical note:
+  * intermittent empty-lanes failures during bring-up were NOT a codegen
+  * bug but a JVM class-init re-entrancy hazard in the constants passed
+  * as `numDigests`/`lanesPerDigest` — see the Dedup.NumDigests comment.)
+  *
+  * Semantics are IDENTICAL to the composable form (LshDedupSpec pins
+  * equality, the q150 oracle pins the DuckDB replay): digest s of
+  * shingle t is `md5Hex(utf8("s|" ++ t))` — exactly Spark's
+  * `md5(cast(concat(lit("s|"), t) as binary))` — and lane ordering is
+  * ASCII-hex lexicographic, where Java String, UTF8String binary, and
+  * DuckDB VARCHAR collation all agree. Null ELEMENTS are skipped like
+  * `array_min` skips the null digests the HOF form produces; an empty
+  * (or all-null) array yields NULL, matching the groupBy form where an
+  * empty group simply does not exist — hence `nullable = true` even for
+  * non-null input (CLAUDE rule 4). */
+case class MinhashMd5Lanes(child: Expression,
+    numDigests: Int, lanesPerDigest: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_md5_lanes"
+  override def nullable: Boolean = true
+
+  private def numLanes = numDigests * lanesPerDigest
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[String](numLanes)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sh = arr.getUTF8String(i).toString
+        var s = 0
+        while (s < numDigests) {
+          val hex = org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s.toString + "|" + sh)
+          var l = 0
+          while (l < lanesPerDigest) {
+            val lane = hex.substring(l * 8, l * 8 + 8)
+            val k = s * lanesPerDigest + l
+            if (mins(k) == null || lane.compareTo(mins(k)) < 0) mins(k) = lane
+            l += 1
+          }
+          s += 1
+        }
+        any = true
+      }
+      i += 1
+    }
+    if (!any) null
+    else new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashMd5Lanes =
+    copy(child = newChild)
+}
+
+object MinhashLanesFn {
+
+  /** Column API: all minhash lane minima of a shingle-array column. */
+  def minhash_md5_lanes(shingles: Column, numDigests: Int,
+      lanesPerDigest: Int): Column =
+    ExpressionUtils.column(MinhashMd5Lanes(
+      ExpressionUtils.expression(shingles), numDigests, lanesPerDigest))
+}

@@ -10,4 +10,7 @@ package object functions {
   type BloomMightContain = org.apache.spark.sql.graftfn.BloomMightContain
   val BloomMightContain: org.apache.spark.sql.graftfn.BloomMightContain.type =
     org.apache.spark.sql.graftfn.BloomMightContain
+  type MinhashMd5Lanes = org.apache.spark.sql.graftfn.MinhashMd5Lanes
+  val MinhashLanesFn: org.apache.spark.sql.graftfn.MinhashLanesFn.type =
+    org.apache.spark.sql.graftfn.MinhashLanesFn
 }

@@ -183,14 +183,34 @@ object Dedup {
     def bandSig(rows: Seq[Column]): Column = xxhash64(rows: _*)
   }
 
-  val NumDigests: Int = Md5Family.numDigests
+  // NOT `Md5Family.numDigests`: reading a NESTED object during the
+  // OUTER object's initialization is a JVM class-init re-entrancy trap.
+  // If any thread initializes Md5Family$ first (a deserialized task
+  // closure does exactly that), Md5Family$'s init re-enters the
+  // in-progress Dedup$ init, this val reads the not-yet-assigned inner
+  // field as 0, and every consumer of NumDigests is silently poisoned
+  // for the JVM's lifetime (surfaced as empty minhash-lane arrays in
+  // shared test sessions — intermittent, init-order-dependent).
+  val NumDigests: Int = NumHashes / LanesPerDigest
 
-  /** (doc_id, h0..h15) MinHash signature table from (id, text). The
-    * digests are BOUND as columns before the 16 min() aggregates read
-    * them — aggregate input expressions are not reliably
-    * subexpression-eliminated, so an inline digest would run once per
-    * lane that reads it. */
+  /** (doc_id, h0..h15) MinHash signature table from (id, text).
+    * Md5Family routes through the ROW-LOCAL fused-expression form —
+    * one eval-loop pass, ZERO shuffle — which beats the exploded
+    * aggregation outright (LshDedupSpec pins their equality, the q150
+    * oracle pins the DuckDB replay). Other families keep the exploded
+    * form ([[minhashSignaturesExploded]]). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      family: MinHashFamily = Md5Family): DataFrame = family match {
+    case Md5Family => minhashSignaturesRowLocal(docs, idCol, textCol, family)
+    case _ => minhashSignaturesExploded(docs, idCol, textCol, family)
+  }
+
+  /** The explode + groupBy signature formulation: per-shingle digest
+    * rows, 16 map-side-partial min() aggregates. The digests are BOUND
+    * as columns before the 16 min() aggregates read them — aggregate
+    * input expressions are not reliably subexpression-eliminated, so an
+    * inline digest would run once per lane that reads it. */
+  def minhashSignaturesExploded(docs: DataFrame, idCol: String, textCol: String,
       family: MinHashFamily = Md5Family): DataFrame = {
     val exploded = shingleRows(docs, idCol, textCol)
     val digests = exploded.select(
@@ -228,14 +248,28 @@ object Dedup {
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= ShingleN)
       .withColumn("shs", shingles(col("ws")))
-    val withDigests = (0 until family.numDigests).foldLeft(base) { (df, s) =>
-      df.withColumn(s"ds$s", transform(col("shs"), sh => family.digest(s, sh)))
+    family match {
+      case Md5Family =>
+        // fused expression: one eval loop computes all 16 lane minima
+        // (the HOF fold below walks ~20 interpreted array traversals
+        // per row); "lanes" is BOUND before 16 getItems read it, so
+        // CollapseProject cannot inline the non-cheap expression 16×
+        // (same discipline as the digest columns)
+        base
+          .withColumn("lanes", graft.functions.MinhashLanesFn
+            .minhash_md5_lanes(col("shs"), NumDigests, LanesPerDigest))
+          .select(col(idCol) +: (0 until NumHashes).map(i =>
+            col("lanes").getItem(i).as(s"h$i")): _*)
+      case _ =>
+        val withDigests = (0 until family.numDigests).foldLeft(base) { (df, s) =>
+          df.withColumn(s"ds$s", transform(col("shs"), sh => family.digest(s, sh)))
+        }
+        withDigests.select(
+          col(idCol) +: (0 until NumHashes).map { i =>
+            array_min(transform(col(s"ds${family.laneDigest(i)}"),
+              d => family.lane(i, _ => d))).as(s"h$i")
+          }: _*)
     }
-    withDigests.select(
-      col(idCol) +: (0 until NumHashes).map { i =>
-        array_min(transform(col(s"ds${family.laneDigest(i)}"),
-          d => family.lane(i, _ => d))).as(s"h$i")
-      }: _*)
   }
 
   /** Banded signatures: (id, band_idx, sig) — one digest of each band's

@@ -96,4 +96,53 @@ class FunctionsSpec extends SparkTestBase {
       f"native ($tNative%.3fs) should beat composable ($tComposable%.3fs)")
     big.unpersist()
   }
+
+  test("minhash_md5_lanes eval: exact md5 lane minima, null/empty contracts") {
+    // driver-side eval pinning (the expression ships as an opt-in
+    // building block, not wired into catalog paths — see
+    // Dedup.minhashSignatures scaladoc for the revert story)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.graftfn.MinhashMd5Lanes
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ops.Dedup
+
+    val expr = MinhashMd5Lanes(
+      BoundReference(0, ArrayType(StringType), nullable = true),
+      Dedup.NumDigests, Dedup.LanesPerDigest)
+    def evalOn(shingles: Seq[String]): Seq[String] = {
+      val arr = new GenericArrayData(
+        shingles.map(s => if (s == null) null else UTF8String.fromString(s)))
+      expr.eval(InternalRow(arr)) match {
+        case null => null
+        case a: ArrayData =>
+          (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+    }
+    // reference: plain md5Hex over "s|shingle", fixed-width hex slices
+    def ref(shingles: Seq[String]): Seq[String] =
+      (0 until Dedup.NumHashes).map { i =>
+        shingles.filter(_ != null).map { sh =>
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s"${i / Dedup.LanesPerDigest}|$sh")
+            .substring((i % Dedup.LanesPerDigest) * 8,
+              (i % Dedup.LanesPerDigest) * 8 + 8)
+        }.min
+      }
+    val docs = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x y z"),
+      Seq(null, "a b c")) // null element skipped, like array_min
+    docs.foreach(d => assert(evalOn(d) == ref(d), d))
+    // empty or all-null input → NULL (matches "empty group doesn't
+    // exist" in the groupBy form); CLAUDE rule 4: nullable = true
+    assert(evalOn(Seq.empty) == null)
+    assert(evalOn(Seq(null)) == null)
+    assert(expr.nullable)
+    // and null input propagates null (UnaryExpression contract)
+    assert(MinhashMd5Lanes(Literal(null, ArrayType(StringType)), 4, 4)
+      .eval(InternalRow.empty) == null)
+  }
 }

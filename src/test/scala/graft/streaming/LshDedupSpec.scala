@@ -47,7 +47,10 @@ class LshDedupSpec extends SparkTestBase {
   test("row-local minhash signatures equal the explode+groupBy signatures") {
     val df = docs.toDF("doc_id", "text")
     for (family <- Seq(Dedup.Md5Family, Dedup.XxFamily)) {
-      val batch = Dedup.minhashSignatures(df, "doc_id", "text", family)
+      // the EXPLODED form, explicitly: minhashSignatures delegates the
+      // Md5 family to the row-local form, which would compare it with
+      // itself
+      val batch = Dedup.minhashSignaturesExploded(df, "doc_id", "text", family)
         .collect().map(r => r.toSeq).toSet
       val rowLocal = Dedup.minhashSignaturesRowLocal(df, "doc_id", "text", family)
         .collect().map(r => r.toSeq).toSet

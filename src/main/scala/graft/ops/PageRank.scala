@@ -39,20 +39,47 @@ object PageRank {
 
   /** (node, pr) after `iterations` damped rounds; `pr` sums to ≈
     * `scale` (minus floor losses and dangling leakage). Node ids must
-    * be integral (hash string ids first, as in connectedComponents). */
+    * be integral (hash string ids first, as in connectedComponents).
+    * Uniform edge weights — the weighted walk below with w ≡ 1
+    * (`pr div outdeg` ≡ `(pr·1) div Σ1`). */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampingPct: Int = 85,
       scale: Long = 1000000000000L,
       assumeDistinct: Boolean = false): DataFrame = {
-    require(iterations >= 1 && iterations <= 20, "need 1..20 iterations")
-    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
-    require(scale >= 1000000L, "scale too small for meaningful floors")
     // duplicate edges would double-count contributions; callers that
     // already deduplicated (assumeDistinct) skip the extra shuffle
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val e = Caches.track(if (assumeDistinct) raw else raw.distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = (if (assumeDistinct) raw else raw.distinct())
+      .withColumn("w", lit(1L))
+    weightedCore(e, iterations, dampingPct, scale)
+  }
+
+  /** WEIGHTED PageRank: the random walk follows edge (u,v) with
+    * probability w(u,v)/Σ_out w(u,·) — flow centrality where heavier
+    * relationships carry proportionally more mass (trade volume, link
+    * counts, dup-pair similarity). Same exact-integer discipline:
+    * share(u→v) = (pr(u)·w) div W_u, so the caller must keep
+    * scale · max(w) < 2⁶³ (weights up to ~9·10⁶ at the default scale).
+    * Non-positive-weight edges are dropped. Edges must be distinct per
+    * (src, dst) — duplicates double-count. */
+  def pageRankIntWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+    weightedCore(e, iterations, dampingPct, scale)
+  }
+
+  private def weightedCore(edgesW: DataFrame, iterations: Int,
+      dampingPct: Int, scale: Long): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, "need 1..20 iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(scale >= 1000000L, "scale too small for meaningful floors")
+    val e = Caches.track(edgesW)
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withDeg = Caches.track(e.join(deg, "src"))
     val nodes = Caches.track(
       e.select(col("src").as("node"))
@@ -66,7 +93,7 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(pr, withDeg("src") === pr("node"))
-        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .select(col("dst"), expr("(pr * w) div wout").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("contrib"))
       pr = nodes.join(contrib, col("node") === col("dst"), "left")

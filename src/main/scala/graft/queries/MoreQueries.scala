@@ -539,8 +539,82 @@ object MoreQueries {
       ORDER BY pr DESC, s_suppkey
       LIMIT 20"""))
 
+  /** WEIGHTED PageRank (`PageRank.pageRankIntWeighted`) on the same
+    * customer↔supplier graph, edge weight = number of lineitems traded
+    * on the pair — the walk now follows heavy trade relationships
+    * proportionally. Same exact-integer replay: the oracle unrolls the
+    * three weighted rounds ((pr·w) // Σw shares) and must agree to the
+    * unit; rank order genuinely differs from q155's unweighted walk. */
+  val q158WeightedPageRank = OracleQuery("q158_weighted_pagerank",
+    "trade-volume-weighted supplier PageRank, exact integer replay",
+    (s, d) => {
+      import graft.ops.PageRank
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = graft.ops.Caches.track(
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            (col("l_suppkey") + 1000000L).as("supp"))
+          .groupBy("cust", "supp").agg(count(lit(1)).as("w")))
+      val edges = pairs
+        .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(pairs
+          .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      PageRank.pageRankIntWeighted(edges, "src", "dst", "w", iterations = 3)
+        .filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"), col("pr"))
+        .orderBy(col("pr").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH pw AS (
+        SELECT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp,
+               count(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      e AS (SELECT cust AS src, supp AS dst, w FROM pw
+            UNION ALL
+            SELECT supp AS src, cust AS dst, w FROM pw),
+      deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+      params AS (
+        SELECT 1000000000000 // count(*) AS base,
+               (15 * (1000000000000 // count(*))) // 100 AS baseterm
+        FROM nodes),
+      pr0 AS (SELECT node, base AS pr FROM nodes CROSS JOIN params),
+      c1 AS (
+        SELECT e.dst AS node,
+               CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr1 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c1.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c1 ON nodes.node = c1.node),
+      c2 AS (
+        SELECT e.dst AS node,
+               CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr2 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c2.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c2 ON nodes.node = c2.node),
+      c3 AS (
+        SELECT e.dst AS node,
+               CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
+        FROM e JOIN deg d ON e.src = d.src JOIN pr2 p ON e.src = p.node
+        GROUP BY e.dst),
+      pr3 AS (
+        SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
+        FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
+      SELECT node - 1000000 AS s_suppkey, pr
+      FROM pr3 WHERE node >= 1000000
+      ORDER BY pr DESC, s_suppkey
+      LIMIT 20"""))
+
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
     q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply,
-    q81Components, q128AsofNative, q155PageRank)
+    q81Components, q128AsofNative, q155PageRank, q158WeightedPageRank)
 }

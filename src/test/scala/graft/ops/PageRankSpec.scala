@@ -67,6 +67,31 @@ class PageRankSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("weighted walk: uniform weights equal the unweighted walk; heavy edges pull rank") {
+    val edges = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val uw = PageRank.pageRankInt(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val w1 = edges.map { case (s, d) => (s, d, 1L) }
+    val weightedUniform = PageRank.pageRankIntWeighted(
+      w1.toDF("src", "dst", "w"), "src", "dst", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(weightedUniform == uw)
+    // node 1 splits mass 3:1 between 2 and 3 instead of evenly
+    val skew = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = PageRank.pageRankIntWeighted(skew, "src", "dst", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(pr(2L) > pr(3L))
+    // zero/negative-weight edges are dropped, not walked
+    val withDead = Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val pr2 = PageRank.pageRankIntWeighted(withDead, "src", "dst", "w")
+      .as[(Long, Long)].collect().toMap
+    // 3 only appears as a dst of a dead edge -> still a node? the edge
+    // is dropped entirely, so 3 is not in the graph at all
+    assert(!pr2.contains(3L))
+  }
+
   test("directed chain: dangling sink leaks mass but ranks stay ordered") {
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val pr = PageRank.pageRankInt(e, "src", "dst")

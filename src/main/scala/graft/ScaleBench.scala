@@ -127,10 +127,11 @@ object ScaleBench {
         // 12 DISTINCT edges/node ∝ corpus scale (the replica index
         // id/nDocs varies dst per src — dst from id*7 alone collapses
         // to one edge per node under distinct); 3 iterations
+        // `div`, not `/`: Column division is DOUBLE division, and the
+        // replica index must stay an exact integer
         val e = spark.range(nDocs * 12)
-          .select((col("id") % nDocs).as("src"),
-            ((col("id") % nDocs) * 7 + col("id") / nDocs + 1)
-              .mod(nDocs).as("dst"))
+          .selectExpr(s"id % $nDocs as src",
+            s"((id % $nDocs) * 7 + id div $nDocs + 1) % $nDocs as dst")
         PageRank.pageRankInt(e, "src", "dst")
       }
       timeOp("axis_lsh_neardup", m, nEmb) {

@@ -44,6 +44,13 @@ case class MinhashMd5Lanes(child: Expression,
     numDigests: Int, lanesPerDigest: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
+  // md5Hex is 32 hex chars = at most 4 8-char lanes per digest; out-of-
+  // range params would throw per-row (lanes > 4) or silently emit
+  // empty signatures (0) — fail at construction instead
+  require(numDigests > 0, "need numDigests > 0")
+  require(lanesPerDigest > 0 && lanesPerDigest <= 4,
+    "need 1..4 lanes per 128-bit md5 digest")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_md5_lanes"

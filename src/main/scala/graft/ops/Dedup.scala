@@ -198,7 +198,10 @@ object Dedup {
     * one eval-loop pass, ZERO shuffle — which beats the exploded
     * aggregation outright (LshDedupSpec pins their equality, the q150
     * oracle pins the DuckDB replay). Other families keep the exploded
-    * form ([[minhashSignaturesExploded]]). */
+    * form ([[minhashSignaturesExploded]]). PRECONDITION either way:
+    * ids are unique (the row-local form emits one signature row per
+    * input row; the exploded form would merge duplicate ids into a
+    * min-of-union signature — see minhashSignaturesRowLocal doc). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       family: MinHashFamily = Md5Family): DataFrame = family match {
     case Md5Family => minhashSignaturesRowLocal(docs, idCol, textCol, family)
@@ -223,16 +226,18 @@ object Dedup {
   }
 
   /** ROW-LOCAL minhash signatures: the same (id, h0..h15) table as
-    * [[minhashSignatures]], computed per row with higher-order array
-    * functions instead of explode + groupBy — ZERO shuffle, which makes
-    * it legal inside an append-mode STREAM (a streaming aggregation
-    * would demand watermark + update mode; a per-row projection demands
-    * nothing). Docs too short to shingle are dropped, matching the
-    * batch path (their exploded-shingle groups are empty there).
-    * DedupSpec pins row-for-row equality of the two formulations.
-    * Batch callers keep the explode form: at 100 TB its map-side
-    * partial min()s also never shuffle the digests, and the exploded
-    * shape feeds the band/bucket pipeline directly. */
+    * [[minhashSignaturesExploded]], computed per row — ZERO shuffle,
+    * which makes it legal inside an append-mode STREAM (a streaming
+    * aggregation would demand watermark + update mode; a per-row
+    * projection demands nothing) and, with the fused Md5 expression,
+    * also the fastest batch form ([[minhashSignatures]] routes Md5
+    * here). Docs too short to shingle are dropped, matching the
+    * exploded path (their shingle groups are empty there). Emits ONE
+    * row per input row: with duplicate ids the exploded groupBy form
+    * would instead merge the copies into one min-of-union signature —
+    * callers' ids must be unique (true of every pipeline here; exact
+    * dedup runs upstream of near-dedup). LshDedupSpec pins row-for-row
+    * equality of the two formulations on unique-id corpora. */
   def minhashSignaturesRowLocal(docs: DataFrame, idCol: String,
       textCol: String, family: MinHashFamily = Md5Family): DataFrame = {
     // every array is BOUND as a column before a lambda reads it
@@ -422,14 +427,17 @@ object Dedup {
     // a double product can land epsilon ABOVE the exact rational value
     // (0.4·5 = 2.0000000000000004), which would shorten a prefix /
     // reject a boundary pair — a FALSE NEGATIVE in an operator whose
-    // contract is exactness. Nudging each bound down by 1e-9 can only
-    // loosen the filters (more candidates, verified exactly later),
-    // never tighten them: filters stay conservative, results exact.
+    // contract is exactness. Scaling each bound down by a RELATIVE
+    // (1 − 1e-12) can only loosen the filters (more candidates,
+    // verified exactly later), never tighten them — and unlike an
+    // absolute nudge it keeps covering the ~1.1e-16·value rounding
+    // error at ANY bound magnitude (an absolute 1e-9 stops working
+    // past bounds of ~9e6, i.e. 10^8-shingle documents).
     val prefix = tracked(tok.join(freq, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
       .filter(col("pos") <=
-        col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
+        col("n") - ceil(lit(minJaccard) * col("n") * lit(1 - 1e-12)) + 1)
       .select(col("doc"), col("sh"), col("n"), col("pos")))
     // PPJoin positional filter: tokens after the shared one bound the
     // remaining possible overlap at 1 + min(n_a−pos_a, n_b−pos_b);
@@ -437,14 +445,15 @@ object Dedup {
     // (smallest positions) gives each true pair its loosest bound, so
     // keeping pairs where ANY shared-token row passes is exact.
     val overlapNeeded =
-      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9)
+      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) *
+        lit(1 - 1e-12)
     val cand = prefix.select(col("doc").as("doc_a"), col("sh"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc").as("doc_b"), col("sh"),
         col("n").as("n_b"), col("pos").as("pos_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9) <=
-        least(col("n_a"), col("n_b")))
+      .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) *
+        lit(1 - 1e-12) <= least(col("n_a"), col("n_b")))
       .filter(lit(1) + least(col("n_a") - col("pos_a"),
         col("n_b") - col("pos_b")) >= overlapNeeded)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))

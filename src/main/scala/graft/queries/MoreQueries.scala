@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -467,39 +468,54 @@ object MoreQueries {
       FROM reach GROUP BY n
       ORDER BY node"""))
 
+  /** Shared customer↔supplier trade-graph builder for q155/q158:
+    * (cust, supp, w) with w = lineitems traded on the pair, cached
+    * (the symmetrizing unions read it twice). Supplier node ids are
+    * offset ABOVE the customer id space by a DATA-DERIVED offset
+    * (max custkey + 1): a hardcoded 10⁶ would collide with custkeys
+    * from TPC-H sf≈7 up, silently merging customer and supplier nodes
+    * — and the oracle, replaying the identical arithmetic, would never
+    * notice (the sf-invisible bug class of CLAUDE rule 12). The twins
+    * derive the same offset with a scalar subquery. */
+  private def tradeGraph(s: SparkSession, d: String): (DataFrame, Long) = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val off = ord.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    val pairs = graft.ops.Caches.track(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + off).as("supp"))
+        .groupBy("cust", "supp").agg(count(lit(1)).as("w")))
+    (pairs, off)
+  }
+
   /** Integer-exact PageRank (`ops/PageRank`) on the customer↔supplier
     * flow graph: distinct (customer, supplier) trade pairs from
-    * lineitem⋈orders, symmetrized, suppliers offset by 10⁶ to share
-    * the id space. 3 damped iterations in pure BIGINT floor
-    * arithmetic; the oracle unrolls the same three rounds as CTEs and
-    * must match to the last rank unit — float PageRank could never be
-    * hash-gated (neighbor-sum order differs per engine). */
+    * lineitem⋈orders, symmetrized ([[tradeGraph]]). 3 damped
+    * iterations in pure BIGINT floor arithmetic; the oracle unrolls
+    * the same three rounds as CTEs and must match to the last rank
+    * unit — float PageRank could never be hash-gated (neighbor-sum
+    * order differs per engine). */
   val q155PageRank = OracleQuery("q155_supplier_pagerank",
     "supplier flow centrality: 3-iteration integer PageRank, exact replay",
     (s, d) => {
       import graft.ops.PageRank
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      // cached: the symmetrizing union reads it twice — uncached, the
-      // lineitem join + distinct run once per direction
-      val pairs = graft.ops.Caches.track(
-        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + 1000000L).as("supp"))
-          .distinct())
+      val (pairs, off) = tradeGraph(s, d)
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      // pairs is distinct and the symmetrized union preserves that
+      // pairs' group keys are distinct and the symmetrized union keeps
+      // the halves disjoint (cust < off <= supp)
       PageRank.pageRankInt(edges, "src", "dst", iterations = 3,
         assumeDistinct = true)
-        .filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("s_suppkey"), col("pr"))
+        .filter(col("node") >= off)
+        .select((col("node") - off).as("s_suppkey"), col("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
         .limit(20)
     },
     Some("""
       WITH pairs AS (
-        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+        SELECT DISTINCT o.o_custkey AS cust,
+               l.l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS supp
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       e AS (SELECT cust AS src, supp AS dst FROM pairs
             UNION ALL
@@ -534,8 +550,8 @@ object MoreQueries {
       pr3 AS (
         SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
-      SELECT node - 1000000 AS s_suppkey, pr
-      FROM pr3 WHERE node >= 1000000
+      SELECT node - (SELECT max(o_custkey) + 1 FROM orders) AS s_suppkey, pr
+      FROM pr3 WHERE node >= (SELECT max(o_custkey) + 1 FROM orders)
       ORDER BY pr DESC, s_suppkey
       LIMIT 20"""))
 
@@ -549,26 +565,21 @@ object MoreQueries {
     "trade-volume-weighted supplier PageRank, exact integer replay",
     (s, d) => {
       import graft.ops.PageRank
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      val pairs = graft.ops.Caches.track(
-        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .select(col("o_custkey").as("cust"),
-            (col("l_suppkey") + 1000000L).as("supp"))
-          .groupBy("cust", "supp").agg(count(lit(1)).as("w")))
+      val (pairs, off) = tradeGraph(s, d)
       val edges = pairs
         .select(col("cust").as("src"), col("supp").as("dst"), col("w"))
         .unionByName(pairs
           .select(col("supp").as("src"), col("cust").as("dst"), col("w")))
       PageRank.pageRankIntWeighted(edges, "src", "dst", "w", iterations = 3)
-        .filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("s_suppkey"), col("pr"))
+        .filter(col("node") >= off)
+        .select((col("node") - off).as("s_suppkey"), col("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
         .limit(20)
     },
     Some("""
       WITH pw AS (
-        SELECT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp,
+        SELECT o.o_custkey AS cust,
+               l.l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS supp,
                count(*) AS w
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2),
@@ -608,8 +619,8 @@ object MoreQueries {
       pr3 AS (
         SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
-      SELECT node - 1000000 AS s_suppkey, pr
-      FROM pr3 WHERE node >= 1000000
+      SELECT node - (SELECT max(o_custkey) + 1 FROM orders) AS s_suppkey, pr
+      FROM pr3 WHERE node >= (SELECT max(o_custkey) + 1 FROM orders)
       ORDER BY pr DESC, s_suppkey
       LIMIT 20"""))
 

@@ -98,9 +98,10 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("minhash_md5_lanes eval: exact md5 lane minima, null/empty contracts") {
-    // driver-side eval pinning (the expression ships as an opt-in
-    // building block, not wired into catalog paths — see
-    // Dedup.minhashSignatures scaladoc for the revert story)
+    // driver-side eval pinning of the expression that powers every Md5
+    // signature path (Dedup.minhashSignatures → rowLocal); end-to-end
+    // equality with the exploded form is LshDedupSpec's job, the q150
+    // oracle pins the DuckDB replay — this test pins the raw lane math
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     import org.apache.spark.sql.catalyst.InternalRow

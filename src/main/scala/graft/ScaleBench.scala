@@ -120,6 +120,19 @@ object ScaleBench {
       timeOp("rowlocal_minhash", m, nDocs) {
         Dedup.minhashSignaturesRowLocal(docs, "doc_id", "text")
       }
+      timeOp("prefix_jaccard_join", m, nDocs) {
+        // replicas share no shingles, so candidate volume (and the
+        // qualifying-pair count) scales linearly with m — the exact
+        // join's growth term, not a quadratic cross-replica blow-up
+        Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5)
+      }
+      timeOp("mixture_resample", m, nDocs) {
+        // domain from the id (replica-stable): 5 synthetic domains
+        val dom = docs.withColumn("domain",
+          concat(lit("d"), (col("doc_id") % 5).cast("string")))
+        Curation.mixtureResample(dom, "domain", "doc_id",
+          Map("d0" -> 0.4, "d1" -> 0.2, "d2" -> 0.2, "d3" -> 0.2))
+      }
       timeOp("shuffle_rank", m, nDocs) {
         Curation.shuffleRank(docs.select(col("doc_id")), "doc_id")
       }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining — frequent item PAIRS and their
+  * lift over independence, the classic association signal (Agrawal &
+  * Srikant's Apriori, VLDB'94 — public literature) for "bought
+  * together" analytics and corpus co-occurrence studies.
+  *
+  * Exactness: supports are BIGINT basket counts; lift is emitted as its
+  * exact integer cross-products (n_ab·N and n_a·n_b) plus one double
+  * division — engine-portable per OracleQuery.scala rules.
+  *
+  * Scale shape (the Apriori pruning, expressed relationally):
+  *  1. distinct (basket, item) — one shuffle, hot baskets combine
+  *     map-side;
+  *  2. frequent ITEMS first: items in < `minSupport` baskets cannot be
+  *     in a frequent pair, so they are semi-joined away BEFORE any pair
+  *     is enumerated (the candidate-generation prune);
+  *  3. pair enumeration joins the pruned basket-item table with itself
+  *     ON the basket key — per-basket work is C(k,2) where k is the
+  *     basket's FREQUENT-item count. Pathological giant baskets are
+  *     capped (`maxBasketItems`) — a 10⁶-item basket would otherwise
+  *     contribute 5·10¹¹ pairs; dropping it loses pair counts only for
+  *     baskets that are not baskets in any meaningful sense.
+  */
+object Associations {
+
+  /** (item_a, item_b, n_ab) with item_a < item_b: number of baskets
+    * containing both, for pairs of `minSupport`-frequent items in
+    * baskets of ≤ `maxBasketItems` frequent items. */
+  def pairCounts(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int, maxBasketItems: Int = 1000): DataFrame =
+    pairCountsOn(distinctBi(baskets, basketCol, itemCol), minSupport,
+      maxBasketItems)
+
+  private def distinctBi(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    Caches.track(
+      baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+        .distinct())
+
+  private def pairCountsOn(bi: DataFrame, minSupport: Int,
+      maxBasketItems: Int): DataFrame = {
+    val freq = bi.groupBy(col("_i"))
+      .agg(count(lit(1)).as("n_i"))
+      .filter(col("n_i") >= minSupport)
+    val pruned = bi.join(freq.select(col("_i")), "_i", "left_semi")
+    val sized = pruned.join(
+      pruned.groupBy(col("_b")).agg(count(lit(1)).as("_k"))
+        .filter(col("_k") <= maxBasketItems)
+        .select(col("_b")),
+      "_b", "left_semi")
+    val l = sized.select(col("_b"), col("_i").as("item_a"))
+    val r = sized.select(col("_b"), col("_i").as("item_b"))
+    l.join(r, "_b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+  }
+
+  /** Pair lift table: joins [[pairCounts]] with per-item supports and
+    * the total basket count N; lift = (n_ab·N) / (n_a·n_b) > 1 means
+    * the items co-occur MORE than independence predicts. Emits the
+    * exact integer numerator/denominator alongside the double. */
+  def pairLift(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int, maxBasketItems: Int = 1000): DataFrame = {
+    // ONE cached distinct (basket, item) scan feeds the pair
+    // enumeration, the supports, and the basket total
+    val bi = distinctBi(baskets, basketCol, itemCol)
+    val pairs = pairCountsOn(bi, minSupport, maxBasketItems)
+    val supp = bi.groupBy(col("_i")).agg(count(lit(1)).as("n"))
+    // total basket count as a 1-row broadcast, not a driver action —
+    // the plan stays lazy and single-pass
+    val total = bi.agg(countDistinct(col("_b")).as("n_baskets"))
+    pairs
+      .join(supp.select(col("_i").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(supp.select(col("_i").as("item_b"), col("n").as("n_b")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        (col("n_ab") * col("n_baskets")).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+}

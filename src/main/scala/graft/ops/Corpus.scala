@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document corpus-cleaning operators: boilerplate stripping
+  * (recurring chunks shared by many documents of one source — headers,
+  * footers, navigation), a corpus-trained token-class quality scorer
+  * (the fastText-classifier stand-in, exact-integer), and a
+  * hashing-trick featurizer (signed feature hashing, Weinberger et al.
+  * ICML'09 — public literature) that embeds text without any model.
+  *
+  * All three are exact: counts are BIGINTs, hashes are md5 (the
+  * engine-portable hash, same as [[Curation]]), scores end in a single
+  * double division — so every operator replays bit-identically in the
+  * DuckDB oracle.
+  *
+  * The reference warehouse has no text layer at all (`schema.sql` stores
+  * event names only); this is part of the LLM-pipeline extension
+  * surface, alongside [[Dedup]] and [[TextAnalysis]].
+  */
+object Corpus {
+
+  /** Chunks that recur across ≥ `minDocs` DISTINCT documents of the same
+    * `scopeCol` group — the boilerplate table. Input rows are chunk
+    * occurrences (id, scope, chunk_text) from
+    * [[Curation.chunkByWords]] (overlap 0). Output: (scope, chunk_text,
+    * n_docs). Scale: one groupBy on (scope, chunk) with a partial
+    * count-distinct absorbed map-side by the (scope, chunk, id) distinct
+    * before it. */
+  def boilerplateChunks(occ: DataFrame, idCol: String, scopeCol: String,
+      chunkCol: String, minDocs: Int): DataFrame =
+    occ
+      .select(col(scopeCol), col(chunkCol), col(idCol))
+      .distinct()
+      .groupBy(col(scopeCol), col(chunkCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Strip boilerplate chunks from every document and reassemble the
+    * survivors in order: (id, scope, clean_text, n_chunks, n_removed).
+    * `docs` needs (idCol, scopeCol, textCol); chunking is non-overlapped
+    * `chunkWords`-word windows. The boilerplate table is usually tiny
+    * (it is capped by the number of DISTINCT recurring chunks) — the
+    * anti-join broadcasts. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, scopeCol: String,
+      textCol: String, chunkWords: Int, minDocs: Int): DataFrame = {
+    val occ = Caches.track(
+      Curation.chunkByWords(docs.select(col(idCol), col(textCol)),
+          idCol, textCol, chunkWords, 0)
+        .join(docs.select(col(idCol), col(scopeCol)), idCol))
+    val bp = boilerplateChunks(occ, idCol, scopeCol, "chunk_text", minDocs)
+      .select(col(scopeCol), col("chunk_text"))
+    val kept = occ.join(broadcast(bp), Seq(scopeCol, "chunk_text"),
+      "left_anti")
+    kept
+      .groupBy(col(idCol), col(scopeCol))
+      .agg(
+        // order-insensitive reassembly: collect (idx, text) structs and
+        // sort — never depends on shuffle arrival order
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(occ.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_chunks")), idCol)
+      .select(col(idCol), col(scopeCol), col("clean_text"),
+        col("n_chunks"), (col("n_chunks") - col("n_kept")).as("n_removed"))
+  }
+
+  /** Corpus-trained token-class score — the exact-arithmetic stand-in
+    * for a fastText quality classifier: given a per-document boolean
+    * label (e.g. "looks high-quality" from a heuristic), every token t
+    * gets corpus stats (c1_t = occurrences inside class-1 docs, ct_t =
+    * total occurrences); a document's score is then
+    *     score = Σ_t∈doc c1_t  /  Σ_t∈doc ct_t
+    * — the frequency-weighted mean of its tokens' class-1 shares
+    * (micro-averaged naive-Bayes evidence without the non-portable
+    * `ln`). Both sums are exact BIGINTs; the score is one double
+    * division. Returns (id, n_tok, ev_num, ev_den, score).
+    *
+    * Scale: token stats are vocab-sized; the evidence join shuffles on
+    * the token key with map-side (id, token, count) pre-aggregation so
+    * hot tokens ship one row per partition, not one per occurrence. */
+  def tokenClassScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val tok = Caches.track(docs
+      .select(col(idCol), col(labelCol).cast("boolean").as("_lab"),
+        explode(TextAnalysis.words(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_lab"), col("_t"))
+      .agg(count(lit(1)).as("_n")))
+    val stats = tok.groupBy(col("_t"))
+      .agg(
+        sum(when(col("_lab"), col("_n")).otherwise(lit(0L))).as("_c1"),
+        sum(col("_n")).as("_ct"))
+    tok.join(stats, "_t")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_n")).as("n_tok"),
+        sum(col("_n") * col("_c1")).as("ev_num"),
+        sum(col("_n") * col("_ct")).as("ev_den"))
+      .withColumn("score",
+        col("ev_num").cast("double") / col("ev_den").cast("double"))
+  }
+
+  /** Signed feature hashing ("hashing trick"): text → `dims`-dimensional
+    * integer vector, v[j] = Σ_{tokens t: bucket(t)=j} sign(t)·count(t),
+    * bucket/sign both derived from md5(salt ++ token) — model-free,
+    * vocabulary-free, engine-exact document features that downstream
+    * similarity ops (cosine, LSH) can consume directly. Returns
+    * (id, f0..f{dims-1}) — exact BIGINTs.
+    *
+    * Scale: one explode + one groupBy(id) with `dims` conditional sums
+    * (all map-side combinable); no pivot, no vocab table, no shuffle on
+    * the token key at all. */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 16, salt: String = ""): DataFrame = {
+    require(dims >= 2 && dims <= 64, s"dims ($dims) out of [2,64]")
+    val h = md5(concat(lit(salt), col("_t")))
+    // first 8 hex chars → uniform 32-bit non-negative int
+    val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val sign = when(substring(h, 9, 1).isin("0", "1", "2", "3", "4", "5",
+      "6", "7"), lit(1L)).otherwise(lit(-1L))
+    val exploded = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("_t"))
+      .select(col(idCol), (h32 % dims).as("_b"), sign.as("_s"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_b") === 0, col("_s")).otherwise(lit(0L))).as("f0"),
+        (1 until dims).map(j =>
+          sum(when(col("_b") === j, col("_s")).otherwise(lit(0L)))
+            .as(s"f$j")): _*)
+  }
+}

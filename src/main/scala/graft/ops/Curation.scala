@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Hex md5 of a key column — the deterministic "random" order. */
-  private def keyHash(key: Column, salt: String): Column =
+  private[ops] def keyHash(key: Column, salt: String): Column =
     md5(concat(lit(salt), key.cast("string")).cast("binary"))
 
   /** Uniform [0,1) draw that is a pure function of (key, salt): the

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style CLUSTER-SCOPED semantic deduplication (Abbas et al.,
+  * arXiv:2303.09540 — public literature): assign every embedding to its
+  * nearest anchor, then search for near-duplicate pairs ONLY inside each
+  * cluster. The candidate space drops from O(N²) to Σ_c |c|² — with k
+  * balanced clusters a k× reduction, and the cluster id doubles as the
+  * co-location/bucketing key at rest.
+  *
+  * Anchors are DATA (the k lowest-id vectors — deterministic, no RNG,
+  * no Lloyd iteration), NOT trained centroids: assignment is then pure
+  * per-row IEEE arithmetic on identical operands in any engine, so the
+  * whole pipeline — assignment included — replays bit-identically in the
+  * DuckDB oracle (unlike [[Ivf]]'s trained centroids, whose float means
+  * are shuffle-order-dependent and need the q74 recall-gate instead).
+  * Trading anchor quality for exactness costs recall only ACROSS cluster
+  * boundaries — the standard SemDeDup approximation either way.
+  */
+object SemDedup {
+
+  /** The k lowest-id rows as (anchor_id, anchor vector, ‖a‖²) — tiny,
+    * always broadcast. */
+  def lowestIdAnchors(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    Similarity.withNorm(emb, vecCol)
+      .select(col(idCol).cast("long").as("anchor_id"), col("vd").as("av"),
+        col("n2").as("an2"))
+      .orderBy(col("anchor_id"))
+      .limit(k)
+
+  /** Nearest-anchor assignment: (idCol.., cluster) where cluster is the
+    * anchor_id minimizing squared L2 distance −2·v·a + ‖a‖² (the shared
+    * ‖v‖² term cannot change the argmin), ties by lower anchor_id.
+    * One broadcast nested-loop against k anchor rows + a min-struct
+    * aggregate — map-side combinable, zero wide shuffle of the corpus
+    * payload (only (id, cluster) pairs move). */
+  def assignToAnchors(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: DataFrame): DataFrame = {
+    val v = Similarity.withNorm(emb, vecCol)
+      .select(col(idCol).as("_id"), col("vd"), col("n2"))
+    v.crossJoin(broadcast(anchors))
+      .select(col("_id"),
+        struct(
+          (lit(-2.0) * Similarity.dot(col("vd"), col("av")) + col("an2"))
+            .as("d"),
+          col("anchor_id").as("a")).as("da"))
+      .groupBy(col("_id"))
+      .agg(min(col("da")).as("best"))
+      .select(col("_id").as(idCol), col("best.a").as("cluster"))
+  }
+
+  /** Cluster-scoped near-duplicate pairs: cosine ≥ `minSim`, both ends
+    * in the SAME anchor cluster. Returns (cluster, id_a, id_b, sim),
+    * id_a < id_b. The pair join shuffles on the cluster key — each
+    * cluster's block joins locally, the cross-cluster candidate space is
+    * never materialized. */
+  def clusterNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nAnchors: Int, minSim: Double): DataFrame = {
+    val anchors = lowestIdAnchors(emb, idCol, vecCol, nAnchors)
+    val assigned = assignToAnchors(emb, idCol, vecCol, anchors)
+    val vn = Caches.track(
+      Similarity.withNorm(emb, vecCol)
+        .select(col(idCol).as("_vid"), col("vd"), col("n2"))
+        .join(assigned.select(col(idCol).as("_vid"), col("cluster")), "_vid"))
+    val a = vn.select(col("cluster"), col("_vid").as("id_a"),
+      col("vd").as("pv"), col("n2").as("pn2"))
+    val b = vn.select(col("cluster"), col("_vid").as("id_b"),
+      col("vd").as("cv"), col("n2").as("cn2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosineWithNorms(
+        Similarity.dot(col("pv"), col("cv")), col("pn2"), col("cn2")))
+      .filter(col("sim") >= minSim)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Per-cluster quota sample by md5 order — cluster-balanced DIVERSITY
+    * sampling over the semantic space (each semantic region contributes
+    * at most `quota` rows, so dominant clusters cannot swamp the
+    * sample). Deterministic: the in-cluster order is md5(salt ++ id),
+    * the same RNG-free construction as [[Curation.stratifiedExact]]. */
+  def clusterQuotaSample(emb: DataFrame, idCol: String, vecCol: String,
+      nAnchors: Int, quota: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = lowestIdAnchors(emb, idCol, vecCol, nAnchors)
+    val assigned = assignToAnchors(emb, idCol, vecCol, anchors)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(Curation.keyHash(col(idCol), salt), col(idCol))
+    assigned
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= quota)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair + decay operators over per-key daily aggregates —
+  * the feature-engineering layer a metrics warehouse or training-data
+  * pipeline runs between raw events and models: exponentially-decayed
+  * activity scores, calendar gap filling with linear interpolation, and
+  * sketch-merged rolling distinct counts.
+  *
+  * Engine-portability discipline (OracleQuery.scala conventions):
+  * decayed averages use HALF decay — 2^-i weights are exact binary
+  * doubles, products and the fixed-order sum replay bit-identically in
+  * any IEEE engine; interpolation is one double expression over exact
+  * integer operands. No running double sums anywhere.
+  *
+  * The reference (`transform/kpi_views.sql`) stops at daily GROUP BYs;
+  * these are the standard next layer over the same daily grain.
+  */
+object Series {
+
+  /** Bounded-lag exponentially-decayed daily value: for each key-day,
+    * score = Σ_{i=0..lags} 2^-i · v_{t-i}  /  Σ_{i present} 2^-i
+    * where v is the day's aggregate and missing days drop out of both
+    * sums (weight renormalization). Half decay is chosen deliberately:
+    * 2^-i is an EXACT double, so each product is one correctly-rounded
+    * IEEE op and the explicitly-unrolled sum has one fixed association
+    * order — cross-engine bit-identical, where a running `pow(alpha,k)`
+    * recursion would not be.
+    *
+    * Scale: the daily table is already one row per (key, day); `lags`
+    * lag() columns over (key, day) windows are narrow state — no
+    * explode, one sort per key partition.
+    *
+    * `daily` must have one row per (key, day); `dayCol` integral
+    * (epoch day) so "previous calendar day" = day−1, `valCol` numeric. */
+  def decayedDaily(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, lags: Int = 6): DataFrame = {
+    require(lags >= 0 && lags <= 30, s"lags ($lags) out of [0,30]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val v = col(valCol).cast("double")
+    // lag value + its day, so a lag that is NOT the adjacent calendar
+    // day still weights by TRUE day distance (gap-aware decay)
+    val withLags = (1 to lags).foldLeft(daily) { (df, i) =>
+      df.withColumn(s"_v$i", lag(v, i).over(w))
+        .withColumn(s"_d$i", lag(col(dayCol), i).over(w))
+    }
+    // weight of lag i = 2^-(day - day_i), 0 beyond `lags` days back.
+    // 2^dist via an integer SHIFT, then one exact division — never
+    // pow(): integer-shift → double → divide is exact in every engine,
+    // libm pow is only almost-always so.
+    def wgt(i: Int): Column = {
+      val dist = col(dayCol) - col(s"_d$i")
+      when(col(s"_v$i").isNotNull && dist <= lags,
+        lit(1.0) / expr(s"shiftleft(1L, cast(($dayCol - _d$i) as int))")
+          .cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val num = (1 to lags).map(i => coalesce(col(s"_v$i"), lit(0.0)) * wgt(i))
+      .foldLeft(v * lit(1.0))(_ + _)
+    val den = (1 to lags).map(wgt).foldLeft(lit(1.0))(_ + _)
+    withLags
+      .withColumn("decayed", num / den)
+      .drop((1 to lags).flatMap(i => Seq(s"_v$i", s"_d$i")): _*)
+  }
+
+  /** Calendar gap filling with LINEAR INTERPOLATION: expands each key's
+    * day range to a dense spine and fills missing days from the
+    * straight line between the nearest observed neighbours.
+    *
+    * Output: (key, day, value, is_observed) where value is the original
+    * on observed days and vp + (vn−vp)·(d−dp)/(dn−dp) on gap days —
+    * exact integer day arithmetic, one double expression per row.
+    *
+    * Scale shape: the spine explode is bounded by the calendar span (a
+    * few thousand rows per key, not corpus-sized); neighbour lookup is
+    * NOT a window over the dense spine twice — prev/next observed DAYS
+    * ride two running min/max windows (plain BIGINT extrema, portable to
+    * any engine — no IGNORE NULLS dependence), then values arrive via
+    * two narrow equi-joins against the observed points. */
+  def gapFillLinear(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val k = col(keyCol)
+    val obs = daily.select(k.as("_k"), col(dayCol).cast("long").as("_d"),
+      col(valCol).cast("double").as("_v"))
+    val spine = obs.groupBy(col("_k"))
+      .agg(min(col("_d")).as("_lo"), max(col("_d")).as("_hi"))
+      .select(col("_k"), explode(sequence(col("_lo"), col("_hi"))).as("_d"))
+    val dense = spine.join(obs, Seq("_k", "_d"), "left")
+    val wPrev = Window.partitionBy(col("_k")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("_k")).orderBy(col("_d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = dense
+      .withColumn("_dp", max(when(col("_v").isNotNull, col("_d"))).over(wPrev))
+      .withColumn("_dn", min(when(col("_v").isNotNull, col("_d"))).over(wNext))
+    val vp = obs.select(col("_k"), col("_d").as("_dp"), col("_v").as("_vp"))
+    val vn = obs.select(col("_k"), col("_d").as("_dn"), col("_v").as("_vn"))
+    marked
+      .join(vp, Seq("_k", "_dp"), "left")
+      .join(vn, Seq("_k", "_dn"), "left")
+      .select(
+        col("_k").as(keyCol),
+        col("_d").as(dayCol),
+        when(col("_v").isNotNull, col("_v"))
+          .otherwise(col("_vp") + (col("_vn") - col("_vp")) *
+            (col("_d") - col("_dp")).cast("double") /
+            (col("_dn") - col("_dp")).cast("double"))
+          .as(valCol),
+        col("_v").isNotNull.as("is_observed"))
+  }
+
+  /** Rolling `windowDays`-day distinct count, EXACT: each (day, id) pair
+    * is exploded to the `windowDays` window-end days it participates in,
+    * then one COUNT(DISTINCT) per window — the bounded-explode rewrite
+    * of a sliding-window DISTINCT (which is not a window function).
+    * Input: event-grain (dayCol, idCol); output (day, n_unique) for
+    * every day that has a window ending on it. */
+  def rollingDistinctExact(events: DataFrame, dayCol: String, idCol: String,
+      windowDays: Int): DataFrame = {
+    val pairs = events
+      .select(col(dayCol).cast("long").as("_d"), col(idCol).as("_id"))
+      .distinct()
+    pairs
+      .select(explode(sequence(col("_d"),
+        col("_d") + (windowDays - 1))).as("day"), col("_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_id")).as("n_unique"))
+  }
+
+  /** Rolling distinct via HLL SKETCH MERGE — the 100 TB path: one
+    * day-grain sketch per day (map-side partial aggregation absorbs the
+    * event volume), then each day's sketch is exploded to the windows it
+    * belongs to and `windowDays` sketches merge per window. The
+    * event-sized table is touched ONCE regardless of window count;
+    * day-grain sketches (≲ KBs each) are what shuffle. Returns
+    * (day, n_approx). Estimates are deterministic for fixed input but
+    * NOT portable across engines — pair with [[rollingDistinctExact]]
+    * behind an accuracy gate (q110 pattern) for driver checking. */
+  def rollingDistinctHll(events: DataFrame, dayCol: String, idCol: String,
+      windowDays: Int, lgK: Int = 12): DataFrame = {
+    val perDay = events
+      .select(col(dayCol).cast("long").as("_d"), col(idCol).as("_id"))
+      .groupBy(col("_d"))
+      .agg(hll_sketch_agg(col("_id"), lit(lgK)).as("_sk"))
+    perDay
+      .select(explode(sequence(col("_d"),
+        col("_d") + (windowDays - 1))).as("day"), col("_sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("n_approx"))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, SemDedup}
+import graft.sources.Tables
+
+/** Round-4 corpus-cleaning surface (`ops/Corpus`, `ops/SemDedup`):
+  * boilerplate stripping, corpus-trained quality scoring, cluster-scoped
+  * semantic dedup, diversity sampling, and the hashing-trick featurizer.
+  * All exact — BIGINT counts, md5 hashing, IEEE per-row arithmetic — so
+  * each replays bit-identically in DuckDB.
+  */
+object CorpusQueries {
+
+  /** 5-word planted header prepended to every third document — the
+    * boilerplate signal the detector must find (the raw synthetic corpus
+    * has almost no naturally recurring 5-grams). Exactly one chunk wide,
+    * so it occupies chunk 0 and leaves the rest of the chunking aligned. */
+  private val Header = "legal header boilerplate notice chunk"
+
+  /** Cross-document boilerplate stripping ([[Corpus.stripBoilerplate]]):
+    * non-overlapping 5-word chunks that recur in ≥ 5 DISTINCT documents
+    * of one source are removed everywhere in that source, and the
+    * surviving chunks are reassembled in order (order-insensitive
+    * sorted-struct rebuild — never shuffle-order-dependent). The planted
+    * header makes the detection observable; the oracle replays chunking,
+    * detection, removal, and reassembly end-to-end. */
+  val q164Boilerplate = OracleQuery("q164_boilerplate_strip",
+    "recurring per-source 5-word chunks detected + stripped, text rebuilt",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0, concat_ws(" ", lit(Header),
+            col("text"))).otherwise(col("text")).as("text"))
+      Corpus.stripBoilerplate(docs, "doc_id", "source", "text",
+          chunkWords = 5, minDocs = 5)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN concat('$Header', ' ', text)
+                    ELSE text END AS text
+        FROM documents),
+      t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM docs),
+      t2 AS (SELECT doc_id, source, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+      occ AS (
+        SELECT doc_id, source,
+               CAST(st // 5 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(ws, st + 1, st + 5), ' ') AS chunk
+        FROM (SELECT doc_id, source, ws, n,
+                     unnest(generate_series(0, GREATEST(n - 1, 0), 5)) AS st
+              FROM t2)),
+      bp AS (
+        SELECT source, chunk
+        FROM (SELECT DISTINCT source, chunk, doc_id FROM occ)
+        GROUP BY source, chunk
+        HAVING count(*) >= 5),
+      kept AS (
+        SELECT o.* FROM occ o
+        LEFT JOIN bp ON o.source = bp.source AND o.chunk = bp.chunk
+        WHERE bp.chunk IS NULL),
+      totals AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY doc_id)
+      SELECT k.doc_id, k.source,
+             string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
+             t.n_chunks,
+             t.n_chunks - count(*) AS n_removed
+      FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+      GROUP BY k.doc_id, k.source, t.n_chunks
+      ORDER BY k.doc_id"""))
+
+  /** Corpus-trained token-class quality score
+    * ([[Corpus.tokenClassScore]]): label = "document is long"
+    * (n_chars ≥ 250), score = frequency-weighted mean of each token's
+    * class-1 share — micro-averaged naive-Bayes evidence with NO
+    * non-portable `ln`. Exact BIGINT evidence sums, one double
+    * division. */
+  val q165TokenQuality = OracleQuery("q165_token_quality",
+    "token-class quality scores from corpus stats, exact integer evidence",
+    (s, d) =>
+      Corpus.tokenClassScore(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text"),
+              (col("n_chars") >= 250).as("is_long")),
+          "doc_id", "text", "is_long")
+        .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, n_chars >= 250 AS lab, t AS tk, count(*) AS n
+        FROM (SELECT doc_id, n_chars,
+                     unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY 1, 2, 3),
+      stats AS (
+        SELECT tk,
+               CAST(SUM(CASE WHEN lab THEN n ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(n) AS BIGINT) AS ct
+        FROM tok GROUP BY tk)
+      SELECT tok.doc_id,
+             CAST(SUM(tok.n) AS BIGINT) AS n_tok,
+             CAST(SUM(tok.n * s.c1) AS BIGINT) AS ev_num,
+             CAST(SUM(tok.n * s.ct) AS BIGINT) AS ev_den,
+             CAST(SUM(tok.n * s.c1) AS DOUBLE) /
+               CAST(SUM(tok.n * s.ct) AS DOUBLE) AS score
+      FROM tok JOIN stats s ON tok.tk = s.tk
+      GROUP BY tok.doc_id
+      ORDER BY tok.doc_id"""))
+
+  /** SemDeDup-style cluster-scoped semantic dedup
+    * ([[SemDedup.clusterNearDupPairs]]): nearest-anchor clusters (8
+    * lowest-id vectors as anchors — data, not trained centroids, so the
+    * argmin is pure per-row IEEE math and the WHOLE pipeline replays in
+    * DuckDB, assignment included), then cosine ≥ 0.99 pairs inside each
+    * cluster only. Planted exact + scaled duplicates (q62's scheme) give
+    * the detector real positives. */
+  val q166SemanticDedup = OracleQuery("q166_semantic_dedup",
+    "anchor-clustered SemDeDup: in-cluster cosine near-dup pairs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val exact = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val scaled = e.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * 1.001)
+            .as("embedding"))
+      val aug = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(exact.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+        .unionByName(scaled)
+      SemDedup.clusterNearDupPairs(aug, "vec_id", "embedding",
+          nAnchors = 8, minSim = 0.99)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.001)
+        FROM embeddings WHERE vec_id % 10 = 5),
+      n AS (SELECT vec_id, v, list_dot_product(v, v) n2 FROM aug),
+      anchors AS (
+        SELECT vec_id AS a_id, v AS av, n2 AS an2 FROM n
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT vec_id, a_id AS cluster FROM (
+          SELECT x.vec_id, a.a_id,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY -2.0 * list_dot_product(x.v, a.av) + a.an2,
+                            a.a_id) AS rn
+          FROM n x CROSS JOIN anchors a)
+        WHERE rn = 1)
+      SELECT pa.cluster, p.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) AS sim
+      FROM n p
+      JOIN assign pa ON p.vec_id = pa.vec_id
+      JOIN assign ca ON pa.cluster = ca.cluster
+      JOIN n c ON c.vec_id = ca.vec_id AND p.vec_id < c.vec_id
+      WHERE list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) >= 0.99
+      ORDER BY id_a, id_b"""))
+
+  /** Cluster-balanced diversity sample ([[SemDedup.clusterQuotaSample]]):
+    * ≤ 10 vectors per semantic (anchor) cluster, picked by md5 order —
+    * dominant semantic regions cannot swamp the sample; RNG-free and
+    * reshard-stable like every sampler in the catalog. */
+  val q167ClusterSample = OracleQuery("q167_cluster_sample",
+    "semantic diversity sample: md5-order quota of 10 per anchor cluster",
+    (s, d) =>
+      SemDedup.clusterQuotaSample(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>")
+              .as("embedding")),
+          "vec_id", "embedding", nAnchors = 8, quota = 10)
+        .orderBy("cluster", "pick"),
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      anchors AS (
+        SELECT vec_id AS a_id, v AS av, n2 AS an2 FROM n
+        ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT vec_id, a_id AS cluster FROM (
+          SELECT x.vec_id, a.a_id,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY -2.0 * list_dot_product(x.v, a.av) + a.an2,
+                            a.a_id) AS rn
+          FROM n x CROSS JOIN anchors a)
+        WHERE rn = 1)
+      SELECT vec_id, cluster, pick FROM (
+        SELECT vec_id, cluster,
+               CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+                 AS pick
+        FROM assign)
+      WHERE pick <= 10
+      ORDER BY cluster, pick"""))
+
+  /** Signed feature hashing ([[Corpus.hashEmbed]], hashing trick):
+    * 12-dimensional integer document features from md5 buckets/signs —
+    * model-free embeddings exact in any engine. */
+  val q168HashEmbed = OracleQuery("q168_hash_embed",
+    "hashing-trick doc features: 12 signed md5-bucket sums per document",
+    (s, d) =>
+      Corpus.hashEmbed(Tables.documents(s, d), "doc_id", "text",
+          dims = 12, salt = "he")
+        .orderBy("doc_id"),
+    Some {
+      val h = "md5(concat('he', t))"
+      val cols = (0 until 12).map(j =>
+        s"""CAST(SUM(CASE WHEN CAST(concat('0x', substring($h, 1, 8))
+                 AS BIGINT) % 12 = $j
+               THEN (CASE WHEN substring($h, 9, 1) IN
+                 ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)
+               ELSE 0 END) AS BIGINT) AS f$j""").mkString(",\n             ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents)
+      SELECT doc_id,
+             $cols
+      FROM tok
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
+
+  def all: Seq[OracleQuery] =
+    Seq(q164Boilerplate, q165TokenQuality, q166SemanticDedup,
+      q167ClusterSample, q168HashEmbed)
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Associations, Triangles}
+import graft.sources.Tables
+
+/** Graph + association mining over the co-purchase structure hiding in
+  * the fact table: parts bought together in one order form edges;
+  * triangles measure community cohesion, pair lift measures
+  * co-occurrence strength. Extends the §2 graph family (PageRank q155/
+  * q158, components q81) — the reference star schema has no graph layer
+  * at all.
+  *
+  * Everything here is COUNT arithmetic: exact BIGINTs end-to-end, one
+  * double division per emitted ratio (OracleQuery.scala rules).
+  */
+object MiningQueries {
+
+  /** Triangle census + local clustering coefficients
+    * ([[Triangles.nodeTriangleStats]]) of the part co-purchase graph.
+    * Spark runs the DEGREE-ORDERED wedge join (out-degree capped at
+    * O(√E) ⇒ O(E^{3/2}) wedges worst case); the oracle replays the
+    * straightforward id-ordered 3-way self-join — different algorithm,
+    * provably the same triangle set, so agreement is a real check of
+    * the orientation logic, not an echo. */
+  val q162Triangles = OracleQuery("q162_triangles",
+    "part co-purchase graph: per-node triangle counts + clustering coeff",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val l = bi.select(col("b"), col("i").as("pa"))
+      val r = bi.select(col("b"), col("i").as("pb"))
+      val edges = l.join(r, "b").filter(col("pa") < col("pb"))
+      Triangles.nodeTriangleStats(edges, "pa", "pb")
+        .orderBy("n")
+    },
+    Some("""
+      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      canon AS (SELECT DISTINCT e1.i AS a, e2.i AS bb
+                FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i),
+      tri AS (SELECT e1.a AS x, e1.bb AS y, e2.bb AS z
+              FROM canon e1
+              JOIN canon e2 ON e1.bb = e2.a
+              JOIN canon e3 ON e3.a = e1.a AND e3.bb = e2.bb),
+      per_node AS (
+        SELECT n, count(*) AS n_tri FROM (
+          SELECT x AS n FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY n),
+      deg AS (
+        SELECT n, count(*) AS deg FROM (
+          SELECT a AS n FROM canon UNION ALL SELECT bb FROM canon)
+        GROUP BY n)
+      SELECT d.n, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+             CASE WHEN d.deg < 2 THEN 0.0
+                  ELSE 2.0 * COALESCE(p.n_tri, 0) /
+                       CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS coeff
+      FROM deg d LEFT JOIN per_node p ON d.n = p.n
+      ORDER BY d.n"""))
+
+  /** Frequent co-purchased part pairs with lift over independence
+    * ([[Associations.pairLift]]) — Apriori-pruned: infrequent items
+    * never enter pair enumeration, giant baskets are capped. Lift is
+    * emitted as exact integer cross-products PLUS the double ratio; the
+    * ranking key is the exact support count. */
+  val q163BasketLift = OracleQuery("q163_basket_lift",
+    "co-purchased part pairs: Apriori-pruned supports + lift, top 200",
+    (s, d) =>
+      Associations.pairLift(Tables.lineitem(s, d), "l_orderkey",
+          "l_partkey", minSupport = 2)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+        .limit(200),
+    Some("""
+      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      freq AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i
+               HAVING count(*) >= 2),
+      pruned AS (SELECT bi.b, bi.i FROM bi JOIN freq ON bi.i = freq.i),
+      sized AS (SELECT b FROM pruned GROUP BY b HAVING count(*) <= 1000),
+      pi AS (SELECT p.b, p.i FROM pruned p JOIN sized s ON p.b = s.b),
+      pairs AS (
+        SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+        FROM pi l JOIN pi r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      supp AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
+      tot AS (SELECT count(DISTINCT b) AS n_baskets FROM bi)
+      SELECT p.item_a, p.item_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+             t.n_baskets,
+             CAST(p.n_ab * t.n_baskets AS BIGINT) AS lift_num,
+             CAST(sa.n * sb.n AS BIGINT) AS lift_den,
+             CAST(p.n_ab * t.n_baskets AS DOUBLE) /
+               CAST(sa.n * sb.n AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN supp sa ON p.item_a = sa.i
+      JOIN supp sb ON p.item_b = sb.i
+      CROSS JOIN tot t
+      ORDER BY p.n_ab DESC, p.item_a, p.item_b
+      LIMIT 200"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q162Triangles, q163BasketLift)
+}

@@ -42,7 +42,8 @@ object Catalog {
       RangeQueries.all ++ TpchQueries.all ++ SetQueries.all ++
       CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
       ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all ++
-      FamilyQueries.all
+      FamilyQueries.all ++ SeriesQueries.all ++ MiningQueries.all ++
+      CorpusQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

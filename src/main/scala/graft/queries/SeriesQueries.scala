@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Series
+import graft.sources.Tables
+
+/** Time-series repair + decay layer (`ops/Series`) over the event
+  * stream's daily grain — exponentially-decayed activity, calendar gap
+  * filling with linear interpolation, and sketch-merged rolling distinct
+  * counts. The reference stops at daily GROUP BYs
+  * (`transform/kpi_views.sql`); these are the standard layer above them.
+  *
+  * Determinism: daily values are decimal-exact sums cast to double once;
+  * decay weights are exact binary 2^-k (integer shift + one division —
+  * never libm pow); interpolation is one double expression per row over
+  * exact integer day distances. All per OracleQuery.scala rules.
+  */
+object SeriesQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val DayUs = 86400000000L
+
+  /** Per-user daily decimal-exact value total, as (user_id, day, v). */
+  private def dailyUserValue(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"),
+        col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("value").cast(dec2)).cast("double").as("v"))
+
+  private val dailySql = s"""
+      daily AS (
+        SELECT user_id, epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2)"""
+
+  /** Gap-aware exponentially-decayed daily activity
+    * ([[Series.decayedDaily]], half decay, 6-lag horizon): each user-day
+    * scores its value plus its up-to-6 predecessors weighted 2^-(day
+    * distance) — the recency-weighted engagement feature. The oracle
+    * replays the identical unrolled lag expression: every product is one
+    * IEEE op on identical operands, the sum association order is pinned
+    * left-to-right in both engines. */
+  val q159Decayed = OracleQuery("q159_decayed_activity",
+    "half-decay 6-lag decayed daily user activity, gap-aware weights",
+    (s, d) =>
+      Series.decayedDaily(dailyUserValue(s, d), "user_id", "day", "v",
+          lags = 6)
+        .select(col("user_id"), col("day"), col("v"), col("decayed"))
+        .orderBy("user_id", "day"),
+    Some {
+      // same unrolled expression as the Scala fold: (((v*1.0 + t1) + t2)
+      // ... ) / ((1.0 + w1) + w2) ... — SQL + is left-associative
+      val terms = (1 to 6).map { i =>
+        s"""COALESCE(lag(v, $i) OVER w, 0.0) *
+            (CASE WHEN lag(v, $i) OVER w IS NOT NULL
+                       AND day - lag(day, $i) OVER w <= 6
+                  THEN 1.0 / CAST(1::BIGINT <<
+                         CAST(day - lag(day, $i) OVER w AS INT) AS DOUBLE)
+                  ELSE 0.0 END)"""
+      }.mkString(" + ")
+      val weights = (1 to 6).map { i =>
+        s"""(CASE WHEN lag(v, $i) OVER w IS NOT NULL
+                       AND day - lag(day, $i) OVER w <= 6
+                  THEN 1.0 / CAST(1::BIGINT <<
+                         CAST(day - lag(day, $i) OVER w AS INT) AS DOUBLE)
+                  ELSE 0.0 END)"""
+      }.mkString(" + ")
+      s"""
+      WITH $dailySql
+      SELECT user_id, day, v,
+             (v * 1.0 + $terms) / (1.0 + $weights) AS decayed
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+      ORDER BY user_id, day"""
+    })
+
+  /** Calendar gap filling + LINEAR INTERPOLATION
+    * ([[Series.gapFillLinear]]) of the per-priority daily order value:
+    * the spine explode is calendar-bounded, neighbour days ride plain
+    * BIGINT min/max running windows (no IGNORE-NULLS dependence — DuckDB
+    * replays them verbatim), values arrive via two narrow equi-joins.
+    * interp = vp + (vn−vp)·(d−dp)/(dn−dp), one double expression on
+    * exact integer day distances. */
+  val q160GapFill = OracleQuery("q160_gap_fill",
+    "calendar spine + linear interpolation of per-priority daily value",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          // o_orderdate is TIMESTAMP_NTZ (UTC session): date → epoch day
+          expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("day"))
+        .agg(sum(col("o_totalprice").cast(dec2)).cast("double").as("v"))
+      Series.gapFillLinear(daily, "pri", "day", "v")
+        .orderBy("pri", "day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               epoch_us(o_orderdate) // $DayUs AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM orders GROUP BY 1, 2),
+      spine AS (
+        SELECT pri, unnest(generate_series(min(day), max(day))) AS day
+        FROM daily GROUP BY pri),
+      dense AS (
+        SELECT s.pri, s.day, d.v
+        FROM spine s LEFT JOIN daily d ON s.pri = d.pri AND s.day = d.day),
+      marked AS (
+        SELECT pri, day, v,
+               max(CASE WHEN v IS NOT NULL THEN day END) OVER
+                 (PARTITION BY pri ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+               min(CASE WHEN v IS NOT NULL THEN day END) OVER
+                 (PARTITION BY pri ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        FROM dense)
+      SELECT m.pri, m.day,
+             CASE WHEN m.v IS NOT NULL THEN m.v
+                  ELSE p.v + (n.v - p.v) *
+                       CAST(m.day - m.dp AS DOUBLE) /
+                       CAST(m.dn - m.dp AS DOUBLE) END AS v,
+             m.v IS NOT NULL AS is_observed
+      FROM marked m
+      LEFT JOIN daily p ON m.pri = p.pri AND m.dp = p.day
+      LEFT JOIN daily n ON m.pri = n.pri AND m.dn = n.day
+      ORDER BY m.pri, m.day"""))
+
+  /** Rolling 7-day distinct users: the EXACT bounded-explode rewrite
+    * ([[Series.rollingDistinctExact]]) next to the HLL SKETCH-MERGE path
+    * ([[Series.rollingDistinctHll]] — day-grain sketches built once,
+    * merged per window; the 100 TB shape), gated q110-style: the sketch
+    * estimate must land within 5% of the exact count, and the gate
+    * boolean is part of the hashed result (DuckDB emits TRUE; drift
+    * turns the driver row red). */
+  val q161RollingUniques = OracleQuery("q161_rolling_uniques",
+    "rolling 7-day distinct users: exact + HLL-merge path inside 5% gate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
+      val exact = Series.rollingDistinctExact(ev, "day", "user_id", 7)
+      val approx = Series.rollingDistinctHll(ev, "day", "user_id", 7)
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      exact.join(approx, "day")
+        .crossJoin(broadcast(maxDay))
+        .filter(col("day") <= col("max_day"))
+        .select(col("day"), col("n_unique"),
+          (abs(col("n_approx") - col("n_unique")) <=
+            lit(0.05) * col("n_unique")).as("within_5pct"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT epoch_us(ts) // $DayUs AS d, user_id FROM events),
+      win AS (
+        SELECT d + k AS day, user_id
+        FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k))
+      SELECT day, count(DISTINCT user_id) AS n_unique, TRUE AS within_5pct
+      FROM win
+      WHERE day <= (SELECT max(d) FROM ud)
+      GROUP BY day
+      ORDER BY day"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q159Decayed, q160GapFill, q161RollingUniques)
+}

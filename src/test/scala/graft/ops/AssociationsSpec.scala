@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class AssociationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val baskets = Seq(
+    (1L, "a"), (1L, "b"), (1L, "c"),
+    (2L, "a"), (2L, "b"),
+    (3L, "a"), (3L, "b"),
+    (4L, "c"), (4L, "d")).toDF("b", "i")
+
+  test("pairCounts: Apriori prune removes infrequent-item pairs") {
+    val got = Associations.pairCounts(baskets, "b", "i", minSupport = 2)
+      .as[(String, String, Long)].collect().toSet
+    // d occurs once → pruned before enumeration; (a,c)/(b,c) co-occur
+    // once → below pair support
+    assert(got == Set(("a", "b", 3L)))
+  }
+
+  test("pairLift: exact cross-products and the independence ratio") {
+    val got = Associations.pairLift(baskets, "b", "i", minSupport = 2)
+      .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b", $"n_baskets",
+        $"lift_num", $"lift_den", $"lift")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r == (("a", "b", 3L, 3L, 3L, 4L, 12L, 9L, 12.0 / 9.0)))
+  }
+
+  test("duplicate (basket, item) rows count once") {
+    val dup = baskets.unionAll(Seq((1L, "a"), (2L, "b")).toDF("b", "i"))
+    val got = Associations.pairCounts(dup, "b", "i", 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 3L)))
+  }
+
+  test("giant baskets are capped out of pair enumeration") {
+    val giant = (1 to 50).map(i => (99L, s"g$i")) ++
+      (1 to 50).map(i => (98L, s"g$i")) // each g-item in 2 baskets
+    val capped = Associations.pairCounts(
+      baskets.unionAll(giant.toDF("b", "i")), "b", "i",
+      minSupport = 2, maxBasketItems = 10)
+      .as[(String, String, Long)].collect().toSet
+    // both g-baskets exceed the cap → only the small-basket pair remains
+    assert(capped == Set(("a", "b", 3L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val hdr = "aa bb cc dd ee" // one exact 5-word chunk
+
+  test("stripBoilerplate: recurring header removed, unique text kept") {
+    val docs = (1 to 6).map(i =>
+      (i.toLong, "s1", s"$hdr unique$i words here also kept")) :+
+      ((7L, "s2", s"$hdr only one doc in this source"))
+    val got = Corpus.stripBoilerplate(docs.toDF("id", "src", "text"),
+        "id", "src", "text", chunkWords = 5, minDocs = 5)
+      .select($"id", $"clean_text", $"n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // s1: header in 6 ≥ 5 docs → stripped everywhere in s1
+    (1 to 6).foreach { i =>
+      assert(got(i.toLong)._2 == s"unique$i words here also kept")
+      assert(got(i.toLong)._3 == 1L)
+    }
+    // s2: header appears once in that source → kept
+    assert(got(7L)._2.startsWith(hdr) && got(7L)._3 == 0L)
+  }
+
+  test("stripBoilerplate: scope is per-source, reassembly in chunk order") {
+    val text = s"$hdr m1 m2 m3 m4 m5 $hdr x1 x2 x3 x4 x5"
+    // the header occupies chunks 0 and 2 in every doc of the source
+    val docs = (1 to 5).map(i => (i.toLong, "s", text))
+    val got = Corpus.stripBoilerplate(docs.toDF("id", "src", "text"),
+        "id", "src", "text", 5, 5)
+      .select($"clean_text", $"n_chunks", $"n_removed")
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (clean, nc, nr) =>
+      assert(clean == "m1 m2 m3 m4 m5 x1 x2 x3 x4 x5")
+      assert(nc == 4 && nr == 2)
+    }
+  }
+
+  test("tokenClassScore: evidence sums are the exact corpus counts") {
+    val docs = Seq(
+      (1L, "x x y", true),   // class-1
+      (2L, "x y y", false),
+      (3L, "z", true))
+    // corpus stats: x: c1=2, ct=3; y: c1=1, ct=3; z: c1=1, ct=1
+    val got = Corpus.tokenClassScore(docs.toDF("id", "text", "lab"),
+        "id", "text", "lab")
+      .select($"id", $"n_tok", $"ev_num", $"ev_den", $"score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2 * 2 + 1 * 1, 2 * 3 + 1 * 3,
+      5.0 / 9.0)))
+    assert(got(2L) == ((2L, 3L, 1 * 2 + 2 * 1, 1 * 3 + 2 * 3,
+      4.0 / 9.0)))
+    assert(got(3L) == ((3L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("hashEmbed: order-insensitive, count-linear, empty docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // same bag → same vector
+      (3L, "alpha alpha beta gamma"), // one extra alpha
+      (4L, ""))
+    val got = Corpus.hashEmbed(docs.toDF("id", "text"), "id", "text",
+        dims = 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(j => r.getLong(j)).toVector).toMap
+    assert(got(1L) == got(2L))
+    assert(!got.contains(4L))
+    // doc3 − doc1 must be exactly one ±1 in alpha's bucket
+    val diff = (got(3L) zip got(1L)).map { case (a, b) => a - b }
+    assert(diff.count(_ != 0) == 1 && diff.map(math.abs).sum == 1)
+    // total mass bound: Σ|f_j| ≤ token count
+    assert(got(1L).map(math.abs).sum <= 3)
+  }
+}

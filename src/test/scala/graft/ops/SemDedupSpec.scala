@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated anchor directions + satellites around each
+  private def corpus = Seq(
+    (0L, Array(10.0, 0.0, 0.0)),   // anchor A (lowest ids become anchors)
+    (1L, Array(0.0, 10.0, 0.0)),   // anchor B
+    (10L, Array(9.0, 1.0, 0.0)),   // near A
+    (11L, Array(18.0, 0.0, 0.0)),  // scaled copy of anchor A direction
+    (20L, Array(1.0, 9.0, 0.0)),   // near B
+    (21L, Array(0.0, 5.0, 0.0))    // scaled copy of anchor B direction
+  ).toDF("vec_id", "embedding")
+
+  test("assignToAnchors: satellites land on the geometric nearest anchor") {
+    val anchors = SemDedup.lowestIdAnchors(corpus, "vec_id", "embedding", 2)
+    val got = SemDedup.assignToAnchors(corpus, "vec_id", "embedding", anchors)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 10L -> 0L, 11L -> 0L,
+      1L -> 1L, 20L -> 1L, 21L -> 1L))
+  }
+
+  test("clusterNearDupPairs: finds in-cluster dups, never crosses clusters") {
+    val pairs = SemDedup.clusterNearDupPairs(corpus, "vec_id", "embedding",
+        nAnchors = 2, minSim = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // scaled copies are cosine-1 with their anchor; cross-cluster pairs
+    // (e.g. 10↔20, cosine ≈ 0.22) must not appear even if threshold drops
+    assert(pairs == Set((0L, 11L), (1L, 21L)))
+    val loose = SemDedup.clusterNearDupPairs(corpus, "vec_id", "embedding",
+        nAnchors = 2, minSim = 0.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!loose.contains((10L, 20L)),
+      "cluster scoping must exclude cross-cluster candidates by design")
+  }
+
+  test("cross-boundary recall loss is real and documented: a near-dup " +
+    "pair split across clusters is missed") {
+    // two nearly-identical vectors equidistant-ish from both anchors but
+    // landing on different sides of the boundary
+    val tricky = corpus.unionByName(Seq(
+      (30L, Array(5.0, 4.999, 0.0)),  // argmin → anchor A
+      (31L, Array(4.999, 5.0, 0.0))   // argmin → anchor B
+    ).toDF("vec_id", "embedding"))
+    val assigned = SemDedup.assignToAnchors(tricky, "vec_id", "embedding",
+        SemDedup.lowestIdAnchors(tricky, "vec_id", "embedding", 2))
+      .as[(Long, Long)].collect().toMap
+    assert(assigned(30L) == 0L && assigned(31L) == 1L)
+    val pairs = SemDedup.clusterNearDupPairs(tricky, "vec_id", "embedding",
+        2, 0.999).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((30L, 31L)))
+  }
+
+  test("clusterQuotaSample: quota enforced per cluster, reshard-stable") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val s1 = SemDedup.clusterQuotaSample(emb, "vec_id", "embedding", 4, 5)
+    val perCluster = s1.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_._2 <= 5))
+    val s2 = SemDedup.clusterQuotaSample(emb.repartition(13), "vec_id",
+      "embedding", 4, 5)
+    assert(s1.orderBy("cluster", "pick").collect().toSeq ==
+      s2.orderBy("cluster", "pick").collect().toSeq)
+  }
+}

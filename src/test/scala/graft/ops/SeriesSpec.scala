@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decayedDaily: gap-aware half-decay weights, hand-computed") {
+    val daily = Seq((1L, 0L, 2.0), (1L, 1L, 4.0), (1L, 3L, 8.0))
+      .toDF("k", "day", "v")
+    val got = Series.decayedDaily(daily, "k", "day", "v")
+      .select($"day", $"decayed").as[(Long, Double)].collect().toMap
+    assert(got(0L) == 2.0)
+    assert(got(1L) == (4.0 + 2.0 * 0.5) / 1.5)
+    // day 3: lag1 is day 1 (distance 2 → w=1/4), lag2 day 0 (d=3 → 1/8)
+    assert(got(3L) == (8.0 + 4.0 * 0.25 + 2.0 * 0.125) / 1.375)
+  }
+
+  test("decayedDaily: observations beyond the horizon carry zero weight") {
+    val daily = Seq((1L, 0L, 100.0), (1L, 10L, 4.0)).toDF("k", "day", "v")
+    val got = Series.decayedDaily(daily, "k", "day", "v", lags = 6)
+      .select($"day", $"decayed").as[(Long, Double)].collect().toMap
+    assert(got(10L) == 4.0) // day 0 is 10 days back: outside the window
+  }
+
+  test("decayedDaily: keys never mix") {
+    val daily = Seq((1L, 0L, 2.0), (1L, 1L, 4.0), (2L, 1L, 64.0))
+      .toDF("k", "day", "v")
+    val got = Series.decayedDaily(daily, "k", "day", "v")
+      .select($"k", $"day", $"decayed").as[(Long, Long, Double)].collect()
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq(64.0))
+  }
+
+  test("gapFillLinear: interior gaps interpolate, edges stay observed") {
+    val daily = Seq(("a", 0L, 10.0), ("a", 3L, 40.0), ("a", 4L, 0.0))
+      .toDF("k", "day", "v")
+    val got = Series.gapFillLinear(daily, "k", "day", "v")
+      .select($"day", $"v", $"is_observed")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_._2).toSeq == Seq(10.0, 20.0, 30.0, 40.0, 0.0))
+    assert(got.map(_._3).toSeq == Seq(true, false, false, true, true))
+  }
+
+  test("gapFillLinear: spine is per-key — no bleed across keys") {
+    val daily = Seq(("a", 0L, 1.0), ("a", 2L, 3.0), ("b", 100L, 5.0))
+      .toDF("k", "day", "v")
+    val got = Series.gapFillLinear(daily, "k", "day", "v")
+      .groupBy($"k").agg(count(lit(1)).as("n"), min($"day"), max($"day"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 3 && got("b")._2 == 1)
+    assert(got("b")._3 == 100L && got("b")._4 == 100L)
+  }
+
+  test("rollingDistinctExact: windows accumulate and expire") {
+    val ev = Seq((0L, "u1"), (0L, "u2"), (1L, "u1"), (5L, "u3"))
+      .toDF("day", "id")
+    val got = Series.rollingDistinctExact(ev, "day", "id", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 2)  // window {-2..0}: u1,u2
+    assert(got(1L) == 2)  // {-1..1}: u1,u2
+    assert(got(2L) == 2)  // {0..2}: day-0 and day-1 events
+    assert(got(3L) == 1)  // {1..3}: only day-1 u1
+    assert(got(5L) == 1 && got(7L) == 1)
+    assert(!got.contains(4L)) // no event participates
+  }
+
+  test("HLL rolling estimate lands within 5% of exact on real events") {
+    val DayUs = 86400000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(expr(s"ts div 1000 div $DayUs").as("day"), $"user_id")
+    val exact = Series.rollingDistinctExact(ev, "day", "user_id", 7)
+    val approx = Series.rollingDistinctHll(ev, "day", "user_id", 7)
+    val joined = exact.join(approx, "day")
+      .select($"n_unique", $"n_approx").as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (ex, ap) =>
+      assert(math.abs(ap - ex) <= 0.05 * ex,
+        s"estimate $ap vs exact $ex beyond 5%")
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TrianglesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stats(edges: (Long, Long)*) =
+    Triangles.nodeTriangleStats(edges.toDF("s", "d"), "s", "d")
+      .select($"n", $"deg", $"n_tri", $"coeff")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("K4: every node is in 3 triangles with coefficient 1.0") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val got = stats(k4: _*)
+    assert(got.size == 4)
+    got.foreach { case (_, (deg, tri, c)) =>
+      assert(deg == 3 && tri == 3 && c == 1.0)
+    }
+  }
+
+  test("square has no triangles; adding one diagonal makes two") {
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(stats(square: _*).values.forall(_._2 == 0))
+    val withDiag = stats(square :+ ((0L, 2L)): _*)
+    // diagonal corners 0 and 2 sit in both triangles; 1 and 3 in one
+    assert(withDiag(0L)._2 == 2 && withDiag(2L)._2 == 2)
+    assert(withDiag(1L)._2 == 1 && withDiag(3L)._2 == 1)
+    assert(withDiag(1L)._3 == 1.0) // deg 2, 1 triangle: 2·1/(2·1)
+  }
+
+  test("star graph: hub with many leaves has zero triangles, coeff 0") {
+    val star = (1L to 10L).map(i => (0L, i))
+    val got = stats(star: _*)
+    assert(got(0L) == ((10L, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("duplicate, reversed, and self-loop edges canonicalize away") {
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 2L))
+    val got = stats(messy: _*)
+    assert(got(0L) == ((2L, 1L, 1.0)))
+    assert(got.values.map(_._2).sum == 3) // one triangle × 3 corners
+  }
+
+  test("degree-ordered census equals the naive id-ordered 3-way join") {
+    // pseudo-random graph, 60 nodes, deterministic edge choice
+    val edges = for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+      if (i * 31 + j * 17 + i * j) % 7 == 0
+    } yield (i, j)
+    val fast = Triangles.triangleRows(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    val canon = edges.toDF("a", "b")
+    val naive = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a"), col("e1.b"), col("e2.b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+}

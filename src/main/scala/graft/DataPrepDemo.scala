@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curation, Dedup, Pack, Redact,
-  Similarity, TextAnalysis}
+import graft.ops.{Contamination, Corpus, Curation, Dedup, Pack, Redact,
+  SemDedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data preparation pipeline demo — the extension operators
@@ -39,20 +39,35 @@ object DataPrepDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // plant duplicates so the dedup stages have real work (same
-    // construction as the oracle queries)
-    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // plant duplicates AND a recurring source header so the dedup and
+    // boilerplate stages have real work (same construction as the
+    // oracle queries q51/q164)
+    val base0 = Tables.documents(spark, sfDir).select($"doc_id", $"source", $"text")
+    val base = base0.withColumn("text",
+      when($"doc_id" % 3 === 0,
+        concat_ws(" ", lit("legal header boilerplate notice chunk"), $"text"))
+        .otherwise($"text"))
     val docs = base
       .unionByName(base.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        .select(($"doc_id" + 100000).as("doc_id"), $"source", $"text"))
       .unionByName(base.filter($"doc_id" % 10 === 5)
-        .select(($"doc_id" + 200000).as("doc_id"),
+        .select(($"doc_id" + 200000).as("doc_id"), $"source",
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
-    println(s"corpus: ${docs.count()} docs (with planted duplicates)")
+    println(s"corpus: ${docs.count()} docs (with planted duplicates + boilerplate)")
 
     // 0. PII scrub: placeholder redaction is a narrow projection, run
     // FIRST so every later stage (and shard) sees only scrubbed text
-    val scrubbed = docs.withColumn("text", Redact.redacted($"text"))
+    val scrubbed0 = docs.withColumn("text", Redact.redacted($"text"))
+
+    // 0b. boilerplate strip: chunks recurring across ≥5 docs of one
+    // source (headers/footers) removed before any quality measurement —
+    // boilerplate would otherwise depress repetition/quality scores of
+    // clean documents
+    val stripped = Corpus.stripBoilerplate(scrubbed0, "doc_id", "source",
+      "text", chunkWords = 5, minDocs = 5)
+    val removedChunks = stripped.agg(sum($"n_removed")).head().getLong(0)
+    val scrubbed = stripped.select($"doc_id", $"clean_text".as("text"))
+    println(s"boilerplate: $removedChunks chunks stripped")
 
     // 1. quality gate: length + score thresholds, plus the Gopher
     // repetition filters (top-unigram dominance <= 30%)
@@ -66,6 +81,17 @@ object DataPrepDemo {
       .filter($"n_words" >= 10 && $"score" > 0.2 && $"top_word_frac" <= 0.3)
       .select($"doc_id", $"text")
     println(s"after quality + repetition gates: ${quality.count()}")
+
+    // 1b. corpus-trained quality model (the fastText stand-in): label =
+    // heuristic gate survival, score every doc by its tokens' class-1
+    // share — the model-based second opinion a production pipeline
+    // trains on its own heuristic labels
+    val labeled = scrubbed.join(
+      quality.select($"doc_id", lit(true).as("lab")), Seq("doc_id"), "left")
+      .withColumn("lab", coalesce($"lab", lit(false)))
+    val modelScores = Corpus.tokenClassScore(labeled, "doc_id", "text", "lab")
+    val lowModel = modelScores.filter($"score" < 0.5).count()
+    println(s"token-class model: $lowModel docs score < 0.5")
 
     // 2. exact dedup on the canonical fingerprint
     val exact = Dedup.dedupExact(quality, "doc_id", "text")
@@ -145,6 +171,23 @@ object DataPrepDemo {
     println(s"embeddings: ${emb.count()} vectors, $degenerate degenerate; " +
       s"int8 snapshot at $outDir/vectors_int8; " +
       s"ANN probe rows: float=${knn.count()} int8=${knn8.count()}")
+
+    // 8. semantic layer: SemDeDup cluster-scoped near-dup pairs +
+    // cluster-balanced diversity sample over the embedding space
+    // (planted scaled copies = the near-dup signal, as in q166)
+    val embD0 = emb.select($"vec_id",
+      $"embedding".cast("array<double>").as("embedding"))
+    val embD = embD0.unionByName(embD0.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * 1.001).as("embedding")))
+    val semPairs = SemDedup.clusterNearDupPairs(embD, "vec_id", "embedding",
+      nAnchors = 8, minSim = 0.99)
+    val divSample = SemDedup.clusterQuotaSample(embD, "vec_id", "embedding",
+      nAnchors = 8, quota = 10)
+    divSample.write.mode("overwrite").parquet(s"$outDir/diverse_sample")
+    println(s"semantic: ${semPairs.count()} in-cluster near-dup pairs; " +
+      s"diversity sample ${divSample.count()} vectors " +
+      s"at $outDir/diverse_sample")
     spark.stop()
   }
 }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Contamination, Curation, Dedup, PageRank, Similarity}
+import graft.ops.{Associations, Components, Contamination, Curation, Dedup,
+  PageRank, SemDedup, Similarity, Triangles}
 
 /** Empirical scale evidence for the heavy-hitter operators: replicate the
   * sf0.1 corpora m× (m ∈ 1,2,5,10 by default) with per-replica content
@@ -146,6 +147,41 @@ object ScaleBench {
           .selectExpr(s"id % $nDocs as src",
             s"((id % $nDocs) * 7 + id div $nDocs + 1) % $nDocs as dst")
         PageRank.pageRankInt(e, "src", "dst")
+      }
+      timeOp("triangles", m, nDocs) {
+        // co-purchase graph of the base lineitem, replicated m× with
+        // DISJOINT node-id spaces: wedge volume (Σ outdeg² — the cost
+        // driver) and the triangle count both scale exactly linearly,
+        // so the slope measures the engine, not a densifying graph
+        val bi = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val raw = bi.join(bi.select(col("bk"), col("it").as("it2")), "bk")
+          .filter(col("it") < col("it2"))
+        val edges = (0 until m).map { i =>
+          raw.select((col("it") + lit(i * 10000000L)).as("s"),
+            (col("it2") + lit(i * 10000000L)).as("d"))
+        }.reduce(_ unionByName _)
+        Triangles.nodeTriangleStats(edges, "s", "d")
+      }
+      timeOp("basket_lift", m, nDocs) {
+        // baskets AND items disjoint per replica: per-item support and
+        // per-basket width are constant in m — candidate pairs linear
+        val bi = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        val scaled = (0 until m).map { i =>
+          bi.select((col("bk") + lit(i * 1000000000L)).as("bk"),
+            (col("it") + lit(i * 10000000L)).as("it"))
+        }.reduce(_ unionByName _)
+        Associations.pairLift(scaled, "bk", "it", minSupport = 2)
+      }
+      timeOp("semantic_dedup", m, nEmb) {
+        // anchor count grows WITH the corpus (nAnchors ∝ m) — the
+        // documented knob that caps cluster size; fixed anchors would
+        // make per-cluster pair work quadratic in m and measure
+        // mis-tuning, not the engine
+        SemDedup.clusterNearDupPairs(emb, "vec_id", "embedding",
+          nAnchors = 8 * m, minSim = 0.99)
       }
       timeOp("axis_lsh_neardup", m, nEmb) {
         // band width grows with log2(corpus) — the documented knob that

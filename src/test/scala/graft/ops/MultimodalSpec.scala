@@ -140,4 +140,85 @@ class MultimodalSpec extends SparkTestBase {
       .as[String].collect().toSeq.sorted
     assert(sniffed == Seq("bmp", "unknown"))
   }
+
+  /** Minimal PCM-16 WAV writer: RIFF/WAVE + fmt + optional junk chunk +
+    * data, interleaved s16le samples. */
+  private def wav(sampleRate: Int, channels: Int, samples: Array[Short],
+      junkChunk: Boolean = false): Array[Byte] = {
+    val junk = if (junkChunk) 8 + 3 + 1 else 0 // odd-sized chunk + pad
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + junk + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junk + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    if (junkChunk) { // odd payload size exercises the RIFF pad walk
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(3)
+        .put(Array[Byte](1, 2, 3, 0))
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WavDecoder really decodes: rms/peak/zcr exact on a square wave") {
+    // mono square wave ±16384: rms = peak = 0.5 EXACTLY, dc = 0,
+    // every adjacent pair crosses zero → zcr = 1.0
+    val sq = Array.tabulate(100)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val f = Multimodal.WavDecoder.decodeOne(wav(8000, 1, sq)).get
+    assert(f == Seq(1.0, 8000.0, 100.0, 100.0 / 8000.0, 0.5, 0.5, 0.0, 1.0))
+
+    // silence: all level features zero
+    val silent = Multimodal.WavDecoder.decodeOne(
+      wav(44100, 1, Array.fill(50)(0: Short))).get
+    assert(silent == Seq(1.0, 44100.0, 50.0, 50.0 / 44100.0, 0.0, 0.0, 0.0, 0.0))
+
+    // stereo constant L=+8192 / R=-8192: channels decoded, dc cancels,
+    // rms = peak = 0.25, first-channel zcr 0
+    val st = Array.tabulate(40)(i =>
+      (if (i % 2 == 0) 8192 else -8192).toShort)
+    val fs = Multimodal.WavDecoder.decodeOne(wav(16000, 2, st)).get
+    assert(fs == Seq(2.0, 16000.0, 20.0, 20.0 / 16000.0, 0.25, 0.25, 0.0, 0.0))
+
+    // an unknown odd-sized chunk between fmt and data is walked over
+    val withJunk = Multimodal.WavDecoder.decodeOne(
+      wav(8000, 1, sq, junkChunk = true)).get
+    assert(withJunk(4) == 0.5 && withJunk(7) == 1.0)
+  }
+
+  test("WavDecoder rejects garbage instead of throwing") {
+    val good = wav(8000, 1, Array.fill(10)(1000: Short))
+    assert(Multimodal.WavDecoder.decodeOne("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.WavDecoder.decodeOne(good.take(30)).isEmpty)
+    def patched(at: Int, v: Short): Array[Byte] = {
+      val c = good.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(at, v)
+      c
+    }
+    assert(Multimodal.WavDecoder.decodeOne(patched(20, 2)).isEmpty)  // non-PCM
+    assert(Multimodal.WavDecoder.decodeOne(patched(34, 8)).isEmpty)  // 8-bit
+    // data chunk size lying past the buffer end
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 20)
+    assert(Multimodal.WavDecoder.decodeOne(lying).isEmpty)
+
+    // and through the SAME seam, mixed with non-audio payloads
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Seq((1L, good), (2L, "not audio".getBytes))
+      .toDF("media_id", "content")
+    val out = Multimodal.decode(media, "media_id", "content",
+        Multimodal.WavDecoder)
+      .orderBy($"media_id").collect()
+    assert(out(0).getAs[String]("format") == "wav")
+    assert(out(1).getAs[String]("format") == "unknown")
+    // the RIFF container is what magic-byte sniffing can see pre-decode
+    assert(media.filter($"media_id" === 1)
+      .select(Multimodal.sniffFormat($"content")).as[String].head() == "riff")
+  }
 }

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Statistical analytics shapes over the warehouse grain: rolling
+  * least-squares trend, grouped EXACT quantiles, and Pearson correlation
+  * — the reporting layer above the reference's daily KPIs, done with the
+  * catalog's exactness discipline: every moment is a decimal/BIGINT sum
+  * (order-independent), floats appear only in one final fixed-shape
+  * expression per row. Spark's built-in corr()/percentile() aggregate
+  * doubles in shuffle order — run-to-run nondeterministic and never
+  * hash-comparable across engines — which is exactly why these are
+  * rebuilt from exact moments (same reasoning as integer PageRank q155).
+  */
+object StatQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Rolling 7-day least-squares slope of daily order value per
+    * priority: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the
+    * trailing window, x = epoch day, y = the daily value in integer
+    * CENTS — every moment is then pure BIGINT arithmetic (no decimal
+    * type-promotion rules to diverge between engines; headroom: cents·
+    * day·window ≈ 10¹⁵ ≪ 2⁶³), and the slope (cents/day) is one double
+    * division. The trend-alarm query a metrics warehouse runs on every
+    * series. */
+  val q169Trend = OracleQuery("q169_trend_slope",
+    "rolling 7-day least-squares revenue slope per priority, exact moments",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"),
+          expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("day"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100)
+          .cast("long").as("vc"))
+      val w = Window.partitionBy(col("pri")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("day")).over(w))
+        .withColumn("sy", sum(col("vc")).over(w))
+        .withColumn("sxy", sum(col("vc") * col("day")).over(w))
+        .withColumn("sxx", sum(col("day") * col("day")).over(w))
+        .select(
+          col("pri"), col("day"), col("vc"),
+          col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+            .otherwise(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_day"))
+        .orderBy("pri", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS vc
+        FROM orders GROUP BY 1, 2),
+      m AS (
+        SELECT pri, day, vc,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(day) OVER w AS BIGINT) AS sx,
+               CAST(SUM(vc) OVER w AS BIGINT) AS sy,
+               CAST(SUM(vc * day) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(day * day) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT pri, day, vc, n,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                       CAST(n * sxx - sx * sx AS DOUBLE) END
+               AS slope_cents_per_day
+      FROM m
+      ORDER BY pri, day"""))
+
+  /** Grouped EXACT quantiles: P25/P50/P75 of event value per event type
+    * as LOWER ORDER STATISTICS (rank ⌊(n−1)·q⌋+1 in (value, event_id)
+    * order) — engine-exact actual data values, no interpolation, no
+    * float percentile algorithm; the grouped twin of q110's global
+    * order-stat side. Scale: one per-group sort (range-partitioned at
+    * cluster scale) + one conditional aggregate. */
+  val q170GroupQuantiles = OracleQuery("q170_group_quantiles",
+    "exact per-type P25/P50/P75 of event value via order statistics",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      def pick(q: Double) =
+        max(when(col("rk") === floor((col("n") - 1) * q) + 1, col("value")))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+             MAX(CASE WHEN rk = FLOOR((n - 1) * 0.25) + 1 THEN value END) AS p25,
+             MAX(CASE WHEN rk = FLOOR((n - 1) * 0.50) + 1 THEN value END) AS p50,
+             MAX(CASE WHEN rk = FLOOR((n - 1) * 0.75) + 1 THEN value END) AS p75
+      FROM ranked
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Pearson correlation of quantity vs extended price per return flag,
+    * from EXACT decimal moments: r = (n·Σxy − Σx·Σy) /
+    * (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)). Five decimal sums (all
+    * map-side combinable — ONE aggregation pass, no sort) + one
+    * fixed-shape double expression; built-in corr() double-sums in
+    * shuffle order and cannot be gated. */
+  val q171Correlation = OracleQuery("q171_correlation",
+    "exact-moment Pearson r of quantity vs price per return flag",
+    (s, d) => {
+      // all moments in decimal with EXPLICITLY bounded intermediate
+      // precisions: sums downcast to (19,2)/(28,4) and n to (10,0)
+      // before the cross products, so every product lands exactly at
+      // the shared 38-digit cap in BOTH engines — wider operands would
+      // hit each engine's own (different) promotion rule
+      val x = col("l_quantity").cast(dec2)
+      val y = col("l_extendedprice").cast(dec2)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("decimal(19,2)").as("sx"),
+          sum(y).cast("decimal(19,2)").as("sy"),
+          sum(x * y).cast("decimal(28,4)").as("sxy"),
+          sum(x * x).cast("decimal(28,4)").as("sxx"),
+          sum(y * y).cast("decimal(28,4)").as("syy"))
+        .withColumn("nd", col("n").cast("decimal(10,0)"))
+        .select(
+          col("l_returnflag"), col("n"),
+          col("sx").cast("double").as("sum_qty"),
+          col("sy").cast("double").as("sum_price"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("nd") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("r"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(19,2)) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(19,2)) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(28,4)) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(28,4)) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(28,4)) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             CAST(sx AS DOUBLE) AS sum_qty,
+             CAST(sy AS DOUBLE) AS sum_price,
+             CAST(CAST(n AS DECIMAL(10,0)) * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(CAST(n AS DECIMAL(10,0)) * sxx - sx * sx
+                  AS DOUBLE)) *
+                sqrt(CAST(CAST(n AS DECIMAL(10,0)) * syy - sy * sy
+                  AS DOUBLE))) AS r
+      FROM m
+      ORDER BY l_returnflag"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q169Trend, q170GroupQuantiles, q171Correlation)
+}

@@ -235,7 +235,174 @@ object CorpusQueries {
       ORDER BY doc_id"""
     })
 
+  /** Curriculum ordering: band documents by an integer difficulty proxy
+    * (mean word length, floored — per-row exact), then a deterministic
+    * md5 shuffle WITHIN each band: the easy→hard training order with
+    * in-band randomization, emitted as (band, within-band rank) so no
+    * stage needs a global single-partition sort (q154's lesson). */
+  val q172Curriculum = OracleQuery("q172_curriculum",
+    "curriculum order: mean-word-length bands, md5-shuffled within band",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(graft.ops.TextAnalysis.words(col("text"))).cast("long")
+            .as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("band",
+          floor(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / col("n_tok")).cast("long"))
+      val w = Window.partitionBy(col("band"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs
+        .withColumn("band_rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("band"), col("band_rank"))
+        .orderBy("band", "band_rank")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tok,
+               CAST(FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / n_tok) AS BIGINT) AS band
+        FROM t WHERE n_tok > 0)
+      SELECT doc_id, n_tok, band,
+             CAST(row_number() OVER (PARTITION BY band
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS band_rank
+      FROM b
+      ORDER BY band, band_rank"""))
+
+  /** Per-chunk language consistency — the code-switching / mixed-language
+    * detector (CCNet runs langid per paragraph for exactly this): 20-word
+    * chunks each classified by the q58 stopword heuristic, per-document
+    * English-chunk fraction plus a mixed flag. Integer threshold math
+    * end-to-end. */
+  val q173LangConsistency = OracleQuery("q173_lang_consistency",
+    "per-chunk langid agreement: en-chunk fraction + mixed-language flag",
+    (s, d) => {
+      import graft.ops.{Curation, TextAnalysis}
+      val chunks = Curation.chunkByWords(Tables.documents(s, d),
+        "doc_id", "text", 20, 0)
+      chunks
+        .withColumn("lang",
+          TextAnalysis.languageId(TextAnalysis.words(col("chunk_text"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("doc_id"), col("n_chunks"), col("n_en"),
+          (col("n_en").cast("double") / col("n_chunks")).as("en_frac"),
+          (col("n_en") > 0 && col("n_en") < col("n_chunks")).as("is_mixed"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+      chunks AS (
+        SELECT doc_id,
+               list_filter(list_slice(ws, st + 1, st + 20), x -> x <> '')
+                 AS cw
+        FROM (SELECT doc_id, ws, n,
+                     unnest(generate_series(0, GREATEST(n - 1, 0), 20)) AS st
+              FROM t2)),
+      langs AS (
+        SELECT doc_id,
+               CASE WHEN len(cw) > 0 AND
+                 len(list_filter(cw, w -> w IN
+                   ('the','a','of','and','to','in','is'))) * 10 >= len(cw)
+                 THEN 'en' ELSE 'und' END AS lang
+        FROM chunks)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS en_frac,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > 0 AND
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) < COUNT(*)
+               AS is_mixed
+      FROM langs
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** Matryoshka truncation gate: exact top-5 cosine ANN over the FIRST
+    * 16 of 64 dimensions vs the full vectors — measuring what a 4×
+    * cheaper truncated index loses, per probe. Both rankings are
+    * deterministic brute-force cosine ((sim desc, id) order), so the
+    * WHOLE comparison — truncated ranking included — replays in DuckDB;
+    * overlap@5 is the retention signal a storage-tiering decision
+    * reads. */
+  val q174Matryoshka = OracleQuery("q174_matryoshka",
+    "truncated-dim (16/64) vs full ANN: per-probe rankings + overlap@5",
+    (s, d) => {
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val probePred = col("vec_id") < 10
+      val full = Similarity.bruteForceTopK(emb, emb.filter(probePred),
+        "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("rank"),
+          col("neighbor_id").as("nb_full"))
+      val tr = Similarity.bruteForceTopK(trunc, trunc.filter(probePred),
+        "vec_id", "embedding", 5)
+        .select(col("probe_id"), col("rank"),
+          col("neighbor_id").as("nb_trunc"))
+      val both = full.join(tr, Seq("probe_id", "rank"))
+      val overlap = both.groupBy(col("probe_id"))
+        .agg(sum(when(col("nb_full") === col("nb_trunc"), 1L)
+          .otherwise(0L)).as("n_same_rank"))
+      both.join(overlap, "probe_id")
+        .select(col("probe_id"), col("rank"), col("nb_full"),
+          col("nb_trunc"), col("n_same_rank"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      t AS (
+        SELECT vec_id, v[1:16] AS v FROM e),
+      fullr AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS nb_full,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.v, c.v) /
+                   (sqrt(list_dot_product(p.v, p.v)) *
+                    sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS BIGINT) AS rank
+        FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      truncr AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS nb_trunc,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.v, c.v) /
+                   (sqrt(list_dot_product(p.v, p.v)) *
+                    sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS BIGINT) AS rank
+        FROM t p JOIN t c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      both_r AS (
+        SELECT f.probe_id, f.rank, f.nb_full, tr.nb_trunc
+        FROM fullr f JOIN truncr tr
+          ON f.probe_id = tr.probe_id AND f.rank = tr.rank
+        WHERE f.rank <= 5),
+      ov AS (
+        SELECT probe_id,
+               CAST(SUM(CASE WHEN nb_full = nb_trunc THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_same_rank
+        FROM both_r GROUP BY probe_id)
+      SELECT b.probe_id, b.rank, b.nb_full, b.nb_trunc, o.n_same_rank
+      FROM both_r b JOIN ov o ON b.probe_id = o.probe_id
+      ORDER BY b.probe_id, b.rank"""))
+
   def all: Seq[OracleQuery] =
     Seq(q164Boilerplate, q165TokenQuality, q166SemanticDedup,
-      q167ClusterSample, q168HashEmbed)
+      q167ClusterSample, q168HashEmbed, q172Curriculum,
+      q173LangConsistency, q174Matryoshka)
 }

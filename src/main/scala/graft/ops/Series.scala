@@ -130,25 +130,47 @@ object Series {
       .agg(countDistinct(col("_id")).as("n_unique"))
   }
 
-  /** Rolling distinct via HLL SKETCH MERGE — the 100 TB path: one
-    * day-grain sketch per day (map-side partial aggregation absorbs the
-    * event volume), then each day's sketch is exploded to the windows it
-    * belongs to and `windowDays` sketches merge per window. The
-    * event-sized table is touched ONCE regardless of window count;
-    * day-grain sketches (≲ KBs each) are what shuffle. Returns
-    * (day, n_approx). Estimates are deterministic for fixed input but
-    * NOT portable across engines — pair with [[rollingDistinctExact]]
-    * behind an accuracy gate (q110 pattern) for driver checking. */
-  def rollingDistinctHll(events: DataFrame, dayCol: String, idCol: String,
-      windowDays: Int, lgK: Int = 12): DataFrame = {
-    val perDay = events
-      .select(col(dayCol).cast("long").as("_d"), col(idCol).as("_id"))
-      .groupBy(col("_d"))
-      .agg(hll_sketch_agg(col("_id"), lit(lgK)).as("_sk"))
-    perDay
-      .select(explode(sequence(col("_d"),
-        col("_d") + (windowDays - 1))).as("day"), col("_sk"))
+  /** Day-grain HLL sketch table: (day, sk). The event-sized input is
+    * absorbed by map-side partial sketch aggregation; what comes out is
+    * one ≲KB binary sketch per day — the materialized form a 100 TB
+    * pipeline PERSISTS and maintains incrementally instead of ever
+    * rescanning history ([[mergeDaySketches]]). */
+  def daySketches(events: DataFrame, dayCol: String, idCol: String,
+      lgK: Int = 12): DataFrame =
+    events
+      .select(col(dayCol).cast("long").as("day"), col(idCol).as("_id"))
       .groupBy(col("day"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("n_approx"))
-  }
+      .agg(hll_sketch_agg(col("_id"), lit(lgK)).as("sk"))
+
+  /** Merge two day-sketch tables (e.g. the persisted store + a new
+    * batch's [[daySketches]]): HLL union is bucket-wise max —
+    * associative, commutative, idempotent — so incremental maintenance
+    * is EXACTLY equivalent to one-shot construction over the full
+    * history (SeriesSpec proves binary-estimate equality), the same
+    * contract as [[graft.ops.Dedup.incrementalLshPairs]]. */
+  def mergeDaySketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+
+  /** Rolling window estimates from a day-sketch table: each day's
+    * sketch explodes to the `windowDays` windows it belongs to, then
+    * one union per window — only KB sketches shuffle, regardless of
+    * event volume. Returns (day, n_approx). */
+  def rollingFromSketches(sketches: DataFrame, windowDays: Int): DataFrame =
+    sketches
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"), col("sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_approx"))
+
+  /** Rolling distinct via HLL SKETCH MERGE — the 100 TB path: the
+    * event-sized table is touched ONCE ([[daySketches]]), then windows
+    * merge day sketches ([[rollingFromSketches]]). Estimates are
+    * deterministic for fixed input but NOT portable across engines —
+    * pair with [[rollingDistinctExact]] behind an accuracy gate (q110
+    * pattern) for driver checking. */
+  def rollingDistinctHll(events: DataFrame, dayCol: String, idCol: String,
+      windowDays: Int, lgK: Int = 12): DataFrame =
+    rollingFromSketches(daySketches(events, dayCol, idCol, lgK), windowDays)
 }

@@ -67,6 +67,27 @@ class SeriesSpec extends SparkTestBase {
     assert(!got.contains(4L)) // no event participates
   }
 
+  test("incremental sketch-store maintenance ≡ one-shot over full history") {
+    val DayUs = 86400000000L
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(expr(s"ts div 1000 div $DayUs").as("day"), $"user_id",
+        $"event_id")
+    // split history on an arbitrary non-day-aligned boundary: days
+    // STRADDLING the split exercise the real merge case (same day, two
+    // partial sketches)
+    val old = ev.filter($"event_id" % 3 =!= 0)
+    val delta = ev.filter($"event_id" % 3 === 0)
+    val incremental = Series.mergeDaySketches(
+      Series.daySketches(old, "day", "user_id"),
+      Series.daySketches(delta, "day", "user_id"))
+    val oneShot = Series.daySketches(ev, "day", "user_id")
+    val a = Series.rollingFromSketches(incremental, 7)
+      .as[(Long, Long)].collect().toMap
+    val b = Series.rollingFromSketches(oneShot, 7)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("HLL rolling estimate lands within 5% of exact on real events") {
     val DayUs = 86400000000L
     val ev = graft.sources.Tables.events(spark, sfDir)

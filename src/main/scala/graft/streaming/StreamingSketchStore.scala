@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Series
+
+/** STREAMING day-sketch store — the streaming twin of the incremental
+  * batch path (`Series.mergeDaySketches`): events arrive on a stream;
+  * each micro-batch is collapsed to day-grain HLL sketches
+  * (`Series.daySketches` — the event volume is absorbed by map-side
+  * partial aggregation INSIDE the batch) and folded into a persisted,
+  * versioned sketch table. Rolling distinct-count queries then run
+  * against the store (`Series.rollingFromSketches`) without ever
+  * rescanning event history.
+  *
+  * Delivery semantics: foreachBatch is at-least-once on retry, and that
+  * is SUFFICIENT here — HLL union is idempotent (bucket-wise max), so
+  * re-merging a replayed batch leaves every sketch bit-identical. The
+  * usual exactly-once bookkeeping (processed-batch manifests, q148
+  * style) is unnecessary by construction; SketchStoreSpec proves both
+  * the replay idempotence and stream ≡ one-shot-batch equivalence.
+  *
+  * Scale: store size is O(days), KBs per row — the table is trivially
+  * broadcastable for query; writes touch one version of a day-count-
+  * sized table per micro-batch (TableStore snapshots are hard-linked,
+  * so versions share file storage until compact()).
+  */
+object StreamingSketchStore {
+
+  /** Wire a streaming event frame into a persisted day-sketch table.
+    * Caller starts/stops the returned writer. */
+  def attach(events: DataFrame, store: TableStore, table: String,
+      dayCol: String, idCol: String, lgK: Int = 12,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, store, table, dayCol, idCol, lgK)
+      }
+
+  /** One batch's fold into the store — also the direct entry point for
+    * batch-incremental callers. Idempotent per batch content. */
+  def mergeBatch(batch: DataFrame, store: TableStore, table: String,
+      dayCol: String, idCol: String, lgK: Int = 12): Unit = {
+    val delta = Series.daySketches(batch, dayCol, idCol, lgK)
+    val merged =
+      if (store.exists(table)) Series.mergeDaySketches(store.read(table), delta)
+      else delta
+    // safe even though `merged` lazily reads the current version:
+    // snapshots are immutable dirs and overwrite() stages the next
+    // version in a temp dir before the pointer swap, so the read plan's
+    // files exist untouched until after the write completes
+    store.overwrite(table, merged)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core peeling over an undirected edge list — the graph-density
+  * filter that complements [[PageRank]] (importance), [[Components]]
+  * (connectivity) and [[Triangles]] (cohesion): the k-core is the
+  * maximal subgraph where every node keeps degree ≥ k, the standard
+  * "dense kernel" extraction for spam/bot rings, link farms, and
+  * curation-graph noise removal.
+  *
+  * FIXED-ROUND peeling (like [[PageRank]]'s fixed iterations): each
+  * round computes degrees over the surviving subgraph and drops nodes
+  * below k; `rounds` rounds are unrolled so the DuckDB oracle can
+  * replay them as plain CTEs and must agree exactly — pure COUNT
+  * arithmetic, nothing float anywhere. A `converged` flag reports
+  * whether the last round changed anything (TRUE ⇒ the result IS the
+  * true k-core; at 100 TB the caller raises `rounds` — peeling depth
+  * grows slowly, log-ish in practice — or loops on the flag the way
+  * [[Components]] loops on its fixpoint).
+  *
+  * Scale shape per round: one degree aggregate (map-side combined) +
+  * two semi-joins restricting the edge list — all shuffles on the node
+  * key; the edge list only ever SHRINKS. Nothing graph-sized reaches
+  * the driver.
+  */
+object KCore {
+
+  /** Survivors after `rounds` peels: (node, deg) over the peeled
+    * subgraph, plus a constant `converged` column (whole-result flag:
+    * TRUE iff round `rounds` removed nobody). Input edges may be raw
+    * (dup/reversed/self-loop rows canonicalize away). */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20, "need k>=1, rounds in 1..20")
+    var e = Caches.track(Triangles.canonEdges(edges, srcCol, dstCol))
+    for (_ <- 1 to rounds) {
+      val deg = degrees(e)
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      e = Caches.track(
+        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+    }
+    val finalDeg = Caches.track(degrees(e))
+    val converged = finalDeg.agg(
+      coalesce(min(col("deg") >= k), lit(true)).as("converged"))
+    finalDeg.crossJoin(broadcast(converged))
+  }
+
+  private def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("n"))
+      .unionByName(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+}

@@ -102,6 +102,56 @@ object MiningQueries {
       ORDER BY p.n_ab DESC, p.item_a, p.item_b
       LIMIT 200"""))
 
+  /** k-core peeling ([[graft.ops.KCore.peel]]) of the co-purchase
+    * graph: 3 unrolled rounds of drop-degree-<60, the dense-kernel
+    * extraction. Pure COUNT arithmetic — the oracle replays each round
+    * as a CTE and must agree node-for-node, plus the convergence flag
+    * (q110-gate style: if 3 rounds stop sufficing at some scale, the
+    * flag flips and the driver row turns red instead of silently
+    * shipping a partial core). */
+  val q175KCore = OracleQuery("q175_kcore",
+    "60-core of the co-purchase graph after 3 peel rounds + convergence",
+    (s, d) => {
+      import graft.ops.KCore
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = bi.join(bi.select(col("b"), col("i").as("i2")), "b")
+        .filter(col("i") < col("i2"))
+      KCore.peel(edges, "i", "i2", k = 60, rounds = 3)
+        .orderBy("n")
+    },
+    Some("""
+      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                  FROM lineitem),
+      canon AS (SELECT DISTINCT e1.i AS a, e2.i AS bb
+                FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i),
+      d0 AS (SELECT n, count(*) AS deg FROM (
+               SELECT a AS n FROM canon UNION ALL SELECT bb FROM canon)
+             GROUP BY n),
+      k0 AS (SELECT n FROM d0 WHERE deg >= 60),
+      e1 AS (SELECT c.a, c.bb FROM canon c
+             JOIN k0 x ON c.a = x.n JOIN k0 y ON c.bb = y.n),
+      d1 AS (SELECT n, count(*) AS deg FROM (
+               SELECT a AS n FROM e1 UNION ALL SELECT bb FROM e1)
+             GROUP BY n),
+      k1 AS (SELECT n FROM d1 WHERE deg >= 60),
+      e2 AS (SELECT c.a, c.bb FROM e1 c
+             JOIN k1 x ON c.a = x.n JOIN k1 y ON c.bb = y.n),
+      d2 AS (SELECT n, count(*) AS deg FROM (
+               SELECT a AS n FROM e2 UNION ALL SELECT bb FROM e2)
+             GROUP BY n),
+      k2 AS (SELECT n FROM d2 WHERE deg >= 60),
+      e3 AS (SELECT c.a, c.bb FROM e2 c
+             JOIN k2 x ON c.a = x.n JOIN k2 y ON c.bb = y.n),
+      d3 AS (SELECT n, count(*) AS deg FROM (
+               SELECT a AS n FROM e3 UNION ALL SELECT bb FROM e3)
+             GROUP BY n)
+      SELECT n, deg,
+             (SELECT COALESCE(MIN(deg >= 60), TRUE) FROM d3) AS converged
+      FROM d3
+      ORDER BY n"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q162Triangles, q163BasketLift)
+    Seq(q162Triangles, q163BasketLift, q175KCore)
 }

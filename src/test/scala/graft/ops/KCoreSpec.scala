@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class KCoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def core(k: Int, rounds: Int, edges: (Long, Long)*) =
+    KCore.peel(edges.toDF("s", "d"), "s", "d", k, rounds)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("pendant chain peels away, the clique survives as the 2-core") {
+    // triangle {0,1,2} with a tail 2-3-4: the tail unravels in 2 rounds
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val got = core(2, 3, g: _*)
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got.values.forall { case (deg, conv) => deg == 2 && conv })
+  }
+
+  test("cascading removal needs multiple rounds; flag reports partial peels") {
+    // path 0-1-2-3-4-5: 2-core is empty, but each round only strips the
+    // current endpoints — 1 round is NOT enough and must say so
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val partial = core(2, 1, path: _*)
+    assert(partial.nonEmpty && partial.values.exists(!_._2))
+    val full = core(2, 3, path: _*)
+    assert(full.isEmpty ||
+      full.values.forall(_._2), "3 rounds fully unravel a 6-path")
+    assert(core(2, 3, path: _*).isEmpty)
+  }
+
+  test("k=1 keeps every non-isolated node; dups/self-loops canonicalize") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L))
+    val got = core(1, 2, g: _*)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L)._1 == 2)
+  }
+
+  test("degrees inside the core count only surviving neighbours") {
+    // hub 0 touches clique {1,2,3} and five pendants; 2-core drops the
+    // pendants, so the hub's core degree is 3, not 8
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val pendants = (10L to 14L).map(p => (0L, p))
+    val got = core(2, 3, clique ++ pendants: _*)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._1 == 3)
+  }
+}

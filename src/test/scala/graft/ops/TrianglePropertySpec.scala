@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Property-style equivalence for the triangle census: across seeded
+  * random graphs of varying density (including degenerate shapes the
+  * degree orientation must survive — hubs, near-cliques, disconnected
+  * fragments), the degree-ordered bloom-pruned census must equal the
+  * naive id-ordered 3-way join exactly — triangles, per-node counts,
+  * and coefficients. */
+class TrianglePropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomEdges(seed: Int, nodes: Int, density: Double): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      i <- 0L until nodes.toLong
+      j <- (i + 1) until nodes.toLong
+      if rnd.nextDouble() < density
+    } yield (i, j)
+  }
+
+  private def naiveStats(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val set = canon.toSet
+    val tris = for {
+      (a, b) <- canon; (b2, c) <- canon
+      if b2 == b && set.contains((a, c))
+    } yield (a, b, c)
+    val deg = canon.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val triCount = tris.flatMap { case (x, y, z) => Seq(x, y, z) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    deg.map { case (n, d) => n -> ((d, triCount.getOrElse(n, 0L))) }
+  }
+
+  test("degree-ordered census ≡ in-memory reference across random graphs") {
+    val cases = Seq(
+      (1, 30, 0.30), (2, 40, 0.15), (3, 25, 0.60), // dense → many triangles
+      (4, 60, 0.05),                               // sparse
+      (5, 20, 0.95))                               // near-clique
+    cases.foreach { case (seed, n, p) =>
+      val edges = randomEdges(seed, n, p)
+      val got = Triangles.nodeTriangleStats(edges.toDF("s", "d"), "s", "d")
+        .select($"n", $"deg", $"n_tri")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = naiveStats(edges)
+      assert(got == want, s"mismatch for seed=$seed n=$n p=$p")
+    }
+  }
+
+  test("hub-and-spoke with a rim: orientation handles extreme skew") {
+    // hub connected to all rim nodes + rim cycle: each rim edge closes
+    // exactly one triangle with the hub
+    val rim = 50L
+    val spokes = (1L to rim).map(i => (0L, i))
+    val cycle = (1L until rim).map(i => (i, i + 1)) :+ ((rim, 1L))
+    val edges = spokes ++ cycle
+    val got = Triangles.nodeTriangleStats(edges.toDF("s", "d"), "s", "d")
+      .select($"n", $"n_tri").as[(Long, Long)].collect().toMap
+    assert(got(0L) == rim)                       // hub is in every triangle
+    assert((1L to rim).forall(got(_) == 2L))     // each rim node in two
+  }
+}

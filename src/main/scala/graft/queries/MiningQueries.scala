@@ -37,21 +37,21 @@ object MiningQueries {
         .orderBy("n")
     },
     Some("""
-      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                   FROM lineitem),
-      canon AS (SELECT DISTINCT e1.i AS a, e2.i AS bb
+      canon AS MATERIALIZED (SELECT DISTINCT e1.i AS a, e2.i AS bb
                 FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i),
-      tri AS (SELECT e1.a AS x, e1.bb AS y, e2.bb AS z
+      tri AS MATERIALIZED (SELECT e1.a AS x, e1.bb AS y, e2.bb AS z
               FROM canon e1
               JOIN canon e2 ON e1.bb = e2.a
               JOIN canon e3 ON e3.a = e1.a AND e3.bb = e2.bb),
-      per_node AS (
+      per_node AS MATERIALIZED (
         SELECT n, count(*) AS n_tri FROM (
           SELECT x AS n FROM tri
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri)
         GROUP BY n),
-      deg AS (
+      deg AS MATERIALIZED (
         SELECT n, count(*) AS deg FROM (
           SELECT a AS n FROM canon UNION ALL SELECT bb FROM canon)
         GROUP BY n)
@@ -75,20 +75,20 @@ object MiningQueries {
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
         .limit(200),
     Some("""
-      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                   FROM lineitem),
-      freq AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i
+      freq AS MATERIALIZED (SELECT i, count(*) AS n_i FROM bi GROUP BY i
                HAVING count(*) >= 2),
-      pruned AS (SELECT bi.b, bi.i FROM bi JOIN freq ON bi.i = freq.i),
-      sized AS (SELECT b FROM pruned GROUP BY b HAVING count(*) <= 1000),
-      pi AS (SELECT p.b, p.i FROM pruned p JOIN sized s ON p.b = s.b),
-      pairs AS (
+      pruned AS MATERIALIZED (SELECT bi.b, bi.i FROM bi JOIN freq ON bi.i = freq.i),
+      sized AS MATERIALIZED (SELECT b FROM pruned GROUP BY b HAVING count(*) <= 1000),
+      pi AS MATERIALIZED (SELECT p.b, p.i FROM pruned p JOIN sized s ON p.b = s.b),
+      pairs AS MATERIALIZED (
         SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
         FROM pi l JOIN pi r ON l.b = r.b AND l.i < r.i
         GROUP BY 1, 2
         HAVING count(*) >= 2),
-      supp AS (SELECT i, count(*) AS n FROM bi GROUP BY i),
-      tot AS (SELECT count(DISTINCT b) AS n_baskets FROM bi)
+      supp AS MATERIALIZED (SELECT i, count(*) AS n FROM bi GROUP BY i),
+      tot AS MATERIALIZED (SELECT count(DISTINCT b) AS n_baskets FROM bi)
       SELECT p.item_a, p.item_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
              t.n_baskets,
              CAST(p.n_ab * t.n_baskets AS BIGINT) AS lift_num,
@@ -122,29 +122,29 @@ object MiningQueries {
         .orderBy("n")
     },
     Some("""
-      WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                   FROM lineitem),
-      canon AS (SELECT DISTINCT e1.i AS a, e2.i AS bb
+      canon AS MATERIALIZED (SELECT DISTINCT e1.i AS a, e2.i AS bb
                 FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i),
-      d0 AS (SELECT n, count(*) AS deg FROM (
+      d0 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
                SELECT a AS n FROM canon UNION ALL SELECT bb FROM canon)
              GROUP BY n),
-      k0 AS (SELECT n FROM d0 WHERE deg >= 60),
-      e1 AS (SELECT c.a, c.bb FROM canon c
+      k0 AS MATERIALIZED (SELECT n FROM d0 WHERE deg >= 60),
+      e1 AS MATERIALIZED (SELECT c.a, c.bb FROM canon c
              JOIN k0 x ON c.a = x.n JOIN k0 y ON c.bb = y.n),
-      d1 AS (SELECT n, count(*) AS deg FROM (
+      d1 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
                SELECT a AS n FROM e1 UNION ALL SELECT bb FROM e1)
              GROUP BY n),
-      k1 AS (SELECT n FROM d1 WHERE deg >= 60),
-      e2 AS (SELECT c.a, c.bb FROM e1 c
+      k1 AS MATERIALIZED (SELECT n FROM d1 WHERE deg >= 60),
+      e2 AS MATERIALIZED (SELECT c.a, c.bb FROM e1 c
              JOIN k1 x ON c.a = x.n JOIN k1 y ON c.bb = y.n),
-      d2 AS (SELECT n, count(*) AS deg FROM (
+      d2 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
                SELECT a AS n FROM e2 UNION ALL SELECT bb FROM e2)
              GROUP BY n),
-      k2 AS (SELECT n FROM d2 WHERE deg >= 60),
-      e3 AS (SELECT c.a, c.bb FROM e2 c
+      k2 AS MATERIALIZED (SELECT n FROM d2 WHERE deg >= 60),
+      e3 AS MATERIALIZED (SELECT c.a, c.bb FROM e2 c
              JOIN k2 x ON c.a = x.n JOIN k2 y ON c.bb = y.n),
-      d3 AS (SELECT n, count(*) AS deg FROM (
+      d3 AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
                SELECT a AS n FROM e3 UNION ALL SELECT bb FROM e3)
              GROUP BY n)
       SELECT n, deg,

@@ -133,6 +133,14 @@ object StatQueries {
       // hit each engine's own (different) promotion rule
       val x = col("l_quantity").cast(dec2)
       val y = col("l_extendedprice").cast(dec2)
+      // decimal values wider than 2^53 MUST go decimal→VARCHAR→double:
+      // direct decimal→double is correctly rounded in Spark
+      // (BigDecimal.doubleValue) but computed as intval/10^scale in
+      // DuckDB — two roundings, 1-ulp divergence at sf0.1 (row 1 of r
+      // differed in the 16th digit). Both engines' string parse is
+      // correctly rounded, and the digit strings are identical.
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -147,11 +155,10 @@ object StatQueries {
           col("l_returnflag"), col("n"),
           col("sx").cast("double").as("sum_qty"),
           col("sy").cast("double").as("sum_price"),
-          ((col("nd") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("nd") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-             sqrt((col("nd") * col("syy") - col("sy") * col("sy"))
-               .cast("double")))).as("r"))
+          (toDbl(col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(toDbl(col("nd") * col("sxx") - col("sx") * col("sx"))) *
+             sqrt(toDbl(col("nd") * col("syy") - col("sy") * col("sy")))))
+            .as("r"))
         .orderBy("l_returnflag")
     },
     Some("""
@@ -174,11 +181,12 @@ object StatQueries {
       SELECT l_returnflag, n,
              CAST(sx AS DOUBLE) AS sum_qty,
              CAST(sy AS DOUBLE) AS sum_price,
-             CAST(CAST(n AS DECIMAL(10,0)) * sxy - sx * sy AS DOUBLE) /
-               (sqrt(CAST(CAST(n AS DECIMAL(10,0)) * sxx - sx * sx
-                  AS DOUBLE)) *
-                sqrt(CAST(CAST(n AS DECIMAL(10,0)) * syy - sy * sy
-                  AS DOUBLE))) AS r
+             CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxy - sx * sy
+                    AS VARCHAR) AS DOUBLE) /
+               (sqrt(CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxx - sx * sx
+                  AS VARCHAR) AS DOUBLE)) *
+                sqrt(CAST(CAST(CAST(n AS DECIMAL(10,0)) * syy - sy * sy
+                  AS VARCHAR) AS DOUBLE))) AS r
       FROM m
       ORDER BY l_returnflag"""))
 

@@ -26,6 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  7. Only functions present in BOTH Spark 4 and DuckDB 1.0 are used in
   *     oracle SQL (no initcap / xxhash64 on the DuckDB side — md5 is the
   *     shared hash).
+  *  8. decimal→double is only exact below 2⁵³. Wider decimals must go
+  *     decimal→VARCHAR→double in BOTH engines: Spark's direct cast is
+  *     correctly rounded, DuckDB's is intval/10^scale in float math —
+  *     two roundings, 1-ulp divergence (q171 at sf0.1). String parse is
+  *     correctly rounded everywhere and digit strings are identical.
+  *  9. DuckDB 1.0 INLINES non-materialized CTEs: a CTE chain where each
+  *     level references the previous more than once re-expands
+  *     exponentially (q175's peel rounds filled 80 GB of spill at
+  *     sf0.1). Any multi-referenced / chained CTE in oracle SQL must be
+  *     AS MATERIALIZED.
   */
 final case class OracleQuery(
     name: String,

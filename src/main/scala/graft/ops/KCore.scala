@@ -35,18 +35,38 @@ object KCore {
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 20, "need k>=1, rounds in 1..20")
     var e = Caches.track(Triangles.canonEdges(edges, srcCol, dstCol))
-    for (_ <- 1 to rounds) {
-      val deg = degrees(e)
-      val keep = deg.filter(col("deg") >= k).select(col("n"))
-      e = Caches.track(
-        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-          .select(col("a"), col("b")))
+    var round = 0
+    var fixpoint = false
+    while (round < rounds && !fixpoint) {
+      val deg = Caches.track(degrees(e))
+      // EARLY EXIT at the fixpoint: once a round drops nobody, every
+      // further round is a provable no-op — skip rebuilding the edge
+      // list (at sf0.1 the peel converges in 1 round; executing the
+      // remaining budget cost more than the real work). The check is
+      // one O(1)-result count on the cached degree table, the same
+      // per-round driver boolean Components' fixpoint loop pays.
+      fixpoint = deg.filter(col("deg") < k).limit(1).count() == 0
+      if (!fixpoint) {
+        // keep-set is NODE-sized (like the degree tables in
+        // Triangles.orientByDegree) — broadcast both survivor probes
+        // so a round costs one aggregate + one edge scan, not three
+        // edge shuffles. Where nodes stop fitting a broadcast, remove
+        // the hint and AQE plans the exchange.
+        val keep = broadcast(deg.filter(col("deg") >= k).select(col("n")))
+        e = Caches.track(
+          e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+        round += 1
+      }
     }
     val finalDeg = Caches.track(degrees(e))
-    val converged = finalDeg.agg(
-      coalesce(min(col("deg") >= k), lit(true)).as("converged"))
-    finalDeg.crossJoin(broadcast(converged))
+    val converged =
+      if (fixpoint) broadcast(finalDeg.sparkSession.range(1)
+        .select(lit(true).as("converged")))
+      else broadcast(finalDeg.agg(
+        coalesce(min(col("deg") >= k), lit(true)).as("converged")))
+    finalDeg.crossJoin(converged)
   }
 
   private def degrees(canon: DataFrame): DataFrame =

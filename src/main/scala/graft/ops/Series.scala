@@ -54,7 +54,7 @@ object Series {
     def wgt(i: Int): Column = {
       val dist = col(dayCol) - col(s"_d$i")
       when(col(s"_v$i").isNotNull && dist <= lags,
-        lit(1.0) / expr(s"shiftleft(1L, cast(($dayCol - _d$i) as int))")
+        lit(1.0) / expr(s"shiftleft(1L, cast((`$dayCol` - `_d$i`) as int))")
           .cast("double"))
         .otherwise(lit(0.0))
     }

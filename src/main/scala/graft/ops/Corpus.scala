@@ -42,7 +42,13 @@ object Corpus {
     * `docs` needs (idCol, scopeCol, textCol); chunking is non-overlapped
     * `chunkWords`-word windows. The boilerplate table is usually tiny
     * (it is capped by the number of DISTINCT recurring chunks) — the
-    * anti-join broadcasts. */
+    * anti-join broadcasts.
+    *
+    * EVERY input document appears in the output — a doc whose chunks
+    * are all boilerplate (or whose text is empty) comes back with
+    * clean_text = "" rather than silently vanishing: downstream
+    * pipeline stages (and dataset-card counts) must see the full doc
+    * census, with emptiness as data, not absence. */
   def stripBoilerplate(docs: DataFrame, idCol: String, scopeCol: String,
       textCol: String, chunkWords: Int, minDocs: Int): DataFrame = {
     val occ = Caches.track(
@@ -53,8 +59,8 @@ object Corpus {
       .select(col(scopeCol), col("chunk_text"))
     val kept = occ.join(broadcast(bp), Seq(scopeCol, "chunk_text"),
       "left_anti")
-    kept
-      .groupBy(col(idCol), col(scopeCol))
+    val perDoc = kept
+      .groupBy(col(idCol))
       .agg(
         // order-insensitive reassembly: collect (idx, text) structs and
         // sort — never depends on shuffle arrival order
@@ -62,10 +68,15 @@ object Corpus {
           array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
           s => s.getField("chunk_text"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), col(scopeCol))
+      .join(perDoc, Seq(idCol), "left")
       .join(occ.groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_chunks")), idCol)
-      .select(col(idCol), col(scopeCol), col("clean_text"),
-        col("n_chunks"), (col("n_chunks") - col("n_kept")).as("n_removed"))
+        .agg(count(lit(1)).as("n_chunks")), Seq(idCol), "left")
+      .select(col(idCol), col(scopeCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        (coalesce(col("n_chunks"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Corpus-trained token-class score — the exact-arithmetic stand-in

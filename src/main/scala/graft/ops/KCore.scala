@@ -37,8 +37,12 @@ object KCore {
     var e = Caches.track(Triangles.canonEdges(edges, srcCol, dstCol))
     var round = 0
     var fixpoint = false
+    // degrees of the CURRENT e, reused by the post-loop emit on the
+    // early-exit path (recomputing them there would duplicate the
+    // aggregate the loop just ran)
+    var deg: DataFrame = null
     while (round < rounds && !fixpoint) {
-      val deg = Caches.track(degrees(e))
+      deg = Caches.track(degrees(e))
       // EARLY EXIT at the fixpoint: once a round drops nobody, every
       // further round is a provable no-op — skip rebuilding the edge
       // list (at sf0.1 the peel converges in 1 round; executing the
@@ -60,7 +64,9 @@ object KCore {
         round += 1
       }
     }
-    val finalDeg = Caches.track(degrees(e))
+    // on the fixpoint path `deg` IS degrees(e) (the loop broke without
+    // touching e); only the budget-exhausted path needs a fresh pass
+    val finalDeg = if (fixpoint) deg else Caches.track(degrees(e))
     val converged =
       if (fixpoint) broadcast(finalDeg.sparkSession.range(1)
         .select(lit(true).as("converged")))

@@ -66,7 +66,11 @@ object Multimodal {
     * Implementations must be deterministic for the pipeline's oracle
     * gates to hold, and Serializable (the instance ships to executors). */
   trait Decoder extends Serializable {
-    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])]
+    /** (media_id, format, features, n_bytes) per decoded row. n_bytes
+      * is reported BY the decoder (trivially `bytes.length`) — a seam-
+      * side id→size map would mis-report duplicate media_ids (last
+      * payload wins) and assume consume-before-emit iterator shapes. */
+    def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)]
   }
 
   /** Default decoder — the honest STUB standing in for a real media
@@ -74,10 +78,10 @@ object Multimodal {
     * from the byte content, so downstream stages (ANN, dedup) are fully
     * exercisable. Swap for a real codec without touching [[decode]]. */
   object StubDecoder extends Decoder {
-    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] =
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)] =
       batch.map { case (id, bytes) =>
         val (fmt, feats) = fakeDecode(bytes)
-        (id, fmt, feats)
+        (id, fmt, feats, bytes.length.toLong)
       }
   }
 
@@ -91,12 +95,13 @@ object Multimodal {
     * external codec plugged into [[Decoder]]) comes back "unknown" with
     * zero features rather than throwing mid-stage. */
   object BmpDecoder extends Decoder {
-    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] =
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)] =
       batch.map { case (id, b) =>
         decodeOne(b) match {
           case Some((w, h, r, g, bl)) =>
-            (id, "bmp", Seq(w.toDouble, h.toDouble, r, g, bl, 0.0, 0.0, 0.0))
-          case None => (id, "unknown", Seq.fill(FeatureDim)(0.0))
+            (id, "bmp", Seq(w.toDouble, h.toDouble, r, g, bl, 0.0, 0.0, 0.0),
+              b.length.toLong)
+          case None => (id, "unknown", Seq.fill(FeatureDim)(0.0), b.length.toLong)
         }
       }
 
@@ -153,11 +158,11 @@ object Multimodal {
     * mid-stage throw. All chunk walking is Long arithmetic with strict
     * bounds checks (same adversarial-header discipline as BMP). */
   object WavDecoder extends Decoder {
-    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] =
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)] =
       batch.map { case (id, b) =>
         decodeOne(b) match {
-          case Some(f) => (id, "wav", f)
-          case None    => (id, "unknown", Seq.fill(FeatureDim)(0.0))
+          case Some(f) => (id, "wav", f, b.length.toLong)
+          case None    => (id, "unknown", Seq.fill(FeatureDim)(0.0), b.length.toLong)
         }
       }
 
@@ -240,17 +245,13 @@ object Multimodal {
       .encoderFor(decodedSchema)
     val in = df.select(col(idCol).cast("long"), col(binCol))
     in.mapPartitions { rows =>
-      // size is recovered pre-decode (n_bytes is metadata, not codec
-      // output), so the decoder contract stays minimal
-      val sizes = scala.collection.mutable.LongMap.empty[Long]
       val batch = rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        sizes(id) = bytes.length.toLong
         (id, bytes)
       }
-      decoder.decodeBatch(batch).map { case (id, fmt, feats) =>
-        Row(id, sizes.getOrElse(id, 0L), fmt, feats)
+      decoder.decodeBatch(batch).map { case (id, fmt, feats, nBytes) =>
+        Row(id, nBytes, fmt, feats)
       }
     }(enc)
   }

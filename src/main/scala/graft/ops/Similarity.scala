@@ -81,6 +81,11 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         cosineWithNorms(dot(col("pv"), col("cv")),
           col("pn2"), col("cn2")).as("sim"))
+      // NULL embeddings (nullable parquet arrays) yield NULL sims; the
+      // old Window formulation ranked them past k silently, the typed
+      // TopK aggregator would throw — drop them explicitly (a row with
+      // no vector cannot be anyone's neighbour)
+      .filter(col("sim").isNotNull)
     val spark = sims.sparkSession
     import spark.implicits._
     TopK.topKPerGroup(sims.as[(Long, Long, Double)], k)
@@ -108,6 +113,7 @@ object Similarity {
       .select(col("probe_id"), col("pf"), col("neighbor_id"),
         cosineWithNorms(dot(col("pv"), col("cv")),
           col("pn2"), col("cn2")).as("sim"))
+      .filter(col("sim").isNotNull) // NULL vectors: see bruteForceTopKPrepared
     // map-side bounded prune (payload-preserving), THEN the window: the
     // sort/shuffle only ever see ≤ k rows per probe per input partition
     val pruned = TopK.localPrune(sims, "probe_id", "sim", "neighbor_id", k)
@@ -136,6 +142,7 @@ object Similarity {
       .select(col("probe_id"), col("pf"), col("neighbor_id"), col("fc"),
         cosineWithNorms(dot(col("pv"), col("cv")),
           col("pn2"), col("cn2")).as("sim"))
+      .filter(col("sim").isNotNull) // NULL vectors: see bruteForceTopKPrepared
     // same bounded-prune-then-window shape as filteredTopK: the corpus-
     // side neg_label payload rides through the prune untouched
     val pruned = TopK.localPrune(sims, "probe_id", "sim", "neighbor_id", k)

@@ -38,40 +38,47 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH docs AS (
+      WITH docs AS MATERIALIZED (
         SELECT doc_id, source,
                CASE WHEN doc_id % 3 = 0 THEN concat('$Header', ' ', text)
                     ELSE text END AS text
         FROM documents),
-      t AS (
+      t AS MATERIALIZED (
         SELECT doc_id, source,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM docs),
-      t2 AS (SELECT doc_id, source, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
-      occ AS (
+      t2 AS MATERIALIZED (SELECT doc_id, source, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+      occ AS MATERIALIZED (
         SELECT doc_id, source,
                CAST(st // 5 AS BIGINT) AS chunk_idx,
                array_to_string(list_slice(ws, st + 1, st + 5), ' ') AS chunk
         FROM (SELECT doc_id, source, ws, n,
                      unnest(generate_series(0, GREATEST(n - 1, 0), 5)) AS st
               FROM t2)),
-      bp AS (
+      bp AS MATERIALIZED (
         SELECT source, chunk
         FROM (SELECT DISTINCT source, chunk, doc_id FROM occ)
         GROUP BY source, chunk
         HAVING count(*) >= 5),
-      kept AS (
+      kept AS MATERIALIZED (
         SELECT o.* FROM occ o
         LEFT JOIN bp ON o.source = bp.source AND o.chunk = bp.chunk
         WHERE bp.chunk IS NULL),
-      totals AS (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY doc_id)
-      SELECT k.doc_id, k.source,
-             string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
-             t.n_chunks,
-             t.n_chunks - count(*) AS n_removed
-      FROM kept k JOIN totals t ON k.doc_id = t.doc_id
-      GROUP BY k.doc_id, k.source, t.n_chunks
-      ORDER BY k.doc_id"""))
+      per_doc AS MATERIALIZED (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      totals AS MATERIALIZED (SELECT doc_id, count(*) AS n_chunks FROM occ GROUP BY doc_id)
+      SELECT d.doc_id, d.source,
+             COALESCE(p.clean_text, '') AS clean_text,
+             CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+             CAST(COALESCE(t.n_chunks, 0) - COALESCE(p.n_kept, 0)
+               AS BIGINT) AS n_removed
+      FROM docs d
+      LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      LEFT JOIN totals t ON d.doc_id = t.doc_id
+      ORDER BY d.doc_id"""))
 
   /** Corpus-trained token-class quality score
     * ([[Corpus.tokenClassScore]]): label = "document is long"
@@ -89,14 +96,14 @@ object CorpusQueries {
           "doc_id", "text", "is_long")
         .orderBy("doc_id"),
     Some("""
-      WITH tok AS (
+      WITH tok AS MATERIALIZED (
         SELECT doc_id, n_chars >= 250 AS lab, t AS tk, count(*) AS n
         FROM (SELECT doc_id, n_chars,
                      unnest(list_filter(string_split(text, ' '),
                        x -> x <> '')) AS t
               FROM documents)
         GROUP BY 1, 2, 3),
-      stats AS (
+      stats AS MATERIALIZED (
         SELECT tk,
                CAST(SUM(CASE WHEN lab THEN n ELSE 0 END) AS BIGINT) AS c1,
                CAST(SUM(n) AS BIGINT) AS ct
@@ -138,7 +145,7 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     },
     Some("""
-      WITH aug AS (
+      WITH aug AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
@@ -147,11 +154,11 @@ object CorpusQueries {
         SELECT vec_id + 200000,
                list_transform(embedding::DOUBLE[], x -> x * 1.001)
         FROM embeddings WHERE vec_id % 10 = 5),
-      n AS (SELECT vec_id, v, list_dot_product(v, v) n2 FROM aug),
-      anchors AS (
+      n AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) n2 FROM aug),
+      anchors AS MATERIALIZED (
         SELECT vec_id AS a_id, v AS av, n2 AS an2 FROM n
         ORDER BY vec_id LIMIT 8),
-      assign AS (
+      assign AS MATERIALIZED (
         SELECT vec_id, a_id AS cluster FROM (
           SELECT x.vec_id, a.a_id,
                  row_number() OVER (PARTITION BY x.vec_id
@@ -182,14 +189,14 @@ object CorpusQueries {
           "vec_id", "embedding", nAnchors = 8, quota = 10)
         .orderBy("cluster", "pick"),
     Some("""
-      WITH n AS (
+      WITH n AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] v,
                list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
         FROM embeddings),
-      anchors AS (
+      anchors AS MATERIALIZED (
         SELECT vec_id AS a_id, v AS av, n2 AS an2 FROM n
         ORDER BY vec_id LIMIT 8),
-      assign AS (
+      assign AS MATERIALIZED (
         SELECT vec_id, a_id AS cluster FROM (
           SELECT x.vec_id, a.a_id,
                  row_number() OVER (PARTITION BY x.vec_id
@@ -224,7 +231,7 @@ object CorpusQueries {
                  ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)
                ELSE 0 END) AS BIGINT) AS f$j""").mkString(",\n             ")
       s"""
-      WITH tok AS (
+      WITH tok AS MATERIALIZED (
         SELECT doc_id,
                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
         FROM documents)
@@ -260,12 +267,12 @@ object CorpusQueries {
         .orderBy("band", "band_rank")
     },
     Some("""
-      WITH t AS (
+      WITH t AS MATERIALIZED (
         SELECT doc_id, text,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                  AS BIGINT) AS n_tok
         FROM documents),
-      b AS (
+      b AS MATERIALIZED (
         SELECT doc_id, n_tok,
                CAST(FLOOR(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / n_tok) AS BIGINT) AS band
@@ -301,19 +308,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
     Some("""
-      WITH t AS (
+      WITH t AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents),
-      t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
-      chunks AS (
+      t2 AS MATERIALIZED (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+      chunks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(list_slice(ws, st + 1, st + 20), x -> x <> '')
                  AS cw
         FROM (SELECT doc_id, ws, n,
                      unnest(generate_series(0, GREATEST(n - 1, 0), 20)) AS st
               FROM t2)),
-      langs AS (
+      langs AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN len(cw) > 0 AND
                  len(list_filter(cw, w -> w IN
@@ -369,9 +376,9 @@ object CorpusQueries {
     Some("""
       WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-      t AS (
+      t AS MATERIALIZED (
         SELECT vec_id, v[1:16] AS v FROM e),
-      fullr AS (
+      fullr AS MATERIALIZED (
         SELECT p.vec_id AS probe_id, c.vec_id AS nb_full,
                CAST(row_number() OVER (PARTITION BY p.vec_id
                  ORDER BY list_dot_product(p.v, c.v) /
@@ -379,7 +386,7 @@ object CorpusQueries {
                     sqrt(list_dot_product(c.v, c.v))) DESC,
                    c.vec_id) AS BIGINT) AS rank
         FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
-      truncr AS (
+      truncr AS MATERIALIZED (
         SELECT p.vec_id AS probe_id, c.vec_id AS nb_trunc,
                CAST(row_number() OVER (PARTITION BY p.vec_id
                  ORDER BY list_dot_product(p.v, c.v) /
@@ -387,12 +394,12 @@ object CorpusQueries {
                     sqrt(list_dot_product(c.v, c.v))) DESC,
                    c.vec_id) AS BIGINT) AS rank
         FROM t p JOIN t c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
-      both_r AS (
+      both_r AS MATERIALIZED (
         SELECT f.probe_id, f.rank, f.nb_full, tr.nb_trunc
         FROM fullr f JOIN truncr tr
           ON f.probe_id = tr.probe_id AND f.rank = tr.rank
         WHERE f.rank <= 5),
-      ov AS (
+      ov AS MATERIALIZED (
         SELECT probe_id,
                CAST(SUM(CASE WHEN nb_full = nb_trunc THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_same_rank

@@ -393,7 +393,7 @@ object CurationQueries {
         FROM documents GROUP BY lang),
       c2 AS (SELECT * FROM c WHERE w IS NOT NULL),
       ns AS (SELECT min(n_in / w) AS nstar FROM c2),
-      plan AS (
+      plan AS MATERIALIZED (
         SELECT lang, n_in,
                CASE WHEN n_in / w = nstar THEN CAST(1.0 AS DOUBLE)
                     ELSE LEAST(CAST(1.0 AS DOUBLE), w * nstar / n_in)

@@ -22,6 +22,26 @@ import graft.sources.Tables
   */
 object ExtensionQueries {
 
+  /** ONE definition of the minhash-lane oracle SQL (shared by the q54/
+    * q148/q149/q150 twins — a lane-math change must not be able to
+    * drift between them): h_i = min over shingles of 8 hex chars of
+    * md5((i div 4)|sh), the 4-lanes-per-digest scheme of
+    * `Dedup.minhashSignatures`. */
+  private def minsSql: String = (0 until Dedup.NumHashes).map { i =>
+    val s = i / Dedup.LanesPerDigest
+    val off = (i % Dedup.LanesPerDigest) * 8 + 1
+    s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
+  }.mkString(", ")
+
+  /** Banded-signature UNION block over the `sig` CTE — pairs with
+    * [[minsSql]]. */
+  private def bandsSql: String = (0 until Dedup.NumBands).map { b =>
+    val cat = (0 until Dedup.RowsPerBand)
+      .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
+  }.mkString("\n      UNION ALL ")
+
+
   /** Augmented corpus with planted exact + near duplicates. Offsets sit
     * far above any reachable doc_id (ids scale ~5e4 per sf unit, so a
     * collision needs an sf-200 corpus) — planted ids colliding with real
@@ -83,21 +103,11 @@ object ExtensionQueries {
     Some {
       // same 4-lanes-per-digest scheme as Dedup.minhashSignatures:
       // h_i = min over shingles of 8 hex chars of md5((i div 4)|sh)
-      val mins = (0 until Dedup.NumHashes).map { i =>
-        val s = i / Dedup.LanesPerDigest
-        val off = (i % Dedup.LanesPerDigest) * 8 + 1
-        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
-      }.mkString(", ")
-      val bands = (0 until Dedup.NumBands).map { b =>
-        val cat = (0 until Dedup.RowsPerBand)
-          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
-      }.mkString("\n      UNION ALL ")
       s"""
       WITH $augmentedSql,
       $shingleSql,
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS ($bands)
+      sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+      bands AS ($bandsSql)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a
       JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
@@ -405,21 +415,11 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
     Some {
-      val mins = (0 until Dedup.NumHashes).map { i =>
-        val s = i / Dedup.LanesPerDigest
-        val off = (i % Dedup.LanesPerDigest) * 8 + 1
-        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
-      }.mkString(", ")
-      val bands = (0 until Dedup.NumBands).map { b =>
-        val cat = (0 until Dedup.RowsPerBand)
-          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
-      }.mkString("\n      UNION ALL ")
       s"""
       WITH $augmentedSql,
       $shingleSql,
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS ($bands)
+      sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+      bands AS ($bandsSql)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a
       JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
@@ -447,24 +447,14 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     },
     Some {
-      val mins = (0 until Dedup.NumHashes).map { i =>
-        val s = i / Dedup.LanesPerDigest
-        val off = (i % Dedup.LanesPerDigest) * 8 + 1
-        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
-      }.mkString(", ")
-      val bands = (0 until Dedup.NumBands).map { b =>
-        val cat = (0 until Dedup.RowsPerBand)
-          .map(r => s"h${b * Dedup.RowsPerBand + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS sig FROM sig"
-      }.mkString("\n      UNION ALL ")
       def splitSql(c: String) =
         s"CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 8) < '33333333' " +
           "THEN 'test' ELSE 'train' END"
       s"""
       WITH $augmentedSql,
       $shingleSql,
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-      bands AS ($bands),
+      sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+      bands AS ($bandsSql),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a
@@ -491,15 +481,10 @@ object ExtensionQueries {
       Dedup.minhashSignaturesRowLocal(augmented(s, d), "doc_id", "text")
         .orderBy("doc_id"),
     Some {
-      val mins = (0 until Dedup.NumHashes).map { i =>
-        val s = i / Dedup.LanesPerDigest
-        val off = (i % Dedup.LanesPerDigest) * 8 + 1
-        s"min(substring(md5('$s|' || sh), $off, 8)) h$i"
-      }.mkString(", ")
       s"""
       WITH $augmentedSql,
       $shingleSql
-      SELECT doc_id, $mins FROM sh GROUP BY doc_id
+      SELECT doc_id, $minsSql FROM sh GROUP BY doc_id
       ORDER BY doc_id"""
     })
 

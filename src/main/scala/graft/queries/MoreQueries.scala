@@ -306,7 +306,7 @@ object MoreQueries {
         SELECT vec_id, embedding::DOUBLE[] v,
                list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
         FROM embeddings),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT p.vec_id probe_id, c.vec_id neighbor_id,
                list_dot_product(p.v, c.v) / (sqrt(p.n2) * sqrt(c.n2)) sim
         FROM n p JOIN n c ON p.vec_id <> c.vec_id
@@ -456,7 +456,7 @@ object MoreQueries {
     },
     Some("""
       WITH RECURSIVE
-      e AS (
+      e AS MATERIALIZED (
         SELECT o_orderkey AS src, o_orderkey + 3 AS dst
         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 27),
       u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -513,41 +513,41 @@ object MoreQueries {
         .limit(20)
     },
     Some("""
-      WITH pairs AS (
+      WITH pairs AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS cust,
                l.l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS supp
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-      e AS (SELECT cust AS src, supp AS dst FROM pairs
+      e AS MATERIALIZED (SELECT cust AS src, supp AS dst FROM pairs
             UNION ALL
             SELECT supp AS src, cust AS dst FROM pairs),
-      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-      nodes AS (
+      deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      nodes AS MATERIALIZED (
         SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
-      params AS (
+      params AS MATERIALIZED (
         SELECT 1000000000000 // count(*) AS base,
                (15 * (1000000000000 // count(*))) // 100 AS baseterm
         FROM nodes),
-      pr0 AS (SELECT node, base AS pr FROM nodes CROSS JOIN params),
-      c1 AS (
+      pr0 AS MATERIALIZED (SELECT node, base AS pr FROM nodes CROSS JOIN params),
+      c1 AS MATERIALIZED (
         SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node
         GROUP BY e.dst),
-      pr1 AS (
+      pr1 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c1.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c1 ON nodes.node = c1.node),
-      c2 AS (
+      c2 AS MATERIALIZED (
         SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON e.src = p.node
         GROUP BY e.dst),
-      pr2 AS (
+      pr2 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c2.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c2 ON nodes.node = c2.node),
-      c3 AS (
+      c3 AS MATERIALIZED (
         SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr2 p ON e.src = p.node
         GROUP BY e.dst),
-      pr3 AS (
+      pr3 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
       SELECT node - (SELECT max(o_custkey) + 1 FROM orders) AS s_suppkey, pr
@@ -577,46 +577,46 @@ object MoreQueries {
         .limit(20)
     },
     Some("""
-      WITH pw AS (
+      WITH pw AS MATERIALIZED (
         SELECT o.o_custkey AS cust,
                l.l_suppkey + (SELECT max(o_custkey) + 1 FROM orders) AS supp,
                count(*) AS w
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2),
-      e AS (SELECT cust AS src, supp AS dst, w FROM pw
+      e AS MATERIALIZED (SELECT cust AS src, supp AS dst, w FROM pw
             UNION ALL
             SELECT supp AS src, cust AS dst, w FROM pw),
-      deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src),
-      nodes AS (
+      deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src),
+      nodes AS MATERIALIZED (
         SELECT DISTINCT node FROM (
           SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
-      params AS (
+      params AS MATERIALIZED (
         SELECT 1000000000000 // count(*) AS base,
                (15 * (1000000000000 // count(*))) // 100 AS baseterm
         FROM nodes),
-      pr0 AS (SELECT node, base AS pr FROM nodes CROSS JOIN params),
-      c1 AS (
+      pr0 AS MATERIALIZED (SELECT node, base AS pr FROM nodes CROSS JOIN params),
+      c1 AS MATERIALIZED (
         SELECT e.dst AS node,
                CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node
         GROUP BY e.dst),
-      pr1 AS (
+      pr1 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c1.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c1 ON nodes.node = c1.node),
-      c2 AS (
+      c2 AS MATERIALIZED (
         SELECT e.dst AS node,
                CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON e.src = p.node
         GROUP BY e.dst),
-      pr2 AS (
+      pr2 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c2.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c2 ON nodes.node = c2.node),
-      c3 AS (
+      c3 AS MATERIALIZED (
         SELECT e.dst AS node,
                CAST(SUM((p.pr * e.w) // d.wout) AS BIGINT) AS c
         FROM e JOIN deg d ON e.src = d.src JOIN pr2 p ON e.src = p.node
         GROUP BY e.dst),
-      pr3 AS (
+      pr3 AS MATERIALIZED (
         SELECT nodes.node, baseterm + (85 * COALESCE(c3.c, 0)) // 100 AS pr
         FROM nodes CROSS JOIN params LEFT JOIN c3 ON nodes.node = c3.node)
       SELECT node - (SELECT max(o_custkey) + 1 FROM orders) AS s_suppkey, pr

@@ -31,7 +31,7 @@ object SeriesQueries {
       .agg(sum(col("value").cast(dec2)).cast("double").as("v"))
 
   private val dailySql = s"""
-      daily AS (
+      daily AS MATERIALIZED (
         SELECT user_id, epoch_us(ts) // $DayUs AS day,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2)"""
@@ -96,18 +96,18 @@ object SeriesQueries {
         .orderBy("pri", "day")
     },
     Some(s"""
-      WITH daily AS (
+      WITH daily AS MATERIALIZED (
         SELECT o_orderpriority AS pri,
                epoch_us(o_orderdate) // $DayUs AS day,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
         FROM orders GROUP BY 1, 2),
-      spine AS (
+      spine AS MATERIALIZED (
         SELECT pri, unnest(generate_series(min(day), max(day))) AS day
         FROM daily GROUP BY pri),
-      dense AS (
+      dense AS MATERIALIZED (
         SELECT s.pri, s.day, d.v
         FROM spine s LEFT JOIN daily d ON s.pri = d.pri AND s.day = d.day),
-      marked AS (
+      marked AS MATERIALIZED (
         SELECT pri, day, v,
                max(CASE WHEN v IS NOT NULL THEN day END) OVER
                  (PARTITION BY pri ORDER BY day
@@ -151,9 +151,9 @@ object SeriesQueries {
         .orderBy("day")
     },
     Some(s"""
-      WITH ud AS (
+      WITH ud AS MATERIALIZED (
         SELECT DISTINCT epoch_us(ts) // $DayUs AS d, user_id FROM events),
-      win AS (
+      win AS MATERIALIZED (
         SELECT d + k AS day, user_id
         FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k))
       SELECT day, count(DISTINCT user_id) AS n_unique, TRUE AS within_5pct

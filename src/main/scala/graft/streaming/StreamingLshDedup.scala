@@ -66,9 +66,18 @@ object StreamingLshDedup {
             // oversized bucket: star-link to the hub only
             out += CandidatePair(math.min(hub, id), math.max(hub, id))
           }
-          existing += id
-          members.appendValue(id)
-          if (id < hub) hub = id
+          // the cap bounds STATE too, not just emission: past it the
+          // hub link above already guarantees connectivity, and an
+          // uncapped list would both grow forever and make the
+          // per-arrival contains() scan cumulatively quadratic — the
+          // exact degenerate-bucket pathology the cap exists for.
+          // (An unstored id that re-arrives re-emits its star pair;
+          // duplicate emission is explicitly allowed.)
+          if (existing.length < maxBucket) {
+            existing += id
+            members.appendValue(id)
+            if (id < hub) hub = id
+          }
         }
       }
       out.distinct.iterator

@@ -26,18 +26,36 @@ class CorpusSpec extends SparkTestBase {
     assert(got(7L)._2.startsWith(hdr) && got(7L)._3 == 0L)
   }
 
-  test("stripBoilerplate: scope is per-source, reassembly in chunk order") {
-    val text = s"$hdr m1 m2 m3 m4 m5 $hdr x1 x2 x3 x4 x5"
-    // the header occupies chunks 0 and 2 in every doc of the source
-    val docs = (1 to 5).map(i => (i.toLong, "s", text))
+  test("stripBoilerplate: multi-position removal, reassembly in chunk order") {
+    // the header occupies chunks 0 and 2 in every doc; the middle and
+    // tail chunks are UNIQUE per doc (a shared middle would itself be
+    // boilerplate — which the census test below pins down)
+    val docs = (1 to 5).map(i =>
+      (i.toLong, "s", s"$hdr m$i m$i m$i m$i m$i $hdr x$i x$i x$i x$i x$i"))
     val got = Corpus.stripBoilerplate(docs.toDF("id", "src", "text"),
         "id", "src", "text", 5, 5)
-      .select($"clean_text", $"n_chunks", $"n_removed")
-      .as[(String, Long, Long)].collect()
-    got.foreach { case (clean, nc, nr) =>
-      assert(clean == "m1 m2 m3 m4 m5 x1 x2 x3 x4 x5")
+      .select($"id", $"clean_text", $"n_chunks", $"n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == 5)
+    got.foreach { case (i, clean, nc, nr) =>
+      assert(clean == s"m$i m$i m$i m$i m$i x$i x$i x$i x$i x$i")
       assert(nc == 4 && nr == 2)
     }
+  }
+
+  test("stripBoilerplate: all-boilerplate and empty docs stay in the census") {
+    // five docs that are EXACTLY the recurring header, plus one empty
+    // doc: all must come back with clean_text = "" instead of vanishing
+    val docs = (1 to 5).map(i => (i.toLong, "s", hdr)) :+ ((9L, "s", ""))
+    val got = Corpus.stripBoilerplate(docs.toDF("id", "src", "text"),
+        "id", "src", "text", 5, 5)
+      .select($"id", $"clean_text", $"n_chunks", $"n_removed")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    (1 to 5).foreach { i =>
+      assert(got(i.toLong) == ((i.toLong, "", 1L, 1L)))
+    }
+    assert(got(9L) == ((9L, "", 0L, 0L)))
   }
 
   test("tokenClassScore: evidence sums are the exact corpus counts") {

@@ -49,10 +49,10 @@ class MultimodalSpec extends SparkTestBase {
     // fixed format tag, and features = [payload length] — nothing shared
     // with the stub
     object ToyDecoder extends Multimodal.Decoder {
-      override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double])] = {
+      override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)] = {
         val codecHandle = "toy-v1" // per-batch init lives here
         batch.map { case (id, bytes) =>
-          (id, codecHandle, Seq(bytes.length.toDouble))
+          (id, codecHandle, Seq(bytes.length.toDouble), bytes.length.toLong)
         }
       }
     }

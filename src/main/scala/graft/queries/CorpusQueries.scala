@@ -408,8 +408,65 @@ object CorpusQueries {
       FROM both_r b JOIN ov o ON b.probe_id = o.probe_id
       ORDER BY b.probe_id, b.rank"""))
 
+  /** Per-source dataset card — the datasheet table a corpus release
+    * ships (docs, token counts, length stats, language mix, exact-dup
+    * rate), assembled in ONE grouped aggregate over a single scan plus
+    * a fingerprint-level dup count. Exact: BIGINT counts, decimal-free
+    * ratios as single double divisions. */
+  val q176DatasetCard = OracleQuery("q176_dataset_card",
+    "per-source dataset card: docs, tokens, lengths, lang mix, dup rate",
+    (s, d) => {
+      import graft.ops.TextAnalysis
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("n_chars"))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      // exact-dup accounting at the canonical-fingerprint grain,
+      // scoped per source: dups = docs − distinct fingerprints
+      docs.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("fp")).as("n_unique_fp"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          col("min_tok"), col("max_tok"),
+          (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"),
+          (col("n_en").cast("double") / col("n_docs")).as("en_frac"),
+          (col("n_docs") - col("n_unique_fp")).as("n_exact_dups"),
+          ((col("n_docs") - col("n_unique_fp")).cast("double") /
+            col("n_docs")).as("dup_frac"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS MATERIALIZED (
+        SELECT source, lang, n_chars,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_tok,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(n_tok) AS min_tok,
+             MAX(n_tok) AS max_tok,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS en_frac,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+               AS dup_frac
+      FROM d
+      GROUP BY source
+      ORDER BY source"""))
+
   def all: Seq[OracleQuery] =
     Seq(q164Boilerplate, q165TokenQuality, q166SemanticDedup,
       q167ClusterSample, q168HashEmbed, q172Curriculum,
-      q173LangConsistency, q174Matryoshka)
+      q173LangConsistency, q174Matryoshka, q176DatasetCard)
 }

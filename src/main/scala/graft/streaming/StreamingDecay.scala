@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** One daily observation for a key. */
+case class DailyValue(key: Long, day: Long, v: Double)
+
+/** Decayed running sum after folding the observation in. */
+case class DecayedPoint(key: Long, day: Long, v: Double, decayed_sum: Double)
+
+/** STREAMING exponentially-decayed activity — the streaming twin of the
+  * q159 batch decay family: per key, the running half-decay sum
+  *
+  *   S(day) = v(day) + S(prev day) · 2^-(day − prev day)
+  *
+  * folded observation by observation in day order. State is ONE
+  * (last day, running sum) pair per key — O(1) regardless of history
+  * length, the same cell shape as [[StreamingRateLimit]].
+  *
+  * Determinism contract: 2^-gap is an exact binary double (integer
+  * shift, never libm pow — the q159 discipline), so the fold is a fixed
+  * sequence of IEEE ops and the streamed trajectory is BIT-IDENTICAL to
+  * the batch fold [[batchDecayedSum]] over the same observations
+  * (DecayStreamSpec drains the same corpus in 1, 2, and 5 deliveries
+  * and asserts exact equality). Out-of-order days within one micro-batch
+  * are handled (per-key rows are sorted by day before folding); a day
+  * at or before the key's last folded day ACROSS batches is dropped —
+  * the monotone-arrival convention of the rate limiter, reported by
+  * emitting nothing for it.
+  *
+  * Scale: one shuffle on the key; RocksDB cell per key; emissions are
+  * append-mode, one row per accepted observation.
+  */
+object StreamingDecay {
+
+  private[streaming] class DecayProcessor
+      extends StatefulProcessor[Long, DailyValue, DecayedPoint] {
+
+    @transient private var cell:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cell = getHandle.getValueState[(Long, Double)]("decay",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DailyValue],
+        timerValues: TimerValues): Iterator[DecayedPoint] = {
+      var (lastDay, s) =
+        if (cell.exists()) cell.get() else (Long.MinValue, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DecayedPoint]
+      // in-batch order is undefined (post-shuffle) — sort by day so the
+      // fold sees observations in event-time order
+      rows.toArray.sortBy(_.day).foreach { r =>
+        if (r.day > lastDay) {
+          s =
+            if (lastDay == Long.MinValue) r.v
+            else {
+              val gap = r.day - lastDay
+              // beyond 62 days the carried mass underflows a shift —
+              // and is below 2^-62 anyway: restart the sum
+              if (gap > 62) r.v
+              else r.v + s / (1L << gap).toDouble
+            }
+          lastDay = r.day
+          out += DecayedPoint(key, r.day, r.v, s)
+        } // else: late/duplicate day — dropped (monotone convention)
+      }
+      cell.update((lastDay, s))
+      out.iterator
+    }
+  }
+
+  /** Wire a stream of per-key daily values into the decayed fold. */
+  def decayedSum(daily: Dataset[DailyValue]): Dataset[DecayedPoint] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.key)
+      .transformWithState(new DecayProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** BATCH twin: the same fold over a static daily frame, evaluated per
+    * key over its day-sorted observations. Per-key history is
+    * calendar-bounded (≤ a few thousand rows however large the corpus),
+    * so the in-memory per-group fold is safe at any scale; keys are
+    * processed distributed via groupByKey. */
+  def batchDecayedSum(daily: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): Dataset[DecayedPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col(keyCol).cast("long"), col(dayCol).cast("long"),
+        col(valCol).cast("double")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        var lastDay = Long.MinValue
+        var s = 0.0
+        it.toArray.sortBy(_._2).iterator.collect {
+          case (_, day, v) if day > lastDay =>
+            s =
+              if (lastDay == Long.MinValue) v
+              else if (day - lastDay > 62) v
+              else v + s / (1L << (day - lastDay)).toDouble
+            lastDay = day
+            DecayedPoint(key, day, v, s)
+        }
+      }
+  }
+}

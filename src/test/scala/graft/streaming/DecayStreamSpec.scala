@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Streaming decayed-sum (`StreamingDecay`): the per-key half-decay
+  * fold streamed across micro-batches must be BIT-identical to the
+  * batch fold over the same observations — 2^-gap weights are exact
+  * binary doubles and the fold order is pinned, so equality is ==,
+  * not ≈. */
+class DecayStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+
+  // transformWithState (v2) requires the RocksDB provider — same
+  // scoped swap as RateLimitSpec
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocksdb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def daily = Tables.events(spark, sfDir)
+    .select(col("user_id").as("key"),
+      expr(s"ts div 1000 div $DayUs").as("day"), col("value"))
+    .groupBy($"key", $"day")
+    .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("v"))
+
+  test("hand-computed fold: gaps decay, restarts past the horizon") {
+    val in = Seq((1L, 0L, 2.0), (1L, 1L, 4.0), (1L, 3L, 8.0),
+      (1L, 100L, 5.0)).toDF("key", "day", "v")
+    val got = StreamingDecay.batchDecayedSum(in, "key", "day", "v")
+      .collect().map(p => p.day -> p.decayed_sum).toMap
+    assert(got(0L) == 2.0)
+    assert(got(1L) == 4.0 + 2.0 / 2)
+    assert(got(3L) == 8.0 + (4.0 + 1.0) / 4)
+    assert(got(100L) == 5.0) // 97-day gap: carried mass restarts
+  }
+
+  test("streamed fold across 1, 2, and 5 deliveries == batch fold") {
+   withRocksDb {
+    val obs = daily.as[(Long, Long, Double)].collect().sortBy(x => (x._2, x._1))
+    assert(obs.nonEmpty)
+    val want = StreamingDecay.batchDecayedSum(daily, "key", "day", "v")
+      .collect().map(p => (p.key, p.day) -> p.decayed_sum).toMap
+
+    for (nDeliveries <- Seq(1, 2, 5)) {
+      val dir = Files.createTempDirectory(s"graft_decay_$nDeliveries").toString
+      val ck = Files.createTempDirectory(s"graft_decay_ck_$nDeliveries").toString
+      val got = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      // deliveries split by DAY RANGE so later batches never carry
+      // earlier days (the documented monotone-arrival contract)
+      val cuts = (1 to nDeliveries).map(i =>
+        obs(math.min(obs.length - 1, i * obs.length / nDeliveries))._2)
+      var lo = Long.MinValue
+      cuts.zipWithIndex.foreach { case (hi, i) =>
+        val isLast = i == nDeliveries - 1
+        val part = obs.filter(o =>
+          o._2 > lo && (isLast || o._2 <= hi))
+        lo = if (isLast) Long.MaxValue else hi
+        if (part.nonEmpty) {
+          part.toSeq.toDF("key", "day", "v").write.mode("append").parquet(dir)
+          val stream = spark.readStream
+            .schema(Seq.empty[(Long, Long, Double)].toDF("key", "day", "v").schema)
+            .parquet(dir)
+            .selectExpr("key", "day", "v").as[DailyValue]
+          val q = StreamingDecay.decayedSum(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[DecayedPoint],
+                _: Long) =>
+              b.collect().foreach(p => got((p.key, p.day)) = p.decayed_sum)
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      assert(got.toMap == want, s"deliveries=$nDeliveries diverged")
+    }
+   }
+  }
+
+  test("late and duplicate days are dropped, not folded twice") {
+    val in = Seq((1L, 5L, 10.0), (1L, 5L, 10.0), (1L, 3L, 99.0))
+      .toDF("key", "day", "v")
+    // batch twin: duplicate day 5 folded once, day 3 (late after sort?
+    // no — sorted order is 3,5 in ONE batch, so 3 is folded first)
+    val sorted = StreamingDecay.batchDecayedSum(in, "key", "day", "v")
+      .collect().sortBy(_.day)
+    assert(sorted.map(_.day).toSeq == Seq(3L, 5L))
+    assert(sorted.last.decayed_sum == 10.0 + 99.0 / 4)
+  }
+}

@@ -423,16 +423,28 @@ object CorpusQueries {
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       // exact-dup accounting at the canonical-fingerprint grain,
-      // scoped per source: dups = docs − distinct fingerprints
-      docs.groupBy(col("source"))
+      // scoped per source: dups = docs − distinct fingerprints.
+      // TWO-LEVEL aggregate instead of countDistinct — the built-in
+      // distinct aggregate plans an Expand that doubles the shuffled
+      // rows (q125's lesson); pre-grouping on (source, fp) makes every
+      // sum map-side combinable and the distinct count a plain count
+      val byFp = docs.groupBy(col("source"), col("fp"))
         .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("n_tokens"),
-          min(col("n_tok")).as("min_tok"),
-          max(col("n_tok")).as("max_tok"),
-          sum(col("n_chars")).as("n_chars"),
-          countDistinct(col("fp")).as("n_unique_fp"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          count(lit(1)).as("_n"),
+          sum(col("n_tok")).as("_tok"),
+          min(col("n_tok")).as("_mintok"),
+          max(col("n_tok")).as("_maxtok"),
+          sum(col("n_chars")).as("_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("_en"))
+      byFp.groupBy(col("source"))
+        .agg(
+          sum(col("_n")).as("n_docs"),
+          sum(col("_tok")).as("n_tokens"),
+          min(col("_mintok")).as("min_tok"),
+          max(col("_maxtok")).as("max_tok"),
+          sum(col("_chars")).as("n_chars"),
+          count(lit(1)).as("n_unique_fp"),
+          sum(col("_en")).as("n_en"))
         .select(
           col("source"), col("n_docs"), col("n_tokens"),
           col("min_tok"), col("max_tok"),

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Greedy k-center coreset selection (farthest-point traversal) — the
+  * diversity-sampling primitive of data curation: pick k examples that
+  * COVER the embedding space (every corpus vector is within the final
+  * selection radius of some chosen center), the opposite bias of
+  * semantic dedup which removes redundancy. The classic 2-approximation
+  * to the k-center objective (Gonzalez 1985).
+  *
+  * Scale shape: the algorithm is k sequential rounds; each round is one
+  * narrow scan of a cached (id, vec, n2, d2min) projection — update
+  * `d2min` against the single newly-chosen center (its 64 doubles ride
+  * into the plan as literals, a zero-cost broadcast), then one
+  * TakeOrdered(1) for the argmax. Driver traffic is exactly k vectors
+  * (k·dim doubles), never data-sized; the corpus is scanned k times but
+  * never shuffled — there is no pairwise stage anywhere.
+  *
+  * Determinism: d²(x,c) = n2ₓ + n2_c − 2·(x·c) is row-local fixed-order
+  * double math on identical inputs (Similarity.dot is fold-left, the
+  * same accumulation order as DuckDB's list_dot_product), the running
+  * minimum and the (d2min DESC, id) argmax are order-independent — so
+  * the whole greedy trajectory, selected ids included, replays
+  * bit-identically in the oracle engine. A chosen center's own d2min is
+  * exactly 0.0 (n2 + n2 − 2·n2 in IEEE), so it can never be re-selected
+  * while any point has positive distance.
+  *
+  * Returns (round, id, radius): radius is the point's distance-squared
+  * to the previously-chosen set at the moment of selection (the seed
+  * row, round 0 = lowest id, has radius 0.0); max(radius) over the
+  * result is the standard k-center coverage certificate.
+  */
+object Coreset {
+
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one center")
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"),
+        Similarity.toDouble(col(vecCol)).as("vd"))
+      .withColumn("n2", Similarity.dot(col("vd"), col("vd")))
+
+    // seed: lowest id (deterministic, data-independent tie policy)
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("vd")).head()
+    var chosen = List[(Long, Long, Double)]((0L, seed.getLong(0), 0.0))
+    var center = seed.getSeq[Double](1)
+
+    def d2To(c: Seq[Double]) = {
+      val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      col("n2") + lit(cn2) -
+        lit(2.0) * Similarity.dot(col("vd"), array(c.map(lit): _*))
+    }
+
+    var state = base.withColumn("d2min", d2To(center)).cache()
+    var round = 1L
+    while (round < k) {
+      val next = state.orderBy(col("d2min").desc, col("id")).limit(1)
+        .select(col("id"), col("d2min"), col("vd")).head()
+      chosen ::= ((round, next.getLong(0), next.getDouble(1)))
+      center = next.getSeq[Double](2)
+      val prev = state
+      state = state
+        .withColumn("d2min", least(col("d2min"), d2To(center)))
+        .cache()
+      state.count() // materialize before dropping the parent from cache
+      prev.unpersist()
+      round += 1
+    }
+    state.unpersist()
+
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        chosen.reverse.map { case (r, id, rad) => Row(r, id, rad) }, 1),
+      StructType(Seq(
+        StructField("round", LongType),
+        StructField(idCol, LongType),
+        StructField("radius", DoubleType))))
+    out.orderBy("round")
+  }
+}

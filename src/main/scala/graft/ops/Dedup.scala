@@ -553,4 +553,48 @@ object Dedup {
 
   /** Hamming distance between two packed SimHash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Cross-document duplicated-SPAN mining — the detection half of
+    * exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): find every `spanWords`-token
+    * window that recurs in at least `minDocs` DISTINCT documents.
+    * Boilerplate, licenses, and templated passages surface here even
+    * when the containing documents are nowhere near full-document
+    * duplicates (which is why MinHash misses them). The suffix-array
+    * formulation of the paper is replaced by the equivalent
+    * fixed-width-window formulation — embarrassingly parallel, one
+    * shuffle, no global suffix order.
+    *
+    * Scale shape: spans reuse [[shingles]] (bounded explode: one row
+    * per token position); the single shuffle groups by span text with
+    * TWO-LEVEL aggregation — (span, doc) first, then span — so the
+    * distinct-doc count never builds an Expand plan and repeated spans
+    * WITHIN one document collapse map-side before the wide key moves.
+    * Output is duplicated-span-sized, a vanishing fraction of corpus
+    * size; downstream removal is a join on (doc, position range).
+    *
+    * Returns (span, n_docs, n_occurrences, first_doc, first_pos) with
+    * first = the (doc, position) minimum — deterministic under any
+    * partitioning. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanWords >= 2 && minDocs >= 2,
+      "spans are multi-token and duplication means at least two docs")
+    val spans = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col(idCol),
+        posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span")))
+    val perDoc = spans.groupBy(col("span"), col(idCol))
+      .agg(count(lit(1)).as("n_in_doc"),
+        min(col("pos")).cast("long").as("min_pos"))
+    perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_in_doc")).as("n_occurrences"),
+        min(struct(col(idCol), col("min_pos"))).as("first"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_occurrences"),
+        col("first")(idCol).as("first_doc"),
+        col("first")("min_pos").as("first_pos"))
+      .orderBy("span")
+  }
 }

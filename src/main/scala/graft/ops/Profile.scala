@@ -163,4 +163,92 @@ object Profile {
           .as("bucket_lo"))
       .orderBy(keyCol, "bucket")
   }
+
+  /** Histogram-pruned EXACT per-group median — the scale path for exact
+    * order statistics. q69/q170 rank every row inside a per-group sort
+    * window; at 100 TB a hot group means one task sorting billions of
+    * rows. This computes the SAME value (the lower median, the element
+    * at rank ⌊(n−1)/2⌋+1 in (value, id) order) in two narrow scans and
+    * no full sort:
+    *
+    *   pass 1: per-(group, bucket) counts over `nBuckets` equi-width
+    *           buckets (map-side combinable; ≤ |groups|·nBuckets rows
+    *           reach the driver — bounded, never data-sized);
+    *   driver: walk each group's histogram to find the bucket holding
+    *           the median rank and the count of rows strictly below it;
+    *   pass 2: rows of the winning buckets only (a broadcast semi-join
+    *           — at most n/nBuckets of the data for any distribution,
+    *           and typically far less) are ranked within their bucket;
+    *           rank-below + in-bucket rank = global rank picks the row.
+    *
+    * The bucket boundaries only steer PRUNING — any boundary set yields
+    * the same order statistic — so (unlike CLAUDE rule 12's trap) the
+    * result does not depend on the histogram math being portable. NULL
+    * values are excluded, matching SQL median semantics. Degenerate
+    * groups (min = max) short-circuit: every row is the median value.
+    *
+    * Returns one row per group: (group, n, median). */
+  def scalableMedian(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 1, "pruning needs at least two buckets")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).as("v"), col(idCol).as("id"))
+    val mm = rows.groupBy(col("g")).agg(
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    val width = (col("v_max") - col("v_min")) / lit(nBuckets.toDouble)
+    val bucketed = rows.join(broadcast(mm), Seq("g"))
+      .withColumn("bucket",
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((col("v") - col("v_min")) / width))))
+    // pass 1: histogram to the driver — |groups| × nBuckets longs, max
+    val hist = bucketed.groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.get(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+    // driver walk: winning bucket + rows strictly below it, per group
+    val winners = hist.iterator.map { case (g, bs) =>
+      val sorted = bs.map(_._2).sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      val target = (n - 1) / 2 + 1 // lower-median rank, q170 convention
+      var cum = 0L
+      var win = 0L
+      var below = 0L
+      val it = sorted.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (b, c) = it.next()
+        if (cum + c >= target) { win = b; below = cum; found = true }
+        else cum += c
+      }
+      (g, win, below, n, target)
+    }.toSeq
+    val winDf = broadcast(df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(winners.map {
+        case (g, w, b, n, t) => org.apache.spark.sql.Row(g, w, b, n, t)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          rows.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("win_bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("below",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("target",
+          org.apache.spark.sql.types.LongType)))))
+    // pass 2: only the winning bucket's rows are ever ranked
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    bucketed
+      .join(winDf, col("bucket") === col("win_bucket") &&
+        bucketed("g") === winDf("g"))
+      .drop(winDf("g"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") === col("target") - col("below"))
+      .select(col("g").as(groupCol), col("n"), col("v").as("median"))
+      .orderBy(groupCol)
+  }
 }

@@ -125,4 +125,79 @@ object Quantize {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Append `qv` (int8 codes, array<long>) to `df` WITHOUT dropping the
+    * other columns — the keep-everything twin of [[symmetricInt8]]
+    * (same math, staged through bound columns per the HOF
+    * re-evaluation rule). */
+  def withInt8(df: DataFrame, vecCol: String): DataFrame =
+    df
+      .withColumn("_vd", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("_mx", array_max(transform(col("_vd"), x => abs(x))))
+      .withColumn("_scale",
+        when(col("_mx") > 0, lit(127.0) / col("_mx")).otherwise(lit(1.0)))
+      .withColumn("qv",
+        transform(col("_vd"), x => floor(x * col("_scale") + lit(0.5))))
+      .drop("_vd", "_mx", "_scale")
+
+  /** Nearest-centroid classification over QUANTIZED prototypes — the
+    * cheap label-propagation / topic-tagging pass of a curation
+    * pipeline: per-label mean code vectors ("prototypes") are built
+    * once from labeled vectors, and every probe is assigned the label
+    * of the nearest prototype by squared euclidean distance in code
+    * space.
+    *
+    * Exactness: the prototype mean m_l = s_l / n_l is never
+    * materialized as floats. With integer code sums s (BIGINT,
+    * map-side combinable) the distance decomposes as
+    *   d²(p, m) = p·p − 2·(p·s)/n + (s·s)/n²
+    * where p·p, p·s and s·s are EXACT integer aggregates (≪ 2⁵³) and
+    * only the final fixed-shape double expression divides — so the
+    * argmin, ties broken by label, replays bit-identically cross-engine
+    * (OracleQuery convention 1/2).
+    *
+    * Scale shape: prototypes are a |labels|·dim table — broadcast. The
+    * probe side is one posexplode + two groupBys keyed on probe id
+    * (narrow, combinable); the corpus never joins itself. The train
+    * scan happens once; d² scoring touches |probes|·|labels| rows.
+    *
+    * Returns (probe id, true label, pred label, d2_best) per probe. */
+  def prototypeClassify(train: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = withInt8(train, vecCol)
+      .select(col(labelCol).as("lbl"), col("qv"))
+    val protoIdx = qt
+      .select(col("lbl"), posexplode(col("qv")).as(Seq("idx", "q")))
+      .groupBy(col("lbl"), col("idx"))
+      .agg(sum(col("q")).as("s"))
+    val protoStats = protoIdx.groupBy(col("lbl"))
+      .agg(sum(col("s") * col("s")).as("ss"))
+      .join(qt.groupBy(col("lbl")).agg(count(lit(1)).as("n_l")), Seq("lbl"))
+    val qp = withInt8(probes, vecCol)
+      .select(col(idCol).as("probe_id"), col(labelCol).as("true_label"),
+        col("qv"))
+    val probeIdx = qp.select(col("probe_id"), col("true_label"),
+      posexplode(col("qv")).as(Seq("idx", "pq")))
+    val probeNorm = probeIdx.groupBy(col("probe_id"))
+      .agg(sum(col("pq") * col("pq")).as("pp"))
+    val scores = probeIdx
+      .join(broadcast(protoIdx), Seq("idx"))
+      .groupBy(col("probe_id"), col("true_label"), col("lbl"))
+      .agg(sum(col("pq") * col("s")).as("ps"))
+      .join(probeNorm, Seq("probe_id"))
+      .join(broadcast(protoStats), Seq("lbl"))
+      .withColumn("d2",
+        col("pp").cast("double") -
+          lit(2.0) * col("ps").cast("double") / col("n_l").cast("double") +
+          col("ss").cast("double") /
+            (col("n_l") * col("n_l")).cast("double"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("lbl"))
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("lbl").as("pred_label"), col("d2").as("d2_best"))
+      .orderBy("probe_id")
+  }
 }

@@ -165,4 +165,47 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Exact PHRASE search through a positional inverted index — the
+    * multi-word exact-match primitive (tf·idf/BM25 above are bags of
+    * words and cannot distinguish "new york" from "york new").
+    *
+    * Build: one posexplode of the token array, FILTERED to the phrase's
+    * terms before anything shuffles — the posting list that moves is
+    * |phrase terms| / |vocab| of the corpus, not the corpus. Match: the
+    * term-0 postings equi-join the term-i postings on
+    * (doc, position + i); every join key carries the document id, so
+    * all joins for one document co-locate in one shuffle family, and at
+    * 100 TB the term postings are Zipf-bounded per split rather than
+    * corpus-sized. No window functions, no UDFs.
+    *
+    * `phrase` terms must be pairwise distinct: occurrences of such a
+    * phrase can never overlap, so the match count is unambiguous (and
+    * the string-containment formulation an oracle might use agrees).
+    *
+    * Emits (id, n_matches, first_pos) per matching document. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase is at least two tokens")
+    require(phrase.distinct == phrase,
+      "phrase terms must be distinct — overlapping matches are ambiguous")
+    val postings = docs
+      .select(col(idCol).as("d"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("p", "w")))
+      .filter(col("w").isin(phrase: _*))
+    val anchor = postings.filter(col("w") === phrase.head)
+      .select(col("d"), col("p"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        val next = postings.filter(col("w") === term)
+          .select(col("d").as(s"d_$i"), (col("p") - i).as(s"p_$i"))
+        acc.join(next,
+          col("d") === col(s"d_$i") && col("p") === col(s"p_$i"))
+          .select(col("d"), col("p"))
+    }
+    matched.groupBy(col("d").as(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("p")).cast("long").as("first_pos"))
+      .orderBy(idCol)
+  }
 }

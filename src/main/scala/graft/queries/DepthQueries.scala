@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Coreset, Curation, Dedup, Profile, Quantize, Search}
+import graft.sources.Tables
+
+/** Round-5 depth queries: the scale path for exact medians, positional
+  * phrase retrieval, experiment analysis, diversity coresets, quantized
+  * prototype classification, and exact substring-dedup span mining.
+  * Every query follows the OracleQuery determinism conventions (exact
+  * integer/decimal aggregation, fixed-shape double tails, total order).
+  */
+object DepthQueries {
+
+  /** Histogram-pruned exact median (Profile.scalableMedian) — same
+    * value as a full per-group sort (the oracle computes it THAT way,
+    * so agreement proves the pruning), but the engine-side plan ranks
+    * only the winning bucket's rows: two narrow scans, no global sort,
+    * driver traffic bounded by |groups|·nBuckets longs. */
+  val q177MedianScale = OracleQuery("q177_median_scale",
+    "histogram-pruned exact per-type median vs full-sort oracle",
+    (s, d) => Profile.scalableMedian(
+      Tables.events(s, d), "event_type", "value", "event_id"),
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN value END) AS median
+      FROM ranked
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Exact phrase match through the positional inverted index
+    * (Search.phraseSearch). The oracle scans every token position
+    * directly — a different algorithm entirely — so agreement proves
+    * the postings join. Phrase terms are pairwise distinct, making
+    * occurrence counts overlap-free in both formulations. */
+  val q178PhraseSearch = OracleQuery("q178_phrase_search",
+    "positional-index phrase search vs direct position-scan oracle",
+    (s, d) => Search.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+      Seq("slow", "hash", "batch")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      hits AS (
+        SELECT doc_id, i - 1 AS pos
+        FROM toks, unnest(generate_series(1, GREATEST(len(ws) - 2, 0))) t(i)
+        WHERE ws[i] = 'slow' AND ws[i+1] = 'hash' AND ws[i+2] = 'batch')
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(MIN(pos) AS BIGINT) AS first_pos
+      FROM hits
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** A/B experiment scorecard: users are hash-assigned to variants
+    * (Curation.splitLabel — membership is a pure function of user id,
+    * so assignment never drifts as events accrue), per-variant
+    * conversion (here: ever made a purchase above 150) is an exact
+    * integer aggregate, and the pooled two-proportion z statistic is
+    * one fixed-shape double expression over those exact counts (sqrt
+    * is IEEE-correctly-rounded in both engines). A degenerate pool
+    * (conversion 0% or 100%) zeroes z explicitly — Spark 4 ANSI throws
+    * on the 0.0 divisor and DuckDB would return NULL, so the guard is
+    * both a crash fix and a cross-engine necessity. One output row —
+    * the experiment dashboard's topline. */
+  val q179AbScorecard = OracleQuery("q179_ab_scorecard",
+    "hash-split A/B conversion scorecard with pooled two-proportion z",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            "B").otherwise("A"))
+      val v = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val a = v.filter(col("variant") === "A")
+        .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+      val b = v.filter(col("variant") === "B")
+        .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+      a.crossJoin(b)
+        .withColumn("rate_a",
+          col("conv_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("rate_b",
+          col("conv_b").cast("double") / col("n_b").cast("double"))
+        .withColumn("p_pool",
+          (col("conv_a") + col("conv_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("z",
+          when(col("p_pool") === 0.0 || col("p_pool") === 1.0, lit(0.0))
+            .otherwise((col("rate_a") - col("rate_b")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                 lit(1.0) / col("n_b").cast("double")))))
+        .select(col("n_a"), col("conv_a"), col("rate_a"),
+          col("n_b"), col("conv_b"), col("rate_b"), col("z"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM u GROUP BY variant),
+      ab AS (
+        SELECT a.n_users AS n_a, a.n_conv AS conv_a,
+               b.n_users AS n_b, b.n_conv AS conv_b
+        FROM (SELECT * FROM v WHERE variant = 'A') a,
+             (SELECT * FROM v WHERE variant = 'B') b),
+      r AS (
+        SELECT n_a, conv_a,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               n_b, conv_b,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               CAST(conv_a + conv_b AS DOUBLE) /
+                 CAST(n_a + n_b AS DOUBLE) AS p_pool
+        FROM ab)
+      SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+             CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN 0.0
+                  ELSE (rate_a - rate_b) /
+                       sqrt(p_pool * (1.0 - p_pool) *
+                         (1.0 / CAST(n_a AS DOUBLE) +
+                          1.0 / CAST(n_b AS DOUBLE)))
+             END AS z
+      FROM r"""))
+
+  /** Greedy k-center coreset (Coreset.kCenterGreedy, k = 4): the
+    * oracle unrolls the same greedy trajectory as chained MATERIALIZED
+    * CTEs — every selected id and selection radius must agree to the
+    * bit, which checks seed choice, the running-minimum distance
+    * update, and the (d2 DESC, id) argmax tie policy. */
+  val q180KcenterCoreset = OracleQuery("q180_kcenter_coreset",
+    "greedy k-center diversity coreset, full trajectory replay",
+    (s, d) => Coreset.kCenterGreedy(
+      Tables.embeddings(s, d), "vec_id", "embedding", 4),
+    Some("""
+      WITH n AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+        FROM embeddings),
+      c0 AS MATERIALIZED (
+        SELECT vec_id, v, n2 FROM n ORDER BY vec_id LIMIT 1),
+      m1 AS MATERIALIZED (
+        SELECT n.vec_id, n.v, n.n2,
+               n.n2 + c.n2 - 2 * list_dot_product(n.v, c.v) AS d2
+        FROM n, c0 c),
+      c1 AS MATERIALIZED (
+        SELECT vec_id, v, n2, d2 FROM m1 ORDER BY d2 DESC, vec_id LIMIT 1),
+      m2 AS MATERIALIZED (
+        SELECT m.vec_id, m.v, m.n2,
+               LEAST(m.d2, m.n2 + c.n2 - 2 * list_dot_product(m.v, c.v)) AS d2
+        FROM m1 m, c1 c),
+      c2 AS MATERIALIZED (
+        SELECT vec_id, v, n2, d2 FROM m2 ORDER BY d2 DESC, vec_id LIMIT 1),
+      m3 AS MATERIALIZED (
+        SELECT m.vec_id, m.v, m.n2,
+               LEAST(m.d2, m.n2 + c.n2 - 2 * list_dot_product(m.v, c.v)) AS d2
+        FROM m2 m, c2 c),
+      c3 AS MATERIALIZED (
+        SELECT vec_id, v, n2, d2 FROM m3 ORDER BY d2 DESC, vec_id LIMIT 1)
+      SELECT CAST(0 AS BIGINT) AS round, vec_id, 0.0 AS radius FROM c0
+      UNION ALL SELECT 1, vec_id, d2 FROM c1
+      UNION ALL SELECT 2, vec_id, d2 FROM c2
+      UNION ALL SELECT 3, vec_id, d2 FROM c3
+      ORDER BY round"""))
+
+  /** Quantized nearest-centroid classification
+    * (Quantize.prototypeClassify): prototypes from vec_id ≥ 20, probes
+    * below. The d² decomposition keeps every aggregate integer-exact,
+    * so predicted labels and distances replay across engines. */
+  val q181PrototypeClassify = OracleQuery("q181_prototype_classify",
+    "int8 nearest-centroid label assignment, exact integer moments",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Quantize.prototypeClassify(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label")
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings),
+      q AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(vd, x -> CAST(floor(
+                 x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)
+                 AS BIGINT)) AS qv
+        FROM (SELECT vec_id, label, vd,
+                     list_max(list_transform(vd, x -> abs(x))) AS mx
+              FROM e) s),
+      train AS MATERIALIZED (SELECT * FROM q WHERE vec_id >= 20),
+      proto AS MATERIALIZED (
+        SELECT label AS lbl, i AS idx, CAST(SUM(qv[i]) AS BIGINT) AS s
+        FROM train, unnest(generate_series(1, len(qv))) t(i)
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT lbl, CAST(SUM(s * s) AS BIGINT) AS ss FROM proto GROUP BY 1),
+      cnt AS (SELECT label AS lbl, COUNT(*) AS n_l FROM train GROUP BY 1),
+      probes AS MATERIALIZED (
+        SELECT vec_id AS probe_id, label AS true_label, qv
+        FROM q WHERE vec_id < 20),
+      pp AS (
+        SELECT probe_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS pp
+        FROM probes, unnest(generate_series(1, len(qv))) t(i)
+        GROUP BY 1),
+      ps AS (
+        SELECT p.probe_id, p.true_label, pr.lbl,
+               CAST(SUM(p.qv[pr.idx] * pr.s) AS BIGINT) AS ps
+        FROM probes p JOIN proto pr ON true
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT ps.probe_id, ps.true_label, ps.lbl,
+               CAST(pp.pp AS DOUBLE)
+                 - 2.0 * CAST(ps.ps AS DOUBLE) / CAST(c.n_l AS DOUBLE)
+                 + CAST(st.ss AS DOUBLE) / CAST(c.n_l * c.n_l AS DOUBLE)
+                 AS d2
+        FROM ps
+        JOIN pp ON ps.probe_id = pp.probe_id
+        JOIN stats st ON ps.lbl = st.lbl
+        JOIN cnt c ON ps.lbl = c.lbl)
+      SELECT probe_id, true_label, lbl AS pred_label, d2 AS d2_best
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY d2, lbl) AS rk
+            FROM scored) t
+      WHERE rk = 1
+      ORDER BY probe_id"""))
+
+  /** Cross-document duplicated 8-token spans
+    * (Dedup.duplicatedSpans) — the exact-substring-dedup detection
+    * pass. The oracle enumerates every window by position directly;
+    * agreement proves the two-level (span, doc) → span aggregation and
+    * the deterministic first-occurrence struct-min. */
+  val q182DupSpans = OracleQuery("q182_dup_spans",
+    "cross-document duplicated 8-token span mining",
+    (s, d) => Dedup.duplicatedSpans(
+      Tables.documents(s, d), "doc_id", "text", 8, 2),
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      spans AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS span
+        FROM toks, unnest(generate_series(1, GREATEST(len(ws) - 7, 0))) t(i)),
+      per_doc AS MATERIALIZED (
+        SELECT span, doc_id, COUNT(*) AS n_in_doc,
+               CAST(MIN(pos) AS BIGINT) AS min_pos
+        FROM spans GROUP BY 1, 2)
+      SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+             MIN(doc_id) AS first_doc,
+             arg_min(min_pos, doc_id) AS first_pos
+      FROM per_doc
+      GROUP BY span
+      HAVING COUNT(*) >= 2
+      ORDER BY span"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q177MedianScale, q178PhraseSearch, q179AbScorecard,
+      q180KcenterCoreset, q181PrototypeClassify, q182DupSpans)
+}

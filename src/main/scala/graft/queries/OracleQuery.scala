@@ -53,7 +53,7 @@ object Catalog {
       CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
       ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all ++
       FamilyQueries.all ++ SeriesQueries.all ++ MiningQueries.all ++
-      CorpusQueries.all ++ StatQueries.all
+      CorpusQueries.all ++ StatQueries.all ++ DepthQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class CoresetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("kCenterGreedy: hand-traced farthest-point trajectory") {
+    // 2-D points; squared distances are exact small integers
+    val pts = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(10f, 0f)), (3L, Seq(4f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Coreset.kCenterGreedy(pts, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // seed = lowest id (0). Round 1: farthest from 0 is id 2 (d² = 100).
+    // Round 2: min-dist to {0,2} — id 1: min(1, 81) = 1; id 3:
+    // min(16, 36) = 16 → id 3 selected with radius 16.
+    assert(got == Seq((0L, 0L, 0.0), (1L, 2L, 100.0), (2L, 3L, 16.0)))
+  }
+
+  test("kCenterGreedy: k=1 returns only the seed") {
+    val pts = Seq((7L, Seq(1f, 2f)), (9L, Seq(3f, 4f))).toDF("vec_id", "embedding")
+    val got = Coreset.kCenterGreedy(pts, "vec_id", "embedding", 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 7L, 0.0)))
+  }
+
+  test("kCenterGreedy: radii are non-increasing and centers distinct (real corpus)") {
+    val got = Coreset.kCenterGreedy(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2).distinct.length == 6, "a center was re-selected")
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radii must shrink: ${radii.mkString(",")}")
+  }
+
+  test("kCenterGreedy: invariant under input partitioning") {
+    val pts = (0L until 40L)
+      .map(i => (i, Seq((i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Coreset.kCenterGreedy(pts, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Coreset.kCenterGreedy(pts.repartition(7), "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+}

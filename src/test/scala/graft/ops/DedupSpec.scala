@@ -177,4 +177,24 @@ class DedupSpec extends SparkTestBase {
     assert(dists.count(_ <= 4) >= nearIds.length * 0.8,
       s"hamming distances: ${dists.mkString(",")}")
   }
+
+  test("duplicatedSpans: planted cross-doc span; within-doc repeats count occurrences only") {
+    val span8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val planted = Seq(
+      (1L, s"x1 x2 $span8 tail1"),
+      (2L, s"y $span8 y2 y3"),
+      (3L, s"$span8 mid $span8"), // twice in one doc
+      (4L, "unrelated words only here nothing repeated at all anywhere"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(planted, "doc_id", "text", 8, 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // only the planted span recurs across documents; every other window
+    // includes doc-specific context and stays below minDocs
+    assert(got == Seq((span8, 3L, 4L, 1L, 2L)))
+  }
+
+  test("duplicatedSpans: docs shorter than the span width contribute nothing") {
+    val d = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(d, "doc_id", "text", 8, 2).count() == 0)
+  }
 }

@@ -175,4 +175,25 @@ class HygieneSpec extends SparkTestBase {
     assert(out(3).getLong(1) == 2)
     assert(out(3).getString(3) == "two <API_KEY> <API_KEY>")
   }
+
+  test("phraseSearch: counts, first positions, boundary placements") {
+    val docs = Seq(
+      (1L, "alpha beta gamma end"),                       // match at 0
+      (2L, "x alpha beta gamma alpha beta gamma"),        // matches at 1, 4
+      (3L, "alpha beta delta gamma"),                     // interrupted
+      (4L, "beta gamma alpha"),                           // wrong order
+      (5L, "tail alpha beta gamma"))                      // match at end
+      .toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+        Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 1L), (5L, 1L, 1L)))
+  }
+
+  test("phraseSearch: repeated phrase terms are rejected") {
+    val docs = Seq((1L, "a a a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Search.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scalableMedian: equals the full-sort lower median for ANY bucket count") {
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L), // odd → 3.0
+      ("b", 2.0, 4L), ("b", 8.0, 5L),                 // even → lower = 2.0
+      ("c", 7.0, 6L))                                 // singleton
+      .toDF("g", "v", "id")
+    for (nb <- Seq(2, 16, 1024)) {
+      val got = Profile.scalableMedian(df, "g", "v", "id", nb)
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == Seq(("a", 3L, 3.0), ("b", 2L, 2.0), ("c", 1L, 7.0)),
+        s"nBuckets=$nb")
+    }
+  }
+
+  test("scalableMedian: degenerate group (min=max) and NULLs excluded") {
+    val df = Seq(
+      ("d", Option(4.0), 1L), ("d", Option(4.0), 2L), ("d", None, 3L))
+      .toDF("g", "v", "id")
+    val got = Profile.scalableMedian(df, "g", "v", "id")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("d", 2L, 4.0)))
+  }
+
+  test("scalableMedian: agrees with the windowed order statistic on real events") {
+    val ev = Tables.events(spark, sfDir).filter($"value".isNotNull)
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val expect = ev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rk" === expr("(n - 1) div 2 + 1"))
+      .select($"event_type", $"n", $"value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    val got = Profile.scalableMedian(ev, "event_type", "value", "event_id")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == expect)
+  }
+}

@@ -48,4 +48,29 @@ class QuantizeSpec extends SparkTestBase {
     info(f"mean recall@$k = $mean%.3f")
     assert(mean >= 0.85, f"int8 recall too low: $mean%.3f")
   }
+
+  test("prototypeClassify: separated clusters classify perfectly") {
+    val train = Seq(
+      (100L, Seq(100f, 0f), 0), (101L, Seq(90f, 10f), 0),
+      (200L, Seq(0f, 100f), 1), (201L, Seq(10f, 90f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Seq(80f, 20f), 0), (2L, Seq(20f, 80f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Quantize.prototypeClassify(
+        train, probes, "vec_id", "embedding", "label")
+      .select($"probe_id", $"pred_label").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("prototypeClassify: identical prototypes tie-break to the lowest label") {
+    val train = Seq(
+      (1L, Seq(50f, 50f), 7), (2L, Seq(50f, 50f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((9L, Seq(60f, 40f), 7)).toDF("vec_id", "embedding", "label")
+    val got = Quantize.prototypeClassify(
+        train, probes, "vec_id", "embedding", "label")
+      .select($"pred_label").as[Int].collect().toSeq
+    assert(got == Seq(3))
+  }
 }

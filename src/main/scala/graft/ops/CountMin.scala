@@ -2,9 +2,10 @@ package graft.ops
 
 import scala.util.hashing.MurmurHash3
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Count-Min sketch as a typed Aggregator — approximate per-key
   * frequencies in FIXED memory, completing the engine's mergeable-sketch
@@ -139,4 +140,32 @@ object CountMin {
       .map(_._2).collect()
       .headOption.getOrElse(new Array[Long](depth * width))
   }
+
+  /** Day-grain sketch TABLE: one Count-Min grid per day — the
+    * distributed form (nothing driver-side): the event volume is
+    * absorbed by the aggregator's map-side partials inside each day
+    * group, and only O(days) grid rows (~16 KB each) come out. The
+    * building block of the persisted frequency store
+    * (`streaming.StreamingFreqStore`) and of any day-windowed
+    * heavy-hitter query: grids MERGE by elementwise addition
+    * ([[merge]] / [[addGrids]]), so any day range collapses without
+    * rescanning events. */
+  def daySketchTable(df: DataFrame, dayCol: String, keyCol: String,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(dayCol).cast("long"), col(keyCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (d, k) => (d, encode(k)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new CountMinAggregator(depth, width).toColumn.name("grid"))
+      .toDF("day", "grid")
+  }
+
+  /** Column-level elementwise grid addition (the DataFrame twin of
+    * [[merge]]); NULL on either side passes the other through, so a
+    * full-outer sketch-table merge needs no zero-grid padding. */
+  def addGrids(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a)
+      .otherwise(zip_with(a, b, (x, y) => x + y))
 }

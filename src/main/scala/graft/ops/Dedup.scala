@@ -597,4 +597,66 @@ object Dedup {
         col("first")("min_pos").as("first_pos"))
       .orderBy("span")
   }
+
+  /** The APPLY half of exact substring dedup: remove every token
+    * covered by any cross-document duplicated span (per
+    * [[duplicatedSpans]]) and reassemble the surviving tokens in
+    * original order — the Lee et al. 2022 removal step (delete the
+    * duplicated substring itself, keep both documents' unique
+    * remainders; full-document dropping is what MinHash dedup is for).
+    *
+    * Scale shape: windows are recomputed (cheaper than storing them)
+    * and semi-joined against the duplicated-span table on the span
+    * text; covered positions come from a bounded spanWords-explode of
+    * the matches only; the survivors anti-join on (doc, pos) and
+    * reassemble with the sorted-struct collect idiom
+    * (`Corpus.stripBoilerplate`) — shuffle-order-immune. Every join
+    * key carries the doc id except the span-text semi join, whose
+    * right side is duplicated-span-sized (vanishing vs corpus; still
+    * a shuffle join, NOT broadcast — at 100 TB a boilerplate table
+    * can be GBs).
+    *
+    * Emits every document: (id, n_tokens, n_removed, clean_text) —
+    * clean_text is "" for fully-boilerplate documents. */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
+    val windows = docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col(idCol),
+        posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span")))
+    val dup = duplicatedSpans(docs, idCol, textCol, spanWords, minDocs)
+      .select(col("span"))
+    // covered side renamed wholesale: toks and covered share lineage
+    // (both derive from `docs`), and a toks(idCol) === covered(idCol)
+    // self-join would need Spark's ambiguity heuristics — aliased
+    // columns make the anti-join keys unambiguous by construction
+    val covered = windows
+      .join(dup, Seq("span"), "left_semi")
+      .select(col(idCol).as("c_id"),
+        explode(sequence(col("pos"), col("pos") + (spanWords - 1)))
+          .as("cpos"))
+      .distinct()
+    val kept = toks.join(covered,
+      col(idCol) === col("c_id") && col("pos") === col("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens")),
+        Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(idCol)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the FULLY
+  * DETERMINISTIC alternative to HLL (q67/q161): the estimate is a pure
+  * function of the data through an md5-uniform draw, so the ENTIRE
+  * pipeline — including the estimate itself — hash-replays in another
+  * engine, where HLL's register layout is library-private and only a
+  * gate boolean could be compared. Estimator: with h₍k₎ the k-th
+  * smallest of the distinct keys' uniform draws, D ≈ (k−1)/h₍k₎
+  * (Bar-Yossef et al. 2002); σ ≈ D/√k, so k = 256 gives ~6% error.
+  *
+  * Scale shape: one distinct on (group, key) — the same shuffle an
+  * exact count needs — then the k-th order statistic. Sorting every
+  * group to rank it would be the q170 anti-pattern, so the draw is
+  * PRE-FILTERED to h < 4k/D before the per-group sort: only ~4k rows
+  * per group survive, and the window sort is O(k log k) however large
+  * the group. The bound here reuses the exact count (computed anyway
+  * for the accuracy gate, q110-style); a production sketch-only run
+  * would use any distinct-count lower bound (e.g. yesterday's value)
+  * — the filter only needs to KEEP at least k survivors, never to be
+  * tight. Saturated sketches (D < k, threshold 1.0, everything kept)
+  * return the exact count by construction.
+  *
+  * 32-bit draw collisions merge keys (standard KMV bias, ~D²/2³² — at
+  * D where that matters the production move is the 64-bit draw);
+  * deterministic in BOTH engines either way, so replay is unaffected.
+  *
+  * Emits (group, n_exact, n_kept, kmv_estimate, gate_pass) where
+  * gate_pass asserts the estimate within `tol` relative error — a red
+  * driver row the moment the estimator drifts. */
+object Kmv {
+
+  def distinctEstimate(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256, salt: String = "", tol: Double = 0.25): DataFrame = {
+    require(k >= 2, "the (k-1)/h_k estimator needs k >= 2")
+    val du = df
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("key"))
+      .distinct()
+    val counts = du.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    val drawn = du.withColumn("h",
+      conv(substring(Curation.keyHash(col("key"), salt), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0))
+    val survivors = drawn.join(broadcast(counts), Seq("g"))
+      .filter(col("h") <
+        least(lit(1.0), lit(4.0 * k) / col("n_exact").cast("double")))
+    val w = Window.partitionBy(col("g")).orderBy(col("h"), col("key"))
+    survivors
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .groupBy(col("g"), col("n_exact"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("h_k"))
+      .withColumn("kmv_estimate",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("h_k")))
+      .withColumn("gate_pass",
+        abs(col("kmv_estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") <= tol)
+      .select(col("g").as(groupCol), col("n_exact"), col("n_kept"),
+        col("kmv_estimate"), col("gate_pass"))
+      .orderBy(groupCol)
+  }
+}

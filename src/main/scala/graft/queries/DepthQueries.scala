@@ -268,7 +268,107 @@ object DepthQueries {
       HAVING COUNT(*) >= 2
       ORDER BY span"""))
 
+  /** KMV distinct sketch (Kmv.distinctEstimate) over daily-active
+    * user-days per event type — k = 256 minimum md5 draws, estimate
+    * (k−1)/h₍k₎. Everything INCLUDING the estimate replays in DuckDB
+    * (md5 draw + order statistic + one division) — the deterministic
+    * counterpart to the HLL gate queries (q67/q161), where only gate
+    * booleans could cross engines. Measured error ≤ 9.5% across all
+    * three test scales; gate at 25%. */
+  val q183KmvDistinct = OracleQuery("q183_kmv_distinct",
+    "KMV distinct-count sketch, estimate bit-replayed cross-engine",
+    (s, d) => graft.ops.Kmv.distinctEstimate(
+      Tables.events(s, d).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("-"),
+          expr("ts div 86400000000000").cast("string")).as("user_day")),
+      "event_type", "user_day", k = 256),
+    Some("""
+      WITH du AS MATERIALIZED (
+        SELECT DISTINCT event_type AS g,
+               CAST(user_id AS VARCHAR) || '-' ||
+                 CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key
+        FROM events),
+      c AS (SELECT g, COUNT(*) AS n_exact FROM du GROUP BY 1),
+      d AS (
+        SELECT g, key,
+               CAST(concat('0x', substring(md5(key), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS h
+        FROM du),
+      s AS (
+        SELECT d.g, d.key, d.h, c.n_exact
+        FROM d JOIN c USING (g)
+        WHERE h < LEAST(1.0, 1024.0 / CAST(n_exact AS DOUBLE))),
+      r AS (
+        SELECT g, n_exact, h,
+               row_number() OVER (PARTITION BY g ORDER BY h, key) AS rn
+        FROM s),
+      agg AS (
+        SELECT g, MAX(n_exact) AS n_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(CASE WHEN rn = 256 THEN h END) AS h_k
+        FROM r WHERE rn <= 256 GROUP BY g),
+      est AS (
+        SELECT g, n_exact, n_kept,
+               CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                    ELSE 255.0 / h_k END AS kmv_estimate
+        FROM agg)
+      SELECT g AS event_type, n_exact, n_kept, kmv_estimate,
+             abs(kmv_estimate - CAST(n_exact AS DOUBLE)) /
+               CAST(n_exact AS DOUBLE) <= 0.25 AS gate_pass
+      FROM est
+      ORDER BY event_type"""))
+
+  /** The APPLY half of exact substring dedup
+    * (Dedup.stripDuplicatedSpans): every token covered by a
+    * cross-document duplicated 8-token span is cut and the remainders
+    * reassembled in order. The oracle rebuilds every cleaned document
+    * with a position-ordered string_agg over a NOT EXISTS anti join —
+    * full-text agreement on every row proves window matching, coverage
+    * expansion, and the order-insensitive reassembly. */
+  val q184StripSpans = OracleQuery("q184_strip_spans",
+    "remove duplicated 8-token spans and reassemble every document",
+    (s, d) => graft.ops.Dedup.stripDuplicatedSpans(
+      Tables.documents(s, d), "doc_id", "text", 8, 2),
+    Some("""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      toks AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM base, unnest(generate_series(1, len(ws))) t(i)),
+      wins AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS span
+        FROM base, unnest(generate_series(1, GREATEST(len(ws) - 7, 0))) t(i)),
+      dup AS MATERIALIZED (
+        SELECT span FROM (
+          SELECT span, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1) x
+        WHERE nd >= 2),
+      cov AS MATERIALIZED (
+        SELECT DISTINCT w2.doc_id, p AS cpos
+        FROM wins w2 JOIN dup USING (span),
+             unnest(generate_series(w2.pos, w2.pos + 7)) s(p)),
+      kept AS MATERIALIZED (
+        SELECT t.doc_id, t.pos, t.w
+        FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)),
+      reb AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(cnt.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(cnt.n_tokens, 0) - COALESCE(reb.n_kept, 0)
+               AS BIGINT) AS n_removed,
+             COALESCE(reb.clean_text, '') AS clean_text
+      FROM documents d
+      LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+      LEFT JOIN reb ON d.doc_id = reb.doc_id
+      ORDER BY d.doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q177MedianScale, q178PhraseSearch, q179AbScorecard,
-      q180KcenterCoreset, q181PrototypeClassify, q182DupSpans)
+      q180KcenterCoreset, q181PrototypeClassify, q182DupSpans,
+      q183KmvDistinct, q184StripSpans)
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.CountMin
+
+/** STREAMING day-grain FREQUENCY store — per-day Count-Min grids
+  * maintained from an event stream, the frequency counterpart of the
+  * distinct-count sketch store (`StreamingSketchStore`). Heavy-hitter /
+  * frequency queries over any day range then merge a handful of ~16 KB
+  * grids instead of rescanning event history.
+  *
+  * Exactly-once is the INTERESTING difference: HLL union is bucket-wise
+  * max, so the sketch store could simply re-merge replayed batches.
+  * Count-Min addition is NOT idempotent — a replayed micro-batch would
+  * double-count every key. foreachBatch is only at-least-once on
+  * retry, so this store carries its processed-batch manifest INSIDE the
+  * sketch table (marker rows alongside the day rows): one
+  * `TableStore.overwrite` per batch publishes grids + marker in a
+  * single atomic version swap. On replay the marker is already visible
+  * in the current version and the batch is skipped — there is no
+  * crash window in which grids are merged but the marker is missing,
+  * or vice versa. (Two separate tables could never give that: two
+  * writes, two failure points — the q148 manifest pattern works there
+  * because its payload append is naturally idempotent.)
+  *
+  * Schema: (kind: 'day'|'batch', id, grid) — 'day' rows hold grids
+  * keyed by day, 'batch' rows hold processed foreachBatch ids with a
+  * NULL grid. Store size is O(days + batches); compact() GC applies.
+  */
+object StreamingFreqStore {
+
+  /** Wire a streaming event frame into the persisted store. Caller
+    * starts/stops the returned writer. */
+  def attach(events: DataFrame, store: TableStore, table: String,
+      dayCol: String, keyCol: String, depth: Int = CountMin.DefaultDepth,
+      width: Int = CountMin.DefaultWidth,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, dayCol, keyCol, depth, width)
+      }
+
+  /** Fold one identified batch into the store; a batch id already in
+    * the manifest is a replay and is skipped whole. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, dayCol: String, keyCol: String,
+      depth: Int = CountMin.DefaultDepth,
+      width: Int = CountMin.DefaultWidth): Unit = {
+    val spark = batch.sparkSession
+    val have = store.exists(table)
+    if (have && !store.read(table)
+        .filter(col("kind") === "batch" && col("id") === batchId)
+        .isEmpty) return // replayed batch: already folded in
+    val delta = CountMin.daySketchTable(batch, dayCol, keyCol, depth, width)
+      .select(col("day").as("id"), col("grid").as("d_grid"))
+    val marker = spark.range(1)
+      .select(lit("batch").as("kind"), lit(batchId).as("id"),
+        lit(null).cast("array<bigint>").as("grid"))
+    val next =
+      if (!have)
+        delta.select(lit("day").as("kind"), col("id"),
+          col("d_grid").as("grid")).unionByName(marker)
+      else {
+        val cur = store.read(table)
+        val days = cur.filter(col("kind") === "day")
+          .select(col("id"), col("grid"))
+          .join(delta, Seq("id"), "full_outer")
+          .select(lit("day").as("kind"), col("id"),
+            CountMin.addGrids(col("grid"), col("d_grid")).as("grid"))
+        days.unionByName(cur.filter(col("kind") === "batch"))
+          .unionByName(marker)
+      }
+    store.overwrite(table, next)
+  }
+
+  /** Driver-side frequency estimate for `key` summed over a day range
+    * — merges O(days) grids, never touches events. */
+  def estimate(store: TableStore, table: String, key: String,
+      fromDay: Long, toDay: Long, depth: Int = CountMin.DefaultDepth,
+      width: Int = CountMin.DefaultWidth): Long = {
+    val grids = store.read(table)
+      .filter(col("kind") === "day" &&
+        col("id").between(fromDay, toDay))
+      .select(col("grid")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    if (grids.isEmpty) 0L
+    else CountMin.estimate(grids.reduce(CountMin.merge), key, depth, width)
+  }
+}

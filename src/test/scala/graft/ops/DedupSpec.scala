@@ -197,4 +197,31 @@ class DedupSpec extends SparkTestBase {
     val d = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.duplicatedSpans(d, "doc_id", "text", 8, 2).count() == 0)
   }
+
+  test("stripDuplicatedSpans: shared span cut everywhere, unique text survives") {
+    val span8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val planted = Seq(
+      (1L, s"x1 x2 $span8 tail1"),
+      (2L, s"y $span8 y2 y3"),
+      (3L, span8),                       // doc IS the span → fully covered
+      (4L, "independent text with no shared spans at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(planted, "doc_id", "text", 8, 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 11L, 8L, "x1 x2 tail1"),
+      (2L, 11L, 8L, "y y2 y3"),
+      (3L, 8L, 8L, ""),
+      (4L, 9L, 0L, "independent text with no shared spans at all here")))
+  }
+
+  test("stripDuplicatedSpans: overlapping occurrences remove the covered union") {
+    // docs 1 and 2 share BOTH 8-windows of a 9-token run: coverage is
+    // the union (9 tokens), not 16
+    val run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val d = Seq((1L, s"$run9 u1"), (2L, s"u2 $run9")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(d, "doc_id", "text", 8, 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 10L, 9L, "u1"), (2L, 10L, 9L, "u2")))
+  }
 }

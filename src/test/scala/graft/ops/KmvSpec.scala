@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("kmv: saturated sketch (D < k) returns the exact count") {
+    val df = (1 to 50).map(i => ("g", s"k$i")).toDF("grp", "key")
+    val got = Kmv.distinctEstimate(df, "grp", "key", k = 256)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(("g", 50L, 50L, 50.0, true)))
+  }
+
+  test("kmv: estimate within tolerance on a large key set; duplicates ignored") {
+    // 5000 distinct keys, every key delivered twice
+    val df = (1 to 5000).flatMap(i => Seq(("a", s"key_$i"), ("a", s"key_$i")))
+      .toDF("grp", "key")
+    val row = Kmv.distinctEstimate(df, "grp", "key", k = 256)
+      .as[(String, Long, Long, Double, Boolean)].collect().head
+    assert(row._2 == 5000L) // exact side unaffected by duplicates
+    assert(row._3 == 256L)
+    assert(math.abs(row._4 - 5000.0) / 5000.0 <= 0.25, s"estimate ${row._4}")
+    assert(row._5)
+  }
+
+  test("kmv: invariant under input partitioning") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"k$i")).toDF("grp", "key")
+    val a = Kmv.distinctEstimate(df, "grp", "key")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    val b = Kmv.distinctEstimate(df.repartition(13), "grp", "key")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.CountMin
+import graft.sources.Tables
+
+/** Streaming day-grain Count-Min store (`StreamingFreqStore`):
+  * frequency grids fold in batch by batch; the in-table manifest makes
+  * the NON-idempotent merge exactly-once under at-least-once replay. */
+class FreqStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+
+  private def eventDays =
+    Tables.events(spark, sfDir)
+      .select(expr(s"ts div 1000 div $DayUs").as("day"),
+        $"event_type", $"event_id")
+
+  test("streamed store converges to the one-shot day-sketch table") {
+    val ev = eventDays.cache()
+    val dir = Files.createTempDirectory("graft_fqst_").toString
+    val ck = Files.createTempDirectory("graft_fqst_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_fqst_store_").toString)
+    def deliver(part: Int): Unit =
+      ev.filter($"event_id" % 3 === part).write.mode("append").parquet(dir)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(dir)
+      val q = StreamingFreqStore.attach(stream, store, "day_freq",
+        "day", "event_type", checkpoint = ck).start()
+      q.awaitTermination()
+    }
+    (0 to 2).foreach { p => deliver(p); drain() }
+
+    val streamed = store.read("day_freq").filter($"kind" === "day")
+      .select($"id", $"grid").as[(Long, Seq[Long])].collect()
+      .toMap.view.mapValues(_.toArray).toMap
+    val oneShot = CountMin.daySketchTable(ev, "day", "event_type")
+      .as[(Long, Seq[Long])].collect()
+      .toMap.view.mapValues(_.toArray).toMap
+    assert(streamed.keySet == oneShot.keySet && streamed.nonEmpty)
+    streamed.foreach { case (d, g) =>
+      assert(g.sameElements(oneShot(d)), s"grid mismatch on day $d") }
+
+    // the range estimate upper-bounds the true count (one-sided error)
+    val (lo, hi) = (streamed.keySet.min, streamed.keySet.max)
+    val trueClicks = ev.filter($"event_type" === "click").count()
+    val est = StreamingFreqStore.estimate(store, "day_freq", "click", lo, hi)
+    assert(est >= trueClicks)
+    ev.unpersist()
+  }
+
+  test("replayed batch id is skipped: addition stays exactly-once") {
+    val ev = eventDays
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_fqst_rep_").toString)
+    val b0 = ev.filter($"event_id" % 2 === 0)
+    val b1 = ev.filter($"event_id" % 2 === 1)
+    StreamingFreqStore.mergeBatch(b0, 0L, store, "t", "day", "event_type")
+    StreamingFreqStore.mergeBatch(b1, 1L, store, "t", "day", "event_type")
+    val once = store.read("t").filter($"kind" === "day")
+      .select($"id", $"grid").as[(Long, Seq[Long])].collect().toMap
+    // at-least-once delivery: batch 1 lands AGAIN with the same id
+    StreamingFreqStore.mergeBatch(b1, 1L, store, "t", "day", "event_type")
+    val twice = store.read("t").filter($"kind" === "day")
+      .select($"id", $"grid").as[(Long, Seq[Long])].collect().toMap
+    assert(once == twice && once.nonEmpty)
+    // but a NEW batch id with the same content does fold in (counts grow)
+    StreamingFreqStore.mergeBatch(b1, 2L, store, "t", "day", "event_type")
+    val grown = store.read("t").filter($"kind" === "day")
+      .select($"id", $"grid").as[(Long, Seq[Long])].collect().toMap
+    assert(grown.exists { case (d, g) => g.sum > twice(d).sum })
+  }
+}

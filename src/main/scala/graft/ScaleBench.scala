@@ -183,6 +183,14 @@ object ScaleBench {
         SemDedup.clusterNearDupPairs(emb, "vec_id", "embedding",
           nAnchors = 8 * m, minSim = 0.99)
       }
+      timeOp("dup_spans", m, nDocs) {
+        // replicas share no tokens, so the duplicated-span population
+        // (and the two-level aggregate's output) scales linearly in m
+        Dedup.duplicatedSpans(docs, "doc_id", "text", 8, 2)
+      }
+      timeOp("strip_spans", m, nDocs) {
+        Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      }
       timeOp("axis_lsh_neardup", m, nEmb) {
         // band width grows with log2(corpus) — the documented knob that
         // caps bucket SIZE as the corpus grows (fixed 3-axis bands would

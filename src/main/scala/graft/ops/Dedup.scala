@@ -580,10 +580,24 @@ object Dedup {
       spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
     require(spanWords >= 2 && minDocs >= 2,
       "spans are multi-token and duplication means at least two docs")
-    val spans = docs
+    duplicatedSpansFromWindows(
+      spanWindows(docs, idCol, textCol, spanWords), idCol, minDocs)
+  }
+
+  /** (id, pos, span) — every `spanWords`-token window of every doc. */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame =
+    docs
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col(idCol),
         posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span")))
+
+  /** Span-duplication aggregation over a prepared window table — split
+    * out so [[stripDuplicatedSpans]] can reuse ONE cached window table
+    * for both detection and coverage (otherwise the corpus is
+    * re-tokenized per consumer). */
+  private def duplicatedSpansFromWindows(spans: DataFrame, idCol: String,
+      minDocs: Int): DataFrame = {
     val perDoc = spans.groupBy(col("span"), col(idCol))
       .agg(count(lit(1)).as("n_in_doc"),
         min(col("pos")).cast("long").as("min_pos"))
@@ -620,14 +634,15 @@ object Dedup {
     * clean_text is "" for fully-boilerplate documents. */
   def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
-    val toks = docs
-      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
-      .select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
-    val windows = docs
-      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
-      .select(col(idCol),
-        posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span")))
-    val dup = duplicatedSpans(docs, idCol, textCol, spanWords, minDocs)
+    // one cached tokenization feeds token rows AND windows; the cached
+    // window table feeds detection AND coverage — one corpus
+    // scan+tokenize total instead of three (plan audit)
+    val base = Caches.track(docs
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws")))
+    val toks = base.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
+    val windows = Caches.track(base.select(col(idCol),
+      posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span"))))
+    val dup = duplicatedSpansFromWindows(windows, idCol, minDocs)
       .select(col("span"))
     // covered side renamed wholesale: toks and covered share lineage
     // (both derive from `docs`), and a toks(idCol) === covered(idCol)

@@ -37,9 +37,12 @@ object Kmv {
   def distinctEstimate(df: DataFrame, groupCol: String, keyCol: String,
       k: Int = 256, salt: String = "", tol: Double = 0.25): DataFrame = {
     require(k >= 2, "the (k-1)/h_k estimator needs k >= 2")
-    val du = df
+    // cached: both the exact-count side and the draw side read the
+    // distinct table — uncached, the expensive distinct shuffle (the
+    // only data-sized stage here) would run twice (plan audit)
+    val du = Caches.track(df
       .select(col(groupCol).as("g"), col(keyCol).cast("string").as("key"))
-      .distinct()
+      .distinct())
     val counts = du.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
     val drawn = du.withColumn("h",
       conv(substring(Curation.keyHash(col("key"), salt), 1, 8), 16, 10)

@@ -233,6 +233,93 @@ object Multimodal {
     }
   }
 
+  /** REAL header parser for PNG and JPEG — the metadata pass a
+    * multimodal curation pipeline runs over billions of COMPRESSED
+    * images whose pixel decode needs a codec this environment lacks:
+    * dimensions, channel count, and bit depth come from the container
+    * headers alone (PNG IHDR; JPEG SOF segment walk), pure byte
+    * arithmetic over the public format layouts. That is enough for the
+    * standard curation filters (min-resolution, aspect-ratio, channel
+    * sanity) without decompressing a single pixel. Features:
+    * [w, h, channels, bitDepth, w·h/10⁶ (megapixels), aspect (w/h),
+    * 0, 0]. Segment walking is Long arithmetic with strict bounds and
+    * forced forward progress (a zero-length adversarial JPEG segment
+    * cannot loop); anything unparseable comes back "unknown" with zero
+    * features, never a throw. */
+  object ImageHeaderDecoder extends Decoder {
+    override def decodeBatch(batch: Iterator[(Long, Array[Byte])]): Iterator[(Long, String, Seq[Double], Long)] =
+      batch.map { case (id, b) =>
+        headerOne(b) match {
+          case Some((fmt, w, h, ch, depth)) =>
+            (id, fmt, Seq(w.toDouble, h.toDouble, ch.toDouble,
+              depth.toDouble, w.toDouble * h / 1e6,
+              if (h > 0) w.toDouble / h else 0.0, 0.0, 0.0),
+              b.length.toLong)
+          case None => (id, "unknown", Seq.fill(FeatureDim)(0.0), b.length.toLong)
+        }
+      }
+
+    private def u16be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    /** (format, width, height, channels, bitDepth) or None. */
+    private[ops] def headerOne(b: Array[Byte]): Option[(String, Long, Long, Int, Int)] = {
+      if (b.length >= 26 && b.take(8).sameElements(PngSig) &&
+          new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
+        val w = u32be(b, 16)
+        val h = u32be(b, 20)
+        val depth = b(24) & 0xff
+        val channels = (b(25) & 0xff) match {
+          case 0 => 1 // greyscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette index
+          case 4 => 2 // grey + alpha
+          case 6 => 4 // truecolor + alpha
+          case _ => -1
+        }
+        if (w <= 0 || h <= 0 || channels < 0) None
+        else Some(("png", w, h, channels, depth))
+      } else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+        // walk FF-marker segments to the first SOFn frame header
+        var p = 2L
+        var out: Option[(String, Long, Long, Int, Int)] = None
+        var steps = 0
+        while (out.isEmpty && p + 3 < b.length && steps < 4096) {
+          steps += 1
+          if (b(p.toInt) != 0xff.toByte) return None // desynced stream
+          val m = b(p.toInt + 1) & 0xff
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else if (m == 0xff) p += 1 // fill byte
+          else {
+            val len = u16be(b, p.toInt + 2)
+            if (len < 2 || p + 2 + len > b.length) return None
+            val isSof = m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              if (len < 8) return None
+              val depth = b(p.toInt + 4) & 0xff
+              val h = u16be(b, p.toInt + 5).toLong
+              val w = u16be(b, p.toInt + 7).toLong
+              val channels = b(p.toInt + 9) & 0xff
+              out =
+                if (w <= 0 || h <= 0 || channels <= 0) None
+                else Some(("jpeg", w, h, channels, depth))
+              if (out.isEmpty) return None
+            }
+            p += 2 + len
+          }
+        }
+        out
+      } else None
+    }
+  }
+
   /** The decode seam: partition-parallel batch transform from
     * (media_id, content: binary) to [[decodedSchema]] rows, with the
     * actual codec injected as a [[Decoder]] ([[StubDecoder]] by

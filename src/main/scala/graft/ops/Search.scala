@@ -189,10 +189,14 @@ object Search {
     require(phrase.size >= 2, "a phrase is at least two tokens")
     require(phrase.distinct == phrase,
       "phrase terms must be distinct — overlapping matches are ambiguous")
-    val postings = docs
+    // cached: the anchor + every phrase term re-reads this table, and
+    // without the cache each reference replays the corpus scan+explode
+    // (plan audit showed |phrase| parquet scans). Post-filter it is
+    // posting-list-sized, a vanishing fraction of the corpus.
+    val postings = Caches.track(docs
       .select(col(idCol).as("d"),
         posexplode(TextAnalysis.words(col(textCol))).as(Seq("p", "w")))
-      .filter(col("w").isin(phrase: _*))
+      .filter(col("w").isin(phrase: _*)))
     val anchor = postings.filter(col("w") === phrase.head)
       .select(col("d"), col("p"))
     val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {

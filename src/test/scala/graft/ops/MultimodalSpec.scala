@@ -221,4 +221,71 @@ class MultimodalSpec extends SparkTestBase {
     assert(media.filter($"media_id" === 1)
       .select(Multimodal.sniffFormat($"content")).as[String].head() == "riff")
   }
+
+  private def pngBytes(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Unit =
+      out.write(Array((v >>> 24) & 0xff, (v >>> 16) & 0xff,
+        (v >>> 8) & 0xff, v & 0xff).map(_.toByte))
+    be32(13) // IHDR length
+    out.write("IHDR".getBytes("US-ASCII"))
+    be32(w); be32(h)
+    out.write(depth); out.write(colorType)
+    out.write(0); out.write(0); out.write(0) // compression/filter/interlace
+    be32(0) // (unchecked) CRC
+    out.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v)
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xe0); b(0); b(16); (1 to 14).foreach(_ => b(0)) // APP0
+    b(0xff); b(0xc4); b(0); b(4); b(0); b(0) // DHT (must be skipped, not SOF)
+    b(0xff); b(0xc0) // SOF0 baseline
+    b(0); b(8 + 3 * channels) // segment length
+    b(8) // precision
+    b((h >>> 8) & 0xff); b(h & 0xff)
+    b((w >>> 8) & 0xff); b(w & 0xff)
+    b(channels)
+    (1 to 3 * channels).foreach(_ => b(0))
+    out.toByteArray
+  }
+
+  test("ImageHeaderDecoder: PNG IHDR and JPEG SOF dimensions without a codec") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Seq(
+      (1L, pngBytes(640, 480, 8, 6)),   // RGBA → 4 channels
+      (2L, pngBytes(32, 16, 16, 2)),    // truecolor 16-bit → 3 channels
+      (3L, jpegBytes(1920, 1080, 3)),
+      (4L, "not an image at all".getBytes),
+      (5L, pngBytes(0, 480, 8, 6)))     // zero width: rejected
+      .toDF("media_id", "content")
+    val out = Multimodal.decode(media, "media_id", "content",
+        Multimodal.ImageHeaderDecoder)
+      .orderBy($"media_id").collect()
+    def feats(i: Int) =
+      out(i).getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(out(0).getAs[String]("format") == "png")
+    assert(feats(0).take(4) == Seq(640.0, 480.0, 4.0, 8.0))
+    assert(out(1).getAs[String]("format") == "png")
+    assert(feats(1).take(4) == Seq(32.0, 16.0, 3.0, 16.0))
+    assert(out(2).getAs[String]("format") == "jpeg")
+    assert(feats(2).take(4) == Seq(1920.0, 1080.0, 3.0, 8.0))
+    assert(out(3).getAs[String]("format") == "unknown")
+    assert(out(4).getAs[String]("format") == "unknown")
+  }
+
+  test("ImageHeaderDecoder: adversarial JPEG segments cannot loop or escape bounds") {
+    // zero-length segment (len < 2) must reject, not spin
+    val zeroLen = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00).map(_.toByte)
+    // segment length pointing past the buffer must reject
+    val overrun = Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff, 0x08).map(_.toByte)
+    // truncated SOF payload (len says 8 but frame fields need more)
+    val shortSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x07, 8, 0, 1).map(_.toByte)
+    Seq(zeroLen, overrun, shortSof).foreach { bad =>
+      assert(Multimodal.ImageHeaderDecoder.headerOne(bad).isEmpty)
+    }
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic NEGATIVE sampling over a co-occurrence graph — the
+  * contrastive-training counterpart of `Similarity.hardNegatives`
+  * (which mines hard negatives in embedding space): link-prediction /
+  * two-tower training needs, for every entity, pseudo-random partner
+  * entities that are NOT connected, sampled reproducibly so a rebuild
+  * of the corpus regenerates the identical training set.
+  *
+  * Construction (RNG-free, the catalog's md5 discipline):
+  *  1. every node gets a stable global rank via `Curation.shuffleRank`
+  *     (hash-bucketed — no single-partition sort; q154 proved the
+  *     distributed rank ≡ the global row_number);
+  *  2. node n proposes `perNode` partners: partner j's RANK is
+  *     uniform from md5("neg"+j ++ n) mod |nodes| — a pure function of
+  *     (node, j), so membership never flips under resharding;
+  *  3. proposals become canonical (min, max) pairs, self-pairs drop,
+  *     duplicates collapse;
+  *  4. an anti-join against the TRUE edge set removes accidental
+  *     positives (the standard "sampled a real edge" correction).
+  *
+  * Scale shape: candidates are perNode·|nodes| rows (bounded, linear);
+  * the rank→node resolution is an equi-join on rank; the positive-edge
+  * anti-join shuffles on the canonical pair key. Nothing is quadratic
+  * and nothing driver-sized. The candidate draw CAN (rarely) propose
+  * the same pair from both endpoints — the distinct collapses it, so
+  * the exact output size is data-dependent but ≤ perNode·|nodes|.
+  *
+  * Emits (node_a, node_b) canonical non-edges, totally ordered. */
+object NegativeSampling {
+
+  def sampleNegativeEdges(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      perNode: Int = 4): DataFrame = {
+    require(perNode >= 1, "need at least one proposal per node")
+    val n1 = nodes.select(col(nodeCol)).distinct()
+    val ranked = Curation.shuffleRank(n1, nodeCol)
+      .select(col("rank"), col(nodeCol).as("_partner"))
+    val nTotal = broadcast(n1.agg(count(lit(1)).as("_n")))
+    val proposals = n1.crossJoin(nTotal)
+      .select(col(nodeCol), col("_n"),
+        explode(array((1 to perNode).map(lit): _*)).as("j"))
+      .withColumn("_h", md5(concat(lit("neg"), col("j").cast("string"),
+        col(nodeCol).cast("string")).cast("binary")))
+      .withColumn("rank",
+        conv(substring(col("_h"), 1, 8), 16, 10).cast("long")
+          % col("_n") + 1)
+    val cand = proposals
+      .join(ranked, Seq("rank"))
+      .filter(col(nodeCol) =!= col("_partner"))
+      .select(least(col(nodeCol), col("_partner")).as("node_a"),
+        greatest(col(nodeCol), col("_partner")).as("node_b"))
+      .distinct()
+    val pos = edges
+      .select(least(col(srcCol), col(dstCol)).as("node_a"),
+        greatest(col(srcCol), col(dstCol)).as("node_b"))
+      .distinct()
+    cand.join(pos, Seq("node_a", "node_b"), "left_anti")
+      .orderBy("node_a", "node_b")
+  }
+}

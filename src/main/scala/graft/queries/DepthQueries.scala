@@ -367,8 +367,172 @@ object DepthQueries {
       LEFT JOIN reb ON d.doc_id = reb.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Seasonal baseline + anomaly flags: per-(type, day-of-week) EXACT
+    * median of daily revenue (day-grain table — calendar-bounded, so
+    * the order-stat window is tiny) broadcast back onto the days;
+    * anomalies are pure BIGINT-cents comparisons against 2× / ½× the
+    * seasonal median — no float thresholds to diverge. The weekday-
+    * seasonality-aware alerting shape of an ops dashboard. */
+  val q185SeasonalAnomaly = OracleQuery("q185_seasonal_anomaly",
+    "day-of-week median baseline + exact-integer anomaly flags",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("et"),
+          expr("ts div 1000 div 86400000000").as("day"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("vc"))
+        .withColumn("dow", pmod(col("day"), lit(7)))
+      val w = Window.partitionBy(col("et"), col("dow"))
+        .orderBy(col("vc"), col("day"))
+      val med = daily
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("et"), col("dow"))))
+        // div, not `/`: Column `/` is DOUBLE division, and an even n-1
+        // would make the rank filter match nothing (ProfileSpec's trap)
+        .filter(col("rk") === expr("(n - 1) div 2 + 1"))
+        .select(col("et"), col("dow"), col("vc").as("med_vc"))
+      daily.join(broadcast(med), Seq("et", "dow"))
+        .select(col("et").as("event_type"), col("day"), col("dow"),
+          col("vc"), col("med_vc"),
+          (col("vc") > col("med_vc") * 2).as("is_high"),
+          (col("vc") * 2 < col("med_vc")).as("is_low"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc
+        FROM events GROUP BY 1, 2),
+      dw AS MATERIALIZED (SELECT *, day % 7 AS dow FROM daily),
+      med AS (
+        SELECT et, dow, vc AS med_vc FROM (
+          SELECT et, dow, vc,
+                 row_number() OVER (PARTITION BY et, dow
+                   ORDER BY vc, day) AS rk,
+                 COUNT(*) OVER (PARTITION BY et, dow) AS n
+          FROM dw) x
+        WHERE rk = (n - 1) // 2 + 1)
+      SELECT et AS event_type, day, dow, vc, med_vc,
+             vc > med_vc * 2 AS is_high,
+             vc * 2 < med_vc AS is_low
+      FROM dw JOIN med USING (et, dow)
+      ORDER BY event_type, day"""))
+
+  /** Deterministic negative-edge sampling
+    * (NegativeSampling.sampleNegativeEdges) on the co-purchase graph:
+    * 4 md5-drawn partner proposals per part, resolved through the
+    * q154 distributed shuffle rank, canonicalized, and anti-joined
+    * against the TRUE co-ordered pair set. The oracle regenerates
+    * every draw — membership-exact, like the q86/q90 samplers. */
+  val q186NegativeEdges = OracleQuery("q186_negative_edges",
+    "md5-drawn non-edge pairs for contrastive link prediction",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.select(col("l_orderkey").as("b"),
+          col("l_partkey").as("i")).distinct()
+      val pos = edges.join(edges.select(col("b"), col("i").as("i2")), "b")
+        .filter(col("i") < col("i2"))
+        .select(col("i").as("s"), col("i2").as("t"))
+      graft.ops.NegativeSampling.sampleNegativeEdges(
+        Tables.part(s, d).select(col("p_partkey")), "p_partkey",
+        pos, "s", "t", perNode = 4)
+    },
+    Some("""
+      WITH parts AS MATERIALIZED (SELECT p_partkey FROM part),
+      np AS MATERIALIZED (SELECT COUNT(*) AS n FROM parts),
+      ranked AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (
+                 ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey)
+               AS BIGINT) AS rank,
+               p_partkey AS partner
+        FROM parts),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT LEAST(p.p_partkey, r.partner) AS node_a,
+               GREATEST(p.p_partkey, r.partner) AS node_b
+        FROM parts p
+        CROSS JOIN np
+        CROSS JOIN unnest([1, 2, 3, 4]) t(j)
+        JOIN ranked r
+          ON r.rank = CAST(concat('0x', substring(
+               md5('neg' || CAST(j AS VARCHAR) ||
+                   CAST(p.p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             % np.n + 1
+        WHERE p.p_partkey <> r.partner),
+      bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      pos AS MATERIALIZED (
+        SELECT DISTINCT x.i AS node_a, y.i AS node_b
+        FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i)
+      SELECT node_a, node_b FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM pos
+                        WHERE pos.node_a = cand.node_a
+                          AND pos.node_b = cand.node_b)
+      ORDER BY node_a, node_b"""))
+
+  /** END-TO-END curation pipeline — the composition a real corpus
+    * release runs as one job, each stage individually oracle-proven
+    * elsewhere and here chained: per-doc signals (tokenize once;
+    * langid q58, fingerprint q52) → language + length gate → exact-
+    * dedup survivors (min doc id per fingerprint, q51's rule) →
+    * deterministic train/test split (q86). Emits the released corpus
+    * manifest (doc, size, split) — the artifact a training run
+    * consumes. One tokenize, one dedup shuffle, one semi join; every
+    * stage's predicate is integer/hash math, so the WHOLE pipeline
+    * replays row-identically in the oracle. */
+  val q188CurationPipeline = OracleQuery("q188_curation_pipeline",
+    "full curation chain: signals, gates, dedup survivors, split manifest",
+    (s, d) => {
+      import graft.ops.TextAnalysis
+      val ws = col("ws")
+      val sig = Tables.documents(s, d)
+        .withColumn("ws", TextAnalysis.words(col("text")))
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          TextAnalysis.languageId(ws).as("predicted"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val keep = sig.filter(col("predicted") === "en" &&
+        col("n_words").between(30, 2000))
+      val surv = keep.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      keep.join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_words"),
+          Curation.splitLabel(col("doc_id"), 0.20).as("split"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val set = graft.ops.TextAnalysis.Stopwords("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sig AS MATERIALIZED (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               CASE WHEN len(ws) > 0
+                         AND len(list_filter(ws, x -> x IN ($set))) * 10
+                             >= len(ws)
+                    THEN 'en' ELSE 'und' END AS predicted,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM base),
+      keep AS MATERIALIZED (
+        SELECT * FROM sig
+        WHERE predicted = 'en' AND n_words BETWEEN 30 AND 2000),
+      surv AS (SELECT fp, MIN(doc_id) AS doc_id FROM keep GROUP BY fp)
+      SELECT k.doc_id, k.n_words,
+             CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)
+                       < '33333333'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM keep k
+      WHERE EXISTS (SELECT 1 FROM surv s WHERE s.doc_id = k.doc_id)
+      ORDER BY k.doc_id"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q177MedianScale, q178PhraseSearch, q179AbScorecard,
       q180KcenterCoreset, q181PrototypeClassify, q182DupSpans,
-      q183KmvDistinct, q184StripSpans)
+      q183KmvDistinct, q184StripSpans, q185SeasonalAnomaly,
+      q186NegativeEdges, q188CurationPipeline)
 }

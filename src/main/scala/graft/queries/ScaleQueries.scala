@@ -549,9 +549,92 @@ $scoreExpr AS score
              TRUE AS est_within_eps
       FROM fa JOIN fb USING (k)"""))
 
+  /** Retrieval EVALUATION harness over the q108 BM25 ranking:
+    * precision/recall@k curve with binary relevance = "document
+    * contains every query term" (a deterministic stand-in for held-out
+    * judgments). Every metric is an exact-integer cumulative count
+    * with one fixed-shape double division per row — nDCG's log2
+    * discount is deliberately absent (ln is not IEEE-portable,
+    * the q171/q134 rule), and MRR is read off the curve at the first
+    * relevant rank. The eval loop every retrieval change ships with. */
+  val q187RetrievalEval = OracleQuery("q187_retrieval_eval",
+    "precision/recall@k curve of the BM25 ranking, exact counts",
+    (s, d) => {
+      val ranked = Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Bm25Terms, 20, K1, B)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .withColumn("rel",
+          Bm25Terms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      val totRel = broadcast(
+        Tables.documents(s, d)
+          .select(graft.ops.TextAnalysis.words(col("text")).as("ws"))
+          .filter(Bm25Terms.map(t =>
+            size(filter(col("ws"), w => w === t)) > 0).reduce(_ && _))
+          .agg(count(lit(1)).as("n_relevant")))
+      ranked.crossJoin(totRel)
+        .withColumn("hits_at_k",
+          sum(when(col("rel"), 1L).otherwise(0L)).over(
+            Window.orderBy(col("rank"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("rank"), col("doc_id"), col("rel"), col("hits_at_k"),
+          (col("hits_at_k").cast("double") / col("rank").cast("double"))
+            .as("p_at_k"),
+          col("n_relevant"),
+          (col("hits_at_k").cast("double") /
+            col("n_relevant").cast("double")).as("recall_at_k"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS MATERIALIZED (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+${Bm25Terms.map(t => s"               CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+${Bm25Terms.map(t => s"               CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+        FROM tf),
+      ranked AS MATERIALIZED (
+        SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM (
+          SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
+${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
+          FROM tf, (SELECT *,
+                    CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                    FROM ag) a) s
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM tf
+        WHERE ${Bm25Terms.map(t => s"tf_$t > 0").mkString(" AND ")}),
+      curve AS (
+        SELECT rank, doc_id,
+               ${Bm25Terms.map(t => s"tf_$t > 0").mkString(" AND ")} AS rel
+        FROM ranked)
+      SELECT rank, doc_id, rel,
+             CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+               ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hits_at_k,
+             CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+               ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(rank AS DOUBLE) AS p_at_k,
+             n_relevant,
+             CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+               ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(n_relevant AS DOUBLE) AS recall_at_k
+      FROM curve, tot
+      ORDER BY rank"""))
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
     q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
-    q157JoinCardGate)
+    q157JoinCardGate, q187RetrievalEval)
 }

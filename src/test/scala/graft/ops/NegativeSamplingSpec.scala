@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class NegativeSamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def nodes = (1L to 20L).map(Tuple1(_)).toDF("node")
+  private def edges = Seq((1L, 2L), (3L, 4L), (2L, 5L)).toDF("s", "t")
+
+  test("negative edges: canonical, self-free, disjoint from positives, bounded") {
+    val got = NegativeSampling.sampleNegativeEdges(
+        nodes, "node", edges, "s", "t", perNode = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 20 * 4)
+    assert(got.forall { case (a, b) => a < b }, "canonical order violated")
+    val pos = Set((1L, 2L), (3L, 4L), (2L, 5L))
+    assert(got.forall(p => !pos.contains(p)), "a true edge leaked through")
+    assert(got.distinct == got, "duplicate pairs")
+  }
+
+  test("negative edges: membership is reshard-stable and edge-list-order-free") {
+    val a = NegativeSampling.sampleNegativeEdges(
+        nodes, "node", edges, "s", "t").as[(Long, Long)].collect().toSeq
+    val b = NegativeSampling.sampleNegativeEdges(
+        nodes.repartition(7), "node",
+        edges.orderBy($"t"), "s", "t").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("negative edges: reversed positives are still excluded (canonicalized)") {
+    val rev = Seq((2L, 1L), (4L, 3L), (5L, 2L)).toDF("s", "t")
+    val a = NegativeSampling.sampleNegativeEdges(
+        nodes, "node", edges, "s", "t").as[(Long, Long)].collect().toSeq
+    val b = NegativeSampling.sampleNegativeEdges(
+        nodes, "node", rev, "s", "t").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -28,7 +30,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** Events with `ts` ALWAYS as nanos-since-epoch BIGINT, whatever the
+    * parquet physical type. Historical drops carried TIMESTAMP(NANOS)
+    * (read as Long via `nanosAsLong`); current drops carry TIMESTAMP(µs)
+    * (read as TIMESTAMP_NTZ). The whole engine's ts math is written
+    * against the nanos contract (`ts div 1000` → µs, matching DuckDB's
+    * `epoch_us`), so normalize at the single load point. Sessions pin
+    * UTC, making the NTZ→instant cast exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Marketing-touch attribution over the event stream: credit each
+  * conversion's value to the touch events (views/clicks/…) that
+  * preceded it within a lookback window, under two standard models —
+  * last-touch (winner takes all) and linear multi-touch (equal split).
+  *
+  * Exactness: conversion value is integer CENTS; the linear split is
+  * integer floor division into MICRO-cents (value·10⁶·n_t div n), so
+  * every aggregate is a BIGINT sum — order-independent, engine-exact —
+  * rather than a shuffle-order-dependent float sum of per-conversion
+  * fractions. Last-touch picks max(struct(ts, event_id)) — a total
+  * order, deterministic under ties.
+  *
+  * Scale shape: the touch⋈conversion join shuffles on user_id (both
+  * sides key-partitioned; per-user activity is bounded, so no skew
+  * hot-spot), the per-conversion aggregates are map-side combinable,
+  * and the per-conversion type-count window runs over ≤ |touch types|
+  * rows — never event-sized.
+  */
+object Attribution {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Per touch type: linear credited touches + micro-cent credit, and
+    * last-touch conversions + full-value cents. `windowDays` bounds
+    * the lookback (touch_ts ∈ (conv_ts − window, conv_ts]).
+    *
+    * Expects the events schema: event_id, ts (nanos BIGINT), user_id,
+    * event_type, value. */
+  def touchCredit(events: DataFrame, convType: String,
+      touchTypes: Seq[String], windowDays: Int): DataFrame = {
+    require(touchTypes.nonEmpty && windowDays > 0,
+      "need touch types and a positive window")
+    val windowNanos = windowDays * 86400L * 1000L * 1000L * 1000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("cu"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"),
+        (col("value").cast(dec2) * 100).cast("long").as("cents"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("tu"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+    val joined = conv.join(touch,
+      col("cu") === col("tu") &&
+        col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - windowNanos)
+    // (conversion, touch type) grain; n over the conversion is a window
+    // across <= |touchTypes| rows
+    val perType = joined
+      .groupBy(col("conv_id"), col("cents"), col("touch_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("n", sum(col("n_t"))
+        .over(Window.partitionBy(col("conv_id"))))
+    val linear = perType.groupBy(col("touch_type"))
+      .agg(sum(col("n_t")).as("linear_touches"),
+        sum(expr("cents * 1000000L * n_t div n")).as("linear_micro_cents"))
+    val last = joined
+      .groupBy(col("conv_id"), col("cents"))
+      .agg(max(struct(col("touch_ts"), col("touch_id"), col("touch_type")))
+        .getField("touch_type").as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("last_convs"),
+        sum(col("cents")).as("last_cents"))
+    linear.join(last, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("linear_touches"), lit(0L)).as("linear_touches"),
+        coalesce(col("linear_micro_cents"), lit(0L))
+          .as("linear_micro_cents"),
+        coalesce(col("last_convs"), lit(0L)).as("last_convs"),
+        coalesce(col("last_cents"), lit(0L)).as("last_cents"))
+      .orderBy("touch_type")
+  }
+}

@@ -143,4 +143,56 @@ object Corpus {
           sum(when(col("_b") === j, col("_s")).otherwise(lit(0L)))
             .as(s"f$j")): _*)
   }
+
+  /** Per-source lexical-diversity card: type-token ratio at the word
+    * and bigram grain — the corpus-health metric that catches template
+    * spam (low TTR) a length or langid filter misses. Returns
+    * (source, n_docs, total_words, distinct_words, total_bigrams,
+    * distinct_bigrams, ttr, bigram_ttr).
+    *
+    * Distinct counts go through a TWO-LEVEL aggregation — (source,
+    * token) grain first, then count rows per source — so there is no
+    * countDistinct Expand and within-source repeats collapse map-side
+    * (q176's discipline). Bigrams are built row-locally from the bound
+    * token array; per-source tables are |sources|-sized → the final
+    * assembly joins are broadcast. */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val base = docs
+      .withColumn("ws", TextAnalysis.words(col(textCol)))
+      .select(col(srcCol).as("source"), col(idCol).as("_id"), col("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    val totals = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nw")).as("total_words"),
+      sum(greatest(col("nw") - 1L, lit(0L))).as("total_bigrams"))
+    val words = base
+      .select(col("source"), explode(col("ws")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("distinct_words"))
+    val bigrams = base.filter(col("nw") >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("distinct_bigrams"))
+    // left joins: a source of empty / single-word docs has no word or
+    // bigram rows but must still appear on the card
+    totals
+      .join(broadcast(words), Seq("source"), "left")
+      .join(broadcast(bigrams), Seq("source"), "left")
+      .withColumn("distinct_words",
+        coalesce(col("distinct_words"), lit(0L)))
+      .withColumn("distinct_bigrams",
+        coalesce(col("distinct_bigrams"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("distinct_words"), col("total_bigrams"), col("distinct_bigrams"),
+        when(col("total_words") === 0L, lit(0.0))
+          .otherwise(col("distinct_words").cast("double") /
+            col("total_words").cast("double")).as("ttr"),
+        when(col("total_bigrams") === 0L, lit(0.0))
+          .otherwise(col("distinct_bigrams").cast("double") /
+            col("total_bigrams").cast("double")).as("bigram_ttr"))
+      .orderBy("source")
+  }
 }

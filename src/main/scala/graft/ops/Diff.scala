@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus diff — the dataset-versioning primitive
+  * a release pipeline runs between two drops of the same table: which
+  * keys were added, removed, or changed content, and which survived
+  * untouched.
+  *
+  * Content identity is the md5 of the content columns under a
+  * marker-prefix encoding (CountMin's NULL discipline): "N" for NULL,
+  * "S"+value otherwise, fields joined on a \\u0001 separator — no real
+  * value can alias NULL and no field split can alias its neighbor.
+  *
+  * The diff itself is one full outer join on the key — at 100 TB that
+  * is a key-partitioned shuffle on both sides, or a zero-shuffle zip
+  * when both snapshots are bucketed by the key (the TableStore
+  * layout); nothing here inspects row order, so the plan stays
+  * embarrassingly parallel.
+  */
+object Diff {
+
+  private def fingerprint(df: DataFrame, keyCol: String,
+      contentCols: Seq[String], as: String): DataFrame =
+    df.select(col(keyCol),
+      md5(concat_ws("",
+        contentCols.map(c =>
+          when(col(c).isNull, lit("N"))
+            .otherwise(concat(lit("S"), col(c).cast("string")))): _*))
+        .as(as))
+
+  /** One row per key present in either snapshot:
+    * (key, change ∈ added|removed|changed|same, old_fp, new_fp). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    fingerprint(oldDf, keyCol, contentCols, "old_fp")
+      .join(fingerprint(newDf, keyCol, contentCols, "new_fp"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("same"))
+          .otherwise(lit("changed")).as("change"),
+        col("old_fp"), col("new_fp"))
+  }
+
+  /** Diff summary: per change kind, how many keys. */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      contentCols: Seq[String]): DataFrame =
+    snapshotDiff(oldDf, newDf, keyCol, contentCols)
+      .groupBy(col("change")).agg(count(lit(1)).as("n_keys"))
+      .orderBy("change")
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for model-training tables: target
+  * encoding (leave-one-out + smoothed), exact quantile binning, and
+  * probability-calibration bins — the feature-prep layer between the
+  * warehouse grain and a trainer.
+  *
+  * Exactness discipline (OracleQuery rules): every aggregate is a
+  * BIGINT/decimal sum (order-independent); doubles appear only in
+  * per-row fixed-shape expressions over identical operands, so results
+  * hash-compare across engines.
+  *
+  * Scale shapes: the encoding statistics are category-grain (broadcast
+  * back — the fact table never shuffles); quantile cuts use one
+  * per-group rank (the exact-order-statistic price; `Profile
+  * .scalableMedian` is the histogram-pruned path when a group stops
+  * fitting one task); calibration is a single map-side-combinable
+  * aggregate over integer evidence.
+  */
+object Features {
+
+  /** Target encoding of `catCol` against an integer-cents target.
+    *
+    * Per row: the leave-one-out mean of its category — (Σcat − y)/(n−1),
+    * the standard leakage-free train encoding — and the
+    * m-smoothed mean (Σcat + m·prior)/(n + m) with prior the global
+    * mean. All sums BIGINT; each output value is a fixed chain of IEEE
+    * double ops on identical operands, so both encodings replay
+    * bit-identically in any engine. Singleton categories yield NULL
+    * LOO (no other rows to borrow a mean from).
+    *
+    * Shape: one category-grain aggregate + one 1-row global aggregate,
+    * both broadcast back onto the fact rows — the big side never
+    * shuffles. */
+  def targetEncode(df: DataFrame, catCol: String, centsCol: String,
+      idCol: String, smoothing: Long): DataFrame = {
+    require(smoothing > 0, "smoothing pseudo-count must be positive")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(col(centsCol)).as("cat_sum"), count(lit(1)).as("cat_n"))
+    val prior = df.agg(sum(col(centsCol)).as("g_sum"),
+      count(lit(1)).as("g_n"))
+    df.select(col(idCol), col(catCol), col(centsCol))
+      .join(broadcast(stats), Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .select(
+        col(idCol), col(catCol), col(centsCol),
+        when(col("cat_n") === 1L, lit(null).cast("double"))
+          .otherwise((col("cat_sum") - col(centsCol)).cast("double") /
+            (col("cat_n") - 1L).cast("double"))
+          .as("loo_cents"),
+        ((col("cat_sum").cast("double") +
+          lit(smoothing.toDouble) *
+            (col("g_sum").cast("double") / col("g_n").cast("double"))) /
+          (col("cat_n") + lit(smoothing)).cast("double"))
+          .as("smooth_cents"))
+  }
+
+  /** Exact per-group quartile binning: cut points are the lower order
+    * statistics at ranks ⌊(n−1)q⌋+1 for q ∈ {¼, ½, ¾} (q170's
+    * convention — actual data values, engine-exact, no interpolation),
+    * rows are assigned bins 0–3 by comparison against the broadcast
+    * cuts. Returns the per-(group, bin) summary: row count, bin
+    * min/max, and the cut values used.
+    *
+    * The rank is the one per-group sort (exact order statistics cost
+    * that everywhere); the histogram-pruned walk of
+    * `Profile.scalableMedian` generalizes to these ranks when groups
+    * outgrow a task. */
+  def quantileBin(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).as("v"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val ranked = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    def cutRank(q: Double) =
+      floor((col("n") - 1L) * lit(q)).cast("long") + 1L
+    val cuts = ranked.groupBy(col("g"), col("n")).agg(
+      min(when(col("rn") === cutRank(0.25), col("v"))).as("c1"),
+      min(when(col("rn") === cutRank(0.50), col("v"))).as("c2"),
+      min(when(col("rn") === cutRank(0.75), col("v"))).as("c3"))
+    rows.join(broadcast(cuts), Seq("g"))
+      .withColumn("bin",
+        when(col("v") <= col("c1"), 0L)
+          .when(col("v") <= col("c2"), 1L)
+          .when(col("v") <= col("c3"), 2L)
+          .otherwise(3L))
+      .groupBy(col("g").as(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("bin_min"), max(col("v")).as("bin_max"),
+        min(col("c1")).as("c1"), min(col("c2")).as("c2"),
+        min(col("c3")).as("c3"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** Reliability-diagram bins for an integer-rational score
+    * (`scoreNumCol` / scoreDen ∈ [0,1]) against a boolean outcome:
+    * per bin, support, positives, mean confidence, empirical accuracy,
+    * and |acc − conf| (the per-bin calibration gap an ECE weights).
+    *
+    * Mean confidence is Σnum/(n·den) — integer sums, ONE double
+    * division — so the whole diagram is engine-exact; binning is
+    * integer floor division, no float boundaries to disagree on. One
+    * map-side-combinable aggregate over the scored rows. */
+  def calibrationBins(df: DataFrame, scoreNumCol: String, scoreDen: Long,
+      labelCol: String, nBins: Int): DataFrame = {
+    require(nBins > 1 && scoreDen > 0, "need nBins > 1 and scoreDen > 0")
+    df.withColumn("bin",
+      least(lit(nBins - 1L),
+        expr(s"($scoreNumCol * $nBins) div ${scoreDen}L")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreNumCol)).as("snum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("snum").cast("double") /
+          (col("n") * lit(scoreDen)).cast("double")).as("conf"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"),
+        abs(col("n_pos").cast("double") / col("n").cast("double") -
+          col("snum").cast("double") /
+            (col("n") * lit(scoreDen)).cast("double")).as("abs_gap"))
+      .orderBy("bin")
+  }
+}

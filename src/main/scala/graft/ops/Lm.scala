@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model tables — the classical LM layer a
+  * data pipeline builds for autocomplete, contamination probes, and
+  * cheap perplexity-ish filtering: contexts (w₁,w₂) mapped to their
+  * most likely next token with exact counts.
+  *
+  * Scale shape: trigrams are built ROW-LOCALLY from each document's
+  * bound token array (no positional self-join — the corpus is scanned
+  * once and only (w₁,w₂,w₃,count) rows shuffle, with map-side partial
+  * counts absorbing repeats); the per-context argmax is a
+  * min(struct(−count, token)) aggregate — map-side combinable, no
+  * window over the context's candidates — and the final top-N is a
+  * TakeOrdered, never a global sort.
+  *
+  * Determinism: ties on count break toward the lexicographically
+  * smallest token via the (−count, token) struct order; the top-N
+  * context list orders by (context count DESC, w₁, w₂) — total.
+  */
+object Lm {
+
+  /** Token arrays bound as a real column (CLAUDE rule 3: HOF lambdas
+    * must reference bound columns, or each element re-evaluates the
+    * split). */
+  private def withTokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("ws",
+      filter(split(col(textCol), " "), w => w =!= ""))
+
+  /** (w1, w2, w3) trigram rows, one per position, built row-locally. */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokens(docs, textCol)
+      .filter(size(col("ws")) >= 3)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 3), " +
+            "i -> struct(ws[i] as w1, ws[i+1] as w2, ws[i+2] as w3))"))
+          .as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+
+  /** The next-token prediction table: for the `topContexts` most
+    * frequent (w1, w2) contexts, the context count, its most frequent
+    * next token (+ count), and the top token's share — one double
+    * division of exact BIGINT counts. */
+  def nextTokenTable(docs: DataFrame, idCol: String, textCol: String,
+      topContexts: Int): DataFrame = {
+    require(topContexts > 0, "need a positive context budget")
+    val counts = trigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("ctx_n"),
+        min(struct((-col("c")).as("nc"), col("w3"))).as("best"))
+      .select(col("w1"), col("w2"), col("ctx_n"),
+        col("best.w3").as("top_next"),
+        (-col("best.nc")).as("top_cnt"))
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("ctx_n").cast("double"))
+      .orderBy(col("ctx_n").desc, col("w1"), col("w2"))
+      .limit(topContexts)
+  }
+}

@@ -59,4 +59,36 @@ object Robust {
         col("n_clip_lo"), col("n_clip_hi"),
         (col("_csum").cast("double") / col("n")).as("wins_mean"))
   }
+
+  /** Per-group MAD (median absolute deviation) outlier stats — the
+    * robust scale estimator that, unlike stddev, one wild value cannot
+    * drag: med = exact lower median of the value, mad = exact lower
+    * median of |v − med|, outliers = rows with |v − med| > k·mad.
+    *
+    * Both medians ride `Profile.scalableMedian` (histogram-pruned, no
+    * per-group full sort — the 100 TB path for exact order
+    * statistics); |v − med| is per-row IEEE double arithmetic on
+    * identical operands, so the derived deviations — and hence the
+    * second median and the outlier flags — replay bit-identically in
+    * any engine. Group medians are |groups|-sized → broadcast back.
+    *
+    * Returns (group, n, med, mad, n_outliers). */
+  def madStats(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, k: Double = 3.0): DataFrame = {
+    val med = Profile.scalableMedian(df, groupCol, valCol, idCol)
+      .select(col(groupCol), col("median").as("med"))
+    val dev = df.filter(col(valCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val mad = Profile.scalableMedian(dev, groupCol, "dev", idCol)
+      .select(col(groupCol), col("median").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(groupCol)
+  }
 }

@@ -53,7 +53,8 @@ object Catalog {
       CurationQueries.all ++ HygieneQueries.all ++ FeatureQueries.all ++
       ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all ++
       FamilyQueries.all ++ SeriesQueries.all ++ MiningQueries.all ++
-      CorpusQueries.all ++ StatQueries.all ++ DepthQueries.all
+      CorpusQueries.all ++ StatQueries.all ++ DepthQueries.all ++
+      PrepQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

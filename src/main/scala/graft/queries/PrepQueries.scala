@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Attribution, Corpus, Diff, Features, Lm, Robust}
+import graft.sources.Tables
+
+/** Round-6 preparation-layer queries: dataset versioning (snapshot
+  * diff), robust outlier stats (MAD), feature engineering (target
+  * encoding, quantile binning, calibration), corpus diversity cards,
+  * touch attribution, and the n-gram next-token table. Every query
+  * follows the OracleQuery determinism conventions.
+  */
+object PrepQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Version-to-version corpus diff (Diff.snapshotDiff): v1/v2 are
+    * deterministically derived snapshots of `documents` (id-residue
+    * membership + a text edit on a third residue class), so both
+    * engines rebuild identical inputs and the md5 content fingerprints
+    * replay bit-for-bit. */
+  val q189SnapshotDiff = OracleQuery("q189_snapshot_diff",
+    "added/removed/changed keys between two derived corpus snapshots",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 13 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 17 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Diff.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+        .filter(col("change") =!= "same")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH v1 AS MATERIALIZED (
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE doc_id % 13 <> 3),
+      v2 AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END
+                 AS text,
+               lang, source
+        FROM documents WHERE doc_id % 17 <> 5),
+      f1 AS (
+        SELECT doc_id,
+               md5(concat_ws(chr(1),
+                 CASE WHEN text IS NULL THEN 'N' ELSE 'S' || text END,
+                 CASE WHEN lang IS NULL THEN 'N' ELSE 'S' || lang END,
+                 CASE WHEN source IS NULL THEN 'N' ELSE 'S' || source END))
+                 AS old_fp
+        FROM v1),
+      f2 AS (
+        SELECT doc_id,
+               md5(concat_ws(chr(1),
+                 CASE WHEN text IS NULL THEN 'N' ELSE 'S' || text END,
+                 CASE WHEN lang IS NULL THEN 'N' ELSE 'S' || lang END,
+                 CASE WHEN source IS NULL THEN 'N' ELSE 'S' || source END))
+                 AS new_fp
+        FROM v2)
+      SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id,
+             CASE WHEN old_fp IS NULL THEN 'added'
+                  WHEN new_fp IS NULL THEN 'removed'
+                  WHEN old_fp = new_fp THEN 'same'
+                  ELSE 'changed' END AS change,
+             old_fp, new_fp
+      FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
+      WHERE CASE WHEN old_fp IS NULL THEN 'added'
+                 WHEN new_fp IS NULL THEN 'removed'
+                 WHEN old_fp = new_fp THEN 'same'
+                 ELSE 'changed' END <> 'same'
+      ORDER BY doc_id"""))
+
+  /** MAD outlier stats per event type (Robust.madStats): both medians
+    * ride the histogram-pruned scalableMedian; the oracle computes them
+    * the full-sort way, so agreement re-proves the pruning on the
+    * DERIVED deviation column too. */
+  val q190MadOutliers = OracleQuery("q190_mad_outliers",
+    "median-absolute-deviation robust outlier stats per event type",
+    (s, d) => Robust.madStats(
+      Tables.events(s, d), "event_type", "value", "event_id", 3.0),
+    Some("""
+      WITH vals AS MATERIALIZED (
+        SELECT event_type, value AS v, event_id FROM events
+        WHERE value IS NOT NULL),
+      med AS MATERIALIZED (
+        SELECT event_type,
+               MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN v END) AS med
+        FROM (SELECT event_type, v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY v, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM vals)
+        GROUP BY event_type),
+      dev AS MATERIALIZED (
+        SELECT v.event_type, abs(v.v - m.med) AS dev, v.event_id, m.med
+        FROM vals v JOIN med m USING (event_type)),
+      mad AS MATERIALIZED (
+        SELECT event_type,
+               MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN dev END) AS mad
+        FROM (SELECT event_type, dev,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dev)
+        GROUP BY event_type)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(d.med) AS med, MAX(a.mad) AS mad,
+             CAST(SUM(CASE WHEN d.dev > 3.0 * a.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a USING (event_type)
+      GROUP BY d.event_type
+      ORDER BY d.event_type"""))
+
+  /** Leave-one-out + smoothed target encoding of the customer market
+    * segment against order value in cents (Features.targetEncode) —
+    * category stats broadcast, the order rows never shuffle. */
+  val q191TargetEncode = OracleQuery("q191_target_encode",
+    "LOO + smoothed target encoding of market segment vs order cents",
+    (s, d) => {
+      val rows = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+          (col("o_totalprice").cast(dec2) * 100).cast("long").as("cents"))
+      Features.targetEncode(rows, "segment", "cents", "o_orderkey", 100L)
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH rows_ AS MATERIALIZED (
+        SELECT o_orderkey, c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      stats AS (
+        SELECT segment, CAST(SUM(cents) AS BIGINT) AS cat_sum,
+               COUNT(*) AS cat_n
+        FROM rows_ GROUP BY segment),
+      prior AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS g_sum, COUNT(*) AS g_n
+        FROM rows_)
+      SELECT o_orderkey, segment, cents,
+             CASE WHEN cat_n = 1 THEN NULL
+                  ELSE CAST(cat_sum - cents AS DOUBLE) /
+                       CAST(cat_n - 1 AS DOUBLE) END AS loo_cents,
+             (CAST(cat_sum AS DOUBLE) +
+              100.0 * (CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE))) /
+               CAST(cat_n + 100 AS DOUBLE) AS smooth_cents
+      FROM rows_ JOIN stats USING (segment) CROSS JOIN prior
+      ORDER BY o_orderkey"""))
+
+  /** Exact quartile binning of event values per type
+    * (Features.quantileBin): cuts are lower order statistics (q170
+    * convention), bin assignment is pure comparison — the discretizer
+    * a feature pipeline runs before training. */
+  val q192QuantileBins = OracleQuery("q192_quantile_bins",
+    "exact per-type quartile binning summary of event values",
+    (s, d) => Features.quantileBin(
+      Tables.events(s, d), "event_type", "value", "event_id"),
+    Some("""
+      WITH vals AS MATERIALIZED (
+        SELECT event_type, value AS v, event_id FROM events
+        WHERE value IS NOT NULL),
+      ranked AS MATERIALIZED (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY v, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM vals),
+      cuts AS MATERIALIZED (
+        SELECT event_type,
+               MIN(CASE WHEN rk = CAST(floor((n-1) * 0.25) AS BIGINT) + 1
+                   THEN v END) AS c1,
+               MIN(CASE WHEN rk = CAST(floor((n-1) * 0.50) AS BIGINT) + 1
+                   THEN v END) AS c2,
+               MIN(CASE WHEN rk = CAST(floor((n-1) * 0.75) AS BIGINT) + 1
+                   THEN v END) AS c3
+        FROM ranked GROUP BY event_type)
+      SELECT v.event_type,
+             CAST(CASE WHEN v.v <= c.c1 THEN 0
+                       WHEN v.v <= c.c2 THEN 1
+                       WHEN v.v <= c.c3 THEN 2
+                       ELSE 3 END AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(v.v) AS bin_min, MAX(v.v) AS bin_max,
+             MIN(c.c1) AS c1, MIN(c.c2) AS c2, MIN(c.c3) AS c3
+      FROM vals v JOIN cuts c USING (event_type)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Reliability-diagram calibration of a length-based quality score
+    * against exact-dup survival (Features.calibrationBins): integer
+    * evidence end to end, one division per emitted double. */
+  val q193Calibration = OracleQuery("q193_calibration",
+    "calibration bins: length score vs exact-dup-survivor outcome",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dupc = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("fp_n"))
+      val scored = docs
+        .withColumn("ws", graft.ops.TextAnalysis.words(col("text")))
+        .withColumn("num", least(size(col("ws")).cast("long"), lit(200L)))
+        .withColumn("fp", md5(col("text")))
+        .join(dupc, "fp")
+        .withColumn("label", col("fp_n") === 1L)
+      Features.calibrationBins(scored, "num", 200L, "label", 10)
+    },
+    Some("""
+      WITH dupc AS MATERIALIZED (
+        SELECT md5(text) AS fp, COUNT(*) AS fp_n
+        FROM documents GROUP BY 1),
+      scored AS MATERIALIZED (
+        SELECT LEAST(len(list_filter(string_split(d.text, ' '),
+                 x -> x <> '')), 200) AS num,
+               (c.fp_n = 1) AS label
+        FROM documents d JOIN dupc c ON md5(d.text) = c.fp),
+      binned AS (
+        SELECT LEAST(9, (num * 10) // 200) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(SUM(num) AS BIGINT) AS snum
+        FROM scored GROUP BY 1)
+      SELECT bin, n, n_pos,
+             CAST(snum AS DOUBLE) / CAST(n * 200 AS DOUBLE) AS conf,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+             abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+                 CAST(snum AS DOUBLE) / CAST(n * 200 AS DOUBLE))
+               AS abs_gap
+      FROM binned
+      ORDER BY bin"""))
+
+  /** Per-source lexical diversity card (Corpus.lexicalDiversity):
+    * word/bigram type-token ratios through two-level aggregation — no
+    * countDistinct Expand anywhere. */
+  val q194LexicalDiversity = OracleQuery("q194_lexical_diversity",
+    "per-source word/bigram type-token-ratio diversity card",
+    (s, d) => Corpus.lexicalDiversity(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    Some("""
+      WITH base AS MATERIALIZED (
+        SELECT source, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      t AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(ws)) AS BIGINT) AS total_words,
+               CAST(SUM(GREATEST(len(ws) - 1, 0)) AS BIGINT)
+                 AS total_bigrams
+        FROM base GROUP BY source),
+      w AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_words
+        FROM (SELECT DISTINCT source, w
+              FROM base, unnest(ws) u(w))
+        GROUP BY source),
+      b AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+        FROM (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] AS bg
+              FROM base,
+                unnest(generate_series(1, GREATEST(len(ws) - 1, 0))) t(i))
+        GROUP BY source)
+      SELECT t.source, n_docs, total_words, distinct_words,
+             total_bigrams, distinct_bigrams,
+             CASE WHEN total_words = 0 THEN 0.0
+                  ELSE CAST(distinct_words AS DOUBLE) /
+                       CAST(total_words AS DOUBLE) END AS ttr,
+             CASE WHEN total_bigrams = 0 THEN 0.0
+                  ELSE CAST(distinct_bigrams AS DOUBLE) /
+                       CAST(total_bigrams AS DOUBLE) END AS bigram_ttr
+      FROM t JOIN w USING (source) JOIN b USING (source)
+      ORDER BY source"""))
+
+  /** Purchase attribution over click/view touches in a 7-day lookback
+    * (Attribution.touchCredit): linear credit in floor-divided
+    * micro-cents so every aggregate stays a BIGINT sum. */
+  val q195Attribution = OracleQuery("q195_attribution",
+    "last-touch + linear multi-touch purchase attribution, 7-day window",
+    (s, d) => Attribution.touchCredit(
+      Tables.events(s, d), "purchase", Seq("click", "view"), 7),
+    Some("""
+      WITH conv AS MATERIALIZED (
+        SELECT user_id AS cu, event_id AS conv_id, epoch_us(ts) AS cts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      touch AS MATERIALIZED (
+        SELECT user_id AS tu, event_id AS touch_id,
+               event_type AS touch_type, epoch_us(ts) AS tts
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS MATERIALIZED (
+        SELECT conv_id, cents, touch_id, touch_type, tts
+        FROM conv JOIN touch ON cu = tu
+          AND tts <= cts AND tts > cts - 7 * 86400000000),
+      per_type AS MATERIALIZED (
+        SELECT conv_id, cents, touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM j GROUP BY 1, 2, 3),
+      with_n AS (
+        SELECT conv_id, cents, touch_type, n_t,
+               CAST(SUM(n_t) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+        FROM per_type),
+      lin AS (
+        SELECT touch_type,
+               CAST(SUM(n_t) AS BIGINT) AS linear_touches,
+               CAST(SUM((cents * 1000000 * n_t) // n) AS BIGINT)
+                 AS linear_micro_cents
+        FROM with_n GROUP BY 1),
+      lastt AS (
+        SELECT touch_type,
+               CAST(COUNT(*) AS BIGINT) AS last_convs,
+               CAST(SUM(cents) AS BIGINT) AS last_cents
+        FROM (SELECT conv_id, cents, touch_type,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY tts DESC, touch_id DESC) AS rn
+              FROM j)
+        WHERE rn = 1 GROUP BY 1)
+      SELECT COALESCE(lin.touch_type, lastt.touch_type) AS touch_type,
+             COALESCE(linear_touches, 0) AS linear_touches,
+             COALESCE(linear_micro_cents, 0) AS linear_micro_cents,
+             COALESCE(last_convs, 0) AS last_convs,
+             COALESCE(last_cents, 0) AS last_cents
+      FROM lin FULL OUTER JOIN lastt USING (touch_type)
+      ORDER BY touch_type"""))
+
+  /** Top-50 next-token prediction table (Lm.nextTokenTable): the
+    * oracle ranks candidates with a window; the engine uses a
+    * min(struct) argmax — agreement proves the aggregate. */
+  val q196NextToken = OracleQuery("q196_next_token",
+    "trigram next-token prediction table, top-50 contexts",
+    (s, d) => Lm.nextTokenTable(Tables.documents(s, d), "doc_id", "text", 50),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tri AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        FROM toks,
+          unnest(generate_series(1, GREATEST(len(ws) - 2, 0))) t(i)),
+      cnt AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tri GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT w1, w2, w3, c,
+               row_number() OVER (PARTITION BY w1, w2
+                 ORDER BY c DESC, w3) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY w1, w2) AS BIGINT) AS ctx_n
+        FROM cnt)
+      SELECT w1, w2, ctx_n, w3 AS top_next, c AS top_cnt,
+             CAST(c AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS top_share
+      FROM ranked
+      WHERE rn = 1
+      ORDER BY ctx_n DESC, w1, w2
+      LIMIT 50"""))
+
+  val all: Seq[OracleQuery] = Seq(
+    q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
+    q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken)
+}

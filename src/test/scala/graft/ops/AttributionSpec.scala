@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class AttributionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day = 86400L * 1000L * 1000L * 1000L // nanos
+
+  private def ev(id: Long, ts: Long, user: Long, typ: String, v: Double) =
+    (id, ts, user, typ, v)
+
+  test("window bound, last-touch argmax, linear floor split") {
+    // user 1: purchase 10.00 at t=10d; touches: click 9d, view 8d,
+    // view 20d (outside 7-day lookback -> excluded), click 10d+1ns
+    // (after conversion -> excluded)
+    val rows = Seq(
+      ev(100L, 10 * day, 1L, "purchase", 10.00),
+      ev(1L, 9 * day, 1L, "click", 0),
+      ev(2L, 8 * day, 1L, "view", 0),
+      ev(3L, 2 * day, 1L, "view", 0), // 8 days back: outside window
+      ev(4L, 10 * day + 1, 1L, "click", 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Attribution.touchCredit(rows, "purchase",
+      Seq("click", "view"), 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 2 credited touches: click@9d, view@8d; n=2, cents=1000
+    // linear each: 1000*1e6*1 div 2 = 500_000_000
+    assert(got("click") == ((1L, 500000000L, 1L, 1000L)),
+      s"click got ${got("click")}") // last touch = click@9d (latest)
+    assert(got("view") == ((1L, 500000000L, 0L, 0L)))
+  }
+
+  test("last-touch tie on ts breaks by event_id; conv without touches drops") {
+    val rows = Seq(
+      ev(100L, 5 * day, 1L, "purchase", 2.00),
+      ev(7L, 4 * day, 1L, "click", 0),
+      ev(9L, 4 * day, 1L, "view", 0), // same ts, higher id wins
+      ev(200L, 5 * day, 2L, "purchase", 99.0)) // no touches
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Attribution.touchCredit(rows, "purchase",
+      Seq("click", "view"), 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("view")._3 == 1L && got("view")._4 == 200L)
+    assert(got("click")._3 == 0L)
+    // linear: 200*1e6 div 2 = 100_000_000 each
+    assert(got("click")._2 == 100000000L && got("view")._2 == 100000000L)
+  }
+
+  test("multi-conversion BIGINT credit conservation (floor remainder only)") {
+    // 3 touches on one purchase of 1.00: 100*1e6 div 3 = 33_333_333 each;
+    // 1 micro-cent lost to floor — bounded by n per conversion
+    val rows = Seq(
+      ev(100L, 5 * day, 1L, "purchase", 1.00),
+      ev(1L, 4 * day, 1L, "click", 0),
+      ev(2L, 3 * day, 1L, "click", 0),
+      ev(3L, 2 * day, 1L, "view", 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Attribution.touchCredit(rows, "purchase",
+      Seq("click", "view"), 7)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // click: 100e6*2 div 3; view: 100e6*1 div 3
+    assert(got("click") == 66666666L && got("view") == 33333333L)
+  }
+}

@@ -94,4 +94,20 @@ class CorpusSpec extends SparkTestBase {
     // total mass bound: Σ|f_j| ≤ token count
     assert(got(1L).map(math.abs).sum <= 3)
   }
+
+  test("lexicalDiversity: hand-counted TTR at word and bigram grain") {
+    val docs = Seq(
+      (1L, "a b a b", "s1"),   // words 4, distinct {a,b}; bigrams 3: ab,ba,ab
+      (2L, "a c", "s1"),       // +2 words, +1 distinct {c}; bigram ac
+      (3L, "z", "s2"))         // single word: 0 bigrams
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.lexicalDiversity(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getDouble(7))).toMap
+    // s1: 2 docs, 6 words, 3 distinct; 4 bigram slots, 3 distinct
+    assert(got("s1") == ((2L, 6L, 3L, 4L, 3L, 0.5, 0.75)))
+    // s2: 1 doc, 1 word, 1 distinct, 0 bigrams → bigram_ttr 0 by guard
+    assert(got("s2") == ((1L, 1L, 1L, 0L, 0L, 1.0, 0.0)))
+  }
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class DiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/same") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "t", "u")
+    val neu = Seq((2L, "b", "y"), (3L, "C", "z"), (4L, "d", "w"))
+      .toDF("id", "t", "u")
+    val got = Diff.snapshotDiff(old, neu, "id", Seq("t", "u"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added"))
+  }
+
+  test("NULL content is distinct from empty string; fields don't bleed") {
+    val old = Seq((1L, Option.empty[String], Some("x")),
+      (2L, Some("ab"), Some("c"))).toDF("id", "t", "u")
+    val neu = Seq((1L, Some(""), Some("x")),
+      (2L, Some("a"), Some("bc"))).toDF("id", "t", "u")
+    val got = Diff.snapshotDiff(old, neu, "id", Seq("t", "u"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "changed", "NULL vs '' must differ")
+    assert(got(2L) == "changed", "('ab','c') vs ('a','bc') must differ")
+  }
+
+  test("diffSummary counts keys per change kind") {
+    val old = spark.range(0, 10).toDF("id").withColumn("v", $"id" % 3)
+    val neu = spark.range(5, 15).toDF("id").withColumn("v", $"id" % 3)
+    val got = Diff.diffSummary(old, neu, "id", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 5L, "removed" -> 5L, "same" -> 5L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("targetEncode: hand-computed LOO + smoothed means, singleton NULL") {
+    // cat a: cents 100, 200, 300 (sum 600); cat b: 1000 (singleton)
+    val df = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 300L),
+      (4L, "b", 1000L)).toDF("id", "cat", "cents")
+    val got = Features.targetEncode(df, "cat", "cents", "id", 2L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getDouble(4))).toMap
+    // LOO for id 1: (600-100)/2 = 250
+    assert(got(1L)._1.contains(250.0))
+    assert(got(2L)._1.contains(200.0))
+    // singleton category: no other rows to borrow from
+    assert(got(4L)._1.isEmpty)
+    // prior = 1600/4 = 400; smoothed(a) = (600 + 2*400)/(3+2) = 280
+    assert(got(1L)._2 == 280.0)
+    // smoothed(b) = (1000 + 800)/3 = 600
+    assert(got(4L)._2 == 600.0)
+  }
+
+  test("quantileBin: quartile cuts at lower order statistics, bins total") {
+    // one group, values 1..8: n=8, ranks (n-1)q+1 -> c1=v[2]=2, c2=v[4]=4,
+    // c3=v[6]=6 (floor((7)*.25)=1 -> rank 2, etc.)
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val got = Features.quantileBin(df, "grp", "v", "id")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((2L, 1.0, 2.0))) // v <= 2
+    assert(got(1L) == ((2L, 3.0, 4.0)))
+    assert(got(2L) == ((2L, 5.0, 6.0)))
+    assert(got(3L) == ((2L, 7.0, 8.0)))
+  }
+
+  test("calibrationBins: integer binning, counts, one-division doubles") {
+    // den=4, nBins=2: num 0,1 -> bin 0; num 2,3,4 -> bin 1 (4 clamps)
+    val df = Seq((0L, true), (1L, false), (2L, true), (3L, true),
+      (4L, false)).toDF("num", "label")
+    val got = Features.calibrationBins(df, "num", 4L, "label", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L)._1 == 2L && got(0L)._2 == 1L)
+    assert(got(1L)._1 == 3L && got(1L)._2 == 2L)
+    // bin 0 conf = (0+1)/(2*4) = 0.125; acc = 1/2
+    assert(got(0L)._3 == 0.125 && got(0L)._4 == 0.5)
+    // bin 1 conf = (2+3+4)/(3*4) = 0.75; acc = 2/3
+    assert(got(1L)._3 == 0.75)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class LmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("trigrams are positional and row-local") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y"), (3L, "")).toDF("id", "text")
+    val got = Lm.trigrams(docs, "id", "text")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(("a", "b", "c"), ("b", "c", "d")))
+  }
+
+  test("nextTokenTable: counts, argmax with lexicographic tie-break") {
+    // context (a,b): next c x2, next a x1 -> top c (2/3)
+    // context (b,c): next d x1, next a x1 -> tie, 'a' wins
+    val docs = Seq(
+      (1L, "a b c d"), // (a,b,c) (b,c,d)
+      (2L, "a b c a"), // (a,b,c) (b,c,a)
+      (3L, "a b a")    // (a,b,a)
+    ).toDF("id", "text")
+    val got = Lm.nextTokenTable(docs, "id", "text", 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("a", "b")) == ((3L, "c", 2L, 2.0 / 3.0)))
+    assert(got(("b", "c")) == ((2L, "a", 1L, 0.5)))
+  }
+
+  test("topContexts limit keeps the most frequent contexts") {
+    val docs = Seq((1L, "p q r p q r p q s"), (2L, "u v w"))
+      .toDF("id", "text")
+    // contexts: (p,q) x3, (q,r) x2, (r,p) x2, (u,v) x1
+    val got = Lm.nextTokenTable(docs, "id", "text", 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "p" && got.head.getString(1) == "q")
+    assert(got.head.getLong(2) == 3L)
+  }
+}

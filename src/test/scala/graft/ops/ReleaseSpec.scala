@@ -56,4 +56,28 @@ class ReleaseSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_clip_lo") == 0 && r.getAs[Long]("n_clip_hi") == 0)
     assert(r.getAs[Double]("wins_mean") == 4.25)
   }
+
+  test("madStats: hand-computed median, MAD and outlier count") {
+    // values 1..9 plus wild 1000: lower median of 10 values = v[5] = 5
+    // devs: 4,3,2,1,0,1,2,3,4,995 → sorted 0,1,1,2,2,3,3,4,4,995;
+    // lower median (rank 5) = 2 → mad 2; outliers: dev > 6 → 995 only
+    val df = ((1 to 9).map(i => ("k", i.toLong, i.toDouble)) :+
+      (("k", 10L, 1000.0))).toDF("g", "id", "v")
+    val r = Robust.madStats(df, "g", "v", "id", 3.0).collect()(0)
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("med") == 5.0)
+    assert(r.getAs[Double]("mad") == 2.0)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("madStats: groups never mix and a one-row group is its own median") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 7.5)).toDF("g", "id", "v")
+    val got = Robust.madStats(df, "g", "v", "id").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers"))).toMap
+    assert(got("a") == ((20.0, 10.0, 0L)))
+    assert(got("b") == ((7.5, 0.0, 0L)))
+  }
 }

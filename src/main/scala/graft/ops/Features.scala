@@ -41,8 +41,10 @@ object Features {
     require(smoothing > 0, "smoothing pseudo-count must be positive")
     val stats = df.groupBy(col(catCol))
       .agg(sum(col(centsCol)).as("cat_sum"), count(lit(1)).as("cat_n"))
-    val prior = df.agg(sum(col(centsCol)).as("g_sum"),
-      count(lit(1)).as("g_n"))
+    // global prior folds the category stats (BIGINT sums — exact),
+    // sparing a second full scan of the input
+    val prior = stats.agg(sum(col("cat_sum")).as("g_sum"),
+      sum(col("cat_n")).as("g_n"))
     df.select(col(idCol), col(catCol), col(centsCol))
       .join(broadcast(stats), Seq(catCol))
       .crossJoin(broadcast(prior))

@@ -77,9 +77,12 @@ object Robust {
       idCol: String, k: Double = 3.0): DataFrame = {
     val med = Profile.scalableMedian(df, groupCol, valCol, idCol)
       .select(col(groupCol), col("median").as("med"))
-    val dev = df.filter(col(valCol).isNotNull)
+    // cached: the deviation frame feeds the second median's histogram,
+    // its winning-bucket rank pass AND the final outlier aggregate —
+    // without the cache each consumer re-scans the input
+    val dev = Caches.track(df.filter(col(valCol).isNotNull)
       .join(broadcast(med), Seq(groupCol))
-      .withColumn("dev", abs(col(valCol) - col("med")))
+      .withColumn("dev", abs(col(valCol) - col("med"))))
     val mad = Profile.scalableMedian(dev, groupCol, "dev", idCol)
       .select(col(groupCol), col("median").as("mad"))
     dev.join(broadcast(mad), Seq(groupCol))

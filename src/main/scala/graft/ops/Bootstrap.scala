@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Poisson bootstrap — confidence intervals at any scale
+  * with ZERO RNG state: each (row, resample) draws its weight from
+  * md5(salt ++ id ++ '_' ++ b) through the Poisson(1) inverse CDF,
+  * expressed as eight 32-bit HEX-STRING cutoffs (lexicographic compare
+  * on the digest prefix — no float parsing anywhere, so the draw is
+  * trivially engine-portable and reshard/replay-stable).
+  *
+  * The Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
+  * massive data streams", Google 2012 — public literature) replaces
+  * multinomial resampling, which needs the global n, with independent
+  * per-row Poisson(1) weights — exactly what a partition-parallel scan
+  * can do.
+  *
+  * Scale shape: the ×B row expansion feeds STRAIGHT into a map-side
+  * combinable (group, b) aggregate — the shuffle carries |groups|·B
+  * partial-sum rows, never the expanded data; the CI rank runs over B
+  * rows per group (bounded); resample means are Σ(w·cents)/Σw — two
+  * BIGINT sums and ONE double division, so every emitted double is
+  * engine-exact, and the CI bounds are lower order statistics over
+  * identical doubles.
+  */
+object Bootstrap {
+
+  /** P(Pois(1) ≤ k)·2³² as zero-padded hex, k = 0..7; a digest prefix
+    * below cut(k) means weight ≤ k. Weights are capped at 8 (the tail
+    * beyond is < 1.1e-5 and the cap is applied identically in both
+    * engines, so the estimator stays deterministic). */
+  val PoissonCuts: Seq[String] = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
+
+  /** The Poisson(1) weight of (id, b) under `salt`. */
+  def weight(id: Column, b: Column, salt: String): Column = {
+    val h8 = substring(
+      md5(concat(lit(salt), id.cast("string"), lit("_"), b.cast("string"))),
+      1, 8)
+    PoissonCuts.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((cut, k), elseC) => when(h8 < cut, lit(k.toLong)).otherwise(elseC)
+    }
+  }
+
+  /** Per-group mean of `centsCol` with a bootstrap [lo, hi] percentile
+    * CI over `b` resamples: (group, n, mean_cents, n_resamples, ci_lo,
+    * ci_hi). Resamples whose total weight is 0 (possible only for tiny
+    * groups) are dropped deterministically; `n_resamples` reports the
+    * survivors. */
+  def meanCi(df: DataFrame, groupCol: String, centsCol: String,
+      idCol: String, b: Int = 64, salt: String = "",
+      lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
+    require(b > 1 && lo > 0 && hi < 1 && lo < hi, "bad bootstrap params")
+    val base = df.select(col(groupCol).as("g"), col(centsCol).as("cents"),
+      col(idCol).as("id"))
+    val overall = base.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("csum"))
+    val means = base
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", weight(col("id"), col("b"), salt))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .withColumn("mean_b",
+        col("swc").cast("double") / col("sw").cast("double"))
+    val w = Window.partitionBy(col("g")).orderBy(col("mean_b"), col("b"))
+    val ranked = means
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("g"))))
+    def cutRank(q: Double): Column =
+      floor((col("nb") - 1L) * lit(q)).cast("long") + 1L
+    val ci = ranked.groupBy(col("g"), col("nb")).agg(
+      min(when(col("rk") === cutRank(lo), col("mean_b"))).as("ci_lo"),
+      min(when(col("rk") === cutRank(hi), col("mean_b"))).as("ci_hi"))
+    overall.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        (col("csum").cast("double") / col("n").cast("double"))
+          .as("mean_cents"),
+        col("nb").as("n_resamples"), col("ci_lo"), col("ci_hi"))
+      .orderBy(groupCol)
+  }
+}

@@ -354,7 +354,74 @@ object PrepQueries {
       ORDER BY ctx_n DESC, w1, w2
       LIMIT 50"""))
 
+  /** Deterministic Poisson-bootstrap CI on the mean event value per
+    * type (Bootstrap.meanCi): 64 resamples, weights drawn from md5
+    * through hex-string CDF cutoffs — zero RNG, every double one
+    * division of BIGINT sums, CI bounds are order statistics over
+    * identical doubles. The oracle replays the whole resampling. */
+  val q197BootstrapCi = OracleQuery("q197_bootstrap_ci",
+    "hash-bootstrap 95% CI of mean event cents per type, 64 resamples",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast(dec2) * 100).cast("long").as("cents"))
+      graft.ops.Bootstrap.meanCi(ev, "event_type", "cents", "event_id",
+        b = 64, salt = "ci")
+    },
+    Some("""
+      WITH base AS MATERIALIZED (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               event_id AS id
+        FROM events),
+      overall AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS csum
+        FROM base GROUP BY g),
+      wtd AS (
+        SELECT g, b, cents,
+               CASE WHEN h8 < '5e2d58d8' THEN 0
+                    WHEN h8 < 'bc5ab1b1' THEN 1
+                    WHEN h8 < 'eb715e1d' THEN 2
+                    WHEN h8 < 'fb239797' THEN 3
+                    WHEN h8 < 'ff1025f5' THEN 4
+                    WHEN h8 < 'ffd90f3b' THEN 5
+                    WHEN h8 < 'fffa8b71' THEN 6
+                    WHEN h8 < 'ffff540c' THEN 7
+                    ELSE 8 END AS w
+        FROM (SELECT g, b, cents,
+                     substring(md5('ci' || CAST(id AS VARCHAR) || '_' ||
+                       CAST(b AS VARCHAR)), 1, 8) AS h8
+              FROM base,
+                unnest(generate_series(0, 63)) t(b))),
+      means AS MATERIALIZED (
+        SELECT g, b, CAST(SUM(w * cents) AS BIGINT) AS swc,
+               CAST(SUM(w) AS BIGINT) AS sw
+        FROM wtd GROUP BY 1, 2),
+      mm AS (
+        SELECT g, b, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b
+        FROM means WHERE sw > 0),
+      ranked AS (
+        SELECT g, b, mean_b,
+               row_number() OVER (PARTITION BY g
+                 ORDER BY mean_b, b) AS rk,
+               COUNT(*) OVER (PARTITION BY g) AS nb
+        FROM mm),
+      ci AS (
+        SELECT g, nb,
+               MIN(CASE WHEN rk = CAST(floor((nb-1) * 0.025) AS BIGINT) + 1
+                   THEN mean_b END) AS ci_lo,
+               MIN(CASE WHEN rk = CAST(floor((nb-1) * 0.975) AS BIGINT) + 1
+                   THEN mean_b END) AS ci_hi
+        FROM ranked GROUP BY 1, 2)
+      SELECT o.g AS event_type, n,
+             CAST(csum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+             CAST(nb AS BIGINT) AS n_resamples, ci_lo, ci_hi
+      FROM overall o JOIN ci USING (g)
+      ORDER BY event_type"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
-    q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken)
+    q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
+    q197BootstrapCi)
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BootstrapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("weights are deterministic, capped, and mean ~ Poisson(1)") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("b", lit(0))
+      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "s"))
+    val again = spark.range(0, 2000).toDF("id")
+      .withColumn("b", lit(0))
+      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "s"))
+    assert(df.collect().map(_.getLong(2)).toSeq ==
+      again.collect().map(_.getLong(2)).toSeq)
+    val stats = df.agg(sum("w"), max("w")).collect()(0)
+    val mean = stats.getLong(0).toDouble / 2000
+    assert(mean > 0.9 && mean < 1.1, s"weight mean $mean not ~1")
+    assert(stats.getLong(1) <= 8L)
+    // different salt → different draw
+    val other = spark.range(0, 2000).toDF("id")
+      .withColumn("b", lit(0))
+      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "t"))
+    assert(other.collect().map(_.getLong(2)).toSeq !=
+      df.collect().map(_.getLong(2)).toSeq)
+  }
+
+  test("meanCi: exact mean, CI brackets it, reshard-stable") {
+    val df = (1 to 500).map(i => ("g", i.toLong, (i % 100).toLong * 10))
+      .toDF("grp", "id", "cents")
+    val r = Bootstrap.meanCi(df, "grp", "cents", "id", b = 64).collect()(0)
+    assert(r.getAs[Long]("n") == 500)
+    val mean = r.getAs[Double]("mean_cents")
+    assert(mean == (1 to 500).map(i => (i % 100) * 10).sum.toDouble / 500)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"CI [$lo,$hi] should bracket $mean")
+    assert(r.getAs[Long]("n_resamples") == 64)
+    // CI is tight-ish at n=500 (sd ~ 289/sqrt(500) cents ~ 13)
+    assert(hi - lo < 200, s"CI width ${hi - lo} implausible")
+    val r2 = Bootstrap.meanCi(df.repartition(7), "grp", "cents", "id",
+      b = 64).collect()(0)
+    assert(r2.getAs[Double]("ci_lo") == lo && r2.getAs[Double]("ci_hi") == hi)
+  }
+
+  test("tiny groups: zero-weight resamples drop deterministically") {
+    val df = Seq(("g", 1L, 100L)).toDF("grp", "id", "cents")
+    val r = Bootstrap.meanCi(df, "grp", "cents", "id", b = 64).collect()(0)
+    // single row: each resample survives iff w>0 (p ~ 0.63)
+    val nb = r.getAs[Long]("n_resamples")
+    assert(nb > 20 && nb < 64, s"expected partial survival, got $nb")
+    // every surviving resample mean is exactly the single value
+    assert(r.getAs[Double]("ci_lo") == 100.0 &&
+      r.getAs[Double]("ci_hi") == 100.0)
+  }
+}

@@ -201,6 +201,49 @@ object ScaleBench {
         Similarity.axisLshNearDupPairs(emb, "vec_id", "embedding",
           bands, 0.99)
       }
+
+      // ---- round-6 prep-layer probes ----
+      // events replicated with DISJOINT user/event id spaces: per-user
+      // activity (the attribution join fan-out) and per-type value
+      // distributions are constant in m, so slopes measure the engine
+      val baseEv = graft.sources.Tables.events(spark, base)
+      val events = (0 until m).map { i =>
+        baseEv.select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * 1000000000L)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val nEv = events.count()
+
+      timeOp("snapshot_diff", m, nDocs) {
+        val v1 = docs.filter(col("doc_id") % 13 =!= 3)
+        val v2 = docs.filter(col("doc_id") % 17 =!= 5)
+          .withColumn("text", when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.ops.Diff.snapshotDiff(v1, v2, "doc_id", Seq("text"))
+      }
+      timeOp("mad_outliers", m, nEv) {
+        graft.ops.Robust.madStats(events, "event_type", "value", "event_id")
+      }
+      timeOp("attribution", m, nEv) {
+        graft.ops.Attribution.touchCredit(events, "purchase",
+          Seq("click", "view"), 7)
+      }
+      timeOp("bootstrap_ci", m, nEv) {
+        val ev = events.select(col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        graft.ops.Bootstrap.meanCi(ev, "event_type", "cents", "event_id",
+          b = 64, salt = "ci")
+      }
+      timeOp("next_token", m, nDocs) {
+        graft.ops.Lm.nextTokenTable(docs, "doc_id", "text", 50)
+      }
+      timeOp("lexical_diversity", m, nDocs) {
+        val src = docs.withColumn("source",
+          concat(lit("s"), (col("doc_id") % 20).cast("string")))
+        graft.ops.Corpus.lexicalDiversity(src, "doc_id", "text", "source")
+      }
     }
     spark.stop()
   }

@@ -5,17 +5,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic Poisson bootstrap — confidence intervals at any scale
-  * with ZERO RNG state: each (row, resample) draws its weight from
-  * md5(salt ++ id ++ '_' ++ b) through the Poisson(1) inverse CDF,
-  * expressed as eight 32-bit HEX-STRING cutoffs (lexicographic compare
-  * on the digest prefix — no float parsing anywhere, so the draw is
-  * trivially engine-portable and reshard/replay-stable).
+  * with ZERO RNG state: each (row, resample) draws its weight from an
+  * md5 digest through the Poisson(1) inverse CDF, expressed as eight
+  * 32-bit HEX-STRING cutoffs (lexicographic compare on a digest window
+  * — no float parsing anywhere, so the draw is trivially
+  * engine-portable and reshard/replay-stable).
   *
   * The Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
   * massive data streams", Google 2012 — public literature) replaces
   * multinomial resampling, which needs the global n, with independent
   * per-row Poisson(1) weights — exactly what a partition-parallel scan
   * can do.
+  *
+  * Hash budget: one md5 digest yields FOUR 32-bit draws (the
+  * 4-lanes-per-digest discipline of `MinhashMd5Lanes`), so B resamples
+  * cost B/4 digests per row, not B — md5 is the dominant per-row cost
+  * at scale.
   *
   * Scale shape: the ×B row expansion feeds STRAIGHT into a map-side
   * combinable (group, b) aggregate — the shuffle carries |groups|·B
@@ -27,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Bootstrap {
 
-  /** P(Pois(1) ≤ k)·2³² as zero-padded hex, k = 0..7; a digest prefix
+  /** P(Pois(1) ≤ k)·2³² as zero-padded hex, k = 0..7; a digest window
     * below cut(k) means weight ≤ k. Weights are capped at 8 (the tail
     * beyond is < 1.1e-5 and the cap is applied identically in both
     * engines, so the estimator stays deterministic). */
@@ -35,15 +40,33 @@ object Bootstrap {
     "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
     "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
 
-  /** The Poisson(1) weight of (id, b) under `salt`. */
-  def weight(id: Column, b: Column, salt: String): Column = {
-    val h8 = substring(
-      md5(concat(lit(salt), id.cast("string"), lit("_"), b.cast("string"))),
-      1, 8)
+  /** Poisson(1) weight of an 8-hex-char digest window. */
+  def weightFromHex(h8: Column): Column =
     PoissonCuts.zipWithIndex.foldRight(lit(8L): Column) {
       case ((cut, k), elseC) => when(h8 < cut, lit(k.toLong)).otherwise(elseC)
     }
+
+  /** Expand `df` to (…, b, w) rows for `b` resamples: one digest per
+    * FOUR resamples — md5(salt ++ id ++ '_' ++ block) sliced into four
+    * 8-hex windows, resample index b = 4·block + lane. The digest is
+    * bound as a projection column before slicing, so it is computed
+    * once per block (CLAUDE rule 3 discipline). */
+  def expandWeights(df: DataFrame, idCol: String, b: Int,
+      salt: String): DataFrame = {
+    require(b > 0 && b % 4 == 0, "resample count must be a positive ×4")
+    df.withColumn("blk", explode(sequence(lit(0), lit(b / 4 - 1))))
+      .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"),
+        lit("_"), col("blk").cast("string"))))
+      .withColumn("lane", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", (col("blk") * 4 + col("lane")).cast("long"))
+      .withColumn("w",
+        weightFromHex(substring_index_window(col("h"), col("lane"))))
+      .drop("blk", "h", "lane")
   }
+
+  /** The 8-hex window of digest `h` at `lane` ∈ 0..3. */
+  private def substring_index_window(h: Column, lane: Column): Column =
+    substring(h, lit(1) + lit(8) * lane, lit(8))
 
   /** Per-group mean of `centsCol` with a bootstrap [lo, hi] percentile
     * CI over `b` resamples: (group, n, mean_cents, n_resamples, ci_lo,
@@ -58,9 +81,7 @@ object Bootstrap {
       col(idCol).as("id"))
     val overall = base.groupBy(col("g")).agg(
       count(lit(1)).as("n"), sum(col("cents")).as("csum"))
-    val means = base
-      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("w", weight(col("id"), col("b"), salt))
+    val means = expandWeights(base, "id", b, salt)
       .groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0L)

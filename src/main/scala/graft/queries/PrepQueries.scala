@@ -389,11 +389,12 @@ object PrepQueries {
                     WHEN h8 < 'fffa8b71' THEN 6
                     WHEN h8 < 'ffff540c' THEN 7
                     ELSE 8 END AS w
-        FROM (SELECT g, b, cents,
+        FROM (SELECT g, CAST(k * 4 + l AS BIGINT) AS b, cents,
                      substring(md5('ci' || CAST(id AS VARCHAR) || '_' ||
-                       CAST(b AS VARCHAR)), 1, 8) AS h8
+                       CAST(k AS VARCHAR)), 1 + 8 * l, 8) AS h8
               FROM base,
-                unnest(generate_series(0, 63)) t(b))),
+                unnest(generate_series(0, 15)) blk(k),
+                unnest(generate_series(0, 3)) lane(l))),
       means AS MATERIALIZED (
         SELECT g, b, CAST(SUM(w * cents) AS BIGINT) AS swc,
                CAST(SUM(w) AS BIGINT) AS sw

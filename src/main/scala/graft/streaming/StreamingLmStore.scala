@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Lm
+
+/** STREAMING n-gram LM store — the trigram count table of
+  * [[graft.ops.Lm]] maintained incrementally from a document stream, so
+  * the next-token table (autocomplete / contamination probe) refreshes
+  * per micro-batch without ever rescanning document history.
+  *
+  * Count addition is NOT idempotent (the [[StreamingFreqStore]]
+  * situation, not the HLL store's), so the processed-batch manifest
+  * lives INSIDE the count table: marker rows publish atomically with
+  * the folded counts in one `TableStore.overwrite` version swap — a
+  * replayed foreachBatch id finds its marker in the current version
+  * and is skipped whole, with no crash window between payload and
+  * bookkeeping.
+  *
+  * Scale shape: unlike the O(days) grid store, this table is
+  * DATA-sized (observed trigram vocabulary). The per-batch fold is one
+  * key-partitioned full outer join on (w1,w2,w3) — under a store
+  * bucketed by the context key it is shuffle-free on the store side —
+  * and the batch delta arrives pre-aggregated (map-side combined), so
+  * what shuffles is delta-vocabulary-sized, never document-sized.
+  *
+  * Schema: (kind 'tri'|'batch', bid, w1, w2, w3, c) — 'tri' rows carry
+  * counts, 'batch' rows carry processed foreachBatch ids. */
+object StreamingLmStore {
+
+  /** Wire a streaming document frame into the persisted store. Caller
+    * starts/stops the returned writer. */
+  def attach(docs: DataFrame, store: TableStore, table: String,
+      idCol: String, textCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, idCol, textCol)
+      }
+
+  /** Fold one identified batch of documents into the store; a batch id
+    * already in the manifest is a replay and is skipped whole. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, idCol: String, textCol: String): Unit = {
+    val have = store.exists(table)
+    if (have && !store.read(table)
+        .filter(col("kind") === "batch" && col("bid") === batchId)
+        .isEmpty) return // replayed batch: already folded in
+    val delta = Lm.trigrams(batch, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("dc"))
+    val marker = batch.sparkSession.range(1)
+      .select(lit("batch").as("kind"), lit(batchId).as("bid"),
+        lit(null).cast("string").as("w1"),
+        lit(null).cast("string").as("w2"),
+        lit(null).cast("string").as("w3"),
+        lit(null).cast("bigint").as("c"))
+    val next =
+      if (!have)
+        delta.select(lit("tri").as("kind"), lit(null).cast("bigint").as("bid"),
+          col("w1"), col("w2"), col("w3"), col("dc").as("c"))
+          .unionByName(marker)
+      else {
+        val cur = store.read(table)
+        val tris = cur.filter(col("kind") === "tri")
+          .select(col("w1"), col("w2"), col("w3"), col("c"))
+          .join(delta, Seq("w1", "w2", "w3"), "full_outer")
+          .select(lit("tri").as("kind"),
+            lit(null).cast("bigint").as("bid"),
+            col("w1"), col("w2"), col("w3"),
+            (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("c"))
+        tris.unionByName(cur.filter(col("kind") === "batch"))
+          .unionByName(marker)
+      }
+    store.overwrite(table, next)
+  }
+
+  /** The next-token table derived from the persisted counts — same
+    * output contract as [[Lm.nextTokenTable]], so a streamed store and
+    * a batch rebuild are directly comparable. */
+  def nextTokenTable(store: TableStore, table: String,
+      topContexts: Int): DataFrame =
+    store.read(table).filter(col("kind") === "tri")
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("ctx_n"),
+        min(struct((-col("c")).as("nc"), col("w3"))).as("best"))
+      .select(col("w1"), col("w2"), col("ctx_n"),
+        col("best.w3").as("top_next"),
+        (-col("best.nc")).as("top_cnt"))
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("ctx_n").cast("double"))
+      .orderBy(col("ctx_n").desc, col("w1"), col("w2"))
+      .limit(topContexts)
+  }

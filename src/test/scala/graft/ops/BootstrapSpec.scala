@@ -7,25 +7,23 @@ import graft.SparkTestBase
 class BootstrapSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("weights are deterministic, capped, and mean ~ Poisson(1)") {
-    val df = spark.range(0, 2000).toDF("id")
-      .withColumn("b", lit(0))
-      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "s"))
-    val again = spark.range(0, 2000).toDF("id")
-      .withColumn("b", lit(0))
-      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "s"))
-    assert(df.collect().map(_.getLong(2)).toSeq ==
-      again.collect().map(_.getLong(2)).toSeq)
-    val stats = df.agg(sum("w"), max("w")).collect()(0)
-    val mean = stats.getLong(0).toDouble / 2000
+  test("weights are deterministic, capped, full b-range, mean ~ Poisson(1)") {
+    def draw(salt: String) =
+      Bootstrap.expandWeights(spark.range(0, 500).toDF("id"), "id", 8, salt)
+        .orderBy("id", "b").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("b"), r.getAs[Long]("w")))
+    val ws = draw("s")
+    assert(ws.toSeq == draw("s").toSeq, "same salt must replay")
+    assert(ws.map(_._2).distinct.sorted.toSeq == (0L to 7L), "b covers 0..7")
+    assert(ws.length == 500 * 8)
+    val mean = ws.map(_._3).sum.toDouble / ws.length
     assert(mean > 0.9 && mean < 1.1, s"weight mean $mean not ~1")
-    assert(stats.getLong(1) <= 8L)
+    assert(ws.map(_._3).max <= 8L)
+    // lanes of one digest are distinct draws, not copies
+    val byId = ws.groupBy(_._1).values
+    assert(byId.exists(_.map(_._3).distinct.length > 1))
     // different salt → different draw
-    val other = spark.range(0, 2000).toDF("id")
-      .withColumn("b", lit(0))
-      .withColumn("w", Bootstrap.weight(col("id"), col("b"), "t"))
-    assert(other.collect().map(_.getLong(2)).toSeq !=
-      df.collect().map(_.getLong(2)).toSeq)
+    assert(draw("t").map(_._3).toSeq != ws.map(_._3).toSeq)
   }
 
   test("meanCi: exact mean, CI brackets it, reshard-stable") {

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Lm
+import graft.sources.Tables
+
+/** Streaming trigram LM store (`StreamingLmStore`): counts fold in
+  * batch by batch; the in-table manifest makes the non-idempotent
+  * addition exactly-once under at-least-once replay. */
+class LmStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed store's next-token table equals the one-shot batch build") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").cache()
+    val dir = Files.createTempDirectory("graft_lmst_").toString
+    val ck = Files.createTempDirectory("graft_lmst_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_lmst_store_").toString)
+    def deliver(part: Int): Unit =
+      docs.filter($"doc_id" % 3 === part).write.mode("append").parquet(dir)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      val q = StreamingLmStore.attach(stream, store, "lm",
+        "doc_id", "text", checkpoint = ck).start()
+      q.awaitTermination()
+    }
+    (0 to 2).foreach { p => deliver(p); drain() }
+
+    val streamed = StreamingLmStore.nextTokenTable(store, "lm", 30)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    val oneShot = Lm.nextTokenTable(docs, "doc_id", "text", 30)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+    docs.unpersist()
+  }
+
+  test("replayed batch id is skipped; a new id with same content folds in") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_lmst_rep_").toString)
+    StreamingLmStore.mergeBatch(docs, 0L, store, "lm", "doc_id", "text")
+    def count(w3: String): Long =
+      store.read("lm").filter($"kind" === "tri" &&
+        $"w1" === "a" && $"w2" === "b" && $"w3" === "c")
+        .select($"c").as[Long].collect().headOption.getOrElse(0L)
+    val once = count("c")
+    assert(once == 2L)
+    // replay with the SAME batch id: no double count
+    StreamingLmStore.mergeBatch(docs, 0L, store, "lm", "doc_id", "text")
+    assert(count("c") == once)
+    // new batch id, same content: counts grow (it is new data)
+    StreamingLmStore.mergeBatch(docs, 1L, store, "lm", "doc_id", "text")
+    assert(count("c") == 2 * once)
+  }
+}

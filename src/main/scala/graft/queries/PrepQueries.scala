@@ -421,8 +421,130 @@ object PrepQueries {
       FROM overall o JOIN ci USING (g)
       ORDER BY event_type"""))
 
+  /** Temporal train/test split with an embargo gap (the time-series
+    * leakage-prevention split: rows inside the gap are dropped so no
+    * training window overlaps evaluation). One conditional-aggregate
+    * scan for event counts + one two-level user aggregate — everything
+    * BIGINT. Cut 2024-01-22, embargo 2 days (events span 2024-01). */
+  val q198EmbargoSplit = OracleQuery("q198_embargo_split",
+    "temporal split with 2-day embargo: counts, users, gap audit",
+    (s, d) => {
+      val cutUs = 1705881600000000L  // 2024-01-22T00:00:00Z
+      val embUs = 2L * 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val parts = ev
+        .withColumn("is_train", col("us") < cutUs)
+        .withColumn("is_test", col("us") >= cutUs + embUs)
+      val counts = parts.agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("train_events"),
+        sum(when(!col("is_train") && !col("is_test"), 1L).otherwise(0L))
+          .as("embargo_events"),
+        sum(when(col("is_test"), 1L).otherwise(0L)).as("test_events"),
+        max(when(col("is_train"), col("us"))).as("max_train_us"),
+        min(when(col("is_test"), col("us"))).as("min_test_us"))
+      val users = parts.groupBy(col("user_id")).agg(
+        max(when(col("is_train"), 1L).otherwise(0L)).as("ht"),
+        max(when(col("is_test"), 1L).otherwise(0L)).as("he"))
+        .agg(sum(col("ht")).as("train_users"), sum(col("he")).as("test_users"),
+          sum(col("ht") * col("he")).as("users_in_both"))
+      counts.crossJoin(users)
+        .select(col("train_events"), col("embargo_events"),
+          col("test_events"), col("train_users"), col("test_users"),
+          col("users_in_both"), col("max_train_us"), col("min_test_us"))
+    },
+    Some("""
+      WITH parts AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) AS us,
+               epoch_us(ts) < 1705881600000000 AS is_train,
+               epoch_us(ts) >= 1705881600000000 + 172800000000 AS is_test
+        FROM events),
+      counts AS (
+        SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                 AS train_events,
+               CAST(SUM(CASE WHEN NOT is_train AND NOT is_test
+                 THEN 1 ELSE 0 END) AS BIGINT) AS embargo_events,
+               CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+                 AS test_events,
+               MAX(CASE WHEN is_train THEN us END) AS max_train_us,
+               MIN(CASE WHEN is_test THEN us END) AS min_test_us
+        FROM parts),
+      users AS (
+        SELECT CAST(SUM(ht) AS BIGINT) AS train_users,
+               CAST(SUM(he) AS BIGINT) AS test_users,
+               CAST(SUM(ht * he) AS BIGINT) AS users_in_both
+        FROM (SELECT user_id,
+                     MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS ht,
+                     MAX(CASE WHEN is_test THEN 1 ELSE 0 END) AS he
+              FROM parts GROUP BY user_id))
+      SELECT train_events, embargo_events, test_events,
+             train_users, test_users, users_in_both,
+             max_train_us, min_test_us
+      FROM counts CROSS JOIN users"""))
+
+  /** Point-in-time multi-feature join — the feature-store enrichment
+    * that prevents temporal leakage: each purchase is joined to the
+    * LATEST click at-or-before it (staleness) and to the user's error
+    * count so far, via two chained as-of joins (Temporal.asofJoin:
+    * union-and-carry, one shuffle per feature table, O(1) window
+    * state). Right sides are deduplicated to (user, ts) grain so
+    * same-instant ties cannot differ between engines; DuckDB replays
+    * with two first-class ASOF LEFT JOINs — different algorithm, same
+    * rows. */
+  val q199PitFeatures = OracleQuery("q199_pit_features",
+    "point-in-time feature join: click staleness + error count per purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("ts div 1000").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(expr("ts div 1000")).as("cts"))
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("err_cnt", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"))))
+        .select(col("user_id"), col("ts"), col("err_cnt"))
+      val withClick = graft.ops.Temporal.asofJoin(
+        p, c, "user_id", "ts", Seq("cts"))
+      val withErr = graft.ops.Temporal.asofJoin(
+        withClick, e, "user_id", "ts", Seq("err_cnt"))
+      withErr.select(col("event_id"), col("user_id"), col("pts"),
+        (col("pts") - col("asof_cts")).as("click_staleness_us"),
+        coalesce(col("asof_err_cnt"), lit(0L)).as("errs_before"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2),
+      e AS (
+        SELECT user_id, ets,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id ORDER BY ets)
+                 AS BIGINT) AS err_cnt
+        FROM (SELECT user_id, epoch_us(ts) AS ets,
+                     COUNT(*) AS cnt
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2)),
+      j1 AS (
+        SELECT p.event_id, p.user_id, p.pts, c.cts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.pts >= c.cts)
+      SELECT j1.event_id, j1.user_id, j1.pts,
+             j1.pts - j1.cts AS click_staleness_us,
+             COALESCE(e.err_cnt, 0) AS errs_before
+      FROM j1 ASOF LEFT JOIN e
+        ON j1.user_id = e.user_id AND j1.pts >= e.ets
+      ORDER BY j1.event_id"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
-    q197BootstrapCi)
+    q197BootstrapCi, q198EmbargoSplit, q199PitFeatures)
 }

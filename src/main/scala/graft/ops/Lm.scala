@@ -40,6 +40,40 @@ object Lm {
           .as("t"))
       .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
 
+  /** Per-document LM familiarity — the cheap perplexity proxy a
+    * quality pipeline uses without any trained model: micro-averaged
+    * trigram continuation probability
+    * score = Σ_t c₃(t) / Σ_t c₂(ctx(t)) over the document's trigram
+    * occurrences, where c₃ is the corpus count of the trigram and c₂
+    * of its context. Template-like text repeats corpus-frequent
+    * continuations → score near 1; incoherent text hits rare
+    * continuations → near 0. Exact BIGINT evidence, ONE double
+    * division per document (tokenClassScore's discipline).
+    *
+    * Scale: one corpus scan builds trigram counts (map-side combined);
+    * the per-doc pass pre-aggregates to (doc, trigram) grain BEFORE
+    * the count join, so hot trigrams ship one row per document, and
+    * context counts fold from the trigram table — the corpus is
+    * scanned twice, joined once on the trigram key. */
+  def familiarityScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tri = Caches.track(trigrams(docs, idCol, textCol))
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c2"))
+    val perDoc = tri.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    perDoc
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(c2, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_trigrams"),
+        sum(col("n") * col("c3")).as("ev_num"),
+        sum(col("n") * col("c2")).as("ev_den"))
+      .withColumn("familiarity",
+        col("ev_num").cast("double") / col("ev_den").cast("double"))
+  }
+
   /** The next-token prediction table: for the `topContexts` most
     * frequent (w1, w2) contexts, the context count, its most frequent
     * next token (+ count), and the top token's share — one double

@@ -543,8 +543,47 @@ object PrepQueries {
         ON j1.user_id = e.user_id AND j1.pts >= e.ets
       ORDER BY j1.event_id"""))
 
+  /** Per-document LM familiarity score (Lm.familiarityScore): the
+    * model-free perplexity proxy — micro-averaged trigram continuation
+    * probability over exact BIGINT corpus counts, one division per
+    * document. */
+  val q200Familiarity = OracleQuery("q200_lm_familiarity",
+    "per-doc trigram-continuation familiarity score, exact evidence",
+    (s, d) => Lm.familiarityScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tri AS MATERIALIZED (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+        FROM toks,
+          unnest(generate_series(1, GREATEST(len(ws) - 2, 0))) t(i)),
+      c3 AS MATERIALIZED (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM tri GROUP BY 1, 2, 3),
+      c2 AS (
+        SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2
+        FROM c3 GROUP BY 1, 2),
+      pd AS (
+        SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY 1, 2, 3, 4),
+      ev AS (
+        SELECT pd.doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_trigrams,
+               CAST(SUM(n * c3.c3) AS BIGINT) AS ev_num,
+               CAST(SUM(n * c2.c2) AS BIGINT) AS ev_den
+        FROM pd JOIN c3 USING (w1, w2, w3) JOIN c2 USING (w1, w2)
+        GROUP BY pd.doc_id)
+      SELECT doc_id, n_trigrams, ev_num, ev_den,
+             CAST(ev_num AS DOUBLE) / CAST(ev_den AS DOUBLE)
+               AS familiarity
+      FROM ev
+      ORDER BY doc_id"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
-    q197BootstrapCi, q198EmbargoSplit, q199PitFeatures)
+    q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity)
 }

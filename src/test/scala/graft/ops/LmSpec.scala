@@ -28,6 +28,21 @@ class LmSpec extends SparkTestBase {
     assert(got(("b", "c")) == ((2L, "a", 1L, 0.5)))
   }
 
+  test("familiarityScore: hand-counted evidence, short docs excluded") {
+    // corpus trigrams: (a,b,c) x2 (docs 1,2), (b,c,d) x1, (b,c,e) x1
+    // c2(a,b)=2, c2(b,c)=2
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y"))
+      .toDF("id", "text")
+    val got = Lm.familiarityScore(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: (a,b,c): n=1,c3=2; (b,c,d): n=1,c3=1
+    // ev_num = 2+1 = 3; ev_den = c2(a,b)+c2(b,c) = 4
+    assert(got(1L) == ((2L, 3L, 4L, 0.75)))
+    assert(got(2L) == ((2L, 3L, 4L, 0.75)))
+    assert(!got.contains(3L), "docs under 3 words have no trigram evidence")
+  }
+
   test("topContexts limit keeps the most frequent contexts") {
     val docs = Seq((1L, "p q r p q r p q s"), (2L, "u v w"))
       .toDF("id", "text")

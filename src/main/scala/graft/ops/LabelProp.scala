@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007 — public
+  * literature): community detection for the graph family, beside
+  * connectivity ([[Components]]), centrality ([[PageRank]]) and dense
+  * kernels ([[KCore]]). Every node starts as its own label; each round
+  * every node adopts the MAJORITY label among its neighbors, ties
+  * broken toward the smallest label — the min(struct(−count, label))
+  * argmax, so the whole trajectory is integer-exact and deterministic
+  * (classic async LPA is visit-order-dependent; the synchronous
+  * fixed-round form is the one a distributed engine can replay).
+  *
+  * Scale shape per round: ONE edges⋈labels join (key-partitioned both
+  * sides) + two map-side-combinable aggregates — the PageRank/k-core
+  * loop discipline; `rounds` is a fixed unrolled budget, so the oracle
+  * replays it as chained CTEs. Labels-table size = |V|; the edge list
+  * never grows.
+  */
+object LabelProp {
+
+  /** Final (node, label) after `rounds` synchronous rounds over the
+    * UNDIRECTED graph (edges are symmetrized + deduplicated; every
+    * node from the edge list has ≥1 neighbor, so every node revotes
+    * each round). */
+  def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds out of [1,8]")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val sym = Caches.track(
+      e.unionByName(e.select(col("d").as("s"), col("s").as("d")))
+        .distinct())
+    var lab = sym.select(col("s").as("node"), col("s").as("label")).distinct()
+    (1 to rounds).foreach { _ =>
+      lab = sym
+        .join(lab.select(col("node").as("d"), col("label")), Seq("d"))
+        .groupBy(col("s"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("s"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
+        .select(col("s").as("node"), col("best.label").as("label"))
+    }
+    lab
+  }
+
+  /** Community summary: per final label, member count and smallest
+    * member (a stable community id). */
+  def communities(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame =
+    propagate(edges, srcCol, dstCol, rounds)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(col("label"))
+}

@@ -582,8 +582,71 @@ object PrepQueries {
       FROM ev
       ORDER BY doc_id"""))
 
+  /** Synchronous label propagation (LabelProp.propagate, 3 rounds) on
+    * the support-pruned part co-purchase graph — the community layer of
+    * the graph family. Every round is integer vote counting with the
+    * min(struct(−c, label)) argmax; the oracle unrolls the identical 3
+    * rounds as chained MATERIALIZED CTEs with window-ranked votes — a
+    * different argmax formulation that must agree node for node. */
+  val q201LabelProp = OracleQuery("q201_label_prop",
+    "3-round synchronous label propagation on the co-purchase graph",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val pairs = bi.select(col("b"), col("i").as("pa"))
+        .join(bi.select(col("b"), col("i").as("pb")), "b")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2L)
+      graft.ops.LabelProp.propagate(pairs, "pa", "pb", 3)
+        .orderBy("node")
+    },
+    Some("""
+      WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      pairs AS MATERIALIZED (
+        SELECT e1.i AS pa, e2.i AS pb
+        FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb AS s, pa AS d FROM pairs)),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, s AS label FROM sym),
+      v1 AS MATERIALIZED (
+        SELECT sym.s, l0.label, COUNT(*) AS c
+        FROM sym JOIN l0 ON sym.d = l0.node GROUP BY 1, 2),
+      l1 AS MATERIALIZED (
+        SELECT s AS node, label FROM (
+          SELECT s, label,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY c DESC, label) AS rn
+          FROM v1) WHERE rn = 1),
+      v2 AS MATERIALIZED (
+        SELECT sym.s, l1.label, COUNT(*) AS c
+        FROM sym JOIN l1 ON sym.d = l1.node GROUP BY 1, 2),
+      l2 AS MATERIALIZED (
+        SELECT s AS node, label FROM (
+          SELECT s, label,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY c DESC, label) AS rn
+          FROM v2) WHERE rn = 1),
+      v3 AS MATERIALIZED (
+        SELECT sym.s, l2.label, COUNT(*) AS c
+        FROM sym JOIN l2 ON sym.d = l2.node GROUP BY 1, 2),
+      l3 AS MATERIALIZED (
+        SELECT s AS node, label FROM (
+          SELECT s, label,
+                 row_number() OVER (PARTITION BY s
+                   ORDER BY c DESC, label) AS rn
+          FROM v3) WHERE rn = 1)
+      SELECT node, label FROM l3 ORDER BY node"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
-    q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity)
+    q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity,
+    q201LabelProp)
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class LabelPropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labels(edges: Seq[(Long, Long)], rounds: Int) =
+    LabelProp.propagate(edges.toDF("s", "d"), "s", "d", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two cliques with one bridge keep their own communities") {
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L))
+    val got = labels(k4a ++ k4b :+ ((4L, 11L)), 4)
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) == got(1L)))
+    assert(Seq(12L, 13L, 14L).forall(n => got(n) == got(11L)))
+    assert(got(1L) != got(11L), "bridge must not merge the cliques")
+  }
+
+  test("one round on a star: leaves adopt the hub's label via min-tie") {
+    // star 5-(1,2,3): each leaf sees only {5}; hub sees {1,2,3} all
+    // count 1 -> tie -> smallest label 1
+    val got = labels(Seq((5L, 1L), (5L, 2L), (5L, 3L)), 1)
+    assert(got(1L) == 5L && got(2L) == 5L && got(3L) == 5L)
+    assert(got(5L) == 1L)
+  }
+
+  test("edge direction is irrelevant (symmetrized) and ids dedupe") {
+    val a = labels(Seq((1L, 2L), (2L, 3L)), 2)
+    val b = labels(Seq((2L, 1L), (3L, 2L), (1L, 2L)), 2)
+    assert(a == b)
+  }
+
+  test("communities summary counts members per final label") {
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val got = LabelProp.communities(k3.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == 3L, "every node lands in one community")
+  }
+}

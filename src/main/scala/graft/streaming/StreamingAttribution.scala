@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** One event on the attribution stream (ts in nanos, value in cents). */
+case class AttrEvent(user: Long, id: Long, ts: Long, typ: String,
+    cents: Long)
+
+/** Per-(conversion, touch type) credit emitted as the conversion
+  * arrives: n_t touches of this type among n credited total;
+  * `is_last` marks the type holding the last touch. */
+case class CreditRow(conv_id: Long, cents: Long, touch_type: String,
+    n_t: Long, n: Long, is_last: Boolean)
+
+/** STREAMING touch attribution — the streaming twin of
+  * [[graft.ops.Attribution.touchCredit]]: conversions are credited the
+  * moment they arrive, against a per-user buffer of recent touches.
+  *
+  * State is the touch buffer for ONE lookback window per user —
+  * bounded by per-user activity inside the window, never by history
+  * (the buffer is pruned behind the newest event seen). Credit rows
+  * carry the same (conv, type, n_t, n, is_last) evidence as the batch
+  * per-conversion grain, so the batch aggregation (BIGINT micro-cent
+  * floor splits, last-touch counts) folds streamed output into the
+  * identical per-type table — AttributionStreamSpec asserts exact
+  * equality against the batch operator across 1- and 3-delivery
+  * drains.
+  *
+  * Ordering contract: rows within a micro-batch are sorted by
+  * (ts, id) before folding (post-shuffle order is undefined); ACROSS
+  * batches arrival must be event-time monotone per user — the
+  * [[StreamingDecay]] convention. A touch arriving after a conversion
+  * it should have matched is not retro-credited (that correction is
+  * the batch operator's job).
+  */
+object StreamingAttribution {
+
+  private[streaming] class AttrProcessor(convType: String,
+      touchTypes: Set[String], windowNanos: Long)
+      extends StatefulProcessor[Long, AttrEvent, CreditRow] {
+
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ValueState[Seq[(Long, Long, String)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[Seq[(Long, Long, String)]]("touches",
+        Encoders.kryo[Seq[(Long, Long, String)]], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrEvent],
+        timerValues: TimerValues): Iterator[CreditRow] = {
+      var touches: Seq[(Long, Long, String)] =
+        if (buf.exists()) buf.get() else Seq.empty
+      var newest = touches.foldLeft(Long.MinValue)((m, t) => m.max(t._1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CreditRow]
+      rows.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
+        newest = newest.max(r.ts)
+        if (touchTypes.contains(r.typ)) {
+          touches = touches :+ ((r.ts, r.id, r.typ))
+        } else if (r.typ == convType) {
+          val credited = touches.filter(t =>
+            t._1 <= r.ts && t._1 > r.ts - windowNanos)
+          if (credited.nonEmpty) {
+            val n = credited.size.toLong
+            // last touch: max (ts, id) — the batch struct order
+            val last = credited.maxBy(t => (t._1, t._2))
+            credited.groupBy(_._3).toSeq.sortBy(_._1).foreach {
+              case (typ, ts) =>
+                out += CreditRow(r.id, r.cents, typ, ts.size.toLong, n,
+                  typ == last._3)
+            }
+          }
+        }
+        // prune: nothing older than one window behind the newest event
+        // can ever be credited again
+        touches = touches.filter(_._1 > newest - windowNanos)
+      }
+      buf.update(touches)
+      out.iterator
+    }
+  }
+
+  /** Wire an event stream into per-conversion credit rows. */
+  def credits(events: Dataset[AttrEvent], convType: String,
+      touchTypes: Seq[String], windowDays: Int): Dataset[CreditRow] = {
+    import events.sparkSession.implicits._
+    val windowNanos = windowDays * 86400L * 1000L * 1000L * 1000L
+    events.groupByKey(_.user)
+      .transformWithState(
+        new AttrProcessor(convType, touchTypes.toSet, windowNanos),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.ops.Attribution
+import graft.sources.Tables
+
+/** Streaming attribution (`StreamingAttribution`): per-conversion
+  * credit rows streamed across micro-batches must fold into EXACTLY
+  * the batch operator's per-type table — same integer micro-cent floor
+  * splits, same last-touch argmax. */
+class AttributionStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocksdb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def events = Tables.events(spark, sfDir)
+    .filter(col("event_type").isin("purchase", "click", "view"))
+    .select(col("user_id").as("user"), col("event_id").as("id"),
+      col("ts"),
+      col("event_type").as("typ"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+
+  /** Fold streamed credit rows into the batch output's per-type shape. */
+  private def foldCredits(rows: Seq[CreditRow]) = {
+    val types = rows.groupBy(_.touch_type)
+    types.map { case (t, rs) =>
+      val lastRs = rs.filter(_.is_last)
+      t -> (rs.map(_.n_t).sum,
+        rs.map(r => r.cents * 1000000L * r.n_t / r.n).sum,
+        lastRs.size.toLong, lastRs.map(_.cents).sum)
+    }
+  }
+
+  test("streamed credits across 1 and 3 deliveries == batch operator") {
+   withRocksDb {
+    val ev = events.as[(Long, Long, Long, String, Long)].collect()
+      .map(x => AttrEvent(x._1, x._2, x._3, x._4, x._5))
+      .sortBy(e => (e.ts, e.id))
+    assert(ev.nonEmpty)
+    val want = Attribution.touchCredit(
+      Tables.events(spark, sfDir), "purchase", Seq("click", "view"), 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    for (nDeliveries <- Seq(1, 3)) {
+      val dir = Files.createTempDirectory(s"graft_attr_$nDeliveries").toString
+      val ck = Files.createTempDirectory(s"graft_attr_ck_$nDeliveries").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[CreditRow]
+      // deliveries split by TS RANGE: later batches never carry earlier
+      // events (the documented monotone-arrival contract)
+      (1 to nDeliveries).foreach { i =>
+        val loIdx = (i - 1) * ev.length / nDeliveries
+        val hiIdx = i * ev.length / nDeliveries
+        val part = ev.slice(loIdx, if (i == nDeliveries) ev.length else hiIdx)
+        if (part.nonEmpty) {
+          part.toSeq.toDF().write.mode("append").parquet(dir)
+          val stream = spark.readStream
+            .schema(Seq.empty[AttrEvent].toDF().schema).parquet(dir)
+            .as[AttrEvent]
+          val q = StreamingAttribution.credits(stream, "purchase",
+            Seq("click", "view"), 7)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ck)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[CreditRow],
+                _: Long) => { got ++= b.collect(); () } }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      val folded = foldCredits(got.toSeq)
+      assert(folded.keySet == want.keySet,
+        s"deliveries=$nDeliveries type sets differ")
+      folded.foreach { case (t, v) =>
+        assert(v == want(t), s"deliveries=$nDeliveries type $t: $v != ${want(t)}")
+      }
+    }
+   }
+  }
+
+  test("window bound and last-touch tie-break match the batch semantics") {
+   withRocksDb {
+    val day = 86400L * 1000L * 1000L * 1000L
+    val ev = Seq(
+      AttrEvent(1L, 3L, 1 * day, "view", 0),        // 8 days back: outside
+      AttrEvent(1L, 7L, 8 * day, "click", 0),
+      AttrEvent(1L, 9L, 8 * day, "view", 0),        // same ts, higher id
+      AttrEvent(1L, 100L, 9 * day, "purchase", 200L),
+      AttrEvent(2L, 200L, 9 * day, "purchase", 99L)) // no touches
+    val dir = Files.createTempDirectory("graft_attr_h_").toString
+    val ck = Files.createTempDirectory("graft_attr_h_ck_").toString
+    ev.toDF().write.mode("overwrite").parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[CreditRow]
+    val q = StreamingAttribution.credits(
+      spark.readStream.schema(Seq.empty[AttrEvent].toDF().schema)
+        .parquet(dir).as[AttrEvent], "purchase", Seq("click", "view"), 7)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CreditRow],
+          _: Long) => { got ++= b.collect(); () } }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // window cutoff: only the 8d touches are credited, conv 200 drops
+    assert(got.map(_.conv_id).distinct.toSeq == Seq(100L))
+    val byType = got.map(r => r.touch_type -> r).toMap
+    assert(byType("click").n_t == 1 && byType("view").n_t == 1)
+    assert(got.forall(_.n == 2))
+    // tie at 8d: higher event_id (view, id 9) wins last-touch
+    assert(byType("view").is_last && !byType("click").is_last)
+   }
+  }
+}

@@ -189,8 +189,22 @@ object Profile {
     *
     * Returns one row per group: (group, n, median). */
   def scalableMedian(df: DataFrame, groupCol: String, valCol: String,
-      idCol: String, nBuckets: Int = 1024): DataFrame = {
+      idCol: String, nBuckets: Int = 1024): DataFrame =
+    scalableOrderStat(df, groupCol, valCol, idCol, 0.5, nBuckets)
+      .withColumnRenamed("order_stat", "median")
+
+  /** The histogram-pruned walk generalized to ANY lower order
+    * statistic: the element at rank ⌊(n−1)q⌋+1 in (value, id) order —
+    * q = 0.5 is [[scalableMedian]], q = 0.25/0.75 are the quartile
+    * cuts of `Features.quantileBin`, q = 0.99 a tail percentile. Same
+    * two narrow passes, same driver-bounded histogram; the bucket
+    * boundaries still only steer pruning.
+    *
+    * Returns one row per group: (group, n, order_stat). */
+  def scalableOrderStat(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, q: Double, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 1, "pruning needs at least two buckets")
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
     import org.apache.spark.sql.expressions.Window
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).as("v"), col(idCol).as("id"))
@@ -212,7 +226,7 @@ object Profile {
     val winners = hist.iterator.map { case (g, bs) =>
       val sorted = bs.map(_._2).sortBy(_._1)
       val n = sorted.map(_._2).sum
-      val target = (n - 1) / 2 + 1 // lower-median rank, q170 convention
+      val target = ((n - 1) * q).toLong + 1 // lower order stat, q170 convention
       var cum = 0L
       var win = 0L
       var below = 0L
@@ -248,7 +262,7 @@ object Profile {
       .drop(winDf("g"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") === col("target") - col("below"))
-      .select(col("g").as(groupCol), col("n"), col("v").as("median"))
+      .select(col("g").as(groupCol), col("n"), col("v").as("order_stat"))
       .orderBy(groupCol)
   }
 }

@@ -45,4 +45,22 @@ class ProfileSpec extends SparkTestBase {
       .as[(String, Long, Double)].collect().toSeq.sorted
     assert(got == expect)
   }
+
+  test("scalableOrderStat: quartiles agree with the windowed rank on real events") {
+    val ev = Tables.events(spark, sfDir).filter($"value".isNotNull)
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val ranked = ev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    for (q <- Seq(0.25, 0.75, 0.99)) {
+      val expect = ranked
+        .filter($"rk" === expr(s"cast(floor((n - 1) * $q) as bigint) + 1"))
+        .select($"event_type", $"n", $"value")
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      val got = Profile.scalableOrderStat(ev, "event_type", "value",
+        "event_id", q)
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      assert(got == expect, s"q=$q diverged")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -19,6 +20,7 @@ import graft.sources.Tables
 object EngagementQueries {
 
   private val DayUs = 86400000000L
+  private val dec2 = DecimalType(18, 2)
 
   /** Ordered 3-step conversion funnel (view → click → purchase): a user
     * converts step k only with an event strictly AFTER their step-k−1
@@ -227,6 +229,198 @@ object EngagementQueries {
       GROUP BY user_id, session_id
       ORDER BY user_id, start_us"""))
 
+  /** Time-to-convert quantiles: per user, latency from FIRST view to
+    * the first purchase at-or-after it; P25/P50/P75 of those latencies
+    * through `Profile.scalableOrderStat` — the histogram-pruned walk,
+    * so no global sort ever sees the user-sized latency table (a
+    * corpus-scaled global window would violate the bounded-window
+    * audit). The oracle ranks the same latencies with one window. */
+  val q202TimeToConvert = OracleQuery("q202_time_to_convert",
+    "first-view→first-purchase latency quantiles via the histogram walk",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts div 1000")).as("v0"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("pus"))
+        .join(v0, Seq("user_id"))
+        .filter(col("pus") >= col("v0"))
+        .groupBy(col("user_id"), col("v0"))
+        .agg(min(col("pus")).as("p0"))
+        .select(col("user_id"), (col("p0") - col("v0")).as("lat"))
+        .withColumn("g", lit("all"))
+      def stat(q: Double, as: String) =
+        graft.ops.Profile.scalableOrderStat(lat, "g", "lat", "user_id", q)
+          .select(col("n"), col("order_stat").as(as))
+      stat(0.25, "p25_us").crossJoin(stat(0.50, "p50_us").drop("n"))
+        .crossJoin(stat(0.75, "p75_us").drop("n"))
+        .select(col("n").as("n_converted"), col("p25_us"), col("p50_us"),
+          col("p75_us"))
+    },
+    Some("""
+      WITH v0 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v0
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      lat AS MATERIALIZED (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(v0.v0) AS lat
+        FROM events e JOIN v0 ON e.user_id = v0.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v0.v0
+        GROUP BY e.user_id),
+      ranked AS (
+        SELECT lat,
+               row_number() OVER (ORDER BY lat, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM lat)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+             MAX(CASE WHEN rk = CAST(floor((n-1) * 0.25) AS BIGINT) + 1
+                 THEN lat END) AS p25_us,
+             MAX(CASE WHEN rk = CAST(floor((n-1) * 0.50) AS BIGINT) + 1
+                 THEN lat END) AS p50_us,
+             MAX(CASE WHEN rk = CAST(floor((n-1) * 0.75) AS BIGINT) + 1
+                 THEN lat END) AS p75_us
+      FROM ranked"""))
+
+  /** Cohort LTV curves: users grouped by first-active day, purchase
+    * revenue accumulated by day offset 0–13 — the cumulative-revenue
+    * grid a growth team reads. The cumsum window runs over ≤ 14 rows
+    * per cohort (offset-bounded, never corpus-bounded); per-user LTV is
+    * ONE double division of exact BIGINT cents. Offsets with no revenue
+    * emit no row — identically in both engines. */
+  val q203CohortLtv = OracleQuery("q203_cohort_ltv",
+    "first-active-day cohort cumulative revenue (LTV) over offsets 0-13",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"),
+          col("event_type"), col("value"))
+      val ud = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val sizes = ud.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+      val grid = ev.filter(col("event_type") === "purchase")
+        .join(ud, Seq("user_id"))
+        .withColumn("offset", col("day") - col("cohort"))
+        .filter(col("offset").between(0L, 13L))
+        .groupBy(col("cohort"), col("offset"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort")).orderBy(col("offset"))
+      grid.withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("offset"), col("cents"),
+          col("cum_cents"), col("n_users"),
+          (col("cum_cents").cast("double") / col("n_users").cast("double"))
+            .as("ltv_cents_per_user"))
+        .orderBy("cohort", "offset")
+    },
+    Some(s"""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) // $DayUs AS day, event_type, value
+        FROM events),
+      ud AS MATERIALIZED (
+        SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+      sizes AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ud GROUP BY cohort),
+      grid AS (
+        SELECT ud.cohort, e.day - ud.cohort AS off,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+        FROM ev e JOIN ud ON e.user_id = ud.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.day - ud.cohort BETWEEN 0 AND 13
+        GROUP BY 1, 2)
+      SELECT g.cohort, g.off AS "offset", g.cents,
+             CAST(SUM(g.cents) OVER (PARTITION BY g.cohort
+               ORDER BY g.off) AS BIGINT) AS cum_cents,
+             s.n_users,
+             CAST(CAST(SUM(g.cents) OVER (PARTITION BY g.cohort
+               ORDER BY g.off) AS BIGINT) AS DOUBLE) /
+               CAST(s.n_users AS DOUBLE) AS ltv_cents_per_user
+      FROM grid g JOIN sizes s USING (cohort)
+      ORDER BY g.cohort, g.off"""))
+
+  /** RFM segmentation: per purchasing user, Recency (days since last
+    * purchase vs the corpus max day), Frequency (purchase count) and
+    * Monetary (total cents), each quartile-coded with cuts from
+    * `Profile.scalableOrderStat` (driver-bounded histogram walks — no
+    * corpus-scaled global window anywhere). Emits the per-segment
+    * rollup: user count + monetary sum per (r, f, m) code. */
+  val q204RfmSegments = OracleQuery("q204_rfm_segments",
+    "RFM quartile segmentation rollup of purchasing users",
+    (s, d) => {
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"),
+          (col("value").cast(dec2) * 100).cast("long").as("cents"))
+      val refDay = p.agg(max(col("day")).as("ref"))
+      val rfm = p.groupBy(col("user_id"))
+        .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .crossJoin(broadcast(refDay))
+        .select(col("user_id"), (col("ref") - col("lastd")).as("r"),
+          col("f"), col("m"))
+        .withColumn("g", lit("all"))
+      def cuts(valCol: String) = {
+        def c(q: Double, as: String) =
+          graft.ops.Profile.scalableOrderStat(rfm, "g", valCol, "user_id", q)
+            .select(col("order_stat").as(as))
+        c(0.25, s"${valCol}1").crossJoin(c(0.5, s"${valCol}2"))
+          .crossJoin(c(0.75, s"${valCol}3"))
+      }
+      def bin(v: String) =
+        when(col(v) <= col(s"${v}1"), 0L)
+          .when(col(v) <= col(s"${v}2"), 1L)
+          .when(col(v) <= col(s"${v}3"), 2L).otherwise(3L)
+      rfm.crossJoin(broadcast(cuts("r")))
+        .crossJoin(broadcast(cuts("f")))
+        .crossJoin(broadcast(cuts("m")))
+        .select(col("user_id"), bin("r").as("r_bin"), bin("f").as("f_bin"),
+          bin("m").as("m_bin"), col("m"))
+        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_sum_cents"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+    Some(s"""
+      WITH p AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) // $DayUs AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      rfm AS MATERIALIZED (
+        SELECT user_id,
+               (SELECT MAX(day) FROM p) - MAX(day) AS r,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(cents) AS BIGINT) AS m
+        FROM p GROUP BY user_id),
+      ranked AS MATERIALIZED (
+        SELECT user_id, r, f, m,
+               row_number() OVER (ORDER BY r, user_id) AS rr,
+               row_number() OVER (ORDER BY f, user_id) AS fr,
+               row_number() OVER (ORDER BY m, user_id) AS mr,
+               COUNT(*) OVER () AS n
+        FROM rfm),
+      cuts AS (
+        SELECT
+          MIN(CASE WHEN rr = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN r END) AS r1,
+          MIN(CASE WHEN rr = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN r END) AS r2,
+          MIN(CASE WHEN rr = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN r END) AS r3,
+          MIN(CASE WHEN fr = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN f END) AS f1,
+          MIN(CASE WHEN fr = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN f END) AS f2,
+          MIN(CASE WHEN fr = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN f END) AS f3,
+          MIN(CASE WHEN mr = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN m END) AS m1,
+          MIN(CASE WHEN mr = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN m END) AS m2,
+          MIN(CASE WHEN mr = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN m END) AS m3
+        FROM ranked)
+      SELECT CAST(CASE WHEN r <= r1 THEN 0 WHEN r <= r2 THEN 1
+                       WHEN r <= r3 THEN 2 ELSE 3 END AS BIGINT) AS r_bin,
+             CAST(CASE WHEN f <= f1 THEN 0 WHEN f <= f2 THEN 1
+                       WHEN f <= f3 THEN 2 ELSE 3 END AS BIGINT) AS f_bin,
+             CAST(CASE WHEN m <= m1 THEN 0 WHEN m <= m2 THEN 1
+                       WHEN m <= m3 THEN 2 ELSE 3 END AS BIGINT) AS m_bin,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(m) AS BIGINT) AS m_sum_cents
+      FROM rfm CROSS JOIN cuts
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow)
+    Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow,
+      q202TimeToConvert, q203CohortLtv, q204RfmSegments)
 }

@@ -244,6 +244,38 @@ object ScaleBench {
           concat(lit("s"), (col("doc_id") % 20).cast("string")))
         graft.ops.Corpus.lexicalDiversity(src, "doc_id", "text", "source")
       }
+      timeOp("rfm_segments", m, nEv) {
+        // nine driver-bounded histogram walks over the user grain —
+        // the probe that shows quartile cuts stay flat as users grow
+        // (the q204 shape over the scaled disjoint-user events)
+        val p = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr(s"ts div 1000 div 86400000000").as("day"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val refDay = p.agg(max(col("day")).as("ref"))
+        val rfm = p.groupBy(col("user_id"))
+          .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
+            sum(col("cents")).as("m"))
+          .crossJoin(broadcast(refDay))
+          .select(col("user_id"), (col("ref") - col("lastd")).as("r"),
+            col("f"), col("m"))
+          .withColumn("g", lit("all"))
+        val cuts = Seq("r", "f", "m").map { v =>
+          Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+            graft.ops.Profile.scalableOrderStat(rfm, "g", v, "user_id", q)
+              .select(col("order_stat").as(s"$v${i + 1}"))
+          }.reduce(_ crossJoin _)
+        }.reduce(_ crossJoin _)
+        def bin(v: String) =
+          when(col(v) <= col(s"${v}1"), 0L)
+            .when(col(v) <= col(s"${v}2"), 1L)
+            .when(col(v) <= col(s"${v}3"), 2L).otherwise(3L)
+        rfm.crossJoin(broadcast(cuts))
+          .groupBy(bin("r").as("r_bin"), bin("f").as("f_bin"),
+            bin("m").as("m_bin"))
+          .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_sum"))
+      }
     }
     spark.stop()
   }

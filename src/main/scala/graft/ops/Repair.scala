@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Missing-value repair — the imputation pass a feature pipeline runs
+  * before training: numeric NULLs filled with their group's EXACT
+  * median (the robust choice — a mean imputation drags toward
+  * outliers), categorical NULLs with the mode.
+  *
+  * Exactness: the median is a real data value from the histogram-pruned
+  * order-statistic walk ([[Profile.scalableMedian]] — never a
+  * per-group sort), the mode is the min(struct(−count, value)) argmax
+  * (deterministic under ties: most frequent, then smallest), and
+  * imputation itself is a per-row conditional — so repaired tables
+  * hash-replay cross-engine.
+  *
+  * Scale shape: group medians/modes are |groups|-sized → broadcast
+  * back; the data never shuffles for the repair itself.
+  */
+object Repair {
+
+  /** `valCol` with NULLs replaced by the group median; adds
+    * `<valCol>_imputed` (the repaired value) and `<valCol>_was_imputed`.
+    * Groups whose every value is NULL stay NULL (nothing to borrow). */
+  def imputeGroupMedian(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    val med = Profile.scalableMedian(df, groupCol, valCol, idCol)
+      .select(col(groupCol), col("median").as("_med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn(s"${valCol}_imputed",
+        coalesce(col(valCol), col("_med")))
+      .withColumn(s"${valCol}_was_imputed",
+        col(valCol).isNull && col("_med").isNotNull)
+      .drop("_med")
+  }
+
+  /** The modal (most frequent, ties → smallest) non-NULL value of
+    * `valCol` per group: (group, mode, mode_n). */
+  def groupMode(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("_c")).as("nc"), col(valCol).as("v")))
+        .as("_best"))
+      .select(col(groupCol), col("_best.v").as("mode"),
+        (-col("_best.nc")).as("mode_n"))
+
+  /** `valCol` with NULLs replaced by the group mode; adds
+    * `<valCol>_imputed` and `<valCol>_was_imputed`. */
+  def imputeGroupMode(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val m = groupMode(df, groupCol, valCol)
+      .select(col(groupCol), col("mode").as("_mode"))
+    df.join(broadcast(m), Seq(groupCol), "left")
+      .withColumn(s"${valCol}_imputed",
+        coalesce(col(valCol), col("_mode")))
+      .withColumn(s"${valCol}_was_imputed",
+        col(valCol).isNull && col("_mode").isNotNull)
+      .drop("_mode")
+  }
+}

@@ -644,9 +644,65 @@ object PrepQueries {
           FROM v3) WHERE rn = 1)
       SELECT node, label FROM l3 ORDER BY node"""))
 
+  /** Missing-value repair (Repair.imputeGroupMedian / imputeGroupMode):
+    * deterministically masked numerics refill with the group's exact
+    * median (histogram-walk, not a per-group sort), masked categoricals
+    * with the global mode — both broadcast back, the data never
+    * shuffles for the repair. */
+  val q205Impute = OracleQuery("q205_impute",
+    "group-median + mode imputation of deterministically masked events",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+        .withColumn("value_m", when(col("event_id") % 7 === 3,
+          lit(null).cast("double")).otherwise(col("value")))
+        .withColumn("type_m", when(col("event_id") % 11 === 5,
+          lit(null).cast("string")).otherwise(col("event_type")))
+        .withColumn("g", lit("all"))
+      val step1 = graft.ops.Repair.imputeGroupMedian(
+        ev, "event_type", "value_m", "event_id")
+      graft.ops.Repair.imputeGroupMode(step1, "g", "type_m")
+        .select(col("event_id"), col("event_type"),
+          col("value_m_imputed").as("value_imp"),
+          col("value_m_was_imputed").as("value_was_imputed"),
+          col("type_m_imputed").as("type_imp"),
+          col("type_m_was_imputed").as("type_was_imputed"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS MATERIALIZED (
+        SELECT event_id, event_type, user_id, value,
+               CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END
+                 AS value_m,
+               CASE WHEN event_id % 11 = 5 THEN NULL ELSE event_type END
+                 AS type_m
+        FROM events),
+      med AS MATERIALIZED (
+        SELECT event_type,
+               MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN v END) AS med
+        FROM (SELECT event_type, value_m AS v,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY value_m, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM ev WHERE value_m IS NOT NULL)
+        GROUP BY event_type),
+      mode_ AS MATERIALIZED (
+        SELECT type_m AS v FROM ev WHERE type_m IS NOT NULL
+        GROUP BY 1 ORDER BY COUNT(*) DESC, type_m LIMIT 1)
+      SELECT e.event_id, e.event_type,
+             COALESCE(e.value_m, med.med) AS value_imp,
+             (e.value_m IS NULL AND med.med IS NOT NULL)
+               AS value_was_imputed,
+             COALESCE(e.type_m, (SELECT v FROM mode_)) AS type_imp,
+             (e.type_m IS NULL AND (SELECT v FROM mode_) IS NOT NULL)
+               AS type_was_imputed
+      FROM ev e LEFT JOIN med USING (event_type)
+      ORDER BY e.event_id"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
     q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity,
-    q201LabelProp)
+    q201LabelProp, q205Impute)
 }

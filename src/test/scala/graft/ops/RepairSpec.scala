@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class RepairSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("imputeGroupMedian: NULLs take the group median, groups isolated") {
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(5.0)), ("a", 3L, Some(9.0)),
+      ("a", 4L, None), ("b", 5L, Some(100.0)), ("b", 6L, None))
+      .toDF("g", "id", "v")
+    val got = Repair.imputeGroupMedian(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("v_imputed"), r.getAs[Boolean]("v_was_imputed")))
+      .toMap
+    assert(got(4L) == ((5.0, true)))   // a's median of 1,5,9
+    assert(got(6L) == ((100.0, true))) // b's single value
+    assert(got(1L) == ((1.0, false)))
+  }
+
+  test("imputeGroupMedian: an all-NULL group stays NULL") {
+    val df = Seq(("a", 1L, Some(2.0)), ("c", 9L, Option.empty[Double]))
+      .toDF("g", "id", "v")
+    val r = Repair.imputeGroupMedian(df, "g", "v", "id")
+      .filter($"id" === 9L).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("v_imputed")))
+    assert(!r.getAs[Boolean]("v_was_imputed"))
+  }
+
+  test("groupMode: most frequent wins, ties break to the smallest value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("k", "v")
+    val r = Repair.groupMode(df, "k", "v").collect()(0)
+    assert(r.getString(1) == "a" && r.getLong(2) == 2L)
+  }
+
+  test("imputeGroupMode fills categorical NULLs with the mode") {
+    val df = Seq(("g", Some("x")), ("g", Some("x")), ("g", Some("y")),
+      ("g", None)).toDF("k", "v")
+    val got = Repair.imputeGroupMode(df, "k", "v")
+      .collect().map(r => (Option(r.getString(1)),
+        r.getString(2), r.getBoolean(3)))
+    assert(got.count(_._3) == 1)
+    assert(got.forall(_._2 != null))
+    assert(got.find(_._1.isEmpty).get._2 == "x")
+  }
+}

@@ -700,9 +700,41 @@ object PrepQueries {
       FROM ev e LEFT JOIN med USING (event_type)
       ORDER BY e.event_id"""))
 
+  /** Explicit UNPIVOT/melt (the inverse of q71's pivot): the four
+    * lineitem measures stacked to (measure, value) rows in ONE scan —
+    * `stack` is a Generate, not four unioned scans — then summarized
+    * per measure with decimal-exact sums. */
+  val q206Unpivot = OracleQuery("q206_unpivot",
+    "unpivot lineitem measures to long form + per-measure summary",
+    (s, d) => Tables.lineitem(s, d)
+      .selectExpr("stack(4, " +
+        "'discount', l_discount, 'extendedprice', l_extendedprice, " +
+        "'quantity', l_quantity, 'tax', l_tax) as (measure, v)")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast(dec2)) * 100).cast("long").as("sum_cents"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("measure"),
+    Some("""
+      WITH long_ AS (
+        SELECT 'discount' AS measure, l_discount AS v FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'quantity', l_quantity FROM lineitem
+        UNION ALL
+        SELECT 'tax', l_tax FROM lineitem)
+      SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sum_cents,
+             MIN(v) AS min_v, MAX(v) AS max_v
+      FROM long_
+      GROUP BY measure
+      ORDER BY measure"""))
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
     q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity,
-    q201LabelProp, q205Impute)
+    q201LabelProp, q205Impute, q206Unpivot)
 }

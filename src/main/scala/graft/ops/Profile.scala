@@ -202,9 +202,22 @@ object Profile {
     *
     * Returns one row per group: (group, n, order_stat). */
   def scalableOrderStat(df: DataFrame, groupCol: String, valCol: String,
-      idCol: String, q: Double, nBuckets: Int = 1024): DataFrame = {
+      idCol: String, q: Double, nBuckets: Int = 1024): DataFrame =
+    scalableOrderStats(df, groupCol, valCol, idCol, Seq(q), nBuckets)
+      .drop("q_idx")
+
+  /** MANY order statistics from ONE histogram pass: the walk finds
+    * every rank's winning bucket in the same driver-bounded histogram,
+    * and pass 2 ranks each (group, quantile)'s winning bucket — so k
+    * quantiles cost one data scan + one histogram collect, not k (the
+    * q204 RFM cuts went 9 jobs → 3 with this).
+    *
+    * Returns (group, q_idx, n, order_stat), q_idx = index into `qs`. */
+  def scalableOrderStats(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, qs: Seq[Double], nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 1, "pruning needs at least two buckets")
-    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      "quantiles must be in (0,1)")
     import org.apache.spark.sql.expressions.Window
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("g"), col(valCol).as("v"), col(idCol).as("id"))
@@ -222,30 +235,36 @@ object Profile {
       .collect()
       .map(r => (r.get(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1)
-    // driver walk: winning bucket + rows strictly below it, per group
-    val winners = hist.iterator.map { case (g, bs) =>
+    // driver walk: per group, EVERY quantile's winning bucket + rows
+    // strictly below it, from the same sorted histogram
+    val winners = hist.iterator.flatMap { case (g, bs) =>
       val sorted = bs.map(_._2).sortBy(_._1)
       val n = sorted.map(_._2).sum
-      val target = ((n - 1) * q).toLong + 1 // lower order stat, q170 convention
-      var cum = 0L
-      var win = 0L
-      var below = 0L
-      val it = sorted.iterator
-      var found = false
-      while (it.hasNext && !found) {
-        val (b, c) = it.next()
-        if (cum + c >= target) { win = b; below = cum; found = true }
-        else cum += c
+      qs.zipWithIndex.map { case (q, qi) =>
+        val target = ((n - 1) * q).toLong + 1 // lower order stat, q170 conv
+        var cum = 0L
+        var win = 0L
+        var below = 0L
+        val it = sorted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (b, c) = it.next()
+          if (cum + c >= target) { win = b; below = cum; found = true }
+          else cum += c
+        }
+        (g, qi.toLong, win, below, n, target)
       }
-      (g, win, below, n, target)
     }.toSeq
     val winDf = broadcast(df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(winners.map {
-        case (g, w, b, n, t) => org.apache.spark.sql.Row(g, w, b, n, t)
+        case (g, qi, w, b, n, t) =>
+          org.apache.spark.sql.Row(g, qi, w, b, n, t)
       }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("g",
           rows.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("q_idx",
+          org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("win_bucket",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("below",
@@ -254,15 +273,17 @@ object Profile {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("target",
           org.apache.spark.sql.types.LongType)))))
-    // pass 2: only the winning bucket's rows are ever ranked
-    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    // pass 2: only winning buckets are ever ranked, once per (g, q)
+    val w = Window.partitionBy(col("g"), col("q_idx"))
+      .orderBy(col("v"), col("id"))
     bucketed
       .join(winDf, col("bucket") === col("win_bucket") &&
         bucketed("g") === winDf("g"))
       .drop(winDf("g"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") === col("target") - col("below"))
-      .select(col("g").as(groupCol), col("n"), col("v").as("order_stat"))
-      .orderBy(groupCol)
+      .select(col("g").as(groupCol), col("q_idx"), col("n"),
+        col("v").as("order_stat"))
+      .orderBy(groupCol, "q_idx")
   }
 }

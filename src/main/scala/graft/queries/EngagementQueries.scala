@@ -250,13 +250,12 @@ object EngagementQueries {
         .agg(min(col("pus")).as("p0"))
         .select(col("user_id"), (col("p0") - col("v0")).as("lat"))
         .withColumn("g", lit("all"))
-      def stat(q: Double, as: String) =
-        graft.ops.Profile.scalableOrderStat(lat, "g", "lat", "user_id", q)
-          .select(col("n"), col("order_stat").as(as))
-      stat(0.25, "p25_us").crossJoin(stat(0.50, "p50_us").drop("n"))
-        .crossJoin(stat(0.75, "p75_us").drop("n"))
-        .select(col("n").as("n_converted"), col("p25_us"), col("p50_us"),
-          col("p75_us"))
+      graft.ops.Profile.scalableOrderStats(lat, "g", "lat", "user_id",
+          Seq(0.25, 0.50, 0.75))
+        .agg(max(col("n")).as("n_converted"),
+          min(when(col("q_idx") === 0L, col("order_stat"))).as("p25_us"),
+          min(when(col("q_idx") === 1L, col("order_stat"))).as("p50_us"),
+          min(when(col("q_idx") === 2L, col("order_stat"))).as("p75_us"))
     },
     Some("""
       WITH v0 AS (
@@ -358,13 +357,16 @@ object EngagementQueries {
         .select(col("user_id"), (col("ref") - col("lastd")).as("r"),
           col("f"), col("m"))
         .withColumn("g", lit("all"))
-      def cuts(valCol: String) = {
-        def c(q: Double, as: String) =
-          graft.ops.Profile.scalableOrderStat(rfm, "g", valCol, "user_id", q)
-            .select(col("order_stat").as(as))
-        c(0.25, s"${valCol}1").crossJoin(c(0.5, s"${valCol}2"))
-          .crossJoin(c(0.75, s"${valCol}3"))
-      }
+      def cuts(valCol: String) =
+        graft.ops.Profile.scalableOrderStats(rfm, "g", valCol, "user_id",
+            Seq(0.25, 0.5, 0.75))
+          .agg(
+            min(when(col("q_idx") === 0L, col("order_stat")))
+              .as(s"${valCol}1"),
+            min(when(col("q_idx") === 1L, col("order_stat")))
+              .as(s"${valCol}2"),
+            min(when(col("q_idx") === 2L, col("order_stat")))
+              .as(s"${valCol}3"))
       def bin(v: String) =
         when(col(v) <= col(s"${v}1"), 0L)
           .when(col(v) <= col(s"${v}2"), 1L)

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search over an undirected edge list — the
+  * reachability/proximity primitive that completes the graph toolkit next
+  * to [[PageRank]] (importance), [[Components]] (connectivity),
+  * [[Triangles]] (cohesion), [[KCore]] (density) and [[LabelProp]]
+  * (communities): hop distance from the nearest seed, the shape behind
+  * "distance from a trusted/spam seed set" scoring (TrustRank-style
+  * propagation) and neighborhood expansion around curated exemplars.
+  *
+  * FIXED-ROUND frontier expansion with an early exit (the [[KCore]]
+  * discipline): round r assigns distance r to every node first reached in
+  * that round — pure integer MIN arithmetic, nothing float anywhere, so a
+  * DuckDB oracle can replay the rounds as chained CTEs and must agree
+  * node-for-node. A `converged` flag reports whether the wave finished
+  * inside the round budget (TRUE ⇒ the result IS the full BFS closure;
+  * the caller raises `rounds` when it ever reads FALSE — the driver-side
+  * red flag, q175's convention).
+  *
+  * Scale shape per round: one frontier⋈edges equi-join (shuffle on the
+  * node key) + one map-side-combinable MIN aggregate + one node-keyed
+  * outer merge; the distance table is NODE-sized, the edge list is scanned
+  * once per round, and nothing graph-sized ever reaches the driver. The
+  * early-exit probe is two O(1)-result counts on cached node tables.
+  */
+object Bfs {
+
+  /** (n, dist, converged) for every node within `rounds` hops of any
+    * source (sources at dist 0 — including sources absent from the edge
+    * list, which stay isolated at 0). Input edges may be raw (dup /
+    * reversed / self-loop rows canonicalize away); `sources`' FIRST
+    * column is the seed node id. */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in 1..20")
+    val canon = Triangles.canonEdges(edges, srcCol, dstCol)
+    val sym = Caches.track(
+      canon.select(col("a").as("s"), col("b").as("t"))
+        .unionByName(canon.select(col("b").as("s"), col("a").as("t"))))
+    var dist = Caches.track(
+      sources.select(col(sources.columns.head).cast("long").as("n"))
+        .distinct()
+        .withColumn("dist", lit(0L)))
+    var round = 0
+    var waveDone = false
+    while (round < rounds && !waveDone) {
+      // neighbors of every labeled node, one hop further; MIN collapses
+      // multi-parent reaches map-side before the shuffle
+      val cand = sym
+        .join(dist.withColumnRenamed("n", "s"), Seq("s"))
+        .select(col("t").as("n"), (col("dist") + 1L).as("cand"))
+        .groupBy(col("n"))
+        .agg(min(col("cand")).as("cand"))
+      // BFS monotonicity: an already-labeled node can never improve
+      // (its neighbors are at dist-1 or later), so the merge only ADDS
+      // nodes — LEAST keeps existing labels and admits first reaches
+      val merged = Caches.track(
+        dist.join(cand, Seq("n"), "full_outer")
+          .select(col("n"),
+            least(coalesce(col("dist"), col("cand")),
+              coalesce(col("cand"), col("dist"))).as("dist")))
+      // early exit: a round that reaches nobody new ends the wave; every
+      // further round is a provable no-op (same-count ⇒ same-set here,
+      // because rows are only ever added)
+      waveDone = merged.count() == dist.count()
+      dist = merged
+      round += 1
+    }
+    val converged = broadcast(dist.sparkSession.range(1)
+      .select(lit(waveDone).as("converged")))
+    dist.crossJoin(converged)
+  }
+}

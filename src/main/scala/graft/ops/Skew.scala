@@ -31,4 +31,31 @@ object Skew {
         sum(col("_n")).as("n"),
         sum(col("_s")).as("sum"))
   }
+
+  /** Salted inner equi-join: the join twin of [[saltedSumCount]]. The
+    * probe side gets a deterministic salt (xxhash64 of `saltFrom`,
+    * modulo `buckets`); the build side is replicated once per salt
+    * value; the join key becomes (keys…, _salt), so one hot key spreads
+    * over `buckets` shuffle partitions instead of pinning one reducer.
+    * Row-for-row identical to `big.join(small, keys)` — every probe row
+    * meets exactly one replica of its matching build row.
+    *
+    * When the build side fits a broadcast, `broadcast(small)` beats this
+    * (no shuffle at all, and a broadcast join cannot skew) — the salted
+    * path is for dimension tables ABOVE the broadcast threshold joined
+    * on a skewed key, where sort-merge would straggle. AQE's skew-join
+    * splitting handles the sort-merge case at runtime; the explicit salt
+    * keeps the layout deterministic and also covers shuffled-hash plans,
+    * which AQE's splitter does not rebalance on the probe side. The
+    * shuffle-hash hint pins that plan shape so specs and Explain
+    * exercise the exact layout a too-big-to-broadcast dim would use. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFrom: String, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2, "salting needs at least 2 buckets")
+    val probe = big.withColumn("_salt",
+      pmod(xxhash64(col(saltFrom)), lit(buckets.toLong)))
+    val build = small.withColumn("_salt",
+      explode(array((0L until buckets.toLong).map(lit(_)): _*)))
+    probe.join(build.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
+  }
 }

@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Bfs, Profile, Skew}
+import graft.sources.Tables
+
+/** Evaluation / concentration / graph-proximity analytics — the model-
+  * and-portfolio reporting layer above the KPI views: exact ROC-AUC of a
+  * behavioral score, Lorenz-curve revenue concentration with an
+  * exact-integer Gini, multi-source BFS proximity, Wilson confidence
+  * intervals on conversion rates, and the salted-join twin of the q137
+  * skew family.
+  *
+  * Exactness discipline (OracleQuery.scala header): every accumulated
+  * quantity is a BIGINT or decimal sum (order-independent); doubles
+  * appear only in one fixed-shape per-row expression — divisions and
+  * sqrt, both IEEE-exact on identical operands; never a transcendental
+  * (the q187 ln rule).
+  */
+object InsightQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val DayUs = 86400000000L
+
+  /** Exact ROC curve + AUC of "click count predicts purchase" at the user
+    * grain, via the rank-sum (Mann–Whitney) identity with average-rank
+    * tie handling: 2·U = Σ_s pos_s · (2·neg_below(s) + neg_s), all
+    * BIGINT, so AUC = 2U / (2·n_pos·n_neg) is ONE double division —
+    * engine-exact where any float rank formulation would not be.
+    *
+    * Scale shape: the user grain is one map-side-combinable aggregate;
+    * the ROC window runs over DISTINCT SCORES ONLY (per-user event
+    * counts — dozens of values, not user-count rows), so the single
+    * global window is over a bounded table; nothing user-sized is sorted
+    * or collected. At extreme counts (n_pos·n_neg beyond 2⁶²) the U
+    * moments would ride decimal(38,0) — same shape, wider lane. */
+  val q207Auc = OracleQuery("q207_roc_auc",
+    "exact ROC curve + Mann-Whitney AUC of click-count vs purchase",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+      val byScore = users.groupBy(col("score"))
+        .agg(sum(col("label")).as("pos"),
+          sum(lit(1L) - col("label")).as("neg"))
+      val wLt = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // cached: |distinct scores| rows feed BOTH the emitted curve and
+      // the broadcast totals — without the cache the whole user-grain
+      // aggregate (the expensive subtree) runs twice (the q74 lesson)
+      val cum = graft.ops.Caches.track(byScore
+        .withColumn("cum_pos_lt",
+          coalesce(sum(col("pos")).over(wLt), lit(0L)))
+        .withColumn("cum_neg_lt",
+          coalesce(sum(col("neg")).over(wLt), lit(0L))))
+      val tot = broadcast(cum.agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_neg_lt") + col("neg")))
+          .as("u2")))
+      cum.crossJoin(tot)
+        .select(
+          col("score"), col("pos"), col("neg"),
+          (col("n_pos") - col("cum_pos_lt")).as("tp"),
+          (col("n_neg") - col("cum_neg_lt")).as("fp"),
+          when(col("n_pos") === 0L, lit(0.0))
+            .otherwise((col("n_pos") - col("cum_pos_lt")).cast("double") /
+              col("n_pos").cast("double")).as("tpr"),
+          when(col("n_neg") === 0L, lit(0.0))
+            .otherwise((col("n_neg") - col("cum_neg_lt")).cast("double") /
+              col("n_neg").cast("double")).as("fpr"),
+          col("n_pos"), col("n_neg"),
+          when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0.0))
+            .otherwise(col("u2").cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+        .orderBy("score")
+    },
+    Some("""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS label
+        FROM events GROUP BY 1),
+      by_score AS MATERIALIZED (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS pos,
+               CAST(SUM(1 - label) AS BIGINT) AS neg
+        FROM users GROUP BY 1),
+      cum AS MATERIALIZED (
+        SELECT score, pos, neg,
+               CAST(COALESCE(SUM(pos) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_pos_lt,
+               CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_neg_lt
+        FROM by_score),
+      tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cum_neg_lt + neg)) AS BIGINT) AS u2
+        FROM cum)
+      SELECT c.score, c.pos, c.neg,
+             t.n_pos - c.cum_pos_lt AS tp,
+             t.n_neg - c.cum_neg_lt AS fp,
+             CASE WHEN t.n_pos = 0 THEN 0.0
+                  ELSE CAST(t.n_pos - c.cum_pos_lt AS DOUBLE) /
+                       CAST(t.n_pos AS DOUBLE) END AS tpr,
+             CASE WHEN t.n_neg = 0 THEN 0.0
+                  ELSE CAST(t.n_neg - c.cum_neg_lt AS DOUBLE) /
+                       CAST(t.n_neg AS DOUBLE) END AS fpr,
+             t.n_pos, t.n_neg,
+             CASE WHEN t.n_pos = 0 OR t.n_neg = 0 THEN 0.0
+                  ELSE CAST(t.u2 AS DOUBLE) /
+                       CAST(2 * t.n_pos * t.n_neg AS DOUBLE) END AS auc
+      FROM cum c CROSS JOIN tot t
+      ORDER BY c.score"""))
+
+  /** Lorenz curve of customer revenue on a decile grid + the Gini
+    * coefficient with an EXACT-INTEGER numerator: with cumulative
+    * customer counts cumN and revenue cents cumC, the trapezoid identity
+    * gives Gini = 1 − Σ_d n_d·(cumC_d + cumC_{d−1}) / (N·C) — the sum is
+    * pure BIGINT (headroom at bench scale ≈ 10¹⁵ ≪ 2⁶³; at 10⁹ customers
+    * the products ride decimal(38,0), same shape), and the final value is
+    * one double division. The revenue-concentration card every
+    * portfolio/marketplace review opens with.
+    *
+    * Scale shape: decile cuts come from [[Profile.scalableOrderStats]]'s
+    * histogram walk (ONE scan + driver-bounded histogram — never a
+    * customer-sized global sort); assignment is a broadcast comparison;
+    * all windows run over ≤10 decile rows. */
+  val q208Lorenz = OracleQuery("q208_lorenz_gini",
+    "customer revenue Lorenz deciles + exact-integer-numerator Gini",
+    (s, d) => {
+      // cached: the customer-grain table has three consumers (histogram
+      // pass, order-stat pass 2, decile assignment) — one orders scan,
+      // not three
+      val cust = graft.ops.Caches.track(Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100)
+          .cast("long").as("cents"))
+        .withColumn("g", lit(1L)))
+      val cutsRaw = Profile.scalableOrderStats(cust, "g", "cents",
+        "o_custkey", (1 to 9).map(_ / 10.0))
+      val cutCols = (1 to 9).map(i =>
+        min(when(col("q_idx") === (i - 1).toLong, col("order_stat")))
+          .as(s"c$i"))
+      val cuts = broadcast(
+        cutsRaw.groupBy(col("g")).agg(cutCols.head, cutCols.tail: _*))
+      val decile = (1 to 9).foldLeft(when(lit(false), lit(0L))) {
+        case (acc, i) => acc.when(col("cents") <= col(s"c$i"), (i - 1).toLong)
+      }.otherwise(9L)
+      val dec = cust.join(cuts, Seq("g"))
+        .withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPrev = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = dec
+        .withColumn("cum_n", sum(col("n_cust")).over(wCum))
+        .withColumn("cum_c", sum(col("cents")).over(wCum))
+        .withColumn("prev_c",
+          coalesce(sum(col("cents")).over(wPrev), lit(0L)))
+      val tot = broadcast(cum.agg(
+        sum(col("n_cust")).as("n_tot"),
+        sum(col("cents")).as("c_tot"),
+        sum(col("n_cust") * (col("cum_c") + col("prev_c")))
+          .as("term_sum")))
+      cum.crossJoin(tot)
+        .select(
+          col("decile"), col("n_cust"), col("cents"),
+          col("cum_n"), col("cum_c"),
+          (col("cum_n").cast("double") / col("n_tot").cast("double"))
+            .as("pop_share"),
+          (col("cum_c").cast("double") / col("c_tot").cast("double"))
+            .as("rev_share"),
+          (lit(1.0) - col("term_sum").cast("double") /
+            (col("n_tot") * col("c_tot")).cast("double")).as("gini"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH cust AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT cents, o_custkey,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM cust),
+      cuts AS MATERIALIZED (
+        SELECT
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.1e0) AS BIGINT) + 1 THEN cents END) AS c1,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.2e0) AS BIGINT) + 1 THEN cents END) AS c2,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.3e0) AS BIGINT) + 1 THEN cents END) AS c3,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.4e0) AS BIGINT) + 1 THEN cents END) AS c4,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.5e0) AS BIGINT) + 1 THEN cents END) AS c5,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.6e0) AS BIGINT) + 1 THEN cents END) AS c6,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.7e0) AS BIGINT) + 1 THEN cents END) AS c7,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.8e0) AS BIGINT) + 1 THEN cents END) AS c8,
+          MIN(CASE WHEN rk = CAST(floor((n-1) * 0.9e0) AS BIGINT) + 1 THEN cents END) AS c9
+        FROM ranked),
+      dec AS MATERIALIZED (
+        SELECT CAST(CASE WHEN cents <= c1 THEN 0
+                         WHEN cents <= c2 THEN 1
+                         WHEN cents <= c3 THEN 2
+                         WHEN cents <= c4 THEN 3
+                         WHEN cents <= c5 THEN 4
+                         WHEN cents <= c6 THEN 5
+                         WHEN cents <= c7 THEN 6
+                         WHEN cents <= c8 THEN 7
+                         WHEN cents <= c9 THEN 8
+                         ELSE 9 END AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM cust CROSS JOIN cuts GROUP BY 1),
+      cum AS MATERIALIZED (
+        SELECT decile, n_cust, cents,
+               CAST(SUM(n_cust) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_n,
+               CAST(SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_c,
+               CAST(COALESCE(SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS prev_c
+        FROM dec),
+      tot AS (
+        SELECT CAST(SUM(n_cust) AS BIGINT) AS n_tot,
+               CAST(SUM(cents) AS BIGINT) AS c_tot,
+               CAST(SUM(n_cust * (cum_c + prev_c)) AS BIGINT) AS term_sum
+        FROM cum)
+      SELECT c.decile, c.n_cust, c.cents, c.cum_n, c.cum_c,
+             CAST(c.cum_n AS DOUBLE) / CAST(t.n_tot AS DOUBLE) AS pop_share,
+             CAST(c.cum_c AS DOUBLE) / CAST(t.c_tot AS DOUBLE) AS rev_share,
+             1.0 - CAST(t.term_sum AS DOUBLE) /
+                   CAST(t.n_tot * t.c_tot AS DOUBLE) AS gini
+      FROM cum c CROSS JOIN tot t
+      ORDER BY c.decile"""))
+
+  /** Multi-source BFS hop distance over the part co-purchase graph
+    * (q162's edge list), seeds = parts 1..10 — "how far is every product
+    * from the curated seed assortment", the TrustRank-distance shape.
+    * [[Bfs.hopDistances]] runs 4 fixed rounds with early exit; the
+    * oracle replays the rounds as chained MATERIALIZED CTEs (pure
+    * integer MIN — node-for-node agreement), and `converged` is computed
+    * by BOTH engines (engine: did a round reach nobody new; oracle:
+    * |d4| = |d3|), so a diameter that outgrows the budget turns the
+    * driver row red. */
+  val q209BfsDistance = OracleQuery("q209_bfs_distance",
+    "multi-source BFS hop distances on the part co-purchase graph",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = bi.join(bi.select(col("b"), col("i").as("pb")), "b")
+        .filter(col("i") < col("pb"))
+        .select(col("i").as("pa"), col("pb"))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") <= 10).select(col("p_partkey"))
+      Bfs.hopDistances(edges, "pa", "pb", seeds, rounds = 4)
+        .orderBy("n")
+    },
+    Some("""
+      WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      canon AS MATERIALIZED (
+        SELECT DISTINCT e1.i AS a, e2.i AS bb
+        FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i),
+      sym AS MATERIALIZED (
+        SELECT a AS s, bb AS t FROM canon
+        UNION ALL SELECT bb, a FROM canon),
+      d0 AS MATERIALIZED (
+        SELECT p_partkey AS n, CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey <= 10),
+      d1 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d0
+          UNION ALL
+          SELECT e.t AS n, d.dist + 1 AS dist
+          FROM d0 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d2 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d1
+          UNION ALL
+          SELECT e.t AS n, d.dist + 1 AS dist
+          FROM d1 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d3 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d2
+          UNION ALL
+          SELECT e.t AS n, d.dist + 1 AS dist
+          FROM d2 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d4 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d3
+          UNION ALL
+          SELECT e.t AS n, d.dist + 1 AS dist
+          FROM d3 d JOIN sym e ON d.n = e.s) GROUP BY n)
+      SELECT n, dist,
+             (SELECT COUNT(*) FROM d4) = (SELECT COUNT(*) FROM d3)
+               AS converged
+      FROM d4
+      ORDER BY n"""))
+
+  /** Per-nation conversion rate with a Wilson 95% score interval — the
+    * uncertainty-aware KPI twin of q32: point rates on small nations are
+    * noise, the Wilson band says how much. From exact BIGINT evidence
+    * (users, converters) the interval is ONE fixed-shape double
+    * expression — +, ×, ÷ and sqrt only, all IEEE-exact on identical
+    * operands (the q171 discipline; ln/erf approximations would not
+    * cross engines, which is why it's Wilson and not Jeffreys). */
+  val q210WilsonCi = OracleQuery("q210_wilson_ci",
+    "per-nation conversion rate with Wilson 95% confidence bounds",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val byNation = users
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val nd = col("n_users").cast("double")
+      val kd = col("n_conv").cast("double")
+      val z = lit(1.96)
+      val phat = kd / nd
+      val denom = lit(1.0) + z * z / nd
+      val center = (phat + z * z / (lit(2.0) * nd)) / denom
+      val half = z * sqrt(phat * (lit(1.0) - phat) / nd +
+        z * z / (lit(4.0) * nd * nd)) / denom
+      byNation.select(
+        col("n_name"), col("n_users"), col("n_conv"),
+        phat.as("rate"),
+        (center - half).as("wilson_lo"),
+        (center + half).as("wilson_hi"))
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS conv
+        FROM events GROUP BY 1),
+      by_nation AS MATERIALIZED (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM users
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1)
+      SELECT n_name, n_users, n_conv,
+             CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+             (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                + 1.96e0 * 1.96e0 / (2e0 * CAST(n_users AS DOUBLE))) /
+               (1e0 + 1.96e0 * 1.96e0 / CAST(n_users AS DOUBLE))
+             - 1.96e0 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 * (1e0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE)
+                 + 1.96e0 * 1.96e0 / (4e0 * CAST(n_users AS DOUBLE)
+                     * CAST(n_users AS DOUBLE))) /
+               (1e0 + 1.96e0 * 1.96e0 / CAST(n_users AS DOUBLE)) AS wilson_lo,
+             (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                + 1.96e0 * 1.96e0 / (2e0 * CAST(n_users AS DOUBLE))) /
+               (1e0 + 1.96e0 * 1.96e0 / CAST(n_users AS DOUBLE))
+             + 1.96e0 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 * (1e0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE)
+                 + 1.96e0 * 1.96e0 / (4e0 * CAST(n_users AS DOUBLE)
+                     * CAST(n_users AS DOUBLE))) /
+               (1e0 + 1.96e0 * 1.96e0 / CAST(n_users AS DOUBLE)) AS wilson_hi
+      FROM by_nation
+      ORDER BY n_name"""))
+
+  /** Salted equi-join ([[Skew.saltedJoin]]) on the maximally skewed key
+    * in the warehouse — events.event_type has FIVE values, so a plain
+    * shuffled join pins five reducers while the rest idle; the salt
+    * spreads each type over 16 sub-partitions. The query joins per-type
+    * global means back onto the events (the classic "compare each row to
+    * its group's global stat" enrichment that CANNOT fold into one
+    * aggregate when the stat must come from the full table but the
+    * output grain is finer) and rolls up above-mean counts per type-day.
+    * Oracle = the UNSALTED join — row-for-row equality of the salted
+    * rewrite is exactly what's being gated. */
+  val q211SaltedJoin = OracleQuery("q211_salted_join",
+    "salted skew-join enrichment: per type-day counts above the type mean",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg((sum(col("value").cast(dec2)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_value"))
+      Skew.saltedJoin(ev, stats, Seq("event_type"), "event_id", 16)
+        .withColumn("day", expr(s"ts div 1000 div $DayUs"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("value") > col("mean_value"), 1L).otherwise(0L))
+            .as("n_above"),
+          min(col("mean_value")).as("mean_value"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH stats AS MATERIALIZED (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS mean_value
+        FROM events GROUP BY 1)
+      SELECT e.event_type,
+             epoch_us(e.ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN e.value > s.mean_value THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above,
+             MIN(s.mean_value) AS mean_value
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin)
+}

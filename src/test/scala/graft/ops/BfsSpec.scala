@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BfsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("src", "dst")
+
+  private def seeds(ns: Long*) = ns.toSeq.toDF("n")
+
+  private def run(e: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame, rounds: Int) = {
+    val r = Bfs.hopDistances(e, "src", "dst", s, rounds)
+    val dists = r.select($"n", $"dist").as[(Long, Long)].collect().toMap
+    val conv = r.select($"converged").head().getBoolean(0)
+    (dists, conv)
+  }
+
+  test("path graph: hand-traced wave from one seed") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val (d4, conv4) = run(e, seeds(1L), rounds = 4)
+    assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(!conv4,
+      "node 5 arrived IN the last round — no empty round confirmed the wave")
+    val (d5, conv5) = run(e, seeds(1L), rounds = 5)
+    assert(d5 == d4)
+    assert(conv5, "round 5 reaches nobody new => full closure confirmed")
+  }
+
+  test("round budget smaller than the diameter: truncated wave, flag false") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val (d, conv) = run(e, seeds(1L), rounds = 2)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(!conv, "nodes 4,5 unreached => not converged")
+  }
+
+  test("two seeds: every node takes the NEAREST seed's distance") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val (d, conv) = run(e, seeds(1L, 5L), rounds = 4)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    assert(conv)
+  }
+
+  test("isolated seed stays at dist 0; unreachable component is absent") {
+    val e = edges(1L -> 2L, 10L -> 11L)
+    val (d, conv) = run(e, seeds(1L, 99L), rounds = 3)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 99L -> 0L))
+    assert(conv)
+    assert(!d.contains(10L) && !d.contains(11L))
+  }
+
+  test("raw edges: duplicates, reversals and self-loops canonicalize away") {
+    val e = edges(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 2L, 2L -> 3L)
+    val (d, _) = run(e, seeds(1L), rounds = 3)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}

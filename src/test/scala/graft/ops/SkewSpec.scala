@@ -22,6 +22,30 @@ class SkewSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("salted join is row-for-row the plain join") {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("type_n"))
+    val plain = ev.join(stats, Seq("event_type"))
+      .select($"event_id", $"event_type", $"type_n")
+      .as[(Long, String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(ev, stats, Seq("event_type"), "event_id", 8)
+      .select($"event_id", $"event_type", $"type_n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join spreads a single hot key over all salt buckets") {
+    val ev = Tables.events(spark, sfDir).filter($"event_type" === "click")
+    val dim = Seq(("click", 1L)).toDF("event_type", "flag")
+    val joined = Skew.saltedJoin(ev, dim, Seq("event_type"), "event_id", 8)
+    assert(joined.count() == ev.count(), "exactly one replica matches each row")
+    val buckets = ev
+      .withColumn("_salt", pmod(xxhash64($"event_id"), lit(8L)))
+      .groupBy($"_salt").count()
+    assert(buckets.count() == 8, "all 8 salt buckets populated")
+  }
+
   test("salt actually spreads a hot key across buckets") {
     val ev = Tables.events(spark, sfDir)
     val buckets = ev.filter($"event_type" === "click")

@@ -433,6 +433,153 @@ object InsightQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** CUSUM change-point detection on daily revenue — "did the level
+    * shift, and when": the classic cumulative-sum statistic S_k =
+    * Σ_{i≤k}(x_i − μ), kept EXACT by scaling out the rational mean:
+    * T_k = N·cum_k − k·C (μ = C/N), pure BIGINT, so the argmax day is
+    * integer-exact and the normalized trace is one division per row.
+    * The peak |T_k| marks the most likely change point (Page 1954 /
+    * binary-segmentation step 1).
+    *
+    * Scale shape: the series is DAY-grain (calendar-bounded, thousands
+    * of rows at any corpus size) — the fact table collapses in one
+    * map-side-combinable aggregate and only day rows meet the windows;
+    * headroom: cents·days ≈ 10¹⁵ ≪ 2⁶³ at bench scale (decimal(38,0)
+    * at petabyte cents). */
+  val q212Cusum = OracleQuery("q212_cusum_changepoint",
+    "CUSUM change-point trace + exact argmax day on daily revenue",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(expr("cast(unix_date(to_date(o_orderdate)) as bigint)")
+          .as("day"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100)
+          .cast("long").as("cents"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily
+        .withColumn("k", count(lit(1)).over(wCum))
+        .withColumn("cum_c", sum(col("cents")).over(wCum))
+      val tot = broadcast(daily.agg(
+        count(lit(1)).as("n_days"), sum(col("cents")).as("c_tot")))
+      val traced = graft.ops.Caches.track(cum.crossJoin(tot)
+        .withColumn("t_k",
+          col("n_days") * col("cum_c") - col("k") * col("c_tot")))
+      val peak = broadcast(traced.agg(
+        min(struct((-abs(col("t_k"))).as("neg_abs"), col("day")))
+          .as("pk")).select(col("pk.day").as("peak_day")))
+      traced.crossJoin(peak)
+        .select(
+          col("day"), col("cents"), col("cum_c"), col("t_k"),
+          (col("t_k").cast("double") /
+            (col("n_days") * col("c_tot")).cast("double")).as("cusum_norm"),
+          (col("day") === col("peak_day")).as("is_change_point"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      cum AS MATERIALIZED (
+        SELECT day, cents,
+               CAST(COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS k,
+               CAST(SUM(cents) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_c
+        FROM daily),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS c_tot
+        FROM daily),
+      traced AS MATERIALIZED (
+        SELECT c.day, c.cents, c.cum_c,
+               t.n_days * c.cum_c - c.k * t.c_tot AS t_k,
+               t.n_days, t.c_tot
+        FROM cum c CROSS JOIN tot t),
+      peak AS (
+        SELECT day AS peak_day FROM traced
+        ORDER BY abs(t_k) DESC, day LIMIT 1)
+      SELECT tr.day, tr.cents, tr.cum_c, tr.t_k,
+             CAST(tr.t_k AS DOUBLE) /
+               CAST(tr.n_days * tr.c_tot AS DOUBLE) AS cusum_norm,
+             tr.day = p.peak_day AS is_change_point
+      FROM traced tr CROSS JOIN peak p
+      ORDER BY tr.day"""))
+
+  /** Autocorrelation card: exact-moment ACF of daily event volume at
+    * lags 1..7 — the seasonality fingerprint behind scheduling and
+    * anomaly baselines (a weekly cycle shows as a lag-7 spike). Each
+    * lag's r is Pearson over the (x_t, x_{t+L}) pairs — q171's five
+    * BIGINT moments on the lag-joined day series, one fixed-shape
+    * double expression per lag, sqrt only.
+    *
+    * Scale shape: the fact collapses to the day grain first (map-side
+    * combinable); the lag join and moment aggregation touch only
+    * |days|·7 rows — calendar-bounded at any corpus size. */
+  val q213AcfCard = OracleQuery("q213_acf_card",
+    "exact-moment autocorrelation of daily event counts, lags 1..7",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(
+        Tables.events(s, d)
+          .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+          .agg(count(lit(1)).as("c")))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val pairs = daily.crossJoin(broadcast(lags))
+        .select(col("lag"), (col("day") + col("lag")).as("day"),
+          col("c").as("xa"))
+        .join(daily.select(col("day"), col("c").as("xb")), Seq("day"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xa")).as("sx"),
+          sum(col("xb")).as("sy"),
+          sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"))
+      m.select(
+        col("lag"), col("n"), col("sx"), col("sy"), col("sxy"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L ||
+             col("n") * col("syy") - col("sy") * col("sy") === 0L, lit(0.0))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      pairs AS MATERIALIZED (
+        SELECT l.lag, a.c AS xa, b.c AS xb
+        FROM daily a
+        CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(lag)
+        JOIN daily b ON b.day = a.day + l.lag),
+      m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xa) AS BIGINT) AS sx,
+               CAST(SUM(xb) AS BIGINT) AS sy,
+               CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+               CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+               CAST(SUM(xb * xb) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy,
+             CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                  THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS acf
+      FROM m
+      ORDER BY lag"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin)
+    Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
+      q212Cusum, q213AcfCard)
 }

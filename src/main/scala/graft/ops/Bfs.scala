@@ -73,4 +73,56 @@ object Bfs {
       .select(lit(waveDone).as("converged")))
     dist.crossJoin(converged)
   }
+
+  /** Weighted single/multi-source shortest paths: fixed-round
+    * Bellman-Ford relaxation over INTEGER edge weights — the weighted
+    * generalization of [[hopDistances]]. Unlike BFS, a labeled node CAN
+    * improve in a later round (a longer-hop cheaper path arrives), so
+    * the early-exit probe is a set-difference (did ANY label change),
+    * not a count compare — one node-sized EXCEPT per round, the price
+    * of a true fixpoint test. `rounds` bounds path LENGTH in hops;
+    * distances are exact BIGINTs so the oracle replays the relaxation
+    * rounds as chained CTEs bit-for-bit.
+    *
+    * Parallel edges collapse to their MIN weight; weights must be
+    * positive for the fixed-round result to equal true shortest paths
+    * within the hop bound (Bellman-Ford's usual contract). */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in 1..20")
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    val canon = edges
+      .select(least(s, d).as("a"), greatest(s, d).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val sym = Caches.track(
+      canon.select(col("a").as("s"), col("b").as("t"), col("w"))
+        .unionByName(canon.select(col("b").as("s"), col("a").as("t"),
+          col("w"))))
+    var dist = Caches.track(
+      sources.select(col(sources.columns.head).cast("long").as("n"))
+        .distinct()
+        .withColumn("dist", lit(0L)))
+    var round = 0
+    var fixpoint = false
+    while (round < rounds && !fixpoint) {
+      val cand = sym.join(dist.withColumnRenamed("n", "s"), Seq("s"))
+        .select(col("t").as("n"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("n"))
+        .agg(min(col("cand")).as("cand"))
+      val merged = Caches.track(
+        dist.join(cand, Seq("n"), "full_outer")
+          .select(col("n"),
+            least(coalesce(col("dist"), col("cand")),
+              coalesce(col("cand"), col("dist"))).as("dist")))
+      fixpoint = merged.exceptAll(dist).limit(1).count() == 0
+      dist = merged
+      round += 1
+    }
+    val converged = broadcast(dist.sparkSession.range(1)
+      .select(lit(fixpoint).as("converged")))
+    dist.crossJoin(converged)
+  }
 }

@@ -579,7 +579,239 @@ object InsightQueries {
       FROM m
       ORDER BY lag"""))
 
+  /** Weighted shortest paths ([[Bfs.weightedDistances]], fixed-round
+    * Bellman-Ford) over the co-purchase graph with AFFINITY-DERIVED
+    * integer costs: strongly co-purchased pairs are cheap to traverse
+    * (w = max(1, 6 − min(shared_orders, 5))), so the distance ranks
+    * "assortment closeness" to the seed parts — the weighted upgrade of
+    * q209 a recommender's related-items expansion uses. All distances
+    * BIGINT; the oracle replays the relaxation rounds as chained CTEs
+    * and the convergence probe as d4 EXCEPT d3. */
+  val q214WeightedPaths = OracleQuery("q214_weighted_paths",
+    "Bellman-Ford affinity-cost distances from seed parts",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val weighted = bi.join(bi.select(col("b"), col("i").as("pb")), "b")
+        .filter(col("i") < col("pb"))
+        .groupBy(col("i").as("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("pa"), col("pb"),
+          greatest(lit(1L), lit(6L) - least(col("n_shared"), lit(5L)))
+            .as("w"))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") <= 10).select(col("p_partkey"))
+      Bfs.weightedDistances(weighted, "pa", "pb", "w", seeds, rounds = 4)
+        .orderBy("n")
+    },
+    Some("""
+      WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      pairs AS MATERIALIZED (
+        SELECT e1.i AS a, e2.i AS bb, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bi e1 JOIN bi e2 ON e1.b = e2.b AND e1.i < e2.i
+        GROUP BY 1, 2),
+      wedges AS MATERIALIZED (
+        SELECT a, bb, CAST(greatest(1, 6 - least(n, 5)) AS BIGINT) AS w
+        FROM pairs),
+      sym AS MATERIALIZED (
+        SELECT a AS s, bb AS t, w FROM wedges
+        UNION ALL SELECT bb, a, w FROM wedges),
+      d0 AS MATERIALIZED (
+        SELECT p_partkey AS n, CAST(0 AS BIGINT) AS dist
+        FROM part WHERE p_partkey <= 10),
+      d1 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d0
+          UNION ALL
+          SELECT e.t AS n, d.dist + e.w AS dist
+          FROM d0 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d2 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d1
+          UNION ALL
+          SELECT e.t AS n, d.dist + e.w AS dist
+          FROM d1 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d3 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d2
+          UNION ALL
+          SELECT e.t AS n, d.dist + e.w AS dist
+          FROM d2 d JOIN sym e ON d.n = e.s) GROUP BY n),
+      d4 AS MATERIALIZED (
+        SELECT n, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT n, dist FROM d3
+          UNION ALL
+          SELECT e.t AS n, d.dist + e.w AS dist
+          FROM d3 d JOIN sym e ON d.n = e.s) GROUP BY n)
+      SELECT n, dist,
+             (SELECT COUNT(*) FROM
+               (SELECT n, dist FROM d4 EXCEPT SELECT n, dist FROM d3)) = 0
+               AS converged
+      FROM d4
+      ORDER BY n"""))
+
+  /** Session path mining: the top opening 3-step event-type paths per
+    * session — the "how do journeys start" card funnels are built from.
+    * Sessionization follows q28's exact gap convention (1 h, lag +
+    * running sum); the first 3 steps pivot out via rank-conditional MIN
+    * (no per-session collect), and paths aggregate to exact counts.
+    *
+    * Scale shape: both windows partition by user/session (shuffle on
+    * user_id, per-partition bounded by one user's activity); the path
+    * table is tiny (|event_types|³ ≤ 125 + short paths) and TopK is a
+    * TakeOrdered, never a global sort. */
+  val q215SessionPaths = OracleQuery("q215_session_paths",
+    "top opening 3-step session paths (q28 sessionization convention)",
+    (s, d) => {
+      val gapUs = 3600000000L
+      val tsUs = expr("ts div 1000")
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          tsUs.as("ts_us"))
+      val sess = ev
+        .withColumn("is_new",
+          when(lag(col("ts_us"), 1).over(wo).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(wo) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      sess
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(when(col("rn") === 1, col("event_type"))).as("e1"),
+          min(when(col("rn") === 2, col("event_type"))).as("e2"),
+          min(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS MATERIALIZED (
+        SELECT user_id, event_id, event_type, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged),
+      ranked AS MATERIALIZED (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                 ORDER BY ts_us, event_id) AS rn
+        FROM sess),
+      paths AS MATERIALIZED (
+        SELECT concat_ws('>',
+                 MIN(CASE WHEN rn = 1 THEN event_type END),
+                 MIN(CASE WHEN rn = 2 THEN event_type END),
+                 MIN(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, session_id)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths
+      GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 20"""))
+
+  /** Benford first-digit audit of order amounts — the forensic
+    * data-quality screen (Nigrini's MAD test): observed leading-digit
+    * shares vs the Benford expectation log₁₀(1+1/d), with the maximum
+    * absolute deviation as the test statistic. The expectations are
+    * 17-significant-digit DOUBLE LITERALS (shortest round-trip form) so
+    * both engines parse the identical double — computing log10 in-query
+    * would hit the q187 transcendental-portability rule; shares and
+    * gaps are per-row fixed-shape math, and MAX over doubles is
+    * order-independent (it's a comparison, not an accumulation).
+    *
+    * Scale shape: one map-side-combinable digit aggregate (9 groups);
+    * everything after runs on a 9-row cached frame. */
+  val q216Benford = OracleQuery("q216_benford_audit",
+    "Benford first-digit audit of order amounts + max-abs-deviation stat",
+    (s, d) => {
+      // literal constants, NOT runtime log10: JVM Math.log10 and DuckDB's
+      // libm disagree by 1 ulp already at d=3 (…993 vs …992) — the same
+      // shared-literal discipline as the oracle side
+      val benford = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val expected = benford.zipWithIndex.foldLeft(
+        when(lit(false), lit(0.0))) {
+        case (acc, (e, i)) => acc.when(col("digit") === (i + 1).toLong,
+          lit(e))
+      }.otherwise(lit(0.0))
+      val digits = Tables.orders(s, d)
+        .select((col("o_totalprice").cast(dec2) * 100).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0L)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = broadcast(digits.agg(sum(col("n")).as("n_tot")))
+      val traced = graft.ops.Caches.track(digits.crossJoin(tot)
+        .withColumn("share",
+          col("n").cast("double") / col("n_tot").cast("double"))
+        .withColumn("expected", expected)
+        .withColumn("gap", abs(col("share") - col("expected"))))
+      val mad = broadcast(traced.agg(max(col("gap")).as("max_abs_dev")))
+      traced.crossJoin(mad)
+        .select(col("digit"), col("n"), col("share"), col("expected"),
+          col("gap"), col("max_abs_dev"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH digits AS MATERIALIZED (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders) t
+        WHERE cents > 0
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM digits),
+      traced AS MATERIALIZED (
+        SELECT d.digit, d.n,
+               CAST(d.n AS DOUBLE) / CAST(t.n_tot AS DOUBLE) AS share,
+               CASE d.digit
+                 WHEN 1 THEN 0.3010299956639812e0
+                 WHEN 2 THEN 0.17609125905568124e0
+                 WHEN 3 THEN 0.12493873660829992e0
+                 WHEN 4 THEN 0.09691001300805642e0
+                 WHEN 5 THEN 0.07918124604762482e0
+                 WHEN 6 THEN 0.06694678963061322e0
+                 WHEN 7 THEN 0.05799194697768673e0
+                 WHEN 8 THEN 0.05115252244738129e0
+                 WHEN 9 THEN 0.04575749056067514e0
+                 ELSE 0.0e0 END AS expected
+        FROM digits d CROSS JOIN tot t)
+      SELECT digit, n, share, expected,
+             abs(share - expected) AS gap,
+             (SELECT MAX(abs(share - expected)) FROM traced)
+               AS max_abs_dev
+      FROM traced
+      ORDER BY digit"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
-      q212Cusum, q213AcfCard)
+      q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
+      q216Benford)
 }

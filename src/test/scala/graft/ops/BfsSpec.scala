@@ -53,6 +53,28 @@ class BfsSpec extends SparkTestBase {
     assert(!d.contains(10L) && !d.contains(11L))
   }
 
+  test("weighted relaxation: a longer-hop cheaper path wins") {
+    // 1-2 costs 10; 1-3-2 costs 2+3=5: node 2 improves in round 2
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val r = Bfs.weightedDistances(e, "src", "dst", "w", seeds(1L), rounds = 4)
+    val d = r.select($"n", $"dist").as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+    assert(r.select($"converged").head().getBoolean(0))
+  }
+
+  test("weighted: parallel edges collapse to min weight; hop budget caps paths") {
+    val e = Seq((1L, 2L, 7L), (2L, 1L, 4L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Bfs.weightedDistances(e, "src", "dst", "w", seeds(1L), rounds = 1)
+    val d1 = r1.select($"n", $"dist").as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 4L), "round 1: only direct neighbors")
+    assert(!r1.select($"converged").head().getBoolean(0))
+    val r = Bfs.weightedDistances(e, "src", "dst", "w", seeds(1L), rounds = 4)
+    val d = r.select($"n", $"dist").as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 4L, 3L -> 5L, 4L -> 6L))
+  }
+
   test("raw edges: duplicates, reversals and self-loops canonicalize away") {
     val e = edges(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 2L, 2L -> 3L)
     val (d, _) = run(e, seeds(1L), rounds = 3)

@@ -29,7 +29,11 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional regex over query names — local iteration on a subset; the
+    // driver sets no filter and benches the whole catalog
+    val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(nameFilter)).map { case (name, fn) =>
       // noop sink forces full materialization of every output column
       // (count() alone lets Catalyst prune the computed columns away).
       // A throwing query must NOT be reported as a normal fast timing:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Bfs, Profile, Skew}
+import graft.ops.{Bfs, Profile, Quantize, Similarity, Skew}
 import graft.sources.Tables
 
 /** Evaluation / concentration / graph-proximity analytics — the model-
@@ -810,8 +810,156 @@ object InsightQueries {
       FROM traced
       ORDER BY digit"""))
 
+  /** Embedding-space health card: the pairwise-cosine distribution over
+    * a DETERMINISTIC md5-ranked sample — collapsed similarities (a
+    * degenerate encoder), bimodality (mixed populations) and hubness
+    * all show in this histogram before any ANN index is built. The
+    * sample is the 64 lowest md5(vec_id) vectors (RNG-free, the q85/q90
+    * curation convention), so the 2016 pairwise cosines are a fixed,
+    * replayable set; cosines ride the same dot/norm path the oracle
+    * proved bit-exact on q56/q74.
+    *
+    * Scale shape: the ONLY corpus-sized work is the md5 TakeOrdered
+    * (top-64 heap, no global sort); the pair join is 64×64 and
+    * everything downstream runs on ≤2016 rows. */
+  val q217EmbeddingHistogram = OracleQuery("q217_embedding_histogram",
+    "pairwise-cosine histogram of an md5-deterministic 64-vector sample",
+    (s, d) => {
+      val sampled = graft.ops.Caches.track(
+        Similarity.withNorm(Tables.embeddings(s, d), "embedding")
+          .filter(col("n2").isNotNull && col("n2") > 0)
+          .select(col("vec_id").cast("long").as("vec_id"), col("vd"),
+            col("n2"), md5(col("vec_id").cast("string")).as("rk"))
+          .orderBy(col("rk"), col("vec_id")).limit(64))
+      val a = sampled.select(col("vec_id").as("ia"), col("vd").as("va"),
+        col("n2").as("na"))
+      val b = sampled.select(col("vec_id").as("ib"), col("vd").as("vb"),
+        col("n2").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(Similarity.cosineWithNorms(
+          Similarity.dot(col("va"), col("vb")),
+          col("na"), col("nb")).as("sim"))
+        .select(least(lit(19L),
+          floor((col("sim") + lit(1.0)) * lit(10.0)).cast("long"))
+          .as("bucket"), col("sim"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH n AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+                 AS n2,
+               md5(CAST(vec_id AS VARCHAR)) AS rk
+        FROM embeddings),
+      samp AS MATERIALIZED (
+        SELECT * FROM n WHERE n2 IS NOT NULL AND n2 > 0
+        ORDER BY rk, vec_id LIMIT 64),
+      pairs AS MATERIALIZED (
+        SELECT list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2))
+                 AS sim
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+      SELECT CAST(least(19, CAST(floor((sim + 1.0) * 10.0) AS BIGINT))
+               AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             MIN(sim) AS min_sim, MAX(sim) AS max_sim
+      FROM pairs
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** Inter-class prototype similarity matrix over q181's int8 label
+    * prototypes — "which labels does the embedding space confuse":
+    * cosine between per-label MEAN vectors, computed on the SUM vectors
+    * (the 1/n factors cancel in cosine), so every moment is an exact
+    * BIGINT of quantized codes and each cell is one sqrt-only double
+    * expression. The confusion-risk companion to q181's accuracy view.
+    *
+    * Scale shape: the corpus collapses to the (label, component) grain
+    * map-side; the pair join runs on |labels|·dim rows and emits
+    * |labels|² cells. Headroom: (127·n_l)²·dim ≈ 10¹² at bench scale
+    * (decimal(38,0) at 10⁹ rows per label). */
+  val q218PrototypeSimilarity = OracleQuery("q218_prototype_similarity",
+    "int8 label-prototype cosine matrix, exact integer moments",
+    (s, d) => {
+      val qt = graft.ops.Caches.track(
+        Quantize.withInt8(
+          Tables.embeddings(s, d)
+            .filter(col("embedding").isNotNull && col("label").isNotNull),
+          "embedding")
+          .select(col("label").cast("long").as("lbl"), col("qv")))
+      val protoIdx = graft.ops.Caches.track(qt
+        .select(col("lbl"), posexplode(col("qv")).as(Seq("idx", "q")))
+        .groupBy(col("lbl"), col("idx"))
+        .agg(sum(col("q")).as("s")))
+      val stats = protoIdx.groupBy(col("lbl"))
+        .agg(sum(col("s") * col("s")).as("ss"))
+      val counts = qt.groupBy(col("lbl")).agg(count(lit(1)).as("n_l"))
+      protoIdx.select(col("lbl").as("la"), col("idx"), col("s").as("sa"))
+        .join(protoIdx.select(col("lbl").as("lb"), col("idx"),
+          col("s").as("sb")), Seq("idx"))
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(col("sa") * col("sb")).as("dab"))
+        .join(broadcast(stats.select(col("lbl").as("la"),
+          col("ss").as("ssa"))), Seq("la"))
+        .join(broadcast(stats.select(col("lbl").as("lb"),
+          col("ss").as("ssb"))), Seq("lb"))
+        .join(broadcast(counts.select(col("lbl").as("la"),
+          col("n_l").as("n_a"))), Seq("la"))
+        .join(broadcast(counts.select(col("lbl").as("lb"),
+          col("n_l").as("n_b"))), Seq("lb"))
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"), col("dab"),
+          when(col("ssa") === 0L || col("ssb") === 0L, lit(0.0))
+            .otherwise(col("dab").cast("double") /
+              (sqrt(col("ssa").cast("double")) *
+               sqrt(col("ssb").cast("double")))).as("cos_sim"))
+        .orderBy("la", "lb")
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      q AS MATERIALIZED (
+        SELECT label,
+               list_transform(vd, x -> CAST(floor(
+                 x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)
+                 AS BIGINT)) AS qv
+        FROM (SELECT label, vd,
+                     list_max(list_transform(vd, x -> abs(x))) AS mx
+              FROM e) s),
+      proto AS MATERIALIZED (
+        SELECT label AS lbl, i AS idx, CAST(SUM(qv[i]) AS BIGINT) AS s
+        FROM q, unnest(generate_series(1, len(qv))) t(i)
+        GROUP BY 1, 2),
+      stats AS MATERIALIZED (
+        SELECT lbl, CAST(SUM(s * s) AS BIGINT) AS ss FROM proto GROUP BY 1),
+      cnt AS MATERIALIZED (
+        SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM q GROUP BY 1),
+      dots AS MATERIALIZED (
+        SELECT a.lbl AS la, b.lbl AS lb, CAST(SUM(a.s * b.s) AS BIGINT)
+                 AS dab
+        FROM proto a JOIN proto b ON a.idx = b.idx AND a.lbl < b.lbl
+        GROUP BY 1, 2)
+      SELECT CAST(d.la AS BIGINT) AS la, CAST(d.lb AS BIGINT) AS lb,
+             ca.n_l AS n_a, cb.n_l AS n_b, d.dab,
+             CASE WHEN sa.ss = 0 OR sb.ss = 0 THEN 0.0
+                  ELSE CAST(d.dab AS DOUBLE) /
+                       (sqrt(CAST(sa.ss AS DOUBLE)) *
+                        sqrt(CAST(sb.ss AS DOUBLE))) END AS cos_sim
+      FROM dots d
+      JOIN stats sa ON d.la = sa.lbl
+      JOIN stats sb ON d.lb = sb.lbl
+      JOIN cnt ca ON d.la = ca.lbl
+      JOIN cnt cb ON d.lb = cb.lbl
+      ORDER BY la, lb"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
-      q216Benford)
+      q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity)
 }

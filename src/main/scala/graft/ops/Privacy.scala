@@ -39,4 +39,26 @@ object Privacy {
         lit(true).as("is_residual"))
     ok.unionByName(residual)
   }
+
+  /** l-diversity audit — the gate k-anonymity alone misses: a cohort can
+    * be large (k-anonymous) yet have every member share ONE sensitive
+    * value, so membership discloses the attribute. Each quasi-identifier
+    * cohort is audited for the number of DISTINCT sensitive values it
+    * contains; `released` is true iff the cohort holds ≥ l of them
+    * (distinct l-diversity, Machanavajjhala et al. 2007).
+    *
+    * Scale shape: two-level aggregation — (qi, sensitive) grain first
+    * (map-side combinable; hot cohorts collapse before the shuffle),
+    * then the cohort grain — never a countDistinct Expand. Emits
+    * (qiCols…, n_rows, n_sensitive, released). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    val qi = qiCols.map(col)
+    df.groupBy((qi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(qi: _*)
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("released", col("n_sensitive") >= l)
+  }
 }

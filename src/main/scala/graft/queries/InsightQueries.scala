@@ -958,8 +958,160 @@ object InsightQueries {
       JOIN cnt cb ON d.lb = cb.lbl
       ORDER BY la, lb"""))
 
+  /** Peak concurrency by sweep line — "how many sessions were open at
+    * once": every session (q28's exact gap convention) contributes a +1
+    * at its start and a −1 at its end; the running sum over the boundary
+    * stream IS the concurrency curve, and its per-day maximum is the
+    * capacity-planning number. Tie convention (replicated in SQL): at
+    * equal timestamps starts process before ends (delta DESC), so
+    * touching sessions count as concurrent; full order (ts, delta DESC,
+    * user, session) makes the curve deterministic.
+    *
+    * Scale shape: sessions are user-partitioned work; only the BOUNDARY
+    * stream (2 rows/session) meets the global running sum — at 100 TB
+    * that prefix sum runs as Pack's two-pass per-partition scan (one
+    * long per partition to the driver), the same cumsum discipline as
+    * q105. */
+  val q219PeakConcurrency = OracleQuery("q219_peak_concurrency",
+    "per-day peak concurrent sessions via +1/-1 sweep line",
+    (s, d) => {
+      val gapUs = 3600000000L
+      val tsUs = expr("ts div 1000")
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+        .withColumn("is_new",
+          when(lag(col("ts_us"), 1).over(wo).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(wo) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      val bounds = sess
+        .select(col("user_id"), col("session_id"),
+          col("start_us").as("ts_us"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("user_id"), col("session_id"),
+          col("end_us").as("ts_us"), lit(-1L).as("delta")))
+      val wSweep = Window.orderBy(col("ts_us"), col("delta").desc,
+        col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bounds
+        .withColumn("running", sum(col("delta")).over(wSweep))
+        .withColumn("day", (col("ts_us") / lit(DayUs)).cast("long"))
+        .groupBy(col("day"))
+        .agg(
+          max(col("running")).as("peak_concurrency"),
+          min(when(col("delta") === 1L, col("ts_us"))).as("first_start_us"),
+          count(when(col("delta") === 1L, lit(1))).as("n_session_starts"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id,
+               ts_us
+        FROM flagged),
+      spans AS MATERIALIZED (
+        SELECT user_id, session_id,
+               CAST(MIN(ts_us) AS BIGINT) AS start_us,
+               CAST(MAX(ts_us) AS BIGINT) AS end_us
+        FROM sess GROUP BY 1, 2),
+      bounds AS MATERIALIZED (
+        SELECT user_id, session_id, start_us AS ts_us,
+               CAST(1 AS BIGINT) AS delta FROM spans
+        UNION ALL
+        SELECT user_id, session_id, end_us,
+               CAST(-1 AS BIGINT) AS delta FROM spans),
+      swept AS MATERIALIZED (
+        SELECT ts_us, delta,
+               CAST(SUM(delta) OVER (ORDER BY ts_us, delta DESC,
+                 user_id, session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS running
+        FROM bounds)
+      SELECT ts_us // 86400000000 AS day,
+             CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+             CAST(MIN(CASE WHEN delta = 1 THEN ts_us END) AS BIGINT)
+               AS first_start_us,
+             CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+               AS n_session_starts
+      FROM swept
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** l-diversity release audit ([[graft.ops.Privacy.lDiversity]]) — the
+    * gate q101's k-anonymity misses: a large cohort whose members all
+    * share one sensitive value still discloses it. Cohorts are
+    * (nation, market segment) over event-active customers; the
+    * sensitive attribute is the user's dominant event type. Pure
+    * integer evidence; `released` flips the driver row if diversity
+    * regresses. */
+  val q220LDiversity = OracleQuery("q220_l_diversity",
+    "distinct l-diversity audit of (nation, segment) release cohorts",
+    (s, d) => {
+      val userType = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("event_type").as("t")))
+          .as("m"))
+        .select(col("user_id"), col("m.t").as("dominant_type"))
+      val cohorts = userType
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"), col("dominant_type"))
+      graft.ops.Privacy.lDiversity(cohorts, Seq("n_name", "c_mktsegment"),
+        "dominant_type", l = 3L)
+        .orderBy("n_name", "c_mktsegment")
+    },
+    Some("""
+      WITH ut AS MATERIALIZED (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      dom AS MATERIALIZED (
+        SELECT user_id, event_type AS dominant_type
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY c DESC, event_type) AS rn
+              FROM ut) r
+        WHERE rn = 1),
+      cohorts AS MATERIALIZED (
+        SELECT n_name, c_mktsegment, dominant_type
+        FROM dom
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      lvl AS (
+        SELECT n_name, c_mktsegment, dominant_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cohorts GROUP BY 1, 2, 3)
+      SELECT n_name, c_mktsegment,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+             COUNT(*) >= 3 AS released
+      FROM lvl
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
-      q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity)
+      q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
+      q219PeakConcurrency, q220LDiversity)
 }

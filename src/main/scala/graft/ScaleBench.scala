@@ -276,6 +276,70 @@ object ScaleBench {
             bin("m").as("m_bin"))
           .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_sum"))
       }
+
+      // ---- round-7 graph/sweep probes ----
+      // co-purchase graph replicated with DISJOINT node-id spaces (the
+      // triangles convention) + 10 seeds PER replica: wave work per
+      // replica is constant in m, so the slope measures the engine
+      def copurchaseEdges: DataFrame = {
+        val bi = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val raw = bi.join(bi.select(col("bk"), col("it").as("it2")), "bk")
+          .filter(col("it") < col("it2"))
+        (0 until m).map { i =>
+          raw.select((col("it") + lit(i * 10000000L)).as("s"),
+            (col("it2") + lit(i * 10000000L)).as("d"))
+        }.reduce(_ unionByName _)
+      }
+      timeOp("bfs_hops", m, nDocs) {
+        val edges = copurchaseEdges
+        val seeds = edges.select(col("s").as("n"))
+          .filter(col("s") % 10000000L <= 10L).distinct()
+        graft.ops.Bfs.hopDistances(edges, "s", "d", seeds, rounds = 4)
+      }
+      timeOp("weighted_paths", m, nDocs) {
+        val weighted = copurchaseEdges
+          .groupBy(col("s"), col("d")).agg(count(lit(1)).as("ns"))
+          .select(col("s"), col("d"),
+            greatest(lit(1L), lit(6L) - least(col("ns"), lit(5L))).as("w"))
+        val seeds = weighted.select(col("s").as("n"))
+          .filter(col("s") % 10000000L <= 10L).distinct()
+        graft.ops.Bfs.weightedDistances(weighted, "s", "d", "w", seeds,
+          rounds = 4)
+      }
+      timeOp("peak_concurrency", m, nEv) {
+        // q219's shape: disjoint-user replicas keep sessions constant
+        // per user; the global sweep window is the measured term
+        val wo = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val sess = events
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("is_new",
+            when(lag(col("ts_us"), 1).over(wo).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(wo) > 3600000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("is_new")).over(
+            wo.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, org.apache.spark.sql.expressions.Window
+              .currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts_us")).as("a"), max(col("ts_us")).as("z"))
+        val bounds = sess.select(col("user_id"), col("session_id"),
+            col("a").as("ts_us"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("user_id"), col("session_id"),
+            col("z").as("ts_us"), lit(-1L).as("delta")))
+        val wSweep = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts_us"), col("delta").desc, col("user_id"),
+            col("session_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        bounds.withColumn("running", sum(col("delta")).over(wSweep))
+          .withColumn("day", (col("ts_us") / 86400000000L).cast("long"))
+          .groupBy(col("day"))
+          .agg(max(col("running")).as("peak"))
+      }
     }
     spark.stop()
   }

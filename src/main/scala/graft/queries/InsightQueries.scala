@@ -449,11 +449,13 @@ object InsightQueries {
   val q212Cusum = OracleQuery("q212_cusum_changepoint",
     "CUSUM change-point trace + exact argmax day on daily revenue",
     (s, d) => {
-      val daily = Tables.orders(s, d)
+      // cached: the day-grain table feeds the cumsum branch AND the
+      // totals aggregate — one orders scan, not two (Explain-audited)
+      val daily = graft.ops.Caches.track(Tables.orders(s, d)
         .groupBy(expr("cast(unix_date(to_date(o_orderdate)) as bigint)")
           .as("day"))
         .agg((sum(col("o_totalprice").cast(dec2)) * 100)
-          .cast("long").as("cents"))
+          .cast("long").as("cents")))
       val wCum = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = daily
@@ -990,10 +992,13 @@ object InsightQueries {
             wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
-      val bounds = sess
+      // cached: the +1/−1 union reads the session spans twice — without
+      // the cache the whole sessionization window chain runs twice
+      val sessC = graft.ops.Caches.track(sess)
+      val bounds = sessC
         .select(col("user_id"), col("session_id"),
           col("start_us").as("ts_us"), lit(1L).as("delta"))
-        .unionByName(sess.select(col("user_id"), col("session_id"),
+        .unionByName(sessC.select(col("user_id"), col("session_id"),
           col("end_us").as("ts_us"), lit(-1L).as("delta")))
       val wSweep = Window.orderBy(col("ts_us"), col("delta").desc,
         col("user_id"), col("session_id"))

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CUSUM change-point statistic over a day-grain integer series — the
+  * shared core of batch q212 and the streaming monitor
+  * ([[graft.streaming.StreamingCusumStore]]): both call [[trace]] on a
+  * (day, cents) table, so the streamed trajectory is definitionally the
+  * batch trajectory once the day tables agree (the store spec asserts
+  * exact equality).
+  *
+  * Exactness: with μ = C/N rational, S_k = Σ(x_i − μ) scales to
+  * T_k = N·cum_k − k·C — pure BIGINT, so the argmax day is
+  * integer-exact and only the normalized trace divides (Page 1954;
+  * binary segmentation's step 1). Headroom: cents·days ≈ 10¹⁵ ≪ 2⁶³ at
+  * bench scale; decimal(38,0) is the petabyte-cents lane.
+  *
+  * Scale shape: input is DAY-grain (calendar-bounded at any corpus
+  * size); the windows and the peak argmax run over day rows only.
+  */
+object Cusum {
+
+  /** (day, cents, cum_c, t_k, cusum_norm, is_change_point) for a
+    * (day: long, cents: long) input; `is_change_point` marks the
+    * max-|T_k| day (tie → earliest). The input should be cached by the
+    * caller if its lineage is expensive — trace consumes it twice
+    * (trace + totals). */
+  def trace(daily: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("cum_c", sum(col("cents")).over(wCum))
+    val tot = broadcast(daily.agg(
+      count(lit(1)).as("n_days"), sum(col("cents")).as("c_tot")))
+    val traced = Caches.track(cum.crossJoin(tot)
+      .withColumn("t_k",
+        col("n_days") * col("cum_c") - col("k") * col("c_tot")))
+    val peak = broadcast(traced.agg(
+      min(struct((-abs(col("t_k"))).as("neg_abs"), col("day")))
+        .as("pk")).select(col("pk.day").as("peak_day")))
+    traced.crossJoin(peak)
+      .select(
+        col("day"), col("cents"), col("cum_c"), col("t_k"),
+        (col("t_k").cast("double") /
+          (col("n_days") * col("c_tot")).cast("double")).as("cusum_norm"),
+        (col("day") === col("peak_day")).as("is_change_point"))
+  }
+}

@@ -456,26 +456,7 @@ object InsightQueries {
           .as("day"))
         .agg((sum(col("o_totalprice").cast(dec2)) * 100)
           .cast("long").as("cents")))
-      val wCum = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = daily
-        .withColumn("k", count(lit(1)).over(wCum))
-        .withColumn("cum_c", sum(col("cents")).over(wCum))
-      val tot = broadcast(daily.agg(
-        count(lit(1)).as("n_days"), sum(col("cents")).as("c_tot")))
-      val traced = graft.ops.Caches.track(cum.crossJoin(tot)
-        .withColumn("t_k",
-          col("n_days") * col("cum_c") - col("k") * col("c_tot")))
-      val peak = broadcast(traced.agg(
-        min(struct((-abs(col("t_k"))).as("neg_abs"), col("day")))
-          .as("pk")).select(col("pk.day").as("peak_day")))
-      traced.crossJoin(peak)
-        .select(
-          col("day"), col("cents"), col("cum_c"), col("t_k"),
-          (col("t_k").cast("double") /
-            (col("n_days") * col("c_tot")).cast("double")).as("cusum_norm"),
-          (col("day") === col("peak_day")).as("is_change_point"))
-        .orderBy("day")
+      graft.ops.Cusum.trace(daily).orderBy("day")
     },
     Some("""
       WITH daily AS MATERIALIZED (

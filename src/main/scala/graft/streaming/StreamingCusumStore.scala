@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Cusum
+
+/** STREAMING change-point monitor — a persisted day-grain cents table
+  * maintained from a stream, with the CUSUM trace ([[Cusum.trace]], the
+  * exact core batch q212 runs) recomputable from the store after every
+  * fold. The level-shift alarm a metrics warehouse wants ON ARRIVAL,
+  * without rescanning fact history: the store is O(days), so re-running
+  * the full trace per batch is a calendar-bounded job whatever the
+  * stream's volume.
+  *
+  * Exactly-once: per-day cents ADDITION is not idempotent, so the
+  * processed-batch manifest lives INSIDE the table and publishes with
+  * the day rows in one atomic version swap — the
+  * [[StreamingFreqStore]] discipline (a replayed foreachBatch id is
+  * already visible in the current version and the whole batch is
+  * skipped; there is no crash window between payload and marker).
+  *
+  * Schema: (kind: 'day'|'batch', id, cents) — 'day' rows hold the
+  * series, 'batch' rows the manifest with NULL cents.
+  */
+object StreamingCusumStore {
+
+  /** Wire a stream carrying (`dayCol`: long, `centsCol`: long) rows into
+    * the persisted store. Caller starts/stops the returned writer. */
+  def attach(rows: DataFrame, store: TableStore, table: String,
+      dayCol: String, centsCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, dayCol, centsCol)
+      }
+
+  /** Fold one identified batch into the store; a batch id already in
+    * the manifest is a replay and is skipped whole. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, dayCol: String, centsCol: String): Unit = {
+    val spark = batch.sparkSession
+    val have = store.exists(table)
+    if (have && !store.read(table)
+        .filter(col("kind") === "batch" && col("id") === batchId)
+        .isEmpty) return // replayed batch: already folded in
+    val delta = batch
+      .groupBy(col(dayCol).cast("long").as("id"))
+      .agg(sum(col(centsCol).cast("long")).as("d_cents"))
+    val marker = spark.range(1)
+      .select(lit("batch").as("kind"), lit(batchId).as("id"),
+        lit(null).cast("long").as("cents"))
+    val next =
+      if (!have)
+        delta.select(lit("day").as("kind"), col("id"),
+          col("d_cents").as("cents")).unionByName(marker)
+      else {
+        val cur = store.read(table)
+        val days = cur.filter(col("kind") === "day")
+          .select(col("id"), col("cents"))
+          .join(delta, Seq("id"), "full_outer")
+          .select(lit("day").as("kind"), col("id"),
+            (coalesce(col("cents"), lit(0L)) +
+              coalesce(col("d_cents"), lit(0L))).as("cents"))
+        days.unionByName(cur.filter(col("kind") === "batch"))
+          .unionByName(marker)
+      }
+    store.overwrite(table, next)
+  }
+
+  /** The CUSUM trace over the store's current day series — EXACTLY
+    * [[Cusum.trace]] on the folded table, so once the streamed day
+    * table equals the batch day table the trajectories are equal by
+    * construction (CusumStoreSpec asserts it bit-for-bit). */
+  def changePoint(store: TableStore, table: String): DataFrame =
+    Cusum.trace(graft.ops.Caches.track(
+      store.read(table).filter(col("kind") === "day")
+        .select(col("id").as("day"), col("cents"))))
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Cusum
+import graft.sources.Tables
+
+/** Streaming CUSUM store (`StreamingCusumStore`): day cents fold in
+  * batch by batch; the in-table manifest makes the non-idempotent
+  * addition exactly-once; the trace over the folded store is BIT-equal
+  * to the one-shot batch trace (both run `Cusum.trace`). */
+class CusumStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dayCents = Tables.orders(spark, sfDir)
+    .select(expr("cast(unix_date(to_date(o_orderdate)) as bigint)").as("day"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+
+  private def traceRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("day")
+      .select($"day", $"cents", $"cum_c", $"t_k", $"cusum_norm",
+        $"is_change_point")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+
+  test("streamed store's trace equals the one-shot batch trace exactly") {
+    val rows = dayCents.cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cusum_store_").toString)
+    // three deliveries sliced by ORDER (not day): days straddle batches
+    (0 to 2).foreach { p =>
+      StreamingCusumStore.mergeBatch(
+        rows.filter($"cents" % 3 === p), p.toLong, store, "cusum",
+        "day", "cents")
+    }
+    val streamed = traceRows(StreamingCusumStore.changePoint(store, "cusum"))
+    val oneShot = traceRows(Cusum.trace(
+      rows.groupBy($"day").agg(sum($"cents").as("cents")).cache()))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+
+  test("replayed batch id is skipped; a new id with same content folds in") {
+    val batch = Seq((100L, 10L), (101L, 20L)).toDF("day", "cents")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cusum_rep_").toString)
+    StreamingCusumStore.mergeBatch(batch, 0L, store, "c", "day", "cents")
+    def centsOf(day: Long): Long =
+      store.read("c").filter($"kind" === "day" && $"id" === day)
+        .select($"cents").as[Long].head()
+    assert(centsOf(100L) == 10L)
+    StreamingCusumStore.mergeBatch(batch, 0L, store, "c", "day", "cents")
+    assert(centsOf(100L) == 10L, "replayed id must not double-count")
+    StreamingCusumStore.mergeBatch(batch, 1L, store, "c", "day", "cents")
+    assert(centsOf(100L) == 20L, "new id with same content is new data")
+  }
+
+  test("attach drains a file stream into the store (AvailableNow)") {
+    val rows = dayCents.limit(500).cache()
+    val dir = Files.createTempDirectory("graft_cusum_in_").toString
+    val ck = Files.createTempDirectory("graft_cusum_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_cusum_st_").toString)
+    rows.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+    StreamingCusumStore.attach(stream, store, "cusum", "day", "cents",
+      checkpoint = ck).start().awaitTermination()
+    val streamed = traceRows(StreamingCusumStore.changePoint(store, "cusum"))
+    val oneShot = traceRows(Cusum.trace(
+      rows.groupBy($"day").agg(sum($"cents").as("cents")).cache()))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+}

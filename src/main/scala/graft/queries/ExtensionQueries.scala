@@ -517,9 +517,84 @@ object ExtensionQueries {
       WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** Index-quality EVAL of the LSH candidate stage: every exact-Jaccard
+    * pair (q53's oracle-proven truth set) is flagged with whether q54's
+    * banded LSH surfaced it, plus the overall candidate recall — the
+    * measurement that justifies (or indicts) the band/lane configuration
+    * before a 100 TB dedup run trusts it. BOTH sides are
+    * DuckDB-replayable (md5-lane minhash is engine-portable), so the
+    * recall number itself is driver-hash-gated, not just spec-asserted.
+    * A band-config regression that silently drops candidates flips
+    * `found` rows and the recall column, turning the row red. */
+  val q222LshRecallGate = OracleQuery("q222_lsh_recall_gate",
+    "LSH candidate recall audited against exact n-gram Jaccard pairs",
+    (s, d) => {
+      val docs = augmented(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        col("doc") < 500, 0.3)
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          lit(true).as("hit"))
+      val flagged = graft.ops.Caches.track(
+        exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+          .withColumn("found", coalesce(col("hit"), lit(false)))
+          .drop("hit"))
+      val tot = broadcast(flagged.agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found")))
+      flagged.crossJoin(tot)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"),
+          col("found"), col("n_exact"), col("n_found"),
+          when(col("n_exact") === 0L, lit(0.0))
+            .otherwise(col("n_found").cast("double") /
+              col("n_exact").cast("double")).as("recall"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $augmentedSql,
+      $shingleSql,
+      dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS MATERIALIZED (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 500
+        GROUP BY 1, 2),
+      exact AS MATERIALIZED (
+        SELECT doc_a, doc_b, n_inter,
+               CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3),
+      sig AS MATERIALIZED (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+      bands AS MATERIALIZED ($bandsSql),
+      lsh AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id),
+      flagged AS MATERIALIZED (
+        SELECT e.doc_a, e.doc_b, e.n_inter, e.jaccard,
+               l.id_a IS NOT NULL AS found
+        FROM exact e
+        LEFT JOIN lsh l ON e.doc_a = l.id_a AND e.doc_b = l.id_b),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_found
+        FROM flagged)
+      SELECT f.doc_a, f.doc_b, f.n_inter, f.jaccard, f.found,
+             t.n_exact, t.n_found,
+             CASE WHEN t.n_exact = 0 THEN 0.0
+                  ELSE CAST(t.n_found AS DOUBLE) /
+                       CAST(t.n_exact AS DOUBLE) END AS recall
+      FROM flagged f CROSS JOIN tot t
+      ORDER BY f.doc_a, f.doc_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
-    q150RowLocalMinhash, q156PrefixJoin)
+    q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate)
 }

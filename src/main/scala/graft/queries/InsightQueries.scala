@@ -1095,9 +1095,108 @@ object InsightQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Difference-in-differences — the observational-causal companion to
+    * q179's randomized A/B: treated = BUILDING-segment users, periods
+    * split at the exact integer midpoint day, metric = mean purchase
+    * cents. Four cells of exact BIGINT evidence; each mean is one
+    * division; DiD = (ΔT) − (ΔC) is a fixed-shape expression over the
+    * four means, constant-joined onto the evidence rows so the driver
+    * hashes both the cells and the estimate.
+    *
+    * Scale shape: one conditional-aggregate pass to 4 cells (map-side
+    * combinable); the date range and the 2×2 pivot are 1-row
+    * broadcasts. */
+  val q221DiffInDiff = OracleQuery("q221_diff_in_diff",
+    "diff-in-differences of purchase value: BUILDING segment vs rest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("value").cast(dec2) * 100).cast("long").as("cents"),
+          expr(s"ts div 1000 div $DayUs").as("day"))
+      val rng = broadcast(ev.agg(
+        min(col("day")).as("mn"), max(col("day")).as("mx")))
+      val cells = ev.crossJoin(rng)
+        .withColumn("period",
+          when(col("day") >= expr("(mn + mx + 1) div 2"), "post")
+            .otherwise("pre"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .withColumn("grp",
+          when(col("c_mktsegment") === "BUILDING", "treat")
+            .otherwise("control"))
+        .groupBy(col("grp"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      def cell(g: String, p: String, c: String) =
+        sum(when(col("grp") === g && col("period") === p, col(c))
+          .otherwise(0L))
+      val tot = broadcast(cells.agg(
+        cell("treat", "post", "cents").as("ctp"),
+        cell("treat", "post", "n").as("ntp"),
+        cell("treat", "pre", "cents").as("ctr"),
+        cell("treat", "pre", "n").as("ntr"),
+        cell("control", "post", "cents").as("ccp"),
+        cell("control", "post", "n").as("ncp"),
+        cell("control", "pre", "cents").as("ccr"),
+        cell("control", "pre", "n").as("ncr")))
+      def mean(c: String, n: String) =
+        when(col(n) === 0L, lit(0.0))
+          .otherwise(col(c).cast("double") / col(n).cast("double"))
+      cells.crossJoin(tot)
+        .select(col("grp"), col("period"), col("n"), col("cents"),
+          mean("cents", "n").as("mean_cents"),
+          ((mean("ctp", "ntp") - mean("ctr", "ntr")) -
+            (mean("ccp", "ncp") - mean("ccr", "ncr"))).as("did_cents"))
+        .orderBy("grp", "period")
+    },
+    Some("""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE event_type = 'purchase'),
+      rng AS (SELECT CAST(MIN(day) AS BIGINT) AS mn,
+                     CAST(MAX(day) AS BIGINT) AS mx FROM ev),
+      cells AS MATERIALIZED (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'treat'
+                    ELSE 'control' END AS grp,
+               CASE WHEN day >= (mn + mx + 1) // 2 THEN 'post'
+                    ELSE 'pre' END AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ev CROSS JOIN rng
+        JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT
+          CAST(SUM(CASE WHEN grp='treat' AND period='post' THEN cents ELSE 0 END) AS BIGINT) AS ctp,
+          CAST(SUM(CASE WHEN grp='treat' AND period='post' THEN n ELSE 0 END) AS BIGINT) AS ntp,
+          CAST(SUM(CASE WHEN grp='treat' AND period='pre' THEN cents ELSE 0 END) AS BIGINT) AS ctr,
+          CAST(SUM(CASE WHEN grp='treat' AND period='pre' THEN n ELSE 0 END) AS BIGINT) AS ntr,
+          CAST(SUM(CASE WHEN grp='control' AND period='post' THEN cents ELSE 0 END) AS BIGINT) AS ccp,
+          CAST(SUM(CASE WHEN grp='control' AND period='post' THEN n ELSE 0 END) AS BIGINT) AS ncp,
+          CAST(SUM(CASE WHEN grp='control' AND period='pre' THEN cents ELSE 0 END) AS BIGINT) AS ccr,
+          CAST(SUM(CASE WHEN grp='control' AND period='pre' THEN n ELSE 0 END) AS BIGINT) AS ncr
+        FROM cells)
+      SELECT c.grp, c.period, c.n, c.cents,
+             CASE WHEN c.n = 0 THEN 0.0
+                  ELSE CAST(c.cents AS DOUBLE) / CAST(c.n AS DOUBLE) END
+               AS mean_cents,
+             ((CASE WHEN t.ntp = 0 THEN 0.0
+                    ELSE CAST(t.ctp AS DOUBLE) / CAST(t.ntp AS DOUBLE) END
+               - CASE WHEN t.ntr = 0 THEN 0.0
+                      ELSE CAST(t.ctr AS DOUBLE) / CAST(t.ntr AS DOUBLE) END)
+              - (CASE WHEN t.ncp = 0 THEN 0.0
+                      ELSE CAST(t.ccp AS DOUBLE) / CAST(t.ncp AS DOUBLE) END
+                 - CASE WHEN t.ncr = 0 THEN 0.0
+                        ELSE CAST(t.ccr AS DOUBLE) / CAST(t.ncr AS DOUBLE) END))
+               AS did_cents
+      FROM cells c CROSS JOIN tot t
+      ORDER BY c.grp, c.period"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
-      q219PeakConcurrency, q220LDiversity)
+      q219PeakConcurrency, q220LDiversity, q221DiffInDiff)
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Consistent-hash shard assignment (Karger et al. 1997 ring, md5
+  * edition) — the layout primitive for serving corpora: each shard
+  * owns `vnodes` virtual points on the md5 ring; a key belongs to the
+  * first virtual point clockwise from its own hash. Adding a shard
+  * moves only the keys that land in the new shard's arcs —
+  * ≈ 1/(n+1) of the corpus — where modulo sharding reshuffles nearly
+  * everything (ShardingSpec measures both properties).
+  *
+  * Determinism: the ring is pure md5 of "s<shard>:<vnode>" strings and
+  * the lookup is a broadcast range comparison, so assignments are
+  * RNG-free, reshard-stable, and replayable in any engine with md5 —
+  * the q85/q90 curation discipline applied to placement.
+  *
+  * Scale shape: the ring is `shards·vnodes` rows (a broadcast);
+  * assignment is one narrow projection over the keys — zero shuffle.
+  * The ring join is a range lookup expressed as MIN over qualifying
+  * points; with a bounded ring the per-row work is O(ring) in the
+  * worst case and the whole operator stays embarrassingly parallel.
+  */
+object Sharding {
+
+  /** Hex md5 of the ring point for (shard, vnode). */
+  private def pointHash(shard: Column, vnode: Column): Column =
+    md5(concat(lit("s"), shard.cast("string"), lit(":"),
+      vnode.cast("string")))
+
+  /** The ring table: (shard, vnode, point) for `shards`×`vnodes`. */
+  def ring(spark: org.apache.spark.sql.SparkSession, shards: Int,
+      vnodes: Int): DataFrame = {
+    require(shards >= 1 && vnodes >= 1, "need at least one point")
+    spark.range(shards.toLong)
+      .select(col("id").as("shard"))
+      .crossJoin(spark.range(vnodes.toLong).select(col("id").as("vnode")))
+      .select(col("shard"), col("vnode"),
+        pointHash(col("shard"), col("vnode")).as("point"))
+  }
+
+  /** Assign each row's `keyCol` to a shard: first ring point with
+    * point ≥ md5(key), wrapping to the ring's minimum point. Adds
+    * columns `key_hash` and `shard`. */
+  def assign(df: DataFrame, keyCol: String, shards: Int,
+      vnodes: Int = 16): DataFrame = {
+    val r = ring(df.sparkSession, shards, vnodes)
+    // the ring fits one row set: collect is |shards·vnodes| (bounded by
+    // construction — placement rings are small), then the lookup is a
+    // pure per-row expression: no join, no shuffle
+    val points = r.select(col("point"), col("shard")).collect()
+      .map(x => (x.getString(0), x.getLong(1))).sortBy(_._1)
+    val wrapShard = points.head._2
+    val kh = md5(col(keyCol).cast("string"))
+    val pick = points.foldRight(lit(wrapShard): Column) {
+      case ((p, s), acc) => when(kh <= lit(p), lit(s)).otherwise(acc)
+    }
+    df.withColumn("key_hash", kh).withColumn("shard", pick)
+  }
+}

@@ -1194,9 +1194,54 @@ object InsightQueries {
       FROM cells c CROSS JOIN tot t
       ORDER BY c.grp, c.period"""))
 
+  /** Consistent-hash shard layout ([[graft.ops.Sharding]]) — serving
+    * placement with the rebalancing guarantee: an md5 ring with 8
+    * virtual points per shard; adding a shard would move ≈1/(n+1) of
+    * the corpus (ShardingSpec measures it against modulo's ~90%). The
+    * assignment is a pure per-row expression over a collected
+    * (bounded-by-construction) ring — zero shuffle before the summary
+    * aggregate — and the ring is plain md5 of literal strings, so
+    * DuckDB rebuilds it and replays every placement. */
+  val q223ShardLayout = OracleQuery("q223_shard_layout",
+    "consistent-hash ring placement of documents over 8 shards",
+    (s, d) =>
+      graft.ops.Sharding.assign(Tables.documents(s, d), "doc_id",
+        shards = 8, vnodes = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("key_hash")).as("min_hash"),
+          max(col("key_hash")).as("max_hash"))
+        .orderBy("shard"),
+    Some("""
+      WITH ring AS MATERIALIZED (
+        SELECT s.range AS shard, v.range AS vnode,
+               md5('s' || CAST(s.range AS VARCHAR) || ':' ||
+                   CAST(v.range AS VARCHAR)) AS point
+        FROM range(0, 8) s CROSS JOIN range(0, 8) v),
+      keys AS MATERIALIZED (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS key_hash
+        FROM documents),
+      asg AS MATERIALIZED (
+        SELECT k.doc_id, k.n_chars, k.key_hash,
+               COALESCE(
+                 (SELECT r.shard FROM ring r WHERE r.point >= k.key_hash
+                  ORDER BY r.point LIMIT 1),
+                 (SELECT r.shard FROM ring r ORDER BY r.point LIMIT 1))
+                 AS shard
+        FROM keys k)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(key_hash) AS min_hash,
+             MAX(key_hash) AS max_hash
+      FROM asg
+      GROUP BY shard
+      ORDER BY shard"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
-      q219PeakConcurrency, q220LDiversity, q221DiffInDiff)
+      q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout)
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class ShardingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir).select($"doc_id")
+
+  private def assignments(shards: Int): Map[Long, Long] =
+    Sharding.assign(docs, "doc_id", shards, vnodes = 16)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+
+  test("every shard owns keys and the assignment is deterministic") {
+    val a = assignments(8)
+    assert(a.values.toSet.size == 8, "all 8 shards populated")
+    val b = Sharding.assign(docs.repartition(7), "doc_id", 8, vnodes = 16)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(a == b, "assignment is independent of physical layout")
+  }
+
+  test("adding a shard moves only ~1/(n+1) of keys; modulo moves most") {
+    val before = assignments(8)
+    val after = assignments(9)
+    val moved = before.count { case (k, s) => after(k) != s }
+    val frac = moved.toDouble / before.size
+    assert(frac > 0.0 && frac < 0.30,
+      s"consistent hashing moved $frac — expected ≈1/9, far below modulo")
+    val modBefore = docs.select($"doc_id",
+      pmod(xxhash64($"doc_id"), lit(8L)).as("s")).as[(Long, Long)]
+      .collect().toMap
+    val modAfter = docs.select($"doc_id",
+      pmod(xxhash64($"doc_id"), lit(9L)).as("s")).as[(Long, Long)]
+      .collect().toMap
+    val modFrac = modBefore.count { case (k, s) => modAfter(k) != s }
+      .toDouble / modBefore.size
+    assert(modFrac > 0.7, s"modulo resharding moved only $modFrac")
+    assert(frac < modFrac / 2, "ring moves far fewer keys than modulo")
+  }
+
+  test("assignment matches a hand check of the ring rule") {
+    val ring = Sharding.ring(spark, 4, 4)
+      .select($"point", $"shard").as[(String, Long)].collect().sortBy(_._1)
+    val one = Sharding.assign(Seq(42L).toDF("k"), "k", 4, vnodes = 4)
+      .select($"key_hash", $"shard").as[(String, Long)].head()
+    val expected = ring.find(_._1 >= one._1).map(_._2)
+      .getOrElse(ring.head._2)
+    assert(one._2 == expected)
+  }
+}

@@ -1239,9 +1239,197 @@ object InsightQueries {
       GROUP BY shard
       ORDER BY shard"""))
 
+  /** Discrete churn hazard table — survival analysis with explicit
+    * right-censoring: lifetime T = last − first active day; a user
+    * counts as a CHURN EVENT at T only if the data horizon extends ≥14
+    * silent days past their last activity, else they are CENSORED at T
+    * (still plausibly active — the distinction Kaplan-Meier exists
+    * for). Emits per lifetime t: the at-risk count (reverse cumulative
+    * over the lifetime grid), churn events, censorings, and the
+    * discrete hazard d/n — every column exact BIGINT but the one
+    * division. The cumulative product (full KM curve) is deliberately
+    * absent: an ordered float product neither engine can replay
+    * (q187's transcendental rule applies to exp∘Σln too); the hazard
+    * table IS the portable evidence.
+    *
+    * Scale shape: user-grain aggregate (map-side) → lifetime grid
+    * (calendar-bounded) → windows over grid rows only. */
+  val q224ChurnHazard = OracleQuery("q224_churn_hazard",
+    "discrete churn hazard with right-censoring (14-day silence rule)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+      val endD = broadcast(ev.agg(max(col("day")).as("e")))
+      val grid = users.crossJoin(endD)
+        .select((col("last") - col("first")).as("t"),
+          when(col("e") - col("last") >= 14L, 1L).otherwise(0L)
+            .as("event"))
+        .groupBy(col("t"))
+        .agg(sum(col("event")).as("d_churn"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val wGe = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("n_risk",
+          sum(col("d_churn") + col("n_censored")).over(wGe))
+        .select(col("t"), col("n_risk"), col("d_churn"), col("n_censored"),
+          when(col("n_risk") === 0L, lit(0.0))
+            .otherwise(col("d_churn").cast("double") /
+              col("n_risk").cast("double")).as("hazard"))
+        .orderBy("t")
+    },
+    Some("""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      users AS MATERIALIZED (
+        SELECT user_id, CAST(MIN(day) AS BIGINT) AS fst,
+               CAST(MAX(day) AS BIGINT) AS lst
+        FROM ev GROUP BY 1),
+      e AS (SELECT CAST(MAX(day) AS BIGINT) AS e FROM ev),
+      grid AS MATERIALIZED (
+        SELECT lst - fst AS t,
+               CAST(SUM(CASE WHEN e.e - lst >= 14 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d_churn,
+               CAST(SUM(CASE WHEN e.e - lst >= 14 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_censored
+        FROM users CROSS JOIN e
+        GROUP BY 1)
+      SELECT t,
+             CAST(SUM(d_churn + n_censored) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk,
+             d_churn, n_censored,
+             CASE WHEN SUM(d_churn + n_censored) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+                  THEN 0.0
+                  ELSE CAST(d_churn AS DOUBLE) /
+                       CAST(SUM(d_churn + n_censored) OVER (ORDER BY t DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) END AS hazard
+      FROM grid
+      ORDER BY t"""))
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity pass between retrieval and the context window:
+    * from the top-20 term-frequency candidates, greedily pick 5 docs
+    * maximizing λ·rel_norm − (1−λ)·max-sim-to-already-picked (λ=0.5,
+    * token-Jaccard similarity). The greedy trajectory runs as 5
+    * UNROLLED in-engine rounds over the cached 20-row candidate set
+    * (the q180 coreset discipline) and DuckDB replays every round as a
+    * chained CTE — selections AND scores bit-agree.
+    *
+    * Scale shape: the corpus-sized work is one tokenize + TakeOrdered
+    * top-20; every round thereafter touches ≤20 rows. Exactness: rel
+    * and intersection sizes are BIGINT; each score is one fixed-shape
+    * double expression; ties break on doc_id. */
+  val q225MmrRerank = OracleQuery("q225_mmr_rerank",
+    "MMR diversity re-ranking: 5 greedy picks from the top-20 candidates",
+    (s, d) => {
+      val terms = Seq("spark", "window", "join")
+      val ws = graft.ops.TextAnalysis.words(col("text"))
+      val rel = terms.map(t =>
+        size(filter(col("ws"), w => w === t)).cast("long")).reduce(_ + _)
+      val cand = graft.ops.Caches.track(
+        Tables.documents(s, d)
+          .select(col("doc_id"), ws.as("ws"))
+          .select(col("doc_id"), rel.as("rel"),
+            array_distinct(col("ws")).as("toks"))
+          .filter(col("rel") > 0L)
+          .orderBy(col("rel").desc, col("doc_id")).limit(20)
+          .withColumn("n", size(col("toks")).cast("long")))
+      val maxRel = broadcast(cand.agg(max(col("rel")).as("mr")))
+      val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+      val sims = graft.ops.Caches.track(
+        cand.select(col("doc_id").as("ia"), col("toks").as("ta"),
+          col("n").as("na"))
+          .join(cand.select(col("doc_id").as("ib"), col("toks").as("tb"),
+            col("n").as("nb")), col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            (inter.cast("double") / (col("na") + col("nb") - inter))
+              .as("sim")))
+      val score = lit(0.5) *
+        (col("rel").cast("double") / col("mr").cast("double")) -
+        lit(0.5) * col("max_sim")
+      var selected: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to 5) {
+        val remaining =
+          if (r == 1) cand
+          else cand.join(selected.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        val withSim =
+          if (r == 1) remaining.withColumn("max_sim", lit(0.0))
+          else remaining.join(
+            sims.join(broadcast(selected.select(col("doc_id").as("ib"))),
+              Seq("ib"), "left_semi")
+              .groupBy(col("ia").as("doc_id"))
+              .agg(max(col("sim")).as("max_sim")),
+            Seq("doc_id"), "left")
+            .withColumn("max_sim", coalesce(col("max_sim"), lit(0.0)))
+        val pick = withSim.crossJoin(maxRel)
+          .withColumn("score", score)
+          .orderBy(col("score").desc, col("doc_id")).limit(1)
+          .select(lit(r.toLong).as("rank"), col("doc_id"), col("rel"),
+            col("max_sim"), col("score"))
+        selected = graft.ops.Caches.track(
+          if (r == 1) pick else selected.unionByName(pick))
+      }
+      selected.orderBy("rank")
+    },
+    Some {
+      val relSql = """CAST(len(list_filter(ws, x -> x = 'spark'))
+                 + len(list_filter(ws, x -> x = 'window'))
+                 + len(list_filter(ws, x -> x = 'join')) AS BIGINT)"""
+      val scoreSql = "0.5 * (CAST(c.rel AS DOUBLE) / CAST(mr.mr AS DOUBLE))"
+      def round(r: Int): String = {
+        val prev = (1 until r).map(i => s"SELECT doc_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""
+      s$r AS MATERIALIZED (
+        SELECT c.doc_id, c.rel, ms.max_sim,
+               $scoreSql - 0.5 * ms.max_sim AS score
+        FROM cand c CROSS JOIN mr
+        JOIN (SELECT ia AS doc_id, MAX(sim) AS max_sim FROM sims
+              WHERE ib IN ($prev) GROUP BY 1) ms ON ms.doc_id = c.doc_id
+        WHERE c.doc_id NOT IN ($prev)
+        ORDER BY score DESC, c.doc_id LIMIT 1)"""
+      }
+      s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      relt AS (
+        SELECT doc_id, $relSql AS rel, list_distinct(ws) AS toks
+        FROM t),
+      cand AS MATERIALIZED (
+        SELECT doc_id, rel, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM relt WHERE rel > 0
+        ORDER BY rel DESC, doc_id LIMIT 20),
+      mr AS (SELECT CAST(MAX(rel) AS BIGINT) AS mr FROM cand),
+      sims AS MATERIALIZED (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 (a.n + b.n - len(list_intersect(a.toks, b.toks))) AS sim
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+      s1 AS MATERIALIZED (
+        SELECT c.doc_id, c.rel, CAST(0.0 AS DOUBLE) AS max_sim,
+               $scoreSql - 0.5 * CAST(0.0 AS DOUBLE) AS score
+        FROM cand c CROSS JOIN mr
+        ORDER BY score DESC, c.doc_id LIMIT 1),${round(2)},${round(3)},${round(4)},${round(5)}
+      SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, max_sim, score FROM s1
+      UNION ALL SELECT 2, doc_id, rel, max_sim, score FROM s2
+      UNION ALL SELECT 3, doc_id, rel, max_sim, score FROM s3
+      UNION ALL SELECT 4, doc_id, rel, max_sim, score FROM s4
+      UNION ALL SELECT 5, doc_id, rel, max_sim, score FROM s5
+      ORDER BY rank"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
-      q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout)
+      q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
+      q224ChurnHazard, q225MmrRerank)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Bfs, Profile, Quantize, Similarity, Skew}
+import graft.ops.{Bfs, Curation, Profile, Quantize, Similarity, Skew}
 import graft.sources.Tables
 
 /** Evaluation / concentration / graph-proximity analytics — the model-
@@ -1426,10 +1426,128 @@ object InsightQueries {
       ORDER BY rank"""
     })
 
+  /** Group-sequential A/B monitoring — q179's two-proportion z computed
+    * at FIVE interim looks (equal calendar fractions, exact integer day
+    * cuts) against the textbook five-look O'Brien-Fleming two-sided
+    * boundaries (α=0.05). Early stopping without alpha-spending bugs is
+    * exactly what an experimentation platform runs nightly; `crossed`
+    * turns the driver row red if a z ever jumps a boundary it
+    * shouldn't. Boundaries are SHARED double literals (the q216 rule —
+    * no engine evaluates the normal quantile); all evidence is
+    * cumulative BIGINT counts; z is q179's exact fixed shape per look.
+    *
+    * Scale shape: one events×5 conditional expansion (bounded by the
+    * look count) → (look, user) grain → (look, variant) cells; nothing
+    * beyond the first aggregate is data-sized. */
+  val q226GroupSequential = OracleQuery("q226_group_sequential",
+    "five-look O'Brien-Fleming monitoring of the hash-split experiment",
+    (s, d) => {
+      val obf = Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+      val boundary = obf.zipWithIndex.foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (b, i)) => acc.when(col("look") === (i + 1).toLong, lit(b))
+      }.otherwise(lit(0.0))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr(s"ts div 1000 div $DayUs").as("day"))
+      val rng = broadcast(ev.agg(
+        min(col("day")).as("mn"), max(col("day")).as("mx")))
+      val looks = broadcast(s.range(1, 6).select(col("id").as("look")))
+      val cells = ev.crossJoin(rng).crossJoin(looks)
+        .filter(col("day") <=
+          expr("mn + ((mx - mn + 1) * look) div 5 - 1"))
+        .groupBy(col("look"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "gsq") === "test",
+            "B").otherwise("A"))
+        .groupBy(col("look"))
+        .agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+            .as("conv_b"))
+      val rateA = col("conv_a").cast("double") / col("n_a").cast("double")
+      val rateB = col("conv_b").cast("double") / col("n_b").cast("double")
+      val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = when(col("n_a") === 0L || col("n_b") === 0L ||
+          pPool === 0.0 || pPool === 1.0, lit(0.0))
+        .otherwise((rateA - rateB) /
+          sqrt(pPool * (lit(1.0) - pPool) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))))
+      cells
+        .select(col("look"), col("n_a"), col("conv_a"), col("n_b"),
+          col("conv_b"), z.as("z"), boundary.as("boundary"))
+        .withColumn("crossed", abs(col("z")) > col("boundary"))
+        .orderBy("look")
+    },
+    Some("""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type, value,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      rng AS (SELECT CAST(MIN(day) AS BIGINT) AS mn,
+                     CAST(MAX(day) AS BIGINT) AS mx FROM ev),
+      ul AS MATERIALIZED (
+        SELECT l.look, user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+               CASE WHEN substring(md5('gsq' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM ev CROSS JOIN rng
+        CROSS JOIN (VALUES (1),(2),(3),(4),(5)) l(look)
+        WHERE day <= mn + ((mx - mn + 1) * l.look) // 5 - 1
+        GROUP BY l.look, user_id),
+      cells AS MATERIALIZED (
+        SELECT look,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_b
+        FROM ul GROUP BY look),
+      r AS (
+        SELECT look, n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+               CAST(conv_a + conv_b AS DOUBLE) /
+                 CAST(n_a + n_b AS DOUBLE) AS p_pool
+        FROM cells)
+      SELECT CAST(look AS BIGINT) AS look, n_a, conv_a, n_b, conv_b,
+             CASE WHEN n_a = 0 OR n_b = 0 OR p_pool = 0.0 OR p_pool = 1.0
+                  THEN 0.0
+                  ELSE (rate_a - rate_b) /
+                       sqrt(p_pool * (1.0 - p_pool) *
+                         (1.0 / CAST(n_a AS DOUBLE) +
+                          1.0 / CAST(n_b AS DOUBLE))) END AS z,
+             CASE look WHEN 1 THEN 4.8769e0 WHEN 2 THEN 3.3569e0
+                       WHEN 3 THEN 2.6803e0 WHEN 4 THEN 2.2898e0
+                       WHEN 5 THEN 2.0310e0 ELSE 0.0e0 END AS boundary,
+             abs(CASE WHEN n_a = 0 OR n_b = 0 OR p_pool = 0.0
+                           OR p_pool = 1.0
+                      THEN 0.0
+                      ELSE (rate_a - rate_b) /
+                           sqrt(p_pool * (1.0 - p_pool) *
+                             (1.0 / CAST(n_a AS DOUBLE) +
+                              1.0 / CAST(n_b AS DOUBLE))) END)
+               > CASE look WHEN 1 THEN 4.8769e0 WHEN 2 THEN 3.3569e0
+                           WHEN 3 THEN 2.6803e0 WHEN 4 THEN 2.2898e0
+                           WHEN 5 THEN 2.0310e0 ELSE 0.0e0 END AS crossed
+      FROM r
+      ORDER BY look"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
-      q224ChurnHazard, q225MmrRerank)
+      q224ChurnHazard, q225MmrRerank, q226GroupSequential)
 }

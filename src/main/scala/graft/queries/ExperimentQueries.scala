@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+import graft.ops.Curation
+import graft.sources.Tables
+
+/** Experimentation-platform analytics — the statistical layer a
+  * large-scale A/B system runs on top of the q179 scorecard: assignment
+  * health (sample-ratio mismatch), variance reduction (CUPED), correct
+  * uncertainty for ratio metrics (the delta method), and an
+  * assumption-free significance gate (paired sign-flip randomization).
+  * The reference warehouse (`warehouse/queries.sql`) stops at KPI
+  * aggregates; these are the gates that decide whether those KPIs can
+  * be trusted when the traffic behind them is experiment-split.
+  *
+  * Exactness discipline (OracleQuery.scala header): all evidence is
+  * BIGINT / bounded-decimal aggregation (order-independent); doubles
+  * appear only in fixed-shape per-row expressions (+,−,×,÷,sqrt — all
+  * IEEE-exact on identical operands); statistical constants (χ²₁ and
+  * normal quantiles) are SHARED 17-digit literals, so neither engine
+  * evaluates a transcendental (the q216/q226 rule). Randomization is
+  * md5-keyed (the Curation/Bootstrap discipline) — zero RNG, every
+  * draw replays bit-identically in DuckDB.
+  */
+object ExperimentQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val DayUs = 86400000000L
+
+  /** χ²₁ 95th percentile — shared literal, never computed. */
+  private val Chi2Crit = "3.841458820694124"
+  /** z 97.5th percentile — shared literal (q210 convention). */
+  private val ZCrit = "1.959963984540054"
+
+  /** decimal→double via VARCHAR in BOTH engines (rule 8 / q171): direct
+    * decimal→double is two-rounding in DuckDB above 2⁵³. */
+  private def toDbl(c: Column): Column = c.cast("string").cast("double")
+
+  /** Purchase value in exact BIGINT cents (the q203 idiom). */
+  private def centsOf(valueCol: Column): Column =
+    (valueCol.cast(dec2) * 100).cast("long")
+
+  // ------------------------------------------------------------------ //
+  // q227 — sample-ratio-mismatch gate (assignment health)
+  // ------------------------------------------------------------------ //
+
+  /** Per-day + overall sample-ratio mismatch χ² on the q179 hash
+    * assignment: with an expected 50/50 split, χ² collapses to the
+    * exact rational (n_a−n_b)²/n — ONE double division over BIGINT
+    * counts, so the gate value (and the crossed flag against the
+    * shared χ²₁ literal) hash-replays. The day grain localizes WHEN
+    * assignment broke (a redirect bug ships on a date); the day=-1 row
+    * is the overall gate. SRM is the first sanity check any experiment
+    * readout must pass — a crossed flag invalidates q179/q226 readings
+    * wholesale (Fabijan et al. 2019, public literature).
+    *
+    * Scale shape: one distinct on (day, user) — the same shuffle the
+    * retention queries pay — then day-grain aggregates; the union'd
+    * overall row aggregates the user grain. Nothing user-sized is
+    * sorted or collected; (n_a−n_b)² stays far below 2⁶³ until
+    * day-grain user counts pass ~3·10⁹ (decimal lane then). */
+  val q227SrmGate = OracleQuery("q227_srm_gate",
+    "per-day + overall sample-ratio-mismatch chi-square gate",
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
+        .distinct()
+      val lab = du.withColumn("variant",
+        when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+          lit("B")).otherwise(lit("A")))
+      val byDay = lab.groupBy(col("day")).agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      val overall = lab.select(col("user_id"), col("variant")).distinct()
+        .agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(lit(-1L).as("day"), col("n_a"), col("n_b"))
+      byDay.unionAll(overall)
+        .withColumn("chi2",
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+        .withColumn("srm_flag", col("chi2") > lit(Chi2Crit.toDouble))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH du AS MATERIALIZED (
+        SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id FROM events),
+      lab AS MATERIALIZED (
+        SELECT day, user_id,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM du),
+      byday AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+        FROM lab GROUP BY 1),
+      overall AS (
+        SELECT CAST(-1 AS BIGINT) AS day,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+        FROM (SELECT DISTINCT user_id, variant FROM lab) u),
+      uni AS (SELECT * FROM byday UNION ALL SELECT * FROM overall)
+      SELECT day, n_a, n_b,
+             CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+               CAST(n_a + n_b AS DOUBLE) AS chi2,
+             (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+               CAST(n_a + n_b AS DOUBLE)) > ${Chi2Crit}e0 AS srm_flag
+      FROM uni
+      ORDER BY day"""))
+
+  // ------------------------------------------------------------------ //
+  // q228 — CUPED variance reduction
+  // ------------------------------------------------------------------ //
+
+  /** CUPED-adjusted experiment means (Deng, Xu, Kohavi, Walker, WSDM
+    * 2013): pre-period click count X predicts post-period purchase
+    * cents Y; θ = cov(X,Y)/var(X) from EXACT pooled decimal moments
+    * (the q171 bounded-precision lanes), and each arm's adjusted mean
+    * Ȳ−θ(X̄_arm−X̄_pool) removes the pre-existing-behavior variance
+    * component (ρ² of it, also emitted). The pre/post boundary is the
+    * exact integer midpoint of the observed µs range, so the split —
+    * like the assignment — is a pure function of the data.
+    *
+    * Scale shape: one user-grain aggregate (map-side combinable) +
+    * one 6-moment pooled aggregate + one 3-moment per-arm aggregate,
+    * both driver-bounded; the moments ride explicitly capped decimals
+    * — (10,0)·(28,0) and (19,0)² both land exactly at the shared
+    * 38-digit cap (wider would hit each engine's own promotion rule).
+    * θ/ρ² go decimal→VARCHAR→double (rule 8). */
+  val q228Cuped = OracleQuery("q228_cuped",
+    "CUPED variance-reduced A/B means, exact pooled theta",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"), col("value"))
+      val mid = broadcast(ev.agg(
+        expr("(min(us) + max(us)) div 2").as("mid")))
+      val users = ev.crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click" && col("us") < col("mid"),
+            1L).otherwise(0L)).as("x"),
+          coalesce(
+            (sum(when(col("event_type") === "purchase" &&
+                col("us") >= col("mid"), col("value").cast(dec2)))
+              * 100).cast("long"),
+            lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+      val xd = col("x").cast("decimal(18,0)")
+      val yd = col("y").cast("decimal(18,0)")
+      val pool = broadcast(users.agg(
+        count(lit(1)).as("n_pool"),
+        sum(xd).cast("decimal(19,0)").as("sx"),
+        sum(yd).cast("decimal(19,0)").as("sy"),
+        sum(xd * yd).cast("decimal(28,0)").as("sxy"),
+        sum(xd * xd).cast("decimal(28,0)").as("sxx"),
+        sum(yd * yd).cast("decimal(28,0)").as("syy"))
+        .withColumn("nd", col("n_pool").cast("decimal(10,0)"))
+        .select(col("n_pool"),
+          col("sx"), col("sy"),
+          toDbl(col("nd") * col("sxy") - col("sx") * col("sy")).as("cov_n2"),
+          toDbl(col("nd") * col("sxx") - col("sx") * col("sx")).as("varx_n2"),
+          toDbl(col("nd") * col("syy") - col("sy") * col("sy")).as("vary_n2")))
+      val arms = users.groupBy(col("variant")).agg(
+        count(lit(1)).as("n_users"),
+        sum(xd).cast("decimal(19,0)").as("sxv"),
+        sum(yd).cast("decimal(19,0)").as("syv"))
+      arms.crossJoin(pool)
+        .withColumn("theta",
+          when(col("varx_n2") === 0.0, lit(0.0))
+            .otherwise(col("cov_n2") / col("varx_n2")))
+        .withColumn("rho2",
+          when(col("varx_n2") === 0.0 || col("vary_n2") === 0.0, lit(0.0))
+            .otherwise(col("cov_n2") * col("cov_n2") /
+              (col("varx_n2") * col("vary_n2"))))
+        .select(
+          col("variant"), col("n_users"),
+          (toDbl(col("sxv")) / col("n_users").cast("double")).as("mean_x"),
+          (toDbl(col("syv")) / col("n_users").cast("double"))
+            .as("mean_y_cents"),
+          col("theta"), col("rho2"),
+          (toDbl(col("syv")) / col("n_users").cast("double") -
+            col("theta") *
+              (toDbl(col("sxv")) / col("n_users").cast("double") -
+               toDbl(col("sx")) / col("n_pool").cast("double")))
+            .as("mean_y_adj_cents"))
+        .orderBy("variant")
+    },
+    Some("""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+      mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' AND us < mid
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                       AND us >= mid
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM ev, mid GROUP BY user_id),
+      pool AS (
+        SELECT COUNT(*) AS n_pool,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS syy
+        FROM users),
+      poold AS (
+        SELECT n_pool, sx, sy,
+               CAST(CAST(CAST(n_pool AS DECIMAL(10,0)) * sxy - sx * sy
+                 AS VARCHAR) AS DOUBLE) AS cov_n2,
+               CAST(CAST(CAST(n_pool AS DECIMAL(10,0)) * sxx - sx * sx
+                 AS VARCHAR) AS DOUBLE) AS varx_n2,
+               CAST(CAST(CAST(n_pool AS DECIMAL(10,0)) * syy - sy * sy
+                 AS VARCHAR) AS DOUBLE) AS vary_n2
+        FROM pool),
+      arms AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sxv,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS syv
+        FROM users GROUP BY variant),
+      j AS (
+        SELECT variant, n_users, sxv, syv, n_pool, sx, sy,
+               cov_n2, varx_n2, vary_n2,
+               CASE WHEN varx_n2 = 0.0 THEN 0.0
+                    ELSE cov_n2 / varx_n2 END AS theta,
+               CASE WHEN varx_n2 = 0.0 OR vary_n2 = 0.0 THEN 0.0
+                    ELSE cov_n2 * cov_n2 / (varx_n2 * vary_n2)
+               END AS rho2
+        FROM arms, poold)
+      SELECT variant, n_users,
+             CAST(CAST(sxv AS VARCHAR) AS DOUBLE) /
+               CAST(n_users AS DOUBLE) AS mean_x,
+             CAST(CAST(syv AS VARCHAR) AS DOUBLE) /
+               CAST(n_users AS DOUBLE) AS mean_y_cents,
+             theta, rho2,
+             CAST(CAST(syv AS VARCHAR) AS DOUBLE) /
+               CAST(n_users AS DOUBLE) -
+               theta * (CAST(CAST(sxv AS VARCHAR) AS DOUBLE) /
+                          CAST(n_users AS DOUBLE) -
+                        CAST(CAST(sx AS VARCHAR) AS DOUBLE) /
+                          CAST(n_pool AS DOUBLE)) AS mean_y_adj_cents
+      FROM j
+      ORDER BY variant"""))
+
+  // ------------------------------------------------------------------ //
+  // q229 — delta-method CI for a ratio metric
+  // ------------------------------------------------------------------ //
+
+  /** Correct confidence intervals for a RATIO metric (revenue per
+    * view) under user-level randomization — the naive per-view CI is
+    * wrong because views within a user are correlated; the delta
+    * method (Deng, Knoblich, Lu, KDD 2018) expands Var(ΣN/ΣD) around
+    * the user-grain moments: (varN − 2r·covND + r²·varD)/(n·D̄²).
+    * All six moments per arm are exact bounded decimals (q171 lanes);
+    * the variance is ONE fixed-shape double expression over them, and
+    * the interval uses the shared z literal — nothing transcendental,
+    * everything hash-replayable.
+    *
+    * Scale shape: user-grain aggregate → 6-moment per-arm aggregate
+    * (2 rows). Degenerate arms (no views, or n<2) emit zeroed
+    * uncertainty rather than NULL/NaN (cross-engine NaN ordering is
+    * undefined — the 0/0 rule in SKILL.md). */
+  val q229RatioCi = OracleQuery("q229_ratio_metric_ci",
+    "delta-method CI for revenue-per-view under user randomization",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(
+            (sum(when(col("event_type") === "purchase",
+              col("value").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("nc"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("dv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+      val nd = col("nc").cast("decimal(18,0)")
+      val dd = col("dv").cast("decimal(18,0)")
+      val arms = users.groupBy(col("variant")).agg(
+        count(lit(1)).as("n_users"),
+        sum(nd).cast("decimal(19,0)").as("sn"),
+        sum(dd).cast("decimal(19,0)").as("sd"),
+        sum(nd * nd).cast("decimal(28,0)").as("snn"),
+        sum(dd * dd).cast("decimal(28,0)").as("sdd"),
+        sum(nd * dd).cast("decimal(28,0)").as("snd"))
+      val cnt = col("n_users").cast("decimal(10,0)")
+      val nD = col("n_users").cast("double")
+      val r = toDbl(col("sn")) / toDbl(col("sd"))
+      val varN = toDbl(cnt * col("snn") - col("sn") * col("sn")) /
+        (nD * (nD - lit(1.0)))
+      val varD = toDbl(cnt * col("sdd") - col("sd") * col("sd")) /
+        (nD * (nD - lit(1.0)))
+      val covND = toDbl(cnt * col("snd") - col("sn") * col("sd")) /
+        (nD * (nD - lit(1.0)))
+      val dbar = toDbl(col("sd")) / nD
+      val varR = (varN - lit(2.0) * r * covND + r * r * varD) /
+        (nD * dbar * dbar)
+      val degenerate = col("views_ok") === 0L || col("n_users") < 2L
+      arms
+        .withColumn("views_ok", toDbl(col("sd")).cast("long"))
+        .withColumn("r_cents_per_view",
+          when(degenerate, lit(0.0)).otherwise(r))
+        .withColumn("se",
+          when(degenerate, lit(0.0))
+            .otherwise(sqrt(greatest(varR, lit(0.0)))))
+        .select(
+          col("variant"), col("n_users"),
+          toDbl(col("sn")).cast("long").as("sum_cents"),
+          toDbl(col("sd")).cast("long").as("sum_views"),
+          col("r_cents_per_view"),
+          col("se"),
+          (col("r_cents_per_view") - lit(ZCrit.toDouble) * col("se"))
+            .as("ci_lo"),
+          (col("r_cents_per_view") + lit(ZCrit.toDouble) * col("se"))
+            .as("ci_hi"))
+        .orderBy("variant")
+    },
+    Some(s"""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dv,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT variant, COUNT(*) AS n_users,
+               CAST(SUM(CAST(nc AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sn,
+               CAST(SUM(CAST(dv AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sd,
+               CAST(SUM(CAST(nc AS DECIMAL(18,0)) * CAST(nc AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS snn,
+               CAST(SUM(CAST(dv AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS sdd,
+               CAST(SUM(CAST(nc AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS snd
+        FROM users GROUP BY variant),
+      m AS (
+        SELECT variant, n_users,
+               CAST(CAST(sn AS VARCHAR) AS DOUBLE) AS snD,
+               CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sdD,
+               CAST(n_users AS DOUBLE) AS nD,
+               CAST(CAST(CAST(n_users AS DECIMAL(10,0)) * snn - sn * sn
+                 AS VARCHAR) AS DOUBLE) AS vN2,
+               CAST(CAST(CAST(n_users AS DECIMAL(10,0)) * sdd - sd * sd
+                 AS VARCHAR) AS DOUBLE) AS vD2,
+               CAST(CAST(CAST(n_users AS DECIMAL(10,0)) * snd - sn * sd
+                 AS VARCHAR) AS DOUBLE) AS cND2
+        FROM arms),
+      st AS (
+        SELECT variant, n_users,
+               CAST(snD AS BIGINT) AS sum_cents,
+               CAST(sdD AS BIGINT) AS sum_views,
+               CASE WHEN CAST(sdD AS BIGINT) = 0 OR n_users < 2 THEN 0.0
+                    ELSE snD / sdD END AS r_cents_per_view,
+               CASE WHEN CAST(sdD AS BIGINT) = 0 OR n_users < 2 THEN 0.0
+                    ELSE sqrt(GREATEST(
+                      (vN2 / (nD * (nD - 1.0))
+                       - 2.0e0 * (snD / sdD) * (cND2 / (nD * (nD - 1.0)))
+                       + (snD / sdD) * (snD / sdD)
+                         * (vD2 / (nD * (nD - 1.0))))
+                      / (nD * (sdD / nD) * (sdD / nD)), 0.0))
+               END AS se
+        FROM m)
+      SELECT variant, n_users, sum_cents, sum_views, r_cents_per_view, se,
+             r_cents_per_view - ${ZCrit}e0 * se AS ci_lo,
+             r_cents_per_view + ${ZCrit}e0 * se AS ci_hi
+      FROM st
+      ORDER BY variant"""))
+
+  // ------------------------------------------------------------------ //
+  // q231 — paired sign-flip randomization test
+  // ------------------------------------------------------------------ //
+
+  /** Assumption-free significance for the A−B revenue difference:
+    * users are md5-hashed into 16 buckets, the per-bucket paired
+    * difference d_b = centsA−centsB is an exact BIGINT, and 64
+    * md5-derived sign vectors flip the buckets (the randomization /
+    * Fisher-Pitman family; signs from the first hex nibble, the
+    * Bootstrap draw discipline). Every permutation statistic
+    * T_p = Σ s_pb·d_b is pure BIGINT, so the whole null distribution
+    * — and the p-value (1+#{|T_p|≥|T_obs|})/(P+1), one double
+    * division — replays bit-identically cross-engine, something no
+    * RNG-based permutation test can claim.
+    *
+    * Scale shape: corpus → user grain → 16-bucket aggregate; the
+    * 16×64 sign expansion is a constant-size explode. The corpus is
+    * scanned once, and nothing beyond the 16-row bucket table ever
+    * fans out. */
+  val q231PermutationTest = OracleQuery("q231_permutation_test",
+    "paired sign-flip randomization test on A-B revenue, md5 signs",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .withColumn("bucket",
+          substring(md5(concat(lit("bk"), col("user_id").cast("string"))
+            .cast("binary")), 1, 1))
+      val buckets = users.groupBy(col("bucket"))
+        .agg(sum(when(col("variant") === "A", col("y"))
+          .otherwise(-col("y"))).as("diff"))
+      val obs = broadcast(buckets.agg(sum(col("diff")).as("t_obs")))
+      val perms = buckets
+        .select(col("bucket"), col("diff"),
+          explode(expr("sequence(0, 63)")).as("perm"))
+        .withColumn("perm", col("perm").cast("long"))
+        .withColumn("sign",
+          when(substring(md5(concat(lit("perm"), col("perm").cast("string"),
+            lit("_"), col("bucket")).cast("binary")), 1, 1) < "8",
+            lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("perm"))
+        .agg(sum(col("sign") * col("diff")).as("t_perm"))
+      val withObs = perms.crossJoin(obs)
+        .withColumn("ge_obs", abs(col("t_perm")) >= abs(col("t_obs")))
+      val pv = broadcast(withObs.agg(
+        ((sum(when(col("ge_obs"), 1L).otherwise(0L)) + lit(1L))
+          .cast("double") / lit(65.0)).as("p_value")))
+      withObs.crossJoin(pv)
+        .select(col("perm"), col("t_perm"), col("ge_obs"),
+          col("t_obs"), col("p_value"))
+        .orderBy("perm")
+    },
+    Some("""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant,
+               substring(md5('bk' || CAST(user_id AS VARCHAR)), 1, 1)
+                 AS bucket
+        FROM events GROUP BY user_id),
+      buckets AS MATERIALIZED (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE -y END)
+                 AS BIGINT) AS diff
+        FROM users GROUP BY bucket),
+      obs AS (SELECT CAST(SUM(diff) AS BIGINT) AS t_obs FROM buckets),
+      perms AS MATERIALIZED (
+        SELECT CAST(p.perm AS BIGINT) AS perm,
+               CAST(SUM(CASE WHEN substring(md5('perm' ||
+                        CAST(p.perm AS VARCHAR) || '_' || b.bucket), 1, 1)
+                        < '8' THEN b.diff ELSE -b.diff END)
+                 AS BIGINT) AS t_perm
+        FROM buckets b,
+             (SELECT unnest(generate_series(0, 63)) AS perm) p
+        GROUP BY 1),
+      wo AS MATERIALIZED (
+        SELECT perm, t_perm, abs(t_perm) >= abs(t_obs) AS ge_obs, t_obs
+        FROM perms, obs),
+      pv AS (
+        SELECT (CAST(SUM(CASE WHEN ge_obs THEN 1 ELSE 0 END) + 1
+                  AS DOUBLE)) / 65.0e0 AS p_value
+        FROM wo)
+      SELECT perm, t_perm, ge_obs, t_obs, p_value
+      FROM wo, pv
+      ORDER BY perm"""))
+
+  def all: Seq[OracleQuery] =
+    Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest)
+}

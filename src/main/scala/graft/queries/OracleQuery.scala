@@ -54,7 +54,7 @@ object Catalog {
       ReleaseQueries.all ++ ScaleQueries.all ++ EngagementQueries.all ++
       FamilyQueries.all ++ SeriesQueries.all ++ MiningQueries.all ++
       CorpusQueries.all ++ StatQueries.all ++ DepthQueries.all ++
-      PrepQueries.all ++ InsightQueries.all
+      PrepQueries.all ++ InsightQueries.all ++ ExperimentQueries.all
 
   def byName: Map[String, OracleQuery] = all.map(q => q.name -> q).toMap
 }

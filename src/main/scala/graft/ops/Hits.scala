@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (hubs & authorities, Kleinberg 1999) over a directed edge
+  * list, in EXACT INTEGER arithmetic — the mutual-reinforcement twin
+  * of [[PageRank]]: a good hub points at good authorities, a good
+  * authority is pointed at by good hubs. On a bipartite
+  * supplier→customer graph this ranks "breadth-through-quality"
+  * (hubs) and "demand-through-quality" (authorities) — the two sides
+  * PageRank's single score conflates.
+  *
+  * Why unnormalized integers: classic HITS L2-normalizes each
+  * half-step, which makes every score a float whose
+  * partial-sum order differs per engine. Normalization only rescales
+  * — the RANKING after k rounds is identical without it — so scores
+  * here stay raw BIGINT sums (h₀ ≡ 1): a₁ = indegree,
+  * h₁ = Σ_out a₁, a₂ = Σ_in h₁, … Every half-step is one
+  * edges⋈scores equi-join plus one map-side-combinable SUM, and the
+  * fixed-point trajectory replays bit-identically in any engine
+  * (q233's oracle unrolls it as chained CTEs). Magnitudes grow like
+  * (Σdeg)^rounds — with the default 2 rounds, BIGINT holds to ~10⁹
+  * edges; beyond that the same shape rides decimal(38,0).
+  *
+  * Scale shape (the [[PageRank]] Pregel-in-SQL discipline): per
+  * half-step one shuffle on the join key and one on the group key,
+  * score tables are node-sized, edges dominate, nothing reaches the
+  * driver. Round count is FIXED — no convergence collect — so
+  * lineage depth is bounded.
+  *
+  * The reference warehouse (star schema, `transform/schema.sql`) has
+  * no graph operators; this extends the §2 graph family.
+  */
+object Hits {
+
+  /** (node, score) pairs after `rounds` full rounds: authorities on
+    * the dst side, hubs on the src side, as two DataFrames
+    * `(authorities, hubs)`. Duplicate edges are NOT deduplicated here
+    * — callers decide whether multiplicity is signal (dedup first for
+    * the classic unweighted graph). */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // h0 ≡ 1 ⇒ a1 = indegree (skip the join for the first half-step)
+    var auth = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("score"))
+    var hub = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("score")).as("score"))
+    var done = 1
+    while (done < rounds) {
+      auth = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("score")).as("score"))
+      hub = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("score")).as("score"))
+      done += 1
+    }
+    (auth, hub)
+  }
+}

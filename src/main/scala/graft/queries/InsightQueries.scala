@@ -1544,10 +1544,97 @@ object InsightQueries {
       FROM r
       ORDER BY look"""))
 
+  // ------------------------------------------------------------------ //
+  // q232 — EWMA anomaly band (finite window, integer-exact flags)
+  // ------------------------------------------------------------------ //
+
+  /** 14-day EWMA weights ⌊10⁶·0.75^j⌉ for lag j=1..14 (α=0.25),
+    * PRE-COMPUTED integer literals shared by both engines — the q230
+    * discount-literal trick applied to exponential smoothing: no
+    * engine evaluates pow(), so the trailing average replays. */
+  private val EwmaW: Seq[Long] = Seq(750000L, 562500L, 421875L, 316406L,
+    237305L, 177979L, 133484L, 100113L, 75085L, 56314L, 42235L, 31676L,
+    23757L, 17818L)
+
+  /** EWMA revenue-anomaly band: each day's purchase cents vs the
+    * exponentially-weighted trailing 14-day average (the monitoring
+    * twin of the q212 CUSUM — CUSUM finds ONE global break, EWMA
+    * flags every locally-anomalous day). The anomaly gates are
+    * integer cross-multiplications — `cents·Σw > 2·Σ(c·w)` avoids
+    * dividing before comparing, so hi/lo flags are BIGINT-exact and
+    * the displayed EWMA is the only double (one division). Days with
+    * no prior revenue in the window emit NULL EWMA and false flags;
+    * weights renormalize over PRESENT lags, so calendar gaps don't
+    * drag the average toward zero.
+    *
+    * Scale shape: the corpus collapses to the day grain in one
+    * map-side-combinable aggregate; the lag spread is a bounded
+    * 14-way explode of day-grain rows joined back on the day key —
+    * no window function at all, so no single-partition sort risk;
+    * at 100 TB the day table is still calendar-sized. */
+  val q232EwmaBand = OracleQuery("q232_ewma_band",
+    "EWMA trailing-average revenue anomaly band, integer-exact flags",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("cents")))
+      val wArr = array(EwmaW.zipWithIndex.map { case (w, i) =>
+        struct(lit((i + 1).toLong).as("j"), lit(w).as("w"))
+      }: _*)
+      val contrib = daily
+        .select(col("day"), col("cents"), explode(wArr).as("jw"))
+        .select((col("day") + col("jw.j")).as("day"),
+          (col("cents") * col("jw.w")).as("wc"), col("jw.w").as("w"))
+        .groupBy(col("day"))
+        .agg(sum(col("wc")).as("num"), sum(col("w")).as("den"))
+      daily.join(contrib, Seq("day"), "left")
+        .select(col("day"), col("cents"),
+          when(col("den").isNotNull,
+            col("num").cast("double") / col("den").cast("double"))
+            .otherwise(lit(null).cast("double")).as("ewma_cents"),
+          when(col("den").isNotNull,
+            col("cents") * col("den") > lit(2L) * col("num"))
+            .otherwise(lit(false)).as("hi_flag"),
+          when(col("den").isNotNull,
+            lit(2L) * col("cents") * col("den") < col("num"))
+            .otherwise(lit(false)).as("lo_flag"))
+        .orderBy("day")
+    },
+    Some {
+      val values = EwmaW.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      w(j, w) AS (SELECT * FROM (VALUES $values) v(j, w)),
+      contrib AS MATERIALIZED (
+        SELECT d.day + wj.j AS day,
+               CAST(SUM(d.cents * wj.w) AS BIGINT) AS num,
+               CAST(SUM(wj.w) AS BIGINT) AS den
+        FROM daily d, w wj
+        GROUP BY 1)
+      SELECT d.day, d.cents,
+             CASE WHEN c.den IS NOT NULL
+                  THEN CAST(c.num AS DOUBLE) / CAST(c.den AS DOUBLE)
+             END AS ewma_cents,
+             CASE WHEN c.den IS NOT NULL
+                  THEN d.cents * c.den > 2 * c.num
+                  ELSE FALSE END AS hi_flag,
+             CASE WHEN c.den IS NOT NULL
+                  THEN 2 * d.cents * c.den < c.num
+                  ELSE FALSE END AS lo_flag
+      FROM daily d LEFT JOIN contrib c USING (day)
+      ORDER BY d.day"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
-      q224ChurnHazard, q225MmrRerank, q226GroupSequential)
+      q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand)
 }

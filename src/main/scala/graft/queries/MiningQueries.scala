@@ -152,6 +152,74 @@ object MiningQueries {
       FROM d3
       ORDER BY n"""))
 
+  // ------------------------------------------------------------------ //
+  // q233 — HITS hubs & authorities (integer-exact, 2 rounds)
+  // ------------------------------------------------------------------ //
+
+  /** HITS ([[graft.ops.Hits.hitsInt]], 2 rounds, exact BIGINT) on the
+    * bipartite supplier→customer graph: authorities are customers
+    * reached through well-connected suppliers, hubs are suppliers
+    * whose customer base is itself heavily supplied — the two-sided
+    * centrality PageRank's single score conflates. The oracle unrolls
+    * both rounds as chained CTEs (a₁=indegree → h₁ → a₂ → h₂) and
+    * must agree score-for-score — a real check of the
+    * mutual-reinforcement trajectory, not an echo. Top-15 per side via
+    * TakeOrdered; the rank window runs over ≤15 rows. */
+  val q233Hits = OracleQuery("q233_hits",
+    "HITS hubs/authorities on supplier->customer graph, exact 2 rounds",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+      val (auth, hub) = graft.ops.Hits.hitsInt(edges, "sk", "ck", rounds = 2)
+      def top(df: DataFrame, side: String) = {
+        val w = Window.orderBy(col("score").desc, col("node"))
+        df.orderBy(col("score").desc, col("node")).limit(15)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(lit(side).as("side"), col("node").as("node_id"),
+            col("score"), col("rnk"))
+      }
+      top(auth, "authority").unionAll(top(hub, "hub"))
+        .orderBy("side", "rnk")
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a1 AS MATERIALIZED (
+        SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS score
+        FROM e GROUP BY 1),
+      h1 AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS score
+        FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+      a2 AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS score
+        FROM e JOIN h1 h ON e.src = h.node GROUP BY 1),
+      h2 AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS score
+        FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+      ta AS (
+        SELECT 'authority' AS side, node AS node_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, node)
+                 AS BIGINT) AS rnk
+        FROM (SELECT node, score FROM a2
+              ORDER BY score DESC, node LIMIT 15) x),
+      th AS (
+        SELECT 'hub' AS side, node AS node_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, node)
+                 AS BIGINT) AS rnk
+        FROM (SELECT node, score FROM h2
+              ORDER BY score DESC, node LIMIT 15) x)
+      SELECT side, node_id, score, rnk FROM ta
+      UNION ALL
+      SELECT side, node_id, score, rnk FROM th
+      ORDER BY side, rnk"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q162Triangles, q163BasketLift, q175KCore)
+    Seq(q162Triangles, q163BasketLift, q175KCore, q233Hits)
 }

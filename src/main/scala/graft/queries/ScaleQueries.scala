@@ -632,9 +632,151 @@ ${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
       FROM curve, tot
       ORDER BY rank"""))
 
+  // ------------------------------------------------------------------ //
+  // q230 — NDCG@10 (graded ranking quality, integer-exact)
+  // ------------------------------------------------------------------ //
+
+  /** Rank-1..10 discount weights: ⌊10⁶/log₂(1+i)⌉, PRE-COMPUTED and
+    * hardcoded — q187 deliberately skipped nDCG because neither
+    * engine's log is IEEE-portable (the q216 finding: JVM log10 and
+    * libm diverge by 1 ulp); scaling the discounts to fixed integer
+    * literals shared by both engines removes the transcendental from
+    * the query entirely, so the classic graded metric becomes
+    * hash-gateable. */
+  private val NdcgDisc = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** NDCG@10 of the q108 BM25 ranking against graded term-coverage
+    * relevance (rel = #query terms present ∈ 0..3, gain = 2^rel−1):
+    * DCG_k = Σ gain_i·W_i is a pure BIGINT cumulative sum thanks to
+    * the integer discount literals above; the ideal ranking is the
+    * corpus-wide top-10 by (gain, doc_id) — a TakeOrdered, never a
+    * global sort — and NDCG_k = DCG_k/IDCG_k is ONE double division
+    * per rank. Closes the metric gap q187's precision/recall curve
+    * documented (see its Scaladoc).
+    *
+    * Scale shape: the corpus is scanned once for term stats (the BM25
+    * pass) and once for the ideal tiers; both collapse to ≤10-row
+    * bounded tables before any window runs — the cumulative windows
+    * only ever see 10 rows. */
+  val q230NdcgEval = OracleQuery("q230_ndcg_eval",
+    "NDCG@10 of BM25 vs graded term-coverage relevance, integer DCG",
+    (s, d) => {
+      import graft.ops.TextAnalysis
+      val docs = Tables.documents(s, d)
+      def gainExpr(rel: org.apache.spark.sql.Column) =
+        when(rel === 0L, 0L).when(rel === 1L, 1L)
+          .when(rel === 2L, 3L).otherwise(7L)
+      def discExpr(rank: org.apache.spark.sql.Column) =
+        NdcgDisc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+          when(rank === (i + 1).toLong, lit(w)).otherwise(acc)
+        }
+      val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+      val wCum = Window.orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dcg = Search.bm25TopK(docs, "doc_id", "text", Bm25Terms, 20, K1, B)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 10)
+        .withColumn("rel",
+          Bm25Terms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("gain", gainExpr(col("rel")))
+        .withColumn("cum_dcg",
+          sum(col("gain") * discExpr(col("rank"))).over(wCum))
+      val tiers = docs
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          Bm25Terms.map(t =>
+            when(size(filter(col("ws"), x => x === t)) > 0, 1L)
+              .otherwise(0L)).reduce(_ + _).as("irel"))
+        .select(col("doc_id"), gainExpr(col("irel")).as("igain"))
+        .orderBy(col("igain").desc, col("doc_id")).limit(10)
+      val wIdeal = Window.orderBy(col("igain").desc, col("doc_id"))
+      val ideal = tiers
+        .withColumn("rank", row_number().over(wIdeal).cast("long"))
+        .withColumn("cum_idcg",
+          sum(col("igain") * discExpr(col("rank"))).over(wCum))
+        .select(col("rank"), col("cum_idcg"))
+      dcg.join(ideal, "rank")
+        .select(col("rank"), col("doc_id"), col("rel"), col("gain"),
+          col("cum_dcg"), col("cum_idcg"),
+          when(col("cum_idcg") > 0L,
+            col("cum_dcg").cast("double") / col("cum_idcg").cast("double"))
+            .otherwise(lit(0.0)).as("ndcg_at_k"))
+        .orderBy("rank")
+    },
+    Some {
+      val discCase = NdcgDisc.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+        .mkString("CASE rank ", " ", " ELSE 0 END")
+      val relSql = Bm25Terms
+        .map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS MATERIALIZED (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+${Bm25Terms.map(t => s"               CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+${Bm25Terms.map(t => s"               CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+        FROM tf),
+      ranked AS MATERIALIZED (
+        SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM (
+          SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
+${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
+          FROM tf, (SELECT *,
+                    CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                    FROM ag) a) s
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20),
+      g AS MATERIALIZED (
+        SELECT rank, doc_id, CAST($relSql AS BIGINT) AS rel,
+               CAST(CASE ($relSql) WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS gain
+        FROM ranked WHERE rank <= 10),
+      dcg AS MATERIALIZED (
+        SELECT rank, doc_id, rel, gain,
+               CAST(SUM(gain * ($discCase)) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_dcg
+        FROM g),
+      tiers AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(CASE ($relSql) WHEN 0 THEN 0 WHEN 1 THEN 1
+                    WHEN 2 THEN 3 ELSE 7 END AS BIGINT) AS igain
+        FROM tf
+        ORDER BY igain DESC, doc_id
+        LIMIT 10),
+      ideal AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY igain DESC, doc_id)
+                 AS BIGINT) AS rank, igain
+        FROM tiers),
+      icum AS MATERIALIZED (
+        SELECT rank,
+               CAST(SUM(igain * ($discCase)) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_idcg
+        FROM ideal)
+      SELECT d.rank, d.doc_id, d.rel, d.gain, d.cum_dcg, i.cum_idcg,
+             CASE WHEN i.cum_idcg > 0
+                  THEN CAST(d.cum_dcg AS DOUBLE) / CAST(i.cum_idcg AS DOUBLE)
+                  ELSE 0.0 END AS ndcg_at_k
+      FROM dcg d JOIN icum i USING (rank)
+      ORDER BY d.rank"""
+    })
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
     q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
-    q157JoinCardGate, q187RetrievalEval)
+    q157JoinCardGate, q187RetrievalEval, q230NdcgEval)
 }

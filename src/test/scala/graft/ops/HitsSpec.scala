@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** HITS on hand-traced graphs — the mutual-reinforcement trajectory
+  * is integer-exact, so every expected score is computable by hand. */
+class HitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-round trajectory on a hand-traced bipartite graph") {
+    // hubs {1,2,3} → authorities {10,11}:
+    //   1→10, 1→11, 2→10, 3→11
+    // a1 = indegree:          a1(10)=2, a1(11)=2
+    // h1 = Σ_out a1:          h1(1)=4, h1(2)=2, h1(3)=2
+    // a2 = Σ_in h1:           a2(10)=4+2=6, a2(11)=4+2=6
+    // h2 = Σ_out a2:          h2(1)=12, h2(2)=6, h2(3)=6
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val (auth, hub) = Hits.hitsInt(e, "src", "dst", rounds = 2)
+    assert(scores(auth) == Map(10L -> 6L, 11L -> 6L))
+    assert(scores(hub) == Map(1L -> 12L, 2L -> 6L, 3L -> 6L))
+  }
+
+  test("one round = indegree authorities, hub = sum of its targets'") {
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val (auth, hub) = Hits.hitsInt(e, "src", "dst", rounds = 1)
+    assert(scores(auth) == Map(10L -> 2L, 11L -> 1L))
+    assert(scores(hub) == Map(1L -> 2L, 2L -> 3L))
+  }
+
+  test("hub quality separates equal-degree hubs (the PageRank-blind case)") {
+    // hubs 1 and 2 both have out-degree 1, but 1 points at the
+    // popular authority — HITS ranks it higher, degree cannot.
+    val e = Seq((1L, 10L), (3L, 10L), (4L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val (_, hub) = Hits.hitsInt(e, "src", "dst", rounds = 1)
+    val h = scores(hub)
+    assert(h(1L) == 3L && h(2L) == 1L)
+  }
+
+  test("rounds must be positive") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Hits.hitsInt(e, "src", "dst", rounds = 0)
+    }
+  }
+}

@@ -67,4 +67,101 @@ object Kmv {
         col("kmv_estimate"), col("gate_pass"))
       .orderBy(groupCol)
   }
+
+  /** KMV SET ALGEBRA over every unordered pair of groups: union,
+    * intersection and Jaccard estimates from merged bottom-k sketches,
+    * each gated against the exact answer (q110 discipline — a red
+    * driver row the moment the algebra drifts).
+    *
+    * Mergeability is the whole point at 100 TB: the union sketch of
+    * (A,B) is the bottom-k of sketch(A) ∪ sketch(B) — 2k bounded rows,
+    * never the data — because bottom-k of a union is contained in the
+    * union of bottom-ks. Intersection rides inclusion–exclusion
+    * (D_A + D_B − D_∪, clamped at 0), Jaccard is their ratio: pairwise
+    * overlap across S sources costs O(S²k) sketch rows AFTER one scan
+    * of the data, where exact pairwise overlap would re-shuffle the
+    * corpus per pair. The exact side here (one key-shuffled self-join)
+    * exists only to power the gates.
+    *
+    * Same determinism as [[distinctEstimate]]: draws are md5-uniform,
+    * the k-th order statistic is replayable, so every ESTIMATE — not
+    * just the gate — hash-compares cross-engine. Draws are keyed by
+    * `key` alone (no group in the salt): the same element gets the
+    * same draw in every group, which is exactly what makes the merged
+    * sketch dedup to set semantics. */
+  def pairwiseSetOps(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 128, salt: String = "su", tol: Double = 0.25): DataFrame = {
+    require(k >= 2, "the (k-1)/h_k estimator needs k >= 2")
+    // cached: the distinct table feeds counts, draws AND the exact
+    // intersection self-join — three consumers of the one data-sized
+    // shuffle
+    val du = Caches.track(df
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("key"))
+      .distinct())
+    val counts = du.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val drawn = du.withColumn("h",
+      conv(substring(Curation.keyHash(col("key"), salt), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0))
+    // pre-filter before the per-group rank — the q183 scale move: only
+    // ~4k rows per group meet the window sort
+    val surv = drawn.join(broadcast(counts), Seq("g"))
+      .filter(col("h") <
+        least(lit(1.0), lit(4.0 * k) / col("n").cast("double")))
+    val wg = Window.partitionBy(col("g")).orderBy(col("h"), col("key"))
+    val sk = Caches.track(surv
+      .withColumn("rn", row_number().over(wg).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("key"), col("h"), col("rn")))
+    val estOf = when(col("kept") < k, col("kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / col("hk"))
+    val per = sk.groupBy(col("g"))
+      .agg(count(lit(1)).as("kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("g"), estOf.as("est"))
+    val pairs = broadcast(
+      counts.select(col("g").as("ga"), col("n").as("n_a"))
+        .crossJoin(counts.select(col("g").as("gb"), col("n").as("n_b")))
+        .filter(col("ga") < col("gb")))
+    val inter = du.as("x").join(du.as("y"),
+        col("x.key") === col("y.key") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val merged = pairs.select(col("ga"), col("gb"))
+      .join(sk, col("g") === col("ga") || col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("key"), col("h"))
+      .distinct() // an element in both sketches has ONE draw — set semantics
+    val wp = Window.partitionBy(col("ga"), col("gb"))
+      .orderBy(col("h"), col("key"))
+    val uest = merged
+      .withColumn("rn", row_number().over(wp).cast("long"))
+      .filter(col("rn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("kept"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("ga"), col("gb"), estOf.as("union_est"))
+    val uex = col("union_exact").cast("double")
+    pairs
+      .join(inter, Seq("ga", "gb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .join(uest, Seq("ga", "gb"))
+      .join(broadcast(per.select(col("g").as("ga"), col("est").as("est_a"))),
+        Seq("ga"))
+      .join(broadcast(per.select(col("g").as("gb"), col("est").as("est_b"))),
+        Seq("gb"))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("inter_est",
+        greatest(col("est_a") + col("est_b") - col("union_est"), lit(0.0)))
+      .select(
+        col("ga").as("type_a"), col("gb").as("type_b"),
+        col("n_a"), col("n_b"), col("inter_exact"), col("union_exact"),
+        (col("inter_exact").cast("double") / uex).as("jaccard_exact"),
+        col("union_est"), col("inter_est"),
+        when(col("union_est") > 0.0, col("inter_est") / col("union_est"))
+          .otherwise(lit(0.0)).as("jaccard_est"),
+        (abs(col("union_est") - uex) / uex <= tol).as("union_gate"),
+        (abs(col("inter_est") - col("inter_exact").cast("double")) <=
+          lit(tol) * uex).as("inter_gate"))
+      .orderBy("type_a", "type_b")
+  }
 }

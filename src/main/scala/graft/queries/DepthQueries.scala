@@ -530,9 +530,91 @@ object DepthQueries {
       ORDER BY k.doc_id"""
     })
 
+  /** KMV set algebra ([[graft.ops.Kmv.pairwiseSetOps]]): distinct-user
+    * union / intersection / Jaccard between every pair of event types,
+    * estimated from MERGED bottom-128 sketches and gated against the
+    * exact overlap (q110 discipline). The mergeability being exercised
+    * — bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B) — is the 100 TB
+    * story: S-source audience overlap costs one corpus scan + O(S²k)
+    * sketch rows, not a shuffle per pair. Every estimate (not just the
+    * gate) hash-replays: the oracle rebuilds the draws, both sketch
+    * ranks, and the inclusion–exclusion arithmetic. */
+  val q234KmvSetOps = OracleQuery("q234_kmv_set_ops",
+    "pairwise distinct-user set algebra from merged KMV sketches, gated",
+    (s, d) => graft.ops.Kmv.pairwiseSetOps(
+      Tables.events(s, d), "event_type", "user_id", k = 128),
+    Some("""
+      WITH du AS MATERIALIZED (
+        SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS key
+        FROM events),
+      cnt AS MATERIALIZED (SELECT g, COUNT(*) AS n FROM du GROUP BY 1),
+      d AS MATERIALIZED (
+        SELECT g, key,
+               CAST(concat('0x', substring(md5('su' || key), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS h
+        FROM du),
+      s AS MATERIALIZED (
+        SELECT d.g, d.key, d.h FROM d JOIN cnt c USING (g)
+        WHERE d.h < LEAST(1.0, 512.0 / CAST(c.n AS DOUBLE))),
+      sk AS MATERIALIZED (
+        SELECT g, key, h, rn FROM (
+          SELECT g, key, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h, key) AS rn
+          FROM s) r WHERE rn <= 128),
+      per AS MATERIALIZED (
+        SELECT g, CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE 127.0 / MAX(CASE WHEN rn = 128 THEN h END)
+                  END AS est
+        FROM sk GROUP BY g),
+      pairs AS MATERIALIZED (
+        SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+        FROM cnt a, cnt b WHERE a.g < b.g),
+      inter AS MATERIALIZED (
+        SELECT x.g AS ga, y.g AS gb, CAST(COUNT(*) AS BIGINT) AS inter_exact
+        FROM du x JOIN du y ON x.key = y.key AND x.g < y.g
+        GROUP BY 1, 2),
+      merged AS MATERIALIZED (
+        SELECT DISTINCT p.ga, p.gb, s2.key, s2.h
+        FROM pairs p JOIN sk s2 ON s2.g = p.ga OR s2.g = p.gb),
+      uagg AS MATERIALIZED (
+        SELECT ga, gb, COUNT(*) AS kept,
+               MAX(CASE WHEN rn = 128 THEN h END) AS hk
+        FROM (SELECT ga, gb, key, h,
+                     row_number() OVER (PARTITION BY ga, gb
+                       ORDER BY h, key) AS rn
+              FROM merged) m
+        WHERE rn <= 128 GROUP BY 1, 2),
+      uest AS (
+        SELECT ga, gb, CASE WHEN kept < 128 THEN CAST(kept AS DOUBLE)
+                            ELSE 127.0 / hk END AS union_est
+        FROM uagg),
+      j AS (
+        SELECT p.ga, p.gb, p.n_a, p.n_b,
+               COALESCE(i.inter_exact, 0) AS inter_exact,
+               p.n_a + p.n_b - COALESCE(i.inter_exact, 0) AS union_exact,
+               u.union_est,
+               GREATEST(pa.est + pb.est - u.union_est, 0.0) AS inter_est
+        FROM pairs p
+        LEFT JOIN inter i ON p.ga = i.ga AND p.gb = i.gb
+        JOIN uest u ON p.ga = u.ga AND p.gb = u.gb
+        JOIN per pa ON pa.g = p.ga
+        JOIN per pb ON pb.g = p.gb)
+      SELECT ga AS type_a, gb AS type_b, n_a, n_b, inter_exact, union_exact,
+             CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE)
+               AS jaccard_exact,
+             union_est, inter_est,
+             CASE WHEN union_est > 0.0 THEN inter_est / union_est
+                  ELSE 0.0 END AS jaccard_est,
+             abs(union_est - CAST(union_exact AS DOUBLE)) /
+               CAST(union_exact AS DOUBLE) <= 0.25 AS union_gate,
+             abs(inter_est - CAST(inter_exact AS DOUBLE)) <=
+               0.25 * CAST(union_exact AS DOUBLE) AS inter_gate
+      FROM j
+      ORDER BY type_a, type_b"""))
+
   def all: Seq[OracleQuery] =
     Seq(q177MedianScale, q178PhraseSearch, q179AbScorecard,
       q180KcenterCoreset, q181PrototypeClassify, q182DupSpans,
       q183KmvDistinct, q184StripSpans, q185SeasonalAnomaly,
-      q186NegativeEdges, q188CurationPipeline)
+      q186NegativeEdges, q188CurationPipeline, q234KmvSetOps)
 }

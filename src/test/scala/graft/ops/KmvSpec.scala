@@ -32,4 +32,38 @@ class KmvSpec extends SparkTestBase {
       .as[(String, Long, Long, Double, Boolean)].collect().toSeq
     assert(a == b)
   }
+
+  test("set ops: saturated sketches give EXACT union/intersection/jaccard") {
+    // A = 1..30, B = 21..50: |A∩B| = 10, |A∪B| = 50, J = 0.2.
+    // k = 128 > 50 ⇒ every sketch is the full set ⇒ estimates exact.
+    val df = ((1 to 30).map(i => ("A", i)) ++ (21 to 50).map(i => ("B", i)))
+      .toDF("grp", "key")
+    val r = Kmv.pairwiseSetOps(df, "grp", "key", k = 128).collect().head
+    assert(r.getAs[Long]("inter_exact") == 10L)
+    assert(r.getAs[Long]("union_exact") == 50L)
+    assert(r.getAs[Double]("union_est") == 50.0)
+    assert(r.getAs[Double]("inter_est") == 10.0)
+    assert(r.getAs[Double]("jaccard_est") == 0.2)
+    assert(r.getAs[Boolean]("union_gate") && r.getAs[Boolean]("inter_gate"))
+  }
+
+  test("set ops: disjoint groups produce a row with zero intersection") {
+    val df = ((1 to 20).map(i => ("A", i)) ++ (100 to 119).map(i => ("B", i)))
+      .toDF("grp", "key")
+    val r = Kmv.pairwiseSetOps(df, "grp", "key", k = 64).collect().head
+    assert(r.getAs[Long]("inter_exact") == 0L)
+    assert(r.getAs[Long]("union_exact") == 40L)
+    assert(r.getAs[Double]("inter_est") == 0.0)
+    assert(r.getAs[Double]("jaccard_exact") == 0.0)
+  }
+
+  test("set ops: three groups yield all three unordered pairs, ordered") {
+    val df = (1 to 10).flatMap(i => Seq(("a", i), ("b", i), ("c", i)))
+      .toDF("grp", "key")
+    val rows = Kmv.pairwiseSetOps(df, "grp", "key", k = 32).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    // identical sets: intersection == union == 10 exactly (saturated)
+    assert(rows.forall(_.getAs[Double]("jaccard_est") == 1.0))
+  }
 }

@@ -488,6 +488,247 @@ object ExperimentQueries {
       FROM wo, pv
       ORDER BY perm"""))
 
+  // ------------------------------------------------------------------ //
+  // q235 — post-stratified treatment effect (standardization)
+  // ------------------------------------------------------------------ //
+
+  /** The five TPC-H market segments — a SCHEMA constant, which is what
+    * licenses the fixed-order pivot below. */
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+
+  /** Post-stratified average treatment effect (standardization;
+    * Miratrix–Sekhon–Yu 2013): the A−B revenue effect re-weighted by
+    * market-segment strata, removing the variance/bias a lucky
+    * segment imbalance injects into the raw difference. Σ w_s·d_s
+    * over doubles would be partial-sum-order-dependent — the q224
+    * KM-product problem — so the strata are pivoted into FIVE literal
+    * columns (the segment list is schema-fixed) and summed as one
+    * explicit left-associated 5-term expression: fixed shape, both
+    * engines, hash-exact. Per-stratum evidence (counts, exact cents
+    * sums, means, effects) rides alongside so the adjustment is
+    * auditable; one-armed strata contribute zero by the documented
+    * guard rather than NaN.
+    *
+    * Scale shape: user grain (map-side combinable) → broadcast dim
+    * join for the stratum → 5-row stratum aggregate → constant-size
+    * pivots; nothing user-sized meets a window or the driver. */
+  val q235PostStrat = OracleQuery("q235_post_stratification",
+    "segment-post-stratified A/B revenue effect vs the raw difference",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("y"), col("variant"),
+          col("c_mktsegment").as("stratum"))
+      val sv = users.groupBy(col("stratum")).agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "A", col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("variant") === "B", col("y")).otherwise(0L)).as("sy_b"))
+      val tot = broadcast(users.agg(
+        count(lit(1)).as("n_tot"),
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na_tot"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("nb_tot"),
+        sum(when(col("variant") === "A", col("y")).otherwise(0L))
+          .as("sa_tot"),
+        sum(when(col("variant") === "B", col("y")).otherwise(0L))
+          .as("sb_tot")))
+      val eff = graft.ops.Caches.track(sv.crossJoin(tot)
+        .withColumn("n_s", col("n_a") + col("n_b"))
+        .withColumn("mean_a_cents",
+          when(col("n_a") > 0L,
+            col("sy_a").cast("double") / col("n_a").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("mean_b_cents",
+          when(col("n_b") > 0L,
+            col("sy_b").cast("double") / col("n_b").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("w_s",
+          col("n_s").cast("double") / col("n_tot").cast("double"))
+        .withColumn("effect_cents",
+          when(col("n_a") > 0L && col("n_b") > 0L,
+            col("mean_a_cents") - col("mean_b_cents"))
+            .otherwise(lit(0.0))))
+      val ate = broadcast(eff
+        .agg(min(when(col("stratum") === Segments.head,
+            col("w_s") * col("effect_cents"))).as(s"t_${Segments.head}"),
+          Segments.tail.map(sg => min(when(col("stratum") === sg,
+            col("w_s") * col("effect_cents"))).as(s"t_$sg")): _*)
+        .select(Segments.map(sg => coalesce(col(s"t_$sg"), lit(0.0)))
+          .reduce(_ + _).as("ate_post_cents")))
+      eff.crossJoin(ate)
+        .select(col("stratum"), col("n_s"), col("n_a"), col("n_b"),
+          col("w_s"), col("mean_a_cents"), col("mean_b_cents"),
+          col("effect_cents"), col("ate_post_cents"),
+          (when(col("na_tot") > 0L,
+            col("sa_tot").cast("double") / col("na_tot").cast("double"))
+            .otherwise(lit(0.0)) -
+           when(col("nb_tot") > 0L,
+             col("sb_tot").cast("double") / col("nb_tot").cast("double"))
+             .otherwise(lit(0.0))).as("ate_raw_cents"))
+        .orderBy("stratum")
+    },
+    Some {
+      val ateSql = Segments.map(sg =>
+        s"COALESCE(MIN(CASE WHEN stratum = '$sg' THEN w_s * effect_cents END), 0.0)")
+        .mkString("\n             + ")
+      s"""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.user_id, u0.y, u0.variant, c.c_mktsegment AS stratum
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      sv AS (
+        SELECT stratum,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE 0 END)
+                 AS BIGINT) AS sy_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN y ELSE 0 END)
+                 AS BIGINT) AS sy_b
+        FROM users GROUP BY stratum),
+      tot AS (
+        SELECT COUNT(*) AS n_tot,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na_tot,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nb_tot,
+               CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE 0 END)
+                 AS BIGINT) AS sa_tot,
+               CAST(SUM(CASE WHEN variant = 'B' THEN y ELSE 0 END)
+                 AS BIGINT) AS sb_tot
+        FROM users),
+      eff AS MATERIALIZED (
+        SELECT s.stratum, s.n_a, s.n_b, s.n_a + s.n_b AS n_s,
+               CASE WHEN s.n_a > 0
+                    THEN CAST(s.sy_a AS DOUBLE) / CAST(s.n_a AS DOUBLE)
+                    ELSE 0.0 END AS mean_a_cents,
+               CASE WHEN s.n_b > 0
+                    THEN CAST(s.sy_b AS DOUBLE) / CAST(s.n_b AS DOUBLE)
+                    ELSE 0.0 END AS mean_b_cents,
+               CAST(s.n_a + s.n_b AS DOUBLE) / CAST(t.n_tot AS DOUBLE)
+                 AS w_s,
+               t.na_tot, t.nb_tot, t.sa_tot, t.sb_tot
+        FROM sv s, tot t),
+      eff2 AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN mean_a_cents - mean_b_cents
+                    ELSE 0.0 END AS effect_cents
+        FROM eff),
+      ate AS (
+        SELECT $ateSql AS ate_post_cents
+        FROM eff2)
+      SELECT e.stratum, e.n_s, e.n_a, e.n_b, e.w_s,
+             e.mean_a_cents, e.mean_b_cents, e.effect_cents,
+             a.ate_post_cents,
+             (CASE WHEN e.na_tot > 0
+                   THEN CAST(e.sa_tot AS DOUBLE) / CAST(e.na_tot AS DOUBLE)
+                   ELSE 0.0 END
+              - CASE WHEN e.nb_tot > 0
+                     THEN CAST(e.sb_tot AS DOUBLE) / CAST(e.nb_tot AS DOUBLE)
+                     ELSE 0.0 END) AS ate_raw_cents
+      FROM eff2 e, ate a
+      ORDER BY e.stratum"""
+    })
+
+  // ------------------------------------------------------------------ //
+  // q236 — quantile treatment effects
+  // ------------------------------------------------------------------ //
+
+  /** Quantile treatment effects: the A−B difference at P25/P50/P75 of
+    * per-user purchase cents — where the mean effect (q228/q235) can
+    * hide "the treatment only moved the whales", the QTE profile shows
+    * WHERE in the outcome distribution the effect lives. Each arm's
+    * order statistics ride `Profile.scalableOrderStats` (ONE histogram
+    * pass + one winning-bucket rank for all three quantiles — never a
+    * per-arm global sort), and since cents are BIGINT, every QTE is an
+    * exact integer difference: the whole card hash-replays against the
+    * oracle's windowed-rank twin, which recomputes the same lower
+    * order statistic (q170 convention) by a different algorithm.
+    *
+    * Scale shape: user grain → 2-group histogram walk; the only
+    * driver traffic is the 2×1024-long histogram, and pass 2 ranks
+    * one bucket per (arm, quantile). */
+  val q236Qte = OracleQuery("q236_qte",
+    "quantile treatment effects at P25/P50/P75 of user purchase cents",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+      // cached: both arm filters read the pass-2 rank join
+      val st = graft.ops.Caches.track(
+        graft.ops.Profile.scalableOrderStats(users, "variant", "y",
+          "user_id", Seq(0.25, 0.50, 0.75)))
+      val a = st.filter(col("variant") === "A")
+        .select(col("q_idx"), col("order_stat").as("q_a_cents"),
+          col("n").as("n_a"))
+      val b = st.filter(col("variant") === "B")
+        .select(col("q_idx"), col("order_stat").as("q_b_cents"),
+          col("n").as("n_b"))
+      a.join(b, Seq("q_idx"))
+        .select(col("q_idx"), col("n_a"), col("n_b"),
+          col("q_a_cents"), col("q_b_cents"),
+          (col("q_a_cents") - col("q_b_cents")).as("qte_cents"))
+        .orderBy("q_idx")
+    },
+    Some("""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      ranked AS MATERIALIZED (
+        SELECT variant, y, user_id,
+               row_number() OVER (PARTITION BY variant ORDER BY y, user_id)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY variant) AS n
+        FROM u0),
+      q(q_idx, qq) AS (
+        SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.25),
+                              (CAST(1 AS BIGINT), 0.50),
+                              (CAST(2 AS BIGINT), 0.75)) v(q_idx, qq)),
+      st AS MATERIALIZED (
+        SELECT q.q_idx, r.variant, r.y AS stat, CAST(r.n AS BIGINT) AS n
+        FROM ranked r
+        JOIN q ON r.rk = CAST(floor((r.n - 1) * q.qq) AS BIGINT) + 1)
+      SELECT a.q_idx, a.n AS n_a, b.n AS n_b,
+             a.stat AS q_a_cents, b.stat AS q_b_cents,
+             a.stat - b.stat AS qte_cents
+      FROM (SELECT * FROM st WHERE variant = 'A') a
+      JOIN (SELECT * FROM st WHERE variant = 'B') b USING (q_idx)
+      ORDER BY q_idx"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest)
+    Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
+      q235PostStrat, q236Qte)
 }

@@ -68,9 +68,12 @@ object ExperimentQueries {
       val du = Tables.events(s, d)
         .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
         .distinct()
-      val lab = du.withColumn("variant",
+      // cached: the day-grain counts AND the overall row both read the
+      // labeled distinct table — uncached, the corpus-sized distinct
+      // shuffle (and the parquet scan under it) would run twice
+      val lab = graft.ops.Caches.track(du.withColumn("variant",
         when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
-          lit("B")).otherwise(lit("A")))
+          lit("B")).otherwise(lit("A"))))
       val byDay = lab.groupBy(col("day")).agg(
         sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
@@ -144,7 +147,9 @@ object ExperimentQueries {
         col("event_type"), expr("ts div 1000").as("us"), col("value"))
       val mid = broadcast(ev.agg(
         expr("(min(us) + max(us)) div 2").as("mid")))
-      val users = ev.crossJoin(mid)
+      // cached: the pooled 6-moment aggregate and the per-arm aggregate
+      // both read the user grain — uncached, the corpus scan runs twice
+      val users = graft.ops.Caches.track(ev.crossJoin(mid)
         .groupBy(col("user_id"))
         .agg(
           sum(when(col("event_type") === "click" && col("us") < col("mid"),
@@ -156,7 +161,7 @@ object ExperimentQueries {
             lit(0L)).as("y"))
         .withColumn("variant",
           when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
-            lit("B")).otherwise(lit("A")))
+            lit("B")).otherwise(lit("A"))))
       val xd = col("x").cast("decimal(18,0)")
       val yd = col("y").cast("decimal(18,0)")
       val pool = broadcast(users.agg(
@@ -426,9 +431,11 @@ object ExperimentQueries {
         .withColumn("bucket",
           substring(md5(concat(lit("bk"), col("user_id").cast("string"))
             .cast("binary")), 1, 1))
-      val buckets = users.groupBy(col("bucket"))
+      // cached: T_obs and the 64-permutation expansion both read the
+      // 16-row bucket table — uncached, the corpus aggregate runs twice
+      val buckets = graft.ops.Caches.track(users.groupBy(col("bucket"))
         .agg(sum(when(col("variant") === "A", col("y"))
-          .otherwise(-col("y"))).as("diff"))
+          .otherwise(-col("y"))).as("diff")))
       val obs = broadcast(buckets.agg(sum(col("diff")).as("t_obs")))
       val perms = buckets
         .select(col("bucket"), col("diff"),
@@ -516,7 +523,9 @@ object ExperimentQueries {
   val q235PostStrat = OracleQuery("q235_post_stratification",
     "segment-post-stratified A/B revenue effect vs the raw difference",
     (s, d) => {
-      val users = Tables.events(s, d)
+      // cached: the stratum aggregate and the pooled totals both read
+      // the user grain — uncached, the corpus scan runs twice
+      val users = graft.ops.Caches.track(Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(coalesce(
           (sum(when(col("event_type") === "purchase",
@@ -529,7 +538,7 @@ object ExperimentQueries {
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("user_id") === col("c_custkey"))
         .select(col("user_id"), col("y"), col("variant"),
-          col("c_mktsegment").as("stratum"))
+          col("c_mktsegment").as("stratum")))
       val sv = users.groupBy(col("stratum")).agg(
         sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
@@ -672,7 +681,9 @@ object ExperimentQueries {
   val q236Qte = OracleQuery("q236_qte",
     "quantile treatment effects at P25/P50/P75 of user purchase cents",
     (s, d) => {
-      val users = Tables.events(s, d)
+      // cached: the histogram pass and pass-2 rank join inside the
+      // order-stat walk re-read the user grain — cache it once
+      val users = graft.ops.Caches.track(Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(coalesce(
           (sum(when(col("event_type") === "purchase",
@@ -680,7 +691,7 @@ object ExperimentQueries {
           lit(0L)).as("y"))
         .withColumn("variant",
           when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
-            lit("B")).otherwise(lit("A")))
+            lit("B")).otherwise(lit("A"))))
       // cached: both arm filters read the pass-2 rank join
       val st = graft.ops.Caches.track(
         graft.ops.Profile.scalableOrderStats(users, "variant", "y",

@@ -1631,10 +1631,227 @@ object InsightQueries {
       ORDER BY d.day"""
     })
 
+  // ------------------------------------------------------------------ //
+  // q238 — gains / lift table (model-eval decile card)
+  // ------------------------------------------------------------------ //
+
+  /** Cumulative gains + lift by score decile — the campaign-targeting
+    * readout next to q207's AUC: "contacting the top k% of users by
+    * click-score captures what share of purchasers, at what lift over
+    * random?" Decile cuts come from `Profile.scalableOrderStats`
+    * (q170's lower order statistic, 0.1e0…0.9e0 as IEEE doubles in
+    * BOTH engines — the q208 decile convention), broadcast as nine
+    * literal-pivot columns; each user's decile is 1 + #{cuts below its
+    * score} (ties share a decile — sizes are unequal by design, and
+    * identically so cross-engine). Capture and lift are single
+    * divisions over BIGINT products: lift = (cum_pos·N)/(cum_n·P).
+    *
+    * Scale shape: user grain → ONE histogram walk for all nine cuts
+    * (driver sees 1024 longs) → broadcast cuts → 10-row decile
+    * aggregate; the cumulative window runs over ≤10 rows. */
+  val q238GainsTable = OracleQuery("q238_gains_table",
+    "cumulative gains + lift by click-score decile, exact evidence",
+    (s, d) => {
+      // cached: the cut walk and the decile bucketing both read the
+      // user grain — one corpus scan through the cache
+      val users = graft.ops.Caches.track(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("label"))
+        .withColumn("g", lit("all")))
+      val qs = (1 to 9).map(_ / 10.0)
+      val cuts = broadcast(Profile.scalableOrderStats(users, "g", "score",
+          "user_id", qs)
+        .agg(min(when(col("q_idx") === 0L, col("order_stat"))).as("c0"),
+          (1 until 9).map(i => min(when(col("q_idx") === i.toLong,
+            col("order_stat"))).as(s"c$i")): _*))
+      val decile = (0 until 9).map(i =>
+        when(col("score") > col(s"c$i"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+      val byDecile = users.crossJoin(cuts)
+        .select(decile.as("decile"), col("label"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"))
+      val tot = broadcast(byDecile.agg(
+        sum(col("n_users")).as("tot_users"),
+        sum(col("n_pos")).as("tot_pos")))
+      val wDesc = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.ops.Caches.track(byDecile)
+        .withColumn("cum_users", sum(col("n_users")).over(wDesc))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+        .crossJoin(tot)
+        .select(col("decile"), col("n_users"), col("n_pos"),
+          col("cum_users"), col("cum_pos"),
+          when(col("tot_pos") > 0L,
+            col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+            .otherwise(lit(0.0)).as("capture"),
+          when(col("cum_users") > 0L && col("tot_pos") > 0L,
+            (col("cum_pos") * col("tot_users")).cast("double") /
+              (col("cum_users") * col("tot_pos")).cast("double"))
+            .otherwise(lit(0.0)).as("lift"))
+        .orderBy("decile")
+    },
+    Some {
+      val cutJoin = (0 until 9).map { i =>
+        val q = s"0.${i + 1}e0"
+        s"MIN(CASE WHEN rk = CAST(floor((n - 1) * $q) AS BIGINT) + 1 THEN score END) AS c$i"
+      }.mkString(",\n               ")
+      val decileSql = (0 until 9)
+        .map(i => s"CASE WHEN u.score > c.c$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS label
+        FROM events GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT score, user_id,
+               row_number() OVER (ORDER BY score, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM users),
+      cuts AS MATERIALIZED (
+        SELECT $cutJoin
+        FROM ranked),
+      byd AS MATERIALIZED (
+        SELECT CAST(($decileSql) + 1 AS BIGINT) AS decile,
+               COUNT(*) AS n_users,
+               CAST(SUM(u.label) AS BIGINT) AS n_pos
+        FROM users u, cuts c
+        GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(n_users) AS BIGINT) AS tot_users,
+               CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+        FROM byd),
+      cum AS (
+        SELECT decile, n_users, n_pos,
+               CAST(SUM(n_users) OVER (ORDER BY decile DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users,
+               CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_pos
+        FROM byd)
+      SELECT c.decile, c.n_users, c.n_pos, c.cum_users, c.cum_pos,
+             CASE WHEN t.tot_pos > 0
+                  THEN CAST(c.cum_pos AS DOUBLE) / CAST(t.tot_pos AS DOUBLE)
+                  ELSE 0.0 END AS capture,
+             CASE WHEN c.cum_users > 0 AND t.tot_pos > 0
+                  THEN CAST(c.cum_pos * t.tot_users AS DOUBLE) /
+                       CAST(c.cum_users * t.tot_pos AS DOUBLE)
+                  ELSE 0.0 END AS lift
+      FROM cum c, tot t
+      ORDER BY c.decile"""
+    })
+
+  // ------------------------------------------------------------------ //
+  // q239 — forecast backtest (naive vs seasonal-naive vs mean-7)
+  // ------------------------------------------------------------------ //
+
+  /** Walk-forward backtest of three zero-parameter forecasters on
+    * daily revenue — the model-selection evidence a metrics team
+    * needs BEFORE trusting any forecast: naive (yesterday),
+    * seasonal-naive (same weekday last week) and the trailing 7-day
+    * mean, scored by MAE over every day with a complete 7-day
+    * history. All errors are exact integers: the mean-7 error is
+    * carried as |7·c_d − Σ₇| (scaled by 7, divided once at the end),
+    * and the winner is decided by INTEGER cross-multiplied
+    * comparisons (7·Σ|e₁| vs Σ|e₇ₓ|) with an explicit tie order — no
+    * float ever enters the verdict. One row out.
+    *
+    * Scale shape: corpus → day grain; lags and the trailing window
+    * come from ONE bounded 7-way explode-join (the q232 pattern — no
+    * window function), and the final aggregate is a single row. */
+  val q239ForecastBacktest = OracleQuery("q239_forecast_backtest",
+    "MAE backtest: naive vs seasonal-naive vs mean-7 on daily revenue",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("cents")))
+      val contrib = daily
+        .select(col("day"), col("cents"),
+          explode(expr("sequence(1, 7)")).as("j0"))
+        .select((col("day") + col("j0")).as("day"), col("cents"),
+          col("j0").cast("long").as("j"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("cnt7"),
+          sum(col("cents")).as("sum7"),
+          sum(when(col("j") === 1L, col("cents")).otherwise(0L)).as("lag1"),
+          sum(when(col("j") === 7L, col("cents")).otherwise(0L)).as("lag7"))
+      daily.join(contrib, Seq("day"))
+        .filter(col("cnt7") === 7L)
+        .select(
+          abs(col("cents") - col("lag1")).as("e1"),
+          abs(col("cents") - col("lag7")).as("e7"),
+          abs(lit(7L) * col("cents") - col("sum7")).as("em"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("e1")).as("s1"),
+          sum(col("e7")).as("s7"),
+          sum(col("em")).as("sm"))
+        .select(col("n_days"),
+          (col("s1").cast("double") / col("n_days").cast("double"))
+            .as("mae_naive_cents"),
+          (col("s7").cast("double") / col("n_days").cast("double"))
+            .as("mae_snaive_cents"),
+          (col("sm").cast("double") /
+            (lit(7.0) * col("n_days").cast("double")))
+            .as("mae_mean7_cents"),
+          when(lit(7L) * col("s1") <= lit(7L) * col("s7") &&
+               lit(7L) * col("s1") <= col("sm"), lit("naive"))
+            .when(lit(7L) * col("s7") <= col("sm"), lit("seasonal_naive"))
+            .otherwise(lit("mean7")).as("best_model"))
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      contrib AS MATERIALIZED (
+        SELECT d.day + j.j AS day, COUNT(*) AS cnt7,
+               CAST(SUM(d.cents) AS BIGINT) AS sum7,
+               CAST(SUM(CASE WHEN j.j = 1 THEN d.cents ELSE 0 END)
+                 AS BIGINT) AS lag1,
+               CAST(SUM(CASE WHEN j.j = 7 THEN d.cents ELSE 0 END)
+                 AS BIGINT) AS lag7
+        FROM daily d, (SELECT unnest(generate_series(1, 7)) AS j) j
+        GROUP BY 1),
+      e AS (
+        SELECT abs(d.cents - c.lag1) AS e1,
+               abs(d.cents - c.lag7) AS e7,
+               abs(7 * d.cents - c.sum7) AS em
+        FROM daily d JOIN contrib c USING (day)
+        WHERE c.cnt7 = 7),
+      agg AS (
+        SELECT COUNT(*) AS n_days,
+               CAST(SUM(e1) AS BIGINT) AS s1,
+               CAST(SUM(e7) AS BIGINT) AS s7,
+               CAST(SUM(em) AS BIGINT) AS sm
+        FROM e)
+      SELECT n_days,
+             CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)
+               AS mae_naive_cents,
+             CAST(s7 AS DOUBLE) / CAST(n_days AS DOUBLE)
+               AS mae_snaive_cents,
+             CAST(sm AS DOUBLE) / (7.0e0 * CAST(n_days AS DOUBLE))
+               AS mae_mean7_cents,
+             CASE WHEN 7 * s1 <= 7 * s7 AND 7 * s1 <= sm THEN 'naive'
+                  WHEN 7 * s7 <= sm THEN 'seasonal_naive'
+                  ELSE 'mean7' END AS best_model
+      FROM agg"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
-      q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand)
+      q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
+      q238GainsTable, q239ForecastBacktest)
 }

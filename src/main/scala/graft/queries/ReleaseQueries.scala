@@ -190,6 +190,85 @@ object ReleaseQueries {
       ORDER BY drift DESC, w
       LIMIT 10"""))
 
+  /** Randomized-response private counts (Warner 1965): each (user,
+    * event-type) membership bit is reported FLIPPED with p = 1/4, and
+    * the released count is debiased by m̂ = (4·obs − n)/2 — the
+    * local-DP mechanism behind RAPPOR-style telemetry, as the
+    * release-side twin of the k-anonymity/l-diversity gates (those
+    * suppress, this perturbs). The flip "coin" is an md5 draw so the
+    * whole mechanism REPLAYS for testing — the released numbers are
+    * exactly as private as the mechanism (ε = ln 3 here), but a
+    * production deployment would draw the coin from a real RNG at the
+    * client; determinism is the harness property, not the privacy
+    * claim. The debias is pure integer arithmetic until one division,
+    * and the gate bounds |est − truth| by 4σ = 2·√(p(1−p)·n)·2 =
+    * (2√3)·√n with the √3 factor as a shared 17-digit literal — no
+    * engine computes a transcendental.
+    *
+    * Scale shape: one (user, type) distinct → |users|×|types| bounded
+    * grid (types is a broadcast handful) → per-type aggregate.
+    * Nothing user-sized is sorted; the grid is a narrow projection. */
+  val q237RandomizedResponse = OracleQuery("q237_randomized_response",
+    "randomized-response (local-DP) private counts, debiased and gated",
+    (s, d) => {
+      // cached: universe, types and the membership join all read the
+      // (user, type) distinct — one corpus scan through the cache
+      val du = graft.ops.Caches.track(Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct())
+      val universe = du.select(col("user_id")).distinct()
+      val types = broadcast(du.select(col("event_type")).distinct())
+      val mem = du.withColumn("m1", lit(1L))
+      val g = universe.crossJoin(types)
+        .join(mem, Seq("user_id", "event_type"), "left")
+        .withColumn("m", coalesce(col("m1"), lit(0L)))
+        .withColumn("flip",
+          when(substring(md5(concat(lit("rr"), col("event_type"), lit("_"),
+            col("user_id").cast("string")).cast("binary")), 1, 8)
+            < "40000000", 1L).otherwise(0L))
+        .withColumn("r", (col("m") + col("flip")) % 2)
+      g.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).as("true_members"),
+          sum(col("r")).as("reported"))
+        .withColumn("rr_estimate",
+          (lit(4L) * col("reported") - col("n_users")).cast("double") /
+            lit(2.0))
+        .withColumn("gate_pass",
+          abs(col("rr_estimate") - col("true_members").cast("double")) <=
+            lit(3.4641016151377544) * sqrt(col("n_users").cast("double")))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH du AS MATERIALIZED (
+        SELECT DISTINCT user_id, event_type FROM events),
+      u AS MATERIALIZED (SELECT DISTINCT user_id FROM du),
+      t AS MATERIALIZED (SELECT DISTINCT event_type FROM du),
+      g AS MATERIALIZED (
+        SELECT u.user_id, t.event_type,
+               CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS m,
+               CASE WHEN substring(md5('rr' || t.event_type || '_' ||
+                         CAST(u.user_id AS VARCHAR)), 1, 8) < '40000000'
+                    THEN 1 ELSE 0 END AS flip
+        FROM u CROSS JOIN t
+        LEFT JOIN du m ON m.user_id = u.user_id
+                      AND m.event_type = t.event_type),
+      per AS (
+        SELECT event_type, COUNT(*) AS n_users,
+               CAST(SUM(m) AS BIGINT) AS true_members,
+               CAST(SUM((m + flip) % 2) AS BIGINT) AS reported
+        FROM g GROUP BY 1),
+      est AS (
+        SELECT *, CAST(4 * reported - n_users AS DOUBLE) / 2.0e0
+                    AS rr_estimate
+        FROM per)
+      SELECT event_type, n_users, true_members, reported, rr_estimate,
+             abs(rr_estimate - CAST(true_members AS DOUBLE)) <=
+               3.4641016151377544e0 * sqrt(CAST(n_users AS DOUBLE))
+               AS gate_pass
+      FROM est
+      ORDER BY event_type"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q101KAnon, q102Winsorize, q103CleanSplit, q134DistributionDrift)
+    Seq(q101KAnon, q102Winsorize, q103CleanSplit, q134DistributionDrift,
+      q237RandomizedResponse)
 }

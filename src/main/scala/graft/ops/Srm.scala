@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sample-ratio-mismatch core — the χ² assignment-health gate shared
+  * by the batch catalog query (q227) and the streaming monitor
+  * ([[graft.streaming.StreamingSrmStore]]): both feed the SAME
+  * function a distinct (day, user) activity table, so stream ≡ batch
+  * is true by construction, not by parallel implementations.
+  *
+  * With an expected 50/50 hash split, χ² collapses to the exact
+  * rational (n_a−n_b)²/n — one double division over BIGINT counts —
+  * and the crossed flag compares against the χ²₁ 95th percentile as a
+  * shared 16-digit literal (neither engine evaluates the quantile).
+  * SRM is the first gate any experiment readout must pass: a crossed
+  * flag invalidates downstream scorecards wholesale (Fabijan et al.
+  * 2019, public literature).
+  */
+object Srm {
+
+  /** χ²₁ 95th percentile — shared literal, never computed. */
+  val Chi2Crit = "3.841458820694124"
+
+  /** Per-day + overall (day = −1) SRM rows
+    * (day, n_a, n_b, chi2, srm_flag) from a DISTINCT (day, user)
+    * activity table. Assignment is the q179 hash split
+    * ([[Curation.splitLabel]], salt "expA", fraction 0.5, test → B).
+    *
+    * Scale shape: the input is already the post-distinct grain; one
+    * day-grain aggregate + one user-grain distinct for the overall
+    * row, both reading the cached labeled table — one pass over the
+    * input however it arrived. */
+  def srmTable(du: DataFrame, dayCol: String = "day",
+      userCol: String = "user_id"): DataFrame = {
+    // cached: the day-grain counts AND the overall row both read the
+    // labeled table — uncached, the upstream (possibly corpus-sized)
+    // distinct would run twice
+    val lab = Caches.track(du
+      .select(col(dayCol).cast("long").as("day"),
+        col(userCol).as("user_id"))
+      .withColumn("variant",
+        when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+          lit("B")).otherwise(lit("A"))))
+    val byDay = lab.groupBy(col("day")).agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    val overall = lab.select(col("user_id"), col("variant")).distinct()
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(lit(-1L).as("day"), col("n_a"), col("n_b"))
+    byDay.unionAll(overall)
+      .withColumn("chi2",
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("srm_flag", col("chi2") > lit(Chi2Crit.toDouble))
+      .orderBy("day")
+  }
+}

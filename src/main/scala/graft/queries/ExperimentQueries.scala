@@ -30,8 +30,9 @@ object ExperimentQueries {
   private val dec2 = DecimalType(18, 2)
   private val DayUs = 86400000000L
 
-  /** χ²₁ 95th percentile — shared literal, never computed. */
-  private val Chi2Crit = "3.841458820694124"
+  /** χ²₁ 95th percentile — single source in [[graft.ops.Srm]]; the
+    * oracle SQL interpolates the same digits the engine compares. */
+  private val Chi2Crit = graft.ops.Srm.Chi2Crit
   /** z 97.5th percentile — shared literal (q210 convention). */
   private val ZCrit = "1.959963984540054"
 
@@ -64,31 +65,13 @@ object ExperimentQueries {
     * day-grain user counts pass ~3·10⁹ (decimal lane then). */
   val q227SrmGate = OracleQuery("q227_srm_gate",
     "per-day + overall sample-ratio-mismatch chi-square gate",
-    (s, d) => {
-      val du = Tables.events(s, d)
+    (s, d) =>
+      // core factored into ops/Srm.srmTable — the streaming monitor
+      // (StreamingSrmStore) runs the SAME function over its folded
+      // pair store, so stream ≡ batch by construction
+      graft.ops.Srm.srmTable(Tables.events(s, d)
         .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
-        .distinct()
-      // cached: the day-grain counts AND the overall row both read the
-      // labeled distinct table — uncached, the corpus-sized distinct
-      // shuffle (and the parquet scan under it) would run twice
-      val lab = graft.ops.Caches.track(du.withColumn("variant",
-        when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
-          lit("B")).otherwise(lit("A"))))
-      val byDay = lab.groupBy(col("day")).agg(
-        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
-      val overall = lab.select(col("user_id"), col("variant")).distinct()
-        .agg(
-          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
-        .select(lit(-1L).as("day"), col("n_a"), col("n_b"))
-      byDay.unionAll(overall)
-        .withColumn("chi2",
-          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
-            .cast("double") / (col("n_a") + col("n_b")).cast("double"))
-        .withColumn("srm_flag", col("chi2") > lit(Chi2Crit.toDouble))
-        .orderBy("day")
-    },
+        .distinct()),
     Some(s"""
       WITH du AS MATERIALIZED (
         SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id FROM events),

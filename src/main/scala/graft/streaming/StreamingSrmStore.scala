@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Srm
+
+/** STREAMING sample-ratio-mismatch monitor — the on-arrival twin of
+  * the batch q227 gate: a persisted DISTINCT (day, user) activity
+  * store folded per micro-batch, with the SRM χ² table recomputable
+  * from the store after every fold by the SAME core the batch query
+  * runs ([[Srm.srmTable]]). An experiment platform wants assignment
+  * health the moment a redirect bug ships, not at the nightly rerun.
+  *
+  * Exactly-once WITHOUT a manifest: unlike the cents addition of
+  * [[StreamingCusumStore]], the fold here is a set union — replaying
+  * a batch re-unions the same (day, user) pairs into a distinct
+  * table, a no-op. Idempotence replaces the in-table manifest
+  * (documented trade: the store is (users×days)-bounded rather than
+  * day-bounded; it is the same distinct table the batch gate's first
+  * shuffle materializes, kept warm instead of recomputed).
+  *
+  * Scale shape: each fold is one batch-local distinct + one
+  * key-partitioned union-distinct against the store; the SRM readout
+  * is calendar×users-bounded, never stream-volume-bounded.
+  */
+object StreamingSrmStore {
+
+  /** Wire a stream carrying (`dayCol`: long, `userCol`: long) rows
+    * into the persisted pair store. Caller starts the writer. */
+  def attach(rows: DataFrame, store: TableStore, table: String,
+      dayCol: String, userCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, dayCol, userCol)
+      }
+
+  /** Fold one batch into the distinct pair store. Idempotent: any
+    * replay (same or different batch id, overlapping content) folds
+    * to the same table. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, dayCol: String, userCol: String): Unit = {
+    val delta = batch
+      .select(col(dayCol).cast("long").as("day"),
+        col(userCol).cast("long").as("user_id"))
+      .distinct()
+    val next =
+      if (!store.exists(table)) delta
+      else store.read(table).unionByName(delta).distinct()
+    store.overwrite(table, next)
+  }
+
+  /** The SRM χ² table over the store's current pairs — EXACTLY
+    * [[Srm.srmTable]], so once the streamed pair table equals the
+    * batch distinct it is equal by construction (SrmStoreSpec asserts
+    * it row-for-row against the q227 core). */
+  def srm(store: TableStore, table: String): DataFrame =
+    Srm.srmTable(store.read(table))
+}

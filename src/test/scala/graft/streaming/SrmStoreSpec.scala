@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Srm
+import graft.sources.Tables
+
+/** Streaming SRM store (`StreamingSrmStore`): distinct (day, user)
+  * pairs folded batch by batch; the fold is a set union so replays
+  * are idempotent WITHOUT a manifest; the SRM table over the folded
+  * store is row-equal to the batch q227 core (both run
+  * `Srm.srmTable`). */
+class SrmStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+
+  private def pairs = Tables.events(spark, sfDir)
+    .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
+
+  private def srmRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("day")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+
+  test("streamed store's SRM table equals the batch core exactly") {
+    val rows = pairs.cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_srm_store_").toString)
+    // three deliveries sliced by EVENT order (days straddle batches),
+    // with every slice overlapping the next (duplicate pairs across
+    // batches) — the union-distinct fold must absorb the overlap
+    (0 to 2).foreach { p =>
+      StreamingSrmStore.mergeBatch(
+        rows.filter($"user_id" % 3 === p || $"user_id" % 3 === (p + 1) % 3),
+        p.toLong, store, "srm", "day", "user_id")
+    }
+    val streamed = srmRows(StreamingSrmStore.srm(store, "srm"))
+    val oneShot = srmRows(Srm.srmTable(rows.distinct()))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+
+  test("replayed batch (any id, overlapping content) is a no-op fold") {
+    val batch = Seq((100L, 1L), (100L, 2L), (101L, 1L))
+      .toDF("day", "user_id")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_srm_rep_").toString)
+    StreamingSrmStore.mergeBatch(batch, 0L, store, "s", "day", "user_id")
+    val v1 = store.read("s").count()
+    StreamingSrmStore.mergeBatch(batch, 0L, store, "s", "day", "user_id")
+    StreamingSrmStore.mergeBatch(batch, 7L, store, "s", "day", "user_id")
+    assert(store.read("s").count() == v1,
+      "replaying pairs must not grow the distinct store")
+    // the overall row counts each user once however many days it spans
+    val overall = StreamingSrmStore.srm(store, "s")
+      .filter($"day" === -1L).select($"n_a" + $"n_b").as[Long].head()
+    assert(overall == 2L)
+  }
+
+  test("attach drains a file stream into the store (AvailableNow)") {
+    val rows = pairs.limit(500).cache()
+    val dir = Files.createTempDirectory("graft_srm_in_").toString
+    val ck = Files.createTempDirectory("graft_srm_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_srm_st_").toString)
+    rows.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+    StreamingSrmStore.attach(stream, store, "srm", "day", "user_id",
+      checkpoint = ck).start().awaitTermination()
+    val streamed = srmRows(StreamingSrmStore.srm(store, "srm"))
+    val oneShot = srmRows(Srm.srmTable(rows.distinct()))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+}

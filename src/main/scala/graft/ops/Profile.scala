@@ -286,4 +286,107 @@ object Profile {
         col("v").as("order_stat"))
       .orderBy(groupCol, "q_idx")
   }
+
+  /** WEIGHTED lower quantile at EXACT RATIONAL fractions num/den: per
+    * group, the smallest value v (ties broken by id) whose running
+    * weight satisfies den·cumw ≥ num·W — the q140 weighted-median rule
+    * (num/den = 1/2 reproduces it) generalized to any fraction and to
+    * the histogram-pruned two-pass shape of [[scalableOrderStats]],
+    * so revenue-mass cutoffs (Pareto/ABC boundaries, size-accounting
+    * percentiles) never need a group-wide sort: pass 1 collects a
+    * per-bucket WEIGHT histogram (driver sees |groups|×nBuckets
+    * longs), the driver walks each fraction to its winning bucket,
+    * pass 2 ranks only winning buckets.
+    *
+    * All arithmetic is INTEGER — weights, cumulative weights and the
+    * den·cumw ≥ num·W crossing are BIGINT products (den·W must stay
+    * under 2⁶³: at den ≤ 20 that is W ≤ 4.6·10⁻¹·10¹⁸ — cents totals
+    * to ~10¹⁷; the decimal(38,0) lane is the stated path beyond).
+    * Values must be integral (cents discipline); bucket boundaries
+    * only steer pruning, never the answer, so the result is
+    * bucket-count-independent and replays in any engine that applies
+    * the same rule with a full window.
+    *
+    * Returns one row per (group, fraction): (group, q_idx, w_total,
+    * quantile_v). */
+  def scalableWeightedQuantiles(df: DataFrame, groupCol: String,
+      valCol: String, idCol: String, wtCol: String,
+      fracs: Seq[(Long, Long)], nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 1, "pruning needs at least two buckets")
+    require(fracs.nonEmpty && fracs.forall { case (n, d) =>
+      n > 0 && d > 0 && n < d }, "fractions must be proper: 0 < num < den")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"),
+        col(idCol).as("id"), col(wtCol).cast("long").as("wt"))
+    val mm = rows.groupBy(col("g")).agg(
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    val width = (col("v_max") - col("v_min")).cast("double") /
+      lit(nBuckets.toDouble)
+    val bucketed = rows.join(broadcast(mm), Seq("g"))
+      .withColumn("bucket",
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((col("v") - col("v_min")).cast("double") / width))))
+    // pass 1: weight histogram to the driver
+    val hist = bucketed.groupBy(col("g"), col("bucket"))
+      .agg(sum(col("wt")).as("bw"))
+      .collect()
+      .map(r => (r.get(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+    val winners = hist.iterator.flatMap { case (g, bs) =>
+      val sorted = bs.map(_._2).sortBy(_._1)
+      val wTot = sorted.map(_._2).sum
+      fracs.zipWithIndex.map { case ((num, den), qi) =>
+        var cum = 0L
+        var win = 0L
+        var below = 0L
+        val it = sorted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (b, bw) = it.next()
+          if (den * (cum + bw) >= num * wTot) {
+            win = b; below = cum; found = true
+          } else cum += bw
+        }
+        (g, qi.toLong, win, below, wTot, num, den)
+      }
+    }.toSeq
+    val winDf = broadcast(df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(winners.map {
+        case (g, qi, w, b, wt, n, d) =>
+          org.apache.spark.sql.Row(g, qi, w, b, wt, n, d)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          rows.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("q_idx",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("win_bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("below_w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w_total",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("num",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("den",
+          org.apache.spark.sql.types.LongType)))))
+    // pass 2: only winning buckets are ranked, once per (g, fraction)
+    val w = Window.partitionBy(col("g"), col("q_idx"))
+      .orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(winDf, col("bucket") === col("win_bucket") &&
+        bucketed("g") === winDf("g"))
+      .drop(winDf("g"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .filter(col("den") * (col("below_w") + col("cumw")) >=
+        col("num") * col("w_total"))
+      .groupBy(col("g"), col("q_idx"), col("w_total"))
+      .agg(min(struct(col("v"), col("id"))).getField("v").as("quantile_v"))
+      .select(col("g").as(groupCol), col("q_idx"), col("w_total"),
+        col("quantile_v"))
+      .orderBy(groupCol, "q_idx")
+  }
 }

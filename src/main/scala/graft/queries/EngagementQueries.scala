@@ -422,7 +422,102 @@ object EngagementQueries {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  /** Per-entry-type session bounce card under q28's exact gap
+    * convention (1 h, lag + running sum, (ts, event_id) total order):
+    * bounce rate (single-event sessions), average session depth, and
+    * same-type exits — the landing-page health view. Entry/exit
+    * events ride min/max over (ts, id, type) STRUCTS — argmin/argmax
+    * as a map-side-combinable aggregate, no second window pass; the
+    * oracle recomputes them with forward/backward row_number ranks
+    * (different formulation, same events). Both divisions are single
+    * doubles over BIGINT counts.
+    *
+    * Scale shape: the sessionize windows are user-partitioned (the
+    * q28 shuffle), the session grain collapses map-side, and the
+    * final card is |event types| rows. */
+  val q242SessionBounce = OracleQuery("q242_session_bounce",
+    "session bounce/depth/exit card per entry type (q28 sessions)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val sess = ev
+        .withColumn("is_new",
+          when(lag(col("tus"), 1).over(wo).isNull ||
+            col("tus") - lag(col("tus"), 1).over(wo) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("tus"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+          max(struct(col("tus"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"))
+      sess.groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounce"),
+          sum(col("n_events")).as("sum_events"),
+          sum(when(col("entry_type") === col("exit_type"), 1L)
+            .otherwise(0L)).as("n_same_exit"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+          (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+            .as("bounce_rate"),
+          (col("sum_events").cast("double") /
+            col("n_sessions").cast("double")).as("avg_events"),
+          col("n_same_exit"))
+        .orderBy("entry_type")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS MATERIALIZED (
+        SELECT user_id, tus, event_id, event_type,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged),
+      per AS MATERIALIZED (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+               MIN(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+        FROM (SELECT *,
+                row_number() OVER (PARTITION BY user_id, session_id
+                  ORDER BY tus, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id, session_id
+                  ORDER BY tus DESC, event_id DESC) AS rn_d
+              FROM sess) x
+        GROUP BY 1, 2),
+      card AS (
+        SELECT entry_type, COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bounce,
+               CAST(SUM(n_events) AS BIGINT) AS sum_events,
+               CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_same_exit
+        FROM per GROUP BY 1)
+      SELECT entry_type, n_sessions, n_bounce,
+             CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+               AS bounce_rate,
+             CAST(sum_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+               AS avg_events,
+             n_same_exit
+      FROM card
+      ORDER BY entry_type"""))
+
   def all: Seq[OracleQuery] =
     Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow,
-      q202TimeToConvert, q203CohortLtv, q204RfmSegments)
+      q202TimeToConvert, q203CohortLtv, q204RfmSegments, q242SessionBounce)
 }

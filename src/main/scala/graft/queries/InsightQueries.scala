@@ -1751,6 +1751,209 @@ object InsightQueries {
     })
 
   // ------------------------------------------------------------------ //
+  // q240 — ABC / Pareto classification (weighted-quantile cutoffs)
+  // ------------------------------------------------------------------ //
+
+  /** ABC (Pareto) part classification — A holds the top 80% of
+    * revenue, B the next 15%, C the tail — WITHOUT a part-wide sort:
+    * the two class boundaries are exact-rational weighted quantiles
+    * from `Profile.scalableWeightedQuantiles` (den·cumw ≥ num·W, the
+    * q140 rule at 1/5 and 1/20), so the only driver traffic is the
+    * weight histogram, and classification is a per-row comparison
+    * against two broadcast cutoff VALUES (revenue ties at a boundary
+    * share a class — deterministic in both engines by construction).
+    * The oracle recomputes the same crossing rule with a full
+    * running-weight window — different algorithm, same boundaries —
+    * which re-proves the pruning walk on weighted mass.
+    *
+    * Scale shape: lineitem → part grain (map-side combinable) → the
+    * histogram walk (driver sees 1024 longs) → broadcast cutoffs →
+    * 3-row class aggregate. The part table never meets a global
+    * window in the engine. */
+  val q240AbcClassification = OracleQuery("q240_abc_classification",
+    "Pareto/ABC revenue classes from weighted-quantile cutoffs",
+    (s, d) => {
+      // cached: the quantile walk and the classification both read the
+      // part grain — one lineitem scan through the cache
+      val pr = graft.ops.Caches.track(Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("part"))
+        .agg((sum(col("l_extendedprice").cast(dec2)) * 100).cast("long")
+          .as("cents"))
+        .withColumn("g", lit("all")))
+      val cuts = broadcast(Profile.scalableWeightedQuantiles(pr, "g",
+          "cents", "part", "cents", Seq((1L, 5L), (1L, 20L)))
+        .agg(min(when(col("q_idx") === 0L, col("quantile_v"))).as("v_a"),
+          min(when(col("q_idx") === 1L, col("quantile_v"))).as("v_b"),
+          max(col("w_total")).as("w_tot")))
+      pr.crossJoin(cuts)
+        .withColumn("abc_class",
+          when(col("cents") > col("v_a"), lit("A"))
+            .when(col("cents") > col("v_b"), lit("B"))
+            .otherwise(lit("C")))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("revenue_cents"),
+          max(col("v_a")).as("cut_a_cents"),
+          max(col("v_b")).as("cut_b_cents"),
+          max(col("w_tot")).as("w_tot"))
+        .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+          (col("revenue_cents").cast("double") / col("w_tot").cast("double"))
+            .as("revenue_share"),
+          col("cut_a_cents"), col("cut_b_cents"))
+        .orderBy("abc_class")
+    },
+    Some("""
+      WITH pr AS MATERIALIZED (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+      r AS MATERIALIZED (
+        SELECT part, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents, part
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cumw,
+               CAST(SUM(cents) OVER () AS BIGINT) AS w_tot
+        FROM pr),
+      cuts AS (
+        SELECT MIN(CASE WHEN 5 * cumw >= w_tot THEN cents END) AS v_a,
+               MIN(CASE WHEN 20 * cumw >= w_tot THEN cents END) AS v_b,
+               MAX(w_tot) AS w_tot
+        FROM r),
+      cls AS (
+        SELECT CASE WHEN p.cents > c.v_a THEN 'A'
+                    WHEN p.cents > c.v_b THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               p.cents, c.v_a, c.v_b, c.w_tot
+        FROM pr p, cuts c)
+      SELECT abc_class, COUNT(*) AS n_parts,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+             CAST(SUM(cents) AS DOUBLE) / CAST(MAX(w_tot) AS DOUBLE)
+               AS revenue_share,
+             MAX(v_a) AS cut_a_cents, MAX(v_b) AS cut_b_cents
+      FROM cls
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  // ------------------------------------------------------------------ //
+  // q241 — revenue bridge (period-over-period waterfall)
+  // ------------------------------------------------------------------ //
+
+  /** Period-over-period revenue bridge: ΔΣ revenue decomposed into
+    * new-part, discontinued-part and common-part contributions — the
+    * waterfall a finance review reads, with the accounting identity
+    * p0_total + new + discontinued + common_delta = p1_total holding
+    * EXACTLY because every component is a BIGINT cents sum (no
+    * price/volume split here: that needs per-part price divisions
+    * whose float sums are partial-order-dependent — the q224/q235
+    * rule; presence-based components are the exact-arithmetic
+    * decomposition). Periods are the two halves of the observed
+    * o_orderdate range (exact integer µs midpoint, the q228
+    * convention).
+    *
+    * Scale shape: one lineitem⋈orders join (orderdate rides the
+    * broadcast orders dim), one part-grain conditional aggregate, one
+    * full-outer-free single-row rollup — the five bridge rows are
+    * literal-labeled selects from a 1-row broadcast. */
+  val q241RevenueBridge = OracleQuery("q241_revenue_bridge",
+    "period-over-period revenue waterfall: new/discontinued/common parts",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+      val mid = broadcast(li.agg(
+        expr("(min(od) + max(od)) div 2").as("mid")))
+      val parts = li.crossJoin(mid)
+        .groupBy(col("l_partkey"))
+        .agg(
+          coalesce(
+            (sum(when(col("od") < col("mid"),
+              col("l_extendedprice").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("r0"),
+          coalesce(
+            (sum(when(col("od") >= col("mid"),
+              col("l_extendedprice").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("r1"),
+          sum(when(col("od") < col("mid"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("od") >= col("mid"), 1L).otherwise(0L)).as("n1"))
+      // cached: the five literal-labeled bridge rows each select from
+      // this 1-row aggregate — uncached, the lineitem⋈orders subtree
+      // would run once per union branch
+      val agg = graft.ops.Caches.track(broadcast(parts.agg(
+        sum(col("r0")).as("p0_total"),
+        sum(col("r1")).as("p1_total"),
+        sum(when(col("n0") === 0L, col("r1")).otherwise(0L)).as("new_c"),
+        sum(when(col("n1") === 0L, -col("r0")).otherwise(0L)).as("disc_c"),
+        sum(when(col("n0") > 0L && col("n1") > 0L, col("r1") - col("r0"))
+          .otherwise(0L)).as("common_c"),
+        sum(when(col("n0") === 0L, 1L).otherwise(0L)).as("new_n"),
+        sum(when(col("n1") === 0L, 1L).otherwise(0L)).as("disc_n"),
+        sum(when(col("n0") > 0L && col("n1") > 0L, 1L).otherwise(0L))
+          .as("common_n"))))
+      def row(idx: Long, name: String, cents: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        agg.select(lit(idx).as("idx"), lit(name).as("component"),
+          cents.as("cents"), n.as("n_parts"))
+      row(0L, "p0_total", col("p0_total"), col("common_n") + col("disc_n"))
+        .unionAll(row(1L, "new_parts", col("new_c"), col("new_n")))
+        .unionAll(row(2L, "discontinued", col("disc_c"), col("disc_n")))
+        .unionAll(row(3L, "common_delta", col("common_c"), col("common_n")))
+        .unionAll(row(4L, "p1_total", col("p1_total"),
+          col("common_n") + col("new_n")))
+        .orderBy("idx")
+    },
+    Some("""
+      WITH li AS MATERIALIZED (
+        SELECT l.l_partkey, l.l_extendedprice, epoch_us(o.o_orderdate) AS od
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      mid AS (SELECT (MIN(od) + MAX(od)) // 2 AS mid FROM li),
+      parts AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(COALESCE(SUM(CASE WHEN od < mid
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                             * 100, 0) AS BIGINT) AS r0,
+               CAST(COALESCE(SUM(CASE WHEN od >= mid
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                             * 100, 0) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN od < mid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0,
+               CAST(SUM(CASE WHEN od >= mid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+        FROM li, mid GROUP BY l_partkey),
+      agg AS (
+        SELECT CAST(SUM(r0) AS BIGINT) AS p0_total,
+               CAST(SUM(r1) AS BIGINT) AS p1_total,
+               CAST(SUM(CASE WHEN n0 = 0 THEN r1 ELSE 0 END) AS BIGINT)
+                 AS new_c,
+               CAST(SUM(CASE WHEN n1 = 0 THEN -r0 ELSE 0 END) AS BIGINT)
+                 AS disc_c,
+               CAST(SUM(CASE WHEN n0 > 0 AND n1 > 0 THEN r1 - r0 ELSE 0 END)
+                 AS BIGINT) AS common_c,
+               CAST(SUM(CASE WHEN n0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_n,
+               CAST(SUM(CASE WHEN n1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS disc_n,
+               CAST(SUM(CASE WHEN n0 > 0 AND n1 > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS common_n
+        FROM parts)
+      SELECT idx, component, cents, n_parts FROM (
+        SELECT CAST(0 AS BIGINT) AS idx, 'p0_total' AS component,
+               p0_total AS cents, common_n + disc_n AS n_parts FROM agg
+        UNION ALL
+        SELECT 1, 'new_parts', new_c, new_n FROM agg
+        UNION ALL
+        SELECT 2, 'discontinued', disc_c, disc_n FROM agg
+        UNION ALL
+        SELECT 3, 'common_delta', common_c, common_n FROM agg
+        UNION ALL
+        SELECT 4, 'p1_total', p1_total, common_n + new_n FROM agg) u
+      ORDER BY idx"""))
+
+  // ------------------------------------------------------------------ //
   // q239 — forecast backtest (naive vs seasonal-naive vs mean-7)
   // ------------------------------------------------------------------ //
 
@@ -1853,5 +2056,6 @@ object InsightQueries {
       q216Benford, q217EmbeddingHistogram, q218PrototypeSimilarity,
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
       q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
-      q238GainsTable, q239ForecastBacktest)
+      q238GainsTable, q239ForecastBacktest, q240AbcClassification,
+      q241RevenueBridge)
 }

@@ -63,4 +63,42 @@ class ProfileSpec extends SparkTestBase {
       assert(got == expect, s"q=$q diverged")
     }
   }
+
+  test("weighted quantile: hand-computed crossings (q140 rule)") {
+    // values 10/20/30/40 with weights 1/2/3/4 (W=10):
+    //   1/2: smallest v with 2·cumw >= 10 → cumw >= 5 → v=30 (cumw 6)
+    //   1/5: cumw·5 >= 10 → cumw >= 2 → v=20 (cumw 3)
+    //   9/10: 10·cumw >= 90 → cumw >= 9 → v=40
+    val df = Seq((10L, 1L, 1L), (20L, 2L, 2L), (30L, 3L, 3L),
+      (40L, 4L, 4L)).toDF("v", "id", "wt").withColumn("g", lit("all"))
+    val got = Profile.scalableWeightedQuantiles(df, "g", "v", "id", "wt",
+      Seq((1L, 2L), (1L, 5L), (9L, 10L)))
+      .select($"q_idx", $"w_total", $"quantile_v")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 10L, 30L), (1L, 10L, 20L), (2L, 10L, 40L)))
+  }
+
+  test("weighted quantile: bucket-count independent and matches full-sort") {
+    val df = (1 to 500)
+      .map(i => (((i * 37) % 101).toLong * 10L, i.toLong,
+        ((i % 7) + 1).toLong))
+      .toDF("v", "id", "wt").withColumn("g", lit("g1"))
+    val w = Window.orderBy($"v", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = df
+      .withColumn("cumw", sum($"wt").over(w))
+      .withColumn("wtot", sum($"wt").over(
+        Window.partitionBy($"g")))
+    for ((num, den) <- Seq((1L, 5L), (1L, 2L), (19L, 20L))) {
+      val expect = full
+        .filter($"cumw" * den >= $"wtot" * num)
+        .agg(min($"v")).as[Long].head()
+      for (nb <- Seq(8, 1024)) {
+        val got = Profile.scalableWeightedQuantiles(df, "g", "v", "id",
+          "wt", Seq((num, den)), nBuckets = nb)
+          .select($"quantile_v").as[Long].head()
+        assert(got == expect, s"frac=$num/$den nBuckets=$nb")
+      }
+    }
+  }
 }

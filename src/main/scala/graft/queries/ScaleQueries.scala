@@ -774,9 +774,220 @@ ${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
       ORDER BY d.rank"""
     })
 
+  // ------------------------------------------------------------------ //
+  // q243 — join-order advisor (estimate vs actual, per step)
+  // ------------------------------------------------------------------ //
+
+  /** Join-size ADVISOR over the canonical fact chain
+    * lineitem⋈orders⋈customer⋈nation: per step, the System-R
+    * independence estimate |L|·|R|/max(d_L,d_R) next to the ACTUAL
+    * join cardinality, the q-error between them, and a
+    * would-broadcast verdict for the build side — the cost-model
+    * evidence behind every join-order decision this engine makes
+    * (q83's reorder, the broadcast audit in ARCHITECTURE §2). The
+    * estimate is ONE double division over exact BIGINT counts;
+    * q-error is greatest(est/act, act/est) — comparisons and two
+    * fixed-shape divisions, no transcendental.
+    *
+    * Scale shape: per step two count aggregates + one distinct-count
+    * (the statistics a catalog would hold) and the actual join count;
+    * at 100 TB the |L|·|R| product rides decimal(38,0) — noted, the
+    * shape is unchanged. Dims broadcast; the chain's own joins are
+    * the measured subject. */
+  val q243JoinAdvisor = OracleQuery("q243_join_order_advisor",
+    "per-step join-size estimates vs actuals with q-error + broadcast verdict",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, d).select(col("n_nationkey"))
+      val j1 = graft.ops.Caches.track(
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey")))
+      val j2 = graft.ops.Caches.track(
+        j1.join(broadcast(cust), col("o_custkey") === col("c_custkey")))
+      val j3 = j2.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      def stats(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.agg(count(lit(1)).as("rows"),
+          countDistinct(col(key)).as("keys"))
+      def step(idx: Long, name: String,
+          left: org.apache.spark.sql.DataFrame, lKey: String,
+          right: org.apache.spark.sql.DataFrame, rKey: String,
+          joined: org.apache.spark.sql.DataFrame) = {
+        val l = stats(left, lKey)
+          .select(col("rows").as("left_rows"), col("keys").as("left_keys"))
+        val r = stats(right, rKey)
+          .select(col("rows").as("right_rows"), col("keys").as("right_keys"))
+        val a = joined.agg(count(lit(1)).as("actual_rows"))
+        l.crossJoin(r).crossJoin(a)
+          .select(lit(idx).as("step"), lit(name).as("join_name"),
+            col("left_rows"), col("right_rows"),
+            col("left_keys"), col("right_keys"),
+            ((col("left_rows") * col("right_rows")).cast("double") /
+              greatest(col("left_keys"), col("right_keys")).cast("double"))
+              .as("est_rows"),
+            col("actual_rows"))
+      }
+      step(0L, "lineitem*orders", li, "l_orderkey", ord, "o_orderkey", j1)
+        .unionAll(step(1L, "j1*customer", j1, "o_custkey", cust,
+          "c_custkey", j2))
+        .unionAll(step(2L, "j2*nation", j2, "c_nationkey", nat,
+          "n_nationkey", j3))
+        .withColumn("q_error",
+          greatest(col("est_rows") / col("actual_rows").cast("double"),
+            col("actual_rows").cast("double") / col("est_rows")))
+        .withColumn("broadcast_right", col("right_rows") < lit(100000L))
+        .orderBy("step")
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey FROM lineitem),
+      ord AS (SELECT o_orderkey, o_custkey FROM orders),
+      cust AS (SELECT c_custkey, c_nationkey FROM customer),
+      nat AS (SELECT n_nationkey FROM nation),
+      j1 AS MATERIALIZED (
+        SELECT o.o_custkey FROM li l JOIN ord o
+        ON l.l_orderkey = o.o_orderkey),
+      j2 AS MATERIALIZED (
+        SELECT c.c_nationkey FROM j1 JOIN cust c
+        ON j1.o_custkey = c.c_custkey),
+      j3 AS MATERIALIZED (
+        SELECT 1 AS one FROM j2 JOIN nat n
+        ON j2.c_nationkey = n.n_nationkey),
+      steps AS (
+        SELECT CAST(0 AS BIGINT) AS step, 'lineitem*orders' AS join_name,
+               (SELECT COUNT(*) FROM li) AS left_rows,
+               (SELECT COUNT(*) FROM ord) AS right_rows,
+               (SELECT COUNT(DISTINCT l_orderkey) FROM li) AS left_keys,
+               (SELECT COUNT(DISTINCT o_orderkey) FROM ord) AS right_keys,
+               (SELECT COUNT(*) FROM j1) AS actual_rows
+        UNION ALL
+        SELECT 1, 'j1*customer',
+               (SELECT COUNT(*) FROM j1),
+               (SELECT COUNT(*) FROM cust),
+               (SELECT COUNT(DISTINCT o_custkey) FROM j1),
+               (SELECT COUNT(DISTINCT c_custkey) FROM cust),
+               (SELECT COUNT(*) FROM j2)
+        UNION ALL
+        SELECT 2, 'j2*nation',
+               (SELECT COUNT(*) FROM j2),
+               (SELECT COUNT(*) FROM nat),
+               (SELECT COUNT(DISTINCT c_nationkey) FROM j2),
+               (SELECT COUNT(DISTINCT n_nationkey) FROM nat),
+               (SELECT COUNT(*) FROM j3))
+      SELECT step, join_name, left_rows, right_rows, left_keys, right_keys,
+             CAST(left_rows * right_rows AS DOUBLE) /
+               CAST(GREATEST(left_keys, right_keys) AS DOUBLE) AS est_rows,
+             actual_rows,
+             GREATEST(
+               (CAST(left_rows * right_rows AS DOUBLE) /
+                 CAST(GREATEST(left_keys, right_keys) AS DOUBLE))
+                 / CAST(actual_rows AS DOUBLE),
+               CAST(actual_rows AS DOUBLE) /
+                 (CAST(left_rows * right_rows AS DOUBLE) /
+                   CAST(GREATEST(left_keys, right_keys) AS DOUBLE)))
+               AS q_error,
+             right_rows < 100000 AS broadcast_right
+      FROM steps
+      ORDER BY step"""))
+
+  // ------------------------------------------------------------------ //
+  // q244 — watermark / out-of-orderness audit
+  // ------------------------------------------------------------------ //
+
+  /** Out-of-orderness audit — the evidence behind every watermark
+    * choice in the streaming layer: within each user's ARRIVAL order
+    * (event_id, the monotone ingestion id — documented proxy), how
+    * late is each event vs the running event-time maximum, and what
+    * fraction of events would a 1-minute / 1-hour / 1-day watermark
+    * drop? Lateness buckets are fixed µs literals; every count is
+    * BIGINT and every share a single division. The running max is a
+    * USER-partitioned window (the q28 shuffle) — nothing corpus-sized
+    * meets a global sort. On the driver's synthetic drop the card
+    * CERTIFIES per-user in-orderness (one all-on-time row, drop
+    * fractions 0) — the assumption every event-time streaming store
+    * in `graft.streaming` rests on; a disordered drop lights up the
+    * late buckets.
+    *
+    * Reference analogue: none — the reference ingests batch-only
+    * (`api_ingestor.py`); this is the design audit its streaming
+    * roadmap item would need first. */
+  val q244WatermarkAudit = OracleQuery("q244_watermark_audit",
+    "per-user out-of-orderness lateness histogram + watermark drop rates",
+    (s, d) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = graft.ops.Caches.track(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("late_us", max(col("tus")).over(wo) - col("tus")))
+      val bucket = when(col("late_us") === 0L, "b0_on_time")
+        .when(col("late_us") <= 60000000L, "b1_within_min")
+        .when(col("late_us") <= 3600000000L, "b2_within_hour")
+        .when(col("late_us") <= 86400000000L, "b3_within_day")
+        .otherwise("b4_later")
+      val tot = broadcast(late.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("late_us") > 60000000L, 1L).otherwise(0L))
+          .as("drop_1m"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("drop_1h"),
+        sum(when(col("late_us") > 86400000000L, 1L).otherwise(0L))
+          .as("drop_1d")))
+      late.groupBy(bucket.as("lateness"))
+        .agg(count(lit(1)).as("n_events"))
+        .crossJoin(tot)
+        .select(col("lateness"), col("n_events"),
+          (col("n_events").cast("double") / col("n_total").cast("double"))
+            .as("share"),
+          (col("drop_1m").cast("double") / col("n_total").cast("double"))
+            .as("drop_frac_1m"),
+          (col("drop_1h").cast("double") / col("n_total").cast("double"))
+            .as("drop_frac_1h"),
+          (col("drop_1d").cast("double") / col("n_total").cast("double"))
+            .as("drop_frac_1d"))
+        .orderBy("lateness")
+    },
+    Some("""
+      WITH late AS MATERIALIZED (
+        SELECT user_id, event_id,
+               CAST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - epoch_us(ts) AS BIGINT) AS late_us
+        FROM events),
+      b AS MATERIALIZED (
+        SELECT CASE WHEN late_us = 0 THEN 'b0_on_time'
+                    WHEN late_us <= 60000000 THEN 'b1_within_min'
+                    WHEN late_us <= 3600000000 THEN 'b2_within_hour'
+                    WHEN late_us <= 86400000000 THEN 'b3_within_day'
+                    ELSE 'b4_later' END AS lateness
+        FROM late),
+      tot AS (
+        SELECT COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS drop_1m,
+               CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS drop_1h,
+               CAST(SUM(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS drop_1d
+        FROM late)
+      SELECT b.lateness, COUNT(*) AS n_events,
+             CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.n_total) AS DOUBLE)
+               AS share,
+             CAST(MAX(t.drop_1m) AS DOUBLE) / CAST(MAX(t.n_total) AS DOUBLE)
+               AS drop_frac_1m,
+             CAST(MAX(t.drop_1h) AS DOUBLE) / CAST(MAX(t.n_total) AS DOUBLE)
+               AS drop_frac_1h,
+             CAST(MAX(t.drop_1d) AS DOUBLE) / CAST(MAX(t.n_total) AS DOUBLE)
+               AS drop_frac_1d
+      FROM b, tot t
+      GROUP BY b.lateness
+      ORDER BY b.lateness"""))
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
     q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
-    q157JoinCardGate, q187RetrievalEval, q230NdcgEval)
+    q157JoinCardGate, q187RetrievalEval, q230NdcgEval,
+    q243JoinAdvisor, q244WatermarkAudit)
 }

@@ -722,7 +722,138 @@ object ExperimentQueries {
       JOIN (SELECT * FROM st WHERE variant = 'B') b USING (q_idx)
       ORDER BY q_idx"""))
 
+  // ------------------------------------------------------------------ //
+  // q246 — Benjamini–Hochberg FDR over per-segment permutation tests
+  // ------------------------------------------------------------------ //
+
+  /** Multiple-testing control for segment-level A/B readouts: one
+    * sign-flip permutation test PER market segment (the q231
+    * machinery with segment-keyed md5 signs — independent null draws
+    * per segment), then Benjamini–Hochberg at α = 1/20 across the
+    * five tests. Because every p-value is the exact rational
+    * (1+c)/65 and α·k/m is the rational k/100, the BH step-up
+    * condition collapses to the INTEGER test 20·(1+c) ≤ 13·k — the
+    * whole correction, usually floating-point soup, is BIGINT
+    * arithmetic; the only double is the displayed p. Rejected
+    * segments are those ranked ≤ the largest k passing the test
+    * (rank ties impossible: rank is a row_number over (c, segment)).
+    *
+    * Scale shape: corpus → user grain → (segment, bucket) cells
+    * (|segments|·16 rows, cached) → constant 64-permutation explode →
+    * 5-row ranked card. The BH window runs over 5 rows. */
+  val q246FdrBh = OracleQuery("q246_fdr_bh",
+    "Benjamini-Hochberg FDR across per-segment sign-flip tests, integer BH",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .withColumn("bucket",
+          substring(md5(concat(lit("bk"), col("user_id").cast("string"))
+            .cast("binary")), 1, 1))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+      // cached: T_obs and the permutation expansion both read the
+      // (segment, bucket) cell table — one corpus scan through it
+      val cells = graft.ops.Caches.track(users
+        .groupBy(col("c_mktsegment").as("segment"), col("bucket"))
+        .agg(sum(when(col("variant") === "A", col("y"))
+          .otherwise(-col("y"))).as("diff")))
+      val obs = cells.groupBy(col("segment"))
+        .agg(sum(col("diff")).as("t_obs"))
+      val perms = cells
+        .select(col("segment"), col("bucket"), col("diff"),
+          explode(expr("sequence(0, 63)")).as("perm0"))
+        .withColumn("perm", col("perm0").cast("long"))
+        .withColumn("sign",
+          when(substring(md5(concat(lit("perm"), col("perm").cast("string"),
+            lit("_"), col("segment"), lit("_"), col("bucket"))
+            .cast("binary")), 1, 1) < "8", lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("segment"), col("perm"))
+        .agg(sum(col("sign") * col("diff")).as("t_perm"))
+      val seg = perms.join(obs, Seq("segment"))
+        .groupBy(col("segment"))
+        .agg(max(col("t_obs")).as("t_obs"),
+          sum(when(abs(col("t_perm")) >= abs(col("t_obs")), 1L)
+            .otherwise(0L)).as("c_ge"))
+      val wRank = Window.orderBy(col("c_ge"), col("segment"))
+      val ranked = graft.ops.Caches.track(seg
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("bh_ok",
+          lit(20L) * (lit(1L) + col("c_ge")) <= lit(13L) * col("rank")))
+      val kMax = broadcast(ranked.agg(
+        max(when(col("bh_ok"), col("rank"))).as("k_max")))
+      ranked.crossJoin(kMax)
+        .select(col("segment"), col("t_obs"), col("c_ge"),
+          ((lit(1L) + col("c_ge")).cast("double") / lit(65.0))
+            .as("p_value"),
+          col("rank"), col("bh_ok"),
+          (col("rank") <= coalesce(col("k_max"), lit(0L))).as("rejected"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant,
+               substring(md5('bk' || CAST(user_id AS VARCHAR)), 1, 1)
+                 AS bucket
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.*, c.c_mktsegment AS segment
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      cells AS MATERIALIZED (
+        SELECT segment, bucket,
+               CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE -y END)
+                 AS BIGINT) AS diff
+        FROM users GROUP BY 1, 2),
+      obs AS (
+        SELECT segment, CAST(SUM(diff) AS BIGINT) AS t_obs
+        FROM cells GROUP BY 1),
+      perms AS MATERIALIZED (
+        SELECT c.segment, CAST(p.perm AS BIGINT) AS perm,
+               CAST(SUM(CASE WHEN substring(md5('perm' ||
+                        CAST(p.perm AS VARCHAR) || '_' || c.segment ||
+                        '_' || c.bucket), 1, 1) < '8'
+                        THEN c.diff ELSE -c.diff END) AS BIGINT) AS t_perm
+        FROM cells c,
+             (SELECT unnest(generate_series(0, 63)) AS perm) p
+        GROUP BY 1, 2),
+      seg AS MATERIALIZED (
+        SELECT p.segment, MAX(o.t_obs) AS t_obs,
+               CAST(SUM(CASE WHEN abs(p.t_perm) >= abs(o.t_obs)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_ge
+        FROM perms p JOIN obs o ON p.segment = o.segment
+        GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT segment, t_obs, c_ge,
+               CAST(row_number() OVER (ORDER BY c_ge, segment) AS BIGINT)
+                 AS rank,
+               20 * (1 + c_ge) <=
+                 13 * row_number() OVER (ORDER BY c_ge, segment) AS bh_ok
+        FROM seg),
+      km AS (
+        SELECT MAX(CASE WHEN bh_ok THEN rank END) AS k_max
+        FROM ranked)
+      SELECT r.segment, r.t_obs, r.c_ge,
+             CAST(1 + r.c_ge AS DOUBLE) / 65.0e0 AS p_value,
+             r.rank, r.bh_ok,
+             r.rank <= COALESCE(k.k_max, 0) AS rejected
+      FROM ranked r, km k
+      ORDER BY r.rank"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
-      q235PostStrat, q236Qte)
+      q235PostStrat, q236Qte, q246FdrBh)
 }

@@ -732,9 +732,138 @@ object PrepQueries {
       GROUP BY measure
       ORDER BY measure"""))
 
+  /** EXACT isotonic calibration of the q193 reliability bins by pool
+    * adjacent violators (PAV; Ayer et al. 1955, Zadrozny–Elkan 2002)
+    * — the calibration map production scorers actually apply, fitted
+    * with ZERO floating point: blocks carry (Σpos, Σn) and a
+    * violation is the cross-multiplied integer test
+    * sy_i·sn_{i+1} > sy_{i+1}·sn_i, so the entire merge trajectory is
+    * BIGINT-exact and the oracle replays all nine unrolled rounds as
+    * chained CTEs (the q225 trajectory discipline — merges, not just
+    * the final map, must agree). Each round merges the FIRST
+    * violating adjacent pair; 10 bins ⇒ 9 rounds reach the fixpoint
+    * (each round removes one block or is a stable no-op). The only
+    * doubles are the displayed raw/isotonic rates, one division each.
+    *
+    * Scale shape: the corpus collapses to 10 bin rows before PAV
+    * starts; every round is a ≤10-row windowed select (cached per
+    * round to bound lineage — the MMR discipline). */
+  val q245IsotonicCalibration = OracleQuery("q245_isotonic_calibration",
+    "PAV isotonic fit of the calibration bins, integer-exact trajectory",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dupc = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("fp_n"))
+      val binned = docs
+        .withColumn("ws", graft.ops.TextAnalysis.words(col("text")))
+        .withColumn("num", least(size(col("ws")).cast("long"), lit(200L)))
+        .withColumn("fp", md5(col("text")))
+        .join(dupc, "fp")
+        .withColumn("label", col("fp_n") === 1L)
+        .withColumn("bin", least(lit(9L), expr("(num * 10) div 200")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      // the corpus collapses to ≤10 bin rows HERE; PAV itself runs on
+      // the driver over that bounded evidence (the IVF-centroid
+      // collect discipline — O(bins) longs move, never data). A
+      // distributed 9-round unroll is possible but its nested
+      // broadcast-agg plan grows exponentially (measured: heap
+      // exhaustion at round 9) for zero scale benefit on 10 rows.
+      val bins = binned.orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // pool adjacent violators: merge the FIRST (mean_i > mean_{i+1})
+      // pair, integer cross-multiplied, until monotone
+      var blocks = bins.map { case (bin, n, pos) => (bin, pos, n) }.toVector
+      var merged = true
+      while (merged) {
+        val i = blocks.indices.dropRight(1).find { i =>
+          val (_, sy, sn) = blocks(i)
+          val (_, nsy, nsn) = blocks(i + 1)
+          sy * nsn > nsy * sn
+        }
+        i match {
+          case Some(ix) =>
+            val (bid, sy, sn) = blocks(ix)
+            val (_, nsy, nsn) = blocks(ix + 1)
+            blocks = (blocks.take(ix) :+ ((bid, sy + nsy, sn + nsn))) ++
+              blocks.drop(ix + 2)
+          case None => merged = false
+        }
+      }
+      val out = bins.map { case (bin, n, pos) =>
+        val (bid, sy, sn) = blocks.filter(_._1 <= bin).last
+        org.apache.spark.sql.Row(bin, n, pos,
+          pos.toDouble / n.toDouble, bid, sy.toDouble / sn.toDouble)
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.toIndexedSeq, 1),
+        StructType(Seq(
+          StructField("bin", LongType), StructField("n", LongType),
+          StructField("n_pos", LongType),
+          StructField("raw_rate", DoubleType),
+          StructField("block_start", LongType),
+          StructField("iso_rate", DoubleType))))
+        .orderBy("bin")
+    },
+    Some {
+      def roundSql(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""
+      l$k AS MATERIALIZED (
+        SELECT bid, sy, sn,
+               lead(bid) OVER (ORDER BY bid) AS nbid,
+               lead(sy) OVER (ORDER BY bid) AS nsy,
+               lead(sn) OVER (ORDER BY bid) AS nsn,
+               lag(bid) OVER (ORDER BY bid) AS pbid
+        FROM $prev),
+      v$k AS (
+        SELECT MIN(CASE WHEN nbid IS NOT NULL AND sy * nsn > nsy * sn
+                        THEN bid END) AS vb
+        FROM l$k),
+      r$k AS MATERIALIZED (
+        SELECT bid,
+               CASE WHEN bid = v.vb THEN sy + nsy ELSE sy END AS sy,
+               CASE WHEN bid = v.vb THEN sn + nsn ELSE sn END AS sn
+        FROM l$k, v$k v
+        WHERE v.vb IS NULL OR pbid IS NULL OR pbid <> v.vb)"""
+      }
+      s"""
+      WITH dupc AS MATERIALIZED (
+        SELECT md5(text) AS fp, COUNT(*) AS fp_n
+        FROM documents GROUP BY 1),
+      binned AS MATERIALIZED (
+        SELECT LEAST(9, (num * 10) // 200) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos
+        FROM (
+          SELECT LEAST(len(list_filter(string_split(d.text, ' '),
+                   x -> x <> '')), 200) AS num,
+                 (c.fp_n = 1) AS label
+          FROM documents d JOIN dupc c ON md5(d.text) = c.fp) s
+        GROUP BY 1),
+      r0 AS MATERIALIZED (
+        SELECT bin AS bid, n_pos AS sy, n AS sn FROM binned),
+      ${(1 to 9).map(roundSql).mkString(",")},
+      cover AS (
+        SELECT b.bin, MAX(r9.bid) AS block_start
+        FROM binned b JOIN r9 ON r9.bid <= b.bin
+        GROUP BY 1)
+      SELECT b.bin, b.n, b.n_pos,
+             CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+             c.block_start,
+             CAST(r.sy AS DOUBLE) / CAST(r.sn AS DOUBLE) AS iso_rate
+      FROM binned b
+      JOIN cover c USING (bin)
+      JOIN r9 r ON r.bid = c.block_start
+      ORDER BY b.bin"""
+    })
+
   val all: Seq[OracleQuery] = Seq(
     q189SnapshotDiff, q190MadOutliers, q191TargetEncode, q192QuantileBins,
     q193Calibration, q194LexicalDiversity, q195Attribution, q196NextToken,
     q197BootstrapCi, q198EmbargoSplit, q199PitFeatures, q200Familiarity,
-    q201LabelProp, q205Impute, q206Unpivot)
+    q201LabelProp, q205Impute, q206Unpivot, q245IsotonicCalibration)
 }

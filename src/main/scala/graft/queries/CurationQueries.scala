@@ -460,8 +460,203 @@ object CurationQueries {
       FROM documents
       ORDER BY pos"""))
 
+  // ------------------------------------------------------------------ //
+  // q247 — Hamilton apportionment (exact integer quota allocation)
+  // ------------------------------------------------------------------ //
+
+  /** EXACT proportional allocation of a fixed budget (N = 1000
+    * sampling slots) across sources by byte mass — Hamilton's
+    * largest-remainder method: base_i = ⌊N·w_i/S⌋, and the leftover
+    * N−Σbase slots go to the largest remainders (N·w_i mod S, ties by
+    * source). Every quantity is BIGINT — quotient, remainder, rank —
+    * so the allocation (and its Σquota = N invariant, emitted as a
+    * gate column) hash-replays; float shares with round() would
+    * neither sum to N nor replay. The budget-apportionment every
+    * mixture sampler (q132/q151) needs upstream of membership.
+    *
+    * Scale shape: one source-grain aggregate; the remainder rank
+    * window runs over |sources| rows. N·w_i needs headroom: BIGINT
+    * to w_i ~ 9·10¹⁵ bytes at N=1000; decimal(38,0) lane beyond. */
+  val q247Apportionment = OracleQuery("q247_apportionment",
+    "Hamilton largest-remainder slot allocation by source byte mass",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val N = 1000L
+      val w = graft.ops.Caches.track(Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w")))
+      val tot = broadcast(w.agg(sum(col("w")).as("s_tot"),
+        count(lit(1)).as("n_src")))
+      val based = graft.ops.Caches.track(w.crossJoin(tot)
+        .withColumn("base", expr(s"($N * w) div s_tot"))
+        .withColumn("rem", expr(s"($N * w) % s_tot")))
+      val leftover = broadcast(based.agg(
+        (lit(N) - sum(col("base"))).as("leftover")))
+      val wr = Window.orderBy(col("rem").desc, col("source"))
+      val quotas = graft.ops.Caches.track(based.crossJoin(leftover)
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("quota",
+          col("base") + when(col("rnk") <= col("leftover"), 1L)
+            .otherwise(0L)))
+      val check = broadcast(quotas.agg(
+        (sum(col("quota")) === lit(N)).as("sums_to_n")))
+      quotas.crossJoin(check)
+        .select(col("source"), col("w"), col("base"), col("rem"),
+          col("rnk"), col("quota"), col("sums_to_n"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH w AS MATERIALIZED (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s_tot FROM w),
+      based AS MATERIALIZED (
+        SELECT source, w,
+               (1000 * w) // s_tot AS base,
+               (1000 * w) % s_tot AS rem
+        FROM w, tot),
+      lo AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover
+             FROM based),
+      q AS MATERIALIZED (
+        SELECT source, w, base, rem,
+               CAST(row_number() OVER (ORDER BY rem DESC, source)
+                 AS BIGINT) AS rnk,
+               base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                           <= l.leftover THEN 1 ELSE 0 END AS quota
+        FROM based, lo l),
+      chk AS (SELECT CAST(SUM(quota) AS BIGINT) = 1000 AS sums_to_n FROM q)
+      SELECT q.source, q.w, q.base, q.rem, q.rnk, q.quota, c.sums_to_n
+      FROM q, chk c
+      ORDER BY q.source"""))
+
+  // ------------------------------------------------------------------ //
+  // q248 — learning-curve card (nested hash subsets)
+  // ------------------------------------------------------------------ //
+
+  /** Metric-vs-data-size card: conversion rate on NESTED deterministic
+    * user subsets (md5 draw < 1/8, 1/4, 1/2, all — each subset
+    * contains the previous, the property fraction-resampling lacks),
+    * the evidence behind "has this metric stabilized with corpus
+    * growth?". One corpus pass computes all four subsets as
+    * conditional aggregates; deviations vs the full-data rate are one
+    * subtraction each, and the stability gate compares against a
+    * shared 0.05 literal.
+    *
+    * Scale shape: user grain → ONE 8-aggregate row → 4 literal-
+    * labeled rows. Subsets nest by hex-prefix comparison — no second
+    * scan per size. */
+  val q248LearningCurve = OracleQuery("q248_learning_curve",
+    "conversion-rate learning curve over nested hash subsets + stability gate",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("h",
+          substring(md5(concat(lit("lc"), col("user_id").cast("string"))
+            .cast("binary")), 1, 8))
+      val cuts = Seq(("f8", "20000000"), ("f4", "40000000"),
+        ("f2", "80000000"))
+      val aggCols = Seq(
+        count(lit(1)).as("n_all"),
+        sum(col("conv")).as("c_all")) ++
+        cuts.flatMap { case (tag, cut) => Seq(
+          sum(when(col("h") < cut, 1L).otherwise(0L)).as(s"n_$tag"),
+          sum(when(col("h") < cut, col("conv")).otherwise(0L))
+            .as(s"c_$tag"))
+        }
+      val agg = graft.ops.Caches.track(broadcast(
+        users.agg(aggCols.head, aggCols.tail: _*)))
+      def rate(n: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column) =
+        when(n > 0L, c.cast("double") / n.cast("double")).otherwise(lit(0.0))
+      def rowOf(idx: Long, label: String, nc: String, cc: String) =
+        agg.select(lit(idx).as("idx"), lit(label).as("subset"),
+          col(nc).as("n_users"), col(cc).as("n_conv"),
+          rate(col(nc), col(cc)).as("rate"),
+          abs(rate(col(nc), col(cc)) - rate(col("n_all"), col("c_all")))
+            .as("dev_vs_full"))
+      rowOf(0L, "eighth", "n_f8", "c_f8")
+        .unionAll(rowOf(1L, "quarter", "n_f4", "c_f4"))
+        .unionAll(rowOf(2L, "half", "n_f2", "c_f2"))
+        .unionAll(rowOf(3L, "full", "n_all", "c_all"))
+        .withColumn("stable", col("dev_vs_full") <= lit(0.05))
+        .orderBy("idx")
+    },
+    Some("""
+      WITH users AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv,
+               substring(md5('lc' || CAST(user_id AS VARCHAR)), 1, 8) AS h
+        FROM events GROUP BY user_id),
+      a AS MATERIALIZED (
+        SELECT COUNT(*) AS n_all, CAST(SUM(conv) AS BIGINT) AS c_all,
+               CAST(SUM(CASE WHEN h < '20000000' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_f8,
+               CAST(SUM(CASE WHEN h < '20000000' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_f8,
+               CAST(SUM(CASE WHEN h < '40000000' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_f4,
+               CAST(SUM(CASE WHEN h < '40000000' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_f4,
+               CAST(SUM(CASE WHEN h < '80000000' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_f2,
+               CAST(SUM(CASE WHEN h < '80000000' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_f2
+        FROM users),
+      rows_ AS (
+        SELECT CAST(0 AS BIGINT) AS idx, 'eighth' AS subset,
+               n_f8 AS n_users, c_f8 AS n_conv,
+               CASE WHEN n_f8 > 0
+                    THEN CAST(c_f8 AS DOUBLE) / CAST(n_f8 AS DOUBLE)
+                    ELSE 0.0 END AS rate,
+               abs(CASE WHEN n_f8 > 0
+                        THEN CAST(c_f8 AS DOUBLE) / CAST(n_f8 AS DOUBLE)
+                        ELSE 0.0 END -
+                   CASE WHEN n_all > 0
+                        THEN CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                        ELSE 0.0 END) AS dev_vs_full
+        FROM a
+        UNION ALL
+        SELECT 1, 'quarter', n_f4, c_f4,
+               CASE WHEN n_f4 > 0
+                    THEN CAST(c_f4 AS DOUBLE) / CAST(n_f4 AS DOUBLE)
+                    ELSE 0.0 END,
+               abs(CASE WHEN n_f4 > 0
+                        THEN CAST(c_f4 AS DOUBLE) / CAST(n_f4 AS DOUBLE)
+                        ELSE 0.0 END -
+                   CASE WHEN n_all > 0
+                        THEN CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                        ELSE 0.0 END)
+        FROM a
+        UNION ALL
+        SELECT 2, 'half', n_f2, c_f2,
+               CASE WHEN n_f2 > 0
+                    THEN CAST(c_f2 AS DOUBLE) / CAST(n_f2 AS DOUBLE)
+                    ELSE 0.0 END,
+               abs(CASE WHEN n_f2 > 0
+                        THEN CAST(c_f2 AS DOUBLE) / CAST(n_f2 AS DOUBLE)
+                        ELSE 0.0 END -
+                   CASE WHEN n_all > 0
+                        THEN CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                        ELSE 0.0 END)
+        FROM a
+        UNION ALL
+        SELECT 3, 'full', n_all, c_all,
+               CASE WHEN n_all > 0
+                    THEN CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+                    ELSE 0.0 END,
+               0.0
+        FROM a)
+      SELECT idx, subset, n_users, n_conv, rate, dev_vs_full,
+             dev_vs_full <= 0.05 AS stable
+      FROM rows_
+      ORDER BY idx"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
       q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches,
-      q136RerankKnn, q151MixtureResample, q152EpochPlan, q154ShuffleRank)
+      q136RerankKnn, q151MixtureResample, q152EpochPlan, q154ShuffleRank,
+      q247Apportionment, q248LearningCurve)
 }

@@ -379,8 +379,75 @@ object HygieneQueries {
             + len(regexp_extract_all(raw, 'AKIA[0-9A-F]{16}')) > 0
       ORDER BY doc_id"""))
 
+  /** Right-to-be-forgotten CASCADE census: given a deletion-request
+    * set of subjects (deterministic stand-in: custkey ≡ 3 mod 10),
+    * count the rows every dependent table must purge, with the
+    * foreign-key cascade depth that orders the purge — customer
+    * directly (depth 0), orders/events by subject key (depth 1),
+    * lineitem only THROUGH its order (depth 2, a real join — the row
+    * has no subject column, which is exactly why deletion planning
+    * needs this sweep). All counts BIGINT, one share division per
+    * row; the depth-2 count joins lineitem⋈orders once with the
+    * subject predicate pushed onto the orders side.
+    *
+    * Scale shape: one aggregate per table; the depth-2 join is
+    * key-partitioned with the predicate reducing the build side ~10×
+    * before the shuffle. Compliance tooling the reference lacks
+    * entirely. */
+  val q250DeletionSweep = OracleQuery("q250_deletion_sweep",
+    "GDPR cascade census: per-table purge counts with FK cascade depth",
+    (s, d) => {
+      def card(tbl: String, depth: Long,
+          df: org.apache.spark.sql.DataFrame, pred: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(when(pred, 1L).otherwise(0L)).as("n_refs"))
+          .select(lit(tbl).as("tbl"), lit(depth).as("cascade_depth"),
+            col("n_rows"), col("n_refs"),
+            (col("n_refs").cast("double") / col("n_rows").cast("double"))
+              .as("ref_share"))
+      val cust = card("customer", 0L, Tables.customer(s, d),
+        col("c_custkey") % 10 === 3)
+      val ords = card("orders", 1L, Tables.orders(s, d),
+        col("o_custkey") % 10 === 3)
+      val ev = card("events", 1L, Tables.events(s, d),
+        col("user_id") % 10 === 3)
+      val li = card("lineitem", 2L,
+        Tables.lineitem(s, d).select(col("l_orderkey"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey")),
+        col("o_custkey") % 10 === 3)
+      cust.unionAll(ords).unionAll(ev).unionAll(li)
+        .orderBy("tbl")
+    },
+    Some("""
+      SELECT tbl, cascade_depth, n_rows, n_refs,
+             CAST(n_refs AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ref_share
+      FROM (
+        SELECT 'customer' AS tbl, CAST(0 AS BIGINT) AS cascade_depth,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_refs
+        FROM customer
+        UNION ALL
+        SELECT 'orders', 1, COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey % 10 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'events', 1, COUNT(*),
+               CAST(SUM(CASE WHEN user_id % 10 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem', 2, COUNT(*),
+               CAST(SUM(CASE WHEN o.o_custkey % 10 = 3 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) u
+      ORDER BY tbl"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
-      q135CooccurrenceLift, q153SecretScan)
+      q135CooccurrenceLift, q153SecretScan, q250DeletionSweep)
 }

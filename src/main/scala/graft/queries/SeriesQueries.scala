@@ -162,6 +162,59 @@ object SeriesQueries {
       GROUP BY day
       ORDER BY day"""))
 
+  /** Daily P10/P50/P90 bands of purchase value — the percentile
+    * monitoring strip a metrics dashboard draws, at the day grain,
+    * from ONE `Profile.scalableOrderStats` histogram walk with
+    * group = day (the walk's many-group path: driver sees
+    * |days|×1024 longs, each day's three order stats rank one
+    * winning bucket). Values are exact BIGINT cents, so each band
+    * value hash-replays; the oracle recomputes the q170 lower order
+    * statistic with per-day windowed ranks — different algorithm,
+    * day-for-day agreement.
+    *
+    * Scale shape: purchase rows → day-bucket histogram (one shuffle)
+    * → per-(day, quantile) single-bucket rank. No day ever sorts its
+    * full event set. */
+  val q249DailyBands = OracleQuery("q249_daily_bands",
+    "daily P10/P50/P90 purchase-cents bands via the grouped histogram walk",
+    (s, d) => {
+      val rows = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr(s"ts div 1000 div $DayUs").as("day"),
+          (col("value").cast(dec2) * 100).cast("long").as("cents"),
+          col("event_id"))
+      graft.ops.Profile.scalableOrderStats(rows, "day", "cents",
+          "event_id", Seq(0.1, 0.5, 0.9))
+        .groupBy(col("day"))
+        .agg(max(col("n")).as("n_purchases"),
+          min(when(col("q_idx") === 0L, col("order_stat"))).as("p10_cents"),
+          min(when(col("q_idx") === 1L, col("order_stat"))).as("p50_cents"),
+          min(when(col("q_idx") === 2L, col("order_stat"))).as("p90_cents"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH rows_ AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               event_id
+        FROM events WHERE event_type = 'purchase'),
+      ranked AS MATERIALIZED (
+        SELECT day, cents,
+               row_number() OVER (PARTITION BY day
+                 ORDER BY cents, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY day) AS n
+        FROM rows_)
+      SELECT day, CAST(MAX(n) AS BIGINT) AS n_purchases,
+             MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.1e0) AS BIGINT) + 1
+                 THEN cents END) AS p10_cents,
+             MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+                 THEN cents END) AS p50_cents,
+             MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.9e0) AS BIGINT) + 1
+                 THEN cents END) AS p90_cents
+      FROM ranked
+      GROUP BY day
+      ORDER BY day"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q159Decayed, q160GapFill, q161RollingUniques)
+    Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands)
 }

@@ -477,8 +477,79 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Per-source Flesch reading-ease card with a VOWEL-RUN syllable
+    * proxy (each maximal [aeiou]+ run ≈ one syllable — the standard
+    * cheap approximation) and sentence count from terminal
+    * punctuation (floored at 1 per document): all three corpus
+    * quantities are exact BIGINT sums, and the score
+    * 206.835 − 1.015·(W/S) − 84.6·(V/W) is one fixed-shape double
+    * expression whose constants are SHARED e-notation literals (q210
+    * rule — DuckDB would otherwise type them DECIMAL). Micro-averaged
+    * at the source grain: the ratio of sums, not the mean of ratios,
+    * so no per-document float ever aggregates.
+    *
+    * Scale shape: one narrow scan — three per-row string counts, one
+    * source-grain aggregate. */
+  val q253Readability = OracleQuery("q253_readability",
+    "per-source Flesch reading ease, vowel-run syllables, exact evidence",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("source"),
+        size(graft.ops.TextAnalysis.words(col("text"))).cast("long")
+          .as("w"),
+        greatest(lit(1L),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.!?]", "")))
+            .cast("long")).as("sent"),
+        size(filter(split(
+          regexp_replace(lower(col("text")), "[^aeiou]+", " "), " "),
+          x => x =!= "")).cast("long").as("syl"))
+      t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("total_words"),
+          sum(col("sent")).as("total_sentences"),
+          sum(col("syl")).as("total_syllables"))
+        .withColumn("flesch",
+          when(col("total_words") > 0L,
+            lit(206.835) -
+              lit(1.015) * (col("total_words").cast("double") /
+                col("total_sentences").cast("double")) -
+              lit(84.6) * (col("total_syllables").cast("double") /
+                col("total_words").cast("double")))
+            .otherwise(lit(0.0)))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS MATERIALIZED (
+        SELECT source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS BIGINT) AS w,
+               GREATEST(1, CAST(length(text) -
+                 length(regexp_replace(text, '[.!?]', '', 'g'))
+                 AS BIGINT)) AS sent,
+               CAST(len(list_filter(string_split(
+                 regexp_replace(lower(text), '[^aeiou]+', ' ', 'g'), ' '),
+                 x -> x <> '')) AS BIGINT) AS syl
+        FROM documents),
+      g AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS total_words,
+               CAST(SUM(sent) AS BIGINT) AS total_sentences,
+               CAST(SUM(syl) AS BIGINT) AS total_syllables
+        FROM t GROUP BY 1)
+      SELECT source, n_docs, total_words, total_sentences, total_syllables,
+             CASE WHEN total_words > 0
+                  THEN 206.835e0
+                       - 1.015e0 * (CAST(total_words AS DOUBLE) /
+                                    CAST(total_sentences AS DOUBLE))
+                       - 84.6e0 * (CAST(total_syllables AS DOUBLE) /
+                                   CAST(total_words AS DOUBLE))
+                  ELSE 0.0 END AS flesch
+      FROM g
+      ORDER BY source"""))
+
   def all: Seq[OracleQuery] =
     Seq(q164Boilerplate, q165TokenQuality, q166SemanticDedup,
       q167ClusterSample, q168HashEmbed, q172Curriculum,
-      q173LangConsistency, q174Matryoshka, q176DatasetCard)
+      q173LangConsistency, q174Matryoshka, q176DatasetCard,
+      q253Readability)
 }

@@ -190,6 +190,122 @@ object StatQueries {
       FROM m
       ORDER BY l_returnflag"""))
 
+  /** Fulfillment-SLA latency card per order priority: ship−order
+    * latency in EXACT integer days, P50/P90 per priority through the
+    * grouped histogram walk (`Profile.scalableOrderStats` — five
+    * priority groups, each corpus-sized, none ever fully sorted), and
+    * the ≤7-day SLA hit rate as one division over BIGINT counts. The
+    * line id for rank ties is the q139 composite
+    * l_orderkey·100+l_linenumber.
+    *
+    * Scale shape: lineitem⋈orders on the order key (one shuffle; at
+    * scale both sides bucket by orderkey), then the walk's driver
+    * histogram (5×1024 longs) + one conditional aggregate. */
+  val q251SlaLatency = OracleQuery("q251_sla_latency",
+    "ship-latency P50/P90 + 7-day SLA rate per order priority",
+    (s, d) => {
+      val rows = graft.ops.Caches.track(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          expr("(ship_us - ord_us) div 86400000000").as("lat_days"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("rid")))
+      val bands = graft.ops.Profile.scalableOrderStats(rows, "priority",
+          "lat_days", "rid", Seq(0.5, 0.9))
+        .groupBy(col("priority"))
+        .agg(min(when(col("q_idx") === 0L, col("order_stat")))
+          .as("p50_days"),
+          min(when(col("q_idx") === 1L, col("order_stat")))
+            .as("p90_days"))
+      val sla = rows.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("lat_days") <= 7L, 1L).otherwise(0L)).as("n_sla"))
+      sla.join(bands, Seq("priority"))
+        .select(col("priority"), col("n_items"), col("p50_days"),
+          col("p90_days"), col("n_sla"),
+          (col("n_sla").cast("double") / col("n_items").cast("double"))
+            .as("sla7_rate"))
+        .orderBy("priority")
+    },
+    Some("""
+      WITH rows_ AS MATERIALIZED (
+        SELECT o.o_orderpriority AS priority,
+               (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                 // 86400000000 AS lat_days,
+               l.l_orderkey * 100 + l.l_linenumber AS rid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      ranked AS MATERIALIZED (
+        SELECT priority, lat_days,
+               row_number() OVER (PARTITION BY priority
+                 ORDER BY lat_days, rid) AS rk,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM rows_),
+      bands AS (
+        SELECT priority,
+               MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+                   THEN lat_days END) AS p50_days,
+               MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.9e0) AS BIGINT) + 1
+                   THEN lat_days END) AS p90_days
+        FROM ranked GROUP BY 1),
+      sla AS (
+        SELECT priority, COUNT(*) AS n_items,
+               CAST(SUM(CASE WHEN lat_days <= 7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_sla
+        FROM rows_ GROUP BY 1)
+      SELECT s.priority, s.n_items, b.p50_days, b.p90_days, s.n_sla,
+             CAST(s.n_sla AS DOUBLE) / CAST(s.n_items AS DOUBLE)
+               AS sla7_rate
+      FROM sla s JOIN bands b USING (priority)
+      ORDER BY s.priority"""))
+
+  /** Index-of-dispersion (Poissonness) check on order basket sizes:
+    * sample mean and variance from exact BIGINT moments, D = var/mean
+    * as one division, and the overdispersion VERDICT as the pure
+    * integer test n·Σx²−(Σx)² > (n−1)·Σx — the flag (the part a
+    * pipeline branches on) never touches a float. One-row card. */
+  val q252Dispersion = OracleQuery("q252_dispersion",
+    "basket-size index of dispersion with integer overdispersion verdict",
+    (s, d) => {
+      val x = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"))
+      x.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), col("sx"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean_x"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1L).cast("double")))
+            .as("var_x"),
+          (((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1L).cast("double"))) /
+            (col("sx").cast("double") / col("n").cast("double")))
+            .as("dispersion"),
+          (col("n") * col("sxx") - col("sx") * col("sx") >
+            (col("n") - 1L) * col("sx")).as("overdispersed"))
+    },
+    Some("""
+      WITH x AS MATERIALIZED (
+        SELECT l_orderkey, COUNT(*) AS x FROM lineitem GROUP BY 1),
+      m AS (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM x)
+      SELECT n, sx,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+             CAST(n * sxx - sx * sx AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_x,
+             (CAST(n * sxx - sx * sx AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) /
+               (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion,
+             n * sxx - sx * sx > (n - 1) * sx AS overdispersed
+      FROM m"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q169Trend, q170GroupQuantiles, q171Correlation)
+    Seq(q169Trend, q170GroupQuantiles, q171Correlation, q251SlaLatency,
+      q252Dispersion)
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 2-D SKYLINE (Pareto frontier) — "no other row is at least as good
+  * on both axes and strictly better on one": the multi-objective
+  * shortlist behind supplier selection, price/quality curation and
+  * model-size/score tradeoff tables (Börzsönyi et al., ICDE 2001 —
+  * public literature). Convention here: MINIMIZE `costCol`, MAXIMIZE
+  * `gainCol`; row r is dominated iff ∃r′ with (cost′ ≤ cost ∧
+  * gain′ ≥ gain) and one inequality strict.
+  *
+  * Scale shape — grid-pruned, never all-pairs: the textbook
+  * sort-filter skyline needs a GLOBAL order by cost (one-partition
+  * window — the q170 anti-pattern), and the naive definition is an
+  * O(n²) self-join. Instead:
+  *
+  *  1. bucket cost into `nBuckets` histogram cells (driver sees one
+  *     bounded (bucket, max_gain) table — the [[Profile]] walk
+  *     discipline);
+  *  2. prefix-max over STRICTLY CHEAPER buckets (computed on the
+  *     bounded histogram) is a lower bound every candidate must beat:
+  *     rows with gain < that bound are dominated by SOME row in a
+  *     cheaper bucket and are pruned before any pairwise work;
+  *  3. the exact dominance test runs only among survivors (per
+  *     fully-ordered data ≈ the frontier plus bucket-boundary ties —
+  *     orders of magnitude smaller than n), as one survivor⋈survivor
+  *     anti-join.
+  *
+  * Everything is comparison arithmetic on the input values (integers
+  * in catalog use) — no floats introduced, so membership replays
+  * bit-identically in any engine applying the same definition.
+  *
+  * The reference warehouse has no multi-objective operator; this
+  * extends the §2 extension layer like the graph family does.
+  */
+object Skyline {
+
+  /** Rows of `df` on the (min cost, max gain) Pareto frontier.
+    * `idCol` breaks nothing — duplicates of a frontier point all
+    * survive (dominance requires a STRICT inequality). */
+  def skyline2d(df: DataFrame, costCol: String, gainCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 1, "pruning needs at least two buckets")
+    val rows = Caches.track(df
+      .filter(col(costCol).isNotNull && col(gainCol).isNotNull))
+    val mm = rows.agg(min(col(costCol)).as("c_min"),
+      max(col(costCol)).as("c_max"))
+    val width = (col("c_max") - col("c_min")).cast("double") /
+      lit(nBuckets.toDouble)
+    val bucketed = Caches.track(rows.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("c_max") === col("c_min"), lit(0L))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((col(costCol) - col("c_min")).cast("double") / width)))))
+    // bounded histogram: best gain per cost bucket
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(max(col(gainCol)).as("bg"))
+    // prefix max over STRICTLY cheaper buckets — bounded window
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bounds = broadcast(hist
+      .withColumn("cheaper_best", max(col("bg")).over(w)))
+    // candidates: not strictly below a cheaper bucket's best gain.
+    // (a cheaper-bucket witness has strictly smaller cost by bucket
+    // construction only when buckets differ; equal-cost ties inside
+    // one bucket are settled in the exact pass)
+    val cand = Caches.track(bucketed
+      .join(bounds, Seq("bucket"))
+      .filter(col("cheaper_best").isNull ||
+        col(gainCol) >= col("cheaper_best"))
+      .drop("bg", "cheaper_best", "c_min", "c_max"))
+    // exact pass among survivors: anti-join on dominance
+    val l = cand.select(col(costCol).as("_c"), col(gainCol).as("_g"))
+    val r = cand.select(col(costCol).as("_c2"), col(gainCol).as("_g2"))
+      .distinct()
+    val dominated = l.join(r,
+      (col("_c2") <= col("_c") && col("_g2") > col("_g")) ||
+      (col("_c2") < col("_c") && col("_g2") >= col("_g")),
+      "left_semi")
+    cand.join(dominated.distinct(),
+        cand(costCol) === dominated("_c") &&
+        cand(gainCol) === dominated("_g"), "left_anti")
+      .drop("bucket")
+  }
+}

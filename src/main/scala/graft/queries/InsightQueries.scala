@@ -2050,6 +2050,217 @@ object InsightQueries {
                   ELSE 'mean7' END AS best_model
       FROM agg"""))
 
+  // ------------------------------------------------------------------ //
+  // q254 — weekly priority-mix shift (composition χ²)
+  // ------------------------------------------------------------------ //
+
+  /** The five TPC-H order priorities — schema-fixed, licensing the
+    * q235-style literal pivot. */
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+
+  /** Weekly order-priority MIX-SHIFT monitor: each week's priority
+    * composition tested against the global mix with a χ² whose five
+    * cell terms are pivoted into literal columns and summed in one
+    * explicit left-associated expression (the q235 order-independence
+    * trick — a SUM over cells would be partial-order-dependent).
+    * Absent (week, priority) cells are materialized with O = 0 on the
+    * bounded week×5 grid — their (0−E)²/E = E term is part of the
+    * statistic, and silently dropping them understates every shift.
+    * Crossed flag vs the shared χ²₄ literal; the composition twin of
+    * q134's TV-distance drift gate.
+    *
+    * Scale shape: one (week, priority) aggregate + two marginal
+    * aggregates; the grid and pivot are calendar×5-bounded. */
+  val q254MixShift = OracleQuery("q254_mix_shift",
+    "weekly order-priority composition chi-square vs the global mix",
+    (s, d) => {
+      val WeekUs = 604800000000L
+      val o = graft.ops.Caches.track(Tables.orders(s, d)
+        .select(
+          expr(s"unix_micros(cast(o_orderdate as timestamp)) div $WeekUs")
+            .as("week"),
+          col("o_orderpriority").as("prio")))
+      val cells = o.groupBy(col("week"), col("prio"))
+        .agg(count(lit(1)).as("o_cnt"))
+      val weekTot = o.groupBy(col("week")).agg(count(lit(1)).as("n_w"))
+      val prioTot = broadcast(o.groupBy(col("prio"))
+        .agg(count(lit(1)).as("c_p")))
+      val tot = broadcast(o.agg(count(lit(1)).as("n_tot")))
+      val grid = weekTot
+        .crossJoin(broadcast(prioTot.select(col("prio"))))
+        .join(cells, Seq("week", "prio"), "left")
+        .withColumn("o_cnt", coalesce(col("o_cnt"), lit(0L)))
+        .join(prioTot, Seq("prio"))
+        .crossJoin(tot)
+      val e = (col("n_w") * col("c_p")).cast("double") /
+        col("n_tot").cast("double")
+      val term = (col("o_cnt").cast("double") - e) *
+        (col("o_cnt").cast("double") - e) / e
+      val aggCols = Priorities.zipWithIndex.map { case (p, i) =>
+        min(when(col("prio") === p, term)).as(s"t$i")
+      }
+      grid.groupBy(col("week"), col("n_w"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("chi2",
+          (0 until Priorities.size)
+            .map(i => coalesce(col(s"t$i"), lit(0.0))).reduce(_ + _))
+        .withColumn("shifted", col("chi2") > lit(9.487729036781154))
+        .select(col("week"), col("n_w"), col("chi2"), col("shifted"))
+        .orderBy("week")
+    },
+    Some {
+      val termSql = (p: String, i: Int) =>
+        s"""COALESCE(MIN(CASE WHEN prio = '$p' THEN
+           |  (CAST(o_cnt AS DOUBLE) - CAST(n_w * c_p AS DOUBLE) /
+           |     CAST(n_tot AS DOUBLE)) *
+           |  (CAST(o_cnt AS DOUBLE) - CAST(n_w * c_p AS DOUBLE) /
+           |     CAST(n_tot AS DOUBLE)) /
+           |  (CAST(n_w * c_p AS DOUBLE) / CAST(n_tot AS DOUBLE))
+           |  END), 0.0)""".stripMargin
+      val chi = Priorities.zipWithIndex
+        .map { case (p, i) => termSql(p, i) }
+        .mkString("\n             + ")
+      s"""
+      WITH o AS MATERIALIZED (
+        SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+               o_orderpriority AS prio
+        FROM orders),
+      cells AS (SELECT week, prio, COUNT(*) AS o_cnt FROM o GROUP BY 1, 2),
+      wt AS (SELECT week, COUNT(*) AS n_w FROM o GROUP BY 1),
+      pt AS (SELECT prio, COUNT(*) AS c_p FROM o GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n_tot FROM o),
+      grid AS MATERIALIZED (
+        SELECT w.week, w.n_w, p.prio, p.c_p, t.n_tot,
+               COALESCE(c.o_cnt, 0) AS o_cnt
+        FROM wt w CROSS JOIN pt p
+        LEFT JOIN cells c ON c.week = w.week AND c.prio = p.prio
+        CROSS JOIN tot t),
+      per AS (
+        SELECT week, n_w,
+             $chi AS chi2
+        FROM grid
+        GROUP BY week, n_w)
+      SELECT week, CAST(n_w AS BIGINT) AS n_w, chi2,
+             chi2 > 9.487729036781154e0 AS shifted
+      FROM per
+      ORDER BY week"""
+    })
+
+  // ------------------------------------------------------------------ //
+  // q255 — new vs returning revenue split
+  // ------------------------------------------------------------------ //
+
+  /** Weekly revenue split into NEW customers (first-ever order falls
+    * in that week) vs RETURNING — the acquisition-vs-retention
+    * composition every growth review opens with. First-order week is
+    * one customer-grain MIN; the split is exact BIGINT cents and
+    * counts, the share one division. Weeks with only one side emit
+    * zeros for the other (conditional aggregates, not missing rows).
+    *
+    * Scale shape: orders → customer-grain first-week aggregate →
+    * key-partitioned join back on the customer (at scale both sides
+    * shuffle on custkey; no broadcast assumption on the customer
+    * dimension) → week-grain conditional aggregate. */
+  val q255NewVsReturning = OracleQuery("q255_new_vs_returning",
+    "weekly revenue split: new vs returning customers, exact cents",
+    (s, d) => {
+      val WeekUs = 604800000000L
+      val o = graft.ops.Caches.track(Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr(s"unix_micros(cast(o_orderdate as timestamp)) div $WeekUs")
+            .as("week"),
+          (col("o_totalprice").cast(dec2) * 100).cast("long").as("cents")))
+      val firstW = o.groupBy(col("o_custkey"))
+        .agg(min(col("week")).as("first_week"))
+      o.join(firstW, Seq("o_custkey"))
+        .withColumn("is_new", col("week") === col("first_week"))
+        .groupBy(col("week"))
+        .agg(
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_orders"),
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ret_orders"),
+          sum(when(col("is_new"), col("cents")).otherwise(0L))
+            .as("cents_new"),
+          sum(when(!col("is_new"), col("cents")).otherwise(0L))
+            .as("cents_ret"))
+        .withColumn("new_share",
+          when(col("cents_new") + col("cents_ret") > 0L,
+            col("cents_new").cast("double") /
+              (col("cents_new") + col("cents_ret")).cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("week")
+    },
+    Some("""
+      WITH o AS MATERIALIZED (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 604800000000 AS week,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders),
+      fw AS MATERIALIZED (
+        SELECT o_custkey, MIN(week) AS first_week FROM o GROUP BY 1),
+      j AS (
+        SELECT o.week, o.cents, o.week = f.first_week AS is_new
+        FROM o JOIN fw f USING (o_custkey))
+      SELECT week,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_orders,
+             CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ret_orders,
+             CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT)
+               AS cents_new,
+             CAST(SUM(CASE WHEN NOT is_new THEN cents ELSE 0 END) AS BIGINT)
+               AS cents_ret,
+             CASE WHEN SUM(CASE WHEN is_new THEN cents ELSE 0 END) +
+                       SUM(CASE WHEN NOT is_new THEN cents ELSE 0 END) > 0
+                  THEN CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END)
+                         AS DOUBLE) /
+                       CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END) +
+                            SUM(CASE WHEN NOT is_new THEN cents ELSE 0 END)
+                         AS DOUBLE)
+                  ELSE 0.0 END AS new_share
+      FROM j
+      GROUP BY week
+      ORDER BY week"""))
+
+  // ------------------------------------------------------------------ //
+  // q256 — Pareto frontier (2-D skyline) of the part catalog
+  // ------------------------------------------------------------------ //
+
+  /** Price/size Pareto frontier of the part catalog
+    * ([[graft.ops.Skyline.skyline2d]]): the parts no buyer can
+    * strictly improve on (cheaper at equal size, or bigger at equal
+    * price). The engine runs the grid-pruned skyline — bounded cost
+    * histogram, prefix-max bound, exact dominance only among
+    * survivors — while the oracle applies the textbook NOT EXISTS
+    * definition over all pairs: different algorithm, identical
+    * membership, which is precisely what proves the pruning bound
+    * sound. Cents/size are integers; no floats enter membership. */
+  val q256Skyline = OracleQuery("q256_skyline",
+    "price/size Pareto frontier of parts via grid-pruned 2-D skyline",
+    (s, d) => graft.ops.Skyline.skyline2d(
+        Tables.part(s, d).select(col("p_partkey"),
+          (col("p_retailprice").cast(dec2) * 100).cast("long")
+            .as("price_cents"),
+          col("p_size").cast("long").as("size")),
+        "price_cents", "size")
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy("p_partkey"),
+    Some("""
+      WITH p AS MATERIALIZED (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part)
+      SELECT p_partkey, price_cents, size
+      FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p q
+        WHERE (q.price_cents <= p.price_cents AND q.size > p.size)
+           OR (q.price_cents < p.price_cents AND q.size >= p.size))
+      ORDER BY p_partkey"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
@@ -2057,5 +2268,5 @@ object InsightQueries {
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
       q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
       q238GainsTable, q239ForecastBacktest, q240AbcClassification,
-      q241RevenueBridge)
+      q241RevenueBridge, q254MixShift, q255NewVsReturning, q256Skyline)
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** 2-D skyline: hand-checked frontier, brute-force agreement,
+  * bucket-count independence, duplicate frontier points survive. */
+class SkylineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def frontier(rows: Seq[(Long, Long, Long)], nBuckets: Int = 64) =
+    Skyline.skyline2d(rows.toDF("id", "cost", "gain"), "cost", "gain",
+        nBuckets)
+      .select($"id").as[Long].collect().toSet
+
+  test("hand-checked frontier (min cost, max gain)") {
+    // (cost, gain): a(1,5) b(2,7) c(3,6) d(2,5) e(5,9) f(6,9)
+    // frontier: a (cheapest), b (beats c/d), e (best gain at cost 5);
+    // c dominated by b (cheaper, better), d dominated by b,
+    // f dominated by e (equal gain, strictly dearer)
+    val rows = Seq((1L, 1L, 5L), (2L, 2L, 7L), (3L, 3L, 6L),
+      (4L, 2L, 5L), (5L, 5L, 9L), (6L, 6L, 9L))
+    assert(frontier(rows) == Set(1L, 2L, 5L))
+  }
+
+  test("duplicates of a frontier point all survive (strictness rule)") {
+    val rows = Seq((1L, 2L, 5L), (2L, 2L, 5L), (3L, 4L, 4L))
+    assert(frontier(rows) == Set(1L, 2L))
+  }
+
+  test("agrees with the brute-force definition; bucket-count independent") {
+    val rows = (1 to 300).map { i =>
+      (i.toLong, ((i * 37) % 97).toLong, ((i * 53) % 89).toLong)
+    }
+    val brute = rows.filter { case (_, c, g) =>
+      !rows.exists { case (_, c2, g2) =>
+        (c2 <= c && g2 > g) || (c2 < c && g2 >= g)
+      }
+    }.map(_._1).toSet
+    assert(frontier(rows, 8) == brute)
+    assert(frontier(rows, 512) == brute)
+  }
+
+  test("single-cost degenerate input keeps only max-gain rows") {
+    val rows = Seq((1L, 3L, 1L), (2L, 3L, 9L), (3L, 3L, 9L), (4L, 3L, 4L))
+    assert(frontier(rows) == Set(2L, 3L))
+  }
+}

@@ -340,6 +340,67 @@ object ScaleBench {
           .groupBy(col("day"))
           .agg(max(col("running")).as("peak"))
       }
+
+      // ---- round-7 session-3 probes (HITS, weighted quantiles,
+      // skyline, KMV set algebra) ----
+      // supplier→customer bipartite graph with DISJOINT id spaces per
+      // replica: per-node degree is constant in m, edges scale ×m
+      def suppCustEdges: DataFrame = {
+        val raw = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(spark.read.parquet(s"$base/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+          .distinct()
+        (0 until m).map { i =>
+          raw.select((col("sk") + lit(i * 10000000L)).as("sk"),
+            (col("ck") + lit(i * 10000000L)).as("ck"))
+        }.reduce(_ unionByName _)
+      }
+      timeOp("hits", m, nDocs) {
+        val (auth, hub) = graft.ops.Hits.hitsInt(suppCustEdges, "sk", "ck",
+          rounds = 2)
+        auth.unionByName(hub)
+      }
+      timeOp("weighted_quantiles", m, nDocs) {
+        // part revenue grain, partkeys disjoint per replica — the mass
+        // histogram walk's driver traffic stays 1024 longs at every m
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_partkey"), col("l_extendedprice"))
+        val pr = (0 until m).map { i =>
+          li.select((col("l_partkey") + lit(i * 10000000L)).as("part"),
+            col("l_extendedprice"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("part"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+          .withColumn("g", lit("all"))
+        graft.ops.Profile.scalableWeightedQuantiles(pr, "g", "cents",
+          "part", "cents", Seq((1L, 5L), (1L, 20L)))
+      }
+      timeOp("skyline", m, nDocs) {
+        // replica i shifts price by i cents: near-identical density,
+        // one GLOBAL frontier — the probe measures scan + grid prune,
+        // with the exact pass bounded by frontier-sized survivors
+        val p = spark.read.parquet(s"$base/part.parquet")
+          .select(col("p_partkey"),
+            (col("p_retailprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("pc"),
+            col("p_size").cast("long").as("sz"))
+        val scaled = (0 until m).map { i =>
+          p.select((col("p_partkey") + lit(i * 10000000L)).as("p_partkey"),
+            (col("pc") + lit(i.toLong)).as("price_cents"), col("sz").as("size"))
+        }.reduce(_ unionByName _)
+        graft.ops.Skyline.skyline2d(scaled, "price_cents", "size")
+      }
+      timeOp("kmv_setops", m, nEv) {
+        // disjoint users per replica: per-type distinct counts scale
+        // ×m while every sketch stays 128 rows — the probe shows the
+        // pair algebra is corpus-size-independent after the one scan
+        graft.ops.Kmv.pairwiseSetOps(events, "event_type", "user_id",
+          k = 128)
+      }
     }
     spark.stop()
   }

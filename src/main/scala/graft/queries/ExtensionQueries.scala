@@ -592,9 +592,143 @@ object ExtensionQueries {
       FROM flagged f CROSS JOIN tot t
       ORDER BY f.doc_a, f.doc_b"""))
 
+  /** Duplicate-cluster SIZE distribution — the dedup-QA card read
+    * before any purge ships: exact-content clusters (md5 fingerprint
+    * groups, the q51 grain) histogrammed by size, with per-size rows,
+    * the duplicated-row share, and the largest cluster called out
+    * (one hot fingerprint = one boilerplate page about to eat the
+    * corpus). Everything is COUNT arithmetic; shares are single
+    * divisions over BIGINT totals.
+    *
+    * Scale shape: one fingerprint aggregate (map-side combinable) →
+    * size-grain rollup (≤ max-cluster-size rows). */
+  val q257ClusterSizeCard = OracleQuery("q257_cluster_size_card",
+    "exact-dup cluster size histogram + duplicated-share card",
+    (s, d) => {
+      // planted duplicates (the q166 scheme — the raw synthetic corpus
+      // is duplicate-free, which would make the card one degenerate
+      // row): every 10th doc gains one copy, every 20th a second
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val aug = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val sizes = graft.ops.Caches.track(aug
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz")))
+      val tot = broadcast(sizes.agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        max(col("sz")).as("max_cluster")))
+      sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters_of_size"))
+        .crossJoin(tot)
+        .select(col("sz"), col("n_clusters_of_size"),
+          (col("sz") * col("n_clusters_of_size")).as("docs_at_size"),
+          ((col("sz") * col("n_clusters_of_size")).cast("double") /
+            col("n_docs").cast("double")).as("doc_share"),
+          col("n_docs"), col("n_clusters"), col("max_cluster"))
+        .orderBy("sz")
+    },
+    Some("""
+      WITH aug AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0),
+      sizes AS MATERIALIZED (
+        SELECT md5(text) AS fp, COUNT(*) AS sz
+        FROM aug GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_clusters,
+               CAST(MAX(sz) AS BIGINT) AS max_cluster
+        FROM sizes)
+      SELECT s.sz, COUNT(*) AS n_clusters_of_size,
+             CAST(s.sz * COUNT(*) AS BIGINT) AS docs_at_size,
+             CAST(s.sz * COUNT(*) AS DOUBLE) / CAST(MAX(t.n_docs) AS DOUBLE)
+               AS doc_share,
+             MAX(t.n_docs) AS n_docs, MAX(t.n_clusters) AS n_clusters,
+             MAX(t.max_cluster) AS max_cluster
+      FROM sizes s, tot t
+      GROUP BY s.sz
+      ORDER BY s.sz"""))
+
+  /** Cross-source duplication OVERLAP matrix: for every unordered
+    * source pair, how many exact-content fingerprints both sources
+    * carry — the redundancy map that decides which feed to drop
+    * before paying for dedup at ingest. The (source, fp) distinct is
+    * the only data-sized shuffle; the pair join runs on the
+    * fingerprint key and the shares are single divisions.
+    *
+    * Scale shape: distinct → per-source counts + fp-keyed self-join
+    * (a fingerprint in k sources emits C(k,2) pair rows — bounded by
+    * the source count, not the corpus). */
+  val q258SourceOverlap = OracleQuery("q258_source_overlap",
+    "cross-source exact-duplicate fingerprint overlap matrix",
+    (s, d) => {
+      // planted syndication (q166 discipline — sources in the raw
+      // corpus share no exact content, which would yield an empty
+      // matrix): every 7th doc is re-published under 'syndicated'
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val aug = base.unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("syndicated").as("source"),
+            col("text")))
+      val sf = graft.ops.Caches.track(aug
+        .select(col("source"), md5(col("text")).as("fp"))
+        .distinct())
+      val cnt = broadcast(sf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fp")))
+      sf.as("x").join(sf.as("y"),
+          col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(cnt.select(col("source").as("source_a"),
+          col("n_fp").as("n_a"))), Seq("source_a"))
+        .join(broadcast(cnt.select(col("source").as("source_b"),
+          col("n_fp").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          (col("n_shared").cast("double") / col("n_a").cast("double"))
+            .as("share_of_a"),
+          (col("n_shared").cast("double") / col("n_b").cast("double"))
+            .as("share_of_b"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH aug AS MATERIALIZED (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'syndicated', text FROM documents WHERE doc_id % 7 = 0),
+      sf AS MATERIALIZED (
+        SELECT DISTINCT source, md5(text) AS fp FROM aug),
+      cnt AS (SELECT source, COUNT(*) AS n_fp FROM sf GROUP BY 1),
+      pairs AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sf x JOIN sf y
+          ON x.fp = y.fp AND x.source < y.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.n_shared,
+             a.n_fp AS n_a, b.n_fp AS n_b,
+             CAST(p.n_shared AS DOUBLE) / CAST(a.n_fp AS DOUBLE)
+               AS share_of_a,
+             CAST(p.n_shared AS DOUBLE) / CAST(b.n_fp AS DOUBLE)
+               AS share_of_b
+      FROM pairs p
+      JOIN cnt a ON a.source = p.source_a
+      JOIN cnt b ON b.source = p.source_b
+      ORDER BY p.source_a, p.source_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
-    q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate)
+    q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
+    q257ClusterSizeCard, q258SourceOverlap)
 }

@@ -305,7 +305,117 @@ object StatQueries {
              n * sxx - sx * sx > (n - 1) * sx AS overdispersed
       FROM m"""))
 
+  /** One-way ANOVA F across market segments on per-user purchase
+    * cents: every sum of squares comes from exact bounded-decimal
+    * moments (q171 lanes, decimal→VARCHAR→double — SS exceeds 2⁵³
+    * at sf0.1 already), and the between-groups term Σ s_g²/n_g is
+    * pivoted into five SCHEMA-LITERAL segment columns summed in one
+    * explicit expression (the q235 order-independence trick — a SUM
+    * over group rows would be partial-order-dependent). Emits F with
+    * its dfs; no significance flag on purpose — the F critical value
+    * depends on both dfs, and unlike the fixed-df gates (q227 χ²₁,
+    * q254 χ²₄) hardcoding one would silently lie when a scale has
+    * fewer active segments. One-row card.
+    *
+    * Scale shape: user grain → 5-group moment aggregate → 1-row
+    * pivot; nothing beyond the user aggregate is data-sized. */
+  val q259AnovaF = OracleQuery("q259_anova_f",
+    "one-way ANOVA F of purchase cents across market segments",
+    (s, d) => {
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+      val yd = col("y").cast("decimal(18,0)")
+      val per = users.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(yd).cast("decimal(19,0)").as("sg"),
+          sum(yd * yd).cast("decimal(28,0)").as("ssg"))
+      val tAgg = segs.map(sg => min(when(col("seg") === sg,
+        toDbl(col("sg")) * toDbl(col("sg")) / col("n_g").cast("double")))
+        .as(s"t_$sg"))
+      val aggCols = Seq(
+        sum(col("n_g")).as("n_users"),
+        count(lit(1)).as("k_groups"),
+        sum(col("sg")).cast("decimal(19,0)").as("s_all"),
+        sum(col("ssg")).cast("decimal(28,0)").as("ss_all")) ++ tAgg
+      val one = per.agg(aggCols.head, aggCols.tail: _*)
+      val nD = col("n_users").cast("double")
+      val grand = toDbl(col("s_all")) * toDbl(col("s_all")) / nD
+      val ssb = segs.map(sg => coalesce(col(s"t_$sg"), lit(0.0)))
+        .reduce(_ + _) - grand
+      val sst = toDbl(col("ss_all")) - grand
+      one.select(col("k_groups"), col("n_users"),
+          ssb.as("ssb"), (sst - ssb).as("ssw"),
+          when(col("k_groups") > 1L && col("n_users") > col("k_groups") &&
+            (sst - ssb) > 0.0,
+            (ssb / (col("k_groups") - 1L).cast("double")) /
+              ((sst - ssb) /
+                (col("n_users") - col("k_groups")).cast("double")))
+            .otherwise(lit(0.0)).as("f_stat"))
+    },
+    Some {
+      val tSql = (sg: String) =>
+        s"""COALESCE(MIN(CASE WHEN seg = '$sg' THEN
+           |  CAST(CAST(sg_ AS VARCHAR) AS DOUBLE) *
+           |  CAST(CAST(sg_ AS VARCHAR) AS DOUBLE) /
+           |  CAST(n_g AS DOUBLE) END), 0.0)""".stripMargin
+      val tSum = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY").map(tSql).mkString("\n             + ")
+      s"""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.y, c.c_mktsegment AS seg
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      per AS MATERIALIZED (
+        SELECT seg, COUNT(*) AS n_g,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sg_,
+               CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS ssg
+        FROM users GROUP BY seg),
+      one AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n_users,
+               COUNT(*) AS k_groups,
+               CAST(SUM(sg_) AS DECIMAL(19,0)) AS s_all,
+               CAST(SUM(ssg) AS DECIMAL(28,0)) AS ss_all,
+               $tSum AS tsum
+        FROM per),
+      m AS (
+        SELECT k_groups, n_users,
+               tsum - CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                      CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                      CAST(n_users AS DOUBLE) AS ssb,
+               (CAST(CAST(ss_all AS VARCHAR) AS DOUBLE) -
+                CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                CAST(n_users AS DOUBLE))
+               - (tsum - CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                         CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                         CAST(n_users AS DOUBLE)) AS ssw
+        FROM one)
+      SELECT k_groups, n_users, ssb, ssw,
+             CASE WHEN k_groups > 1 AND n_users > k_groups AND ssw > 0.0
+                  THEN (ssb / CAST(k_groups - 1 AS DOUBLE)) /
+                       (ssw / CAST(n_users - k_groups AS DOUBLE))
+                  ELSE 0.0 END AS f_stat
+      FROM m"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q169Trend, q170GroupQuantiles, q171Correlation, q251SlaLatency,
-      q252Dispersion)
+      q252Dispersion, q259AnovaF)
 }

@@ -215,6 +215,57 @@ object SeriesQueries {
       GROUP BY day
       ORDER BY day"""))
 
+  /** Day-of-week seasonality index of purchase revenue: per weekday
+    * (Monday = 0, from the exact epoch-day arithmetic (day+3) mod 7 —
+    * 1970-01-01 was a Thursday), the revenue-per-active-day relative
+    * to the overall daily average, as ONE division over BIGINT cross
+    * products (cents_d·total_days)/(n_days_d·total_cents) — ratio of
+    * exact sums, never a mean of floats. The multiplicative seasonal
+    * profile q185's additive anomaly gate and q232's EWMA band both
+    * assume; weekend flag from the same integer dow.
+    *
+    * Scale shape: day grain → 7-row aggregate → broadcast totals. */
+  val q260DowIndex = OracleQuery("q260_dow_index",
+    "day-of-week revenue seasonality index, exact cross-product ratio",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("cents")))
+      val byDow = daily.groupBy(expr("(day + 3) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+      val tot = broadcast(byDow.agg(sum(col("n_days")).as("t_days"),
+        sum(col("cents")).as("t_cents")))
+      byDow.crossJoin(tot)
+        .select(col("dow"), col("n_days"), col("cents"),
+          ((col("cents") * col("t_days")).cast("double") /
+            (col("n_days") * col("t_cents")).cast("double"))
+            .as("dow_index"),
+          (col("dow") >= 5L).as("is_weekend"))
+        .orderBy("dow")
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      bydow AS MATERIALIZED (
+        SELECT (day + 3) % 7 AS dow, COUNT(*) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM daily GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS t_days,
+               CAST(SUM(cents) AS BIGINT) AS t_cents
+        FROM bydow)
+      SELECT b.dow, b.n_days, b.cents,
+             CAST(b.cents * t.t_days AS DOUBLE) /
+               CAST(b.n_days * t.t_cents AS DOUBLE) AS dow_index,
+             b.dow >= 5 AS is_weekend
+      FROM bydow b, tot t
+      ORDER BY b.dow"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands)
+    Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
+      q260DowIndex)
 }

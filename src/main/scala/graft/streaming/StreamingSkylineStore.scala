@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Skyline
+
+/** STREAMING Pareto-frontier maintenance — the incremental twin of
+  * the batch 2-D skyline (q256): the persisted state is the FRONTIER
+  * ITSELF, folded per micro-batch as
+  * `skyline(stored ∪ skyline-relevant batch rows)`. Sound because the
+  * skyline is MERGEABLE — skyline(A∪B) = skyline(skyline(A)∪B): a
+  * point dominated within A is dominated in any superset, so
+  * discarding it early never loses a frontier point. That algebraic
+  * property is the whole 100 TB story: state is frontier-sized (tens
+  * of rows), never stream-sized, and each fold runs the grid-pruned
+  * operator over frontier+batch only.
+  *
+  * Exactly-once WITHOUT a manifest: the fold is a set-union followed
+  * by an idempotent reduction (union is DISTINCT'd on the full row
+  * first, so a replayed batch re-contributes the same points and the
+  * skyline is unchanged) — the [[StreamingSrmStore]] discipline.
+  */
+object StreamingSkylineStore {
+
+  def attach(rows: DataFrame, store: TableStore, table: String,
+      costCol: String, gainCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, costCol, gainCol)
+      }
+
+  /** Fold one batch into the frontier store (idempotent — see class
+    * doc). Batch rows must carry the store's schema. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, costCol: String, gainCol: String): Unit = {
+    val merged =
+      if (!store.exists(table)) batch.distinct()
+      else store.read(table).unionByName(batch).distinct()
+    store.overwrite(table,
+      Skyline.skyline2d(merged, costCol, gainCol))
+  }
+
+  /** The current frontier. */
+  def frontier(store: TableStore, table: String): DataFrame =
+    store.read(table)
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Skyline
+import graft.sources.Tables
+
+/** Streaming skyline store: the persisted frontier folded batch by
+  * batch equals the one-shot batch skyline (mergeability), replays
+  * are no-ops, and a drained file stream lands on the same frontier. */
+class SkylineStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parts = Tables.part(spark, sfDir)
+    .select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cost"),
+      col("p_size").cast("long").as("gain"))
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"p_partkey").as[Long].collect().toSet
+
+  test("streamed frontier equals the one-shot batch skyline") {
+    val rows = parts.cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_sky_store_").toString)
+    // three deliveries sliced arbitrarily (frontier points straddle)
+    (0 to 2).foreach { p =>
+      StreamingSkylineStore.mergeBatch(rows.filter($"p_partkey" % 3 === p),
+        p.toLong, store, "sky", "cost", "gain")
+    }
+    val streamed = ids(StreamingSkylineStore.frontier(store, "sky"))
+    val oneShot = ids(Skyline.skyline2d(rows, "cost", "gain"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+
+  test("replayed batch is a no-op; an interior point never resurfaces") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_sky_rep_").toString)
+    val b0 = Seq((1L, 10L, 5L), (2L, 20L, 9L), (3L, 15L, 3L))
+      .toDF("p_partkey", "cost", "gain")
+    StreamingSkylineStore.mergeBatch(b0, 0L, store, "s", "cost", "gain")
+    // 3 is dominated by 1 (cheaper AND higher gain)
+    assert(ids(StreamingSkylineStore.frontier(store, "s")) == Set(1L, 2L))
+    StreamingSkylineStore.mergeBatch(b0, 0L, store, "s", "cost", "gain")
+    assert(ids(StreamingSkylineStore.frontier(store, "s")) == Set(1L, 2L))
+    // a later batch dominating point 2 evicts it from the state
+    val b1 = Seq((4L, 18L, 9L)).toDF("p_partkey", "cost", "gain")
+    StreamingSkylineStore.mergeBatch(b1, 1L, store, "s", "cost", "gain")
+    assert(ids(StreamingSkylineStore.frontier(store, "s")) == Set(1L, 4L))
+  }
+
+  test("attach drains a file stream into the frontier (AvailableNow)") {
+    val rows = parts.limit(400).cache()
+    val dir = Files.createTempDirectory("graft_sky_in_").toString
+    val ck = Files.createTempDirectory("graft_sky_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_sky_st_").toString)
+    rows.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rows.schema).parquet(dir)
+    StreamingSkylineStore.attach(stream, store, "sky", "cost", "gain",
+      checkpoint = ck).start().awaitTermination()
+    val streamed = ids(StreamingSkylineStore.frontier(store, "sky"))
+    val oneShot = ids(Skyline.skyline2d(rows, "cost", "gain"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    rows.unpersist()
+  }
+}

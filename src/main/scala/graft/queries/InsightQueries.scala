@@ -2261,6 +2261,143 @@ object InsightQueries {
            OR (q.price_cents < p.price_cents AND q.size >= p.size))
       ORDER BY p_partkey"""))
 
+  // ------------------------------------------------------------------ //
+  // q261 — rank join (top-k of a join WITHOUT materializing it)
+  // ------------------------------------------------------------------ //
+
+  /** Top-10 (customer, supplier) pairs by COMBINED account balance
+    * within a shared nation — the classic RANK-JOIN problem
+    * (Ilyas et al., top-k query processing survey): the naive plan
+    * materializes every same-nation pair (|C|·|S|/|N| rows) and sorts
+    * it; because the score a+b is MONOTONE in each argument, any
+    * global top-10 pair must take its customer from that nation's
+    * top-10 customers (10 strictly-preferred swaps exist otherwise —
+    * ties broken by key make "preferred" strict), and symmetrically
+    * for suppliers. So the engine joins only the per-nation top-10 ×
+    * top-10 (bounded-heap TopK aggregator per side — never a window
+    * over the full dims) and ranks ≤100·|nations| candidate pairs.
+    * Balances ride as exact cents; the oracle builds the FULL pair
+    * set and ranks it — different (quadratic) algorithm, identical
+    * top-10, which is precisely the bound's proof obligation. */
+  val q261RankJoin = OracleQuery("q261_rank_join",
+    "top-10 same-nation customer+supplier balance pairs via rank join",
+    (s, d) => {
+      import s.implicits._
+      val custDs = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long"),
+          col("c_custkey").cast("long"),
+          (col("c_acctbal").cast(dec2) * 100).cast("long").cast("double"))
+        .as[(Long, Long, Double)]
+      val supDs = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("long"),
+          col("s_suppkey").cast("long"),
+          (col("s_acctbal").cast(dec2) * 100).cast("long").cast("double"))
+        .as[(Long, Long, Double)]
+      val topC = graft.ops.TopK.topKPerGroup(custDs, 10)
+        .toDF("nk", "cr", "custkey", "c_cents")
+      val topS = graft.ops.TopK.topKPerGroup(supDs, 10)
+        .toDF("nk", "sr", "suppkey", "s_cents")
+      val wTop = Window.orderBy(col("combined_cents").desc,
+        col("custkey"), col("suppkey"))
+      topC.join(topS, Seq("nk"))
+        .select(col("nk").as("nationkey"), col("custkey"), col("suppkey"),
+          (col("c_cents") + col("s_cents")).cast("long")
+            .as("combined_cents"))
+        .orderBy(col("combined_cents").desc, col("custkey"), col("suppkey"))
+        .limit(10)
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH pairs AS MATERIALIZED (
+        SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+               s.s_suppkey AS suppkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) +
+               CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS combined_cents
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey),
+      top AS (
+        SELECT nationkey, custkey, suppkey, combined_cents
+        FROM pairs
+        ORDER BY combined_cents DESC, custkey, suppkey
+        LIMIT 10)
+      SELECT CAST(nationkey AS BIGINT) AS nationkey, custkey, suppkey,
+             combined_cents,
+             CAST(row_number() OVER (ORDER BY combined_cents DESC,
+               custkey, suppkey) AS BIGINT) AS rnk
+      FROM top
+      ORDER BY rnk"""))
+
+  // ------------------------------------------------------------------ //
+  // q262 — percent-of-parent hierarchical rollup
+  // ------------------------------------------------------------------ //
+
+  /** Region → nation revenue rollup with PERCENT-OF-PARENT at both
+    * levels: each nation's share of its region and each region's
+    * share of the total, as single divisions over exact BIGINT cents
+    * — the drill-down composition card a BI tool renders as a
+    * treemap. Region totals ride a broadcast join back onto the
+    * nation grain (|regions| rows), never a window.
+    *
+    * Scale shape: orders⋈customer shuffles on custkey; nation/region
+    * dims broadcast; the rollup grain is |nations|. */
+  val q262PercentOfParent = OracleQuery("q262_percent_of_parent",
+    "region->nation revenue rollup with percent-of-parent shares",
+    (s, d) => {
+      val byNation = graft.ops.Caches.track(Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast(dec2) * 100).cast("long").as("cents"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_orders")))
+      val byRegion = byNation.groupBy(col("r_name"))
+        .agg(sum(col("cents")).as("region_cents"))
+      val tot = broadcast(byRegion.agg(sum(col("region_cents"))
+        .as("total_cents")))
+      byNation.join(broadcast(byRegion), Seq("r_name"))
+        .crossJoin(tot)
+        .select(col("r_name"), col("n_name"), col("n_orders"),
+          col("cents"), col("region_cents"), col("total_cents"),
+          (col("cents").cast("double") / col("region_cents").cast("double"))
+            .as("share_of_region"),
+          (col("region_cents").cast("double") /
+            col("total_cents").cast("double")).as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      WITH bn AS MATERIALIZED (
+        SELECT r.r_name, n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+      br AS (
+        SELECT r_name, CAST(SUM(cents) AS BIGINT) AS region_cents
+        FROM bn GROUP BY 1),
+      tot AS (SELECT CAST(SUM(region_cents) AS BIGINT) AS total_cents
+              FROM br)
+      SELECT bn.r_name, bn.n_name, bn.n_orders, bn.cents,
+             br.region_cents, t.total_cents,
+             CAST(bn.cents AS DOUBLE) / CAST(br.region_cents AS DOUBLE)
+               AS share_of_region,
+             CAST(br.region_cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE)
+               AS region_share_of_total
+      FROM bn
+      JOIN br USING (r_name)
+      CROSS JOIN tot t
+      ORDER BY bn.r_name, bn.n_name"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
@@ -2268,5 +2405,6 @@ object InsightQueries {
       q219PeakConcurrency, q220LDiversity, q221DiffInDiff, q223ShardLayout,
       q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
       q238GainsTable, q239ForecastBacktest, q240AbcClassification,
-      q241RevenueBridge, q254MixShift, q255NewVsReturning, q256Skyline)
+      q241RevenueBridge, q254MixShift, q255NewVsReturning, q256Skyline,
+      q261RankJoin, q262PercentOfParent)
 }

@@ -517,7 +517,90 @@ object EngagementQueries {
       FROM card
       ORDER BY entry_type"""))
 
+  /** INTERVAL-OVERLAP JOIN: which user pairs were online at the same
+    * time, from the q28 session intervals — the temporal join Spark
+    * has no native operator for, done scalably by DAY-BUCKET BANDING:
+    * every session explodes to the calendar days it touches (bounded
+    * by session length — sessions are gap-capped, not corpus-long),
+    * candidate pairs meet inside one day bucket only, duplicates from
+    * multi-day spans collapse via DISTINCT on the session-pair key,
+    * and the exact overlap predicate a ≤ z′ ∧ a′ ≤ z filters the
+    * candidates. The all-pairs alternative is \|sessions\|² — banding
+    * makes it Σ per-day-concurrency², the q219 sweep's quantity.
+    *
+    * Output: per user pair, the number of overlapping session pairs
+    * and their total overlap µs (exact integer min(z,z′)−max(a,a′)).
+    * The oracle runs the textbook quadratic overlap join. */
+  val q263IntervalJoin = OracleQuery("q263_interval_join",
+    "concurrent-session user pairs via day-bucket-banded interval join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val sess = graft.ops.Caches.track(ev
+        .withColumn("is_new",
+          when(lag(col("tus"), 1).over(wo).isNull ||
+            col("tus") - lag(col("tus"), 1).over(wo) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("a"), max(col("tus")).as("z")))
+      val banded = sess.select(col("user_id"), col("sid"), col("a"),
+        col("z"), explode(expr(s"sequence(a div $DayUs, z div $DayUs)"))
+          .as("day"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.day") === col("y.day") &&
+          col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("ua"), col("x.sid").as("sa"),
+          col("x.a").as("aa"), col("x.z").as("za"),
+          col("y.user_id").as("ub"), col("y.sid").as("sb"),
+          col("y.a").as("ab"), col("y.z").as("zb"))
+        .distinct() // multi-day spans meet in several buckets — once
+        .filter(col("aa") <= col("zb") && col("ab") <= col("za"))
+      cand.groupBy(col("ua"), col("ub"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("za"), col("zb")) - greatest(col("aa"), col("ab")))
+            .as("overlap_us"))
+        .orderBy("ua", "ub")
+    },
+    Some(s"""
+      WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS MATERIALIZED (
+        SELECT user_id, sid, MIN(tus) AS a, MAX(tus) AS z
+        FROM (SELECT user_id, tus, event_id,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+              FROM flagged) x
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT x.user_id AS ua, y.user_id AS ub,
+               x.z AS za, y.z AS zb, x.a AS aa, y.a AS ab
+        FROM sess x JOIN sess y
+          ON x.user_id < y.user_id
+         AND x.a <= y.z AND y.a <= x.z)
+      SELECT ua, ub, COUNT(*) AS n_overlaps,
+             CAST(SUM(LEAST(za, zb) - GREATEST(aa, ab)) AS BIGINT)
+               AS overlap_us
+      FROM pairs
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   def all: Seq[OracleQuery] =
     Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow,
-      q202TimeToConvert, q203CohortLtv, q204RfmSegments, q242SessionBounce)
+      q202TimeToConvert, q203CohortLtv, q204RfmSegments, q242SessionBounce,
+      q263IntervalJoin)
 }

@@ -408,9 +408,77 @@ object StagingQueries {
       GROUP BY 1
       ORDER BY segment"""))
 
+  /** SCD2 POINT-IN-TIME audit: every purchase event resolved against
+    * the q27 version chain at ITS OWN timestamp — valid_from ≤ ts <
+    * valid_to (open-ended current version) — and rolled up by version
+    * number, with pre-first-signup orphans in the version = −1 bucket.
+    * The audit that catches both broken version chains (overlaps
+    * would double-match and inflate a version's count) and lagging
+    * dims (orphans). The join is user-keyed with the range predicate
+    * as a residual — per-user version fan-out is signup-bounded,
+    * never corpus-bounded.
+    *
+    * Emits (version, n_events, share); the purchase total rides every
+    * row so the driver hash also pins conservation (Σ n = total). */
+  val q264PitAudit = OracleQuery("q264_pit_audit",
+    "SCD2 point-in-time resolution audit: events per version + orphans",
+    (s, d) => {
+      val tsUs = expr("ts div 1000")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(tsUs, col("event_id"))
+      val versions = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("v_user"),
+          row_number().over(w).cast("long").as("version"),
+          tsUs.as("vf"), lead(tsUs, 1).over(w).as("vt"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("pus"))
+      val resolved = purchases.join(versions,
+        purchases("user_id") === versions("v_user") &&
+          col("vf") <= col("pus") &&
+          (col("vt").isNull || col("pus") < col("vt")), "left")
+      val byV = resolved
+        .groupBy(coalesce(col("version"), lit(-1L)).as("version"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = broadcast(byV.agg(sum(col("n_events")).as("n_total")))
+      byV.crossJoin(tot)
+        .select(col("version"), col("n_events"), col("n_total"),
+          (col("n_events").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy("version")
+    },
+    Some("""
+      WITH versions AS MATERIALIZED (
+        SELECT user_id AS v_user,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               epoch_us(ts) AS vf,
+               epoch_us(lead(ts, 1) OVER w) AS vt
+        FROM events
+        WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      purchases AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) AS pus
+        FROM events WHERE event_type = 'purchase'),
+      resolved AS (
+        SELECT COALESCE(v.version, -1) AS version
+        FROM purchases p
+        LEFT JOIN versions v
+          ON p.user_id = v.v_user
+         AND v.vf <= p.pus
+         AND (v.vt IS NULL OR p.pus < v.vt)),
+      byv AS (
+        SELECT version, COUNT(*) AS n_events FROM resolved GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM byv)
+      SELECT b.version, b.n_events, t.n_total,
+             CAST(b.n_events AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS share
+      FROM byv b, tot t
+      ORDER BY b.version"""))
+
   def all: Seq[OracleQuery] = Seq(
     q15StagingClean, q16JsonFlatten, q17DateDim, q18FxNormalize,
     q19ScalarSubquery, q20Having, q21CountDistinct, q22Distinct,
     q23CondAgg, q26DurationAgg, q27Scd2Versions, q28Sessionize,
-    q29ExprJoin, q30LeftJoinFiltered)
+    q29ExprJoin, q30LeftJoinFiltered, q264PitAudit)
 }

@@ -74,5 +74,61 @@ object SetQueries {
         AND levenshtein(probe_name, p.p_name) <= 12
       ORDER BY probe_key, p_partkey"""))
 
-  def all: Seq[OracleQuery] = Seq(q75IntersectExcept, q76FuzzyMatch)
+  /** END-TO-END entity resolution — the q76 block→score→threshold
+    * stage COMPOSED with transitive closure and canonical-id
+    * election: within-block Levenshtein ≤ 4 pairs become match
+    * edges, connected components (pointer-jumping min-label,
+    * `ops/Components`) merge chains of matches (A≈B, B≈C ⇒ one
+    * entity even when A–C alone misses the threshold — the reason ER
+    * needs closure, not just pairs), and each entity's canonical id
+    * is the component minimum. Emits one row per multi-member entity
+    * (canonical_id, n_members) — singletons are non-entities and
+    * stay out of the card identically in both engines.
+    *
+    * Scale shape: blocking keeps the quadratic edit-distance work
+    * inside first-token blocks; closure is the q81 O(log diameter)
+    * loop; the oracle replays the closure with a recursive CTE —
+    * different fixpoint formulation, entity-for-entity agreement. */
+  val q265ErPipeline = OracleQuery("q265_er_pipeline",
+    "entity resolution: blocked Levenshtein edges -> components -> canon ids",
+    (s, d) => {
+      val parts = graft.ops.Caches.track(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          substring_index(col("p_name"), " ", 1).as("blk")))
+      val edges = parts.as("a").join(parts.as("b"),
+          col("a.blk") === col("b.blk") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+        .select(col("a.p_partkey").as("src"), col("b.p_partkey").as("dst"))
+      graft.ops.Components.connectedComponents(edges, "src", "dst")
+        .groupBy(col("component").as("canonical_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("canonical_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      parts AS MATERIALIZED (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        FROM part),
+      e AS MATERIALIZED (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM parts a JOIN parts b
+          ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4),
+      u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      reach(n, m) AS (
+        SELECT src, dst FROM u
+        UNION
+        SELECT r.n, u.dst FROM reach r JOIN u ON r.m = u.src
+        WHERE u.dst <> r.n),
+      labeled AS (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n)
+      SELECT component AS canonical_id, COUNT(*) AS n_members
+      FROM labeled
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  def all: Seq[OracleQuery] = Seq(q75IntersectExcept, q76FuzzyMatch,
+    q265ErPipeline)
 }

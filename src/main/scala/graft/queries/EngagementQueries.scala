@@ -599,8 +599,56 @@ object EngagementQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Daily-activity STREAKS (gaps-and-islands): per user, maximal
+    * runs of consecutive active days via the classic island key
+    * day − row_number() (constant within a consecutive run, exact
+    * integer arithmetic), rolled up into the engagement card "how
+    * many users peaked at an L-day streak". The per-user windows are
+    * user-partitioned (the q28 shuffle discipline); the card is
+    * ≤ max-streak rows.
+    *
+    * Reference analogue: none — the reference has no behavioral
+    * layer; this extends the engagement family (q118/q119). */
+  val q266Streaks = OracleQuery("q266_streaks",
+    "longest consecutive-day activity streak distribution (islands)",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = ud
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+      val perUser = streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"))
+      perUser.groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("max_streak")
+    },
+    Some(s"""
+      WITH ud AS MATERIALIZED (
+        SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+        FROM events),
+      isl AS (
+        SELECT user_id,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS isl
+        FROM ud),
+      streaks AS (
+        SELECT user_id, isl, COUNT(*) AS len
+        FROM isl GROUP BY 1, 2),
+      pu AS (
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM streaks GROUP BY 1)
+      SELECT max_streak, COUNT(*) AS n_users
+      FROM pu
+      GROUP BY 1
+      ORDER BY 1"""))
+
   def all: Seq[OracleQuery] =
     Seq(q117Funnel, q118Retention, q119Stickiness, q120SessionWindow,
       q202TimeToConvert, q203CohortLtv, q204RfmSegments, q242SessionBounce,
-      q263IntervalJoin)
+      q263IntervalJoin, q266Streaks)
 }

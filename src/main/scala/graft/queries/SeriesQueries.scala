@@ -265,7 +265,75 @@ object SeriesQueries {
       FROM bydow b, tot t
       ORDER BY b.dow"""))
 
+  /** Rolling 14-day Pearson correlation between daily revenue and
+    * daily click volume — "are clicks still leading revenue?", the
+    * co-movement monitor. All five window moments are BIGINT sums
+    * over the calendar-bounded 14-row frame (the q77 window
+    * discipline — day grain only, never corpus rows), and r is the
+    * q171 fixed-shape expression: one division over two sqrt's of
+    * exact integer operands. Warm-up days emit their shorter-window
+    * r with n_days alongside; zero-variance windows emit 0.0 (the
+    * 0/0 NaN-vs-NULL divergence, SKILL.md). */
+  val q267RollingCorr = OracleQuery("q267_rolling_corr",
+    "rolling 14-day revenue-vs-clicks Pearson r over the day grain",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg(
+          coalesce((sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"), lit(0L))
+            .as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      val m = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("day"), col("n").as("n_days"), col("x").as("cents"),
+          col("y").as("clicks"),
+          when(varx > 0L && vary > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+            .otherwise(lit(0.0)).as("r14"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      m AS MATERIALIZED (
+        SELECT day, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT day, n AS n_days, x AS cents, y AS clicks,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END AS r14
+      FROM m
+      ORDER BY day"""))
+
   def all: Seq[OracleQuery] =
     Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
-      q260DowIndex)
+      q260DowIndex, q267RollingCorr)
 }

@@ -547,9 +547,82 @@ object CorpusQueries {
       FROM g
       ORDER BY source"""))
 
+  /** WEIGHTED token-distribution Jaccard between every source pair —
+    * Σ_t min(a_t,b_t) / Σ_t max(a_t,b_t), the histogram-overlap
+    * similarity that tells a corpus mixer which feeds are
+    * interchangeable (the frequency-aware upgrade of q258's exact-
+    * content overlap). Tokens absent from one side contribute min 0
+    * — so Σmax folds from the per-source totals as T_a + T_b − Σmin
+    * and the inner token join alone suffices: EXACT integer evidence
+    * end to end, one division per pair. Pairs sharing no token emit
+    * 0 via the bounded source-pair grid.
+    *
+    * Scale shape: one (source, token) aggregate; the pair join is
+    * token-keyed with per-token fan-out ≤ \|sources\|²; totals ride
+    * a broadcast grid. */
+  val q269WeightedJaccard = OracleQuery("q269_weighted_jaccard",
+    "weighted token-distribution Jaccard between source pairs, exact",
+    (s, d) => {
+      val tok = graft.ops.Caches.track(Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.ops.TextAnalysis.words(col("text"))).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("n")))
+      val tot = broadcast(tok.groupBy(col("source"))
+        .agg(sum(col("n")).as("tn")))
+      val smin = tok.as("x").join(tok.as("y"),
+          col("x.t") === col("y.t") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(sum(least(col("x.n"), col("y.n"))).as("sum_min"))
+      val grid = tot.select(col("source").as("source_a"),
+          col("tn").as("t_a"))
+        .crossJoin(tot.select(col("source").as("source_b"),
+          col("tn").as("t_b")))
+        .filter(col("source_a") < col("source_b"))
+      grid.join(smin, Seq("source_a", "source_b"), "left")
+        .withColumn("sum_min", coalesce(col("sum_min"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("sum_min"),
+          col("t_a"), col("t_b"),
+          (col("sum_min").cast("double") /
+            (col("t_a") + col("t_b") - col("sum_min")).cast("double"))
+            .as("w_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH tok AS MATERIALIZED (
+        SELECT source, t, COUNT(*) AS n
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS t
+              FROM documents) u
+        GROUP BY 1, 2),
+      tot AS MATERIALIZED (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS tn
+        FROM tok GROUP BY 1),
+      smin AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               CAST(SUM(LEAST(x.n, y.n)) AS BIGINT) AS sum_min
+        FROM tok x JOIN tok y
+          ON x.t = y.t AND x.source < y.source
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT a.source AS source_a, a.tn AS t_a,
+               b.source AS source_b, b.tn AS t_b
+        FROM tot a, tot b WHERE a.source < b.source)
+      SELECT g.source_a, g.source_b,
+             COALESCE(s.sum_min, 0) AS sum_min, g.t_a, g.t_b,
+             CAST(COALESCE(s.sum_min, 0) AS DOUBLE) /
+               CAST(g.t_a + g.t_b - COALESCE(s.sum_min, 0) AS DOUBLE)
+               AS w_jaccard
+      FROM grid g
+      LEFT JOIN smin s
+        ON g.source_a = s.source_a AND g.source_b = s.source_b
+      ORDER BY g.source_a, g.source_b"""))
+
   def all: Seq[OracleQuery] =
     Seq(q164Boilerplate, q165TokenQuality, q166SemanticDedup,
       q167ClusterSample, q168HashEmbed, q172Curriculum,
       q173LangConsistency, q174Matryoshka, q176DatasetCard,
-      q253Readability)
+      q253Readability, q269WeightedJaccard)
 }

@@ -220,6 +220,86 @@ object MiningQueries {
       SELECT side, node_id, score, rnk FROM th
       ORDER BY side, rnk"""))
 
+  /** Degree ASSORTATIVITY of the part co-purchase graph — "do
+    * well-connected parts co-occur with other well-connected parts?"
+    * (Newman 2002): the Pearson correlation of endpoint degrees over
+    * the symmetrized edge list, computed from exact BIGINT moments
+    * with q171's fixed-shape r (degrees and their products are pure
+    * counts; symmetrizing makes Σdeg_src = Σdeg_dst so the estimate
+    * is the textbook undirected one). Positive r = hub-club
+    * structure (dedup clusters of popular items), negative r =
+    * hub-and-spoke. One-row card with the moments as evidence.
+    *
+    * Scale shape: degrees are one aggregate; the edge⋈degree joins
+    * are key-partitioned; the moment aggregate is map-side
+    * combinable. */
+  val q268Assortativity = OracleQuery("q268_assortativity",
+    "degree assortativity of the co-purchase graph, exact moments",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val canon = graft.ops.Caches.track(
+        bi.as("l").join(bi.as("r"), col("l.b") === col("r.b"))
+          .filter(col("l.i") < col("r.i"))
+          .select(col("l.i").as("a"), col("r.i").as("bb"))
+          .distinct())
+      val deg = canon.select(col("a").as("n"))
+        .unionAll(canon.select(col("bb").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val sym = canon.select(col("a").as("s"), col("bb").as("t"))
+        .unionAll(canon.select(col("bb").as("s"), col("a").as("t")))
+      val e = sym
+        .join(deg.select(col("n").as("s"), col("deg").as("ds")), Seq("s"))
+        .join(deg.select(col("n").as("t"), col("deg").as("dt")), Seq("t"))
+      val m = e.agg(count(lit(1)).as("n"),
+        sum(col("ds")).as("sx"), sum(col("dt")).as("sy"),
+        sum(col("ds") * col("dt")).as("sxy"),
+        sum(col("ds") * col("ds")).as("sxx"),
+        sum(col("dt") * col("dt")).as("syy"))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("n").as("n_directed_edges"), col("sx"), col("sxy"),
+        when(varx > 0L && vary > 0L,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+          .otherwise(lit(0.0)).as("assortativity"))
+    },
+    Some("""
+      WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      canon AS MATERIALIZED (
+        SELECT DISTINCT l.i AS a, r.i AS bb
+        FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i),
+      deg AS MATERIALIZED (
+        SELECT n, COUNT(*) AS deg FROM (
+          SELECT a AS n FROM canon UNION ALL SELECT bb FROM canon) x
+        GROUP BY 1),
+      sym AS (
+        SELECT a AS s, bb AS t FROM canon
+        UNION ALL SELECT bb, a FROM canon),
+      e AS (
+        SELECT da.deg AS ds, db.deg AS dt
+        FROM sym
+        JOIN deg da ON da.n = sym.s
+        JOIN deg db ON db.n = sym.t),
+      m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(ds) AS BIGINT) AS sx,
+               CAST(SUM(dt) AS BIGINT) AS sy,
+               CAST(SUM(ds * dt) AS BIGINT) AS sxy,
+               CAST(SUM(ds * ds) AS BIGINT) AS sxx,
+               CAST(SUM(dt * dt) AS BIGINT) AS syy
+        FROM e)
+      SELECT n AS n_directed_edges, sx, sxy,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END AS assortativity
+      FROM m"""))
+
   def all: Seq[OracleQuery] =
-    Seq(q162Triangles, q163BasketLift, q175KCore, q233Hits)
+    Seq(q162Triangles, q163BasketLift, q175KCore, q233Hits,
+      q268Assortativity)
 }

@@ -853,7 +853,95 @@ object ExperimentQueries {
       FROM ranked r, km k
       ORDER BY r.rank"""))
 
+  // ------------------------------------------------------------------ //
+  // q270 — odds ratio + 2×2 χ² (case-control readout)
+  // ------------------------------------------------------------------ //
+
+  /** Conversion ODDS RATIO between the q179 arms with the full 2×2
+    * evidence table and its χ² — the case-control companion to the
+    * two-proportion z: OR = (a·d)/(b·c) is ONE division over BIGINT
+    * cell products, and the 2×2 χ² has the closed rational form
+    * n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — numerator and denominator
+    * both exact integer products, one division (df=1, shared χ²₁
+    * literal). The log-CI is deliberately absent: ln is not
+    * IEEE-portable (the q187/q224 rule) — the χ² gate carries the
+    * significance verdict instead. Zero cells emit OR = 0 explicitly.
+    *
+    * Scale shape: user grain → four cells. One-row card. */
+  val q270OddsRatio = OracleQuery("q270_odds_ratio",
+    "A/B conversion odds ratio + exact-rational 2x2 chi-square",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+      val cells = users.agg(
+        sum(when(col("variant") === "A" && col("conv") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("variant") === "A" && col("conv") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("variant") === "B" && col("conv") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("variant") === "B" && col("conv") === 0L, 1L)
+          .otherwise(0L)).as("dd"))
+      val n = col("a") + col("b") + col("c") + col("dd")
+      val det = col("a") * col("dd") - col("b") * col("c")
+      val den = (col("a") + col("b")) * (col("c") + col("dd")) *
+        (col("a") + col("c")) * (col("b") + col("dd"))
+      cells.select(col("a"), col("b"), col("c"), col("dd"),
+        when(col("b") * col("c") > 0L,
+          (col("a") * col("dd")).cast("double") /
+            (col("b") * col("c")).cast("double"))
+          .otherwise(lit(0.0)).as("odds_ratio"),
+        when(den > 0L,
+          (n * det * det).cast("double") / den.cast("double"))
+          .otherwise(lit(0.0)).as("chi2"),
+        when(den > 0L,
+          (n * det * det).cast("double") / den.cast("double") >
+            lit(Chi2Crit.toDouble))
+          .otherwise(lit(false)).as("significant"))
+    },
+    Some(s"""
+      WITH u AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN variant = 'A' AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN variant = 'A' AND conv = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(SUM(CASE WHEN variant = 'B' AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c,
+          CAST(SUM(CASE WHEN variant = 'B' AND conv = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dd
+        FROM u)
+      SELECT a, b, c, dd,
+             CASE WHEN b * c > 0
+                  THEN CAST(a * dd AS DOUBLE) / CAST(b * c AS DOUBLE)
+                  ELSE 0.0 END AS odds_ratio,
+             CASE WHEN (a+b) * (c+dd) * (a+c) * (b+dd) > 0
+                  THEN CAST((a+b+c+dd) * (a*dd - b*c) * (a*dd - b*c)
+                         AS DOUBLE) /
+                       CAST((a+b) * (c+dd) * (a+c) * (b+dd) AS DOUBLE)
+                  ELSE 0.0 END AS chi2,
+             CASE WHEN (a+b) * (c+dd) * (a+c) * (b+dd) > 0
+                  THEN (CAST((a+b+c+dd) * (a*dd - b*c) * (a*dd - b*c)
+                          AS DOUBLE) /
+                        CAST((a+b) * (c+dd) * (a+c) * (b+dd) AS DOUBLE))
+                       > ${Chi2Crit}e0
+                  ELSE FALSE END AS significant
+      FROM cells"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
-      q235PostStrat, q236Qte, q246FdrBh)
+      q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio)
 }

@@ -2398,6 +2398,102 @@ object InsightQueries {
       CROSS JOIN tot t
       ORDER BY bn.r_name, bn.n_name"""))
 
+  // ------------------------------------------------------------------ //
+  // q272 — price movers (period-over-period unit-price drift)
+  // ------------------------------------------------------------------ //
+
+  /** Unit-price drift census between the two halves of the order
+    * range (the q241 periods): a part is an UP mover iff its realized
+    * unit price rose more than 10% — decided by the INTEGER
+    * cross-multiplication 10·r₁·q₀ > 11·r₀·q₁ (never by comparing
+    * per-part float prices, whose division order would vary), and
+    * symmetrically 10·r₁·q₀ < 9·r₀·q₁ for down movers. Revenue in
+    * cents, quantity in hundredths — both exact decimal-scaled
+    * BIGINTs. One-row census card with share divisions.
+    *
+    * Scale shape: lineitem⋈orders → part-grain conditional aggregate
+    * → one-row rollup; products stay under 2⁶³ to ~10⁹ cents·10⁷
+    * qty-hundredths per part (decimal lane beyond). */
+  val q272PriceMovers = OracleQuery("q272_price_movers",
+    "period-over-period >10% unit-price movers, integer cross-multiplied",
+    (s, d) => {
+      // cached: the midpoint aggregate and the part grain both read
+      // the joined frame — one lineitem⋈orders join total
+      val li = graft.ops.Caches.track(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"), col("l_quantity"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od")),
+          col("l_orderkey") === col("o_orderkey")))
+      val mid = broadcast(li.agg(
+        expr("(min(od) + max(od)) div 2").as("mid")))
+      val parts = li
+        .crossJoin(mid)
+        .groupBy(col("l_partkey"))
+        .agg(
+          coalesce((sum(when(col("od") < col("mid"),
+            col("l_extendedprice").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("r0"),
+          coalesce((sum(when(col("od") >= col("mid"),
+            col("l_extendedprice").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("r1"),
+          coalesce((sum(when(col("od") < col("mid"),
+            col("l_quantity").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("q0"),
+          coalesce((sum(when(col("od") >= col("mid"),
+            col("l_quantity").cast(dec2))) * 100).cast("long"),
+            lit(0L)).as("q1"))
+        .filter(col("q0") > 0L && col("q1") > 0L)
+      parts.agg(count(lit(1)).as("n_compared"),
+          sum(when(lit(10L) * col("r1") * col("q0") >
+            lit(11L) * col("r0") * col("q1"), 1L).otherwise(0L))
+            .as("n_up"),
+          sum(when(lit(10L) * col("r1") * col("q0") <
+            lit(9L) * col("r0") * col("q1"), 1L).otherwise(0L))
+            .as("n_down"))
+        .select(col("n_compared"), col("n_up"), col("n_down"),
+          (col("n_up").cast("double") / col("n_compared").cast("double"))
+            .as("up_share"),
+          (col("n_down").cast("double") / col("n_compared").cast("double"))
+            .as("down_share"))
+    },
+    Some("""
+      WITH li AS MATERIALIZED (
+        SELECT l.l_partkey, l.l_extendedprice, l.l_quantity,
+               epoch_us(o.o_orderdate) AS od
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      mid AS (SELECT (MIN(od) + MAX(od)) // 2 AS mid FROM li),
+      parts AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(COALESCE(SUM(CASE WHEN od < mid
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) * 100, 0)
+                 AS BIGINT) AS r0,
+               CAST(COALESCE(SUM(CASE WHEN od >= mid
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) * 100, 0)
+                 AS BIGINT) AS r1,
+               CAST(COALESCE(SUM(CASE WHEN od < mid
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100, 0)
+                 AS BIGINT) AS q0,
+               CAST(COALESCE(SUM(CASE WHEN od >= mid
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100, 0)
+                 AS BIGINT) AS q1
+        FROM li, mid
+        GROUP BY l_partkey),
+      f AS (SELECT * FROM parts WHERE q0 > 0 AND q1 > 0),
+      card AS (
+        SELECT COUNT(*) AS n_compared,
+               CAST(SUM(CASE WHEN 10 * r1 * q0 > 11 * r0 * q1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN 10 * r1 * q0 < 9 * r0 * q1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+        FROM f)
+      SELECT n_compared, n_up, n_down,
+             CAST(n_up AS DOUBLE) / CAST(n_compared AS DOUBLE) AS up_share,
+             CAST(n_down AS DOUBLE) / CAST(n_compared AS DOUBLE)
+               AS down_share
+      FROM card"""))
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
@@ -2406,5 +2502,5 @@ object InsightQueries {
       q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
       q238GainsTable, q239ForecastBacktest, q240AbcClassification,
       q241RevenueBridge, q254MixShift, q255NewVsReturning, q256Skyline,
-      q261RankJoin, q262PercentOfParent)
+      q261RankJoin, q262PercentOfParent, q272PriceMovers)
 }

@@ -984,10 +984,97 @@ ${Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")} AS score
       GROUP BY b.lateness
       ORDER BY b.lateness"""))
 
+  // ------------------------------------------------------------------ //
+  // q271 — Kendall τ rank agreement (BM25 vs raw term frequency)
+  // ------------------------------------------------------------------ //
+
+  /** Kendall τ between the BM25 top-20 order and the RAW
+    * term-frequency order of the SAME candidates — "what do idf and
+    * length normalization actually change?", quantified: concordant
+    * minus discordant pairs over the C(20,2) bounded pair set, all
+    * INTEGER (both ranks are row_numbers, no ties possible), with τ
+    * as the single final division. The bounded-pair shape is what
+    * makes exact Kendall feasible — corpus-wide τ is O(n²) and would
+    * ride a sampled/bucketed estimate instead.
+    *
+    * Scale shape: one BM25 pass → 20-row candidate set (cached; both
+    * rank windows and the pair join run over ≤20 rows). */
+  val q271KendallTau = OracleQuery("q271_kendall_tau",
+    "Kendall tau between BM25 and raw-TF orderings of the top-20",
+    (s, d) => {
+      val tfSum = Bm25Terms.map(t => col(s"tf_$t")).reduce(_ + _)
+      val cand = graft.ops.Caches.track(
+        Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+            Bm25Terms, 20, K1, B)
+          .withColumn("ra", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .withColumn("tfsum", tfSum)
+          .withColumn("rb", row_number().over(
+            Window.orderBy(col("tfsum").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("ra"), col("rb")))
+      val pairs = cand.as("x").join(cand.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(((col("x.ra") - col("y.ra")) *
+          (col("x.rb") - col("y.rb"))).as("prod"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("prod") > 0L, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("prod") < 0L, 1L).otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          ((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double")).as("kendall_tau"))
+    },
+    Some {
+      val scoreExpr = Bm25Terms.map(bm25TermSql).mkString("", "\n+\n", "")
+      val tfSumSql = Bm25Terms.map(t => s"tf_$t").mkString(" + ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+${Bm25Terms.map(t => s"               CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+        FROM t),
+      ag AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+${Bm25Terms.map(t => s"               CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+        FROM tf),
+      cand AS MATERIALIZED (
+        SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, score
+        FROM (
+          SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, dl,
+$scoreExpr AS score
+          FROM tf, (SELECT *,
+                    CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                    FROM ag) a) s
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20),
+      ranked AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS ra,
+               CAST(row_number() OVER (ORDER BY ($tfSumSql) DESC, doc_id)
+                 AS BIGINT) AS rb
+        FROM cand),
+      pairs AS (
+        SELECT (x.ra - y.ra) * (x.rb - y.rb) AS prod
+        FROM ranked x JOIN ranked y ON x.doc_id < y.doc_id)
+      SELECT COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) -
+                  SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) AS kendall_tau
+      FROM pairs"""
+    })
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
     q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
     q157JoinCardGate, q187RetrievalEval, q230NdcgEval,
-    q243JoinAdvisor, q244WatermarkAudit)
+    q243JoinAdvisor, q244WatermarkAudit, q271KendallTau)
 }

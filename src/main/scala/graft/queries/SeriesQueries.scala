@@ -333,7 +333,141 @@ object SeriesQueries {
       FROM m
       ORDER BY day"""))
 
+  /** Spearman rank correlation between daily revenue and daily
+    * clicks — q267's outlier-robust sibling: Pearson on RANKS, where
+    * both rank vectors are row_numbers over the calendar-bounded day
+    * grid (ties broken by day — deterministic and identical in both
+    * engines), so every moment is small exact BIGINT and ρ is the
+    * q171 fixed-shape expression. One-row card.
+    *
+    * Scale shape: the day grid is calendar-bounded, so the two rank
+    * windows and the moment aggregate all run over ≤\|days\| rows —
+    * corpus rows never meet a window (the q77 discipline). */
+  val q273Spearman = OracleQuery("q273_spearman",
+    "Spearman rank correlation of daily revenue vs clicks, exact ranks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg(
+          coalesce((sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"), lit(0L))
+            .as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("y"))
+      val ranked = daily
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("x"), col("day"))).cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("y"), col("day"))).cast("long"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("n").as("n_days"),
+        when(varx > 0L && vary > 0L,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+          .otherwise(lit(0.0)).as("spearman_rho"))
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS rx,
+               CAST(row_number() OVER (ORDER BY y, day) AS BIGINT) AS ry
+        FROM daily),
+      m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+        FROM ranked)
+      SELECT n AS n_days,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END AS spearman_rho
+      FROM m"""))
+
+  /** Mann–Kendall trend test on daily revenue — the non-parametric
+    * monotone-trend gate (Mann 1945, Kendall 1975): S = Σ_{i<j}
+    * sign(x_j − x_i) over the calendar-bounded day-pair set is PURE
+    * INTEGER, the continuity-corrected z uses the closed variance
+    * n(n−1)(2n+5)/18 — one sqrt over an exact integer — and the
+    * trend flag compares |z| against the shared 1.96… literal. Where
+    * q169's least-squares slope assumes linearity and q212's CUSUM
+    * finds one break, Mann–Kendall asks only "is it monotone".
+    *
+    * Scale shape: the pair join is day-grid × day-grid — calendar²,
+    * corpus-independent. One-row card. */
+  val q274MannKendall = OracleQuery("q274_mann_kendall",
+    "Mann-Kendall monotone-trend test on daily revenue, integer S",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("x")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .select(signum((col("b.x") - col("a.x")).cast("double"))
+          .cast("long").as("sgn"))
+      val m = pairs.agg(sum(col("sgn")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+      val varS = (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L))
+        .cast("double") / lit(18.0)
+      val z = when(col("s_stat") > 0L,
+          (col("s_stat") - 1L).cast("double") / sqrt(varS))
+        .when(col("s_stat") < 0L,
+          (col("s_stat") + 1L).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0))
+      m.select(col("n").as("n_days"), col("n_pairs"), col("s_stat"),
+        z.as("z"),
+        (abs(z) > lit(1.959963984540054)).as("trend_detected"))
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      pairs AS (
+        SELECT CAST(SIGN(b.x - a.x) AS BIGINT) AS sgn
+        FROM daily a JOIN daily b ON a.day < b.day),
+      m AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               COUNT(*) AS n_pairs,
+               (SELECT COUNT(*) FROM daily) AS n
+        FROM pairs),
+      zc AS (
+        SELECT n AS n_days, n_pairs, s_stat,
+               CASE WHEN s_stat > 0
+                    THEN CAST(s_stat - 1 AS DOUBLE) /
+                         sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
+                              / 18.0e0)
+                    WHEN s_stat < 0
+                    THEN CAST(s_stat + 1 AS DOUBLE) /
+                         sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)
+                              / 18.0e0)
+                    ELSE 0.0 END AS z
+        FROM m)
+      SELECT n_days, n_pairs, s_stat, z,
+             abs(z) > 1.959963984540054e0 AS trend_detected
+      FROM zc"""))
+
   def all: Seq[OracleQuery] =
     Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
-      q260DowIndex, q267RollingCorr)
+      q260DowIndex, q267RollingCorr, q273Spearman, q274MannKendall)
 }

@@ -941,7 +941,93 @@ object ExperimentQueries {
                   ELSE FALSE END AS significant
       FROM cells"""))
 
+  // ------------------------------------------------------------------ //
+  // q275 — Wilcoxon signed-rank test (paired, rank-based)
+  // ------------------------------------------------------------------ //
+
+  /** Wilcoxon signed-rank test on the 16 paired bucket differences
+    * (the q231 grain) — the rank-based paired test beside the
+    * sign-flip permutation: ranks of |d| are row_numbers over ≤16
+    * bounded rows (ties by bucket — deterministic), W⁺ = Σ ranks of
+    * positive differences is PURE INTEGER, and the normal
+    * approximation uses the closed moments n(n+1)/4 and
+    * n(n+1)(2n+1)/24 — z is one fixed-shape double expression,
+    * significance vs the shared 1.96 literal. Zero differences drop
+    * (the standard treatment) identically in both engines.
+    *
+    * Scale shape: corpus → user grain → 16-bucket diffs; everything
+    * after is bounded-row arithmetic. One-row card. */
+  val q275Wilcoxon = OracleQuery("q275_wilcoxon",
+    "Wilcoxon signed-rank test over paired bucket revenue differences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .withColumn("bucket",
+          substring(md5(concat(lit("bk"), col("user_id").cast("string"))
+            .cast("binary")), 1, 1))
+      val diffs = users.groupBy(col("bucket"))
+        .agg(sum(when(col("variant") === "A", col("y"))
+          .otherwise(-col("y"))).as("diff"))
+        .filter(col("diff") =!= 0L)
+      val ranked = diffs.withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("diff")), col("bucket"))).cast("long"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(when(col("diff") > 0L, col("rk")).otherwise(0L)).as("w_plus"))
+      val nn = col("n")
+      val z = ((lit(4L) * col("w_plus") - nn * (nn + 1L)).cast("double") /
+        lit(4.0)) /
+        sqrt((nn * (nn + 1L) * (lit(2L) * nn + 1L)).cast("double") /
+          lit(24.0))
+      m.select(col("n").as("n_nonzero"), col("w_plus"), z.as("z"),
+        (abs(z) > lit(ZCrit.toDouble)).as("significant"))
+    },
+    Some(s"""
+      WITH u AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant,
+               substring(md5('bk' || CAST(user_id AS VARCHAR)), 1, 1)
+                 AS bucket
+        FROM events GROUP BY user_id),
+      diffs AS MATERIALIZED (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN variant = 'A' THEN y ELSE -y END)
+                 AS BIGINT) AS diff
+        FROM u GROUP BY bucket
+        HAVING SUM(CASE WHEN variant = 'A' THEN y ELSE -y END) <> 0),
+      ranked AS (
+        SELECT diff,
+               CAST(row_number() OVER (ORDER BY abs(diff), bucket)
+                 AS BIGINT) AS rk
+        FROM diffs),
+      m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN diff > 0 THEN rk ELSE 0 END) AS BIGINT)
+                 AS w_plus
+        FROM ranked),
+      zc AS (
+        SELECT n, w_plus,
+               (CAST(4 * w_plus - n * (n + 1) AS DOUBLE) / 4.0e0) /
+                 sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0e0)
+                 AS z
+        FROM m)
+      SELECT n AS n_nonzero, w_plus, z,
+             abs(z) > ${ZCrit}e0 AS significant
+      FROM zc"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
-      q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio)
+      q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon)
 }

@@ -467,7 +467,92 @@ object SeriesQueries {
              abs(z) > 1.959963984540054e0 AS trend_detected
       FROM zc"""))
 
+  /** Wald–Wolfowitz RUNS test on daily revenue direction — "are the
+    * up/down moves random, or does the series trend/oscillate?": the
+    * move signs come from an exact integer lag comparison over the
+    * calendar-bounded day grid, the run count R = 1 + Σ[sᵢ ≠ sᵢ₋₁]
+    * and the +/− counts are pure integers, and the closed-form
+    * normal approximation (E = 1 + 2n₁n₂/n, Var =
+    * 2n₁n₂(2n₁n₂−n)/(n²(n−1))) is one fixed-shape double expression
+    * — significance vs the shared 1.96 literal. Flat days (Δ = 0)
+    * drop, identically in both engines.
+    *
+    * Scale shape: day grid only; one bounded lag window + two
+    * bounded aggregates. One-row card. */
+  val q276RunsTest = OracleQuery("q276_runs_test",
+    "Wald-Wolfowitz runs test on daily revenue up/down moves",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("x"))
+      val w = Window.orderBy(col("day"))
+      val moves = daily
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+        .filter(col("dx").isNotNull && col("dx") =!= 0L)
+        .withColumn("s", when(col("dx") > 0L, 1L).otherwise(0L))
+      val seq0 = moves
+        .withColumn("prev", lag(col("s"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+            .otherwise(0L))
+      val m = seq0.agg(count(lit(1)).as("n"),
+        sum(col("s")).as("n_up"),
+        sum(col("brk")).as("runs"))
+      val n1 = col("n_up")
+      val n2 = col("n") - col("n_up")
+      val tw = lit(2L) * n1 * n2
+      val eR = lit(1.0) + tw.cast("double") / col("n").cast("double")
+      val varR = (tw * (tw - col("n"))).cast("double") /
+        (col("n").cast("double") * col("n").cast("double") *
+          (col("n") - 1L).cast("double"))
+      val z = when(n1 > 0L && n2 > 0L && col("n") > 1L &&
+          (tw * (tw - col("n"))) > 0L,
+        (col("runs").cast("double") - eR) / sqrt(varR))
+        .otherwise(lit(0.0))
+      m.select(col("n").as("n_moves"), col("n_up"), col("runs"),
+        z.as("z"), (abs(z) > lit(1.959963984540054)).as("nonrandom"))
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      moves AS MATERIALIZED (
+        SELECT day, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS s
+        FROM (SELECT day, x - lag(x, 1) OVER (ORDER BY day) AS dx
+              FROM daily) t
+        WHERE dx IS NOT NULL AND dx <> 0),
+      sq AS (
+        SELECT s, lag(s, 1) OVER (ORDER BY day) AS prev
+        FROM moves),
+      m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(s) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN prev IS NULL OR prev <> s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM sq),
+      zc AS (
+        SELECT n, n_up, runs,
+               CASE WHEN n_up > 0 AND n - n_up > 0 AND n > 1
+                     AND (2 * n_up * (n - n_up)) *
+                         (2 * n_up * (n - n_up) - n) > 0
+                    THEN (CAST(runs AS DOUBLE) -
+                          (1.0e0 + CAST(2 * n_up * (n - n_up) AS DOUBLE) /
+                                   CAST(n AS DOUBLE))) /
+                         sqrt(CAST((2 * n_up * (n - n_up)) *
+                                   (2 * n_up * (n - n_up) - n) AS DOUBLE) /
+                              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                               CAST(n - 1 AS DOUBLE)))
+                    ELSE 0.0 END AS z
+        FROM m)
+      SELECT n AS n_moves, n_up, runs, z,
+             abs(z) > 1.959963984540054e0 AS nonrandom
+      FROM zc"""))
+
   def all: Seq[OracleQuery] =
     Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
-      q260DowIndex, q267RollingCorr, q273Spearman, q274MannKendall)
+      q260DowIndex, q267RollingCorr, q273Spearman, q274MannKendall,
+      q276RunsTest)
 }

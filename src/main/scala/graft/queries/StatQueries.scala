@@ -415,7 +415,143 @@ object StatQueries {
       FROM m"""
     })
 
+  /** TWO-regressor OLS (daily revenue ~ clicks + views) solved in
+    * CLOSED FORM by Cramer's rule over exact moments — multiple
+    * regression without any iterative solver: the centered normal-
+    * equation entries (A₁₁ = nΣx₁²−(Σx₁)², …) and the Cramer
+    * numerators are bounded-decimal products at explicit precisions
+    * (the q171 lanes — raw BIGINT products would overflow at sf0.1
+    * already), exiting decimal→VARCHAR→double; each β is ONE double
+    * division, the intercept one fixed-shape expression. Degenerate
+    * design (det = 0, collinear regressors) emits zeros explicitly.
+    *
+    * Scale shape: corpus → day grain → one 9-moment aggregate →
+    * 1-row algebra. */
+  val q277Ols2 = OracleQuery("q277_ols2",
+    "closed-form 2-regressor OLS: revenue ~ clicks + views, exact moments",
+    (s, d) => {
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val daily = Tables.events(s, d)
+        .groupBy(expr(s"ts div 1000 div 86400000000").as("day"))
+        .agg(
+          coalesce((sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"), lit(0L))
+            .as("y"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x2"))
+      def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum(d18(col("x1"))).cast("decimal(19,0)").as("s1"),
+        sum(d18(col("x2"))).cast("decimal(19,0)").as("s2"),
+        sum(d18(col("y"))).cast("decimal(19,0)").as("sy"),
+        sum(d18(col("x1")) * d18(col("x1"))).cast("decimal(28,0)").as("s11"),
+        sum(d18(col("x2")) * d18(col("x2"))).cast("decimal(28,0)").as("s22"),
+        sum(d18(col("x1")) * d18(col("x2"))).cast("decimal(28,0)").as("s12"),
+        sum(d18(col("x1")) * d18(col("y"))).cast("decimal(28,0)").as("s1y"),
+        sum(d18(col("x2")) * d18(col("y"))).cast("decimal(28,0)").as("s2y"))
+        .withColumn("nd", col("n").cast("decimal(10,0)"))
+        // centered normal-equation entries, capped at (19,0) before the
+        // Cramer products so A·A lands exactly at the shared 38-digit cap
+        .withColumn("a11",
+          (col("nd") * col("s11") - col("s1") * col("s1"))
+            .cast("decimal(19,0)"))
+        .withColumn("a22",
+          (col("nd") * col("s22") - col("s2") * col("s2"))
+            .cast("decimal(19,0)"))
+        .withColumn("a12",
+          (col("nd") * col("s12") - col("s1") * col("s2"))
+            .cast("decimal(19,0)"))
+        .withColumn("b1",
+          (col("nd") * col("s1y") - col("s1") * col("sy"))
+            .cast("decimal(19,0)"))
+        .withColumn("b2",
+          (col("nd") * col("s2y") - col("s2") * col("sy"))
+            .cast("decimal(19,0)"))
+      val det = toDbl(col("a11") * col("a22") - col("a12") * col("a12"))
+      val beta1 = toDbl(col("b1") * col("a22") - col("b2") * col("a12")) / det
+      val beta2 = toDbl(col("b2") * col("a11") - col("b1") * col("a12")) / det
+      m.select(col("n").as("n_days"),
+        when(det =!= 0.0, beta1).otherwise(lit(0.0))
+          .as("beta_clicks_cents"),
+        when(det =!= 0.0, beta2).otherwise(lit(0.0))
+          .as("beta_views_cents"),
+        when(det =!= 0.0,
+          (toDbl(col("sy")) -
+            beta1 * toDbl(col("s1")) - beta2 * toDbl(col("s2"))) /
+            col("n").cast("double"))
+          .otherwise(lit(0.0)).as("intercept_cents"))
+    },
+    Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x2
+        FROM events GROUP BY 1),
+      m0 AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x1 AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS s2,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sy,
+               CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * CAST(x1 AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS s11,
+               CAST(SUM(CAST(x2 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS s22,
+               CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * CAST(x2 AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS s12,
+               CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS s1y,
+               CAST(SUM(CAST(x2 AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS s2y
+        FROM daily),
+      m AS (
+        SELECT n, s1, s2, sy,
+               CAST(CAST(n AS DECIMAL(10,0)) * s11 - s1 * s1
+                 AS DECIMAL(19,0)) AS a11,
+               CAST(CAST(n AS DECIMAL(10,0)) * s22 - s2 * s2
+                 AS DECIMAL(19,0)) AS a22,
+               CAST(CAST(n AS DECIMAL(10,0)) * s12 - s1 * s2
+                 AS DECIMAL(19,0)) AS a12,
+               CAST(CAST(n AS DECIMAL(10,0)) * s1y - s1 * sy
+                 AS DECIMAL(19,0)) AS b1,
+               CAST(CAST(n AS DECIMAL(10,0)) * s2y - s2 * sy
+                 AS DECIMAL(19,0)) AS b2
+        FROM m0),
+      z AS (
+        SELECT n, s1, s2, sy, b1, b2, a11, a22, a12,
+               CAST(CAST(a11 * a22 - a12 * a12 AS VARCHAR) AS DOUBLE)
+                 AS det
+        FROM m)
+      SELECT n AS n_days,
+             CASE WHEN det <> 0.0
+                  THEN CAST(CAST(b1 * a22 - b2 * a12 AS VARCHAR) AS DOUBLE)
+                       / det
+                  ELSE 0.0 END AS beta_clicks_cents,
+             CASE WHEN det <> 0.0
+                  THEN CAST(CAST(b2 * a11 - b1 * a12 AS VARCHAR) AS DOUBLE)
+                       / det
+                  ELSE 0.0 END AS beta_views_cents,
+             CASE WHEN det <> 0.0
+                  THEN (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(b1 * a22 - b2 * a12 AS VARCHAR)
+                             AS DOUBLE) / det) *
+                          CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(b2 * a11 - b1 * a12 AS VARCHAR)
+                             AS DOUBLE) / det) *
+                          CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                  ELSE 0.0 END AS intercept_cents
+      FROM z
+      ORDER BY n_days"""))
+
   def all: Seq[OracleQuery] =
     Seq(q169Trend, q170GroupQuantiles, q171Correlation, q251SlaLatency,
-      q252Dispersion, q259AnovaF)
+      q252Dispersion, q259AnovaF, q277Ols2)
 }

@@ -1027,7 +1027,111 @@ object ExperimentQueries {
              abs(z) > ${ZCrit}e0 AS significant
       FROM zc"""))
 
+  // ------------------------------------------------------------------ //
+  // q280 — Cohen's d effect size
+  // ------------------------------------------------------------------ //
+
+  /** Cohen's d (pooled-SD standardized effect) for the A−B revenue
+    * difference — the magnitude readout significance tests (q179,
+    * q231, q275) deliberately don't give: both arm variances come
+    * from exact bounded-decimal moments (q171 lanes, VARCHAR exits),
+    * the pooled SD is one sqrt over a fixed-shape expression, and d
+    * is one division. Degenerate pools (zero variance, n ≤ 2) emit
+    * zeros. One-row card: the evidence (n, means) rides alongside so
+    * small-n effect inflation is visible. */
+  val q280CohensD = OracleQuery("q280_cohens_d",
+    "Cohen's d effect size of the A-B revenue difference, exact moments",
+    (s, d) => {
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+      val yd = col("y").cast("decimal(18,0)")
+      val arms = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(yd).cast("decimal(19,0)").as("sy"),
+          sum(yd * yd).cast("decimal(28,0)").as("syy"))
+      def side(v: String, suf: String) = arms.filter(col("variant") === v)
+        .select(col("n").as(s"n_$suf"), col("sy").as(s"sy_$suf"),
+          col("syy").as(s"syy_$suf"))
+      val one = side("A", "a").crossJoin(side("B", "b"))
+      def ssd(n: String, sy: String, syy: String) =
+        toDbl(col(n).cast("decimal(10,0)") * col(syy) -
+          col(sy) * col(sy)) /
+          (col(n).cast("double") * (col(n) - 1L).cast("double"))
+      val va = ssd("n_a", "sy_a", "syy_a")
+      val vb = ssd("n_b", "sy_b", "syy_b")
+      val meanA = toDbl(col("sy_a")) / col("n_a").cast("double")
+      val meanB = toDbl(col("sy_b")) / col("n_b").cast("double")
+      val pooled = sqrt(((col("n_a") - 1L).cast("double") * va +
+        (col("n_b") - 1L).cast("double") * vb) /
+        (col("n_a") + col("n_b") - 2L).cast("double"))
+      one.select(col("n_a"), col("n_b"),
+        meanA.as("mean_a_cents"), meanB.as("mean_b_cents"),
+        when(col("n_a") > 1L && col("n_b") > 1L &&
+          col("n_a") + col("n_b") > 2L, pooled)
+          .otherwise(lit(0.0)).as("pooled_sd_cents"),
+        when(col("n_a") > 1L && col("n_b") > 1L && pooled > 0.0,
+          (meanA - meanB) / pooled).otherwise(lit(0.0)).as("cohens_d"))
+    },
+    Some("""
+      WITH u AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS syy
+        FROM u GROUP BY variant),
+      one AS (
+        SELECT a.n AS n_a, a.sy AS sy_a, a.syy AS syy_a,
+               b.n AS n_b, b.sy AS sy_b, b.syy AS syy_b
+        FROM (SELECT * FROM arms WHERE variant = 'A') a,
+             (SELECT * FROM arms WHERE variant = 'B') b),
+      z AS (
+        SELECT n_a, n_b,
+               CAST(CAST(sy_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 AS mean_a,
+               CAST(CAST(sy_b AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 AS mean_b,
+               CAST(CAST(CAST(n_a AS DECIMAL(10,0)) * syy_a - sy_a * sy_a
+                 AS VARCHAR) AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
+               CAST(CAST(CAST(n_b AS DECIMAL(10,0)) * syy_b - sy_b * sy_b
+                 AS VARCHAR) AS DOUBLE) /
+                 (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
+        FROM one),
+      p AS (
+        SELECT n_a, n_b, mean_a, mean_b,
+               sqrt((CAST(n_a - 1 AS DOUBLE) * va +
+                     CAST(n_b - 1 AS DOUBLE) * vb) /
+                    CAST(n_a + n_b - 2 AS DOUBLE)) AS pooled
+        FROM z)
+      SELECT n_a, n_b,
+             mean_a AS mean_a_cents, mean_b AS mean_b_cents,
+             CASE WHEN n_a > 1 AND n_b > 1 AND n_a + n_b > 2
+                  THEN pooled ELSE 0.0 END AS pooled_sd_cents,
+             CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0
+                  THEN (mean_a - mean_b) / pooled
+                  ELSE 0.0 END AS cohens_d
+      FROM p"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
-      q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon)
+      q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon,
+      q280CohensD)
 }

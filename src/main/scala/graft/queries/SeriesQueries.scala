@@ -551,8 +551,93 @@ object SeriesQueries {
              abs(z) > 1.959963984540054e0 AS nonrandom
       FROM zc"""))
 
+  /** Two-sample Kolmogorov–Smirnov test: does WEEKEND daily revenue
+    * follow the same distribution as WEEKDAY? Exact over the
+    * calendar-bounded day grid: both empirical CDFs are evaluated at
+    * every observed value by a bounded day×day pair count (the
+    * Mann–Kendall shape — calendar², corpus-independent), D is a MAX
+    * over per-value |F₁−F₂| gaps (max of doubles = comparisons,
+    * order-independent), and the rejection threshold is
+    * c(α)·√((n₁+n₂)/(n₁n₂)) with c(0.05) = 1.358 as a shared
+    * literal. The distribution-shape gate where q260's index only
+    * compares means. One-row card.
+    *
+    * At corpus-sized samples exact KS needs a global sorted sweep —
+    * there the GK-sketch CDF (q110's machinery) is the stated path;
+    * the day grid needs no such compromise. */
+  val q278KsTest = OracleQuery("q278_ks_test",
+    "two-sample KS: weekday vs weekend daily revenue, exact bounded CDFs",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg((sum(col("value").cast(dec2)) * 100).cast("long").as("x"))
+        .withColumn("grp",
+          when(expr("(day + 3) % 7") >= 5L, lit("we")).otherwise(lit("wk"))))
+      val cnt = broadcast(daily.agg(
+        sum(when(col("grp") === "wk", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === "we", 1L).otherwise(0L)).as("n2")))
+      val gaps = daily.as("v").join(daily.as("o"),
+          col("o.x") <= col("v.x"), "left")
+        .groupBy(col("v.day").as("day"))
+        .agg(
+          sum(when(col("o.grp") === "wk", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("o.grp") === "we", 1L).otherwise(0L)).as("c2"))
+        .crossJoin(cnt)
+        .select(abs(col("c1").cast("double") / col("n1").cast("double") -
+          col("c2").cast("double") / col("n2").cast("double")).as("gap"),
+          col("n1"), col("n2"))
+      gaps.groupBy(col("n1"), col("n2"))
+        .agg(max(col("gap")).as("d_stat"))
+        .select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+          col("d_stat"),
+          (lit(1.3581015157406195) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double"))).as("crit_05"),
+          (col("d_stat") > lit(1.3581015157406195) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double"))).as("reject"))
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT day, x,
+               CASE WHEN (day + 3) % 7 >= 5 THEN 'we' ELSE 'wk' END AS grp
+        FROM (SELECT epoch_us(ts) // $DayUs AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS x
+              FROM events WHERE event_type = 'purchase' GROUP BY 1) t),
+      cnt AS (
+        SELECT CAST(SUM(CASE WHEN grp = 'wk' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(SUM(CASE WHEN grp = 'we' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2
+        FROM daily),
+      gaps AS (
+        SELECT v.day,
+               CAST(SUM(CASE WHEN o.grp = 'wk' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN o.grp = 'we' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c2
+        FROM daily v LEFT JOIN daily o ON o.x <= v.x
+        GROUP BY 1),
+      g2 AS (
+        SELECT abs(CAST(g.c1 AS DOUBLE) / CAST(c.n1 AS DOUBLE) -
+                   CAST(g.c2 AS DOUBLE) / CAST(c.n2 AS DOUBLE)) AS gap,
+               c.n1, c.n2
+        FROM gaps g, cnt c)
+      SELECT n1 AS n_weekday, n2 AS n_weekend,
+             MAX(gap) AS d_stat,
+             1.3581015157406195e0 *
+               sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+               AS crit_05,
+             MAX(gap) > 1.3581015157406195e0 *
+               sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+               AS reject
+      FROM g2
+      GROUP BY n1, n2"""))
+
   def all: Seq[OracleQuery] =
     Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
       q260DowIndex, q267RollingCorr, q273Spearman, q274MannKendall,
-      q276RunsTest)
+      q276RunsTest, q278KsTest)
 }

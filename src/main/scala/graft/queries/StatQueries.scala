@@ -551,7 +551,137 @@ object StatQueries {
       FROM z
       ORDER BY n_days"""))
 
+  /** Brown–Forsythe (median-centered Levene) variance-homogeneity
+    * test across market segments — the gate that validates q259's
+    * equal-variance assumption BEFORE trusting its F: per-segment
+    * medians ride the histogram walk (never a per-group sort), the
+    * absolute deviations z = |y − med_g| are exact BIGINT cents, and
+    * the one-way F on z reuses q259's machinery verbatim — bounded
+    * decimal moments, the schema-literal segment pivot for the
+    * order-independent between-groups sum, VARCHAR exits. One row;
+    * no significance flag for the q259 df reason.
+    *
+    * Scale shape: user grain → 5-group median walk (driver sees
+    * 5×1024 longs) → broadcast medians → one 4-moment aggregate. */
+  val q279BrownForsythe = OracleQuery("q279_brown_forsythe",
+    "Brown-Forsythe variance-homogeneity F across segments",
+    (s, d) => {
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val users = graft.ops.Caches.track(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(
+          (sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"),
+          lit(0L)).as("y"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("y"),
+          col("c_mktsegment").as("seg")))
+      val med = broadcast(graft.ops.Profile.scalableOrderStat(users,
+          "seg", "y", "user_id", 0.5)
+        .select(col("seg"), col("order_stat").as("med")))
+      val z = users.join(med, Seq("seg"))
+        .select(col("seg"), abs(col("y") - col("med")).as("z"),
+          col("user_id"))
+      val zd = col("z").cast("decimal(18,0)")
+      val per = z.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(zd).cast("decimal(19,0)").as("sg"),
+          sum(zd * zd).cast("decimal(28,0)").as("ssg"))
+      val tAgg = segs.map(sg => min(when(col("seg") === sg,
+        toDbl(col("sg")) * toDbl(col("sg")) / col("n_g").cast("double")))
+        .as(s"t_$sg"))
+      val aggCols = Seq(
+        sum(col("n_g")).as("n_users"),
+        count(lit(1)).as("k_groups"),
+        sum(col("sg")).cast("decimal(19,0)").as("s_all"),
+        sum(col("ssg")).cast("decimal(28,0)").as("ss_all")) ++ tAgg
+      val one = per.agg(aggCols.head, aggCols.tail: _*)
+      val nD = col("n_users").cast("double")
+      val grand = toDbl(col("s_all")) * toDbl(col("s_all")) / nD
+      val ssb = segs.map(sg => coalesce(col(s"t_$sg"), lit(0.0)))
+        .reduce(_ + _) - grand
+      val sst = toDbl(col("ss_all")) - grand
+      one.select(col("k_groups"), col("n_users"),
+        ssb.as("ssb"), (sst - ssb).as("ssw"),
+        when(col("k_groups") > 1L && col("n_users") > col("k_groups") &&
+          (sst - ssb) > 0.0,
+          (ssb / (col("k_groups") - 1L).cast("double")) /
+            ((sst - ssb) /
+              (col("n_users") - col("k_groups")).cast("double")))
+          .otherwise(lit(0.0)).as("bf_stat"))
+    },
+    Some {
+      val tSql = (sg: String) =>
+        s"""COALESCE(MIN(CASE WHEN seg = '$sg' THEN
+           |  CAST(CAST(sg_ AS VARCHAR) AS DOUBLE) *
+           |  CAST(CAST(sg_ AS VARCHAR) AS DOUBLE) /
+           |  CAST(n_g AS DOUBLE) END), 0.0)""".stripMargin
+      val tSum = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY").map(tSql).mkString("\n             + ")
+      s"""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.user_id, u0.y, c.c_mktsegment AS seg
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      ranked AS MATERIALIZED (
+        SELECT seg, y, user_id,
+               row_number() OVER (PARTITION BY seg ORDER BY y, user_id)
+                 AS rk,
+               COUNT(*) OVER (PARTITION BY seg) AS n
+        FROM users),
+      med AS MATERIALIZED (
+        SELECT seg, MAX(CASE WHEN rk =
+                 CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+               THEN y END) AS med
+        FROM ranked GROUP BY 1),
+      zt AS MATERIALIZED (
+        SELECT u.seg, abs(u.y - m.med) AS z
+        FROM users u JOIN med m ON u.seg = m.seg),
+      per AS MATERIALIZED (
+        SELECT seg, COUNT(*) AS n_g,
+               CAST(SUM(CAST(z AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sg_,
+               CAST(SUM(CAST(z AS DECIMAL(18,0)) * CAST(z AS DECIMAL(18,0)))
+                 AS DECIMAL(28,0)) AS ssg
+        FROM zt GROUP BY seg),
+      one AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n_users,
+               COUNT(*) AS k_groups,
+               CAST(SUM(sg_) AS DECIMAL(19,0)) AS s_all,
+               CAST(SUM(ssg) AS DECIMAL(28,0)) AS ss_all,
+               $tSum AS tsum
+        FROM per),
+      m AS (
+        SELECT k_groups, n_users,
+               tsum - CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                      CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                      CAST(n_users AS DOUBLE) AS ssb,
+               (CAST(CAST(ss_all AS VARCHAR) AS DOUBLE) -
+                CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                CAST(n_users AS DOUBLE))
+               - (tsum - CAST(CAST(s_all AS VARCHAR) AS DOUBLE) *
+                         CAST(CAST(s_all AS VARCHAR) AS DOUBLE) /
+                         CAST(n_users AS DOUBLE)) AS ssw
+        FROM one)
+      SELECT k_groups, n_users, ssb, ssw,
+             CASE WHEN k_groups > 1 AND n_users > k_groups AND ssw > 0.0
+                  THEN (ssb / CAST(k_groups - 1 AS DOUBLE)) /
+                       (ssw / CAST(n_users - k_groups AS DOUBLE))
+                  ELSE 0.0 END AS bf_stat
+      FROM m"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q169Trend, q170GroupQuantiles, q171Correlation, q251SlaLatency,
-      q252Dispersion, q259AnovaF, q277Ols2)
+      q252Dispersion, q259AnovaF, q277Ols2, q279BrownForsythe)
 }

@@ -654,9 +654,79 @@ object CurationQueries {
       FROM rows_
       ORDER BY idx"""))
 
+  /** CONTEXT-LENGTH BUDGET report: for candidate context sizes 32 /
+    * 64 / 128 tokens, what share of documents fit whole and what
+    * share of the corpus' tokens would truncation discard — the
+    * packing-planning card read before choosing a sequence length
+    * (the q105/q106 packers consume its verdict). One corpus pass
+    * computes all three budgets as conditional aggregates; every
+    * quantity is an exact BIGINT token count, shares are single
+    * divisions. Three literal-labeled rows.
+    *
+    * Scale shape: one narrow tokenize scan → one 7-aggregate row →
+    * bounded unpivot. */
+  val q282ContextBudget = OracleQuery("q282_context_budget",
+    "context-length budget: fit share + truncation waste at 32/64/128",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(size(graft.ops.TextAnalysis.words(col("text")))
+          .cast("long").as("tok"))
+      val budgets = Seq(32L, 64L, 128L)
+      val aggCols = Seq(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tok_total")) ++
+        budgets.flatMap { b => Seq(
+          sum(when(col("tok") <= b, 1L).otherwise(0L)).as(s"fit_$b"),
+          sum(greatest(col("tok") - b, lit(0L))).as(s"cut_$b"))
+        }
+      val one = graft.ops.Caches.track(broadcast(
+        toks.agg(aggCols.head, aggCols.tail: _*)))
+      def row(idx: Long, b: Long) = one.select(
+        lit(idx).as("idx"), lit(b).as("budget_tokens"),
+        col("n_docs"), col(s"fit_$b").as("n_fit"),
+        (col(s"fit_$b").cast("double") / col("n_docs").cast("double"))
+          .as("fit_share"),
+        col("tok_total"), col(s"cut_$b").as("tokens_truncated"),
+        (col(s"cut_$b").cast("double") / col("tok_total").cast("double"))
+          .as("waste_share"))
+      row(0L, 32L).unionAll(row(1L, 64L)).unionAll(row(2L, 128L))
+        .orderBy("idx")
+    },
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS BIGINT) AS tok
+        FROM documents),
+      a AS MATERIALIZED (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tok_total,
+               CAST(SUM(CASE WHEN tok <= 32 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fit_32,
+               CAST(SUM(GREATEST(tok - 32, 0)) AS BIGINT) AS cut_32,
+               CAST(SUM(CASE WHEN tok <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fit_64,
+               CAST(SUM(GREATEST(tok - 64, 0)) AS BIGINT) AS cut_64,
+               CAST(SUM(CASE WHEN tok <= 128 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fit_128,
+               CAST(SUM(GREATEST(tok - 128, 0)) AS BIGINT) AS cut_128
+        FROM toks)
+      SELECT idx, budget_tokens, n_docs, n_fit,
+             CAST(n_fit AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fit_share,
+             tok_total, tokens_truncated,
+             CAST(tokens_truncated AS DOUBLE) / CAST(tok_total AS DOUBLE)
+               AS waste_share
+      FROM (
+        SELECT CAST(0 AS BIGINT) AS idx, CAST(32 AS BIGINT)
+                 AS budget_tokens, n_docs, fit_32 AS n_fit, tok_total,
+               cut_32 AS tokens_truncated FROM a
+        UNION ALL
+        SELECT 1, 64, n_docs, fit_64, tok_total, cut_64 FROM a
+        UNION ALL
+        SELECT 2, 128, n_docs, fit_128, tok_total, cut_128 FROM a) u
+      ORDER BY idx"""))
+
   def all: Seq[OracleQuery] =
     Seq(q85Stratified, q86HashSplit, q87Chunks, q88Quantize, q89Int8Knn,
       q90WeightedSample, q91FreqSignals, q105PackBlocks, q106LengthBatches,
       q136RerankKnn, q151MixtureResample, q152EpochPlan, q154ShuffleRank,
-      q247Apportionment, q248LearningCurve)
+      q247Apportionment, q248LearningCurve, q282ContextBudget)
 }

@@ -446,8 +446,78 @@ object HygieneQueries {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) u
       ORDER BY tbl"""))
 
+  /** PII DENSITY card per source — the release-review companion to
+    * q92's redaction: hits per pattern class and per 10k characters,
+    * over a corpus with DETERMINISTICALLY planted PII (id-residue
+    * appends — the raw synthetic text is PII-free, which would make
+    * the card all-zero; the q166/q257 planting discipline). Counts
+    * via the SAME `Redact.Patterns` bank the redactor applies, so
+    * the density report and the scrubber can never disagree on what
+    * counts as PII. Rates are single divisions over BIGINT counts.
+    *
+    * Scale shape: one narrow scan, per-row regexp_count, source-grain
+    * aggregate. */
+  val q281PiiDensity = OracleQuery("q281_pii_density",
+    "per-source PII hit density over a planted-PII corpus, Redact bank",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 17 === 0, lit(" call 555-123-4567"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 19 === 0, lit(" host 10.0.0.1"))
+              .otherwise(lit(""))).as("text"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(graft.ops.Redact.hits(col("text"), "email")).as("emails"),
+          sum(graft.ops.Redact.hits(col("text"), "phone")).as("phones"),
+          sum(graft.ops.Redact.hits(col("text"), "ipv4")).as("ips"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("emails"), col("phones"), col("ips"),
+          (((col("emails") + col("phones") + col("ips")) * 10000L)
+            .cast("double") / col("n_chars").cast("double"))
+            .as("hits_per_10k_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH docs AS MATERIALIZED (
+        SELECT source,
+               concat(text,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN concat(' contact user',
+                                  CAST(doc_id AS VARCHAR), '@example.com')
+                      ELSE '' END,
+                 CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567'
+                      ELSE '' END,
+                 CASE WHEN doc_id % 19 = 0 THEN ' host 10.0.0.1'
+                      ELSE '' END) AS text
+        FROM documents),
+      g AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                 AS BIGINT) AS emails,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')))
+                 AS BIGINT) AS phones,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '([0-9]{1,3}\.){3}[0-9]{1,3}')))
+                 AS BIGINT) AS ips
+        FROM docs GROUP BY 1)
+      SELECT source, n_docs, n_chars, emails, phones, ips,
+             CAST((emails + phones + ips) * 10000 AS DOUBLE) /
+               CAST(n_chars AS DOUBLE) AS hits_per_10k_chars
+      FROM g
+      ORDER BY source"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
-      q135CooccurrenceLift, q153SecretScan, q250DeletionSweep)
+      q135CooccurrenceLift, q153SecretScan, q250DeletionSweep,
+      q281PiiDensity)
 }

@@ -74,32 +74,49 @@ object SetQueries {
         AND levenshtein(probe_name, p.p_name) <= 12
       ORDER BY probe_key, p_partkey"""))
 
-  /** END-TO-END entity resolution — the q76 block→score→threshold
-    * stage COMPOSED with transitive closure and canonical-id
-    * election: within-block Levenshtein ≤ 4 pairs become match
-    * edges, connected components (pointer-jumping min-label,
-    * `ops/Components`) merge chains of matches (A≈B, B≈C ⇒ one
-    * entity even when A–C alone misses the threshold — the reason ER
-    * needs closure, not just pairs), and each entity's canonical id
-    * is the component minimum. Emits one row per multi-member entity
-    * (canonical_id, n_members) — singletons are non-entities and
-    * stay out of the card identically in both engines.
+  /** END-TO-END entity resolution over a PLANTED dirty registry —
+    * the q76 block→score→threshold stage COMPOSED with transitive
+    * closure and canonical-id election. The registry is synthesized
+    * deterministically (q281 planting discipline): identities are md5
+    * strings keyed by custkey, every 7th identity gains a one-char
+    * end-typo variant (distance 1) and every 21st ALSO a two-char
+    * variant (distance 1 from the first variant but 2 from the
+    * clean record — ABOVE the threshold), so the pairwise stage alone
+    * provably under-merges and the closure step is load-bearing, not
+    * decorative. Blocking on the 6-hex prefix co-locates each
+    * identity's variants (typos sit at the END, outside the key)
+    * while random identities collide only at ~16⁻⁶; the thresholded
+    * levenshtein(…, 1) runs the banded early-abort DP. A first cut of
+    * this query blocked real part names — 8 distinct first tokens,
+    * 25M in-block pairs at sf0.1, measured 82 s: with low-entropy
+    * names NO blocking key works, which is itself the classic ER
+    * lesson and is recorded here deliberately.
     *
-    * Scale shape: blocking keeps the quadratic edit-distance work
-    * inside first-token blocks; closure is the q81 O(log diameter)
-    * loop; the oracle replays the closure with a recursive CTE —
-    * different fixpoint formulation, entity-for-entity agreement. */
+    * Emits one row per resolved multi-record entity
+    * (canonical_id, n_members) — n_members = 3 exactly when the chain
+    * was merged through the middle variant. The oracle replays the
+    * registry, the block join and the closure (recursive CTE — a
+    * different fixpoint formulation than pointer jumping). */
   val q265ErPipeline = OracleQuery("q265_er_pipeline",
-    "entity resolution: blocked Levenshtein edges -> components -> canon ids",
+    "entity resolution: blocked edges -> transitive closure -> canon ids",
     (s, d) => {
-      val parts = graft.ops.Caches.track(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"),
-          substring_index(col("p_name"), " ", 1).as("blk")))
-      val edges = parts.as("a").join(parts.as("b"),
-          col("a.blk") === col("b.blk") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
-        .select(col("a.p_partkey").as("src"), col("b.p_partkey").as("dst"))
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"),
+          md5(concat(lit("er"), col("c_custkey").cast("string")))
+            .as("name"))
+      val v1 = base.filter(col("id") % 7 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(substring(col("name"), 1, 31), lit("z")).as("name"))
+      val v2 = base.filter(col("id") % 21 === 0)
+        .select((col("id") + 20000000L).as("id"),
+          concat(substring(col("name"), 1, 30), lit("zz")).as("name"))
+      val reg = graft.ops.Caches.track(
+        base.unionByName(v1).unionByName(v2)
+          .withColumn("blk", substring(col("name"), 1, 6)))
+      val edges = reg.as("a").join(reg.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .filter(levenshtein(col("a.name"), col("b.name"), 1) >= 0)
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
       graft.ops.Components.connectedComponents(edges, "src", "dst")
         .groupBy(col("component").as("canonical_id"))
         .agg(count(lit(1)).as("n_members"))
@@ -107,14 +124,25 @@ object SetQueries {
     },
     Some("""
       WITH RECURSIVE
-      parts AS MATERIALIZED (
-        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
-        FROM part),
+      base AS MATERIALIZED (
+        SELECT c_custkey AS id,
+               md5('er' || CAST(c_custkey AS VARCHAR)) AS name
+        FROM customer),
+      reg AS MATERIALIZED (
+        SELECT id, name FROM base
+        UNION ALL
+        SELECT id + 10000000, substring(name, 1, 31) || 'z'
+        FROM base WHERE id % 7 = 0
+        UNION ALL
+        SELECT id + 20000000, substring(name, 1, 30) || 'zz'
+        FROM base WHERE id % 21 = 0),
+      blocked AS MATERIALIZED (
+        SELECT id, name, substring(name, 1, 6) AS blk FROM reg),
       e AS MATERIALIZED (
-        SELECT a.p_partkey AS src, b.p_partkey AS dst
-        FROM parts a JOIN parts b
-          ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 4),
+        SELECT a.id AS src, b.id AS dst
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1),
       u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
       reach(n, m) AS (
         SELECT src, dst FROM u

@@ -2494,6 +2494,108 @@ object InsightQueries {
                AS down_share
       FROM card"""))
 
+  // ------------------------------------------------------------------ //
+  // q284 — binary segmentation (two-level change-point tree)
+  // ------------------------------------------------------------------ //
+
+  /** BINARY SEGMENTATION over the q212 CUSUM: find the global
+    * change-point, split the series there, and re-run the SAME
+    * `Cusum.trace` on each side — the level-2 step of the standard
+    * multiple-change-point recursion (Scott & Knott 1974), where q212
+    * stops at one break. All three traces are integer-exact; the only
+    * driver traffic is three 1-row peak collects (the IVF-centroid
+    * discipline — the split DAY steers the next level's filter, and a
+    * day is one long). Emits (level, segment, change_day, t_peak,
+    * cusum_norm_peak); the oracle replays all three traces as CTEs
+    * with the split flowing through scalar subqueries — a different
+    * plumbing of the same recursion.
+    *
+    * Scale shape: day-grain only, three calendar-bounded window
+    * passes; a deeper tree costs one trace per NODE, not per row. */
+  val q284BinarySegmentation = OracleQuery("q284_binary_segmentation",
+    "two-level binary-segmentation change points over the CUSUM core",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.orders(s, d)
+        .groupBy(
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100).cast("long")
+          .as("cents")))
+      def peakOf(df: org.apache.spark.sql.DataFrame)
+          : Option[(Long, Long, Double)] =
+        graft.ops.Cusum.trace(df)
+          .filter(col("is_change_point"))
+          .select(col("day"), col("t_k"), col("cusum_norm"))
+          .collect().headOption
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val Some((k0, t0, n0)) = peakOf(daily)
+      // an empty side (peak on the boundary) emits no row — the
+      // oracle's empty pk CTE drops the same row
+      val rows = Seq(org.apache.spark.sql.Row(0L, "full", k0, t0, n0)) ++
+        peakOf(daily.filter(col("day") <= k0)).map { case (k, t, n) =>
+          org.apache.spark.sql.Row(1L, "left", k, t, n) } ++
+        peakOf(daily.filter(col("day") > k0)).map { case (k, t, n) =>
+          org.apache.spark.sql.Row(1L, "right", k, t, n) }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("level", LongType),
+          StructField("segment", StringType),
+          StructField("change_day", LongType),
+          StructField("t_peak", LongType),
+          StructField("cusum_norm_peak", DoubleType))))
+        .orderBy("level", "segment")
+    },
+    Some {
+      def traceSql(name: String, src: String): String = s"""
+      cum_$name AS MATERIALIZED (
+        SELECT day, cents,
+               CAST(COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS k,
+               CAST(SUM(cents) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_c
+        FROM $src),
+      tot_$name AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS c_tot
+        FROM $src),
+      tr_$name AS MATERIALIZED (
+        SELECT c.day, t.n_days * c.cum_c - c.k * t.c_tot AS t_k,
+               t.n_days, t.c_tot
+        FROM cum_$name c CROSS JOIN tot_$name t),
+      pk_$name AS (
+        SELECT day AS change_day, t_k AS t_peak,
+               CAST(t_k AS DOUBLE) / CAST(n_days * c_tot AS DOUBLE)
+                 AS cusum_norm_peak
+        FROM tr_$name
+        ORDER BY abs(t_k) DESC, day LIMIT 1)"""
+      s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      ${traceSql("f", "daily")},
+      dl AS MATERIALIZED (
+        SELECT * FROM daily
+        WHERE day <= (SELECT change_day FROM pk_f)),
+      dr AS MATERIALIZED (
+        SELECT * FROM daily
+        WHERE day > (SELECT change_day FROM pk_f)),
+      ${traceSql("l", "dl")},
+      ${traceSql("r", "dr")}
+      SELECT level, segment, change_day, t_peak, cusum_norm_peak FROM (
+        SELECT CAST(0 AS BIGINT) AS level, 'full' AS segment,
+               change_day, t_peak, cusum_norm_peak FROM pk_f
+        UNION ALL
+        SELECT 1, 'left', change_day, t_peak, cusum_norm_peak FROM pk_l
+        UNION ALL
+        SELECT 1, 'right', change_day, t_peak, cusum_norm_peak FROM pk_r) u
+      ORDER BY level, segment"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q207Auc, q208Lorenz, q209BfsDistance, q210WilsonCi, q211SaltedJoin,
       q212Cusum, q213AcfCard, q214WeightedPaths, q215SessionPaths,
@@ -2502,5 +2604,6 @@ object InsightQueries {
       q224ChurnHazard, q225MmrRerank, q226GroupSequential, q232EwmaBand,
       q238GainsTable, q239ForecastBacktest, q240AbcClassification,
       q241RevenueBridge, q254MixShift, q255NewVsReturning, q256Skyline,
-      q261RankJoin, q262PercentOfParent, q272PriceMovers)
+      q261RankJoin, q262PercentOfParent, q272PriceMovers,
+      q284BinarySegmentation)
 }

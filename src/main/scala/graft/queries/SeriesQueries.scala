@@ -636,8 +636,82 @@ object SeriesQueries {
       FROM g2
       GROUP BY n1, n2"""))
 
+  /** LEAD–LAG cross-correlation: Pearson r between daily clicks and
+    * daily revenue at alignments −3…+3 days — "do clicks LEAD revenue,
+    * and by how many days?" (the peak lag is the actionable number;
+    * q267's rolling r only measures contemporaneous co-movement). One
+    * bounded lag-explode join builds all seven alignments; each lag's
+    * r is q171's fixed-shape expression over exact BIGINT moments.
+    *
+    * Scale shape: day grid × 7 literal lags — calendar-bounded
+    * throughout. */
+  val q283LeadLag = OracleQuery("q283_lead_lag",
+    "cross-correlation of clicks vs revenue at day lags -3..+3",
+    (s, d) => {
+      val daily = graft.ops.Caches.track(Tables.events(s, d)
+        .groupBy(expr(s"ts div 1000 div $DayUs").as("day"))
+        .agg(
+          coalesce((sum(when(col("event_type") === "purchase",
+            col("value").cast(dec2))) * 100).cast("long"), lit(0L))
+            .as("cents"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks")))
+      val lagged = daily.select(col("day"), col("clicks"),
+          explode(expr("sequence(-3, 3)")).as("lag0"))
+        .withColumn("lag", col("lag0").cast("long"))
+        .select((col("day") + col("lag")).as("day"), col("lag"),
+          col("clicks").as("x"))
+      val pairs = lagged.join(daily.select(col("day"),
+          col("cents").as("y")), Seq("day"))
+      val m = pairs.groupBy(col("lag")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("lag"), col("n").as("n_pairs"),
+          when(varx > 0L && vary > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+            .otherwise(lit(0.0)).as("r"))
+        .orderBy("lag")
+    },
+    Some(s"""
+      WITH daily AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END) * 100,
+                             0) AS BIGINT) AS cents,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS clicks
+        FROM events GROUP BY 1),
+      pairs AS (
+        SELECT l.lag, a.clicks AS x, b.cents AS y
+        FROM daily a,
+             (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT)
+                AS lag) l,
+             daily b
+        WHERE b.day = a.day + l.lag),
+      m AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT lag, n AS n_pairs,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END AS r
+      FROM m
+      ORDER BY lag"""))
+
   def all: Seq[OracleQuery] =
     Seq(q159Decayed, q160GapFill, q161RollingUniques, q249DailyBands,
       q260DowIndex, q267RollingCorr, q273Spearman, q274MannKendall,
-      q276RunsTest, q278KsTest)
+      q276RunsTest, q278KsTest, q283LeadLag)
 }

@@ -1130,8 +1130,155 @@ object ExperimentQueries {
                   ELSE 0.0 END AS cohens_d
       FROM p"""))
 
+  // ------------------------------------------------------------------ //
+  // q285 — anytime-valid e-value monitoring gate
+  // ------------------------------------------------------------------ //
+
+  /** ANYTIME-VALID conversion monitoring via a likelihood-ratio
+    * e-process (Ville 1939; Ramdas et al. 2023 "game-theoretic
+    * statistics", public literature): testing H₀ p = 0.2 against
+    * p = 0.3, the running e-value after s successes in n user-days is
+    * (1.5)ˢ·(0.875)ⁿ⁻ˢ — its LOG₂ is a LINEAR form s·log₂1.5 +
+    * (n−s)·log₂0.875 whose two coefficients are SHARED 17-digit
+    * literals, so the whole always-valid boundary (log₂E ≥ log₂20 ⇔
+    * reject at α = 0.05 AT ANY LOOK, no alpha spending) is exact
+    * integer evidence × two literals. Where q226's O'Brien–Fleming
+    * gate fixes five looks in advance, the e-process is valid at
+    * EVERY day — the modern peeking-proof monitor. Per-day rows with
+    * cumulative evidence; `crossed` latches via a running max.
+    *
+    * Scale shape: corpus → (day, user) distinct → day grain →
+    * calendar-bounded cumulative windows. */
+  val q285EvalueGate = OracleQuery("q285_evalue_gate",
+    "anytime-valid e-process gate on daily conversion, shared-literal log",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val du = Tables.events(s, d)
+        .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"),
+          col("event_type"))
+      val days = du.groupBy(col("day"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_day"), sum(col("conv")).as("s_day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = days
+        .withColumn("n_cum", sum(col("n_day")).over(w))
+        .withColumn("s_cum", sum(col("s_day")).over(w))
+        .withColumn("log2_e",
+          col("s_cum").cast("double") * lit(0.58496250072115596) +
+            (col("n_cum") - col("s_cum")).cast("double") *
+              lit(-0.19264507794239608))
+      cum.withColumn("crossed",
+          max(col("log2_e") >= lit(4.3219280948873626)).over(w))
+        .select(col("day"), col("n_cum"), col("s_cum"), col("log2_e"),
+          col("crossed"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH du AS MATERIALIZED (
+        SELECT epoch_us(ts) // $DayUs AS day, user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY 1, 2),
+      days AS MATERIALIZED (
+        SELECT day, COUNT(*) AS n_day,
+               CAST(SUM(conv) AS BIGINT) AS s_day
+        FROM du GROUP BY 1),
+      cum AS MATERIALIZED (
+        SELECT day,
+               CAST(SUM(n_day) OVER w AS BIGINT) AS n_cum,
+               CAST(SUM(s_day) OVER w AS BIGINT) AS s_cum
+        FROM days
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      e AS MATERIALIZED (
+        SELECT day, n_cum, s_cum,
+               CAST(s_cum AS DOUBLE) * 0.58496250072115596e0 +
+                 CAST(n_cum - s_cum AS DOUBLE) *
+                   (-0.19264507794239608e0) AS log2_e
+        FROM cum)
+      SELECT day, n_cum, s_cum, log2_e,
+             MAX(log2_e >= 4.3219280948873626e0) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS crossed
+      FROM e
+      ORDER BY day"""))
+
+  // ------------------------------------------------------------------ //
+  // q286 — capture–recapture population estimate (Chapman)
+  // ------------------------------------------------------------------ //
+
+  /** Chapman capture–recapture estimate of the ACTIVE POPULATION from
+    * two week-long "captures": users seen in week 1 are the marked
+    * sample, users seen in week 2 the recapture, and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates how many users exist
+    * INCLUDING those never observed — the ecology estimator data
+    * teams reuse for "how big is the population we're sampling from"
+    * (and dedup teams for unseen-duplicate mass). All three counts
+    * are exact BIGINTs from one distinct; the estimate is one
+    * division; the gate compares N̂ against the observed union (N̂
+    * must be ≥ it — a violated gate means the independence assumption
+    * collapsed). */
+  val q286CaptureRecapture = OracleQuery("q286_capture_recapture",
+    "Chapman capture-recapture active-population estimate, exact counts",
+    (s, d) => {
+      val du = graft.ops.Caches.track(Tables.events(s, d)
+        .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"))
+        .distinct())
+      val b = broadcast(du.agg(min(col("day")).as("d0")))
+      val tagged = du.crossJoin(b)
+        .select(col("user_id"),
+          (col("day") < col("d0") + 7L).as("w1"),
+          (col("day") >= col("d0") + 7L && col("day") < col("d0") + 14L)
+            .as("w2"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("w1"), 1L).otherwise(0L)).as("in1"),
+          max(when(col("w2"), 1L).otherwise(0L)).as("in2"))
+      val cnt = tagged.agg(
+        sum(col("in1")).as("n1"),
+        sum(col("in2")).as("n2"),
+        sum(when(col("in1") === 1L && col("in2") === 1L, 1L).otherwise(0L))
+          .as("m"),
+        sum(when(col("in1") === 1L || col("in2") === 1L, 1L).otherwise(0L))
+          .as("observed_union"))
+      cnt.select(col("n1"), col("n2"), col("m"), col("observed_union"),
+        (((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+          (col("m") + 1L).cast("double") - lit(1.0)).as("n_hat"),
+        ((((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+          (col("m") + 1L).cast("double") - lit(1.0)) >=
+          col("observed_union").cast("double")).as("sane"))
+    },
+    Some(s"""
+      WITH du AS MATERIALIZED (
+        SELECT DISTINCT epoch_us(ts) // $DayUs AS day, user_id
+        FROM events),
+      b AS (SELECT MIN(day) AS d0 FROM du),
+      tagged AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN day < d0 + 7 THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN day >= d0 + 7 AND day < d0 + 14
+                        THEN 1 ELSE 0 END) AS in2
+        FROM du, b GROUP BY user_id),
+      cnt AS (
+        SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+               CAST(SUM(in2) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN in1 = 1 OR in2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS observed_union
+        FROM tagged)
+      SELECT n1, n2, m, observed_union,
+             CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
+               CAST(m + 1 AS DOUBLE) - 1.0e0 AS n_hat,
+             (CAST((n1 + 1) * (n2 + 1) AS DOUBLE) /
+               CAST(m + 1 AS DOUBLE) - 1.0e0) >=
+               CAST(observed_union AS DOUBLE) AS sane
+      FROM cnt"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
       q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon,
-      q280CohensD)
+      q280CohensD, q285EvalueGate, q286CaptureRecapture)
 }

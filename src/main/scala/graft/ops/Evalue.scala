@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Anytime-valid e-process gate — the shared core of batch q285 and
+  * the streaming monitor ([[graft.streaming.StreamingEvalueStore]]):
+  * both feed a (day, user, conv) table to [[gateTable]], so stream ≡
+  * batch by construction (the [[Srm]] discipline).
+  *
+  * Testing H₀ p = 0.2 vs p = 0.3 on per-user-day conversion, the
+  * running e-value after s successes in n trials is
+  * 1.5ˢ·0.875ⁿ⁻ˢ; its log₂ is a LINEAR form in the exact BIGINT
+  * counts with two SHARED 17-digit literal coefficients, and the
+  * always-valid rejection boundary log₂E ≥ log₂20 (α = 0.05, valid
+  * at EVERY look — no alpha spending, no fixed look schedule) is one
+  * comparison. Ville 1939; Ramdas et al. 2023 (public literature).
+  */
+object Evalue {
+
+  val Log2Ratio1 = "0.58496250072115596"  // log2(0.3/0.2)
+  val Log2Ratio0 = "-0.19264507794239608" // log2(0.7/0.8)
+  val Log2Alpha = "4.3219280948873626"    // log2(1/0.05)
+
+  /** (day, n_cum, s_cum, log2_e, crossed) from a (day, user, conv)
+    * table — conv ∈ {0,1} per (day, user), duplicates collapse by
+    * max. The cumulative windows run over the calendar-bounded day
+    * grain only. */
+  def gateTable(du: DataFrame, dayCol: String = "day",
+      userCol: String = "user_id", convCol: String = "conv"): DataFrame = {
+    val days = du
+      .groupBy(col(dayCol).cast("long").as("day"), col(userCol))
+      .agg(max(col(convCol)).cast("long").as("conv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("conv")).as("s_day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("n_cum", sum(col("n_day")).over(w))
+      .withColumn("s_cum", sum(col("s_day")).over(w))
+      .withColumn("log2_e",
+        col("s_cum").cast("double") * lit(Log2Ratio1.toDouble) +
+          (col("n_cum") - col("s_cum")).cast("double") *
+            lit(Log2Ratio0.toDouble))
+      .withColumn("crossed",
+        max(col("log2_e") >= lit(Log2Alpha.toDouble)).over(w))
+      .select(col("day"), col("n_cum"), col("s_cum"), col("log2_e"),
+        col("crossed"))
+      .orderBy("day")
+  }
+}

@@ -1151,31 +1151,14 @@ object ExperimentQueries {
     * calendar-bounded cumulative windows. */
   val q285EvalueGate = OracleQuery("q285_evalue_gate",
     "anytime-valid e-process gate on daily conversion, shared-literal log",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val du = Tables.events(s, d)
+    (s, d) =>
+      // core factored into ops/Evalue.gateTable — the streaming
+      // monitor (StreamingEvalueStore) runs the SAME function over
+      // its folded (day, user, conv) store
+      graft.ops.Evalue.gateTable(Tables.events(s, d)
         .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"),
-          col("event_type"))
-      val days = du.groupBy(col("day"), col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("conv"))
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_day"), sum(col("conv")).as("s_day"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = days
-        .withColumn("n_cum", sum(col("n_day")).over(w))
-        .withColumn("s_cum", sum(col("s_day")).over(w))
-        .withColumn("log2_e",
-          col("s_cum").cast("double") * lit(0.58496250072115596) +
-            (col("n_cum") - col("s_cum")).cast("double") *
-              lit(-0.19264507794239608))
-      cum.withColumn("crossed",
-          max(col("log2_e") >= lit(4.3219280948873626)).over(w))
-        .select(col("day"), col("n_cum"), col("s_cum"), col("log2_e"),
-          col("crossed"))
-        .orderBy("day")
-    },
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("conv"))),
     Some(s"""
       WITH du AS MATERIALIZED (
         SELECT epoch_us(ts) // $DayUs AS day, user_id,

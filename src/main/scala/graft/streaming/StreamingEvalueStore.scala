@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Evalue
+
+/** STREAMING anytime-valid e-value monitor — the on-arrival twin of
+  * the batch q285 gate, and the op where streaming is the NATIVE
+  * framing: an e-process is exactly the object that stays valid under
+  * continuous optional stopping, so feeding it per micro-batch is its
+  * intended use (Ramdas et al. 2023), not an adaptation.
+  *
+  * State: a persisted (day, user, conv) table folded per batch with
+  * MAX-merge on conv — max is idempotent, so replayed or overlapping
+  * batches fold to the same table and exactly-once needs NO manifest
+  * (the [[StreamingSrmStore]] discipline; contrast the additive
+  * [[StreamingCusumStore]], which must carry one). The readout is
+  * [[Evalue.gateTable]] — the SAME core the batch query runs, so
+  * stream ≡ batch by construction once the stores agree.
+  *
+  * Scale shape: each fold is one batch-local (day, user) max + one
+  * key-partitioned merge; the state is (users × active-days)-bounded.
+  */
+object StreamingEvalueStore {
+
+  def attach(rows: DataFrame, store: TableStore, table: String,
+      dayCol: String, userCol: String, convCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, table, dayCol, userCol, convCol)
+      }
+
+  /** Fold one batch (idempotent max-merge — see class doc). */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      table: String, dayCol: String, userCol: String,
+      convCol: String): Unit = {
+    val delta = batch
+      .select(col(dayCol).cast("long").as("day"),
+        col(userCol).cast("long").as("user_id"),
+        col(convCol).cast("long").as("conv"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("conv")).as("conv"))
+    val next =
+      if (!store.exists(table)) delta
+      else store.read(table).unionByName(delta)
+        .groupBy(col("day"), col("user_id"))
+        .agg(max(col("conv")).as("conv"))
+    store.overwrite(table, next)
+  }
+
+  /** The gate over the store's current evidence — EXACTLY
+    * [[Evalue.gateTable]]. */
+  def gate(store: TableStore, table: String): DataFrame =
+    Evalue.gateTable(store.read(table))
+}

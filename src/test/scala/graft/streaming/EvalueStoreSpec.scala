@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Evalue
+import graft.sources.Tables
+
+/** Streaming e-value store: (day, user, conv) folded with idempotent
+  * max-merge; the gate over the folded store is row-equal to the
+  * batch q285 core (both run `Evalue.gateTable`). */
+class EvalueStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val DayUs = 86400000000L
+
+  private def rows = Tables.events(spark, sfDir)
+    .select(expr(s"ts div 1000 div $DayUs").as("day"), col("user_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+
+  private def gateRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("day")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+
+  test("streamed store's gate equals the batch core exactly") {
+    val r = rows.cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_ev_store_").toString)
+    // overlapping order-sliced deliveries: a user-day's conv=1 event
+    // may arrive in a different batch than its conv=0 events — the
+    // max-merge must reconcile them
+    (0 to 2).foreach { p =>
+      StreamingEvalueStore.mergeBatch(
+        r.filter($"user_id" % 3 === p || $"user_id" % 3 === (p + 1) % 3),
+        p.toLong, store, "ev", "day", "user_id", "conv")
+    }
+    val streamed = gateRows(StreamingEvalueStore.gate(store, "ev"))
+    val oneShot = gateRows(Evalue.gateTable(r))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    r.unpersist()
+  }
+
+  test("replays and late conv upgrades fold idempotently") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_ev_rep_").toString)
+    val b0 = Seq((10L, 1L, 0L), (10L, 2L, 1L)).toDF("day", "user_id", "conv")
+    StreamingEvalueStore.mergeBatch(b0, 0L, store, "e", "day", "user_id",
+      "conv")
+    StreamingEvalueStore.mergeBatch(b0, 0L, store, "e", "day", "user_id",
+      "conv")
+    assert(store.read("e").count() == 2L, "replay must not grow the store")
+    // a late-arriving purchase upgrades (10, 1) from 0 to 1 — max-merge
+    val b1 = Seq((10L, 1L, 1L)).toDF("day", "user_id", "conv")
+    StreamingEvalueStore.mergeBatch(b1, 1L, store, "e", "day", "user_id",
+      "conv")
+    val s = StreamingEvalueStore.gate(store, "e")
+      .select($"s_cum").as[Long].head()
+    assert(s == 2L)
+  }
+
+  test("attach drains a file stream into the store (AvailableNow)") {
+    val r = rows.limit(800).cache()
+    val dir = Files.createTempDirectory("graft_ev_in_").toString
+    val ck = Files.createTempDirectory("graft_ev_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_ev_st_").toString)
+    r.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(r.schema).parquet(dir)
+    StreamingEvalueStore.attach(stream, store, "ev", "day", "user_id",
+      "conv", checkpoint = ck).start().awaitTermination()
+    val streamed = gateRows(StreamingEvalueStore.gate(store, "ev"))
+    val oneShot = gateRows(Evalue.gateTable(r))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    r.unpersist()
+  }
+}

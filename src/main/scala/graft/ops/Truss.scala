@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-TRUSS peeling — the EDGE-support cousin of [[KCore]]: the
+  * k-truss is the maximal subgraph where every edge participates in
+  * ≥ k−2 triangles (Cohen 2008, public literature). Where k-core
+  * keeps well-connected NODES, k-truss keeps well-EMBEDDED edges —
+  * the community-backbone extractor that drops bridge/noise edges a
+  * degree threshold can't see.
+  *
+  * Fixed-round peeling (the [[KCore]] discipline — no convergence
+  * collect, bounded lineage): each round recomputes per-edge triangle
+  * support through [[Triangles.triangleRowsCanon]] (degree-oriented
+  * wedge join, bloom-pruned — the full q162 machinery, re-run on the
+  * SHRINKING edge set) and drops under-supported edges. Support is a
+  * pure BIGINT count, so the entire peeling trajectory is
+  * integer-exact and replays in any engine applying the same rule —
+  * q287's oracle unrolls every round as recomputed-support CTEs.
+  *
+  * Scale shape per round: one triangle enumeration (the q162 cost,
+  * shrinking each round) + one corner-explode aggregate + one
+  * edge-keyed left join. Round count is FIXED; a `converged` flag
+  * red-flags an outgrown budget in BOTH engines rather than silently
+  * under-peeling.
+  */
+object Truss {
+
+  /** Edge sets of the peeling trajectory: Seq of (round, edges) with
+    * round 0 = the canonical input. Edges must already be canonical
+    * (a < b, distinct) — use [[Triangles.canonEdges]]. */
+  def peelTrajectory(canon: DataFrame, k: Int,
+      rounds: Int): Seq[(Int, DataFrame)] = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    var e = Caches.track(canon)
+    var acc = List(0 -> e)
+    (1 to rounds).foreach { r =>
+      val sup = Triangles.triangleRowsCanon(e)
+        .select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+      e = Caches.track(e.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b")))
+      acc = acc :+ (r -> e)
+    }
+    acc
+  }
+}

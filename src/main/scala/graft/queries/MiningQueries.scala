@@ -299,7 +299,95 @@ object MiningQueries {
                   ELSE 0.0 END AS assortativity
       FROM m"""))
 
+  /** 4-TRUSS peeling trajectory ([[graft.ops.Truss.peelTrajectory]])
+    * on the STRONG-TIE co-purchase graph (pairs co-purchased in ≥ 2
+    * orders — the weight floor that keeps the triangle enumeration
+    * off the long tail of one-off pairs): per round, the surviving
+    * edge count, plus the converged flag (last two rounds equal) and
+    * the final backbone's node count. Each round re-runs the FULL
+    * q162 triangle machinery (degree-oriented, bloom-pruned) on the
+    * shrinking edge set; supports are BIGINT counts, so the peeling
+    * trajectory hash-replays — the oracle recomputes both rounds'
+    * supports from scratch with plain 3-way self-joins (different
+    * triangle algorithm, same trajectory). Driver traffic: three
+    * edge counts + one node count (bounded values steering nothing
+    * but row literals — the q284 discipline). */
+  val q287KTruss = OracleQuery("q287_ktruss",
+    "4-truss peeling trajectory of the strong-tie co-purchase graph",
+    (s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val canon = bi.as("l").join(bi.as("r"), col("l.b") === col("r.b"))
+        .filter(col("l.i") < col("r.i"))
+        .groupBy(col("l.i").as("a"), col("r.i").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2L)
+        .select(col("a"), col("b"))
+      val traj = graft.ops.Truss.peelTrajectory(canon, k = 4, rounds = 2)
+      val counts = traj.map { case (r, df) => (r.toLong, df.count()) }
+      val converged = counts(1)._2 == counts(2)._2
+      val nodes = traj.last._2
+        .select(col("a").as("n")).unionAll(
+          traj.last._2.select(col("b").as("n")))
+        .distinct().count()
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        s.sparkContext.parallelize(counts.map { case (r, n) =>
+          org.apache.spark.sql.Row(r, n, converged, nodes)
+        }, 1),
+        StructType(Seq(StructField("round", LongType),
+          StructField("n_edges", LongType),
+          StructField("converged", BooleanType),
+          StructField("n_truss_nodes", LongType))))
+        .orderBy("round")
+    },
+    Some {
+      def roundSql(i: Int, prev: String): String = s"""
+      tri$i AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM $prev e1
+        JOIN $prev e2 ON e1.b = e2.a
+        JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+      sup$i AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS support FROM (
+          SELECT x AS a, y AS b FROM tri$i
+          UNION ALL SELECT y, z FROM tri$i
+          UNION ALL SELECT x, z FROM tri$i) c
+        GROUP BY 1, 2),
+      r$i AS MATERIALIZED (
+        SELECT r.a, r.b FROM $prev r
+        LEFT JOIN sup$i s ON r.a = s.a AND r.b = s.b
+        WHERE COALESCE(s.support, 0) >= 2)"""
+      s"""
+      WITH bi AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+      r0 AS MATERIALIZED (
+        SELECT l.i AS a, r.i AS b
+        FROM bi l JOIN bi r ON l.bk = r.bk AND l.i < r.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      ${roundSql(1, "r0")},
+      ${roundSql(2, "r1")},
+      nodes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+          SELECT DISTINCT n FROM (
+            SELECT a AS n FROM r2 UNION ALL SELECT b FROM r2) u) v),
+      conv AS (
+        SELECT (SELECT COUNT(*) FROM r1) = (SELECT COUNT(*) FROM r2)
+          AS converged)
+      SELECT round, n_edges, c.converged, n.n_nodes AS n_truss_nodes
+      FROM (
+        SELECT CAST(0 AS BIGINT) AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM r0) AS n_edges
+        UNION ALL
+        SELECT 1, (SELECT COUNT(*) FROM r1)
+        UNION ALL
+        SELECT 2, (SELECT COUNT(*) FROM r2)) t, conv c, nodes n
+      ORDER BY round"""
+    })
+
   def all: Seq[OracleQuery] =
     Seq(q162Triangles, q163BasketLift, q175KCore, q233Hits,
-      q268Assortativity)
+      q268Assortativity, q287KTruss)
 }

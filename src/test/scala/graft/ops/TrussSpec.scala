@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** k-truss peeling on hand-traced graphs — the trajectory is
+  * integer-exact, so every expected edge set is computable by hand. */
+class TrussSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Truss.peelTrajectory(
+      Triangles.canonEdges(edges.toDF("s", "d"), "s", "d"), k, rounds)
+      .map { case (r, df) =>
+        r -> df.select($"a", $"b").as[(Long, Long)].collect().toSet
+      }
+
+  test("4-truss keeps the 4-clique and peels the pendant triangle") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // hanging off it (each of its edges in exactly 1 triangle) + a
+    // bridge edge (7,8) in no triangle.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = k4 ++ pendant ++ Seq((7L, 8L))
+    val traj = peel(edges, k = 4, rounds = 2).toMap
+    assert(traj(0).size == 10)
+    // round 1: bridge (support 0) and the pendant triangle's edges
+    // (support 1 < 2) all drop; the K4 edges (support 2) survive
+    assert(traj(1) == k4.toSet)
+    // round 2: K4 supports are unchanged within the survivor set —
+    // stable fixpoint
+    assert(traj(2) == k4.toSet)
+  }
+
+  test("cascading peel: losing one triangle corner demotes the rest") {
+    // two triangles sharing edge (1,2): {1,2,3} and {1,2,4}. Edge
+    // (1,2) has support 2; all others support 1. 4-truss round 1
+    // keeps only (1,2); round 2 drops it too (no triangles remain).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val traj = peel(edges, k = 4, rounds = 2).toMap
+    assert(traj(1) == Set((1L, 2L)))
+    assert(traj(2) == Set.empty[(Long, Long)])
+  }
+
+  test("3-truss = edges in at least one triangle") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val traj = peel(edges, k = 3, rounds = 1).toMap
+    assert(traj(1) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}

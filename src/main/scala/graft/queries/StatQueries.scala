@@ -681,7 +681,160 @@ object StatQueries {
       FROM m"""
     })
 
+  /** FULFILLMENT TREND verdict: monthly P50 ship latencies (grouped
+    * histogram walk — months are the groups, latencies exact integer
+    * days) fed into a Mann–Kendall monotone-trend test ACROSS the
+    * months (the q274 machinery on the bounded month grid): "is
+    * fulfillment actually getting faster?" answered with an integer S
+    * statistic and the continuity-corrected z against the shared
+    * 1.96 literal. A composition card — the walk feeds the test, both
+    * already hash-proven separately.
+    *
+    * Scale shape: lineitem⋈orders → the walk (driver sees
+    * \|months\|×1024 longs) → calendar² month pairs. Emits per-month
+    * rows with the verdict columns constant. */
+  val q288FulfillmentTrend = OracleQuery("q288_fulfillment_trend",
+    "monthly P50 ship latency + Mann-Kendall improving/worsening verdict",
+    (s, d) => {
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr("ord_us div 2592000000000").as("month"),
+          expr("(ship_us - ord_us) div 86400000000").as("lat_days"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("rid"))
+      val monthly = graft.ops.Caches.track(
+        graft.ops.Profile.scalableOrderStat(rows, "month", "lat_days",
+            "rid", 0.5)
+          .select(col("month"), col("n").as("n_items"),
+            col("order_stat").as("p50_days")))
+      val mk = broadcast(monthly.as("a").join(monthly.as("b"),
+          col("a.month") < col("b.month"))
+        .select(signum((col("b.p50_days") - col("a.p50_days"))
+          .cast("double")).cast("long").as("sgn"))
+        .agg(sum(col("sgn")).as("s_stat"))
+        .crossJoin(broadcast(monthly.agg(count(lit(1)).as("n_m"))))
+        .select(col("s_stat"), col("n_m"),
+          when(col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") /
+              sqrt((col("n_m") * (col("n_m") - 1L) *
+                (lit(2L) * col("n_m") + 5L)).cast("double") / lit(18.0)))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + 1L).cast("double") /
+                sqrt((col("n_m") * (col("n_m") - 1L) *
+                  (lit(2L) * col("n_m") + 5L)).cast("double") / lit(18.0)))
+            .otherwise(lit(0.0)).as("z")))
+      monthly.crossJoin(mk)
+        .select(col("month"), col("n_items"), col("p50_days"),
+          col("s_stat"), col("z"),
+          (abs(col("z")) > lit(1.959963984540054)).as("trend_detected"))
+        .orderBy("month")
+    },
+    Some("""
+      WITH rows_ AS MATERIALIZED (
+        SELECT epoch_us(o.o_orderdate) // 2592000000000 AS month,
+               (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                 // 86400000000 AS lat_days,
+               l.l_orderkey * 100 + l.l_linenumber AS rid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      ranked AS MATERIALIZED (
+        SELECT month, lat_days,
+               row_number() OVER (PARTITION BY month
+                 ORDER BY lat_days, rid) AS rk,
+               COUNT(*) OVER (PARTITION BY month) AS n
+        FROM rows_),
+      monthly AS MATERIALIZED (
+        SELECT month, CAST(MAX(n) AS BIGINT) AS n_items,
+               MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+                   THEN lat_days END) AS p50_days
+        FROM ranked GROUP BY 1),
+      mk AS (
+        SELECT CAST(SUM(CAST(SIGN(b.p50_days - a.p50_days) AS BIGINT))
+                 AS BIGINT) AS s_stat,
+               (SELECT COUNT(*) FROM monthly) AS n_m
+        FROM monthly a JOIN monthly b ON a.month < b.month),
+      zc AS (
+        SELECT s_stat, n_m,
+               CASE WHEN s_stat > 0
+                    THEN CAST(s_stat - 1 AS DOUBLE) /
+                         sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5)
+                           AS DOUBLE) / 18.0e0)
+                    WHEN s_stat < 0
+                    THEN CAST(s_stat + 1 AS DOUBLE) /
+                         sqrt(CAST(n_m * (n_m - 1) * (2 * n_m + 5)
+                           AS DOUBLE) / 18.0e0)
+                    ELSE 0.0 END AS z
+        FROM mk)
+      SELECT m.month, m.n_items, m.p50_days, z.s_stat, z.z,
+             abs(z.z) > 1.959963984540054e0 AS trend_detected
+      FROM monthly m, zc z
+      ORDER BY m.month"""))
+
+  /** Weekly demand-concentration HHI: Σ (part revenue share)² per
+    * week — the Herfindahl index, as the exact ratio
+    * Σ cents_p² / (Σ cents_p)²: both numerator and denominator ride
+    * bounded decimal lanes (cents² sums overflow BIGINT at sf0.1
+    * scale) and exit via VARCHAR, one division per week. A
+    * concentration spike = one part dominating the week's demand —
+    * the portfolio-risk twin of q208's Gini at the week grain.
+    *
+    * Scale shape: one (week, part) aggregate → week-grain moment
+    * rollup; no windows. */
+  val q289Hhi = OracleQuery("q289_hhi",
+    "weekly demand-concentration Herfindahl index, exact decimal lanes",
+    (s, d) => {
+      def toDbl(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val wp = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000")
+              .as("week")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("week"), col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast(dec2)) * 100).cast("long")
+          .as("cents"))
+      val cd = col("cents").cast("decimal(18,0)")
+      wp.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(cd).cast("decimal(19,0)").as("s1"),
+          sum(cd * cd).cast("decimal(28,0)").as("s2"))
+        .select(col("week"), col("n_parts"),
+          col("s1").cast("long").as("week_cents"),
+          (toDbl(col("s2")) / (toDbl(col("s1")) * toDbl(col("s1"))))
+            .as("hhi"))
+        .orderBy("week")
+    },
+    Some("""
+      WITH wp AS MATERIALIZED (
+        SELECT epoch_us(o.o_orderdate) // 604800000000 AS week,
+               l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT week, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS DECIMAL(19,0))
+                 AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(18,0)) *
+                        CAST(cents AS DECIMAL(18,0))) AS DECIMAL(28,0))
+                 AS s2
+        FROM wp GROUP BY 1)
+      SELECT week, n_parts,
+             CAST(s1 AS BIGINT) AS week_cents,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) /
+               (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(s1 AS VARCHAR) AS DOUBLE)) AS hhi
+      FROM m
+      ORDER BY week"""))
+
   def all: Seq[OracleQuery] =
     Seq(q169Trend, q170GroupQuantiles, q171Correlation, q251SlaLatency,
-      q252Dispersion, q259AnovaF, q277Ols2, q279BrownForsythe)
+      q252Dispersion, q259AnovaF, q277Ols2, q279BrownForsythe,
+      q288FulfillmentTrend, q289Hhi)
 }

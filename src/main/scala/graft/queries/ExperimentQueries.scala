@@ -1260,8 +1260,226 @@ object ExperimentQueries {
                CAST(observed_union AS DOUBLE) AS sane
       FROM cnt"""))
 
+  // ------------------------------------------------------------------ //
+  // q290 — Simpson's-paradox integrity check
+  // ------------------------------------------------------------------ //
+
+  /** SIMPSON'S-PARADOX detector on the A/B conversion readout: the
+    * overall rate difference AND every segment's difference, each
+    * SIGN decided by the integer cross-multiplication
+    * convA·n_B − convB·n_A (never by comparing float rates), plus the
+    * paradox verdict — all segments agreeing on one direction while
+    * the pooled readout points the other way (the aggregation hazard
+    * q235's re-weighting exists to fix; this card DETECTS it). Rates
+    * are emitted as single divisions for display; the verdict never
+    * touches them.
+    *
+    * Scale shape: user grain → broadcast dim join → 5-segment
+    * aggregate + pooled row; per-segment rows carry the constant
+    * verdict columns. */
+  val q290SimpsonsCheck = OracleQuery("q290_simpsons_check",
+    "per-segment vs pooled conversion direction + Simpson's-paradox flag",
+    (s, d) => {
+      val users = graft.ops.Caches.track(Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("conv"), col("variant"),
+          col("c_mktsegment").as("segment")))
+      def cells(df: org.apache.spark.sql.DataFrame) = Seq(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+          .as("c_a"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+          .as("c_b"))
+      val segRows = users.groupBy(col("segment"))
+        .agg(cells(users).head, cells(users).tail: _*)
+        .withColumn("dir",
+          signum((col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+            .cast("double")).cast("long"))
+      val pooled = broadcast(users
+        .agg(cells(users).head, cells(users).tail: _*)
+        .select(signum((col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+          .cast("double")).cast("long").as("pooled_dir")))
+      val verdict = broadcast(segRows.crossJoin(pooled).agg(
+        min(col("dir")).as("min_dir"), max(col("dir")).as("max_dir"),
+        max(col("pooled_dir")).as("pooled_dir"))
+        .select(col("pooled_dir"),
+          (col("min_dir") === col("max_dir") && col("min_dir") =!= 0L &&
+            col("pooled_dir") =!= col("min_dir")).as("simpsons_paradox")))
+      segRows.crossJoin(verdict)
+        .select(col("segment"), col("n_a"), col("n_b"), col("c_a"),
+          col("c_b"),
+          (col("c_a").cast("double") / col("n_a").cast("double"))
+            .as("rate_a"),
+          (col("c_b").cast("double") / col("n_b").cast("double"))
+            .as("rate_b"),
+          col("dir"), col("pooled_dir"), col("simpsons_paradox"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.conv, u0.variant, c.c_mktsegment AS segment
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      seg AS MATERIALIZED (
+        SELECT segment,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_b
+        FROM users GROUP BY 1),
+      seg2 AS MATERIALIZED (
+        SELECT *, CAST(SIGN(c_a * n_b - c_b * n_a) AS BIGINT) AS dir
+        FROM seg),
+      pooled AS (
+        SELECT CAST(SIGN(SUM(c_a) * SUM(n_b) - SUM(c_b) * SUM(n_a))
+          AS BIGINT) AS pooled_dir
+        FROM seg),
+      verdict AS (
+        SELECT p.pooled_dir,
+               MIN(s.dir) = MAX(s.dir) AND MIN(s.dir) <> 0
+                 AND p.pooled_dir <> MIN(s.dir) AS simpsons_paradox
+        FROM seg2 s, pooled p
+        GROUP BY p.pooled_dir)
+      SELECT s.segment, s.n_a, s.n_b, s.c_a, s.c_b,
+             CAST(s.c_a AS DOUBLE) / CAST(s.n_a AS DOUBLE) AS rate_a,
+             CAST(s.c_b AS DOUBLE) / CAST(s.n_b AS DOUBLE) AS rate_b,
+             s.dir, v.pooled_dir, v.simpsons_paradox
+      FROM seg2 s, verdict v
+      ORDER BY s.segment"""))
+
+  // ------------------------------------------------------------------ //
+  // q291 — leave-one-segment-out influence
+  // ------------------------------------------------------------------ //
+
+  /** LEAVE-ONE-SEGMENT-OUT influence: the pooled A−B conversion gap
+    * recomputed with each segment excluded — "is the result driven by
+    * one segment?" Each LOO gap comes from exact complement counts
+    * (pooled minus the segment's cells — pure BIGINT subtraction, no
+    * second corpus pass), its direction from the integer
+    * cross-multiplication, and `flips_direction` marks segments whose
+    * removal reverses the pooled sign — the influence audit next to
+    * q290's paradox detector. Gaps emitted as single divisions.
+    *
+    * Scale shape: ONE 5-segment aggregate; every LOO row is
+    * arithmetic over it and the pooled totals. */
+  val q291LooInfluence = OracleQuery("q291_loo_influence",
+    "leave-one-segment-out A-B gap with direction-flip flags",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(Curation.splitLabel(col("user_id"), 0.5, "expA") === "test",
+            lit("B")).otherwise(lit("A")))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .select(col("conv"), col("variant"),
+          col("c_mktsegment").as("segment"))
+      val seg = graft.ops.Caches.track(users.groupBy(col("segment"))
+        .agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+            .as("c_a"),
+          sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+            .as("c_b")))
+      val tot = broadcast(seg.agg(
+        sum(col("n_a")).as("tn_a"), sum(col("n_b")).as("tn_b"),
+        sum(col("c_a")).as("tc_a"), sum(col("c_b")).as("tc_b")))
+      val loo = seg.crossJoin(tot)
+        .select(col("segment"),
+          (col("tn_a") - col("n_a")).as("loo_n_a"),
+          (col("tn_b") - col("n_b")).as("loo_n_b"),
+          (col("tc_a") - col("c_a")).as("loo_c_a"),
+          (col("tc_b") - col("c_b")).as("loo_c_b"),
+          signum((col("tc_a") * col("tn_b") - col("tc_b") * col("tn_a"))
+            .cast("double")).cast("long").as("pooled_dir"))
+      loo.select(col("segment"), col("loo_n_a"), col("loo_n_b"),
+          (col("loo_c_a").cast("double") / col("loo_n_a").cast("double") -
+            col("loo_c_b").cast("double") / col("loo_n_b").cast("double"))
+            .as("loo_gap"),
+          signum((col("loo_c_a") * col("loo_n_b") -
+            col("loo_c_b") * col("loo_n_a")).cast("double")).cast("long")
+            .as("loo_dir"),
+          col("pooled_dir"),
+          (signum((col("loo_c_a") * col("loo_n_b") -
+            col("loo_c_b") * col("loo_n_a")).cast("double")).cast("long")
+            =!= col("pooled_dir")).as("flips_direction"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH u0 AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN substring(md5('expA' || CAST(user_id AS VARCHAR)),
+                         1, 8) < '80000000'
+                    THEN 'B' ELSE 'A' END AS variant
+        FROM events GROUP BY user_id),
+      users AS MATERIALIZED (
+        SELECT u0.conv, u0.variant, c.c_mktsegment AS segment
+        FROM u0 JOIN customer c ON u0.user_id = c.c_custkey),
+      seg AS MATERIALIZED (
+        SELECT segment,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_b
+        FROM users GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS tn_a,
+               CAST(SUM(n_b) AS BIGINT) AS tn_b,
+               CAST(SUM(c_a) AS BIGINT) AS tc_a,
+               CAST(SUM(c_b) AS BIGINT) AS tc_b
+        FROM seg),
+      loo AS (
+        SELECT s.segment,
+               t.tn_a - s.n_a AS loo_n_a, t.tn_b - s.n_b AS loo_n_b,
+               t.tc_a - s.c_a AS loo_c_a, t.tc_b - s.c_b AS loo_c_b,
+               CAST(SIGN(t.tc_a * t.tn_b - t.tc_b * t.tn_a) AS BIGINT)
+                 AS pooled_dir
+        FROM seg s, tot t)
+      SELECT segment, loo_n_a, loo_n_b,
+             CAST(loo_c_a AS DOUBLE) / CAST(loo_n_a AS DOUBLE) -
+               CAST(loo_c_b AS DOUBLE) / CAST(loo_n_b AS DOUBLE)
+               AS loo_gap,
+             CAST(SIGN(loo_c_a * loo_n_b - loo_c_b * loo_n_a) AS BIGINT)
+               AS loo_dir,
+             pooled_dir,
+             CAST(SIGN(loo_c_a * loo_n_b - loo_c_b * loo_n_a) AS BIGINT)
+               <> pooled_dir AS flips_direction
+      FROM loo
+      ORDER BY segment"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
       q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon,
-      q280CohensD, q285EvalueGate, q286CaptureRecapture)
+      q280CohensD, q285EvalueGate, q286CaptureRecapture, q290SimpsonsCheck,
+      q291LooInfluence)
 }

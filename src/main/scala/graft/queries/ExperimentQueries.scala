@@ -1477,9 +1477,89 @@ object ExperimentQueries {
       FROM loo
       ORDER BY segment"""))
 
+  // ------------------------------------------------------------------ //
+  // q292 — McNemar's test (paired pre/post binary outcomes)
+  // ------------------------------------------------------------------ //
+
+  /** McNemar's test on PAIRED conversion status: did users' converting
+    * behavior change between the two halves of the observation window
+    * (the q228 exact-midpoint periods)? Only the DISCORDANT cells
+    * matter — b = users converting post but not pre, c = the reverse —
+    * and the statistic (b−c)²/(b+c) is one division over BIGINT
+    * counts against the shared χ²₁ literal. The within-subject test
+    * the two-sample machinery (q179/q270) cannot express: each user
+    * is their own control. One-row card with all four cells as
+    * evidence.
+    *
+    * Scale shape: one corpus pass → user grain (pre/post flags via
+    * conditional max) → four cells. */
+  val q292McNemar = OracleQuery("q292_mcnemar",
+    "McNemar paired pre/post conversion-change test, exact cells",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("us"), col("value"))
+      val mid = broadcast(ev.agg(
+        expr("(min(us) + max(us)) div 2").as("mid")))
+      val users = ev.crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase" &&
+            col("us") < col("mid"), 1L).otherwise(0L)).as("pre"),
+          max(when(col("event_type") === "purchase" &&
+            col("us") >= col("mid"), 1L).otherwise(0L)).as("post"))
+      val cells = users.agg(
+        sum(when(col("pre") === 1L && col("post") === 1L, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("pre") === 0L && col("post") === 0L, 1L)
+          .otherwise(0L)).as("n_neither"),
+        sum(when(col("pre") === 0L && col("post") === 1L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("pre") === 1L && col("post") === 0L, 1L)
+          .otherwise(0L)).as("c"))
+      val chi2 = ((col("b") - col("c")) * (col("b") - col("c")))
+        .cast("double") / (col("b") + col("c")).cast("double")
+      cells.select(col("n_both"), col("n_neither"), col("b"), col("c"),
+        when(col("b") + col("c") > 0L, chi2).otherwise(lit(0.0))
+          .as("chi2"),
+        when(col("b") + col("c") > 0L, chi2 > lit(Chi2Crit.toDouble))
+          .otherwise(lit(false)).as("changed"))
+    },
+    Some(s"""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      users AS MATERIALIZED (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND us < mid
+                        THEN 1 ELSE 0 END) AS pre,
+               MAX(CASE WHEN event_type = 'purchase' AND us >= mid
+                        THEN 1 ELSE 0 END) AS post
+        FROM ev, mid GROUP BY user_id),
+      cells AS (
+        SELECT
+          CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neither,
+          CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c
+        FROM users)
+      SELECT n_both, n_neither, b, c,
+             CASE WHEN b + c > 0
+                  THEN CAST((b - c) * (b - c) AS DOUBLE) /
+                       CAST(b + c AS DOUBLE)
+                  ELSE 0.0 END AS chi2,
+             CASE WHEN b + c > 0
+                  THEN (CAST((b - c) * (b - c) AS DOUBLE) /
+                        CAST(b + c AS DOUBLE)) > ${Chi2Crit}e0
+                  ELSE FALSE END AS changed
+      FROM cells"""))
+
   def all: Seq[OracleQuery] =
     Seq(q227SrmGate, q228Cuped, q229RatioCi, q231PermutationTest,
       q235PostStrat, q236Qte, q246FdrBh, q270OddsRatio, q275Wilcoxon,
       q280CohensD, q285EvalueGate, q286CaptureRecapture, q290SimpsonsCheck,
-      q291LooInfluence)
+      q291LooInfluence, q292McNemar)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Png, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -725,10 +725,75 @@ object ExtensionQueries {
       JOIN cnt b ON b.source = p.source_b
       ORDER BY p.source_a, p.source_b"""))
 
+  /** REAL PNG pixel decode, driver-hash-gated end to end: the engine
+    * generates actual PNG byte streams (deflate + all five scanline
+    * filters, color types grey/RGB/RGBA/palette), decodes them through
+    * `ops/Png.PngDecoder` (pure-JVM inflate + filter reconstruction —
+    * no codec library), and emits per-channel pixel means. The oracle
+    * replays the pixel FORMULA symbolically in SQL — it never touches
+    * PNG bytes — so a hash match proves decode(encode(pixels)) == pixels
+    * through zlib, the filter bank, and the palette, under the driver's
+    * gate rather than only a spec. Means are a single division of an
+    * exact integer sum by an exact integer denominator (convention 3). */
+  val q293PngRoundtrip = OracleQuery("q293_png_roundtrip",
+    "pure-JVM PNG pixel decode (inflate + 5-filter reconstruction) vs symbolic oracle",
+    (s, d) => {
+      val decoded = Multimodal.decode(
+        Png.syntheticImages(s, 48), "media_id", "content", Png.PngDecoder)(s)
+      decoded.select(
+          col("media_id"), col("format"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("channels"),
+          element_at(col("features"), 4).cast("long").as("depth"),
+          element_at(col("features"), 5).as("m1"),
+          element_at(col("features"), 6).as("m2"),
+          element_at(col("features"), 7).as("m3"),
+          element_at(col("features"), 8).as("m4"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH geom AS (
+        SELECT i,
+               3 + (i % 5) AS w,
+               2 + (i % 7) AS h,
+               CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 6
+                 ELSE 3 END AS ct
+        FROM generate_series(0, 47) t(i)),
+      px AS (
+        SELECT g.i, g.w, g.h, g.ct,
+               CAST((g.i*7 + x.x*3 + y.y*5) % 256 AS BIGINT) AS v0,
+               CAST((g.i*7 + x.x*3 + y.y*5 + 11) % 256 AS BIGINT) AS v1,
+               CAST((g.i*7 + x.x*3 + y.y*5 + 22) % 256 AS BIGINT) AS v2,
+               CAST((g.i*7 + x.x*3 + y.y*5 + 33) % 256 AS BIGINT) AS v3
+        FROM geom g
+        JOIN generate_series(0, 6) x(x) ON x.x < g.w
+        JOIN generate_series(0, 7) y(y) ON y.y < g.h),
+      sums AS (
+        SELECT i, w, h, ct,
+          SUM(CASE WHEN ct = 3 THEN (v0*3) % 256 ELSE v0 END) AS s1,
+          SUM(CASE WHEN ct = 3 THEN (v0*5 + 1) % 256
+                   WHEN ct = 0 THEN 0 ELSE v1 END) AS s2,
+          SUM(CASE WHEN ct = 3 THEN (v0*7 + 2) % 256
+                   WHEN ct IN (2, 6) THEN v2 ELSE 0 END) AS s3,
+          SUM(CASE WHEN ct = 6 THEN v3 ELSE 0 END) AS s4
+        FROM px GROUP BY 1, 2, 3, 4)
+      SELECT i AS media_id, 'png' AS format,
+             CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 6 THEN 4
+               ELSE 3 END AS BIGINT) AS channels,
+             CAST(8 AS BIGINT) AS depth,
+             CAST(s1 AS DOUBLE) / (w * h * 255.0) AS m1,
+             CAST(s2 AS DOUBLE) / (w * h * 255.0) AS m2,
+             CAST(s3 AS DOUBLE) / (w * h * 255.0) AS m3,
+             CAST(s4 AS DOUBLE) / (w * h * 255.0) AS m4
+      FROM sums
+      ORDER BY media_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
-    q257ClusterSizeCard, q258SourceOverlap)
+    q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip)
 }

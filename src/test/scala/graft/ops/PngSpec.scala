@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PngSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Manual chunk wrap — deliberately NOT via Png.encode, so the
+    * known-answer test below exercises the decoder against bytes the
+    * encoder never touched (a shared filter-math bug in encode+decode
+    * would survive a round trip; it cannot survive a hand computation). */
+  private def rawPng(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunks.foreach { case (tag, data) =>
+      def be32(v: Long): Unit =
+        out.write(Array(((v >>> 24) & 0xff).toInt, ((v >>> 16) & 0xff).toInt,
+          ((v >>> 8) & 0xff).toInt, (v & 0xff).toInt).map(_.toByte))
+      be32(data.length.toLong)
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue)
+    }
+    out.toByteArray
+  }
+
+  private def ihdr(w: Int, h: Int, depth: Int, ct: Int,
+      interlace: Int = 0): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13)
+    b.putInt(w).putInt(h)
+    b.put(depth.toByte).put(ct.toByte).put(0: Byte).put(0: Byte)
+      .put(interlace.toByte)
+    b.array()
+  }
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!d.finished) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  test("known-answer: hand-filtered scanlines reconstruct to hand-computed pixels") {
+    // 3×2 greyscale; row 0 Sub [10,5,7] → 10,15,22; row 1 Paeth [1,2,3]
+    // → 11,17,25 (predictor resolves to Up on every byte here; worked by
+    // hand against the spec §6.6). Total sum 100. A tEXt chunk sits
+    // between IHDR and IDAT to prove ancillary chunks are walked over,
+    // and the IDAT is split across TWO chunks mid-row to prove the
+    // streaming feed reassembles rows across chunk boundaries.
+    val filtered = Array[Byte](1, 10, 5, 7, 4, 1, 2, 3)
+    val z = deflate(filtered)
+    val (z1, z2) = z.splitAt(3)
+    val png = rawPng(Seq(
+      ("IHDR", ihdr(3, 2, 8, 0)),
+      ("tEXt", "comment".getBytes("US-ASCII")),
+      ("IDAT", z1), ("IDAT", z2),
+      ("IEND", Array.empty)))
+    val d = Png.decodeOne(png).get
+    assert((d.w, d.h, d.channels, d.depth) == (3, 2, 1, 8))
+    assert(d.channelSums.toSeq == Seq(100L, 0L, 0L, 0L))
+  }
+
+  test("round trip: every color type and all five filters, sums exact") {
+    // replay the synthetic formula directly (same arithmetic the q293
+    // oracle runs in SQL) and demand decode(encode(..)) reproduces it
+    for (i <- 0L until 48L) {
+      val w = 3 + (i % 5).toInt
+      val h = 2 + (i % 7).toInt
+      val ct = Seq(0, 2, 6, 3)((i % 4).toInt)
+      def v(x: Int, y: Int, c: Int): Long = (i * 7 + x * 3 + y * 5 + c * 11) % 256
+      val expected = Array.fill(4)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (ct == 3) {
+          val idx = v(x, y, 0)
+          expected(0) += (idx * 3) % 256
+          expected(1) += (idx * 5 + 1) % 256
+          expected(2) += (idx * 7 + 2) % 256
+        } else {
+          for (c <- 0 until Png.streamChannels(ct)) expected(c) += v(x, y, c)
+        }
+      }
+      val d = Png.decodeOne(Png.makeImage(i)).get
+      assert((d.w, d.h) == (w, h), s"geometry for image $i")
+      assert(d.channels == Png.outChannels(ct), s"channels for image $i")
+      assert(d.channelSums.toSeq == expected.toSeq, s"sums for image $i")
+    }
+  }
+
+  test("grey+alpha (color type 4) round-trips too") {
+    val raw = Array.tabulate(4 * 3 * 2)(k => ((k * 37 + 5) % 256).toByte)
+    val png = Png.encode(4, 3, 4, raw, y => (y + 2) % 5)
+    val d = Png.decodeOne(png).get
+    assert((d.w, d.h, d.channels) == (4, 3, 2))
+    val grey = raw.grouped(2).map(p => (p(0) & 0xff).toLong).sum
+    val alpha = raw.grouped(2).map(p => (p(1) & 0xff).toLong).sum
+    assert(d.channelSums.toSeq == Seq(grey, alpha, 0L, 0L))
+  }
+
+  test("unsupported profiles and malformed streams reject, never throw") {
+    val good = Png.makeImage(1) // ct=2 RGB 4×3
+    assert(Png.decodeOne(Array.empty[Byte]).isEmpty)
+    assert(Png.decodeOne("not a png at all".getBytes).isEmpty)
+    assert(Png.decodeOne(good.take(40)).isEmpty)          // truncated mid-chunk
+    // 16-bit depth / Adam7 interlace: out of the documented profile
+    val raw1 = Array[Byte](1, 2, 3)
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(1, 1, 16, 2)),
+      ("IDAT", deflate(Array[Byte](0, 1, 2, 3, 4, 5, 6))),
+      ("IEND", Array.empty)))).isEmpty)
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(3, 1, 8, 0, interlace = 1)),
+      ("IDAT", deflate(Array[Byte](0) ++ raw1)), ("IEND", Array.empty)))).isEmpty)
+    // invalid filter type byte
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(3, 1, 8, 0)),
+      ("IDAT", deflate(Array[Byte](9) ++ raw1)), ("IEND", Array.empty)))).isEmpty)
+    // truncated zlib payload (one full row promised, half delivered)
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(3, 2, 8, 0)),
+      ("IDAT", deflate(Array[Byte](0, 1))), ("IEND", Array.empty)))).isEmpty)
+    // palette color type without PLTE, and an out-of-range palette index
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(1, 1, 8, 3)),
+      ("IDAT", deflate(Array[Byte](0, 0))), ("IEND", Array.empty)))).isEmpty)
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(1, 1, 8, 3)),
+      ("PLTE", Array[Byte](1, 2, 3)), // 1 entry; index 5 is out of range
+      ("IDAT", deflate(Array[Byte](0, 5))), ("IEND", Array.empty)))).isEmpty)
+    // adversarial chunk length: walks cannot escape the buffer
+    val lying = good.clone()
+    lying(8) = 0x7f.toByte // IHDR length hi byte → enormous
+    assert(Png.decodeOne(lying).isEmpty)
+    // oversized dimensions rejected before any allocation
+    assert(Png.decodeOne(rawPng(Seq(("IHDR", ihdr(1 << 20, 1, 8, 0)),
+      ("IDAT", deflate(Array[Byte](0, 1))), ("IEND", Array.empty)))).isEmpty)
+  }
+
+  test("PngDecoder rides the Multimodal seam; reshard-stable; sniff agrees") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Png.syntheticImages(spark, 12)
+      .unionByName(Seq((100L, "not an image".getBytes))
+        .toDF("media_id", "content"))
+    val out = Multimodal.decode(media, "media_id", "content", Png.PngDecoder)
+      .orderBy($"media_id").collect()
+    assert(out.length == 13)
+    assert(out.take(12).forall(_.getAs[String]("format") == "png"))
+    assert(out.last.getAs[String]("format") == "unknown")
+    val f0 = out(0).getSeq[Double](out(0).fieldIndex("features"))
+    assert(f0.take(4) == Seq(3.0, 2.0, 1.0, 8.0)) // image 0: 3×2 grey
+    val out2 = Multimodal.decode(media.repartition(5), "media_id", "content",
+      Png.PngDecoder).orderBy($"media_id").collect()
+    assert(out.sameElements(out2), "decode must not depend on partitioning")
+    // magic-byte sniff sees every synthetic payload as png pre-decode
+    val sniffed = Png.syntheticImages(spark, 12)
+      .select(Multimodal.sniffFormat($"content")).as[String].collect()
+    assert(sniffed.forall(_ == "png"))
+  }
+}

@@ -30,10 +30,20 @@ import graft.functions.BloomMightContain
   */
 object Bloom {
 
-  /** Build a filter of the distinct values of long-typed `keyCol`. */
+  /** Build a filter of the distinct values of long-typed `keyCol`.
+    *
+    * EMPTY build side: Spark's `stat.bloomFilter` aggregate returns a
+    * null buffer for zero rows and NPEs deserializing it (surfaced by
+    * q287 at sf0.1, where a truss peel round legitimately empties the
+    * edge set). An empty build side means "no key can match", so the
+    * correct filter is an empty one — mightContain=false everywhere,
+    * exactly what the real join would do. The isEmpty probe is a
+    * limit-1 job on the build side, which every caller already pays an
+    * aggregate pass on. */
   def buildLong(build: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    build.stat.bloomFilter(keyCol, expectedItems, fpp)
+    if (build.isEmpty) BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    else build.stat.bloomFilter(keyCol, expectedItems, fpp)
 
   /** `keyCol` might be in the filter (NULL key → NULL, dropped by
     * `filter()` exactly as the equi-join would drop it). */

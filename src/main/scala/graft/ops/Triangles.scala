@@ -102,11 +102,18 @@ object Triangles {
     // rows and removes the false positives exactly. Same plan a
     // runtime-filter optimizer would pick, placed deterministically.
     val pairKey = xxhash64(col("w1"), col("w2"))
-    val nEdges = math.max(o.count(), 1L) // o is cached; one cheap agg
-    val bloom = Bloom.buildLong(
-      closing.select(pairKey.as("_pk")), "_pk", 2 * nEdges)
-    wedges
-      .filter(Bloom.mightContain(pairKey, bloom))
+    val nEdges = o.count() // o is cached; one cheap agg
+    // zero edges (a peel round CAN empty the graph — q287 at sf0.1):
+    // everything downstream is empty anyway, so skip the sketch build
+    // rather than aggregate over nothing
+    val pruned =
+      if (nEdges == 0) wedges
+      else {
+        val bloom = Bloom.buildLong(
+          closing.select(pairKey.as("_pk")), "_pk", 2 * nEdges)
+        wedges.filter(Bloom.mightContain(pairKey, bloom))
+      }
+    pruned
       .join(closing, Seq("w1", "w2"), "left_semi")
       .select(array_sort(array(col("u"), col("w1"), col("w2"))).as("srt"))
       .select(col("srt")(0).as("x"), col("srt")(1).as("y"),

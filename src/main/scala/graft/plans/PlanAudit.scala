@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan shape auditor — the machine side of the "is this the
+  * plan you'd want at 100×" review that was previously a hand audit.
+  *
+  * The q83 lesson: a query can be oracle-green with a join order that
+  * dies at scale (lineitem joined before the dim reduce). Correctness
+  * gates can't see that; this walker turns the plan SHAPE into numbers
+  * a regression test can budget: shuffle count, cartesian/nested-loop
+  * joins, unpartitioned windows, global sorts. PlanAuditSpec pins every
+  * catalog query's numbers to a checked-in budget
+  * (`src/test/resources/plan_budgets.tsv`) — a rewrite that silently
+  * adds a shuffle or turns a broadcast join into a nested loop fails
+  * the suite even though every value it produces is still correct.
+  *
+  * Counting happens on the PRE-ADAPTIVE physical plan (AQE's input with
+  * exchanges already inserted by EnsureRequirements): that is the
+  * statically-declared shape — what the optimizer promised before
+  * runtime re-planning, and the thing that is deterministic enough to
+  * budget. Subquery plans (scalar subqueries, IN-subqueries) are walked
+  * too: a cartesian hiding inside a subquery is still a cartesian.
+  */
+object PlanAudit {
+
+  /** Structural counts over one query's physical plan. */
+  final case class PlanStats(shuffles: Int, broadcasts: Int, cartesian: Int,
+      nestedLoopJoins: Int, globalWindows: Int, globalSorts: Int) {
+    /** True when every metric stays within `budget` (broadcasts are
+      * informational — a broadcast is usually the GOOD outcome, so it
+      * is recorded but not gated). */
+    def within(budget: PlanStats): Boolean =
+      shuffles <= budget.shuffles && cartesian <= budget.cartesian &&
+        nestedLoopJoins <= budget.nestedLoopJoins &&
+        globalWindows <= budget.globalWindows &&
+        globalSorts <= budget.globalSorts
+    def tsv: String =
+      s"$shuffles\t$broadcasts\t$cartesian\t$nestedLoopJoins\t$globalWindows\t$globalSorts"
+  }
+
+  object PlanStats {
+    def fromTsv(fields: Seq[String]): PlanStats =
+      PlanStats(fields(0).toInt, fields(1).toInt, fields(2).toInt,
+        fields(3).toInt, fields(4).toInt, fields(5).toInt)
+    val header = "shuffles\tbroadcasts\tcartesian\tnested_loop_joins\tglobal_windows\tglobal_sorts"
+  }
+
+  /** Every node of the pre-adaptive plan, including subquery plans.
+    * (AdaptiveSparkPlanExec is unwrapped to its input — at audit time
+    * no stages have run, so the input IS the full declared plan.) */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+      case _ =>
+        p +: (p.children.flatMap(nodes) ++
+          p.subqueries.flatMap(nodes))
+    }
+    here
+  }
+
+  /** Audit a DataFrame's declared physical plan. The caller should
+    * disable AQE around BOTH the DataFrame construction and this call
+    * (PlanAuditSpec does) so EnsureRequirements materializes the
+    * exchanges in the plan being counted. */
+  def stats(df: DataFrame): PlanStats = {
+    val all = nodes(df.queryExecution.executedPlan)
+    PlanStats(
+      shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcasts = all.count(_.isInstanceOf[BroadcastExchangeExec]),
+      cartesian = all.count(_.isInstanceOf[CartesianProductExec]),
+      nestedLoopJoins = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      globalWindows = all.count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      },
+      globalSorts = all.count {
+        case s: SortExec => s.global
+        case _ => false
+      })
+  }
+}

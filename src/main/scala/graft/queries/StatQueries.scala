@@ -711,7 +711,10 @@ object StatQueries {
             "rid", 0.5)
           .select(col("month"), col("n").as("n_items"),
             col("order_stat").as("p50_days")))
-      val mk = broadcast(monthly.as("a").join(monthly.as("b"),
+      // broadcast the inner side of the non-equi month-pair join: without
+      // the hint Spark plans a CartesianProduct — the ONLY one in the
+      // whole catalog per the plan audit; month-count rows broadcast free
+      val mk = broadcast(monthly.as("a").join(broadcast(monthly.as("b")),
           col("a.month") < col("b.month"))
         .select(signum((col("b.p50_days") - col("a.p50_days"))
           .cast("double")).cast("long").as("sgn"))

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.plans.PlanAudit
+import graft.plans.PlanAudit.PlanStats
+
+/** Catalog-wide plan-SHAPE regression gate (the generalized q83 lesson:
+  * an oracle-green query can still carry a join order or a surprise
+  * shuffle that dies at 100×). Every catalog query's declared physical
+  * plan is measured by [[PlanAudit]] and compared against the
+  * checked-in budget (`plan_budgets.tsv`): more shuffles, a new
+  * cartesian/nested-loop join, a new unpartitioned window, or a new
+  * global sort than the budget allows fails the suite. Intentional
+  * plan changes are signed off by regenerating the file
+  * (Test/runMain graft.queries.PlanBudgetGen) and reviewing its diff.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  test("every catalog query's plan shape stays within its checked-in budget") {
+    val budgets = PlanBudgets.load()
+    assert(budgets.nonEmpty,
+      s"missing ${PlanBudgets.BudgetPath} — run Test/runMain graft.queries.PlanBudgetGen")
+    val actual = PlanBudgets.computeAll(spark, sfDir)
+    val missing = actual.collect {
+      case (n, _) if !budgets.contains(n) => n
+    }
+    assert(missing.isEmpty,
+      s"queries with no plan budget (run PlanBudgetGen and review the diff): ${missing.mkString(", ")}")
+    val over = actual.filter { case (n, s) => !s.within(budgets(n)) }
+    assert(over.isEmpty, over.map { case (n, s) =>
+      s"$n: plan grew beyond budget — actual[$s] budget[${budgets(n)}]"
+    }.mkString("\n"))
+    // the gate must also notice a query DISAPPEARING from the catalog
+    // without its budget line being retired (stale budgets hide drift)
+    val gone = budgets.keySet -- actual.map(_._1).toSet
+    assert(gone.isEmpty,
+      s"budget lines for queries no longer in the catalog: ${gone.mkString(", ")}")
+  }
+
+  test("a deliberately broken plan fails the gate") {
+    import spark.implicits._
+    // classic scale-killer: an unhinted non-equi self-pairing — plans as
+    // a nested-loop/cartesian product
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val broken = t.as("l").crossJoin(t.as("r"))
+      val s = PlanAudit.stats(broken)
+      assert(s.cartesian + s.nestedLoopJoins >= 1,
+        s"audit failed to see the cartesian: $s")
+      val budget = PlanStats(shuffles = 8, broadcasts = 8, cartesian = 0,
+        nestedLoopJoins = 0, globalWindows = 0, globalSorts = 2)
+      assert(!s.within(budget), "gate passed a plan it must reject")
+      // and a surprise shuffle regression is caught by the same gate
+      val shuffly = t.repartition(8).groupBy("k").count()
+        .repartition(16).groupBy($"count").count()
+      val s2 = PlanAudit.stats(shuffly)
+      assert(s2.shuffles >= 3)
+      assert(!s2.within(budget.copy(shuffles = s2.shuffles - 1)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}

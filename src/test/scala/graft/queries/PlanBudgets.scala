@@ -1,0 +1,60 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.PlanAudit
+import graft.plans.PlanAudit.PlanStats
+
+/** Shared machinery for the plan-shape regression gate: compute the
+  * [[PlanAudit.PlanStats]] of every catalog query, and read/write the
+  * checked-in budget file. Tests run forked with cwd = repo root, so
+  * the repo-relative path serves both the generator and the spec
+  * (no stale-classpath copies). */
+object PlanBudgets {
+  val BudgetPath = "src/test/resources/plan_budgets.tsv"
+
+  /** Stats for every catalog query at `sfDir`, with AQE disabled so
+    * EnsureRequirements materializes the exchanges being counted.
+    * Queries are audited in name order for a stable file diff. */
+  def computeAll(spark: SparkSession, sfDir: String): Seq[(String, PlanStats)] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Catalog.all.sortBy(_.name).map { q =>
+      q.name -> PlanAudit.stats(q.run(spark, sfDir))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  def load(): Map[String, PlanStats] = {
+    val p = Paths.get(BudgetPath)
+    if (!Files.exists(p)) Map.empty
+    else scala.io.Source.fromFile(p.toFile).getLines()
+      .drop(1).filter(_.nonEmpty).map { line =>
+        val f = line.split("\t").toSeq
+        f.head -> PlanStats.fromTsv(f.tail)
+      }.toMap
+  }
+
+  def write(stats: Seq[(String, PlanStats)]): Unit = {
+    val lines = ("name\t" + PlanStats.header) +:
+      stats.map { case (n, s) => s"$n\t${s.tsv}" }
+    Files.createDirectories(Paths.get(BudgetPath).getParent)
+    Files.write(Paths.get(BudgetPath),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+}
+
+/** Regenerate the plan budget file after an INTENTIONAL plan change:
+  * `sbt "Test/runMain graft.queries.PlanBudgetGen"`, then review the
+  * git diff of plan_budgets.tsv — each changed line is a plan-shape
+  * change you are explicitly signing off on. */
+object PlanBudgetGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.SparkTestBase.session
+    val stats = PlanBudgets.computeAll(spark, "/root/testdata/sf0.001")
+    PlanBudgets.write(stats)
+    println(s"wrote ${stats.size} budgets to ${PlanBudgets.BudgetPath}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** END-TO-END contract of the iterative operators' `converged` red flag:
+  * each family's CATALOG query (the exact driver-visible surface, looked
+  * up through [[Catalog.byName]]) runs against a fixture table set whose
+  * graph outgrows the query's fixed round budget, and the output rows
+  * must carry converged=false — plus a converging twin fixture proving
+  * the flag isn't stuck false. The fixtures are parquet sfDirs shaped
+  * like the driver's tables (lineitem/part), so nothing is mocked below
+  * the query: the same co-purchase derivation, the same ops call, the
+  * same output schema the driver hashes.
+  *
+  * Graph constructions (worked out by hand in comments below):
+  *  - BFS / Bellman-Ford: a 25-node path with seeds 1..10 — the wave
+  *    still reaches new nodes at round 4, so the budget is outgrown;
+  *    the 12-node path finishes by round 3.
+  *  - k-core (k=60, 3 rounds): a 61-clique with a 4-step pendant
+  *    cascade y1→y4 engineered so exactly one pendant peels per round;
+  *    y4 drops below 60 only AFTER the last budgeted round, leaving a
+  *    deg-59 row in the output.
+  *  - 4-truss (2 rounds): a triangulated strip peels outside-in, one
+  *    layer per round, still shrinking at round 2; K5 is stable.
+  */
+class ConvergedFlagSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Write a minimal sfDir: one order per (edge, replica) with the two
+    * endpoint parts as lineitems, plus a part table 1..nParts. */
+  private def fixture(edges: Seq[(Long, Long)], ordersPerEdge: Int,
+      nParts: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graphfix").toString
+    val li = edges.zipWithIndex.flatMap { case ((a, b), idx) =>
+      (0 until ordersPerEdge).flatMap { r =>
+        val o = idx.toLong * ordersPerEdge + r + 1
+        Seq((o, a), (o, b))
+      }
+    }
+    li.toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to nParts).toDF("p_partkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  private def path(n: Long): Seq[(Long, Long)] =
+    (1L until n).map(i => (i, i + 1))
+
+  private def run(name: String, dir: String) =
+    Catalog.byName(name).run(spark, dir)
+
+  test("q209 BFS: wave outgrowing 4 rounds turns every row red; finished wave is green") {
+    // seeds 1..10 on a 25-node path: round r adds node 10+r, so round 4
+    // still reaches node 14 → not converged, and node 25 is absent
+    val out = run("q209_bfs_distance", fixture(path(25), 1, 25)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.getAs[Boolean]("converged")))
+    assert(!out.exists(_.getAs[Long]("n") == 25L))
+    // 12-node path: round 3 reaches nobody new → converged inside budget
+    val ok = run("q209_bfs_distance", fixture(path(12), 1, 12)).collect()
+    assert(ok.forall(_.getAs[Boolean]("converged")))
+    assert(ok.map(r => r.getAs[Long]("n") -> r.getAs[Long]("dist")).toMap
+      .apply(12L) == 2L)
+  }
+
+  test("q214 Bellman-Ford: relaxation still improving at round 4 turns rows red") {
+    val out = run("q214_weighted_paths", fixture(path(25), 1, 25)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.getAs[Boolean]("converged")))
+    val ok = run("q214_weighted_paths", fixture(path(12), 1, 12)).collect()
+    assert(ok.forall(_.getAs[Boolean]("converged")))
+    // single-shared-order edges cost w = max(1, 6−1) = 5 per hop
+    assert(ok.map(r => r.getAs[Long]("n") -> r.getAs[Long]("dist")).toMap
+      .apply(12L) == 10L)
+  }
+
+  test("q175 k-core: a peel cascade outgrowing 3 rounds leaves a deg-59 red row") {
+    // 61-clique c1..c61 (deg 60 forever) + pendants engineered to peel
+    // one per round: y1 = 58 clique + y2 (59 → r1), y2 = 58 clique +
+    // y1 + y3 (60 → 59 after y1 → r2), y3 = 58 clique + y2 + y4
+    // (60 → 59 after y2 → r3), y4 = 59 clique + y3 (60 → 59 only after
+    // y3, i.e. AFTER the last budgeted round)
+    val c = (101L to 161L)
+    val clique = for (i <- c; j <- c if i < j) yield (i, j)
+    val y1 = 1L; val y2 = 2L; val y3 = 3L; val y4 = 4L
+    val pendants =
+      c.take(58).map((y1, _)) ++ Seq((y1, y2)) ++
+        c.take(58).map((y2, _)) ++ Seq((y2, y3)) ++
+        c.take(58).map((y3, _)) ++ Seq((y3, y4)) ++
+        c.take(59).map((y4, _))
+    val out = run("q175_kcore", fixture(clique ++ pendants, 1, 161)).collect()
+    assert(out.forall(!_.getAs[Boolean]("converged")))
+    val degs = out.map(r => r.getAs[Long]("n") -> r.getAs[Long]("deg")).toMap
+    assert(degs(y4) == 59L) // the row that SHOULD make the driver look
+    assert(!degs.contains(y3) && !degs.contains(y2) && !degs.contains(y1))
+    // the bare clique is a fixpoint from round 0 → green
+    val ok = run("q175_kcore", fixture(clique, 1, 161)).collect()
+    assert(ok.length == 61 && ok.forall(_.getAs[Boolean]("converged")))
+    assert(ok.forall(_.getAs[Long]("deg") == 60L))
+  }
+
+  test("q287 k-truss: a strip still peeling at round 2 turns the trajectory red") {
+    // triangulated strip v0..v10 (edges i→i+1 and i→i+2, each planted
+    // in 2 orders to pass the strong-tie floor): round 1 drops every
+    // edge with support 1 (all step-2 edges + the two end edges,
+    // 19 → 8), round 2 drops the rest (no triangles left, 8 → 0) —
+    // still shrinking, so converged=false
+    val v = 201L to 211L
+    val strip = v.dropRight(1).zip(v.drop(1)) ++
+      v.dropRight(2).zip(v.drop(2))
+    val out = run("q287_ktruss", fixture(strip.toSeq, 2, 1))
+      .orderBy("round").collect()
+    assert(out.map(_.getAs[Long]("n_edges")).toSeq == Seq(19L, 8L, 0L))
+    assert(out.forall(!_.getAs[Boolean]("converged")))
+    assert(out.head.getAs[Long]("n_truss_nodes") == 0L)
+    // K5: every edge sits in 3 triangles → stable from round 0 → green
+    val k5 = for (i <- 301L to 305L; j <- 301L to 305L if i < j) yield (i, j)
+    val ok = run("q287_ktruss", fixture(k5, 2, 1)).orderBy("round").collect()
+    assert(ok.map(_.getAs[Long]("n_edges")).toSeq == Seq(10L, 10L, 10L))
+    assert(ok.forall(_.getAs[Boolean]("converged")))
+    assert(ok.head.getAs[Long]("n_truss_nodes") == 5L)
+  }
+}

@@ -40,6 +40,16 @@ final class ConcurrentWriteException(msg: String)
   * checkpoint-replayed retry — the streaming/CDC restart path — simply
   * stages again and succeeds; no manual cleanup is ever needed.
   */
+object TableStore {
+  /** Per-(root, table) commit monitors, JVM-wide — see
+    * `commitStagedLocked` for why the commit window must be serialized
+    * even though writers are optimistic everywhere else. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+  private def commitLock(root: String, table: String): Object =
+    commitLocks.computeIfAbsent((root, table), _ => new Object)
+}
+
 final class TableStore(spark: SparkSession, val root: String) {
 
   private def dir(table: String) = s"$root/$table"
@@ -155,6 +165,26 @@ final class TableStore(spark: SparkSession, val root: String) {
     * non-empty v<N> fails → [[ConcurrentWriteException]]), then swap the
     * pointer. */
   private def commitStaged(table: String, next: Int, stage: java.nio.file.Path,
+      expectedBase: Option[Int] = None): Unit =
+    TableStore.commitLock(root, table).synchronized {
+      commitStagedLocked(table, next, stage, expectedBase)
+    }
+
+  /** The commit critical section. Serialized per (root, table) across
+    * the whole JVM (all TableStore instances) because the window between
+    * "rename v<N>" and "pointer → v<N>" is otherwise ambiguous: a
+    * concurrent writer seeing v<N> present with the pointer still at
+    * v<N−1> cannot distinguish a CRASHED commit (orphan — safe to
+    * reclaim) from a LIVE one (reclaiming loses a committed snapshot).
+    * Under the lock, a same-JVM peer can never be inside that window,
+    * so the orphan-reclaim branch below is unambiguous; writers in
+    * OTHER processes remain under the documented single-writer-per-table
+    * contract (a bare filesystem has no cheap cross-process CAS — at
+    * 100 TB this class is the seam you swap for Delta/Iceberg, whose
+    * log-based optimistic concurrency is exactly this lock done
+    * cross-process). The snapshot COMPUTE (parquet write) stays outside
+    * the lock — only rename + pointer swap serialize, microseconds. */
+  private def commitStagedLocked(table: String, next: Int, stage: java.nio.file.Path,
       expectedBase: Option[Int] = None): Unit = {
     expectedBase.foreach { base =>
       if (currentVersion(table).getOrElse(0) != base) {
@@ -476,13 +506,20 @@ final class TableStore(spark: SparkSession, val root: String) {
       .filter(f => f.getName.stripPrefix("v").toIntOption
         .exists(_ <= latest - retain))
       .foreach(deleteRecursively)
-    // GC temp artifacts orphaned by crashed writes (single-writer
-    // contract: nobody else can be mid-write while this compact runs):
-    // staging dirs, touched-partition probe dirs, pointer tmp files
+    // GC temp artifacts orphaned by crashed writes: staging dirs,
+    // touched-partition probe dirs, pointer tmp files. AGE-GATED (10
+    // min): a CONCURRENT same-JVM writer may legitimately be mid-write
+    // in a fresh `._tmp` dir right now — reclaiming it would fail that
+    // writer with an I/O error instead of the contract's
+    // ConcurrentWriteException. Crash orphans are by definition old;
+    // live staging dirs are seconds old. (Same recency heuristic every
+    // lakehouse vacuum uses.)
+    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
     dirF.listFiles().filter(f =>
-        f.getName.matches("v\\d+\\._tmp.*") ||
-        f.getName.startsWith(".touched_") ||
-        f.getName.startsWith("_CURRENT.tmp"))
+        (f.getName.matches("v\\d+\\._tmp.*") ||
+         f.getName.startsWith(".touched_") ||
+         f.getName.startsWith("_CURRENT.tmp")) &&
+        f.lastModified() < cutoff)
       .foreach(deleteRecursively)
   }
 

@@ -199,12 +199,17 @@ class StoreAndIncrementalSpec extends SparkTestBase {
 
     // a CRASHED write's staging leftover must NOT block the retry —
     // this is the checkpoint-replay path of the streaming/CDC sinks
-    Files.createDirectory(java.nio.file.Paths.get(root, "t", "v9._tmp123"))
+    val orphan = java.nio.file.Paths.get(root, "t", "v9._tmp123")
+    Files.createDirectory(orphan)
     store.overwrite("t", spark.range(20).toDF("id"))
     assert(store.read("t").count() == 20)
-    // and compact GCs the orphan
+    // compact GCs the orphan ONLY once it is old enough to be a crash
+    // leftover rather than a live concurrent writer's staging dir
     store.compact("t", numFiles = 1, retain = 1)
-    assert(!Files.exists(java.nio.file.Paths.get(root, "t", "v9._tmp123")))
+    assert(Files.exists(orphan), "fresh staging dirs must survive GC")
+    orphan.toFile.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
+    store.compact("t", numFiles = 1, retain = 1)
+    assert(!Files.exists(orphan))
   }
 
   test("stale-basis writer throws instead of discarding a concurrent commit") {

@@ -50,6 +50,16 @@ object Bench {
         graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // raw per-run times + free storage memory on stderr: the q156
+      // lesson — a median hides run-to-run spread, and spread that
+      // correlates with LOW free storage (evicted per-query caches,
+      // recomputed per consumer) is a session-hygiene problem, not the
+      // operator's
+      val freeGb = spark.sparkContext.getExecutorMemoryStatus
+        .values.map(_._2).sum / 1e9
+      System.err.println(
+        s"[bench] $name runs=" + times.map(t => f"$t%.3f").mkString(",") +
+          f" storageFree=$freeGb%.2fg")
       (name, if (times.contains(-1.0)) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

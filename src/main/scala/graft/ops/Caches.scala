@@ -22,6 +22,13 @@ object Caches {
 
   def unpersistAll(): Unit = {
     var df = cached.poll()
-    while (df != null) { df.unpersist(); df = cached.poll() }
+    // blocking = true: the default async unpersist only ENQUEUES the
+    // release, so in a long bench/verify session freed storage lags
+    // behind — a later query's own caches (e.g. q156's shingle arrays,
+    // consumed by three join branches) can then be evicted mid-query
+    // and silently recomputed per consumer, which measured as
+    // run-to-run variance that tracked what happened to run BEFORE the
+    // query, not the query itself
+    while (df != null) { df.unpersist(blocking = true); df = cached.poll() }
   }
 }

@@ -47,8 +47,13 @@ object Bench {
               System.err.println(s"[bench] $name failed: $e")
               false
           }
+        // stop the clock BEFORE cache release: unpersist is now blocking
+        // (session hygiene), and its wait is bookkeeping between runs,
+        // not query cost — timing it inflated q156 by its own cache-
+        // teardown and made the inflation look like operator variance
+        val elapsed = (System.nanoTime() - t0) / 1e9
         graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       // raw per-run times + free storage memory on stderr: the q156
       // lesson — a median hides run-to-run spread, and spread that

@@ -1071,10 +1071,242 @@ $scoreExpr AS score
       FROM pairs"""
     })
 
+  // ------------------------------------------------------------------ //
+  // q294 — zone-map data-skipping index + pruning-completeness gate
+  // ------------------------------------------------------------------ //
+
+  /** The zone-map (per-block min/max) data-skipping index parquet
+    * row-group pruning and every lakehouse file-skipping scheme rest
+    * on, made an explicit oracle-checked artifact in its most common
+    * production shape: a time-partitioned table (ship-month blocks —
+    * the ingest clustering every event table gets for free) pruned by
+    * a time-range predicate. The zone map stores each block's measured
+    * ship-day min/max + row count; a 200-day window (bounds derived
+    * FROM the data, so the card is sf-stable) classifies blocks
+    * prunable/scanned. Gate columns ride every row: matched rows
+    * inside pruned blocks (must be 0 — pruning soundness, the q244
+    * certification-gate framing) and the skipped-row count, the
+    * number that says what the index is worth (~90% here).
+    *
+    * RECORDED LESSON (no-all-zero-cards rule): two earlier cuts
+    * blocked by orderkey range and by order month, pruning on ship
+    * date — both fully degenerate, because this synthetic data's
+    * date columns are mutually UNCORRELATED (measured
+    * corr(orderdate, shipdate) = −0.004; real TPC-H ships 1–121 days
+    * after ordering). Cross-column skipping has no signal to exploit
+    * here without a layout rewrite — which is exactly q295's z-order
+    * card. Blocks derive from the KEY, never from physical
+    * partitioning (CLAUDE rule 12); all outputs integer. */
+  val q294ZoneMap = OracleQuery("q294_zone_map",
+    "ship-month partition zone map, time-range pruning + soundness gate",
+    (s, d) => {
+      val rows = graft.ops.Caches.track(Tables.lineitem(s, d)
+        .select(
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000 div 30")
+            .as("block_id"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("day")))
+      val bounds = broadcast(rows.agg(min(col("day")).as("d_lo"))
+        .select((col("d_lo") + 400L).as("d1"), (col("d_lo") + 600L).as("d2")))
+      val zones = rows.groupBy(col("block_id"))
+        .agg(min(col("day")).as("zmin"), max(col("day")).as("zmax"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(bounds)
+        .withColumn("pruned", col("zmax") < col("d1") || col("zmin") > col("d2"))
+      val matched = rows.crossJoin(bounds)
+        .filter(col("day") >= col("d1") && col("day") <= col("d2"))
+        .groupBy(col("block_id")).agg(count(lit(1)).as("matched"))
+      val flagged = graft.ops.Caches.track(
+        zones.join(matched, Seq("block_id"), "left")
+          .withColumn("matched", coalesce(col("matched"), lit(0L))))
+      val gate = broadcast(flagged.agg(
+        sum(when(col("pruned"), col("matched")).otherwise(0L))
+          .as("matched_in_pruned"),
+        sum(when(col("pruned"), col("n_rows")).otherwise(0L))
+          .as("rows_skipped"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_blocks_pruned")))
+      flagged.crossJoin(gate)
+        .select(col("block_id"), col("zmin"), col("zmax"), col("n_rows"),
+          col("pruned"), col("matched"), col("n_blocks_pruned"),
+          col("rows_skipped"), col("matched_in_pruned"))
+        .orderBy("block_id")
+    },
+    Some("""
+      WITH rows_ AS MATERIALIZED (
+        SELECT epoch_us(l_shipdate) // 86400000000 // 30 AS block_id,
+               epoch_us(l_shipdate) // 86400000000 AS day
+        FROM lineitem),
+      b AS (SELECT MIN(day) + 400 AS d1, MIN(day) + 600 AS d2 FROM rows_),
+      zones AS MATERIALIZED (
+        SELECT block_id, MIN(day) AS zmin, MAX(day) AS zmax,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM rows_ GROUP BY 1),
+      m AS MATERIALIZED (
+        SELECT r.block_id, CAST(COUNT(*) AS BIGINT) AS matched
+        FROM rows_ r, b
+        WHERE r.day >= b.d1 AND r.day <= b.d2 GROUP BY 1),
+      flagged AS MATERIALIZED (
+        SELECT z.block_id, z.zmin, z.zmax, z.n_rows,
+               (z.zmax < b.d1 OR z.zmin > b.d2) AS pruned,
+               COALESCE(m.matched, 0) AS matched
+        FROM zones z CROSS JOIN b LEFT JOIN m ON z.block_id = m.block_id),
+      gate AS (
+        SELECT CAST(SUM(CASE WHEN pruned THEN matched ELSE 0 END) AS BIGINT)
+                 AS matched_in_pruned,
+               CAST(SUM(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS rows_skipped,
+               CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_blocks_pruned
+        FROM flagged)
+      SELECT f.block_id, f.zmin, f.zmax, f.n_rows, f.pruned, f.matched,
+             g.n_blocks_pruned, g.rows_skipped, g.matched_in_pruned
+      FROM flagged f, gate g
+      ORDER BY f.block_id"""))
+
+  // ------------------------------------------------------------------ //
+  // q295 — Z-order vs natural layout: multi-dimensional data skipping
+  // ------------------------------------------------------------------ //
+
+  /** WHY Z-ORDER: the measured card behind `ops/Layout` (Morton-curve
+    * clustering, the Delta/Iceberg `ZORDER BY` technique). Both layouts
+    * are blocked and zone-mapped on BOTH dimensions (ship day,
+    * partkey): the natural layout blocks by orderkey range (narrow in
+    * day, wide in partkey), the z-layout blocks by the interleaved
+    * z-value's high byte — a KEY-derived bucket, immune to rule 12's
+    * unstable-partition-id trap. A 2-D predicate then reports, per
+    * layout, how many blocks and rows a min/max-pruned scan must touch
+    * — the number that decides whether a 100 TB filter on the second
+    * dimension reads 1% of files or all of them. Rank scaling and the
+    * interleave replay bit-for-bit in SQL (per-row double ops are
+    * IEEE-identical; everything else is integer); the matched-row count
+    * is layout-invariant and rides both rows as a conservation check. */
+  val q295ZorderSkipping = OracleQuery("q295_zorder_skipping",
+    "blocks/rows a 2-D predicate scans: natural vs z-order layout zone maps",
+    (s, d) => {
+      import graft.ops.Layout
+      val base = graft.ops.Caches.track(Tables.lineitem(s, d)
+        .select(expr("l_orderkey div 4096").as("block_nat"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("day"),
+          col("l_partkey").as("pk")))
+      // global bounds: one bounded collect (the IVF-centroid pattern) —
+      // exact BIGINTs widened to double, so the SQL replay sees
+      // identical operands
+      val r = base.agg(min(col("day")), max(col("day")),
+        min(col("pk")), max(col("pk"))).head()
+      val (dLo, dHi) = (r.getLong(0), r.getLong(1))
+      val (pLo, pHi) = (r.getLong(2), r.getLong(3))
+      val z = Layout.interleave(
+        Layout.rankScale(col("day"), dLo.toDouble, dHi.toDouble, 8),
+        Layout.rankScale(col("pk"), pLo.toDouble, pHi.toDouble, 8), 8)
+      // 2-D predicate: 100 ship-days × one tenth of the partkey range
+      val d1 = dLo + 300L; val d2 = dLo + 400L
+      val p1 = pLo; val p2 = pLo + (pHi - pLo) / 10L
+      val rows = graft.ops.Caches.track(base
+        .withColumn("_zv", z)
+        .withColumn("block_z", expr("_zv div 256"))
+        .withColumn("hit",
+          (col("day") >= d1 && col("day") <= d2 &&
+            col("pk") >= p1 && col("pk") <= p2).cast("long")))
+      def layoutCard(blockCol: String, name: String) =
+        rows.groupBy(col(blockCol).as("block"))
+          .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"),
+            min(col("pk")).as("pmin"), max(col("pk")).as("pmax"),
+            count(lit(1)).as("n_rows"), sum(col("hit")).as("n_hit"))
+          .withColumn("scanned",
+            !(col("dmax") < d1 || col("dmin") > d2 ||
+              col("pmax") < p1 || col("pmin") > p2))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("scanned"), 1L).otherwise(0L)).as("blocks_scanned"),
+            sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+              .as("rows_scanned"),
+            sum(col("n_hit")).as("rows_matched"),
+            sum(when(!col("scanned"), col("n_hit")).otherwise(0L))
+              .as("matched_in_pruned"))
+          .select(lit(name).as("layout"), col("n_blocks"),
+            col("blocks_scanned"), col("rows_scanned"),
+            col("rows_matched"), col("matched_in_pruned"))
+      layoutCard("block_nat", "natural")
+        .unionByName(layoutCard("block_z", "zorder"))
+        .orderBy("layout")
+    },
+    Some("""
+      WITH base AS MATERIALIZED (
+        SELECT l_orderkey // 4096 AS block_nat,
+               epoch_us(l_shipdate) // 86400000000 AS day,
+               l_partkey AS pk,
+               l_orderkey * 100 + l_linenumber AS rid
+        FROM lineitem),
+      b AS (SELECT MIN(day) AS d_lo, MAX(day) AS d_hi,
+                   MIN(pk) AS p_lo, MAX(pk) AS p_hi FROM base),
+      scaled AS MATERIALIZED (
+        SELECT base.*,
+               CAST(LEAST(255, FLOOR((CAST(day AS DOUBLE) - d_lo) /
+                 (CAST(d_hi AS DOUBLE) - d_lo) * 256.0)) AS BIGINT) AS sd,
+               CAST(LEAST(255, FLOOR((CAST(pk AS DOUBLE) - p_lo) /
+                 (CAST(p_hi AS DOUBLE) - p_lo) * 256.0)) AS BIGINT) AS sp,
+               d_lo + 300 AS d1, d_lo + 400 AS d2,
+               p_lo AS p1, p_lo + (p_hi - p_lo) // 10 AS p2
+        FROM base CROSS JOIN b),
+      zval AS MATERIALIZED (
+        SELECT rid, block_nat, day, pk, d1, d2, p1, p2,
+               -- full parens: DuckDB's | binds TIGHTER than << (unlike
+               -- C/Scala), so the unparenthesized form shifts by an
+               -- OR-mangled amount and silently scrambles the z-value
+               CAST(SUM((((sd >> i) & 1) << (2 * i)) |
+                        (((sp >> i) & 1) << (2 * i + 1))) AS BIGINT) // 256
+                 AS block_z,
+               CAST(CASE WHEN day >= d1 AND day <= d2
+                          AND pk >= p1 AND pk <= p2
+                     THEN 1 ELSE 0 END AS BIGINT) AS hit
+        FROM scaled CROSS JOIN generate_series(0, 7) g(i)
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+      nat AS (
+        SELECT block_nat AS block, MIN(day) dmin, MAX(day) dmax,
+               MIN(pk) pmin, MAX(pk) pmax,
+               CAST(COUNT(*) AS BIGINT) n_rows,
+               CAST(SUM(hit) AS BIGINT) n_hit,
+               MIN(d1) d1, MIN(d2) d2, MIN(p1) p1, MIN(p2) p2
+        FROM zval GROUP BY 1),
+      zb AS (
+        SELECT block_z AS block, MIN(day) dmin, MAX(day) dmax,
+               MIN(pk) pmin, MAX(pk) pmax,
+               CAST(COUNT(*) AS BIGINT) n_rows,
+               CAST(SUM(hit) AS BIGINT) n_hit,
+               MIN(d1) d1, MIN(d2) d2, MIN(p1) p1, MIN(p2) p2
+        FROM zval GROUP BY 1),
+      card AS (
+        SELECT 'natural' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN NOT (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS blocks_scanned,
+               CAST(SUM(CASE WHEN NOT (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS rows_scanned,
+               CAST(SUM(n_hit) AS BIGINT) AS rows_matched,
+               CAST(SUM(CASE WHEN (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN n_hit ELSE 0 END) AS BIGINT)
+                 AS matched_in_pruned
+        FROM nat
+        UNION ALL
+        SELECT 'zorder',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN n_rows ELSE 0 END) AS BIGINT),
+               CAST(SUM(n_hit) AS BIGINT),
+               CAST(SUM(CASE WHEN (dmax < d1 OR dmin > d2 OR
+                 pmax < p1 OR pmin > p2) THEN n_hit ELSE 0 END) AS BIGINT)
+        FROM zb)
+      SELECT * FROM card ORDER BY layout"""))
+
   def all: Seq[OracleQuery] = Seq(
     q108Bm25, q109MinCostSupplier, q110QuantileGate,
     q111AxisLshNearDup, q112SourceQuota, q113BloomJoin,
     q114KeySkew, q115Histogram, q116OovRate, q127HybridRrf,
     q157JoinCardGate, q187RetrievalEval, q230NdcgEval,
-    q243JoinAdvisor, q244WatermarkAudit, q271KendallTau)
+    q243JoinAdvisor, q244WatermarkAudit, q271KendallTau,
+    q294ZoneMap, q295ZorderSkipping)
 }

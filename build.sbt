@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim: sbt's default logger
+// prefixes every line with "[info] ", which corrupts the one-line JSON
+// contract of Bench/Verify for any consumer that greps stdout for a
+// parseable line (the driver's bench capture keeps only a 2000-char
+// tail and parses it — see Bench.scala's compact-line note).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

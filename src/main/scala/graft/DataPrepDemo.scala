@@ -30,6 +30,7 @@ object DataPrepDemo {
       java.nio.file.Files.createTempDirectory("graft_prep_").toString)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")

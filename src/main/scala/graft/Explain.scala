@@ -13,6 +13,7 @@ object Explain {
         "q05_dedup_latest", "q01_pricing_summary")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -49,6 +49,7 @@ object ScaleBench {
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

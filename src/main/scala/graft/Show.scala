@@ -11,6 +11,7 @@ object Show {
     val names = if (args.length > 1) args.tail.toSeq else Seq("q01_pricing_summary")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

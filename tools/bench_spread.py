@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Summarize per-query medians and run-to-run spread across the bench
+marathon (bench_out/run*.stdout, each produced by `runMain graft.Bench`).
+
+Usage: python3 tools/bench_spread.py [query_regex]
+
+Prints, for each query matching the regex (default: all), the per-bench
+raw runs and medians, plus max/min of the medians across benches — the
+round-3 verdict's "spread" metric for the q156 variance watch.
+"""
+import glob
+import re
+import sys
+
+PAT = re.compile(r"\[bench\] (q\S+) runs=([0-9.,\-]+)")
+
+
+def medians(path):
+    out = {}
+    raw = {}
+    for line in open(path, errors="replace"):
+        m = PAT.search(line)
+        if not m:
+            continue
+        ts = sorted(float(x) for x in m.group(2).split(","))
+        med = ts[len(ts) // 2] if len(ts) % 2 else (
+            ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
+        out[m.group(1)] = med
+        raw[m.group(1)] = ts
+    return out, raw
+
+
+def main():
+    rx = re.compile(sys.argv[1]) if len(sys.argv) > 1 else None
+    runs = sorted(glob.glob("bench_out/run*.stdout"))
+    if not runs:
+        print("no bench_out/run*.stdout found")
+        return
+    meds, raws = {}, {}
+    for p in runs:
+        m, r = medians(p)
+        meds[p], raws[p] = m, r
+    names = sorted(set().union(*[set(m) for m in meds.values()]))
+    print(f"{len(runs)} benches, {len(names)} queries")
+    worst = []
+    for n in names:
+        ms = [meds[p].get(n) for p in runs if n in meds[p]]
+        if not ms:
+            continue
+        spread = max(ms) / min(ms) if min(ms) > 0 else float("inf")
+        worst.append((spread, n, ms))
+        if rx and rx.search(n):
+            print(f"\n{n}: medians={['%.3f' % x for x in ms]} "
+                  f"spread={spread:.2f}x")
+            for p in runs:
+                if n in raws[p]:
+                    print(f"  {p}: raw={raws[p][n]}")
+    worst.sort(reverse=True)
+    print("\nworst cross-bench median spreads:")
+    for s, n, ms in worst[:15]:
+        print(f"  {s:5.2f}x  {n}  medians={['%.2f' % x for x in ms]}")
+    tot = [sum(v for v in meds[p].values() if v >= 0) for p in runs]
+    print("\nper-bench totals:", ["%.1f" % t for t in tot])
+
+
+if __name__ == "__main__":
+    main()

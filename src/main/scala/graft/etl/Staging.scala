@@ -37,8 +37,14 @@ object Staging {
       col("raw_event_id"),
       trim(initcap(col("event_name"))).as("event_name"),                    // P2
       validCast(col("event_date"), dateRe, DateType).as("event_date"),      // P3
-      when(col("event_time").rlike(timeRe), col("event_time"))
-        .as("event_time"),                                                  // P4
+      // P4: a REAL `TIME(6)` column (Spark 4.1 TimeType, enabled via
+      // spark.sql.timeType.enabled in every session builder). The regex
+      // guard stays cheap ("^\d{2}:\d{2}"), try_cast is the actual
+      // validator — "99:99" passes the guard but casts to NULL, never
+      // throws (StagingTimeSpec). Parquet writes TIME(MICROS), which
+      // DuckDB 1.0 reads back natively (q296 exercises the type through
+      // the driver's oracle gate).
+      validCast(col("event_time"), timeRe, TimeType(6)).as("event_time"),   // P4
       trim(col("venue_name")).as("venue_name"),
       trim(initcap(col("venue_city"))).as("venue_city"),                    // P5
       trim(initcap(col("venue_country"))).as("venue_country"),              // P5

@@ -79,7 +79,7 @@ object Schemas {
     StructField("raw_event_id", StringType, nullable = false),
     StructField("event_name", StringType),
     StructField("event_date", DateType),
-    StructField("event_time", StringType), // no TimeType: keep "HH:mm:ss"
+    StructField("event_time", TimeType(6)), // Spark 4.1 native TIME (P4)
     StructField("venue_name", StringType),
     StructField("venue_city", StringType),
     StructField("venue_country", StringType),

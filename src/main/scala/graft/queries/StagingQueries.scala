@@ -476,9 +476,64 @@ object StagingQueries {
       FROM byv b, tot t
       ORDER BY b.version"""))
 
+  /** §2.8 / P4 follow-up (round-3 verdict ask #7): a REAL `TIME(6)` column
+    * end-to-end through the driver's gate — Spark 4.1 ships TimeType behind
+    * `spark.sql.timeType.enabled` (set in every session builder here), it
+    * writes parquet TIME(MICROS), and DuckDB 1.0 reads that back as TIME.
+    * There is no TIMESTAMP→TIME cast in Spark 4.1, so the time-of-day is
+    * assembled from exact integer µs via a formatted string — integer→
+    * string→TIME is bit-portable where double seconds (DuckDB's
+    * `make_time`) would risk 1-ulp µs drift. hour()/minute() on the TIME
+    * value exercise the type's accessors in both engines. */
+  val q296TimeOfDay = OracleQuery(
+    "q296_time_of_day",
+    "native TIME(6) column: µs-of-day built exactly from integers, min/max TIME per type + hour accessor (SURVEY §2.8, P4 typed)",
+    (s, d) => {
+      // `div`, not `/`: Column./ is always DOUBLE division in Spark SQL
+      // (format_string('%02d') then throws on the Double), `div` is the
+      // integer quotient — same operator the oracle's `//` maps to
+      val t = expr(
+        """format_string('%02d:%02d:%02d.%06d',
+          |  ((ts div 1000) % 86400000000) div 3600000000,
+          |  (((ts div 1000) % 86400000000) % 3600000000) div 60000000,
+          |  (((ts div 1000) % 86400000000) % 60000000) div 1000000,
+          |  ((ts div 1000) % 86400000000) % 1000000)""".stripMargin)
+        .try_cast(TimeType(6))
+      Tables.events(s, d)
+        .select(col("event_type"), t.as("t"))
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("t")).as("first_tod"),
+          max(col("t")).as("last_tod"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("first_tod"), col("last_tod"),
+          hour(col("first_tod")).cast("long").as("first_hour"),
+          minute(col("last_tod")).cast("long").as("last_minute"),
+          col("n"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_type,
+               CAST(printf('%02d:%02d:%02d.%06d',
+                    (epoch_us(ts) % 86400000000) // 3600000000,
+                    ((epoch_us(ts) % 86400000000) % 3600000000) // 60000000,
+                    ((epoch_us(ts) % 86400000000) % 60000000) // 1000000,
+                    (epoch_us(ts) % 86400000000) % 1000000) AS TIME) AS t
+        FROM events)
+      SELECT event_type,
+             min(t) AS first_tod,
+             max(t) AS last_tod,
+             CAST(hour(min(t)) AS BIGINT) AS first_hour,
+             CAST(minute(max(t)) AS BIGINT) AS last_minute,
+             count(*) AS n
+      FROM x
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   def all: Seq[OracleQuery] = Seq(
     q15StagingClean, q16JsonFlatten, q17DateDim, q18FxNormalize,
     q19ScalarSubquery, q20Having, q21CountDistinct, q22Distinct,
     q23CondAgg, q26DurationAgg, q27Scd2Versions, q28Sessionize,
-    q29ExprJoin, q30LeftJoinFiltered, q264PitAudit)
+    q29ExprJoin, q30LeftJoinFiltered, q264PitAudit, q296TimeOfDay)
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic PCM-16 WAV byte-stream generator — the audio twin of
+  * [[Png.syntheticImages]]: clip `i`'s every byte is a pure function of
+  * `i`, so the [[Multimodal.WavDecoder]] feature vector (rms / peak / DC /
+  * zero-cross rate) can be hash-gated against a DuckDB oracle that replays
+  * the SAMPLE FORMULA symbolically (q297) — the oracle never touches WAV
+  * bytes, so a match proves container writing + chunk walk + sample
+  * arithmetic end to end, under the driver's gate rather than only a spec.
+  *
+  * Sample formula (all exact integer math, replayable in SQL):
+  *   channels(i) = 1 + (i % 2)
+  *   rate(i)     = 8000 * (1 + i % 3)
+  *   frames(i)   = 40 + (i % 23)
+  *   v(i, t, c)  = ((i*9973 + t*5501 + c*3251) % 65536) - 32768
+  */
+object Wav {
+
+  private def makeWav(i: Long): Array[Byte] = {
+    val channels = 1 + (i % 2).toInt
+    val rate = 8000 * (1 + (i % 3).toInt)
+    val frames = 40 + (i % 23).toInt
+    val dataSize = frames * channels * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(36 + dataSize); tag("WAVE")
+    tag("fmt "); w32(16)
+    w16(1) // PCM
+    w16(channels)
+    w32(rate)
+    w32(rate * channels * 2) // byte rate
+    w16(channels * 2)        // block align
+    w16(16)                  // bits per sample
+    tag("data"); w32(dataSize)
+    var t = 0
+    while (t < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((i * 9973 + t * 5501 + c * 3251) % 65536) - 32768).toInt
+        w16(v & 0xffff)
+        c += 1
+      }
+      t += 1
+    }
+    out.toByteArray
+  }
+
+  /** `n` deterministic clips as (media_id, content) — partition-parallel,
+    * no driver-side byte building. */
+  def syntheticAudio(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions(_.map(i => (i, makeWav(i))))
+      .toDF("media_id", "content")
+  }
+}

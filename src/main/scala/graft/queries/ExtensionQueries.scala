@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Png, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Jpeg, Multimodal, Png, Similarity, TextAnalysis, Wav}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -790,10 +790,158 @@ object ExtensionQueries {
       FROM sums
       ORDER BY media_id"""))
 
+  /** REAL PCM-16 WAV decode, driver-hash-gated end to end (the audio twin
+    * of q293): the engine writes actual RIFF/WAVE byte streams from an
+    * exact integer sample formula ([[Wav.syntheticAudio]]), decodes them
+    * through `Multimodal.WavDecoder` (pure byte arithmetic, no codec),
+    * and emits the audio-curation feature vector. The oracle replays the
+    * SAMPLE FORMULA symbolically — it never touches WAV bytes — so a hash
+    * match proves container write + chunk walk + level features
+    * (rms/peak/DC via exact integer sums, one sqrt/division each;
+    * zero-cross rate with the decoder's zeros-are-transparent contract,
+    * which in SQL is exactly "consecutive non-zero samples with opposite
+    * sign"). The curation filters a real audio pipeline runs (too-quiet,
+    * clipped, DC-offset, wrong-rate) are thresholds over these columns. */
+  val q297WavRoundtrip = OracleQuery("q297_wav_roundtrip",
+    "pure-JVM PCM WAV decode (RIFF chunk walk + level features) vs symbolic oracle",
+    (s, d) => {
+      val decoded = Multimodal.decode(
+        Wav.syntheticAudio(s, 32), "media_id", "content",
+        Multimodal.WavDecoder)(s)
+      decoded.select(
+          col("media_id"), col("format"),
+          element_at(col("features"), 1).cast("long").as("channels"),
+          element_at(col("features"), 2).cast("long").as("rate"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).as("duration_sec"),
+          element_at(col("features"), 5).as("rms"),
+          element_at(col("features"), 6).as("peak"),
+          element_at(col("features"), 7).as("mean_dc"),
+          element_at(col("features"), 8).as("zcr"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH geom AS (
+        SELECT i,
+               1 + (i % 2) AS ch,
+               8000 * (1 + i % 3) AS rate,
+               40 + (i % 23) AS nf
+        FROM generate_series(0, 31) t(i)),
+      samp AS (
+        SELECT g.i, g.ch, g.nf, f.f AS t, c.c,
+               CAST(((g.i*9973 + f.f*5501 + c.c*3251) % 65536) - 32768 AS BIGINT)
+                 AS v
+        FROM geom g
+        JOIN generate_series(0, 61) f(f) ON f.f < g.nf
+        JOIN generate_series(0, 1) c(c) ON c.c < g.ch),
+      levels AS (
+        SELECT i, ch, nf,
+               CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak_i
+        FROM samp GROUP BY 1, 2, 3),
+      zc AS (
+        SELECT i, COUNT(*) FILTER (
+                 WHERE prev IS NOT NULL AND sign(v) <> prev) AS n_zc
+        FROM (
+          SELECT i, v,
+                 lag(sign(v)) OVER (PARTITION BY i ORDER BY t) AS prev
+          FROM samp WHERE c = 0 AND v <> 0) s
+        GROUP BY 1)
+      SELECT g.i AS media_id, 'wav' AS format,
+             CAST(g.ch AS BIGINT) AS channels,
+             CAST(g.rate AS BIGINT) AS rate,
+             CAST(g.nf AS BIGINT) AS n_frames,
+             CAST(g.nf AS DOUBLE) / CAST(g.rate AS DOUBLE) AS duration_sec,
+             sqrt(CAST(l.sum_sq AS DOUBLE) / CAST(g.nf * g.ch AS DOUBLE))
+               / 32768.0 AS rms,
+             CAST(l.peak_i AS DOUBLE) / 32768.0 AS peak,
+             (CAST(l.sum_v AS DOUBLE) / CAST(g.nf * g.ch AS DOUBLE))
+               / 32768.0 AS mean_dc,
+             CAST(COALESCE(z.n_zc, 0) AS DOUBLE) / CAST(g.nf - 1 AS DOUBLE)
+               AS zcr
+      FROM geom g
+      JOIN levels l ON l.i = g.i
+      LEFT JOIN zc z ON z.i = g.i
+      ORDER BY media_id"""))
+
+  /** REAL baseline JPEG pixel decode, driver-hash-gated (the lossy-
+    * format sibling of q293): the engine writes actual T.81 baseline
+    * streams — canonical Huffman, DC prediction, byte stuffing,
+    * restart markers, 4:4:4 and 4:2:0 sampling — from DC-only uniform
+    * blocks ([[Jpeg.syntheticImages]]; uniform blocks are the one
+    * construction where lossy JPEG round-trips bit-exactly, see
+    * `ops/Jpeg.scala` Scaladoc), decodes them through the full
+    * entropy-decode → dequant → IDCT → upsample → YCbCr→RGB path, and
+    * emits per-channel means. The oracle replays the BLOCK FORMULA
+    * symbolically with crop-geometry visibility counts — pure integer
+    * SQL that never touches JPEG bytes. The general AC path is
+    * spec-gated (JpegSpec) against an independent reference IDCT. */
+  val q298JpegRoundtrip = OracleQuery("q298_jpeg_roundtrip",
+    "pure-JVM baseline JPEG pixel decode (huffman + IDCT + 4:2:0 upsample + YCbCr) vs symbolic oracle",
+    (s, d) => {
+      val decoded = Multimodal.decode(
+        Jpeg.syntheticImages(s, 48), "media_id", "content",
+        Jpeg.JpegDecoder)(s)
+      decoded.select(
+          col("media_id"), col("format"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 2).cast("long").as("h"),
+          element_at(col("features"), 3).cast("long").as("channels"),
+          element_at(col("features"), 4).cast("long").as("depth"),
+          element_at(col("features"), 5).as("m1"),
+          element_at(col("features"), 6).as("m2"),
+          element_at(col("features"), 7).as("m3"),
+          element_at(col("features"), 8).as("m4"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH geom AS (
+        SELECT i,
+               6 + (i % 23) AS w,
+               5 + (i % 19) AS h,
+               i % 3 AS kind
+        FROM generate_series(0, 47) t(i)),
+      grid AS (
+        -- luma 8x8 block grid; for 4:2:0 (kind 2) the plane is padded
+        -- to 16x16 MCUs, so the block count rounds up to EVEN
+        SELECT i, w, h, kind,
+               CASE WHEN kind = 2 THEN ((w + 15) // 16) * 2
+                    ELSE (w + 7) // 8 END AS nbx,
+               CASE WHEN kind = 2 THEN ((h + 15) // 16) * 2
+                    ELSE (h + 7) // 8 END AS nby
+        FROM geom),
+      blocks AS (
+        SELECT g.i, g.w, g.h, g.kind,
+               (g.i*37 + bx.bx*101 + by.by*53) % 256 AS v,
+               GREATEST(0, LEAST(8, g.w - bx.bx*8)) AS xvis,
+               GREATEST(0, LEAST(8, g.h - by.by*8)) AS yvis
+        FROM grid g
+        JOIN generate_series(0, 3) bx(bx) ON bx.bx < g.nbx
+        JOIN generate_series(0, 3) by(by) ON by.by < g.nby),
+      sums AS (
+        SELECT i, w, h, kind,
+               CAST(SUM(v * xvis * yvis) AS BIGINT) AS s
+        FROM blocks GROUP BY 1, 2, 3, 4)
+      SELECT i AS media_id, 'jpeg' AS format,
+             CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(CASE WHEN kind = 0 THEN 1 ELSE 3 END AS BIGINT)
+               AS channels,
+             CAST(8 AS BIGINT) AS depth,
+             CAST(s AS DOUBLE) / (w * h * 255.0) AS m1,
+             CASE WHEN kind = 0 THEN 0.0
+                  ELSE CAST(s AS DOUBLE) / (w * h * 255.0) END AS m2,
+             CASE WHEN kind = 0 THEN 0.0
+                  ELSE CAST(s AS DOUBLE) / (w * h * 255.0) END AS m3,
+             0.0 AS m4
+      FROM sums
+      ORDER BY media_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
-    q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip)
+    q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
+    q297WavRoundtrip, q298JpegRoundtrip)
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class JpegSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Expected per-channel sums for the DC-only fixtures, computed from
+    * the block-value formula alone (never from JPEG bytes): each 8×8
+    * luma block is uniform, so its contribution is v · (visible
+    * pixels), with visibility from the crop geometry. */
+  private def expectedLumaSum(w: Int, h: Int, sub420: Boolean,
+      vY: (Int, Int) => Int): Long = {
+    val m = if (sub420) 16 else 8
+    val blocksX = (w + m - 1) / m * (m / 8)
+    val blocksY = (h + m - 1) / m * (m / 8)
+    var s = 0L
+    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+      val xv = math.max(0, math.min(8, w - bx * 8))
+      val yv = math.max(0, math.min(8, h - by * 8))
+      s += vY(bx, by).toLong * xv * yv
+    }
+    s
+  }
+
+  test("DC-only grayscale round-trips bit-exactly, incl. edge blocks") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (6, 5), (17, 23), (24, 9))) {
+      def vY(bx: Int, by: Int): Int = (7 + bx * 31 + by * 57) % 256
+      val bytes = Jpeg.encodeUniformBlocks(w, h, gray = true,
+        sub420 = false, restartEvery = 0, (_, bx, by) => vY(bx, by))
+      val d = Jpeg.decodeOne(bytes).get
+      assert((d.w, d.h, d.channels, d.depth) == (w, h, 1, 8))
+      assert(d.channelSums(0) ==
+        expectedLumaSum(w, h, sub420 = false, vY), s"${w}x$h")
+    }
+  }
+
+  test("grey-valued color 4:4:4: real YCbCr→RGB path, R=G=B=Y exactly") {
+    val (w, h) = (13, 10)
+    def vY(bx: Int, by: Int): Int = (200 + bx * 17 + by * 3) % 256
+    val bytes = Jpeg.encodeUniformBlocks(w, h, gray = false,
+      sub420 = false, restartEvery = 0,
+      (c, bx, by) => if (c == 0) vY(bx, by) else 128)
+    val d = Jpeg.decodeOne(bytes).get
+    assert(d.channels == 3)
+    val exp = expectedLumaSum(w, h, sub420 = false, vY)
+    assert(d.channelSums(0) == exp)
+    assert(d.channelSums(1) == exp)
+    assert(d.channelSums(2) == exp)
+  }
+
+  test("4:2:0 subsampling + upsampling, odd dims, restart markers") {
+    for ((w, h, rst) <- Seq((16, 16, 0), (18, 13, 0), (33, 18, 1), (40, 40, 2))) {
+      def vY(bx: Int, by: Int): Int = (11 + bx * 41 + by * 29) % 256
+      val bytes = Jpeg.encodeUniformBlocks(w, h, gray = false,
+        sub420 = true, restartEvery = rst,
+        (c, bx, by) => if (c == 0) vY(bx, by) else 128)
+      val d = Jpeg.decodeOne(bytes).get
+      assert((d.w, d.h, d.channels) == (w, h, 3), s"${w}x$h rst=$rst")
+      val exp = expectedLumaSum(w, h, sub420 = true, vY)
+      assert(d.channelSums(0) == exp, s"${w}x$h rst=$rst R")
+      assert(d.channelSums(1) == exp, s"${w}x$h rst=$rst G")
+      assert(d.channelSums(2) == exp, s"${w}x$h rst=$rst B")
+    }
+  }
+
+  /** The AC path (run-length, ZRL, EOB, zigzag, negative categories)
+    * against an INDEPENDENT reference: encode arbitrary quantized
+    * coefficient blocks via the private encoder, decode the stream,
+    * and compare against dequant+IDCT applied directly to the same
+    * coefficients — the Huffman/bit layer must be the identity between
+    * them. Deterministic seeded values; includes a long zero run
+    * (forces ZRL) and a final-coefficient value (no EOB). */
+  test("AC coefficients survive the entropy coder: stream == reference IDCT") {
+    val w = 24; val h = 8 // 3 blocks
+    val rng = new scala.util.Random(42)
+    val blocks = Array.fill(3)(new Array[Int](64))
+    // block 0: dense small coefficients
+    for (k <- 0 until 64) blocks(0)(k) = rng.nextInt(21) - 10
+    // block 1: sparse with a >16 zero run (ZRL) and high-freq tail
+    blocks(1)(0) = 50; blocks(1)(5) = -3; blocks(1)(63) = 7
+    // block 2: DC only negative (negative diff vs block 1's DC)
+    blocks(2)(0) = -80
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write(((payload.length + 2) >> 8) & 0xff)
+      out.write((payload.length + 2) & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc0, Array(8, 0, h, 0, w, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ Jpeg.StdDcBits ++ Jpeg.StdDcVals)
+    seg(0xc4, Array(0x10) ++ Jpeg.StdAcBits ++ Jpeg.StdAcVals)
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val dcT = new Jpeg.Huff(Jpeg.StdDcBits, Jpeg.StdDcVals)
+    val acT = new Jpeg.Huff(Jpeg.StdAcBits, Jpeg.StdAcVals)
+    val wtr = new Jpeg.BitWriter(out)
+    var pred = 0
+    for (b <- blocks) pred = Jpeg.encodeBlock(wtr, dcT, acT, b, pred)
+    wtr.flush()
+    out.write(0xff); out.write(0xd9)
+    val d = Jpeg.decodeOne(out.toByteArray).get
+    // reference: same coefficients straight through the IDCT
+    val ref = new Array[Int](64)
+    var expSum = 0L
+    for (b <- blocks) { Jpeg.idct(b, ref); expSum += ref.map(_.toLong).sum }
+    assert((d.w, d.h, d.channels) == (w, h, 1))
+    assert(d.channelSums(0) == expSum)
+  }
+
+  test("non-baseline and malformed streams reject to None, never throw") {
+    // progressive SOF2
+    val prog = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+        8, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte))
+      out.toByteArray
+    }
+    assert(Jpeg.decodeOne(prog).isEmpty)
+    assert(Jpeg.decodeOne(Array[Byte]()).isEmpty)
+    assert(Jpeg.decodeOne(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // truncated mid-entropy-stream: valid headers, missing data
+    val good = Jpeg.encodeUniformBlocks(32, 32, gray = true,
+      sub420 = false, restartEvery = 0, (_, _, _) => 99)
+    assert(Jpeg.decodeOne(good.take(good.length - 40)).isEmpty)
+    // bit-flip in a huffman table length must not throw
+    val mut = good.clone()
+    mut(25) = (mut(25) ^ 0x55).toByte
+    Jpeg.decodeOne(mut) // any Option is fine; just must not throw
+  }
+
+  test("decoder seam: mixed corpus splits jpeg vs unknown") {
+    val rows = Seq(
+      (0L, Jpeg.encodeUniformBlocks(8, 8, gray = true, sub420 = false,
+        restartEvery = 0, (_, _, _) => 42)),
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Jpeg.encodeUniformBlocks(10, 7, gray = false, sub420 = true,
+        restartEvery = 0, (c, _, _) => if (c == 0) 17 else 128)))
+    val df = rows.toDF("media_id", "content")
+    val out = Multimodal.decode(df, "media_id", "content",
+      Jpeg.JpegDecoder)(spark)
+      .select(col("media_id"), col("format"),
+        element_at(col("features"), 1).as("w"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, "jpeg", 8.0)))
+    assert(out(1)._2 == "unknown")
+    assert(out(2) == ((2L, "jpeg", 10.0)))
+  }
+}

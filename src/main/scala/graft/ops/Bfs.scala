@@ -37,7 +37,7 @@ object Bfs {
       sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in 1..20")
     val canon = Triangles.canonEdges(edges, srcCol, dstCol)
-    val sym = Caches.track(
+    val sym = Caches.materialize(
       canon.select(col("a").as("s"), col("b").as("t"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"))))
     var dist = Caches.track(
@@ -57,7 +57,9 @@ object Bfs {
       // BFS monotonicity: an already-labeled node can never improve
       // (its neighbors are at dist-1 or later), so the merge only ADDS
       // nodes — LEAST keeps existing labels and admits first reaches
-      val merged = Caches.track(
+      // materialize, not track: per-round lineage truncation (see
+      // Caches.materialize — the q287 plan-tower lesson)
+      val merged = Caches.materialize(
         dist.join(cand, Seq("n"), "full_outer")
           .select(col("n"),
             least(coalesce(col("dist"), col("cand")),
@@ -97,7 +99,7 @@ object Bfs {
         col(weightCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-    val sym = Caches.track(
+    val sym = Caches.materialize(
       canon.select(col("a").as("s"), col("b").as("t"), col("w"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"),
           col("w"))))
@@ -112,7 +114,7 @@ object Bfs {
         .select(col("t").as("n"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("n"))
         .agg(min(col("cand")).as("cand"))
-      val merged = Caches.track(
+      val merged = Caches.materialize(
         dist.join(cand, Seq("n"), "full_outer")
           .select(col("n"),
             least(coalesce(col("dist"), col("cand")),

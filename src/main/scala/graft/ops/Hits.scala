@@ -52,12 +52,16 @@ object Hits {
       .agg(sum(col("score")).as("score"))
     var done = 1
     while (done < rounds) {
-      auth = e.join(hub.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("score")).as("score"))
-      hub = e.join(auth.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("score")).as("score"))
+      // materialize per half-step pair: lineage truncation
+      // (Caches.materialize Scaladoc — the q287 plan-tower lesson)
+      auth = Caches.materialize(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("score")).as("score")))
+      hub = Caches.materialize(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("score")).as("score")))
       done += 1
     }
     (auth, hub)

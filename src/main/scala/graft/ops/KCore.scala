@@ -34,7 +34,7 @@ object KCore {
   def peel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 20, "need k>=1, rounds in 1..20")
-    var e = Caches.track(Triangles.canonEdges(edges, srcCol, dstCol))
+    var e = Caches.materialize(Triangles.canonEdges(edges, srcCol, dstCol))
     var round = 0
     var fixpoint = false
     // degrees of the CURRENT e, reused by the post-loop emit on the
@@ -57,7 +57,9 @@ object KCore {
         // edge shuffles. Where nodes stop fitting a broadcast, remove
         // the hint and AQE plans the exchange.
         val keep = broadcast(deg.filter(col("deg") >= k).select(col("n")))
-        e = Caches.track(
+        // materialize, not track: per-round lineage truncation (see
+        // Caches.materialize — the q287 plan-tower lesson)
+        e = Caches.materialize(
           e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
             .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
             .select(col("a"), col("b")))

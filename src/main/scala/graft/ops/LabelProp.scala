@@ -35,12 +35,14 @@ object LabelProp {
         .distinct())
     var lab = sym.select(col("s").as("node"), col("s").as("label")).distinct()
     (1 to rounds).foreach { _ =>
-      lab = sym
+      // materialize per round: lineage truncation (Caches.materialize
+      // Scaladoc — the q287 plan-tower lesson; 8 nested rounds here)
+      lab = Caches.materialize(sym
         .join(lab.select(col("node").as("d"), col("label")), Seq("d"))
         .groupBy(col("s"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("s"))
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("best"))
-        .select(col("s").as("node"), col("best.label").as("label"))
+        .select(col("s").as("node"), col("best.label").as("label")))
     }
     lab
   }

@@ -91,16 +91,20 @@ object PageRank {
     val baseTerm = (100L - dampingPct) * base / 100L
     var pr = nodes.withColumn("pr", lit(base))
     for (_ <- 1 to iterations) {
+      // the per-iteration materialize below truncates the plan tower
+      // (Caches.materialize Scaladoc — the q287 lesson; 3 nested
+      // iterations already cost seconds of driver-side analysis)
       val contrib = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst"), expr("(pr * w) div wout").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("contrib"))
-      pr = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(baseTerm) +
-            expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-            .as("pr"))
+      pr = Caches.materialize(
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(baseTerm) +
+              expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+              .as("pr")))
     }
     pr
   }

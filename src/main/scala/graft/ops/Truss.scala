@@ -34,7 +34,12 @@ object Truss {
       rounds: Int): Seq[(Int, DataFrame)] = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    var e = Caches.track(canon)
+    // materialize, not track: each round's plan embeds a full triangle
+    // enumeration of the previous round — without lineage truncation
+    // the plan tower makes every downstream action pay seconds of
+    // driver-side analysis (Caches.materialize Scaladoc has the q287
+    // measurements: 13 s → the triangle work alone)
+    var e = Caches.materialize(canon)
     var acc = List(0 -> e)
     (1 to rounds).foreach { r =>
       val sup = Triangles.triangleRowsCanon(e)
@@ -44,7 +49,7 @@ object Truss {
           struct(col("x").as("a"), col("z").as("b")))).as("e"))
         .groupBy(col("e.a").as("a"), col("e.b").as("b"))
         .agg(count(lit(1)).as("support"))
-      e = Caches.track(e.join(sup, Seq("a", "b"), "left")
+      e = Caches.materialize(e.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select(col("a"), col("b")))
       acc = acc :+ (r -> e)

@@ -1372,7 +1372,10 @@ object InsightQueries {
           .orderBy(col("score").desc, col("doc_id")).limit(1)
           .select(lit(r.toLong).as("rank"), col("doc_id"), col("rel"),
             col("max_sim"), col("score"))
-        selected = graft.ops.Caches.track(
+        // materialize (lineage truncation): each pick's plan references
+        // the previous `selected` three times — a branching tower that
+        // costs driver-side analysis seconds by round 5 (q287 lesson)
+        selected = graft.ops.Caches.materialize(
           if (r == 1) pick else selected.unionByName(pick))
       }
       selected.orderBy("rank")

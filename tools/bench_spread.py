@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Summarize per-query medians and run-to-run spread across the bench
-marathon (bench_out/run*.stdout, each produced by `runMain graft.Bench`).
+marathon (bench_out/run*.std{err,out}, each produced by `runMain graft.Bench`).
 
 Usage: python3 tools/bench_spread.py [query_regex]
 
@@ -12,12 +12,14 @@ import glob
 import re
 import sys
 
-PAT = re.compile(r"\[bench\] (q\S+) runs=([0-9.,\-]+)")
+PAT = re.compile(r"\[bench\] (q\S+) runs=([0-9.,\-]+)"
+                 r"(?: cpuCores=([0-9.,\-]+))?")
 
 
 def medians(path):
     out = {}
     raw = {}
+    cores = {}
     for line in open(path, errors="replace"):
         m = PAT.search(line)
         if not m:
@@ -27,19 +29,28 @@ def medians(path):
             ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
         out[m.group(1)] = med
         raw[m.group(1)] = ts
-    return out, raw
+        if m.group(3):
+            # unsorted, aligned with the line's raw run order — the
+            # spike classifier: a slow run at LOW cores was waiting
+            cores[m.group(1)] = [float(x) for x in m.group(3).split(",")]
+    return out, raw, cores
 
 
 def main():
     rx = re.compile(sys.argv[1]) if len(sys.argv) > 1 else None
-    runs = sorted(glob.glob("bench_out/run*.stdout"))
+    # [bench] telemetry goes to stderr since the StdoutOutput switch
+    # (stdout carries only the JSON contract lines); older marathons
+    # had sbt merge both into stdout — accept either
+    runs = sorted(glob.glob("bench_out/run*.stderr"))
+    if not any(PAT.search(l) for p in runs for l in open(p, errors="replace")):
+        runs = sorted(glob.glob("bench_out/run*.stdout"))
     if not runs:
         print("no bench_out/run*.stdout found")
         return
-    meds, raws = {}, {}
+    meds, raws, coress = {}, {}, {}
     for p in runs:
-        m, r = medians(p)
-        meds[p], raws[p] = m, r
+        m, r, c = medians(p)
+        meds[p], raws[p], coress[p] = m, r, c
     names = sorted(set().union(*[set(m) for m in meds.values()]))
     print(f"{len(runs)} benches, {len(names)} queries")
     worst = []
@@ -54,7 +65,9 @@ def main():
                   f"spread={spread:.2f}x")
             for p in runs:
                 if n in raws[p]:
-                    print(f"  {p}: raw={raws[p][n]}")
+                    cc = coress[p].get(n)
+                    extra = f" cpuCores={cc}" if cc else ""
+                    print(f"  {p}: raw={raws[p][n]}{extra}")
     worst.sort(reverse=True)
     print("\nworst cross-bench median spreads:")
     for s, n, ms in worst[:15]:

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pixel-space image transforms over decoded planes — the brief's
+  * resize stage, real: [[resizeBox]] is integer-exact box
+  * downsampling (each output pixel is the floor-mean of its s×s
+  * source box; edge boxes use their true pixel count), fed by the
+  * REAL JPEG pixel decode ([[Jpeg.decodeGrayPixels]]). All arithmetic
+  * is Int/Long — floor(sum/count) replays exactly in SQL, which is
+  * what lets q300 hash-gate a resize whose boxes genuinely STRADDLE
+  * DCT blocks (stride 3 over 8×8-block fixtures mixes up to four
+  * block values per box).
+  *
+  * Scale shape: decode+resize is one narrow mapPartitions, no
+  * shuffle; output rows carry integral sums so any downstream
+  * aggregation stays exact.
+  */
+object Imaging {
+
+  /** Box-downsample by integer stride `s`: output (ow, oh, pixels)
+    * with ow = ceil(w/s), oh = ceil(h/s); out(ox,oy) =
+    * floor(Σ box / |box|) over the (≤ s×s) source box. */
+  private[ops] def resizeBox(px: Array[Int], w: Int, h: Int,
+      s: Int): (Int, Int, Array[Int]) = {
+    require(s >= 1 && w > 0 && h > 0)
+    val ow = (w + s - 1) / s
+    val oh = (h + s - 1) / s
+    val out = new Array[Int](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sum = 0L
+        var cnt = 0
+        var dy = 0
+        while (dy < s && oy * s + dy < h) {
+          var dx = 0
+          val rowO = (oy * s + dy) * w
+          while (dx < s && ox * s + dx < w) {
+            sum += px(rowO + ox * s + dx)
+            cnt += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        out(oy * ow + ox) = (sum / cnt).toInt
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, out)
+  }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("w", LongType),
+    StructField("h", LongType),
+    StructField("rw", LongType),
+    StructField("rh", LongType),
+    StructField("resized_sum", LongType)))
+
+  /** Decode grayscale JPEGs and box-downsample by `stride`, emitting
+    * the EXACT integer pixel sum of the resized image (media_id,
+    * format, w, h, rw, rh, resized_sum); undecodable rows surface as
+    * format=unknown with zeroed geometry. */
+  def decodeResizeGray(df: DataFrame, idCol: String, binCol: String,
+      stride: Int)(implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedSchema)
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        Jpeg.decodeGrayPixels(bytes) match {
+          case Some((w, h, px)) =>
+            val (rw, rh, out) = resizeBox(px, w, h, stride)
+            var s = 0L
+            var i = 0
+            while (i < out.length) { s += out(i); i += 1 }
+            Row(r.getLong(0), "jpeg", w.toLong, h.toLong,
+              rw.toLong, rh.toLong, s)
+          case None =>
+            Row(r.getLong(0), "unknown", 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+}

@@ -219,10 +219,83 @@ object Jpeg {
   private[ops] final case class Decoded(w: Int, h: Int, channels: Int,
       depth: Int, channelSums: Array[Long])
 
+  /** Everything through the entropy decode + IDCT: component planes at
+    * component resolution (MCU-padded), before upsample/convert/crop.
+    * Shared by [[decodeOne]] (sums) and [[decodeGrayPixels]] (pixel
+    * buffer for the resize path). */
+  private final case class Core(w: Int, h: Int, comps: Array[Component],
+      planes: Array[Array[Int]], planeW: Array[Int], hmax: Int, vmax: Int)
+
   /** Full baseline decode → per-channel sums, or None for anything
     * outside the supported profile or malformed (poison-image
     * discipline: degrade to a row, never kill the stage). */
-  private[ops] def decodeOne(b: Array[Byte]): Option[Decoded] = {
+  private[ops] def decodeOne(b: Array[Byte]): Option[Decoded] =
+    decodeCore(b).map { core =>
+      import core._
+      // ---- upsample + color-convert + crop, accumulating exact sums
+      val sums = new Array[Long](4)
+      if (comps.length == 1) {
+        val plane = planes(0)
+        val pw = planeW(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val ro = y * pw
+          while (x < w) { sums(0) += plane(ro + x); x += 1 }
+          y += 1
+        }
+        Decoded(w, h, 1, 8, sums)
+      } else {
+        // luma at full res; chroma replicated by its sampling ratio
+        // (JFIF box upsampling — each chroma sample covers h×v luma
+        // pixels; with 4:4:4 the ratios are 1 and this is the identity)
+        val yP = planes(0); val ypw = planeW(0)
+        val cbP = planes(1); val cbpw = planeW(1)
+        val crP = planes(2); val crpw = planeW(2)
+        val sx1 = hmax / comps(1).h; val sy1 = vmax / comps(1).v
+        val sx2 = hmax / comps(2).h; val sy2 = vmax / comps(2).v
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yy = yP(y * ypw + x)
+            val cb = cbP((y / sy1) * cbpw + (x / sx1)) - 128
+            val cr = crP((y / sy2) * crpw + (x / sx2)) - 128
+            // JFIF 1.02 full-range conversion
+            val r = math.round(yy + 1.402 * cr).toInt
+            val g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
+            val bb = math.round(yy + 1.772 * cb).toInt
+            sums(0) += (if (r < 0) 0 else if (r > 255) 255 else r)
+            sums(1) += (if (g < 0) 0 else if (g > 255) 255 else g)
+            sums(2) += (if (bb < 0) 0 else if (bb > 255) 255 else bb)
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(w, h, 3, 8, sums)
+      }
+    }
+
+  /** GRAYSCALE pixel buffer (row-major, cropped to w×h) — the input
+    * surface for pixel-space transforms ([[Imaging.resizeBox]]).
+    * Color images return None here (a resize pipeline converts or
+    * rejects explicitly; silently flattening 3 channels would hide a
+    * semantic choice). */
+  private[ops] def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeCore(b).collect {
+      case core if core.comps.length == 1 =>
+        val plane = core.planes(0)
+        val pw = core.planeW(0)
+        val out = new Array[Int](core.w * core.h)
+        var y = 0
+        while (y < core.h) {
+          System.arraycopy(plane, y * pw, out, y * core.w, core.w)
+          y += 1
+        }
+        (core.w, core.h, out)
+    }
+
+  private def decodeCore(b: Array[Byte]): Option[Core] = {
     if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte)
       return None
     val quant = Array.ofDim[Int](4, 64) // natural (raster) order
@@ -433,49 +506,7 @@ object Jpeg {
       mcu += 1
     }
 
-    // ---- upsample + color-convert + crop, accumulating exact sums
-    val nOut = comps.length
-    val sums = new Array[Long](4)
-    if (nOut == 1) {
-      val plane = planes(0)
-      val pw = planeW(0)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        val ro = y * pw
-        while (x < w) { sums(0) += plane(ro + x); x += 1 }
-        y += 1
-      }
-      Some(Decoded(w, h, 1, 8, sums))
-    } else {
-      // luma at full res; chroma replicated by its sampling ratio
-      // (JFIF box upsampling — each chroma sample covers h×v luma
-      // pixels; with 4:4:4 the ratios are 1 and this is the identity)
-      val yP = planes(0); val ypw = planeW(0)
-      val cbP = planes(1); val cbpw = planeW(1)
-      val crP = planes(2); val crpw = planeW(2)
-      val sx1 = hmax / comps(1).h; val sy1 = vmax / comps(1).v
-      val sx2 = hmax / comps(2).h; val sy2 = vmax / comps(2).v
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val yy = yP(y * ypw + x)
-          val cb = cbP((y / sy1) * cbpw + (x / sx1)) - 128
-          val cr = crP((y / sy2) * crpw + (x / sx2)) - 128
-          // JFIF 1.02 full-range conversion
-          val r = math.round(yy + 1.402 * cr).toInt
-          val g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
-          val bb = math.round(yy + 1.772 * cb).toInt
-          sums(0) += (if (r < 0) 0 else if (r > 255) 255 else r)
-          sums(1) += (if (g < 0) 0 else if (g > 255) 255 else g)
-          sums(2) += (if (bb < 0) 0 else if (bb > 255) 255 else bb)
-          x += 1
-        }
-        y += 1
-      }
-      Some(Decoded(w, h, 3, 8, sums))
-    }
+    Some(Core(w, h, comps, planes, planeW, hmax, vmax))
   }
 
   /** The decoder through the [[Multimodal.Decoder]] seam — same

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Jpeg, Multimodal, Png, Similarity, TextAnalysis, Wav}
+import graft.ops.{Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Png, Similarity, TextAnalysis, Wav}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -937,11 +937,108 @@ object ExtensionQueries {
       FROM sums
       ORDER BY media_id"""))
 
+  /** Video-pipeline frame sampling with REAL decode (the brief's
+    * frame-sample stage): clips are MJPEG-style concatenations of
+    * complete baseline JPEGs ([[Mjpeg.syntheticClips]]), split by an
+    * exact marker/segment walk (0xFF00 stuffing and RSTn handled like
+    * the decoder, not a naive byte search), every 2nd frame decoded
+    * through the full [[Jpeg]] pixel path — one narrow mapPartitions
+    * chain, no shuffle. Per-frame luma mean is a single division of an
+    * exact integer block sum; no cross-row double aggregation
+    * (convention 2 — the result is one row PER SAMPLED FRAME with a
+    * total order). The oracle replays the frame/block formula
+    * symbolically and never touches clip bytes, so a hash match proves
+    * the split walk + stride + per-frame decode end to end. */
+  val q299FrameSample = OracleQuery("q299_frame_sample",
+    "MJPEG clip frame-sampling (stride 2) + real per-frame JPEG decode vs symbolic oracle",
+    (s, d) => {
+      Mjpeg.decodeSampled(
+        Mjpeg.syntheticClips(s, 48), "media_id", "content", 2)(s)
+        .select(col("media_id"), col("frame_no"), col("n_frames"),
+          col("format"),
+          element_at(col("features"), 1).cast("long").as("w"),
+          element_at(col("features"), 5).as("m1"))
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""
+      WITH geom AS (
+        SELECT i, 4 + (i % 5) AS nf, 8 + 8 * (i % 2) AS w
+        FROM generate_series(0, 47) t(i)),
+      frames AS (
+        SELECT g.i, g.w, g.nf, f.f
+        FROM geom g
+        JOIN generate_series(0, 8) f(f) ON f.f < g.nf AND f.f % 2 = 0),
+      px AS (
+        SELECT i, w, nf, f,
+               CAST(SUM(((i*31 + f*97 + bx.bx*13) % 256) * 64) AS BIGINT)
+                 AS s
+        FROM frames
+        JOIN generate_series(0, 1) bx(bx) ON bx.bx < w // 8
+        GROUP BY 1, 2, 3, 4)
+      SELECT i AS media_id,
+             CAST(f AS BIGINT) AS frame_no,
+             CAST(nf AS BIGINT) AS n_frames,
+             'jpeg' AS format,
+             CAST(w AS BIGINT) AS w,
+             CAST(s AS DOUBLE) / (w * 8 * 255.0) AS m1
+      FROM px
+      ORDER BY media_id, frame_no"""))
+
+  /** Image RESIZE with real pixel mixing (the brief's resize stage):
+    * the grayscale third of the q298 fixtures (variable dims 6–28 ×
+    * 5–23, uniform 8×8 blocks) is pixel-decoded and box-downsampled
+    * at STRIDE 3 — chosen so output boxes STRADDLE block boundaries:
+    * each output pixel is a floor-mean genuinely mixing up to four
+    * distinct block values, plus partial edge boxes from the
+    * non-multiple dims. floor(Σ/count) is exact integer
+    * arithmetic, so the oracle replays box coverage symbolically per
+    * output pixel and the driver hash proves decode → resize → sum
+    * end to end. Arbitrary-pixel resize is spec-gated (ImagingSpec)
+    * against a reference loop. */
+  val q300ResizeBox = OracleQuery("q300_resize_box",
+    "box-downsample (stride 3, block-straddling + partial edge boxes) over real JPEG pixel decode vs symbolic oracle",
+    (s, d) => {
+      val imgs = Jpeg.syntheticImages(s, 48)
+        .filter(col("media_id") % 3 === 0) // the grayscale third
+      Imaging.decodeResizeGray(imgs, "media_id", "content", 3)(s)
+        .select(col("media_id"), col("format"), col("w"), col("h"),
+          col("rw"), col("rh"), col("resized_sum"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH geom AS (
+        SELECT i, 6 + (i % 23) AS w, 5 + (i % 19) AS h
+        FROM generate_series(0, 47) t(i) WHERE i % 3 = 0),
+      opx AS (
+        -- one row per (image, output pixel, source pixel in its box)
+        SELECT g.i, g.w, g.h, ox.ox, oy.oy,
+               ox.ox*3 + dx.dx AS x, oy.oy*3 + dy.dy AS y
+        FROM geom g
+        JOIN generate_series(0, 9) ox(ox) ON ox.ox < (g.w + 2) // 3
+        JOIN generate_series(0, 7) oy(oy) ON oy.oy < (g.h + 2) // 3
+        JOIN generate_series(0, 2) dx(dx) ON ox.ox*3 + dx.dx < g.w
+        JOIN generate_series(0, 2) dy(dy) ON oy.oy*3 + dy.dy < g.h),
+      boxes AS (
+        SELECT i, w, h,
+               CAST(SUM((i*37 + (x // 8)*101 + (y // 8)*53) % 256)
+                 // COUNT(*) AS BIGINT) AS o
+        FROM opx GROUP BY i, w, h, ox, oy),
+      sums AS (
+        SELECT i, w, h, CAST(SUM(o) AS BIGINT) AS resized_sum
+        FROM boxes GROUP BY 1, 2, 3)
+      SELECT i AS media_id, 'jpeg' AS format,
+             CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST((w + 2) // 3 AS BIGINT) AS rw,
+             CAST((h + 2) // 3 AS BIGINT) AS rh,
+             resized_sum
+      FROM sums
+      ORDER BY media_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
-    q297WavRoundtrip, q298JpegRoundtrip)
+    q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox)
 }

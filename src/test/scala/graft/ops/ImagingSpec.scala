@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ImagingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference: per output pixel, loop the box in plain
+    * Scala and floor-divide. */
+  private def refResize(px: Array[Int], w: Int, h: Int, s: Int): (Int, Int, Array[Int]) = {
+    val ow = (w + s - 1) / s
+    val oh = (h + s - 1) / s
+    val out = for (oy <- 0 until oh; ox <- 0 until ow) yield {
+      val xs = (ox * s) until math.min(ox * s + s, w)
+      val ys = (oy * s) until math.min(oy * s + s, h)
+      val vals = for (y <- ys; x <- xs) yield px(y * w + x).toLong
+      (vals.sum / vals.size).toInt
+    }
+    (ow, oh, out.toArray)
+  }
+
+  test("resizeBox == reference on arbitrary pixels, incl. partial edges") {
+    val rng = new scala.util.Random(7)
+    for ((w, h, s) <- Seq((16, 16, 2), (17, 13, 3), (5, 9, 4), (8, 8, 8),
+        (7, 3, 10))) {
+      val px = Array.fill(w * h)(rng.nextInt(256))
+      val got = Imaging.resizeBox(px, w, h, s)
+      val exp = refResize(px, w, h, s)
+      assert(got._1 == exp._1 && got._2 == exp._2, s"dims ${w}x$h s=$s")
+      assert(got._3.sameElements(exp._3), s"pixels ${w}x$h s=$s")
+    }
+  }
+
+  test("decodeGrayPixels: DC-only fixture pixels equal the block formula") {
+    val bytes = Jpeg.encodeUniformBlocks(17, 11, gray = true,
+      sub420 = false, restartEvery = 0,
+      (_, bx, by) => (40 + bx * 50 + by * 30) % 256)
+    val Some((w, h, px)) = Jpeg.decodeGrayPixels(bytes)
+    assert((w, h) == (17, 11))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == (40 + (x / 8) * 50 + (y / 8) * 30) % 256,
+        s"($x,$y)")
+  }
+
+  test("decodeGrayPixels rejects color and malformed streams") {
+    val color = Jpeg.encodeUniformBlocks(8, 8, gray = false,
+      sub420 = false, restartEvery = 0, (c, _, _) => if (c == 0) 9 else 128)
+    assert(Jpeg.decodeGrayPixels(color).isEmpty)
+    assert(Jpeg.decodeGrayPixels(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("decodeResizeGray seam: sums match reference, unknown degrades") {
+    val img = Jpeg.encodeUniformBlocks(10, 7, gray = true,
+      sub420 = false, restartEvery = 0, (_, bx, by) => 100 + bx * 20 + by)
+    val df = Seq((1L, img), (2L, Array[Byte](9, 9, 9))).toDF("media_id", "content")
+    val out = Imaging.decodeResizeGray(df, "media_id", "content", 3)(spark)
+      .select("media_id", "format", "rw", "rh", "resized_sum")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val Some((w, h, px)) = Jpeg.decodeGrayPixels(img)
+    val (rw, rh, rpx) = refResize(px, w, h, 3)
+    assert(out(0) == ((1L, "jpeg", rw.toLong, rh.toLong,
+      rpx.map(_.toLong).sum)))
+    assert(out(1) == ((2L, "unknown", 0L, 0L, 0L)))
+  }
+}

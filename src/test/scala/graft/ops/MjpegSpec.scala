@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MjpegSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def frame(v: Int, w: Int = 8, h: Int = 8, rst: Int = 0): Array[Byte] =
+    Jpeg.encodeUniformBlocks(w, h, gray = true, sub420 = false,
+      restartEvery = rst, (_, _, _) => v)
+
+  private def clip(frames: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("frameOffsets finds exact SOI..EOI boundaries") {
+    val f1 = frame(10); val f2 = frame(200); val f3 = frame(99)
+    val c = clip(f1, f2, f3)
+    val offs = Mjpeg.frameOffsets(c)
+    assert(offs == Seq((0, f1.length), (f1.length, f1.length + f2.length),
+      (f1.length + f2.length, c.length)))
+  }
+
+  test("restart markers inside the entropy scan do not split frames") {
+    // 40x40 with restartEvery=1 → RSTn markers every MCU row
+    val f1 = frame(77, w = 40, h = 40, rst = 1); val f2 = frame(5)
+    val offs = Mjpeg.frameOffsets(clip(f1, f2))
+    assert(offs == Seq((0, f1.length), (f1.length, f1.length + f2.length)))
+  }
+
+  test("truncated tail frame is dropped, earlier frames survive") {
+    val f1 = frame(10); val f2 = frame(20)
+    val c = clip(f1, f2).dropRight(7)
+    assert(Mjpeg.frameOffsets(c) == Seq((0, f1.length)))
+    assert(Mjpeg.frameOffsets(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Mjpeg.frameOffsets(Array.empty[Byte]).isEmpty)
+  }
+
+  test("stride sampling keeps frame 0 and every k-th, carries totals") {
+    val c = clip((0 until 7).map(f => frame(f * 30 % 256)): _*)
+    val df = Seq((5L, c)).toDF("media_id", "content")
+    val out = Mjpeg.sampleFrames(df, "media_id", "content", 3)(spark)
+      .select("media_id", "frame_no", "n_frames")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((5L, 0L, 7L), (5L, 3L, 7L), (5L, 6L, 7L)))
+  }
+
+  test("decodeSampled == decoding each sampled frame individually") {
+    val vals = Seq(17, 130, 250, 3, 64)
+    val frames = vals.map(v => frame(v, w = 16))
+    val df = Seq((9L, clip(frames: _*))).toDF("media_id", "content")
+    val got = Mjpeg.decodeSampled(df, "media_id", "content", 2)(spark)
+      .select(col("frame_no"), col("format"),
+        element_at(col("features"), 5).as("m1"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val expect = Seq(0, 2, 4).map { f =>
+      val d = Jpeg.decodeOne(frames(f)).get
+      (f.toLong, "jpeg", d.channelSums(0) / (16.0 * 8 * 255.0))
+    }
+    assert(got.toSeq == expect)
+  }
+}

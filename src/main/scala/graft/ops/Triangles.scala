@@ -77,9 +77,11 @@ object Triangles {
   /** [[triangleRows]] over an ALREADY canonical (a<b, distinct) edge
     * list — skips the re-canonicalizing shuffle. */
   def triangleRowsCanon(canon: DataFrame): DataFrame = {
-    // three consumers (two wedge legs + the closure probe) — tracked so
-    // Verify/Bench release it after the consuming action
-    val o = Caches.track(orientByDegree(canon))
+    // three consumers (two wedge legs + the closure probe); materialize
+    // rather than track — the orientation plan embeds the caller's full
+    // edge-build three times, and every downstream action re-pays its
+    // analysis (the q287 plan-tower lesson, Caches.materialize Scaladoc)
+    val o = Caches.materialize(orientByDegree(canon))
     // wedges centred at u: two out-edges u→v, u→w (deduped by id order
     // w1 < w2); the triangle closes iff the third side is an oriented
     // edge in either stored direction. The orientation is acyclic, so
@@ -124,7 +126,7 @@ object Triangles {
     * (node, deg, n_tri, coeff) where coeff = 2·n_tri / (deg·(deg−1)),
     * 0 for degree-<2 nodes. Exact integer counts; one double division. */
   def nodeTriangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = Caches.track(canonEdges(edges, srcCol, dstCol))
+    val canon = Caches.materialize(canonEdges(edges, srcCol, dstCol))
     val tris = triangleRowsCanon(canon)
     val perNode = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("n"))

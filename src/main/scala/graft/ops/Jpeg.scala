@@ -416,6 +416,10 @@ object Jpeg {
     }
     if (sosAt < 0 || comps == null) return None
     for (c <- comps) {
+      // table ids are 4-bit in the stream but the table arrays hold 4
+      // slots — range-check BEFORE indexing (fuzz-found: a mutated
+      // tq/td/ta of 4..15 was an AIOOBE, i.e. a poison-image throw)
+      if (c.tq > 3 || c.dcTab > 3 || c.acTab > 3) return None
       if (!quantSeen(c.tq)) return None
       if (dcTabs(c.dcTab) == null || acTabs(c.acTab) == null) return None
     }

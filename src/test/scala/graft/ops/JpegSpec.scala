@@ -133,6 +133,38 @@ class JpegSpec extends SparkTestBase {
     Jpeg.decodeOne(mut) // any Option is fine; just must not throw
   }
 
+  /** Poison-image discipline under fuzz: at 100 TB a decoder that can
+    * throw on one adversarial byte stream kills the stage. Seeded and
+    * deterministic: pure-random buffers, plus single-byte mutations of
+    * VALID streams (the harder class — headers parse, entropy/table
+    * state is corrupted). Any Option result is acceptable; an exception
+    * fails the suite. */
+  test("fuzz: random and mutated streams never throw") {
+    val rng = new scala.util.Random(20260814)
+    for (_ <- 1 to 300) {
+      val b = new Array[Byte](rng.nextInt(400))
+      rng.nextBytes(b)
+      if (b.length >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      Jpeg.decodeOne(b)
+      Mjpeg.frameOffsets(b)
+    }
+    val seeds = Seq(
+      Jpeg.encodeUniformBlocks(17, 9, gray = true, sub420 = false,
+        restartEvery = 0, (_, bx, by) => (bx * 40 + by * 9) % 256),
+      Jpeg.encodeUniformBlocks(20, 18, gray = false, sub420 = true,
+        restartEvery = 1, (c, bx, by) => if (c == 0) (bx + by * 7) % 256 else 128))
+    for (seed <- seeds; _ <- 1 to 500) {
+      val mut = seed.clone()
+      mut(rng.nextInt(mut.length)) = (rng.nextInt(256)).toByte
+      Jpeg.decodeOne(mut)
+      Mjpeg.frameOffsets(mut)
+    }
+    for (seed <- seeds; cut <- Seq(1, 7, seed.length / 2, seed.length - 1)) {
+      Jpeg.decodeOne(seed.take(cut))
+      Mjpeg.frameOffsets(seed.take(cut))
+    }
+  }
+
   test("decoder seam: mixed corpus splits jpeg vs unknown") {
     val rows = Seq(
       (0L, Jpeg.encodeUniformBlocks(8, 8, gray = true, sub420 = false,

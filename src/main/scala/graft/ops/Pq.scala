@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+  * half of large-scale ANN, complementing [[Ivf]]'s partition half:
+  * the vector is split into `m` subspaces, each subvector snapped to
+  * one of `ksub` per-subspace centroids, and the whole vector stored
+  * as `m` small codes (m=4, ksub=16 ⇒ 4 codes covering a 64-dim
+  * float vector: 64× smaller than fp32 — the difference between a
+  * 100 TB embedding corpus needing a rack of RAM and fitting one
+  * node's page cache).
+  *
+  * Search is ADC (asymmetric distance computation): the probe stays
+  * full-precision; approx ‖p−x‖² = Σ_j ‖p_j − c_{code_j(x)}‖². Here
+  * the per-(probe, subspace) distance-to-each-centroid options are
+  * built as an ARRAY column of `ksub` codegen'd dot-product
+  * expressions and the code picks its entry with element_at — the
+  * exact columnar analogue of the classic per-probe lookup table, no
+  * UDF, fully codegen.
+  *
+  * Determinism discipline (the [[Ivf]] pattern): per-subspace Lloyd's
+  * with lowest-id initialization and FIXED iterations makes the
+  * codebook a pure function of the corpus, so recall is a dataset
+  * constant — q301 gates ADC@k against the exact L2 top-k the same
+  * way q74 gates IVF.
+  *
+  * Scale shape: training sees only k×dim numbers at the driver
+  * (posexplode + groupBy means inside [[Ivf.trainCentroidsNormed]]);
+  * encoding is a narrow projection; search never shuffles the corpus
+  * (probes broadcast, per-probe rank over candidate scores).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `m` arrays of `ksub` centroids of
+    * dim/m values each. `vdf` must be (idCol, vd: array<double>);
+    * caller owns caching (training makes iters+1 passes per
+    * subspace). */
+  def trainCodebooks(vdf: DataFrame, idCol: String, dim: Int, m: Int,
+      ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val subVd = vdf.select(col(idCol),
+        slice(col("vd"), j * sub + 1, sub).as("vd"))
+      Ivf.trainCentroidsNormed(subVd, idCol, ksub, iters)
+    }.toArray
+  }
+
+  /** PQ code array (m entries, each 0..ksub-1) for a full vector
+    * column. */
+  def encode(vd: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cents, j) =>
+      Ivf.nearestCentroid(slice(vd, j * sub + 1, sub), cents)
+    }: _*)
+  }
+
+  /** ADC approximate squared-L2 distance between a full-precision
+    * probe vector column and a code column:
+    * ‖p−x̂‖² = ‖p‖² + Σ_j (−2·p_j·c_{code_j} + ‖c_{code_j}‖²) —
+    * the probe's own norm is hoisted out of the per-centroid options
+    * so each option is one dot product plus a literal. */
+  def adcDist(pv: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    val cross = codebooks.zipWithIndex.map { case (cents, j) =>
+      val pSub = slice(pv, j * sub + 1, sub)
+      val options = array(cents.map { c =>
+        val cLit = array(c.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * Similarity.dot(pSub, cLit)
+      }: _*)
+      element_at(options, element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+    Similarity.norm2(pv) + cross
+  }
+
+  /** ADC top-k: corpus encoded to PQ codes, probes full-precision,
+    * per-probe rank on the ADC distance (ties broken by id — double
+    * sums of identical operands are bit-identical cross-engine).
+    * Output: (probe_id, neighbor_id, adc_rank). */
+  def adcTopK(corpusVd: DataFrame, probesVd: DataFrame, idCol: String,
+      k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = corpusVd.select(size(col("vd"))).head().getInt(0)
+    val codebooks = trainCodebooks(corpusVd, idCol, dim, m, ksub, iters)
+    val codes = corpusVd.select(col(idCol).as("neighbor_id"),
+      encode(col("vd"), codebooks).as("codes"))
+    val probes = broadcast(
+      probesVd.select(col(idCol).as("probe_id"), col("vd").as("pv")))
+    codes.join(probes, col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        adcDist(col("pv"), col("codes"), codebooks).as("adc"))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("adc_rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_rank"))
+  }
+}

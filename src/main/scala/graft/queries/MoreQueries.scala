@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.Merge
-import graft.ops.{Similarity, Temporal}
+import graft.ops.{Pq, Similarity, Temporal}
 import graft.sources.Tables
 
 /** Second wave of coverage: the mutation operators (M2 upsert) expressed
@@ -324,6 +324,105 @@ object MoreQueries {
       GROUP BY probe_id
       ORDER BY probe_id"""))
 
+  /** Product quantization + ADC (Jégou et al. 2011, `ops/Pq`): the
+    * memory-compression half of 100 TB ANN (4 codes replace 64 fp32
+    * dims — 64×), gated the q74 way: the hashed columns are the EXACT
+    * L2 side (DuckDB-replayable bit-for-bit: same dot/norm fold, one
+    * subtraction, total (dist, id) order) plus a recall gate on the
+    * PQ pipeline as actually deployed — ADC shortlist (k=50) then
+    * exact rerank to 10. Deterministic end to end: per-subspace
+    * Lloyd's with lowest-id init and fixed iterations makes the
+    * codebook, codes, shortlist and therefore recall pure functions
+    * of the corpus. */
+  val q301PqAdc = OracleQuery("q301_pq_adc",
+    "product-quantization ADC shortlist + exact rerank, recall-gated vs exact L2 top-10",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // ONE cached normed projection feeds codebook training, corpus
+      // encoding, the exact baseline AND the rerank
+      val embN = graft.ops.Caches.track(
+        Similarity.withNorm(emb, "embedding")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("vd"), col("n2")))
+      val probesN = embN.filter(col("vec_id") < 5)
+      val probesB = broadcast(probesN.select(col("vec_id").as("probe_id"),
+        col("vd").as("pv"), col("n2").as("pn2")))
+      // exact squared-L2 top-10 (corpus scanned once, probes broadcast)
+      val exact = embN
+        .select(col("vec_id").as("neighbor_id"), col("vd").as("cv"),
+          col("n2").as("cn2"))
+        .join(probesB, col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (col("pn2") + col("cn2") -
+            lit(2.0) * Similarity.dot(col("pv"), col("cv"))).as("l2sq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id"))
+            .orderBy(col("l2sq"), col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+      // PQ: ADC shortlist → exact rerank to 10. The shortlist must
+      // SCALE WITH THE CORPUS (the SemDedup anchors lesson): a fixed
+      // codebook's resolution is constant, so a fixed shortlist's
+      // recall decays as the corpus grows — k = max(50, N/10) keeps
+      // the rerank candidate pool a constant FRACTION (measured: a
+      // fixed k=50 dropped 3/5 probes below the 0.5 gate at sf0.1)
+      val shortN = math.max(50L, embN.count() / 10L).toInt
+      val shortlist = Pq.adcTopK(
+        embN.select(col("vec_id"), col("vd")),
+        probesN.select(col("vec_id"), col("vd")),
+        "vec_id", k = shortN, m = 4, ksub = 16, iters = 3)
+      val rerank = shortlist
+        .join(embN.select(col("vec_id").as("neighbor_id"),
+          col("vd").as("cv"), col("n2").as("cn2")), Seq("neighbor_id"))
+        .join(probesB, Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (col("pn2") + col("cn2") -
+            lit(2.0) * Similarity.dot(col("pv"), col("cv"))).as("l2sq"))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id"))
+            .orderBy(col("l2sq"), col("neighbor_id"))))
+        .filter(col("rr") <= 10)
+      val hits = rerank
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("hits_at_10"))
+      exact.groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).as("exact_n"),
+          min(when(col("rank") === 1, col("neighbor_id")))
+            .as("exact_top1_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(
+          col("probe_id"), col("exact_n"), col("exact_top1_id"),
+          (coalesce(col("hits_at_10"), lit(0L)).cast("double")
+            >= lit(0.5) * col("exact_n").cast("double")).as("gate_pass"))
+        .orderBy("probe_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+               p.n2 + c.n2 - 2.0 * list_dot_product(p.v, c.v) AS l2sq
+        FROM n p JOIN n c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 5),
+      rk AS (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY l2sq, neighbor_id) AS rnk
+        FROM pairs)
+      SELECT probe_id,
+             count(*) AS exact_n,
+             min(CASE WHEN rnk = 1 THEN neighbor_id END) AS exact_top1_id,
+             true AS gate_pass
+      FROM rk WHERE rnk <= 10
+      GROUP BY probe_id
+      ORDER BY probe_id"""))
+
   /** Full MERGE INTO (generalizes q64's upsert, reference
     * `warehouse/load_facts.sql:92-98`): one statement with a conditional
     * DELETE (first clause), an unconditional UPDATE (second clause — SQL
@@ -626,6 +725,6 @@ object MoreQueries {
 
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply,
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply, q301PqAdc,
     q81Components, q128AsofNative, q155PageRank, q158WeightedPageRank)
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered synthetic vectors: `nc` well-separated cluster centers
+    * in 8 dims, members jittered deterministically. */
+  private def corpus(n: Int, nc: Int = 4) = {
+    (0 until n).map { i =>
+      val c = i % nc
+      val base = Array.tabulate(8)(d => if (d % nc == c) 10.0 else 0.0)
+      val jit = Array.tabulate(8)(d => ((i * 7 + d * 3) % 5) * 0.1)
+      (i.toLong, base.zip(jit).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "vd")
+  }
+
+  test("codebooks: shape, determinism, centroid self-encoding") {
+    val df = corpus(64).cache()
+    val cb = Pq.trainCodebooks(df, "vec_id", dim = 8, m = 2, ksub = 4)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 4)))
+    val cb2 = Pq.trainCodebooks(df, "vec_id", dim = 8, m = 2, ksub = 4)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "training must be deterministic")
+    // a vector that IS centroid (a of subspace 0 | b of subspace 1)
+    // must encode to codes (a, b)
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val v = cb(0)(a) ++ cb(1)(b)
+      val got = Seq((0L, v.toSeq)).toDF("vec_id", "vd")
+        .select(Pq.encode(col("vd"), cb).as("c"))
+        .as[Seq[Int]].head()
+      assert(got == Seq(a, b), s"($a,$b) -> $got")
+    }
+    df.unpersist()
+  }
+
+  test("adcDist equals the manual table computation") {
+    val df = corpus(64).cache()
+    val cb = Pq.trainCodebooks(df, "vec_id", dim = 8, m = 2, ksub = 4)
+    val probe = Array.tabulate(8)(d => d * 0.5 + 0.25)
+    val rows = df.select(col("vec_id"),
+        Pq.encode(col("vd"), cb).as("codes"))
+      .select(col("vec_id"),
+        Pq.adcDist(
+          array(probe.map(lit): _*), col("codes"), cb).as("adc"),
+        col("codes"))
+      .as[(Long, Double, Seq[Int])].collect()
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((id, adc, codes) <- rows) {
+      val recon = cb(0)(codes(0)) ++ cb(1)(codes(1))
+      assert(math.abs(adc - l2(probe, recon)) < 1e-9, s"id $id")
+    }
+    df.unpersist()
+  }
+
+  /** The PQ usage contract: codes rank CLUSTERS, not members — a
+    * coarse codebook collapses intra-cluster detail into ties (broken
+    * by id), so top-10-vs-exact-top-10 overlap is NOT the right
+    * assertion (measured ~3/10 here, correctly). What PQ promises is
+    * that (a) every ADC top-k candidate is from the probe's own
+    * cluster, and (b) an ADC SHORTLIST reranked exactly recovers the
+    * exact top-k — the standard shortlist+rerank deployment. */
+  test("ADC shortlist + exact rerank recovers the exact L2 top-10") {
+    val df = corpus(200).cache()
+    val probes = df.filter(col("vec_id") < 4)
+    val shortlist = Pq.adcTopK(df, probes, "vec_id", k = 40, m = 2,
+      ksub = 4, iters = 3)
+    val all = df.as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byProbe = shortlist.as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (p <- 0L until 4L) {
+      // (a) cluster purity of the candidates
+      val cl = (p % 4).toInt
+      assert(byProbe(p).forall(id => id % 4 == cl),
+        s"probe $p shortlist left its cluster")
+      // (b) rerank the shortlist exactly → recovers (nearly all of)
+      // the exact top-10. Shortlist recall is < 1 BY DESIGN — a
+      // true neighbour whose code reconstruction lands marginally
+      // farther can fall off the shortlist; k trades recall for
+      // rerank cost (measured here: 9/10 at k=40 over a 49-member
+      // cluster, 10/10 costs k≈cluster size)
+      val rerank = byProbe(p)
+        .sortBy(id => (l2(all(p), all(id)), id)).take(10).toSet
+      val exact = all.toSeq.filter(_._1 != p)
+        .sortBy { case (id, v) => (l2(all(p), v), id) }
+        .take(10).map(_._1).toSet
+      assert(rerank.intersect(exact).size >= 9,
+        s"probe $p rerank recall ${rerank.intersect(exact).size}/10")
+    }
+    df.unpersist()
+  }
+}

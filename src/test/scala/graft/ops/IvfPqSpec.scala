@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class IvfPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int, nc: Int = 4) = {
+    (0 until n).map { i =>
+      val c = i % nc
+      val base = Array.tabulate(8)(d => if (d % nc == c) 10.0 else 0.0)
+      val jit = Array.tabulate(8)(d => ((i * 7 + d * 3) % 5) * 0.1)
+      (i.toLong, base.zip(jit).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "vd")
+  }
+
+  private def l2(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** The reason IVFADC encodes RESIDUALS: with the cell position
+    * subtracted out, the fine codebook's resolution is spent on local
+    * structure — reconstruction error must drop vs plain PQ on the
+    * same budget. */
+  test("residual encoding reconstructs strictly better than plain PQ") {
+    val df = corpus(200).cache()
+    val all = df.as[(Long, Seq[Double])].collect().toMap
+    // plain PQ reconstruction error
+    val cbP = Pq.trainCodebooks(df, "vec_id", dim = 8, m = 2, ksub = 4)
+    val plainErr = df.select(col("vec_id"),
+        Pq.encode(col("vd"), cbP).as("c"))
+      .as[(Long, Seq[Int])].collect().map { case (id, c) =>
+        l2(all(id), (cbP(0)(c(0)) ++ cbP(1)(c(1))).toSeq)
+      }.sum / 200
+    // IVFADC: coarse(4 cells) + residual PQ on the same fine budget
+    val coarse = Ivf.trainCentroidsNormed(df, "vec_id", 4, 3)
+    val resid = df.select(col("vec_id"),
+        Ivf.nearestCentroid(col("vd"), coarse).as("cell"), col("vd"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val residDf = resid.map { case (id, cell, v) =>
+      (id, v.zip(coarse(cell)).map { case (a, b) => a - b }.toSeq)
+    }.toSeq.toDF("vec_id", "vd")
+    val cbR = Pq.trainCodebooks(residDf, "vec_id", dim = 8, m = 2, ksub = 4)
+    val codesR = residDf.select(col("vec_id"),
+      Pq.encode(col("vd"), cbR).as("c")).as[(Long, Seq[Int])].collect().toMap
+    val cellOf = resid.map(r => r._1 -> r._2).toMap
+    val residErr = resid.map { case (id, cell, v) =>
+      val c = codesR(id)
+      val recon = coarse(cell).zip(cbR(0)(c(0)) ++ cbR(1)(c(1)))
+        .map { case (a, b) => a + b }.toSeq
+      l2(v, recon)
+    }.sum / 200
+    assert(residErr < plainErr,
+      f"residual err $residErr%.3f !< plain err $plainErr%.3f")
+    df.unpersist()
+  }
+
+  test("IVFADC shortlist stays in-cluster; exact rerank recovers top-10") {
+    val df = corpus(200).cache()
+    val probes = df.filter(col("vec_id") < 4)
+    val shortlist = IvfPq.ivfAdcTopK(df, probes, "vec_id", k = 40,
+      nList = 4, nProbe = 1, m = 2, ksub = 4, iters = 3)
+    val all = df.as[(Long, Seq[Double])].collect().toMap
+    val byProbe = shortlist.as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (p <- 0L until 4L) {
+      assert(byProbe(p).forall(id => id % 4 == p % 4),
+        s"probe $p left its cluster (nProbe=1 must stay in-cell)")
+      val rerank = byProbe(p)
+        .sortBy(id => (l2(all(p), all(id)), id)).take(10).toSet
+      val exact = all.toSeq.filter(_._1 != p)
+        .sortBy { case (id, v) => (l2(all(p), v), id) }
+        .take(10).map(_._1).toSet
+      assert(rerank.intersect(exact).size >= 9,
+        s"probe $p rerank recall ${rerank.intersect(exact).size}/10")
+    }
+    df.unpersist()
+  }
+}

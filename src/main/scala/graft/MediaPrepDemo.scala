@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Imaging, Jpeg, Mjpeg, Multimodal, Png, Wav}
+
+/** End-to-end MULTIMODAL curation demo — the media pipeline a
+  * training-data run would execute, composed from the real codecs
+  * (no stub in the hot path):
+  *
+  *   1. mixed-format corpus (PNG, JPEG, WAV, MJPEG clips, junk);
+  *   2. cheap metadata pass: magic-byte sniff + exact content-hash
+  *      dedup BEFORE any decode (bytes are the cheapest thing to
+  *      dedup on, and at 100 TB the decode you skip is the win);
+  *   3. header-only curation for images (dims/aspect filters without
+  *      decompressing a pixel);
+  *   4. real pixel decode for survivors (PNG inflate+filters, JPEG
+  *      huffman+IDCT), WAV level features, MJPEG stride-2
+  *      frame-sampling;
+  *   5. a resize pass on the gray JPEGs (the training-resolution
+  *      normalization step).
+  *
+  * Every stage is a narrow mapPartitions or projection — the only
+  * shuffle in the whole pipeline is the dedup groupBy. Run:
+  * `sbt "runMain graft.MediaPrepDemo"`.
+  */
+object MediaPrepDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.timeType.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    // ---- 1. mixed corpus: 30 PNGs, 48 JPEGs, 16 WAVs, 12 clips,
+    // 4 junk blobs, plus planted exact duplicates of every 5th PNG
+    val pngs = Png.syntheticImages(spark, 30)
+    val jpegs = Jpeg.syntheticImages(spark, 48)
+      .select((col("media_id") + 1000).as("media_id"), col("content"))
+    val wavs = Wav.syntheticAudio(spark, 16)
+      .select((col("media_id") + 2000).as("media_id"), col("content"))
+    val clips = Mjpeg.syntheticClips(spark, 12)
+      .select((col("media_id") + 3000).as("media_id"), col("content"))
+    val junk = Seq((4000L, "not media".getBytes("UTF-8")),
+      (4001L, Array[Byte](0, 1, 2)), (4002L, Array.empty[Byte]),
+      (4003L, Array.fill[Byte](64)(0x7f))).toDF("media_id", "content")
+    val dups = Png.syntheticImages(spark, 30)
+      .filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 5000).as("media_id"), col("content"))
+    val corpus = pngs.unionByName(jpegs).unionByName(wavs)
+      .unionByName(clips).unionByName(junk).unionByName(dups)
+
+    // ---- 2. metadata + exact byte dedup (the only shuffle)
+    val meta = Multimodal.attachMeta(corpus, "media_id", "content")
+    val survivors = meta
+      .groupBy(col("content_md5"))
+      .agg(min(col("media_id")).as("media_id"),
+        count(lit(1)).as("n_copies"))
+    val kept = corpus.join(
+      survivors.select(col("media_id")), Seq("media_id"), "left_semi")
+    println(s"[media] corpus=${corpus.count()} " +
+      s"unique=${kept.count()} " +
+      s"dup_groups=${survivors.filter(col("n_copies") > 1).count()}")
+
+    // ---- 3. header-only curation: keep images with sane geometry
+    val headers = Multimodal.decode(kept, "media_id", "content",
+      Multimodal.ImageHeaderDecoder)
+      .select(col("media_id"), col("format"),
+        element_at(col("features"), 1).as("w"),
+        element_at(col("features"), 2).as("h"),
+        element_at(col("features"), 6).as("aspect"))
+    val curated = headers.filter(col("format").isin("png", "jpeg") &&
+      col("w") >= 4 && col("h") >= 4 &&
+      col("aspect").between(0.2, 5.0))
+    println(s"[media] header-curated images=${curated.count()} " +
+      "(no pixel decompressed yet)")
+
+    // ---- 4. real decode per modality
+    def show(df: DataFrame, label: String): Unit = {
+      println(s"[media] $label:")
+      df.show(5, truncate = false)
+    }
+    val curatedBytes = kept.join(
+      curated.select(col("media_id")), Seq("media_id"), "left_semi")
+    show(Multimodal.decode(
+        curatedBytes.filter(Multimodal.sniffFormat(col("content")) === "png"),
+        "media_id", "content", Png.PngDecoder)
+      .filter(col("format") === "png"), "PNG pixel decode")
+    show(Multimodal.decode(
+        curatedBytes.filter(Multimodal.sniffFormat(col("content")) === "jpeg"),
+        "media_id", "content", Jpeg.JpegDecoder)
+      .filter(col("format") === "jpeg"), "JPEG pixel decode")
+    show(Multimodal.decode(
+        kept.filter(Multimodal.sniffFormat(col("content")) === "riff"),
+        "media_id", "content", Multimodal.WavDecoder)
+      .filter(col("format") === "wav"), "WAV level features")
+    show(Mjpeg.decodeSampled(
+        kept.filter(col("media_id") >= 3000 && col("media_id") < 4000),
+        "media_id", "content", stride = 2), "MJPEG stride-2 frame sample")
+
+    // ---- 5. resize the gray JPEGs to 1/3 resolution
+    show(Imaging.decodeResizeGray(
+        curatedBytes.filter(Multimodal.sniffFormat(col("content")) === "jpeg"),
+        "media_id", "content", stride = 3)
+      .filter(col("format") === "jpeg"), "box-resized gray JPEGs")
+
+    spark.stop()
+  }
+}

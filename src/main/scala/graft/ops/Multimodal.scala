@@ -343,9 +343,16 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB — stands in for the real media codec (`???` boundary).
-    * Deterministic: features are byte-prefix sums folded into
-    * [[FeatureDim]] buckets, normalized to [0,1]. */
+  /** STUB — stands in for codec-LIBRARY formats only (H.264/VP9
+    * video, MP3/AAC audio, progressive JPEG): as of round 4 every
+    * format whose decode is public-spec byte arithmetic has a REAL
+    * pure-JVM decoder behind this same seam — BMP ([[BmpDecoder]]),
+    * PCM-16 WAV ([[WavDecoder]]), PNG ([[Png.PngDecoder]], inflate +
+    * filter bank), baseline JPEG ([[Jpeg.JpegDecoder]], Huffman +
+    * IDCT), MJPEG clips ([[Mjpeg]]), plus header-only metadata
+    * ([[ImageHeaderDecoder]]). Deterministic: features are
+    * byte-prefix sums folded into [[FeatureDim]] buckets, normalized
+    * to [0,1]. */
   private[ops] def fakeDecode(bytes: Array[Byte]): (String, Seq[Double]) = {
     val fmt =
       if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"

@@ -39,13 +39,29 @@ object Caches {
     * equivalent internally). Local checkpoints are executor-local and
     * non-replicated — lost-executor recovery would need
     * `sparkContext.setCheckpointDir` + reliable `checkpoint()` instead;
-    * for round-bounded bench/verify runs the local form is right. */
+    * for round-bounded bench/verify runs the local form is right.
+    *
+    * FAILURE SEMANTICS vs [[track]]: after [[unpersistAll]], a RETAINED
+    * materialized frame cannot be used again — its lineage is truncated
+    * to the dropped blocks, so a later action THROWS (block not found)
+    * where a tracked frame would silently recompute. Fully consume a
+    * materialized frame before release; never hand one to a caller that
+    * may act on it after the per-query unpersist. */
   def materialize(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint(eager = true)
     out.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         checkpointed.add(l.rdd)
-      case _ => () // defensive: future Spark could change the shape
+      case other =>
+        // defensive: if a future Spark stops analyzing localCheckpoint
+        // to a LogicalRDD, the blocks would never be released by
+        // unpersistAll and would leak for the JVM lifetime — track the
+        // DataFrame as a fallback release handle and say so loudly
+        System.err.println(
+          "[caches] localCheckpoint did not analyze to LogicalRDD (" +
+            other.getClass.getName +
+            "); falling back to DataFrame-level unpersist tracking")
+        cached.add(out)
     }
     out
   }

@@ -415,7 +415,10 @@ object Dedup {
     // instead of a |candidates|×|set| exploded join (measured 2× on the
     // whole join at sf0.1, where the tiny synthetic vocabulary makes
     // near-threshold candidates abundant)
-    val arrays = tracked(docs
+    // materialize, not track: FOUR consumers (tok → freq + prefix, then
+    // both verify-join sides) — an eviction recomputes split+shingle per
+    // consumer, which measured as q156's run-to-run variance
+    val arrays = Caches.materialize(docs
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= ShingleN)
       .withColumn("arr", array_distinct(shingles(col("ws"))))
@@ -433,7 +436,10 @@ object Dedup {
     // absolute nudge it keeps covering the ~1.1e-16·value rounding
     // error at ANY bound magnitude (an absolute 1e-9 stops working
     // past bounds of ~9e6, i.e. 10^8-shingle documents).
-    val prefix = tracked(tok.join(freq, "sh")
+    // materialize, not track: the prefix index is SELF-JOINED (two
+    // consumers) and its recompute is the df groupBy + per-doc window
+    // sort — super-linear, the worst thing to silently pay twice
+    val prefix = Caches.materialize(tok.join(freq, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
       .filter(col("pos") <=

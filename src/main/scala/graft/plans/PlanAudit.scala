@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.{GenerateExec, InputAdapter, ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -84,4 +85,39 @@ object PlanAudit {
         case _ => false
       })
   }
+
+  /** Shuffle count EXCLUDING the presentation suffix — the root-side
+    * chain of Project / global Sort / its RangePartitioning exchange
+    * that exists only for the catalog's deterministic total ORDER BY.
+    * Decode-shaped media queries (narrow mapPartitions over blobs)
+    * budget this at ZERO: the presentation sort moves tiny result rows,
+    * but any OTHER exchange means payload bytes crossed the network.
+    * Caller must disable AQE around construction + audit, like
+    * [[stats]]. */
+  def nonPresentationShuffles(df: DataFrame): Int = {
+    def peel(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => peel(a.inputPlan)
+      case w: WholeStageCodegenExec => peel(w.child)
+      case i: InputAdapter => peel(i.child)
+      case pr: ProjectExec => peel(pr.child)
+      case s: SortExec if s.global => peel(s.child)
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] =>
+        peel(e.child)
+      case other => other
+    }
+    nodes(peel(df.queryExecution.executedPlan))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  /** Shuffle exchanges anywhere BELOW a Generate (explode/posexplode)
+    * node. A blob-splitting explode (`Multimodal.sampleBlocks`) must
+    * consume its scan directly — an exchange under it means whole
+    * media payloads were shuffled before being split, the exact
+    * pattern that dies first at 100 TB. */
+  def shufflesBelowGenerate(df: DataFrame): Int =
+    nodes(df.queryExecution.executedPlan).collect {
+      case g: GenerateExec =>
+        g.children.flatMap(nodes).count(_.isInstanceOf[ShuffleExchangeExec])
+    }.sum
 }

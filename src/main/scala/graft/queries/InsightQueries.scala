@@ -2414,25 +2414,37 @@ object InsightQueries {
     * cents, quantity in hundredths — both exact decimal-scaled
     * BIGINTs. One-row census card with share divisions.
     *
-    * Scale shape: lineitem⋈orders → part-grain conditional aggregate
-    * → one-row rollup; products stay under 2⁶³ to ~10⁹ cents·10⁷
-    * qty-hundredths per part (decimal lane beyond). */
+    * Scale shape: orders-only min/max scan for the midpoint (1-row
+    * collect, the IVF-centroid discipline), then lineitem⋈orders →
+    * part-grain conditional aggregate → one-row rollup with the join
+    * consumed EXACTLY ONCE — no cache. The round-3 shape cached the
+    * join because the midpoint ALSO read it; under executor storage
+    * pressure the cache's benefit inverted (official round-4 record:
+    * 37 s vs a 2.3 s floor). The midpoint only needs min/max of
+    * o_orderdate, so it comes from a dedicated cheap pass over orders
+    * alone — the fixture HAS childless orders (257 at sf0.01), so this
+    * is a semantic re-definition (midpoint of the ORDER range, which
+    * the prose always said), applied identically in the oracle.
+    * Products stay under 2⁶³ to ~10⁹ cents·10⁷ qty-hundredths per part
+    * (decimal lane beyond). */
   val q272PriceMovers = OracleQuery("q272_price_movers",
     "period-over-period >10% unit-price movers, integer cross-multiplied",
     (s, d) => {
-      // cached: the midpoint aggregate and the part grain both read
-      // the joined frame — one lineitem⋈orders join total
-      val li = graft.ops.Caches.track(Tables.lineitem(s, d)
+      val mid = Tables.orders(s, d)
+        .agg(expr(
+          "(min(unix_micros(cast(o_orderdate as timestamp))) + " +
+            "max(unix_micros(cast(o_orderdate as timestamp)))) div 2")
+          .as("mid"))
+        .collect()(0).getLong(0)
+      val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"),
           col("l_extendedprice"), col("l_quantity"))
         .join(Tables.orders(s, d)
           .select(col("o_orderkey"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("od")),
-          col("l_orderkey") === col("o_orderkey")))
-      val mid = broadcast(li.agg(
-        expr("(min(od) + max(od)) div 2").as("mid")))
+          col("l_orderkey") === col("o_orderkey"))
       val parts = li
-        .crossJoin(mid)
+        .withColumn("mid", lit(mid))
         .groupBy(col("l_partkey"))
         .agg(
           coalesce((sum(when(col("od") < col("mid"),
@@ -2462,11 +2474,13 @@ object InsightQueries {
             .as("down_share"))
     },
     Some("""
-      WITH li AS MATERIALIZED (
+      WITH li AS (
         SELECT l.l_partkey, l.l_extendedprice, l.l_quantity,
                epoch_us(o.o_orderdate) AS od
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-      mid AS (SELECT (MIN(od) + MAX(od)) // 2 AS mid FROM li),
+      mid AS (SELECT (MIN(epoch_us(o_orderdate)) +
+                      MAX(epoch_us(o_orderdate))) // 2 AS mid
+              FROM orders),
       parts AS MATERIALIZED (
         SELECT l_partkey,
                CAST(COALESCE(SUM(CASE WHEN od < mid

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-math contract of the bench record's adjudication fields
+  * (round-4 verdict asks #1 and #6): the contended flag's threshold,
+  * spread's failed-run exclusion, and median's even/odd behavior —
+  * these values land in the driver-archived BENCH_rN JSON and must not
+  * drift silently. */
+class BenchStatsSpec extends AnyFunSuite {
+
+  test("isContended trips strictly above 1.0 ambient load") {
+    assert(!Bench.isContended(0.0))
+    assert(!Bench.isContended(0.99))
+    assert(!Bench.isContended(1.0)) // threshold itself is not contended
+    assert(Bench.isContended(1.01))
+    assert(Bench.isContended(2.93)) // the round-4 official record's value
+  }
+
+  test("spread is max/min over successful runs only") {
+    assert(Bench.spread(Seq(2.0, 4.0, 3.0)) === 2.0)
+    assert(Bench.spread(Seq(5.0, 5.0, 5.0)) === 1.0)
+    // a failed run (-1 sentinel) must not enter the ratio
+    assert(Bench.spread(Seq(-1.0, 2.0, 6.0)) === 3.0)
+  }
+
+  test("spread is undefined (-1) with fewer than two successful runs") {
+    assert(Bench.spread(Seq(-1.0, -1.0, 4.0)) === -1.0)
+    assert(Bench.spread(Seq(-1.0, -1.0, -1.0)) === -1.0)
+    assert(Bench.spread(Seq.empty) === -1.0)
+  }
+
+  test("median handles odd and even run counts") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+  }
+}

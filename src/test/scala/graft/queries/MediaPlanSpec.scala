@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.ops.{Mjpeg, Multimodal}
+import graft.plans.PlanAudit
+
+/** Adversarial plan coverage for the media path (round-4 verdict ask
+  * #5). The six media queries are mapPartitions-shaped decode chains;
+  * their generic plan budgets are trivially satisfiable, so this spec
+  * pins the property that actually matters at 100 TB: NO exchange
+  * other than the final presentation sort's range partitioning —
+  * media payload bytes never cross the network — and the
+  * blob-splitting posexplode never sits above a shuffle. A
+  * deliberately shuffled variant must fail the same invariant. */
+class MediaPlanSpec extends SparkTestBase {
+
+  private val mediaQueries = Seq(
+    "q61_binary_meta", "q293_png_roundtrip", "q297_wav_roundtrip",
+    "q298_jpeg_roundtrip", "q299_frame_sample", "q300_resize_box")
+
+  private def withAqeOff[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("media queries are exchange-free apart from the presentation sort") {
+    withAqeOff {
+      val byName = Catalog.byName
+      for (name <- mediaQueries) {
+        val df = byName(name).run(spark, sfDir)
+        val extra = PlanAudit.nonPresentationShuffles(df)
+        assert(extra === 0,
+          s"$name: $extra exchange(s) beyond the presentation sort — media bytes would cross the network")
+        val below = PlanAudit.shufflesBelowGenerate(df)
+        assert(below === 0,
+          s"$name: a blob-splitting explode consumes shuffled input ($below exchange(s) under Generate)")
+      }
+    }
+  }
+
+  test("checked-in budgets pin media queries to the presentation exchange only") {
+    val budgets = PlanBudgets.load()
+    for (name <- mediaQueries) {
+      val b = budgets(name)
+      assert(b.shuffles <= 1,
+        s"$name budget allows ${b.shuffles} shuffles — only the ORDER BY range exchange is legitimate")
+      assert(b.cartesian === 0 && b.nestedLoopJoins === 0, s"$name budget")
+    }
+  }
+
+  test("a deliberately shuffled media variant fails the invariant") {
+    withAqeOff {
+      // the anti-pattern: repartition whole clips BEFORE splitting —
+      // every payload byte crosses the network, and the posexplode
+      // lands on shuffled input
+      val clips = Mjpeg.syntheticClips(spark, 8).repartition(4)
+      val df = Multimodal
+        .sampleBlocks(clips, "media_id", "content", 64, 2)
+        .orderBy("media_id", "block_idx")
+      assert(PlanAudit.nonPresentationShuffles(df) > 0,
+        "invariant failed to see the payload shuffle")
+      assert(PlanAudit.shufflesBelowGenerate(df) > 0,
+        "invariant failed to see the shuffle under the explode")
+    }
+  }
+}

@@ -20,20 +20,34 @@ def medians(path):
     out = {}
     raw = {}
     cores = {}
+    failed = {}
     for line in open(path, errors="replace"):
         m = PAT.search(line)
         if not m:
             continue
-        ts = sorted(float(x) for x in m.group(2).split(","))
-        med = ts[len(ts) // 2] if len(ts) % 2 else (
-            ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
+        # keep RAW run order for display: cpuCores is emitted in run
+        # order, so sorting the times here would pair each run with the
+        # wrong cores value and the wait-vs-work classifier would
+        # attribute a stall to the wrong run (round-4 advice)
+        runs = [float(x) for x in m.group(2).split(",")]
+        # -1.0 is Bench's failed-run sentinel: it must not drag the
+        # median down — compute the median over successes only, and
+        # surface the failure instead (round-4 advice)
+        ok = sorted(t for t in runs if t >= 0)
+        if not ok:
+            failed[m.group(1)] = len(runs)
+            continue
+        med = ok[len(ok) // 2] if len(ok) % 2 else (
+            ok[len(ok) // 2 - 1] + ok[len(ok) // 2]) / 2
         out[m.group(1)] = med
-        raw[m.group(1)] = ts
+        raw[m.group(1)] = runs
+        if len(ok) < len(runs):
+            failed[m.group(1)] = len(runs) - len(ok)
         if m.group(3):
-            # unsorted, aligned with the line's raw run order — the
-            # spike classifier: a slow run at LOW cores was waiting
+            # unsorted, aligned with raw's run order — the spike
+            # classifier: a slow run at LOW cores was waiting
             cores[m.group(1)] = [float(x) for x in m.group(3).split(",")]
-    return out, raw, cores
+    return out, raw, cores, failed
 
 
 def main():
@@ -47,10 +61,10 @@ def main():
     if not runs:
         print("no bench_out/run*.stdout found")
         return
-    meds, raws, coress = {}, {}, {}
+    meds, raws, coress, fails = {}, {}, {}, {}
     for p in runs:
-        m, r, c = medians(p)
-        meds[p], raws[p], coress[p] = m, r, c
+        m, r, c, f = medians(p)
+        meds[p], raws[p], coress[p], fails[p] = m, r, c, f
     names = sorted(set().union(*[set(m) for m in meds.values()]))
     print(f"{len(runs)} benches, {len(names)} queries")
     worst = []
@@ -74,6 +88,9 @@ def main():
         print(f"  {s:5.2f}x  {n}  medians={['%.2f' % x for x in ms]}")
     tot = [sum(v for v in meds[p].values() if v >= 0) for p in runs]
     print("\nper-bench totals:", ["%.1f" % t for t in tot])
+    for p in runs:
+        for n, k in sorted(fails[p].items()):
+            print(f"  FAILED: {n} had {k} failed run(s) in {p}")
 
 
 if __name__ == "__main__":

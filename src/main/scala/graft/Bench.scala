@@ -103,7 +103,12 @@ object Bench {
         s"[bench] $name runs=" + times.map(t => f"$t%.3f").mkString(",") +
           " cpuCores=" + timesAndCpu.map(tc => f"${tc._2}%.1f").mkString(",") +
           f" storageFree=$freeGb%.2fg")
-      val medCpu = median(timesAndCpu.map(_._2))
+      // cpu median over SUCCESSFUL runs only (mirror spread's -1
+      // exclusion): a failed run's wall/cpu profile reflects the
+      // failure, not the query, and would mislead the wait-vs-work
+      // adjudicator; -1 when no run succeeded
+      val okCpu = timesAndCpu.collect { case (t, c) if t >= 0 => c }
+      val medCpu = if (okCpu.isEmpty) -1.0 else median(okCpu)
       (name, if (times.contains(-1.0)) -1.0 else median(times),
         medCpu, spread(times))
     }

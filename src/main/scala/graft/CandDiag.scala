@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** TEMPORARY diagnostic (round 6): candidate-vs-result census for the
+  * q156 prefix-Jaccard join over its exact corpus (the q156 augmented
+  * documents table). Records the over-generation factor the PPJoin
+  * pair-aggregated positional filter buys; numbers go to
+  * ARCHITECTURE.md. Deleted once recorded. */
+object CandDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // q156's corpus: documents + planted exact/near duplicates
+    // (ExtensionQueries.augmented replicated)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 20000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val aug = docs.unionByName(exact).unionByName(near)
+    val t0 = System.nanoTime()
+    val (_, cand) = graft.ops.Dedup.prefixJaccardCandidates(
+      aug, "doc_id", "text", 0.5)
+    val nCand = cand.count()
+    val pairs = graft.ops.Dedup.prefixJaccardPairs(aug, "doc_id", "text", 0.5)
+    val nPairs = pairs.count()
+    println(s"""{"candidates":$nCand,"pairs":$nPairs,""" +
+      s""""overgen":${nCand.toDouble / math.max(nPairs, 1)},""" +
+      s""""sec":${(System.nanoTime() - t0) / 1e9}}""")
+    graft.ops.Dedup.unpersistCaches()
+    spark.stop()
+  }
+}

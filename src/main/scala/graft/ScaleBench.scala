@@ -35,7 +35,10 @@ object ScaleBench {
   /** The six cost centers the plan audit names — the quick gate's
     * coverage set. */
   val QuickOps: Set[String] = Set("minhash_lsh", "prefix_jaccard_join",
-    "components", "pagerank", "triangles", "weighted_paths")
+    "components", "pagerank", "triangles", "weighted_paths",
+    // round-6: pins the O(√N) ADC shortlist — its out_rows slope at
+    // m=1→4 must sit near √4 = 2, not 4
+    "pq_adc")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -219,6 +222,20 @@ object ScaleBench {
       }
       timeOp("strip_spans", m, nDocs) {
         Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      }
+      timeOp("pq_adc", m, nEmb) {
+        // sublinear-shortlist evidence (round-6 verdict ask #3):
+        // out_rows = probes × k with k = adaptiveShortlist = O(√N), so
+        // the m=1→4 out_rows ratio must sit near √4 = 2 while a
+        // constant-fraction shortlist would show 4; ksub grows with
+        // √N/m so the shrinking shortlist FRACTION still holds recall
+        // (q301's gate proves that side). Probes fixed (replica 0's
+        // vec_id < 5) — the slope isolates the corpus term.
+        val vd = Similarity.withNorm(emb, "embedding")
+          .select(col("vec_id").cast("long").as("vec_id"), col("vd"))
+        graft.ops.Pq.adcTopK(vd, vd.filter(col("vec_id") < 5), "vec_id",
+          k = graft.ops.Pq.adaptiveShortlist(nEmb), m = 4,
+          ksub = graft.ops.Pq.adaptiveKsub(nEmb, 4), iters = 3)
       }
       timeOp("axis_lsh_neardup", m, nEmb) {
         // band width grows with log2(corpus) — the documented knob that

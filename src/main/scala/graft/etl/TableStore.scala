@@ -48,6 +48,18 @@ object TableStore {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
   private def commitLock(root: String, table: String): Object =
     commitLocks.computeIfAbsent((root, table), _ => new Object)
+
+  /** Age gate for [[TableStore.compact]]'s temp-artifact GC. SAFETY
+    * MARGIN: the gate must exceed the longest interval a LIVE writer's
+    * staging dir can sit mtime-stale before its commit. A staging dir's
+    * mtime advances every time the parquet job creates a file inside
+    * it, so the stale window is only last-part-file → rename — driver
+    * commit latency, milliseconds to seconds even on a busy cluster,
+    * NOT the duration of the whole write. 10 min is therefore ~2–3
+    * orders of magnitude of headroom (the same recency heuristic
+    * lakehouse vacuums use); ConcurrentStoreSpec pins both sides
+    * (fresh tmp survives, aged orphan is reclaimed). */
+  val GcTmpAgeMillis: Long = 10 * 60 * 1000L
 }
 
 final class TableStore(spark: SparkSession, val root: String) {
@@ -512,9 +524,9 @@ final class TableStore(spark: SparkSession, val root: String) {
     // in a fresh `._tmp` dir right now — reclaiming it would fail that
     // writer with an I/O error instead of the contract's
     // ConcurrentWriteException. Crash orphans are by definition old;
-    // live staging dirs are seconds old. (Same recency heuristic every
-    // lakehouse vacuum uses.)
-    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+    // live staging dirs are seconds old. (Age-margin analysis on
+    // [[TableStore.GcTmpAgeMillis]].)
+    val cutoff = System.currentTimeMillis() - TableStore.GcTmpAgeMillis
     dirF.listFiles().filter(f =>
         (f.getName.matches("v\\d+\\._tmp.*") ||
          f.getName.startsWith(".touched_") ||

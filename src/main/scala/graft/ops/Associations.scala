@@ -37,6 +37,8 @@ object Associations {
 
   private def distinctBi(baskets: DataFrame, basketCol: String,
       itemCol: String): DataFrame =
+    // cache sweep r6: track — recompute is one distinct shuffle
+    // (linear); three consumers (freq, prune probe, size join)
     Caches.track(
       baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
         .distinct())

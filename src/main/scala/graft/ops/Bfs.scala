@@ -40,6 +40,8 @@ object Bfs {
     val sym = Caches.materialize(
       canon.select(col("a").as("s"), col("b").as("t"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"))))
+    // cache sweep r6: track — seed-sized initial frontier, linear
+    // distinct recompute; per-round state below goes through materialize
     var dist = Caches.track(
       sources.select(col(sources.columns.head).cast("long").as("n"))
         .distinct()
@@ -103,6 +105,8 @@ object Bfs {
       canon.select(col("a").as("s"), col("b").as("t"), col("w"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"),
           col("w"))))
+    // cache sweep r6: track — seed-sized initial frontier, linear
+    // distinct recompute; per-round state below goes through materialize
     var dist = Caches.track(
       sources.select(col(sources.columns.head).cast("long").as("n"))
         .distinct()

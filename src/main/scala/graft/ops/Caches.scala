@@ -15,7 +15,24 @@ object Caches {
   private val checkpointed =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
-  /** Cache `df` and register it for the next [[unpersistAll]]. */
+  /** Cache `df` and register it for the next [[unpersistAll]].
+    *
+    * Sweep discipline (round 6): every multi-consumer call site in
+    * `graft.ops` (plus the named query-layer sites tradeGraph and the
+    * three embN projections) carries a one-line `cache sweep r6:`
+    * decision comment. `track` is the right choice when
+    * recompute-on-eviction is LINEAR (a scan, one shuffle, a
+    * projection) — an eviction then costs one cheap re-pass per
+    * consumer. [[materialize]] is required when recompute would be
+    * SUPER-LINEAR: a self-joined derived index whose recompute includes
+    * its own build shuffle per join leg (q156's prefix), or iterative
+    * per-round state whose recompute nests every previous round (the
+    * q287 plan tower). The remaining `graft.queries` sites are
+    * adjudicated AS A CLASS: audited (round 6) to contain no track of
+    * iteratively-reassigned state and no track whose recompute is more
+    * than one linear pass over base tables — iterative state never
+    * lives at the query layer (it is inside ops/, on materialize), so
+    * each stays on track by the criterion above. */
   def track(df: DataFrame): DataFrame = {
     val c = df.cache()
     cached.add(c)
@@ -54,14 +71,17 @@ object Caches {
         checkpointed.add(l.rdd)
       case other =>
         // defensive: if a future Spark stops analyzing localCheckpoint
-        // to a LogicalRDD, the blocks would never be released by
-        // unpersistAll and would leak for the JVM lifetime — track the
-        // DataFrame as a fallback release handle and say so loudly
+        // to a LogicalRDD, release via the execution RDD — a
+        // DataFrame-level unpersist would be a CacheManager no-op for a
+        // frame that was never cache()d and would release nothing.
+        // Best-effort: toRdd is only guaranteed to BE the materialized
+        // RDD under the current contract this branch exists to guard,
+        // so also say so loudly for a human to re-adjudicate.
         System.err.println(
           "[caches] localCheckpoint did not analyze to LogicalRDD (" +
             other.getClass.getName +
-            "); falling back to DataFrame-level unpersist tracking")
-        cached.add(out)
+            "); falling back to execution-RDD unpersist tracking")
+        checkpointed.add(out.queryExecution.toRdd)
     }
     out
   }

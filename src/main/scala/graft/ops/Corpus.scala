@@ -51,6 +51,9 @@ object Corpus {
     * census, with emptiness as data, not absence. */
   def stripBoilerplate(docs: DataFrame, idCol: String, scopeCol: String,
       textCol: String, chunkWords: Int, minDocs: Int): DataFrame = {
+    // cache sweep r6: track — recompute is one linear chunk+join scan;
+    // the self-reference (bp derives from occ, joined back) re-pays at
+    // most two linear scans on eviction, never super-linear
     val occ = Caches.track(
       Curation.chunkByWords(docs.select(col(idCol), col(textCol)),
           idCol, textCol, chunkWords, 0)
@@ -95,6 +98,8 @@ object Corpus {
     * hot tokens ship one row per partition, not one per occurrence. */
   def tokenClassScore(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
+    // cache sweep r6: track — recompute is one explode+groupBy shuffle
+    // (linear); two consumers (stats + join-back) in one job
     val tok = Caches.track(docs
       .select(col(idCol), col(labelCol).cast("boolean").as("_lab"),
         explode(TextAnalysis.words(col(textCol))).as("_t"))

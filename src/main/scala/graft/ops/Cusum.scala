@@ -35,6 +35,8 @@ object Cusum {
       .withColumn("cum_c", sum(col("cents")).over(wCum))
     val tot = broadcast(daily.agg(
       count(lit(1)).as("n_days"), sum(col("cents")).as("c_tot")))
+    // cache sweep r6: track — day-grain frame (bounded); recompute is
+    // one window pass over the daily table (linear)
     val traced = Caches.track(cum.crossJoin(tot)
       .withColumn("t_k",
         col("n_days") * col("cum_c") - col("k") * col("c_tot")))

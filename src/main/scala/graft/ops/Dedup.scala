@@ -309,6 +309,8 @@ object Dedup {
     * exact all-pairs semantics (and the DuckDB oracle twin) for q54. */
   def lshCandidatePairs(bandsIn: DataFrame, idCol: String,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // cache sweep r6: track — recompute is the caller's signature+band
+    // build (linear minhash scan); sized below holds the self-join
     val bands = tracked(bandsIn)
     if (maxBucket == Int.MaxValue) {
       val a = bands.select(col("band_idx"), col("sig"), col(idCol).as("id_a"))
@@ -324,7 +326,10 @@ object Dedup {
       // candidate join, so the exchange is reused
       val key = Seq("band_idx", "sig")
       // tracked-cached: four branches (both allPairs legs, big, hubs)
-      // consume it — uncached, the count aggregate + join would run 4x
+      // consume it — uncached, the count aggregate + join would run 4x.
+      // cache sweep r6: track — recompute is one bucket-count groupBy +
+      // join over the cached bands (linear); the SELF-JOIN reads the
+      // cached frame, it is not part of the recompute
       val sized = tracked(bands.join(
         bands.groupBy(key.map(col): _*).agg(count(lit(1)).as("n_bucket")), key))
       val small = sized.filter(col("n_bucket") <= maxBucket)
@@ -369,6 +374,9 @@ object Dedup {
   def incrementalLshPairs(existingBands: DataFrame, newBands: DataFrame,
       idCol: String): DataFrame = {
     val key = Seq("band_idx", "sig")
+    // cache sweep r6: track — batch-sized band table, two consumers
+    // (union side + join probe side); linear recompute of the caller's
+    // band build on eviction
     val nb = tracked(newBands)
     // new side joins (old ∪ new); the `<` on the union side would drop
     // new×old pairs where the new id is larger, so order is normalized
@@ -408,6 +416,28 @@ object Dedup {
     * shingles; equality proves completeness, not just precision. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
+    val (arrays, cand) = prefixJaccardCandidates(docs, idCol, textCol, minJaccard)
+    cand
+      .join(arrays.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arrays.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** The filter cascade of [[prefixJaccardPairs]] up to (but not
+    * including) exact verification: returns (per-doc shingle arrays,
+    * surviving candidate pairs). Exposed `private[graft]` so the
+    * candidate count — the operator's cost driver, the quantity the
+    * positional filter exists to shrink — can be measured and
+    * spec-pinned without running the verify join. */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double): (DataFrame, DataFrame) = {
     require(minJaccard > 0 && minJaccard <= 1, "need 0 < minJaccard <= 1")
     // the distinct shingle SET stays an ARRAY per doc: set-dedup is
     // row-local (array_distinct — no corpus-wide DISTINCT shuffle) and
@@ -415,10 +445,15 @@ object Dedup {
     // instead of a |candidates|×|set| exploded join (measured 2× on the
     // whole join at sf0.1, where the tiny synthetic vocabulary makes
     // near-threshold candidates abundant)
-    // materialize, not track: FOUR consumers (tok → freq + prefix, then
-    // both verify-join sides) — an eviction recomputes split+shingle per
-    // consumer, which measured as q156's run-to-run variance
-    val arrays = Caches.materialize(docs
+    // cache sweep r6: back to track (the round-5 materialize here was
+    // over-medicine): FOUR consumers (tok → freq + prefix, then both
+    // verify-join sides), but recompute-on-eviction is one LINEAR
+    // split+shingle scan per consumer — the round-4 variance this was
+    // treating came from eviction under the OLD eager materialize of
+    // both this and the prefix index (two full tables pinned up front);
+    // keeping only the super-linear prefix on materialize lowers the
+    // storage footprint AND the floor (measured in bench_out/, round 6)
+    val arrays = Caches.track(docs
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= ShingleN)
       .withColumn("arr", array_distinct(shingles(col("ws"))))
@@ -445,11 +480,21 @@ object Dedup {
       .filter(col("pos") <=
         col("n") - ceil(lit(minJaccard) * col("n") * lit(1 - 1e-12)) + 1)
       .select(col("doc"), col("sh"), col("n"), col("pos")))
-    // PPJoin positional filter: tokens after the shared one bound the
-    // remaining possible overlap at 1 + min(n_a−pos_a, n_b−pos_b);
-    // J ≥ τ needs overlap ≥ τ/(1+τ)·(n_a+n_b). The first common token
-    // (smallest positions) gives each true pair its loosest bound, so
-    // keeping pairs where ANY shared-token row passes is exact.
+    // PPJoin positional filter, PAIR-AGGREGATED (Xiao et al., "Efficient
+    // Similarity Joins for Near-Duplicate Detection", TODS 2011 §4):
+    // J ≥ τ needs overlap ≥ τ/(1+τ)·(n_a+n_b). Because the canonical
+    // token order is GLOBAL, every common token ordered before the last
+    // common prefix token is itself in both prefixes, so over the
+    // pair's shared-prefix-token rows, α = row count is the EXACT
+    // common-prefix overlap and overlap(a,b) ≤ α + min(n_a − max pos_a,
+    // n_b − max pos_b). This is strictly tighter than the round-5
+    // single-row bound 1 + min(n_a − pos_a, n_b − pos_b) (that bound is
+    // α evaluated with one shared token) and costs NO extra shuffle:
+    // the groupBy replaces the `.distinct()` the pair set needed anyway,
+    // with map-side partial aggregation on the same (doc_a, doc_b) key.
+    // Exactness: the bound is a true upper bound on overlap, so every
+    // rejected pair is provably below τ; the brute-force oracle twin
+    // (q156/q222) certifies no false negatives.
     val overlapNeeded =
       lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) *
         lit(1 - 1e-12)
@@ -460,21 +505,13 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) *
         lit(1 - 1e-12) <= least(col("n_a"), col("n_b")))
-      .filter(lit(1) + least(col("n_a") - col("pos_a"),
-        col("n_b") - col("pos_b")) >= overlapNeeded)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("alpha"),
+        max(col("pos_a")).as("mpa"), max(col("pos_b")).as("mpb"))
+      .filter(col("alpha") + least(col("n_a") - col("mpa"),
+        col("n_b") - col("mpb")) >= overlapNeeded)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .distinct()
-    cand
-      .join(arrays.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
-        Seq("doc_a"))
-      .join(arrays.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
-        Seq("doc_b"))
-      .withColumn("n_inter",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+    (arrays, cand)
   }
 
   /** End-to-end near-dedup: LSH candidate pairs → connected components →
@@ -520,7 +557,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       probePred: Column, minJaccard: Double): DataFrame = {
     // cached: read by the probe side, the corpus side, and the size agg —
-    // uncached, the split+shingle pipeline would run three times
+    // uncached, the split+shingle pipeline would run three times.
+    // cache sweep r6: track — one linear shingle-explode + distinct
+    // shuffle recompute; no self-join on the cached frame itself
     val sh = tracked(
       shingleRows(docs, idCol, textCol)
         .withColumnRenamed(idCol, "doc").distinct())
@@ -642,7 +681,9 @@ object Dedup {
       spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
     // one cached tokenization feeds token rows AND windows; the cached
     // window table feeds detection AND coverage — one corpus
-    // scan+tokenize total instead of three (plan audit)
+    // scan+tokenize total instead of three (plan audit).
+    // cache sweep r6: both track — recompute is one linear tokenize /
+    // shingle-explode scan each; no self-join, no loop
     val base = Caches.track(docs
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws")))
     val toks = base.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))

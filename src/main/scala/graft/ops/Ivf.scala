@@ -24,11 +24,15 @@ object Ivf {
 
   /** Squared-L2 distance of a vector column to a centroid literal,
     * expanded as dot products (‖v‖² is shared across centroids so the
-    * argmin can drop it): -2·v·c + ‖c‖². */
+    * argmin can drop it): -2·v·c + ‖c‖². The centroid ships as ONE
+    * typedLit array (a constant-pool reference in generated code), not
+    * dim unrolled scalar literals: with adaptive ksub the unrolled form
+    * made every k-means iteration's generated source both large and
+    * unique (fresh centroid constants ⇒ codegen cache miss ⇒ recompile
+    * per training job), which measured as the q302 driver stall. */
   private def distScore(vd: Column, c: Array[Double]): Column = {
-    val cLit = array(c.map(lit): _*)
     val c2 = c.map(x => x * x).sum
-    lit(-2.0) * Similarity.dot(vd, cLit) + lit(c2)
+    lit(-2.0) * Similarity.dot(vd, typedLit(c)) + lit(c2)
   }
 
   /** Index of the nearest centroid (0-based). */

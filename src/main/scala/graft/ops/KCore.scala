@@ -42,6 +42,8 @@ object KCore {
     // aggregate the loop just ran)
     var deg: DataFrame = null
     while (round < rounds && !fixpoint) {
+      // cache sweep r6: track — degrees over the MATERIALIZED (flat) e,
+      // so recompute is one linear agg, not a nested-round tower
       deg = Caches.track(degrees(e))
       // EARLY EXIT at the fixpoint: once a round drops nobody, every
       // further round is a provable no-op — skip rebuilding the edge
@@ -68,6 +70,7 @@ object KCore {
     }
     // on the fixpoint path `deg` IS degrees(e) (the loop broke without
     // touching e); only the budget-exhausted path needs a fresh pass
+    // cache sweep r6: track — same linear agg over flat e as in-loop deg
     val finalDeg = if (fixpoint) deg else Caches.track(degrees(e))
     val converged =
       if (fixpoint) broadcast(finalDeg.sparkSession.range(1)

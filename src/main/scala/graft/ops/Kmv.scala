@@ -39,7 +39,8 @@ object Kmv {
     require(k >= 2, "the (k-1)/h_k estimator needs k >= 2")
     // cached: both the exact-count side and the draw side read the
     // distinct table — uncached, the expensive distinct shuffle (the
-    // only data-sized stage here) would run twice (plan audit)
+    // only data-sized stage here) would run twice (plan audit).
+    // cache sweep r6: track — recompute is that one distinct (linear)
     val du = Caches.track(df
       .select(col(groupCol).as("g"), col(keyCol).cast("string").as("key"))
       .distinct())
@@ -94,7 +95,7 @@ object Kmv {
     require(k >= 2, "the (k-1)/h_k estimator needs k >= 2")
     // cached: the distinct table feeds counts, draws AND the exact
     // intersection self-join — three consumers of the one data-sized
-    // shuffle
+    // shuffle. cache sweep r6: track — linear distinct recompute
     val du = Caches.track(df
       .select(col(groupCol).cast("string").as("g"),
         col(keyCol).cast("string").as("key"))
@@ -109,6 +110,9 @@ object Kmv {
       .filter(col("h") <
         least(lit(1.0), lit(4.0 * k) / col("n").cast("double")))
     val wg = Window.partitionBy(col("g")).orderBy(col("h"), col("key"))
+    // cache sweep r6: track — recompute is the bounded window over the
+    // ~4k-per-group survivor set (linear, pre-filtered); sketch-sized
+    // consumers only
     val sk = Caches.track(surv
       .withColumn("rn", row_number().over(wg).cast("long"))
       .filter(col("rn") <= k)

@@ -30,6 +30,8 @@ object LabelProp {
     require(rounds >= 1 && rounds <= 8, "rounds out of [1,8]")
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
+    // cache sweep r6: track — loop-invariant edge table, flat lineage,
+    // linear union+distinct recompute; per-round lab is materialized
     val sym = Caches.track(
       e.unionByName(e.select(col("d").as("s"), col("s").as("d")))
         .distinct())

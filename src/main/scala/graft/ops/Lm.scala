@@ -57,6 +57,8 @@ object Lm {
     * scanned twice, joined once on the trigram key. */
   def familiarityScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // cache sweep r6: track — recompute is one tokenize+explode scan
+    // (linear); consumers are the two count aggregates
     val tri = Caches.track(trigrams(docs, idCol, textCol))
     val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))

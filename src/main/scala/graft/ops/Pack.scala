@@ -54,7 +54,8 @@ object Pack {
     require(blockTokens > 0, "block size must be positive")
     require(nParts > 0, "need at least one bucket")
     // cached: three jobs read this (bounds agg, totals collect, final
-    // manifest) — without the cache the corpus is re-tokenized thrice
+    // manifest) — without the cache the corpus is re-tokenized thrice.
+    // cache sweep r6: track — recompute is one linear tokenize scan
     val toks = Caches.track(docs
       .select(col(idCol).cast("long").as("did"),
         TextAnalysis.tokenCount(col(textCol)).as("n_tok"))

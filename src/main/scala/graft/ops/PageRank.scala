@@ -78,6 +78,11 @@ object PageRank {
     require(iterations >= 1 && iterations <= 20, "need 1..20 iterations")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(scale >= 1000000L, "scale too small for meaningful floors")
+    // cache sweep r6: the three loop-INVARIANTS below stay on track —
+    // recompute is linear (caller's edge build; one groupBy+join; one
+    // distinct) and their lineage is flat, so eviction mid-loop re-pays
+    // one linear pass, unlike per-round STATE (pr goes through
+    // materialize below — that recompute would nest rounds)
     val e = Caches.track(edgesW)
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withDeg = Caches.track(e.join(deg, "src"))

@@ -34,6 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Corpus-adaptive shortlist size: k = max(floor, c·⌈√N⌉) — O(√N),
+    * NOT a corpus fraction. The round-4/5 design flag this replaces:
+    * a fixed CODEBOOK's resolution is constant, so holding recall with
+    * a fixed-resolution codebook forces the shortlist to be a constant
+    * FRACTION of N (the old max(50, N/10)) and the ADC stage's
+    * asymptotic win is zero. The scale-safe split is to let the
+    * codebook's resolution grow with N ([[adaptiveKsub]]) so the
+    * shortlist can shrink to O(√N): rerank work per probe is then
+    * O(√N·dim) while the ADC scan stays a linear-but-tiny table-lookup
+    * pass — the standard IVFADC asymptotic story. */
+  def adaptiveShortlist(n: Long, c: Int = 4, floor: Int = 50): Int =
+    math.max(floor, c * math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Corpus-adaptive per-subspace codebook size: the next power of two
+    * ≥ √N/m, clamped to [16, 256] (256 = one byte per code, the
+    * classic PQ storage contract). Growing ksub with √N keeps total
+    * codebook cells ksub^m growing polynomially in N, so per-cell
+    * occupancy — the quantity shortlist recall depends on — stays
+    * bounded as the corpus grows; training and encoding stay linear in
+    * N (×ksub) and the codebook itself (m·ksub·dim/m doubles) stays a
+    * driver-side literal. */
+  def adaptiveKsub(n: Long, m: Int): Int = {
+    val target = math.ceil(math.sqrt(n.toDouble) / m).toInt
+    var k = 16
+    while (k < target && k < 256) k *= 2
+    k
+  }
+
   /** Per-subspace codebooks: `m` arrays of `ksub` centroids of
     * dim/m values each. `vdf` must be (idCol, vd: array<double>);
     * caller owns caching (training makes iters+1 passes per
@@ -69,14 +97,43 @@ object Pq {
     val cross = codebooks.zipWithIndex.map { case (cents, j) =>
       val pSub = slice(pv, j * sub + 1, sub)
       val options = array(cents.map { c =>
-        val cLit = array(c.map(lit): _*)
         val c2 = c.map(x => x * x).sum
-        lit(c2) - lit(2.0) * Similarity.dot(pSub, cLit)
+        lit(c2) - lit(2.0) * Similarity.dot(pSub, typedLit(c))
       }: _*)
       element_at(options, element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
     Similarity.norm2(pv) + cross
   }
+
+  /** Flattened per-probe ADC lookup table: m·ksub entries, entry
+    * j·ksub + c holding ‖c_{j,c}‖² − 2·p_j·c_{j,c}. Projected on the
+    * PROBE side (a handful of rows) BEFORE the broadcast join, so the
+    * corpus scan pays m element_at lookups per code row instead of
+    * m·ksub dot products — the classic ADC table made columnar. This
+    * is what keeps [[adaptiveKsub]] growth free at scan time: ksub
+    * only enters table build (probe-count-sized) and training. */
+  def adcTable(pv: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      val pSub = slice(pv, j * sub + 1, sub)
+      cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        // typedLit, not dim unrolled lits — the Ivf.distScore codegen
+        // note applies: one constant-pool reference per centroid
+        lit(c2) - lit(2.0) * Similarity.dot(pSub, typedLit(c))
+      }
+    }.toSeq: _*)
+  }
+
+  /** ADC distance from the prebuilt table: pn2 + Σ_j tab[j·ksub +
+    * codes_j] — the same addends in the same fold order as [[adcDist]]
+    * (PqSpec pins the bit-equality), evaluated with lookups only. */
+  def adcDistFromTable(pn2: Column, tab: Column, codes: Column,
+      m: Int, ksub: Int): Column =
+    pn2 + (0 until m).map(j =>
+      element_at(tab, lit(j * ksub) + element_at(codes, j + 1) + 1))
+      .reduce(_ + _)
 
   /** ADC top-k: corpus encoded to PQ codes, probes full-precision,
     * per-probe rank on the ADC distance (ties broken by id — double
@@ -90,10 +147,13 @@ object Pq {
     val codes = corpusVd.select(col(idCol).as("neighbor_id"),
       encode(col("vd"), codebooks).as("codes"))
     val probes = broadcast(
-      probesVd.select(col(idCol).as("probe_id"), col("vd").as("pv")))
+      probesVd.select(col(idCol).as("probe_id"),
+        Similarity.norm2(col("vd")).as("pn2"),
+        adcTable(col("vd"), codebooks).as("adctab")))
     codes.join(probes, col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        adcDist(col("pv"), col("codes"), codebooks).as("adc"))
+        adcDistFromTable(col("pn2"), col("adctab"), col("codes"),
+          m, ksub).as("adc"))
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("neighbor_id"))))
@@ -121,10 +181,25 @@ object Pq {
   */
 object IvfPq {
 
+  /** Corpus-adaptive coarse cell count: next power of two ≥ √N/8,
+    * clamped to [8, 1024] — the classic nList ≈ √N rule damped by 8
+    * because the synthetic embeddings are weakly clustered (finer
+    * cells cut true neighborhoods; see q302's nProbe note). Cells
+    * scale with √N so per-cell candidate volume N/nList = O(√N)
+    * matches the [[Pq.adaptiveShortlist]] O(√N) rerank pool. */
+  def adaptiveNList(n: Long): Int = {
+    val target = math.ceil(math.sqrt(n.toDouble) / 8).toInt
+    var k = 8
+    while (k < target && k < 1024) k *= 2
+    k
+  }
+
   /** Literal nList×dim matrix of coarse centroids, indexable by the
-    * cell column: element_at(matrix, cell+1). */
+    * cell column: element_at(matrix, cell+1). One typedLit constant —
+    * the Ivf.distScore codegen-size note applies (nList·dim unrolled
+    * scalar literals made the source grow with adaptiveNList). */
   private def centroidMatrix(cents: Array[Array[Double]]): Column =
-    array(cents.map(c => array(c.map(lit): _*)): _*)
+    typedLit(cents.map(_.toSeq).toSeq)
 
   /** v − centroid(cell), as a column (zip_with subtraction against
     * the literal row picked by the cell id). */
@@ -140,7 +215,9 @@ object IvfPq {
     import org.apache.spark.sql.expressions.Window
     val coarse = Ivf.trainCentroidsNormed(corpusVd, idCol, nList, iters)
     // index: cell id + PQ codes of the residual (one narrow pass; the
-    // residual frame is cached for codebook training's repeated scans)
+    // residual frame is cached for codebook training's repeated scans).
+    // cache sweep r6: track — recompute is one nearest-centroid +
+    // zip_with projection over the corpus (linear, centroids literal)
     val resid = Caches.track(corpusVd.select(
       col(idCol),
       Ivf.nearestCentroid(col("vd"), coarse).as("cell"),
@@ -151,17 +228,23 @@ object IvfPq {
     val index = resid.select(col(idCol).as("neighbor_id"), col("cell"),
       Pq.encode(col("vd"), codebooks).as("codes"))
     // search: probe expands to its nProbe cells; ADC against the
-    // PROBE residual in each cell
+    // PROBE residual in each cell. The per-(probe, cell) lookup table
+    // is projected on the broadcast side (probes×nProbe rows), so the
+    // candidate scan pays m lookups per code row (Pq.adcTable note).
     val probes = broadcast(probesVd.select(
         col(idCol).as("probe_id"), col("vd").as("pv"),
         explode(Ivf.nearestCentroids(col("vd"), coarse, nProbe))
           .as("cell"))
       .select(col("probe_id"), col("cell"),
-        residual(col("pv"), col("cell"), coarse).as("prv")))
+        residual(col("pv"), col("cell"), coarse).as("prv"))
+      .select(col("probe_id"), col("cell"),
+        Similarity.norm2(col("prv")).as("pn2"),
+        Pq.adcTable(col("prv"), codebooks).as("adctab")))
     index.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        Pq.adcDist(col("prv"), col("codes"), codebooks).as("adc"))
+        Pq.adcDistFromTable(col("pn2"), col("adctab"), col("codes"),
+          m, ksub).as("adc"))
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("neighbor_id"))))

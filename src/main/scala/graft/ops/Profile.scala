@@ -51,6 +51,8 @@ object Profile {
         Curation.splitLabel(col(idCol), testFraction).as("split"),
         TextAnalysis.words(col(textCol)).as("ws"))
       .select(col("split"), explode(col("ws")).as("w"))
+    // cache sweep r6: track — vocab-sized counts; recompute is one
+    // explode+groupBy shuffle (linear)
     val counts = Caches.track(words.groupBy(col("w")).agg(
       sum(when(col("split") === "train", 1L).otherwise(0L)).as("c"),
       sum(when(col("split") === "test", 1L).otherwise(0L)).as("d")))

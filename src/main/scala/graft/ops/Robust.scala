@@ -79,7 +79,9 @@ object Robust {
       .select(col(groupCol), col("median").as("med"))
     // cached: the deviation frame feeds the second median's histogram,
     // its winning-bucket rank pass AND the final outlier aggregate —
-    // without the cache each consumer re-scans the input
+    // without the cache each consumer re-scans the input.
+    // cache sweep r6: track — linear scan+broadcast-join recompute per
+    // histogram pass (pass count is log-bounded by the walk)
     val dev = Caches.track(df.filter(col(valCol).isNotNull)
       .join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col(valCol) - col("med"))))

@@ -193,6 +193,8 @@ object Search {
     // without the cache each reference replays the corpus scan+explode
     // (plan audit showed |phrase| parquet scans). Post-filter it is
     // posting-list-sized, a vanishing fraction of the corpus.
+    // cache sweep r6: track — recompute is one linear scan+explode per
+    // consumer; |phrase| consumers, each cheap, never super-linear
     val postings = Caches.track(docs
       .select(col(idCol).as("d"),
         posexplode(TextAnalysis.words(col(textCol))).as(Seq("p", "w")))

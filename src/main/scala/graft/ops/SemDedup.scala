@@ -61,6 +61,9 @@ object SemDedup {
       nAnchors: Int, minSim: Double): DataFrame = {
     val anchors = lowestIdAnchors(emb, idCol, vecCol, nAnchors)
     val assigned = assignToAnchors(emb, idCol, vecCol, anchors)
+    // cache sweep r6: track — recompute is one norm projection + anchor
+    // join (linear, anchors broadcast); two consumers (the self-join
+    // halves) in one job
     val vn = Caches.track(
       Similarity.withNorm(emb, vecCol)
         .select(col(idCol).as("_vid"), col("vd"), col("n2"))

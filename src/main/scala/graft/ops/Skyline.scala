@@ -43,6 +43,11 @@ object Skyline {
   def skyline2d(df: DataFrame, costCol: String, gainCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 1, "pruning needs at least two buckets")
+    // cache sweep r6: all three tracks below — each level's recompute
+    // given the level above is one linear scan/join (rows: filter;
+    // bucketed: broadcast-crossJoin + bucket expr; cand: bounded-window
+    // join + filter), so even a full-chain eviction re-pays linear work;
+    // cand's exact-pass self-join is frontier-sized by construction
     val rows = Caches.track(df
       .filter(col(costCol).isNotNull && col(gainCol).isNotNull))
     val mm = rows.agg(min(col(costCol)).as("c_min"),

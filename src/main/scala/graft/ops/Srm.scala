@@ -35,7 +35,8 @@ object Srm {
       userCol: String = "user_id"): DataFrame = {
     // cached: the day-grain counts AND the overall row both read the
     // labeled table — uncached, the upstream (possibly corpus-sized)
-    // distinct would run twice
+    // distinct would run twice.
+    // cache sweep r6: track — linear recompute (projection + label expr)
     val lab = Caches.track(du
       .select(col(dayCol).cast("long").as("day"),
         col(userCol).as("user_id"))

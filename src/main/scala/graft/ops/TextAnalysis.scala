@@ -228,6 +228,9 @@ object TextAnalysis {
           "               element_at(ws, i + 2) AS b))" +
           " ELSE array() END")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // cache sweep r6: both track — recompute is one explode+groupBy
+    // count each (linear, vocab/bigram-sized results); consumers are
+    // the totals agg and the join-backs
     val wc = Caches.track(toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w")))
     val pcAll = Caches.track(bi.groupBy(col("a"), col("b"))

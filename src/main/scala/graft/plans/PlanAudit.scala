@@ -95,18 +95,24 @@ object PlanAudit {
     * Caller must disable AQE around construction + audit, like
     * [[stats]]. */
   def nonPresentationShuffles(df: DataFrame): Int = {
-    def peel(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => peel(a.inputPlan)
-      case w: WholeStageCodegenExec => peel(w.child)
-      case i: InputAdapter => peel(i.child)
-      case pr: ProjectExec => peel(pr.child)
-      case s: SortExec if s.global => peel(s.child)
+    // sawSort: a RangePartitioning exchange is only excusable when it
+    // was reached THROUGH a global Sort above it — the presentation
+    // sort's own exchange. Peeling any root-chain range exchange would
+    // also excuse a payload-moving repartitionByRange at the plan root,
+    // which is exactly the pattern this counter exists to catch.
+    def peel(p: SparkPlan, sawSort: Boolean): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => peel(a.inputPlan, sawSort)
+      case w: WholeStageCodegenExec => peel(w.child, sawSort)
+      case i: InputAdapter => peel(i.child, sawSort)
+      case pr: ProjectExec => peel(pr.child, sawSort)
+      case s: SortExec if s.global => peel(s.child, sawSort = true)
       case e: ShuffleExchangeExec
-          if e.outputPartitioning.isInstanceOf[RangePartitioning] =>
-        peel(e.child)
+          if sawSort &&
+            e.outputPartitioning.isInstanceOf[RangePartitioning] =>
+        peel(e.child, sawSort = false)
       case other => other
     }
-    nodes(peel(df.queryExecution.executedPlan))
+    nodes(peel(df.queryExecution.executedPlan, sawSort = false))
       .count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
@@ -115,9 +121,20 @@ object PlanAudit {
     * consume its scan directly — an exchange under it means whole
     * media payloads were shuffled before being split, the exact
     * pattern that dies first at 100 TB. */
-  def shufflesBelowGenerate(df: DataFrame): Int =
+  def shufflesBelowGenerate(df: DataFrame): Int = {
+    // deduplicated BY NODE IDENTITY: with stacked explodes one exchange
+    // sits below both Generate ancestors and would otherwise be counted
+    // once per ancestor — harmless for the ==0 gates but wrong as a
+    // count if ever budgeted numerically
+    val seen =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     nodes(df.queryExecution.executedPlan).collect {
       case g: GenerateExec =>
-        g.children.flatMap(nodes).count(_.isInstanceOf[ShuffleExchangeExec])
+        g.children.flatMap(nodes).count {
+          case e: ShuffleExchangeExec => seen.add(e)
+          case _ => false
+        }
     }.sum
+  }
 }

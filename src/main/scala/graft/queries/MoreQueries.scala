@@ -266,7 +266,11 @@ object MoreQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       // ONE source scan: the cached normed projection feeds IVF k-means
-      // training, IVF search, AND the brute-force exact baseline
+      // training, IVF search, AND the brute-force exact baseline.
+      // cache sweep r6: track, not materialize — recompute-on-eviction
+      // is one LINEAR parquet scan + norm projection (no shuffle, no
+      // self-join), so an eviction costs a cheap re-scan per consumer,
+      // never super-linear work.
       val embN = graft.ops.Caches.track(
         Similarity.withNorm(emb, "embedding")
           .select(col("vec_id").cast("long").as("vec_id"),
@@ -339,7 +343,10 @@ object MoreQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       // ONE cached normed projection feeds codebook training, corpus
-      // encoding, the exact baseline AND the rerank
+      // encoding, the exact baseline AND the rerank.
+      // cache sweep r6: track, not materialize — linear re-scan on
+      // eviction (norm projection over the parquet scan); the many
+      // training passes each re-pay one cheap scan at worst.
       val embN = graft.ops.Caches.track(
         Similarity.withNorm(emb, "embedding")
           .select(col("vec_id").cast("long").as("vec_id"),
@@ -360,17 +367,22 @@ object MoreQueries {
             .partitionBy(col("probe_id"))
             .orderBy(col("l2sq"), col("neighbor_id"))))
         .filter(col("rank") <= 10)
-      // PQ: ADC shortlist → exact rerank to 10. The shortlist must
-      // SCALE WITH THE CORPUS (the SemDedup anchors lesson): a fixed
-      // codebook's resolution is constant, so a fixed shortlist's
-      // recall decays as the corpus grows — k = max(50, N/10) keeps
-      // the rerank candidate pool a constant FRACTION (measured: a
-      // fixed k=50 dropped 3/5 probes below the 0.5 gate at sf0.1)
-      val shortN = math.max(50L, embN.count() / 10L).toInt
+      // PQ: ADC shortlist → exact rerank to 10. Round-6 re-design of
+      // the round-4/5 linear-shortlist flag: the shortlist is O(√N)
+      // (k = max(50, 4⌈√N⌉) — 92 at sf0.01, 284 at sf0.1, vs the old
+      // N/10 constant fraction) and the CODEBOOK resolution grows with
+      // the corpus instead (ksub = adaptiveKsub: 16 at sf0.01, 32 at
+      // sf0.1) — finer cells keep per-cell occupancy bounded so the
+      // shrinking shortlist fraction holds recall (gates re-proven
+      // green at sf0.01 AND sf0.1). Rerank is now O(√N·dim) per probe;
+      // the ADC scan stays the linear-but-tiny lookup pass.
+      val nCorpus = embN.count()
+      val shortN = Pq.adaptiveShortlist(nCorpus, c = 4)
       val shortlist = Pq.adcTopK(
         embN.select(col("vec_id"), col("vd")),
         probesN.select(col("vec_id"), col("vd")),
-        "vec_id", k = shortN, m = 4, ksub = 16, iters = 3)
+        "vec_id", k = shortN, m = 4,
+        ksub = Pq.adaptiveKsub(nCorpus, 4), iters = 3)
       val rerank = shortlist
         .join(embN.select(col("vec_id").as("neighbor_id"),
           col("vd").as("cv"), col("n2").as("cn2")), Seq("neighbor_id"))
@@ -434,6 +446,9 @@ object MoreQueries {
     "IVFADC (coarse cells + residual PQ codes) shortlist + exact rerank, recall-gated vs exact L2",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      // cache sweep r6: track, not materialize — linear re-scan on
+      // eviction (norm projection over the parquet scan), same decision
+      // as q301's embN.
       val embN = graft.ops.Caches.track(
         Similarity.withNorm(emb, "embedding")
           .select(col("vec_id").cast("long").as("vec_id"),
@@ -453,17 +468,23 @@ object MoreQueries {
             .partitionBy(col("probe_id"))
             .orderBy(col("l2sq"), col("neighbor_id"))))
         .filter(col("rank") <= 10)
-      // nProbe/nList = 4/8: the synthetic embeddings are weakly
-      // clustered, so cell boundaries cut true neighborhoods — at 3/8
-      // two sf0.1 probes measured recall under the gate (the classic
-      // IVF miss mode); half the cells holds the gate with margin at
-      // every test sf. Shortlist fraction raised likewise (N/5).
-      val shortN = math.max(50L, embN.count() / 5L).toInt
+      // Round-6 sublinear re-design (the q301 story, one level up):
+      // nList grows with √N (adaptiveNList — 8 at sf0.01, 16 at
+      // sf0.1) with nProbe pinned to half the cells, because the
+      // synthetic embeddings are weakly clustered and finer-than-half
+      // probing cut true neighborhoods (the classic IVF miss mode,
+      // measured round 4 at 3/8); residual-PQ ksub grows with √N/m and
+      // the shortlist is O(√N) — k = max(50, 8⌈√N⌉), c=8 vs q301's 4
+      // to absorb the coarse quantizer's extra miss mode. Recall gates
+      // re-proven green at sf0.01 AND sf0.1.
+      val nCorpus = embN.count()
+      val shortN = Pq.adaptiveShortlist(nCorpus, c = 8)
+      val nList = IvfPq.adaptiveNList(nCorpus)
       val shortlist = IvfPq.ivfAdcTopK(
         embN.select(col("vec_id"), col("vd")),
         probesN.select(col("vec_id"), col("vd")),
-        "vec_id", k = shortN, nList = 8, nProbe = 4, m = 4, ksub = 16,
-        iters = 3)
+        "vec_id", k = shortN, nList = nList, nProbe = nList / 2, m = 4,
+        ksub = Pq.adaptiveKsub(nCorpus, 4), iters = 3)
       val rerank = shortlist
         .join(embN.select(col("vec_id").as("neighbor_id"),
           col("vd").as("cv"), col("n2").as("cn2")), Seq("neighbor_id"))
@@ -673,6 +694,11 @@ object MoreQueries {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val off = ord.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    // cache sweep r6: track, not materialize — recompute-on-eviction is
+    // ONE join+agg (linear, one shuffle); both union halves consume it
+    // inside a single job, and the downstream iterative PageRank/HITS
+    // caches its own per-round state (flat lineage there), so eviction
+    // here can never cascade super-linearly.
     val pairs = graft.ops.Caches.track(
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("o_custkey").as("cust"),

@@ -78,6 +78,8 @@ object StreamingCusumStore {
     * table equals the batch day table the trajectories are equal by
     * construction (CusumStoreSpec asserts it bit-for-bit). */
   def changePoint(store: TableStore, table: String): DataFrame =
+    // cache sweep r6: track — day-grain store read (bounded), linear
+    // recompute; Cusum.trace's internal consumers are broadcast aggs
     Cusum.trace(graft.ops.Caches.track(
       store.read(table).filter(col("kind") === "day")
         .select(col("id").as("day"), col("cents"))))

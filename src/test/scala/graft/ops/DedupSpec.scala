@@ -48,6 +48,37 @@ class DedupSpec extends SparkTestBase {
     } yield (a, b)).toSet
     assert(got == want)
     assert(want.nonEmpty, "test corpus produced no qualifying pairs")
+
+    // the pair-aggregated PPJoin positional filter (α + min-remaining
+    // bound, round 6): the candidate stage must remain a SUPERSET of
+    // the qualifying pairs (the bound is a true overlap upper bound —
+    // a filter-stage false negative could never be repaired later)...
+    val (_, cand) = Dedup.prefixJaccardCandidates(df, "doc_id", "text", 0.4)
+    val candSet = cand.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(candSet),
+      s"positional filter dropped qualifying pairs: ${want -- candSet}")
+    // ...while pruning genuinely below the no-positional-filter
+    // baseline (pairs sharing ANY prefix token + size ratio only) —
+    // the cascade must do real work on this near-threshold corpus
+    val prefLen = (n: Int) => n - math.ceil(0.4 * n * (1 - 1e-12)).toInt + 1
+    val dfOrder = sh.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val prefixes = sh.map { case (i, s) =>
+      i -> s.toSeq.sortBy(t => (dfOrder(t), t)).take(prefLen(s.size)).toSet }
+    val anyShared = (for {
+      (a, sa) <- prefixes.toSeq; (b, sb) <- prefixes.toSeq
+      if a < b && (sa intersect sb).nonEmpty
+      if 0.4 * math.max(sh(a).size, sh(b).size) * (1 - 1e-12) <=
+        math.min(sh(a).size, sh(b).size)
+    } yield (a, b)).toSet
+    // (≤, not <: on THIS fixture the uniform df structure puts every
+    // pair's shared tokens in one contiguous late-prefix run, where the
+    // α-bound equals the single-row bound — the filter's strict
+    // tightening needs df VARIETY (third docs sharing different
+    // tokens), which the real corpora have; the candidate census over
+    // the sf0.1 q156 corpus in ARCHITECTURE.md pins that side)
+    assert(candSet.subsetOf(anyShared))
+    assert(candSet.size <= anyShared.size)
   }
   import spark.implicits._
 

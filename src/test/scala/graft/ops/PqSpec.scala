@@ -55,6 +55,19 @@ class PqSpec extends SparkTestBase {
       val recon = cb(0)(codes(0)) ++ cb(1)(codes(1))
       assert(math.abs(adc - l2(probe, recon)) < 1e-9, s"id $id")
     }
+    // the scan-time table path is BIT-IDENTICAL to the direct form
+    // (same addends, same fold order) — adcTopK's results cannot move
+    // when the lookup-table optimization is on the scan path
+    val both = df.select(
+        Pq.adcDist(array(probe.map(lit): _*),
+          Pq.encode(col("vd"), cb), cb).as("direct"),
+        Pq.adcDistFromTable(
+          Similarity.norm2(array(probe.map(lit): _*)),
+          Pq.adcTable(array(probe.map(lit): _*), cb),
+          Pq.encode(col("vd"), cb), 2, 4).as("table"))
+      .as[(Double, Double)].collect()
+    assert(both.forall { case (d, t) => d == t },
+      "table ADC diverged bit-wise from direct ADC")
     df.unpersist()
   }
 
@@ -95,5 +108,25 @@ class PqSpec extends SparkTestBase {
         s"probe $p rerank recall ${rerank.intersect(exact).size}/10")
     }
     df.unpersist()
+  }
+
+  test("adaptive knobs: shortlist is O(√N), ksub/nList grow with √N and clamp") {
+    // shortlist: floor below ~160 corpus rows (4·√156² ≈ 50), then 4⌈√N⌉
+    assert(Pq.adaptiveShortlist(100) == 50)
+    assert(Pq.adaptiveShortlist(500) == 4 * 23)   //  92 at sf0.01
+    assert(Pq.adaptiveShortlist(5000) == 4 * 71)  // 284 at sf0.1
+    assert(Pq.adaptiveShortlist(5000, c = 8) == 8 * 71)
+    // sublinearity itself: quadrupling N only doubles k
+    val k1 = Pq.adaptiveShortlist(1 << 20)
+    val k4 = Pq.adaptiveShortlist(1 << 22)
+    assert(k4 == 2 * k1)
+    // ksub: power-of-two ≥ √N/m, clamped to [16, 256]
+    assert(Pq.adaptiveKsub(500, 4) == 16)   // sf0.01: unchanged
+    assert(Pq.adaptiveKsub(5000, 4) == 32)  // sf0.1: doubled resolution
+    assert(Pq.adaptiveKsub(1L << 40, 4) == 256) // byte-code clamp
+    // nList: power-of-two ≥ √N/8, clamped to [8, 1024]
+    assert(IvfPq.adaptiveNList(500) == 8)
+    assert(IvfPq.adaptiveNList(5000) == 16)
+    assert(IvfPq.adaptiveNList(1L << 40) == 1024)
   }
 }

@@ -30,6 +30,10 @@ def medians(path):
         # wrong cores value and the wait-vs-work classifier would
         # attribute a stall to the wrong run (round-4 advice)
         runs = [float(x) for x in m.group(2).split(",")]
+        # a later matching line for the same query supersedes the
+        # earlier one entirely — clear any stale failure count so a
+        # clean re-run isn't still reported as failed (round-5 advice)
+        failed.pop(m.group(1), None)
         # -1.0 is Bench's failed-run sentinel: it must not drag the
         # median down — compute the median over successes only, and
         # surface the failure instead (round-4 advice)

@@ -3,11 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY diagnostic (round 6): candidate-vs-result census for the
-  * q156 prefix-Jaccard join over its exact corpus (the q156 augmented
-  * documents table). Records the over-generation factor the PPJoin
-  * pair-aggregated positional filter buys; numbers go to
-  * ARCHITECTURE.md. Deleted once recorded. */
+/** Diagnostic main: candidate-vs-result census for the q156
+  * prefix-Jaccard join over its exact corpus (the q156 augmented
+  * documents table). Prints one JSON line with the filter cascade's
+  * surviving candidate count, the true pair count, the resulting
+  * over-generation factor, and the pre-aggregation join volume of the
+  * symmetric (probe×probe) vs asymmetric (index×probe) prefix join —
+  * the numbers behind ARCHITECTURE.md's PPJoin census. Re-run after
+  * any change to `Dedup.prefixJaccardCandidates` to keep that section
+  * honest: `sbt "runMain graft.CandDiag /root/testdata/sf0.1"`. */
 object CandDiag {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -36,8 +40,48 @@ object CandDiag {
     val nCand = cand.count()
     val pairs = graft.ops.Dedup.prefixJaccardPairs(aug, "doc_id", "text", 0.5)
     val nPairs = pairs.count()
+    // pre-aggregation join volume, symmetric (probe×probe) vs
+    // asymmetric (index×probe): the shuffle-side quantity the indexing
+    // prefix shrinks, weighed against the candidate counts above
+    val tau = 0.5
+    import org.apache.spark.sql.expressions.Window
+    val arrays = aug
+      .select(col("doc_id").as("doc"),
+        graft.ops.TextAnalysis.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= graft.ops.Dedup.ShingleN)
+      .withColumn("arr", array_distinct(graft.ops.Dedup.shingles(col("ws"))))
+      .select(col("doc"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
+    val freq = arrays.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = arrays.join(freq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(tau) * col("n") * lit(1 - 1e-12)) + 1)
+      .select(col("doc"), col("sh"), col("n"), col("pos")).cache()
+    val idx = prefix.filter(col("pos") <=
+      col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n") * lit(1 - 1e-12)) + 1)
+    def joinRows(left: org.apache.spark.sql.DataFrame,
+        sizeOrder: Boolean): Long = {
+      val j = left.select(col("doc").as("doc_a"), col("sh"),
+          col("n").as("n_a"))
+        .join(prefix.select(col("doc").as("doc_b"), col("sh"),
+          col("n").as("n_b")), Seq("sh"))
+      val ord = if (sizeOrder)
+        col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("doc_a") < col("doc_b"))
+      else col("doc_a") < col("doc_b")
+      j.filter(ord)
+        .filter(lit(tau) * greatest(col("n_a"), col("n_b")) *
+          lit(1 - 1e-12) <= least(col("n_a"), col("n_b")))
+        .count()
+    }
+    val symRows = joinRows(prefix, sizeOrder = false)
+    val asymRows = joinRows(idx, sizeOrder = true)
+    prefix.unpersist()
     println(s"""{"candidates":$nCand,"pairs":$nPairs,""" +
       s""""overgen":${nCand.toDouble / math.max(nPairs, 1)},""" +
+      s""""join_rows_sym":$symRows,"join_rows_asym":$asymRows,""" +
       s""""sec":${(System.nanoTime() - t0) / 1e9}}""")
     graft.ops.Dedup.unpersistCaches()
     spark.stop()

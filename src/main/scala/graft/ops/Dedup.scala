@@ -397,8 +397,10 @@ object Dedup {
     * miss a qualifying pair (tunable recall < 1); prefix filtering is
     * exact. Set elements are the 3-gram shingles; tokens get a global
     * canonical order (ascending document frequency, rarest first — the
-    * ordering that minimizes candidate fan-out), and each doc indexes
-    * only its first `n − ⌈τ·n⌉ + 1` tokens: any pair with J ≥ τ MUST
+    * ordering that minimizes candidate fan-out), and each doc probes
+    * with its first `n − ⌈τ·n⌉ + 1` tokens — the pair's smaller record
+    * indexes only the shorter `n − ⌈2τ/(1+τ)·n⌉ + 1` prefix (PPJoin's
+    * asymmetric indexing prefix): any pair with J ≥ τ MUST
     * share an indexed token (Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07 prefix-filtering principle), so
     * non-candidates are provably below threshold. A size-ratio filter
@@ -498,11 +500,27 @@ object Dedup {
     val overlapNeeded =
       lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) *
         lit(1 - 1e-12)
-    val cand = prefix.select(col("doc").as("doc_a"), col("sh"),
+    // ASYMMETRIC INDEXING PREFIX (PPJoin, TODS 2011 §3.2): orient each
+    // pair by (n, doc) — the SMALLER record is the index side. For
+    // n_a ≤ n_b, J ≥ τ forces overlap ≥ 2τ/(1+τ)·n_a, so the index
+    // side only needs its first n_a − ⌈2τ/(1+τ)·n_a⌉ + 1 tokens
+    // (n/3 + 1 at τ = 0.5, vs the probing prefix's n/2 + 1): the same
+    // materialized `prefix` frame, one extra row-local filter, no new
+    // shuffle. Exactness: both prefixes are ⊇ their symmetric-O
+    // prefixes (O ≥ max(2τ/(1+τ)·n_a, τ·n_b)), so the
+    // common-token-in-prefix lemma still applies; the α-aggregate
+    // bound below is positional and independent of prefix lengths
+    // (every common token ordered before the last counted one is in
+    // both prefixes — positions follow the global order).
+    val idxPrefix = prefix.filter(col("pos") <=
+      col("n") - ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("n") *
+        lit(1 - 1e-12)) + 1)
+    val cand = idxPrefix.select(col("doc").as("doc_a"), col("sh"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc").as("doc_b"), col("sh"),
         col("n").as("n_b"), col("pos").as("pos_b")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("doc_a") < col("doc_b")))
       .filter(lit(minJaccard) * greatest(col("n_a"), col("n_b")) *
         lit(1 - 1e-12) <= least(col("n_a"), col("n_b")))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
@@ -510,8 +528,14 @@ object Dedup {
         max(col("pos_a")).as("mpa"), max(col("pos_b")).as("mpb"))
       .filter(col("alpha") + least(col("n_a") - col("mpa"),
         col("n_b") - col("mpb")) >= overlapNeeded)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-    (arrays, cand)
+    // downstream contract is id-ordered pairs; size order was only the
+    // index/probe role assignment — reorient, keeping each n with its doc
+    val swap = col("doc_a") > col("doc_b")
+    (arrays, cand.select(
+      when(swap, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
+      when(swap, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
+      when(swap, col("n_b")).otherwise(col("n_a")).as("n_a"),
+      when(swap, col("n_a")).otherwise(col("n_b")).as("n_b")))
   }
 
   /** End-to-end near-dedup: LSH candidate pairs → connected components →

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Envelope-hash near-duplicate detection for AUDIO — the acoustic
+  * sibling of [[Phash]]: real PCM-16 WAV decode
+  * ([[Multimodal.WavDecoder]], the q297-certified chunk walk) →
+  * 57-window integer energy envelope → 56-bit gradient hash (bit w set
+  * iff E(w+1) > E(w)) → the SAME banded Hamming LSH + exact popcount
+  * verify ([[Phash.nearDupPairs]] — the pair machinery is
+  * hash-agnostic by design).
+  *
+  * Why the energy-gradient sign: uniform GAIN (the re-encode/normalize
+  * transform crawled audio actually undergoes) scales every window
+  * energy by g², so all comparisons — and the hash — are bit-identical,
+  * while a localized edit (splice, dropout, ad insertion) moves only
+  * the windows it touches, flipping ≤ 2 comparison bits per edited
+  * window. Energies are exact Long sums of sample squares, so the hash
+  * replays symbolically in SQL (q304) with no float anywhere.
+  *
+  * Scale shape: decode + envelope is one narrow mapPartitions (the
+  * decoder streams; this holds one Long per window, never the PCM
+  * plane); pairing is the pigeonhole-complete bucket join — identical
+  * cost story to [[Phash]], proven equal to the brute-force quadratic
+  * scan by the q304 oracle.
+  */
+object AudioHash {
+
+  /** 57 windows → 56 gradient bits: matches [[Phash.HashBits]] so the
+    * band machinery divides evenly, and stays under bit 63 (sign). */
+  val Windows: Int = Phash.HashBits + 1 // 57
+
+  /** Decode PCM-16 WAVs and emit the 56-bit envelope hash. Clips
+    * shorter than [[Windows]] frames, or undecodable, surface as
+    * format=unknown with NULL hash (poison degrades to a row; NULL
+    * never lands in a Hamming bucket). Window of frame f is
+    * `f·Windows / nFrames` (floor) — proportional binning, replayable
+    * as integer division. All channels fold into the frame's window. */
+  def envelopeHash(df: DataFrame, idCol: String, binCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(Phash.hashSchema)
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val energies = new Array[Long](Windows)
+        var nFrames = 0
+        // pass 1 over the header is implicit: the sink sees frame
+        // indices in stream order, so the window split needs nFrames
+        // first — buffer per-frame energy, then fold into windows
+        val frameEnergy = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val ok = Multimodal.WavDecoder.decodeOne(bytes, (f, s) => {
+          while (frameEnergy.length <= f) frameEnergy += 0L
+          frameEnergy(f) += s.toLong * s
+        })
+        nFrames = frameEnergy.length
+        if (ok.isEmpty || nFrames < Windows)
+          Row(r.getLong(0), "unknown", null)
+        else {
+          var f = 0
+          while (f < nFrames) {
+            energies((f.toLong * Windows / nFrames).toInt) += frameEnergy(f)
+            f += 1
+          }
+          var hash = 0L
+          var w = 0
+          while (w < Windows - 1) {
+            if (energies(w + 1) > energies(w)) hash |= 1L << w
+            w += 1
+          }
+          Row(r.getLong(0), "wav", hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic near-dup WAV corpus for the q304 gate: base clip k
+    * (id 3k) is 570 mono frames at 8 kHz with sample
+    * s(t) = ((k·9973 + t·5501) mod 16001) − 8000 (|s| ≤ 8000, so the
+    * gain twin never clips); id 3k+1 is the SAME clip at gain ×2 —
+    * every window energy ×4 exactly, hash bit-identical; id 3k+2 is a
+    * one-window edit (+6000 on the 10 frames of window k mod 57 —
+    * flips at most the 2 comparisons touching that window). Integer
+    * arithmetic end to end: the q304 oracle replays samples → window
+    * energies → hash → brute-force Hamming symbolically, without
+    * touching WAV bytes. */
+  def syntheticNearDupClips(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 3L).as[Long]
+      .mapPartitions(_.map(i => (i, makeNearDupClip(i))))
+      .toDF("media_id", "content")
+  }
+
+  private[ops] def makeNearDupClip(i: Long): Array[Byte] = {
+    val k = (i / 3).toInt
+    val t = (i % 3).toInt
+    val frames = 10 * Windows // 570: window w = frame / 10 exactly
+    val editW = k % Windows
+    val samples = Array.tabulate(frames) { f =>
+      val base = ((k * 9973 + f * 5501) % 16001) - 8000
+      if (t == 1) base * 2
+      else if (t == 2 && f / 10 == editW) base + 6000
+      else base
+    }
+    Wav.writeWav(channels = 1, rate = 8000, samples)
+  }
+}

@@ -174,7 +174,12 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Long): String =
       new String(b.slice(o.toInt, o.toInt + 4), "US-ASCII")
 
-    private[ops] def decodeOne(b: Array[Byte]): Option[Seq[Double]] = {
+    /** `sampleSink`, when non-null, receives every decoded sample as
+      * (frameIndex, value) in stream order — the seam that lets
+      * envelope hashing ([[AudioHash]]) reuse this chunk walk without
+      * the decoder materializing the PCM plane itself. */
+    private[ops] def decodeOne(b: Array[Byte],
+        sampleSink: (Int, Int) => Unit = null): Option[Seq[Double]] = {
       val len = b.length.toLong
       if (len < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
       // chunk walk: id(4) + size(4) + payload (+1 pad byte if size odd)
@@ -208,6 +213,7 @@ object Multimodal {
         while (c < channels) {
           val o = dataOff + f * blockAlign + c * 2
           val s = (u16(b, o) << 16) >> 16 // sign-extend s16le
+          if (sampleSink != null) sampleSink(f.toInt, s)
           sumSq += s.toLong * s; sum += s
           val a = math.abs(s.toLong); if (a > peak) peak = a
           if (c == 0) {

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Perceptual-hash near-duplicate detection for IMAGES — the visual
+  * sibling of the text near-dedup family (`Dedup`): real PNG pixel
+  * decode ([[Png.decodeGrayPixels]], the same inflate + filter bank
+  * q293 certifies) → integer-exact box downsample
+  * ([[Imaging.resizeBox]], the q300 path) → 56-bit difference hash
+  * (dHash, Krawetz's gradient variant: bit (y·7+x) set iff
+  * g(y, x+1) > g(y, x) on the 8×8 grid) → banded Hamming LSH →
+  * exact `bit_count(xor)` verify.
+  *
+  * Why dHash: it hashes the SIGN of neighbor gradients, so any
+  * monotone per-pixel brightness shift (re-exposure, the most common
+  * benign image transform in crawled corpora) leaves the hash
+  * BIT-IDENTICAL, while a localized edit flips only the ≤ 2 bits whose
+  * comparisons touch the edited cells — Hamming distance is edit
+  * locality, which is what makes a small-radius ball the right
+  * near-dup predicate.
+  *
+  * Scale shape (the q156 story in Hamming space): decode+hash is one
+  * narrow mapPartitions (no shuffle); candidate generation explodes
+  * each hash into `bands` (band, value) keys and bucket-joins — by
+  * pigeonhole, Hamming ≤ maxHamming < bands forces SOME band to match
+  * exactly, so the bucket join is COMPLETE, never all-pairs; the exact
+  * verify is one row-local xor+popcount per candidate. The engine
+  * output equals brute force over the hash table (q303's oracle
+  * recomputes exactly that), proving the banding dropped nothing.
+  */
+object Phash {
+
+  /** dHash geometry: 8×8 grid, 7 comparisons × 8 rows = 56 bits —
+    * deliberately < 63 so the hash is a NON-NEGATIVE BIGINT in both
+    * engines (bit 63 would flip the sign and break the band-extraction
+    * shift/mask arithmetic the oracle replays). */
+  val GridDim = 8
+  val HashBits: Int = GridDim * (GridDim - 1) // 56
+
+  val hashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("hash", LongType)))
+
+  private[ops] def dhashOf(g: Array[Int]): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < GridDim) {
+      var gx = 0
+      while (gx < GridDim - 1) {
+        if (g(gy * GridDim + gx + 1) > g(gy * GridDim + gx))
+          hash |= 1L << (gy * (GridDim - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Decode grayscale PNGs and emit the 56-bit dHash over the
+    * stride-downsampled grid (the grid must come out 8×8: a
+    * 16×16 source with stride 2, 80×80 with stride 10, …).
+    * Undecodable/non-gray/wrong-geometry rows surface as
+    * format=unknown with NULL hash — a poison image degrades to a
+    * row, and NULL never lands in a Hamming bucket. One narrow
+    * mapPartitions; no shuffle. */
+  def dhash(df: DataFrame, idCol: String, binCol: String, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(stride >= 1)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(hashSchema)
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        Png.decodeGrayPixels(bytes) match {
+          case Some((w, h, px)) =>
+            val (rw, rh, g) = Imaging.resizeBox(px, w, h, stride)
+            if (rw == GridDim && rh == GridDim)
+              Row(r.getLong(0), "png", dhashOf(g))
+            else Row(r.getLong(0), "unknown", null)
+          case None => Row(r.getLong(0), "unknown", null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Banded-LSH near-duplicate pairs over a (media_id, hash) table:
+    * all pairs with Hamming(hash_a, hash_b) ≤ maxHamming, found
+    * through `bands` equal bit-slices. COMPLETE by pigeonhole
+    * (maxHamming < bands ⇒ ≤ maxHamming differing bits cannot touch
+    * every band ⇒ some band matches exactly), exact by the
+    * `bit_count(xor)` verify — so the result provably equals the
+    * brute-force quadratic scan without ever running one. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && bands > maxHamming,
+      "pigeonhole completeness needs bands > maxHamming")
+    require(HashBits % bands == 0, s"bands must divide $HashBits")
+    val width = HashBits / bands
+    val mask = (1L << width) - 1
+    val sliced = hashes
+      .filter(col("hash").isNotNull)
+      .select(col("media_id"), col("hash"),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("hash"), i * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bv")))
+    sliced.select(col("media_id").as("id_a"), col("hash").as("hash_a"),
+        col("band"), col("bv"))
+      .join(sliced.select(col("media_id").as("id_b"),
+        col("hash").as("hash_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair sharing k bands appears k times: the groupBy is the
+      // dedup AND carries the hashes, so verify runs once per pair
+      .groupBy(col("id_a"), col("id_b"), col("hash_a"), col("hash_b"))
+      .agg(count(lit(1)).as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic near-dup PNG corpus for the q303 gate: base image
+    * k is 16×16 grayscale with pixel (y,x) =
+    * ((k·37 + x·(7+2(k mod 5)) + y·(13+2(k mod 7))) mod 150) + 20 —
+    * per-k gradient slopes, so different bases hash far apart and the
+    * planted structure below dominates the output; id 3k+1 is the SAME image
+    * re-exposed (+8 brightness everywhere — never wraps, so its dHash
+    * is bit-identical); id 3k+2 is a one-block edit (+64 on the 2×2
+    * pixel block that downsamples to grid cell (k mod 8, 3k mod 8) —
+    * flips at most the 2 comparisons touching that cell). Row filters
+    * cycle y mod 5, so all five PNG filter paths sit under the hash
+    * path too. Plain integer arithmetic end to end — the q303 oracle
+    * replays pixels → grid → hash → brute-force Hamming symbolically,
+    * without a PNG library. */
+  def syntheticNearDupImages(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 3L).as[Long]
+      .mapPartitions(_.map(i => (i, makeNearDupImage(i))))
+      .toDF("media_id", "content")
+  }
+
+  private[ops] def makeNearDupImage(i: Long): Array[Byte] = {
+    val k = (i / 3).toInt
+    val t = (i % 3).toInt
+    val w = 16; val h = 16
+    val bx = k % 8; val by = (k * 3) % 8
+    val raw = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = (k * 37 + x * (7 + 2 * (k % 5)) + y * (13 + 2 * (k % 7))) % 150 + 20
+        if (t == 1) v += 8
+        if (t == 2 && x / 2 == bx && y / 2 == by) v += 64
+        raw(y * w + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.encode(w, h, 0, raw, y => y % 5, None)
+  }
+}

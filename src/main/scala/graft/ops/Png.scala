@@ -78,8 +78,12 @@ object Png {
   /** Full pixel decode → per-channel sums, or None for anything outside
     * the supported profile or malformed in any way (never throws: a
     * poison image in a 100 TB scan must degrade to a row, not kill the
-    * stage). */
-  private[ops] def decodeOne(b: Array[Byte]): Option[Decoded] = {
+    * stage). `rowSink`, when non-null, receives each reconstructed
+    * scanline (y, stream bytes — the buffer is REUSED, the sink must
+    * copy) so a caller can retain the pixel plane without this decoder
+    * holding more than two scanlines itself. */
+  private[ops] def decodeOne(b: Array[Byte],
+      rowSink: (Int, Array[Byte]) => Unit = null): Option[Decoded] = {
     if (b.length < 45 || !b.take(8).sameElements(Sig)) return None
     // ---- chunk walk: IHDR (must be first), PLTE, IDAT ranges, IEND.
     // Long positions + forced forward progress (len >= 0 checked, and
@@ -193,6 +197,7 @@ object Png {
             j += 1
           }
         }
+        if (rowSink != null) rowSink(y, cur)
         val t = prev; prev = cur; cur = t
         y += 1
       }
@@ -200,6 +205,22 @@ object Png {
     } catch {
       case _: DataFormatException => None // corrupt zlib stream
     } finally inf.end()
+  }
+
+  /** Grayscale (color type 0, depth 8) pixel-plane decode:
+    * (w, h, row-major pixels), or None for malformed streams or any
+    * non-grayscale color type (callers wanting luminance of color
+    * images should convert upstream — silently flattening RGB here
+    * would hide a semantic choice). Built on [[decodeOne]]'s row sink,
+    * so the inflate path, filter bank, and safety guards are the same
+    * code the round-trip gate (q293) certifies. */
+  private[ops] def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    decodeOne(b, (_, row) => rows += row.map(_ & 0xff)).flatMap { d =>
+      // channels==1 means ct 0: stream bytes ARE the gray plane
+      if (d.channels != 1) None
+      else Some((d.w, d.h, rows.toArray.flatten))
+    }
   }
 
   /** Deterministic PNG ENCODER — fixture/round-trip counterpart of the

@@ -18,11 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Wav {
 
-  private def makeWav(i: Long): Array[Byte] = {
-    val channels = 1 + (i % 2).toInt
-    val rate = 8000 * (1 + (i % 3).toInt)
-    val frames = 40 + (i % 23).toInt
-    val dataSize = frames * channels * 2
+  /** Canonical 44-byte-header PCM-16 container around interleaved
+    * samples — the write half every WAV fixture shares. */
+  private[ops] def writeWav(channels: Int, rate: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(samples.length % channels == 0)
+    val dataSize = samples.length * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataSize)
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
@@ -36,17 +37,27 @@ object Wav {
     w16(channels * 2)        // block align
     w16(16)                  // bits per sample
     tag("data"); w32(dataSize)
+    var j = 0
+    while (j < samples.length) { w16(samples(j) & 0xffff); j += 1 }
+    out.toByteArray
+  }
+
+  private def makeWav(i: Long): Array[Byte] = {
+    val channels = 1 + (i % 2).toInt
+    val rate = 8000 * (1 + (i % 3).toInt)
+    val frames = 40 + (i % 23).toInt
+    val samples = new Array[Int](frames * channels)
     var t = 0
     while (t < frames) {
       var c = 0
       while (c < channels) {
-        val v = (((i * 9973 + t * 5501 + c * 3251) % 65536) - 32768).toInt
-        w16(v & 0xffff)
+        samples(t * channels + c) =
+          (((i * 9973 + t * 5501 + c * 3251) % 65536) - 32768).toInt
         c += 1
       }
       t += 1
     }
-    out.toByteArray
+    writeWav(channels, rate, samples)
   }
 
   /** `n` deterministic clips as (media_id, content) — partition-parallel,

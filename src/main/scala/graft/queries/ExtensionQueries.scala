@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Png, Similarity, TextAnalysis, Wav}
+import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, TextAnalysis, Wav}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -1034,11 +1034,107 @@ object ExtensionQueries {
       FROM sums
       ORDER BY media_id"""))
 
+  /** IMAGE near-duplicate detection via perceptual hash
+    * (`ops/Phash`): real PNG pixel decode → 8×8 box downsample →
+    * 56-bit dHash → banded Hamming LSH → exact popcount verify, over
+    * a corpus with PLANTED duplicate structure (re-exposed twins whose
+    * dHash is bit-identical, one-block edits within Hamming 2). The
+    * oracle replays pixels → grid → hash symbolically and then runs
+    * the BRUTE-FORCE quadratic Hamming scan — equality proves the
+    * band join surfaced every pair the pigeonhole argument promises
+    * (the q156 completeness story, in Hamming space, through a real
+    * image decode). */
+  val q303PhashNearDup = OracleQuery("q303_phash_neardup",
+    "image near-dup via dHash + banded Hamming LSH == brute force, over real PNG decode",
+    (s, d) => {
+      val imgs = Phash.syntheticNearDupImages(s, 24)
+      val hashes = Phash.dhash(imgs, "media_id", "content", stride = 2)(s)
+      Phash.nearDupPairs(hashes, maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH px AS (
+        SELECT i.i, x.x, y.y,
+               ((i.i // 3) * 37 + x.x * (7 + 2 * ((i.i // 3) % 5))
+                 + y.y * (13 + 2 * ((i.i // 3) % 7))) % 150 + 20
+               + CASE WHEN i.i % 3 = 1 THEN 8 ELSE 0 END
+               + CASE WHEN i.i % 3 = 2
+                       AND x.x // 2 = (i.i // 3) % 8
+                       AND y.y // 2 = ((i.i // 3) * 3) % 8
+                 THEN 64 ELSE 0 END AS v
+        FROM generate_series(0, 71) i(i)
+        CROSS JOIN generate_series(0, 15) x(x)
+        CROSS JOIN generate_series(0, 15) y(y)),
+      g AS (
+        SELECT i, x // 2 AS gx, y // 2 AS gy,
+               CAST(SUM(v) // 4 AS BIGINT) AS gv
+        FROM px GROUP BY 1, 2, 3),
+      h AS (
+        SELECT a.i,
+               CAST(SUM(CASE WHEN b.gv > a.gv
+                 THEN 1::BIGINT << (a.gy * 7 + a.gx) ELSE 0 END)
+                 AS BIGINT) AS hv
+        FROM g a
+        JOIN g b ON a.i = b.i AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 7
+        GROUP BY 1)
+      SELECT a.i AS id_a, b.i AS id_b,
+             CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.i < b.i
+      WHERE bit_count(xor(a.hv, b.hv)) <= 3
+      ORDER BY id_a, id_b"""))
+
+  /** AUDIO near-duplicate detection via envelope hash
+    * (`ops/AudioHash`): real PCM-16 WAV decode → 57-window integer
+    * energy envelope → 56-bit gradient hash → the SAME banded Hamming
+    * machinery as q303 (`Phash.nearDupPairs` is hash-agnostic), over a
+    * corpus with planted gain-×2 twins (hash bit-identical — window
+    * energies scale by exactly 4) and one-window edits (≤ 2 bits).
+    * The oracle replays samples → energies → hash symbolically and
+    * brute-forces the quadratic Hamming scan — band-join completeness
+    * proven across a SECOND modality and decoder. */
+  val q304AudioNearDup = OracleQuery("q304_audio_neardup",
+    "audio near-dup via envelope hash + banded Hamming LSH == brute force, over real WAV decode",
+    (s, d) => {
+      val clips = AudioHash.syntheticNearDupClips(s, 24)
+      val hashes = AudioHash.envelopeHash(clips, "media_id", "content")(s)
+      Phash.nearDupPairs(hashes, maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH sv AS (
+        SELECT i.i, t.t, t.t // 10 AS w,
+               CASE WHEN i.i % 3 = 1
+                    THEN ((((i.i // 3) * 9973 + t.t * 5501) % 16001) - 8000) * 2
+                    WHEN i.i % 3 = 2 AND t.t // 10 = (i.i // 3) % 57
+                    THEN (((i.i // 3) * 9973 + t.t * 5501) % 16001) - 8000 + 6000
+                    ELSE (((i.i // 3) * 9973 + t.t * 5501) % 16001) - 8000
+               END AS v
+        FROM generate_series(0, 71) i(i)
+        CROSS JOIN generate_series(0, 569) t(t)),
+      e AS (
+        SELECT i, w, CAST(SUM(v * v) AS BIGINT) AS ew
+        FROM sv GROUP BY 1, 2),
+      h AS (
+        SELECT a.i,
+               CAST(SUM(CASE WHEN b.ew > a.ew
+                 THEN 1::BIGINT << a.w ELSE 0 END) AS BIGINT) AS hv
+        FROM e a
+        JOIN e b ON a.i = b.i AND b.w = a.w + 1
+        WHERE a.w < 56
+        GROUP BY 1)
+      SELECT a.i AS id_a, b.i AS id_b,
+             CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.i < b.i
+      WHERE bit_count(xor(a.hv, b.hv)) <= 3
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
     q60TokenCount, q61BinaryMeta, q148IncrementalLsh, q149SplitLeakage,
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
-    q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox)
+    q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
+    q303PhashNearDup, q304AudioNearDup)
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AudioHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("planted corpus: gain-x2 twin at Hamming 0, one-window edit within 2, bases far apart") {
+    implicit val s = spark
+    val clips = AudioHash.syntheticNearDupClips(spark, 8)
+    val hs = AudioHash.envelopeHash(clips, "media_id", "content")
+      .orderBy($"media_id")
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(hs.forall(_._2 == "wav"), "every fixture clip must decode")
+    val byId = hs.map(h => h._1 -> h._3.longValue()).toMap
+    (0 until 8).foreach { k =>
+      assert(hamming(byId(3L * k), byId(3L * k + 1)) == 0,
+        s"gain twin of base $k moved the envelope hash")
+      assert(hamming(byId(3L * k), byId(3L * k + 2)) <= 2,
+        s"one-window edit of base $k flipped more than 2 bits")
+    }
+    for (k1 <- 0 until 8; k2 <- 0 until 8 if k1 < k2)
+      assert(hamming(byId(3L * k1), byId(3L * k2)) > 3,
+        s"bases $k1/$k2 collided under Hamming 3")
+  }
+
+  test("nearDupPairs over envelope hashes equals the brute-force scan (machinery is hash-agnostic)") {
+    implicit val s = spark
+    val clips = AudioHash.syntheticNearDupClips(spark, 10)
+    val hashes = AudioHash.envelopeHash(clips, "media_id", "content")
+    val got = Phash.nearDupPairs(hashes, maxHamming = 3, bands = 4)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val hv = hashes.select($"media_id", $"hash").as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- hv; (b, hb) <- hv if a < b
+      d = hamming(ha, hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("poison rows degrade: truncated, too-short, and empty clips get NULL hash") {
+    implicit val s = spark
+    val good = AudioHash.makeNearDupClip(0L)
+    val tooShort = Wav.writeWav(1, 8000,
+      Array.tabulate(AudioHash.Windows - 1)(t => t * 13 % 5000))
+    val df = Seq((1L, good), (2L, good.take(50)), (3L, tooShort),
+      (4L, Array.empty[Byte])).toDF("media_id", "content")
+    val hs = AudioHash.envelopeHash(df, "media_id", "content")
+      .orderBy($"media_id")
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(hs.map(_._2).toSeq == Seq("wav", "unknown", "unknown", "unknown"))
+    assert(hs.count(_._3 == null) == 3)
+    assert(Phash.nearDupPairs(
+      AudioHash.envelopeHash(df, "media_id", "content")).count() == 0)
+  }
+
+  test("stereo clips fold both channels into the frame window") {
+    implicit val s = spark
+    // mono clip vs the SAME samples duplicated L/R: per-window energy
+    // doubles uniformly, so the gradient hash must be identical
+    val mono = Array.tabulate(570)(t => ((t * 5501 + 37) % 16001) - 8000)
+    val stereo = mono.flatMap(v => Array(v, v))
+    val df = Seq(
+      (1L, Wav.writeWav(1, 8000, mono)),
+      (2L, Wav.writeWav(2, 8000, stereo))).toDF("media_id", "content")
+    val hs = AudioHash.envelopeHash(df, "media_id", "content")
+      .orderBy($"media_id")
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(hs.forall(_._2 == "wav"))
+    assert(hs(0)._3 == hs(1)._3, "stereo fold changed the envelope hash")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PhashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("dhashOf: monotone brightness shift leaves the hash bit-identical") {
+    val g = Array.tabulate(64)(i => (i * 37 + (i / 8) * 11) % 200)
+    val brighter = g.map(_ + 40)
+    assert(Phash.dhashOf(g) == Phash.dhashOf(brighter))
+    // and the hash is non-negative (56 bits, sign bit untouched)
+    assert(Phash.dhashOf(g) >= 0L)
+  }
+
+  test("planted corpus: re-exposed twin at Hamming 0, one-block edit within 2, bases far apart") {
+    implicit val s = spark
+    val imgs = Phash.syntheticNearDupImages(spark, 8)
+    val hs = Phash.dhash(imgs, "media_id", "content", stride = 2)
+      .orderBy($"media_id")
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(hs.forall(_._2 == "png"), "every fixture image must decode")
+    val byId = hs.map(h => h._1 -> h._3.longValue()).toMap
+    (0 until 8).foreach { k =>
+      assert(hamming(byId(3L * k), byId(3L * k + 1)) == 0,
+        s"re-exposed twin of base $k moved the dHash")
+      assert(hamming(byId(3L * k), byId(3L * k + 2)) <= 2,
+        s"one-block edit of base $k flipped more than 2 bits")
+    }
+    // different bases are not near-dups of each other (slope diversity)
+    for (k1 <- 0 until 8; k2 <- 0 until 8 if k1 < k2)
+      assert(hamming(byId(3L * k1), byId(3L * k2)) > 3,
+        s"bases $k1/$k2 collided under Hamming 3")
+  }
+
+  test("nearDupPairs equals the brute-force quadratic scan (pigeonhole completeness)") {
+    implicit val s = spark
+    val imgs = Phash.syntheticNearDupImages(spark, 12)
+    val hashes = Phash.dhash(imgs, "media_id", "content", stride = 2)
+    val got = Phash.nearDupPairs(hashes, maxHamming = 3, bands = 4)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val hv = hashes.select($"media_id", $"hash")
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- hv; (b, hb) <- hv if a < b
+      d = hamming(ha, hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture planted no qualifying pairs")
+  }
+
+  test("poison rows degrade: undecodable and wrong-geometry images get NULL hash and never pair") {
+    implicit val s = spark
+    val good = Phash.makeNearDupImage(0L)
+    val truncated = good.take(40)
+    val rgb = Png.makeImage(1L) // color type 2 at i=1: non-gray
+    val df = Seq((1L, good), (2L, truncated), (3L, rgb),
+      (4L, Array.empty[Byte])).toDF("media_id", "content")
+    val hs = Phash.dhash(df, "media_id", "content", stride = 2)
+      .orderBy($"media_id")
+      .as[(Long, String, java.lang.Long)].collect()
+    assert(hs.map(_._2).toSeq == Seq("png", "unknown", "unknown", "unknown"))
+    assert(hs.count(_._3 == null) == 3)
+    assert(Phash.nearDupPairs(
+      Phash.dhash(df, "media_id", "content", stride = 2)).count() == 0)
+  }
+
+  test("banding contract: pigeonhole precondition is enforced") {
+    val empty = Seq.empty[(Long, Long)].toDF("media_id", "hash")
+    intercept[IllegalArgumentException] {
+      Phash.nearDupPairs(empty, maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Phash.nearDupPairs(empty, maxHamming = 2, bands = 5) // 56 % 5 != 0
+    }
+  }
+
+  test("decodeGrayPixels: roundtrip reproduces the fixture formula; color rejects") {
+    val i = 6L // k=2, t=0 base image
+    val Some((w, h, px)) = Png.decodeGrayPixels(Phash.makeNearDupImage(i))
+    assert(w == 16 && h == 16)
+    val k = 2
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = (k * 37 + x * (7 + 2 * (k % 5)) + y * (13 + 2 * (k % 7))) % 150 + 20
+      assert(px(y * 16 + x) == want, s"pixel ($x,$y)")
+    }
+    assert(Png.decodeGrayPixels(Png.makeImage(1L)).isEmpty) // RGB
+    assert(Png.decodeGrayPixels(Array.empty[Byte]).isEmpty)
+  }
+}

@@ -123,6 +123,51 @@ object Phash {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** INCREMENTAL Hamming near-dup: pairs for a NEW batch of hashes
+    * against an EXISTING persisted hash index — the production ingest
+    * path, mirroring [[Dedup.incrementalLshPairs]]. Emits new×old and
+    * new×new pairs; old×old never re-forms, so the historical corpus
+    * is never re-paired. Scale shape: only the new batch explodes into
+    * band slices twice (once per join side of the union); a day-sized
+    * batch against a 100 TB index broadcasts, and the index is probed
+    * in place. Accumulated over any batch split, the union with the
+    * initial batch's pairs equals the one-shot [[nearDupPairs]] over
+    * the whole corpus (PhashSpec pins it). */
+  def incrementalNearDupPairs(existingHashes: DataFrame,
+      newHashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && bands > maxHamming,
+      "pigeonhole completeness needs bands > maxHamming")
+    require(HashBits % bands == 0, s"bands must divide $HashBits")
+    val width = HashBits / bands
+    val mask = (1L << width) - 1
+    def sliced(df: DataFrame): DataFrame = df
+      .filter(col("hash").isNotNull)
+      .select(col("media_id"), col("hash"),
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("hash"), i * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bv")))
+    val nb = sliced(newHashes)
+    // new probes (old ∪ new); id order is normalized AFTER the join —
+    // an id_new < id_other filter on the union side would drop
+    // new×old pairs where the new id happens to be larger
+    val other = sliced(existingHashes).unionByName(nb)
+    nb.select(col("media_id").as("id_new"), col("hash").as("hash_new"),
+        col("band"), col("bv"))
+      .join(other.select(col("media_id").as("id_other"),
+        col("hash").as("hash_other"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id_new") =!= col("id_other"))
+      .select(least(col("id_new"), col("id_other")).as("id_a"),
+        greatest(col("id_new"), col("id_other")).as("id_b"),
+        bit_count(col("hash_new").bitwiseXOR(col("hash_other")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // one row per pair: collapses band multiplicity AND the double
+      // orientation of new×new pairs (hamming is symmetric)
+      .distinct()
+  }
+
   /** Deterministic near-dup PNG corpus for the q303 gate: base image
     * k is 16×16 grayscale with pixel (y,x) =
     * ((k·37 + x·(7+2(k mod 5)) + y·(13+2(k mod 7))) mod 150) + 20 —

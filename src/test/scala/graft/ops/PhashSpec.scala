@@ -71,6 +71,30 @@ class PhashSpec extends SparkTestBase {
       Phash.dhash(df, "media_id", "content", stride = 2)).count() == 0)
   }
 
+  test("incremental ingest: accumulated batch pairs equal the one-shot join") {
+    implicit val s = spark
+    val imgs = Phash.syntheticNearDupImages(spark, 12) // ids 0..35
+    val hashes = Phash.dhash(imgs, "media_id", "content", stride = 2).cache()
+    // batches arrive LARGEST ids first, so new×old pairs routinely have
+    // the new id on the small side — exercising the post-join
+    // normalization (a pre-join id filter would silently drop them)
+    val b1 = hashes.filter($"media_id" >= 24)
+    val b2 = hashes.filter($"media_id" >= 12 && $"media_id" < 24)
+    val b3 = hashes.filter($"media_id" < 12)
+    val accumulated =
+      Phash.nearDupPairs(b1).select($"id_a", $"id_b", $"hamming")
+        .unionByName(Phash.incrementalNearDupPairs(b1, b2))
+        .unionByName(Phash.incrementalNearDupPairs(
+          b1.unionByName(b2), b3))
+        .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Phash.nearDupPairs(hashes)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(accumulated == oneShot)
+    assert(oneShot.nonEmpty)
+    hashes.unpersist()
+  }
+
   test("banding contract: pigeonhole precondition is enforced") {
     val empty = Seq.empty[(Long, Long)].toDF("media_id", "hash")
     intercept[IllegalArgumentException] {

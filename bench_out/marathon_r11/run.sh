@@ -1,0 +1,16 @@
+#!/bin/bash
+# Round-6 final marathon: 3 official-format Bench runs on HEAD (08398e9,
+# post materialize-split + PPJoin filter + sublinear shortlists), 180s
+# cooldown between runs so loadavg_before reflects ambient load.
+cd /tmp/benchrepo3
+for i in 1 2 3; do
+  echo "=== BENCH RUN $i start $(date +%T) load=$(cat /proc/loadavg)" >> /tmp/marathon_r6c/marathon.log
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" \
+    > /tmp/marathon_r6c/run$i.stdout 2> /tmp/marathon_r6c/run$i.stderr
+  rc=$?
+  echo "=== BENCH RUN $i end $(date +%T) rc=$rc" >> /tmp/marathon_r6c/marathon.log
+  grep '"metric"' /tmp/marathon_r6c/run$i.stdout | head -1 > /tmp/marathon_r6c/run$i.full.json
+  if [ $i -lt 3 ]; then sleep 180; fi
+done
+echo MARATHON_DONE >> /tmp/marathon_r6c/marathon.log

@@ -42,25 +42,12 @@ object CandDiag {
     val nPairs = pairs.count()
     // pre-aggregation join volume, symmetric (probe×probe) vs
     // asymmetric (index×probe): the shuffle-side quantity the indexing
-    // prefix shrinks, weighed against the candidate counts above
+    // prefix shrinks, weighed against the candidate counts above —
+    // measured over the OPERATOR'S OWN frames (Dedup.prefixIndexFrames),
+    // so this census cannot drift from what the engine actually joins
     val tau = 0.5
-    import org.apache.spark.sql.expressions.Window
-    val arrays = aug
-      .select(col("doc_id").as("doc"),
-        graft.ops.TextAnalysis.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= graft.ops.Dedup.ShingleN)
-      .withColumn("arr", array_distinct(graft.ops.Dedup.shingles(col("ws"))))
-      .select(col("doc"), size(col("arr")).cast("long").as("n"),
-        explode(col("arr")).as("sh"))
-    val freq = arrays.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = arrays.join(freq, "sh")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
-      .filter(col("pos") <=
-        col("n") - ceil(lit(tau) * col("n") * lit(1 - 1e-12)) + 1)
-      .select(col("doc"), col("sh"), col("n"), col("pos")).cache()
-    val idx = prefix.filter(col("pos") <=
-      col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n") * lit(1 - 1e-12)) + 1)
+    val (_, prefix, idx) = graft.ops.Dedup.prefixIndexFrames(
+      aug, "doc_id", "text", tau)
     def joinRows(left: org.apache.spark.sql.DataFrame,
         sizeOrder: Boolean): Long = {
       val j = left.select(col("doc").as("doc_a"), col("sh"),
@@ -78,7 +65,6 @@ object CandDiag {
     }
     val symRows = joinRows(prefix, sizeOrder = false)
     val asymRows = joinRows(idx, sizeOrder = true)
-    prefix.unpersist()
     println(s"""{"candidates":$nCand,"pairs":$nPairs,""" +
       s""""overgen":${nCand.toDouble / math.max(nPairs, 1)},""" +
       s""""join_rows_sym":$symRows,"join_rows_asym":$asymRows,""" +

@@ -114,7 +114,6 @@ object ScaleBench {
       println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec}""")
     }
 
-    val embOps = Seq("semantic_dedup", "axis_lsh_neardup")
     ms.foreach { m =>
       val docPath = s"$work/docs_m$m"
       val embPath = s"$work/emb_m$m"
@@ -122,7 +121,8 @@ object ScaleBench {
       val docs = spark.read.parquet(docPath)
       val nDocs = docs.count()
       // the embedding corpus is only materialized when an embedding op
-      // is selected (the quick gate isn't — skip the write entirely)
+      // actually runs (lazily, on first touch) — since pq_adc joined
+      // the quick gate (round 6), the quick path pays this write too
       lazy val emb = {
         scaledEmb(m).repartition(cpus.toInt).write.mode("overwrite").parquet(embPath)
         spark.read.parquet(embPath)

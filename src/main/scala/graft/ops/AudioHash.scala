@@ -46,25 +46,21 @@ object AudioHash {
       rows.map { r =>
         val bytes =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        // O(Windows) state: the decoder's sink factory hands nFrames
+        // over BEFORE the sample loop, so frames bin into windows on
+        // the fly — no per-frame buffer, no PCM plane, whatever the
+        // clip length
         val energies = new Array[Long](Windows)
-        var nFrames = 0
-        // pass 1 over the header is implicit: the sink sees frame
-        // indices in stream order, so the window split needs nFrames
-        // first — buffer per-frame energy, then fold into windows
-        val frameEnergy = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val ok = Multimodal.WavDecoder.decodeOne(bytes, (f, s) => {
-          while (frameEnergy.length <= f) frameEnergy += 0L
-          frameEnergy(f) += s.toLong * s
+        var nFrames = 0L
+        val ok = Multimodal.WavDecoder.decodeOne(bytes, (nf, _) => {
+          nFrames = nf
+          if (nf >= Windows) { (f, s) =>
+            energies((f.toLong * Windows / nFrames).toInt) += s.toLong * s
+          } else (_, _) => () // too short to hash: drain and reject below
         })
-        nFrames = frameEnergy.length
         if (ok.isEmpty || nFrames < Windows)
           Row(r.getLong(0), "unknown", null)
         else {
-          var f = 0
-          while (f < nFrames) {
-            energies((f.toLong * Windows / nFrames).toInt) += frameEnergy(f)
-            f += 1
-          }
           var hash = 0L
           var w = 0
           while (w < Windows - 1) {

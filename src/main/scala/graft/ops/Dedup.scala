@@ -440,6 +440,18 @@ object Dedup {
     * spec-pinned without running the verify join. */
   private[graft] def prefixJaccardCandidates(docs: DataFrame, idCol: String,
       textCol: String, minJaccard: Double): (DataFrame, DataFrame) = {
+    val (arrays, prefix, idxPrefix) =
+      prefixIndexFrames(docs, idCol, textCol, minJaccard)
+    (arrays, positionalFilteredPairs(prefix, idxPrefix, minJaccard))
+  }
+
+  /** The shingle-array, probing-prefix, and indexing-prefix frames of
+    * the PPJoin cascade — exposed `private[graft]` so diagnostics
+    * (`graft.CandDiag`'s join-volume census) measure the SAME frames
+    * the operator joins, not a hand-kept replica that could drift. */
+  private[graft] def prefixIndexFrames(docs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minJaccard > 0 && minJaccard <= 1, "need 0 < minJaccard <= 1")
     // the distinct shingle SET stays an ARRAY per doc: set-dedup is
     // row-local (array_distinct — no corpus-wide DISTINCT shuffle) and
@@ -497,9 +509,6 @@ object Dedup {
     // Exactness: the bound is a true upper bound on overlap, so every
     // rejected pair is provably below τ; the brute-force oracle twin
     // (q156/q222) certifies no false negatives.
-    val overlapNeeded =
-      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) *
-        lit(1 - 1e-12)
     // ASYMMETRIC INDEXING PREFIX (PPJoin, TODS 2011 §3.2): orient each
     // pair by (n, doc) — the SMALLER record is the index side. For
     // n_a ≤ n_b, J ≥ τ forces overlap ≥ 2τ/(1+τ)·n_a, so the index
@@ -509,12 +518,24 @@ object Dedup {
     // shuffle. Exactness: both prefixes are ⊇ their symmetric-O
     // prefixes (O ≥ max(2τ/(1+τ)·n_a, τ·n_b)), so the
     // common-token-in-prefix lemma still applies; the α-aggregate
-    // bound below is positional and independent of prefix lengths
-    // (every common token ordered before the last counted one is in
-    // both prefixes — positions follow the global order).
+    // bound in [[positionalFilteredPairs]] is positional and
+    // independent of prefix lengths (every common token ordered
+    // before the last counted one is in both prefixes — positions
+    // follow the global order).
     val idxPrefix = prefix.filter(col("pos") <=
       col("n") - ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("n") *
         lit(1 - 1e-12)) + 1)
+    (arrays, prefix, idxPrefix)
+  }
+
+  /** The index×probe prefix join + size-ratio + α-aggregate positional
+    * filters over [[prefixIndexFrames]]'s output, reoriented to the
+    * id-ordered pair contract. */
+  private def positionalFilteredPairs(prefix: DataFrame,
+      idxPrefix: DataFrame, minJaccard: Double): DataFrame = {
+    val overlapNeeded =
+      lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) *
+        lit(1 - 1e-12)
     val cand = idxPrefix.select(col("doc").as("doc_a"), col("sh"),
         col("n").as("n_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("doc").as("doc_b"), col("sh"),
@@ -531,11 +552,11 @@ object Dedup {
     // downstream contract is id-ordered pairs; size order was only the
     // index/probe role assignment — reorient, keeping each n with its doc
     val swap = col("doc_a") > col("doc_b")
-    (arrays, cand.select(
+    cand.select(
       when(swap, col("doc_b")).otherwise(col("doc_a")).as("doc_a"),
       when(swap, col("doc_a")).otherwise(col("doc_b")).as("doc_b"),
       when(swap, col("n_b")).otherwise(col("n_a")).as("n_a"),
-      when(swap, col("n_a")).otherwise(col("n_b")).as("n_b")))
+      when(swap, col("n_a")).otherwise(col("n_b")).as("n_b"))
   }
 
   /** End-to-end near-dedup: LSH candidate pairs → connected components →

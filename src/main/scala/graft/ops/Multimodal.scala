@@ -174,12 +174,16 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Long): String =
       new String(b.slice(o.toInt, o.toInt + 4), "US-ASCII")
 
-    /** `sampleSink`, when non-null, receives every decoded sample as
+    /** `sampleSinkFor`, when non-null, is called ONCE with
+      * (nFrames, channels) after the header walk and returns the
+      * per-sample sink, which then receives every decoded sample as
       * (frameIndex, value) in stream order — the seam that lets
-      * envelope hashing ([[AudioHash]]) reuse this chunk walk without
-      * the decoder materializing the PCM plane itself. */
+      * envelope hashing ([[AudioHash]]) reuse this chunk walk with
+      * O(windows) state: knowing nFrames up front, the sink bins
+      * frames on the fly instead of buffering a per-frame plane. */
     private[ops] def decodeOne(b: Array[Byte],
-        sampleSink: (Int, Int) => Unit = null): Option[Seq[Double]] = {
+        sampleSinkFor: (Long, Int) => (Int, Int) => Unit = null)
+        : Option[Seq[Double]] = {
       val len = b.length.toLong
       if (len < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
       // chunk walk: id(4) + size(4) + payload (+1 pad byte if size odd)
@@ -205,6 +209,8 @@ object Multimodal {
       val nFrames = dataSize / blockAlign
       if (nFrames == 0) return Some(Seq(channels.toDouble,
         sampleRate.toDouble, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      val sampleSink =
+        if (sampleSinkFor != null) sampleSinkFor(nFrames, channels) else null
       var sumSq = 0L; var sum = 0L; var peak = 0L; var zc = 0L
       var prevSign = 0 // sign of the previous first-channel sample
       var f = 0L

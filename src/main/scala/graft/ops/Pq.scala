@@ -126,14 +126,23 @@ object Pq {
     }.toSeq: _*)
   }
 
-  /** ADC distance from the prebuilt table: pn2 + Σ_j tab[j·ksub +
+  /** ADC distance from the prebuilt table: pn2 + Σ_j tab[j·stride +
     * codes_j] — the same addends in the same fold order as [[adcDist]]
-    * (PqSpec pins the bit-equality), evaluated with lookups only. */
+    * (PqSpec pins the bit-equality), evaluated with lookups only.
+    * The stride is the ACTUAL per-subspace centroid count from the
+    * codebooks, NOT the requested ksub: `trainCodebooks` seeds from
+    * `limit(ksub)`, so a corpus with fewer than ksub rows yields short
+    * codebooks, and a fixed-ksub stride would read the wrong
+    * subspace's entries (or past the array) for every j ≥ 1. */
   def adcDistFromTable(pn2: Column, tab: Column, codes: Column,
-      m: Int, ksub: Int): Column =
-    pn2 + (0 until m).map(j =>
-      element_at(tab, lit(j * ksub) + element_at(codes, j + 1) + 1))
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val stride = codebooks(0).length
+    require(codebooks.forall(_.length == stride),
+      "adcTable layout needs a uniform per-subspace centroid count")
+    pn2 + codebooks.indices.map(j =>
+      element_at(tab, lit(j * stride) + element_at(codes, j + 1) + 1))
       .reduce(_ + _)
+  }
 
   /** ADC top-k: corpus encoded to PQ codes, probes full-precision,
     * per-probe rank on the ADC distance (ties broken by id — double
@@ -153,7 +162,7 @@ object Pq {
     codes.join(probes, col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         adcDistFromTable(col("pn2"), col("adctab"), col("codes"),
-          m, ksub).as("adc"))
+          codebooks).as("adc"))
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("neighbor_id"))))
@@ -244,7 +253,7 @@ object IvfPq {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         Pq.adcDistFromTable(col("pn2"), col("adctab"), col("codes"),
-          m, ksub).as("adc"))
+          codebooks).as("adc"))
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("neighbor_id"))))

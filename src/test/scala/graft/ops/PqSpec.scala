@@ -64,7 +64,7 @@ class PqSpec extends SparkTestBase {
         Pq.adcDistFromTable(
           Similarity.norm2(array(probe.map(lit): _*)),
           Pq.adcTable(array(probe.map(lit): _*), cb),
-          Pq.encode(col("vd"), cb), 2, 4).as("table"))
+          Pq.encode(col("vd"), cb), cb).as("table"))
       .as[(Double, Double)].collect()
     assert(both.forall { case (d, t) => d == t },
       "table ADC diverged bit-wise from direct ADC")
@@ -107,6 +107,34 @@ class PqSpec extends SparkTestBase {
       assert(rerank.intersect(exact).size >= 9,
         s"probe $p rerank recall ${rerank.intersect(exact).size}/10")
     }
+    df.unpersist()
+  }
+
+  test("short codebooks: corpus smaller than ksub keeps the table stride consistent") {
+    // trainCodebooks seeds from limit(ksub), so an 8-row corpus with
+    // ksub=16 yields 8-centroid codebooks — the ADC table is laid out
+    // with stride 8 and the read side must use the SAME stride (the
+    // round-6 review found a fixed-ksub stride reading the wrong
+    // subspace's entries for every j >= 1 here)
+    val df = corpus(8).cache()
+    val cb = Pq.trainCodebooks(df, "vec_id", dim = 8, m = 2, ksub = 16)
+    assert(cb.forall(_.length < 16), "fixture must actually under-fill")
+    val probe = Array.tabulate(8)(d => d * 0.5 + 0.25)
+    val both = df.select(
+        Pq.adcDist(array(probe.map(lit): _*),
+          Pq.encode(col("vd"), cb), cb).as("direct"),
+        Pq.adcDistFromTable(
+          Similarity.norm2(array(probe.map(lit): _*)),
+          Pq.adcTable(array(probe.map(lit): _*), cb),
+          Pq.encode(col("vd"), cb), cb).as("table"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (d, t) => d == t },
+      "short-codebook table ADC diverged from direct ADC")
+    // and the end-to-end path survives a sub-ksub corpus
+    val topk = Pq.adcTopK(df, df.filter(col("vec_id") < 2), "vec_id",
+      k = 3, m = 2, ksub = 16, iters = 2)
+    assert(topk.count() == 6) // 2 probes x top-3
     df.unpersist()
   }
 

@@ -31,9 +31,13 @@ def medians(path):
         # attribute a stall to the wrong run (round-4 advice)
         runs = [float(x) for x in m.group(2).split(",")]
         # a later matching line for the same query supersedes the
-        # earlier one entirely — clear any stale failure count so a
-        # clean re-run isn't still reported as failed (round-5 advice)
-        failed.pop(m.group(1), None)
+        # earlier one ENTIRELY — clear the stale failure count AND the
+        # stale median/raw/cores, so neither direction survives: a
+        # clean re-run isn't still reported as failed, and an all-failed
+        # re-run doesn't keep reporting the superseded line's median
+        # (round-5/round-6 advice)
+        for d in (failed, out, raw, cores):
+            d.pop(m.group(1), None)
         # -1.0 is Bench's failed-run sentinel: it must not drag the
         # median down — compute the median over successes only, and
         # surface the failure instead (round-4 advice)

@@ -38,7 +38,9 @@ object ScaleBench {
     "components", "pagerank", "triangles", "weighted_paths",
     // round-6: pins the O(√N) ADC shortlist — its out_rows slope at
     // m=1→4 must sit near √4 = 2, not 4
-    "pq_adc")
+    "pq_adc",
+    // round-6: the banded-Hamming image near-dup (decode+hash+pair)
+    "phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -222,6 +224,15 @@ object ScaleBench {
       }
       timeOp("strip_spans", m, nDocs) {
         Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 8, 2)
+      }
+      timeOp("phash_neardup", m, 2400L * m) {
+        // round-6 flagship: decode+hash is a narrow mapPartitions,
+        // pairing a 14-bit-bucketed band join — the slope must stay
+        // near-linear in images (bucket fan-out bounded, no all-pairs;
+        // the scale fixture's planted pairs grow linearly by design)
+        val imgs = graft.ops.Phash.syntheticScaleImages(spark, 1200 * m)
+        graft.ops.Phash.nearDupPairs(
+          graft.ops.Phash.dhash(imgs, "media_id", "content", 2)(spark))
       }
       timeOp("pq_adc", m, nEmb) {
         // sublinear-shortlist evidence (round-6 verdict ask #3):

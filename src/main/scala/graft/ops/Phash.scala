@@ -188,6 +188,36 @@ object Phash {
       .toDF("media_id", "content")
   }
 
+  /** Scale-corpus generator (ScaleBench): n bases × (base + re-exposed
+    * twin). The pattern space (23·19·11 slope classes × 199 offsets ≈
+    * 10⁶) dwarfs any tested corpus, so cross-base accidents stay rare
+    * and the pair count grows LINEARLY with n — one planted Hamming-0
+    * pair per base. (q303's 24-base fixture deliberately has a SMALL
+    * pattern space for oracle replay; at thousands of bases it
+    * saturates and pairs grow quadratically, which would measure the
+    * fixture, not the join.) */
+  def syntheticScaleImages(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 2L).as[Long].mapPartitions(_.map { i =>
+      val k = (i / 2).toInt
+      val t = (i % 2).toInt
+      val raw = new Array[Byte](256)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          var v = (k * 7919 + x * (5 + k % 23) + y * (11 + k % 19) +
+            x * y * (1 + k % 11)) % 199 + 20
+          if (t == 1) v += 8 // re-exposed twin: never wraps (v ≤ 226)
+          raw(y * 16 + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (i, Png.encode(16, 16, 0, raw, y => y % 5, None))
+    }).toDF("media_id", "content")
+  }
+
   private[ops] def makeNearDupImage(i: Long): Array[Byte] = {
     val k = (i / 3).toInt
     val t = (i % 3).toInt

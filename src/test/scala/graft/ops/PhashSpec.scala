@@ -95,6 +95,19 @@ class PhashSpec extends SparkTestBase {
     hashes.unpersist()
   }
 
+  test("scale fixture: every base's re-exposed twin is a planted Hamming-0 pair") {
+    implicit val s = spark
+    val imgs = Phash.syntheticScaleImages(spark, 40)
+    val byId = Phash.dhash(imgs, "media_id", "content", stride = 2)
+      .as[(Long, String, java.lang.Long)].collect()
+      .map(h => h._1 -> h._3).toMap
+    assert(byId.values.forall(_ != null), "every scale image must decode")
+    (0 until 40).foreach { k =>
+      assert(byId(2L * k).longValue() == byId(2L * k + 1).longValue(),
+        s"twin of base $k moved the dHash")
+    }
+  }
+
   test("banding contract: pigeonhole precondition is enforced") {
     val empty = Seq.empty[(Long, Long)].toDF("media_id", "hash")
     intercept[IllegalArgumentException] {

@@ -16,6 +16,30 @@ object Bench {
   def isContended(ambientLoad: Double): Boolean =
     ambientLoad > ContendedLoadThreshold
 
+  /** Quiet-gate (round-6 verdict ask #1): two consecutive official
+    * records self-flagged contended:true (loadavg 2.49 → 4.69) and
+    * manufactured phantom regressions (q163 13.3 s official vs 3.7 s
+    * quiet). Bench controls its own start time, so it WAITS for the
+    * machine: poll the 1-min loadavg every pollMillis, start as soon as
+    * it drops below [[ContendedLoadThreshold]], give up after
+    * maxWaitMillis (a bench taken late beats no bench). Returns
+    * (waitedSeconds, loadavgAtStart) — both stamped into the JSON so
+    * the record documents what it inherited. Pure polling against the
+    * injected probe; the unit spec drives it with a scripted loadavg
+    * series and a virtual clock. */
+  def awaitQuiet(loadavg: () => Double, sleep: Long => Unit,
+      maxWaitMillis: Long, pollMillis: Long): (Double, Double) = {
+    var waited = 0L
+    var load = loadavg()
+    while (isContended(load) && waited < maxWaitMillis) {
+      val step = math.min(pollMillis, maxWaitMillis - waited)
+      sleep(step)
+      waited += step
+      load = loadavg()
+    }
+    (waited / 1e3, load)
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -39,7 +63,20 @@ object Bench {
     // the median of 3 back-to-back runs discards one-off stalls
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadBefore = os.getSystemLoadAverage
+    // quiet-gate BEFORE the session exists (loadavg is pure ambient
+    // here): wait up to SPARK_GRAFT_QUIET_WAIT_S (default 600 s) for the
+    // 1-min loadavg to fall under the certification threshold, polling
+    // every 15 s. loadBefore is the loadavg the run ACTUALLY started
+    // at — the contended flag keeps its meaning; waited_s records the
+    // gate's cost.
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
+    val (waitedS, loadBefore) = awaitQuiet(
+      () => os.getSystemLoadAverage,
+      ms => { System.err.println(
+        f"[bench] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f > " +
+          f"$ContendedLoadThreshold%.1f, waiting ${ms / 1e3}%.0f s")
+        Thread.sleep(ms) },
+      maxWaitS * 1000L, 15000L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -129,7 +166,7 @@ object Bench {
     val loadAfter = os.getSystemLoadAverage
     val contended = isContended(loadBefore)
     def line(queries: String, cpu: String, spr: String, note: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"cpus":$cpus$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpus":$cpus$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
     val full = line(qs, qsCpu, qsSpread, "")
     println(full)
     // The driver keeps only the LAST ~2000 chars of stdout and tries to

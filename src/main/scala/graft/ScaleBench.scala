@@ -25,14 +25,14 @@ import graft.ops.{Associations, Components, Contamination, Curation, Dedup,
   * per (op, m): {"op":…,"m":…,"in_rows":…,"out_rows":…,"sec":…}
   *
   * `--quick` is the CI-able regression mode (judge round-3 ask #6):
-  * m ∈ {1,4}, only the six heaviest operators, finishes well under
+  * m ∈ {1,4}, only the eight heaviest operators, finishes well under
   * 10 min on a quiet 32-thread box, and records the slope table to
   * `SCALE_QUICK.json` so the next round can DIFF scale behavior the
   * same way CORRECTNESS diffs answers.
   */
 object ScaleBench {
 
-  /** The six cost centers the plan audit names — the quick gate's
+  /** The eight cost centers the plan audit names — the quick gate's
     * coverage set. */
   val QuickOps: Set[String] = Set("minhash_lsh", "prefix_jaccard_join",
     "components", "pagerank", "triangles", "weighted_paths",

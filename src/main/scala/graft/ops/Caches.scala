@@ -76,12 +76,14 @@ object Caches {
         // frame that was never cache()d and would release nothing.
         // Best-effort: toRdd is only guaranteed to BE the materialized
         // RDD under the current contract this branch exists to guard,
-        // so also say so loudly for a human to re-adjudicate.
+        // so ALSO retain the DataFrame handle (either release path can
+        // then fire) and say so loudly for a human to re-adjudicate.
         System.err.println(
           "[caches] localCheckpoint did not analyze to LogicalRDD (" +
             other.getClass.getName +
-            "); falling back to execution-RDD unpersist tracking")
+            "); falling back to execution-RDD + DataFrame unpersist tracking")
         checkpointed.add(out.queryExecution.toRdd)
+        cached.add(out)
     }
     out
   }

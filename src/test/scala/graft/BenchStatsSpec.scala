@@ -34,4 +34,43 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
   }
+
+  // --- quiet-gate (round-6 verdict ask #1): scripted loadavg series +
+  // virtual clock; no real sleeping ---
+
+  /** Drives awaitQuiet with a pre-scripted loadavg sequence (last value
+    * repeats) and records virtual sleep time. */
+  private def drive(series: Seq[Double], maxWaitMs: Long,
+      pollMs: Long = 15000L): (Double, Double, Long) = {
+    var i = -1
+    var slept = 0L
+    val (waited, load) = Bench.awaitQuiet(
+      () => { i += 1; series(math.min(i, series.size - 1)) },
+      ms => slept += ms, maxWaitMs, pollMs)
+    (waited, load, slept)
+  }
+
+  test("quiet-gate starts immediately on a quiet machine") {
+    val (waited, load, slept) = drive(Seq(0.4), maxWaitMs = 600000L)
+    assert(waited === 0.0)
+    assert(load === 0.4)
+    assert(slept === 0L)
+  }
+
+  test("quiet-gate waits out a contended spell and starts at the quiet probe") {
+    // 3 contended probes, then quiet: 3 polls of 15 s
+    val (waited, load, slept) =
+      drive(Seq(4.7, 2.1, 1.4, 0.8), maxWaitMs = 600000L)
+    assert(waited === 45.0)
+    assert(load === 0.8)
+    assert(slept === 45000L)
+  }
+
+  test("quiet-gate gives up at the hard cap and reports the contended load") {
+    // never quiets: must stop at exactly maxWait, last partial poll clipped
+    val (waited, load, _) = drive(Seq(5.0), maxWaitMs = 40000L)
+    assert(waited === 40.0)
+    assert(load === 5.0)
+    assert(Bench.isContended(load)) // record still self-flags honestly
+  }
 }

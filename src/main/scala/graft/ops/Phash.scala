@@ -93,9 +93,18 @@ object Phash {
     * (maxHamming < bands ⇒ ≤ maxHamming differing bits cannot touch
     * every band ⇒ some band matches exactly), exact by the
     * `bit_count(xor)` verify — so the result provably equals the
-    * brute-force quadratic scan without ever running one. */
+    * brute-force quadratic scan without ever running one.
+    *
+    * `carry` names extra key columns riding along with each hash row
+    * (e.g. `frame_no` when the rows are VIDEO FRAMES and media_id is
+    * the clip): they join nothing, but are kept per side as
+    * `<c>_a`/`<c>_b` so the caller can align pairs afterwards — the
+    * video near-dup path ([[VideoHash.nearDupVideos]]) runs through
+    * THIS joiner, not a copy. The pairing unit stays
+    * (media_id, carry…): rows of the SAME media never pair (id_a <
+    * id_b), so within-clip frame repeats cost nothing. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, carry: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && bands > maxHamming,
       "pigeonhole completeness needs bands > maxHamming")
     require(HashBits % bands == 0, s"bands must divide $HashBits")
@@ -103,23 +112,26 @@ object Phash {
     val mask = (1L << width) - 1
     val sliced = hashes
       .filter(col("hash").isNotNull)
-      .select(col("media_id"), col("hash"),
+      .select(col("media_id") +: col("hash") +: carry.map(col) :+
         posexplode(array((0 until bands).map(i =>
           shiftright(col("hash"), i * width).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "bv")))
-    sliced.select(col("media_id").as("id_a"), col("hash").as("hash_a"),
-        col("band"), col("bv"))
-      .join(sliced.select(col("media_id").as("id_b"),
-        col("hash").as("hash_b"), col("band"), col("bv")),
-        Seq("band", "bv"))
+          .as(Seq("band", "bv")): _*)
+    def side(s: String) = sliced.select(
+      col("media_id").as(s"id_$s") +: col("hash").as(s"hash_$s") +:
+        carry.map(c => col(c).as(s"${c}_$s")) :+
+        col("band") :+ col("bv"): _*)
+    val carried = carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    side("a")
+      .join(side("b"), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       // a pair sharing k bands appears k times: the groupBy is the
       // dedup AND carries the hashes, so verify runs once per pair
-      .groupBy(col("id_a"), col("id_b"), col("hash_a"), col("hash_b"))
+      .groupBy(col("id_a") +: col("id_b") +: col("hash_a") +:
+        col("hash_b") +: carried: _*)
       .agg(count(lit(1)).as("_nb"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a") +: col("id_b") +: carried :+
         bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long")
-          .as("hamming"))
+          .as("hamming"): _*)
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -129,13 +141,16 @@ object Phash {
     * new×new pairs; old×old never re-forms, so the historical corpus
     * is never re-paired. Scale shape: only the new batch explodes into
     * band slices twice (once per join side of the union); a day-sized
-    * batch against a 100 TB index broadcasts, and the index is probed
-    * in place. Accumulated over any batch split, the union with the
-    * initial batch's pairs equals the one-shot [[nearDupPairs]] over
-    * the whole corpus (PhashSpec pins it). */
+    * batch against a 100 TB index SHOULD broadcast so the index is
+    * probed in place — pass broadcastNew=true when the batch is known
+    * small (the streaming store does), otherwise the planner picks by
+    * its size estimate of the sliced/exploded frame, which can fall
+    * back to a shuffle join. Accumulated over any batch split, the
+    * union with the initial batch's pairs equals the one-shot
+    * [[nearDupPairs]] over the whole corpus (PhashSpec pins it). */
   def incrementalNearDupPairs(existingHashes: DataFrame,
       newHashes: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, broadcastNew: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && bands > maxHamming,
       "pigeonhole completeness needs bands > maxHamming")
     require(HashBits % bands == 0, s"bands must divide $HashBits")
@@ -152,8 +167,12 @@ object Phash {
     // an id_new < id_other filter on the union side would drop
     // new×old pairs where the new id happens to be larger
     val other = sliced(existingHashes).unionByName(nb)
-    nb.select(col("media_id").as("id_new"), col("hash").as("hash_new"),
-        col("band"), col("bv"))
+    val probe0 = nb.select(col("media_id").as("id_new"),
+      col("hash").as("hash_new"), col("band"), col("bv"))
+    // the new batch is the small side: force the hash join to stream
+    // the (100 TB-scale) index and replicate only the batch's slices
+    val probe = if (broadcastNew) broadcast(probe0) else probe0
+    probe
       .join(other.select(col("media_id").as("id_other"),
         col("hash").as("hash_other"), col("band"), col("bv")),
         Seq("band", "bv"))

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** VIDEO near-duplicate detection — the composition of the two proven
+  * halves, closing the last cell of the modality matrix (text `Dedup`,
+  * image `Phash`, audio `AudioHash`): [[Mjpeg.sampleFrames]]'s exact
+  * MJPEG marker walk samples every k-th frame, each sampled frame runs
+  * the q303 image path (real JPEG gray decode → integer box downsample
+  * → 56-bit dHash), and the per-FRAME hashes go through the SAME
+  * banded-Hamming joiner ([[Phash.nearDupPairs]], `carry = frame_no`).
+  * Two clips are near-dups when, at their best temporal ALIGNMENT
+  * (constant frame offset — what trimming/padding produces), a large
+  * fraction of sampled frames match within the Hamming radius.
+  *
+  * Why offset-grouped alignment: a re-encoded copy matches at offset 0;
+  * a TRIMMED copy (leading frames cut — the common benign edit) matches
+  * every surviving frame at one constant offset; unrelated clips that
+  * share a stray frame pair never accumulate a high count at any single
+  * offset. Grouping matched frame pairs by (clip_a, clip_b,
+  * frame_a − frame_b) and scoring the best offset is therefore both
+  * trim-invariant and precise, and it is pure integer arithmetic the
+  * oracle replays (q305).
+  *
+  * Scale shape: decode + hash is ONE narrow mapPartitions over the clip
+  * bytes (split walk + per-frame decode fused, no shuffle — the q299
+  * chain); the only shuffles are the band-bucket join (candidates
+  * bounded by bucket sizes, complete by pigeonhole — never all-pairs)
+  * and two aggregations over matched PAIRS (already sparse). The
+  * per-pair window is partitioned by (id_a, id_b) — no global sort. At
+  * 100 TB of video the decode dominates and parallelizes per clip;
+  * stride sampling drops (k−1)/k of it before anything shuffles.
+  */
+object VideoHash {
+
+  val frameHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_no", LongType),
+    StructField("n_frames", LongType),
+    StructField("format", StringType),
+    StructField("hash", LongType)))
+
+  /** Per-sampled-frame dHash over MJPEG clips: marker-walk split every
+    * `frameStride`-th frame, JPEG gray pixel decode, box downsample by
+    * `pixelStride` (must land exactly on the 8×8 dHash grid), 56-bit
+    * dHash. Poison discipline matches [[Phash.dhash]]: an undecodable /
+    * color / wrong-geometry frame degrades to format=unknown with NULL
+    * hash (never pairs, never throws); a truncated clip tail yields the
+    * frames before it ([[Mjpeg.frameOffsets]]). One narrow
+    * mapPartitions chain over the clip bytes — no shuffle. */
+  def frameDhash(clips: DataFrame, idCol: String, binCol: String,
+      frameStride: Int, pixelStride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(pixelStride >= 1)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameHashSchema)
+    Mjpeg.sampleFrames(clips, idCol, binCol, frameStride)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frame = r.getAs[Array[Byte]](3)
+          val hashed = Jpeg.decodeGrayPixels(frame).flatMap {
+            case (w, h, px) =>
+              val (rw, rh, g) = Imaging.resizeBox(px, w, h, pixelStride)
+              if (rw == Phash.GridDim && rh == Phash.GridDim)
+                Some(Phash.dhashOf(g))
+              else None
+          }
+          hashed match {
+            case Some(hv) => Row(r.getLong(0), r.getLong(1), r.getLong(2),
+              "jpeg", hv)
+            case None => Row(r.getLong(0), r.getLong(1), r.getLong(2),
+              "unknown", null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Clip-level near-dup from per-frame hashes: every cross-clip frame
+    * pair within `maxHamming` (via [[Phash.nearDupPairs]] carrying
+    * frame_no — complete by pigeonhole, exact by popcount) is grouped
+    * by (id_a, id_b, frame_a − frame_b); the best offset (highest
+    * matched count, smallest offset on ties — a total order) scores the
+    * pair as matched / min(sampled_a, sampled_b). One row per clip pair
+    * that shares ANY matching frame, so sub-threshold overlaps stay
+    * visible with `is_near = false` rather than silently vanishing.
+    *
+    * Input must be one row per (media_id, frame_no) with a `hash`
+    * column; NULL hashes (poison frames) are excluded from pairing AND
+    * from the sampled-count denominator — a clip of undecodable frames
+    * never divides by zero, it simply produces no rows.
+    *
+    * `minMatched` guards the short-clip edge: with 2-frame clips a
+    * SINGLE coincidentally-close frame already scores 0.5, so is_near
+    * additionally requires at least `minMatched` aligned frame matches
+    * — one shared frame is evidence of a shared still, not a shared
+    * video. */
+  def nearDupVideos(frameHashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, minOverlap: Double = 0.5,
+      minMatched: Int = 2): DataFrame = {
+    val fh = frameHashes.select(col("media_id"), col("frame_no"),
+      col("hash")).filter(col("hash").isNotNull)
+    val framePairs = Phash.nearDupPairs(fh, maxHamming, bands,
+      carry = Seq("frame_no"))
+    val byOffset = framePairs
+      .groupBy(col("id_a"), col("id_b"),
+        (col("frame_no_a") - col("frame_no_b")).as("f_offset"))
+      .agg(count(lit(1)).as("matched"))
+    val best = byOffset
+      .withColumn("_rn", row_number().over(Window
+        .partitionBy(col("id_a"), col("id_b"))
+        .orderBy(col("matched").desc, col("f_offset").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    // per-clip sampled-frame counts: tiny relative to the frame table
+    // (one row per clip) — joins on the clip key, broadcastable at any
+    // realistic clip count
+    val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    best
+      .join(counts.select(col("media_id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(counts.select(col("media_id").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("f_offset"), col("matched"),
+        col("n_a"), col("n_b"),
+        (col("matched").cast("double") / least(col("n_a"), col("n_b")))
+          .as("score"),
+        (col("matched").cast("double") / least(col("n_a"), col("n_b"))
+          >= lit(minOverlap) && col("matched") >= lit(minMatched.toLong))
+          .as("is_near"))
+  }
+
+  /** Deterministic near-dup MJPEG corpus for the q305 gate, 3 clips per
+    * base k (the q303 pattern, lifted to sequences). Frames are 64×64
+    * grayscale DC-only JPEGs of 8×8 uniform blocks, so a stride-8 box
+    * downsample returns the BLOCK GRID itself and the oracle replays
+    * pixels symbolically (the q299 losslessness argument):
+    *
+    *  - id 3k   — base: nf = 6 + 2·(k mod 3) frames, block (bx,by) of
+    *    frame f = (k·37 + f·53 + bx·(7+2(k mod 5)) + by·(13+2(k mod 7))
+    *    + bx·by·(1+k mod 11)) mod 150 + 20. Per-frame mod-wrap phases
+    *    differ with f and the bx·by cross term keeps the gradient-sign
+    *    space large (the syntheticScaleImages argument), so frames hash
+    *    far apart within AND across clips.
+    *  - id 3k+1 — RE-ENCODED + TRIMMED twin: the base minus its first
+    *    2 frames, +8 brightness everywhere (never wraps, ≤ 178+8) —
+    *    every frame's dHash is bit-identical to base frame f+2, so the
+    *    pair aligns perfectly at offset +2 with score 1.0.
+    *  - id 3k+2 — PARTIAL overlap: 6 frames, frame 0 EQUAL to base
+    *    frame 0, frames 1–5 from a disjoint formula
+    *    ((k·41 + f·59 + bx·(9+2(k mod 4)) + by·(11+2(k mod 6))
+    *    + bx·by·(2+k mod 9)) mod 140 + 30) — one matching frame out of
+    *    ≥3 sampled scores ≤ 1/3 < 0.5: surfaced, but is_near = false.
+    *
+    * All frame counts are even and the trim is 2, so stride-2 sampling
+    * keeps twins aligned (sampled parity survives the trim). */
+  def syntheticNearDupClips(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 3L).as[Long].mapPartitions(_.map { i =>
+      val k = (i / 3).toInt
+      val t = (i % 3).toInt
+      val nfBase = 6 + 2 * (k % 3)
+      def baseVal(f: Int, bx: Int, by: Int): Int =
+        (k * 37 + f * 53 + bx * (7 + 2 * (k % 5)) +
+          by * (13 + 2 * (k % 7)) + bx * by * (1 + k % 11)) % 150 + 20
+      def altVal(f: Int, bx: Int, by: Int): Int =
+        (k * 41 + f * 59 + bx * (9 + 2 * (k % 4)) +
+          by * (11 + 2 * (k % 6)) + bx * by * (2 + k % 9)) % 140 + 30
+      val (nf, valueOf) = t match {
+        case 0 => (nfBase, baseVal _)
+        case 1 => (nfBase - 2,
+          (f: Int, bx: Int, by: Int) => baseVal(f + 2, bx, by) + 8)
+        case _ => (6,
+          (f: Int, bx: Int, by: Int) =>
+            if (f == 0) baseVal(0, bx, by) else altVal(f, bx, by))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nf) {
+        out.write(Jpeg.encodeUniformBlocks(64, 64, gray = true,
+          sub420 = false, restartEvery = 0,
+          (_, bx, by) => valueOf(f, bx, by)))
+        f += 1
+      }
+      (i, out.toByteArray)
+    }).toDF("media_id", "content")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, TextAnalysis, Wav}
+import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, TextAnalysis, VideoHash, Wav}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -1129,6 +1129,99 @@ object ExtensionQueries {
       WHERE bit_count(xor(a.hv, b.hv)) <= 3
       ORDER BY id_a, id_b"""))
 
+  /** VIDEO near-duplicate detection (`ops/VideoHash`) — the q299 + q303
+    * halves COMPOSED: exact MJPEG marker-walk frame sampling (stride 2)
+    * → real per-frame JPEG gray decode → 8×8 box downsample → 56-bit
+    * dHash → the SAME banded Hamming joiner carrying frame_no →
+    * best-ALIGNMENT scoring (matched frame pairs grouped by constant
+    * frame offset — what trimming produces). Planted structure: each
+    * base clip has a RE-ENCODED (+8 brightness, dHash-invariant) AND
+    * TRIMMED (first 2 frames cut) twin that must align at offset +2
+    * with score 1.0, and a partial-overlap clip sharing exactly one
+    * frame (surfaced with is_near = false — thresholding visible in
+    * data, not by omission). Frames are DC-only uniform 8×8 blocks, so
+    * decode is lossless (the q299 argument) and the oracle replays
+    * block grid → per-frame hash → BRUTE-FORCE quadratic frame-pair
+    * scan → offset vote symbolically; equality proves the band join
+    * dropped no frame pair and the alignment vote is exact. */
+  val q305VideoNearDup = OracleQuery("q305_video_neardup",
+    "video near-dup: MJPEG frame sampling + per-frame dHash + best-offset alignment == brute force",
+    (s, d) => {
+      val clips = VideoHash.syntheticNearDupClips(s, 16)
+      val hashes = VideoHash.frameDhash(clips, "media_id", "content",
+        frameStride = 2, pixelStride = 8)(s)
+      VideoHash.nearDupVideos(hashes, maxHamming = 3, bands = 4,
+        minOverlap = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT i, i // 3 AS k, i % 3 AS t
+        FROM generate_series(0, 47) t0(i)),
+      geom AS (
+        SELECT i, k, t,
+               CASE t WHEN 0 THEN 6 + 2 * (k % 3)
+                      WHEN 1 THEN 4 + 2 * (k % 3)
+                      ELSE 6 END AS nf
+        FROM ids),
+      g AS (
+        -- sampled frame f of clip i, dHash grid cell (gx,gy) = the
+        -- DC block value (uniform 8x8 blocks, box mean is exact)
+        SELECT m.i, f.f, gx.gx, gy.gy,
+               CASE
+                 WHEN m.t = 0 OR (m.t = 2 AND f.f = 0) THEN
+                   (m.k*37 + f.f*53 + gx.gx*(7 + 2*(m.k % 5))
+                    + gy.gy*(13 + 2*(m.k % 7))
+                    + gx.gx*gy.gy*(1 + m.k % 11)) % 150 + 20
+                 WHEN m.t = 1 THEN
+                   (m.k*37 + (f.f + 2)*53 + gx.gx*(7 + 2*(m.k % 5))
+                    + gy.gy*(13 + 2*(m.k % 7))
+                    + gx.gx*gy.gy*(1 + m.k % 11)) % 150 + 28
+                 ELSE
+                   (m.k*41 + f.f*59 + gx.gx*(9 + 2*(m.k % 4))
+                    + gy.gy*(11 + 2*(m.k % 6))
+                    + gx.gx*gy.gy*(2 + m.k % 9)) % 140 + 30
+               END AS gv
+        FROM geom m
+        JOIN generate_series(0, 9) f(f) ON f.f < m.nf AND f.f % 2 = 0
+        CROSS JOIN generate_series(0, 7) gx(gx)
+        CROSS JOIN generate_series(0, 7) gy(gy)),
+      h AS (
+        SELECT a.i, a.f,
+               CAST(SUM(CASE WHEN b.gv > a.gv
+                 THEN 1::BIGINT << (a.gy * 7 + a.gx) ELSE 0 END)
+                 AS BIGINT) AS hv
+        FROM g a
+        JOIN g b ON a.i = b.i AND a.f = b.f AND a.gy = b.gy
+                AND b.gx = a.gx + 1
+        WHERE a.gx < 7
+        GROUP BY 1, 2),
+      cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+      fp AS (
+        -- brute-force quadratic frame-pair scan: what the banded join
+        -- must equal
+        SELECT a.i AS ia, b.i AS ib, a.f AS fa, b.f AS fb
+        FROM h a JOIN h b ON a.i < b.i
+        WHERE bit_count(xor(a.hv, b.hv)) <= 3),
+      voted AS (
+        SELECT ia, ib, CAST(fa - fb AS BIGINT) AS f_offset,
+               CAST(COUNT(*) AS BIGINT) AS matched
+        FROM fp GROUP BY 1, 2, 3),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY ia, ib
+          ORDER BY matched DESC, f_offset ASC) AS rn
+        FROM voted)
+      SELECT b.ia AS id_a, b.ib AS id_b, b.f_offset, b.matched,
+             ca.n AS n_a, cb.n AS n_b,
+             CAST(b.matched AS DOUBLE) / LEAST(ca.n, cb.n) AS score,
+             CAST(b.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5
+               AND b.matched >= 2 AS is_near
+      FROM best b
+      JOIN cnt ca ON ca.i = b.ia
+      JOIN cnt cb ON cb.i = b.ib
+      WHERE b.rn = 1
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1136,5 +1229,5 @@ object ExtensionQueries {
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
-    q303PhashNearDup, q304AudioNearDup)
+    q303PhashNearDup, q304AudioNearDup, q305VideoNearDup)
 }

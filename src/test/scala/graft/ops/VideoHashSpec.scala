@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class VideoHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("frameDhash: sampled frames decode and the twin's hashes equal the base's, shifted by the trim") {
+    implicit val s = spark
+    val clips = VideoHash.syntheticNearDupClips(spark, 6)
+    val fh = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8)
+      .as[(Long, Long, Long, String, java.lang.Long)].collect()
+    assert(fh.forall(_._4 == "jpeg"), "every fixture frame must decode")
+    val byKey = fh.map(r => (r._1, r._2) -> r._5.longValue()).toMap
+    (0 until 6).foreach { k =>
+      val nfTwin = 4 + 2 * (k % 3)
+      // re-encoded (+8) trimmed twin: frame j == base frame j+2, bit-identical
+      (0 until nfTwin by 2).foreach { j =>
+        assert(byKey((3L * k + 1, j.toLong)) == byKey((3L * k, j + 2L)),
+          s"base $k twin frame $j is not the re-exposed base frame ${j + 2}")
+      }
+      // partial-overlap clip: frame 0 identical, later frames far away
+      assert(byKey((3L * k + 2, 0L)) == byKey((3L * k, 0L)))
+      assert(hamming(byKey((3L * k + 2, 2L)), byKey((3L * k, 2L))) > 3,
+        s"base $k alt frame 2 collided under Hamming 3")
+      // frames WITHIN one clip hash far apart (per-frame wrap phases)
+      assert(hamming(byKey((3L * k, 0L)), byKey((3L * k, 2L))) > 3,
+        s"base $k frames 0/2 collided — fixture lost per-frame diversity")
+    }
+  }
+
+  test("nearDupVideos equals the brute-force frame-pair scan + offset vote") {
+    implicit val s = spark
+    val clips = VideoHash.syntheticNearDupClips(spark, 8)
+    val fh = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8).cache()
+    val got = VideoHash.nearDupVideos(fh, maxHamming = 3, bands = 4,
+      minOverlap = 0.5)
+      .select($"id_a", $"id_b", $"f_offset", $"matched", $"n_a", $"n_b",
+        $"score", $"is_near")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSet
+    // brute force in local scala: quadratic frame scan, offset vote,
+    // best (matched desc, offset asc), score over sampled counts
+    val rows = fh.select($"media_id", $"frame_no", $"hash")
+      .as[(Long, Long, Long)].collect()
+    val n = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pairs = for {
+      (ia, fa, ha) <- rows; (ib, fb, hb) <- rows
+      if ia < ib && hamming(ha, hb) <= 3
+    } yield ((ia, ib, fa - fb), 1)
+    val want = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .groupBy { case ((ia, ib, _), _) => (ia, ib) }
+      .map { case ((ia, ib), offs) =>
+        val ((_, _, off), matched) =
+          offs.minBy { case ((_, _, o), m) => (-m, o) }
+        val score = matched.toDouble / math.min(n(ia), n(ib))
+        (ia, ib, off, matched, n(ia), n(ib), score,
+          score >= 0.5 && matched >= 2)
+      }.toSet
+    assert(got == want)
+    // planted structure: every twin pair is a perfect offset-2 alignment
+    (0 until 8).foreach { k =>
+      val twin = got.find(r => r._1 == 3L * k && r._2 == 3L * k + 1)
+      assert(twin.exists(r => r._3 == 2L && r._7 == 1.0 && r._8),
+        s"base $k twin pair missing or misaligned: $twin")
+      val partial = got.find(r => r._1 == 3L * k && r._2 == 3L * k + 2)
+      assert(partial.exists(r => !r._8),
+        s"base $k partial-overlap pair must be surfaced but below threshold")
+    }
+    fh.unpersist()
+  }
+
+  test("trim invariance: an untrimmed re-encode aligns at offset 0 (frame_no carry through the joiner)") {
+    implicit val s = spark
+    // two clips with IDENTICAL frame hashes: offset must be 0, score 1.0
+    val fh = Seq(
+      (1L, 0L, 100L), (1L, 2L, 200L), (1L, 4L, 300L),
+      (2L, 0L, 100L), (2L, 2L, 200L), (2L, 4L, 300L))
+      .toDF("media_id", "frame_no", "hash")
+    val r = VideoHash.nearDupVideos(fh, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(r.length == 1)
+    assert(r.head == ((1L, 2L, 0L, 3L, 3L, 3L, 1.0, true)))
+  }
+
+  test("poison frames: NULL hashes pair nothing and leave the denominator") {
+    implicit val s = spark
+    val fh = Seq[(Long, Long, java.lang.Long)](
+      (1L, 0L, 10L), (1L, 2L, null), (2L, 0L, 10L), (2L, 2L, null))
+      .toDF("media_id", "frame_no", "hash")
+    val r = VideoHash.nearDupVideos(fh, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect()
+    // only the two decodable frames pair; n counts exclude the nulls —
+    // and a single matching frame is NOT a video near-dup (minMatched)
+    assert(r.toSeq == Seq((1L, 2L, 0L, 1L, 1L, 1L, 1.0, false)))
+  }
+
+  test("truncated clip tail degrades to the frames before it") {
+    implicit val s = spark
+    val full = VideoHash.syntheticNearDupClips(spark, 1)
+      .filter($"media_id" === 0L)
+      .as[(Long, Array[Byte])].collect().head._2
+    // cut mid-way through the final frame
+    val truncated = full.take(full.length - 10)
+    val clips = Seq((0L, full), (1L, truncated)).toDF("media_id", "content")
+    val counts = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 1, pixelStride = 8)
+      .groupBy($"media_id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts(0L) == 6L)
+    assert(counts(1L) == 5L, "truncated tail frame must be dropped, not thrown")
+  }
+}

@@ -46,11 +46,18 @@ object Bfs {
       sources.select(col(sources.columns.head).cast("long").as("n"))
         .distinct()
         .withColumn("dist", lit(0L)))
+    var distCount = dist.count()
     var round = 0
     var waveDone = false
     while (round < rounds && !waveDone) {
       // neighbors of every labeled node, one hop further; MIN collapses
-      // multi-parent reaches map-side before the shuffle
+      // multi-parent reaches map-side before the shuffle. (A frontier-
+      // only expansion was MEASURED SLOWER here — r7: 3.6 s vs 3.5 s on
+      // q209, 5.5 s vs 3.7 s on q214's weighted twin — because the
+      // per-round change-set checkpoint costs a node-sized cache write
+      // and its exchange, while the full merge below reuses dist's
+      // preserved hash partitioning; on this saturating graph the
+      // frontier shrinks too late to pay for itself.)
       val cand = sym
         .join(dist.withColumnRenamed("n", "s"), Seq("s"))
         .select(col("t").as("n"), (col("dist") + 1L).as("cand"))
@@ -58,10 +65,13 @@ object Bfs {
         .agg(min(col("cand")).as("cand"))
       // BFS monotonicity: an already-labeled node can never improve
       // (its neighbors are at dist-1 or later), so the merge only ADDS
-      // nodes — LEAST keeps existing labels and admits first reaches
-      // materialize, not track: per-round lineage truncation (see
-      // Caches.materialize — the q287 plan-tower lesson)
-      val merged = Caches.materialize(
+      // nodes — LEAST keeps existing labels and admits first reaches.
+      // materializeCount fuses the convergence probe into the
+      // materializing job: ONE job per round, where eager materialize
+      // + two count probes paid three (round-7 ask #4 — the iterative-
+      // family constant was the largest certifiable block of bench
+      // wall-time).
+      val (merged, mergedCount) = Caches.materializeCount(
         dist.join(cand, Seq("n"), "full_outer")
           .select(col("n"),
             least(coalesce(col("dist"), col("cand")),
@@ -69,8 +79,68 @@ object Bfs {
       // early exit: a round that reaches nobody new ends the wave; every
       // further round is a provable no-op (same-count ⇒ same-set here,
       // because rows are only ever added)
-      waveDone = merged.count() == dist.count()
+      waveDone = mergedCount == distCount
       dist = merged
+      distCount = mergedCount
+      round += 1
+    }
+    val converged = broadcast(dist.sparkSession.range(1)
+      .select(lit(waveDone).as("converged")))
+    dist.crossJoin(converged)
+  }
+
+  /** [[hopDistances]] over a CO-OCCURRENCE graph ("items adjacent iff
+    * they share a basket") computed directly on the BIPARTITE
+    * basket–item table — the pair edge list is NEVER materialized.
+    * One co-purchase hop = item → its baskets → their items, so a
+    * round is two linear equi-joins with the (basket, item) table plus
+    * two map-side-combinable MINs, instead of one join with the
+    * exploded pair list. Same outputs as building pairs and calling
+    * [[hopDistances]] (BfsSpec pins the equality; q209 rides this
+    * path against a pair-replaying oracle).
+    *
+    * THE 100 TB argument: the pair list grows as Σ C(basket, 2) —
+    * quadratic in basket size, the giant-basket pathology q163's
+    * Apriori guards against — while the bipartite table IS the input.
+    * Per round this does O(|bi|) join work regardless of basket skew;
+    * the pair build alone costs more than the whole wave here
+    * (measured r7: q209 3.0 s vs 3.5–4.4 s through the pair list at
+    * sf0.1). Basket-hop mins collapse map-side, so a hub basket never
+    * fans out before the exchange. */
+  def hopDistancesViaBaskets(baskets: DataFrame, basketCol: String,
+      itemCol: String, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in 1..20")
+    // lazy: bi's blocks compute inside round 1's probe job (both joins
+    // of every later round then read the cache) — no standalone job
+    val bi = Caches.materializeLazy(
+      baskets.select(col(basketCol).cast("long").as("b"),
+        col(itemCol).cast("long").as("i")).distinct())
+    // cache sweep r7: track — seed-sized, linear distinct recompute
+    var dist = Caches.track(
+      sources.select(col(sources.columns.head).cast("long").as("n"))
+        .distinct()
+        .withColumn("dist", lit(0L)))
+    var distCount = dist.count()
+    var round = 0
+    var waveDone = false
+    while (round < rounds && !waveDone) {
+      // labeled items → their baskets (min label per basket, map-side)
+      val viaBaskets = bi
+        .join(dist.withColumnRenamed("n", "i"), Seq("i"))
+        .groupBy(col("b")).agg(min(col("dist")).as("bd"))
+      // baskets → their items, one hop further; an item re-reaching
+      // itself is harmless (LEAST keeps the existing smaller label)
+      val cand = bi.join(viaBaskets, Seq("b"))
+        .select(col("i").as("n"), (col("bd") + 1L).as("cand"))
+        .groupBy(col("n")).agg(min(col("cand")).as("cand"))
+      val (merged, mergedCount) = Caches.materializeCount(
+        dist.join(cand, Seq("n"), "full_outer")
+          .select(col("n"),
+            least(coalesce(col("dist"), col("cand")),
+              coalesce(col("cand"), col("dist"))).as("dist")))
+      waveDone = mergedCount == distCount
+      dist = merged
+      distCount = mergedCount
       round += 1
     }
     val converged = broadcast(dist.sparkSession.range(1)
@@ -114,16 +184,27 @@ object Bfs {
     var round = 0
     var fixpoint = false
     while (round < rounds && !fixpoint) {
+      // relax from ALL labels, not a changed-set frontier: measured
+      // r7, the SPFA-style frontier cost 5.5 s vs 3.7 s here — the
+      // change set stays near node-sized on this dense graph, so its
+      // per-round checkpoint + lost partitioning outweigh the smaller
+      // join (see the hopDistances note).
       val cand = sym.join(dist.withColumnRenamed("n", "s"), Seq("s"))
         .select(col("t").as("n"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("n"))
         .agg(min(col("cand")).as("cand"))
-      val merged = Caches.materialize(
+      // lazy materialize + full-count EXCEPT probe: the probe consumes
+      // every merged partition (EXCEPT is a full scan), so it IS the
+      // materializing action — one job per round. The limit(1)
+      // shortcut is deliberately dropped: it could leave partitions
+      // for doCheckpoint to compute in a second job, and the except
+      // output is at most node-sized anyway.
+      val merged = Caches.materializeLazy(
         dist.join(cand, Seq("n"), "full_outer")
           .select(col("n"),
             least(coalesce(col("dist"), col("cand")),
               coalesce(col("cand"), col("dist"))).as("dist")))
-      fixpoint = merged.exceptAll(dist).limit(1).count() == 0
+      fixpoint = merged.exceptAll(dist).count() == 0
       dist = merged
       round += 1
     }

@@ -64,8 +64,41 @@ object Caches {
     * where a tracked frame would silently recompute. Fully consume a
     * materialized frame before release; never hand one to a caller that
     * may act on it after the per-query unpersist. */
-  def materialize(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(eager = true)
+  def materialize(df: DataFrame): DataFrame =
+    materializeImpl(df, eager = true)
+
+  /** [[materialize]] with the SAME lineage truncation but LAZY
+    * execution (round-7 verdict ask #4 — shaving the iterative-family
+    * job constant): the LogicalRDD wrapper is created immediately (the
+    * downstream plan is flat either way), but the blocks compute on
+    * the FIRST action that consumes them — which lets an iterative
+    * operator fuse the per-round materialization into the job it was
+    * already paying for. Two legal shapes:
+    *  - probe-fused (BFS): `materializeCount` — the convergence probe's
+    *    count IS the materializing action, one job per round instead of
+    *    two/three;
+    *  - probe-free (PageRank): no per-round action at all — every
+    *    round's blocks compute inside the terminal consumer's job,
+    *    collapsing `iterations` job launches into stage boundaries of
+    *    one job.
+    * Safe because LocalRDDCheckpointData computes any partitions a
+    * partial action missed at its doCheckpoint, and the caller here
+    * always follows with a full consumer anyway. Same failure
+    * semantics as [[materialize]] after [[unpersistAll]]. */
+  def materializeLazy(df: DataFrame): DataFrame =
+    materializeImpl(df, eager = false)
+
+  /** Lazy-materialize `df` and return it with its row count: the count
+    * is the action that computes (and caches) the blocks, so a
+    * count-probed iterative round pays ONE job where eager materialize
+    * + a separate probe paid two or three. */
+  def materializeCount(df: DataFrame): (DataFrame, Long) = {
+    val out = materializeLazy(df)
+    (out, out.count())
+  }
+
+  private def materializeImpl(df: DataFrame, eager: Boolean): DataFrame = {
+    val out = df.localCheckpoint(eager = eager)
     out.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         checkpointed.add(l.rdd)

@@ -53,12 +53,14 @@ object Hits {
     var done = 1
     while (done < rounds) {
       // materialize per half-step pair: lineage truncation
-      // (Caches.materialize Scaladoc — the q287 plan-tower lesson)
-      auth = Caches.materialize(
+      // (Caches.materialize Scaladoc — the q287 plan-tower lesson);
+      // LAZY — fixed rounds, no convergence probe, so all half-steps
+      // execute inside the terminal consumer's one job (round-7 ask #4)
+      auth = Caches.materializeLazy(
         e.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("score")).as("score")))
-      hub = Caches.materialize(
+      hub = Caches.materializeLazy(
         e.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("score")).as("score")))

@@ -38,8 +38,10 @@ object LabelProp {
     var lab = sym.select(col("s").as("node"), col("s").as("label")).distinct()
     (1 to rounds).foreach { _ =>
       // materialize per round: lineage truncation (Caches.materialize
-      // Scaladoc — the q287 plan-tower lesson; 8 nested rounds here)
-      lab = Caches.materialize(sym
+      // Scaladoc — the q287 plan-tower lesson; 8 nested rounds here);
+      // LAZY — fixed rounds, no probe: rounds execute as stages of the
+      // terminal consumer's job, not one eager job each (r7 ask #4)
+      lab = Caches.materializeLazy(sym
         .join(lab.select(col("node").as("d"), col("label")), Seq("d"))
         .groupBy(col("s"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("s"))

@@ -98,13 +98,17 @@ object PageRank {
     for (_ <- 1 to iterations) {
       // the per-iteration materialize below truncates the plan tower
       // (Caches.materialize Scaladoc — the q287 lesson; 3 nested
-      // iterations already cost seconds of driver-side analysis)
+      // iterations already cost seconds of driver-side analysis).
+      // LAZY: PageRank is fixed-round with NO convergence probe, so
+      // nothing needs the blocks before the terminal consumer — every
+      // round executes as stage boundaries of that one job instead of
+      // `iterations` separate eager job launches (round-7 ask #4).
       val contrib = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst"), expr("(pr * w) div wout").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("contrib"))
-      pr = Caches.materialize(
+      pr = Caches.materializeLazy(
         nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(baseTerm) +

@@ -264,15 +264,18 @@ object InsightQueries {
   val q209BfsDistance = OracleQuery("q209_bfs_distance",
     "multi-source BFS hop distances on the part co-purchase graph",
     (s, d) => {
+      // the co-purchase PAIR list is never materialized: BFS runs on
+      // the bipartite order–part table directly (item → baskets →
+      // items per hop) — identical output (BfsSpec pins it against
+      // hopDistances over the built pairs; the oracle below still
+      // replays via pairs), and the ΣC(basket,2) pair explosion that
+      // dominates at scale disappears (Bfs.hopDistancesViaBaskets
+      // Scaladoc)
       val bi = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
-      val edges = bi.join(bi.select(col("b"), col("i").as("pb")), "b")
-        .filter(col("i") < col("pb"))
-        .select(col("i").as("pa"), col("pb"))
       val seeds = Tables.part(s, d)
         .filter(col("p_partkey") <= 10).select(col("p_partkey"))
-      Bfs.hopDistances(edges, "pa", "pb", seeds, rounds = 4)
+      Bfs.hopDistancesViaBaskets(bi, "b", "i", seeds, rounds = 4)
         .orderBy("n")
     },
     Some("""

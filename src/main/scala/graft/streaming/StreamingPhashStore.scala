@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Phash
+
+/** STREAMING perceptual near-dedup store — the streaming twin of the
+  * media-hash batch-incremental path (`Phash.incrementalNearDupPairs`),
+  * giving the image/audio/video hash family the same persisted-store
+  * discipline the text family has in [[StreamingLshDedup]] +
+  * `StreamingFreqStore`: per micro-batch, the new media hashes probe a
+  * [[TableStore]]-persisted hash INDEX for Hamming near-dup pairs
+  * (new×old and new×new — old×old never re-pairs), append the pairs,
+  * then fold the new hashes into the index.
+  *
+  * Exactly-once WITHOUT a batch manifest: unlike Count-Min addition
+  * (`StreamingFreqStore`'s motivating non-idempotence), every write
+  * here is a keyed set union — the index is keyed by media_id, the
+  * pairs by (id_a, id_b) — and `insertIfAbsent` makes set union
+  * idempotent under at-least-once replay. Crash-window analysis, in
+  * commit order (pairs BEFORE index):
+  *  - die before the pairs commit → replay recomputes the identical
+  *    pair set (the index is unchanged, pairing is deterministic);
+  *  - die between pairs and index → replay recomputes the same pairs
+  *    (still not in the index), `insertIfAbsent` adds nothing, then
+  *    the index commit lands;
+  *  - after both commits a replayed batch is `fresh`-filtered to empty
+  *    and returns without writing at all.
+  * The reverse order would be wrong: with the index committed first, a
+  * replayed batch sees itself `fresh`-filtered away and the crashed-
+  * before-pairs batch would never emit its pairs.
+  *
+  * Equivalence (PhashStoreSpec): after any prefix of batches, the pairs
+  * table equals the one-shot [[Phash.nearDupPairs]] over every hash
+  * seen so far — the accumulation identity PhashSpec proves for the
+  * batch-incremental fold, carried over the persisted store.
+  *
+  * Scale shape: the index is probed in place (the day-sized new batch
+  * is broadcast — `broadcastNew = true`); index growth is one keyed
+  * anti-join + union per batch (`TableStore.insertIfAbsent`), O(index)
+  * rewrite here, the seam a lakehouse MERGE makes O(delta) at 100 TB.
+  * State is the hash table (8 bytes per media row), never pair-
+  * quadratic: pairs land append-only, already banded-bounded. */
+object StreamingPhashStore {
+
+  /** Wire a streaming (media_id, hash) frame into the persisted store.
+    * Caller starts/stops the returned writer. Upstream hashing
+    * ([[Phash.dhash]], `AudioHash.envelopeHash`,
+    * `VideoHash.frameDhash`) is row-local, so it is legal in append
+    * mode before this sink. */
+  def attach(hashes: DataFrame, store: TableStore, indexTable: String,
+      pairsTable: String, maxHamming: Int = 3, bands: Int = 4,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    hashes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id, store, indexTable, pairsTable,
+          maxHamming, bands)
+      }
+
+  /** Fold one batch of media hashes into the store: emit its near-dup
+    * pairs against everything already indexed, then index it. Poison
+    * rows (NULL hash) and duplicate media_ids within the batch are
+    * dropped; media_ids already indexed are replays (or duplicate
+    * ingests) and are filtered out — their pairs were emitted when they
+    * first arrived. */
+  def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      indexTable: String, pairsTable: String, maxHamming: Int = 3,
+      bands: Int = 4): Unit = {
+    val newHashes = batch.select(col("media_id"), col("hash"))
+      .filter(col("hash").isNotNull)
+      .dropDuplicates("media_id")
+    if (!store.exists(indexTable)) {
+      val pairs = Phash.nearDupPairs(newHashes, maxHamming, bands)
+      store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
+      store.insertIfAbsent(indexTable, newHashes, Seq("media_id"))
+    } else {
+      val existing = store.read(indexTable)
+      val fresh = newHashes.join(existing, Seq("media_id"), "left_anti")
+      if (fresh.isEmpty) return // full replay / duplicate ingest: no-op
+      val pairs = Phash.incrementalNearDupPairs(existing, fresh,
+        maxHamming, bands, broadcastNew = true)
+      store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
+      store.insertIfAbsent(indexTable, fresh, Seq("media_id"))
+    }
+  }
+
+  /** All near-dup pairs found so far (empty frame if nothing paired
+    * yet — the pairs table is created with the first batch, which may
+    * contain no pairs but still defines the schema). */
+  def pairs(store: TableStore, pairsTable: String): DataFrame =
+    store.read(pairsTable)
+}

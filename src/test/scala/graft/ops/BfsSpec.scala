@@ -80,4 +80,36 @@ class BfsSpec extends SparkTestBase {
     val (d, _) = run(e, seeds(1L), rounds = 3)
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("hopDistancesViaBaskets equals hopDistances over the built pair list") {
+    // baskets with shared items, a giant basket, a solo-seed basket and
+    // an unreachable island
+    val bi = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),          // basket links 1-2-3
+      (101L, 3L), (101L, 4L),                      // chain on to 4
+      (102L, 4L), (102L, 5L), (102L, 6L), (102L, 7L), // giant basket
+      (103L, 8L),                                  // solo basket: no edges
+      (104L, 9L), (104L, 10L),                     // island, unseeded
+      (105L, 5L), (105L, 1L)                       // shortcut back
+    ).toDF("b", "i")
+    val seeds = Seq(1L, 8L).toDF("p")
+    val pairs = bi.as("x").join(bi.as("y"), "b")
+      .where($"x.i" < $"y.i")
+      .select($"x.i".as("pa"), $"y.i".as("pb"))
+    for (rounds <- Seq(1, 2, 4)) {
+      val viaPairs = Bfs.hopDistances(pairs, "pa", "pb", seeds, rounds)
+        .as[(Long, Long, Boolean)].collect().toSet
+      val viaBaskets = Bfs.hopDistancesViaBaskets(bi, "b", "i", seeds, rounds)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(viaBaskets == viaPairs, s"divergence at rounds=$rounds")
+    }
+    // spot-check the closure: seed 8 (solo basket) stays isolated at 0,
+    // the unseeded island never appears
+    val full = Bfs.hopDistancesViaBaskets(bi, "b", "i", seeds, 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(full(8L) == 0L)
+    assert(full(5L) == 1L && full(4L) == 2L) // shortcut via basket 105
+    assert(!full.contains(9L) && !full.contains(10L))
+  }
 }

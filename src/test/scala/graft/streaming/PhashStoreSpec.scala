@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Phash
+
+/** Streaming perceptual-dedup store (`StreamingPhashStore`): media
+  * hashes fold into a persisted Hamming band index batch by batch; the
+  * pairs table after every prefix equals the one-shot banded join over
+  * all hashes seen, and replay is a no-op WITHOUT a batch manifest
+  * (keyed set union is idempotent). */
+class PhashStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // real decode path: the q303 planted corpus (ids 0..3n-1), hashed once
+  private def corpusHashes(nBase: Int) = {
+    implicit val s = spark
+    Phash.dhash(Phash.syntheticNearDupImages(spark, nBase),
+      "media_id", "content", stride = 2)
+      .select($"media_id", $"hash")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("streamed store: pairs after every prefix equal the one-shot join over hashes seen so far") {
+    val all = corpusHashes(12).cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_").toString)
+    // batches arrive LARGEST ids first (the PhashSpec ordering trap: the
+    // new id routinely sits on the SMALL side of a new×old pair)
+    val batches = Seq(
+      all.filter($"media_id" >= 24),
+      all.filter($"media_id" >= 12 && $"media_id" < 24),
+      all.filter($"media_id" < 12))
+    var seen = all.limit(0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPhashStore.mergeBatch(b, i.toLong, store, "idx", "pairs")
+      seen = seen.unionByName(b)
+      val got = pairSet(StreamingPhashStore.pairs(store, "pairs"))
+      val want = pairSet(Phash.nearDupPairs(seen))
+      assert(got == want, s"prefix through batch $i diverged from one-shot")
+    }
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")).nonEmpty)
+    // and the index holds exactly the corpus
+    assert(store.read("idx").count() == all.count())
+    all.unpersist()
+  }
+
+  test("replayed batch is a no-op: same content, no new store version") {
+    val all = corpusHashes(8).cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_rep_").toString)
+    val b0 = all.filter($"media_id" < 12)
+    val b1 = all.filter($"media_id" >= 12)
+    StreamingPhashStore.mergeBatch(b0, 0L, store, "idx", "pairs")
+    StreamingPhashStore.mergeBatch(b1, 1L, store, "idx", "pairs")
+    val once = pairSet(StreamingPhashStore.pairs(store, "pairs"))
+    val vIdx = store.versions("idx")
+    val vPairs = store.versions("pairs")
+    // at-least-once delivery: batch 1 lands again (same rows)
+    StreamingPhashStore.mergeBatch(b1, 1L, store, "idx", "pairs")
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) == once)
+    assert(store.versions("idx") == vIdx && store.versions("pairs") == vPairs,
+      "full replay must not even write a new version")
+    all.unpersist()
+  }
+
+  test("crash between pairs commit and index commit: the replay completes the fold") {
+    val all = corpusHashes(8).cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_crash_").toString)
+    val b0 = all.filter($"media_id" < 12)
+    val b1 = all.filter($"media_id" >= 12)
+    StreamingPhashStore.mergeBatch(b0, 0L, store, "idx", "pairs")
+    // fabricate the crash residue: batch 1's PAIRS committed, its index
+    // fold lost (death point = between the two insertIfAbsent commits)
+    val existing = store.read("idx")
+    val fresh = b1.join(existing, Seq("media_id"), "left_anti")
+    val pairs = Phash.incrementalNearDupPairs(existing, fresh)
+    store.insertIfAbsent("pairs", pairs, Seq("id_a", "id_b"))
+    val interrupted = pairSet(StreamingPhashStore.pairs(store, "pairs"))
+    // the checkpoint replays batch 1: pairs must not double, index lands
+    StreamingPhashStore.mergeBatch(b1, 1L, store, "idx", "pairs")
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) == interrupted)
+    assert(store.read("idx").count() == all.count())
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
+      pairSet(Phash.nearDupPairs(all)))
+    all.unpersist()
+  }
+
+  test("end-to-end through a real stream: AvailableNow drain equals one-shot") {
+    val all = corpusHashes(8).cache()
+    val dir = Files.createTempDirectory("graft_phst_e2e_").toString
+    val ck = Files.createTempDirectory("graft_phst_e2e_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_e2e_store_").toString)
+    def deliver(part: Int): Unit =
+      all.filter($"media_id" % 2 === part).write.mode("append").parquet(dir)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(dir)
+      val q = StreamingPhashStore.attach(stream, store, "idx", "pairs",
+        checkpoint = ck).start()
+      q.awaitTermination()
+    }
+    (0 to 1).foreach { p => deliver(p); drain() }
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
+      pairSet(Phash.nearDupPairs(all)))
+    all.unpersist()
+  }
+
+  test("poison and duplicate rows are dropped before the fold") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_poison_").toString)
+    val b = Seq[(Long, java.lang.Long)](
+      (1L, 5L), (1L, 5L), (2L, null), (3L, 5L))
+      .toDF("media_id", "hash")
+    StreamingPhashStore.mergeBatch(b, 0L, store, "idx", "pairs")
+    assert(store.read("idx").count() == 2) // 1 deduped, 2 (null) dropped
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
+      Set((1L, 3L, 0L)))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TWO REAL JVMs race TableStore commits on one table (round-6 verdict
+  * ask #5): the commit path's create-exclusive claim file is a
+  * cross-process CAS, so the JVM-wide commit lock is no longer the only
+  * thing standing between racing PROCESSES and a lost snapshot. The
+  * children are Spark-free (the commit path is pure filesystem), so the
+  * race is tight — tens of commits collide in a few seconds.
+  *
+  * The contract proven here: first-wins / loser-retries, and the final
+  * version chain is a SERIAL order — every committed v<k> records the
+  * basis it was computed from, and that basis must be exactly k−1
+  * (nobody ever committed over a state they had not read). */
+class CrossProcessStoreSpec extends AnyFunSuite {
+
+  private val PerWriter = 40
+
+  test("two racing JVMs: every commit lands once, the version chain is a serial order") {
+    val root = Files.createTempDirectory("graft_xproc_").toString
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val cp = System.getProperty("java.class.path")
+    def racer(id: String) = Process(Seq(javaBin, "-cp", cp,
+      "graft.etl.RacerMain", root, "t", id, PerWriter.toString))
+
+    val logger = ProcessLogger(_ => (), _ => ())
+    val p1 = racer("a").run(logger)
+    val p2 = racer("b").run(logger)
+    // both children spin on this barrier until the parent releases them
+    Thread.sleep(300)
+    Files.write(Paths.get(root, "go"), Array.empty[Byte])
+    assert(p1.exitValue() == 0, "writer a did not land all its commits")
+    assert(p2.exitValue() == 0, "writer b did not land all its commits")
+
+    // pointer = total successful commits; every version dir present
+    val pointerV = new String(Files.readAllBytes(
+      Paths.get(root, "t", "_CURRENT"))).trim.stripPrefix("v").toInt
+    assert(pointerV == 2 * PerWriter)
+
+    // serial chain: committed v<k>'s recorded basis is exactly k-1 —
+    // no commit was ever based on a state that was not the immediate
+    // predecessor (a lost-update would surface as a gap or repeat)
+    val markers = (1 to pointerV).map { k =>
+      val m = new String(Files.readAllBytes(
+        Paths.get(root, "t", s"v$k", "marker.txt"))).split(",")
+      (k, m(0), m(1).toInt, m(2).toInt)
+    }
+    markers.foreach { case (k, _, _, basis) =>
+      assert(basis == k - 1, s"v$k committed from stale basis v$basis")
+    }
+    // both writers' sequences each appear exactly once, in order
+    Seq("a", "b").foreach { w =>
+      val seq = markers.filter(_._2 == w).map(_._3)
+      assert(seq.sorted == (0 until PerWriter).toVector,
+        s"writer $w's commits are not exactly 0..${PerWriter - 1}: $seq")
+      assert(seq == seq.sorted, s"writer $w's commits landed out of order")
+    }
+    // no claim residue: every winner cleaned its claim file
+    val leftovers = new java.io.File(s"$root/t").listFiles()
+      .map(_.getName).filter(_.startsWith("_claim_"))
+    assert(leftovers.isEmpty, s"claim files left behind: ${leftovers.toSeq}")
+    // the race was real: at least one retry happened somewhere (two
+    // writers, interleaved numbers — if this ever fails the processes
+    // ran serially and the test proved nothing; PerWriter is sized so
+    // that has never been observed)
+    val attempts = Seq("a", "b").map { w =>
+      new String(Files.readAllBytes(Paths.get(root, s"done_$w")))
+        .split(",")(1).toInt
+    }.sum
+    assert(attempts > 2 * PerWriter, "no contention occurred — race vacuous")
+  }
+
+  test("a crashed cross-process claim past the age gate is reclaimed by the next writer") {
+    val root = Files.createTempDirectory("graft_xproc2_").toString
+    val store = new TableStore(null, root)
+    // seed v1 through the real commit path (no Spark needed)
+    val (v1, s1) = store.stageVersion("t", None)
+    Files.write(s1.resolve("marker.txt"), "seed".getBytes)
+    store.commitStaged("t", v1, s1, Some(0))
+
+    // fabricate another PROCESS's crash residue: claim + renamed dir for
+    // v2, pointer still at v1, claim older than the age gate
+    val claim = Paths.get(root, "t", "_claim_v2")
+    Files.createFile(claim)
+    val orphan = Paths.get(root, "t", "v2")
+    Files.createDirectory(orphan)
+    Files.write(orphan.resolve("marker.txt"), "dead-writer".getBytes)
+    assert(claim.toFile.setLastModified(
+      System.currentTimeMillis() - TableStore.GcTmpAgeMillis - 60000L))
+
+    // a fresh writer reclaims and publishes its own v2
+    val (v2, s2) = store.stageVersion("t", None)
+    assert(v2 == 2)
+    Files.write(s2.resolve("marker.txt"), "live-writer".getBytes)
+    store.commitStaged("t", v2, s2, Some(1))
+    assert(new String(Files.readAllBytes(
+      Paths.get(root, "t", "v2", "marker.txt"))) == "live-writer")
+    assert(!Files.exists(claim))
+
+    // ...but a FRESH foreign claim is respected: conservative loser path
+    val claim3 = Paths.get(root, "t", "_claim_v3")
+    Files.createFile(claim3)
+    val (v3, s3) = store.stageVersion("t", None)
+    Files.write(s3.resolve("marker.txt"), "loser".getBytes)
+    intercept[ConcurrentWriteException] {
+      store.commitStaged("t", v3, s3, Some(2))
+    }
+    assert(!Files.exists(Paths.get(root, "t", "v3")),
+      "loser must not publish over a live foreign claim")
+  }
+}

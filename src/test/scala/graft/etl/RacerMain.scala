@@ -1,0 +1,49 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+/** Child-process writer for CrossProcessStoreSpec: races read-modify-
+  * write commits against another JVM through the TableStore claim CAS
+  * — NO Spark session (the commit path is pure filesystem), so the
+  * child starts in milliseconds and the race is tight.
+  *
+  * Each iteration: read the current version (the BASIS), stage a dir
+  * holding one marker file recording (writer, iteration, basis), and
+  * publish with the basis guard. A ConcurrentWriteException means the
+  * other process won that number — re-read and retry, exactly the
+  * contract production writers follow. Exit 0 iff all nOps commits
+  * landed within the attempt budget. */
+object RacerMain {
+  def main(args: Array[String]): Unit = {
+    val Array(root, table, writerId, nOpsStr) = args
+    val nOps = nOpsStr.toInt
+    val store = new TableStore(null, root)
+    // start barrier: both children spin here until the parent drops the
+    // go-file, so the two JVMs race from the same instant regardless of
+    // startup skew (commits are sub-ms; without this one child can
+    // finish before the other's JVM is even up)
+    val go = Paths.get(root, "go")
+    val deadline = System.currentTimeMillis() + 30000L
+    while (!Files.exists(go) && System.currentTimeMillis() < deadline)
+      Thread.sleep(2)
+    var committed = 0
+    var attempts = 0
+    while (committed < nOps && attempts < 2000) {
+      attempts += 1
+      try {
+        // basis re-read per attempt; stageVersion re-checks, commit
+        // re-checks under the claim — the serial-chain guarantee
+        val (next, stage) = store.stageVersion(table, None)
+        val base = next - 1
+        Files.write(stage.resolve("marker.txt"),
+          s"$writerId,$committed,$base".getBytes("UTF-8"))
+        store.commitStaged(table, next, stage, Some(base))
+        committed += 1
+      } catch { case _: ConcurrentWriteException => () }
+    }
+    // a tiny settle marker so the parent can assert the child's view
+    Files.write(Paths.get(root, s"done_$writerId"),
+      s"$committed,$attempts".getBytes("UTF-8"))
+    if (committed < nOps) sys.exit(2)
+  }
+}

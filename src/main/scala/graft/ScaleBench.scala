@@ -477,7 +477,66 @@ object ScaleBench {
       java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_QUICK.json"),
         (json + "\n").getBytes("UTF-8"))
       println(json)
+      // regression GATE (round-6 verdict ask #6): diff this run's slope
+      // table against the checked-in baseline — a worsened slope is a
+      // scale regression the per-query wall-time bench cannot see
+      // (constant factors hide it at one size). Refresh the baseline
+      // deliberately after an INTENTIONAL change, plan_budgets-style:
+      //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
+      val failures = slopeGate(parseSlopes(json),
+        loadBaselineSlopes(BaselinePath))
+      failures.foreach(f => System.err.println(s"[scale-gate] FAIL $f"))
+      if (failures.nonEmpty) { spark.stop(); sys.exit(1) }
     }
     spark.stop()
   }
+
+  /** Checked-in slope baseline the quick gate diffs against. */
+  val BaselinePath = "src/test/resources/scale_quick_baseline.json"
+
+  /** How much a slope may worsen before the gate fails. Slopes are
+    * sec(m_hi)/sec(m_lo) ratios of a 2-point probe on a shared machine:
+    * ±15% is ordinary noise (the bench variance note), so the gate
+    * trips at +25% — small enough to catch a linear-term leak (a
+    * healthy 1.3 would have to reach 1.63), large enough not to cry
+    * wolf weekly. */
+  val SlopeTolerance = 1.25
+
+  /** Extract {op → slope} from a quick-mode JSON line (both the live
+    * run's and the checked-in baseline's — same writer, same shape).
+    * Regex-scoped to this file's own output format; no JSON lib in the
+    * offline sandbox. */
+  def parseSlopes(json: String): Map[String, Double] =
+    // [^{}]* keeps the span inside ONE op object — "ops":{ would
+    // otherwise swallow the first op's name
+    """"([a-z0-9_]+)":\{[^{}]*"slope":(-?[0-9.eE+]+)""".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  def loadBaselineSlopes(path: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else parseSlopes(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** The gate: one failure line per op whose slope worsened more than
+    * [[SlopeTolerance]] vs baseline, or that VANISHED from the current
+    * run (coverage loss is a silent gate bypass). Ops new to the
+    * current run pass — they have no baseline yet; negative slopes
+    * (failed timing sentinel) fail loudly. */
+  def slopeGate(current: Map[String, Double],
+      baseline: Map[String, Double],
+      tolerance: Double = SlopeTolerance): Seq[String] =
+    baseline.toSeq.sortBy(_._1).flatMap { case (op, base) =>
+      current.get(op) match {
+        case None =>
+          Some(s"$op: present in baseline but missing from this run")
+        case Some(cur) if cur < 0 =>
+          Some(s"$op: timing failed (slope sentinel $cur)")
+        case Some(cur) if base > 0 && cur > base * tolerance =>
+          Some(f"$op: slope $cur%.2f vs baseline $base%.2f " +
+            f"(> ${tolerance}x) — scale behavior regressed")
+        case _ => None
+      }
+    }
 }

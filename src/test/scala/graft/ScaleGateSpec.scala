@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ScaleBench --quick slope-regression gate (round-6 verdict ask
+  * #6): pure comparison logic, the baseline file's integrity, and the
+  * parser over the exact JSON shape ScaleBench writes. The expensive
+  * half (actually timing the eight ops) runs via
+  * `sbt "runMain graft.ScaleBench --quick"`, which now exits non-zero
+  * when any slope worsens >25% vs `scale_quick_baseline.json`. */
+class ScaleGateSpec extends AnyFunSuite {
+
+  test("slopeGate trips on a >25% worsened slope, not on noise") {
+    val base = Map("triangles" -> 2.77, "pagerank" -> 1.28)
+    assert(ScaleBench.slopeGate(
+      Map("triangles" -> 2.80, "pagerank" -> 1.40), base).isEmpty,
+      "within-tolerance drift must pass")
+    val fails = ScaleBench.slopeGate(
+      Map("triangles" -> 3.70, "pagerank" -> 1.28), base)
+    assert(fails.size == 1 && fails.head.startsWith("triangles"))
+  }
+
+  test("slopeGate flags a vanished op and a failed-timing sentinel") {
+    val base = Map("pq_adc" -> 1.65, "components" -> 1.45)
+    val fails = ScaleBench.slopeGate(
+      Map("pq_adc" -> -1.0), base)
+    assert(fails.exists(_.startsWith("components: present in baseline")))
+    assert(fails.exists(_.startsWith("pq_adc: timing failed")))
+    // a NEW op without a baseline passes silently
+    assert(ScaleBench.slopeGate(
+      Map("pq_adc" -> 1.6, "components" -> 1.4, "brand_new" -> 9.9),
+      base).isEmpty)
+  }
+
+  test("parser round-trips the writer's own JSON shape") {
+    val json = """{"mode":"quick","ops":{"pagerank":{"sec_m1":2.04,""" +
+      """"sec_m4":2.61,"slope":1.2813625732380207,"out_m1":5000,""" +
+      """"out_m4":20000},"pq_adc":{"sec_m1":4.1,"sec_m4":6.8,""" +
+      """"slope":1.653640141825534,"out_m1":900,"out_m4":1800}}}"""
+    val s = ScaleBench.parseSlopes(json)
+    assert(s == Map("pagerank" -> 1.2813625732380207,
+      "pq_adc" -> 1.653640141825534))
+  }
+
+  test("checked-in baseline exists, parses, and covers every quick op") {
+    val slopes = ScaleBench.loadBaselineSlopes(ScaleBench.BaselinePath)
+    assert(slopes.nonEmpty, s"missing/empty ${ScaleBench.BaselinePath}")
+    val missing = ScaleBench.QuickOps -- slopes.keySet
+    assert(missing.isEmpty,
+      s"baseline lacks quick ops: $missing — refresh it " +
+        "(cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json)")
+    assert(slopes.values.forall(s => s > 0 && s < 16),
+      s"implausible baseline slopes: $slopes")
+  }
+}

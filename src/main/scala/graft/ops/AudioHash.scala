@@ -73,6 +73,122 @@ object AudioHash {
     }(enc)
   }
 
+  val chunkHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("chunk_no", LongType),
+    StructField("n_chunks", LongType),
+    StructField("format", StringType),
+    StructField("hash", LongType)))
+
+  /** TRIM-ROBUST audio hashing: one 56-bit envelope hash PER
+    * fixed-length CHUNK of `chunkFrames` frames, instead of one hash
+    * for the whole clip. [[envelopeHash]]'s proportional binning makes
+    * the whole-clip hash break under trimming (every window rebins);
+    * fixed-size chunks turn a leading trim of whole chunks into a
+    * constant CHUNK OFFSET — exactly the alignment
+    * [[VideoHash.nearDupVideos]] scores, so audio trim-dedup (q306)
+    * reuses the video sequence-alignment machinery verbatim (it is
+    * hash-agnostic: any (media_id, frame_no, hash) table).
+    *
+    * Window w of frame f within its chunk is
+    * `(f mod chunkFrames)·Windows / chunkFrames` — integer floor
+    * binning, replayable in SQL. The trailing partial chunk is dropped
+    * (deterministic: n_chunks = nFrames div chunkFrames). Undecodable
+    * or shorter-than-one-chunk clips degrade to a single
+    * format=unknown row with NULL hash. State is
+    * O(nFrames / chunkFrames · Windows) Longs — the PCM plane is never
+    * held (same sink-factory seam as [[envelopeHash]]). */
+  def chunkEnvelopeHashes(df: DataFrame, idCol: String, binCol: String,
+      chunkFrames: Int)(implicit spark: SparkSession): DataFrame = {
+    require(chunkFrames >= Windows, s"chunkFrames must be >= $Windows")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(chunkHashSchema)
+    df.select(col(idCol).cast("long"), col(binCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        var energies: Array[Long] = null
+        var nChunks = 0
+        val ok = Multimodal.WavDecoder.decodeOne(bytes, (nf, _) => {
+          nChunks = (nf / chunkFrames).toInt
+          if (nChunks >= 1) {
+            energies = new Array[Long](nChunks * Windows)
+            (f, s) => {
+              val c = (f / chunkFrames).toInt
+              if (c < nChunks) {
+                val w = ((f % chunkFrames) * Windows / chunkFrames).toInt
+                energies(c * Windows + w) += s.toLong * s
+              }
+            }
+          } else (_, _) => () // shorter than one chunk: drain, reject
+        })
+        if (ok.isEmpty || nChunks < 1)
+          Iterator.single(Row(r.getLong(0), 0L, 0L, "unknown", null))
+        else Iterator.tabulate(nChunks) { c =>
+          var hash = 0L
+          var w = 0
+          while (w < Windows - 1) {
+            if (energies(c * Windows + w + 1) > energies(c * Windows + w))
+              hash |= 1L << w
+            w += 1
+          }
+          Row(r.getLong(0), c.toLong, nChunks.toLong, "wav", hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic TRIMMED-near-dup WAV corpus for the q306 gate —
+    * the q305 plant structure in audio (3 clips per base k, chunks of
+    * 570 frames so window = (f mod 570) div 10 exactly):
+    *  - id 3k   — base: nc = 4 + (k mod 3) chunks, sample
+    *    s(f) = ((k·9973 + f·(5501 + 2(k mod 97))) mod 16001) − 8000 —
+    *    a per-base MULTIPLIER, not just phase, because bases sharing a
+    *    multiplier are shifted copies of one mod-generator and the
+    *    alignment joiner honestly finds those shifts (measured: 56
+    *    is_near rows for 16 planted twins before the fix);
+    *  - id 3k+1 — GAIN ×2 + first chunk TRIMMED: frame f = 2·s(f+570)
+    *    — every chunk hash is bit-identical to base chunk c+1 (gain
+    *    scales energies ×4, comparisons unmoved), aligning at offset
+    *    +1 with score 1.0;
+    *  - id 3k+2 — partial overlap: 4 chunks, chunk 0 EQUAL to base
+    *    chunk 0, later frames from the disjoint formula
+    *    ((k·8191 + f·(4799 + 2(k mod 89))) mod 15013) − 7500 — one
+    *    matching chunk, surfaced below threshold. */
+  def syntheticTrimNearDupClips(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 3L).as[Long]
+      .mapPartitions(_.map(i => (i, makeTrimNearDupClip(i))))
+      .toDF("media_id", "content")
+  }
+
+  private[ops] def makeTrimNearDupClip(i: Long): Array[Byte] = {
+    val k = (i / 3).toInt
+    val t = (i % 3).toInt
+    val chunk = 570
+    // per-base MULTIPLIER, not just phase: with a shared multiplier,
+    // different bases are shifted copies of one mod-generator and the
+    // alignment joiner finds those shifts as real constant-offset
+    // matches (measured: 56 is_near rows for 16 planted twins)
+    def base(f: Int): Int =
+      ((k * 9973 + f * (5501 + 2 * (k % 97))) % 16001) - 8000
+    def alt(f: Int): Int =
+      ((k * 8191 + f * (4799 + 2 * (k % 89))) % 15013) - 7500
+    val nc = t match {
+      case 0 => 4 + (k % 3)
+      case 1 => 3 + (k % 3)
+      case _ => 4
+    }
+    val samples = Array.tabulate(nc * chunk) { f =>
+      t match {
+        case 0 => base(f)
+        case 1 => base(f + chunk) * 2
+        case _ => if (f < chunk) base(f) else alt(f)
+      }
+    }
+    Wav.writeWav(channels = 1, rate = 8000, samples)
+  }
+
   /** Deterministic near-dup WAV corpus for the q304 gate: base clip k
     * (id 3k) is 570 mono frames at 8 kHz with sample
     * s(t) = ((k·9973 + t·5501) mod 16001) − 8000 (|s| ≤ 8000, so the

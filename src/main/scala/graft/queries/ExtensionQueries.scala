@@ -1222,6 +1222,90 @@ object ExtensionQueries {
       WHERE b.rn = 1
       ORDER BY id_a, id_b"""))
 
+  /** TRIM-robust AUDIO near-dup: the q304 whole-clip envelope hash
+    * breaks under trimming (proportional binning rebins every window),
+    * so `AudioHash.chunkEnvelopeHashes` hashes fixed 570-frame CHUNKS
+    * and the q305 sequence-alignment machinery
+    * ([[VideoHash.nearDupVideos]] — hash-agnostic by construction)
+    * scores clip pairs at their best constant chunk offset. Planted:
+    * each base has a GAIN-×2 + first-chunk-TRIMMED twin (gain scales
+    * window energies ×4 — comparisons unmoved, chunk hashes
+    * bit-identical to base chunks shifted by 1) that must align at
+    * offset +1 with score 1.0, and a partial-overlap clip sharing
+    * exactly one chunk (surfaced, is_near = false). The oracle replays
+    * samples → per-chunk window energies → per-chunk hash →
+    * brute-force quadratic chunk-pair scan → offset vote symbolically
+    * — the alignment proof across a second modality and decoder. */
+  val q306AudioTrimNearDup = OracleQuery("q306_audio_trim_neardup",
+    "trim-robust audio near-dup: chunked envelope hashes + best-offset alignment == brute force",
+    (s, d) => {
+      val clips = AudioHash.syntheticTrimNearDupClips(s, 16)
+      val hashes = AudioHash.chunkEnvelopeHashes(clips, "media_id",
+        "content", chunkFrames = 570)(s)
+        .select(col("media_id"), col("chunk_no").as("frame_no"),
+          col("hash"))
+      VideoHash.nearDupVideos(hashes, maxHamming = 3, bands = 4,
+        minOverlap = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT i, i // 3 AS k, i % 3 AS t
+        FROM generate_series(0, 47) t0(i)),
+      geom AS (
+        SELECT i, k, t,
+               CASE t WHEN 0 THEN 4 + k % 3
+                      WHEN 1 THEN 3 + k % 3
+                      ELSE 4 END AS nc
+        FROM ids),
+      sv AS (
+        SELECT g.i, f.f // 570 AS c, (f.f % 570) // 10 AS w,
+               CASE
+                 WHEN g.t = 0 OR (g.t = 2 AND f.f < 570) THEN
+                   ((g.k*9973 + f.f*(5501 + 2*(g.k % 97))) % 16001) - 8000
+                 WHEN g.t = 1 THEN
+                   (((g.k*9973 + (f.f + 570)*(5501 + 2*(g.k % 97)))
+                     % 16001) - 8000) * 2
+                 ELSE
+                   ((g.k*8191 + f.f*(4799 + 2*(g.k % 89))) % 15013) - 7500
+               END AS v
+        FROM geom g
+        JOIN generate_series(0, 3419) f(f) ON f.f < g.nc * 570),
+      e AS (
+        SELECT i, c, w, CAST(SUM(v * v) AS BIGINT) AS ew
+        FROM sv GROUP BY 1, 2, 3),
+      h AS (
+        SELECT a.i, a.c,
+               CAST(SUM(CASE WHEN b.ew > a.ew
+                 THEN 1::BIGINT << a.w ELSE 0 END) AS BIGINT) AS hv
+        FROM e a
+        JOIN e b ON a.i = b.i AND a.c = b.c AND b.w = a.w + 1
+        WHERE a.w < 56
+        GROUP BY 1, 2),
+      cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+      fp AS (
+        SELECT a.i AS ia, b.i AS ib, a.c AS ca, b.c AS cb
+        FROM h a JOIN h b ON a.i < b.i
+        WHERE bit_count(xor(a.hv, b.hv)) <= 3),
+      voted AS (
+        SELECT ia, ib, CAST(ca - cb AS BIGINT) AS f_offset,
+               CAST(COUNT(*) AS BIGINT) AS matched
+        FROM fp GROUP BY 1, 2, 3),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY ia, ib
+          ORDER BY matched DESC, f_offset ASC) AS rn
+        FROM voted)
+      SELECT b.ia AS id_a, b.ib AS id_b, b.f_offset, b.matched,
+             ca.n AS n_a, cb.n AS n_b,
+             CAST(b.matched AS DOUBLE) / LEAST(ca.n, cb.n) AS score,
+             CAST(b.matched AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5
+               AND b.matched >= 2 AS is_near
+      FROM best b
+      JOIN cnt ca ON ca.i = b.ia
+      JOIN cnt cb ON cb.i = b.ib
+      WHERE b.rn = 1
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1229,5 +1313,6 @@ object ExtensionQueries {
     q150RowLocalMinhash, q156PrefixJoin, q222LshRecallGate,
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
-    q303PhashNearDup, q304AudioNearDup, q305VideoNearDup)
+    q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
+    q306AudioTrimNearDup)
 }

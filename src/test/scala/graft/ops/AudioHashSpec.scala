@@ -76,4 +76,80 @@ class AudioHashSpec extends SparkTestBase {
     assert(hs.forall(_._2 == "wav"))
     assert(hs(0)._3 == hs(1)._3, "stereo fold changed the envelope hash")
   }
+
+  // ---- trim-robust chunked hashing (q306 machinery) ----
+
+  test("chunkEnvelopeHashes: gain-x2 trimmed twin's chunk hashes equal the base's, shifted by 1") {
+    implicit val s = spark
+    val clips = AudioHash.syntheticTrimNearDupClips(spark, 6)
+    val ch = AudioHash.chunkEnvelopeHashes(clips, "media_id", "content",
+      chunkFrames = 570)
+      .as[(Long, Long, Long, String, java.lang.Long)].collect()
+    assert(ch.forall(_._4 == "wav"), "every fixture clip must decode")
+    val byKey = ch.map(r => (r._1, r._2) -> r._5.longValue()).toMap
+    (0 until 6).foreach { k =>
+      val ncTwin = 3 + k % 3
+      (0 until ncTwin).foreach { c =>
+        assert(byKey((3L * k + 1, c.toLong)) == byKey((3L * k, c + 1L)),
+          s"base $k twin chunk $c is not gain-x2 of base chunk ${c + 1}")
+      }
+      assert(byKey((3L * k + 2, 0L)) == byKey((3L * k, 0L)))
+      assert(java.lang.Long.bitCount(
+        byKey((3L * k, 0L)) ^ byKey((3L * k, 1L))) > 3,
+        s"base $k chunks 0/1 collided — fixture lost per-chunk diversity")
+    }
+  }
+
+  test("trim alignment through nearDupVideos equals the brute-force chunk scan") {
+    implicit val s = spark
+    val clips = AudioHash.syntheticTrimNearDupClips(spark, 8)
+    val ch = AudioHash.chunkEnvelopeHashes(clips, "media_id", "content",
+      chunkFrames = 570)
+      .select($"media_id", $"chunk_no".as("frame_no"), $"hash").cache()
+    val got = VideoHash.nearDupVideos(ch, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSet
+    val rows = ch.as[(Long, Long, Long)].collect()
+    val n = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pairs = for {
+      (ia, ca, ha) <- rows; (ib, cb, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield ((ia, ib, ca - cb), 1)
+    val want = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .groupBy { case ((ia, ib, _), _) => (ia, ib) }
+      .map { case ((ia, ib), offs) =>
+        val ((_, _, off), matched) =
+          offs.minBy { case ((_, _, o), m) => (-m, o) }
+        val score = matched.toDouble / math.min(n(ia), n(ib))
+        (ia, ib, off, matched, n(ia), n(ib), score,
+          score >= 0.5 && matched >= 2)
+      }.toSet
+    assert(got == want)
+    (0 until 8).foreach { k =>
+      val twin = got.find(r => r._1 == 3L * k && r._2 == 3L * k + 1)
+      assert(twin.exists(r => r._3 == 1L && r._7 == 1.0 && r._8),
+        s"base $k trimmed gain twin missing or misaligned: $twin")
+    }
+    ch.unpersist()
+  }
+
+  test("chunkEnvelopeHashes: short and undecodable clips degrade to one unknown row; partial tail chunk drops") {
+    implicit val s = spark
+    val oneChunk = AudioHash.makeTrimNearDupClip(0L) // 4 chunks of 570
+    val short = Wav.writeWav(1, 8000, Array.tabulate(100)(_ * 3 % 50))
+    val tailPartial = Wav.writeWav(1, 8000,
+      Array.tabulate(570 + 100)(f => (f * 7 % 90) - 40))
+    val df = Seq((1L, oneChunk), (2L, short), (3L, Array.empty[Byte]),
+      (4L, tailPartial)).toDF("media_id", "content")
+    val out = AudioHash.chunkEnvelopeHashes(df, "media_id", "content", 570)
+      .as[(Long, Long, Long, String, java.lang.Long)].collect()
+    assert(out.count(_._1 == 1L) == 4)
+    assert(out.filter(_._1 == 2L).toSeq.map(r => (r._4, r._5)) ==
+      Seq(("unknown", null)))
+    assert(out.filter(_._1 == 3L).toSeq.map(r => (r._4, r._5)) ==
+      Seq(("unknown", null)))
+    // 670 frames at chunk 570: exactly one complete chunk survives
+    assert(out.filter(_._1 == 4L).toSeq.map(r => (r._2, r._3, r._4)) ==
+      Seq((0L, 1L, "wav")))
+  }
 }

@@ -150,7 +150,8 @@ object Phash {
     * [[nearDupPairs]] over the whole corpus (PhashSpec pins it). */
   def incrementalNearDupPairs(existingHashes: DataFrame,
       newHashes: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4, broadcastNew: Boolean = false): DataFrame = {
+      bands: Int = 4, broadcastNew: Boolean = false,
+      carry: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && bands > maxHamming,
       "pigeonhole completeness needs bands > maxHamming")
     require(HashBits % bands == 0, s"bands must divide $HashBits")
@@ -158,29 +159,39 @@ object Phash {
     val mask = (1L << width) - 1
     def sliced(df: DataFrame): DataFrame = df
       .filter(col("hash").isNotNull)
-      .select(col("media_id"), col("hash"),
+      .select(col("media_id") +: col("hash") +: carry.map(col) :+
         posexplode(array((0 until bands).map(i =>
           shiftright(col("hash"), i * width).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "bv")))
+          .as(Seq("band", "bv")): _*)
+    def side(df: DataFrame, s: String) = df.select(
+      col("media_id").as(s"id_$s") +: col("hash").as(s"hash_$s") +:
+        carry.map(c => col(c).as(s"${c}_$s")) :+
+        col("band") :+ col("bv"): _*)
     val nb = sliced(newHashes)
     // new probes (old ∪ new); id order is normalized AFTER the join —
     // an id_new < id_other filter on the union side would drop
     // new×old pairs where the new id happens to be larger
     val other = sliced(existingHashes).unionByName(nb)
-    val probe0 = nb.select(col("media_id").as("id_new"),
-      col("hash").as("hash_new"), col("band"), col("bv"))
+    val probe0 = side(nb, "new")
     // the new batch is the small side: force the hash join to stream
     // the (100 TB-scale) index and replicate only the batch's slices
     val probe = if (broadcastNew) broadcast(probe0) else probe0
+    // carried columns are emitted in normalized (a, b) orientation so
+    // downstream alignment sees the same schema as nearDupPairs(carry)
+    val aFirst = col("id_new") < col("id_other")
+    val carried = carry.flatMap(c => Seq(
+      when(aFirst, col(s"${c}_new")).otherwise(col(s"${c}_other"))
+        .as(s"${c}_a"),
+      when(aFirst, col(s"${c}_other")).otherwise(col(s"${c}_new"))
+        .as(s"${c}_b")))
     probe
-      .join(other.select(col("media_id").as("id_other"),
-        col("hash").as("hash_other"), col("band"), col("bv")),
-        Seq("band", "bv"))
+      .join(side(other, "other"), Seq("band", "bv"))
       .filter(col("id_new") =!= col("id_other"))
-      .select(least(col("id_new"), col("id_other")).as("id_a"),
-        greatest(col("id_new"), col("id_other")).as("id_b"),
+      .select(least(col("id_new"), col("id_other")).as("id_a") +:
+        greatest(col("id_new"), col("id_other")).as("id_b") +:
+        carried :+
         bit_count(col("hash_new").bitwiseXOR(col("hash_other")))
-          .cast("long").as("hamming"))
+          .cast("long").as("hamming"): _*)
       .filter(col("hamming") <= maxHamming)
       // one row per pair: collapses band multiplicity AND the double
       // orientation of new×new pairs (hamming is symmetric)

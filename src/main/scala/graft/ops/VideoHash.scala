@@ -100,10 +100,47 @@ object VideoHash {
   def nearDupVideos(frameHashes: DataFrame, maxHamming: Int = 3,
       bands: Int = 4, minOverlap: Double = 0.5,
       minMatched: Int = 2): DataFrame = {
-    val fh = frameHashes.select(col("media_id"), col("frame_no"),
-      col("hash")).filter(col("hash").isNotNull)
-    val framePairs = Phash.nearDupPairs(fh, maxHamming, bands,
-      carry = Seq("frame_no"))
+    val fh = clean(frameHashes)
+    alignPairs(
+      Phash.nearDupPairs(fh, maxHamming, bands, carry = Seq("frame_no")),
+      fh, minOverlap, minMatched)
+  }
+
+  /** INCREMENTAL clip-level near-dup: alignment pairs for a NEW batch
+    * of clips against an EXISTING persisted frame-hash index —
+    * [[Phash.incrementalNearDupPairs]] lifted to sequences. Emits
+    * new×old and new×new clip pairs; old×old never re-forms.
+    *
+    * Accumulation contract: clips must arrive WHOLE (all frame rows of
+    * a clip in one batch — clips are single binary rows upstream, so
+    * their hashes are emitted together). Then a pair is scored exactly
+    * once, when the later of its two clips arrives, with BOTH frame
+    * sets complete — so the union of per-batch outputs equals the
+    * one-shot [[nearDupVideos]] over everything seen (VideoHashSpec
+    * pins it, largest-ids-first). Denominators come from the combined
+    * index: old clips' sampled counts are read from `existingHashes`,
+    * never recomputed from the batch. */
+  def incrementalNearDupVideos(existingHashes: DataFrame,
+      newHashes: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      minOverlap: Double = 0.5, minMatched: Int = 2,
+      broadcastNew: Boolean = false): DataFrame = {
+    val ex = clean(existingHashes)
+    val nw = clean(newHashes)
+    alignPairs(
+      Phash.incrementalNearDupPairs(ex, nw, maxHamming, bands,
+        broadcastNew, carry = Seq("frame_no")),
+      ex.unionByName(nw), minOverlap, minMatched)
+  }
+
+  private def clean(frameHashes: DataFrame): DataFrame =
+    frameHashes.select(col("media_id"), col("frame_no"), col("hash"))
+      .filter(col("hash").isNotNull)
+
+  /** Shared alignment tail: frame pairs → per-(pair, offset) vote →
+    * best offset (matched desc, offset asc — total order) → score
+    * over min sampled count. `fh` supplies the denominators. */
+  private def alignPairs(framePairs: DataFrame, fh: DataFrame,
+      minOverlap: Double, minMatched: Int): DataFrame = {
     val byOffset = framePairs
       .groupBy(col("id_a"), col("id_b"),
         (col("frame_no_a") - col("frame_no_b")).as("f_offset"))

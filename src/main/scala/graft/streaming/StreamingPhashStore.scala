@@ -95,4 +95,65 @@ object StreamingPhashStore {
     * contain no pairs but still defines the schema). */
   def pairs(store: TableStore, pairsTable: String): DataFrame =
     store.read(pairsTable)
+
+  // ---- SEQUENCE variant: video frame hashes / audio chunk hashes ----
+
+  /** [[attach]] for SEQUENCE hashes — a streaming
+    * (media_id, frame_no, hash) frame (video frame dHashes, audio
+    * chunk envelope hashes): per micro-batch, new CLIPS probe the
+    * persisted frame-hash index through the trim-robust alignment
+    * joiner ([[graft.ops.VideoHash.incrementalNearDupVideos]]) and
+    * fold in. Clips arrive WHOLE (a clip is one binary row upstream,
+    * its hashes are emitted together), so each clip pair is scored
+    * exactly once — when the later clip arrives, with both frame sets
+    * complete — and the pairs table after any prefix equals the
+    * one-shot `nearDupVideos` over every clip seen. Same
+    * manifest-free exactly-once argument as [[mergeBatch]]: both
+    * writes are keyed set unions, pairs commit before the index. */
+  def attachSequences(frameHashes: DataFrame, store: TableStore,
+      indexTable: String, pairsTable: String, maxHamming: Int = 3,
+      bands: Int = 4, minOverlap: Double = 0.5, minMatched: Int = 2,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    frameHashes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeSequenceBatch(batch, id, store, indexTable, pairsTable,
+          maxHamming, bands, minOverlap, minMatched)
+      }
+
+  /** Fold one batch of sequence hashes: emit the batch's clip-level
+    * alignment pairs against everything indexed, then index it.
+    * Freshness is CLIP-granular (anti-join on media_id): a replayed or
+    * re-ingested clip's frames are all already present, so it
+    * contributes nothing — its pairs were scored when it first
+    * arrived. */
+  def mergeSequenceBatch(batch: DataFrame, batchId: Long,
+      store: TableStore, indexTable: String, pairsTable: String,
+      maxHamming: Int = 3, bands: Int = 4, minOverlap: Double = 0.5,
+      minMatched: Int = 2): Unit = {
+    val newHashes = batch
+      .select(col("media_id"), col("frame_no"), col("hash"))
+      .filter(col("hash").isNotNull)
+      .dropDuplicates("media_id", "frame_no")
+    if (!store.exists(indexTable)) {
+      val pairs = graft.ops.VideoHash.nearDupVideos(newHashes,
+        maxHamming, bands, minOverlap, minMatched)
+      store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
+      store.insertIfAbsent(indexTable, newHashes,
+        Seq("media_id", "frame_no"))
+    } else {
+      val existing = store.read(indexTable)
+      val fresh = newHashes.join(
+        existing.select(col("media_id")).distinct(),
+        Seq("media_id"), "left_anti")
+      if (fresh.isEmpty) return // full replay / duplicate ingest: no-op
+      val pairs = graft.ops.VideoHash.incrementalNearDupVideos(existing,
+        fresh, maxHamming, bands, minOverlap, minMatched,
+        broadcastNew = true)
+      store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
+      store.insertIfAbsent(indexTable, fresh, Seq("media_id", "frame_no"))
+    }
+  }
 }

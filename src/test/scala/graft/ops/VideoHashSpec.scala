@@ -119,4 +119,28 @@ class VideoHashSpec extends SparkTestBase {
     assert(counts(0L) == 6L)
     assert(counts(1L) == 5L, "truncated tail frame must be dropped, not thrown")
   }
+
+  test("incremental clip ingest: accumulated batch pairs equal the one-shot alignment") {
+    implicit val s = spark
+    val clips = VideoHash.syntheticNearDupClips(spark, 8) // ids 0..23
+    val fh = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"f_offset", $"matched", $"n_a", $"n_b",
+        $"score", $"is_near")
+        .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+        .collect().toSet
+    // clips arrive whole, LARGEST ids first (the orientation trap)
+    val b1 = fh.filter($"media_id" >= 16)
+    val b2 = fh.filter($"media_id" >= 8 && $"media_id" < 16)
+    val b3 = fh.filter($"media_id" < 8)
+    val accumulated =
+      rows(VideoHash.nearDupVideos(b1)) ++
+        rows(VideoHash.incrementalNearDupVideos(b1, b2)) ++
+        rows(VideoHash.incrementalNearDupVideos(b1.unionByName(b2), b3))
+    val oneShot = rows(VideoHash.nearDupVideos(fh))
+    assert(accumulated == oneShot)
+    assert(oneShot.exists(_._8), "fixture planted no near-dup clips")
+    fh.unpersist()
+  }
 }

@@ -125,4 +125,45 @@ class PhashStoreSpec extends SparkTestBase {
     assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
       Set((1L, 3L, 0L)))
   }
+
+  // ---- sequence (frame/chunk hash) variant ----
+
+  private def clipFrameHashes(nBase: Int) = {
+    implicit val s = spark
+    graft.ops.VideoHash.frameDhash(
+      graft.ops.VideoHash.syntheticNearDupClips(spark, nBase),
+      "media_id", "content", frameStride = 2, pixelStride = 8)
+      .select($"media_id", $"frame_no", $"hash")
+  }
+
+  private def alignSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id_a", $"id_b", $"f_offset", $"matched", $"is_near")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+
+  test("sequence store: clip-pair alignments after every prefix equal the one-shot join") {
+    val all = clipFrameHashes(8).cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phseq_").toString)
+    val batches = Seq(
+      all.filter($"media_id" >= 16),
+      all.filter($"media_id" >= 8 && $"media_id" < 16),
+      all.filter($"media_id" < 8))
+    var seen = all.limit(0)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPhashStore.mergeSequenceBatch(b, i.toLong, store,
+        "fidx", "fpairs")
+      seen = seen.unionByName(b)
+      assert(alignSet(StreamingPhashStore.pairs(store, "fpairs")) ==
+        alignSet(graft.ops.VideoHash.nearDupVideos(seen)),
+        s"prefix through batch $i diverged from one-shot alignment")
+    }
+    assert(store.read("fidx").count() == all.count())
+    // replay of the last batch: content AND versions unchanged
+    val vIdx = store.versions("fidx"); val vP = store.versions("fpairs")
+    StreamingPhashStore.mergeSequenceBatch(batches.last, 2L, store,
+      "fidx", "fpairs")
+    assert(store.versions("fidx") == vIdx &&
+      store.versions("fpairs") == vP, "replay must not write")
+    all.unpersist()
+  }
 }

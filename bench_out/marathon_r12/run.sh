@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-7 final marathon: 3 official-format Bench runs on HEAD (99fd0e3,
+# post quiet-gate + iterative job-constant shave + via-baskets BFS +
+# q305/q306), 180s cooldown between runs. Bench itself now quiet-gates
+# (polls 1-min loadavg < 1.0, cap 600s, records waited_s).
+cd /tmp/benchrepo_r7
+for i in 1 2 3; do
+  echo "=== BENCH RUN $i start $(date +%T) load=$(cat /proc/loadavg)" >> /tmp/marathon_r12/marathon.log
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" \
+    > /tmp/marathon_r12/run$i.stdout 2> /tmp/marathon_r12/run$i.stderr
+  rc=$?
+  echo "=== BENCH RUN $i end $(date +%T) rc=$rc" >> /tmp/marathon_r12/marathon.log
+  grep '"metric"' /tmp/marathon_r12/run$i.stdout | head -1 > /tmp/marathon_r12/run$i.full.json
+  if [ $i -lt 3 ]; then sleep 180; fi
+done
+echo MARATHON_DONE >> /tmp/marathon_r12/marathon.log

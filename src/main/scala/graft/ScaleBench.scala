@@ -25,14 +25,14 @@ import graft.ops.{Associations, Components, Contamination, Curation, Dedup,
   * per (op, m): {"op":…,"m":…,"in_rows":…,"out_rows":…,"sec":…}
   *
   * `--quick` is the CI-able regression mode (judge round-3 ask #6):
-  * m ∈ {1,4}, only the eight heaviest operators, finishes well under
+  * m ∈ {1,4}, only the nine heaviest operators, finishes well under
   * 10 min on a quiet 32-thread box, and records the slope table to
   * `SCALE_QUICK.json` so the next round can DIFF scale behavior the
   * same way CORRECTNESS diffs answers.
   */
 object ScaleBench {
 
-  /** The eight cost centers the plan audit names — the quick gate's
+  /** The nine cost centers the plan audit names — the quick gate's
     * coverage set. */
   val QuickOps: Set[String] = Set("minhash_lsh", "prefix_jaccard_join",
     "components", "pagerank", "triangles", "weighted_paths",
@@ -40,7 +40,9 @@ object ScaleBench {
     // m=1→4 must sit near √4 = 2, not 4
     "pq_adc",
     // round-6: the banded-Hamming image near-dup (decode+hash+pair)
-    "phash_neardup")
+    "phash_neardup",
+    // round-7: the sequence-alignment near-dup (q305/q306 machinery)
+    "seq_align")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -52,6 +54,21 @@ object ScaleBench {
       else Seq(1, 2, 5, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    // same quiet-gate as Bench: slopes are 2-point sec ratios, so
+    // ambient load on either point forges a >25% "regression" and the
+    // gate cries wolf (measured: triangles 2.65 → >3.31 across two
+    // back-to-back runs). Wait for a quiet machine before timing.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
+    val (waitedS, loadAt) = Bench.awaitQuiet(
+      () => os.getSystemLoadAverage,
+      ms => { System.err.println(
+        f"[scale] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f, " +
+          f"waiting ${ms / 1e3}%.0f s")
+        Thread.sleep(ms) },
+      maxWaitS * 1000L, 15000L)
+    System.err.println(
+      f"[scale] starting at loadavg $loadAt%.2f after $waitedS%.0f s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -233,6 +250,18 @@ object ScaleBench {
         val imgs = graft.ops.Phash.syntheticScaleImages(spark, 1200 * m)
         graft.ops.Phash.nearDupPairs(
           graft.ops.Phash.dhash(imgs, "media_id", "content", 2)(spark))
+      }
+      timeOp("seq_align", m, 800L * m) {
+        // round-7 flagship: the sequence-ALIGNMENT family (q305/q306) —
+        // per-clip frame hashes through the carried banded join, then
+        // the offset vote. The saturation-free fixture plants exactly
+        // one trimmed+re-encoded twin pair per base, so out_rows must
+        // grow linearly with clips; a super-linear slope here means the
+        // vote or the carried join leaked a cross-clip blow-up
+        val clips = graft.ops.VideoHash.syntheticScaleClips(spark, 400 * m)
+        graft.ops.VideoHash.nearDupVideos(
+          graft.ops.VideoHash.frameDhash(clips, "media_id", "content",
+            frameStride = 2, pixelStride = 8)(spark))
       }
       timeOp("pq_adc", m, nEmb) {
         // sublinear-shortlist evidence (round-6 verdict ask #3):

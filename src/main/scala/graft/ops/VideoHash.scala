@@ -192,6 +192,53 @@ object VideoHash {
     *
     * All frame counts are even and the trim is 2, so stride-2 sampling
     * keeps twins aligned (sampled parity survives the trim). */
+  /** Scale-corpus generator (ScaleBench `seq_align`): nBase bases × 2
+    * clips — the base (6 frames) and its TRIMMED (first 2 frames cut)
+    * re-encoded (+8) twin. Block values come from an LCG-style integer
+    * MIXER, not structured gradients: a random 8×8 grid's dHash is a
+    * near-uniform 56-bit word, so two frames of different (base,
+    * frame) land within Hamming 3 with probability ≈ 3·10⁴/2⁵⁶ — no
+    * accidental pairs at any tested corpus, and the aligned-pair count
+    * grows LINEARLY (exactly one planted offset-2 twin pair per base).
+    * STRUCTURED slope-class grids fail here even with ≈10⁶ nominal
+    * patterns (measured: 8.8k pairs from 800 clips, 128k from 3200 —
+    * quadratic): their dHash bits are wrap-position signatures of a
+    * LINEAR field, far more collision-prone than the class count
+    * suggests. The q305 gate fixture keeps its small symbolic pattern
+    * space because its ORACLE must replay it; this fixture only needs
+    * determinism. */
+  def syntheticScaleClips(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 2L).as[Long].mapPartitions(_.map { i =>
+      val k = (i / 2).toInt
+      val t = (i % 2).toInt
+      def v(f: Int, bx: Int, by: Int): Int = {
+        // splitmix64 finalizer: every input bit reaches every output
+        // bit — a bare linear combination leaves adjacent blocks
+        // near-monotone and dHash degenerates to all-ones (measured:
+        // ALL C(800,2) clip pairs "matched")
+        var h = k.toLong * 0x9E3779B97F4A7C15L +
+          f * 0xBF58476D1CE4E5B9L + (bx * 8 + by) * 0x94D049BB133111EBL
+        h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+        h ^= h >>> 27; h *= 0x94D049BB133111EBL
+        h ^= h >>> 31
+        ((h & 0x7fffffffL) % 199).toInt + 20
+      }
+      val nf = if (t == 0) 6 else 4
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nf) {
+        val ff = f // stable capture for the encoder callback
+        out.write(Jpeg.encodeUniformBlocks(64, 64, gray = true,
+          sub420 = false, restartEvery = 0,
+          (_, bx, by) =>
+            if (t == 0) v(ff, bx, by) else v(ff + 2, bx, by) + 8))
+        f += 1
+      }
+      (i, out.toByteArray)
+    }).toDF("media_id", "content")
+  }
+
   def syntheticNearDupClips(spark: SparkSession, nBase: Int): DataFrame = {
     import spark.implicits._
     spark.range(nBase * 3L).as[Long].mapPartitions(_.map { i =>

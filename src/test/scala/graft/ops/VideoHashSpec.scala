@@ -143,4 +143,19 @@ class VideoHashSpec extends SparkTestBase {
     assert(oneShot.exists(_._8), "fixture planted no near-dup clips")
     fh.unpersist()
   }
+
+  test("scale fixture: exactly one planted offset-2 twin pair per base, zero accidents") {
+    implicit val s = spark
+    val clips = VideoHash.syntheticScaleClips(spark, 60)
+    val fh = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8)
+    val r = VideoHash.nearDupVideos(fh)
+      .select($"id_a", $"id_b", $"f_offset", $"score", $"is_near")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r.length == 60, s"accidental pairs polluted the fixture: ${r.length}")
+    r.foreach { case (a, b, off, score, near) =>
+      assert(b == a + 1 && a % 2 == 0, s"non-twin pair ($a,$b)")
+      assert(off == 2L && score == 1.0 && near, s"twin misaligned: $off $score")
+    }
+  }
 }

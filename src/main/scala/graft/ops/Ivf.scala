@@ -89,6 +89,66 @@ object Ivf {
     }
   }
 
+  /** Lloyd's k-means over MANY GROUPS AT ONCE — one job per iteration
+    * for ALL groups, where per-group loops pay m×(iters+1) sequential
+    * driver jobs (the measured q301/q302 wall at cpu ~2: tiny data,
+    * orchestration-bound). `longVd` is (groupCol: int 0..nGroups−1,
+    * idCol, vd); the trajectory is BIT-IDENTICAL to running
+    * [[trainCentroidsNormed]] per group: the init set is each group's
+    * k lowest-id vectors, per-option distances are the same
+    * −2·dot(v,c)+‖c‖² with ‖c‖² computed driver-side in the same
+    * order, argmin is the same first-position-of-min, and the means
+    * are the same per-(group, cluster, dim) AVG — q301/q302's
+    * hash-gated oracles replay the trained codebooks unchanged.
+    * Centroids ship as ONE 3-D typedLit (constant-pool reference), and
+    * the per-option loop is a zip_with lambda — generated code is
+    * CONSTANT-SIZE in k, so no per-iteration codegen blow-up either. */
+  def trainCentroidsPerGroup(longVd: DataFrame, groupCol: String,
+      idCol: String, nGroups: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val initRows = longVd
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(g).orderBy(col(idCol))))
+      .filter(col("_rk") <= k)
+      .select(g.cast("int").as("_g"), col("_rk"), col("vd"))
+      .collect()
+    var centroids: Array[Array[Array[Double]]] = Array.tabulate(nGroups) {
+      gi =>
+        initRows.filter(_.getInt(0) == gi).sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray)
+    }
+    for (_ <- 1 to iters) {
+      val cmat = typedLit(centroids.map(_.map(_.toSeq).toSeq).toSeq)
+      // ‖c‖² driver-side, same per-centroid fold as distScore's c2
+      val c2 = typedLit(centroids.map(_.map(c =>
+        c.map(x => x * x).sum).toSeq).toSeq)
+      val dists = zip_with(element_at(cmat, g + 1),
+        element_at(c2, g + 1),
+        (c, c2v) => lit(-2.0) * Similarity.dot(col("vd"), c) + c2v)
+      val cluster =
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      val means = longVd
+        .select(g.cast("int").as("_g"), cluster.as("cluster"),
+          posexplode(col("vd")))
+        .groupBy(col("_g"), col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      centroids = centroids.zipWithIndex.map { case (cs, gi) =>
+        cs.zipWithIndex.map { case (old, ci) =>
+          byKey.get((gi, ci)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+            case None => old // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    centroids
+  }
+
   /** Approximate top-k via the IVF index. */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,

@@ -70,11 +70,17 @@ object Pq {
       ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
-    (0 until m).map { j =>
-      val subVd = vdf.select(col(idCol),
-        slice(col("vd"), j * sub + 1, sub).as("vd"))
-      Ivf.trainCentroidsNormed(subVd, idCol, ksub, iters)
-    }.toArray
+    // ALL m subspaces train in one batched Lloyd's — one job per
+    // iteration instead of m×(iters+1) sequential jobs (the r7
+    // low-cpu-wall fix; trajectory bit-identical per subspace, see
+    // Ivf.trainCentroidsPerGroup).
+    // cache sweep r7: track — the long frame is one slice-explode
+    // projection of the caller's (possibly cached) residual frame,
+    // linear recompute; it is re-read once per Lloyd iteration.
+    val long = Caches.track(vdf.select(col(idCol),
+      posexplode(array((0 until m).map(j =>
+        slice(col("vd"), j * sub + 1, sub)): _*)).as(Seq("j", "vd"))))
+    Ivf.trainCentroidsPerGroup(long, "j", idCol, m, ksub, iters)
   }
 
   /** PQ code array (m entries, each 0..ksub-1) for a full vector

@@ -40,6 +40,23 @@ object Bench {
     (waited / 1e3, load)
   }
 
+  /** Blocking quiet-gate against the real clock and loadavg — the
+    * shared front door of both benchmark mains (Bench, ScaleBench):
+    * wait up to SPARK_GRAFT_QUIET_WAIT_S (default 600 s) for the 1-min
+    * loadavg to drop under [[ContendedLoadThreshold]], polling every
+    * 15 s; returns (waitedSeconds, loadavgAtStart). */
+  def quietGateBlocking(tag: String): (Double, Double) = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
+    awaitQuiet(
+      () => os.getSystemLoadAverage,
+      ms => { System.err.println(
+        f"[$tag] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f > " +
+          f"$ContendedLoadThreshold%.1f, waiting ${ms / 1e3}%.0f s")
+        Thread.sleep(ms) },
+      maxWaitS * 1000L, 15000L)
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -64,19 +81,10 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // quiet-gate BEFORE the session exists (loadavg is pure ambient
-    // here): wait up to SPARK_GRAFT_QUIET_WAIT_S (default 600 s) for the
-    // 1-min loadavg to fall under the certification threshold, polling
-    // every 15 s. loadBefore is the loadavg the run ACTUALLY started
-    // at — the contended flag keeps its meaning; waited_s records the
-    // gate's cost.
-    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
-    val (waitedS, loadBefore) = awaitQuiet(
-      () => os.getSystemLoadAverage,
-      ms => { System.err.println(
-        f"[bench] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f > " +
-          f"$ContendedLoadThreshold%.1f, waiting ${ms / 1e3}%.0f s")
-        Thread.sleep(ms) },
-      maxWaitS * 1000L, 15000L)
+    // here); loadBefore is the loadavg the run ACTUALLY started at —
+    // the contended flag keeps its meaning; waited_s records the
+    // gate's cost
+    val (waitedS, loadBefore) = quietGateBlocking("bench")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")

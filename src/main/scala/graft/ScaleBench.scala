@@ -58,15 +58,7 @@ object ScaleBench {
     // ambient load on either point forges a >25% "regression" and the
     // gate cries wolf (measured: triangles 2.65 → >3.31 across two
     // back-to-back runs). Wait for a quiet machine before timing.
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
-    val (waitedS, loadAt) = Bench.awaitQuiet(
-      () => os.getSystemLoadAverage,
-      ms => { System.err.println(
-        f"[scale] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f, " +
-          f"waiting ${ms / 1e3}%.0f s")
-        Thread.sleep(ms) },
-      maxWaitS * 1000L, 15000L)
+    val (waitedS, loadAt) = Bench.quietGateBlocking("scale")
     System.err.println(
       f"[scale] starting at loadavg $loadAt%.2f after $waitedS%.0f s")
     val spark = SparkSession.builder()

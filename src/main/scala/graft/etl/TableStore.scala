@@ -40,10 +40,14 @@ final class ConcurrentWriteException(msg: String)
   * the successful commits (CrossProcessStoreSpec races two JVMs to pin
   * it). Plain [[overwrite]] is content-independent and stays
   * last-writer-wins by design.
-  * CRASH SAFETY: a writer dying at any point leaves only a `._tmp`
-  * staging dir (ignored by reads, GC'd by [[compact]]), so a
+  * CRASH SAFETY: a writer dying during the COMPUTE leaves only a
+  * `._tmp` staging dir (ignored by reads, GC'd by [[compact]]), so a
   * checkpoint-replayed retry — the streaming/CDC restart path — simply
-  * stages again and succeeds; no manual cleanup is ever needed.
+  * stages again and succeeds. A writer dying inside the (ms-sized)
+  * COMMIT WINDOW additionally leaves its `_claim_v<N>` file: commits
+  * on that version number stall for at most
+  * [[TableStore.ClaimAgeMillis]] (30 s), then the next writer reclaims
+  * the number; no manual cleanup is ever needed either way.
   */
 object TableStore {
   /** Per-(root, table) commit monitors, JVM-wide — see
@@ -65,6 +69,18 @@ object TableStore {
     * lakehouse vacuums use); ConcurrentStoreSpec pins both sides
     * (fresh tmp survives, aged orphan is reclaimed). */
   val GcTmpAgeMillis: Long = 10 * 60 * 1000L
+
+  /** Age gate for reclaiming a CRASHED writer's commit-claim file
+    * (`_claim_v<N>`). Much shorter than the staging-dir gate because
+    * the claim window is only claim → rename → pointer swap —
+    * milliseconds of driver work, no parquet jobs — so 30 s is still
+    * 3–4 orders of magnitude of margin, while keeping the liveness
+    * cost of a mid-commit crash (all commits on that version number
+    * stall until reclaim) to seconds, not 10 minutes. A claimant
+    * suspended PAST the gate is fenced by its claim token: on resume
+    * it finds the claim re-owned and aborts instead of committing
+    * (commitStagedLocked's ownsClaim check). */
+  val ClaimAgeMillis: Long = 30 * 1000L
 }
 
 final class TableStore(spark: SparkSession, val root: String) {
@@ -204,12 +220,26 @@ final class TableStore(spark: SparkSession, val root: String) {
     *
     * Crash residue: a writer dying between claim and pointer swap
     * leaves `_claim_v<N>` (± a renamed `v<N>`). Racers within
-    * [[TableStore.GcTmpAgeMillis]] of the claim's mtime conservatively
-    * treat it as LIVE (the claim→pointer window is milliseconds; the
-    * gate is the same recency margin the tmp GC uses); past the gate
-    * the claim is reclaimed via an atomic RENAME-away — itself a CAS,
-    * so concurrent reclaimers cannot double-free or delete a fresh
-    * claim that replaced it.
+    * [[TableStore.ClaimAgeMillis]] of the claim's mtime conservatively
+    * treat it as LIVE (the claim→pointer window is milliseconds);
+    * past the gate the claim is reclaimed via an atomic RENAME-away —
+    * itself a CAS, so concurrent reclaimers cannot double-free — and
+    * the orphan `v<N>` dir is deleted only AFTER re-winning the claim
+    * (deleting it first would race a third writer that claimed and
+    * renamed in between).
+    *
+    * FENCING: each claim file carries a unique token; the committer
+    * re-reads it immediately before the pointer swap and aborts if it
+    * no longer owns the claim — so a claimant suspended past the age
+    * gate and reclaimed cannot resume and clobber the reclaimer's
+    * committed snapshot (and its cleanup never deletes a claim it
+    * does not own). The pointer swap itself also refuses to move
+    * BACKWARD. Residual window: the fence check and the pointer move
+    * are not one atomic step, so a writer suspended ≥ the age gate
+    * that resumes EXACTLY between them can still publish over the
+    * reclaimer — closing that needs a token-carrying pointer (the
+    * Delta/Iceberg commit-log shape this class documents as its
+    * 100 TB replacement).
     *
     * The same-JVM lock stays: it routes same-process writers through
     * the cheap exception paths instead of filesystem races. The
@@ -229,16 +259,26 @@ final class TableStore(spark: SparkSession, val root: String) {
       }
     }
     val claim = claimPath(table, next)
+    // fencing token: unique per commit attempt, written into the claim
+    // file at creation so a later reader can tell WHOSE claim it is
+    val token = s"${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}"
     def tryClaim(): Boolean =
-      try { Files.createFile(claim); true }
+      try {
+        Files.write(claim, token.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW)
+        true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def ownsClaim(): Boolean =
+      try new String(Files.readAllBytes(claim), "UTF-8") == token
+      catch { case _: Exception => false }
     if (!tryClaim()) {
       val cur = currentVersion(table).getOrElse(0)
       val age =
         try System.currentTimeMillis() -
           Files.getLastModifiedTime(claim).toMillis
         catch { case _: Exception => -1L } // claim vanished mid-look: race on
-      if (cur >= next || age < TableStore.GcTmpAgeMillis) {
+      if (cur >= next || age < TableStore.ClaimAgeMillis) {
         // committed already, or a LIVE writer inside its (ms-sized)
         // commit window — first-wins, we lose and retry upstream
         deleteRecursively(stage.toFile)
@@ -259,14 +299,18 @@ final class TableStore(spark: SparkSession, val root: String) {
             s"table $table: lost the reclaim race on v$next's stale claim")
       }
       Files.deleteIfExists(dead)
-      val orphanDir = Paths.get(dir(table), s"v$next")
-      if (Files.exists(orphanDir) && currentVersion(table).getOrElse(0) < next)
-        deleteRecursively(orphanDir.toFile)
+      // re-acquire BEFORE touching the orphan dir: in the gap after the
+      // rename-away a third writer may claim this number and rename its
+      // own snapshot to v<next> — deleting the dir without holding the
+      // claim would destroy that LIVE commit
       if (!tryClaim()) {
         deleteRecursively(stage.toFile)
         throw new ConcurrentWriteException(
           s"table $table: version v$next was re-claimed during reclaim")
       }
+      val orphanDir = Paths.get(dir(table), s"v$next")
+      if (Files.exists(orphanDir) && currentVersion(table).getOrElse(0) < next)
+        deleteRecursively(orphanDir.toFile)
     }
     try {
       val target = Paths.get(dir(table), s"v$next")
@@ -296,9 +340,20 @@ final class TableStore(spark: SparkSession, val root: String) {
                 "writer — rerun against the current snapshot")
           }
       }
+      // FENCE: a claimant suspended past the age gate may have been
+      // reclaimed while parked — re-verify ownership before the pointer
+      // moves, and never move the pointer backward (a resumed zombie
+      // must not replace or regress a successor's committed snapshot)
+      if (!ownsClaim() || currentVersion(table).getOrElse(0) >= next)
+        throw new ConcurrentWriteException(
+          s"table $table: lost the v$next claim while suspended — " +
+            "another writer reclaimed and committed; rerun")
       commit(table, next)
-    } finally Files.deleteIfExists(claim) // committed (pointer ≥ N) or failed:
-                                          // either way the number needs no guard
+    } finally {
+      // release only a claim we still OWN: after a reclaim, this path
+      // must not delete the new owner's claim file
+      if (ownsClaim()) Files.deleteIfExists(claim)
+    }
   }
 
   /** Write a full new snapshot and commit it via pointer swap.

@@ -40,53 +40,22 @@ object Bfs {
     val sym = Caches.materialize(
       canon.select(col("a").as("s"), col("b").as("t"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"))))
-    // cache sweep r6: track — seed-sized initial frontier, linear
-    // distinct recompute; per-round state below goes through materialize
-    var dist = Caches.track(
-      sources.select(col(sources.columns.head).cast("long").as("n"))
-        .distinct()
-        .withColumn("dist", lit(0L)))
-    var distCount = dist.count()
-    var round = 0
-    var waveDone = false
-    while (round < rounds && !waveDone) {
-      // neighbors of every labeled node, one hop further; MIN collapses
-      // multi-parent reaches map-side before the shuffle. (A frontier-
-      // only expansion was MEASURED SLOWER here — r7: 3.6 s vs 3.5 s on
-      // q209, 5.5 s vs 3.7 s on q214's weighted twin — because the
-      // per-round change-set checkpoint costs a node-sized cache write
-      // and its exchange, while the full merge below reuses dist's
-      // preserved hash partitioning; on this saturating graph the
-      // frontier shrinks too late to pay for itself.)
-      val cand = sym
-        .join(dist.withColumnRenamed("n", "s"), Seq("s"))
-        .select(col("t").as("n"), (col("dist") + 1L).as("cand"))
-        .groupBy(col("n"))
-        .agg(min(col("cand")).as("cand"))
-      // BFS monotonicity: an already-labeled node can never improve
-      // (its neighbors are at dist-1 or later), so the merge only ADDS
-      // nodes — LEAST keeps existing labels and admits first reaches.
-      // materializeCount fuses the convergence probe into the
-      // materializing job: ONE job per round, where eager materialize
-      // + two count probes paid three (round-7 ask #4 — the iterative-
-      // family constant was the largest certifiable block of bench
-      // wall-time).
-      val (merged, mergedCount) = Caches.materializeCount(
-        dist.join(cand, Seq("n"), "full_outer")
-          .select(col("n"),
-            least(coalesce(col("dist"), col("cand")),
-              coalesce(col("cand"), col("dist"))).as("dist")))
-      // early exit: a round that reaches nobody new ends the wave; every
-      // further round is a provable no-op (same-count ⇒ same-set here,
-      // because rows are only ever added)
-      waveDone = mergedCount == distCount
-      dist = merged
-      distCount = mergedCount
-      round += 1
+    // (A frontier-only expansion was MEASURED SLOWER here — r7: 3.6 s
+    // vs 3.5 s on q209, 5.5 s vs 3.7 s on q214's weighted twin —
+    // because the per-round change-set checkpoint costs a node-sized
+    // cache write and its exchange, while the full merge reuses dist's
+    // preserved hash partitioning; on this saturating graph the
+    // frontier shrinks too late to pay for itself.)
+    val (dist, waveDone) = countProbedWave(seedDist(sources), rounds) {
+      labels =>
+        // neighbors of every labeled node, one hop further; MIN
+        // collapses multi-parent reaches map-side before the shuffle
+        sym.join(labels.withColumnRenamed("n", "s"), Seq("s"))
+          .select(col("t").as("n"), (col("dist") + 1L).as("cand"))
+          .groupBy(col("n"))
+          .agg(min(col("cand")).as("cand"))
     }
-    val converged = broadcast(dist.sparkSession.range(1)
-      .select(lit(waveDone).as("converged")))
-    dist.crossJoin(converged)
+    withConverged(dist, waveDone)
   }
 
   /** [[hopDistances]] over a CO-OCCURRENCE graph ("items adjacent iff
@@ -115,37 +84,20 @@ object Bfs {
     val bi = Caches.materializeLazy(
       baskets.select(col(basketCol).cast("long").as("b"),
         col(itemCol).cast("long").as("i")).distinct())
-    // cache sweep r7: track — seed-sized, linear distinct recompute
-    var dist = Caches.track(
-      sources.select(col(sources.columns.head).cast("long").as("n"))
-        .distinct()
-        .withColumn("dist", lit(0L)))
-    var distCount = dist.count()
-    var round = 0
-    var waveDone = false
-    while (round < rounds && !waveDone) {
-      // labeled items → their baskets (min label per basket, map-side)
-      val viaBaskets = bi
-        .join(dist.withColumnRenamed("n", "i"), Seq("i"))
-        .groupBy(col("b")).agg(min(col("dist")).as("bd"))
-      // baskets → their items, one hop further; an item re-reaching
-      // itself is harmless (LEAST keeps the existing smaller label)
-      val cand = bi.join(viaBaskets, Seq("b"))
-        .select(col("i").as("n"), (col("bd") + 1L).as("cand"))
-        .groupBy(col("n")).agg(min(col("cand")).as("cand"))
-      val (merged, mergedCount) = Caches.materializeCount(
-        dist.join(cand, Seq("n"), "full_outer")
-          .select(col("n"),
-            least(coalesce(col("dist"), col("cand")),
-              coalesce(col("cand"), col("dist"))).as("dist")))
-      waveDone = mergedCount == distCount
-      dist = merged
-      distCount = mergedCount
-      round += 1
+    val (dist, waveDone) = countProbedWave(seedDist(sources), rounds) {
+      labels =>
+        // labeled items → their baskets (min label per basket,
+        // map-side), then baskets → their items, one hop further; an
+        // item re-reaching itself is harmless (LEAST keeps the
+        // existing smaller label)
+        val viaBaskets = bi
+          .join(labels.withColumnRenamed("n", "i"), Seq("i"))
+          .groupBy(col("b")).agg(min(col("dist")).as("bd"))
+        bi.join(viaBaskets, Seq("b"))
+          .select(col("i").as("n"), (col("bd") + 1L).as("cand"))
+          .groupBy(col("n")).agg(min(col("cand")).as("cand"))
     }
-    val converged = broadcast(dist.sparkSession.range(1)
-      .select(lit(waveDone).as("converged")))
-    dist.crossJoin(converged)
+    withConverged(dist, waveDone)
   }
 
   /** Weighted single/multi-source shortest paths: fixed-round
@@ -175,12 +127,7 @@ object Bfs {
       canon.select(col("a").as("s"), col("b").as("t"), col("w"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"),
           col("w"))))
-    // cache sweep r6: track — seed-sized initial frontier, linear
-    // distinct recompute; per-round state below goes through materialize
-    var dist = Caches.track(
-      sources.select(col(sources.columns.head).cast("long").as("n"))
-        .distinct()
-        .withColumn("dist", lit(0L)))
+    var dist = seedDist(sources)
     var round = 0
     var fixpoint = false
     while (round < rounds && !fixpoint) {
@@ -208,8 +155,53 @@ object Bfs {
       dist = merged
       round += 1
     }
+    withConverged(dist, fixpoint)
+  }
+
+  /** Seed frame: distinct source ids at distance 0 (tracked — seed-
+    * sized, linear distinct recompute; per-round state goes through
+    * materializeCount inside the wave loop). */
+  private def seedDist(sources: DataFrame): DataFrame =
+    Caches.track(
+      sources.select(col(sources.columns.head).cast("long").as("n"))
+        .distinct()
+        .withColumn("dist", lit(0L)))
+
+  /** The shared count-probed BFS wave loop: per round, derive the
+    * (n, cand) one-hop candidates from the current labels via `expand`,
+    * LEAST-merge them in (BFS monotonicity — an already-labeled node
+    * can never improve, so the merge only ADDS rows and same-count ⇒
+    * same-set), with the convergence probe FUSED into the materializing
+    * job (materializeCount: ONE job per round, where eager materialize
+    * + two count probes paid three — round-7 ask #4, the iterative-
+    * family constant was the largest certifiable block of bench
+    * wall-time). Returns (final labels, converged). */
+  private def countProbedWave(dist0: DataFrame, rounds: Int)(
+      expand: DataFrame => DataFrame): (DataFrame, Boolean) = {
+    var dist = dist0
+    var distCount = dist.count()
+    var round = 0
+    var waveDone = false
+    while (round < rounds && !waveDone) {
+      val cand = expand(dist)
+      val (merged, mergedCount) = Caches.materializeCount(
+        dist.join(cand, Seq("n"), "full_outer")
+          .select(col("n"),
+            least(coalesce(col("dist"), col("cand")),
+              coalesce(col("cand"), col("dist"))).as("dist")))
+      // early exit: a round that reaches nobody new ends the wave
+      waveDone = mergedCount == distCount
+      dist = merged
+      distCount = mergedCount
+      round += 1
+    }
+    (dist, waveDone)
+  }
+
+  /** The converged red-flag column, broadcast onto every row. */
+  private def withConverged(dist: DataFrame, flag: Boolean): DataFrame = {
     val converged = broadcast(dist.sparkSession.range(1)
-      .select(lit(fixpoint).as("converged")))
+      .select(lit(flag).as("converged")))
     dist.crossJoin(converged)
   }
 }

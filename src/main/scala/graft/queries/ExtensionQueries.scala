@@ -1164,7 +1164,7 @@ object ExtensionQueries {
                       WHEN 1 THEN 4 + 2 * (k % 3)
                       ELSE 6 END AS nf
         FROM ids),
-      g AS (
+      g AS MATERIALIZED (
         -- sampled frame f of clip i, dHash grid cell (gx,gy) = the
         -- DC block value (uniform 8x8 blocks, box mean is exact)
         SELECT m.i, f.f, gx.gx, gy.gy,
@@ -1186,7 +1186,7 @@ object ExtensionQueries {
         JOIN generate_series(0, 9) f(f) ON f.f < m.nf AND f.f % 2 = 0
         CROSS JOIN generate_series(0, 7) gx(gx)
         CROSS JOIN generate_series(0, 7) gy(gy)),
-      h AS (
+      h AS MATERIALIZED (
         SELECT a.i, a.f,
                CAST(SUM(CASE WHEN b.gv > a.gv
                  THEN 1::BIGINT << (a.gy * 7 + a.gx) ELSE 0 END)
@@ -1196,7 +1196,8 @@ object ExtensionQueries {
                 AND b.gx = a.gx + 1
         WHERE a.gx < 7
         GROUP BY 1, 2),
-      cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+      cnt AS MATERIALIZED (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
       fp AS (
         -- brute-force quadratic frame-pair scan: what the banded join
         -- must equal
@@ -1271,10 +1272,10 @@ object ExtensionQueries {
                END AS v
         FROM geom g
         JOIN generate_series(0, 3419) f(f) ON f.f < g.nc * 570),
-      e AS (
+      e AS MATERIALIZED (
         SELECT i, c, w, CAST(SUM(v * v) AS BIGINT) AS ew
         FROM sv GROUP BY 1, 2, 3),
-      h AS (
+      h AS MATERIALIZED (
         SELECT a.i, a.c,
                CAST(SUM(CASE WHEN b.ew > a.ew
                  THEN 1::BIGINT << a.w ELSE 0 END) AS BIGINT) AS hv
@@ -1282,7 +1283,8 @@ object ExtensionQueries {
         JOIN e b ON a.i = b.i AND a.c = b.c AND b.w = a.w + 1
         WHERE a.w < 56
         GROUP BY 1, 2),
-      cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+      cnt AS MATERIALIZED (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
       fp AS (
         SELECT a.i AS ia, b.i AS ib, a.c AS ca, b.c AS cb
         FROM h a JOIN h b ON a.i < b.i

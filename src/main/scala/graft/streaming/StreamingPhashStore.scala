@@ -38,8 +38,9 @@ import graft.ops.Phash
   * seen so far — the accumulation identity PhashSpec proves for the
   * batch-incremental fold, carried over the persisted store.
   *
-  * Scale shape: the index is probed in place (the day-sized new batch
-  * is broadcast — `broadcastNew = true`); index growth is one keyed
+  * Scale shape: the index is probed in place (a day-sized new batch
+  * broadcasts; past [[BroadcastBatchRows]] the hint is dropped and the
+  * planner shuffle-joins instead); index growth is one keyed
   * anti-join + union per batch (`TableStore.insertIfAbsent`), O(index)
   * rewrite here, the seam a lakehouse MERGE makes O(delta) at 100 TB.
   * State is the hash table (8 bytes per media row), never pair-
@@ -63,6 +64,13 @@ object StreamingPhashStore {
           maxHamming, bands)
       }
 
+  /** A batch bigger than this probes the index through a SHUFFLE join
+    * instead of a forced broadcast: the explicit hint bypasses the
+    * planner's size check, and a multi-day catch-up batch replayed by
+    * AvailableNow would otherwise broadcast its 4×-band-exploded slices
+    * into driver memory. Day-sized batches stay comfortably under. */
+  val BroadcastBatchRows: Long = 200000L
+
   /** Fold one batch of media hashes into the store: emit its near-dup
     * pairs against everything already indexed, then index it. Poison
     * rows (NULL hash) and duplicate media_ids within the batch are
@@ -72,9 +80,14 @@ object StreamingPhashStore {
   def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
       indexTable: String, pairsTable: String, maxHamming: Int = 3,
       bands: Int = 4): Unit = {
+    // DETERMINISTIC per-key dedup (min hash), not dropDuplicates: the
+    // two insertIfAbsent actions re-execute this plan, and
+    // dropDuplicates' pick-any-row-per-key can differ between the two
+    // executions — pairs computed from one hash, the index persisting
+    // another, silently breaking the prefix ≡ one-shot invariant
     val newHashes = batch.select(col("media_id"), col("hash"))
       .filter(col("hash").isNotNull)
-      .dropDuplicates("media_id")
+      .groupBy(col("media_id")).agg(min(col("hash")).as("hash"))
     if (!store.exists(indexTable)) {
       val pairs = Phash.nearDupPairs(newHashes, maxHamming, bands)
       store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
@@ -82,9 +95,10 @@ object StreamingPhashStore {
     } else {
       val existing = store.read(indexTable)
       val fresh = newHashes.join(existing, Seq("media_id"), "left_anti")
-      if (fresh.isEmpty) return // full replay / duplicate ingest: no-op
+      val freshRows = fresh.count()
+      if (freshRows == 0) return // full replay / duplicate ingest: no-op
       val pairs = Phash.incrementalNearDupPairs(existing, fresh,
-        maxHamming, bands, broadcastNew = true)
+        maxHamming, bands, broadcastNew = freshRows <= BroadcastBatchRows)
       store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
       store.insertIfAbsent(indexTable, fresh, Seq("media_id"))
     }
@@ -133,10 +147,12 @@ object StreamingPhashStore {
       store: TableStore, indexTable: String, pairsTable: String,
       maxHamming: Int = 3, bands: Int = 4, minOverlap: Double = 0.5,
       minMatched: Int = 2): Unit = {
+    // deterministic per-(clip, frame) dedup — the mergeBatch note
     val newHashes = batch
       .select(col("media_id"), col("frame_no"), col("hash"))
       .filter(col("hash").isNotNull)
-      .dropDuplicates("media_id", "frame_no")
+      .groupBy(col("media_id"), col("frame_no"))
+      .agg(min(col("hash")).as("hash"))
     if (!store.exists(indexTable)) {
       val pairs = graft.ops.VideoHash.nearDupVideos(newHashes,
         maxHamming, bands, minOverlap, minMatched)
@@ -148,10 +164,11 @@ object StreamingPhashStore {
       val fresh = newHashes.join(
         existing.select(col("media_id")).distinct(),
         Seq("media_id"), "left_anti")
-      if (fresh.isEmpty) return // full replay / duplicate ingest: no-op
+      val freshRows = fresh.count()
+      if (freshRows == 0) return // full replay / duplicate ingest: no-op
       val pairs = graft.ops.VideoHash.incrementalNearDupVideos(existing,
         fresh, maxHamming, bands, minOverlap, minMatched,
-        broadcastNew = true)
+        broadcastNew = freshRows <= BroadcastBatchRows)
       store.insertIfAbsent(pairsTable, pairs, Seq("id_a", "id_b"))
       store.insertIfAbsent(indexTable, fresh, Seq("media_id", "frame_no"))
     }

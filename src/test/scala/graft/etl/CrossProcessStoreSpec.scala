@@ -92,7 +92,7 @@ class CrossProcessStoreSpec extends AnyFunSuite {
     Files.createDirectory(orphan)
     Files.write(orphan.resolve("marker.txt"), "dead-writer".getBytes)
     assert(claim.toFile.setLastModified(
-      System.currentTimeMillis() - TableStore.GcTmpAgeMillis - 60000L))
+      System.currentTimeMillis() - TableStore.ClaimAgeMillis - 60000L))
 
     // a fresh writer reclaims and publishes its own v2
     val (v2, s2) = store.stageVersion("t", None)

@@ -42,7 +42,15 @@ object ScaleBench {
     // round-6: the banded-Hamming image near-dup (decode+hash+pair)
     "phash_neardup",
     // round-7: the sequence-alignment near-dup (q305/q306 machinery)
-    "seq_align")
+    "seq_align",
+    // round-8: the streaming-store O(delta) fold — its SLOPE is the
+    // claim (fold cost ~flat in index size at fixed batch size)
+    "store_fold")
+
+  /** Ops whose asymptote the quick gate pins with a THIRD point
+    * (round-7 verdict ask #6): m=16 extends the two steepest curves so
+    * the gate measures two consecutive 4× chords, not one. */
+  val ThreePointOps: Set[String] = Set("triangles", "weighted_paths")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -125,6 +133,29 @@ object ScaleBench {
       println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec}""")
     }
 
+    /** Co-purchase graph of the base lineitem, replicated `mm`× with
+      * DISJOINT node-id spaces (the triangles convention): wedge volume
+      * (Σ outdeg² — the cost driver), per-node degree and the triangle
+      * count all scale exactly linearly, so slopes measure the engine,
+      * not a densifying graph. Shared by triangles / bfs_hops /
+      * weighted_paths and the m=16 three-point extension. */
+    def coEdges(mm: Int): DataFrame = {
+      val bi = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val raw = bi.join(bi.select(col("bk"), col("it").as("it2")), "bk")
+        .filter(col("it") < col("it2"))
+      (0 until mm).map { i =>
+        raw.select((col("it") + lit(i * 10000000L)).as("s"),
+          (col("it2") + lit(i * 10000000L)).as("d"))
+      }.reduce(_ unionByName _)
+    }
+    def weightedEdges(mm: Int): DataFrame =
+      coEdges(mm)
+        .groupBy(col("s"), col("d")).agg(count(lit(1)).as("ns"))
+        .select(col("s"), col("d"),
+          greatest(lit(1L), lit(6L) - least(col("ns"), lit(5L))).as("w"))
+
     ms.foreach { m =>
       val docPath = s"$work/docs_m$m"
       val embPath = s"$work/emb_m$m"
@@ -192,20 +223,8 @@ object ScaleBench {
         PageRank.pageRankInt(e, "src", "dst")
       }
       timeOp("triangles", m, nDocs) {
-        // co-purchase graph of the base lineitem, replicated m× with
-        // DISJOINT node-id spaces: wedge volume (Σ outdeg² — the cost
-        // driver) and the triangle count both scale exactly linearly,
-        // so the slope measures the engine, not a densifying graph
-        val bi = spark.read.parquet(s"$base/lineitem.parquet")
-          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-          .distinct()
-        val raw = bi.join(bi.select(col("bk"), col("it").as("it2")), "bk")
-          .filter(col("it") < col("it2"))
-        val edges = (0 until m).map { i =>
-          raw.select((col("it") + lit(i * 10000000L)).as("s"),
-            (col("it2") + lit(i * 10000000L)).as("d"))
-        }.reduce(_ unionByName _)
-        Triangles.nodeTriangleStats(edges, "s", "d")
+        // linear-density replicas — see coEdges
+        Triangles.nodeTriangleStats(coEdges(m), "s", "d")
       }
       timeOp("basket_lift", m, nDocs) {
         // baskets AND items disjoint per replica: per-item support and
@@ -255,6 +274,38 @@ object ScaleBench {
           graft.ops.VideoHash.frameDhash(clips, "media_id", "content",
             frameStride = 2, pixelStride = 8)(spark))
       }
+      if (need("store_fold")) {
+        // round-8 flagship: the streaming perceptual-store fold must be
+        // O(delta) — index size grows ×m, the folded batch stays FIXED,
+        // so sec must stay ~flat (slope ≈ 1, not ≈ m). The bootstrap
+        // (building the m×-sized index) is OUTSIDE the timer; hashes
+        // are splitmix-mixed via xxhash64 (rule: structured patterns
+        // degenerate banding), masked to the 56-bit dHash space. Custom
+        // timing block (not timeOp): a second fold of the SAME batch
+        // would be a replay no-op, so each run folds a fresh store.
+        val idxRows = 150000L * m
+        val batchRows = 3000L
+        val mask = (1L << 56) - 1
+        val (outRows, sec) = (1 to 2).map { r =>
+          val sroot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(work), s"store_fold_m$m").toString
+          val store = new graft.etl.TableStore(spark, sroot)
+          val idx = spark.range(idxRows).select(col("id").as("media_id"),
+            xxhash64(col("id")).bitwiseAND(lit(mask)).as("hash"),
+            pmod(col("id"), lit(m.toLong)).as("_shard"))
+          store.overwritePartitioned("idx", idx, "_shard")
+          val batch = spark.range(idxRows, idxRows + batchRows).select(
+            col("id").as("media_id"),
+            xxhash64(col("id") + lit(7)).bitwiseAND(lit(mask)).as("hash"))
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingPhashStore.mergeBatch(
+            batch, 1000L + r, store, "idx", "pairs")
+          (batchRows, (System.nanoTime() - t0) / 1e9)
+        }.minBy(_._2)
+        recorded += (("store_fold", m, idxRows, outRows, sec))
+        println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
+      }
+
       timeOp("pq_adc", m, nEmb) {
         // sublinear-shortlist evidence (round-6 verdict ask #3):
         // out_rows = probes × k with k = adaptiveShortlist = O(√N), so
@@ -357,31 +408,16 @@ object ScaleBench {
       }
 
       // ---- round-7 graph/sweep probes ----
-      // co-purchase graph replicated with DISJOINT node-id spaces (the
-      // triangles convention) + 10 seeds PER replica: wave work per
-      // replica is constant in m, so the slope measures the engine
-      def copurchaseEdges: DataFrame = {
-        val bi = spark.read.parquet(s"$base/lineitem.parquet")
-          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-          .distinct()
-        val raw = bi.join(bi.select(col("bk"), col("it").as("it2")), "bk")
-          .filter(col("it") < col("it2"))
-        (0 until m).map { i =>
-          raw.select((col("it") + lit(i * 10000000L)).as("s"),
-            (col("it2") + lit(i * 10000000L)).as("d"))
-        }.reduce(_ unionByName _)
-      }
+      // co-purchase graph (coEdges) + 10 seeds PER replica: wave work
+      // per replica is constant in m, so the slope measures the engine
       timeOp("bfs_hops", m, nDocs) {
-        val edges = copurchaseEdges
+        val edges = coEdges(m)
         val seeds = edges.select(col("s").as("n"))
           .filter(col("s") % 10000000L <= 10L).distinct()
         graft.ops.Bfs.hopDistances(edges, "s", "d", seeds, rounds = 4)
       }
       timeOp("weighted_paths", m, nDocs) {
-        val weighted = copurchaseEdges
-          .groupBy(col("s"), col("d")).agg(count(lit(1)).as("ns"))
-          .select(col("s"), col("d"),
-            greatest(lit(1L), lit(6L) - least(col("ns"), lit(5L))).as("w"))
+        val weighted = weightedEdges(m)
         val seeds = weighted.select(col("s").as("n"))
           .filter(col("s") % 10000000L <= 10L).distinct()
         graft.ops.Bfs.weightedDistances(weighted, "s", "d", "w", seeds,
@@ -482,16 +518,39 @@ object ScaleBench {
       }
     }
     if (quick) {
+      // three-point extension (round-7 verdict ask #6): a THIRD point
+      // at 4×m_hi for the steepest ops, so the gate sees two
+      // consecutive 4× chords (1→4 and 4→16) — a curving asymptote
+      // (triangles' O(E^1.5) envelope) can't hide inside one chord
+      val xhi = 4 * ms.max
+      timeOp("triangles", xhi, 0L) {
+        Triangles.nodeTriangleStats(coEdges(xhi), "s", "d")
+      }
+      timeOp("weighted_paths", xhi, 0L) {
+        val weighted = weightedEdges(xhi)
+        val seeds = weighted.select(col("s").as("n"))
+          .filter(col("s") % 10000000L <= 10L).distinct()
+        graft.ops.Bfs.weightedDistances(weighted, "s", "d", "w", seeds,
+          rounds = 4)
+      }
       // slope table: sec(m_hi)/sec(m_lo) per op — the number the next
       // round diffs (a healthy linear op at m=4 sits near ≤4; a
-      // super-linear regression shows up as slope >> m ratio)
+      // super-linear regression shows up as slope >> m ratio). For the
+      // three-point ops the second chord rides as slope_hi (same
+      // units: both chords are 4× data steps, directly comparable).
       val lo = ms.min; val hi = ms.max
       val byOp = recorded.groupBy(_._1)
       val entries = byOp.toSeq.sortBy(_._1).map { case (op, rows) =>
         val r = rows.map(t => t._2 -> t).toMap
         val (sLo, sHi) = (r.get(lo).map(_._5), r.get(hi).map(_._5))
         val slope = for (a <- sLo; b <- sHi if a > 0) yield b / a
-        s""""$op":{"sec_m$lo":${sLo.getOrElse(-1.0)},"sec_m$hi":${sHi.getOrElse(-1.0)},"slope":${slope.getOrElse(-1.0)},"out_m$lo":${r.get(lo).map(_._4).getOrElse(-1L)},"out_m$hi":${r.get(hi).map(_._4).getOrElse(-1L)}}"""
+        val sXhi = r.get(xhi).map(_._5)
+        val hiChord = for (a <- sHi; b <- sXhi if a > 0) yield b / a
+        val extra = (sXhi, hiChord) match {
+          case (Some(x), Some(h)) => s""","sec_m$xhi":$x,"slope_hi":$h"""
+          case _ => ""
+        }
+        s""""$op":{"sec_m$lo":${sLo.getOrElse(-1.0)},"sec_m$hi":${sHi.getOrElse(-1.0)},"slope":${slope.getOrElse(-1.0)}$extra,"out_m$lo":${r.get(lo).map(_._4).getOrElse(-1L)},"out_m$hi":${r.get(hi).map(_._4).getOrElse(-1L)}}"""
       }
       val json =
         s"""{"mode":"quick","base":"$base","ms":[${ms.mkString(",")}],"cpus":$cpus,"ops":{${entries.mkString(",")}}}"""
@@ -501,11 +560,14 @@ object ScaleBench {
       // regression GATE (round-6 verdict ask #6): diff this run's slope
       // table against the checked-in baseline — a worsened slope is a
       // scale regression the per-query wall-time bench cannot see
-      // (constant factors hide it at one size). Refresh the baseline
-      // deliberately after an INTENTIONAL change, plan_budgets-style:
+      // (constant factors hide it at one size). BOTH chords gate
+      // independently. Refresh the baseline deliberately after an
+      // INTENTIONAL change, plan_budgets-style:
       //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
-      val failures = slopeGate(parseSlopes(json),
-        loadBaselineSlopes(BaselinePath))
+      val baseText = loadBaselineText(BaselinePath)
+      val failures = slopeGate(parseSlopes(json), parseSlopes(baseText)) ++
+        slopeGate(parseHiSlopes(json), parseHiSlopes(baseText))
+          .map(f => s"hi-chord $f")
       failures.foreach(f => System.err.println(s"[scale-gate] FAIL $f"))
       if (failures.nonEmpty) { spark.stop(); sys.exit(1) }
     }
@@ -534,17 +596,37 @@ object ScaleBench {
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
-  def loadBaselineSlopes(path: String): Map[String, Double] = {
+  /** The second-chord slopes (sec_m16/sec_m4) of the three-point ops —
+    * absent for two-point ops and for baselines recorded before the
+    * extension (the gate then skips them, new-op style). */
+  def parseHiSlopes(json: String): Map[String, Double] =
+    """"([a-z0-9_]+)":\{[^{}]*"slope_hi":(-?[0-9.eE+]+)""".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  def loadBaselineText(path: String): String = {
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else parseSlopes(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    if (!java.nio.file.Files.exists(p)) ""
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
   }
+
+  def loadBaselineSlopes(path: String): Map[String, Double] =
+    parseSlopes(loadBaselineText(path))
 
   /** The gate: one failure line per op whose slope worsened more than
     * [[SlopeTolerance]] vs baseline, or that VANISHED from the current
     * run (coverage loss is a silent gate bypass). Ops new to the
     * current run pass — they have no baseline yet; negative slopes
-    * (failed timing sentinel) fail loudly. */
+    * (failed timing sentinel) fail loudly.
+    *
+    * The comparison is FLOORED at slope 1.0 (round-7 advice): several
+    * quick ops have sub-second, noise-dominated timings whose baseline
+    * slopes land SUB-linear (minhash_lsh 0.71, phash_neardup 0.86) —
+    * a perfectly healthy run drifting back to ~1.0 would exceed
+    * 0.71×1.25 and cry wolf on exactly the ops the tolerance is meant
+    * to protect. Anything at or below linear is by definition not a
+    * scale regression for these near-linear ops, so the gate trips
+    * only above max(base, 1.0) × tolerance. */
   def slopeGate(current: Map[String, Double],
       baseline: Map[String, Double],
       tolerance: Double = SlopeTolerance): Seq[String] =
@@ -554,9 +636,9 @@ object ScaleBench {
           Some(s"$op: present in baseline but missing from this run")
         case Some(cur) if cur < 0 =>
           Some(s"$op: timing failed (slope sentinel $cur)")
-        case Some(cur) if base > 0 && cur > base * tolerance =>
+        case Some(cur) if base > 0 && cur > math.max(base, 1.0) * tolerance =>
           Some(f"$op: slope $cur%.2f vs baseline $base%.2f " +
-            f"(> ${tolerance}x) — scale behavior regressed")
+            f"(> ${tolerance}x over max(base, 1.0)) — scale behavior regressed")
         case _ => None
       }
     }

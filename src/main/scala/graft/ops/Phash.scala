@@ -75,11 +75,19 @@ object Phash {
       rows.map { r =>
         val bytes =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        Png.decodeGrayPixels(bytes) match {
+        // format dispatch by decode: PNG first (the original q303
+        // path), then JPEG (round-8: poster stills share the video
+        // frames' codec, so the STILL pipeline must read it too —
+        // cross-modal q307 hashes both sides into one 56-bit space)
+        val (fmt, decoded) = Png.decodeGrayPixels(bytes) match {
+          case p @ Some(_) => ("png", p)
+          case None => ("jpeg", Jpeg.decodeGrayPixels(bytes))
+        }
+        decoded match {
           case Some((w, h, px)) =>
             val (rw, rh, g) = Imaging.resizeBox(px, w, h, stride)
             if (rw == GridDim && rh == GridDim)
-              Row(r.getLong(0), "png", dhashOf(g))
+              Row(r.getLong(0), fmt, dhashOf(g))
             else Row(r.getLong(0), "unknown", null)
           case None => Row(r.getLong(0), "unknown", null)
         }

@@ -132,6 +132,61 @@ object VideoHash {
       ex.unionByName(nw), minOverlap, minMatched)
   }
 
+  /** CROSS-MODAL bridge (round-7 verdict ask #5): still images probe
+    * the video FRAME-hash index. [[Phash.dhash]] stills and
+    * [[frameDhash]] frames live in the same 56-bit gradient space, so
+    * ONE bipartite banded-Hamming join flags every video containing a
+    * known image — poster frames, slideshows, thumbnail reuse. Output:
+    * one row per (image, video) pair sharing ≥ 1 frame within
+    * `maxHamming`, with the matched-frame count and the best
+    * (lowest-Hamming, earliest — a total order) frame.
+    *
+    * Bipartite by construction: no image×image or frame×frame
+    * candidates ever form (those are [[Phash.nearDupPairs]] /
+    * [[nearDupVideos]]'s job), so no id normalization is needed and
+    * image/video id spaces may overlap freely. Completeness is the
+    * same pigeonhole argument as the self-join: ≤ maxHamming differing
+    * bits cannot touch every one of bands > maxHamming slices, so some
+    * band matches exactly. Scale: the image side is the (typically
+    * day-sized, broadcastable) probe; candidates are band-bucket
+    * bounded — never all-pairs — and the final aggregate is over
+    * matched pairs only. */
+  def imageInVideoPairs(imageHashes: DataFrame, frameHashes: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && bands > maxHamming,
+      "pigeonhole completeness needs bands > maxHamming")
+    require(Phash.HashBits % bands == 0,
+      s"bands must divide ${Phash.HashBits}")
+    val width = Phash.HashBits / bands
+    val mask = (1L << width) - 1
+    def slices(h: org.apache.spark.sql.Column) =
+      posexplode(array((0 until bands).map(i =>
+        shiftright(h, i * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv"))
+    val imgs = imageHashes.filter(col("hash").isNotNull)
+      .select(col("media_id").as("image_id"), col("hash").as("hash_i"),
+        slices(col("hash")))
+    val frs = frameHashes.filter(col("hash").isNotNull)
+      .select(col("media_id").as("video_id"), col("frame_no"),
+        col("hash").as("hash_v"), slices(col("hash")))
+    imgs.join(frs, Seq("band", "bv"))
+      // a pair sharing k bands appears k times: groupBy is the dedup
+      // and carries both hashes, so the verify runs once per pair
+      .groupBy(col("image_id"), col("video_id"), col("frame_no"),
+        col("hash_i"), col("hash_v"))
+      .agg(count(lit(1)).as("_nb"))
+      .select(col("image_id"), col("video_id"), col("frame_no"),
+        bit_count(col("hash_i").bitwiseXOR(col("hash_v"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(count(lit(1)).as("frames_matched"),
+        min(struct(col("hamming"), col("frame_no"))).as("_best"))
+      .select(col("image_id"), col("video_id"), col("frames_matched"),
+        col("_best.frame_no").as("best_frame"),
+        col("_best.hamming").as("best_hamming"))
+  }
+
   private def clean(frameHashes: DataFrame): DataFrame =
     frameHashes.select(col("media_id"), col("frame_no"), col("hash"))
       .filter(col("hash").isNotNull)
@@ -236,6 +291,47 @@ object VideoHash {
         f += 1
       }
       (i, out.toByteArray)
+    }).toDF("media_id", "content")
+  }
+
+  /** Poster-still corpus for the q307 cross-modal gate: one 64×64
+    * gray DC-only JPEG per row (single frames of the
+    * [[syntheticNearDupClips]] universe, re-encoded as stills), ids
+    * offset by [[PosterIdBase]] so the fixture reads naturally
+    * alongside clip ids 0..3n−1. Per base k:
+    *
+    *  - id P+3k   — base clip 3k's frame 0, +8 brightness (the
+    *    re-encoded poster): dHash bit-identical to that frame, so it
+    *    must hit clip 3k (at frame 0) AND the partial clip 3k+2
+    *    (whose frame 0 equals base frame 0) — but NOT the trimmed
+    *    twin 3k+1, whose frames start at base frame 2;
+    *  - id P+3k+1 — base frame 2, +8: hits clip 3k (frame 2 — even,
+    *    so stride-2 sampling keeps it) AND twin 3k+1 (whose frame 0
+    *    is exactly base frame 2 + 8 — identical pixels, Hamming 0);
+    *  - id P+3k+2 — unrelated still from a disjoint formula family:
+    *    whatever it coincidentally matches, the oracle replays the
+    *    same integers, so the gate stays exact either way.
+    */
+  val PosterIdBase = 1000L
+
+  def syntheticPosterImages(spark: SparkSession, nBase: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nBase * 3L).as[Long].mapPartitions(_.map { i =>
+      val k = (i / 3).toInt
+      val t = (i % 3).toInt
+      def baseVal(f: Int, bx: Int, by: Int): Int =
+        (k * 37 + f * 53 + bx * (7 + 2 * (k % 5)) +
+          by * (13 + 2 * (k % 7)) + bx * by * (1 + k % 11)) % 150 + 20
+      val valueOf: (Int, Int) => Int = t match {
+        case 0 => (bx, by) => baseVal(0, bx, by) + 8
+        case 1 => (bx, by) => baseVal(2, bx, by) + 8
+        case _ => (bx, by) =>
+          (k * 43 + bx * (6 + 2 * (k % 5)) + by * (17 + 2 * (k % 6)) +
+            bx * by * (3 + k % 8)) % 145 + 25
+      }
+      val bytes = Jpeg.encodeUniformBlocks(64, 64, gray = true,
+        sub420 = false, restartEvery = 0, (_, bx, by) => valueOf(bx, by))
+      (PosterIdBase + i, bytes)
     }).toDF("media_id", "content")
   }
 

@@ -1308,6 +1308,130 @@ object ExtensionQueries {
       WHERE b.rn = 1
       ORDER BY id_a, id_b"""))
 
+  /** CROSS-MODAL near-dup (round-7 verdict ask #5 — the one pair the
+    * modality matrix didn't cover): still IMAGES probe the VIDEO
+    * frame-hash index through `VideoHash.imageInVideoPairs` — poster
+    * frames, slideshows, thumbnail reuse. Both sides hash into the
+    * same 56-bit dHash gradient space (`Phash.dhash` on JPEG stills,
+    * `VideoHash.frameDhash` on MJPEG clips), so one BIPARTITE banded
+    * Hamming join covers the bridge; completeness is the q303
+    * pigeonhole argument. Planted: each base clip has a re-encoded
+    * (+8, dHash-invariant) poster of frame 0 (hits the base and the
+    * partial clip, NOT the trimmed twin whose frames start at 2), a
+    * poster of frame 2 (hits base AND twin — the twin's frame 0 is
+    * pixel-identical), and an unrelated still. The oracle replays
+    * block grid → both hash families → BRUTE-FORCE bipartite scan →
+    * per-(image, video) aggregate symbolically; equality proves the
+    * bipartite band join dropped no frame match. */
+  val q307ImageInVideo = OracleQuery("q307_image_in_video",
+    "cross-modal dedup: poster stills probing the video frame-hash index == brute force",
+    (s, d) => {
+      val clips = VideoHash.syntheticNearDupClips(s, 16)
+      val stills = VideoHash.syntheticPosterImages(s, 16)
+      val frameHashes = VideoHash.frameDhash(clips, "media_id", "content",
+        frameStride = 2, pixelStride = 8)(s)
+      val imageHashes = Phash.dhash(stills, "media_id", "content",
+        stride = 8)(s)
+      VideoHash.imageInVideoPairs(imageHashes, frameHashes,
+        maxHamming = 3, bands = 4)
+        .orderBy("image_id", "video_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT i, i // 3 AS k, i % 3 AS t
+        FROM generate_series(0, 47) t0(i)),
+      geom AS (
+        SELECT i, k, t,
+               CASE t WHEN 0 THEN 6 + 2 * (k % 3)
+                      WHEN 1 THEN 4 + 2 * (k % 3)
+                      ELSE 6 END AS nf
+        FROM ids),
+      g AS MATERIALIZED (
+        -- sampled frame f of clip i, dHash grid cell (gx,gy) = the DC
+        -- block value (uniform 8x8 blocks, box mean is exact — q305)
+        SELECT m.i, f.f, gx.gx, gy.gy,
+               CASE
+                 WHEN m.t = 0 OR (m.t = 2 AND f.f = 0) THEN
+                   (m.k*37 + f.f*53 + gx.gx*(7 + 2*(m.k % 5))
+                    + gy.gy*(13 + 2*(m.k % 7))
+                    + gx.gx*gy.gy*(1 + m.k % 11)) % 150 + 20
+                 WHEN m.t = 1 THEN
+                   (m.k*37 + (f.f + 2)*53 + gx.gx*(7 + 2*(m.k % 5))
+                    + gy.gy*(13 + 2*(m.k % 7))
+                    + gx.gx*gy.gy*(1 + m.k % 11)) % 150 + 28
+                 ELSE
+                   (m.k*41 + f.f*59 + gx.gx*(9 + 2*(m.k % 4))
+                    + gy.gy*(11 + 2*(m.k % 6))
+                    + gx.gx*gy.gy*(2 + m.k % 9)) % 140 + 30
+               END AS gv
+        FROM geom m
+        JOIN generate_series(0, 9) f(f) ON f.f < m.nf AND f.f % 2 = 0
+        CROSS JOIN generate_series(0, 7) gx(gx)
+        CROSS JOIN generate_series(0, 7) gy(gy)),
+      h AS MATERIALIZED (
+        SELECT a.i, a.f,
+               CAST(SUM(CASE WHEN b.gv > a.gv
+                 THEN 1::BIGINT << (a.gy * 7 + a.gx) ELSE 0 END)
+                 AS BIGINT) AS hv
+        FROM g a
+        JOIN g b ON a.i = b.i AND a.f = b.f AND a.gy = b.gy
+                AND b.gx = a.gx + 1
+        WHERE a.gx < 7
+        GROUP BY 1, 2),
+      pids AS (
+        SELECT 1000 + i AS pid, i // 3 AS k, i % 3 AS t
+        FROM generate_series(0, 47) t0(i)),
+      pg AS MATERIALIZED (
+        -- poster still pid, grid cell = its DC block value: t=0 is
+        -- base frame 0 (+8), t=1 base frame 2 (+8), t=2 unrelated
+        SELECT p.pid, gx.gx, gy.gy,
+               CASE
+                 WHEN p.t = 0 THEN
+                   (p.k*37 + gx.gx*(7 + 2*(p.k % 5))
+                    + gy.gy*(13 + 2*(p.k % 7))
+                    + gx.gx*gy.gy*(1 + p.k % 11)) % 150 + 28
+                 WHEN p.t = 1 THEN
+                   (p.k*37 + 2*53 + gx.gx*(7 + 2*(p.k % 5))
+                    + gy.gy*(13 + 2*(p.k % 7))
+                    + gx.gx*gy.gy*(1 + p.k % 11)) % 150 + 28
+                 ELSE
+                   (p.k*43 + gx.gx*(6 + 2*(p.k % 5))
+                    + gy.gy*(17 + 2*(p.k % 6))
+                    + gx.gx*gy.gy*(3 + p.k % 8)) % 145 + 25
+               END AS gv
+        FROM pids p
+        CROSS JOIN generate_series(0, 7) gx(gx)
+        CROSS JOIN generate_series(0, 7) gy(gy)),
+      ph AS MATERIALIZED (
+        SELECT a.pid,
+               CAST(SUM(CASE WHEN b.gv > a.gv
+                 THEN 1::BIGINT << (a.gy * 7 + a.gx) ELSE 0 END)
+                 AS BIGINT) AS hv
+        FROM pg a
+        JOIN pg b ON a.pid = b.pid AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 7
+        GROUP BY 1),
+      fp AS MATERIALIZED (
+        -- brute-force BIPARTITE scan: what the banded join must equal
+        SELECT p.pid AS image_id, c.i AS video_id, c.f AS frame_no,
+               CAST(bit_count(xor(p.hv, c.hv)) AS BIGINT) AS hamming
+        FROM ph p JOIN h c ON bit_count(xor(p.hv, c.hv)) <= 3),
+      agg AS (
+        SELECT image_id, video_id,
+               CAST(COUNT(*) AS BIGINT) AS frames_matched
+        FROM fp GROUP BY 1, 2),
+      best AS (
+        SELECT image_id, video_id, frame_no, hamming,
+               row_number() OVER (PARTITION BY image_id, video_id
+                 ORDER BY hamming ASC, frame_no ASC) AS rn
+        FROM fp)
+      SELECT a.image_id, a.video_id, a.frames_matched,
+             b.frame_no AS best_frame, b.hamming AS best_hamming
+      FROM agg a
+      JOIN best b ON b.image_id = a.image_id
+        AND b.video_id = a.video_id AND b.rn = 1
+      ORDER BY a.image_id, a.video_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1316,5 +1440,5 @@ object ExtensionQueries {
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
-    q306AudioTrimNearDup)
+    q306AudioTrimNearDup, q307ImageInVideo)
 }

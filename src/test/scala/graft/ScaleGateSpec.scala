@@ -20,6 +20,19 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(fails.size == 1 && fails.head.startsWith("triangles"))
   }
 
+  test("slopeGate floors sub-linear baselines at 1.0 (round-7 advice)") {
+    // a noise-dominated op with a sub-linear baseline (0.71) drifting
+    // back to ordinary linear (1.0–1.25) is jitter, not a regression
+    val base = Map("minhash_lsh" -> 0.71, "phash_neardup" -> 0.86)
+    assert(ScaleBench.slopeGate(
+      Map("minhash_lsh" -> 1.05, "phash_neardup" -> 1.24), base).isEmpty,
+      "healthy linear drift over a sub-linear baseline must pass")
+    // ...but a real super-linear leak still trips the floored gate
+    val fails = ScaleBench.slopeGate(
+      Map("minhash_lsh" -> 1.40, "phash_neardup" -> 0.9), base)
+    assert(fails.size == 1 && fails.head.startsWith("minhash_lsh"))
+  }
+
   test("slopeGate flags a vanished op and a failed-timing sentinel") {
     val base = Map("pq_adc" -> 1.65, "components" -> 1.45)
     val fails = ScaleBench.slopeGate(

@@ -137,31 +137,39 @@ class ConcurrentStoreSpec extends SparkTestBase {
     assert(!Files.exists(freshTmp), "aged orphan tmp survived GC")
   }
 
-  test("writer killed between rename and pointer swap: orphan v<N> is reclaimed and the retry publishes") {
+  test("writer killed between rename and record link: the orphan dir is invisible, the retry publishes, aged GC sweeps it") {
     val root = Files.createTempDirectory("graft_kill2_").toString
     val store = new TableStore(spark, root)
     store.overwrite("t", Seq((1L, "a")).toDF("k", "v"))
 
-    // crashed writer's residue: a fully-renamed v2 with the pointer
-    // still at v1 (death point = between rename and pointer swap).
-    // Content is a real parquet snapshot so a mistaken read would
-    // succeed silently — the assertions below rule that out.
-    val v2 = java.nio.file.Paths.get(root, "t", "v2")
+    // crashed writer's residue: a fully-renamed committed-style dir for
+    // v2 with NO commit record (death point = between rename and the
+    // record link). Content is a real parquet snapshot so a mistaken
+    // read would succeed silently — the assertions below rule that out.
+    val orphan = java.nio.file.Paths.get(root, "t", "v2-p424242t1")
     Seq((99L, "orphan")).toDF("k", "v")
-      .write.parquet(v2.toString)
-    assert(Files.exists(v2))
+      .write.parquet(orphan.toString)
+    assert(Files.exists(orphan))
 
-    // readers never see the orphan: the pointer is the commit point
+    // readers never see the orphan: the record is the commit point
     assert(store.read("t").as[(Long, String)].collect().toSet ==
       Set((1L, "a")))
     assert(store.versions("t") == Seq(1))
 
-    // the retry writer finds v2 occupied with the pointer below it,
-    // reclaims the orphan (nobody can be mid-commit under the
-    // single-writer contract + same-JVM commit lock) and publishes
+    // the retry writer takes version 2 immediately — dir names are
+    // unique, so the residue cannot collide with or leak into it
     store.upsert("t", Seq((2L, "b")).toDF("k", "v"), Seq("k"))
     assert(store.read("t").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b")), "orphan content leaked into the retry's snapshot")
     assert(store.versions("t") == Seq(1, 2))
+
+    // GC: fresh residue survives (a live writer may be µs from its
+    // link), aged residue is swept as an unreferenced snapshot dir
+    store.compact("t", numFiles = 1, retain = 10)
+    assert(Files.exists(orphan), "age-gated GC collected a fresh orphan dir")
+    assert(orphan.toFile.setLastModified(
+      System.currentTimeMillis() - TableStore.GcTmpAgeMillis - 60000L))
+    store.compact("t", numFiles = 1, retain = 10)
+    assert(!Files.exists(orphan), "aged unreferenced snapshot dir survived GC")
   }
 }

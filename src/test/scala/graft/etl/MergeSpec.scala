@@ -119,7 +119,7 @@ class MergeSpec extends SparkTestBase {
     def inode(p: java.nio.file.Path) =
       JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
     def firstParquet(version: Int, part: String) =
-      JF.list(Paths.get(s"$root/t/v$version/bucket=$part"))
+      JF.list(store.snapshotDir("t", version).resolve(s"bucket=$part"))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
     assert(inode(firstParquet(2, "2")) == inode(firstParquet(1, "2")),
       "untouched partition must be linked, not rewritten")

@@ -113,16 +113,17 @@ class PipelineSpec extends SparkTestBase {
     import java.nio.file.{Files => JF, Paths}
     def inode(q: java.nio.file.Path) =
       JF.readAttributes(q, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-    val factDir = s"${p.store.root}/fact_events"
-    val v1Part = JF.list(Paths.get(s"$factDir/v1")).filter(
+    val v1Part = JF.list(p.store.snapshotDir("fact_events", 1)).filter(
       _.getFileName.toString.startsWith("event_date=")).findFirst().get()
     def firstParquet(d: java.nio.file.Path) =
       JF.list(d).filter(_.toString.endsWith(".parquet")).findFirst().get()
-    val v2Same = Paths.get(s"$factDir/v2/${v1Part.getFileName}")
+    val v2Same = p.store.snapshotDir("fact_events", 2)
+      .resolve(v1Part.getFileName.toString)
     assert(JF.exists(v2Same), "untouched partition present in v2")
     assert(inode(firstParquet(v2Same)) == inode(firstParquet(v1Part)),
       "untouched partition must be hard-linked, not rewritten")
-    assert(JF.exists(Paths.get(s"$factDir/v2/event_date=2025-12-25")),
+    assert(JF.exists(p.store.snapshotDir("fact_events", 2)
+      .resolve("event_date=2025-12-25")),
       "touched partition written fresh in v2")
   }
 

@@ -158,16 +158,17 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(narrowEx.getMessage.contains("incoming lacks existing columns"))
   }
 
-  test("crash between rename and pointer swap self-heals on the next write") {
+  test("crash between rename and commit record self-heals on the next write") {
     val root = Files.createTempDirectory("graft_cr_").toString
     val store = new TableStore(spark, root)
     store.overwrite("t", spark.range(10).toDF("id")) // v1
-    // simulate: a writer renamed v2 into place but died before the
-    // pointer swap — non-empty v2, pointer still at v1
-    val v2 = java.nio.file.Paths.get(root, "t", "v2")
-    Files.createDirectory(v2)
-    Files.write(v2.resolve("part-0.parquet"), Array[Byte](1))
-    // the checkpoint-replayed retry must reclaim the orphan and commit
+    // simulate: a writer renamed its v2 snapshot into place but died
+    // before linking the commit record — unreferenced unique dir
+    val orphan = java.nio.file.Paths.get(root, "t", "v2-p1t1")
+    Files.createDirectory(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    // the checkpoint-replayed retry commits v2 immediately; the orphan
+    // never becomes visible
     store.overwrite("t", spark.range(25).toDF("id"))
     assert(store.read("t").count() == 25)
     assert(store.versions("t") == Seq(1, 2))
@@ -258,12 +259,12 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     def inode(p: java.nio.file.Path) =
       JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
     def firstParquet(version: Int, part: String) =
-      JF.list(Paths.get(s"$root/f/v$version/order_year=$part"))
+      JF.list(store.snapshotDir("f", version).resolve(s"order_year=$part"))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
     assert(inode(firstParquet(2, "1996")) == inode(firstParquet(1, "1996")),
       "untouched partition must be linked, not rewritten")
     // 1995 exists fresh in v2 (its v2 files are not links of any v1 file set)
-    assert(JF.exists(Paths.get(s"$root/f/v2/order_year=1995")))
+    assert(JF.exists(store.snapshotDir("f", 2).resolve("order_year=1995")))
   }
 
   test("partitioned upsert after compact (flat layout) falls back without losing untouched rows") {

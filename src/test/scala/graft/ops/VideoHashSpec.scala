@@ -144,6 +144,58 @@ class VideoHashSpec extends SparkTestBase {
     fh.unpersist()
   }
 
+  test("imageInVideoPairs equals the brute-force bipartite scan; planted posters hit exactly their clips (q307)") {
+    implicit val s = spark
+    val nBase = 8
+    val clips = VideoHash.syntheticNearDupClips(spark, nBase)
+    val stills = VideoHash.syntheticPosterImages(spark, nBase)
+    val fh = VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8).cache()
+    val ih = Phash.dhash(stills, "media_id", "content", stride = 8)(spark)
+      .cache()
+    assert(ih.filter($"hash".isNull).isEmpty,
+      "every poster still must decode through the JPEG image path")
+    val got = VideoHash.imageInVideoPairs(ih, fh,
+      maxHamming = 3, bands = 4)
+      .select($"image_id", $"video_id", $"frames_matched", $"best_frame",
+        $"best_hamming")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force in local scala: bipartite scan + per-pair aggregate
+    val frames = fh.filter($"hash".isNotNull)
+      .select($"media_id", $"frame_no", $"hash")
+      .as[(Long, Long, Long)].collect()
+    val imgs = ih.select($"media_id", $"hash").as[(Long, Long)].collect()
+    val want = (for {
+      (pid, hp) <- imgs; (vid, f, hv) <- frames
+      d = hamming(hp, hv) if d <= 3
+    } yield (pid, vid, f, d.toLong))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((pid, vid), ms) =>
+        val best = ms.minBy(r => (r._4, r._3))
+        (pid, vid, ms.size.toLong, best._3, best._4)
+      }.toSet
+    assert(got == want)
+    // planted structure per base k: poster-of-frame-0 hits the base
+    // clip and the partial clip (frame 0), NOT the trimmed twin;
+    // poster-of-frame-2 hits the base AND the twin (its frame 0 is
+    // pixel-identical, Hamming 0)
+    val P = VideoHash.PosterIdBase
+    (0 until nBase).foreach { k =>
+      def hit(img: Long, vid: Long) = got.find(r => r._1 == img && r._2 == vid)
+      assert(hit(P + 3 * k, 3L * k).exists(r => r._4 == 0L && r._5 == 0L),
+        s"base $k: frame-0 poster missed the base clip")
+      assert(hit(P + 3 * k, 3L * k + 2).isDefined,
+        s"base $k: frame-0 poster missed the partial clip")
+      assert(hit(P + 3 * k, 3L * k + 1).isEmpty,
+        s"base $k: frame-0 poster must not hit the trimmed twin")
+      assert(hit(P + 3 * k + 1, 3L * k).exists(r => r._4 == 2L && r._5 == 0L),
+        s"base $k: frame-2 poster missed the base clip at frame 2")
+      assert(hit(P + 3 * k + 1, 3L * k + 1).exists(r => r._4 == 0L && r._5 == 0L),
+        s"base $k: frame-2 poster missed the twin's frame 0")
+    }
+    fh.unpersist(); ih.unpersist()
+  }
+
   test("scale fixture: exactly one planted offset-2 twin pair per base, zero accidents") {
     implicit val s = spark
     val clips = VideoHash.syntheticScaleClips(spark, 60)

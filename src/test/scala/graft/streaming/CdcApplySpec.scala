@@ -76,7 +76,7 @@ class CdcApplySpec extends SparkTestBase {
     def inode(p: java.nio.file.Path) =
       JF.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
     def firstParquet(version: Int, part: Int) =
-      JF.list(Paths.get(s"$root/t/v$version/bucket=$part"))
+      JF.list(store.snapshotDir("t", version).resolve(s"bucket=$part"))
         .filter(_.toString.endsWith(".parquet")).findFirst().get()
     assert(inode(firstParquet(2, 0)) == inode(firstParquet(1, 0)))
     assert(inode(firstParquet(2, 2)) == inode(firstParquet(1, 2)))

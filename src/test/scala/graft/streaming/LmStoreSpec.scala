@@ -60,4 +60,58 @@ class LmStoreSpec extends SparkTestBase {
     StreamingLmStore.mergeBatch(docs, 1L, store, "lm", "doc_id", "text")
     assert(count("c") == 2 * once)
   }
+
+  test("bucketed fold: buckets untouched by the delta are hard-linked, touched ones rewritten (round-8 verdict ask #1)") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_lmst_ino_").toString)
+    // batch 0: distinct-token docs spread trigrams across many buckets
+    val docs0 = (1L to 60L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    StreamingLmStore.mergeBatch(docs0, 0L, store, "lm", "doc_id", "text")
+    // batch 1: ONE doc → only its trigrams' buckets (+ the marker
+    // bucket) are touched; everything else must be linked
+    val docs1 = Seq((100L, "q r s t")).toDF("doc_id", "text")
+    StreamingLmStore.mergeBatch(docs1, 1L, store, "lm", "doc_id", "text")
+
+    import java.nio.file.{Files => JF}
+    val touched: Set[String] = Lm.trigrams(docs1, "doc_id", "text")
+      .select(pmod(xxhash64($"w1", $"w2", $"w3"),
+        lit(StreamingLmStore.NBuckets.toLong)).cast("int").as("b"))
+      .as[Int].collect().toSet
+      .map((b: Int) => s"_bucket=$b") + s"_bucket=${StreamingLmStore.MarkerBucket}"
+    def inode(p: java.nio.file.Path) =
+      JF.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def firstParquet(version: Int, bucketDir: String) = {
+      val s = JF.list(store.snapshotDir("lm", version).resolve(bucketDir))
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val v1Buckets = {
+      val s = JF.list(store.snapshotDir("lm", 1))
+      try {
+        val it = s.map[String](_.getFileName.toString)
+          .filter(_.startsWith("_bucket="))
+          .collect(java.util.stream.Collectors.toList[String])
+        import scala.jdk.CollectionConverters._
+        it.asScala.toSeq
+      } finally s.close()
+    }
+    val untouched = v1Buckets.filterNot(touched.contains)
+    assert(untouched.size >= 10,
+      s"fixture too narrow: only ${untouched.size} untouched buckets")
+    untouched.foreach { b =>
+      assert(inode(firstParquet(2, b)) == inode(firstParquet(1, b)),
+        s"untouched $b must be linked, not rewritten")
+    }
+    // the marker bucket is rewritten every batch (it carries the new id)
+    val mb = s"_bucket=${StreamingLmStore.MarkerBucket}"
+    assert(inode(firstParquet(2, mb)) != inode(firstParquet(1, mb)),
+      "marker bucket must be rewritten with the new batch id")
+    // fold correctness across the bucketing: counts query still exact
+    val c = store.read("lm").filter($"kind" === "tri" &&
+      $"w1" === "q" && $"w2" === "r" && $"w3" === "s")
+      .select($"c").as[Long].collect()
+    assert(c.toSeq == Seq(1L))
+  }
 }

@@ -641,7 +641,41 @@ final class TableStore(spark: SparkSession, val root: String) {
   def compact(table: String, numFiles: Int = 4, retain: Int = 2): Unit = {
     val base = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist under $root"))
-    replaceFrom(table, base, readVersion(table, base).coalesce(numFiles))
+    // LAYOUT-PRESERVING (round-8): a hive-partitioned snapshot compacts
+    // back into hive layout — compact is the designated answer to the
+    // O(delta) folds' partition-count growth (arrival shards, LM
+    // buckets), so it must not flatten the very layout that makes the
+    // next fold O(batch) (a flat snapshot silently downgrades it to one
+    // full self-healing rewrite). Partition column recovered from the
+    // dir names; multi-level partitioning is not used by this store.
+    val curDir = snapshotDir(table, base)
+    val partCol: Option[String] = {
+      val names = withList(curDir)(_.map[String](_.getFileName.toString)
+        .collect(java.util.stream.Collectors.toList[String]))
+      import scala.jdk.CollectionConverters._
+      // Spark's own hidden-file rule: `_`/`.`-prefixed names are
+      // metadata UNLESS they contain `=` (so `_shard=0` is a partition
+      // dir, `_SUCCESS` is not)
+      names.asScala.find(n => n.contains("=") && !n.startsWith("."))
+        .map(_.takeWhile(_ != '='))
+    }
+    partCol match {
+      case Some(pc) =>
+        val cur = readVersion(table, base)
+        val (next, stage) = stageVersion(table, Some(base))
+        // repartition by the partition column so each partition's rows
+        // land in few tasks → few files per partition dir
+        cur.repartition(numFiles, org.apache.spark.sql.functions.col(pc))
+          .write.mode(SaveMode.Overwrite).partitionBy(pc)
+          .parquet(stage.toString)
+        val hasData = withList(stage)(
+          _.anyMatch(_.getFileName.toString.startsWith(s"$pc=")))
+        if (!hasData)
+          cur.limit(0).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        commitStaged(table, next, stage, Some(base))
+      case None =>
+        replaceFrom(table, base, readVersion(table, base).coalesce(numFiles))
+    }
     val latest = currentVersion(table).get
     val dirF = new java.io.File(dir(table))
     // retire old versions: snapshot dir FIRST, record second — a crash

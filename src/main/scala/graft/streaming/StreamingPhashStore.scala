@@ -129,6 +129,88 @@ object StreamingPhashStore {
     }
   }
 
+  // ---- CROSS-MODAL variant: still images × video frame index ----
+
+  /** [[attach]] for the CROSS-MODAL bridge (q307's ingest path): ONE
+    * stream carries BOTH modalities — still-image rows
+    * (kind = 'image', frame_no NULL) and video frame-hash rows
+    * (kind = 'frame') — so micro-batches serialize and no
+    * image-vs-video arrival interleaving can drop a pair (two
+    * independent streams could each read the other's index just
+    * before the other side commits, and the pair would be scored by
+    * NEITHER). Per batch: fresh images probe (indexed ∪ fresh)
+    * frames, indexed images probe fresh frames — each (image, video)
+    * pair is therefore scored exactly once, when the LATER side
+    * arrives, with both sides complete (images are single rows; clips
+    * arrive whole, the sequence-store contract). Matches append to a
+    * keyed store table; both sides fold into their indices.
+    *
+    * Exactly-once, manifest-free: all three writes are keyed set
+    * unions (matches by (image_id, video_id), indices by media key),
+    * committed matches-first — every crash window replays to the same
+    * state (a replayed batch is fresh-filtered empty on both sides; a
+    * batch that died mid-commit recomputes the identical matches
+    * against the unchanged indices and the keyed inserts no-op). */
+  def attachCrossModal(rows: DataFrame, store: TableStore,
+      imageIndexTable: String, frameIndexTable: String,
+      matchesTable: String, maxHamming: Int = 3, bands: Int = 4,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeCrossModalBatch(batch, id, store, imageIndexTable,
+          frameIndexTable, matchesTable, maxHamming, bands)
+      }
+
+  /** Fold one mixed batch of (kind, media_id, frame_no, hash) rows:
+    * emit the batch's cross-modal matches against everything seen,
+    * then index both sides. */
+  def mergeCrossModalBatch(batch: DataFrame, batchId: Long,
+      store: TableStore, imageIndexTable: String,
+      frameIndexTable: String, matchesTable: String,
+      maxHamming: Int = 3, bands: Int = 4): Unit = {
+    // deterministic per-key dedup — the mergeBatch note
+    val imgs = batch.filter(col("kind") === "image")
+      .filter(col("hash").isNotNull)
+      .groupBy(col("media_id")).agg(min(col("hash")).as("hash"))
+    val frs = batch.filter(col("kind") === "frame")
+      .filter(col("hash").isNotNull)
+      .groupBy(col("media_id"), col("frame_no"))
+      .agg(min(col("hash")).as("hash"))
+    val haveImgIdx = store.exists(imageIndexTable)
+    val haveFrIdx = store.exists(frameIndexTable)
+    val exImgs = if (haveImgIdx) index(store, imageIndexTable)
+      else imgs.limit(0)
+    val exFrs = if (haveFrIdx)
+      store.read(frameIndexTable).drop("_shard") else frs.limit(0)
+    // one materialization each, multiple consumers — the mergeBatch note
+    val freshImgs = imgs.join(exImgs, Seq("media_id"), "left_anti")
+      .persist()
+    val freshFrs = frs.join(exFrs.select(col("media_id")).distinct(),
+      Seq("media_id"), "left_anti").persist()
+    try {
+      val (nImgs, nFrs) = (freshImgs.count(), freshFrs.count())
+      if (nImgs == 0 && nFrs == 0) return // full replay: no-op
+      System.err.println(s"[phash-store] xmodal batch=$batchId " +
+        s"images=$nImgs frames=$nFrs")
+      def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
+      // fresh images × every frame seen (old ∪ new), indexed images ×
+      // fresh frames: each (image, video) pair lands exactly once
+      val matches = graft.ops.VideoHash.imageInVideoPairs(
+          freshImgs, exFrs.unionByName(freshFrs), maxHamming, bands)
+        .unionByName(graft.ops.VideoHash.imageInVideoPairs(
+          exImgs, freshFrs, maxHamming, bands))
+      store.insertIfAbsentPartitioned(matchesTable, shard(matches),
+        Seq("image_id", "video_id"), "_shard")
+      store.insertIfAbsentPartitioned(imageIndexTable, shard(freshImgs),
+        Seq("media_id"), "_shard")
+      store.insertIfAbsentPartitioned(frameIndexTable, shard(freshFrs),
+        Seq("media_id", "frame_no"), "_shard")
+    } finally { freshImgs.unpersist(); freshFrs.unpersist() }
+  }
+
   /** All near-dup pairs found so far (empty frame if nothing paired
     * yet — the pairs table is created with the first batch, which may
     * contain no pairs but still defines the schema). The arrival-shard

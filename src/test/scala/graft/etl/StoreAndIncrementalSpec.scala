@@ -267,14 +267,60 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(JF.exists(store.snapshotDir("f", 2).resolve("order_year=1995")))
   }
 
-  test("partitioned upsert after compact (flat layout) falls back without losing untouched rows") {
-    val root = Files.createTempDirectory("graft_flat_").toString
+  test("compact preserves hive layout, so the NEXT fold still hard-links (round-8)") {
+    val root = Files.createTempDirectory("graft_cpp_").toString
     val store = new TableStore(spark, root)
     val base = Tables.orders(spark, sfDir)
       .withColumn("order_year", year($"o_orderdate"))
       .select($"o_orderkey", $"o_orderstatus", $"order_year")
     store.upsertPartitioned("f", base, Seq("o_orderkey"), "order_year")
-    store.compact("f") // rewrites the snapshot FLAT (no partition dirs)
+    val before = store.read("f").count()
+    store.compact("f", numFiles = 2, retain = 10) // must NOT flatten
+    import java.nio.file.{Files => JF}
+    val latest = store.versions("f").max
+    val compacted = store.snapshotDir("f", latest)
+    assert(withNames(compacted).exists(_.startsWith("order_year=")),
+      "compact flattened a hive-partitioned snapshot — the O(delta) " +
+        "folds after it would silently pay a full rewrite")
+    assert(store.read("f").count() == before)
+    // and the fold AFTER compact is still O(touched): untouched
+    // partitions of the compacted snapshot are linked, not rewritten
+    val inc = base.filter($"order_year" === 1995)
+      .withColumn("o_orderstatus", lit("X"))
+    store.upsertPartitioned("f", inc, Seq("o_orderkey"), "order_year")
+    def inode(p: java.nio.file.Path) =
+      JF.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def firstParquet(version: Int, part: String) = {
+      val s = JF.list(store.snapshotDir("f", version)
+        .resolve(s"order_year=$part"))
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    assert(inode(firstParquet(latest + 1, "1996")) ==
+      inode(firstParquet(latest, "1996")),
+      "post-compact fold must link untouched partitions")
+  }
+
+  private def withNames(d: java.nio.file.Path): Seq[String] = {
+    val s = java.nio.file.Files.list(d)
+    try {
+      val l = s.map[String](_.getFileName.toString)
+        .collect(java.util.stream.Collectors.toList[String])
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq
+    } finally s.close()
+  }
+
+  test("partitioned upsert over a FLAT current snapshot falls back without losing untouched rows") {
+    val root = Files.createTempDirectory("graft_flat_").toString
+    val store = new TableStore(spark, root)
+    val base = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year($"o_orderdate"))
+      .select($"o_orderkey", $"o_orderstatus", $"order_year")
+    // a FLAT snapshot (overwrite never hive-partitions) — the layout a
+    // pre-partitioning writer, or a migration, leaves behind
+    store.overwrite("f", base)
     val before = store.read("f").count()
 
     val inc = base.filter($"order_year" === 1995)

@@ -179,6 +179,61 @@ class PhashStoreSpec extends SparkTestBase {
     df.select($"id_a", $"id_b", $"f_offset", $"matched", $"is_near")
       .as[(Long, Long, Long, Long, Boolean)].collect().toSet
 
+  // ---- cross-modal (image × video frame) variant ----
+
+  test("cross-modal store: matches after every interleaving prefix equal the one-shot bipartite join (q307 ingest)") {
+    implicit val s = spark
+    val clips = graft.ops.VideoHash.syntheticNearDupClips(spark, 6)
+    val stills = graft.ops.VideoHash.syntheticPosterImages(spark, 6)
+    val fh = graft.ops.VideoHash.frameDhash(clips, "media_id", "content",
+      frameStride = 2, pixelStride = 8)
+      .select($"media_id", $"frame_no", $"hash").cache()
+    val ih = Phash.dhash(stills, "media_id", "content", stride = 8)(spark)
+      .select($"media_id", $"hash").cache()
+    def imgRows(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("image").as("kind"), $"media_id",
+      lit(null).cast("long").as("frame_no"), $"hash")
+    def frRows(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("frame").as("kind"), $"media_id", $"frame_no", $"hash")
+    // interleaving that exercises every arrival order: images first
+    // (probe nothing), clips next (probe indexed images), then a MIXED
+    // batch (fresh images × fresh frames in the same batch)
+    val batches = Seq(
+      imgRows(ih.filter($"media_id" % 3 === 0)),
+      frRows(fh.filter($"media_id" % 3 < 2)),
+      imgRows(ih.filter($"media_id" % 3 =!= 0))
+        .unionByName(frRows(fh.filter($"media_id" % 3 === 2))))
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phxm_").toString)
+    var seenImgs = ih.limit(0)
+    var seenFrs = fh.limit(0)
+    def matchSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"image_id", $"video_id", $"frames_matched",
+        $"best_frame", $"best_hamming")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPhashStore.mergeCrossModalBatch(b, i.toLong, store,
+        "imgidx", "fidx", "xmatches")
+      seenImgs = seenImgs.unionByName(
+        b.filter($"kind" === "image").select($"media_id", $"hash"))
+      seenFrs = seenFrs.unionByName(
+        b.filter($"kind" === "frame")
+          .select($"media_id", $"frame_no", $"hash"))
+      val got = matchSet(StreamingPhashStore.pairs(store, "xmatches"))
+      val want = matchSet(
+        graft.ops.VideoHash.imageInVideoPairs(seenImgs, seenFrs))
+      assert(got == want, s"prefix through batch $i diverged from one-shot")
+    }
+    assert(matchSet(StreamingPhashStore.pairs(store, "xmatches")).nonEmpty)
+    // full replay of the last (mixed) batch: content AND versions frozen
+    val vs = Seq("imgidx", "fidx", "xmatches").map(store.versions)
+    StreamingPhashStore.mergeCrossModalBatch(batches.last, 2L, store,
+      "imgidx", "fidx", "xmatches")
+    assert(Seq("imgidx", "fidx", "xmatches").map(store.versions) == vs,
+      "replay must not write")
+    fh.unpersist(); ih.unpersist()
+  }
+
   test("sequence store: clip-pair alignments after every prefix equal the one-shot join") {
     val all = clipFrameHashes(8).cache()
     val store = new TableStore(spark,

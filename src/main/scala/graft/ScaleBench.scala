@@ -286,6 +286,10 @@ object ScaleBench {
         val idxRows = 150000L * m
         val batchRows = 3000L
         val mask = (1L << 56) - 1
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete()
+        }
         val (outRows, sec) = (1 to 2).map { r =>
           val sroot = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(work), s"store_fold_m$m").toString
@@ -300,7 +304,11 @@ object ScaleBench {
           val t0 = System.nanoTime()
           graft.streaming.StreamingPhashStore.mergeBatch(
             batch, 1000L + r, store, "idx", "pairs")
-          (batchRows, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          // fresh-named roots would otherwise accumulate across runs
+          // (docs_m$m/emb_m$m overwrite in place; these can't)
+          rmTree(new java.io.File(sroot))
+          (batchRows, sec)
         }.minBy(_._2)
         recorded += (("store_fold", m, idxRows, outRows, sec))
         println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
@@ -523,10 +531,12 @@ object ScaleBench {
       // consecutive 4× chords (1→4 and 4→16) — a curving asymptote
       // (triangles' O(E^1.5) envelope) can't hide inside one chord
       val xhi = 4 * ms.max
-      timeOp("triangles", xhi, 0L) {
+      // membership in ThreePointOps is what turns the third point on —
+      // removing an op there removes its m=16 run AND its slope_hi
+      if (ThreePointOps("triangles")) timeOp("triangles", xhi, 0L) {
         Triangles.nodeTriangleStats(coEdges(xhi), "s", "d")
       }
-      timeOp("weighted_paths", xhi, 0L) {
+      if (ThreePointOps("weighted_paths")) timeOp("weighted_paths", xhi, 0L) {
         val weighted = weightedEdges(xhi)
         val seeds = weighted.select(col("s").as("n"))
           .filter(col("s") % 10000000L <= 10L).distinct()

@@ -278,8 +278,11 @@ final class TableStore(spark: SparkSession, val root: String) {
     * snapshot left for diagnosis. */
   private[etl] def renameStaged(table: String, next: Int,
       stage: java.nio.file.Path): java.nio.file.Path = {
-    val token =
-      s"p${java.lang.ProcessHandle.current().pid()}t${System.nanoTime()}"
+    // unsigned rendering: nanoTime's origin is arbitrary (JLS), so a
+    // negative value would put a '-' in the name and the GC / residue
+    // regexes (v\d+-p\d+t\d+) would never match the dir
+    val token = s"p${java.lang.ProcessHandle.current().pid()}t" +
+      java.lang.Long.toUnsignedString(System.nanoTime())
     val target = Paths.get(dir(table), s"v$next-$token")
     Files.move(stage, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     target
@@ -297,17 +300,40 @@ final class TableStore(spark: SparkSession, val root: String) {
     * Fallback for filesystems without hard links (the linkTree copy
     * fallback's cousin): O_EXCL CREATE_NEW of the record with content
     * — the same one-winner exclusivity, with a µs-sized create→write
-    * gap that [[snapshotDir]]'s bounded retry absorbs. */
+    * gap that [[snapshotDir]]'s bounded retry absorbs. Real
+    * no-hardlink mounts surface the failure as a FileSystemException
+    * (EPERM/ENOTSUP from link(2)), not UnsupportedOperationException,
+    * so both route to the fallback; EEXIST is caught FIRST — it is
+    * the loser signal, never a fallback trigger.
+    *
+    * GC arbitration: a writer suspended here past
+    * [[TableStore.GcTmpAgeMillis]] can find that [[compact]]'s
+    * unreferenced-dir sweep collected its renamed dir. Three guards
+    * keep that from publishing an unreadable version: the dir's mtime
+    * is refreshed immediately before the link (resetting the age
+    * clock), compact re-checks the record set right before each
+    * delete, and the committer re-checks the dir AFTER the link —
+    * if it is gone, the record is withdrawn and the commit aborts
+    * loudly (spec-pinned). The residual is a cross-process
+    * microsecond-vs-microsecond interleaving that additionally
+    * requires a 10-minute suspension resuming inside it; the
+    * production shape (Delta/Iceberg) sizes vacuum retention against
+    * writer lifetimes for exactly this reason. */
   private[etl] def publishRecord(table: String, next: Int,
       committedDir: java.nio.file.Path): Unit = {
     val record = recordPath(table, next)
     val name = committedDir.getFileName.toString
     val rec = Paths.get(dir(table), s"_rec_$name")
+    try Files.setLastModifiedTime(committedDir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () } // best-effort age-clock reset
     try {
       Files.write(rec, name.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
       try Files.createLink(record, rec)
       catch {
-        case _: UnsupportedOperationException =>
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
           Files.write(record, name.getBytes("UTF-8"),
             StandardOpenOption.CREATE_NEW)
       }
@@ -318,6 +344,17 @@ final class TableStore(spark: SparkSession, val root: String) {
           s"table $table: version v$next was committed by a concurrent " +
             "writer — rerun against the current snapshot")
     } finally Files.deleteIfExists(rec)
+    // post-publish fence against the GC: if the dir vanished while this
+    // writer was suspended, withdraw the record (we are its only owner
+    // — the CAS just proved it) and abort instead of leaving the
+    // current version pointing at nothing
+    if (!Files.exists(committedDir)) {
+      Files.deleteIfExists(record)
+      throw new ConcurrentWriteException(
+        s"table $table: v$next's snapshot dir was garbage-collected " +
+          "while this commit was suspended — rerun against the current " +
+          "snapshot")
+    }
   }
 
   /** Write a full new snapshot and commit it via pointer swap.
@@ -676,41 +713,89 @@ final class TableStore(spark: SparkSession, val root: String) {
       case None =>
         replaceFrom(table, base, readVersion(table, base).coalesce(numFiles))
     }
-    val latest = currentVersion(table).get
-    val dirF = new java.io.File(dir(table))
-    // retire old versions: snapshot dir FIRST, record second — a crash
-    // in between leaves a record naming a missing dir, which is
-    // indistinguishable from "GC'd by compact" (the error readVersion
-    // already reports); the reverse order would leave an invisible,
-    // never-collected dir
-    versions(table).filter(_ <= latest - retain).foreach { v =>
-      val d = try Some(snapshotDir(table, v)) catch { case _: Exception => None }
-      d.foreach(p => deleteRecursively(p.toFile))
-      Files.deleteIfExists(recordPath(table, v))
+    // retire + GC under the commit lock: a same-process writer can then
+    // never be suspended between its rename and link while this sweep
+    // runs (the cross-process interleaving is covered by the mtime
+    // refresh + pre-delete record re-check + publishRecord's
+    // post-link existence fence — see publishRecord's GC-arbitration
+    // note)
+    TableStore.commitLock(root, table).synchronized {
+      val latest = currentVersion(table).get
+      val dirF = new java.io.File(dir(table))
+      // retire old versions: snapshot dir FIRST, record second — a crash
+      // in between leaves a record naming a missing dir, which is
+      // indistinguishable from "GC'd by compact" (the error readVersion
+      // already reports); the reverse order would leave an invisible,
+      // never-collected dir
+      versions(table).filter(_ <= latest - retain).foreach { v =>
+        val d = try Some(snapshotDir(table, v)) catch { case _: Exception => None }
+        d.foreach(p => deleteRecursively(p.toFile))
+        Files.deleteIfExists(recordPath(table, v))
+      }
+      // GC temp artifacts orphaned by crashed or losing writes: staging
+      // dirs, renamed-but-never-committed snapshot dirs (no record names
+      // them), private record files, touched-partition probe dirs.
+      // AGE-GATED (10 min): a CONCURRENT same-JVM writer may legitimately
+      // be mid-write in a fresh `._tmp` dir — or µs away from linking its
+      // renamed dir — right now; reclaiming it would fail that writer
+      // with an I/O error instead of the contract's
+      // ConcurrentWriteException. Crash orphans are by definition old;
+      // live staging dirs are seconds old. (Age-margin analysis on
+      // [[TableStore.GcTmpAgeMillis]].)
+      val cutoff = System.currentTimeMillis() - TableStore.GcTmpAgeMillis
+      dirF.listFiles().filter(f =>
+          (f.getName.matches("v\\d+\\._tmp.*") ||
+           f.getName.startsWith(".touched_") ||
+           f.getName.startsWith("_rec_")) &&
+          f.lastModified() < cutoff)
+        .foreach(deleteRecursively)
+      // unreferenced committed-style dirs get a SECOND record check
+      // immediately before each delete: a suspended cross-process
+      // writer may have linked its record since the listing above
+      dirF.listFiles().filter(f =>
+          f.getName.matches("v\\d+-p\\d+t\\d+") &&
+          f.lastModified() < cutoff)
+        .foreach { f =>
+          val v = f.getName.drop(1).takeWhile(_.isDigit).toInt
+          val rec = recordPath(table, v)
+          val referencedNow = Files.exists(rec) &&
+            (try new String(Files.readAllBytes(rec), "UTF-8").trim == f.getName
+             catch { case _: Exception => false })
+          if (!referencedNow) deleteRecursively(f)
+        }
     }
-    // GC temp artifacts orphaned by crashed or losing writes: staging
-    // dirs, renamed-but-never-committed snapshot dirs (no record names
-    // them), private record files, touched-partition probe dirs.
-    // AGE-GATED (10 min): a CONCURRENT same-JVM writer may legitimately
-    // be mid-write in a fresh `._tmp` dir — or µs away from linking its
-    // renamed dir — right now; reclaiming it would fail that writer
-    // with an I/O error instead of the contract's
-    // ConcurrentWriteException. Crash orphans are by definition old;
-    // live staging dirs are seconds old. (Age-margin analysis on
-    // [[TableStore.GcTmpAgeMillis]].)
-    val cutoff = System.currentTimeMillis() - TableStore.GcTmpAgeMillis
-    val referenced: Set[String] = versions(table).flatMap { v =>
-      try Some(snapshotDir(table, v).getFileName.toString)
-      catch { case _: Exception => None }
-    }.toSet
-    dirF.listFiles().filter(f =>
-        (f.getName.matches("v\\d+\\._tmp.*") ||
-         f.getName.startsWith(".touched_") ||
-         f.getName.startsWith("_rec_") ||
-         (f.getName.matches("v\\d+-p\\d+t\\d+") &&
-          !referenced.contains(f.getName))) &&
-        f.lastModified() < cutoff)
-      .foreach(deleteRecursively)
+  }
+
+  /** Rebin an ARRIVAL-sharDED table's partitions into at most `buckets`
+    * dirs — the complement of [[compact]] for the O(delta) streaming
+    * folds: every micro-batch adds one `_shard=<batchId>` partition, so
+    * after N batches the table has N dirs and each fold's link step
+    * pays O(N) inode work. This deliberate O(table) background rewrite
+    * folds them to `shard mod buckets`; correct because
+    * [[insertIfAbsentPartitioned]]'s dedup is a FULL-table anti-join
+    * (no key-partition-stability requirement — contrast
+    * [[upsertPartitioned]]), and later batch ids keep landing in fresh
+    * dirs until the next rebin. The shard column is internal (readers
+    * drop it), so rewriting its values is unobservable. */
+  def compactShards(table: String, partitionCol: String,
+      buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist under $root"))
+    val cur = readVersion(table, base)
+    require(cur.columns.contains(partitionCol),
+      s"compactShards: $table has no $partitionCol column")
+    val (next, stage) = stageVersion(table, Some(base))
+    cur.withColumn(partitionCol,
+        pmod(col(partitionCol).cast("long"), lit(buckets.toLong)))
+      .repartition(buckets, col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(stage.toString)
+    val hasData = withList(stage)(
+      _.anyMatch(_.getFileName.toString.startsWith(s"$partitionCol=")))
+    if (!hasData)
+      cur.limit(0).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    commitStaged(table, next, stage, Some(base))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

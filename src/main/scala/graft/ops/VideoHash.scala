@@ -152,23 +152,32 @@ object VideoHash {
     * bounded — never all-pairs — and the final aggregate is over
     * matched pairs only. */
   def imageInVideoPairs(imageHashes: DataFrame, frameHashes: DataFrame,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      broadcastImages: Boolean = false,
+      broadcastFrames: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && bands > maxHamming,
       "pigeonhole completeness needs bands > maxHamming")
     require(Phash.HashBits % bands == 0,
       s"bands must divide ${Phash.HashBits}")
+    require(!(broadcastImages && broadcastFrames),
+      "broadcast exactly one side (the known-small probe), not both")
     val width = Phash.HashBits / bands
     val mask = (1L << width) - 1
     def slices(h: org.apache.spark.sql.Column) =
       posexplode(array((0 until bands).map(i =>
         shiftright(h, i * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv"))
-    val imgs = imageHashes.filter(col("hash").isNotNull)
+    val imgs0 = imageHashes.filter(col("hash").isNotNull)
       .select(col("media_id").as("image_id"), col("hash").as("hash_i"),
         slices(col("hash")))
-    val frs = frameHashes.filter(col("hash").isNotNull)
+    val frs0 = frameHashes.filter(col("hash").isNotNull)
       .select(col("media_id").as("video_id"), col("frame_no"),
         col("hash").as("hash_v"), slices(col("hash")))
+    // size-gated probe broadcast (the incrementalNearDupPairs shape):
+    // a day-sized probe side streams the corpus-sized other side in
+    // place instead of shuffling its band-exploded table
+    val imgs = if (broadcastImages) broadcast(imgs0) else imgs0
+    val frs = if (broadcastFrames) broadcast(frs0) else frs0
     imgs.join(frs, Seq("band", "bv"))
       // a pair sharing k bands appears k times: groupBy is the dedup
       // and carries both hashes, so the verify runs once per pair

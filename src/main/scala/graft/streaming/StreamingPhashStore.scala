@@ -50,9 +50,14 @@ import graft.ops.Phash
   * the timing), where round 7 rewrote the whole snapshot. Arrival
   * sharding, not hash bucketing, is deliberate: a hash bucket's
   * contents grow with the index, so rewriting touched buckets is
-  * O(batch/B × index), never flat. Shard-count growth is [[graft.etl.
-  * TableStore.compact]]'s job (after which the next fold self-heals
-  * back to partitioned layout). The per-batch `fresh` frame is
+  * O(batch/B × index), never flat. Shard-COUNT growth (one dir per
+  * batch) is `TableStore.compactShards`' job: a deliberate O(table)
+  * background rebin of the arrival shards into a bounded dir set —
+  * legal precisely because `insertIfAbsentPartitioned`'s dedup is a
+  * full-table anti-join, so shard values carry no key contract —
+  * while plain `compact` bounds files WITHIN partitions (and since
+  * round 8 preserves the hive layout while doing it). The per-batch
+  * `fresh` frame is
   * persisted once and read by its three consumers (count probe, pair
   * build, index fold) instead of re-executing the index anti-join
   * three times. State is the hash table (8 bytes per media row), never
@@ -191,17 +196,37 @@ object StreamingPhashStore {
     val freshFrs = frs.join(exFrs.select(col("media_id")).distinct(),
       Seq("media_id"), "left_anti").persist()
     try {
+      def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
       val (nImgs, nFrs) = (freshImgs.count(), freshFrs.count())
-      if (nImgs == 0 && nFrs == 0) return // full replay: no-op
+      if (nImgs == 0 && nFrs == 0) {
+        // replay OR an all-poison first batch: the tables must still
+        // exist afterwards (first batch defines the schema — the
+        // scalar path's !exists contract), so bootstrap empties once
+        if (!store.exists(matchesTable)) {
+          store.insertIfAbsentPartitioned(matchesTable,
+            shard(graft.ops.VideoHash.imageInVideoPairs(
+              freshImgs, freshFrs, maxHamming, bands)),
+            Seq("image_id", "video_id"), "_shard")
+          store.insertIfAbsentPartitioned(imageIndexTable,
+            shard(freshImgs), Seq("media_id"), "_shard")
+          store.insertIfAbsentPartitioned(frameIndexTable,
+            shard(freshFrs), Seq("media_id", "frame_no"), "_shard")
+        }
+        return
+      }
       System.err.println(s"[phash-store] xmodal batch=$batchId " +
         s"images=$nImgs frames=$nFrs")
-      def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
       // fresh images × every frame seen (old ∪ new), indexed images ×
-      // fresh frames: each (image, video) pair lands exactly once
+      // fresh frames: each (image, video) pair lands exactly once.
+      // Size-gated broadcast of the batch-sized probe side (the
+      // mergeBatch BroadcastBatchRows argument): term 1's small side
+      // is the fresh images, term 2's is the fresh frames
       val matches = graft.ops.VideoHash.imageInVideoPairs(
-          freshImgs, exFrs.unionByName(freshFrs), maxHamming, bands)
+          freshImgs, exFrs.unionByName(freshFrs), maxHamming, bands,
+          broadcastImages = nImgs <= BroadcastBatchRows)
         .unionByName(graft.ops.VideoHash.imageInVideoPairs(
-          exImgs, freshFrs, maxHamming, bands))
+          exImgs, freshFrs, maxHamming, bands,
+          broadcastFrames = nFrs <= BroadcastBatchRows))
       store.insertIfAbsentPartitioned(matchesTable, shard(matches),
         Seq("image_id", "video_id"), "_shard")
       store.insertIfAbsentPartitioned(imageIndexTable, shard(freshImgs),

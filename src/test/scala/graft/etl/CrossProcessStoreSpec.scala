@@ -128,6 +128,41 @@ class CrossProcessStoreSpec extends AnyFunSuite {
     assert(store.versions("t") == Seq(1, 2))
   }
 
+  test("a writer whose dir was GC'd during a long suspension aborts loudly and withdraws its record") {
+    val root = Files.createTempDirectory("graft_xproc4_").toString
+    val store = new TableStore(null, root)
+    val (v1, s1) = store.stageVersion("t", None)
+    Files.write(s1.resolve("marker.txt"), "seed".getBytes)
+    store.commitStaged("t", v1, s1, Some(0))
+
+    // writer Z stages + renames v2, then is suspended PAST the GC age
+    // gate; a compact-style sweep (fabricated here: Spark-free) removes
+    // the aged unreferenced dir
+    val (v2, s2) = store.stageVersion("t", None)
+    Files.write(s2.resolve("marker.txt"), "zombie".getBytes)
+    val zombieDir = store.renameStaged("t", v2, s2)
+    // the GC saw it aged and unreferenced
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(zombieDir.toFile)
+
+    // Z resumes at the publish step: the post-link existence fence must
+    // withdraw the record and abort — NOT leave v2 committed-but-gone
+    intercept[ConcurrentWriteException] {
+      store.publishRecord("t", v2, zombieDir)
+    }
+    assert(store.versions("t") == Seq(1),
+      "a record naming a GC'd dir must never survive")
+    // the table keeps working: the next writer takes v2 normally
+    val (v2b, s2b) = store.stageVersion("t", None)
+    assert(v2b == 2)
+    Files.write(s2b.resolve("marker.txt"), "successor".getBytes)
+    store.commitStaged("t", v2b, s2b, Some(1))
+    assert(new String(Files.readAllBytes(
+      store.snapshotDir("t", 2).resolve("marker.txt"))) == "successor")
+  }
+
   test("a crashed writer's renamed-but-unrecorded dir blocks nothing and is age-GC'd") {
     val root = Files.createTempDirectory("graft_xproc3_").toString
     val store = new TableStore(null, root)

@@ -179,6 +179,46 @@ class PhashStoreSpec extends SparkTestBase {
     df.select($"id_a", $"id_b", $"f_offset", $"matched", $"is_near")
       .as[(Long, Long, Long, Long, Boolean)].collect().toSet
 
+  test("compactShards rebinds arrival shards to a bounded dir set; content and later folds unaffected") {
+    val all = corpusHashes(12).cache()
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_csh_").toString)
+    StreamingPhashStore.mergeBatch(all.filter($"media_id" < 12),
+      0L, store, "idx", "pairs")
+    StreamingPhashStore.mergeBatch(
+      all.filter($"media_id" >= 12 && $"media_id" < 24),
+      1L, store, "idx", "pairs")
+    val beforeIdx = StreamingPhashStore.index(store, "idx")
+      .as[(Long, Long)].collect().toSet
+    val beforePairs = pairSet(StreamingPhashStore.pairs(store, "pairs"))
+    store.compactShards("idx", "_shard", buckets = 2)
+    store.compactShards("pairs", "_shard", buckets = 2)
+    import java.nio.file.{Files => JF}
+    def shardDirs(table: String): Seq[String] = {
+      val s = JF.list(store.snapshotDir(table, store.versions(table).max))
+      try {
+        val l = s.map[String](_.getFileName.toString)
+          .filter(_.startsWith("_shard="))
+          .collect(java.util.stream.Collectors.toList[String])
+        import scala.jdk.CollectionConverters._
+        l.asScala.toSeq
+      } finally s.close()
+    }
+    assert(shardDirs("idx").size <= 2, s"rebin left ${shardDirs("idx")}")
+    assert(StreamingPhashStore.index(store, "idx")
+      .as[(Long, Long)].collect().toSet == beforeIdx,
+      "rebin changed index content")
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) == beforePairs)
+    // the fold AFTER the rebin still works and still links the rebinned
+    // shards (batch ids keep rising, so new shards never collide)
+    StreamingPhashStore.mergeBatch(all.filter($"media_id" >= 24),
+      2L, store, "idx", "pairs")
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
+      pairSet(Phash.nearDupPairs(all)))
+    assert(shardDirs("idx").size <= 3)
+    all.unpersist()
+  }
+
   // ---- cross-modal (image × video frame) variant ----
 
   test("cross-modal store: matches after every interleaving prefix equal the one-shot bipartite join (q307 ingest)") {

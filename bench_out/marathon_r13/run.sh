@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-8 final marathon: 5 official-format Bench runs on HEAD (b7bfb64,
+# post commit-log TableStore + O(delta) store folds + q307 cross-modal +
+# three-point slope gate + self-review hardening), 180s cooldown between
+# runs. 5 runs (not 3) because this round adjudicates the q155/q181
+# quiet-median drift and the q263 outlier. Bench quiet-gates itself.
+cd /tmp/benchrepo_r8
+for i in 1 2 3 4 5; do
+  echo "=== BENCH RUN $i start $(date +%T) load=$(cat /proc/loadavg)" >> /tmp/marathon_r13/marathon.log
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" \
+    > /tmp/marathon_r13/run$i.stdout 2> /tmp/marathon_r13/run$i.stderr
+  rc=$?
+  echo "=== BENCH RUN $i end $(date +%T) rc=$rc" >> /tmp/marathon_r13/marathon.log
+  grep '"metric"' /tmp/marathon_r13/run$i.stdout | head -1 > /tmp/marathon_r13/run$i.full.json
+  if [ $i -lt 5 ]; then sleep 180; fi
+done
+echo MARATHON_DONE >> /tmp/marathon_r13/marathon.log

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed GENERALIZED SUFFIX ARRAY via prefix doubling — the
+  * character-grain core of exact-substring dedup (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better",
+  * arXiv:2107.06499 build suffix arrays to remove exact repeats; the
+  * token-window C4 path in [[Dedup.duplicatedSpans]] catches
+  * WINDOW-ALIGNED repeats, this catches repeats at ANY character
+  * offset and ANY length).
+  *
+  * Semantics: each document contributes all suffixes of its (truncated)
+  * text, each terminated by an implicit per-document sentinel smaller
+  * than every character — so a suffix that is a proper prefix of
+  * another sorts FIRST (exactly DuckDB/UTF-8 binary string order,
+  * which is what the oracle replays), and equal full suffixes across
+  * documents tie-break by (doc_id, pos) for a total order.
+  *
+  * Algorithm (Manber–Myers prefix doubling with a radix start and a
+  * string tail): round 0 dense-ranks `initWidth`-char prefixes; round
+  * k re-ranks each suffix by the PAIR (rank(pos), rank(pos+k)) — a
+  * suffix past its document end contributes sentinel rank 0 — and k
+  * doubles while a round still leaves more than `tailFraction` of the
+  * rows tied; the small residue (dominated by full-length duplicate
+  * prefixes that NO amount of doubling separates) then sorts directly
+  * by its materialized suffix tail. O(log maxLen) integer rounds
+  * worst-case, each built from exactly the primitives that scale: one
+  * distinct + sort over the (r1, r2) pairs, one zipWithIndex to
+  * assign contiguous ranks (its internal per-partition count is the
+  * only extra job), and two key-partitioned joins. No global window,
+  * no single-partition sort: the orderBy feeding zipWithIndex is a
+  * RANGE-partitioned distributed sort, and indices are deterministic
+  * because the sort key set is distinct (rule-12 note: partition
+  * BOUNDARIES vary per job, but every round's output is materialized
+  * in the same job chain that computed it, so nothing re-derives
+  * them).
+  *
+  * Per-round state rides [[Caches.materialize]] (rule 16: iterative
+  * reassignment must truncate lineage — a 9-round tower would re-pay
+  * Catalyst analysis per consumer otherwise).
+  *
+  * 100 TB shape: suffix rows = corpus characters — at full corpus
+  * scale you shard by document (suffix arrays are chunk-local in
+  * practice, as in the reference implementation of Lee et al.) and
+  * run this per shard; within a shard every stage is a key-partitioned
+  * shuffle with no driver-sized collect (the only driver traffic is
+  * one Long per round for the early-exit probe). */
+object SuffixArray {
+
+  /** The suffix array: one row per (doc_id, pos) suffix of the
+    * maxLen-truncated text, with `sa_rank` = its 1-based position in
+    * the global suffix order described above.
+    *
+    * `initWidth` is the RADIX START (the standard doubling
+    * acceleration): round 0 dense-ranks `initWidth`-char prefix
+    * STRINGS instead of single characters, entering the doubling at
+    * k = initWidth — the recurrence stays valid because rank_w(pos)
+    * covers exactly chars [pos, pos+w) and the pair
+    * (rank_w(pos), rank_w(pos+w)) therefore covers [pos, 2w), with
+    * the sentinel-0 past-end rule giving shorter-prefix-first order
+    * as before. On natural text 16-char prefixes resolve ~80% of
+    * ranks immediately and one doubling round ~97% (measured on the
+    * catalog corpus), so the loop typically runs 1–2 integer rounds
+    * plus the string tail where a 1-char start pays ~9 — the round
+    * count, not the data, dominates at catalog scale. Tests pin
+    * initWidth = 1 (the many-round path) against the same brute
+    * force. */
+  def suffixArray(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int = 512, initWidth: Int = 16): DataFrame = {
+    require(maxLen >= 2, "maxLen must be at least 2")
+    require(initWidth >= 1, "initWidth must be at least 1")
+    val w = math.min(initWidth, maxLen)
+    // prefix construction: explode positions, one substring per row
+    // (the byte walk it pays is linear in pos and tiny at these doc
+    // lengths)
+    val prefixes = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(s"left($textCol, $maxLen)").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(expr("sequence(0, length(t) - 1)")).as(Seq("_i", "pos")))
+      // BIGINT from the start (rule 1): the driver's compare is
+      // dtype-strict against DuckDB's BIGINT
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(t, pos + 1, $w)").as("pfx"))
+    // cache sweep r8: materialize — consumed by the round-0 rank join
+    // AND as the row-count basis; recompute would re-explode the corpus
+    val (base, n) = Caches.materializeCount(prefixes)
+    var (ranks, nDistinct) = denseRank(base, Seq("pfx"))
+    var k = w
+    // HYBRID TAIL (measured on the catalog corpus): doubling resolves
+    // 79% of ranks at round 0 and 97% after one round, then crawls —
+    // the residue is dominated by FULL-length duplicate prefixes that
+    // no amount of doubling separates, yet every further round pays
+    // the whole corpus's joins to resolve a few hundred rows. So:
+    // double while a round still has > tailFraction of rows tied, then
+    // string-sort ONLY the tied residue directly (their suffix tails
+    // materialize once, bounded by the tied fraction — never the
+    // corpus).
+    val tailFraction = 0.05
+    while (nDistinct < n && k < maxLen &&
+        (n - nDistinct) > (n * tailFraction).toLong) {
+      val shifted = ranks.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col("r").as("r2"))
+      val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val (next, nd) = denseRank(paired, Seq("r", "r2"))
+      ranks = next
+      nDistinct = nd
+      k *= 2
+    }
+    if (nDistinct < n) {
+      // tail: within a tied rank group all rows agree on their first
+      // 2k chars; ordering the group by the FULL (truncated) suffix
+      // string is exactly the target binary order (shorter-prefix
+      // first), and equal full suffixes (duplicate documents)
+      // totalize by (doc_id, pos). Untied rows keep sfx = '' — a
+      // singleton group sorts the same under any constant. when() is
+      // lazy per row, so only tied rows build their string.
+      val texts = docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          expr(s"left($textCol, $maxLen)").as("t"))
+        .filter(col("t").isNotNull && length(col("t")) > 0)
+      val tiedR = ranks.groupBy(col("r")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") > 1)
+        .select(col("r"), lit(true).as("_tied"))
+      val withSfx = ranks
+        .join(texts, Seq("doc_id"))
+        .join(tiedR, Seq("r"), "left")
+        .select(col("doc_id"), col("pos"), col("r"),
+          when(col("_tied"), expr("substring(t, pos + 1)"))
+            .otherwise(lit("")).as("sfx"))
+      ranks = denseRank(withSfx, Seq("r", "sfx", "doc_id", "pos"))._1
+    }
+    ranks.select(col("r").as("sa_rank"), col("doc_id"), col("pos"))
+  }
+
+  /** Dense-rank `df` by `keys` (ascending, nulls absent by
+    * construction): distinct keys are range-sort-partitioned and
+    * zipWithIndex assigns contiguous 1-based ranks; rows come back with
+    * the rank joined on as `r` (replacing any previous `r`). Returns
+    * the re-ranked rows (materialized, lineage-truncated) and the
+    * number of DISTINCT keys — the doubling loop's early-exit probe. */
+  private def denseRank(df: DataFrame,
+      keys: Seq[String]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    // cache sweep r8: materialize the DISTINCT before sorting — the
+    // orderBy's range-boundary sampling pass, zipWithIndex's internal
+    // per-partition count, and the mapping materialization would each
+    // re-run the distinct shuffle otherwise (measured: the per-round
+    // job fan-out, not the data, dominates at catalog scale)
+    val distinct = Caches.materialize(
+      df.select(keys.map(col): _*).distinct())
+    val sorted = distinct.orderBy(keys.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("_nr", LongType, nullable = false))
+    val mapping = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1L)) }, schema)
+    val (m, nKeys) = Caches.materializeCount(mapping)
+    val assigned = df.join(m, keys)
+      .select(col("doc_id"), col("pos"), col("_nr").as("r"))
+    // cache sweep r8: materializeLazy — per-round iterative state
+    // (rule 16: lineage must truncate), with the blocks computed by
+    // the NEXT round's first action (the materializeLazy fusion shape)
+    (Caches.materializeLazy(assigned), nKeys)
+  }
+
+  /** Exact repeated substrings from the suffix array: every pair of
+    * ADJACENT suffixes in SA order shares the corpus's locally-longest
+    * common prefix (any repeat of length L makes some adjacent pair
+    * with LCP ≥ L — standard SA property), so the top-N adjacent LCPs
+    * ARE the longest exact repeats, each reported with both
+    * occurrences, a cross-document flag and the repeated snippet
+    * itself. LCP is computed row-locally on the bound suffix columns
+    * (rule 3) via zip_with + first-mismatch — O(maxLen) per adjacent
+    * pair, no quadratic scan anywhere. */
+  def repeatedSubstrings(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int = 512, topN: Int = 50): DataFrame = {
+    val sa = suffixArray(docs, idCol, textCol, maxLen)
+    val texts = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(s"left($textCol, $maxLen)").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+    val withSuf = sa.join(texts, Seq("doc_id"))
+      .select(col("sa_rank"), col("doc_id"), col("pos"),
+        expr("substring(t, pos + 1)").as("suf"))
+    val left = withSuf.select(col("sa_rank"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("suf").as("suf_a"))
+    val right = withSuf.select((col("sa_rank") - 1).as("sa_rank"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("suf").as("suf_b"))
+    left.join(right, Seq("sa_rank"))
+      // zip_with pads the shorter side with NULL → coalesce(false)
+      // marks the pad a mismatch, so first-false lands at min(len)+1
+      // and array_position = 0 (no false) means identical suffixes.
+      // split('') builds each char array in ONE pass — a
+      // transform+substring(suf, i, 1) formulation re-scans the string
+      // per element (UTF8String.substring walks bytes), O(len²) per
+      // row, measured as the dominant cost of this view
+      .withColumn("_eq", expr(
+        "zip_with(split(suf_a, ''), split(suf_b, ''), " +
+          "(x, y) -> coalesce(x = y, false))"))
+      .withColumn("_fm", array_position(col("_eq"), false))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        when(col("_fm") === 0,
+          least(length(col("suf_a")), length(col("suf_b"))))
+          .otherwise(col("_fm") - 1).cast("long").as("lcp"),
+        (col("doc_a") =!= col("doc_b")).as("cross_doc"),
+        col("suf_a"))
+      .withColumn("snippet", expr("substring(suf_a, 1, lcp)"))
+      .drop("suf_a")
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
+      .limit(topN)
+  }
+}

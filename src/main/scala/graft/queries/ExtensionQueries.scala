@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, TextAnalysis, VideoHash, Wav}
+import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, SuffixArray, TextAnalysis, VideoHash, Wav}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -1432,6 +1432,97 @@ object ExtensionQueries {
         AND b.video_id = a.video_id AND b.rn = 1
       ORDER BY a.image_id, a.video_id"""))
 
+  /** GENERALIZED SUFFIX ARRAY (`ops/SuffixArray`) — distributed prefix
+    * doubling over a truncated document sample, the character-grain
+    * machinery of exact-substring dedup (Lee et al. 2107.06499; the
+    * token-window C4 path is q133/q182). The oracle IS the definition:
+    * DuckDB materializes every suffix string and sorts it
+    * (ORDER BY suffix, doc_id, pos — binary collation, shorter-prefix
+    * first), which the doubling must reproduce rank for rank. The
+    * engine's ranks double through integer pair re-ranking —
+    * O(log maxLen) rounds of distinct+sort+zipWithIndex and two keyed
+    * joins each — with only the small tied residue (full-length
+    * duplicate prefixes doubling can never separate) materializing
+    * its suffix tail for the final string sort. */
+  val q308SuffixArray = OracleQuery("q308_suffix_array",
+    "generalized suffix array via prefix doubling == brute-force suffix sort",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      SuffixArray.suffixArray(docs, "doc_id", "text", maxLen = 400)
+        .orderBy("sa_rank")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, left(text, 400) AS t
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(text) > 0),
+      s AS (
+        SELECT doc_id, i - 1 AS pos, substr(t, i) AS suf
+        FROM d, unnest(generate_series(1, length(t))) g(i))
+      SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT)
+               AS sa_rank,
+             doc_id, CAST(pos AS BIGINT) AS pos
+      FROM s
+      ORDER BY sa_rank"""))
+
+  /** Exact repeated substrings from the suffix array: adjacent-suffix
+    * LCPs are the corpus's locally-longest exact repeats (any repeat
+    * of length L produces an adjacent pair with LCP ≥ L), reported
+    * with both occurrences, a cross-document flag, and the snippet.
+    * Deliberately UNthresholded (top-N by LCP): the no-all-zero-cards
+    * rule — adjacent LCPs always exist, and the corpus's planted
+    * exact-duplicate documents surface as full-length cross-doc
+    * repeats at the top. The oracle replays suffix sort → adjacent
+    * pairs → first-mismatch LCP symbolically. */
+  val q309RepeatedSubstrings = OracleQuery("q309_repeated_substrings",
+    "longest exact repeated substrings via adjacent-suffix LCP == brute force",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      SuffixArray.repeatedSubstrings(docs, "doc_id", "text",
+        maxLen = 400, topN = 50)
+        .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, left(text, 400) AS t
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(text) > 0),
+      s AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, substr(t, i) AS suf
+        FROM d, unnest(generate_series(1, length(t))) g(i)),
+      sa AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY suf, doc_id, pos) AS rk,
+               doc_id, pos, suf
+        FROM s),
+      adj AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.suf AS sa_,
+               b.doc_id AS doc_b, b.pos AS pos_b, b.suf AS sb_
+        FROM sa a JOIN sa b ON b.rk = a.rk + 1),
+      mm AS (
+        -- first mismatching character position per adjacent pair
+        SELECT doc_a, pos_a, MIN(i.i) AS fm
+        FROM adj, generate_series(1, 400) i(i)
+        WHERE i.i <= least(length(sa_), length(sb_))
+          AND substr(sa_, i.i, 1) <> substr(sb_, i.i, 1)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT adj.doc_a, CAST(adj.pos_a AS BIGINT) AS pos_a,
+               adj.doc_b, CAST(adj.pos_b AS BIGINT) AS pos_b,
+               CAST(coalesce(mm.fm - 1,
+                 least(length(adj.sa_), length(adj.sb_))) AS BIGINT) AS lcp,
+               adj.doc_a <> adj.doc_b AS cross_doc,
+               substr(adj.sa_, 1, CAST(coalesce(mm.fm - 1,
+                 least(length(adj.sa_), length(adj.sb_))) AS INT))
+                 AS snippet
+        FROM adj
+        LEFT JOIN mm ON mm.doc_a = adj.doc_a AND mm.pos_a = adj.pos_a)
+      SELECT doc_a, pos_a, doc_b, pos_b, lcp, cross_doc, snippet
+      FROM scored
+      ORDER BY lcp DESC, doc_a, pos_a
+      LIMIT 50"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1440,5 +1531,6 @@ object ExtensionQueries {
     q257ClusterSizeCard, q258SourceOverlap, q293PngRoundtrip,
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
-    q306AudioTrimNearDup, q307ImageInVideo)
+    q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
+    q309RepeatedSubstrings)
 }

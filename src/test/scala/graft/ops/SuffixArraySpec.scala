@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Distributed suffix array (`ops/SuffixArray`): prefix doubling must
+  * reproduce the brute-force suffix sort rank for rank — including the
+  * orderings that break naive formulations: a suffix that is a proper
+  * prefix of another (sentinel semantics), equal full suffixes from
+  * duplicate documents (tie totalization), and within-doc overlapping
+  * repeats ("abab"). */
+class SuffixArraySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Brute-force reference: materialize every suffix, sort by
+    * (suffix, doc, pos) — ASCII fixtures, so Scala's UTF-16 order
+    * equals the engine's UTF-8 binary order. */
+  private def refSa(docs: Seq[(Long, String)],
+      maxLen: Int): Seq[(Long, Long, Long)] =
+    docs.filter(d => d._2 != null && d._2.nonEmpty).flatMap { case (id, t0) =>
+      val t = t0.take(maxLen)
+      (0 until t.length).map(p => (id, p.toLong, t.substring(p)))
+    }.sortBy { case (id, p, suf) => (suf, id, p) }
+      .zipWithIndex.map { case ((id, p, _), i) => (i + 1L, id, p) }
+
+  private def lcpOf(a: String, b: String): Long =
+    a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+
+  test("suffix array equals brute-force suffix sort: prefix ordering, cross-doc ties, duplicate docs, overlapping repeats") {
+    val docs = Seq(
+      (1L, "banana"), (2L, "bananas"), (3L, "an"),
+      (4L, "banana"), // exact duplicate of doc 1: full-suffix ties
+      (5L, "abab"), (6L, "b"), (7L, "nab"))
+    // BOTH round paths: initWidth=1 forces the full doubling ladder,
+    // the radix-16 default collapses it to the tie-totalization tail
+    Seq(1, 16).foreach { w =>
+      val got = SuffixArray.suffixArray(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 8,
+          initWidth = w)
+        .orderBy("sa_rank")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == refSa(docs, 8), s"initWidth $w diverged")
+    }
+  }
+
+  test("truncation applies before suffixing; null and empty docs are excluded") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // truncated to 4: suffixes of "abcd" only
+      (2L, ""), (3L, null.asInstanceOf[String]), (4L, "ba"))
+    val got = SuffixArray.suffixArray(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 4)
+      .orderBy("sa_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == refSa(Seq((1L, "abcdefghij"), (4L, "ba")), 4))
+    assert(got.size == 6) // 4 suffixes of "abcd" + 2 of "ba"
+  }
+
+  test("randomized corpora: doubling == brute force across seeds") {
+    // deterministic pseudo-random docs over a 4-letter alphabet —
+    // small alphabet maximizes rank collisions, the doubling loop's
+    // hard case (many rounds before ranks go distinct)
+    def gen(seed: Long, n: Int): Seq[(Long, String)] =
+      (0 until n).map { i =>
+        var h = seed * 31 + i
+        val len = 3 + (math.abs(h) % 20).toInt
+        val sb = new StringBuilder
+        (0 until len).foreach { j =>
+          h = h * 6364136223846793005L + 1442695040888963407L
+          sb += "abcd" (((h >>> 33) % 4).toInt)
+        }
+        (i.toLong, sb.toString)
+      }
+    Seq(7L, 42L).foreach { seed =>
+      val docs = gen(seed, 25)
+      Seq(1, 4).foreach { w =>
+        val got = SuffixArray.suffixArray(
+            docs.toDF("doc_id", "text"), "doc_id", "text", maxLen = 32,
+            initWidth = w)
+          .orderBy("sa_rank")
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(got == refSa(docs, 32), s"seed $seed initWidth $w diverged")
+      }
+    }
+  }
+
+  test("repeatedSubstrings: top adjacent LCPs equal the reference, planted cross-doc phrase surfaces with its snippet") {
+    val docs = Seq(
+      (1L, "xx the quick brown fox yy"),
+      (2L, "zz the quick brown fox qq"),
+      (3L, "unrelated words entirely"),
+      (4L, "small overlap the quick end"))
+    val maxLen = 64
+    val got = SuffixArray.repeatedSubstrings(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxLen, topN = 10)
+      .select($"doc_a", $"pos_a", $"doc_b", $"pos_b", $"lcp",
+        $"cross_doc", $"snippet")
+      .as[(Long, Long, Long, Long, Long, Boolean, String)]
+      .collect().toSeq
+    // in-memory reference: adjacent pairs of the brute-force SA
+    val suffixes = docs.flatMap { case (id, t) =>
+      (0 until t.length).map(p => (id, p.toLong, t.substring(p)))
+    }.sortBy { case (id, p, suf) => (suf, id, p) }
+    val want = suffixes.zip(suffixes.tail).map {
+      case ((ia, pa, sa), (ib, pb, sb)) =>
+        val l = lcpOf(sa, sb)
+        (ia, pa, ib, pb, l, ia != ib, sa.take(l.toInt))
+    }.sortBy { case (ia, pa, _, _, l, _, _) => (-l, ia, pa) }.take(10)
+    assert(got == want)
+    // the planted shared phrase is the top repeat, across documents
+    assert(got.head._6, "top repeat must be cross-document")
+    assert(got.head._7.contains("the quick brown fox"),
+      s"top snippet lost the planted phrase: '${got.head._7}'")
+  }
+}

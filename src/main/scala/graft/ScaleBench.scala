@@ -45,7 +45,10 @@ object ScaleBench {
     "seq_align",
     // round-8: the streaming-store O(delta) fold — its SLOPE is the
     // claim (fold cost ~flat in index size at fixed batch size)
-    "store_fold")
+    "store_fold",
+    // round-8: the prefix-doubling suffix array — every stage is a
+    // linear distinct/sort/join, so the slope must stay near-linear
+    "suffix_array")
 
   /** Ops whose asymptote the quick gate pins with a THIRD point
     * (round-7 verdict ask #6): m=16 extends the two steepest curves so
@@ -121,14 +124,21 @@ object ScaleBench {
     // expensive) input count of a corpus the quick mode never builds
     def timeOp(op: String, m: Int, inRows: => Long)(build: => DataFrame): Unit = {
       if (!need(op)) return
-      // min of 2 back-to-back runs: scaling slopes want the least-noise
-      // observation, not the load-average one
-      val (outRows, sec) = (1 to 2).map { _ =>
+      // min of 2 back-to-back runs (3 when the op lands under
+      // ShortOpSecs): scaling slopes want the least-noise observation,
+      // and sub-3s timings are cache-state-dominated — their 2-point
+      // slopes measured ±50% run-to-run swing; one more cheap sample
+      // cuts the upper tail where it matters and costs nothing where
+      // it doesn't
+      def one(): (Long, Double) = {
         val t0 = System.nanoTime()
         val n = build.count()
         graft.ops.Dedup.unpersistCaches()
         (n, (System.nanoTime() - t0) / 1e9)
-      }.minBy(_._2)
+      }
+      val runs = scala.collection.mutable.ArrayBuffer(one(), one())
+      if (runs.map(_._2).min < ShortOpSecs) runs += one()
+      val (outRows, sec) = runs.minBy(_._2)
       recorded += ((op, m, inRows, outRows, sec))
       println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec}""")
     }
@@ -244,6 +254,33 @@ object ScaleBench {
         // mis-tuning, not the engine
         SemDedup.clusterNearDupPairs(emb, "vec_id", "embedding",
           nAnchors = 8 * m, minSim = 0.99)
+      }
+      timeOp("suffix_array", m, nDocs) {
+        // round-8 flagship: distributed prefix doubling (radix start +
+        // string tail). The fixture must keep COLLISION STRUCTURE
+        // m-invariant (rule-18's lesson in suffix space): the shared
+        // token-prefixed replicas ("r1the r1data") are far more
+        // SELF-similar than the base text (round-0 ties measured 21%
+        // at m=1 vs 50% at m=4 — the slope then counts fixture-induced
+        // doubling rounds, not engine). A per-replica Caesar ROTATION
+        // is a character bijection: each replica's self-collision
+        // structure is EXACTLY the base corpus's, and cross-replica
+        // windows differ wherever a letter appears — so ties, rounds
+        // and tail size all scale linearly and the slope isolates the
+        // engine's distinct/sort/zip/join rounds. Subsample (% 5) +
+        // maxLen 150 keep the gate's budget (suffix rows = chars).
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val saCorpus = (0 until m).map { i =>
+          val sub = baseDocs.filter(col("doc_id") % 5 === 0)
+          val text =
+            if (i == 0) col("text")
+            else translate(col("text"), alpha,
+              alpha.drop(i % 26) + alpha.take(i % 26))
+          sub.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            text.as("text"))
+        }.reduce(_ unionByName _)
+        graft.ops.SuffixArray.suffixArray(saCorpus, "doc_id", "text",
+          maxLen = 150)
       }
       timeOp("dup_spans", m, nDocs) {
         // replicas share no tokens, so the duplicated-span population
@@ -575,7 +612,8 @@ object ScaleBench {
       // INTENTIONAL change, plan_budgets-style:
       //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
       val baseText = loadBaselineText(BaselinePath)
-      val failures = slopeGate(parseSlopes(json), parseSlopes(baseText)) ++
+      val failures = slopeGate(parseSlopes(json), parseSlopes(baseText),
+          curSecs = parseM4Secs(json), baseSecs = parseM4Secs(baseText)) ++
         slopeGate(parseHiSlopes(json), parseHiSlopes(baseText))
           .map(f => s"hi-chord $f")
       failures.foreach(f => System.err.println(s"[scale-gate] FAIL $f"))
@@ -595,24 +633,43 @@ object ScaleBench {
     * wolf weekly. */
   val SlopeTolerance = 1.25
 
-  /** Extract {op → slope} from a quick-mode JSON line (both the live
-    * run's and the checked-in baseline's — same writer, same shape).
-    * Regex-scoped to this file's own output format; no JSON lib in the
-    * offline sandbox. */
-  def parseSlopes(json: String): Map[String, Double] =
-    // [^{}]* keeps the span inside ONE op object — "ops":{ would
-    // otherwise swallow the first op's name
-    """"([a-z0-9_]+)":\{[^{}]*"slope":(-?[0-9.eE+]+)""".r
+  /** Ops whose best-of-N still lands under this at m_hi are
+    * NOISE-DOMINATED: their slope is mostly cache/JIT state, not the
+    * engine (measured: seq_align's slope spanned 1.16–2.0 across two
+    * same-code runs in different cache states), so the gate skips the
+    * slope comparison when BOTH the current and baseline m_hi timings
+    * sit under the floor (round-7 advice's "minimum absolute sec"
+    * option). store_fold (~1.8 s) stays above it deliberately — its
+    * flat-fold slope is a round-8 claim the gate must keep pinning. */
+  val MinGateSecs = 1.5
+
+  /** An op under this at its first try gets a third timing sample. */
+  val ShortOpSecs = 3.0
+
+  /** Extract {op → numeric field} from a quick-mode JSON line (both
+    * the live run's and the checked-in baseline's — same writer, same
+    * shape). Regex-scoped to this file's own output format; no JSON
+    * lib in the offline sandbox. `[^{}]*` keeps the span inside ONE op
+    * object — "ops":{ would otherwise swallow the first op's name. */
+  private def parseNumField(json: String, field: String): Map[String, Double] =
+    ("\"([a-z0-9_]+)\":\\{[^{}]*\"" + field + "\":(-?[0-9.eE+]+)").r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  def parseSlopes(json: String): Map[String, Double] =
+    parseNumField(json, "slope")
 
   /** The second-chord slopes (sec_m16/sec_m4) of the three-point ops —
     * absent for two-point ops and for baselines recorded before the
     * extension (the gate then skips them, new-op style). */
   def parseHiSlopes(json: String): Map[String, Double] =
-    """"([a-z0-9_]+)":\{[^{}]*"slope_hi":(-?[0-9.eE+]+)""".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    parseNumField(json, "slope_hi")
+
+  /** The m=4 wall seconds per op — the [[MinGateSecs]] noise-floor
+    * input (the hi chord's points are 8–30 s and never near the
+    * floor, so only the base chord consults this). */
+  def parseM4Secs(json: String): Map[String, Double] =
+    parseNumField(json, "sec_m4")
 
   def loadBaselineText(path: String): String = {
     val p = java.nio.file.Paths.get(path)
@@ -639,7 +696,9 @@ object ScaleBench {
     * only above max(base, 1.0) × tolerance. */
   def slopeGate(current: Map[String, Double],
       baseline: Map[String, Double],
-      tolerance: Double = SlopeTolerance): Seq[String] =
+      tolerance: Double = SlopeTolerance,
+      curSecs: Map[String, Double] = Map.empty,
+      baseSecs: Map[String, Double] = Map.empty): Seq[String] =
     baseline.toSeq.sortBy(_._1).flatMap { case (op, base) =>
       current.get(op) match {
         case None =>
@@ -647,7 +706,12 @@ object ScaleBench {
         case Some(cur) if cur < 0 =>
           Some(s"$op: timing failed (slope sentinel $cur)")
         case Some(cur) if base > 0 && cur > math.max(base, 1.0) * tolerance =>
-          Some(f"$op: slope $cur%.2f vs baseline $base%.2f " +
+          // noise floor: both observations under MinGateSecs at m_hi
+          // means the slope is cache state, not scale behavior —
+          // coverage is still enforced (the op must be PRESENT)
+          if (curSecs.get(op).exists(_ < MinGateSecs) &&
+              baseSecs.get(op).exists(_ < MinGateSecs)) None
+          else Some(f"$op: slope $cur%.2f vs baseline $base%.2f " +
             f"(> ${tolerance}x over max(base, 1.0)) — scale behavior regressed")
         case _ => None
       }

@@ -101,8 +101,20 @@ object SuffixArray {
     // materialize once, bounded by the tied fraction — never the
     // corpus).
     val tailFraction = 0.05
-    while (nDistinct < n && k < maxLen &&
+    val debug = sys.env.contains("SPARK_GRAFT_SA_DEBUG")
+    val t0 = System.nanoTime()
+    if (debug) System.err.println(
+      f"[sa] n=$n round0 nd=$nDistinct ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // double while a round is PAYING FOR ITSELF: stop when either the
+    // tied residue is small (tailFraction) or a round failed to resolve
+    // at least a quarter of it (stagnation — measured: a corpus whose
+    // residue is long-duplicate-dominated spent two corpus-wide rounds
+    // resolving 0.04% of rows each before the tail would have handled
+    // them anyway)
+    var stagnant = false
+    while (nDistinct < n && k < maxLen && !stagnant &&
         (n - nDistinct) > (n * tailFraction).toLong) {
+      val tiedBefore = n - nDistinct
       val shifted = ranks.select(col("doc_id"),
         (col("pos") - k).as("pos"), col("r").as("r2"))
       val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
@@ -111,8 +123,14 @@ object SuffixArray {
       val (next, nd) = denseRank(paired, Seq("r", "r2"))
       ranks = next
       nDistinct = nd
+      stagnant = (tiedBefore - (n - nDistinct)) < tiedBefore / 4
+      if (debug) System.err.println(
+        f"[sa] k=$k nd=$nDistinct/$n stagnant=$stagnant " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s cum")
       k *= 2
     }
+    if (debug) System.err.println(
+      f"[sa] tail=${nDistinct < n} ${(System.nanoTime() - t0) / 1e9}%.2f s cum")
     if (nDistinct < n) {
       // tail: within a tied rank group all rows agree on their first
       // 2k chars; ordering the group by the FULL (truncated) suffix

@@ -33,6 +33,37 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(fails.size == 1 && fails.head.startsWith("minhash_lsh"))
   }
 
+  test("slopeGate's noise floor: sub-MinGateSecs ops are exempt from the slope compare, coverage still enforced") {
+    val base = Map("seq_align" -> 1.16, "store_fold" -> 1.30)
+    val cur = Map("seq_align" -> 2.00, "store_fold" -> 1.90)
+    // both seq_align observations under the floor → slope noise, pass;
+    // store_fold sits above it → its worsened slope still fails
+    val fails = ScaleBench.slopeGate(cur, base,
+      curSecs = Map("seq_align" -> 1.13, "store_fold" -> 1.79),
+      baseSecs = Map("seq_align" -> 0.90, "store_fold" -> 1.79))
+    assert(fails.size == 1 && fails.head.startsWith("store_fold"))
+    // the exemption needs BOTH sides under the floor: a previously-fast
+    // op that now takes real time is exactly what must not slip through
+    val fails2 = ScaleBench.slopeGate(cur, base,
+      curSecs = Map("seq_align" -> 4.0), baseSecs = Map("seq_align" -> 0.9))
+    assert(fails2.exists(_.startsWith("seq_align")))
+    // a VANISHED op is never excused by the floor
+    assert(ScaleBench.slopeGate(Map.empty, base,
+      curSecs = Map.empty, baseSecs = Map("seq_align" -> 0.9)).size == 2)
+  }
+
+  test("parseM4Secs reads the writer's own sec_m4 fields") {
+    val json = """{"ops":{"a_op":{"sec_m1":0.5,"sec_m4":1.13,""" +
+      """"slope":2.0,"out_m1":1,"out_m4":4},"b_op":{"sec_m1":1.0,""" +
+      """"sec_m4":8.57,"slope":2.38,"sec_m16":19.9,"slope_hi":2.32,""" +
+      """"out_m1":2,"out_m4":8}}}"""
+    assert(ScaleBench.parseM4Secs(json) ==
+      Map("a_op" -> 1.13, "b_op" -> 8.57))
+    assert(ScaleBench.parseSlopes(json) ==
+      Map("a_op" -> 2.0, "b_op" -> 2.38))
+    assert(ScaleBench.parseHiSlopes(json) == Map("b_op" -> 2.32))
+  }
+
   test("slopeGate flags a vanished op and a failed-timing sentinel") {
     val base = Map("pq_adc" -> 1.65, "components" -> 1.45)
     val fails = ScaleBench.slopeGate(

@@ -676,6 +676,23 @@ final class TableStore(spark: SparkSession, val root: String) {
     * Readers are unaffected: the pointer only ever moves to a complete
     * snapshot, and retained history still supports time travel. */
   def compact(table: String, numFiles: Int = 4, retain: Int = 2): Unit = {
+    // FIRST, under the lock: sweep torn fallback commits (ADVICE r8).
+    // On a no-hardlink filesystem the CREATE_NEW fallback has a µs
+    // create→write gap; a crash inside it leaves a permanently EMPTY
+    // _commit_v<N> that versions() counts as current — snapshotDir
+    // then throws forever and nothing else ever deletes _commit_v*
+    // files: an unrecoverable wedge unless compact treats an AGED
+    // zero-byte record as the crash residue it is and deletes it
+    // (restoring the previous version as current). Age-gated like
+    // every other reclaim: a LIVE fallback commit is µs old.
+    TableStore.commitLock(root, table).synchronized {
+      val cutoff = System.currentTimeMillis() - TableStore.GcTmpAgeMillis
+      val fs = new java.io.File(dir(table)).listFiles()
+      if (fs != null) fs.filter(f =>
+          f.getName.matches("_commit_v\\d+") &&
+          f.length() == 0 && f.lastModified() < cutoff)
+        .foreach(f => Files.deleteIfExists(f.toPath))
+    }
     val base = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist under $root"))
     // LAYOUT-PRESERVING (round-8): a hive-partitioned snapshot compacts
@@ -750,8 +767,16 @@ final class TableStore(spark: SparkSession, val root: String) {
           f.lastModified() < cutoff)
         .foreach(deleteRecursively)
       // unreferenced committed-style dirs get a SECOND record check
-      // immediately before each delete: a suspended cross-process
-      // writer may have linked its record since the listing above
+      // immediately before each delete — a suspended cross-process
+      // writer may have linked its record since the listing above —
+      // AND dirs racing for version latest+1 are skipped outright
+      // (ADVICE r8): versions only grow, so latest+1 is the ONLY
+      // number a still-viable suspended commit can win (a writer
+      // targeting ≤ latest has already lost the CAS and its dir is
+      // safe to sweep). This closes the re-check→link→delete
+      // interleaving the second check alone left open; the skipped
+      // dir is collected by the next compact, whose latest has moved
+      // past it.
       dirF.listFiles().filter(f =>
           f.getName.matches("v\\d+-p\\d+t\\d+") &&
           f.lastModified() < cutoff)
@@ -761,7 +786,7 @@ final class TableStore(spark: SparkSession, val root: String) {
           val referencedNow = Files.exists(rec) &&
             (try new String(Files.readAllBytes(rec), "UTF-8").trim == f.getName
              catch { case _: Exception => false })
-          if (!referencedNow) deleteRecursively(f)
+          if (!referencedNow && v != latest + 1) deleteRecursively(f)
         }
     }
   }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined document fingerprinting (winnowing — Schleimer,
+  * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003) and the CROSS-SHARD repeat merge it
+  * enables.
+  *
+  * Why it exists: the suffix array ([[SuffixArray]]) runs
+  * per-document-shard at corpus scale (as Lee et al.'s own exact-dedup
+  * implementation does), and a repeat whose two occurrences land in
+  * DIFFERENT shards is invisible to every shard-local array — worse,
+  * each occurrence is UNIQUE within its own shard, so no per-shard
+  * repeat detector can even nominate it as a candidate. Winnowing
+  * closes that seam: fingerprints are selected by CONTENT (in every
+  * window of `w` consecutive k-gram hashes, keep the minimal hash, a
+  * deterministic tie-break), so the two occurrences of any common
+  * substring of length ≥ w + k − 1 contain at least one full hash
+  * window with identical content and therefore select at least one
+  * identical fingerprint — regardless of alignment, document, or
+  * shard. One equi-join on the fingerprint then surfaces the pair,
+  * and a bounded extension pass verifies and maximalizes it.
+  *
+  * Scale shape: selection is row-local (zero shuffle) with expected
+  * density 2/(w+1) of corpus characters (Schleimer et al. §4), so the
+  * join input is a small corpus fraction; the join is a keyed shuffle
+  * on the fingerprint; extension joins the (few) candidates back to
+  * their two documents' texts. Nothing is quadratic in the corpus:
+  * all-pairs work happens only inside a fingerprint bucket, and a
+  * fingerprint shared by many occurrences is exactly a real repeat
+  * cluster. */
+object Winnow {
+
+  /** Winnowed fingerprints: (doc_id, pos, fp) — `pos` is the 0-based
+    * character offset of the selected k-gram, `fp` its md5 (md5, not
+    * xxhash64, so the DuckDB oracle can replay selection exactly).
+    * Selection is the classic scheme: in every window of `w`
+    * consecutive k-gram hashes keep the minimal (fp, pos) — ties
+    * break to the leftmost, which is content-defined for any window
+    * fully inside a repeat (identical window content ⇒ identical
+    * relative pick). Entirely row-local: char arrays build in ONE
+    * split pass (rule 20), k-grams are O(k) slice copies per
+    * position, window minima O(w) per window. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxLen: Int): DataFrame = {
+    require(k >= 2 && w >= 1, "k-grams are multi-char, windows non-empty")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(s"left($textCol, $maxLen)").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= k)
+      // bound every intermediate as a real column (rule 3): lambdas
+      // below reference chars/fps, never re-evaluate the chain
+      .withColumn("chars", split(col("t"), ""))
+      .withColumn("nk", (length(col("t")) - (k - 1)).cast("int"))
+      .withColumn("fps", expr(
+        s"transform(sequence(1, nk), i -> md5(concat_ws('', slice(chars, i, $k))))"))
+      .withColumn("nw", col("nk") - (w - 1))
+      .filter(col("nw") >= 1)
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(1, nw), s ->
+             aggregate(sequence(s, s + ${w - 1}),
+               named_struct('fp', '', 'p', -1),
+               (acc, i) -> case
+                 when acc.p = -1 or element_at(fps, i) < acc.fp
+                   then named_struct('fp', element_at(fps, i), 'p', i)
+                 else acc end)))"""))
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), (col("s")("p") - 1).cast("long").as("pos"),
+        col("s")("fp").as("fp"))
+  }
+
+  /** Verified MAXIMAL cross-shard repeats: documents are sharded by
+    * `doc_id % numShards` (stand-in for the shard function of the
+    * per-shard suffix-array layout; any deterministic doc→shard map
+    * works), fingerprints are winnowed per document, and anchors
+    * shared across two DIFFERENT shards are extended to their maximal
+    * match and verified against the real texts (the extension must
+    * cover the anchor k-gram itself — `ext_r ≥ k` — which also
+    * discharges the md5-collision caveat). Guaranteed complete for
+    * maximal common substrings of length ≥ w + k − 1 (= the emitted
+    * `match_len` filter, so the output set is exactly the brute-force
+    * cross-shard maximal-match set at that threshold — spec-pinned).
+    *
+    * Emits one row per maximal match:
+    * (doc_a, start_a, doc_b, start_b, shard_a, shard_b, match_len,
+    * snippet), totally ordered. Multiple anchors inside one repeat
+    * collapse via distinct on the maximalized coordinates. */
+  def crossShardRepeats(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512): DataFrame = {
+    require(numShards >= 2, "cross-shard needs at least two shards")
+    val minLen = w + k - 1
+    // cache sweep r9: track — texts feed fingerprinting AND both
+    // sides of the extension join; recompute is one truncation scan
+    val texts = Caches.track(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(s"left($textCol, $maxLen)").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(numShards))))
+    val fp = fingerprints(texts, "doc_id", "t", k, w, maxLen)
+      .join(texts.select(col("doc_id"), col("shard")), Seq("doc_id"))
+    val fa = fp.select(col("fp"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"), col("shard").as("shard_a"))
+    val fb = fp.select(col("fp"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"), col("shard").as("shard_b"))
+    // one orientation only (shard_a < shard_b): every cross-shard
+    // pair appears exactly once, same-shard pairs (the per-shard
+    // suffix array's job) never enter the join output
+    val cand = fa.join(fb, Seq("fp"))
+      .filter(col("shard_a") < col("shard_b"))
+    val ta = texts.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    val tb = texts.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      // maximalize: extend right from the anchor start, left from the
+      // anchor start, both as bounded first-mismatch scans over the
+      // two real texts (candidates are repeat-sized, never the corpus)
+      .withColumn("_sa", expr("substring(ta, pos_a + 1)"))
+      .withColumn("_sb", expr("substring(tb, pos_b + 1)"))
+      .withColumn("ext_r", SuffixArray.strLcp(col("_sa"), col("_sb")))
+      .withColumn("_ra", expr("reverse(substring(ta, 1, pos_a))"))
+      .withColumn("_rb", expr("reverse(substring(tb, 1, pos_b))"))
+      .withColumn("ext_l", SuffixArray.strLcp(col("_ra"), col("_rb")))
+      // the anchor k-gram must genuinely match (md5-collision guard)
+      .filter(col("ext_r") >= k)
+      .select(col("doc_a"), (col("pos_a") - col("ext_l")).as("start_a"),
+        col("doc_b"), (col("pos_b") - col("ext_l")).as("start_b"),
+        col("shard_a").cast("long").as("shard_a"),
+        col("shard_b").cast("long").as("shard_b"),
+        (col("ext_l") + col("ext_r")).as("match_len"),
+        expr("substring(ta, pos_a - ext_l + 1, ext_l + ext_r)")
+          .as("snippet"))
+      .filter(col("match_len") >= minLen)
+      .distinct()
+      .orderBy(col("doc_a"), col("start_a"), col("doc_b"),
+        col("start_b"))
+  }
+}

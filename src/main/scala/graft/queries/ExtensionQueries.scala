@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, SuffixArray, TextAnalysis, VideoHash, Wav}
+import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, SuffixArray, TextAnalysis, VideoHash, Wav, Winnow}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -1523,6 +1523,155 @@ object ExtensionQueries {
       ORDER BY lcp DESC, doc_a, pos_a
       LIMIT 50"""))
 
+  /** Character-grain exact-substring REMOVAL (the round-8 verdict's
+    * top ask — the operator Lee et al. 2107.06499 actually run, and
+    * the missing apply-half of q309's detection): every adjacent-SA
+    * pair with LCP ≥ 15 marks BOTH occurrences covered, covered
+    * intervals merge per document, survivors splice back in order.
+    * ALL occurrences are removed (deterministic; the same semantics
+    * as the token-window strip q184 and the released Lee et al.
+    * tooling). The oracle replays the whole pipeline symbolically:
+    * suffix sort → adjacent first-mismatch LCPs → interval endpoints
+    * → covered-position set → per-char splice. The engine never
+    * explodes characters — intervals stay integers off the rank
+    * ladder and the splice is one row-local gap walk — so the oracle
+    * is deliberately the naive formulation. */
+  val q310StripRepeats = OracleQuery("q310_strip_repeats",
+    "suffix-array exact-substring removal == symbolic covered-splice replay",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      SuffixArray.stripRepeatedSubstrings(docs, "doc_id", "text",
+        minLen = 15, maxLen = 400)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, left(text, 400) AS t
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(text) > 0),
+      s AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos, substr(t, i) AS suf
+        FROM d, unnest(generate_series(1, length(t))) g(i)),
+      sa AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY suf, doc_id, pos) AS rk,
+               doc_id, pos, suf
+        FROM s),
+      adj AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.suf AS sa_,
+               b.doc_id AS doc_b, b.pos AS pos_b, b.suf AS sb_
+        FROM sa a JOIN sa b ON b.rk = a.rk + 1),
+      mm AS (
+        SELECT doc_a, pos_a, MIN(i.i) AS fm
+        FROM adj, generate_series(1, 400) i(i)
+        WHERE i.i <= least(length(sa_), length(sb_))
+          AND substr(sa_, i.i, 1) <> substr(sb_, i.i, 1)
+        GROUP BY 1, 2),
+      scored AS MATERIALIZED (
+        SELECT adj.doc_a, adj.pos_a, adj.doc_b, adj.pos_b,
+               coalesce(mm.fm - 1,
+                 least(length(adj.sa_), length(adj.sb_))) AS lcp
+        FROM adj
+        LEFT JOIN mm ON mm.doc_a = adj.doc_a AND mm.pos_a = adj.pos_a),
+      iv AS MATERIALIZED (
+        SELECT doc_a AS doc_id, pos_a AS s, pos_a + lcp AS e
+        FROM scored WHERE lcp >= 15
+        UNION ALL
+        SELECT doc_b, pos_b, pos_b + lcp FROM scored WHERE lcp >= 15),
+      cov AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s + i.i AS p
+        FROM iv, unnest(generate_series(0, e - s - 1)) i(i)),
+      d0 AS (
+        SELECT doc_id, coalesce(text, '') AS txt
+        FROM documents WHERE doc_id % 10 = 0),
+      chars AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS p, substr(txt, i, 1) AS ch
+        FROM d0, unnest(generate_series(1, length(txt))) g(i)),
+      kept AS (
+        SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS clean
+        FROM chars c
+        LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.p = c.p
+        WHERE cov.doc_id IS NULL
+        GROUP BY 1),
+      nrem AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY 1)
+      SELECT d0.doc_id,
+             CAST(length(d0.txt) AS BIGINT) AS n_chars,
+             CAST(coalesce(nrem.n, 0) AS BIGINT) AS n_removed,
+             coalesce(kept.clean, '') AS clean_text
+      FROM d0
+      LEFT JOIN nrem ON nrem.doc_id = d0.doc_id
+      LEFT JOIN kept ON kept.doc_id = d0.doc_id
+      ORDER BY d0.doc_id"""))
+
+  /** CROSS-SHARD repeat merge (round-8 verdict ask #3): the suffix
+    * array is per-document-shard at corpus scale, and a repeat whose
+    * two occurrences land in different shards occurs ONCE per shard —
+    * invisible to every shard-local detector. Winnowing (Schleimer et
+    * al. 2003, `ops/Winnow`) selects fingerprints by CONTENT, so both
+    * occurrences of any ≥ w+k−1 = 15-char common substring select an
+    * identical (md5) fingerprint regardless of alignment or shard;
+    * one equi-join + bounded extension yields the verified MAXIMAL
+    * cross-shard matches. Shard = doc_id % 4 (the oracle-replayable
+    * stand-in for the shard hash). The oracle replays selection
+    * (window argmin via row_number), the join, and the first-mismatch
+    * extensions symbolically. */
+  val q311CrossShardRepeats = OracleQuery("q311_cross_shard_repeats",
+    "winnowed fingerprints find maximal cross-shard repeats == replay",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      Winnow.crossShardRepeats(docs, "doc_id", "text",
+        numShards = 4, k = 8, w = 8, maxLen = 400)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, left(text, 400) AS t, doc_id % 4 AS shard
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(text) >= 8),
+      kg AS MATERIALIZED (
+        SELECT doc_id, shard, i AS kpos, md5(substr(t, i, 8)) AS fp
+        FROM d, unnest(generate_series(1, length(t) - 7)) g(i)),
+      win AS MATERIALIZED (
+        SELECT k.doc_id, s.i AS s, k.kpos, k.fp,
+               row_number() OVER (PARTITION BY k.doc_id, s.i
+                                  ORDER BY k.fp, k.kpos) AS rn
+        FROM d, unnest(generate_series(1, length(d.t) - 14)) s(i)
+        JOIN kg k ON k.doc_id = d.doc_id
+          AND k.kpos BETWEEN s.i AND s.i + 7),
+      sel AS MATERIALIZED (
+        SELECT DISTINCT doc_id, kpos, fp FROM win WHERE rn = 1),
+      cand AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, a.kpos AS pa,
+               b.doc_id AS doc_b, b.kpos AS pb,
+               da.shard AS shard_a, db.shard AS shard_b,
+               da.t AS ta, db.t AS tb
+        FROM sel a JOIN sel b ON a.fp = b.fp
+        JOIN d da ON da.doc_id = a.doc_id
+        JOIN d db ON db.doc_id = b.doc_id
+        WHERE da.shard < db.shard),
+      ext AS MATERIALIZED (
+        SELECT *,
+          (SELECT coalesce(MIN(i.i),
+             least(length(ta) - pa, length(tb) - pb) + 2)
+           FROM generate_series(1, 400) i(i)
+           WHERE i.i <= least(length(ta) - pa, length(tb) - pb) + 1
+             AND substr(ta, pa + i.i - 1, 1)
+               <> substr(tb, pb + i.i - 1, 1)) - 1 AS ext_r,
+          (SELECT coalesce(MIN(i.i), least(pa, pb))
+           FROM generate_series(1, 400) i(i)
+           WHERE i.i <= least(pa, pb) - 1
+             AND substr(ta, pa - i.i, 1)
+               <> substr(tb, pb - i.i, 1)) - 1 AS ext_l
+        FROM cand)
+      SELECT DISTINCT doc_a, CAST(pa - 1 - ext_l AS BIGINT) AS start_a,
+             doc_b, CAST(pb - 1 - ext_l AS BIGINT) AS start_b,
+             CAST(shard_a AS BIGINT) AS shard_a,
+             CAST(shard_b AS BIGINT) AS shard_b,
+             CAST(ext_l + ext_r AS BIGINT) AS match_len,
+             substr(ta, pa - ext_l, CAST(ext_l + ext_r AS INT)) AS snippet
+      FROM ext
+      WHERE ext_r >= 8 AND ext_l + ext_r >= 15
+      ORDER BY doc_a, start_a, doc_b, start_b"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1532,5 +1681,5 @@ object ExtensionQueries {
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
     q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
-    q309RepeatedSubstrings)
+    q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats)
 }

@@ -201,17 +201,24 @@ object StreamingPhashStore {
       if (nImgs == 0 && nFrs == 0) {
         // replay OR an all-poison first batch: the tables must still
         // exist afterwards (first batch defines the schema — the
-        // scalar path's !exists contract), so bootstrap empties once
-        if (!store.exists(matchesTable)) {
+        // scalar path's !exists contract), so bootstrap empties once.
+        // Each insert gates on ITS OWN table's existence (ADVICE r8):
+        // keying all three on matchesTable left a non-atomic window —
+        // a crash between the matches insert and the index inserts
+        // made the replay return early with the two index tables
+        // uncreated, so index() readers threw until the next
+        // real-rows batch.
+        if (!store.exists(matchesTable))
           store.insertIfAbsentPartitioned(matchesTable,
             shard(graft.ops.VideoHash.imageInVideoPairs(
               freshImgs, freshFrs, maxHamming, bands)),
             Seq("image_id", "video_id"), "_shard")
+        if (!store.exists(imageIndexTable))
           store.insertIfAbsentPartitioned(imageIndexTable,
             shard(freshImgs), Seq("media_id"), "_shard")
+        if (!store.exists(frameIndexTable))
           store.insertIfAbsentPartitioned(frameIndexTable,
             shard(freshFrs), Seq("media_id", "frame_no"), "_shard")
-        }
         return
       }
       System.err.println(s"[phash-store] xmodal batch=$batchId " +

@@ -22,6 +22,28 @@ class CrossProcessStoreSpec extends AnyFunSuite {
   private val PerWriter = 40
 
   test("two racing JVMs: every commit lands once, the version chain is a serial order") {
+    // re-spawn the race when the scheduler serialized the children
+    // (ADVICE r8): a vacuous race proves nothing about the commit CAS
+    // under contention, so retry up to 3 times before settling for
+    // the warning — the strict correctness assertions run on every
+    // attempt either way
+    var contended = false
+    var tries = 0
+    while (!contended && tries < 3) {
+      tries += 1
+      val attempts = runRaceOnce()
+      contended = attempts > 2 * PerWriter
+      if (!contended) System.err.println(
+        s"[xproc] attempt $tries serialized ($attempts attempts for " +
+          s"${2 * PerWriter} commits) — ${if (tries < 3) "re-spawning"
+          else "giving up; race vacuous this run"}")
+    }
+  }
+
+  /** One full two-JVM race on a fresh root; returns the total commit
+    * ATTEMPTS (> 2×PerWriter ⟺ real contention occurred). All
+    * correctness assertions are strict regardless of contention. */
+  private def runRaceOnce(): Int = {
     val root = Files.createTempDirectory("graft_xproc_").toString
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
@@ -72,18 +94,12 @@ class CrossProcessStoreSpec extends AnyFunSuite {
       .filterNot(committedDirs.contains)
     assert(strayDirs.isEmpty, s"losing writers left dirs: ${strayDirs.toSeq}")
     // the race was real when contention shows; on a loaded or
-    // single-core box the OS can serialize the two children, so a
-    // serial run is a logged warning, not a failure (round-7 advice
-    // #3) — the correctness assertions above stay strict either way
-    val attempts = Seq("a", "b").map { w =>
+    // single-core box the OS can serialize the two children — the
+    // caller re-spawns on a serial run (ADVICE r8)
+    Seq("a", "b").map { w =>
       new String(Files.readAllBytes(Paths.get(root, s"done_$w")))
         .split(",")(1).toInt
     }.sum
-    if (attempts <= 2 * PerWriter)
-      System.err.println(
-        s"[xproc] WARNING: no contention observed ($attempts attempts for " +
-          s"${2 * PerWriter} commits) — scheduler serialized the children; " +
-          "race vacuous this run")
   }
 
   test("a writer suspended at the exact commit window aborts instead of clobbering the successor (round-7 verdict ask #2)") {

@@ -28,6 +28,51 @@ class StoreAndIncrementalSpec extends SparkTestBase {
     assert(vdirs.size <= 2, s"old versions not GCed: $vdirs")
   }
 
+  test("compact sweeps an aged zero-byte commit record — the torn no-hardlink fallback wedge (ADVICE r9)") {
+    val root = Files.createTempDirectory("graft_torn_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", spark.range(5).toDF("id")) // v1
+    // fabricate the torn fallback commit: an EMPTY _commit_v2, aged
+    // past the GC gate (the writer died inside CREATE_NEW→write)
+    val torn = java.nio.file.Paths.get(s"$root/t", "_commit_v2")
+    Files.createFile(torn)
+    assert(torn.toFile.setLastModified(
+      System.currentTimeMillis() - TableStore.GcTmpAgeMillis - 60000))
+    // the wedge: versions() counts v2 as current, snapshotDir throws
+    intercept[IllegalStateException] { store.read("t") }
+    // compact treats the aged empty record as crash residue
+    store.compact("t")
+    assert(store.read("t").count() == 5, "table must read again")
+    // the freed number was reused by compact's own commit: the record
+    // at the same path is now a REAL, non-empty one naming a readable
+    // snapshot
+    assert(Files.size(torn) > 0,
+      "compact's own commit should hold the freed version number")
+    assert(new String(Files.readAllBytes(torn), "UTF-8").trim.nonEmpty)
+    assert(store.versions("t").contains(2))
+  }
+
+  test("compact's unreferenced-dir sweep skips version latest+1 — the only number a live commit can win (ADVICE r9)") {
+    val root = Files.createTempDirectory("graft_skip_").toString
+    val store = new TableStore(spark, root)
+    store.overwrite("t", spark.range(3).toDF("id")) // v1
+    store.append("t", spark.range(3, 6).toDF("id")) // v2
+    // compact will commit v3, so latest+1 = 4 afterwards
+    val old = System.currentTimeMillis() - TableStore.GcTmpAgeMillis - 60000
+    val racing = new java.io.File(s"$root/t/v4-p99t42")
+    val stale = new java.io.File(s"$root/t/v2-p99t42") // impostor for
+    // committed v2 (its record names a different dir) — already lost
+    assert(racing.mkdir() && stale.mkdir())
+    assert(racing.setLastModified(old) && stale.setLastModified(old))
+    store.compact("t")
+    assert(racing.exists(),
+      "an aged dir racing for latest+1 must survive the sweep — a " +
+        "suspended writer can still legitimately publish it")
+    assert(!stale.exists(),
+      "an aged unreferenced dir for an already-taken version has " +
+        "lost the CAS and must be swept")
+  }
+
   test("partitioned upsert preserves existing NULL-partition rows it touches") {
     val root = Files.createTempDirectory("graft_np_").toString
     val store = new TableStore(spark, root)

@@ -110,4 +110,152 @@ class SuffixArraySpec extends SparkTestBase {
     assert(got.head._7.contains("the quick brown fox"),
       s"top snippet lost the planted phrase: '${got.head._7}'")
   }
+
+  /** In-memory reference removal: brute-force SA → adjacent LCPs →
+    * both endpoints of every pair with LCP ≥ minLen marked covered →
+    * uncovered chars spliced in order (chars past maxLen always
+    * survive — the truncation contract). */
+  private def refStrip(docs: Seq[(Long, String)], minLen: Int,
+      maxLen: Int): Seq[(Long, Long, Long, String)] = {
+    val suffixes = docs.filter(d => d._2 != null && d._2.nonEmpty)
+      .flatMap { case (id, t0) =>
+        val t = t0.take(maxLen)
+        (0 until t.length).map(p => (id, p, t.substring(p)))
+      }.sortBy { case (id, p, suf) => (suf, id, p) }
+    val covered = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.Set[Int]]()
+    if (suffixes.nonEmpty) suffixes.zip(suffixes.tail).foreach {
+      case ((ia, pa, sa), (ib, pb, sb)) =>
+        val l = lcpOf(sa, sb).toInt
+        if (l >= minLen) {
+          covered.getOrElseUpdate(ia,
+            scala.collection.mutable.Set[Int]()) ++= (pa until pa + l)
+          covered.getOrElseUpdate(ib,
+            scala.collection.mutable.Set[Int]()) ++= (pb until pb + l)
+        }
+    }
+    docs.map { case (id, t0) =>
+      val t = if (t0 == null) "" else t0
+      val cov = covered.getOrElse(id,
+        scala.collection.mutable.Set[Int]())
+      val clean = t.zipWithIndex
+        .filter { case (_, i) => !cov.contains(i) }.map(_._1).mkString
+      (id, t.length.toLong, cov.size.toLong, clean)
+    }.sortBy(_._1)
+  }
+
+  private def runStrip(docs: Seq[(Long, String)], minLen: Int,
+      maxLen: Int): Seq[(Long, Long, Long, String)] =
+    SuffixArray.stripRepeatedSubstrings(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen, maxLen)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("stripRepeatedSubstrings: planted cross-doc repeat removed from BOTH docs, unique text survives, interval merge spans overlapping repeats") {
+    val boiler = "SHARED BOILERPLATE LICENSE TEXT"
+    val docs = Seq(
+      (1L, s"alpha one $boiler tail one"),
+      (2L, s"$boiler beta two distinct end"),
+      (3L, "zyx wvu tsr qpo nml kji"),
+      // within-doc overlapping repeats: "abcabcabc" — intervals from
+      // ("abcabc" @0 vs @3) overlap and must merge, not double-count
+      (4L, "abcabcabc pad solo four"),
+      (5L, ""), (6L, null.asInstanceOf[String]))
+    val got = runStrip(docs, minLen = 6, maxLen = 64)
+    assert(got == refStrip(docs, 6, 64))
+    val byId = got.map(r => r._1 -> r).toMap
+    // both boilerplate carriers lost exactly the shared span (plus any
+    // incidental ≥6-char repeats); the unique doc lost nothing
+    assert(!byId(1L)._4.contains(boiler) && !byId(2L)._4.contains(boiler),
+      "shared boilerplate must be stripped from BOTH documents")
+    assert(byId(1L)._4.contains("alpha one") || byId(1L)._3 > 0)
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == docs(2)._2,
+      "unique document must pass through unchanged")
+    assert(byId(4L)._3 > 0, "within-doc overlapping repeat must strip")
+    assert(byId(5L) == ((5L, 0L, 0L, "")))
+    assert(byId(6L) == ((6L, 0L, 0L, "")))
+  }
+
+  test("stripRepeatedSubstrings: truncation boundary — repeats beyond maxLen survive, text past maxLen passes through") {
+    val rep = "REPEATREPEAT"
+    val docs = Seq(
+      (1L, s"head $rep middle unique-a $rep-past-boundary"),
+      (2L, s"$rep other carrier"))
+    // maxLen cuts doc 1 before its second occurrence's tail region
+    val maxLen = ("head " + rep + " middle").length
+    val got = runStrip(docs, minLen = rep.length, maxLen = maxLen)
+    assert(got == refStrip(docs, rep.length, maxLen))
+    // the un-truncated tail of doc 1 is past the examined window: it
+    // must appear verbatim at the end of clean_text
+    assert(got.head._4.endsWith("-past-boundary"),
+      s"text past maxLen must survive: '${got.head._4}'")
+  }
+
+  test("multi-round LCP path: shared-prefix corpus engages the doubling loop AND the string tail, adjacentLcp still equals brute force") {
+    // 12 docs share a 50-char head → ~30% of suffixes are tied after
+    // the width-32 radix round (> the 5% tail threshold), so the
+    // doubling loop runs and adjacentLcp must take the rank-ladder
+    // descent; two exact duplicate docs force a surviving string tail
+    // on top (the ladder's same-group override class)
+    val head = "commonheadcommonheadcommonheadcommonheadcommonhead"
+    val docs = (0 until 12).map(i =>
+      (i.toLong, head + s"tail$i!" * 3)) ++
+      Seq((20L, head + "dupdup"), (21L, head + "dupdup"))
+    val parts = SuffixArray.build(docs.toDF("doc_id", "text"),
+      "doc_id", "text", maxLen = 80, initWidth = 32)
+    assert(parts.history.size > 1,
+      "fixture must engage the doubling loop (ladder path)")
+    assert(parts.tailSfx.nonEmpty,
+      "fixture must leave a string-tail residue (override class)")
+    val got = SuffixArray.adjacentLcp(parts)
+      .orderBy("doc_a", "pos_a", "doc_b", "pos_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val suffixes = docs.flatMap { case (id, t) =>
+      (0 until math.min(t.length, 80)).map(p =>
+        (id, p.toLong, t.take(80).substring(p)))
+    }.sortBy { case (id, p, suf) => (suf, id, p) }
+    val want = suffixes.zip(suffixes.tail).map {
+      case ((ia, pa, sa), (ib, pb, sb)) =>
+        (ia, pa, ib, pb, lcpOf(sa, sb))
+    }.sortBy(t => (t._1, t._2, t._3, t._4))
+    assert(got == want)
+    // and the end-to-end strip agrees on the same corpus
+    assert(runStrip(docs, 10, 80) == refStrip(docs, 10, 80))
+  }
+
+  test("randomized corpora with planted overlapping repeats: strip == in-memory reference across seeds") {
+    // mixed-value generator (FIXTURES lesson: structured arithmetic
+    // patterns forge degenerate repeat structure) + planted repeats:
+    // a shared phrase inserted into random docs at random offsets,
+    // sometimes twice in one doc (overlap pressure on the merge)
+    def gen(seed: Long, n: Int): Seq[(Long, String)] = {
+      var h = seed
+      def next(): Long = { h = h * 6364136223846793005L +
+        1442695040888963407L; h >>> 33 }
+      val phrase = (0 until 14).map(_ => "abcd" ((next() % 4).toInt))
+        .mkString
+      (0 until n).map { i =>
+        val len = 10 + (next() % 30).toInt
+        val sb = new StringBuilder
+        (0 until len).foreach(_ => sb += "abcd" ((next() % 4).toInt))
+        var s = sb.toString
+        if (next() % 3 == 0) { // plant once or twice
+          val at = (next() % (s.length + 1)).toInt
+          s = s.substring(0, at) + phrase + s.substring(at)
+          if (next() % 2 == 0) {
+            val at2 = (next() % (s.length + 1)).toInt
+            s = s.substring(0, at2) + phrase + s.substring(at2)
+          }
+        }
+        (i.toLong, s)
+      }
+    }
+    Seq(11L, 99L, 123L).foreach { seed =>
+      val docs = gen(seed, 20)
+      Seq(5, 10).foreach { minLen =>
+        assert(runStrip(docs, minLen, 64) == refStrip(docs, minLen, 64),
+          s"seed $seed minLen $minLen diverged")
+      }
+    }
+  }
 }

@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Cross-shard repeat merge (`ops/Winnow`): winnowed content-defined
+  * fingerprints must find every maximal cross-shard common substring
+  * of length ≥ w + k − 1 — the completeness guarantee of Schleimer et
+  * al. 2003 — and nothing same-shard, nothing sub-threshold, nothing
+  * non-maximal. The reference is a brute-force all-pair maximal-match
+  * scan. */
+class WinnowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def common(a: String, b: String): Int = {
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
+  /** Brute force: every maximal (not left-extendable) cross-shard
+    * common substring of length ≥ minLen, in the engine's orientation
+    * (doc_a carries the smaller shard). */
+  private def refCross(docs: Seq[(Long, String)], numShards: Int,
+      minLen: Int, maxLen: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, String)] = {
+    val ts = docs.filter(d => d._2 != null && d._2.nonEmpty)
+      .map { case (id, t) => (id, t.take(maxLen)) }
+    val out = for {
+      (ia, ta) <- ts
+      (ib, tb) <- ts
+      if ia % numShards < ib % numShards
+      pa <- 0 until ta.length
+      pb <- 0 until tb.length
+      if pa == 0 || pb == 0 || ta(pa - 1) != tb(pb - 1)
+      l = common(ta.substring(pa), tb.substring(pb))
+      if l >= minLen
+    } yield (ia, pa.toLong, ib, pb.toLong,
+      ia % numShards, ib % numShards, l.toLong,
+      ta.substring(pa, pa + l))
+    out.distinct.sortBy(t => (t._1, t._2, t._3, t._4))
+  }
+
+  private def run(docs: Seq[(Long, String)], numShards: Int, k: Int,
+      w: Int, maxLen: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, String)] =
+    Winnow.crossShardRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", numShards, k, w, maxLen)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+
+  test("planted cross-shard duplicate found and maximalized; same-shard repeats never emitted") {
+    val phrase = "the shared boilerplate phrase"
+    val docs = Seq(
+      (1L, s"alpha $phrase omega"),         // shard 1
+      (2L, s"prefix-b $phrase suffix-b"),   // shard 2
+      (4L, s"zz $phrase yy"),               // shard 0
+      (8L, s"qq $phrase rr"),               // shard 0 — with doc 4:
+                                            //   SAME shard, must not pair
+      (3L, "nothing in common here"))       // shard 3
+    val k = 4; val w = 4 // guarantee threshold 7 < phrase length
+    val got = run(docs, 4, k, w, 64)
+    assert(got == refCross(docs, 4, w + k - 1, 64))
+    // the planted phrase pairs every cross-shard carrier combination…
+    val pairs = got.map(r => (r._1, r._3)).toSet
+    assert(Set((4L, 1L), (4L, 2L), (8L, 1L), (8L, 2L), (1L, 2L))
+      .subsetOf(pairs), s"missing cross-shard carriers: $pairs")
+    // …but never the same-shard pair (that is the per-shard SA's job)
+    assert(!pairs.contains((4L, 8L)) && !pairs.contains((8L, 4L)),
+      "same-shard pair must not be emitted")
+    // the phrase match is maximal: extension recovered the full span
+    val top = got.find(r => r._1 == 1L && r._3 == 2L).get
+    assert(top._8.contains(phrase),
+      s"maximal snippet lost the phrase: '${top._8}'")
+  }
+
+  test("guarantee boundary: a repeat of exactly w+k-1 chars is found") {
+    // 11-char shared run at k=4, w=4 (threshold 11), embedded in
+    // otherwise-unrelated text, different shards
+    val run11 = "ABCDEFGHIJK"
+    val docs = Seq(
+      (1L, s"xx${run11}zz"),
+      (2L, s"pp qq ${run11} mm"))
+    val got = run(docs, 4, 4, 4, 64)
+    assert(got == refCross(docs, 4, 11, 64))
+    assert(got.exists(_._8 == run11),
+      s"threshold-length repeat must be found: $got")
+  }
+
+  test("randomized mixed-value corpora with planted cross-shard phrases == brute force across seeds") {
+    // splitmix-style generator (FIXTURES lesson: structured arithmetic
+    // patterns forge degenerate repeat structure)
+    def gen(seed: Long, n: Int): Seq[(Long, String)] = {
+      var h = seed
+      def next(): Long = { h = h * 6364136223846793005L +
+        1442695040888963407L; h >>> 33 }
+      val phrase = (0 until 13).map(_ =>
+        "abcdefgh" ((next() % 8).toInt)).mkString
+      (0 until n).map { i =>
+        val len = 12 + (next() % 25).toInt
+        val sb = new StringBuilder
+        (0 until len).foreach(_ => sb += "abcdefgh" ((next() % 8).toInt))
+        var s = sb.toString
+        if (next() % 2 == 0) {
+          val at = (next() % (s.length + 1)).toInt
+          s = s.substring(0, at) + phrase + s.substring(at)
+        }
+        (i.toLong, s)
+      }
+    }
+    Seq(5L, 77L, 2024L).foreach { seed =>
+      val docs = gen(seed, 16)
+      val got = run(docs, 4, 4, 4, 64)
+      assert(got == refCross(docs, 4, 7, 64), s"seed $seed diverged")
+      assert(got.nonEmpty, s"seed $seed degenerate (no cross-shard hits)")
+    }
+  }
+
+  test("fingerprint density is the winnowing bound: ≈ 2/(w+1) of positions, logged for the scale note") {
+    def gen(n: Int): Seq[(Long, String)] = {
+      var h = 42L
+      def next(): Long = { h = h * 6364136223846793005L +
+        1442695040888963407L; h >>> 33 }
+      (0 until n).map { i =>
+        val sb = new StringBuilder
+        (0 until 200).foreach(_ =>
+          sb += "abcdefghijklmnop" ((next() % 16).toInt))
+        (i.toLong, sb.toString)
+      }
+    }
+    val docs = gen(30)
+    val k = 8; val w = 8
+    val nSel = Winnow.fingerprints(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k, w, 512).count()
+    val nChars = docs.map(_._2.length).sum.toDouble
+    val density = nSel / nChars
+    info(f"winnow candidate density: $density%.4f " +
+      f"(theory ≈ ${2.0 / (w + 1)}%.4f of positions)")
+    // the candidate volume bound the cross-shard join relies on:
+    // well under 2× the theoretical 2/(w+1) expectation
+    assert(density < 2.0 * 2.0 / (w + 1),
+      f"density $density%.4f blew the winnowing bound")
+    assert(density > 0.5 * 2.0 / (w + 1),
+      f"density $density%.4f implausibly low — selection broken?")
+  }
+}

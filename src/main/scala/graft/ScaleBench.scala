@@ -46,14 +46,23 @@ object ScaleBench {
     // round-8: the streaming-store O(delta) fold — its SLOPE is the
     // claim (fold cost ~flat in index size at fixed batch size)
     "store_fold",
-    // round-8: the prefix-doubling suffix array — every stage is a
-    // linear distinct/sort/join, so the slope must stay near-linear
-    "suffix_array")
+    // round-8: the suffix array (round-9: direct-sort fast path) —
+    // every stage is a linear probe/window/sort/walk, so the slope
+    // must stay near-linear
+    "suffix_array",
+    // round-9 (verdict ask #7): the LM store's update-in-place fold,
+    // BOTH regimes — topical (delta vocabulary in 4 of 64 buckets)
+    // and uniform (spans every bucket, the documented inherent worst
+    // case) — measured instead of argued
+    "lm_fold_topical", "lm_fold_uniform")
 
   /** Ops whose asymptote the quick gate pins with a THIRD point
-    * (round-7 verdict ask #6): m=16 extends the two steepest curves so
-    * the gate measures two consecutive 4× chords, not one. */
-  val ThreePointOps: Set[String] = Set("triangles", "weighted_paths")
+    * (round-7 verdict ask #6; suffix_array joined in round 9 per ask
+    * #8 — newest machinery, steepest remaining chord): m=16 extends
+    * the steepest curves so the gate measures two consecutive 4×
+    * chords, not one. */
+  val ThreePointOps: Set[String] =
+    Set("triangles", "weighted_paths", "suffix_array")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -166,6 +175,32 @@ object ScaleBench {
         .select(col("s"), col("d"),
           greatest(lit(1L), lit(6L) - least(col("ns"), lit(5L))).as("w"))
 
+    /** Suffix-array scale corpus, shared by the per-m row and the m=16
+      * third point. The fixture must keep COLLISION STRUCTURE
+      * m-invariant (rule-18's lesson in suffix space): shared
+      * token-prefixed replicas ("r1the r1data") are far more
+      * SELF-similar than the base text (round-0 ties measured 21% at
+      * m=1 vs 50% at m=4 — the slope then counts fixture-induced
+      * work, not engine). A per-replica Caesar ROTATION is a character
+      * bijection: each replica's self-collision structure is EXACTLY
+      * the base corpus's, and cross-replica windows differ wherever a
+      * letter appears — so ties and tail size scale linearly and the
+      * slope isolates the engine's probe/sort/walk stages. Subsample
+      * (% 5) + maxLen 150 keep the gate's budget (suffix rows =
+      * chars). */
+    def saCorpus(mm: Int): DataFrame = {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until mm).map { i =>
+        val sub = baseDocs.filter(col("doc_id") % 5 === 0)
+        val text =
+          if (i == 0) col("text")
+          else translate(col("text"), alpha,
+            alpha.drop(i % 26) + alpha.take(i % 26))
+        sub.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _)
+    }
+
     ms.foreach { m =>
       val docPath = s"$work/docs_m$m"
       val embPath = s"$work/emb_m$m"
@@ -256,30 +291,9 @@ object ScaleBench {
           nAnchors = 8 * m, minSim = 0.99)
       }
       timeOp("suffix_array", m, nDocs) {
-        // round-8 flagship: distributed prefix doubling (radix start +
-        // string tail). The fixture must keep COLLISION STRUCTURE
-        // m-invariant (rule-18's lesson in suffix space): the shared
-        // token-prefixed replicas ("r1the r1data") are far more
-        // SELF-similar than the base text (round-0 ties measured 21%
-        // at m=1 vs 50% at m=4 — the slope then counts fixture-induced
-        // doubling rounds, not engine). A per-replica Caesar ROTATION
-        // is a character bijection: each replica's self-collision
-        // structure is EXACTLY the base corpus's, and cross-replica
-        // windows differ wherever a letter appears — so ties, rounds
-        // and tail size all scale linearly and the slope isolates the
-        // engine's distinct/sort/zip/join rounds. Subsample (% 5) +
-        // maxLen 150 keep the gate's budget (suffix rows = chars).
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        val saCorpus = (0 until m).map { i =>
-          val sub = baseDocs.filter(col("doc_id") % 5 === 0)
-          val text =
-            if (i == 0) col("text")
-            else translate(col("text"), alpha,
-              alpha.drop(i % 26) + alpha.take(i % 26))
-          sub.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            text.as("text"))
-        }.reduce(_ unionByName _)
-        graft.ops.SuffixArray.suffixArray(saCorpus, "doc_id", "text",
+        // round-8 flagship, round-9 rebuilt (direct-sort fast path);
+        // corpus notes on saCorpus
+        graft.ops.SuffixArray.suffixArray(saCorpus(m), "doc_id", "text",
           maxLen = 150)
       }
       timeOp("dup_spans", m, nDocs) {
@@ -349,6 +363,66 @@ object ScaleBench {
         }.minBy(_._2)
         recorded += (("store_fold", m, idxRows, outRows, sec))
         println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
+      }
+
+      if (need("lm_fold_topical") || need("lm_fold_uniform")) {
+        // round-8 verdict ask #7: the LM store's update-in-place fold
+        // cost is touched-bucket count × bucket size. Measure BOTH
+        // regimes instead of arguing them: a TOPICAL batch whose delta
+        // vocabulary is rejection-filtered through the store's own
+        // bucket function into 4 of 64 buckets, and a UNIFORM batch of
+        // the same expected trigram count spanning every bucket — the
+        // documented inherent worst case (the update must land WHERE
+        // the key lives). Vocabulary scales ×m; the batch stays fixed,
+        // so each regime's slope shows how ITS touched-bucket rewrite
+        // grows with the table, and the topical/uniform gap is the
+        // measured degradation. One 3-word doc per id = exactly one
+        // trigram; splitmix-style word draws (rule 18).
+        val vocabDocs = 40000L * m
+        val batchDocs = 2000L
+        def triDoc(idc: org.apache.spark.sql.Column, salt: Long) =
+          concat_ws(" ",
+            concat(lit("a"), pmod(xxhash64(idc, lit(salt)), lit(4000L))),
+            concat(lit("b"), pmod(xxhash64(idc, lit(salt + 1)), lit(4000L))),
+            concat(lit("c"), pmod(xxhash64(idc, lit(salt + 2)), lit(4000L))))
+        def rmTree2(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree2)
+          f.delete()
+        }
+        def lmFold(op: String, topical: Boolean): Unit = {
+          if (!need(op)) return
+          val (outRows, sec) = (1 to 2).map { _ =>
+            val sroot = java.nio.file.Files.createTempDirectory(
+              java.nio.file.Paths.get(work), s"${op}_m$m").toString
+            val store = new graft.etl.TableStore(spark, sroot)
+            val seed = spark.range(vocabDocs).select(
+              col("id").as("doc_id"), triDoc(col("id"), 11L).as("text"))
+            graft.streaming.StreamingLmStore.mergeBatch(
+              seed, 0L, store, "lm", "doc_id", "text")
+            // topical candidates oversample ×16 then keep buckets
+            // 0..3 (expected 16 × 4/64 = 1× batchDocs — same expected
+            // size as the uniform batch)
+            val candN = if (topical) batchDocs * 16 else batchDocs
+            val cand = spark.range(1000000L, 1000000L + candN).select(
+              col("id").as("doc_id"), triDoc(col("id"), 77L).as("text"))
+            val batch = if (topical) {
+              val ws = split(col("text"), " ")
+              cand.filter(pmod(xxhash64(ws.getItem(0), ws.getItem(1),
+                ws.getItem(2)), lit(64L)) < 4)
+            } else cand
+            val n = batch.count()
+            val t0 = System.nanoTime()
+            graft.streaming.StreamingLmStore.mergeBatch(
+              batch, 1L, store, "lm", "doc_id", "text")
+            val sec = (System.nanoTime() - t0) / 1e9
+            rmTree2(new java.io.File(sroot))
+            (n, sec)
+          }.minBy(_._2)
+          recorded += ((op, m, vocabDocs, outRows, sec))
+          println(s"""{"op":"$op","m":$m,"in_rows":$vocabDocs,"out_rows":$outRows,"sec":$sec}""")
+        }
+        lmFold("lm_fold_topical", topical = true)
+        lmFold("lm_fold_uniform", topical = false)
       }
 
       timeOp("pq_adc", m, nEmb) {
@@ -579,6 +653,10 @@ object ScaleBench {
           .filter(col("s") % 10000000L <= 10L).distinct()
         graft.ops.Bfs.weightedDistances(weighted, "s", "d", "w", seeds,
           rounds = 4)
+      }
+      if (ThreePointOps("suffix_array")) timeOp("suffix_array", xhi, 0L) {
+        graft.ops.SuffixArray.suffixArray(saCorpus(xhi), "doc_id",
+          "text", maxLen = 150)
       }
       // slope table: sec(m_hi)/sec(m_lo) per op — the number the next
       // round diffs (a healthy linear op at m=4 sits near ≤4; a

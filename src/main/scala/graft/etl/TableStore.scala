@@ -596,6 +596,12 @@ final class TableStore(spark: SparkSession, val root: String) {
       val written = withList(nextDir)(
         _.map[String](_.getFileName.toString).filter(_.startsWith(s"$partitionCol="))
           .collect(java.util.stream.Collectors.toSet[String]))
+      // per-batch touched-bucket telemetry (round-8 verdict ask #7):
+      // the update-in-place fold's cost is written-partition count —
+      // topical batches touch few, a worst-case delta spanning every
+      // bucket degrades to the documented full rewrite
+      System.err.println(s"[store] $table: fold touched " +
+        s"${written.size} $partitionCol dirs (others hard-linked)")
       // a partition the source TOUCHED but the rewrite left EMPTY (a
       // MERGE whose deletes emptied it) produces no dir — it must not be
       // resurrected by the link step. Resolve touched partition values to
@@ -821,6 +827,38 @@ final class TableStore(spark: SparkSession, val root: String) {
     if (!hasData)
       cur.limit(0).write.mode(SaveMode.Overwrite).parquet(stage.toString)
     commitStaged(table, next, stage, Some(base))
+  }
+
+  /** Hive partition-dir count of `partitionCol` in the CURRENT
+    * snapshot — the auto-rebin trigger's probe. One directory listing,
+    * no data read. */
+  def partitionDirCount(table: String, partitionCol: String): Int = {
+    val base = currentVersion(table).getOrElse(return 0)
+    withList(snapshotDir(table, base))(_.filter(
+        p => p.getFileName.toString.startsWith(s"$partitionCol="))
+      .count()).toInt
+  }
+
+  /** AUTO-TRIGGERED [[compactShards]] (round-8 verdict ask #6): rebin
+    * iff the arrival-shard dir count exceeded `factor × buckets`.
+    * Called by the streaming folds AFTER their batch commits — off the
+    * fold's critical path in the amortized sense (it fires once every
+    * ~(factor−1)×buckets batches and never interposes between a
+    * batch's pairs and index commits). Deliberately SYNCHRONOUS, not a
+    * background thread: compactShards commits a version, and a
+    * concurrent fold's own commit would then lose the CAS and abort —
+    * post-batch serialization is the correct arbitration, exactly how
+    * Delta runs OPTIMIZE against a streaming writer's batch boundary.
+    * Returns whether a rebin ran (spec hook). */
+  def compactShardsIfNeeded(table: String, partitionCol: String,
+      buckets: Int = 16, factor: Int = 4): Boolean = {
+    val dirs = partitionDirCount(table, partitionCol)
+    if (dirs > factor * buckets) {
+      System.err.println(s"[store] $table: $dirs $partitionCol dirs > " +
+        s"$factor x $buckets — rebinning")
+      compactShards(table, partitionCol, buckets)
+      true
+    } else false
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -1,0 +1,103 @@
+// Lives under org.apache.spark.sql for the same reason as DotProduct:
+// the Expression/Column bridge is private[sql] in Spark 4.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native longest-common-extension: the number of consecutive matching
+  * characters of two strings scanning from two 0-based offsets, either
+  * RIGHTWARD (a[pa+i] == b[pb+i], i = 0,1,…) or LEFTWARD
+  * (a[pa−1−i] == b[pb−1−i]) — the anchor-maximalization primitive of
+  * the cross-shard repeat merge (`ops/Winnow`).
+  *
+  * The composable form — zip_with over split('') of two (possibly
+  * reversed) substrings — allocates two per-char string arrays plus a
+  * boolean array PER CALL; at two calls per candidate row that
+  * measured as the dominant cost of q311's extension stage (~27 s for
+  * 229k candidates at sf0.1, GC-bound). This expression is one fused
+  * char loop: no allocation beyond the two UTF-16 decodes, stays
+  * inside WholeStageCodegen.
+  *
+  * Semantics match the composable form on BMP text (the corpus
+  * contract shared with the suffix-array walk): comparison is by
+  * UTF-16 char unit. Out-of-range offsets contribute zero matches;
+  * any NULL input → NULL (nullable = true per rule 4: the planner
+  * must not drop the null branch). */
+case class CommonExtension(str1: Expression, str2: Expression,
+    pos1: Expression, pos2: Expression, rightward: Boolean)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = str1
+  override def second: Expression = str2
+  override def third: Expression = pos1
+  override def fourth: Expression = pos2
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "common_extension"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, pa: Any, pb: Any): Any = {
+    val s1 = a.asInstanceOf[UTF8String].toString
+    val s2 = b.asInstanceOf[UTF8String].toString
+    CommonExtension.scan(s1, s2, pa.asInstanceOf[Long],
+      pb.asInstanceOf[Long], rightward)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = CommonExtension.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b, pa, pb) =>
+      s"$cls.scan($a.toString(), $b.toString(), $pa, $pb, $rightward)")
+  }
+
+  override protected def withNewChildrenInternal(first: Expression,
+      second: Expression, third: Expression,
+      fourth: Expression): CommonExtension =
+    copy(str1 = first, str2 = second, pos1 = third, pos2 = fourth)
+}
+
+object CommonExtension {
+  /** The shared scan (interpreted eval and codegen call the same
+    * method, so the two paths cannot diverge). */
+  def scan(s1: String, s2: String, pa: Long, pb: Long,
+      rightward: Boolean): Long = {
+    var i = 0L
+    if (rightward) {
+      val n = math.min(s1.length - pa, s2.length - pb)
+      while (i < n &&
+          s1.charAt((pa + i).toInt) == s2.charAt((pb + i).toInt)) i += 1
+    } else {
+      val n = math.min(pa, pb)
+      while (i < n &&
+          s1.charAt((pa - 1 - i).toInt) == s2.charAt((pb - 1 - i).toInt))
+        i += 1
+    }
+    math.max(0L, i)
+  }
+}
+
+object CommonExtensionFn {
+  /** Matching chars of a[pa..] vs b[pb..] (0-based offsets). */
+  def common_extension_right(a: Column, b: Column, pa: Column,
+      pb: Column): Column =
+    ExpressionUtils.column(CommonExtension(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(pa), ExpressionUtils.expression(pb),
+      rightward = true))
+
+  /** Matching chars of a[..pa) vs b[..pb) scanning leftward from the
+    * offsets (exclusive). */
+  def common_extension_left(a: Column, b: Column, pa: Column,
+      pb: Column): Column =
+    ExpressionUtils.column(CommonExtension(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(pa), ExpressionUtils.expression(pb),
+      rightward = false))
+}

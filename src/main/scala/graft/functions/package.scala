@@ -13,4 +13,7 @@ package object functions {
   type MinhashMd5Lanes = org.apache.spark.sql.graftfn.MinhashMd5Lanes
   val MinhashLanesFn: org.apache.spark.sql.graftfn.MinhashLanesFn.type =
     org.apache.spark.sql.graftfn.MinhashLanesFn
+  type CommonExtension = org.apache.spark.sql.graftfn.CommonExtension
+  val CommonExtensionFn: org.apache.spark.sql.graftfn.CommonExtensionFn.type =
+    org.apache.spark.sql.graftfn.CommonExtensionFn
 }

@@ -46,27 +46,40 @@ object Winnow {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxLen: Int): DataFrame = {
     require(k >= 2 && w >= 1, "k-grams are multi-char, windows non-empty")
-    docs
+    // k-gram hashes as EXPLODED ROWS (one bounded substring per row —
+    // the legal linear shape), then re-collected into a per-doc array
+    // through an Aggregate. The array the window-argmin lambdas index
+    // is therefore an Aggregate OUTPUT attribute, which no projection
+    // collapse can ever inline — the withColumn-alias formulation of
+    // this op measured ~12 min at sf0.01 because CollapseProject
+    // substituted the whole k-gram-hash transform into every argmin
+    // step (rule 3's failure mode, one level deeper: single-reference
+    // aliases inline even across chained withColumns).
+    val kg = docs
       .select(col(idCol).cast("long").as("doc_id"),
         expr(s"left($textCol, $maxLen)").as("t"))
-      .filter(col("t").isNotNull && length(col("t")) >= k)
-      // bound every intermediate as a real column (rule 3): lambdas
-      // below reference chars/fps, never re-evaluate the chain
-      .withColumn("chars", split(col("t"), ""))
-      .withColumn("nk", (length(col("t")) - (k - 1)).cast("int"))
-      .withColumn("fps", expr(
-        s"transform(sequence(1, nk), i -> md5(concat_ws('', slice(chars, i, $k))))"))
-      .withColumn("nw", col("nk") - (w - 1))
-      .filter(col("nw") >= 1)
-      .withColumn("sel", expr(
-        s"""array_distinct(transform(sequence(1, nw), s ->
+      .filter(col("t").isNotNull &&
+        length(col("t")) >= k + w - 1)
+      .select(col("doc_id"),
+        posexplode(expr(s"sequence(1, length(t) - ${k - 1})"))
+          .as(Seq("_i", "kp")),
+        col("t"))
+      .select(col("doc_id"), col("kp"),
+        md5(expr(s"substring(t, kp, $k)")).as("fp"))
+    kg.groupBy(col("doc_id"))
+      // sort_array on (kp, fp) structs → element_at(kfs, i) is the
+      // k-gram at 1-based position i; positions are a complete 1..nk
+      // range so index and position coincide
+      .agg(sort_array(collect_list(struct(col("kp"), col("fp"))))
+        .as("kfs"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(kfs) - ${w - 1}), s ->
              aggregate(sequence(s, s + ${w - 1}),
                named_struct('fp', '', 'p', -1),
                (acc, i) -> case
-                 when acc.p = -1 or element_at(fps, i) < acc.fp
-                   then named_struct('fp', element_at(fps, i), 'p', i)
-                 else acc end)))"""))
-      .select(col("doc_id"), explode(col("sel")).as("s"))
+                 when acc.p = -1 or element_at(kfs, i).fp < acc.fp
+                   then named_struct('fp', element_at(kfs, i).fp, 'p', i)
+                 else acc end)))""")).as("s"))
       .select(col("doc_id"), (col("s")("p") - 1).cast("long").as("pos"),
         col("s")("fp").as("fp"))
   }
@@ -112,16 +125,26 @@ object Winnow {
       .filter(col("shard_a") < col("shard_b"))
     val ta = texts.select(col("doc_id").as("doc_a"), col("t").as("ta"))
     val tb = texts.select(col("doc_id").as("doc_b"), col("t").as("tb"))
-    cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    import org.apache.spark.sql.graftfn.CommonExtensionFn._
+    cand
+      // break the fingerprint-bucket skew BEFORE the per-candidate
+      // extension: a boilerplate fingerprint shared by hundreds of
+      // documents emits its whole candidate block from one join task,
+      // and the extension cost would ride that task (measured: the
+      // stage ran ~1.3 cores of 32)
+      .repartition(col("doc_a"), col("doc_b"), col("pos_a"))
+      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       // maximalize: extend right from the anchor start, left from the
-      // anchor start, both as bounded first-mismatch scans over the
-      // two real texts (candidates are repeat-sized, never the corpus)
-      .withColumn("_sa", expr("substring(ta, pos_a + 1)"))
-      .withColumn("_sb", expr("substring(tb, pos_b + 1)"))
-      .withColumn("ext_r", SuffixArray.strLcp(col("_sa"), col("_sb")))
-      .withColumn("_ra", expr("reverse(substring(ta, 1, pos_a))"))
-      .withColumn("_rb", expr("reverse(substring(tb, 1, pos_b))"))
-      .withColumn("ext_l", SuffixArray.strLcp(col("_ra"), col("_rb")))
+      // anchor start — one fused codegen'd char scan each
+      // (CommonExtension; the composable zip_with-over-split form
+      // allocated two per-char arrays per call and was the dominant
+      // cost of this operator)
+      .withColumn("ext_r",
+        common_extension_right(col("ta"), col("tb"),
+          col("pos_a"), col("pos_b")))
+      .withColumn("ext_l",
+        common_extension_left(col("ta"), col("tb"),
+          col("pos_a"), col("pos_b")))
       // the anchor k-gram must genuinely match (md5-collision guard)
       .filter(col("ext_r") >= k)
       .select(col("doc_a"), (col("pos_a") - col("ext_l")).as("start_a"),

@@ -88,6 +88,18 @@ object StreamingPhashStore {
     * into driver memory. Day-sized batches stay comfortably under. */
   val BroadcastBatchRows: Long = 200000L
 
+  /** Auto-rebin policy (round-8 verdict ask #6): arrival shards grow
+    * one dir per batch, and rebinning was a manual call — now every
+    * fold ends with [[TableStore.compactShardsIfNeeded]], which fires
+    * once the dir count exceeds [[RebinFactor]] × [[RebinBuckets]] and
+    * folds the shards back to [[RebinBuckets]] dirs. Amortized off the
+    * hot path: the O(table) rewrite runs every ~(factor−1)×buckets
+    * batches, after the batch's own commits (see the synchrony note on
+    * compactShardsIfNeeded — a background thread would lose the commit
+    * CAS against the next fold). */
+  val RebinBuckets: Int = 16
+  val RebinFactor: Int = 4
+
   /** Fold one batch of media hashes into the store: emit its near-dup
     * pairs against everything already indexed, then index it. Poison
     * rows (NULL hash) and duplicate media_ids within the batch are
@@ -96,7 +108,8 @@ object StreamingPhashStore {
     * first arrived. */
   def mergeBatch(batch: DataFrame, batchId: Long, store: TableStore,
       indexTable: String, pairsTable: String, maxHamming: Int = 3,
-      bands: Int = 4): Unit = {
+      bands: Int = 4, rebinBuckets: Int = RebinBuckets,
+      rebinFactor: Int = RebinFactor): Unit = {
     // DETERMINISTIC per-key dedup (min hash), not dropDuplicates: the
     // two insertIfAbsent actions re-execute this plan, and
     // dropDuplicates' pick-any-row-per-key can differ between the two
@@ -130,6 +143,11 @@ object StreamingPhashStore {
           Seq("id_a", "id_b"), "_shard")
         store.insertIfAbsentPartitioned(indexTable, shard(fresh),
           Seq("media_id"), "_shard")
+        // post-commit auto-rebin (the RebinBuckets note)
+        store.compactShardsIfNeeded(indexTable, "_shard",
+          rebinBuckets, rebinFactor)
+        store.compactShardsIfNeeded(pairsTable, "_shard",
+          rebinBuckets, rebinFactor)
       } finally fresh.unpersist()
     }
   }
@@ -175,7 +193,9 @@ object StreamingPhashStore {
   def mergeCrossModalBatch(batch: DataFrame, batchId: Long,
       store: TableStore, imageIndexTable: String,
       frameIndexTable: String, matchesTable: String,
-      maxHamming: Int = 3, bands: Int = 4): Unit = {
+      maxHamming: Int = 3, bands: Int = 4,
+      rebinBuckets: Int = RebinBuckets,
+      rebinFactor: Int = RebinFactor): Unit = {
     // deterministic per-key dedup — the mergeBatch note
     val imgs = batch.filter(col("kind") === "image")
       .filter(col("hash").isNotNull)
@@ -240,6 +260,10 @@ object StreamingPhashStore {
         Seq("media_id"), "_shard")
       store.insertIfAbsentPartitioned(frameIndexTable, shard(freshFrs),
         Seq("media_id", "frame_no"), "_shard")
+      // post-commit auto-rebin (the RebinBuckets note)
+      Seq(matchesTable, imageIndexTable, frameIndexTable).foreach(t =>
+        store.compactShardsIfNeeded(t, "_shard", rebinBuckets,
+          rebinFactor))
     } finally { freshImgs.unpersist(); freshFrs.unpersist() }
   }
 
@@ -291,7 +315,8 @@ object StreamingPhashStore {
   def mergeSequenceBatch(batch: DataFrame, batchId: Long,
       store: TableStore, indexTable: String, pairsTable: String,
       maxHamming: Int = 3, bands: Int = 4, minOverlap: Double = 0.5,
-      minMatched: Int = 2): Unit = {
+      minMatched: Int = 2, rebinBuckets: Int = RebinBuckets,
+      rebinFactor: Int = RebinFactor): Unit = {
     // deterministic per-(clip, frame) dedup — the mergeBatch note
     val newHashes = batch
       .select(col("media_id"), col("frame_no"), col("hash"))
@@ -325,6 +350,11 @@ object StreamingPhashStore {
           Seq("id_a", "id_b"), "_shard")
         store.insertIfAbsentPartitioned(indexTable, shard(fresh),
           Seq("media_id", "frame_no"), "_shard")
+        // post-commit auto-rebin (the RebinBuckets note)
+        store.compactShardsIfNeeded(indexTable, "_shard",
+          rebinBuckets, rebinFactor)
+        store.compactShardsIfNeeded(pairsTable, "_shard",
+          rebinBuckets, rebinFactor)
       } finally fresh.unpersist()
     }
   }

@@ -146,4 +146,52 @@ class FunctionsSpec extends SparkTestBase {
     assert(MinhashMd5Lanes(Literal(null, ArrayType(StringType)), 4, 4)
       .eval(InternalRow.empty) == null)
   }
+
+  test("common_extension (both directions) equals the composable zip_with form, codegen and interpreted agree, nulls/bounds behave") {
+    import CommonExtensionFn._
+    // randomized pairs over a tiny alphabet (maximal match pressure)
+    // plus hand-picked edge cases: offsets at both ends, full match,
+    // empty extension, one-sided exhaustion
+    def gen(seed: Long, n: Int): Seq[(String, String, Long, Long)] = {
+      var h = seed
+      def next(): Long = { h = h * 6364136223846793005L +
+        1442695040888963407L; h >>> 33 }
+      (0 until n).map { _ =>
+        val la = 1 + (next() % 24).toInt; val lb = 1 + (next() % 24).toInt
+        val a = (0 until la).map(_ => "ab" ((next() % 2).toInt)).mkString
+        val b = (0 until lb).map(_ => "ab" ((next() % 2).toInt)).mkString
+        (a, b, next() % la, next() % lb)
+      }
+    }
+    val rows = gen(42L, 200) ++ Seq(
+      ("abc", "abc", 0L, 0L), ("abc", "abc", 3L, 3L),
+      ("abc", "xbc", 1L, 1L), ("", "", 0L, 0L), ("a", "abcd", 0L, 0L))
+    def refR(a: String, b: String, pa: Long, pb: Long): Long =
+      a.drop(pa.toInt).zip(b.drop(pb.toInt))
+        .takeWhile { case (x, y) => x == y }.length.toLong
+    def refL(a: String, b: String, pa: Long, pb: Long): Long =
+      a.take(pa.toInt).reverse.zip(b.take(pb.toInt).reverse)
+        .takeWhile { case (x, y) => x == y }.length.toLong
+    val df = rows.toDF("a", "b", "pa", "pb")
+    val got = df.select(
+        common_extension_right($"a", $"b", $"pa", $"pb"),
+        common_extension_left($"a", $"b", $"pa", $"pb"))
+      .as[(Long, Long)].collect().toSeq
+    val want = rows.map { case (a, b, pa, pb) =>
+      (refR(a, b, pa, pb), refL(a, b, pa, pb)) }
+    assert(got == want)
+    // interpreted eval path (no codegen) agrees with the scan
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftfn.CommonExtension
+    rows.take(40).foreach { case (a, b, pa, pb) =>
+      val r = CommonExtension(Literal(a), Literal(b), Literal(pa),
+        Literal(pb), rightward = true).eval(InternalRow.empty)
+      assert(r == refR(a, b, pa, pb), s"interpreted diverged on $a/$b")
+    }
+    // null propagates (rule 4: nullable = true is load-bearing)
+    assert(CommonExtension(Literal(null, org.apache.spark.sql.types.StringType),
+      Literal("x"), Literal(0L), Literal(0L), rightward = true)
+      .eval(InternalRow.empty) == null)
+  }
 }

@@ -219,6 +219,34 @@ class PhashStoreSpec extends SparkTestBase {
     all.unpersist()
   }
 
+  test("auto-rebin: a long stream (3x threshold batches) keeps the shard-dir count bounded and every fold stays green (round-9)") {
+    val all = corpusHashes(14).cache()
+    val ids = all.select($"media_id").distinct()
+      .as[Long].collect().sorted
+    assert(ids.size >= 12, s"fixture too small: ${ids.size} media ids")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_phst_auto_").toString)
+    // one media per micro-batch → one arrival shard per batch; with
+    // buckets=2, factor=2 the trigger threshold is 4 dirs, so ≥12
+    // batches crosses it at least twice
+    ids.zipWithIndex.foreach { case (id, i) =>
+      StreamingPhashStore.mergeBatch(all.filter($"media_id" === id),
+        i.toLong, store, "idx", "pairs",
+        rebinBuckets = 2, rebinFactor = 2)
+    }
+    Seq("idx", "pairs").foreach { t =>
+      val dirs = store.partitionDirCount(t, "_shard")
+      assert(dirs <= 2 * 2 + 1,
+        s"$t shard dirs unbounded after ${ids.size} batches: $dirs")
+      assert(dirs < ids.size, s"$t: no rebin ever fired ($dirs dirs)")
+    }
+    // every fold stayed green: the accumulated pairs still equal the
+    // one-shot computation over everything ingested
+    assert(pairSet(StreamingPhashStore.pairs(store, "pairs")) ==
+      pairSet(Phash.nearDupPairs(all)))
+    all.unpersist()
+  }
+
   // ---- cross-modal (image × video frame) variant ----
 
   test("cross-modal store: matches after every interleaving prefix equal the one-shot bipartite join (q307 ingest)") {

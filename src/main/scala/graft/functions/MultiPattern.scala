@@ -1,0 +1,172 @@
+// Same placement rationale as DotProduct.scala: the Expression/Column
+// bridge is private[sql] in Spark 4.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern automaton: per-pattern ALL-occurrence
+  * counts (overlapping included) over a text, in ONE left-to-right
+  * char scan regardless of how many patterns the dictionary holds.
+  *
+  * This is the blocklist/wordlist primitive of a training-data
+  * pipeline (C4's bad-word filter, URL blocklists, license-string
+  * scans): the naive form is one `regexp_count`/`replace` pass PER
+  * pattern — P full text scans, and regexp engines count only
+  * NON-overlapping matches. The automaton is the textbook goto/fail
+  * trie (Aho & Corasick, CACM 1975): states are pattern prefixes,
+  * failure links are longest proper suffixes, and dictionary-suffix
+  * links make emission proportional to the number of matches, so a
+  * scan is O(len + matches) for the whole dictionary.
+  *
+  * Occurrence semantics: a pattern occurrence is counted at EVERY
+  * start offset where it appears, so overlapping occurrences all
+  * count ("a a a" contains "a a" twice). Comparison is by UTF-16
+  * char unit (the corpus contract shared with CommonExtension);
+  * the DuckDB oracle twin replays per-offset `substr` equality,
+  * which agrees on BMP text.
+  *
+  * The automaton is built once per expression instance (driver) and
+  * ships to executors either via Java serialization of the expression
+  * (interpreted path rebuilds it lazily from the pattern list) or as
+  * a codegen reference object — both paths scan with the SAME
+  * [[AhoAutomaton.counts]] method, so they cannot diverge. */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(patterns.nonEmpty, "need at least one pattern")
+  require(patterns.forall(_.nonEmpty), "empty pattern matches everywhere")
+  require(patterns.distinct.size == patterns.size,
+    "duplicate patterns: each output slot must be a distinct pattern")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_pattern_counts"
+
+  // rebuilt per JVM after serialization; plain constructor data, no
+  // cross-object init (CLAUDE rule 19)
+  @transient private lazy val auto = new AhoAutomaton(patterns.toArray)
+
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(auto.counts(in.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahoAutomaton", auto,
+      classOf[AhoAutomaton].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$ref.counts($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiPatternCounts = copy(child = newChild)
+}
+
+/** The goto/fail/output automaton. Flat-array states; transitions per
+  * state in a sorted char array (binary search — the dictionary is
+  * small, the text is not, and cache-friendly probes beat a per-state
+  * HashMap). Serializable so codegen can ship it as a reference
+  * object; building is idempotent and cheap (O(total pattern chars ×
+  * alphabet links)). */
+final class AhoAutomaton(patterns: Array[String]) extends Serializable {
+
+  // --- trie build (growable parallel arrays) ---------------------- //
+  private val (chLabels, chTargets, chStart, fail, dictLink, patEnd) = {
+    import scala.collection.mutable.ArrayBuffer
+    // trie as child maps first
+    val kids = ArrayBuffer(scala.collection.mutable.SortedMap.empty[Char, Int])
+    val ends = ArrayBuffer(-1) // pattern id terminating at node, else -1
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      p.foreach { c =>
+        s = kids(s).getOrElseUpdate(c, {
+          kids += scala.collection.mutable.SortedMap.empty[Char, Int]
+          ends += -1
+          kids.size - 1
+        })
+      }
+      ends(s) = pid
+    }
+    val n = kids.size
+    // BFS failure links; goto stays sparse (scan falls back through
+    // fail links at match time — O(1) amortized per text char)
+    val fl = new Array[Int](n)
+    val dl = new Array[Int](n) // deepest proper-suffix node that ends a pattern, else 0 (root)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    kids(0).foreach { case (_, s) => fl(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      dl(u) = if (ends(fl(u)) >= 0) fl(u) else dl(fl(u))
+      kids(u).foreach { case (c, v) =>
+        var f = fl(u)
+        while (f != 0 && !kids(f).contains(c)) f = fl(f)
+        fl(v) = kids(f).get(c).filter(_ != v).getOrElse(0)
+        queue += v
+      }
+    }
+    // flatten child maps to CSR-style sorted arrays
+    val starts = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { starts(i) = total; total += kids(i).size; i += 1 }
+    starts(n) = total
+    val labels = new Array[Char](total)
+    val targets = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      var j = starts(i)
+      kids(i).foreach { case (c, v) => labels(j) = c; targets(j) = v; j += 1 }
+      i += 1
+    }
+    (labels, targets, starts, fl, dl, ends.toArray)
+  }
+
+  private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val lo = chStart(s); val hi = chStart(s + 1)
+      var a = lo; var b = hi - 1
+      while (a <= b) {
+        val m = (a + b) >>> 1
+        if (chLabels(m) == c) return chTargets(m)
+        else if (chLabels(m) < c) a = m + 1
+        else b = m - 1
+      }
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0 // unreachable
+  }
+
+  /** All-occurrence counts per pattern (boxed for GenericArrayData). */
+  def counts(text: String): Array[Any] = {
+    val out = new Array[Long](patterns.length)
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      s = step(s, text.charAt(i))
+      // emit every dictionary suffix ending here
+      var e = if (patEnd(s) >= 0) s else dictLink(s)
+      while (e != 0) {
+        out(patEnd(e)) += 1L
+        e = dictLink(e)
+      }
+      i += 1
+    }
+    out.map(java.lang.Long.valueOf(_): Any)
+  }
+}
+
+object MultiPatternFn {
+  /** Column API: array of per-pattern all-occurrence counts. */
+  def multi_pattern_counts(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtils.column(MultiPatternCounts(
+      ExpressionUtils.expression(text), patterns))
+}

@@ -16,4 +16,7 @@ package object functions {
   type CommonExtension = org.apache.spark.sql.graftfn.CommonExtension
   val CommonExtensionFn: org.apache.spark.sql.graftfn.CommonExtensionFn.type =
     org.apache.spark.sql.graftfn.CommonExtensionFn
+  type MultiPatternCounts = org.apache.spark.sql.graftfn.MultiPatternCounts
+  val MultiPatternFn: org.apache.spark.sql.graftfn.MultiPatternFn.type =
+    org.apache.spark.sql.graftfn.MultiPatternFn
 }

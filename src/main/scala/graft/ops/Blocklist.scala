@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MultiPatternFn
+
+/** Phrase-blocklist scanning — the wordlist filter of a training-data
+  * pipeline (C4's bad-word list, license boilerplate, URL blocklists:
+  * drop or flag any document containing a dictionary phrase).
+  *
+  * The whole dictionary is matched in ONE pass per document by a
+  * native Aho–Corasick expression
+  * ([[graft.functions.MultiPatternCounts]]): O(len + matches) per doc
+  * independent of dictionary size, vs one regexp scan per pattern for
+  * the composable form — and regexp engines count only non-overlapping
+  * occurrences, while the blocklist contract here counts EVERY start
+  * offset (the oracle twin replays per-offset substr equality).
+  *
+  * Scale shape: zero shuffles — the automaton rides the plan as a
+  * literal (broadcast with the task closure), the scan is row-local,
+  * and the only exchange in q312 is the final presentation sort. At
+  * 100 TB this is a pure map stage over the corpus, the cheapest
+  * possible shape; dictionary growth (real blocklists hold 10⁴–10⁵
+  * terms) costs trie memory, not extra text passes. */
+object Blocklist {
+
+  /** Per-(doc, pattern) all-occurrence counts, patterns with zero
+    * occurrences omitted. Output: (doc_id, pat_idx, pattern, n_occ),
+    * totally ordered. */
+  def patternHits(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val counts = docs.select(col(idCol).as("doc_id"),
+      MultiPatternFn.multi_pattern_counts(
+        coalesce(col(textCol), lit("")), patterns).as("cnts"))
+    // posexplode is a Generate boundary: the automaton scan runs once
+    // per document, never once per element (CLAUDE rule 21)
+    counts
+      .select(col("doc_id"), posexplode(col("cnts")).as(Seq("pi", "n_occ")))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("pi").cast("long").as("pat_idx"),
+        element_at(typedLit(patterns), col("pi") + 1).as("pattern"),
+        col("n_occ"))
+      .orderBy("doc_id", "pat_idx")
+  }
+
+  /** Per-document verdict over the same scan: total occurrences,
+    * distinct patterns hit, and a blocked flag at `maxHits`. */
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxHits: Long): DataFrame = {
+    val counts = docs.select(col(idCol).as("doc_id"),
+      MultiPatternFn.multi_pattern_counts(
+        coalesce(col(textCol), lit("")), patterns).as("cnts"))
+    counts
+      .select(col("doc_id"),
+        aggregate(col("cnts"), lit(0L), (acc, x) => acc + x).as("total_hits"),
+        size(filter(col("cnts"), _ > 0)).cast("long").as("n_patterns_hit"))
+      .withColumn("blocked", col("total_hits") > maxHits)
+      .orderBy("doc_id")
+  }
+}

@@ -766,4 +766,45 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(idCol)
   }
+
+  /** End-to-end near-dup canonicalization — the keep/drop DECISION a
+    * pipeline user actually consumes (pairs and clusters are
+    * intermediate evidence; the deliverable is "which rows survive").
+    *
+    * Composition: exact similarity self-join ([[prefixJaccardPairs]] —
+    * complete, no LSH recall caveat) → connected components
+    * ([[Components.connectedComponents]], min-label pointer jumping) →
+    * one deterministic canonical per cluster: the LONGEST text wins
+    * (the usual curation rule — near-dup copies are mostly truncations
+    * of one another), ties broken by min id. Only documents that
+    * belong to some near-dup cluster appear; everything else is
+    * implicitly kept.
+    *
+    * Scale shape: inherits PPJoin's bounded-bucket candidate join and
+    * the component loop's O(|E|·log diameter) rounds; the decision
+    * itself is one |cluster-members| groupBy + a node-keyed join — no
+    * stage ever touches the full corpus pairwise. Determinism: the
+    * winner is an aggregate (max struct), not a dropDuplicates pick
+    * (CLAUDE rule 17), so every consumer sees the same survivor. */
+  def dedupDecisions(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val pairs = prefixJaccardPairs(docs, idCol, textCol, minJaccard)
+    val comp = Components.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      "src", "dst")
+    val lens = docs.select(col(idCol).cast("long").as("node"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("len"))
+    val members = comp.join(lens, "node")
+    val winners = members
+      .groupBy(col("component"))
+      .agg(max(struct(col("len").as("len"), (-col("node")).as("neg")))
+          .as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), (-col("w.neg")).as("keep_id"),
+        col("cluster_size"))
+    comp.join(winners, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster"),
+        (col("node") === col("keep_id")).as("keep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 }

@@ -1672,6 +1672,99 @@ object ExtensionQueries {
       WHERE ext_r >= 8 AND ext_l + ext_r >= 15
       ORDER BY doc_a, start_a, doc_b, start_b"""))
 
+  /** Blocklist phrase hits for q312: chosen from the corpus vocabulary
+    * to exercise every matching regime — nested patterns ("tab" ⊂
+    * "table"), a dictionary suffix ("eam" ⊂ "stream"), word-boundary
+    * crossers ("le va" inside "table value"), and a self-overlapping
+    * phrase ("a a": "a a a" contains it TWICE — the case replace-based
+    * counting undercounts, which is why the oracle scans offsets). */
+  private val blockPhrases = Seq(
+    "table", "tab", "le va", "a a", "scan s", "stream", "eam",
+    "query big")
+
+  private def blockPhrasesSqlValues: String =
+    blockPhrases.zipWithIndex
+      .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+      .mkString(", ")
+
+  /** Aho–Corasick blocklist scan (`ops/Blocklist`): per-(doc, pattern)
+    * ALL-occurrence counts (overlapping included) of a phrase
+    * dictionary, one automaton pass per document. The oracle counts by
+    * brute-force offset scan — `substr` equality at every start
+    * position — the only SQL formulation that agrees with overlapping
+    * occurrences. */
+  val q312BlocklistScan = OracleQuery("q312_blocklist_scan",
+    "multi-pattern blocklist occurrence counts == per-offset substr scan",
+    (s, d) =>
+      graft.ops.Blocklist.patternHits(Tables.documents(s, d),
+        "doc_id", "text", blockPhrases),
+    Some(s"""
+      WITH pats AS (
+        SELECT * FROM (VALUES $blockPhrasesSqlValues) v(pat_idx, pattern)),
+      hits AS (
+        SELECT d.doc_id, p.pat_idx, p.pattern,
+               (SELECT count(*)
+                FROM generate_series(1, 4000) g(i)
+                WHERE g.i <= length(coalesce(d.text, ''))
+                        - length(p.pattern) + 1
+                  AND substr(coalesce(d.text, ''), CAST(g.i AS INT),
+                        length(p.pattern)) = p.pattern) AS n_occ
+        FROM documents d CROSS JOIN pats p)
+      SELECT doc_id, CAST(pat_idx AS BIGINT) AS pat_idx, pattern, n_occ
+      FROM hits
+      WHERE n_occ > 0
+      ORDER BY doc_id, pat_idx"""))
+
+  /** End-to-end dedup DECISIONS (`Dedup.dedupDecisions`): exact
+    * Jaccard pairs (τ = 0.6) → connected components → one canonical
+    * survivor per cluster (longest text, tie min id). The oracle
+    * replays the whole chain — brute-force pairs, recursive-CTE
+    * transitive closure, window-ranked winner — so the keep/drop bit
+    * of every clustered document is driver-hash-gated. */
+  val q313DedupDecisions = OracleQuery("q313_dedup_decisions",
+    "near-dup keep/drop decisions: pairs -> components -> canonical",
+    (s, d) =>
+      Dedup.dedupDecisions(augmented(s, d), "doc_id", "text", 0.6),
+    Some(s"""
+      WITH RECURSIVE $augmentedSql,
+      $shingleSql,
+      dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS MATERIALIZED (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.6),
+      u AS MATERIALIZED (
+        SELECT doc_a s, doc_b t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT s, t FROM u
+        UNION
+        SELECT r.n, u.t FROM reach r JOIN u ON r.m = u.s
+        WHERE u.t <> r.n),
+      comp AS MATERIALIZED (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n),
+      lens AS (
+        SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) len
+        FROM aug),
+      ranked AS (
+        SELECT c.node, c.component, l.len,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY l.len DESC, c.node) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS csize
+        FROM comp c JOIN lens l ON l.doc_id = c.node)
+      SELECT node AS doc_id, component AS cluster, rn = 1 AS keep,
+             CAST(csize AS BIGINT) AS cluster_size
+      FROM ranked
+      ORDER BY doc_id"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1681,5 +1774,6 @@ object ExtensionQueries {
     q297WavRoundtrip, q298JpegRoundtrip, q299FrameSample, q300ResizeBox,
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
     q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
-    q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats)
+    q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats,
+    q312BlocklistScan, q313DedupDecisions)
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.MultiPatternFn
+import graft.sources.Tables
+
+/** Blocklist scan (`ops/Blocklist` + the native Aho–Corasick
+  * `MultiPatternCounts`): counts must equal a per-offset brute-force
+  * scan — ALL occurrences, overlapping included — across nested
+  * patterns, dictionary suffixes, and self-overlapping phrases. */
+class BlocklistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference: count every start offset where `pat` occurs. */
+  private def brute(text: String, pat: String): Long =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+
+  private val dict = Seq("table", "tab", "le va", "a a", "ba", "ab", "aba")
+
+  test("randomized texts: automaton counts equal per-offset brute force") {
+    // small alphabet forces dense overlaps and nested-pattern hits;
+    // seeded so the fixture replays
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abtle v"
+    val texts = (0 until 200).map { i =>
+      (i.toLong, (0 until (5 + rnd.nextInt(120)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = texts.toDF("id", "t")
+      .select($"id", MultiPatternFn.multi_pattern_counts($"t", dict).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.foreach { case (id, t) =>
+      val want = dict.map(brute(t, _))
+      assert(got(id) == want, s"id=$id text='$t': got ${got(id)} want $want")
+    }
+  }
+
+  test("overlapping occurrences all count ('a a a' contains 'a a' twice)") {
+    val one = Seq((0L, "a a a")).toDF("id", "t")
+      .select(MultiPatternFn.multi_pattern_counts($"t", Seq("a a")))
+      .as[Seq[Long]].head()
+    assert(one == Seq(2L), s"got $one — replace-style counting would say 1")
+    // nested dictionary: every "table" also ends a "tab" and contains "ab"
+    val nested = Seq((0L, "table table")).toDF("id", "t")
+      .select(MultiPatternFn.multi_pattern_counts($"t",
+        Seq("table", "tab", "ab", "le")))
+      .as[Seq[Long]].head()
+    assert(nested == Seq(2L, 2L, 2L, 2L), s"got $nested")
+  }
+
+  test("interpreted eval agrees with the codegen'd DataFrame path and nulls propagate") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftfn.MultiPatternCounts
+    import org.apache.spark.sql.types.StringType
+    val texts = Seq("tablet tab", "le vale va", "", "ababab", "a a a a")
+    texts.foreach { t =>
+      val interp = MultiPatternCounts(Literal(t), dict).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val viaDf = Seq(Tuple1(t)).toDF("t")
+        .select(MultiPatternFn.multi_pattern_counts($"t", dict))
+        .as[Seq[Long]].head()
+      assert(interp == viaDf, s"text='$t': interpreted=$interp codegen=$viaDf")
+      assert(interp == dict.map(brute(t, _)))
+    }
+    assert(MultiPatternCounts(Literal(null, StringType), dict)
+      .eval(null) == null)
+  }
+
+  test("patternHits over documents equals brute force; verdicts aggregate it") {
+    val docs = Tables.documents(spark, sfDir)
+    val raw = docs.select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .as[(Long, String)].collect()
+    val phrases = Seq("table", "tab", "a a", "stream")
+    val want = (for {
+      (id, t) <- raw
+      (p, i) <- phrases.zipWithIndex
+      n = brute(t, p) if n > 0
+    } yield (id, i.toLong, p, n)).sortBy(r => (r._1, r._2)).toSeq
+    val got = Blocklist.patternHits(docs, "doc_id", "text", phrases)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == want)
+
+    val verdicts = Blocklist.verdicts(docs, "doc_id", "text", phrases,
+      maxHits = 10)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val wantTotals = raw.map { case (id, t) =>
+      val ns = phrases.map(brute(t, _))
+      (id, ns.sum, ns.count(_ > 0).toLong, ns.sum > 10)
+    }.sortBy(_._1)
+    assert(verdicts.toSeq == wantTotals.toSeq)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** `Dedup.dedupDecisions` — keep/drop decisions must equal an
+  * in-memory reference: brute-force Jaccard pairs → union-find
+  * components → longest-text (tie min-id) canonical per cluster. */
+class DedupDecisionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def shingleSet(t: String): Set[String] = {
+    val ws = t.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < Dedup.ShingleN) Set.empty
+    else ws.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+  }
+
+  private def reference(docs: Seq[(Long, String)], tau: Double)
+      : Seq[(Long, Long, Boolean, Long)] = {
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = docs.map(_._1)
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a) & sh(b)).size
+      uni = sh(a).size + sh(b).size - inter
+      if uni > 0 && inter.toDouble / uni >= tau
+    } yield (a, b)
+    // union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = ids.filter(i => pairs.exists(p => p._1 == i || p._2 == i))
+    val byComp = clustered.groupBy(find)
+    val lens = docs.toMap
+    (for {
+      (_, members) <- byComp
+      comp = members.min
+      winner = members.minBy(m => (-lens(m).length, m))
+      m <- members
+    } yield (m, comp, m == winner, members.size.toLong))
+      .toSeq.sortBy(_._1)
+  }
+
+  test("decisions equal union-find reference on a planted-cluster corpus") {
+    // clusters of truncations + unrelated docs; vocabulary mixed via a
+    // seeded RNG so shingle collisions across clusters are possible
+    val rnd = new scala.util.Random(0x9e3779b97f4a7c15L)
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast",
+      "table", "value", "part", "hash", "merge", "batch", "spark")
+    def sentence(n: Int) =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 12).map(i => sentence(20 + rnd.nextInt(30)))
+    val docs: Seq[(Long, String)] =
+      base.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ")
+        Seq(
+          (i * 10L, t),
+          // truncated copy: high Jaccard with the original
+          (i * 10L + 1, ws.dropRight(2).mkString(" ")),
+          // shorter truncation — may or may not clear the threshold
+          (i * 10L + 2, ws.drop(1).dropRight(4).mkString(" "))
+        )
+      } ++ (200 until 210).map(i => (i.toLong, sentence(25)))
+    for (tau <- Seq(0.4, 0.6, 0.8)) {
+      val got = Dedup.dedupDecisions(docs.toDF("doc_id", "text"),
+        "doc_id", "text", tau)
+        .as[(Long, Long, Boolean, Long)].collect().toSeq
+      val want = reference(docs, tau)
+      assert(got == want, s"tau=$tau:\n got=$got\nwant=$want")
+      // sanity: at least one real cluster formed at the lower taus
+      if (tau <= 0.6) assert(want.nonEmpty, s"tau=$tau planted no clusters")
+      // exactly one keeper per cluster
+      got.groupBy(_._2).foreach { case (c, ms) =>
+        assert(ms.count(_._3) == 1, s"cluster $c keepers != 1: $ms")
+      }
+    }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding VOCABULARY training + corpus encoding — the full
+  * tokenizer loop (q97 mines only the first round's merge candidates;
+  * this trains the merge ladder and applies it).
+  *
+  * Scale design (how SentencePiece/HF trainers actually work, made
+  * distributed): the corpus is scanned ONCE into (word, count) — after
+  * that every training round runs on the VOCABULARY, which is tiny
+  * relative to the corpus (Heaps' law), so 100 TB of text costs one
+  * map+agg plus `numMerges` vocabulary-sized rounds. Encoding reuses
+  * the final vocabulary state (training a word IS encoding it) and
+  * joins it back to the token stream — no per-document merge loops.
+  *
+  * Merge-application semantics (the cross-engine contract, replayed
+  * verbatim by the q314/q315 oracles): one merge (l, r) is applied to
+  * all its occurrences GREEDILY LEFT-TO-RIGHT — the textbook BPE
+  * convention. The greedy pass has a closed form: a position i with
+  * sym[i]=l, sym[i+1]=r can conflict with a neighbor only when l = r
+  * (else matched positions are never adjacent), so within each ISLAND
+  * of consecutive matched positions the kept ones are exactly those at
+  * even offset from the island start. That turns the inherently
+  * sequential scan into two window functions — no UDF, no recursion,
+  * and the same formulation runs in DuckDB.
+  *
+  * Encoding correctness: applying merges once each, in rank order,
+  * equals the repeat-lowest-rank-until-fixpoint definition — a pair
+  * created by merge r is first mergeable at some rank r' trained AFTER
+  * its constituents existed, so r' > r and the rank-order sweep meets
+  * it in time. */
+object Bpe {
+
+  /** One trained merge: rank (1-based), left/right symbols, and the
+    * count-weighted pair frequency that won the round. */
+  final case class Merge(rank: Int, l: String, r: String, n: Long)
+
+  /** Corpus → (w, n, sym) vocabulary frame: distinct words with counts
+    * and their initial character-level symbol arrays. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // rule 20: split('') is the one-pass per-char array
+      .select(col("w"), col("n"), split(col("w"), "").as("sym"))
+
+  /** Apply ONE merge (l, r) to every vocabulary row, greedy
+    * left-to-right, via the island/alternation closed form. `vocab`
+    * must be a materialized frame (the caller's round loop owns the
+    * rule-16 discipline). */
+  private[graft] def applyMerge(vocab: DataFrame, l: String,
+      r: String): DataFrame = {
+    val byW = Window.partitionBy("w").orderBy("p")
+    val ex = vocab
+      .select(col("w"), col("n"), posexplode(col("sym")).as(Seq("p", "s")))
+      .withColumn("s2", lead(col("s"), 1).over(byW))
+      .withColumn("m", col("s") === l && col("s2") === r)
+    // islands of consecutive matched positions; keep even offsets
+    val isl = ex.filter(col("m"))
+      .withColumn("isl", col("p") - row_number().over(byW))
+      .withColumn("keep",
+        (col("p") - min(col("p")).over(
+          Window.partitionBy("w", "isl"))) % 2 === 0)
+      .select(col("w"), col("p"), col("keep"))
+    ex
+      .join(isl.select(col("w"), col("p"), col("keep")), Seq("w", "p"),
+        "left")
+      .join(isl.select(col("w"), (col("p") + 1).as("p"),
+        col("keep").as("prev_keep")), Seq("w", "p"), "left")
+      .withColumn("kept", coalesce(col("keep"), lit(false)))
+      .withColumn("consumed", coalesce(col("prev_keep"), lit(false)))
+      .filter(!col("consumed"))
+      .groupBy(col("w"), col("n"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("p"),
+          when(col("kept"), concat(col("s"), col("s2")))
+            .otherwise(col("s")).as("tok")))),
+        e => e.getField("tok")).as("sym"))
+  }
+
+  /** Train `numMerges` merges. Returns the merge ladder (driver-side —
+    * `numMerges` rows by construction, the IVF-codebook precedent) and
+    * the final vocabulary state (w, n, sym), whose `sym` IS each
+    * word's BPE encoding. Per-round state is materialized (rule 16). */
+  def train(docs: DataFrame, textCol: String,
+      numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, "need numMerges >= 1")
+    var v = Caches.materialize(vocabulary(docs, textCol))
+    val byW = Window.partitionBy("w").orderBy("p")
+    val merges = Seq.newBuilder[Merge]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val best = v
+        .select(col("n"), posexplode(col("sym")).as(Seq("p", "s")),
+          col("w"))
+        .withColumn("s2", lead(col("s"), 1).over(byW))
+        .filter(col("s2").isNotNull)
+        .groupBy(col("s"), col("s2"))
+        .agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("s"), col("s2"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r) = (row.getString(0), row.getString(1))
+        merges += Merge(k, l, r, row.getLong(2))
+        v = Caches.materialize(applyMerge(v, l, r))
+        k += 1
+      }
+    }
+    (merges.result(), v)
+  }
+
+  /** Per-document encoding against a trained vocabulary state: token
+    * count plus the rendered encoding (word tokens joined by '|',
+    * words by ' '). Wordless documents come back with zero counts and
+    * an empty rendering, not as dropped rows. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("wp", "w")))
+      .join(vocab.select(col("w"), col("sym")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("sym"))).cast("long").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wp"),
+            array_join(col("sym"), "|").as("enc")))),
+          e => e.getField("enc"))).as("encoded"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(toks, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("encoded"), lit("")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
+  /** Convenience: train on the corpus, then encode it. */
+  def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): (Seq[Merge], DataFrame) = {
+    val (merges, vocab) = train(docs, textCol, numMerges)
+    (merges, encode(docs, idCol, textCol, vocab))
+  }
+
+  /** The merge ladder as a DataFrame (for the q314 oracle gate). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank.toLong, m.l, m.r, m.l + m.r, m.n))
+      .toDF("rank", "l", "r", "merged", "n_pair")
+      .orderBy("rank")
+  }
+}

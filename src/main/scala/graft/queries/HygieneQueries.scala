@@ -515,9 +515,113 @@ object HygieneQueries {
       FROM g
       ORDER BY source"""))
 
+  // ------------------------------------------------------------------ //
+  // Full BPE tokenizer loop (q314 train / q315 encode). The oracle
+  // replays the ENTIRE training ladder: numbered CTE rounds, each one
+  // pair-count → argmax → greedy left-to-right merge application via
+  // the island/alternation closed form (see ops/Bpe Scaladoc — matched
+  // positions are adjacent only when l = r, so keeping even offsets
+  // within each island of consecutive matches IS the sequential greedy
+  // scan). Every v_k/b_k/k_k is MATERIALIZED (rule 14: each is
+  // referenced by several later levels — un-materialized they would
+  // re-expand exponentially across 8 rounds).
+  private val BpeRounds = 8
+
+  private def bpeChainSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""
+      e$k AS MATERIALIZED (
+        SELECT w, n, g.i AS p, toks[g.i] AS s,
+               lead(toks[g.i]) OVER (PARTITION BY w ORDER BY g.i) AS s2
+        FROM (SELECT w, n, string_split(sym, '|') AS toks FROM v${k - 1}),
+             unnest(generate_series(1, len(toks))) g(i)),
+      b$k AS MATERIALIZED (
+        SELECT s AS l, s2 AS r, CAST(SUM(n) AS BIGINT) AS total
+        FROM e$k WHERE s2 IS NOT NULL
+        GROUP BY 1, 2 ORDER BY total DESC, l, r LIMIT 1),
+      k$k AS MATERIALIZED (
+        SELECT w, p, ((p - MIN(p) OVER (PARTITION BY w, isl)) % 2 = 0)
+                 AS keep
+        FROM (SELECT e.w, e.p,
+                     e.p - row_number() OVER (PARTITION BY e.w
+                                              ORDER BY e.p) AS isl
+              FROM e$k e, b$k b
+              WHERE e.s = b.l AND e.s2 = b.r)),
+      v$k AS MATERIALIZED (
+        SELECT e.w, e.n,
+               string_agg(CASE WHEN coalesce(kp.keep, false)
+                               THEN e.s || e.s2 ELSE e.s END,
+                          '|' ORDER BY e.p) AS sym
+        FROM e$k e
+        LEFT JOIN k$k kp ON kp.w = e.w AND kp.p = e.p
+        LEFT JOIN k$k kc ON kc.w = e.w AND kc.p = e.p - 1
+        WHERE NOT coalesce(kc.keep, false)
+        GROUP BY e.w, e.n)"""
+    }.mkString(",")
+    s"""
+      words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w FROM documents)
+        GROUP BY w),
+      v0 AS MATERIALIZED (
+        SELECT w, n, string_agg(substr(w, CAST(g.i AS INT), 1), '|'
+                 ORDER BY g.i) AS sym
+        FROM words, unnest(generate_series(1, length(w))) g(i)
+        GROUP BY w, n),$rounds"""
+  }
+
+  /** BPE vocabulary TRAINING (`ops/Bpe.train`): the full merge ladder,
+    * not just q97's first-round candidates — `BpeRounds` rounds of
+    * corpus-count-weighted pair argmax + greedy merge application over
+    * the vocabulary. The oracle unrolls the identical ladder. */
+  val q314BpeTrain = OracleQuery("q314_bpe_train",
+    "BPE merge ladder: per-round weighted pair argmax == unrolled replay",
+    (s, d) => {
+      val (merges, _) = graft.ops.Bpe.train(
+        Tables.documents(s, d), "text", BpeRounds)
+      graft.ops.Bpe.mergesDf(s, merges)
+    },
+    Some(s"""
+      WITH ${bpeChainSql(BpeRounds)}
+      ${(1 to BpeRounds).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, l, r, l || r AS merged, " +
+          s"total AS n_pair FROM b$k").mkString("\n      UNION ALL ")}
+      ORDER BY rank"""))
+
+  /** BPE corpus ENCODING (`ops/Bpe.encode`): the trained vocabulary
+    * state applied back to the token stream — per-document subword
+    * token counts plus the rendered encoding, all hash-gated. */
+  val q315BpeEncode = OracleQuery("q315_bpe_encode",
+    "BPE-encoded corpus: per-doc token counts + rendering == replay",
+    (s, d) => {
+      val (_, enc) = graft.ops.Bpe.trainAndEncode(
+        Tables.documents(s, d), "doc_id", "text", BpeRounds)
+      enc
+    },
+    Some(s"""
+      WITH ${bpeChainSql(BpeRounds)},
+      dt AS MATERIALIZED (
+        SELECT doc_id, g.i AS wp, ws[g.i] AS w
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                x -> x <> '') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) g(i)),
+      enc AS (
+        SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(v.sym, '|'))) AS BIGINT)
+                 AS n_tokens,
+               string_agg(v.sym, ' ' ORDER BY dt.wp) AS encoded
+        FROM dt JOIN v$BpeRounds v ON v.w = dt.w
+        GROUP BY dt.doc_id)
+      SELECT d.doc_id, coalesce(e.n_words, 0) AS n_words,
+             coalesce(e.n_tokens, 0) AS n_tokens,
+             coalesce(e.encoded, '') AS encoded
+      FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
       q135CooccurrenceLift, q153SecretScan, q250DeletionSweep,
-      q281PiiDensity)
+      q281PiiDensity, q314BpeTrain, q315BpeEncode)
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** `ops/Bpe` — the distributed island/alternation formulation must
+  * equal a sequential in-memory reference: greedy left-to-right merge
+  * application, count-weighted argmax training, rank-order encoding. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Sequential reference: apply one merge greedily left-to-right. */
+  private def refApply(sym: Vector[String], l: String,
+      r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Sequential reference trainer over (word, count). */
+  private def refTrain(counts: Map[String, Long], numMerges: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var state = counts.map { case (w, _) => w -> w.map(_.toString).toVector }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (w, sym) =>
+        sym.zip(sym.tail).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + counts(w)
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((l, r, n))
+        state = state.map { case (w, sym) => w -> refApply(sym, l, r) }
+        k += 1
+      }
+    }
+    (merges.result(), state)
+  }
+
+  test("applyMerge island closed form == sequential greedy scan (incl. l = r chains)") {
+    // words chosen to exercise every island regime: odd/even same-char
+    // runs, alternating chains, and inert text
+    val words = Seq("aaa", "aaaa", "aaaaa", "ababab", "xaay", "ab",
+      "banana", "aabaa")
+    val vocab = words.zipWithIndex
+      .map { case (w, i) => (w, (i + 1).toLong, w.map(_.toString)) }
+      .toDF("w", "n", "sym")
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("n", "a"))) {
+      val got = Bpe.applyMerge(vocab, l, r)
+        .as[(String, Long, Seq[String])].collect()
+        .map(t => t._1 -> t._3.toVector).toMap
+      words.foreach { w =>
+        val want = refApply(w.map(_.toString).toVector, l, r)
+        assert(got(w) == want, s"word=$w merge=($l,$r): ${got(w)} != $want")
+      }
+    }
+  }
+
+  test("train + encode equal the sequential reference on a randomized corpus") {
+    val rnd = new scala.util.Random(0x5deece66dL)
+    // small alphabet with repeat-heavy words so l = r merges win rounds
+    val alphabet = "aabbc"
+    val lexicon = (0 until 18).map(_ =>
+      (0 until (2 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(12)))
+        .map(_ => lexicon(rnd.nextInt(lexicon.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val counts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (wantMerges, wantState) = refTrain(counts, 6)
+
+    val (gotMerges, enc) = Bpe.trainAndEncode(df, "doc_id", "text", 6)
+    assert(gotMerges.map(m => (m.l, m.r, m.n)) == wantMerges,
+      s"merge ladders differ:\n got=$gotMerges\nwant=$wantMerges")
+
+    val gotEnc = enc.as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val encoded = ws.map(w => wantState(w).mkString("|")).mkString(" ")
+      val nTok = ws.map(w => wantState(w).size.toLong).sum
+      val (gw, gt, ge) = (gotEnc(id)._1, gotEnc(id)._2, gotEnc(id)._3)
+      assert(gw == ws.length.toLong && gt == nTok && ge == encoded,
+        s"doc $id: got ($gw, $gt, '$ge') want (${ws.length}, $nTok, '$encoded')")
+    }
+  }
+
+  test("encoding rank-order sweep equals repeat-lowest-rank-until-fixpoint") {
+    // the equivalence argued in the Scaladoc, pinned empirically:
+    // exhaustive lowest-rank-first fixpoint == one rank-order pass
+    def fixpoint(sym: Vector[String],
+        merges: Seq[(String, String)]): Vector[String] = {
+      var s = sym
+      var changed = true
+      while (changed) {
+        changed = false
+        merges.find { case (l, r) =>
+          s.indices.dropRight(1).exists(i => s(i) == l && s(i + 1) == r)
+        } match {
+          case Some((l, r)) =>
+            val i = s.indices.dropRight(1)
+              .find(i => s(i) == l && s(i + 1) == r).get
+            s = (s.take(i) :+ (l + r)) ++ s.drop(i + 2)
+            changed = true
+          case None => ()
+        }
+      }
+      s
+    }
+    val docs = Seq((0L, "aa aab abab aabb bbaa ab ba abba baab"))
+    val (merges, vocab) = Bpe.train(docs.toDF("doc_id", "text"), "text", 5)
+    val ladder = merges.map(m => (m.l, m.r))
+    val got = vocab.as[(String, Long, Seq[String])].collect()
+      .map(t => t._1 -> t._3.toVector).toMap
+    got.keys.foreach { w =>
+      val fp = fixpoint(w.map(_.toString).toVector, ladder)
+      assert(got(w) == fp, s"word=$w: rank-order ${got(w)} != fixpoint $fp")
+    }
+  }
+
+  test("corpus run is deterministic and covers the documents table") {
+    val docs = Tables.documents(spark, sfDir)
+    val (m1, e1) = Bpe.trainAndEncode(docs, "doc_id", "text", 4)
+    val (m2, e2) = Bpe.trainAndEncode(docs, "doc_id", "text", 4)
+    assert(m1 == m2)
+    assert(e1.collect().toSeq == e2.collect().toSeq)
+    assert(e1.count() == docs.count(), "every document must come back")
+  }
+}

@@ -29,15 +29,88 @@ object Bench {
     * series and a virtual clock. */
   def awaitQuiet(loadavg: () => Double, sleep: Long => Unit,
       maxWaitMillis: Long, pollMillis: Long): (Double, Double) = {
+    val (w, l, _) = awaitQuietAndSteady(loadavg, () => 1.0, sleep,
+      maxWaitMillis, pollMillis, minEff = 0.0)
+    (w, l)
+  }
+
+  /** Quiet-gate with a host-capacity check on top of loadavg: `eff`
+    * is a parallel-efficiency probe in (0, 1] and the gate waits until
+    * BOTH loadavg is quiet AND eff ≥ minEff (or the wait budget runs
+    * out). Motivation (round-9): this host shows episodic minutes-long
+    * capacity collapses — loadavg stays near zero, single-thread speed
+    * stays normal, but parallel throughput drops to a fraction (a
+    * whole official-format bench ran ~1.5–2.5× slow with every heavy
+    * query at ≤ 4 cpu-cores, and a ScaleBench pass produced m=1 points
+    * SLOWER than its m=4 points). A loadavg gate is structurally blind
+    * to that; the efficiency probe is not, and it is self-calibrating
+    * (a ratio of the probe against itself — no machine-specific
+    * constants). The eff probe only runs once loadavg is quiet, so it
+    * never measures our own ambient noise as host throttling. */
+  def awaitQuietAndSteady(loadavg: () => Double, eff: () => Double,
+      sleep: Long => Unit, maxWaitMillis: Long, pollMillis: Long,
+      minEff: Double): (Double, Double, Double) = {
     var waited = 0L
     var load = loadavg()
-    while (isContended(load) && waited < maxWaitMillis) {
+    var e = if (isContended(load)) 0.0 else eff()
+    while ((isContended(load) || e < minEff) && waited < maxWaitMillis) {
       val step = math.min(pollMillis, maxWaitMillis - waited)
       sleep(step)
       waited += step
       load = loadavg()
+      e = if (isContended(load)) 0.0 else eff()
     }
-    (waited / 1e3, load)
+    (waited / 1e3, load, e)
+  }
+
+  /** Short capacity re-gate for MID-RUN use (ScaleBench per-op):
+    * slope points are pairwise ratios, so ONE op timed inside a
+    * capacity episode forges a wildly wrong slope (observed: m=1
+    * points slower than their m=4 points). Polls the efficiency probe
+    * up to `maxWaitS`, then proceeds regardless (the caller's timing
+    * still happens — a capped wait can't deadlock a run) and returns
+    * the last efficiency seen. */
+  def steadyGateShort(tag: String, maxWaitS: Long = 180L): Double = {
+    val minEff = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    var e = cpuEfficiencyProbe()
+    var waited = 0L
+    while (e < minEff && waited < maxWaitS * 1000L) {
+      System.err.println(
+        f"[$tag] capacity episode: cpu_eff $e%.2f < $minEff%.2f, pausing")
+      Thread.sleep(10000L)
+      waited += 10000L
+      e = cpuEfficiencyProbe()
+    }
+    e
+  }
+
+  /** Parallel-efficiency probe: best-of-k single-thread time of a
+    * fixed arithmetic loop vs the time for `threads` concurrent copies
+    * of the same loop. With free cores the ratio is ~1; when the host
+    * caps aggregate capacity (vCPU duty-cycling) the concurrent copies
+    * serialize and the ratio collapses toward threads⁻¹ — exactly the
+    * signature loadavg cannot see. Threads = half the advertised cores
+    * so a healthy box always has headroom. ~0.5 s per call. */
+  def cpuEfficiencyProbe(): Double = {
+    val threads = math.max(2,
+      math.min(16, Runtime.getRuntime.availableProcessors / 2))
+    val work = 60000000L
+    def burn(): Long = {
+      var s = 0L; var i = 0L
+      while (i < work) { s += i * i; i += 1 }
+      s
+    }
+    @volatile var sink = 0L
+    def time(n: Int): Double = {
+      val ts = (1 to n).map(_ => new Thread(() => { sink += burn() }))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(1) // JIT warm-up, discarded
+    val t1 = (1 to 3).map(_ => time(1)).min
+    val tN = (1 to 2).map(_ => time(threads)).min
+    math.min(1.0, t1 / tN)
   }
 
   /** Blocking quiet-gate against the real clock and loadavg — the
@@ -45,16 +118,22 @@ object Bench {
     * wait up to SPARK_GRAFT_QUIET_WAIT_S (default 600 s) for the 1-min
     * loadavg to drop under [[ContendedLoadThreshold]], polling every
     * 15 s; returns (waitedSeconds, loadavgAtStart). */
-  def quietGateBlocking(tag: String): (Double, Double) = {
+  def quietGateBlocking(tag: String): (Double, Double, Double) = {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "600").toLong
-    awaitQuiet(
+    val minEff = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    awaitQuietAndSteady(
       () => os.getSystemLoadAverage,
+      () => { val e = cpuEfficiencyProbe()
+        if (e < minEff) System.err.println(
+          f"[$tag] quiet-gate: cpu parallel efficiency $e%.2f < " +
+            f"$minEff%.2f — host capacity episode, waiting")
+        e },
       ms => { System.err.println(
-        f"[$tag] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f > " +
-          f"$ContendedLoadThreshold%.1f, waiting ${ms / 1e3}%.0f s")
+        f"[$tag] quiet-gate: loadavg ${os.getSystemLoadAverage}%.2f / " +
+          f"eff gate pending, waiting ${ms / 1e3}%.0f s")
         Thread.sleep(ms) },
-      maxWaitS * 1000L, 15000L)
+      maxWaitS * 1000L, 15000L, minEff)
   }
 
   def median(xs: Seq[Double]): Double = {
@@ -84,7 +163,7 @@ object Bench {
     // here); loadBefore is the loadavg the run ACTUALLY started at —
     // the contended flag keeps its meaning; waited_s records the
     // gate's cost
-    val (waitedS, loadBefore) = quietGateBlocking("bench")
+    val (waitedS, loadBefore, cpuEff) = quietGateBlocking("bench")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -172,9 +251,13 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val loadAfter = os.getSystemLoadAverage
-    val contended = isContended(loadBefore)
+    // contended also when the wait budget ran out before the host's
+    // parallel capacity recovered (cpu_eff below the gate's minimum —
+    // the round-9 capacity-episode signature loadavg cannot see)
+    val minEff = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    val contended = isContended(loadBefore) || cpuEff < minEff
     def line(queries: String, cpu: String, spr: String, note: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpus":$cpus$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpu_eff":${f"$cpuEff%.3f"},"cpus":$cpus$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
     val full = line(qs, qsCpu, qsSpread, "")
     println(full)
     // The driver keeps only the LAST ~2000 chars of stdout and tries to

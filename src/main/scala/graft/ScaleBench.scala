@@ -54,7 +54,12 @@ object ScaleBench {
     // BOTH regimes — topical (delta vocabulary in 4 of 64 buckets)
     // and uniform (spans every bucket, the documented inherent worst
     // case) — measured instead of argued
-    "lm_fold_topical", "lm_fold_uniform")
+    "lm_fold_topical", "lm_fold_uniform",
+    // round-9: BPE training — the claim is that the 8 rounds run on
+    // the VOCABULARY, so corpus growth costs one scan, not 8; the
+    // slope must stay well under linear even though replicas grow the
+    // vocabulary itself (disjoint r{i}-prefixed words)
+    "bpe_train")
 
   /** Ops whose asymptote the quick gate pins with a THIRD point
     * (round-7 verdict ask #6; suffix_array joined in round 9 per ask
@@ -78,9 +83,10 @@ object ScaleBench {
     // ambient load on either point forges a >25% "regression" and the
     // gate cries wolf (measured: triangles 2.65 → >3.31 across two
     // back-to-back runs). Wait for a quiet machine before timing.
-    val (waitedS, loadAt) = Bench.quietGateBlocking("scale")
+    val (waitedS, loadAt, effAt) = Bench.quietGateBlocking("scale")
     System.err.println(
-      f"[scale] starting at loadavg $loadAt%.2f after $waitedS%.0f s")
+      f"[scale] starting at loadavg $loadAt%.2f cpu_eff $effAt%.2f " +
+        f"after $waitedS%.0f s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -133,21 +139,45 @@ object ScaleBench {
     // expensive) input count of a corpus the quick mode never builds
     def timeOp(op: String, m: Int, inRows: => Long)(build: => DataFrame): Unit = {
       if (!need(op)) return
+      val minEff =
+        sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
       // min of 2 back-to-back runs (3 when the op lands under
       // ShortOpSecs): scaling slopes want the least-noise observation,
       // and sub-3s timings are cache-state-dominated — their 2-point
       // slopes measured ±50% run-to-run swing; one more cheap sample
       // cuts the upper tail where it matters and costs nothing where
-      // it doesn't
-      def one(): (Long, Double) = {
+      // it doesn't.
+      // Round-9 capacity-episode discipline: every sample is BRACKETED
+      // by efficiency probes — gate before (pause until the host is
+      // healthy, capped) and validate after. A sample whose post-probe
+      // is unhealthy overlapped an episode that began mid-op (observed:
+      // an m=4 point 5.5× its clean value with a PASSING pre-gate, and
+      // an m=16 point FASTER than its m=4) — rejected and retried, not
+      // averaged in; the rejection criterion is the independent probe,
+      // never the timing's own value. Attempt budget capped so a
+      // permanently sick host still produces a (self-flagged) number.
+      def one(): (Long, Double, Boolean) = {
+        Bench.steadyGateShort(s"scale:$op")
         val t0 = System.nanoTime()
         val n = build.count()
+        val sec = (System.nanoTime() - t0) / 1e9
         graft.ops.Dedup.unpersistCaches()
-        (n, (System.nanoTime() - t0) / 1e9)
+        val post = Bench.cpuEfficiencyProbe()
+        if (post < minEff) System.err.println(
+          f"[scale:$op] sample $sec%.2f s rejected: post-run cpu_eff " +
+            f"$post%.2f < $minEff%.2f (episode began mid-op)")
+        (n, sec, post >= minEff)
       }
-      val runs = scala.collection.mutable.ArrayBuffer(one(), one())
-      if (runs.map(_._2).min < ShortOpSecs) runs += one()
-      val (outRows, sec) = runs.minBy(_._2)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+      def validCount = runs.count(_._3)
+      def wanted =
+        if (runs.exists(r => r._3 && r._2 < ShortOpSecs)) 3 else 2
+      var attempts = 0
+      while (validCount < wanted && attempts < wanted + 3) {
+        runs += one(); attempts += 1
+      }
+      val pool = if (validCount > 0) runs.filter(_._3) else runs
+      val (outRows, sec, _) = pool.minBy(_._2)
       recorded += ((op, m, inRows, outRows, sec))
       println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec}""")
     }
@@ -295,6 +325,15 @@ object ScaleBench {
         // corpus notes on saCorpus
         graft.ops.SuffixArray.suffixArray(saCorpus(m), "doc_id", "text",
           maxLen = 150)
+      }
+      timeOp("bpe_train", m, nDocs) {
+        // one corpus scan → (word, count), then 8 vocabulary-level
+        // rounds (each: one agg + one argmax collect + one window
+        // rewrite over ~30·m distinct words) — sec must be dominated
+        // by the scan + fixed round overhead, i.e. slope ≪ 1-linear;
+        // out_rows = the 8 merges, flat by construction
+        val (ms_, _) = graft.ops.Bpe.train(docs, "text", 8)
+        graft.ops.Bpe.mergesDf(spark, ms_)
       }
       timeOp("dup_spans", m, nDocs) {
         // replicas share no tokens, so the duplicated-span population

@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding VOCABULARY training + corpus encoding — the full
@@ -17,15 +16,20 @@ import org.apache.spark.sql.functions._
   * joins it back to the token stream — no per-document merge loops.
   *
   * Merge-application semantics (the cross-engine contract, replayed
-  * verbatim by the q314/q315 oracles): one merge (l, r) is applied to
-  * all its occurrences GREEDILY LEFT-TO-RIGHT — the textbook BPE
-  * convention. The greedy pass has a closed form: a position i with
+  * by the q314/q315 oracles): one merge (l, r) is applied to all its
+  * occurrences GREEDILY LEFT-TO-RIGHT — the textbook BPE convention.
+  * The ENGINE runs the scan as a row-local sequential fold over each
+  * word's symbol array ([[foldMerge]] — words are short, so
+  * distributing within a word buys nothing; an earlier explode+window
+  * formulation spent ~7 s of pure stage latency per train on a
+  * 30-word vocabulary). The ORACLE, which has no sequential fold,
+  * replays the same semantics via a closed form: a position i with
   * sym[i]=l, sym[i+1]=r can conflict with a neighbor only when l = r
   * (else matched positions are never adjacent), so within each ISLAND
-  * of consecutive matched positions the kept ones are exactly those at
-  * even offset from the island start. That turns the inherently
-  * sequential scan into two window functions — no UDF, no recursion,
-  * and the same formulation runs in DuckDB.
+  * of consecutive matched positions the kept ones are exactly those
+  * at even offset from the island start — two window functions.
+  * BpeSpec pins fold == sequential reference == the oracle's result
+  * (driver hash) so the formulations cannot drift apart.
   *
   * Encoding correctness: applying merges once each, in rank order,
   * equals the repeat-lowest-rank-until-fixpoint definition — a pair
@@ -47,39 +51,78 @@ object Bpe {
       // rule 20: split('') is the one-pass per-char array
       .select(col("w"), col("n"), split(col("w"), "").as("sym"))
 
+  /** Row-local adjacent-bigram structs of a sym array (empty below
+    * two symbols). sym must be a BOUND column (rule 21 — in train it
+    * always reads off a materialized frame). */
+  private def bigrams(sym: Column): Column =
+    when(size(sym) >= 2,
+      transform(sequence(lit(0), size(sym) - 2), i =>
+        struct(element_at(sym, i + 1).as("s"),
+          element_at(sym, i + 2).as("s2"))))
+      .otherwise(array().cast("array<struct<s: string, s2: string>>"))
+
+  /** The round's winning pair as an always-ONE-row frame
+    * (_l, _r, total) — all-null when no adjacent pair exists, so a
+    * crossJoin consumer sees a no-op merge instead of an emptied
+    * vocabulary. min(struct(-total, s, s2)) encodes the total argmax
+    * order (count desc, then lexicographic). One shuffle: the pair
+    * groupBy (the global argmax is a partial-agg to one row). */
+  private def bestPair(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), explode(bigrams(col("sym"))).as("bg"))
+      .groupBy(col("bg.s").as("s"), col("bg.s2").as("s2"))
+      .agg(sum(col("n")).as("total"))
+      .agg(min(struct((-col("total")).as("nt"), col("s").as("_l"),
+        col("s2").as("_r"))).as("b"))
+      .select(col("b._l").as("_l"), col("b._r").as("_r"),
+        (-col("b.nt")).as("total"))
+
+  /** Greedy left-to-right application of one merge to a sym array —
+    * a row-local sequential FOLD over the indices (the scan is
+    * per-word and words are short; distributing WITHIN a word would
+    * buy nothing and cost explode+window shuffles per round — the
+    * first formulation did exactly that and spent ~7 s of pure stage
+    * latency on a 30-word vocabulary). The skip flag consumes the
+    * merged right symbol; a null pair matches nothing and copies the
+    * array through. `l`/`r` must be BOUND columns or literals; `sym`
+    * must read off a materialized frame (rule 21). */
+  private def foldMerge(sym: Column, l: Column, r: Column): Column =
+    aggregate(
+      sequence(lit(0), size(sym) - 1),
+      struct(array().cast("array<string>").as("out"),
+        lit(false).as("skip")),
+      (acc, i) => {
+        val cur = element_at(sym, (i + 1).cast("int"))
+        val nxt = element_at(sym, (i + 2).cast("int"))
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(i < size(sym) - 1 && cur === l && nxt === r,
+            struct(concat(acc.getField("out"),
+              array(concat(l, r))).as("out"), lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+
   /** Apply ONE merge (l, r) to every vocabulary row, greedy
-    * left-to-right, via the island/alternation closed form. `vocab`
-    * must be a materialized frame (the caller's round loop owns the
-    * rule-16 discipline). */
+    * left-to-right. `vocab` must be a materialized frame (the
+    * caller's round loop owns the rule-16 discipline). */
   private[graft] def applyMerge(vocab: DataFrame, l: String,
-      r: String): DataFrame = {
-    val byW = Window.partitionBy("w").orderBy("p")
-    val ex = vocab
-      .select(col("w"), col("n"), posexplode(col("sym")).as(Seq("p", "s")))
-      .withColumn("s2", lead(col("s"), 1).over(byW))
-      .withColumn("m", col("s") === l && col("s2") === r)
-    // islands of consecutive matched positions; keep even offsets
-    val isl = ex.filter(col("m"))
-      .withColumn("isl", col("p") - row_number().over(byW))
-      .withColumn("keep",
-        (col("p") - min(col("p")).over(
-          Window.partitionBy("w", "isl"))) % 2 === 0)
-      .select(col("w"), col("p"), col("keep"))
-    ex
-      .join(isl.select(col("w"), col("p"), col("keep")), Seq("w", "p"),
-        "left")
-      .join(isl.select(col("w"), (col("p") + 1).as("p"),
-        col("keep").as("prev_keep")), Seq("w", "p"), "left")
-      .withColumn("kept", coalesce(col("keep"), lit(false)))
-      .withColumn("consumed", coalesce(col("prev_keep"), lit(false)))
-      .filter(!col("consumed"))
-      .groupBy(col("w"), col("n"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("p"),
-          when(col("kept"), concat(col("s"), col("s2")))
-            .otherwise(col("s")).as("tok")))),
-        e => e.getField("tok")).as("sym"))
-  }
+      r: String): DataFrame =
+    vocab.select(col("w"), col("n"),
+      foldMerge(col("sym"), lit(l), lit(r)).as("sym"))
+
+  /** Column-driven variant: the merge pair arrives as a broadcast
+    * 1-row frame (scalar-subquery shape), so a training round needs
+    * NO driver round-trip — the argmax and its application fuse into
+    * the round's single materialize job. Null pair → no matches →
+    * vocabulary passes through unchanged. */
+  private def applyMergeOf(vocab: DataFrame, best: DataFrame): DataFrame =
+    vocab
+      .crossJoin(broadcast(best.select(col("_l"), col("_r"))))
+      .select(col("w"), col("n"),
+        foldMerge(col("sym"), col("_l"), col("_r")).as("sym"))
 
   /** Train `numMerges` merges. Returns the merge ladder (driver-side —
     * `numMerges` rows by construction, the IVF-codebook precedent) and
@@ -88,32 +131,30 @@ object Bpe {
   def train(docs: DataFrame, textCol: String,
       numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, "need numMerges >= 1")
+    // ONE job per round: the argmax rides the round's plan as a
+    // broadcast 1-row frame (applyMergeOf), so the loop never
+    // round-trips the driver mid-round — measured 4.7 s → ~half at
+    // sf0.1 (the per-round collect + eager materialize pair made
+    // q314 latency-bound at 1.4 of 32 cores). Each v_k is still
+    // eagerly materialized (rule 16: flat per-round lineage); the
+    // ladder itself is re-derived afterwards from the flat v_k
+    // frames in ONE union job (each best is a cheap agg over a
+    // LogicalRDD, deterministic by the total argmax order).
+    val states = Vector.newBuilder[DataFrame]
     var v = Caches.materialize(vocabulary(docs, textCol))
-    val byW = Window.partitionBy("w").orderBy("p")
-    val merges = Seq.newBuilder[Merge]
-    var k = 1
-    var exhausted = false
-    while (k <= numMerges && !exhausted) {
-      val best = v
-        .select(col("n"), posexplode(col("sym")).as(Seq("p", "s")),
-          col("w"))
-        .withColumn("s2", lead(col("s"), 1).over(byW))
-        .filter(col("s2").isNotNull)
-        .groupBy(col("s"), col("s2"))
-        .agg(sum(col("n")).as("total"))
-        .orderBy(col("total").desc, col("s"), col("s2"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val row = best.head
-        val (l, r) = (row.getString(0), row.getString(1))
-        merges += Merge(k, l, r, row.getLong(2))
-        v = Caches.materialize(applyMerge(v, l, r))
-        k += 1
-      }
+    (1 to numMerges).foreach { _ =>
+      states += v
+      v = Caches.materialize(applyMergeOf(v, bestPair(v)))
     }
-    (merges.result(), v)
+    val ladder = states.result().zipWithIndex.map { case (vk, i) =>
+      bestPair(vk).select(lit(i + 1).cast("long").as("rank"),
+        col("_l"), col("_r"), col("total"))
+    }.reduce(_ unionByName _)
+    val merges = ladder.filter(col("_l").isNotNull)
+      .orderBy("rank").collect().toSeq
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1),
+        r.getString(2), r.getLong(3)))
+    (merges, v)
   }
 
   /** Per-document encoding against a trained vocabulary state: token

@@ -578,6 +578,17 @@ object SuffixArray {
         col("pos_a").as("s"), (col("pos_a") + col("lcp")).as("e"))
       .unionAll(hits.select(col("doc_b").as("doc_id"),
         col("pos_b").as("s"), (col("pos_b") + col("lcp")).as("e")))
+    spliceCovered(docs, idCol, textCol, ivs)
+  }
+
+  /** Shared removal tail of the strip operators: merge 0-based
+    * covered intervals `(doc_id, s, e)` per document (row-local over
+    * the sorted interval list), splice the surviving gaps, and emit
+    * every input document as (doc_id, n_chars, n_removed, clean_text),
+    * ordered. Text positions the intervals never reach (e.g. past the
+    * caller's maxLen truncation) pass through unexamined. */
+  private[graft] def spliceCovered(docs: DataFrame, idCol: String,
+      textCol: String, ivs: DataFrame): DataFrame = {
     // row-local overlap merge over the sorted interval list (struct
     // sort is lexicographic (s, e)); lambdas reference the BOUND
     // column _ivs (rule 3)

@@ -159,4 +159,31 @@ object Winnow {
       .orderBy(col("doc_a"), col("start_a"), col("doc_b"),
         col("start_b"))
   }
+
+  /** Cross-shard repeat REMOVAL — the apply half of
+    * [[crossShardRepeats]], mirroring what q310 is to q309 within a
+    * shard. Policy: KEEP FIRST BY SHARD ORDER — every maximal
+    * cross-shard match strips only its `doc_b` occurrence (the match
+    * rows are oriented shard_a < shard_b, so the lowest-shard copy of
+    * any repeated span survives and every later-shard copy is
+    * spliced out; a chain A=B=C loses B and C via the (A,B) and (A,C)
+    * matches, which winnowing's ≥ w+k−1 guarantee always surfaces).
+    * Within-shard repeats are deliberately untouched — they are the
+    * per-shard suffix array's job ([[SuffixArray
+    * .stripRepeatedSubstrings]]); composing the two gives the full
+    * global story: per-shard SA strip + this cross-shard pass.
+    *
+    * Emits every input document (doc_id, n_chars, n_removed,
+    * clean_text), ordered — the [[SuffixArray.spliceCovered]]
+    * contract, including the pass-through of text past maxLen. */
+  def stripCrossShardRepeats(docs: DataFrame, idCol: String,
+      textCol: String, numShards: Int, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512): DataFrame = {
+    val matches = crossShardRepeats(docs, idCol, textCol, numShards,
+      k, w, maxLen)
+    val ivs = matches.select(col("doc_b").as("doc_id"),
+      col("start_b").as("s"),
+      (col("start_b") + col("match_len")).as("e"))
+    SuffixArray.spliceCovered(docs, idCol, textCol, ivs)
+  }
 }

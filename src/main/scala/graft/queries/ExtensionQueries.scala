@@ -1614,16 +1614,10 @@ object ExtensionQueries {
     * stand-in for the shard hash). The oracle replays selection
     * (window argmin via row_number), the join, and the first-mismatch
     * extensions symbolically. */
-  val q311CrossShardRepeats = OracleQuery("q311_cross_shard_repeats",
-    "winnowed fingerprints find maximal cross-shard repeats == replay",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
-      Winnow.crossShardRepeats(docs, "doc_id", "text",
-        numShards = 4, k = 8, w = 8, maxLen = 400)
-    },
-    Some("""
-      WITH d AS (
+  /** The q311/q316 shared oracle chain: winnowed fingerprint
+    * selection, the cross-shard candidate join, and the first-mismatch
+    * extensions — everything up to (and including) `ext`. */
+  private val crossShardChainSql = """d AS (
         SELECT doc_id, left(text, 400) AS t, doc_id % 4 AS shard
         FROM documents
         WHERE doc_id % 10 = 0 AND length(text) >= 8),
@@ -1661,7 +1655,18 @@ object ExtensionQueries {
            WHERE i.i <= least(pa, pb) - 1
              AND substr(ta, pa - i.i, 1)
                <> substr(tb, pb - i.i, 1)) - 1 AS ext_l
-        FROM cand)
+        FROM cand)"""
+
+  val q311CrossShardRepeats = OracleQuery("q311_cross_shard_repeats",
+    "winnowed fingerprints find maximal cross-shard repeats == replay",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      Winnow.crossShardRepeats(docs, "doc_id", "text",
+        numShards = 4, k = 8, w = 8, maxLen = 400)
+    },
+    Some(s"""
+      WITH $crossShardChainSql
       SELECT DISTINCT doc_a, CAST(pa - 1 - ext_l AS BIGINT) AS start_a,
              doc_b, CAST(pb - 1 - ext_l AS BIGINT) AS start_b,
              CAST(shard_a AS BIGINT) AS shard_a,
@@ -1671,6 +1676,54 @@ object ExtensionQueries {
       FROM ext
       WHERE ext_r >= 8 AND ext_l + ext_r >= 15
       ORDER BY doc_a, start_a, doc_b, start_b"""))
+
+  /** Cross-shard repeat REMOVAL (`Winnow.stripCrossShardRepeats`):
+    * keep-first-by-shard-order — every maximal cross-shard match
+    * strips only its doc_b occurrence, so the lowest-shard copy
+    * survives; within-shard repeats stay (they are q310's per-shard
+    * job — the two compose into the global dedup story). The oracle
+    * extends the q311 chain with the doc_b interval set, per-position
+    * coverage, and the q310 per-char splice. */
+  val q316StripCrossShard = OracleQuery("q316_strip_cross_shard",
+    "cross-shard repeat removal (keep first shard) == covered splice",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+      Winnow.stripCrossShardRepeats(docs, "doc_id", "text",
+        numShards = 4, k = 8, w = 8, maxLen = 400)
+    },
+    Some(s"""
+      WITH $crossShardChainSql,
+      mt AS MATERIALIZED (
+        SELECT DISTINCT doc_b AS doc_id,
+               CAST(pb - 1 - ext_l AS BIGINT) AS s,
+               CAST(pb - 1 + ext_r AS BIGINT) AS e
+        FROM ext
+        WHERE ext_r >= 8 AND ext_l + ext_r >= 15),
+      cov AS MATERIALIZED (
+        SELECT DISTINCT doc_id, s + i.i AS p
+        FROM mt, unnest(generate_series(0, e - s - 1)) i(i)),
+      d0 AS (
+        SELECT doc_id, coalesce(text, '') AS txt
+        FROM documents WHERE doc_id % 10 = 0),
+      chars AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS p, substr(txt, i, 1) AS ch
+        FROM d0, unnest(generate_series(1, length(txt))) g(i)),
+      kept AS (
+        SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS clean
+        FROM chars c
+        LEFT JOIN cov ON cov.doc_id = c.doc_id AND cov.p = c.p
+        WHERE cov.doc_id IS NULL
+        GROUP BY 1),
+      nrem AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY 1)
+      SELECT d0.doc_id,
+             CAST(length(d0.txt) AS BIGINT) AS n_chars,
+             CAST(coalesce(nrem.n, 0) AS BIGINT) AS n_removed,
+             coalesce(kept.clean, '') AS clean_text
+      FROM d0
+      LEFT JOIN nrem ON nrem.doc_id = d0.doc_id
+      LEFT JOIN kept ON kept.doc_id = d0.doc_id
+      ORDER BY d0.doc_id"""))
 
   /** Blocklist phrase hits for q312: chosen from the corpus vocabulary
     * to exercise every matching regime — nested patterns ("tab" ⊂
@@ -1775,5 +1828,5 @@ object ExtensionQueries {
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
     q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
     q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats,
-    q312BlocklistScan, q313DedupDecisions)
+    q312BlocklistScan, q313DedupDecisions, q316StripCrossShard)
 }

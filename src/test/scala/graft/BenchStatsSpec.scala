@@ -73,4 +73,45 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(load === 5.0)
     assert(Bench.isContended(load)) // record still self-flags honestly
   }
+
+  // --- capacity-episode gate (round-9): loadavg quiet, parallel
+  // efficiency scripted ---
+
+  private def driveSteady(loads: Seq[Double], effs: Seq[Double],
+      maxWaitMs: Long, minEff: Double = 0.75)
+      : (Double, Double, Double, Int) = {
+    var li = -1; var ei = -1
+    val (w, l, e) = Bench.awaitQuietAndSteady(
+      () => { li += 1; loads(math.min(li, loads.size - 1)) },
+      () => { ei += 1; effs(math.min(ei, effs.size - 1)) },
+      _ => (), maxWaitMs, 15000L, minEff)
+    (w, l, e, ei + 1)
+  }
+
+  test("capacity gate passes immediately when loadavg quiet and eff healthy") {
+    val (w, l, e, probes) = driveSteady(Seq(0.3), Seq(0.95), 600000L)
+    assert(w === 0.0 && l === 0.3 && e === 0.95 && probes === 1)
+  }
+
+  test("capacity gate waits out a throttle episode loadavg cannot see") {
+    // quiet loadavg throughout; eff collapsed for two probes then back
+    val (w, _, e, _) =
+      driveSteady(Seq(0.2), Seq(0.41, 0.55, 0.93), 600000L)
+    assert(w === 30.0, s"expected two 15 s waits, got $w")
+    assert(e === 0.93)
+  }
+
+  test("capacity gate never probes eff while loadavg is contended, and caps honestly") {
+    // loadavg contended forever: eff must not be consulted (probe cost
+    // belongs to quiet windows only) and the wait must cap
+    val (w, l, e, probes) = driveSteady(Seq(4.4), Seq(0.99), 45000L)
+    assert(w === 45.0 && Bench.isContended(l))
+    assert(e === 0.0 && probes === 0,
+      s"eff probed $probes times under contended loadavg")
+  }
+
+  test("the real cpuEfficiencyProbe returns a sane ratio") {
+    val e = Bench.cpuEfficiencyProbe()
+    assert(e > 0.05 && e <= 1.0, s"implausible efficiency $e")
+  }
 }

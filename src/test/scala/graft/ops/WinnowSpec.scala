@@ -116,6 +116,83 @@ class WinnowSpec extends SparkTestBase {
     }
   }
 
+  /** Reference strip: refCross's doc_b-side intervals → covered
+    * positions → splice (keep-first-by-shard-order). */
+  private def refStrip(docs: Seq[(Long, String)], numShards: Int,
+      minLen: Int, maxLen: Int): Seq[(Long, Long, Long, String)] = {
+    val cov = refCross(docs, numShards, minLen, maxLen)
+      .flatMap { case (_, _, ib, pb, _, _, l, _) =>
+        (pb until pb + l).map(p => (ib, p)) }
+      .toSet
+    docs.map { case (id, t0) =>
+      val t = Option(t0).getOrElse("")
+      val kept = t.indices.filterNot(p => cov((id, p.toLong))).map(t(_))
+      (id, t.length.toLong, t.length.toLong - kept.length,
+        kept.mkString)
+    }.sortBy(_._1)
+  }
+
+  test("stripCrossShardRepeats: keep-first-by-shard across a 3-shard chain, reference equality") {
+    val phrase = "the shared boilerplate phrase!!"
+    val docs = Seq(
+      (4L, s"zz $phrase yy"),              // shard 0 — the keeper
+      (1L, s"alpha $phrase omega"),        // shard 1 — stripped
+      (2L, s"prefix-b $phrase suffix-b"),  // shard 2 — stripped
+      (3L, "nothing in common here"))      // shard 3 — untouched
+    val got = Winnow.stripCrossShardRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", numShards = 4, k = 4, w = 4, maxLen = 64)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == refStrip(docs, 4, 7, 64))
+    val byId = got.map(r => r._1 -> r).toMap
+    // the shard-0 copy survives whole
+    assert(byId(4L)._3 == 0 && byId(4L)._4 == s"zz $phrase yy",
+      s"keeper was stripped: ${byId(4L)}")
+    // every later-shard copy loses (at least) the phrase
+    Seq(1L, 2L).foreach { id =>
+      assert(byId(id)._3 >= phrase.length && !byId(id)._4.contains(phrase),
+        s"doc $id kept the phrase: ${byId(id)}")
+    }
+    assert(byId(3L)._3 == 0, "unrelated doc must be untouched")
+  }
+
+  test("stripCrossShardRepeats == reference splice on randomized corpora; maxLen tail passes through") {
+    def gen(seed: Long, n: Int): Seq[(Long, String)] = {
+      var h = seed
+      def next(): Long = { h = h * 6364136223846793005L +
+        1442695040888963407L; h >>> 33 }
+      val phrase = (0 until 13).map(_ =>
+        "abcdefgh" ((next() % 8).toInt)).mkString
+      (0 until n).map { i =>
+        val len = 12 + (next() % 25).toInt
+        val sb = new StringBuilder
+        (0 until len).foreach(_ => sb += "abcdefgh" ((next() % 8).toInt))
+        var s = sb.toString
+        if (next() % 2 == 0) {
+          val at = (next() % (s.length + 1)).toInt
+          s = s.substring(0, at) + phrase + s.substring(at)
+        }
+        (i.toLong, s)
+      }
+    }
+    Seq(5L, 2024L).foreach { seed =>
+      val docs = gen(seed, 14)
+      val got = Winnow.stripCrossShardRepeats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", numShards = 4, k = 4, w = 4, maxLen = 64)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val want = refStrip(docs, 4, 7, 64)
+      assert(got == want, s"seed $seed diverged:\n got=$got\nwant=$want")
+      assert(want.exists(_._3 > 0), s"seed $seed degenerate (no strips)")
+    }
+    // truncation contract: a repeat fully past maxLen is never touched
+    val far = "Z" * 40
+    val docs = Seq((0L, "a" * 20 + far), (1L, "b" * 20 + far))
+    val got = Winnow.stripCrossShardRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", numShards = 2, k = 4, w = 4, maxLen = 20)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.forall(r => r._3 == 0 && r._4.endsWith(far)),
+      s"past-maxLen text must pass through unexamined: $got")
+  }
+
   test("fingerprint density is the winnowing bound: ≈ 2/(w+1) of positions, logged for the scale note") {
     def gen(n: Int): Seq[(Long, String)] = {
       var h = 42L

@@ -222,4 +222,99 @@ object Curation {
             .orderBy(col("_h"), col(keyCol)))).cast("long").as("rank"),
         col(keyCol))
   }
+
+  /** Target-distribution affinity selection (DSIR-shaped: Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023, with the log-ratio score replaced by a cosine over
+    * the same hashed n-gram feature space — rational arithmetic end to
+    * end, so the DuckDB twin replays it bit-exactly; OracleQuery
+    * conv 1 bans transcendentals and sqrt is the one allowed
+    * irrational).
+    *
+    * Pass 1 builds the TARGET profile: every token of every row where
+    * `isTarget` holds is hashed into one of 256 md5-prefix buckets and
+    * counted — a 256-row vector however large the target corpus is.
+    * Pass 2 scores EVERY document by the cosine between its own
+    * 256-bucket token histogram and the profile, and keeps the global
+    * top `k` (TakeOrderedAndProject — no corpus-sized sort is ever
+    * materialized). Documents with no tokens score nothing and cannot
+    * be selected.
+    *
+    * Scale shape: the token explode aggregates map-side to ≤ 256
+    * partial rows per (doc, partition) before the one (doc, bucket)
+    * shuffle; the profile and its norm are broadcast (256 rows + 1
+    * row); the top-k is a driver-side heap of k rows per partition.
+    * Sums ride DECIMAL(38,0) lanes (conv 2) and cross to double via
+    * VARCHAR (conv 8) because a 100 TB target profile's squared norm
+    * exceeds 2⁵³.
+    *
+    * Reference has no counterpart (its quality gates are rule-based,
+    * `transform/data_quality.sql:10-129`); this is the
+    * train-on-what-looks-like-the-target selection step a pretraining
+    * pipeline runs upstream of mixture planning. */
+  def targetAffinityTopK(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int): DataFrame = {
+    // One (doc, bucket) histogram frame feeds BOTH the target profile
+    // and the scoring pass. cache sweep r6: track, not materialize —
+    // recompute is one linear tokenize+count scan, never super-linear.
+    val hist = Caches.track(docs
+      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("is_tgt"),
+        TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("is_tgt"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("is_tgt"),
+        substring(md5(col("w")), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n")))
+    val profile = hist.filter(col("is_tgt"))
+      .groupBy("bucket").agg(sum(col("n")).as("t"))
+    val profileNorm = profile
+      .agg(sum((col("t") * col("t")).cast("decimal(38,0)")).as("tnorm2"))
+    val perDoc = hist
+      .join(broadcast(profile), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum((col("n") * coalesce(col("t"), lit(0L)))
+          .cast("decimal(38,0)")).as("dot"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("dn2"))
+    // 1-row broadcast: the scalar-subquery shape (q19 precedent).
+    perDoc.crossJoin(broadcast(profileNorm))
+      .select(col("doc_id"),
+        (col("dot").cast("string").cast("double") /
+          (sqrt(col("tnorm2").cast("string").cast("double")) *
+            sqrt(col("dn2").cast("string").cast("double"))))
+          .as("affinity"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS are
+    * assigned to a side atomically, so no near-dup pair can straddle
+    * the split — the failure mode q149's audit measures is eliminated
+    * by construction (test-set contamination through a near-copy of a
+    * training document is the classic eval-inflation bug).
+    *
+    * Exact PPJoin pairs at `minJaccard` → min-label connected
+    * components → every document keyed by its cluster id (its own id
+    * when unclustered) → [[splitLabel]] on the CLUSTER key. Membership
+    * is a pure function of (cluster, salt): adding unrelated documents
+    * never flips a side, and both engines replay the md5 cutoff
+    * bit-exactly.
+    *
+    * Scale shape: the pair join is the q156 PPJoin (prefix-filtered,
+    * no all-pairs stage), components is the pointer-jumping loop
+    * (q265 discipline), and the split itself is a narrow projection —
+    * no additional shuffle beyond the cluster join. */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, testFraction: Double,
+      salt: String = ""): DataFrame = {
+    val pairs = Dedup.prefixJaccardPairs(docs, idCol, textCol, minJaccard)
+    val comp = Components.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      "src", "dst")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("split", splitLabel(col("cluster"), testFraction, salt))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation funnel: the whole document-cleaning pipeline —
+  * blocklist gate → length gate → exact dedup → near-dup
+  * canonicalization — as ONE call that returns the per-stage attrition
+  * ledger (documents and characters surviving each stage). This is the
+  * report every training-data run is judged by ("how much did each
+  * filter cost us?") and the first thing a pipeline user asks of an
+  * engine that claims the individual operators: that they COMPOSE.
+  *
+  * Stage semantics (each stage consumes the previous stage's
+  * survivors, so the ledger is a true funnel, not independent counts):
+  *
+  *  1. `blocklist` — drop any document containing a dictionary phrase
+  *     (one Aho–Corasick automaton pass per doc, [[Blocklist]]).
+  *  2. `length_gate` — keep documents whose whitespace token count
+  *     lies in [minWords, maxWords] (the Gopher/C4 length rule).
+  *  3. `exact_dedup` — keep the lowest doc id per canonical
+  *     fingerprint (md5 of lowercased, space-collapsed text,
+  *     [[Dedup.dedupExact]]).
+  *  4. `near_dedup` — PPJoin exact-Jaccard pairs at `minJaccard` →
+  *     connected components → one deterministic survivor per cluster
+  *     ([[Dedup.dedupDecisions]]; rule-17 aggregate winner, never a
+  *     dropDuplicates pick).
+  *
+  * Scale shape: stages 1–2 are row-local map stages (zero shuffle);
+  * stage 3 is one hash exchange on the fingerprint; stage 4 is the
+  * q156/q313 prefix-filtered pair machinery — no all-pairs stage
+  * anywhere. Each stage frame is cached with linear-recompute
+  * `Caches.track` (cache sweep r6: every frame's lineage is one map /
+  * window / anti-join over the previous stage — nothing super-linear —
+  * except the stage-4 survivor set, which rides `materialize` because
+  * its recompute replays the PPJoin self-join). The ledger itself is
+  * five 1-row aggregates unioned — driver traffic is 5 rows.
+  *
+  * Reference counterpart: none — `transform/data_quality.sql:10-129`
+  * reports rule pass rates but never composes them into a pipeline
+  * with dedup; this is the LLM-pipeline surface the brief asks for. */
+object Funnel {
+
+  /** Per-stage survivors ledger: (stage_idx, stage, docs, chars),
+    * ordered by stage_idx. `chars` is the total character count of
+    * surviving text — the byte-budget view of the same funnel. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], minWords: Int, maxWords: Int,
+      minJaccard: Double): DataFrame = {
+    require(patterns.nonEmpty, "empty blocklist")
+    val s0 = Caches.track(docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text")))
+    val blocked = Blocklist.verdicts(s0, "doc_id", "text", patterns, 0L)
+      .filter(col("blocked")).select("doc_id")
+    val s1 = Caches.track(s0.join(blocked, Seq("doc_id"), "left_anti"))
+    val s2 = Caches.track(s1.filter(
+      size(TextAnalysis.words(col("text"))).between(minWords, maxWords)))
+    val s3 = Caches.track(Dedup.dedupExact(s2, "doc_id", "text"))
+    val dropped = Dedup.dedupDecisions(s3, "doc_id", "text", minJaccard)
+      .filter(!col("keep")).select("doc_id")
+    // cache sweep r6: materialize — the metric consumer would otherwise
+    // replay the PPJoin self-join inside dedupDecisions (super-linear).
+    val s4 = Caches.materialize(s3.join(dropped, Seq("doc_id"), "left_anti"))
+
+    def ledger(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("docs"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("chars"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("docs"), col("chars"))
+
+    ledger(0, "input", s0)
+      .unionByName(ledger(1, "blocklist", s1))
+      .unionByName(ledger(2, "length_gate", s2))
+      .unionByName(ledger(3, "exact_dedup", s3))
+      .unionByName(ledger(4, "near_dedup", s4))
+      .orderBy("stage_idx")
+  }
+}

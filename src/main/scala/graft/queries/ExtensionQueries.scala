@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioHash, Dedup, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, SuffixArray, TextAnalysis, VideoHash, Wav, Winnow}
+import graft.ops.{AudioHash, Curation, Dedup, Funnel, Imaging, Jpeg, Mjpeg, Multimodal, Phash, Png, Similarity, SuffixArray, TextAnalysis, VideoHash, Wav, Winnow}
 import graft.sources.Tables
 
 /** The training-data-pipeline extension operators (BASELINE.json north
@@ -1818,6 +1818,202 @@ object ExtensionQueries {
       FROM ranked
       ORDER BY doc_id"""))
 
+  /** Cutoff for `Curation.splitLabel(testFraction = 0.25)` — the same
+    * `round(frac·2³²)` fixed-width hex the engine compares against. */
+  private val quarterCutoffHex = f"${math.round(0.25 * (1L << 32))}%08x"
+
+  /** Target-distribution affinity selection
+    * (`Curation.targetAffinityTopK`): DSIR-shaped domain selection —
+    * every token hashed into 256 md5-prefix buckets, the target
+    * profile (here: `lang = 'en'` documents) reduced to a 256-long
+    * vector, every document scored by the cosine between its own
+    * bucket histogram and the profile, global top-100 kept. Rational
+    * arithmetic end to end (DECIMAL(38,0) lanes, VARCHAR crossing per
+    * conv 8, sqrt the only irrational), so the DuckDB twin replays the
+    * score bit-exactly. */
+  val q317TargetAffinity = OracleQuery("q317_target_affinity",
+    "hashed-profile cosine selection toward a target domain, top-k",
+    (s, d) => Curation.targetAffinityTopK(
+      Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", k = 100),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS w
+        FROM documents),
+      db AS MATERIALIZED (
+        SELECT doc_id, substr(md5(w), 1, 2) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2),
+      tgt AS MATERIALIZED (
+        SELECT bucket, CAST(sum(n) AS BIGINT) AS t
+        FROM db JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY 1),
+      tn AS (
+        SELECT CAST(CAST(sum(CAST(t * t AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) AS tnorm2
+        FROM tgt),
+      per AS (
+        SELECT db.doc_id,
+               CAST(CAST(sum(CAST(db.n * coalesce(tgt.t, 0)
+                                  AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) AS dot,
+               CAST(CAST(sum(CAST(db.n * db.n AS DECIMAL(38,0)))
+                         AS VARCHAR) AS DOUBLE) AS dn2
+        FROM db LEFT JOIN tgt USING (bucket) GROUP BY 1)
+      SELECT doc_id, dot / (sqrt(tnorm2) * sqrt(dn2)) AS affinity
+      FROM per, tn
+      ORDER BY affinity DESC, doc_id
+      LIMIT 100"""))
+
+  /** Leakage-safe train/test split (`Curation.clusterSplit`): the
+    * q313 pair→component chain assigns every near-dup CLUSTER to one
+    * side atomically via the md5 cutoff on the cluster id — the
+    * eval-contamination q149 audits is impossible by construction.
+    * The oracle replays pairs, closure, min-label components and the
+    * exact hex-cutoff comparison. */
+  val q318ClusterSplit = OracleQuery("q318_cluster_split",
+    "near-dup clusters assigned to train/test atomically",
+    (s, d) => Curation.clusterSplit(augmented(s, d), "doc_id", "text",
+      minJaccard = 0.6, testFraction = 0.25),
+    Some(s"""
+      WITH RECURSIVE $augmentedSql,
+      $shingleSql,
+      dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+      sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS MATERIALIZED (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.6),
+      u AS MATERIALIZED (
+        SELECT doc_a s, doc_b t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT s, t FROM u
+        UNION
+        SELECT r.n, u.t FROM reach r JOIN u ON r.m = u.s
+        WHERE u.t <> r.n),
+      comp AS MATERIALIZED (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n),
+      lab AS (
+        SELECT a.doc_id, coalesce(c.component, a.doc_id) AS cluster
+        FROM aug a LEFT JOIN comp c ON c.node = a.doc_id)
+      SELECT doc_id, cluster,
+             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+                       < '$quarterCutoffHex'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM lab
+      ORDER BY doc_id"""))
+
+  /** Blocklist phrases for the q319 funnel — a REAL gate (≈ 6% of the
+    * corpus contains "query big"), one rarer phrase, and one absent
+    * phrase so the automaton's no-hit path is exercised too. */
+  private val funnelPhrases = Seq("query big", "slow fast", "null pointer")
+
+  private def funnelPhrasesSqlValues: String =
+    funnelPhrases.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+
+  /** End-to-end curation funnel (`Funnel.curationFunnel`): blocklist →
+    * length gate → exact dedup → near-dup canonicalization, each stage
+    * consuming the previous stage's survivors, reported as the
+    * per-stage (docs, chars) attrition ledger. The oracle replays the
+    * ENTIRE pipeline — containment scan, token-count gate, fingerprint
+    * keep-min, shingle pairs, recursive closure, window-ranked winner —
+    * so every stage count is driver-hash-gated. */
+  val q319CurationFunnel = OracleQuery("q319_curation_funnel",
+    "full curation pipeline attrition ledger, stage by stage",
+    (s, d) => Funnel.curationFunnel(augmented(s, d), "doc_id", "text",
+      funnelPhrases, minWords = 15, maxWords = 90, minJaccard = 0.6),
+    Some(s"""
+      WITH RECURSIVE $augmentedSql,
+      pats AS (SELECT * FROM (VALUES $funnelPhrasesSqlValues) v(pattern)),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, coalesce(text, '') AS text FROM aug),
+      s1 AS MATERIALIZED (
+        SELECT * FROM s0 d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pats p WHERE strpos(d.text, p.pattern) > 0)),
+      s2 AS MATERIALIZED (
+        SELECT * FROM s1
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+              BETWEEN 15 AND 90),
+      fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS h
+        FROM s2),
+      keep3 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY h),
+      s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id)),
+      ws3 AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM s3),
+      sh3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM ws3),
+      dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh3),
+      sizes AS (SELECT doc_id, count(*) n FROM dsh GROUP BY 1),
+      inter AS MATERIALIZED (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+        FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.6),
+      u AS MATERIALIZED (
+        SELECT doc_a s, doc_b t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(n, m) AS (
+        SELECT s, t FROM u
+        UNION
+        SELECT r.n, u.t FROM reach r JOIN u ON r.m = u.s
+        WHERE u.t <> r.n),
+      comp AS MATERIALIZED (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n),
+      lens AS (
+        SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) len
+        FROM s3),
+      ranked AS (
+        SELECT c.node, c.component,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY l.len DESC, c.node) AS rn
+        FROM comp c JOIN lens l ON l.doc_id = c.node),
+      s4 AS MATERIALIZED (
+        SELECT * FROM s3
+        WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1))
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS chars
+        FROM s0
+        UNION ALL
+        SELECT 1, 'blocklist', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'length_gate', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM s4)
+      ORDER BY stage_idx"""))
+
   def all: Seq[OracleQuery] = Seq(
     q51ExactDedup, q52Fingerprint, q53NgramJaccard, q54MinhashLsh,
     q55Simhash, q56KnnBrute, q57KnnLsh, q58LangId, q59TextQuality,
@@ -1828,5 +2024,6 @@ object ExtensionQueries {
     q303PhashNearDup, q304AudioNearDup, q305VideoNearDup,
     q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
     q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats,
-    q312BlocklistScan, q313DedupDecisions, q316StripCrossShard)
+    q312BlocklistScan, q313DedupDecisions, q316StripCrossShard,
+    q317TargetAffinity, q318ClusterSplit, q319CurationFunnel)
 }

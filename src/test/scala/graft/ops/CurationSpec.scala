@@ -235,4 +235,108 @@ class CurationSpec extends SparkTestBase {
     // and the pixel path stays honestly stubbed: SOF2 rejects to None
     assert(Jpeg.decodeOne(progressiveJpeg(640, 480)).isEmpty)
   }
+
+  // ---- targetAffinityTopK (q317) ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** In-memory reference: md5-bucket histograms, cosine to the target
+    * profile, top-k by (affinity desc, id) — the exact double ops the
+    * engine performs, so equality is EXACT, not approximate. */
+  private def affinityReference(rows: Seq[(Long, String, String)],
+      targetLang: String, k: Int): Seq[(Long, Double)] = {
+    def hist(t: String): Map[String, Long] =
+      t.split("\\s+").filter(_.nonEmpty)
+        .groupBy(w => md5hex(w).substring(0, 2))
+        .map { case (b, ws) => b -> ws.length.toLong }
+    val hists = rows.map { case (id, t, _) => id -> hist(t) }
+    val tgt = rows.filter(_._3 == targetLang)
+      .flatMap { case (id, t, _) => hist(t).toSeq }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val tnorm2 = tgt.values.map(t => t * t).sum.toDouble
+    hists.filter(_._2.nonEmpty).map { case (id, h) =>
+      val dot = h.map { case (b, n) => n * tgt.getOrElse(b, 0L) }.sum.toDouble
+      val dn2 = h.values.map(n => n * n).sum.toDouble
+      id -> dot / (math.sqrt(tnorm2) * math.sqrt(dn2))
+    }.sortBy { case (id, a) => (-a, id) }.take(k)
+  }
+
+  test("target affinity: engine top-k equals exact in-memory cosine reference") {
+    val rows = docs.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+    val expected = affinityReference(rows, "en", 100)
+    val got = Curation.targetAffinityTopK(docs, "doc_id", "text",
+      $"lang" === "en", 100)
+      .as[(Long, Double)].collect().toSeq
+    Caches.unpersistAll()
+    assert(got == expected, "exact double equality — the rational-lane " +
+      "construction admits no tolerance")
+    // layout independence: membership and scores survive resharding
+    val reshard = Curation.targetAffinityTopK(docs.repartition(17),
+      "doc_id", "text", $"lang" === "en", 100)
+      .as[(Long, Double)].collect().toSeq
+    Caches.unpersistAll()
+    assert(reshard == expected)
+  }
+
+  test("target affinity: a verbatim target document outranks an off-profile one") {
+    val tgtDoc = docs.filter($"lang" === "en").orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].head()
+    val all = docs.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq :+
+      ((900001L, "zzqx wwvv qqpp zzqx wwvv", "xx")) // tokens absent from target
+    val df = all.toDF("doc_id", "text", "lang")
+    val scored = Curation.targetAffinityTopK(df, "doc_id", "text",
+      $"lang" === "en", all.size).as[(Long, Double)].collect().toMap
+    Caches.unpersistAll()
+    // the verbatim target doc's histogram is literally part of the
+    // profile; the alien doc only shares md5-bucket COLLISION mass
+    assert(scored(tgtDoc._1) > scored(900001L),
+      s"target doc ${scored(tgtDoc._1)} vs alien ${scored(900001L)}")
+  }
+
+  // ---- clusterSplit (q318) ----
+
+  test("cluster split: no near-dup pair ever straddles the split") {
+    // plant near-dup pairs: drop the first word of every 5th doc
+    val base = docs.select($"doc_id", $"text")
+    val aug = base.unionByName(base.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val split = Curation.clusterSplit(aug, "doc_id", "text", 0.6, 0.25)
+      .as[(Long, Long, String)].collect()
+    Dedup.unpersistCaches()
+    assert(split.length == aug.count(), "exhaustive: one row per doc")
+    val side = split.map(r => r._1 -> r._3).toMap
+    val cluster = split.map(r => r._1 -> r._2).toMap
+    // brute-force tau>=0.6 pairs must agree on side AND cluster
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < Dedup.ShingleN) Set.empty
+      else ws.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+    }
+    val texts = aug.as[(Long, String)].collect()
+    val sh = texts.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = texts.map(_._1)
+    var pairChecked = 0
+    for (a <- ids; b <- ids if a < b) {
+      val inter = (sh(a) & sh(b)).size
+      val uni = sh(a).size + sh(b).size - inter
+      if (uni > 0 && inter.toDouble / uni >= 0.6) {
+        pairChecked += 1
+        assert(side(a) == side(b), s"pair ($a,$b) straddles the split")
+        assert(cluster(a) == cluster(b))
+      }
+    }
+    assert(pairChecked >= 90, s"fixture must plant real pairs: $pairChecked")
+    // both sides populated, roughly 25/75 at cluster grain
+    val frac = side.values.count(_ == "test").toDouble / side.size
+    assert(frac > 0.10 && frac < 0.45, s"test fraction $frac")
+    // singleton clusters key by their own id
+    val clustered = split.filter(r => r._1 != r._2).map(_._1).toSet
+    val singles = split.filterNot(r => clustered.contains(r._1))
+    assert(singles.forall(r => r._1 == r._2))
+  }
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** `Funnel.curationFunnel` — the end-to-end attrition ledger must
+  * equal an in-memory reference pipeline (containment scan → word
+  * gate → fingerprint keep-min → brute-force near-dup union-find with
+  * longest-text winners) on a corpus with every removal class
+  * planted. */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def words(t: String): Array[String] =
+    t.split("\\s+").filter(_.nonEmpty)
+
+  private def fingerprint(t: String): String = {
+    val canon = t.toLowerCase.replaceAll("\\s+", " ").trim
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def shingleSet(t: String): Set[String] = {
+    val ws = words(t)
+    if (ws.length < Dedup.ShingleN) Set.empty
+    else ws.sliding(Dedup.ShingleN).map(_.mkString(" ")).toSet
+  }
+
+  /** Reference funnel: returns the five (docs, chars) ledger rows. */
+  private def reference(rows: Seq[(Long, String)], patterns: Seq[String],
+      minW: Int, maxW: Int, tau: Double): Seq[(Long, Long)] = {
+    def ledger(s: Seq[(Long, String)]): (Long, Long) =
+      (s.size.toLong, s.map(_._2.length.toLong).sum)
+    val s0 = rows
+    val s1 = s0.filterNot { case (_, t) => patterns.exists(t.contains) }
+    val s2 = s1.filter { case (_, t) =>
+      val n = words(t).length; n >= minW && n <= maxW
+    }
+    val keep3 = s2.groupBy { case (_, t) => fingerprint(t) }
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    val s3 = s2.filter { case (id, _) => keep3.contains(id) }
+    // brute-force near-dup over s3 + union-find + longest-text winner
+    val sh = s3.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = s3.map(_._1)
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a) & sh(b)).size
+      uni = sh(a).size + sh(b).size - inter
+      if uni > 0 && inter.toDouble / uni >= tau
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lens = s3.toMap
+    val clustered = ids.filter(i => pairs.exists(p => p._1 == i || p._2 == i))
+    val losers = clustered.groupBy(find).values.flatMap { members =>
+      val winner = members.minBy(m => (-lens(m).length, m))
+      members.filterNot(_ == winner)
+    }.toSet
+    val s4 = s3.filterNot { case (id, _) => losers.contains(id) }
+    Seq(ledger(s0), ledger(s1), ledger(s2), ledger(s3), ledger(s4))
+  }
+
+  test("funnel ledger equals the in-memory reference pipeline") {
+    // every removal class planted: blocked docs, short docs, long
+    // docs, exact dups (case/whitespace variants), near dups
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 40L).map(i => i -> doc(20 + rnd.nextInt(20)))
+    val blocked = (101L to 105L).map(i => i -> (doc(25) + " verboten xx"))
+    val short = (201L to 204L).map(i => i -> doc(3))
+    val long = (301L to 303L).map(i => i -> doc(80))
+    val exact = base.take(6).map { case (id, t) =>
+      (id + 1000) -> t.toUpperCase.replace(" ", "  ") }
+    val near = base.slice(10, 16).map { case (id, t) =>
+      (id + 2000) -> t.split(" ").drop(1).mkString(" ") }
+    val all = base ++ blocked ++ short ++ long ++ exact ++ near
+    val expected = reference(all, Seq("verboten"), 10, 60, 0.5)
+
+    val got = Funnel.curationFunnel(all.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("verboten"), 10, 60, 0.5)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    Caches.unpersistAll()
+    assert(got.map(_._2) == Seq("input", "blocklist", "length_gate",
+      "exact_dedup", "near_dedup"))
+    assert(got.map(r => (r._3, r._4)) == expected,
+      s"ledger mismatch:\n got      ${got.map(r => (r._3, r._4))}\n " +
+        s"expected $expected")
+    // each planted class actually removed something
+    val docsPerStage = got.map(_._3)
+    assert(docsPerStage == docsPerStage.sorted.reverse, "monotone funnel")
+    assert(docsPerStage.distinct.size == docsPerStage.size,
+      "every stage must do real work in this fixture")
+  }
+
+  test("funnel is layout-independent and idempotent on clean input") {
+    // rule 18: mixed values, not structured arithmetic — a modular
+    // token grid makes every doc a window of the same cycle and
+    // manufactures accidental near-dup pairs
+    val rnd = new scala.util.Random(0xDEADBEEFL)
+    val clean = (1L to 30L).map(i =>
+      i -> (1 to 20).map(_ => s"w${rnd.nextInt(100000)}").mkString(" "))
+    val df = clean.toDF("doc_id", "text")
+    val a = Funnel.curationFunnel(df, "doc_id", "text",
+      Seq("absent"), 1, 1000, 0.6).as[(Long, String, Long, Long)]
+      .collect().toSeq
+    Caches.unpersistAll()
+    val b = Funnel.curationFunnel(df.repartition(13), "doc_id", "text",
+      Seq("absent"), 1, 1000, 0.6).as[(Long, String, Long, Long)]
+      .collect().toSeq
+    Caches.unpersistAll()
+    assert(a == b, "resharding must not change the ledger")
+    // nothing to remove: every stage passes everything through
+    assert(a.map(_._3).distinct == Seq(30L))
+  }
+}

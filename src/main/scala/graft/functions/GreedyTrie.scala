@@ -1,0 +1,157 @@
+// Same placement rationale as DotProduct.scala: the Expression/Column
+// bridge is private[sql] in Spark 4.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match tokenization against a fixed vocabulary — the
+  * WordPiece/left-to-right-maximal-munch encode (Wu et al., 2016,
+  * "Google's Neural Machine Translation System" §3.2; the
+  * `tokenizers` WordPiece decoder uses the same scan): at each
+  * position emit the LONGEST vocabulary entry matching there and jump
+  * past it; spaces are hard boundaries (never part of a token, never
+  * emitted); a position matching nothing falls back to its single
+  * character, which keeps the encoding lossless (concatenating the
+  * tokens reproduces the text minus spaces) instead of WordPiece's
+  * lossy [UNK].
+  *
+  * One trie walk per emitted token — O(len × maxTokenLen) worst case
+  * per document, independent of vocabulary size. The composable
+  * alternative (per-position explode + join against the vocabulary)
+  * pays a |text|-row shuffle per document; this is a row-local map
+  * stage, the cheapest shape at 100 TB (the MultiPatternCounts
+  * precedent). Comparison is by UTF-16 char unit; the DuckDB oracle
+  * twin replays per-offset `substr` equality, which agrees on BMP
+  * text (the corpus contract shared with CommonExtension).
+  *
+  * The trie is built once per expression instance and ships either
+  * via Java serialization (interpreted path rebuilds lazily from the
+  * vocabulary) or as a codegen reference object — both paths scan
+  * with the SAME [[GreedyTrie.tokens]] method, so they cannot
+  * diverge. */
+case class GreedyTrieTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(vocab.nonEmpty, "empty vocabulary")
+  require(vocab.forall(_.nonEmpty), "empty token matches everywhere")
+  require(vocab.forall(!_.contains(' ')),
+    "tokens must not contain spaces (spaces are hard boundaries)")
+  require(vocab.distinct.size == vocab.size, "duplicate vocabulary entries")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_trie_tokens"
+
+  // rebuilt per JVM after serialization; plain constructor data, no
+  // cross-object init (CLAUDE rule 19)
+  @transient private lazy val trie = new GreedyTrie(vocab.toArray)
+
+  override def nullSafeEval(in: Any): Any =
+    new GenericArrayData(trie.tokens(in.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("greedyTrie", trie,
+      classOf[GreedyTrie].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$ref.tokens($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GreedyTrieTokens = copy(child = newChild)
+}
+
+/** Prefix trie with CSR-style sorted child arrays (binary search per
+  * char — same layout rationale as [[AhoAutomaton]]); no failure
+  * links, because greedy encode restarts at i+matchLen, not i+1. */
+final class GreedyTrie(vocab: Array[String]) extends Serializable {
+
+  private val (chLabels, chTargets, chStart, terminal) = {
+    import scala.collection.mutable.ArrayBuffer
+    val kids = ArrayBuffer(scala.collection.mutable.SortedMap.empty[Char, Int])
+    val term = ArrayBuffer(false)
+    vocab.foreach { v =>
+      var s = 0
+      v.foreach { c =>
+        s = kids(s).getOrElseUpdate(c, {
+          kids += scala.collection.mutable.SortedMap.empty[Char, Int]
+          term += false
+          kids.size - 1
+        })
+      }
+      term(s) = true
+    }
+    val n = kids.size
+    val starts = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { starts(i) = total; total += kids(i).size; i += 1 }
+    starts(n) = total
+    val labels = new Array[Char](total)
+    val targets = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      var j = starts(i)
+      kids(i).foreach { case (c, v) => labels(j) = c; targets(j) = v; j += 1 }
+      i += 1
+    }
+    (labels, targets, starts, term.toArray)
+  }
+
+  /** Child of `state` labeled `c`, or -1. */
+  private def childOf(state: Int, c: Char): Int = {
+    var a = chStart(state); var b = chStart(state + 1) - 1
+    while (a <= b) {
+      val m = (a + b) >>> 1
+      if (chLabels(m) == c) return chTargets(m)
+      else if (chLabels(m) < c) a = m + 1
+      else b = m - 1
+    }
+    -1
+  }
+
+  /** Greedy longest-match token stream (UTF8String entries for
+    * GenericArrayData). */
+  def tokens(text: String): Array[Any] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (text.charAt(i) == ' ') i += 1
+      else {
+        var s = 0
+        var j = i
+        var lastLen = 0
+        var walking = true
+        while (walking && j < n) {
+          val t = childOf(s, text.charAt(j))
+          if (t < 0) walking = false
+          else {
+            s = t
+            j += 1
+            if (terminal(s)) lastLen = j - i
+          }
+        }
+        val len = if (lastLen > 0) lastLen else 1
+        out += UTF8String.fromString(text.substring(i, i + len))
+        i += len
+      }
+    }
+    out.toArray
+  }
+}
+
+object GreedyTrieFn {
+  /** Column API: greedy longest-match token array. */
+  def greedy_trie_tokens(text: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(GreedyTrieTokens(
+      ExpressionUtils.expression(text), vocab))
+}

@@ -19,4 +19,7 @@ package object functions {
   type MultiPatternCounts = org.apache.spark.sql.graftfn.MultiPatternCounts
   val MultiPatternFn: org.apache.spark.sql.graftfn.MultiPatternFn.type =
     org.apache.spark.sql.graftfn.MultiPatternFn
+  type GreedyTrieTokens = org.apache.spark.sql.graftfn.GreedyTrieTokens
+  val GreedyTrieFn: org.apache.spark.sql.graftfn.GreedyTrieFn.type =
+    org.apache.spark.sql.graftfn.GreedyTrieFn
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GreedyTrieFn
+
+/** Vocabulary-constrained greedy tokenization — the WordPiece-style
+  * encode (left-to-right maximal munch) that complements the BPE
+  * merge-ladder pair ([[Bpe]]): BPE derives its vocabulary from merge
+  * RANK order and encodes by replaying merges; WordPiece-style
+  * encoding takes the vocabulary as a SET and at every position emits
+  * the longest entry matching there. Production tokenizers run
+  * exactly this scan at inference time, so an engine claiming the
+  * tokenizer surface needs both.
+  *
+  * The vocabulary here is data-derived and oracle-replayable: every
+  * distinct character of the corpus (so the fallback emits in-vocab
+  * singles and the encoding is lossless) plus the `topK` most
+  * frequent words by (count desc, word) — a total order both engines
+  * compute identically. It is collected to the driver and shipped as
+  * an expression literal: bounded (alphabet + topK rows), the IVF
+  * codebook precedent.
+  *
+  * Scale shape: vocabulary = one token-count aggregate + one
+  * distinct-char aggregate, both over map-side-combined token/char
+  * grain; encoding is a row-local trie walk per document
+  * ([[graft.functions.GreedyTrieTokens]], no shuffle, no per-element
+  * lambda) — a pure map stage at 100 TB. The per-position explode +
+  * vocabulary-join formulation the oracle uses for replay would pay a
+  * |corpus chars|-row shuffle; the engine never does. */
+object WordPiece {
+
+  /** Distinct corpus characters (minus space) ∪ top-`topK` words by
+    * (count desc, word asc) ∪ distinct `prefixLen`-char prefixes of
+    * EVERY distinct word — the subword tier that makes out-of-topK
+    * words split into fragments rather than bare characters, and
+    * gives longest-match real work (word beats prefix beats single
+    * char). Deterministic and bounded (alphabet + topK + |word
+    * shapes|). */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int,
+      prefixLen: Int = 3): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one token-grain frame feeds topK and the prefix tier; cache
+    // sweep r6: track — linear recompute
+    val words = Caches.track(docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w")))
+    val topWords = words
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(topK)
+      .select("w").as[String].collect().toSeq
+    val prefixes = words
+      .filter(length(col("w")) >= prefixLen)
+      .select(substring(col("w"), 1, prefixLen).as("p"))
+      .distinct().as[String].collect().toSeq
+    // rule 20: split('') is the one-pass per-char form
+    val chars = docs
+      .select(explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= "" && col("c") =!= " ")
+      .distinct().as[String].collect().toSeq
+    (chars ++ topWords ++ prefixes).distinct
+  }
+
+  /** Per-document greedy encoding: (doc_id, n_tokens, encoding) with
+    * tokens rendered '|'-joined in stream order. Lossless by the
+    * single-char fallback: removing the '|'s reproduces the text
+    * minus its spaces. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      GreedyTrieFn.greedy_trie_tokens(
+        coalesce(col(textCol), lit("")), vocab).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), "|").as("encoding"))
+      .orderBy("doc_id")
+
+  /** vocabulary + encode in one call (the q320 shape). */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame =
+    encode(docs, idCol, textCol, vocabulary(docs, textCol, topK))
+}

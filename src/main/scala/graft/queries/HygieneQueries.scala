@@ -619,9 +619,75 @@ object HygieneQueries {
       FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Vocabulary-constrained greedy tokenization (`ops/WordPiece` +
+    * native `functions/GreedyTrieTokens`): the WordPiece-style
+    * left-to-right maximal-munch encode against a data-derived
+    * vocabulary (corpus alphabet ∪ top-10 words ∪ distinct 3-char
+    * word prefixes — three tiers so longest-match has real work:
+    * word beats prefix beats single char, and out-of-topK words
+    * split into fragments). The engine scans row-locally with one
+    * trie walk per token; the oracle replays it as a per-position
+    * longest-match JUMP TABLE (constant-bound substr joins — no
+    * aggregate in a recursive term, which DuckDB rejects) plus a
+    * recursive pointer walk pos → pos + len. Single-char fallback
+    * keeps the encoding lossless: stripping '|' reproduces the text
+    * minus spaces. */
+  val q320WordpieceEncode = OracleQuery("q320_wordpiece_encode",
+    "greedy longest-match tokenization == jump-table pointer walk",
+    (s, d) => graft.ops.WordPiece.vocabEncode(
+      Tables.documents(s, d), "doc_id", "text", topK = 10),
+    Some("""
+      WITH RECURSIVE topw AS MATERIALIZED (
+        SELECT w AS tok
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w FROM documents)
+        GROUP BY w ORDER BY count(*) DESC, w LIMIT 10),
+      singles AS MATERIALIZED (
+        SELECT DISTINCT substr(text, g.i, 1) AS tok
+        FROM documents, unnest(generate_series(1, length(text))) g(i)
+        WHERE substr(text, g.i, 1) <> ' '),
+      pref AS MATERIALIZED (
+        SELECT DISTINCT substr(w, 1, 3) AS tok
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w FROM documents)
+        WHERE length(w) >= 3),
+      vocab AS MATERIALIZED (
+        SELECT tok FROM singles UNION SELECT tok FROM topw
+        UNION SELECT tok FROM pref),
+      pos AS MATERIALIZED (
+        SELECT doc_id, text, g.i AS p
+        FROM documents, unnest(generate_series(1, length(text))) g(i)),
+      m AS MATERIALIZED (
+        SELECT pos.doc_id, pos.p, max(length(v.tok)) AS l
+        FROM pos JOIN vocab v
+          ON substr(pos.text, pos.p, 1) = substr(v.tok, 1, 1)
+         AND substr(pos.text, pos.p, length(v.tok)) = v.tok
+        GROUP BY 1, 2),
+      jump AS MATERIALIZED (
+        SELECT pos.doc_id, pos.p, coalesce(m.l, 1) AS l,
+               substr(pos.text, pos.p, coalesce(m.l, 1)) AS tok
+        FROM pos LEFT JOIN m ON m.doc_id = pos.doc_id AND m.p = pos.p),
+      walk(doc_id, p, l, tok) AS (
+        SELECT doc_id, p, l, tok FROM jump WHERE p = 1
+        UNION ALL
+        SELECT j.doc_id, j.p, j.l, j.tok
+        FROM walk w JOIN jump j ON j.doc_id = w.doc_id
+          AND j.p = w.p + w.l),
+      enc AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE tok <> ' ') AS BIGINT)
+                 AS n_tokens,
+               string_agg(tok, '|' ORDER BY p) FILTER (WHERE tok <> ' ')
+                 AS encoding
+        FROM walk GROUP BY 1)
+      SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+             coalesce(e.encoding, '') AS encoding
+      FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
       q135CooccurrenceLift, q153SecretScan, q250DeletionSweep,
-      q281PiiDensity, q314BpeTrain, q315BpeEncode)
+      q281PiiDensity, q314BpeTrain, q315BpeEncode, q320WordpieceEncode)
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.GreedyTrieFn
+import graft.sources.Tables
+
+/** Greedy longest-match tokenization (`ops/WordPiece` + the native
+  * `GreedyTrieTokens`): the token stream must equal a reference
+  * maximal-munch scan — longest match wins, spaces are hard
+  * boundaries, unmatched positions fall back to their single char —
+  * and stripping the separators must reproduce the text minus its
+  * spaces (losslessness). */
+class WordPieceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference maximal-munch scan over a vocabulary SET. */
+  private def reference(text: String, vocab: Seq[String]): Seq[String] = {
+    val vs = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') i += 1
+      else {
+        val best = (math.min(maxLen, text.length - i) to 1 by -1)
+          .map(l => text.substring(i, i + l))
+          .find(c => !c.contains(' ') && vs.contains(c))
+        val tok = best.getOrElse(text.substring(i, i + 1))
+        out += tok
+        i += tok.length
+      }
+    }
+    out.toSeq
+  }
+
+  private val vocab =
+    Seq("a", "b", "c", "ab", "abc", "bc", "cab", "abcd", "x")
+
+  test("randomized texts: trie tokens equal the maximal-munch reference") {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    val alphabet = "abcdx y" // 'y' is OUT of vocab -> fallback path
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = texts.toDF("id", "t")
+      .select($"id", GreedyTrieFn.greedy_trie_tokens($"t", vocab).as("ts"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.foreach { case (id, t) =>
+      val want = reference(t, vocab)
+      assert(got(id) == want, s"id=$id text='$t': got ${got(id)} want $want")
+      // losslessness: concat == text minus spaces
+      assert(got(id).mkString == t.replace(" ", ""))
+    }
+  }
+
+  test("longest match wins and restarts AFTER the match, not inside it") {
+    def toks(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(GreedyTrieFn.greedy_trie_tokens($"t", vocab))
+        .as[Seq[String]].head()
+    // "abcd" beats "abc" beats "ab" beats "a"
+    assert(toks("abcd") == Seq("abcd"))
+    assert(toks("abcab") == Seq("abc", "ab"),
+      "greedy takes abc then ab — never reconsiders for cab")
+    // fallback emits the unmatched char itself
+    assert(toks("ayb") == Seq("a", "y", "b"))
+    // spaces are boundaries, never tokens
+    assert(toks("ab cab") == Seq("ab", "cab"))
+    assert(toks("   ") == Seq.empty)
+    assert(toks("") == Seq.empty)
+  }
+
+  test("interpreted eval agrees with the codegen'd DataFrame path and nulls propagate") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftfn.GreedyTrieTokens
+    import org.apache.spark.sql.types.StringType
+    val texts = Seq("abcabcd", "y abc x", "", "cababc", "a  b")
+    texts.foreach { t =>
+      val interp = GreedyTrieTokens(Literal(t), vocab).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val viaDf = Seq(Tuple1(t)).toDF("t")
+        .select(GreedyTrieFn.greedy_trie_tokens($"t", vocab))
+        .as[Seq[String]].head()
+      assert(interp == viaDf, s"text='$t': interpreted=$interp codegen=$viaDf")
+      assert(interp == reference(t, vocab))
+    }
+    assert(GreedyTrieTokens(Literal(null, StringType), vocab)
+      .eval(null) == null)
+  }
+
+  test("corpus encode: lossless, reference-equal, and genuinely subword") {
+    val docs = Tables.documents(spark, sfDir)
+    val vocabCorpus = WordPiece.vocabulary(docs, "text", topK = 10)
+    Caches.unpersistAll()
+    val enc = WordPiece.encode(docs, "doc_id", "text", vocabCorpus)
+      .as[(Long, Long, String)].collect()
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    enc.foreach { case (id, n, e) =>
+      val toks = if (e.isEmpty) Seq.empty else e.split("\\|").toSeq
+      assert(toks.length == n)
+      assert(toks.mkString == raw(id).replace(" ", ""), s"doc $id not lossless")
+      assert(toks == reference(raw(id), vocabCorpus), s"doc $id diverges")
+    }
+    // the three-tier vocabulary must produce real subword splits:
+    // more tokens than words overall, but fewer than characters
+    val totTokens = enc.map(_._2).sum
+    val totWords = raw.values.map(_.split("\\s+").count(_.nonEmpty)).sum
+    val totChars = raw.values.map(_.replace(" ", "").length).sum
+    assert(totTokens > totWords, "nothing split — vocabulary degenerate")
+    assert(totTokens < totChars, "everything char-shattered — no matches")
+  }
+}

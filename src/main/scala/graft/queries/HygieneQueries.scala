@@ -632,12 +632,10 @@ object HygieneQueries {
     * recursive pointer walk pos → pos + len. Single-char fallback
     * keeps the encoding lossless: stripping '|' reproduces the text
     * minus spaces. */
-  val q320WordpieceEncode = OracleQuery("q320_wordpiece_encode",
-    "greedy longest-match tokenization == jump-table pointer walk",
-    (s, d) => graft.ops.WordPiece.vocabEncode(
-      Tables.documents(s, d), "doc_id", "text", topK = 10),
-    Some("""
-      WITH RECURSIVE topw AS MATERIALIZED (
+  /** The q320/q321 shared WordPiece oracle chain: three-tier
+    * vocabulary, per-position longest-match jump table, recursive
+    * pointer walk. Ends at `walk`. */
+  private val wpChainSql = """topw AS MATERIALIZED (
         SELECT w AS tok
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
                 x -> x <> '')) AS w FROM documents)
@@ -672,7 +670,14 @@ object HygieneQueries {
         UNION ALL
         SELECT j.doc_id, j.p, j.l, j.tok
         FROM walk w JOIN jump j ON j.doc_id = w.doc_id
-          AND j.p = w.p + w.l),
+          AND j.p = w.p + w.l)"""
+
+  val q320WordpieceEncode = OracleQuery("q320_wordpiece_encode",
+    "greedy longest-match tokenization == jump-table pointer walk",
+    (s, d) => graft.ops.WordPiece.vocabEncode(
+      Tables.documents(s, d), "doc_id", "text", topK = 10),
+    Some(s"""
+      WITH RECURSIVE $wpChainSql,
       enc AS (
         SELECT doc_id,
                CAST(count(*) FILTER (WHERE tok <> ' ') AS BIGINT)
@@ -685,9 +690,95 @@ object HygieneQueries {
       FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Tokenizer evaluation card: the BPE merge-ladder encode (q314/
+    * q315) and the WordPiece greedy encode (q320) side by side, per
+    * source — fertility (tokens per word) and compression (chars per
+    * token), the readout a data team actually uses to pick a
+    * tokenizer. Composes BOTH full oracle chains; every count is
+    * exact BIGINT, the ratios are single double divisions of
+    * identical operands (conv 3). */
+  val q321TokenizerEval = OracleQuery("q321_tokenizer_eval",
+    "per-source BPE vs WordPiece fertility + compression card",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, bpe) = graft.ops.Bpe.trainAndEncode(
+        docs, "doc_id", "text", BpeRounds)
+      val wp = graft.ops.WordPiece.vocabEncode(
+        docs, "doc_id", "text", topK = 10)
+      val base = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("n_chars"))
+      base
+        .join(bpe.select(col("doc_id"), col("n_tokens").as("bpe_t")),
+          "doc_id")
+        .join(wp.select(col("doc_id"), col("n_tokens").as("wp_t")),
+          "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("bpe_t")).as("bpe_tokens"),
+          sum(col("wp_t")).as("wp_tokens"))
+        .select(col("source"), col("n_docs"), col("words"), col("chars"),
+          col("bpe_tokens"), col("wp_tokens"),
+          (col("bpe_tokens").cast("double") / col("words").cast("double"))
+            .as("bpe_fertility"),
+          (col("wp_tokens").cast("double") / col("words").cast("double"))
+            .as("wp_fertility"),
+          (col("chars").cast("double") / col("bpe_tokens").cast("double"))
+            .as("bpe_chars_per_token"),
+          (col("chars").cast("double") / col("wp_tokens").cast("double"))
+            .as("wp_chars_per_token"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE ${bpeChainSql(BpeRounds)},
+      dt AS MATERIALIZED (
+        SELECT doc_id, g.i AS wp, ws[g.i] AS w
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                x -> x <> '') AS ws FROM documents),
+             unnest(generate_series(1, len(ws))) g(i)),
+      bpeenc AS (
+        SELECT dt.doc_id,
+               CAST(SUM(len(string_split(v.sym, '|'))) AS BIGINT) AS bpe_t
+        FROM dt JOIN v$BpeRounds v ON v.w = dt.w
+        GROUP BY 1),
+      $wpChainSql,
+      wpenc AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE tok <> ' ') AS BIGINT) AS wp_t
+        FROM walk GROUP BY 1),
+      base AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        FROM documents),
+      g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS words,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(bpe_t) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(wp_t) AS BIGINT) AS wp_tokens
+        FROM base JOIN bpeenc USING (doc_id) JOIN wpenc USING (doc_id)
+        GROUP BY 1)
+      SELECT source, n_docs, words, chars, bpe_tokens, wp_tokens,
+             CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE)
+               AS bpe_fertility,
+             CAST(wp_tokens AS DOUBLE) / CAST(words AS DOUBLE)
+               AS wp_fertility,
+             CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+               AS bpe_chars_per_token,
+             CAST(chars AS DOUBLE) / CAST(wp_tokens AS DOUBLE)
+               AS wp_chars_per_token
+      FROM g
+      ORDER BY source"""))
+
   def all: Seq[OracleQuery] =
     Seq(q92Redact, q93Repetition, q94Decontaminate, q95KeywordSearch,
       q96FilteredKnn, q97BpeMerges, q107HardNegatives, q133SegmentDedup,
       q135CooccurrenceLift, q153SecretScan, q250DeletionSweep,
-      q281PiiDensity, q314BpeTrain, q315BpeEncode, q320WordpieceEncode)
+      q281PiiDensity, q314BpeTrain, q315BpeEncode, q320WordpieceEncode,
+      q321TokenizerEval)
 }

@@ -59,7 +59,12 @@ object ScaleBench {
     // the VOCABULARY, so corpus growth costs one scan, not 8; the
     // slope must stay well under linear even though replicas grow the
     // vocabulary itself (disjoint r{i}-prefixed words)
-    "bpe_train")
+    "bpe_train",
+    // round-9: DSIR-shaped target-affinity selection — the claim is
+    // that the target profile stays 256 rows and the top-k stays a
+    // k-row heap however large the corpus: out_rows must be FLAT at
+    // 100 and the wall near-linear (two scans, no super-linear stage)
+    "target_affinity")
 
   /** Ops whose asymptote the quick gate pins with a THIRD point
     * (round-7 verdict ask #6; suffix_array joined in round 9 per ask
@@ -248,6 +253,13 @@ object ScaleBench {
 
       timeOp("minhash_lsh", m, nDocs) {
         Dedup.minhashLshPairs(docs, "doc_id", "text")
+      }
+      timeOp("target_affinity", m, nDocs) {
+        // target subset ~1/7 of every replica; the profile is 256
+        // buckets regardless of m, the top-k heap 100 rows — out_rows
+        // flat is the pinned claim
+        Curation.targetAffinityTopK(docs, "doc_id", "text",
+          col("doc_id") % 7 === 0, 100)
       }
       timeOp("ngram_jaccard", m, nDocs) {
         // 500 probes per replica — the probe side scales with the corpus

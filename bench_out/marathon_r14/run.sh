@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-9 session-2 marathon: 3 official-format Bench runs on HEAD
+# (a0f3a40, post q317-q321 curation/tokenizer layer), 180s cooldown
+# between runs so each run's loadavg_before reflects ambient load.
+# Bench quiet-gates itself and records cpu_eff (the host showed
+# capacity episodes earlier this session).
+cd /tmp/benchrepo_r9s2
+for i in 1 2 3; do
+  echo "=== BENCH RUN $i start $(date +%T) load=$(cat /proc/loadavg)" >> /tmp/marathon_r14/marathon.log
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" \
+    > /tmp/marathon_r14/run$i.stdout 2> /tmp/marathon_r14/run$i.stderr
+  rc=$?
+  echo "=== BENCH RUN $i end $(date +%T) rc=$rc" >> /tmp/marathon_r14/marathon.log
+  grep '"metric"' /tmp/marathon_r14/run$i.stdout | head -1 > /tmp/marathon_r14/run$i.full.json
+  if [ $i -lt 3 ]; then sleep 180; fi
+done
+echo MARATHON_DONE >> /tmp/marathon_r14/marathon.log

@@ -264,17 +264,20 @@ object Curation {
       .groupBy(col("doc_id"), col("is_tgt"),
         substring(md5(col("w")), 1, 2).as("bucket"))
       .agg(count(lit(1)).as("n")))
+    // cast to decimal BEFORE multiplying: a 100 TB target profile has
+    // bucket counts past 3e9, where t*t in LONG overflows (ANSI
+    // throws); decimal×long widens instead (self-review r9)
     val profile = hist.filter(col("is_tgt"))
       .groupBy("bucket").agg(sum(col("n")).as("t"))
     val profileNorm = profile
-      .agg(sum((col("t") * col("t")).cast("decimal(38,0)")).as("tnorm2"))
+      .agg(sum(col("t").cast("decimal(38,0)") * col("t")).as("tnorm2"))
     val perDoc = hist
       .join(broadcast(profile), Seq("bucket"), "left")
       .groupBy("doc_id")
       .agg(
-        sum((col("n") * coalesce(col("t"), lit(0L)))
-          .cast("decimal(38,0)")).as("dot"),
-        sum((col("n") * col("n")).cast("decimal(38,0)")).as("dn2"))
+        sum(col("n").cast("decimal(38,0)") * coalesce(col("t"), lit(0L)))
+          .as("dot"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("dn2"))
     // 1-row broadcast: the scalar-subquery shape (q19 precedent).
     perDoc.crossJoin(broadcast(profileNorm))
       .select(col("doc_id"),

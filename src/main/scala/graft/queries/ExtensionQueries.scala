@@ -1851,15 +1851,15 @@ object ExtensionQueries {
         FROM db JOIN documents USING (doc_id)
         WHERE lang = 'en' GROUP BY 1),
       tn AS (
-        SELECT CAST(CAST(sum(CAST(t * t AS DECIMAL(38,0))) AS VARCHAR)
+        SELECT CAST(CAST(sum(CAST(t AS DECIMAL(38,0)) * t) AS VARCHAR)
                     AS DOUBLE) AS tnorm2
         FROM tgt),
       per AS (
         SELECT db.doc_id,
-               CAST(CAST(sum(CAST(db.n * coalesce(tgt.t, 0)
-                                  AS DECIMAL(38,0))) AS VARCHAR)
+               CAST(CAST(sum(CAST(db.n AS DECIMAL(38,0))
+                             * coalesce(tgt.t, 0)) AS VARCHAR)
                     AS DOUBLE) AS dot,
-               CAST(CAST(sum(CAST(db.n * db.n AS DECIMAL(38,0)))
+               CAST(CAST(sum(CAST(db.n AS DECIMAL(38,0)) * db.n)
                          AS VARCHAR) AS DOUBLE) AS dn2
         FROM db LEFT JOIN tgt USING (bucket) GROUP BY 1)
       SELECT doc_id, dot / (sqrt(tnorm2) * sqrt(dn2)) AS affinity

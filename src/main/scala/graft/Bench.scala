@@ -92,6 +92,13 @@ object Bench {
     * signature loadavg cannot see. Threads = half the advertised cores
     * so a healthy box always has headroom. ~0.5 s per call. */
   def cpuEfficiencyProbe(): Double = {
+    // a host without parallel headroom (cpuset-limited container,
+    // 1-2 cores) would serialize the concurrent burns and read ~0.5
+    // forever — indistinguishable from a capacity episode, stalling
+    // every gate for its full budget. The probe is only meaningful
+    // where parallelism is expected; report healthy below 4 cores
+    // (self-review r9).
+    if (Runtime.getRuntime.availableProcessors < 4) return 1.0
     val threads = math.max(2,
       math.min(16, Runtime.getRuntime.availableProcessors / 2))
     val work = 60000000L

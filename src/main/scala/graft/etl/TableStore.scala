@@ -344,6 +344,32 @@ final class TableStore(spark: SparkSession, val root: String) {
           s"table $table: version v$next was committed by a concurrent " +
             "writer — rerun against the current snapshot")
     } finally Files.deleteIfExists(rec)
+    // fallback-path fence (self-review r9): on a no-hardlink fs the
+    // CREATE_NEW record is born EMPTY and filled by the same write
+    // call; a writer suspended past GcTmpAgeMillis inside that call
+    // can have its aged zero-byte record swept by compact — the
+    // resumed write then lands on an unlinked inode and would report
+    // success for a commit no reader will ever see. Verify the record
+    // is live AND ours via a fresh path-based read before reporting
+    // success (the link(2) path publishes records born with content,
+    // so this fence is free there). Must run BEFORE the dir-exists
+    // fence below: once the record is confirmed ours, deleting it on
+    // abort is safe; if it is NOT ours (swept, version re-won by a
+    // successor), deleting would destroy the successor's commit.
+    // Residual (documented, cross-process): compact re-checks size-0
+    // immediately before its unlink, so the surviving window needs
+    // this write+read to complete between those two instructions.
+    val recordOurs =
+      try java.util.Arrays.equals(Files.readAllBytes(record),
+        name.getBytes("UTF-8"))
+      catch { case _: java.io.IOException => false }
+    if (!recordOurs) {
+      deleteRecursively(committedDir.toFile)
+      throw new ConcurrentWriteException(
+        s"table $table: v$next's commit record was swept as torn " +
+          "residue while this writer was suspended mid-publish — " +
+          "rerun against the current snapshot")
+    }
     // post-publish fence against the GC: if the dir vanished while this
     // writer was suspended, withdraw the record (we are its only owner
     // — the CAS just proved it) and abort instead of leaving the
@@ -697,7 +723,12 @@ final class TableStore(spark: SparkSession, val root: String) {
       if (fs != null) fs.filter(f =>
           f.getName.matches("_commit_v\\d+") &&
           f.length() == 0 && f.lastModified() < cutoff)
-        .foreach(f => Files.deleteIfExists(f.toPath))
+        // re-stat immediately before the unlink (self-review r9): a
+        // suspended fallback writer may complete its write between the
+        // filter pass and here — deleting a now-NON-empty record would
+        // unpublish a live commit. The writer side carries the
+        // matching post-write liveness fence.
+        .foreach(f => if (f.length() == 0) Files.deleteIfExists(f.toPath))
     }
     val base = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist under $root"))

@@ -68,6 +68,10 @@ object CommonExtension {
     * method, so the two paths cannot diverge). */
   def scan(s1: String, s2: String, pa: Long, pb: Long,
       rightward: Boolean): Long = {
+    // out-of-range offsets contribute zero matches in BOTH directions
+    // (self-review r9: a negative pa in rightward mode previously left
+    // n positive and charAt threw; leftward already degraded to 0)
+    if (pa < 0 || pb < 0) return 0L
     var i = 0L
     if (rightward) {
       val n = math.min(s1.length - pa, s2.length - pb)

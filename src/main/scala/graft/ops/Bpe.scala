@@ -160,7 +160,18 @@ object Bpe {
   /** Per-document encoding against a trained vocabulary state: token
     * count plus the rendered encoding (word tokens joined by '|',
     * words by ' '). Wordless documents come back with zero counts and
-    * an empty rendering, not as dropped rows. */
+    * an empty rendering, not as dropped rows.
+    *
+    * CONTRACT (self-review r9): the vocabulary state `v` maps exactly
+    * the words of the corpus it was trained on, and the token stream
+    * joins it INNER — encoding a DIFFERENT corpus silently drops
+    * out-of-vocabulary words from every count and rendering (a doc of
+    * only OOV words is indistinguishable from a wordless one). The
+    * shipped surfaces (`trainAndEncode`, q315) train and encode the
+    * same corpus, where coverage is total by construction; to encode
+    * a foreign corpus, re-train on it, or use the vocabulary-as-SET
+    * scan ([[WordPiece.encode]]) whose single-char fallback is
+    * lossless on any input. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
     val toks = docs

@@ -309,10 +309,7 @@ object Curation {
   def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, testFraction: Double,
       salt: String = ""): DataFrame = {
-    val pairs = Dedup.prefixJaccardPairs(docs, idCol, textCol, minJaccard)
-    val comp = Components.connectedComponents(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-      "src", "dst")
+    val comp = Dedup.nearDupComponents(docs, idCol, textCol, minJaccard)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -786,12 +786,23 @@ object Dedup {
     * stage ever touches the full corpus pairwise. Determinism: the
     * winner is an aggregate (max struct), not a dropDuplicates pick
     * (CLAUDE rule 17), so every consumer sees the same survivor. */
-  def dedupDecisions(docs: DataFrame, idCol: String, textCol: String,
+  /** Near-dup clusters: exact PPJoin pairs at `minJaccard` → min-label
+    * pointer-jumping components, (node, component) for CLUSTERED
+    * documents only. The shared prologue of [[dedupDecisions]] (q313)
+    * and `Curation.clusterSplit` (q318) — one definition so a future
+    * change to pair orientation or component labeling cannot leave
+    * one surface on old semantics (self-review r9). */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
     val pairs = prefixJaccardPairs(docs, idCol, textCol, minJaccard)
-    val comp = Components.connectedComponents(
+    Components.connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
       "src", "dst")
+  }
+
+  def dedupDecisions(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val comp = nearDupComponents(docs, idCol, textCol, minJaccard)
     val lens = docs.select(col(idCol).cast("long").as("node"),
       length(coalesce(col(textCol), lit(""))).cast("long").as("len"))
     val members = comp.join(lens, "node")

@@ -77,8 +77,18 @@ object WordPiece {
         array_join(col("toks"), "|").as("encoding"))
       .orderBy("doc_id")
 
-  /** vocabulary + encode in one call (the q320 shape). */
+  /** vocabulary + encode in one call (the q320 shape). A corpus with
+    * no non-space characters yields an empty vocabulary; every
+    * document then encodes to zero tokens (the result encode() itself
+    * would produce), rather than tripping the trie's empty-vocab
+    * guard (self-review r9). */
   def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
-      topK: Int): DataFrame =
-    encode(docs, idCol, textCol, vocabulary(docs, textCol, topK))
+      topK: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, topK)
+    if (vocab.isEmpty)
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        lit(0L).as("n_tokens"), lit("").as("encoding"))
+        .orderBy("doc_id")
+    else encode(docs, idCol, textCol, vocab)
+  }
 }

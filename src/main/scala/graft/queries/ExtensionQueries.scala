@@ -1754,18 +1754,19 @@ object ExtensionQueries {
     Some(s"""
       WITH pats AS (
         SELECT * FROM (VALUES $blockPhrasesSqlValues) v(pat_idx, pattern)),
+      offs AS MATERIALIZED (
+        SELECT doc_id, text, g.i AS i
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+             unnest(generate_series(1, length(text))) g(i)),
       hits AS (
-        SELECT d.doc_id, p.pat_idx, p.pattern,
-               (SELECT count(*)
-                FROM generate_series(1, 4000) g(i)
-                WHERE g.i <= length(coalesce(d.text, ''))
-                        - length(p.pattern) + 1
-                  AND substr(coalesce(d.text, ''), CAST(g.i AS INT),
-                        length(p.pattern)) = p.pattern) AS n_occ
-        FROM documents d CROSS JOIN pats p)
+        SELECT o.doc_id, p.pat_idx, p.pattern, count(*) AS n_occ
+        FROM offs o JOIN pats p
+          ON o.i <= length(o.text) - length(p.pattern) + 1
+         AND substr(o.text, CAST(o.i AS INT), length(p.pattern))
+               = p.pattern
+        GROUP BY 1, 2, 3)
       SELECT doc_id, CAST(pat_idx AS BIGINT) AS pat_idx, pattern, n_occ
       FROM hits
-      WHERE n_occ > 0
       ORDER BY doc_id, pat_idx"""))
 
   /** End-to-end dedup DECISIONS (`Dedup.dedupDecisions`): exact

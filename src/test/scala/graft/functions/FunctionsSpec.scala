@@ -193,5 +193,15 @@ class FunctionsSpec extends SparkTestBase {
     assert(CommonExtension(Literal(null, org.apache.spark.sql.types.StringType),
       Literal("x"), Literal(0L), Literal(0L), rightward = true)
       .eval(InternalRow.empty) == null)
+    // out-of-range offsets contribute ZERO matches in BOTH directions
+    // (self-review r9: negative pa in rightward mode used to throw
+    // StringIndexOutOfBoundsException instead of honoring the contract)
+    for (rw <- Seq(true, false); (pa, pb) <- Seq((-1L, 0L), (0L, -1L),
+        (-5L, -5L), (10L, 0L), (0L, 10L))) {
+      assert(CommonExtension(Literal("abc"), Literal("abc"),
+        Literal(pa), Literal(pb), rightward = rw)
+        .eval(InternalRow.empty) == 0L,
+        s"rightward=$rw pa=$pa pb=$pb must be 0")
+    }
   }
 }

@@ -115,4 +115,15 @@ class WordPieceSpec extends SparkTestBase {
     assert(totTokens > totWords, "nothing split — vocabulary degenerate")
     assert(totTokens < totChars, "everything char-shattered — no matches")
   }
+
+  test("degenerate corpus (all null/empty/space text) encodes to zero tokens") {
+    // self-review r9: an empty vocabulary used to trip the trie's
+    // empty-vocab guard at plan time; the contract is zero tokens
+    val degenerate = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    val enc = WordPiece.vocabEncode(degenerate, "doc_id", "text", 10)
+      .as[(Long, Long, String)].collect().toSeq
+    Caches.unpersistAll()
+    assert(enc == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 0L, "")))
+  }
 }

@@ -253,7 +253,20 @@ object Curation {
     * train-on-what-looks-like-the-target selection step a pretraining
     * pipeline runs upstream of mixture planning. */
   def targetAffinityTopK(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, k: Int): DataFrame = {
+      isTarget: Column, k: Int): DataFrame =
+    targetAffinityScores(docs, idCol, textCol, isTarget)
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(k)
+
+  /** Every document's target-affinity cosine, unranked — the input to
+    * [[targetAffinityTopK]] (hard selection) and to DSIR-style
+    * importance RESAMPLING (q322: keep-probability = affinity via
+    * [[weightedSample]], the published method's actual second half —
+    * Xie et al. §3 sample ∝ importance rather than cutting at a
+    * rank). Cosine of non-negative count vectors lies in [0, 1], so
+    * it is directly a keep-probability. */
+  def targetAffinityScores(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column): DataFrame = {
     // One (doc, bucket) histogram frame feeds BOTH the target profile
     // and the scoring pass. cache sweep r6: track, not materialize —
     // recompute is one linear tokenize+count scan, never super-linear.
@@ -285,8 +298,6 @@ object Curation {
           (sqrt(col("tnorm2").cast("string").cast("double")) *
             sqrt(col("dn2").cast("string").cast("double"))))
           .as("affinity"))
-      .orderBy(col("affinity").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** Leakage-safe train/test split: near-duplicate CLUSTERS are

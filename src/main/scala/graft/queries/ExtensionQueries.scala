@@ -1832,13 +1832,9 @@ object ExtensionQueries {
     * arithmetic end to end (DECIMAL(38,0) lanes, VARCHAR crossing per
     * conv 8, sqrt the only irrational), so the DuckDB twin replays the
     * score bit-exactly. */
-  val q317TargetAffinity = OracleQuery("q317_target_affinity",
-    "hashed-profile cosine selection toward a target domain, top-k",
-    (s, d) => Curation.targetAffinityTopK(
-      Tables.documents(s, d), "doc_id", "text",
-      col("lang") === "en", k = 100),
-    Some("""
-      WITH w AS (
+  /** The q317/q322 shared oracle chain: bucket histograms, target
+    * profile, decimal lanes, cosine. Ends at `scored`. */
+  private val affinityChainSql = """w AS (
         SELECT doc_id,
                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
                  AS w
@@ -1862,11 +1858,47 @@ object ExtensionQueries {
                     AS DOUBLE) AS dot,
                CAST(CAST(sum(CAST(db.n AS DECIMAL(38,0)) * db.n)
                          AS VARCHAR) AS DOUBLE) AS dn2
-        FROM db LEFT JOIN tgt USING (bucket) GROUP BY 1)
-      SELECT doc_id, dot / (sqrt(tnorm2) * sqrt(dn2)) AS affinity
-      FROM per, tn
+        FROM db LEFT JOIN tgt USING (bucket) GROUP BY 1),
+      scored AS (
+        SELECT doc_id, dot / (sqrt(tnorm2) * sqrt(dn2)) AS affinity
+        FROM per, tn)"""
+
+  val q317TargetAffinity = OracleQuery("q317_target_affinity",
+    "hashed-profile cosine selection toward a target domain, top-k",
+    (s, d) => Curation.targetAffinityTopK(
+      Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", k = 100),
+    Some(s"""
+      WITH $affinityChainSql
+      SELECT doc_id, affinity
+      FROM scored
       ORDER BY affinity DESC, doc_id
       LIMIT 100"""))
+
+  /** DSIR importance RESAMPLING (`targetAffinityScores` ∘
+    * `weightedSample`): the published method's actual second half —
+    * sample ∝ importance rather than cutting at a rank (Xie et al.
+    * §3). Cosine of non-negative count vectors lies in [0, 1], so the
+    * affinity IS the keep-probability; membership is the q90 md5
+    * uniform draw — a pure function of (doc_id), so reshards and
+    * corpus growth never flip a row, and the oracle replays the draw
+    * and the comparison bit-exactly. */
+  val q322DsirResample = OracleQuery("q322_dsir_resample",
+    "importance resampling: keep-prob = target affinity, md5 draw",
+    (s, d) => Curation.weightedSample(
+      Curation.targetAffinityScores(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en"),
+      "doc_id", "affinity")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $affinityChainSql
+      SELECT doc_id, affinity
+      FROM scored
+      WHERE CAST(concat('0x',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0
+          < affinity
+      ORDER BY doc_id"""))
 
   /** Leakage-safe train/test split (`Curation.clusterSplit`): the
     * q313 pair→component chain assigns every near-dup CLUSTER to one
@@ -2026,5 +2058,6 @@ object ExtensionQueries {
     q306AudioTrimNearDup, q307ImageInVideo, q308SuffixArray,
     q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats,
     q312BlocklistScan, q313DedupDecisions, q316StripCrossShard,
-    q317TargetAffinity, q318ClusterSplit, q319CurationFunnel)
+    q317TargetAffinity, q318ClusterSplit, q319CurationFunnel,
+    q322DsirResample)
 }

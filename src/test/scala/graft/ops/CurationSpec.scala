@@ -297,6 +297,33 @@ class CurationSpec extends SparkTestBase {
       s"target doc ${scored(tgtDoc._1)} vs alien ${scored(900001L)}")
   }
 
+  test("DSIR resample: membership = md5 draw < exact affinity, reshard-stable") {
+    val rows = docs.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+    // reference: full affinity map (k = all) + the q90 uniform draw
+    val aff = affinityReference(rows, "en", rows.size).toMap
+    def draw(id: Long): Double =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) /
+        4294967296.0
+    val expected = aff.filter { case (id, a) => draw(id) < a }.keySet
+    val got = Curation.weightedSample(
+      Curation.targetAffinityScores(docs, "doc_id", "text", $"lang" === "en"),
+      "doc_id", "affinity")
+      .select($"doc_id").as[Long].collect().toSet
+    Caches.unpersistAll()
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < rows.size,
+      s"degenerate resample: ${got.size}/${rows.size}")
+    // layout independence
+    val reshard = Curation.weightedSample(
+      Curation.targetAffinityScores(docs.repartition(17),
+        "doc_id", "text", $"lang" === "en"),
+      "doc_id", "affinity")
+      .select($"doc_id").as[Long].collect().toSet
+    Caches.unpersistAll()
+    assert(reshard == got)
+  }
+
   // ---- clusterSplit (q318) ----
 
   test("cluster split: no near-dup pair ever straddles the split") {

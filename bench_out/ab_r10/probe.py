@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Parallel-efficiency probe (mirrors graft.Bench.cpuEfficiencyProbe):
+best-of-3 single-process busy-loop time vs best-of-2 time for N
+concurrent copies. ~1 on a healthy host; collapses toward 1/N during a
+capacity episode. Prints one JSON line."""
+import json, multiprocessing as mp, os, time
+
+WORK = 20_000_000
+
+def burn(_):
+    s = 0
+    for i in range(WORK):
+        s += i * i & 0xFFFF
+    return s
+
+def timed(n):
+    procs = [mp.Process(target=burn, args=(0,)) for _ in range(n)]
+    t0 = time.time()
+    for p in procs: p.start()
+    for p in procs: p.join()
+    return time.time() - t0
+
+if __name__ == "__main__":
+    n = max(2, min(16, os.cpu_count() // 2))
+    timed(1)  # warm-up
+    t1 = min(timed(1) for _ in range(3))
+    tN = min(timed(n) for _ in range(2))
+    eff = min(1.0, t1 / tN)
+    print(json.dumps({"ts": time.strftime("%H:%M:%S"), "eff": round(eff, 3),
+                      "t1": round(t1, 3), "tN": round(tN, 3), "n": n,
+                      "loadavg": open("/proc/loadavg").read().split()[0]}))

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-10 interleaved A/B: r8-HEAD (faeb183) vs r9-HEAD (6e7250e),
+# single-pass full-catalog Bench runs alternating in ONE session, with
+# the parallel-efficiency probe logged before AND after every run.
+# Adjudicates the round-9 iterative-heavy drift (q162/q155/q158/q163):
+# if r9 heavies sit 1.4x+ above r8 in the same windows -> code/infra
+# regression; if they match -> host episode acquittal.
+OUT=/tmp/ab/out
+mkdir -p $OUT
+log() { echo "$(date +%T) $*" >> $OUT/ab.log; }
+probe() { python3 /tmp/ab/probe.py >> $OUT/probe.$1.jsonl 2>&1; }
+for i in 1 2 3; do
+  for head in r8 r9; do
+    log "pair $i $head: probe before"
+    probe "${head}_run${i}_before"
+    log "pair $i $head: bench start load=$(cat /proc/loadavg)"
+    ( cd /tmp/ab/$head && \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_QUIET_WAIT_S=240 \
+      sbt -batch "runMain graft.Bench" \
+      > $OUT/$head.run$i.stdout 2> $OUT/$head.run$i.stderr )
+    log "pair $i $head: bench end rc=$? load=$(cat /proc/loadavg)"
+    grep '"metric"' $OUT/$head.run$i.stdout | head -1 > $OUT/$head.run$i.json
+    log "pair $i $head: probe after"
+    probe "${head}_run${i}_after"
+    sleep 60
+  done
+done
+echo AB_DONE >> $OUT/ab.log

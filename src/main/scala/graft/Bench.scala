@@ -91,16 +91,23 @@ object Bench {
     * serialize and the ratio collapses toward threads⁻¹ — exactly the
     * signature loadavg cannot see. Threads = half the advertised cores
     * so a healthy box always has headroom. ~0.5 s per call. */
-  def cpuEfficiencyProbe(): Double = {
+  def cpuEfficiencyProbe(): Double = cpuProbeDetailed()._1
+
+  /** [[cpuEfficiencyProbe]] plus the ABSOLUTE single-thread burn time
+    * (best-of-3 seconds for the fixed arithmetic loop). The ratio
+    * detects parallel-capacity collapse; the absolute t1 is the
+    * cross-round per-core speed reference the round-9 drift
+    * adjudication lacked — "same cpuCores, more wall" reads as "more
+    * work" in the ratio-only telemetry, but if t1 itself moved, the
+    * HOST's per-core throughput moved and every cpu-second buys fewer
+    * instructions. Stamped into the bench JSON as `probe_st_sec`. */
+  def cpuProbeDetailed(): (Double, Double) = {
     // a host without parallel headroom (cpuset-limited container,
     // 1-2 cores) would serialize the concurrent burns and read ~0.5
     // forever — indistinguishable from a capacity episode, stalling
     // every gate for its full budget. The probe is only meaningful
     // where parallelism is expected; report healthy below 4 cores
     // (self-review r9).
-    if (Runtime.getRuntime.availableProcessors < 4) return 1.0
-    val threads = math.max(2,
-      math.min(16, Runtime.getRuntime.availableProcessors / 2))
     val work = 60000000L
     def burn(): Long = {
       var s = 0L; var i = 0L
@@ -114,10 +121,16 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    if (Runtime.getRuntime.availableProcessors < 4) {
+      time(1) // warm-up
+      return (1.0, (1 to 3).map(_ => time(1)).min)
+    }
+    val threads = math.max(2,
+      math.min(16, Runtime.getRuntime.availableProcessors / 2))
     time(1) // JIT warm-up, discarded
     val t1 = (1 to 3).map(_ => time(1)).min
     val tN = (1 to 2).map(_ => time(threads)).min
-    math.min(1.0, t1 / tN)
+    (math.min(1.0, t1 / tN), t1)
   }
 
   /** Blocking quiet-gate against the real clock and loadavg — the
@@ -142,6 +155,28 @@ object Bench {
         Thread.sleep(ms) },
       maxWaitS * 1000L, 15000L, minEff)
   }
+
+  /** Mid-run episode suspicion (round-9 verdict ask #2): the start-gate
+    * cannot see a capacity episode that arrives MID-run (the round-9
+    * official record lost ~132 s to one — fourteen queries inflated
+    * 2.9–45× with cpuCores 1.0–5.8 on a 32-core host). A query is a
+    * SUSPECT when its wall is non-trivial AND its process-cpu-cores sit
+    * under a quarter of the host (every round-9 episode victim matches;
+    * waiting, not working). Suspicion is cheap — it only triggers a
+    * ~0.5 s [[cpuEfficiencyProbe]], and only a FAILING probe declares an
+    * episode (legit low-parallelism heavies like q275_wilcoxon probe
+    * healthy and pass through untouched). */
+  def episodeSuspect(medWall: Double, medCpu: Double, cpus: Int,
+      minWall: Double = 2.0): Boolean =
+    medWall >= minWall && medCpu >= 0 && medCpu < cpus / 4.0
+
+  /** Fold a single post-re-gate retry into a suspect query's recorded
+    * (wall, cpuCores): keep the retry iff it succeeded and beat the
+    * episode-tainted original. Returns (kept stats, retry-kept?). */
+  def foldRetry(orig: (Double, Double), retry: (Double, Double))
+      : ((Double, Double), Boolean) =
+    if (retry._1 >= 0 && (orig._1 < 0 || retry._1 < orig._1)) (retry, true)
+    else (orig, false)
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -171,6 +206,9 @@ object Bench {
     // the contended flag keeps its meaning; waited_s records the
     // gate's cost
     val (waitedS, loadBefore, cpuEff) = quietGateBlocking("bench")
+    // absolute per-core speed reference (the round-9 adjudication gap):
+    // one detailed probe AFTER the gate, its t1 stamped into the record
+    val probeT1 = cpuProbeDetailed()._2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -189,6 +227,8 @@ object Bench {
     // optional regex over query names — local iteration on a subset; the
     // driver sets no filter and benches the whole catalog
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
+    val minEffEnv = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    val episodeRetries = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.matches(nameFilter)).map { case (name, fn) =>
       // noop sink forces full materialization of every output column
@@ -196,7 +236,7 @@ object Bench {
       // A throwing query must NOT be reported as a normal fast timing:
       // emit -1 for it and count it in "failed".
       val cpuBean = os.asInstanceOf[com.sun.management.OperatingSystemMXBean]
-      val timesAndCpu = (1 to nRuns).map { _ =>
+      def runOnce(): (Double, Double) = {
         val t0 = System.nanoTime()
         val c0 = cpuBean.getProcessCpuTime
         val ok =
@@ -221,6 +261,34 @@ object Bench {
         val cpuCores = (cpuBean.getProcessCpuTime - c0) / 1e9 / math.max(elapsed, 1e-9)
         graft.ops.Dedup.unpersistCaches() // release per-query cached intermediates
         (if (ok) elapsed else -1.0, cpuCores)
+      }
+      var timesAndCpu = (1 to nRuns).map(_ => runOnce())
+      // mid-run episode handling (round-9 verdict ask #2): a suspect
+      // stat profile triggers the capacity probe; a failing probe means
+      // the query's EVERY attempt may have landed inside a host episode
+      // (the median can't save it) — re-gate until capacity returns,
+      // re-run ONCE, keep the better result, and flag the retry in the
+      // JSON so the record self-documents what happened.
+      locally {
+        val okW = timesAndCpu.map(_._1).filter(_ >= 0)
+        val okC = timesAndCpu.collect { case (t, c) if t >= 0 => c }
+        val medW = if (okW.isEmpty) -1.0 else median(okW)
+        val medC = if (okC.isEmpty) -1.0 else median(okC)
+        if (episodeSuspect(medW, medC, cpus.toInt) &&
+            cpuEfficiencyProbe() < minEffEnv) {
+          System.err.println(s"[bench] $name: suspect stats " +
+            f"(wall $medW%.2f s @ $medC%.1f cores) during a capacity " +
+            "episode — re-gating and retrying once")
+          steadyGateShort(s"bench-episode:$name")
+          val retry = runOnce()
+          val kept = timesAndCpu.map(orig => foldRetry(orig, retry)._1)
+          if (kept != timesAndCpu) {
+            // one retry replaces every episode-tainted attempt it beat;
+            // the pre-retry attempts stay visible on stderr only
+            timesAndCpu = kept
+            episodeRetries += name
+          }
+        }
       }
       val times = timesAndCpu.map(_._1)
       // raw per-run times + free storage memory on stderr: the q156
@@ -263,8 +331,16 @@ object Bench {
     // the round-9 capacity-episode signature loadavg cannot see)
     val minEff = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
     val contended = isContended(loadBefore) || cpuEff < minEff
+    // episode retries self-document in the record: which queries hit a
+    // mid-run capacity episode and were re-run post-re-gate (ask #2);
+    // capped at 8 names so a pathological episode can't blow the
+    // compact line's tail-window budget
+    val retriesJson = (episodeRetries.take(8).map("\"" + _ + "\"") ++
+      (if (episodeRetries.size > 8)
+        Seq("\"+" + (episodeRetries.size - 8) + " more\"") else Nil))
+      .mkString("[", ",", "]")
     def line(queries: String, cpu: String, spr: String, note: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpu_eff":${f"$cpuEff%.3f"},"cpus":$cpus$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpu_eff":${f"$cpuEff%.3f"},"probe_st_sec":${f"$probeT1%.3f"},"cpus":$cpus,"episode_retries":$retriesJson$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
     val full = line(qs, qsCpu, qsSpread, "")
     println(full)
     // The driver keeps only the LAST ~2000 chars of stdout and tries to

@@ -114,4 +114,32 @@ class BenchStatsSpec extends AnyFunSuite {
     val e = Bench.cpuEfficiencyProbe()
     assert(e > 0.05 && e <= 1.0, s"implausible efficiency $e")
   }
+
+  test("episodeSuspect: slow+low-cores trips, fast or busy or failed queries never do") {
+    // the round-9 official episode victims (32-core host): all suspects
+    assert(Bench.episodeSuspect(13.05, 7.4, 32)) // q274_mann_kendall
+    assert(Bench.episodeSuspect(16.08, 1.2, 32)) // q302_ivfadc
+    assert(Bench.episodeSuspect(18.63, 2.0, 32)) // q181_prototype_classify
+    // a legit low-parallelism heavy still probes (suspicion is cheap —
+    // the PROBE adjudicates), but a busy heavy never does
+    assert(Bench.episodeSuspect(5.31, 1.0, 32))  // q275_wilcoxon profile
+    assert(!Bench.episodeSuspect(12.78, 8.1, 32),
+      "8+ cores on 32 = working, not waiting")
+    // sub-threshold wall is never suspect: episode loss there is noise
+    assert(!Bench.episodeSuspect(0.29, 1.0, 32))
+    // failed-run sentinel (-1 cpu/wall) is a failure, not an episode
+    assert(!Bench.episodeSuspect(-1.0, -1.0, 32))
+  }
+
+  test("foldRetry keeps the better wall and reports whether it was kept") {
+    // retry beat the episode-tainted original -> replaced, flagged
+    assert(Bench.foldRetry((13.05, 7.4), (0.31, 9.0)) ===
+      (((0.31, 9.0)), true))
+    // retry slower (episode persisted or genuine heavy) -> original kept
+    assert(Bench.foldRetry((2.5, 3.0), (4.0, 8.0)) === (((2.5, 3.0)), false))
+    // failed retry never replaces anything
+    assert(Bench.foldRetry((2.5, 3.0), (-1.0, 0.0)) === (((2.5, 3.0)), false))
+    // ...but a failed ORIGINAL is replaced by any successful retry
+    assert(Bench.foldRetry((-1.0, 0.0), (3.2, 9.0)) === (((3.2, 9.0)), true))
+  }
 }

@@ -64,7 +64,12 @@ object ScaleBench {
     // that the target profile stays 256 rows and the top-k stays a
     // k-row heap however large the corpus: out_rows must be FLAT at
     // 100 and the wall near-linear (two scans, no super-linear stage)
-    "target_affinity")
+    "target_affinity",
+    // round-10 (verdict ask #3): the persisted winnow-fingerprint
+    // store's fold — index grows ×m, the folded batch stays FIXED, so
+    // written bytes are O(batch) and the wall must stay ~flat (the
+    // probe is one keyed join against the ~2/(w+1)-density index)
+    "winnow_fold")
 
   /** Ops whose asymptote the quick gate pins with a THIRD point
     * (round-7 verdict ask #6; suffix_array joined in round 9 per ask
@@ -423,6 +428,50 @@ object ScaleBench {
         println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
       }
 
+      if (need("winnow_fold")) {
+        // round-10 (verdict ask #3): the persisted winnow-fingerprint
+        // store fold. The indexed corpus grows ×m; the folded batch is
+        // FIXED (500 docs, 10% full-text duplicates of indexed docs so
+        // the candidate extension does real work); written bytes per
+        // fold are O(batch) (arrival-shard hard-links), the probe one
+        // keyed join against the 2/(w+1)-density index — wall must
+        // stay ~flat. Splitmix-mixed word draws (rule 18); bootstrap
+        // (indexing the m×-sized corpus) is OUTSIDE the timer; fresh
+        // store per run (a re-fold of the same batch is a replay
+        // no-op, the store_fold note).
+        val idxDocs = 3000L * m
+        val batchDocs = 500L
+        def wtext(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          concat_ws(" ", (0 until 25).map(i =>
+            concat(lit("w"), pmod(xxhash64(idc, lit(i.toLong)),
+              lit(50000L)))): _*)
+        def rmTreeW(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTreeW)
+          f.delete()
+        }
+        val (outRows, sec) = (1 to 2).map { r =>
+          val sroot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(work), s"winnow_fold_m$m").toString
+          val store = new graft.etl.TableStore(spark, sroot)
+          val corpus = spark.range(idxDocs).select(col("id").as("doc_id"),
+            wtext(col("id")).as("text"))
+          graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
+            corpus, 0L, store, "texts", "fpidx", "matches")
+          val batch = spark.range(idxDocs, idxDocs + batchDocs).select(
+            col("id").as("doc_id"),
+            when(col("id") % 10 === 0, wtext(pmod(col("id"), lit(idxDocs))))
+              .otherwise(wtext(col("id"))).as("text"))
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
+            batch, 1000L + r, store, "texts", "fpidx", "matches")
+          val sec = (System.nanoTime() - t0) / 1e9
+          rmTreeW(new java.io.File(sroot))
+          (batchDocs, sec)
+        }.minBy(_._2)
+        recorded += (("winnow_fold", m, idxDocs, outRows, sec, true))
+        println(s"""{"op":"winnow_fold","m":$m,"in_rows":$idxDocs,"out_rows":$outRows,"sec":$sec}""")
+      }
+
       if (need("lm_fold_topical") || need("lm_fold_uniform")) {
         // round-8 verdict ask #7: the LM store's update-in-place fold
         // cost is touched-bucket count × bucket size. Measure BOTH
@@ -767,9 +816,19 @@ object ScaleBench {
       // INTENTIONAL change, plan_budgets-style:
       //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
       val baseText = loadBaselineText(BaselinePath)
-      val allFindings = slopeGate(parseSlopes(json), parseSlopes(baseText),
+      // Three-point ops gate on slope_hi ONLY (round-9 verdict what's-
+      // wrong #2): their m=1 point is floor/noise-dominated (triangles'
+      // base chord recorded 2.7–3.3 across same-code rounds while the
+      // clean 4→16 chord sat at 1.64), so gating the base chord both
+      // cries wolf and — worse — ratchets the baseline toward the worst
+      // recorded value. The base chord stays in the JSON for humans but
+      // faces no gate when BOTH sides carry a hi chord.
+      val (curHi, baseHi) = (parseHiSlopes(json), parseHiSlopes(baseText))
+      val threePt = curHi.keySet.intersect(baseHi.keySet)
+      val allFindings = slopeGate(parseSlopes(json) -- threePt,
+          parseSlopes(baseText) -- threePt,
           curSecs = parseM4Secs(json), baseSecs = parseM4Secs(baseText)) ++
-        slopeGate(parseHiSlopes(json), parseHiSlopes(baseText))
+        slopeGate(curHi, baseHi)
           .map(f => s"hi-chord $f")
       val (episodic, failures) = allFindings.partition(f =>
         dirtyOps.exists(op =>
@@ -782,8 +841,71 @@ object ScaleBench {
           "JSON entry flagged contaminated"))
       failures.foreach(f => System.err.println(s"[scale-gate] FAIL $f"))
       if (failures.nonEmpty) { spark.stop(); sys.exit(1) }
+      // No-ratchet baseline refresh (round-9 verdict what's-wrong #2):
+      // the old discipline ("cp SCALE_QUICK.json baseline" after each
+      // round) made the baseline FOLLOW the latest record, so with a
+      // +25% per-round tolerance a real super-linear regression could
+      // walk in over a few rounds. The baseline now keeps
+      // BEST-CLEAN-EVER per op per chord: a clean gate-passing run
+      // refreshes each op's slope DOWNWARD automatically; raising
+      // requires SPARK_GRAFT_BASELINE_RAISE="op1,op2 -- justification"
+      // and the justification is recorded in the file itself.
+      val raiseSpec = sys.env.getOrElse("SPARK_GRAFT_BASELINE_RAISE", "")
+      val allowRaise = raiseSpec.split("--").head.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSet
+      val merged = mergeBaselineJson(baseText, json, dirtyOps, allowRaise,
+        if (raiseSpec.isEmpty) None else Some(raiseSpec))
+      java.nio.file.Files.write(java.nio.file.Paths.get(BaselinePath),
+        (merged + "\n").getBytes("UTF-8"))
+      System.err.println(s"[scale-gate] baseline refreshed (downward-only" +
+        (if (allowRaise.nonEmpty) s"; raised: ${allowRaise.mkString(",")}"
+         else "") + s") -> $BaselinePath")
     }
     spark.stop()
+  }
+
+  /** Best-clean-ever baseline merge — pure, spec-pinned. Per op and
+    * per chord (slope, slope_hi) independently: keep min(baseline,
+    * run), adopt new ops wholesale, FREEZE ops whose run was
+    * contaminated by a capacity episode, and never raise a value
+    * unless the op is in `allowRaise` (recorded via `raisedNote`).
+    * sec_m4 follows whichever run's base-chord slope was kept (the
+    * noise-floor compare must pair a slope with ITS timing). Renders
+    * the flat per-op shape [[parseNumField]] reads. */
+  def mergeBaselineJson(baseText: String, runJson: String,
+      dirtyOps: Set[String] = Set.empty,
+      allowRaise: Set[String] = Set.empty,
+      raisedNote: Option[String] = None): String = {
+    val bSl = parseSlopes(baseText); val rSl = parseSlopes(runJson)
+    val bHi = parseHiSlopes(baseText); val rHi = parseHiSlopes(runJson)
+    val bSec = parseM4Secs(baseText); val rSec = parseM4Secs(runJson)
+    // merge one chord: (kept value, came-from-run?)
+    def chord(op: String, b: Option[Double], r0: Option[Double])
+        : (Option[Double], Boolean) = {
+      val r = r0.filter(_ > 0) // failed-timing sentinel never merges
+      (b, r) match {
+        case (Some(bv), Some(rv))
+          if !dirtyOps(op) && (rv < bv || allowRaise(op)) => (Some(rv), true)
+        case (Some(bv), _) => (Some(bv), false)
+        case (None, rv) if !dirtyOps(op) => (rv, true)
+        case _ => (None, false)
+      }
+    }
+    val ops = (bSl.keySet ++ rSl.keySet).toSeq.sorted
+    val entries = ops.flatMap { op =>
+      val (slope, slopeFromRun) = chord(op, bSl.get(op), rSl.get(op))
+      val (hi, _) = chord(op, bHi.get(op), rHi.get(op))
+      val sec = if (slopeFromRun) rSec.get(op).orElse(bSec.get(op))
+                else bSec.get(op).orElse(rSec.get(op))
+      slope.map { s =>
+        val secF = sec.map(v => s""""sec_m4":$v,""").getOrElse("")
+        val hiF = hi.map(v => s""","slope_hi":$v""").getOrElse("")
+        s""""$op":{$secF"slope":$s$hiF}"""
+      }
+    }
+    val note = raisedNote.map(n =>
+      s""","raised":"${n.replace("\"", "'")}"""").getOrElse("")
+    s"""{"mode":"baseline","policy":"best-clean-ever"$note,"ops":{${entries.mkString(",")}}}"""
   }
 
   /** Checked-in slope baseline the quick gate diffs against. */

@@ -86,6 +86,57 @@ class ScaleGateSpec extends AnyFunSuite {
       "pq_adc" -> 1.653640141825534))
   }
 
+  test("mergeBaselineJson is no-ratchet: lowers, never raises unflagged, freezes dirty ops, adopts new ops") {
+    val base = """{"ops":{"triangles":{"sec_m4":11.8,"slope":3.25,""" +
+      """"slope_hi":1.64},"pagerank":{"sec_m4":2.74,"slope":1.23},""" +
+      """"store_fold":{"sec_m4":2.32,"slope":1.57}}}"""
+    val run = """{"ops":{"triangles":{"sec_m4":9.0,"slope":2.70,""" +
+      """"slope_hi":1.90},"pagerank":{"sec_m4":3.0,"slope":1.45},""" +
+      """"store_fold":{"sec_m4":2.0,"slope":1.30},""" +
+      """"brand_new":{"sec_m4":1.1,"slope":1.05}}}"""
+    val merged = ScaleBench.mergeBaselineJson(base, run,
+      dirtyOps = Set("store_fold"))
+    val sl = ScaleBench.parseSlopes(merged)
+    val hi = ScaleBench.parseHiSlopes(merged)
+    val sec = ScaleBench.parseM4Secs(merged)
+    assert(sl("triangles") == 2.70, "improved base chord refreshes down")
+    assert(hi("triangles") == 1.64, "worsened hi chord must NOT ratchet up")
+    assert(sl("pagerank") == 1.23, "worsened slope must NOT ratchet up")
+    assert(sec("pagerank") == 2.74, "sec_m4 follows the KEPT slope's run")
+    assert(sl("store_fold") == 1.57 && sec("store_fold") == 2.32,
+      "contaminated op is frozen even when it looks better")
+    assert(sl("brand_new") == 1.05, "new op adopted")
+    assert(sec("triangles") == 9.0, "adopted slope brings its own sec_m4")
+  }
+
+  test("mergeBaselineJson raises only flagged ops and records the justification") {
+    val base = """{"ops":{"seq_align":{"sec_m4":1.0,"slope":1.16},""" +
+      """"pq_adc":{"sec_m4":2.1,"slope":1.11}}}"""
+    val run = """{"ops":{"seq_align":{"sec_m4":1.2,"slope":1.63},""" +
+      """"pq_adc":{"sec_m4":2.2,"slope":1.40}}}"""
+    val merged = ScaleBench.mergeBaselineJson(base, run,
+      allowRaise = Set("seq_align"),
+      raisedNote = Some("seq_align -- rule-18 fixture rebuilt"))
+    val sl = ScaleBench.parseSlopes(merged)
+    assert(sl("seq_align") == 1.63, "flagged op may raise")
+    assert(sl("pq_adc") == 1.11, "unflagged op still floored at best-ever")
+    assert(merged.contains("rule-18 fixture rebuilt"),
+      "justification must be recorded in the file")
+    // a failed-timing sentinel in the run must never merge
+    val merged2 = ScaleBench.mergeBaselineJson(base,
+      """{"ops":{"seq_align":{"sec_m4":1.2,"slope":-1.0}}}""",
+      allowRaise = Set("seq_align"))
+    assert(ScaleBench.parseSlopes(merged2)("seq_align") == 1.16)
+  }
+
+  test("merged baseline round-trips through the gate's own parsers") {
+    val base = ScaleBench.loadBaselineText(ScaleBench.BaselinePath)
+    val merged = ScaleBench.mergeBaselineJson(base, base)
+    assert(ScaleBench.parseSlopes(merged) == ScaleBench.parseSlopes(base),
+      "self-merge is the identity on slopes")
+    assert(ScaleBench.parseHiSlopes(merged) == ScaleBench.parseHiSlopes(base))
+  }
+
   test("checked-in baseline exists, parses, and covers every quick op") {
     val slopes = ScaleBench.loadBaselineSlopes(ScaleBench.BaselinePath)
     assert(slopes.nonEmpty, s"missing/empty ${ScaleBench.BaselinePath}")

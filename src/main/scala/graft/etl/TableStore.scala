@@ -359,11 +359,17 @@ final class TableStore(spark: SparkSession, val root: String) {
     // Residual (documented, cross-process): compact re-checks size-0
     // immediately before its unlink, so the surviving window needs
     // this write+read to complete between those two instructions.
-    val recordOurs =
-      try java.util.Arrays.equals(Files.readAllBytes(record),
-        name.getBytes("UTF-8"))
-      catch { case _: java.io.IOException => false }
-    if (!recordOurs) {
+    // "Not ours" must be POSITIVE evidence — the record is gone
+    // (NoSuchFileException) or readable with someone else's content.
+    // A transient read error on a live record is NEITHER: treating it
+    // as not-ours (round-9 shape) deleted the committed snapshot dir
+    // while the non-empty _commit_vN record stayed in place, wedging
+    // the table permanently (currentVersion resolves to vN, snapshot
+    // gone, compact only sweeps zero-byte records). Retry transient
+    // errors; if the read never succeeds, abort loudly WITHOUT
+    // touching the snapshot dir or the record — the commit's true
+    // state is unknown and both artifacts may be live.
+    if (!recordIsOurs(table, next, record, name)) {
       deleteRecursively(committedDir.toFile)
       throw new ConcurrentWriteException(
         s"table $table: v$next's commit record was swept as torn " +
@@ -381,6 +387,34 @@ final class TableStore(spark: SparkSession, val root: String) {
           "while this commit was suspended — rerun against the current " +
           "snapshot")
     }
+  }
+
+  /** The recordOurs liveness verdict, extracted as a spec-pinned seam.
+    * Reads `record` and compares to `name`; retries transient read
+    * errors with backoff; throws (never answers) when the record stays
+    * unreadable — the caller must then abort WITHOUT cleanup, because
+    * the commit's true state is unknown and both artifacts may be
+    * live. */
+  private[etl] def recordIsOurs(table: String, next: Int,
+      record: java.nio.file.Path, name: String): Boolean = {
+    var attempt = 0
+    var verdict: Option[Boolean] = None
+    while (verdict.isEmpty) {
+      attempt += 1
+      verdict =
+        try Some(java.util.Arrays.equals(Files.readAllBytes(record),
+          name.getBytes("UTF-8")))
+        catch {
+          case _: java.nio.file.NoSuchFileException => Some(false)
+          case e: java.io.IOException =>
+            if (attempt >= 5) throw new java.io.IOException(
+              s"table $table: cannot verify v$next's commit record " +
+                s"after $attempt reads — aborting without cleanup " +
+                "(record and snapshot may both be live)", e)
+            Thread.sleep(20L << attempt); None
+        }
+    }
+    verdict.get
   }
 
   /** Write a full new snapshot and commit it via pointer swap.

@@ -120,6 +120,20 @@ object StreamingPhashStore {
       .groupBy(col("media_id")).agg(min(col("hash")).as("hash"))
     def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
     if (!store.exists(indexTable)) {
+      // per-table bootstrap fence (round-9 residual): empty schema-
+      // defining shards commit FIRST, one per table, so after this
+      // point every write is a keyed union into an EXISTING table — a
+      // crash between the pairs insert and the index insert used to
+      // leave pairsTable created but indexTable missing, stranding
+      // index() readers until the restart replay. With the fence, any
+      // crash window replays through the else-branch (empty index ⇒
+      // fresh = whole batch ⇒ incremental pairs over an empty index ≡
+      // nearDupPairs) and converges to the identical state.
+      store.insertIfAbsentPartitioned(pairsTable,
+        shard(Phash.nearDupPairs(newHashes.limit(0), maxHamming, bands)),
+        Seq("id_a", "id_b"), "_shard")
+      store.insertIfAbsentPartitioned(indexTable, shard(newHashes.limit(0)),
+        Seq("media_id"), "_shard")
       val pairs = Phash.nearDupPairs(newHashes, maxHamming, bands)
       store.insertIfAbsentPartitioned(pairsTable, shard(pairs),
         Seq("id_a", "id_b"), "_shard")
@@ -204,43 +218,39 @@ object StreamingPhashStore {
       .filter(col("hash").isNotNull)
       .groupBy(col("media_id"), col("frame_no"))
       .agg(min(col("hash")).as("hash"))
-    val haveImgIdx = store.exists(imageIndexTable)
-    val haveFrIdx = store.exists(frameIndexTable)
-    val exImgs = if (haveImgIdx) index(store, imageIndexTable)
-      else imgs.limit(0)
-    val exFrs = if (haveFrIdx)
-      store.read(frameIndexTable).drop("_shard") else frs.limit(0)
+    def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
+    // per-table bootstrap fence (round-9 residual, closes the last
+    // non-atomic window): EVERY path — not just the all-empty replay
+    // special case — first commits an empty schema-defining shard for
+    // any table that doesn't exist yet. After the fence all three
+    // tables exist, every later write is a keyed union into an
+    // existing table, and a crash between ANY two inserts leaves all
+    // readers (pairs()/index()) functional; the restart replay
+    // recomputes the identical matches against the unchanged indices
+    // and the keyed inserts no-op.
+    if (!store.exists(matchesTable))
+      store.insertIfAbsentPartitioned(matchesTable,
+        shard(graft.ops.VideoHash.imageInVideoPairs(
+          imgs.limit(0), frs.limit(0), maxHamming, bands)),
+        Seq("image_id", "video_id"), "_shard")
+    if (!store.exists(imageIndexTable))
+      store.insertIfAbsentPartitioned(imageIndexTable,
+        shard(imgs.limit(0)), Seq("media_id"), "_shard")
+    if (!store.exists(frameIndexTable))
+      store.insertIfAbsentPartitioned(frameIndexTable,
+        shard(frs.limit(0)), Seq("media_id", "frame_no"), "_shard")
+    val exImgs = index(store, imageIndexTable)
+    val exFrs = store.read(frameIndexTable).drop("_shard")
     // one materialization each, multiple consumers — the mergeBatch note
     val freshImgs = imgs.join(exImgs, Seq("media_id"), "left_anti")
       .persist()
     val freshFrs = frs.join(exFrs.select(col("media_id")).distinct(),
       Seq("media_id"), "left_anti").persist()
     try {
-      def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
       val (nImgs, nFrs) = (freshImgs.count(), freshFrs.count())
-      if (nImgs == 0 && nFrs == 0) {
-        // replay OR an all-poison first batch: the tables must still
-        // exist afterwards (first batch defines the schema — the
-        // scalar path's !exists contract), so bootstrap empties once.
-        // Each insert gates on ITS OWN table's existence (ADVICE r8):
-        // keying all three on matchesTable left a non-atomic window —
-        // a crash between the matches insert and the index inserts
-        // made the replay return early with the two index tables
-        // uncreated, so index() readers threw until the next
-        // real-rows batch.
-        if (!store.exists(matchesTable))
-          store.insertIfAbsentPartitioned(matchesTable,
-            shard(graft.ops.VideoHash.imageInVideoPairs(
-              freshImgs, freshFrs, maxHamming, bands)),
-            Seq("image_id", "video_id"), "_shard")
-        if (!store.exists(imageIndexTable))
-          store.insertIfAbsentPartitioned(imageIndexTable,
-            shard(freshImgs), Seq("media_id"), "_shard")
-        if (!store.exists(frameIndexTable))
-          store.insertIfAbsentPartitioned(frameIndexTable,
-            shard(freshFrs), Seq("media_id", "frame_no"), "_shard")
-        return
-      }
+      // replay OR an all-poison first batch: the fence above already
+      // guaranteed all three tables exist, so this is a plain no-op
+      if (nImgs == 0 && nFrs == 0) return
       System.err.println(s"[phash-store] xmodal batch=$batchId " +
         s"images=$nImgs frames=$nFrs")
       // fresh images × every frame seen (old ∪ new), indexed images ×
@@ -325,6 +335,15 @@ object StreamingPhashStore {
       .agg(min(col("hash")).as("hash"))
     def shard(df: DataFrame) = df.withColumn("_shard", lit(batchId))
     if (!store.exists(indexTable)) {
+      // per-table bootstrap fence — the mergeBatch note: both tables
+      // exist (empty, schema-defining) before any data insert, so no
+      // crash window can strand a reader on an uncreated table
+      store.insertIfAbsentPartitioned(pairsTable,
+        shard(graft.ops.VideoHash.nearDupVideos(newHashes.limit(0),
+          maxHamming, bands, minOverlap, minMatched)),
+        Seq("id_a", "id_b"), "_shard")
+      store.insertIfAbsentPartitioned(indexTable, shard(newHashes.limit(0)),
+        Seq("media_id", "frame_no"), "_shard")
       val pairs = graft.ops.VideoHash.nearDupVideos(newHashes,
         maxHamming, bands, minOverlap, minMatched)
       store.insertIfAbsentPartitioned(pairsTable, shard(pairs),

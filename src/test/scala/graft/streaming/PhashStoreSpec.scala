@@ -126,10 +126,11 @@ class PhashStoreSpec extends SparkTestBase {
       1L, store, "idx", "pairs")
     StreamingPhashStore.mergeBatch(all.filter($"media_id" >= 24),
       2L, store, "idx", "pairs")
-    // index versions v1..v3, one per batch; in v3 the first two
-    // batches' shards must be LINKS of v2's files (written bytes per
-    // fold are O(batch), flat in index size), and only batch 2's
-    // shard is fresh
+    // index versions: v1 = the bootstrap fence's empty schema shard
+    // (round-10: both tables exist before any data insert), v2..v4 one
+    // per batch; in v4 the first two batches' shards must be LINKS of
+    // v3's files (written bytes per fold are O(batch), flat in index
+    // size), and only batch 2's shard is fresh
     import java.nio.file.{Files => JF}
     def inode(p: java.nio.file.Path) =
       JF.readAttributes(p,
@@ -140,12 +141,12 @@ class PhashStoreSpec extends SparkTestBase {
       try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
       finally s.close()
     }
-    assert(inode(firstParquet(3, 0L)) == inode(firstParquet(2, 0L)),
+    assert(inode(firstParquet(4, 0L)) == inode(firstParquet(3, 0L)),
       "untouched shard 0 must be linked, not rewritten")
-    assert(inode(firstParquet(3, 1L)) == inode(firstParquet(2, 1L)),
+    assert(inode(firstParquet(4, 1L)) == inode(firstParquet(3, 1L)),
       "untouched shard 1 must be linked, not rewritten")
-    assert(inode(firstParquet(2, 0L)) == inode(firstParquet(1, 0L)))
-    assert(JF.exists(store.snapshotDir("idx", 3).resolve("_shard=2")),
+    assert(inode(firstParquet(3, 0L)) == inode(firstParquet(2, 0L)))
+    assert(JF.exists(store.snapshotDir("idx", 4).resolve("_shard=2")),
       "the new batch's shard written fresh")
     // the shard column never leaks into the read contract
     assert(StreamingPhashStore.index(store, "idx").columns.toSeq ==

@@ -104,14 +104,29 @@ object Winnow {
       numShards: Int, k: Int = 8, w: Int = 8,
       maxLen: Int = 512): DataFrame = {
     require(numShards >= 2, "cross-shard needs at least two shards")
+    crossShardRepeatsByShard(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("_wtext"))
+        .withColumn("_wshard", pmod(col("doc_id"), lit(numShards))),
+      "doc_id", "_wtext", "_wshard", k, w, maxLen)
+  }
+
+  /** [[crossShardRepeats]] with the doc→shard map supplied as a COLUMN
+    * instead of the `doc_id % numShards` stand-in — the entry the
+    * persisted streaming store uses (shard = arrival batch id, see
+    * [[graft.streaming.StreamingWinnowStore]]) and the seam its
+    * prefix-≡-one-shot spec replays. */
+  def crossShardRepeatsByShard(docs: DataFrame, idCol: String,
+      textCol: String, shardCol: String, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512): DataFrame = {
     val minLen = w + k - 1
     // cache sweep r9: track — texts feed fingerprinting AND both
     // sides of the extension join; recompute is one truncation scan
     val texts = Caches.track(docs
       .select(col(idCol).cast("long").as("doc_id"),
-        expr(s"left($textCol, $maxLen)").as("t"))
-      .filter(col("t").isNotNull && length(col("t")) > 0)
-      .withColumn("shard", pmod(col("doc_id"), lit(numShards))))
+        expr(s"left($textCol, $maxLen)").as("t"),
+        col(shardCol).cast("long").as("shard"))
+      .filter(col("t").isNotNull && length(col("t")) > 0))
     val fp = fingerprints(texts, "doc_id", "t", k, w, maxLen)
       .join(texts.select(col("doc_id"), col("shard")), Seq("doc_id"))
     val fa = fp.select(col("fp"), col("doc_id").as("doc_a"),
@@ -125,6 +140,16 @@ object Winnow {
       .filter(col("shard_a") < col("shard_b"))
     val ta = texts.select(col("doc_id").as("doc_a"), col("t").as("ta"))
     val tb = texts.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    extendCandidates(cand, ta, tb, k, minLen)
+  }
+
+  /** The shared maximalize-and-verify tail: fingerprint-anchored
+    * candidates (doc_a, pos_a, shard_a, doc_b, pos_b, shard_b) extend
+    * against the two texts to their maximal match. Candidates must
+    * already be oriented (shard_a < shard_b) and the anchor k-gram is
+    * re-verified (`ext_r ≥ k`, the md5-collision guard). */
+  private[graft] def extendCandidates(cand: DataFrame, ta: DataFrame,
+      tb: DataFrame, k: Int, minLen: Int): DataFrame = {
     import org.apache.spark.sql.graftfn.CommonExtensionFn._
     cand
       // break the fingerprint-bucket skew BEFORE the per-candidate
@@ -185,5 +210,51 @@ object Winnow {
       col("start_b").as("s"),
       (col("start_b") + col("match_len")).as("e"))
     SuffixArray.spliceCovered(docs, idCol, textCol, ivs)
+  }
+
+  /** The GLOBAL exact-substring dedup story in one operator (round-9
+    * verdict ask #8): per-shard suffix-array strip
+    * ([[SuffixArray.stripRepeatedSubstrings]], the q310 half — every
+    * within-shard repeat occurrence removed) composed with the
+    * cross-shard winnow strip ([[stripCrossShardRepeats]], the q316
+    * half — keep-first-shard) over the per-shard-clean texts. This is
+    * the sequential reference a 100 TB dedup actually runs: shard-local
+    * SA jobs in parallel, then one fingerprint join across shards.
+    *
+    * Emits every input document, ordered:
+    * (doc_id, n_chars, removed_within, removed_cross, clean_text) —
+    * n_chars is the ORIGINAL length, the two removed counts are the
+    * per-stage attrition (the q319 ledger discipline), clean_text the
+    * final survivor text.
+    *
+    * Scale shape: stage 1 is `numShards` independent SA pipelines
+    * (shard-local by construction — exactly how Lee et al. partition;
+    * here they union into one plan); stage 2 is the winnow join. The
+    * stage-1 output is materialized once (Caches.materialize, rule
+    * 16's multi-consumer discipline): it feeds both the winnow pass
+    * and the final ledger join, and recomputing 4 SA builds per
+    * consumer would dwarf the operator itself. */
+  def globalStripRepeats(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, minLen: Int = 15, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512): DataFrame = {
+    require(numShards >= 2, "global strip needs at least two shards")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("_shard", pmod(col("doc_id"), lit(numShards)))
+    val within = Caches.materialize(
+      (0 until numShards).map { s =>
+        SuffixArray.stripRepeatedSubstrings(
+          base.filter(col("_shard") === s), "doc_id", "text",
+          minLen, maxLen)
+      }.reduce(_ unionByName _))
+    val cross = stripCrossShardRepeats(
+      within.select(col("doc_id"), col("clean_text")),
+      "doc_id", "clean_text", numShards, k, w, maxLen)
+    within.select(col("doc_id"), col("n_chars"),
+        col("n_removed").as("removed_within"))
+      .join(cross.select(col("doc_id"),
+        col("n_removed").as("removed_cross"), col("clean_text")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
   }
 }

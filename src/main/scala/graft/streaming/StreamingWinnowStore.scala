@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.etl.TableStore
+import graft.ops.Winnow
+
+/** PERSISTED incremental cross-shard exact-substring dedup (round-9
+  * verdict ask #3) — the streaming twin of
+  * [[graft.ops.Winnow.crossShardRepeats]], on the
+  * [[StreamingPhashStore]] pattern: the one-shot operator re-joins the
+  * whole corpus whenever a shard arrives, which is not how a 100 TB
+  * pipeline ingests. Here every arriving shard's winnowed fingerprints
+  * probe a [[TableStore]]-persisted fingerprint INDEX (new×old only —
+  * old×old never re-pairs, and new×new is same-shard by construction,
+  * the per-shard suffix array's job), matched candidates extend to
+  * verified maximal repeats against the persisted truncated texts,
+  * matches commit, and both the fingerprint index and the text store
+  * fold O(delta) with auto-rebin.
+  *
+  * Shard semantics: the arrival BATCH is the shard (batch ids increase
+  * monotonically, so the keep-first-shard removal policy of
+  * [[graft.ops.Winnow.stripCrossShardRepeats]] becomes keep-earliest-
+  * arrival). Equivalence (WinnowStoreSpec): after any prefix of
+  * batches, the matches table equals the one-shot
+  * [[graft.ops.Winnow.crossShardRepeatsByShard]] over every document
+  * seen, with shard = its arrival batch.
+  *
+  * Exactly-once, manifest-free — every write is a keyed set union
+  * (matches by the maximal coordinates, fingerprints by (doc_id, pos),
+  * texts by doc_id), committed matches → fp index → texts; freshness
+  * is keyed on the LAST-committed table (texts), so every crash window
+  * replays to the same state:
+  *  - die before the matches commit → replay recomputes the identical
+  *    matches (index and texts unchanged);
+  *  - die between matches and fp index → replay recomputes the same
+  *    matches (no-op) and the index/texts commits land;
+  *  - die between fp index and texts → the batch is still fresh (texts
+  *    missing), its fingerprints recompute, and the candidate join now
+  *    sees them in BOTH sides — the shard_a < shard_b orientation
+  *    filter discards those self-pairs (load-bearing here, not just
+  *    defensive), matches and index no-op, texts lands;
+  *  - after all three → fresh-filtered empty, return without writing.
+  *
+  * Scale shape: the new batch's fingerprint slice broadcasts (hint
+  * dropped past [[BroadcastBatchRows]], the StreamingPhashStore
+  * argument) so the 100 TB index is probed in place; winnowing keeps
+  * the index at ~2/(w+1) of corpus characters (Schleimer et al. §4)
+  * and the text store holds only the `maxLen`-truncated verification
+  * prefix; both tables fold O(delta) via arrival-shard hive partitions
+  * and rebin via [[TableStore.compactShardsIfNeeded]]. */
+object StreamingWinnowStore {
+
+  /** The StreamingPhashStore broadcast bound, same reasoning: a
+    * catch-up batch past this probes the index through a shuffle join
+    * instead of a forced broadcast. */
+  val BroadcastBatchRows: Long = 200000L
+
+  val RebinBuckets: Int = 16
+  val RebinFactor: Int = 4
+
+  /** Wire a streaming (doc_id, text) frame into the persisted store.
+    * Caller starts/stops the returned writer. */
+  def attach(docs: DataFrame, store: TableStore, textsTable: String,
+      fpIndexTable: String, matchesTable: String, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeWinnowBatch(batch, id, store, textsTable, fpIndexTable,
+          matchesTable, k, w, maxLen)
+      }
+
+  /** Fold one batch of documents into the store: emit its verified
+    * maximal cross-shard repeats against everything already indexed,
+    * then index its fingerprints and texts. */
+  def mergeWinnowBatch(batch: DataFrame, batchId: Long, store: TableStore,
+      textsTable: String, fpIndexTable: String, matchesTable: String,
+      k: Int = 8, w: Int = 8, maxLen: Int = 512,
+      rebinBuckets: Int = RebinBuckets,
+      rebinFactor: Int = RebinFactor): Unit = {
+    val minLen = w + k - 1
+    // deterministic per-key dedup (min text) — the mergeBatch/rule-17
+    // note: three keyed inserts re-execute this plan
+    val newTexts = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+      .select(col("doc_id"), expr(s"left(text, $maxLen)").as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("shard", lit(batchId))
+    def shardP(df: DataFrame) = df.withColumn("_shard", lit(batchId))
+    // per-table bootstrap fence — the StreamingPhashStore note: every
+    // table exists (empty, schema-defining) before any data insert
+    if (!store.exists(matchesTable))
+      store.insertIfAbsentPartitioned(matchesTable,
+        shardP(Winnow.crossShardRepeatsByShard(newTexts.limit(0),
+          "doc_id", "t", "shard", k, w, maxLen)),
+        Seq("doc_a", "start_a", "doc_b", "start_b"), "_shard")
+    if (!store.exists(fpIndexTable))
+      store.insertIfAbsentPartitioned(fpIndexTable,
+        shardP(Winnow.fingerprints(newTexts.limit(0), "doc_id", "t",
+          k, w, maxLen).withColumn("shard", lit(batchId))),
+        Seq("doc_id", "pos"), "_shard")
+    if (!store.exists(textsTable))
+      store.insertIfAbsentPartitioned(textsTable, shardP(newTexts.limit(0)),
+        Seq("doc_id"), "_shard")
+    val exTexts = store.read(textsTable).drop("_shard")
+    // one materialization, many consumers — the mergeBatch note
+    val fresh = newTexts
+      .join(exTexts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      val freshRows = fresh.count()
+      if (freshRows == 0) return // full replay / duplicate ingest: no-op
+      System.err.println(s"[winnow-store] batch=$batchId fresh=$freshRows")
+      val fpNew = Winnow.fingerprints(fresh, "doc_id", "t", k, w, maxLen)
+        .join(fresh.select(col("doc_id"), col("shard")), Seq("doc_id"))
+      val fpOld = store.read(fpIndexTable).drop("_shard")
+      val fa = fpOld.select(col("fp"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"), col("shard").as("shard_a"))
+      val fb0 = fpNew.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"), col("shard").as("shard_b"))
+      // the batch is the small side: probe the index in place
+      val fb = if (freshRows <= BroadcastBatchRows) broadcast(fb0) else fb0
+      // orientation filter: earlier arrival = side a. Load-bearing on
+      // the die-between-index-and-texts replay, where the batch's own
+      // fingerprints are already IN fpOld — self-pairs land at
+      // shard_a == shard_b and must not re-match (Scaladoc crash table)
+      val cand = fa.join(fb, Seq("fp"))
+        .filter(col("shard_a") < col("shard_b"))
+      val ta = exTexts.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+      val tb = fresh.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+      val matches = Winnow.extendCandidates(cand, ta, tb, k, minLen)
+      store.insertIfAbsentPartitioned(matchesTable, shardP(matches),
+        Seq("doc_a", "start_a", "doc_b", "start_b"), "_shard")
+      store.insertIfAbsentPartitioned(fpIndexTable, shardP(fpNew),
+        Seq("doc_id", "pos"), "_shard")
+      store.insertIfAbsentPartitioned(textsTable, shardP(fresh),
+        Seq("doc_id"), "_shard")
+      // post-commit auto-rebin (the StreamingPhashStore RebinBuckets note)
+      Seq(matchesTable, fpIndexTable, textsTable).foreach(t =>
+        store.compactShardsIfNeeded(t, "_shard", rebinBuckets, rebinFactor))
+    } finally fresh.unpersist()
+  }
+
+  /** All verified maximal cross-shard repeats found so far, in the
+    * [[graft.ops.Winnow.crossShardRepeats]] column layout (arrival
+    * `_shard` dropped). */
+  def matches(store: TableStore, matchesTable: String): DataFrame =
+    store.read(matchesTable).drop("_shard")
+
+  /** The persisted fingerprint index (doc_id, pos, fp, shard). */
+  def index(store: TableStore, fpIndexTable: String): DataFrame =
+    store.read(fpIndexTable).drop("_shard")
+}

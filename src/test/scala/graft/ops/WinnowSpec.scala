@@ -193,6 +193,52 @@ class WinnowSpec extends SparkTestBase {
       s"past-maxLen text must pass through unexamined: $got")
   }
 
+  test("globalStripRepeats == sequential per-shard-SA-then-cross-shard reference; planted repeats land in the right stage") {
+    val WSPAN = "WITHIN-SHARD-REPEATED-SPAN-123"  // 30 chars, doc-local
+    val CSPAN = "THE-CROSS-SHARD-PLANTED-SPAN-XYZ" // 32 chars, cross-shard
+    val docs = Seq(
+      (2L, s"xx $WSPAN yy $WSPAN zz"),             // shard 0: within repeat
+      (1L, s"left page $CSPAN right page"),        // shard 1: loses CSPAN
+      (4L, s"alpha $CSPAN beta"),                  // shard 0: keeps CSPAN
+      (7L, "completely unique text with no repeats at all here"))
+      .toDF("doc_id", "text")
+    val got = Winnow.globalStripRepeats(docs, "doc_id", "text",
+        numShards = 2, minLen = 15, k = 8, w = 8, maxLen = 512)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // the sequential reference, written out with the two public halves
+    val within = SuffixArray.stripRepeatedSubstrings(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", 15, 512)
+      .unionByName(SuffixArray.stripRepeatedSubstrings(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", 15, 512))
+    val cross = Winnow.stripCrossShardRepeats(
+      within.select($"doc_id", $"clean_text"), "doc_id", "clean_text",
+      numShards = 2, k = 8, w = 8, maxLen = 512)
+    val want = within.select($"doc_id", $"n_chars",
+        $"n_removed".as("removed_within"))
+      .join(cross.select($"doc_id", $"n_removed".as("removed_cross"),
+        $"clean_text"), Seq("doc_id"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.toSet == want.toSet, "composition diverged from the " +
+      "sequential per-shard-strip-then-cross-shard reference")
+    val byId = got.map(r => r._1 -> r).toMap
+    // stage 1 strips EVERY occurrence of the within-shard repeat
+    assert(!byId(2L)._5.contains(WSPAN) && byId(2L)._3 >= 2L * WSPAN.length,
+      s"within-shard repeat survived: ${byId(2L)}")
+    assert(byId(2L)._4 == 0L, "doc 2 has nothing cross-shard to lose")
+    // stage 2 keeps the FIRST shard's copy, strips the later shard's
+    assert(byId(4L)._5.contains(CSPAN) && byId(4L)._4 == 0L)
+    assert(!byId(1L)._5.contains(CSPAN) && byId(1L)._4 >= CSPAN.length,
+      s"cross-shard copy survived: ${byId(1L)}")
+    // untouched doc passes through byte-identical, full ledger math
+    assert(byId(7L)._5 ==
+      "completely unique text with no repeats at all here" &&
+      byId(7L)._3 == 0L && byId(7L)._4 == 0L)
+    got.foreach { r =>
+      assert(r._5.length == r._2 - r._3 - r._4,
+        s"ledger does not conserve characters: $r")
+    }
+  }
+
   test("fingerprint density is the winnowing bound: ≈ 2/(w+1) of positions, logged for the scale note") {
     def gen(n: Int): Seq[(Long, String)] = {
       var h = 42L

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.etl.TableStore
+import graft.ops.Winnow
+
+/** Persisted incremental cross-shard dedup (`StreamingWinnowStore`,
+  * round-9 verdict ask #3): winnowed fingerprints fold into a
+  * persisted index batch by batch; the matches table after every
+  * prefix equals the one-shot `crossShardRepeatsByShard` over every
+  * document seen (shard = arrival batch), replay is a no-op without a
+  * batch manifest, and the crash window between the fp-index commit
+  * and the texts commit converges (the orientation filter is
+  * load-bearing there: the replayed batch's fingerprints are already
+  * in the index and must not self-pair). */
+class WinnowStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 4; private val W = 4 // guarantee threshold 7
+  private val P = "the shared boilerplate phrase"
+  private val Q = "another planted common span"
+
+  // three batches with planted cross-batch repeats; docs 1 and 2 share
+  // P within batch 0 (same arrival shard — must never pair)
+  private def b0 = Seq((1L, s"alpha $P omega"), (2L, s"beta $P gamma"),
+    (3L, "unique text one with nothing")).toDF("doc_id", "text")
+  private def b1 = Seq((11L, s"delta $P epsilon"),
+    (12L, s"unique two $Q tail")).toDF("doc_id", "text")
+  private def b2 = Seq((21L, s"zeta $Q eta"),
+    (22L, "totally unrelated content")).toDF("doc_id", "text")
+
+  private def matchSet(df: DataFrame) =
+    df.select($"doc_a", $"start_a", $"doc_b", $"start_b", $"shard_a",
+      $"shard_b", $"match_len", $"snippet")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+
+  /** One-shot comparator over the documents seen, tagged with their
+    * arrival batch as the shard. */
+  private def oneShot(seen: Seq[(DataFrame, Long)]) = matchSet(
+    Winnow.crossShardRepeatsByShard(
+      seen.map { case (df, id) => df.withColumn("shard", lit(id)) }
+        .reduce(_ unionByName _),
+      "doc_id", "text", "shard", K, W))
+
+  private def merge(store: TableStore, df: DataFrame, id: Long): Unit =
+    StreamingWinnowStore.mergeWinnowBatch(df, id, store,
+      "texts", "fpidx", "matches", K, W)
+
+  test("matches after every prefix equal the one-shot cross-shard pass over documents seen") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_").toString)
+    val batches = Seq(b0 -> 0L, b1 -> 1L, b2 -> 2L)
+    batches.indices.foreach { i =>
+      val (df, id) = batches(i)
+      merge(store, df, id)
+      val got = matchSet(StreamingWinnowStore.matches(store, "matches"))
+      assert(got == oneShot(batches.take(i + 1)),
+        s"prefix through batch $id diverged from one-shot")
+    }
+    val fin = matchSet(StreamingWinnowStore.matches(store, "matches"))
+    // P pairs (1,11) and (2,11); Q pairs (12,21)
+    val pairs = fin.map(m => (m._1, m._3))
+    assert(Set((1L, 11L), (2L, 11L), (12L, 21L)).subsetOf(pairs), s"$pairs")
+    // the within-batch repeat (docs 1,2) is the per-shard SA's job
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)))
+    // the maximal snippets carry the planted phrases
+    assert(fin.exists(m => m._1 == 1L && m._3 == 11L && m._8.contains(P)))
+    assert(fin.exists(m => m._1 == 12L && m._3 == 21L && m._8.contains(Q)))
+  }
+
+  test("replayed batch is a no-op: same matches, no new store version") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_rep_").toString)
+    merge(store, b0, 0L)
+    merge(store, b1, 1L)
+    val once = matchSet(StreamingWinnowStore.matches(store, "matches"))
+    val vs = Seq("texts", "fpidx", "matches").map(store.versions)
+    merge(store, b1, 1L) // at-least-once delivery
+    assert(matchSet(StreamingWinnowStore.matches(store, "matches")) == once)
+    assert(Seq("texts", "fpidx", "matches").map(store.versions) == vs,
+      "full replay must not even write a new version")
+  }
+
+  test("crash between the fp-index commit and the texts commit: replay converges, no self-pairs") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_crash_").toString)
+    merge(store, b0, 0L)
+    // fabricate the residue: batch 1's matches AND fp-index committed,
+    // its texts commit lost — the window where the replayed batch's
+    // own fingerprints are already IN the probed index
+    def prep(df: DataFrame, id: Long) = df
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .filter($"text".isNotNull)
+      .groupBy($"doc_id").agg(min($"text").as("text"))
+      .select($"doc_id", expr("left(text, 512)").as("t"))
+      .filter(length($"t") > 0)
+      .withColumn("shard", lit(id))
+    val exTexts = store.read("texts").drop("_shard")
+    val fresh1 = prep(b1, 1L)
+    val fp1 = Winnow.fingerprints(fresh1, "doc_id", "t", K, W, 512)
+      .join(fresh1.select($"doc_id", $"shard"), Seq("doc_id"))
+    val cand = store.read("fpidx").drop("_shard")
+      .select($"fp", $"doc_id".as("doc_a"), $"pos".as("pos_a"),
+        $"shard".as("shard_a"))
+      .join(fp1.select($"fp", $"doc_id".as("doc_b"), $"pos".as("pos_b"),
+        $"shard".as("shard_b")), Seq("fp"))
+      .filter($"shard_a" < $"shard_b")
+    val m1 = Winnow.extendCandidates(cand,
+      exTexts.select($"doc_id".as("doc_a"), $"t".as("ta")),
+      fresh1.select($"doc_id".as("doc_b"), $"t".as("tb")), K, K + W - 1)
+    store.insertIfAbsentPartitioned("matches",
+      m1.withColumn("_shard", lit(1L)),
+      Seq("doc_a", "start_a", "doc_b", "start_b"), "_shard")
+    store.insertIfAbsentPartitioned("fpidx",
+      fp1.withColumn("_shard", lit(1L)), Seq("doc_id", "pos"), "_shard")
+    val interrupted = matchSet(StreamingWinnowStore.matches(store, "matches"))
+    assert(interrupted.nonEmpty)
+    // the checkpoint replays batch 1: matches must not change (in
+    // particular no shard-1 × shard-1 self-pairs), texts completes
+    merge(store, b1, 1L)
+    val after = matchSet(StreamingWinnowStore.matches(store, "matches"))
+    assert(after == interrupted)
+    assert(after.forall(m => m._5 != m._6), "self-pair leaked on replay")
+    assert(after == oneShot(Seq(b0 -> 0L, b1 -> 1L)))
+    assert(store.read("texts").count() == 5)
+    // and the NEXT batch folds normally on top
+    merge(store, b2, 2L)
+    assert(matchSet(StreamingWinnowStore.matches(store, "matches")) ==
+      oneShot(Seq(b0 -> 0L, b1 -> 1L, b2 -> 2L)))
+  }
+
+  test("end-to-end through a real stream: AvailableNow drain equals one-shot") {
+    val dir = Files.createTempDirectory("graft_wst_e2e_").toString
+    val ck = Files.createTempDirectory("graft_wst_e2e_ck_").toString
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_e2e_store_").toString)
+    val schema = b0.schema
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = StreamingWinnowStore.attach(stream, store, "texts", "fpidx",
+        "matches", K, W, 512, checkpoint = ck).start()
+      q.awaitTermination()
+    }
+    b0.write.mode("append").parquet(dir); drain()
+    b1.write.mode("append").parquet(dir); drain()
+    // arrival batches through the real stream are the shards; at the
+    // k=4/w=4 threshold (7 chars) docs 3 and 12 also genuinely share
+    // "unique t" — the store must find it too
+    val got = matchSet(StreamingWinnowStore.matches(store, "matches"))
+    assert(got.map(m => (m._1, m._3)) ==
+      Set((1L, 11L), (2L, 11L), (3L, 12L)))
+    assert(got.exists(m => m._8.contains(P)))
+  }
+}

@@ -267,16 +267,7 @@ object Curation {
     * it is directly a keep-probability. */
   def targetAffinityScores(docs: DataFrame, idCol: String,
       textCol: String, isTarget: Column): DataFrame = {
-    // One (doc, bucket) histogram frame feeds BOTH the target profile
-    // and the scoring pass. cache sweep r6: track, not materialize —
-    // recompute is one linear tokenize+count scan, never super-linear.
-    val hist = Caches.track(docs
-      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("is_tgt"),
-        TextAnalysis.words(col(textCol)).as("ws"))
-      .select(col("doc_id"), col("is_tgt"), explode(col("ws")).as("w"))
-      .groupBy(col("doc_id"), col("is_tgt"),
-        substring(md5(col("w")), 1, 2).as("bucket"))
-      .agg(count(lit(1)).as("n")))
+    val hist = bucketHistogram(docs, idCol, textCol, isTarget)
     // cast to decimal BEFORE multiplying: a 100 TB target profile has
     // bucket counts past 3e9, where t*t in LONG overflows (ANSI
     // throws); decimal×long widens instead (self-review r9)
@@ -298,6 +289,64 @@ object Curation {
           (sqrt(col("tnorm2").cast("string").cast("double")) *
             sqrt(col("dn2").cast("string").cast("double"))))
           .as("affinity"))
+  }
+
+  /** The shared (doc, bucket) token-histogram frame feeding both the
+    * cosine proxy and the true DSIR scorer: every token hashed into
+    * one of 256 md5-prefix buckets and counted per document. cache
+    * sweep r6: track, not materialize — recompute is one linear
+    * tokenize+count scan, never super-linear. */
+  private def bucketHistogram(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column): DataFrame =
+    Caches.track(docs
+      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("is_tgt"),
+        TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), col("is_tgt"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("is_tgt"),
+        substring(md5(col("w")), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The PUBLISHED DSIR importance score (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023,
+    * §3): log w(doc) = Σ_features n_f · [ln p̂_target(f) − ln p̂_raw(f)]
+    * over the same hashed 256-bucket feature space as
+    * [[targetAffinityScores]], with add-1 smoothing over the bucket
+    * vocabulary so unseen buckets never produce ln 0. Returns
+    * (doc_id, log_w) for every document with at least one token.
+    *
+    * This is the score the cosine of [[targetAffinityScores]] stands
+    * in for where an oracle must replay the arithmetic (ln is
+    * transcendental — libm ulp differences make it un-twin-able);
+    * q323 gates the proxy's rank agreement against THIS scorer, and
+    * DsirSpec proves a distribution where the two genuinely disagree
+    * (a target-heavy token that is even MORE common in the raw corpus
+    * scores high cosine but negative log-ratio).
+    *
+    * Scale shape: identical to the cosine — the histogram aggregates
+    * map-side to ≤ 256 partials per (doc, partition); both profiles
+    * are ≤ 256-row broadcasts; totals are a 1-row broadcast (the
+    * scalar-subquery shape); the per-doc score is one broadcast join +
+    * one map-side-combined sum. Counts enter double before the ratio —
+    * exact below 2⁵³ and the ln output is engine-side only. */
+  def dsirLogImportance(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val hist = bucketHistogram(docs, idCol, textCol, isTarget)
+    val tgt = hist.filter(col("is_tgt"))
+      .groupBy("bucket").agg(sum(col("n")).as("t"))
+    val raw = hist.groupBy("bucket").agg(sum(col("n")).as("r"))
+    // raw covers every bucket any document touched, so the left join
+    // only ever NULL-fills t (a bucket absent from the target)
+    val prof = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("t"), lit(0L)).as("t"), col("r"))
+    val totals = prof.agg(sum(col("t")).as("tT"), sum(col("r")).as("rT"))
+    val llr = prof.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("t") + 1).cast("double") / (col("tT") + 256).cast("double"))
+          - log((col("r") + 1).cast("double") / (col("rT") + 256).cast("double")))
+          .as("llr"))
+    hist.join(broadcast(llr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("n").cast("double") * col("llr")).as("log_w"))
   }
 
   /** Leakage-safe train/test split: near-duplicate CLUSTERS are

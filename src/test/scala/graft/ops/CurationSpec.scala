@@ -366,4 +366,37 @@ class CurationSpec extends SparkTestBase {
     val singles = split.filterNot(r => clustered.contains(r._1))
     assert(singles.forall(r => r._1 == r._2))
   }
+
+  /** An adversarial corpus where the cosine proxy and the TRUE DSIR
+    * log-ratio genuinely disagree (round-9 verdict ask #4): token "aa"
+    * dominates the target profile but is even MORE frequent in the raw
+    * corpus (its log-ratio is NEGATIVE); token "bb" is target-leaning
+    * (positive ratio) but a small cosine component. Doc X (all-"aa")
+    * therefore tops the cosine ranking while the published scorer
+    * ranks doc Y (all-"bb") above it — the q323 gate measures real
+    * agreement, not a tautology. ("aa"/"bb" md5-bucket to 0x41/0x21 —
+    * no feature collision.) */
+  test("dsirLogImportance matches the published formula and disagrees with the cosine where it should") {
+    val rows =
+      (1 to 5).map(i => (i.toLong, "en", "aa aa aa aa bb")) ++
+      (11 to 60).map(i => (i.toLong, "de", "aa aa aa aa aa")) ++
+      Seq((100L, "de", "aa aa aa"), (101L, "de", "bb bb bb"))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val logw = Curation.dsirLogImportance(docs, "doc_id", "text",
+      col("lang") === "en").as[(Long, Double)].collect().toMap
+    // hand-computed add-1-smoothed profile: t = {aa:20, bb:5}, T=25;
+    // r = {aa:273, bb:8}, R=281; 256 buckets
+    val llrAa = math.log(21.0 / 281.0) - math.log(274.0 / 537.0)
+    val llrBb = math.log(6.0 / 281.0) - math.log(9.0 / 537.0)
+    assert(math.abs(logw(100L) - 3 * llrAa) < 1e-9, s"X: ${logw(100L)}")
+    assert(math.abs(logw(101L) - 3 * llrBb) < 1e-9, s"Y: ${logw(101L)}")
+    assert(llrAa < 0 && llrBb > 0, "the fixture must make the ratios oppose")
+    // the documented disagreement: cosine ranks X over Y, DSIR Y over X
+    val cos = Curation.targetAffinityScores(docs, "doc_id", "text",
+      col("lang") === "en").as[(Long, Double)].collect().toMap
+    assert(cos(100L) > cos(101L), s"cosine: ${cos(100L)} vs ${cos(101L)}")
+    assert(logw(101L) > logw(100L), s"logw: ${logw(101L)} vs ${logw(100L)}")
+    // every token-bearing document is scored by both
+    assert(logw.keySet == cos.keySet && logw.size == rows.size)
+  }
 }

@@ -31,15 +31,27 @@ import graft.functions.GreedyTrieFn
   * |corpus chars|-row shuffle; the engine never does. */
 object WordPiece {
 
+  /** Hard bound on the subword prefix tier. The tier used to collect
+    * the distinct `prefixLen`-char prefixes of EVERY distinct word —
+    * bounded for ASCII-ish corpora but a 100 TB multilingual corpus
+    * makes that set large (round-9 verdict). Capped at the
+    * `MaxPrefixes` most frequent prefixes by (token-occurrence count
+    * desc, prefix asc) — the same total order the topK word tier uses,
+    * replayed identically by the q320/q321 oracle chain. 64Ki prefixes
+    * is a few hundred KB as an expression literal (the IVF-codebook
+    * broadcast scale) and far above any small-SF fixture's distinct
+    * count, so fixture hashes are unchanged. */
+  val MaxPrefixes = 65536
+
   /** Distinct corpus characters (minus space) ∪ top-`topK` words by
-    * (count desc, word asc) ∪ distinct `prefixLen`-char prefixes of
-    * EVERY distinct word — the subword tier that makes out-of-topK
-    * words split into fragments rather than bare characters, and
-    * gives longest-match real work (word beats prefix beats single
-    * char). Deterministic and bounded (alphabet + topK + |word
-    * shapes|). */
+    * (count desc, word asc) ∪ the top-[[MaxPrefixes]] most frequent
+    * `prefixLen`-char prefixes of words — the subword tier that makes
+    * out-of-topK words split into fragments rather than bare
+    * characters, and gives longest-match real work (word beats prefix
+    * beats single char). Deterministic and bounded (alphabet + topK +
+    * maxPrefixes). */
   def vocabulary(docs: DataFrame, textCol: String, topK: Int,
-      prefixLen: Int = 3): Seq[String] = {
+      prefixLen: Int = 3, maxPrefixes: Int = MaxPrefixes): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // one token-grain frame feeds topK and the prefix tier; cache
@@ -54,7 +66,10 @@ object WordPiece {
     val prefixes = words
       .filter(length(col("w")) >= prefixLen)
       .select(substring(col("w"), 1, prefixLen).as("p"))
-      .distinct().as[String].collect().toSeq
+      .groupBy("p").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p"))
+      .limit(maxPrefixes)
+      .select("p").as[String].collect().toSeq
     // rule 20: split('') is the one-pass per-char form
     val chars = docs
       .select(explode(split(col(textCol), "")).as("c"))

@@ -645,10 +645,15 @@ object HygieneQueries {
         FROM documents, unnest(generate_series(1, length(text))) g(i)
         WHERE substr(text, g.i, 1) <> ' '),
       pref AS MATERIALIZED (
-        SELECT DISTINCT substr(w, 1, 3) AS tok
+        -- top-65536 prefixes by (occurrence count desc, prefix asc):
+        -- mirrors WordPiece.MaxPrefixes (the 100 TB bound); at fixture
+        -- SF the distinct count is far below the cap so the tier is
+        -- unchanged
+        SELECT substr(w, 1, 3) AS tok
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
                 x -> x <> '')) AS w FROM documents)
-        WHERE length(w) >= 3),
+        WHERE length(w) >= 3
+        GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT 65536),
       vocab AS MATERIALIZED (
         SELECT tok FROM singles UNION SELECT tok FROM topw
         UNION SELECT tok FROM pref),
@@ -756,12 +761,17 @@ object HygieneQueries {
                CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
         FROM documents),
       g AS (
+        -- LEFT JOIN + coalesce (q320's defensive pattern): bpeenc/wpenc
+        -- have no rows for wordless (null/empty/space-only) documents,
+        -- but the engine retains those docs with zero token counts —
+        -- an inner join here would silently drop them from the card
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_words) AS BIGINT) AS words,
                CAST(SUM(n_chars) AS BIGINT) AS chars,
-               CAST(SUM(bpe_t) AS BIGINT) AS bpe_tokens,
-               CAST(SUM(wp_t) AS BIGINT) AS wp_tokens
-        FROM base JOIN bpeenc USING (doc_id) JOIN wpenc USING (doc_id)
+               CAST(SUM(coalesce(bpe_t, 0)) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(coalesce(wp_t, 0)) AS BIGINT) AS wp_tokens
+        FROM base LEFT JOIN bpeenc USING (doc_id)
+                  LEFT JOIN wpenc USING (doc_id)
         GROUP BY 1)
       SELECT source, n_docs, words, chars, bpe_tokens, wp_tokens,
              CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE)

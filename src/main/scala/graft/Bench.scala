@@ -63,15 +63,33 @@ object Bench {
     (waited / 1e3, load, e)
   }
 
+  /** Era-relative episode floor (round-10): the host's parallel
+    * efficiency sits in multi-hour ERAS (0.55–0.65 measured live while
+    * this round's A/B ran, vs ~0.85+ in earlier rounds). An ABSOLUTE
+    * floor during a low era stalls every gated sample for its full
+    * budget and flags the whole run contaminated — the gate fights the
+    * era instead of catching episodes. Episodes are DEVIATIONS from
+    * the run's own start-of-run efficiency, so mid-run gates use
+    * min(absolute floor, 0.85 × start eff): a healthy-era run keeps
+    * the strict absolute floor; a low-era run still detects further
+    * collapse. The 0.5 clamp keeps a contended-timeout start (eff
+    * recorded as 0) from disabling episode detection entirely. */
+  def eraRelativeMinEff(startEff: Double, absFloor: Double): Double =
+    math.min(absFloor, 0.85 * math.max(startEff, 0.5))
+
   /** Short capacity re-gate for MID-RUN use (ScaleBench per-op):
     * slope points are pairwise ratios, so ONE op timed inside a
     * capacity episode forges a wildly wrong slope (observed: m=1
     * points slower than their m=4 points). Polls the efficiency probe
     * up to `maxWaitS`, then proceeds regardless (the caller's timing
     * still happens — a capped wait can't deadlock a run) and returns
-    * the last efficiency seen. */
-  def steadyGateShort(tag: String, maxWaitS: Long = 180L): Double = {
-    val minEff = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    * the last efficiency seen. Callers with a start-of-run efficiency
+    * reading pass the [[eraRelativeMinEff]] floor as `minEff0`. */
+  def steadyGateShort(tag: String, maxWaitS: Long = 180L,
+      minEff0: Double = Double.NaN): Double = {
+    val minEff = if (minEff0.isNaN)
+      sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    else minEff0
     var e = cpuEfficiencyProbe()
     var waited = 0L
     while (e < minEff && waited < maxWaitS * 1000L) {
@@ -227,7 +245,11 @@ object Bench {
     // optional regex over query names — local iteration on a subset; the
     // driver sets no filter and benches the whole catalog
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
-    val minEffEnv = sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
+    // mid-run episode floor is ERA-RELATIVE to the gate-time efficiency
+    // (see eraRelativeMinEff): in a low host era an absolute floor
+    // would re-gate + retry nearly every heavy query
+    val midRunMinEff = eraRelativeMinEff(cpuEff,
+      sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble)
     val episodeRetries = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.matches(nameFilter)).map { case (name, fn) =>
@@ -275,11 +297,11 @@ object Bench {
         val medW = if (okW.isEmpty) -1.0 else median(okW)
         val medC = if (okC.isEmpty) -1.0 else median(okC)
         if (episodeSuspect(medW, medC, cpus.toInt) &&
-            cpuEfficiencyProbe() < minEffEnv) {
+            cpuEfficiencyProbe() < midRunMinEff) {
           System.err.println(s"[bench] $name: suspect stats " +
             f"(wall $medW%.2f s @ $medC%.1f cores) during a capacity " +
             "episode — re-gating and retrying once")
-          steadyGateShort(s"bench-episode:$name")
+          steadyGateShort(s"bench-episode:$name", minEff0 = midRunMinEff)
           val retry = runOnce()
           val kept = timesAndCpu.map(orig => foldRetry(orig, retry)._1)
           if (kept != timesAndCpu) {

@@ -94,9 +94,14 @@ object ScaleBench {
     // gate cries wolf (measured: triangles 2.65 → >3.31 across two
     // back-to-back runs). Wait for a quiet machine before timing.
     val (waitedS, loadAt, effAt) = Bench.quietGateBlocking("scale")
+    // absolute per-core speed reference (the Bench probe_st_sec note):
+    // slopes are sec ratios within ONE run, but cross-round slope
+    // comparisons on this host need to know whether the core itself
+    // moved between rounds
+    val probeT1 = Bench.cpuProbeDetailed()._2
     System.err.println(
       f"[scale] starting at loadavg $loadAt%.2f cpu_eff $effAt%.2f " +
-        f"after $waitedS%.0f s")
+        f"st_sec $probeT1%.3f after $waitedS%.0f s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
@@ -152,10 +157,15 @@ object ScaleBench {
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Double, Boolean)]
     // inRows is BY NAME: a filtered-out op must not force the (possibly
     // expensive) input count of a corpus the quick mode never builds
+    // era-relative episode floor (Bench.eraRelativeMinEff): gates and
+    // post-sample validation measure DEVIATION from this run's own
+    // start-of-run efficiency — an absolute floor during a low host
+    // era (0.55–0.65 eras measured round 10) stalled every sample for
+    // its full budget and flagged the whole run contaminated
+    val minEff = Bench.eraRelativeMinEff(effAt,
+      sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble)
     def timeOp(op: String, m: Int, inRows: => Long)(build: => DataFrame): Unit = {
       if (!need(op)) return
-      val minEff =
-        sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble
       // min of 2 back-to-back runs (3 when the op lands under
       // ShortOpSecs): scaling slopes want the least-noise observation,
       // and sub-3s timings are cache-state-dominated — their 2-point
@@ -172,7 +182,7 @@ object ScaleBench {
       // never the timing's own value. Attempt budget capped so a
       // permanently sick host still produces a (self-flagged) number.
       def one(): (Long, Double, Boolean) = {
-        Bench.steadyGateShort(s"scale:$op")
+        Bench.steadyGateShort(s"scale:$op", minEff0 = minEff)
         val t0 = System.nanoTime()
         val n = build.count()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -791,7 +801,7 @@ object ScaleBench {
         s""""$op":{"sec_m$lo":${sLo.getOrElse(-1.0)},"sec_m$hi":${sHi.getOrElse(-1.0)},"slope":${slope.getOrElse(-1.0)}$extra$dirty,"out_m$lo":${r.get(lo).map(_._4).getOrElse(-1L)},"out_m$hi":${r.get(hi).map(_._4).getOrElse(-1L)}}"""
       }
       val json =
-        s"""{"mode":"quick","base":"$base","ms":[${ms.mkString(",")}],"cpus":$cpus,"ops":{${entries.mkString(",")}}}"""
+        s"""{"mode":"quick","base":"$base","ms":[${ms.mkString(",")}],"cpus":$cpus,"probe_st_sec":${f"$probeT1%.3f"},"ops":{${entries.mkString(",")}}}"""
       // an SPARK_GRAFT_SCALE_OPS subset run must not OVERWRITE the
       // round record with a partial table (self-review r9: a one-op
       // rerun silently clobbered the 15-op SCALE_QUICK.json), and it

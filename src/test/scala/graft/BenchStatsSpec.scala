@@ -131,6 +131,19 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(!Bench.episodeSuspect(-1.0, -1.0, 32))
   }
 
+  test("eraRelativeMinEff: strict floor in a healthy era, relative in a low era, clamped on a contended start") {
+    // healthy era: the absolute floor stays in charge
+    assert(Bench.eraRelativeMinEff(0.95, 0.75) === 0.75)
+    assert(Bench.eraRelativeMinEff(0.89, 0.75) === 0.75)
+    // low era (the measured 0.55-0.65 round-10 host state): the gate
+    // detects further collapse instead of fighting the era
+    assert(math.abs(Bench.eraRelativeMinEff(0.60, 0.75) - 0.51) < 1e-9)
+    assert(math.abs(Bench.eraRelativeMinEff(0.70, 0.75) - 0.595) < 1e-9)
+    // contended-timeout start (eff recorded 0) must not disable
+    // episode detection: clamp keeps a usable floor
+    assert(math.abs(Bench.eraRelativeMinEff(0.0, 0.75) - 0.425) < 1e-9)
+  }
+
   test("foldRetry keeps the better wall and reports whether it was kept") {
     // retry beat the episode-tainted original -> replaced, flagged
     assert(Bench.foldRetry((13.05, 7.4), (0.31, 9.0)) ===

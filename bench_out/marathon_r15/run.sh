@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-10 final sequence: 3 official-format Bench runs on HEAD, then a
+# ScaleBench --quick retry (the 15:13 run hit a 0.22-0.64 capacity era;
+# pq_adc/weighted_paths gate failures are era artifacts on untouched
+# code). Each invocation quiet-gates itself with a 900s budget; 120s
+# cooldown between runs. Probe logged around every run.
+cd /root/repo
+OUT=/tmp/marathon_r15
+log() { echo "$(date +%T) $*" >> $OUT/marathon.log; }
+for i in 1 2 3; do
+  python3 /tmp/ab/probe.py >> $OUT/probes.jsonl 2>&1
+  log "BENCH RUN $i start load=$(cat /proc/loadavg)"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_QUIET_WAIT_S=900 \
+    sbt -batch "runMain graft.Bench" \
+    > $OUT/run$i.stdout 2> $OUT/run$i.stderr
+  log "BENCH RUN $i end rc=$?"
+  grep '"metric"' $OUT/run$i.stdout | head -1 > $OUT/run$i.full.json
+  python3 /tmp/ab/probe.py >> $OUT/probes.jsonl 2>&1
+  sleep 120
+done
+log "SCALE RETRY start load=$(cat /proc/loadavg)"
+SPARK_GRAFT_QUIET_WAIT_S=900 \
+  sbt -batch "runMain graft.ScaleBench --quick" \
+  > $OUT/scale.stdout 2> $OUT/scale.stderr
+log "SCALE RETRY end rc=$?"
+echo MARATHON_DONE >> $OUT/marathon.log

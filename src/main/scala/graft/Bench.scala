@@ -119,13 +119,9 @@ object Bench {
     * work" in the ratio-only telemetry, but if t1 itself moved, the
     * HOST's per-core throughput moved and every cpu-second buys fewer
     * instructions. Stamped into the bench JSON as `probe_st_sec`. */
-  def cpuProbeDetailed(): (Double, Double) = {
-    // a host without parallel headroom (cpuset-limited container,
-    // 1-2 cores) would serialize the concurrent burns and read ~0.5
-    // forever — indistinguishable from a capacity episode, stalling
-    // every gate for its full budget. The probe is only meaningful
-    // where parallelism is expected; report healthy below 4 cores
-    // (self-review r9).
+  /** One timed burst of `n` concurrent copies of the fixed arithmetic
+    * loop — the shared kernel of every probe here. */
+  private def timeBurns(n: Int): Double = {
     val work = 60000000L
     def burn(): Long = {
       var s = 0L; var i = 0L
@@ -133,21 +129,36 @@ object Bench {
       s
     }
     @volatile var sink = 0L
-    def time(n: Int): Double = {
-      val ts = (1 to n).map(_ => new Thread(() => { sink += burn() }))
-      val t0 = System.nanoTime()
-      ts.foreach(_.start()); ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
-    if (Runtime.getRuntime.availableProcessors < 4) {
-      time(1) // warm-up
-      return (1.0, (1 to 3).map(_ => time(1)).min)
-    }
+    val ts = (1 to n).map(_ => new Thread(() => { sink += burn() }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Best-of-3 single-thread burn seconds (JIT-warmed) — the ~0.2 s
+    * per-core speed sample behind `probe_st_sec` and, re-taken every
+    * [[ProbeSeriesEvery]] queries, the `probe_st_series` telemetry
+    * (round-10 verdict ask #6): one start-of-run stamp could not
+    * localize the q163 window; a series makes that forensics one jq
+    * call. */
+  def singleThreadProbeSec(): Double = {
+    timeBurns(1) // JIT warm-up, discarded
+    (1 to 3).map(_ => timeBurns(1)).min
+  }
+
+  def cpuProbeDetailed(): (Double, Double) = {
+    // a host without parallel headroom (cpuset-limited container,
+    // 1-2 cores) would serialize the concurrent burns and read ~0.5
+    // forever — indistinguishable from a capacity episode, stalling
+    // every gate for its full budget. The probe is only meaningful
+    // where parallelism is expected; report healthy below 4 cores
+    // (self-review r9).
+    if (Runtime.getRuntime.availableProcessors < 4)
+      return (1.0, singleThreadProbeSec())
     val threads = math.max(2,
       math.min(16, Runtime.getRuntime.availableProcessors / 2))
-    time(1) // JIT warm-up, discarded
-    val t1 = (1 to 3).map(_ => time(1)).min
-    val tN = (1 to 2).map(_ => time(threads)).min
+    val t1 = singleThreadProbeSec()
+    val tN = (1 to 2).map(_ => timeBurns(threads)).min
     (math.min(1.0, t1 / tN), t1)
   }
 
@@ -187,6 +198,50 @@ object Bench {
   def episodeSuspect(medWall: Double, medCpu: Double, cpus: Int,
       minWall: Double = 2.0): Boolean =
     medWall >= minWall && medCpu >= 0 && medCpu < cpus / 4.0
+
+  /** HIGH-CORE episode suspicion (round-10 verdict ask #1): the
+    * low-core trigger above is structurally blind to the
+    * throughput-collapse episode form — a query burning SLOW
+    * cpu-seconds at 12+ cores (official r10 q163: 29.7 s @ 12.7 cores
+    * vs 3.6 s quiet at the same probe_st_sec) can never sit under
+    * cpus/4. Second trigger: median wall ≥ `factor`× the query's own
+    * quiet-era reference, scaled by the run's single-thread speed
+    * relative to the reference era's (`stScale` — rule 24: per-core
+    * throughput moved ~1.8× between rounds on identical code, so an
+    * unscaled reference would fire on every heavy in a slow era).
+    * Queries without a reference (new this round) fall back to the
+    * low-core trigger only. */
+  def episodeSuspectWall(medWall: Double, refWall: Double,
+      stScale: Double, factor: Double = 2.5,
+      minWall: Double = 2.0): Boolean =
+    medWall >= minWall && refWall > 0 &&
+      medWall >= factor * refWall * stScale
+
+  /** Clamped ratio of this run's single-thread probe to the reference
+    * era's — the [[episodeSuspectWall]] scale. Clamps keep a degenerate
+    * probe (0, or a 10× outlier) from disabling or flooding the
+    * trigger. */
+  def stScaleOf(runSt: Double, refSt: Double): Double =
+    if (runSt <= 0 || refSt <= 0) 1.0
+    else math.min(4.0, math.max(0.5, runSt / refSt))
+
+  /** Quiet per-query reference medians (sec) + that era's single-thread
+    * probe, from the checked-in `graft/bench_ref.tsv` (median of the
+    * three round-10 marathon_r15 quiet full-catalog runs). Empty map on
+    * a missing resource — the wall trigger then never fires. */
+  def loadBenchRef(): (Map[String, Double], Double) = {
+    val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")
+    if (in == null) return (Map.empty, -1.0)
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filterNot(_.startsWith("#")).toSeq
+    val kv = lines.flatMap { l =>
+      l.split("\t") match {
+        case Array(k, v) => Some(k -> v.toDouble)
+        case _ => None
+      }
+    }.toMap
+    (kv - "__probe_st_sec__", kv.getOrElse("__probe_st_sec__", -1.0))
+  }
 
   /** Fold a single post-re-gate retry into a suspect query's recorded
     * (wall, cpuCores): keep the retry iff it succeeded and beat the
@@ -251,6 +306,24 @@ object Bench {
     val midRunMinEff = eraRelativeMinEff(cpuEff,
       sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble)
     val episodeRetries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // pre-retry medians of the folded queries (round-10 ADVICE): the
+    // record must let drift analysis tell a true 3-run median from a
+    // folded retry
+    val retryOrig = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // quiet-era per-query wall references for the high-core episode
+    // trigger (round-10 verdict ask #1), scaled to this run's per-core
+    // speed (rule 24). The table was recorded at sf0.1 on the official
+    // 32-thread config — at any other SF the references are meaningless
+    // (sf0.01 walls are ~10× smaller), so the wall trigger disarms and
+    // only the low-core trigger stays live.
+    val (refWalls0, refSt) = loadBenchRef()
+    val refWalls =
+      if (sfDir.endsWith("sf0.1")) refWalls0 else Map.empty[String, Double]
+    val stScale = stScaleOf(probeT1, refSt)
+    // single-thread speed series (round-10 verdict ask #6): one sample
+    // per ~50 queries localizes a mid-run host era shift
+    val probeSeries = scala.collection.mutable.ArrayBuffer(probeT1)
+    var sinceProbe = 0
     // cumulative per-run episode budget (round-10, measured live): in a
     // HOVERING era — probe oscillating just under the era-relative
     // floor — ~25 of the catalog's low-core heavies trip suspicion per
@@ -307,27 +380,54 @@ object Bench {
         val okC = timesAndCpu.collect { case (t, c) if t >= 0 => c }
         val medW = if (okW.isEmpty) -1.0 else median(okW)
         val medC = if (okC.isEmpty) -1.0 else median(okC)
+        // two triggers (round-9 ask #2 + round-10 ask #1): the low-core
+        // profile (waiting, not working) and the wall-vs-quiet-reference
+        // profile (slow cpu-seconds at HIGH cores — the form the
+        // low-core trigger can never see)
+        val lowCore = episodeSuspect(medW, medC, cpus.toInt)
+        val wallSus = episodeSuspectWall(medW,
+          refWalls.getOrElse(name, -1.0), stScale)
         if (episodeAttempts < maxEpisodeAttempts && episodeGateBudgetMs > 0 &&
-            episodeSuspect(medW, medC, cpus.toInt) &&
-            cpuEfficiencyProbe() < midRunMinEff) {
-          episodeAttempts += 1
-          System.err.println(s"[bench] $name: suspect stats " +
-            f"(wall $medW%.2f s @ $medC%.1f cores) during a capacity " +
-            "episode — re-gating and retrying once " +
-            s"(attempt $episodeAttempts/$maxEpisodeAttempts, " +
-            s"${episodeGateBudgetMs / 1000}s gate budget left)")
-          val g0 = System.nanoTime()
-          steadyGateShort(s"bench-episode:$name",
-            maxWaitS = math.min(180L, math.max(10L, episodeGateBudgetMs / 1000L)),
-            minEff0 = midRunMinEff)
-          episodeGateBudgetMs -= (System.nanoTime() - g0) / 1000000L
-          val retry = runOnce()
-          val kept = timesAndCpu.map(orig => foldRetry(orig, retry)._1)
-          if (kept != timesAndCpu) {
-            // one retry replaces every episode-tainted attempt it beat;
-            // the pre-retry attempts stay visible on stderr only
-            timesAndCpu = kept
-            episodeRetries += name
+            (lowCore || wallSus)) {
+          // confirm with independent probes: parallel-capacity collapse
+          // (eff) or per-core slowdown (st vs the run's own start) — a
+          // wall suspect whose probes are BOTH healthy still earns one
+          // ungated retry, because a minutes-long episode that ended
+          // inside the 3-run window leaves a poisoned median behind a
+          // healthy probe (the official r10 q163 profile); a genuine
+          // regression reproduces in the retry and the min-fold keeps
+          // the record honest either way.
+          val eff = cpuEfficiencyProbe()
+          val stNow = if (wallSus) singleThreadProbeSec() else probeT1
+          val unhealthy = eff < midRunMinEff || stNow > 1.5 * probeT1
+          if (unhealthy || wallSus) {
+            episodeAttempts += 1
+            System.err.println(s"[bench] $name: suspect stats " +
+              f"(wall $medW%.2f s @ $medC%.1f cores, " +
+              f"ref ${refWalls.getOrElse(name, -1.0)}%.2f s, " +
+              s"lowCore=$lowCore wall=$wallSus " +
+              f"eff=$eff%.2f st=$stNow%.3f) — retrying once " +
+              s"(attempt $episodeAttempts/$maxEpisodeAttempts, " +
+              s"${episodeGateBudgetMs / 1000}s gate budget left)")
+            if (unhealthy) {
+              // the episode is still ON: wait it out before the retry
+              val g0 = System.nanoTime()
+              steadyGateShort(s"bench-episode:$name",
+                maxWaitS = math.min(180L, math.max(10L, episodeGateBudgetMs / 1000L)),
+                minEff0 = midRunMinEff)
+              episodeGateBudgetMs -= (System.nanoTime() - g0) / 1000000L
+            }
+            val retry = runOnce()
+            val kept = timesAndCpu.map(orig => foldRetry(orig, retry)._1)
+            if (kept != timesAndCpu) {
+              // one retry replaces every episode-tainted attempt it
+              // beat; the pre-retry MEDIAN rides in the record
+              // (retry_orig) so drift analysis can reconstruct what
+              // the fold replaced (round-10 ADVICE)
+              timesAndCpu = kept
+              episodeRetries += name
+              retryOrig(name) = medW
+            }
           }
         }
       }
@@ -349,6 +449,12 @@ object Bench {
       // adjudicator; -1 when no run succeeded
       val okCpu = timesAndCpu.collect { case (t, c) if t >= 0 => c }
       val medCpu = if (okCpu.isEmpty) -1.0 else median(okCpu)
+      // per-core speed series sample (ask #6): ~0.2 s per 50 queries
+      sinceProbe += 1
+      if (sinceProbe >= 50) {
+        sinceProbe = 0
+        probeSeries += singleThreadProbeSec()
+      }
       (name, if (times.contains(-1.0)) -1.0 else median(times),
         medCpu, spread(times))
     }
@@ -380,8 +486,15 @@ object Bench {
       (if (episodeRetries.size > 8)
         Seq("\"+" + (episodeRetries.size - 8) + " more\"") else Nil))
       .mkString("[", ",", "]")
+    // pre-retry medians (capped like episode_retries) + the st series:
+    // together they make a folded record self-adjudicating — what the
+    // retry replaced, and what the host's per-core speed did meanwhile
+    val retryOrigJson = retryOrig.take(8)
+      .map { case (n, w) => "\"" + n + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val seriesJson = probeSeries.map(v => f"$v%.3f").mkString("[", ",", "]")
     def line(queries: String, cpu: String, spr: String, note: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpu_eff":${f"$cpuEff%.3f"},"probe_st_sec":${f"$probeT1%.3f"},"cpus":$cpus,"episode_retries":$retriesJson$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"n_runs":$nRuns,"stat":"median","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"waited_s":$waitedS,"cpu_eff":${f"$cpuEff%.3f"},"probe_st_sec":${f"$probeT1%.3f"},"probe_st_series":$seriesJson,"cpus":$cpus,"episode_retries":$retriesJson,"retry_orig":$retryOrigJson$note,"queries":$queries,"queries_cpu":$cpu,"spread":$spr,"sf":"$sfDir"}"""
     val full = line(qs, qsCpu, qsSpread, "")
     println(full)
     // The driver keeps only the LAST ~2000 chars of stdout and tries to

@@ -77,7 +77,12 @@ object ScaleBench {
     * the steepest curves so the gate measures two consecutive 4×
     * chords, not one. */
   val ThreePointOps: Set[String] =
-    Set("triangles", "weighted_paths", "suffix_array")
+    Set("triangles", "weighted_paths", "suffix_array",
+      // round-11 (verdict ask #7): at 1.57/1.52 these were the steepest
+      // two-point ops, and both are fold/graph shapes whose m=1 point
+      // is plausibly floor-dominated — the exact pattern that earned
+      // the first three their third point
+      "store_fold", "components")
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -258,6 +263,51 @@ object ScaleBench {
       }.reduce(_ unionByName _)
     }
 
+    /** One store_fold point at index scale `m` (round-8 flagship; a def
+      * since round 11 so the m=16 third point reuses it): the streaming
+      * perceptual-store fold must be O(delta) — index size grows ×m,
+      * the folded batch stays FIXED, so sec must stay ~flat (slope ≈ 1,
+      * not ≈ m). The bootstrap (building the m×-sized index) is OUTSIDE
+      * the timer; hashes are splitmix-mixed via xxhash64 (rule:
+      * structured patterns degenerate banding), masked to the 56-bit
+      * dHash space. Custom timing (not timeOp): a second fold of the
+      * SAME batch would be a replay no-op, so each run folds a fresh
+      * store. */
+    def storeFoldPoint(m: Int): Unit = {
+      val idxRows = 150000L * m
+      val batchRows = 3000L
+      val mask = (1L << 56) - 1
+      def rmTree(f: java.io.File): Unit = {
+        // listFiles is null on I/O error / racing deletion — a cleanup
+        // NPE must not abort a run whose timing already succeeded
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete()
+      }
+      val (outRows, sec) = (1 to 2).map { r =>
+        val sroot = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(work), s"store_fold_m$m").toString
+        val store = new graft.etl.TableStore(spark, sroot)
+        val idx = spark.range(idxRows).select(col("id").as("media_id"),
+          xxhash64(col("id")).bitwiseAND(lit(mask)).as("hash"),
+          pmod(col("id"), lit(m.toLong)).as("_shard"))
+        store.overwritePartitioned("idx", idx, "_shard")
+        val batch = spark.range(idxRows, idxRows + batchRows).select(
+          col("id").as("media_id"),
+          xxhash64(col("id") + lit(7)).bitwiseAND(lit(mask)).as("hash"))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingPhashStore.mergeBatch(
+          batch, 1000L + r, store, "idx", "pairs")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // fresh-named roots would otherwise accumulate across runs
+        // (docs_m$m/emb_m$m overwrite in place; these can't)
+        rmTree(new java.io.File(sroot))
+        (batchRows, sec)
+      }.minBy(_._2)
+      recorded += (("store_fold", m, idxRows, outRows, sec, true))
+      println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
+    }
+
     ms.foreach { m =>
       val docPath = s"$work/docs_m$m"
       val embPath = s"$work/emb_m$m"
@@ -398,45 +448,7 @@ object ScaleBench {
           graft.ops.VideoHash.frameDhash(clips, "media_id", "content",
             frameStride = 2, pixelStride = 8)(spark))
       }
-      if (need("store_fold")) {
-        // round-8 flagship: the streaming perceptual-store fold must be
-        // O(delta) — index size grows ×m, the folded batch stays FIXED,
-        // so sec must stay ~flat (slope ≈ 1, not ≈ m). The bootstrap
-        // (building the m×-sized index) is OUTSIDE the timer; hashes
-        // are splitmix-mixed via xxhash64 (rule: structured patterns
-        // degenerate banding), masked to the 56-bit dHash space. Custom
-        // timing block (not timeOp): a second fold of the SAME batch
-        // would be a replay no-op, so each run folds a fresh store.
-        val idxRows = 150000L * m
-        val batchRows = 3000L
-        val mask = (1L << 56) - 1
-        def rmTree(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmTree)
-          f.delete()
-        }
-        val (outRows, sec) = (1 to 2).map { r =>
-          val sroot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(work), s"store_fold_m$m").toString
-          val store = new graft.etl.TableStore(spark, sroot)
-          val idx = spark.range(idxRows).select(col("id").as("media_id"),
-            xxhash64(col("id")).bitwiseAND(lit(mask)).as("hash"),
-            pmod(col("id"), lit(m.toLong)).as("_shard"))
-          store.overwritePartitioned("idx", idx, "_shard")
-          val batch = spark.range(idxRows, idxRows + batchRows).select(
-            col("id").as("media_id"),
-            xxhash64(col("id") + lit(7)).bitwiseAND(lit(mask)).as("hash"))
-          val t0 = System.nanoTime()
-          graft.streaming.StreamingPhashStore.mergeBatch(
-            batch, 1000L + r, store, "idx", "pairs")
-          val sec = (System.nanoTime() - t0) / 1e9
-          // fresh-named roots would otherwise accumulate across runs
-          // (docs_m$m/emb_m$m overwrite in place; these can't)
-          rmTree(new java.io.File(sroot))
-          (batchRows, sec)
-        }.minBy(_._2)
-        recorded += (("store_fold", m, idxRows, outRows, sec, true))
-        println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
-      }
+      if (need("store_fold")) storeFoldPoint(m)
 
       if (need("winnow_fold")) {
         // round-10 (verdict ask #3): the persisted winnow-fingerprint
@@ -456,7 +468,8 @@ object ScaleBench {
             concat(lit("w"), pmod(xxhash64(idc, lit(i.toLong)),
               lit(50000L)))): _*)
         def rmTreeW(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmTreeW)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeW)
           f.delete()
         }
         val (outRows, sec) = (1 to 2).map { r =>
@@ -503,7 +516,8 @@ object ScaleBench {
             concat(lit("b"), pmod(xxhash64(idc, lit(salt + 1)), lit(4000L))),
             concat(lit("c"), pmod(xxhash64(idc, lit(salt + 2)), lit(4000L))))
         def rmTree2(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmTree2)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree2)
           f.delete()
         }
         def lmFold(op: String, topical: Boolean): Unit = {
@@ -775,6 +789,20 @@ object ScaleBench {
         graft.ops.SuffixArray.suffixArray(saCorpus(xhi), "doc_id",
           "text", maxLen = 150)
       }
+      // round-11 third points (verdict ask #7): both fixtures scale by
+      // row count alone, so the xhi point needs no xhi-scaled corpus
+      // write — the chain graph is synthesized at 16× the base doc
+      // count, and the store fold builds its own 16×-sized index
+      if (ThreePointOps("components")) {
+        val n16 = baseDocs.count() * xhi * 12
+        timeOp("components", xhi, n16) {
+          val e = spark.range(n16)
+            .select((col("id") * 3).as("src"), (col("id") * 3 + 3).as("dst"))
+            .filter(col("src") % 30 =!= 27)
+          Components.connectedComponents(e, "src", "dst")
+        }
+      }
+      if (ThreePointOps("store_fold")) storeFoldPoint(xhi)
       // slope table: sec(m_hi)/sec(m_lo) per op — the number the next
       // round diffs (a healthy linear op at m=4 sits near ≤4; a
       // super-linear regression shows up as slope >> m ratio). For the
@@ -825,7 +853,7 @@ object ScaleBench {
       // independently. Refresh the baseline deliberately after an
       // INTENTIONAL change, plan_budgets-style:
       //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
-      val baseText = loadBaselineText(BaselinePath)
+      val baseText = loadBaselineText(repoAnchored(BaselinePath).toString)
       // Three-point ops gate on slope_hi ONLY (round-9 verdict what's-
       // wrong #2): their m=1 point is floor/noise-dominated (triangles'
       // base chord recorded 2.7–3.3 across same-code rounds while the
@@ -835,14 +863,25 @@ object ScaleBench {
       // faces no gate when BOTH sides carry a hi chord.
       val (curHi, baseHi) = (parseHiSlopes(json), parseHiSlopes(baseText))
       val threePt = curHi.keySet.intersect(baseHi.keySet)
-      val allFindings = slopeGate(parseSlopes(json) -- threePt,
-          parseSlopes(baseText) -- threePt,
+      // three-point base chords face a LOOSE sanity bound instead of no
+      // gate (round-10 ADVICE): their m=1 points are floor-dominated so
+      // the strict tolerance cries wolf, but a GROSS small-m blowup
+      // (a new fixed per-job overhead the 4→16 chord amortizes away)
+      // must still trip — 3× over max(base, 1.0) is far above measured
+      // noise (worst same-code swing: triangles 2.7–3.3)
+      val (curSl, baseSl) = (parseSlopes(json), parseSlopes(baseText))
+      def only(m: Map[String, Double]) = m.view.filterKeys(threePt).toMap
+      val allFindings = slopeGate(curSl -- threePt, baseSl -- threePt,
           curSecs = parseM4Secs(json), baseSecs = parseM4Secs(baseText)) ++
         slopeGate(curHi, baseHi)
-          .map(f => s"hi-chord $f")
+          .map(f => s"hi-chord $f") ++
+        slopeGate(only(curSl), only(baseSl),
+            tolerance = LooseBaseChordTolerance)
+          .map(f => s"base-chord(loose) $f")
       val (episodic, failures) = allFindings.partition(f =>
         dirtyOps.exists(op =>
-          f.startsWith(s"$op:") || f.startsWith(s"hi-chord $op:")))
+          f.startsWith(s"$op:") || f.startsWith(s"hi-chord $op:") ||
+            f.startsWith(s"base-chord(loose) $op:")))
       episodic.foreach(f => System.err.println(
         s"[scale-gate] SKIP (all samples overlapped a capacity episode" +
           s" — slope not trustworthy) $f"))
@@ -865,11 +904,19 @@ object ScaleBench {
         .map(_.trim).filter(_.nonEmpty).toSet
       val merged = mergeBaselineJson(baseText, json, dirtyOps, allowRaise,
         if (raiseSpec.isEmpty) None else Some(raiseSpec))
-      java.nio.file.Files.write(java.nio.file.Paths.get(BaselinePath),
-        (merged + "\n").getBytes("UTF-8"))
-      System.err.println(s"[scale-gate] baseline refreshed (downward-only" +
-        (if (allowRaise.nonEmpty) s"; raised: ${allowRaise.mkString(",")}"
-         else "") + s") -> $BaselinePath")
+      // repo-root-anchored write (round-10 ADVICE): run from any cwd,
+      // the refresh lands on the checked-in file or skips loudly —
+      // never throws after the gate has passed, never writes a stray
+      val target = repoAnchored(BaselinePath)
+      if (target.getParent != null &&
+          java.nio.file.Files.isDirectory(target.getParent)) {
+        java.nio.file.Files.write(target, (merged + "\n").getBytes("UTF-8"))
+        System.err.println(s"[scale-gate] baseline refreshed (downward-only" +
+          (if (allowRaise.nonEmpty) s"; raised: ${allowRaise.mkString(",")}"
+           else "") + s") -> $target")
+      } else System.err.println(
+        s"[scale-gate] WARN baseline refresh skipped: $target has no " +
+          "parent directory (run from inside the repo to refresh)")
     }
     spark.stop()
   }
@@ -889,6 +936,12 @@ object ScaleBench {
     val bSl = parseSlopes(baseText); val rSl = parseSlopes(runJson)
     val bHi = parseHiSlopes(baseText); val rHi = parseHiSlopes(runJson)
     val bSec = parseM4Secs(baseText); val rSec = parseM4Secs(runJson)
+    // informational context fields (round-10 ADVICE: the refresh used
+    // to drop them): each follows the chord it belongs to
+    val bS1 = parseNumField(baseText, "sec_m1")
+    val rS1 = parseNumField(runJson, "sec_m1")
+    val bS16 = parseNumField(baseText, "sec_m16")
+    val rS16 = parseNumField(runJson, "sec_m16")
     // merge one chord: (kept value, came-from-run?)
     def chord(op: String, b: Option[Double], r0: Option[Double])
         : (Option[Double], Boolean) = {
@@ -904,13 +957,24 @@ object ScaleBench {
     val ops = (bSl.keySet ++ rSl.keySet).toSeq.sorted
     val entries = ops.flatMap { op =>
       val (slope, slopeFromRun) = chord(op, bSl.get(op), rSl.get(op))
-      val (hi, _) = chord(op, bHi.get(op), rHi.get(op))
-      val sec = if (slopeFromRun) rSec.get(op).orElse(bSec.get(op))
-                else bSec.get(op).orElse(rSec.get(op))
+      val (hi, hiFromRun) = chord(op, bHi.get(op), rHi.get(op))
+      // a context field pairs with ITS chord's source (the noise-floor
+      // compare must pair a slope with its timing)
+      def ctx(fromRun: Boolean, r: Map[String, Double],
+          b: Map[String, Double]) =
+        if (fromRun) r.get(op).orElse(b.get(op))
+        else b.get(op).orElse(r.get(op))
+      val sec = ctx(slopeFromRun, rSec, bSec)
+      val s1 = ctx(slopeFromRun, rS1, bS1)
+      val s16 = ctx(hiFromRun, rS16, bS16)
       slope.map { s =>
+        val s1F = s1.map(v => s""""sec_m1":$v,""").getOrElse("")
         val secF = sec.map(v => s""""sec_m4":$v,""").getOrElse("")
         val hiF = hi.map(v => s""","slope_hi":$v""").getOrElse("")
-        s""""$op":{$secF"slope":$s$hiF}"""
+        val s16F =
+          if (hi.isEmpty) ""
+          else s16.map(v => s""","sec_m16":$v""").getOrElse("")
+        s""""$op":{$s1F$secF"slope":$s$s16F$hiF}"""
       }
     }
     val note = raisedNote.map(n =>
@@ -918,8 +982,27 @@ object ScaleBench {
     s"""{"mode":"baseline","policy":"best-clean-ever"$note,"ops":{${entries.mkString(",")}}}"""
   }
 
-  /** Checked-in slope baseline the quick gate diffs against. */
+  /** Checked-in slope baseline the quick gate diffs against
+    * (repo-root-relative; resolve via [[repoAnchored]]). */
   val BaselinePath = "src/test/resources/scale_quick_baseline.json"
+
+  /** Resolve a repo-root-relative path against the nearest ancestor of
+    * the cwd holding build.sbt, so the baseline read/refresh works from
+    * any cwd (round-10 ADVICE: a non-root cwd threw NoSuchFileException
+    * AFTER the gate had passed, or wrote a stray file). Falls back to
+    * cwd-relative when no repo root is found. */
+  def repoAnchored(rel: String): java.nio.file.Path = {
+    var d = java.nio.file.Paths.get("").toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    if (d == null) java.nio.file.Paths.get(rel) else d.resolve(rel)
+  }
+
+  /** Sanity bound on the three-point ops' EXCLUDED base chord: only a
+    * gross small-m blowup (> 3× over max(base, 1.0)) trips — the strict
+    * [[SlopeTolerance]] would cry wolf on floor-dominated m=1 points
+    * (triangles' base chord swung 2.7–3.3 across same-code rounds). */
+  val LooseBaseChordTolerance = 3.0
 
   /** How much a slope may worsen before the gate fails. Slopes are
     * sec(m_hi)/sec(m_lo) ratios of a 2-point probe on a shared machine:
@@ -951,6 +1034,11 @@ object ScaleBench {
     ("\"([a-z0-9_]+)\":\\{[^{}]*\"" + field + "\":(-?[0-9.eE+]+)").r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Test-only window into [[parseNumField]] (the context-preservation
+    * pins read sec_m1/sec_m16 back out of a merged baseline). */
+  def parseNumFieldForTest(json: String, field: String): Map[String, Double] =
+    parseNumField(json, field)
 
   def parseSlopes(json: String): Map[String, Double] =
     parseNumField(json, "slope")

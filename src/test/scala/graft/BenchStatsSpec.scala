@@ -144,6 +144,43 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(math.abs(Bench.eraRelativeMinEff(0.0, 0.75) - 0.425) < 1e-9)
   }
 
+  test("episodeSuspectWall: the round-10 official q163 profile fires; quiet profiles and ref-less queries never do") {
+    // q163_basket_lift official r10: 29.75 s median @ 12.7 cores — the
+    // low-core trigger is structurally blind (12.7 > 32/4)...
+    assert(!Bench.episodeSuspect(29.75, 12.7, 32))
+    // ...but the wall trigger fires against its 3.63 s quiet reference
+    // (same-era stScale ~1 — official probe_st 0.033 vs ref 0.034)
+    val scale = Bench.stScaleOf(0.033, 0.034)
+    assert(Bench.episodeSuspectWall(29.75, 3.63, scale))
+    // a healthy heavy within 2.5x of its scaled reference never fires
+    assert(!Bench.episodeSuspectWall(4.4, 3.63, scale))
+    // a 2x-slower era scales the reference up: 8 s on a 3.63 s query is
+    // only ~1.1x the era-adjusted bar, not an episode
+    assert(!Bench.episodeSuspectWall(8.0, 3.63, Bench.stScaleOf(0.068, 0.034)))
+    // no reference (new query) => never fires
+    assert(!Bench.episodeSuspectWall(29.75, -1.0, scale))
+    // sub-threshold wall is never suspect regardless of ratio
+    assert(!Bench.episodeSuspectWall(1.9, 0.2, scale))
+  }
+
+  test("stScaleOf clamps degenerate and outlier probe ratios") {
+    assert(Bench.stScaleOf(0.034, 0.034) === 1.0)
+    assert(math.abs(Bench.stScaleOf(0.068, 0.034) - 2.0) < 1e-9)
+    assert(Bench.stScaleOf(0.0, 0.034) === 1.0)   // degenerate probe
+    assert(Bench.stScaleOf(0.034, -1.0) === 1.0)  // missing reference
+    assert(Bench.stScaleOf(1.0, 0.034) === 4.0)   // clamped high
+    assert(Bench.stScaleOf(0.001, 0.034) === 0.5) // clamped low
+  }
+
+  test("loadBenchRef loads the checked-in quiet reference table") {
+    val (refs, st) = Bench.loadBenchRef()
+    assert(refs.size >= 300, s"expected the full catalog, got ${refs.size}")
+    assert(math.abs(st - 0.034) < 1e-9)
+    // the q163 anchor the high-core trigger exists for
+    assert(math.abs(refs("q163_basket_lift") - 3.627) < 1e-3)
+    assert(!refs.contains("__probe_st_sec__"))
+  }
+
   test("foldRetry keeps the better wall and reports whether it was kept") {
     // retry beat the episode-tainted original -> replaced, flagged
     assert(Bench.foldRetry((13.05, 7.4), (0.31, 9.0)) ===

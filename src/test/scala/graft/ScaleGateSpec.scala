@@ -129,6 +129,49 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleBench.parseSlopes(merged2)("seq_align") == 1.16)
   }
 
+  test("loose base-chord bound: three-point noise passes, a gross small-m blowup still trips") {
+    // triangles' base chord measured 2.7–3.3 across same-code rounds —
+    // the loose tolerance must absorb that...
+    val base = Map("triangles" -> 2.70)
+    assert(ScaleBench.slopeGate(Map("triangles" -> 3.3), base,
+      tolerance = ScaleBench.LooseBaseChordTolerance).isEmpty)
+    // ...and a 2x drift (still plausible floor noise at m=1) passes...
+    assert(ScaleBench.slopeGate(Map("triangles" -> 5.4), base,
+      tolerance = ScaleBench.LooseBaseChordTolerance).isEmpty)
+    // ...but a new fixed per-job overhead that blows the small-m regime
+    // >3x trips even though the 4->16 chord would amortize it away
+    val fails = ScaleBench.slopeGate(Map("triangles" -> 8.5), base,
+      tolerance = ScaleBench.LooseBaseChordTolerance)
+    assert(fails.size == 1 && fails.head.startsWith("triangles"))
+  }
+
+  test("repoAnchored resolves the baseline against the repo root and hits the checked-in file") {
+    val p = ScaleBench.repoAnchored(ScaleBench.BaselinePath)
+    assert(p.isAbsolute)
+    assert(p.endsWith("src/test/resources/scale_quick_baseline.json"))
+    assert(java.nio.file.Files.exists(p.getParent),
+      s"resolved parent missing: $p")
+    assert(java.nio.file.Files.exists(
+      p.getParent.getParent.getParent.getParent.resolve("build.sbt")),
+      "anchor must be the directory holding build.sbt")
+  }
+
+  test("mergeBaselineJson preserves the informational context fields with their chords") {
+    val base = """{"ops":{"triangles":{"sec_m1":3.0,"sec_m4":11.8,""" +
+      """"slope":3.25,"sec_m16":20.1,"slope_hi":1.64}}}"""
+    val run = """{"ops":{"triangles":{"sec_m1":2.9,"sec_m4":9.0,""" +
+      """"slope":2.70,"sec_m16":30.0,"slope_hi":1.90}}}"""
+    val merged = ScaleBench.mergeBaselineJson(base, run)
+    // base chord improved -> its context (sec_m1, sec_m4) follows the run
+    assert(ScaleBench.parseNumFieldForTest(merged, "sec_m1") ==
+      Map("triangles" -> 2.9))
+    assert(ScaleBench.parseM4Secs(merged) == Map("triangles" -> 9.0))
+    // hi chord worsened -> kept from baseline WITH its sec_m16
+    assert(ScaleBench.parseHiSlopes(merged) == Map("triangles" -> 1.64))
+    assert(ScaleBench.parseNumFieldForTest(merged, "sec_m16") ==
+      Map("triangles" -> 20.1))
+  }
+
   test("merged baseline round-trips through the gate's own parsers") {
     val base = ScaleBench.loadBaselineText(ScaleBench.BaselinePath)
     val merged = ScaleBench.mergeBaselineJson(base, base)

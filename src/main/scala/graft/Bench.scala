@@ -102,6 +102,20 @@ object Bench {
     e
   }
 
+  /** Median of `samples` SPACED efficiency probes — the ERA level, not
+    * one sample. Round-11 incident: a scale run's single start probe
+    * caught the era's upper tail (0.79 in a ~0.65 hovering era), so the
+    * era-relative floor (0.85 × 0.79 = 0.67) sat just ABOVE the level
+    * the host actually delivered and every mid-run sample gated for its
+    * full budget — the gate fought the era again, one level up from the
+    * round-10 fix. Floors must come from a robust read; a real episode
+    * (0.3-ish collapse) still sits far below any median here. */
+  def eraEfficiencyProbe(samples: Int = 3, spacingMs: Long = 1500L): Double =
+    median((1 to samples).map { i =>
+      if (i > 1) Thread.sleep(spacingMs)
+      cpuEfficiencyProbe()
+    })
+
   /** Parallel-efficiency probe: best-of-k single-thread time of a
     * fixed arithmetic loop vs the time for `threads` concurrent copies
     * of the same loop. With free cores the ratio is ~1; when the host
@@ -300,10 +314,12 @@ object Bench {
     // optional regex over query names — local iteration on a subset; the
     // driver sets no filter and benches the whole catalog
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
-    // mid-run episode floor is ERA-RELATIVE to the gate-time efficiency
-    // (see eraRelativeMinEff): in a low host era an absolute floor
-    // would re-gate + retry nearly every heavy query
-    val midRunMinEff = eraRelativeMinEff(cpuEff,
+    // mid-run episode floor is ERA-RELATIVE to a ROBUST start reading
+    // (see eraRelativeMinEff / eraEfficiencyProbe): in a low or
+    // hovering host era an absolute or upper-tail-anchored floor would
+    // re-gate + retry nearly every heavy query
+    val midRunMinEff = eraRelativeMinEff(
+      math.min(cpuEff, eraEfficiencyProbe()),
       sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble)
     val episodeRetries = scala.collection.mutable.ArrayBuffer.empty[String]
     // pre-retry medians of the folded queries (round-10 ADVICE): the

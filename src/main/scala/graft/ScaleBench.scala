@@ -167,7 +167,12 @@ object ScaleBench {
     // start-of-run efficiency — an absolute floor during a low host
     // era (0.55–0.65 eras measured round 10) stalled every sample for
     // its full budget and flagged the whole run contaminated
-    val minEff = Bench.eraRelativeMinEff(effAt,
+    // ROBUST era read (Bench.eraEfficiencyProbe): the gate's single
+    // reading can catch the era's upper tail (measured round 11: 0.79
+    // in a ~0.65 hovering era) and then every sample gates for its
+    // full budget against a floor the host never delivers
+    val minEff = Bench.eraRelativeMinEff(
+      math.min(effAt, Bench.eraEfficiencyProbe()),
       sys.env.getOrElse("SPARK_GRAFT_MIN_CPU_EFF", "0.75").toDouble)
     def timeOp(op: String, m: Int, inRows: => Long)(build: => DataFrame): Unit = {
       if (!need(op)) return

@@ -349,6 +349,50 @@ object Curation {
       .agg(sum(col("n").cast("double") * col("llr")).as("log_w"))
   }
 
+  /** Published-DSIR importance RESAMPLING (round-10 verdict ask #3):
+    * the operator a user reaching for "resample my corpus the way Xie
+    * et al. §3 does" actually wants — [[dsirLogImportance]] (the real
+    * summed log-ratio score) composed into a normalized
+    * keep-probability and the q90 md5 draw. The proxy-based
+    * [[weightedSample]]-on-affinity (q322) selects by a DIFFERENT
+    * ranking (q323 measured the two negatively rank-correlated on this
+    * corpus); this one selects by the published score.
+    *
+    * Keep-probability (documented normalization): a Poisson-sampling
+    * approximation of sampling ∝ w — p_i = min(1, keepFraction · n ·
+    * w'_i / Σ w'), with w'_i = exp(log_w_i − max log_w) (log-sum-exp
+    * stabilized so long documents' summed log-ratios never overflow
+    * exp). E[kept] ≈ keepFraction · n when few documents clamp at 1;
+    * a heavy-tailed w (long on-profile documents dominating — the
+    * mechanism q323 pinned) concentrates mass and keeps fewer, which
+    * is exactly importance resampling's behavior. Membership is a
+    * pure function of (doc_id, salt): reshards and corpus growth
+    * change p only through the corpus-constant normalizers.
+    *
+    * Scale shape: [[dsirLogImportance]]'s two linear scans; both
+    * normalizers are 1-row broadcasts (the scalar-subquery shape); the
+    * draw is a narrow filter. Nothing super-linear. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, keepFraction: Double,
+      salt: String = ""): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    // cache sweep: track, not materialize — bounded plan, no loop; lw
+    // feeds the max-normalizer and the scored frame
+    val lw = Caches.track(
+      dsirLogImportance(docs, idCol, textCol, isTarget))
+    val mx = lw.agg(max(col("log_w")).as("mx"))
+    val w = Caches.track(lw.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("log_w"),
+        exp(col("log_w") - col("mx")).as("w")))
+    val tot = w.agg(sum(col("w")).as("sw"), count(lit(1)).as("n"))
+    w.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("log_w"),
+        least(lit(1.0),
+          lit(keepFraction) * col("w") * col("n") / col("sw"))
+          .as("keep_p"))
+      .filter(uniformDraw(col("doc_id"), salt) < col("keep_p"))
+  }
+
   /** Leakage-safe train/test split: near-duplicate CLUSTERS are
     * assigned to a side atomically, so no near-dup pair can straddle
     * the split — the failure mode q149's audit measures is eliminated

@@ -238,18 +238,49 @@ object Winnow {
       numShards: Int, minLen: Int = 15, k: Int = 8, w: Int = 8,
       maxLen: Int = 512): DataFrame = {
     require(numShards >= 2, "global strip needs at least two shards")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"))
-      .withColumn("_shard", pmod(col("doc_id"), lit(numShards)))
+    globalStripRepeatsByShard(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("_wtext"))
+        .withColumn("_wshard", pmod(col("doc_id"), lit(numShards))),
+      "doc_id", "_wtext", "_wshard", (0L until numShards.toLong),
+      minLen, k, w, maxLen)
+  }
+
+  /** [[globalStripRepeats]] with the doc→shard map supplied as a COLUMN
+    * plus the shard-id list (the [[crossShardRepeatsByShard]] seam,
+    * lifted to the full composition) — the sequential reference the
+    * streaming [[graft.streaming.StreamingWinnowStore.stripArrivingShard]]
+    * surface must stay prefix-equivalent to (shard = arrival batch).
+    * `shards` is passed by the caller rather than collected from the
+    * data: shard ids are ingest metadata (one per shard/batch — bounded
+    * by construction), and every caller already knows them. Shards
+    * absent from the data contribute nothing. */
+  def globalStripRepeatsByShard(docs: DataFrame, idCol: String,
+      textCol: String, shardCol: String, shards: Seq[Long],
+      minLen: Int = 15, k: Int = 8, w: Int = 8,
+      maxLen: Int = 512): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard id")
+    // cache sweep: track — base feeds one SA pipeline per shard plus
+    // the cross pass's shard re-join; recompute is a projection
+    val base = Caches.track(docs.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+      col(shardCol).cast("long").as("_gshard")))
     val within = Caches.materialize(
-      (0 until numShards).map { s =>
+      shards.map { s =>
         SuffixArray.stripRepeatedSubstrings(
-          base.filter(col("_shard") === s), "doc_id", "text",
+          base.filter(col("_gshard") === s), "doc_id", "text",
           minLen, maxLen)
       }.reduce(_ unionByName _))
-    val cross = stripCrossShardRepeats(
+    val cleanWithShard = within.select(col("doc_id"), col("clean_text"))
+      .join(base.select(col("doc_id"), col("_gshard")), Seq("doc_id"))
+    val matches = crossShardRepeatsByShard(cleanWithShard, "doc_id",
+      "clean_text", "_gshard", k, w, maxLen)
+    val ivs = matches.select(col("doc_b").as("doc_id"),
+      col("start_b").as("s"),
+      (col("start_b") + col("match_len")).as("e"))
+    val cross = SuffixArray.spliceCovered(
       within.select(col("doc_id"), col("clean_text")),
-      "doc_id", "clean_text", numShards, k, w, maxLen)
+      "doc_id", "clean_text", ivs)
     within.select(col("doc_id"), col("n_chars"),
         col("n_removed").as("removed_within"))
       .join(cross.select(col("doc_id"),

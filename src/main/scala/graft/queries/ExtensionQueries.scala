@@ -2018,14 +2018,21 @@ object ExtensionQueries {
       ORDER BY affinity DESC, doc_id
       LIMIT 100"""))
 
-  /** DSIR importance RESAMPLING (`targetAffinityScores` ∘
-    * `weightedSample`): the published method's actual second half —
-    * sample ∝ importance rather than cutting at a rank (Xie et al.
-    * §3). Cosine of non-negative count vectors lies in [0, 1], so the
-    * affinity IS the keep-probability; membership is the q90 md5
-    * uniform draw — a pure function of (doc_id), so reshards and
+  /** PROXY importance resampling (`targetAffinityScores` ∘
+    * `weightedSample`): sample ∝ importance rather than cutting at a
+    * rank, with the COSINE PROXY as the keep-probability — cosine of
+    * non-negative count vectors lies in [0, 1]; membership is the q90
+    * md5 uniform draw — a pure function of (doc_id), so reshards and
     * corpus growth never flip a row, and the oracle replays the draw
-    * and the comparison bit-exactly. */
+    * and the comparison bit-exactly.
+    *
+    * NOTE (round-11): this card selects by the PROXY ranking, which
+    * q323 measured NEGATIVELY rank-correlated with the published DSIR
+    * score on this corpus — it is the bit-exactly-replayable
+    * deterministic selection operator, not Xie et al. §3 semantics.
+    * Users wanting the published method use
+    * [[graft.ops.Curation.dsirResample]] (q325), which resamples on
+    * `dsirLogImportance` itself. */
   val q322DsirResample = OracleQuery("q322_dsir_resample",
     "importance resampling: keep-prob = target affinity, md5 draw",
     (s, d) => Curation.weightedSample(
@@ -2096,8 +2103,13 @@ object ExtensionQueries {
         min(when(col("rank_cos") === 1, col("doc_id"))).as("top1_cos_doc"),
         (sum(when(col("rank_cos") <= 50 && col("rank_log") <= 50, 1L)
           .otherwise(0L)) <= 10L).as("proxy_top50_overlap_low"),
-        (corr(col("rank_cos").cast("double"), col("rank_log").cast("double"))
-          < 0.0).as("proxy_rank_corr_negative"))
+        // corr is NULL on degenerate inputs (<2 rows, zero rank
+        // variance): a future data drop must yield a deterministic
+        // false (a red row the hash explains), not a NULL-vs-true
+        // hash mismatch (round-10 ADVICE)
+        coalesce(corr(col("rank_cos").cast("double"),
+          col("rank_log").cast("double")) < 0.0, lit(false))
+          .as("proxy_rank_corr_negative"))
     },
     Some(s"""
       WITH $affinityChainSql,
@@ -2111,6 +2123,70 @@ object ExtensionQueries {
              true AS proxy_top50_overlap_low,
              true AS proxy_rank_corr_negative
       FROM rk"""))
+
+  /** Published-DSIR RESAMPLING behind a gate card (round-10 verdict
+    * ask #3): [[graft.ops.Curation.dsirResample]] composes the true
+    * log-importance scorer (q323's `dsirLogImportance`) into a
+    * normalized keep-probability (Poisson-sampling approximation of
+    * sample-∝-w, log-sum-exp stabilized — normalization documented at
+    * the operator) and the q90 md5 draw. exp/ln are transcendental, so
+    * the kept SET cannot face a bit-exact DuckDB twin; the card rides
+    * the q323 pattern — the exact side (scored-doc count and the
+    * proxy resampler's kept count, both DuckDB-replayable) next to
+    * three engine-measured booleans pinned as dataset facts:
+    * the published resampler keeps a non-trivial non-full subset, the
+    * two resamplers genuinely pick DIFFERENT documents (the round-10
+    * verdict's point: q322 composes the proxy, so the published
+    * operator did not exist), and the published resampler's kept set
+    * averages HIGHER log_w than the proxy's — i.e. it is the one
+    * aligned with Xie et al.'s score. Both resamplers share the same
+    * per-doc md5 draw (salt ""), so the differ-boolean isolates the
+    * keep-probability semantics, not draw noise. CurationSpec proves
+    * the divergence mechanism on a hand-built distribution. */
+  val q325DsirLogResample = OracleQuery("q325_dsir_log_resample",
+    "published-DSIR resampling on the true log-importance score, gate-carded vs the proxy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEn = col("lang") === "en"
+      val dsir = Curation.dsirResample(docs, "doc_id", "text", isEn,
+        keepFraction = 0.25)
+      val proxy = Curation.weightedSample(
+        Curation.targetAffinityScores(docs, "doc_id", "text", isEn),
+        "doc_id", "affinity")
+      val logw = Curation.dsirLogImportance(docs, "doc_id", "text", isEn)
+      val flags = logw
+        .join(dsir.select(col("doc_id"), lit(true).as("dk0")),
+          Seq("doc_id"), "left")
+        .join(proxy.select(col("doc_id"), lit(true).as("pk0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("log_w"),
+          coalesce(col("dk0"), lit(false)).as("dk"),
+          coalesce(col("pk0"), lit(false)).as("pk"))
+      flags.agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("pk"), 1L).otherwise(0L)).as("n_kept_proxy"),
+        (sum(when(col("dk"), 1L).otherwise(0L)) > 0L &&
+          sum(when(col("dk"), 1L).otherwise(0L)) < count(lit(1)))
+          .as("dsir_keeps_proper_subset"),
+        (sum(when(col("dk") =!= col("pk"), 1L).otherwise(0L)) > 0L)
+          .as("resamplers_differ"),
+        // avg is NULL when a side keeps nothing — deterministic false,
+        // never NULL-vs-true (the q323 corr-guard discipline)
+        coalesce(avg(when(col("dk"), col("log_w"))) >
+          avg(when(col("pk"), col("log_w"))), lit(false))
+          .as("dsir_kept_higher_logw"))
+    },
+    Some(s"""
+      WITH $affinityChainSql
+      SELECT CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN CAST(concat('0x',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0 < affinity
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_proxy,
+             true AS dsir_keeps_proper_subset,
+             true AS resamplers_differ,
+             true AS dsir_kept_higher_logw
+      FROM scored"""))
 
   /** Leakage-safe train/test split (`Curation.clusterSplit`): the
     * q313 pair→component chain assigns every near-dup CLUSTER to one
@@ -2271,5 +2347,6 @@ object ExtensionQueries {
     q309RepeatedSubstrings, q310StripRepeats, q311CrossShardRepeats,
     q312BlocklistScan, q313DedupDecisions, q316StripCrossShard,
     q317TargetAffinity, q318ClusterSplit, q319CurationFunnel,
-    q322DsirResample, q323DsirLogGate, q324GlobalStrip)
+    q322DsirResample, q323DsirLogGate, q324GlobalStrip,
+    q325DsirLogResample)
 }

@@ -148,6 +148,101 @@ object StreamingWinnowStore {
     } finally fresh.unpersist()
   }
 
+  /** APPLY half of the streaming store (round-10 verdict ask #4):
+    * [[mergeWinnowBatch]] detects and commits cross-shard matches but
+    * nothing applied removal to an arriving shard — the q324
+    * composition ([[graft.ops.Winnow.globalStripRepeats]]) was
+    * batch-only. Per arriving batch: (1) within-shard suffix-array
+    * strip (the arriving batch IS the shard — q310's half); (2) fold
+    * the per-shard-CLEAN texts into the persisted winnow store (the
+    * one-shot composition also cross-matches the per-shard-clean
+    * texts, so prefix-equivalence holds by construction); (3) splice
+    * out this batch's verified cross-shard matches — only `doc_b`
+    * sides can be in this batch (orientation shard_a < shard_b =
+    * keep-earliest-arrival); (4) persist (doc_id, n_chars,
+    * removed_within, removed_cross, clean_text) — the q319/q324
+    * attrition-ledger shape — keyed on doc_id.
+    *
+    * Replay safety rides [[mergeWinnowBatch]]'s crash table plus one
+    * new window: die after the store commits but before the clean
+    * ledger lands → the rerun's fold no-ops (fresh = 0), the committed
+    * matches for shard_b = batchId are re-read, the within strip
+    * recomputes deterministically, and the keyed insert lands the
+    * identical rows. A re-arriving doc_id never re-inserts (keyed
+    * set union), matching the one-shot's one-row-per-document shape.
+    *
+    * Equivalence (WinnowStoreSpec): after ANY batch prefix, the
+    * accumulated clean table ≡
+    * [[graft.ops.Winnow.globalStripRepeatsByShard]] over every
+    * document seen, with shard = arrival batch. */
+  def stripArrivingShard(batch: DataFrame, batchId: Long,
+      store: TableStore, textsTable: String, fpIndexTable: String,
+      matchesTable: String, cleanTable: String, minLen: Int = 15,
+      k: Int = 8, w: Int = 8, maxLen: Int = 512,
+      rebinBuckets: Int = RebinBuckets,
+      rebinFactor: Int = RebinFactor): Unit = {
+    import graft.ops.{Caches, SuffixArray}
+    // rule-17 discipline: the frame feeds the fold AND the ledger
+    // commit — dedup must be a deterministic aggregate
+    val docs0 = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+    // freshness keys on the CLEAN table — this surface's LAST commit —
+    // not on texts: in the fold-committed-ledger-lost crash window the
+    // texts table already holds the batch, but the ledger must still
+    // land. A doc with a clean row is done (first arrival wins, the
+    // one-shot's shard semantics); a batch with none left is a full
+    // replay and must not even write a new version.
+    val docs = if (!store.exists(cleanTable)) docs0
+      else docs0.join(store.read(cleanTable).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    if (docs.isEmpty) return
+    // stage 1 is a per-batch iterative SA pipeline feeding two
+    // consumers (the fold and the ledger): materialize, not track
+    // (rule 16). Release rides the session's Caches.unpersistAll —
+    // the ops-layer convention (the SA strip's own internal
+    // materializations already do the same)
+    val within = Caches.materialize(
+      SuffixArray.stripRepeatedSubstrings(docs, "doc_id", "text",
+        minLen, maxLen))
+    locally {
+      // stage 2: the store folds the per-shard-CLEAN text (what the
+      // one-shot composition cross-matches)
+      mergeWinnowBatch(
+        within.select(col("doc_id"), col("clean_text").as("text")),
+        batchId, store, textsTable, fpIndexTable, matchesTable,
+        k, w, maxLen, rebinBuckets, rebinFactor)
+      // stage 3: this batch's verified matches — committed either by
+      // the fold above or by a pre-crash run (replay window)
+      val ivs = matches(store, matchesTable)
+        .filter(col("shard_b") === batchId)
+        .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("match_len")).as("e"))
+      val cross = SuffixArray.spliceCovered(
+        within.select(col("doc_id"), col("clean_text")),
+        "doc_id", "clean_text", ivs)
+      // stage 4: the attrition ledger, keyed set union
+      val ledger = within
+        .select(col("doc_id"), col("n_chars"),
+          col("n_removed").as("removed_within"))
+        .join(cross.select(col("doc_id"),
+          col("n_removed").as("removed_cross"), col("clean_text")),
+          Seq("doc_id"))
+        .withColumn("_shard", lit(batchId))
+      store.insertIfAbsentPartitioned(cleanTable, ledger,
+        Seq("doc_id"), "_shard")
+      store.compactShardsIfNeeded(cleanTable, "_shard", rebinBuckets,
+        rebinFactor)
+    }
+  }
+
+  /** The accumulated clean-text attrition ledger
+    * ([[stripArrivingShard]]'s output table) in the
+    * [[graft.ops.Winnow.globalStripRepeatsByShard]] column layout. */
+  def cleanTexts(store: TableStore, cleanTable: String): DataFrame =
+    store.read(cleanTable).drop("_shard")
+
   /** All verified maximal cross-shard repeats found so far, in the
     * [[graft.ops.Winnow.crossShardRepeats]] column layout (arrival
     * `_shard` dropped). */

@@ -115,6 +115,11 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(e > 0.05 && e <= 1.0, s"implausible efficiency $e")
   }
 
+  test("eraEfficiencyProbe is a sane median of spaced samples") {
+    val e = Bench.eraEfficiencyProbe(samples = 3, spacingMs = 10L)
+    assert(e > 0.05 && e <= 1.0, s"implausible era efficiency $e")
+  }
+
   test("episodeSuspect: slow+low-cores trips, fast or busy or failed queries never do") {
     // the round-9 official episode victims (32-core host): all suspects
     assert(Bench.episodeSuspect(13.05, 7.4, 32)) // q274_mann_kendall

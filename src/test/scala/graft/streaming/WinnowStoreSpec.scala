@@ -135,6 +135,89 @@ class WinnowStoreSpec extends SparkTestBase {
       oneShot(Seq(b0 -> 0L, b1 -> 1L, b2 -> 2L)))
   }
 
+  // ---- stripArrivingShard (round-10 verdict ask #4): the APPLY half ----
+
+  private def ledgerSet(df: DataFrame) =
+    df.select($"doc_id", $"n_chars", $"removed_within", $"removed_cross",
+      $"clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+
+  private def oneShotStrip(seen: Seq[(DataFrame, Long)]) = {
+    val ref = ledgerSet(Winnow.globalStripRepeatsByShard(
+      seen.map { case (df, id) => df.withColumn("shard", lit(id)) }
+        .reduce(_ unionByName _),
+      "doc_id", "text", "shard", seen.map(_._2), minLen = 15, k = K, w = W))
+    graft.ops.Caches.unpersistAll()
+    ref
+  }
+
+  private def strip(store: TableStore, df: DataFrame, id: Long): Unit = {
+    StreamingWinnowStore.stripArrivingShard(df, id, store, "texts",
+      "fpidx", "matches", "clean", minLen = 15, k = K, w = W)
+    graft.ops.Caches.unpersistAll()
+  }
+
+  test("stripArrivingShard: accumulated clean ledger after every prefix equals the one-shot global strip") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_strip_").toString)
+    val batches = Seq(b0 -> 0L, b1 -> 1L, b2 -> 2L)
+    batches.indices.foreach { i =>
+      val (df, id) = batches(i)
+      strip(store, df, id)
+      val got = ledgerSet(StreamingWinnowStore.cleanTexts(store, "clean"))
+      assert(got == oneShotStrip(batches.take(i + 1)),
+        s"prefix through batch $id diverged from the one-shot strip")
+    }
+    val fin = ledgerSet(StreamingWinnowStore.cleanTexts(store, "clean"))
+    assert(fin.size == 7, "one ledger row per document seen")
+    // within-shard: docs 1 and 2 both lose the batch-0-repeated P
+    assert(fin.exists(r => r._1 == 1L && r._3 > 0))
+    assert(fin.exists(r => r._1 == 2L && r._3 > 0))
+    // cross-shard keep-earliest-arrival: doc 12 (batch 1) keeps Q —
+    // its only cross match vs batch 0 is the genuine "unique t" share
+    // with doc 3 — while doc 21 (batch 2) loses its Q occurrence
+    val d12 = fin.find(_._1 == 12L).get
+    val d21 = fin.find(_._1 == 21L).get
+    assert(d12._5.contains(Q), s"doc 12: $d12")
+    assert(d21._4 > 0 && !d21._5.contains(Q), s"doc 21: $d21")
+    // untouched documents pass through intact
+    assert(fin.exists(r =>
+      r._1 == 22L && r._3 == 0 && r._4 == 0 &&
+        r._5 == "totally unrelated content"))
+    // at-least-once delivery: a full replay is a no-op, no new version
+    val vs = Seq("texts", "fpidx", "matches", "clean").map(store.versions)
+    strip(store, b2, 2L)
+    assert(ledgerSet(StreamingWinnowStore.cleanTexts(store, "clean")) == fin)
+    assert(Seq("texts", "fpidx", "matches", "clean").map(store.versions)
+      == vs, "full replay must not even write a new version")
+  }
+
+  test("stripArrivingShard: crash after the store fold but before the clean commit converges on replay") {
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_wst_strip_crash_").toString)
+    strip(store, b0, 0L)
+    // fabricate the residue: batch 1's fold fully committed (texts,
+    // fp index, matches), the clean-ledger commit lost
+    val within1 = graft.ops.SuffixArray.stripRepeatedSubstrings(
+      b1.select($"doc_id".cast("long").as("doc_id"), $"text")
+        .groupBy($"doc_id").agg(min($"text").as("text")),
+      "doc_id", "text", minLen = 15, maxLen = 512)
+    StreamingWinnowStore.mergeWinnowBatch(
+      within1.select($"doc_id", $"clean_text".as("text")), 1L, store,
+      "texts", "fpidx", "matches", K, W)
+    graft.ops.Caches.unpersistAll()
+    assert(store.read("texts").count() == 5, "fold committed pre-crash")
+    // the checkpoint replays batch 1: the fold no-ops (fresh = 0), the
+    // committed matches are re-read, the ledger lands identically
+    strip(store, b1, 1L)
+    val got = ledgerSet(StreamingWinnowStore.cleanTexts(store, "clean"))
+    assert(got == oneShotStrip(Seq(b0 -> 0L, b1 -> 1L)))
+    // and the NEXT batch strips normally on top
+    strip(store, b2, 2L)
+    assert(ledgerSet(StreamingWinnowStore.cleanTexts(store, "clean")) ==
+      oneShotStrip(Seq(b0 -> 0L, b1 -> 1L, b2 -> 2L)))
+  }
+
   test("end-to-end through a real stream: AvailableNow drain equals one-shot") {
     val dir = Files.createTempDirectory("graft_wst_e2e_").toString
     val ck = Files.createTempDirectory("graft_wst_e2e_ck_").toString

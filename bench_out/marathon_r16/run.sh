@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-11 sequence: ScaleBench --quick FIRST (the round's top-2 ask: a
+# clean slope table, now with m=16 points for store_fold/components and
+# the robust era floor), then 3 official-format Bench runs on HEAD (the
+# new high-core wall trigger, probe_st_series and retry_orig in
+# production). Each invocation quiet-gates itself; 120s cooldown.
+cd /root/repo
+OUT=/tmp/marathon_r16
+log() { echo "$(date +%T) $*" >> $OUT/marathon.log; }
+
+python3 $OUT/probe.py >> $OUT/probes.jsonl 2>&1
+log "SCALE start load=$(cat /proc/loadavg)"
+SPARK_GRAFT_QUIET_WAIT_S=900 \
+  sbt -batch "runMain graft.ScaleBench --quick" \
+  > $OUT/scale.stdout 2> $OUT/scale.stderr
+log "SCALE end rc=$?"
+python3 $OUT/probe.py >> $OUT/probes.jsonl 2>&1
+sleep 60
+
+for i in 1 2 3; do
+  python3 $OUT/probe.py >> $OUT/probes.jsonl 2>&1
+  log "BENCH RUN $i start load=$(cat /proc/loadavg)"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_QUIET_WAIT_S=900 \
+    sbt -batch "runMain graft.Bench" \
+    > $OUT/run$i.stdout 2> $OUT/run$i.stderr
+  log "BENCH RUN $i end rc=$?"
+  grep '"metric"' $OUT/run$i.stdout | head -1 > $OUT/run$i.full.json
+  python3 $OUT/probe.py >> $OUT/probes.jsonl 2>&1
+  sleep 120
+done
+echo MARATHON_DONE >> $OUT/marathon.log

@@ -241,7 +241,7 @@ object Bench {
 
   /** Quiet per-query reference medians (sec) + that era's single-thread
     * probe, from the checked-in `graft/bench_ref.tsv` (median of the
-    * three round-10 marathon_r15 quiet full-catalog runs). Empty map on
+    * three round-11 marathon_r16 quiet full-catalog runs). Empty map on
     * a missing resource — the wall trigger then never fires. */
   def loadBenchRef(): (Map[String, Double], Double) = {
     val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")

@@ -75,14 +75,16 @@ object ScaleBench {
     * (round-7 verdict ask #6; suffix_array joined in round 9 per ask
     * #8 — newest machinery, steepest remaining chord): m=16 extends
     * the steepest curves so the gate measures two consecutive 4×
-    * chords, not one. */
-  val ThreePointOps: Set[String] =
-    Set("triangles", "weighted_paths", "suffix_array",
-      // round-11 (verdict ask #7): at 1.57/1.52 these were the steepest
-      // two-point ops, and both are fold/graph shapes whose m=1 point
-      // is plausibly floor-dominated — the exact pattern that earned
-      // the first three their third point
-      "store_fold", "components")
+    * chords, not one.
+    *
+    * Round 11 (verdict ask #8): the WHOLE quick set. Every op's m=1
+    * point is cheap enough to be floor/noise-dominated (sub-3 s
+    * timings measured ±50% run-to-run swing), so the 4→16 chord is
+    * the only trustworthy asymptote read for ALL of them — the 100×
+    * story should rest on measured chords, not extrapolated ones.
+    * Doc/embedding-based ops share one xhi corpus write (outside the
+    * timers); synthetic-fixture ops synthesize at xhi. */
+  val ThreePointOps: Set[String] = QuickOps
 
   def main(args: Array[String]): Unit = {
     val quick = args.contains("--quick")
@@ -313,6 +315,114 @@ object ScaleBench {
       println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
     }
 
+    /** One winnow_fold point at index scale `m` (round-10 verdict ask
+      * #3; a def since round 11 so the m=16 third point reuses it): the
+      * persisted winnow-fingerprint store fold. The indexed corpus
+      * grows ×m; the folded batch is FIXED (500 docs, 10% full-text
+      * duplicates of indexed docs so the candidate extension does real
+      * work); written bytes per fold are O(batch) (arrival-shard
+      * hard-links), the probe one keyed join against the
+      * 2/(w+1)-density index — wall must stay ~flat. Splitmix-mixed
+      * word draws (rule 18); bootstrap (indexing the m×-sized corpus)
+      * is OUTSIDE the timer; fresh store per run (a re-fold of the
+      * same batch is a replay no-op, the store_fold note). */
+    def winnowFoldPoint(m: Int): Unit = {
+      val idxDocs = 3000L * m
+      val batchDocs = 500L
+      def wtext(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until 25).map(i =>
+          concat(lit("w"), pmod(xxhash64(idc, lit(i.toLong)),
+            lit(50000L)))): _*)
+      def rmTreeW(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeW)
+        f.delete()
+      }
+      val (outRows, sec) = (1 to 2).map { r =>
+        val sroot = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(work), s"winnow_fold_m$m").toString
+        val store = new graft.etl.TableStore(spark, sroot)
+        val corpus = spark.range(idxDocs).select(col("id").as("doc_id"),
+          wtext(col("id")).as("text"))
+        graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
+          corpus, 0L, store, "texts", "fpidx", "matches")
+        val batch = spark.range(idxDocs, idxDocs + batchDocs).select(
+          col("id").as("doc_id"),
+          when(col("id") % 10 === 0, wtext(pmod(col("id"), lit(idxDocs))))
+            .otherwise(wtext(col("id"))).as("text"))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
+          batch, 1000L + r, store, "texts", "fpidx", "matches")
+        val sec = (System.nanoTime() - t0) / 1e9
+        rmTreeW(new java.io.File(sroot))
+        (batchDocs, sec)
+      }.minBy(_._2)
+      recorded += (("winnow_fold", m, idxDocs, outRows, sec, true))
+      println(s"""{"op":"winnow_fold","m":$m,"in_rows":$idxDocs,"out_rows":$outRows,"sec":$sec}""")
+    }
+
+    /** One point per LM-store fold regime at vocabulary scale `m`
+      * (round-8 verdict ask #7; a def since round 11 for the m=16
+      * third point): update-in-place fold cost is touched-bucket count
+      * × bucket size. Measure BOTH regimes instead of arguing them: a
+      * TOPICAL batch whose delta vocabulary is rejection-filtered
+      * through the store's own bucket function into 4 of 64 buckets,
+      * and a UNIFORM batch of the same expected trigram count spanning
+      * every bucket — the documented inherent worst case (the update
+      * must land WHERE the key lives). Vocabulary scales ×m; the batch
+      * stays fixed, so each regime's slope shows how ITS touched-bucket
+      * rewrite grows with the table, and the topical/uniform gap is
+      * the measured degradation. One 3-word doc per id = exactly one
+      * trigram; splitmix-style word draws (rule 18). */
+    def lmFoldPoints(m: Int): Unit = {
+      val vocabDocs = 40000L * m
+      val batchDocs = 2000L
+      def triDoc(idc: org.apache.spark.sql.Column, salt: Long) =
+        concat_ws(" ",
+          concat(lit("a"), pmod(xxhash64(idc, lit(salt)), lit(4000L))),
+          concat(lit("b"), pmod(xxhash64(idc, lit(salt + 1)), lit(4000L))),
+          concat(lit("c"), pmod(xxhash64(idc, lit(salt + 2)), lit(4000L))))
+      def rmTree2(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree2)
+        f.delete()
+      }
+      def lmFold(op: String, topical: Boolean): Unit = {
+        if (!need(op)) return
+        val (outRows, sec) = (1 to 2).map { _ =>
+          val sroot = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(work), s"${op}_m$m").toString
+          val store = new graft.etl.TableStore(spark, sroot)
+          val seed = spark.range(vocabDocs).select(
+            col("id").as("doc_id"), triDoc(col("id"), 11L).as("text"))
+          graft.streaming.StreamingLmStore.mergeBatch(
+            seed, 0L, store, "lm", "doc_id", "text")
+          // topical candidates oversample ×16 then keep buckets
+          // 0..3 (expected 16 × 4/64 = 1× batchDocs — same expected
+          // size as the uniform batch)
+          val candN = if (topical) batchDocs * 16 else batchDocs
+          val cand = spark.range(1000000L, 1000000L + candN).select(
+            col("id").as("doc_id"), triDoc(col("id"), 77L).as("text"))
+          val batch = if (topical) {
+            val ws = split(col("text"), " ")
+            cand.filter(pmod(xxhash64(ws.getItem(0), ws.getItem(1),
+              ws.getItem(2)), lit(64L)) < 4)
+          } else cand
+          val n = batch.count()
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingLmStore.mergeBatch(
+            batch, 1L, store, "lm", "doc_id", "text")
+          val sec = (System.nanoTime() - t0) / 1e9
+          rmTree2(new java.io.File(sroot))
+          (n, sec)
+        }.minBy(_._2)
+        recorded += ((op, m, vocabDocs, outRows, sec, true))
+        println(s"""{"op":"$op","m":$m,"in_rows":$vocabDocs,"out_rows":$outRows,"sec":$sec}""")
+      }
+      lmFold("lm_fold_topical", topical = true)
+      lmFold("lm_fold_uniform", topical = false)
+    }
+
     ms.foreach { m =>
       val docPath = s"$work/docs_m$m"
       val embPath = s"$work/emb_m$m"
@@ -455,111 +565,9 @@ object ScaleBench {
       }
       if (need("store_fold")) storeFoldPoint(m)
 
-      if (need("winnow_fold")) {
-        // round-10 (verdict ask #3): the persisted winnow-fingerprint
-        // store fold. The indexed corpus grows ×m; the folded batch is
-        // FIXED (500 docs, 10% full-text duplicates of indexed docs so
-        // the candidate extension does real work); written bytes per
-        // fold are O(batch) (arrival-shard hard-links), the probe one
-        // keyed join against the 2/(w+1)-density index — wall must
-        // stay ~flat. Splitmix-mixed word draws (rule 18); bootstrap
-        // (indexing the m×-sized corpus) is OUTSIDE the timer; fresh
-        // store per run (a re-fold of the same batch is a replay
-        // no-op, the store_fold note).
-        val idxDocs = 3000L * m
-        val batchDocs = 500L
-        def wtext(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          concat_ws(" ", (0 until 25).map(i =>
-            concat(lit("w"), pmod(xxhash64(idc, lit(i.toLong)),
-              lit(50000L)))): _*)
-        def rmTreeW(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeW)
-          f.delete()
-        }
-        val (outRows, sec) = (1 to 2).map { r =>
-          val sroot = java.nio.file.Files.createTempDirectory(
-            java.nio.file.Paths.get(work), s"winnow_fold_m$m").toString
-          val store = new graft.etl.TableStore(spark, sroot)
-          val corpus = spark.range(idxDocs).select(col("id").as("doc_id"),
-            wtext(col("id")).as("text"))
-          graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
-            corpus, 0L, store, "texts", "fpidx", "matches")
-          val batch = spark.range(idxDocs, idxDocs + batchDocs).select(
-            col("id").as("doc_id"),
-            when(col("id") % 10 === 0, wtext(pmod(col("id"), lit(idxDocs))))
-              .otherwise(wtext(col("id"))).as("text"))
-          val t0 = System.nanoTime()
-          graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
-            batch, 1000L + r, store, "texts", "fpidx", "matches")
-          val sec = (System.nanoTime() - t0) / 1e9
-          rmTreeW(new java.io.File(sroot))
-          (batchDocs, sec)
-        }.minBy(_._2)
-        recorded += (("winnow_fold", m, idxDocs, outRows, sec, true))
-        println(s"""{"op":"winnow_fold","m":$m,"in_rows":$idxDocs,"out_rows":$outRows,"sec":$sec}""")
-      }
+      if (need("winnow_fold")) winnowFoldPoint(m)
 
-      if (need("lm_fold_topical") || need("lm_fold_uniform")) {
-        // round-8 verdict ask #7: the LM store's update-in-place fold
-        // cost is touched-bucket count × bucket size. Measure BOTH
-        // regimes instead of arguing them: a TOPICAL batch whose delta
-        // vocabulary is rejection-filtered through the store's own
-        // bucket function into 4 of 64 buckets, and a UNIFORM batch of
-        // the same expected trigram count spanning every bucket — the
-        // documented inherent worst case (the update must land WHERE
-        // the key lives). Vocabulary scales ×m; the batch stays fixed,
-        // so each regime's slope shows how ITS touched-bucket rewrite
-        // grows with the table, and the topical/uniform gap is the
-        // measured degradation. One 3-word doc per id = exactly one
-        // trigram; splitmix-style word draws (rule 18).
-        val vocabDocs = 40000L * m
-        val batchDocs = 2000L
-        def triDoc(idc: org.apache.spark.sql.Column, salt: Long) =
-          concat_ws(" ",
-            concat(lit("a"), pmod(xxhash64(idc, lit(salt)), lit(4000L))),
-            concat(lit("b"), pmod(xxhash64(idc, lit(salt + 1)), lit(4000L))),
-            concat(lit("c"), pmod(xxhash64(idc, lit(salt + 2)), lit(4000L))))
-        def rmTree2(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree2)
-          f.delete()
-        }
-        def lmFold(op: String, topical: Boolean): Unit = {
-          if (!need(op)) return
-          val (outRows, sec) = (1 to 2).map { _ =>
-            val sroot = java.nio.file.Files.createTempDirectory(
-              java.nio.file.Paths.get(work), s"${op}_m$m").toString
-            val store = new graft.etl.TableStore(spark, sroot)
-            val seed = spark.range(vocabDocs).select(
-              col("id").as("doc_id"), triDoc(col("id"), 11L).as("text"))
-            graft.streaming.StreamingLmStore.mergeBatch(
-              seed, 0L, store, "lm", "doc_id", "text")
-            // topical candidates oversample ×16 then keep buckets
-            // 0..3 (expected 16 × 4/64 = 1× batchDocs — same expected
-            // size as the uniform batch)
-            val candN = if (topical) batchDocs * 16 else batchDocs
-            val cand = spark.range(1000000L, 1000000L + candN).select(
-              col("id").as("doc_id"), triDoc(col("id"), 77L).as("text"))
-            val batch = if (topical) {
-              val ws = split(col("text"), " ")
-              cand.filter(pmod(xxhash64(ws.getItem(0), ws.getItem(1),
-                ws.getItem(2)), lit(64L)) < 4)
-            } else cand
-            val n = batch.count()
-            val t0 = System.nanoTime()
-            graft.streaming.StreamingLmStore.mergeBatch(
-              batch, 1L, store, "lm", "doc_id", "text")
-            val sec = (System.nanoTime() - t0) / 1e9
-            rmTree2(new java.io.File(sroot))
-            (n, sec)
-          }.minBy(_._2)
-          recorded += ((op, m, vocabDocs, outRows, sec, true))
-          println(s"""{"op":"$op","m":$m,"in_rows":$vocabDocs,"out_rows":$outRows,"sec":$sec}""")
-        }
-        lmFold("lm_fold_topical", topical = true)
-        lmFold("lm_fold_uniform", topical = false)
-      }
+      if (need("lm_fold_topical") || need("lm_fold_uniform")) lmFoldPoints(m)
 
       timeOp("pq_adc", m, nEmb) {
         // sublinear-shortlist evidence (round-6 verdict ask #3):
@@ -797,9 +805,12 @@ object ScaleBench {
       // round-11 third points (verdict ask #7): both fixtures scale by
       // row count alone, so the xhi point needs no xhi-scaled corpus
       // write — the chain graph is synthesized at 16× the base doc
-      // count, and the store fold builds its own 16×-sized index
+      // count, and the store fold builds its own 16×-sized index.
+      // Replication is exact, so xhi corpus row counts derive from the
+      // base count without materializing anything.
+      lazy val nBase = baseDocs.count()
       if (ThreePointOps("components")) {
-        val n16 = baseDocs.count() * xhi * 12
+        val n16 = nBase * xhi * 12
         timeOp("components", xhi, n16) {
           val e = spark.range(n16)
             .select((col("id") * 3).as("src"), (col("id") * 3 + 3).as("dst"))
@@ -807,7 +818,80 @@ object ScaleBench {
           Components.connectedComponents(e, "src", "dst")
         }
       }
-      if (ThreePointOps("store_fold")) storeFoldPoint(xhi)
+      // need() guard: storeFoldPoint bypasses timeOp's filter (a
+      // subset rerun was observed timing store_fold's m=16 point it
+      // never asked for, polluting the partial JSON with -1 chords)
+      if (ThreePointOps("store_fold") && need("store_fold"))
+        storeFoldPoint(xhi)
+      // round-11 (verdict ask #8): the REST of the quick set gets its
+      // third point too — fixtures follow each op's per-m convention.
+      // Folds/synthetic fixtures synthesize at xhi; corpus-based ops
+      // share one xhi parquet write OUTSIDE every timer.
+      if (ThreePointOps("winnow_fold") && need("winnow_fold"))
+        winnowFoldPoint(xhi)
+      if (ThreePointOps("lm_fold_topical") || ThreePointOps("lm_fold_uniform"))
+        lmFoldPoints(xhi)
+      if (ThreePointOps("pagerank")) timeOp("pagerank", xhi, nBase * xhi * 12) {
+        val nd = nBase * xhi
+        val e = spark.range(nd * 12)
+          .selectExpr(s"id % $nd as src",
+            s"((id % $nd) * 7 + id div $nd + 1) % $nd as dst")
+        PageRank.pageRankInt(e, "src", "dst")
+      }
+      if (ThreePointOps("seq_align")) timeOp("seq_align", xhi, 800L * xhi) {
+        val clips = graft.ops.VideoHash.syntheticScaleClips(spark, 400 * xhi)
+        graft.ops.VideoHash.nearDupVideos(
+          graft.ops.VideoHash.frameDhash(clips, "media_id", "content",
+            frameStride = 2, pixelStride = 8)(spark))
+      }
+      if (ThreePointOps("phash_neardup"))
+        timeOp("phash_neardup", xhi, 2400L * xhi) {
+          val imgs = graft.ops.Phash.syntheticScaleImages(spark, 1200 * xhi)
+          graft.ops.Phash.nearDupPairs(
+            graft.ops.Phash.dhash(imgs, "media_id", "content", 2)(spark))
+        }
+      val doc16Ops = Seq("minhash_lsh", "prefix_jaccard_join",
+        "target_affinity", "bpe_train")
+        .filter(op => ThreePointOps(op) && need(op))
+      if (doc16Ops.nonEmpty) {
+        val docPath16 = s"$work/docs_m$xhi"
+        scaledDocs(xhi).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(docPath16)
+        val docs16 = spark.read.parquet(docPath16)
+        val nDocs16 = nBase * xhi
+        if (doc16Ops.contains("minhash_lsh"))
+          timeOp("minhash_lsh", xhi, nDocs16) {
+            Dedup.minhashLshPairs(docs16, "doc_id", "text")
+          }
+        if (doc16Ops.contains("target_affinity"))
+          timeOp("target_affinity", xhi, nDocs16) {
+            Curation.targetAffinityTopK(docs16, "doc_id", "text",
+              col("doc_id") % 7 === 0, 100)
+          }
+        if (doc16Ops.contains("prefix_jaccard_join"))
+          timeOp("prefix_jaccard_join", xhi, nDocs16) {
+            Dedup.prefixJaccardPairs(docs16, "doc_id", "text", 0.5)
+          }
+        if (doc16Ops.contains("bpe_train"))
+          timeOp("bpe_train", xhi, nDocs16) {
+            val (ms16, _) = graft.ops.Bpe.train(docs16, "text", 8)
+            graft.ops.Bpe.mergesDf(spark, ms16)
+          }
+      }
+      if (ThreePointOps("pq_adc") && need("pq_adc")) {
+        val embPath16 = s"$work/emb_m$xhi"
+        scaledEmb(xhi).repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(embPath16)
+        val emb16 = spark.read.parquet(embPath16)
+        val nEmb16 = emb16.count()
+        timeOp("pq_adc", xhi, nEmb16) {
+          val vd = Similarity.withNorm(emb16, "embedding")
+            .select(col("vec_id").cast("long").as("vec_id"), col("vd"))
+          graft.ops.Pq.adcTopK(vd, vd.filter(col("vec_id") < 5), "vec_id",
+            k = graft.ops.Pq.adaptiveShortlist(nEmb16), m = 4,
+            ksub = graft.ops.Pq.adaptiveKsub(nEmb16, 4), iters = 3)
+        }
+      }
       // slope table: sec(m_hi)/sec(m_lo) per op — the number the next
       // round diffs (a healthy linear op at m=4 sits near ≤4; a
       // super-linear regression shows up as slope >> m ratio). For the

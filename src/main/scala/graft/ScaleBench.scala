@@ -155,13 +155,23 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
       .orElse(if (quick) Some(QuickOps) else None)
     def need(op: String): Boolean = opsFilter.forall(_.contains(op))
-    // (op, m, in_rows, out_rows, sec, clean) — clean=false marks a
-    // point whose EVERY sample overlapped a host capacity episode
-    // (post-run cpu_eff below the floor on all attempts): recorded for
-    // coverage, flagged in the JSON, and excluded from the slope gate
-    // with a loud SKIP instead of forging a pass/fail (self-review r9)
+    // (op, m, in_rows, out_rows, sec, clean, cpu_cores) — clean=false
+    // marks a point whose EVERY sample overlapped a host capacity
+    // episode (post-run cpu_eff below the floor on all attempts):
+    // recorded for coverage, flagged in the JSON, and excluded from
+    // the slope gate with a loud SKIP instead of forging a pass/fail
+    // (self-review r9). cpu_cores (round 11) is the kept sample's
+    // process-cpu-seconds / wall — the 0.5 s bracket probes cannot see
+    // SUSTAINED-burn throttling that only manifests under load (two
+    // same-evening attempts inflated every established hi-chord ~1.3×
+    // with PASSING brackets); with per-point cores on the record,
+    // "throttled m=16 or super-linear op?" is one jq call, the
+    // probe_st_sec lesson one level down
     val recorded =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Double, Boolean)]
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Double, Boolean, Double)]
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def processCpuSec(): Double = osBean.getProcessCpuTime / 1e9
     // inRows is BY NAME: a filtered-out op must not force the (possibly
     // expensive) input count of a corpus the quick mode never builds
     // era-relative episode floor (Bench.eraRelativeMinEff): gates and
@@ -193,19 +203,21 @@ object ScaleBench {
       // averaged in; the rejection criterion is the independent probe,
       // never the timing's own value. Attempt budget capped so a
       // permanently sick host still produces a (self-flagged) number.
-      def one(): (Long, Double, Boolean) = {
+      def one(): (Long, Double, Boolean, Double) = {
         Bench.steadyGateShort(s"scale:$op", minEff0 = minEff)
+        val c0 = processCpuSec()
         val t0 = System.nanoTime()
         val n = build.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val cores = if (sec > 0) (processCpuSec() - c0) / sec else 0.0
         graft.ops.Dedup.unpersistCaches()
         val post = Bench.cpuEfficiencyProbe()
         if (post < minEff) System.err.println(
           f"[scale:$op] sample $sec%.2f s rejected: post-run cpu_eff " +
             f"$post%.2f < $minEff%.2f (episode began mid-op)")
-        (n, sec, post >= minEff)
+        (n, sec, post >= minEff, cores)
       }
-      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean, Double)]
       def validCount = runs.count(_._3)
       def wanted =
         if (runs.exists(r => r._3 && r._2 < ShortOpSecs)) 3 else 2
@@ -215,10 +227,10 @@ object ScaleBench {
       }
       val clean = validCount > 0
       val pool = if (clean) runs.filter(_._3) else runs
-      val (outRows, sec, _) = pool.minBy(_._2)
-      recorded += ((op, m, inRows, outRows, sec, clean))
+      val (outRows, sec, _, cores) = pool.minBy(_._2)
+      recorded += ((op, m, inRows, outRows, sec, clean, cores))
       val flag = if (clean) "" else ",\"contaminated\":true"
-      println(s"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec$flag}""")
+      println(f"""{"op":"$op","m":$m,"in_rows":$inRows,"out_rows":$outRows,"sec":$sec,"cpu_cores":$cores%.1f$flag}""")
     }
 
     /** Co-purchase graph of the base lineitem, replicated `mm`× with
@@ -291,7 +303,7 @@ object ScaleBench {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
         f.delete()
       }
-      val (outRows, sec) = (1 to 2).map { r =>
+      val (outRows, sec, cores) = (1 to 2).map { r =>
         val sroot = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(work), s"store_fold_m$m").toString
         val store = new graft.etl.TableStore(spark, sroot)
@@ -302,17 +314,19 @@ object ScaleBench {
         val batch = spark.range(idxRows, idxRows + batchRows).select(
           col("id").as("media_id"),
           xxhash64(col("id") + lit(7)).bitwiseAND(lit(mask)).as("hash"))
+        val c0 = processCpuSec()
         val t0 = System.nanoTime()
         graft.streaming.StreamingPhashStore.mergeBatch(
           batch, 1000L + r, store, "idx", "pairs")
         val sec = (System.nanoTime() - t0) / 1e9
+        val cs = if (sec > 0) (processCpuSec() - c0) / sec else 0.0
         // fresh-named roots would otherwise accumulate across runs
         // (docs_m$m/emb_m$m overwrite in place; these can't)
         rmTree(new java.io.File(sroot))
-        (batchRows, sec)
+        (batchRows, sec, cs)
       }.minBy(_._2)
-      recorded += (("store_fold", m, idxRows, outRows, sec, true))
-      println(s"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec}""")
+      recorded += (("store_fold", m, idxRows, outRows, sec, true, cores))
+      println(f"""{"op":"store_fold","m":$m,"in_rows":$idxRows,"out_rows":$outRows,"sec":$sec,"cpu_cores":$cores%.1f}""")
     }
 
     /** One winnow_fold point at index scale `m` (round-10 verdict ask
@@ -338,7 +352,7 @@ object ScaleBench {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTreeW)
         f.delete()
       }
-      val (outRows, sec) = (1 to 2).map { r =>
+      val (outRows, sec, cores) = (1 to 2).map { r =>
         val sroot = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(work), s"winnow_fold_m$m").toString
         val store = new graft.etl.TableStore(spark, sroot)
@@ -350,15 +364,17 @@ object ScaleBench {
           col("id").as("doc_id"),
           when(col("id") % 10 === 0, wtext(pmod(col("id"), lit(idxDocs))))
             .otherwise(wtext(col("id"))).as("text"))
+        val c0 = processCpuSec()
         val t0 = System.nanoTime()
         graft.streaming.StreamingWinnowStore.mergeWinnowBatch(
           batch, 1000L + r, store, "texts", "fpidx", "matches")
         val sec = (System.nanoTime() - t0) / 1e9
+        val cs = if (sec > 0) (processCpuSec() - c0) / sec else 0.0
         rmTreeW(new java.io.File(sroot))
-        (batchDocs, sec)
+        (batchDocs, sec, cs)
       }.minBy(_._2)
-      recorded += (("winnow_fold", m, idxDocs, outRows, sec, true))
-      println(s"""{"op":"winnow_fold","m":$m,"in_rows":$idxDocs,"out_rows":$outRows,"sec":$sec}""")
+      recorded += (("winnow_fold", m, idxDocs, outRows, sec, true, cores))
+      println(f"""{"op":"winnow_fold","m":$m,"in_rows":$idxDocs,"out_rows":$outRows,"sec":$sec,"cpu_cores":$cores%.1f}""")
     }
 
     /** One point per LM-store fold regime at vocabulary scale `m`
@@ -389,7 +405,7 @@ object ScaleBench {
       }
       def lmFold(op: String, topical: Boolean): Unit = {
         if (!need(op)) return
-        val (outRows, sec) = (1 to 2).map { _ =>
+        val (outRows, sec, cores) = (1 to 2).map { _ =>
           val sroot = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(work), s"${op}_m$m").toString
           val store = new graft.etl.TableStore(spark, sroot)
@@ -409,15 +425,17 @@ object ScaleBench {
               ws.getItem(2)), lit(64L)) < 4)
           } else cand
           val n = batch.count()
+          val c0 = processCpuSec()
           val t0 = System.nanoTime()
           graft.streaming.StreamingLmStore.mergeBatch(
             batch, 1L, store, "lm", "doc_id", "text")
           val sec = (System.nanoTime() - t0) / 1e9
+          val cs = if (sec > 0) (processCpuSec() - c0) / sec else 0.0
           rmTree2(new java.io.File(sroot))
-          (n, sec)
+          (n, sec, cs)
         }.minBy(_._2)
-        recorded += ((op, m, vocabDocs, outRows, sec, true))
-        println(s"""{"op":"$op","m":$m,"in_rows":$vocabDocs,"out_rows":$outRows,"sec":$sec}""")
+        recorded += ((op, m, vocabDocs, outRows, sec, true, cores))
+        println(f"""{"op":"$op","m":$m,"in_rows":$vocabDocs,"out_rows":$outRows,"sec":$sec,"cpu_cores":$cores%.1f}""")
       }
       lmFold("lm_fold_topical", topical = true)
       lmFold("lm_fold_uniform", topical = false)
@@ -915,7 +933,12 @@ object ScaleBench {
           case _ => ""
         }
         val dirty = if (dirtyOps(op)) s""","contaminated":true""" else ""
-        s""""$op":{"sec_m$lo":${sLo.getOrElse(-1.0)},"sec_m$hi":${sHi.getOrElse(-1.0)},"slope":${slope.getOrElse(-1.0)}$extra$dirty,"out_m$lo":${r.get(lo).map(_._4).getOrElse(-1L)},"out_m$hi":${r.get(hi).map(_._4).getOrElse(-1L)}}"""
+        // per-point process-cpu-cores (informational, not merged into
+        // the baseline): a throttled point shows low cores at normal
+        // cpu-seconds; a super-linear op shows full cores
+        val cpus_ = Seq(lo, hi, xhi).flatMap(mm =>
+          r.get(mm).map(t => f""""cpu_m$mm":${t._7}%.1f""")).mkString(",")
+        s""""$op":{"sec_m$lo":${sLo.getOrElse(-1.0)},"sec_m$hi":${sHi.getOrElse(-1.0)},"slope":${slope.getOrElse(-1.0)}$extra$dirty,$cpus_,"out_m$lo":${r.get(lo).map(_._4).getOrElse(-1L)},"out_m$hi":${r.get(hi).map(_._4).getOrElse(-1L)}}"""
       }
       val json =
         s"""{"mode":"quick","base":"$base","ms":[${ms.mkString(",")}],"cpus":$cpus,"probe_st_sec":${f"$probeT1%.3f"},"ops":{${entries.mkString(",")}}}"""

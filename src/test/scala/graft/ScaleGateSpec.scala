@@ -180,6 +180,41 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleBench.parseHiSlopes(merged) == ScaleBench.parseHiSlopes(base))
   }
 
+  test("gateFindings: a NEW hi chord moves its op to the loose base gate; no hi chord still gates strictly") {
+    // round-11 incident: the both-sides membership rule strictly gated
+    // the base chord of every op whose hi chord was NEW, so the one
+    // run that would have ADOPTED the hi chords was refused on
+    // pagerank's m=1 noise (base 1.65 vs 1.23, hi chord 0.87)
+    val base = """{"ops":{"pagerank":{"sec_m4":2.74,"slope":1.23},""" +
+      """"triangles":{"sec_m4":11.8,"slope":3.25,"slope_hi":1.64}}}"""
+    val run = """{"ops":{"pagerank":{"sec_m4":3.1,"slope":1.65,""" +
+      """"sec_m16":2.7,"slope_hi":0.87},"triangles":{"sec_m4":9.5,""" +
+      """"slope":2.9,"sec_m16":14.4,"slope_hi":1.52}}}"""
+    assert(ScaleBench.gateFindings(run, base).isEmpty,
+      "the adoption run must pass: hi chord present, base noise loose-bounded")
+    // the SAME base-chord value without a hi chord: strict gate trips
+    val runNoHi = """{"ops":{"pagerank":{"sec_m4":3.1,"slope":1.65},""" +
+      """"triangles":{"sec_m4":9.5,"slope":2.9,"sec_m16":14.4,""" +
+      """"slope_hi":1.52}}}"""
+    assert(ScaleBench.gateFindings(runNoHi, base)
+      .exists(_.startsWith("pagerank:")),
+      "an op whose xhi point failed still base-gates strictly")
+    // a gross small-m blowup trips the loose bound even WITH a hi chord
+    val runBlowup = """{"ops":{"pagerank":{"sec_m4":9.9,"slope":4.2,""" +
+      """"sec_m16":9.0,"slope_hi":0.87},"triangles":{"sec_m4":9.5,""" +
+      """"slope":2.9,"sec_m16":14.4,"slope_hi":1.52}}}"""
+    assert(ScaleBench.gateFindings(runBlowup, base)
+      .exists(_.startsWith("base-chord(loose) pagerank")),
+      "the loose bound still catches a gross base blowup")
+    // a worsened hi chord against an ESTABLISHED baseline still trips
+    val runHiRegress = """{"ops":{"pagerank":{"sec_m4":3.1,"slope":1.2},""" +
+      """"triangles":{"sec_m4":9.5,"slope":2.9,"sec_m16":25.0,""" +
+      """"slope_hi":2.63}}}"""
+    assert(ScaleBench.gateFindings(runHiRegress, base)
+      .exists(_.startsWith("hi-chord triangles")),
+      "established hi chords keep their strict gate")
+  }
+
   test("checked-in baseline exists, parses, and covers every quick op") {
     val slopes = ScaleBench.loadBaselineSlopes(ScaleBench.BaselinePath)
     assert(slopes.nonEmpty, s"missing/empty ${ScaleBench.BaselinePath}")

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main (CandDiag's scale-fixture sibling): stage census of
+  * the prefix-Jaccard cascade on the ScaleBench doc fixture at replica
+  * scale m — the instrument that localized the round-11 4→16 chord of
+  * 5.6 (candidates exactly linear at 4.0×; the verify stage's
+  * size(array_intersect) growing 2.4× PER CANDIDATE from m=4 to m=16
+  * at constant array sizes — per-row hash sets falling out of cache),
+  * and that measured the native SortedIntersectCount at 2.1× on the
+  * frozen stage. Prints per-stage timings, the join strategies of both
+  * plans, and a frozen-input A/B of the two verify forms.
+  * `sbt "runMain graft.PjDiag <m> [shufflePartitions]"` */
+object PjDiag {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val m = args.headOption.map(_.toInt).getOrElse(4)
+    val parts = args.drop(1).headOption.getOrElse("32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def scaledDocs(mm: Int): DataFrame =
+      (0 until mm).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", s"r$i$$1")
+        baseDocs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _)
+    val path = s"/tmp/pjdiag_docs_m$m"
+    scaledDocs(m).repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+    val docs = spark.read.parquet(path)
+
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pjdiag m=$m] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val (arrays, prefix, idxPrefix) =
+      graft.ops.Dedup.prefixIndexFrames(docs, "doc_id", "text", 0.5)
+    val nArr = timed("arrays.count")(arrays.count())
+    val nPre = timed("prefix.count")(prefix.count())
+    val nIdx = timed("idxPrefix.count")(idxPrefix.count())
+    val (_, cand) = timed("candidates build")(
+      graft.ops.Dedup.prefixJaccardCandidates(docs, "doc_id", "text", 0.5))
+    val nCand = timed("cand.count")(cand.count())
+    val nPairs = timed("full verify")(
+      graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5).count())
+    println(s"[pjdiag m=$m] arrays=$nArr prefix=$nPre idx=$nIdx " +
+      s"cand=$nCand pairs=$nPairs")
+    // join strategies in the candidate plan
+    val plan = cand.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin").foreach { j =>
+      val c = plan.sliding(j.length).count(_ == j)
+      if (c > 0) println(s"[pjdiag m=$m] cand plan: $j x$c")
+    }
+    val planV = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin").foreach { j =>
+      val c = planV.sliding(j.length).count(_ == j)
+      if (c > 0) println(s"[pjdiag m=$m] verify plan: $j x$c")
+    }
+    // ---- verify-stage decomposition over FROZEN inputs ----
+    timed("freeze cand+arrays") {
+      cand.write.mode("overwrite").parquet(s"/tmp/pjdiag_cand_m$m")
+      arrays.write.mode("overwrite").parquet(s"/tmp/pjdiag_arr_m$m")
+    }
+    val fc = spark.read.parquet(s"/tmp/pjdiag_cand_m$m")
+    val fa = spark.read.parquet(s"/tmp/pjdiag_arr_m$m")
+    timed("verify: join1 only")(fc
+      .join(fa.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a")).count())
+    timed("verify: join1+join2")(fc
+      .join(fa.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(fa.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b")).count())
+    timed("verify: +intersect+filter")(fc
+      .join(fa.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(fa.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5).count())
+    timed("verify: +NATIVE count+filter")(fc
+      .join(fa.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(fa.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        org.apache.spark.sql.graftfn.SortedIntersectCountFn
+          .sorted_intersect_count(col("arr_a"), col("arr_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+// Lives under org.apache.spark.sql for the same reason as DotProduct:
+// the Expression/Column bridge is private[sql] in Spark 4.
+package org.apache.spark.sql.graftfn
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Native |A ∩ B| for two SORTED-ASCENDING, DISTINCT string arrays —
+  * the verification primitive of the exact-Jaccard joins (PPJoin's
+  * candidate verify, `ops/Dedup.prefixJaccardPairs`).
+  *
+  * The composable form — `size(array_intersect(a, b))` — builds a hash
+  * set from one array PER ROW and probes it with the other: per-row
+  * allocation plus per-element string hashing, and the working set's
+  * pointer-chasing falls out of cache as partitions grow (measured on
+  * the scale fixture: the verify stage's per-candidate cost GREW 2.4×
+  * from m=4 to m=16 at constant array sizes — 19.5 s of a 21.9 s op at
+  * m=16, the whole 4→16 chord of 5.6). This expression is one fused
+  * two-pointer merge over the sorted arrays: no per-row allocation, no
+  * hashing, sequential access, inside WholeStageCodegen.
+  *
+  * INPUT CONTRACT: both arrays sorted ascending by UTF8String binary
+  * order and duplicate-free — exactly what
+  * `array_sort(array_distinct(...))` produces (array_sort's StringType
+  * ordering IS UTF8String's binary compareTo). On unsorted input the
+  * count is meaningless (spec pins sorted-input equivalence with
+  * array_intersect instead). A null ELEMENT terminates the scan
+  * (array_sort places nulls last; shingle sets are null-free by
+  * construction). Any NULL array → NULL (nullable = true, rule 4). */
+case class SortedIntersectCount(arr1: Expression, arr2: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = arr1
+  override def right: Expression = arr2
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cls = SortedIntersectCount.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$cls.count($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(arr1 = newLeft, arr2 = newRight)
+}
+
+object SortedIntersectCount {
+  /** The shared merge (interpreted eval and codegen call the same
+    * method, so the two paths cannot diverge). */
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      if (x == null || y == null) return c
+      val cmp = x.compareTo(y)
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+object SortedIntersectCountFn {
+  /** |a ∩ b| for sorted-ascending distinct string arrays. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

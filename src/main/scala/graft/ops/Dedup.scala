@@ -419,13 +419,22 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
     val (arrays, cand) = prefixJaccardCandidates(docs, idCol, textCol, minJaccard)
+    // native sorted-merge intersect count (rule 22, round 11): the
+    // composable size(array_intersect) builds a per-ROW hash set and
+    // its pointer-chasing working set falls out of cache as partitions
+    // grow — per-candidate cost measured GROWING 2.4× from the m=4 to
+    // the m=16 scale fixture at constant array sizes, 19.5 s of the
+    // 21.9 s op (the whole 5.6 hi chord). `arr` is sorted at build
+    // (prefixIndexFrames) precisely so this stage is one fused
+    // two-pointer merge: no per-row allocation, no string hashing.
     cand
       .join(arrays.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
         Seq("doc_a"))
       .join(arrays.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
         Seq("doc_b"))
       .withColumn("n_inter",
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        org.apache.spark.sql.graftfn.SortedIntersectCountFn
+          .sorted_intersect_count(col("arr_a"), col("arr_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -467,10 +476,15 @@ object Dedup {
     // both this and the prefix index (two full tables pinned up front);
     // keeping only the super-linear prefix on materialize lowers the
     // storage footprint AND the floor (measured in bench_out/, round 6)
+    // arr is SORTED (ascending UTF8String binary order — array_sort's
+    // StringType ordering): row-local, one O(n log n) pass per doc at
+    // build, and the verify stage's native two-pointer merge
+    // (SortedIntersectCount) depends on it. Consumers that explode or
+    // count are order-independent.
     val arrays = Caches.track(docs
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= ShingleN)
-      .withColumn("arr", array_distinct(shingles(col("ws"))))
+      .withColumn("arr", array_sort(array_distinct(shingles(col("ws")))))
       .select(col("doc"), col("arr"), size(col("arr")).cast("long").as("n")))
     val tok = arrays.select(col("doc"), col("n"), explode(col("arr")).as("sh"))
     val freq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))

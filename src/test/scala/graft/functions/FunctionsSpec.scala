@@ -204,4 +204,43 @@ class FunctionsSpec extends SparkTestBase {
         s"rightward=$rw pa=$pa pb=$pb must be 0")
     }
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted-distinct arrays, codegen and eval, nulls propagate") {
+    import org.apache.spark.sql.graftfn.SortedIntersectCountFn.sorted_intersect_count
+    // deterministic random-ish sets over a small vocabulary so overlaps
+    // are plentiful, including boundary cases (empty after filters,
+    // identical sets, disjoint sets)
+    val docs = spark.range(200).selectExpr(
+      "id",
+      """array_sort(array_distinct(transform(sequence(0, CAST(pmod(id, 17) AS INT)),
+         i -> concat('w', pmod(hash(id, i), 23))))) AS arr""")
+    val pairs = docs.select($"id".as("ida"), $"arr".as("a"))
+      .crossJoin(docs.select($"id".as("idb"), $"arr".as("b")))
+      .filter($"ida" < $"idb" || $"ida" === $"idb")
+    val both = pairs.select(
+        sorted_intersect_count($"a", $"b").as("native"),
+        size(array_intersect($"a", $"b")).cast("long").as("reference"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, r) => assert(n == r, s"native=$n reference=$r") }
+    // interpreted eval path agrees with the codegen'd DataFrame path
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graftfn.SortedIntersectCount
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def lit(xs: Seq[String]) = Literal(
+      ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray),
+      ArrayType(StringType))
+    assert(SortedIntersectCount(lit(Seq("a", "b", "d")), lit(Seq("b", "c", "d")))
+      .eval(InternalRow.empty) == 2L)
+    assert(SortedIntersectCount(lit(Seq.empty), lit(Seq("a")))
+      .eval(InternalRow.empty) == 0L)
+    // NULL array propagates NULL (rule 4: nullable must be honest)
+    val nulls = spark.sql(
+      """SELECT CAST(NULL AS ARRAY<STRING>) AS a, array('x') AS b""")
+      .select(sorted_intersect_count($"a", $"b").as("n")).head()
+    assert(nulls.isNullAt(0))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round stage census (guide §1/§7): runs catalog queries
+  * under a SparkListener and prints, per query, the job count and every
+  * stage's wall, task count, and task-time sum — the numbers that
+  * localize WHERE a query's seconds go (a 3 s query with one 2.8 s
+  * single-task stage is parallelism-starved; a 3 s query with 40 jobs
+  * of 70 ms is round-trip-bound). Bench-identical session config so the
+  * census matches what Bench times.
+  * `sbt "runMain graft.QDiag <sfDir> <name> [name ...]"` */
+object QDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.timeType.enabled", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class StageRec(id: Int, name: String, wallMs: Long, tasks: Int,
+      taskTimeMs: Long)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        stages.add(StageRec(si.stageId, si.name.takeWhile(_ != '\n'), wall,
+          si.numTasks, si.taskMetrics.executorRunTime))
+      }
+    })
+
+    // warm-up, mirrors Bench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    names.foreach { n =>
+      // settle listener, clear state
+      Thread.sleep(300); stages.clear(); jobs.set(0)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.ops.Dedup.unpersistCaches()
+      Thread.sleep(300) // let stage-completed events drain
+      val recs = {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(-_.wallMs)
+      }
+      println(f"\n=== $n wall=$wall%.2f s jobs=${jobs.get} stages=${recs.size}")
+      val shown = recs.take(18)
+      shown.foreach { r =>
+        println(f"  stage ${r.id}%4d wall=${r.wallMs / 1e3}%6.2f s tasks=${r.tasks}%4d " +
+          f"taskSum=${r.taskTimeMs / 1e3}%6.2f s  ${r.name.take(70)}")
+      }
+      val restWall = recs.drop(18).map(_.wallMs).sum / 1e3
+      if (recs.size > 18) println(f"  (+${recs.size - 18} more stages, wall sum $restWall%.2f s)")
+    }
+    spark.stop()
+  }
+}

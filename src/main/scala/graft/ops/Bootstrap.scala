@@ -54,7 +54,14 @@ object Bootstrap {
   def expandWeights(df: DataFrame, idCol: String, b: Int,
       salt: String): DataFrame = {
     require(b > 0 && b % 4 == 0, "resample count must be a positive ×4")
-    df.withColumn("blk", explode(sequence(lit(0), lit(b / 4 - 1))))
+    // fan out BEFORE the ×B expansion: the b/4 md5 digests per row are
+    // the operator's dominant cost and ride the narrow input stage —
+    // from a single-split local scan that is ONE task (round-11 census:
+    // q197's whole expansion was a single 3.5 s task at 32 cores).
+    // Hashing on the draw id keeps the shuffle narrow (pre-expansion
+    // rows) and deterministic under retry.
+    Par.fanOut(df, col(idCol))
+      .withColumn("blk", explode(sequence(lit(0), lit(b / 4 - 1))))
       .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"),
         lit("_"), col("blk").cast("string"))))
       .withColumn("lane", explode(sequence(lit(0), lit(3))))

@@ -135,16 +135,22 @@ object Bpe {
     // broadcast 1-row frame (applyMergeOf), so the loop never
     // round-trips the driver mid-round — measured 4.7 s → ~half at
     // sf0.1 (the per-round collect + eager materialize pair made
-    // q314 latency-bound at 1.4 of 32 cores). Each v_k is still
-    // eagerly materialized (rule 16: flat per-round lineage); the
-    // ladder itself is re-derived afterwards from the flat v_k
-    // frames in ONE union job (each best is a cheap agg over a
-    // LogicalRDD, deterministic by the total argmax order).
+    // q314 latency-bound at 1.4 of 32 cores). The ladder is
+    // re-derived afterwards from the flat v_k frames in ONE union
+    // job (each best is a cheap agg over a LogicalRDD, deterministic
+    // by the total argmax order).
     val states = Vector.newBuilder[DataFrame]
-    var v = Caches.materialize(vocabulary(docs, textCol))
+    // materializeLazy (round-11, the Bfs/PageRank job-fusion pattern):
+    // each v_k is still a flat LogicalRDD (rule 16 — no plan tower),
+    // but its blocks compute inside the job that first needs them —
+    // round k+1's broadcast argmax build — instead of a separate eager
+    // localCheckpoint job per round. The round loop then launches ONE
+    // job per merge (the broadcast build) plus the terminal
+    // ladder/encode consumers.
+    var v = Caches.materializeLazy(vocabulary(docs, textCol))
     (1 to numMerges).foreach { _ =>
       states += v
-      v = Caches.materialize(applyMergeOf(v, bestPair(v)))
+      v = Caches.materializeLazy(applyMergeOf(v, bestPair(v)))
     }
     val ladder = states.result().zipWithIndex.map { case (vk, i) =>
       bestPair(vk).select(lit(i + 1).cast("long").as("rank"),
@@ -174,7 +180,9 @@ object Bpe {
     * lossless on any input. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val toks = docs
+    // fanOut (round-11 census): split + posexplode is per-row work on
+    // the narrow input stage — one task on a single-split local scan
+    val toks = Par.fanOut(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.words(col(textCol))).as(Seq("wp", "w")))
       .join(vocab.select(col("w"), col("sym")), Seq("w"))

@@ -53,9 +53,17 @@ object Components {
       .distinct()
       .cache()
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // per-round state on LAZY materialize (round-11, the Bfs/PageRank
+    // job-fusion pattern): the convergence sum is the round's ONLY
+    // action, and it computes-and-caches the round's blocks in the same
+    // job — the eager localCheckpoint paid a separate job per round.
+    // `pulled` is ALSO lazily materialized: the jumping step self-joins
+    // it, and as a bare plan each join leg recomputed the whole pull
+    // pass (sym⋈labels + groupBy) independently — as a LogicalRDD the
+    // two legs share one computation of the cached blocks.
+    var labels = Caches.materializeLazy(
+      sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var iter = 0
     var done = false
     var prevSum: Option[java.math.BigDecimal] = None
@@ -65,9 +73,10 @@ object Components {
         .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("lb")).as("nbr_label"))
-      val pulled = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val pulled = Caches.materializeLazy(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       // pointer jumping: follow the label one step (label's own label) —
       // collapses label chains geometrically instead of one hop per round
       val next = pulled
@@ -75,17 +84,18 @@ object Components {
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val nextM = Caches.materializeLazy(next)
       // labels only ever DECREASE, so the label sum is a strictly
       // decreasing potential: unchanged sum == fixed point. One agg on
-      // the (checkpointed) result instead of a join against the old set.
+      // the (lazily checkpointed) result instead of a join against the
+      // old set — the agg IS the job that materializes the round.
       // Decimal sum: 10^9 nodes × 2^63-ish ids would overflow a long.
-      val sumNow = next
+      val sumNow = nextM
         .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)
       done = prevSum.contains(sumNow)
       prevSum = Some(sumNow)
-      labels = next
+      labels = nextM
       iter += 1
     }
     sym.unpersist()

@@ -427,7 +427,14 @@ object Dedup {
     // 21.9 s op (the whole 5.6 hi chord). `arr` is sorted at build
     // (prefixIndexFrames) precisely so this stage is one fused
     // two-pointer merge: no per-row allocation, no string hashing.
-    cand
+    // fan out the candidate set before verification (round-11 census):
+    // cand leaves the positional-filter groupBy at AQE's bytes-chosen
+    // width (6 tasks for a few MB of pairs at sf0.1) while the verify
+    // stage costs ~100 µs of merge per candidate — 25 task-seconds
+    // squeezed through 6 slots (4.7 s wall; ~0.9 s at full width). The
+    // arrays legs broadcast, so this one user-pinned exchange sets the
+    // whole verify stage's parallelism.
+    Par.fanOut(cand, col("doc_a"), col("doc_b"))
       .join(arrays.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
         Seq("doc_a"))
       .join(arrays.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
@@ -481,7 +488,10 @@ object Dedup {
     // build, and the verify stage's native two-pointer merge
     // (SortedIntersectCount) depends on it. Consumers that explode or
     // count are order-independent.
-    val arrays = Caches.track(docs
+    // fanOut (round-11 census): split + shingle + per-doc sort is the
+    // build's per-row cost and rides the narrow input stage — one task
+    // on a single-split local scan
+    val arrays = Caches.track(Par.fanOut(docs, col(idCol))
       .select(col(idCol).as("doc"), TextAnalysis.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= ShingleN)
       .withColumn("arr", array_sort(array_distinct(shingles(col("ws")))))
@@ -502,7 +512,12 @@ object Dedup {
     // materialize, not track: the prefix index is SELF-JOINED (two
     // consumers) and its recompute is the df groupBy + per-doc window
     // sort — super-linear, the worst thing to silently pay twice
-    val prefix = Caches.materialize(tok.join(freq, "sh")
+    // Par.fanOut before the per-doc window REPLACES the window's own
+    // exchange (same key, EnsureRequirements sees it satisfied) at
+    // full width — without it, AQE sizes the preceding join's output
+    // by bytes (3 tasks for ~1 M shingle rows at sf0.1) and the
+    // row_number pass inherits that width.
+    val prefix = Caches.materialize(Par.fanOut(tok.join(freq, "sh"), col("doc"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("sh"))))
       .filter(col("pos") <=

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Parallelism repair for CPU-dense narrow stages (optimization guide
+  * §2.5, input skew): a stage's task count is inherited from its input
+  * — a single-row-group parquet file scans as ONE task however many
+  * cores the session has, and AQE's bytes-based coalescing packs a
+  * few-MB exchange into 1–6 tasks even when every row carries
+  * milliseconds of downstream compute (md5 resample expansion, shingle
+  * builds, trie walks, sorted-merge verification). Both forms were
+  * measured in the round-11 stage census (OPTIMIZATION_r11.md): e.g.
+  * q197's whole resample expansion ran as one 3.5 s task on a 32-core
+  * session.
+  *
+  * [[fanOut]] inserts ONE explicit hash exchange to the session's
+  * default parallelism ahead of such work. The byte volume it moves is
+  * by construction tiny relative to the compute it unblocks, and the
+  * partition count derives from the session (local[k] ⇒ k, a cluster ⇒
+  * total executor cores) — never a constant tuned for one host. The
+  * explicit numPartitions marks the exchange user-specified, which AQE
+  * coalescing respects; omitting it would hand the decision straight
+  * back to the bytes heuristic this call exists to escape.
+  *
+  * Keys are explicit columns: hash assignment is deterministic under
+  * task retry (keyless round-robin over a non-deterministically
+  * ordered input can duplicate or lose rows on retry — SPARK-38388),
+  * and a high-cardinality key (ids, not labels) is required so the
+  * hash actually spreads (guide §2.5: aim for ≫ partitions distinct
+  * values).
+  *
+  * 100 TB note: a well-laid-out table already arrives with thousands
+  * of splits; the exchange then still costs one pass of the projected
+  * narrow input — proportionally small next to the per-row compute
+  * these sites precede, which is why the sites are chosen from the
+  * stage census, not sprayed. */
+object Par {
+  /** max(defaultParallelism, shuffle.partitions): locally both equal
+    * the session's core count; on a cluster this is the tuned shuffle
+    * width, so a fanOut feeding a same-keyed shuffle/window REPLACES
+    * that exchange (EnsureRequirements sees the distribution already
+    * satisfied) instead of adding one below it. */
+  def width(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
+  }
+
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "fanOut needs a deterministic key")
+    df.repartition(width(df), keys: _*)
+  }
+}

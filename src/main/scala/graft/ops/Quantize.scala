@@ -165,12 +165,20 @@ object Quantize {
   def prototypeClassify(train: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qt = withInt8(train, vecCol)
-      .select(col(labelCol).as("lbl"), col("qv"))
-    val protoIdx = qt
+    // fanOut + track (round-11 census): the per-vector quantization +
+    // posexplode is the query's dominant per-row cost, it rode the
+    // single-split scan stage (one task), and qt has THREE consumers
+    // (protoIdx, per-label counts — and protoIdx itself is read by the
+    // broadcast build AND protoStats), so uncached it recomputed per
+    // consumer: three ~1.5 s single-task stages at sf0.1. cache sweep:
+    // track — recompute is one linear scan+quantize pass.
+    val qt = Caches.track(
+      withInt8(Par.fanOut(train, col(idCol)), vecCol)
+        .select(col(labelCol).as("lbl"), col("qv")))
+    val protoIdx = Caches.track(qt
       .select(col("lbl"), posexplode(col("qv")).as(Seq("idx", "q")))
       .groupBy(col("lbl"), col("idx"))
-      .agg(sum(col("q")).as("s"))
+      .agg(sum(col("q")).as("s")))
     val protoStats = protoIdx.groupBy(col("lbl"))
       .agg(sum(col("s") * col("s")).as("ss"))
       .join(qt.groupBy(col("lbl")).agg(count(lit(1)).as("n_l")), Seq("lbl"))

@@ -84,7 +84,10 @@ object WordPiece {
     * minus its spaces. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String]): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    // fanOut (round-11 census): the trie walk is the whole per-row cost
+    // and rides the narrow input stage — one task on a single-split
+    // local scan. One narrow exchange buys full-width encoding.
+    Par.fanOut(docs, col(idCol)).select(col(idCol).cast("long").as("doc_id"),
       GreedyTrieFn.greedy_trie_tokens(
         coalesce(col(textCol), lit("")), vocab).as("toks"))
       .select(col("doc_id"),

@@ -706,7 +706,9 @@ object Dedup {
   /** (id, pos, span) — every `spanWords`-token window of every doc. */
   private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int): DataFrame =
-    docs
+    // fanOut (round-11 census): tokenize + window explode is the
+    // per-row cost and rides the narrow input stage
+    Par.fanOut(docs, col(idCol))
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col(idCol),
         posexplode(shingles(col("ws"), spanWords)).as(Seq("pos", "span")))
@@ -758,7 +760,10 @@ object Dedup {
     // scan+tokenize total instead of three (plan audit).
     // cache sweep r6: both track — recompute is one linear tokenize /
     // shingle-explode scan each; no self-join, no loop
-    val base = Caches.track(docs
+    // fanOut (round-11 census): the cached tokenization was built at
+    // the single-split scan's width and every downstream narrow stage
+    // (window explode, coverage, reassembly) inherited ONE task
+    val base = Caches.track(Par.fanOut(docs, col(idCol))
       .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws")))
     val toks = base.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "w")))
     val windows = Caches.track(base.select(col(idCol),

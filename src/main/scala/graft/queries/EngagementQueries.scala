@@ -350,13 +350,17 @@ object EngagementQueries {
         .select(col("user_id"), expr(s"ts div 1000 div $DayUs").as("day"),
           (col("value").cast(dec2) * 100).cast("long").as("cents"))
       val refDay = p.agg(max(col("day")).as("ref"))
-      val rfm = p.groupBy(col("user_id"))
+      // cache sweep r11: track — TEN consumers (three quantile-cut
+      // calls at three passes each, plus the final binning pass) each
+      // replayed the events scan + groupBy; recompute is one linear
+      // scan+agg (census: 53 jobs, mostly this subtree)
+      val rfm = graft.ops.Caches.track(p.groupBy(col("user_id"))
         .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
           sum(col("cents")).as("m"))
         .crossJoin(broadcast(refDay))
         .select(col("user_id"), (col("ref") - col("lastd")).as("r"),
           col("f"), col("m"))
-        .withColumn("g", lit("all"))
+        .withColumn("g", lit("all")))
       def cuts(valCol: String) =
         graft.ops.Profile.scalableOrderStats(rfm, "g", valCol, "user_id",
             Seq(0.25, 0.5, 0.75))

@@ -576,9 +576,16 @@ object InsightQueries {
   val q214WeightedPaths = OracleQuery("q214_weighted_paths",
     "Bellman-Ford affinity-cost distances from seed parts",
     (s, d) => {
-      val bi = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
+      // fanOut + track (round-11 census): the wedge self-join read the
+      // distinct basket-item table twice at AQE's bytes-chosen width
+      // (5–10 tasks); cached at an explicit hash(b) width, both join
+      // legs see the partitioning already satisfied — no re-exchange —
+      // and the wedge build runs full-width. Recompute is one linear
+      // distinct → track.
+      val bi = graft.ops.Caches.track(graft.ops.Par.fanOut(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct(), col("b")))
       val weighted = bi.join(bi.select(col("b"), col("i").as("pb")), "b")
         .filter(col("i") < col("pb"))
         .groupBy(col("i").as("pa"), col("pb"))

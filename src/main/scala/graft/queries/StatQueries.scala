@@ -204,9 +204,14 @@ object StatQueries {
   val q251SlaLatency = OracleQuery("q251_sla_latency",
     "ship-latency P50/P90 + 7-day SLA rate per order priority",
     (s, d) => {
-      val rows = graft.ops.Caches.track(Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      // fanOut (round-11 census): the lineitem⋈orders probe + day math
+      // ran at the single-split scan's width (3 tasks, 1.1 s stages)
+      // and the cached frame KEEPS that width for every consumer
+      val rows = graft.ops.Caches.track(graft.ops.Par.fanOut(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us")),
+          col("l_orderkey"))
         .join(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
@@ -696,16 +701,22 @@ object StatQueries {
   val q288FulfillmentTrend = OracleQuery("q288_fulfillment_trend",
     "monthly P50 ship latency + Mann-Kendall improving/worsening verdict",
     (s, d) => {
-      val rows = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      // fanOut + track (round-11 census): scalableOrderStat makes three
+      // passes over `rows`; uncached, each replayed the lineitem⋈orders
+      // probe at the single-split scan's width (three 3-task ~1 s
+      // stages). Recompute is one linear scan+probe → track.
+      val rows = graft.ops.Caches.track(graft.ops.Par.fanOut(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us")),
+          col("l_orderkey"))
         .join(Tables.orders(s, d)
           .select(col("o_orderkey"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us")),
           col("l_orderkey") === col("o_orderkey"))
         .select(expr("ord_us div 2592000000000").as("month"),
           expr("(ship_us - ord_us) div 86400000000").as("lat_days"),
-          (col("l_orderkey") * 100 + col("l_linenumber")).as("rid"))
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("rid")))
       val monthly = graft.ops.Caches.track(
         graft.ops.Profile.scalableOrderStat(rows, "month", "lat_days",
             "rid", 0.5)

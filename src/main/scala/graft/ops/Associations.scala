@@ -38,10 +38,13 @@ object Associations {
   private def distinctBi(baskets: DataFrame, basketCol: String,
       itemCol: String): DataFrame =
     // cache sweep r6: track — recompute is one distinct shuffle
-    // (linear); three consumers (freq, prune probe, size join)
-    Caches.track(
+    // (linear); three consumers (freq, prune probe, size join).
+    // fanOut on _b (round-11): the pair-enumeration self-join keys on
+    // _b, and the cached width otherwise follows AQE's bytes-based
+    // coalescing
+    Caches.track(Par.fanOut(
       baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-        .distinct())
+        .distinct(), col("_b")))
 
   private def pairCountsOn(bi: DataFrame, minSupport: Int,
       maxBasketItems: Int): DataFrame = {

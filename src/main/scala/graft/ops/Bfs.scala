@@ -80,20 +80,26 @@ object Bfs {
       itemCol: String, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in 1..20")
     // lazy: bi's blocks compute inside round 1's probe job (both joins
-    // of every later round then read the cache) — no standalone job
-    val bi = Caches.materializeLazy(
+    // of every later round then read the cache) — no standalone job.
+    // TWO copies, pre-partitioned on each hop half's join key (round
+    // 11): every hop joins bi on i then on b, so an unpartitioned
+    // cache re-exchanged the whole bipartite table twice per round;
+    // the b-keyed copy derives from the i-keyed one so the distinct
+    // runs once.
+    val biByI = Caches.materializeLazy(Par.fanOut(
       baskets.select(col(basketCol).cast("long").as("b"),
-        col(itemCol).cast("long").as("i")).distinct())
+        col(itemCol).cast("long").as("i")).distinct(), col("i")))
+    val biByB = Caches.materializeLazy(Par.fanOut(biByI, col("b")))
     val (dist, waveDone) = countProbedWave(seedDist(sources), rounds) {
       labels =>
         // labeled items → their baskets (min label per basket,
         // map-side), then baskets → their items, one hop further; an
         // item re-reaching itself is harmless (LEAST keeps the
         // existing smaller label)
-        val viaBaskets = bi
+        val viaBaskets = biByI
           .join(labels.withColumnRenamed("n", "i"), Seq("i"))
           .groupBy(col("b")).agg(min(col("dist")).as("bd"))
-        bi.join(viaBaskets, Seq("b"))
+        biByB.join(viaBaskets, Seq("b"))
           .select(col("i").as("n"), (col("bd") + 1L).as("cand"))
           .groupBy(col("n")).agg(min(col("cand")).as("cand"))
     }
@@ -123,10 +129,13 @@ object Bfs {
         col(weightCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-    val sym = Caches.materialize(
+    // pre-partitioned on s (round-11): every relaxation round joins
+    // sym on s — cached at an explicit hash width, rounds exchange
+    // only the node-sized distance vector
+    val sym = Caches.materialize(Par.fanOut(
       canon.select(col("a").as("s"), col("b").as("t"), col("w"))
         .unionByName(canon.select(col("b").as("s"), col("a").as("t"),
-          col("w"))))
+          col("w"))), col("s")))
     var dist = seedDist(sources)
     var round = 0
     var fixpoint = false

@@ -45,12 +45,15 @@ object Components {
             "hash string ids first (e.g. xxhash64)")
       }
     }
-    val sym = edges
+    // pre-partitioned on b (round-11): every pull round joins sym on b
+    // — cached at an explicit hash width, rounds exchange only the
+    // node-sized label vector, never the edge table again
+    val sym = Par.fanOut(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .unionByName(edges
         .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct(), col("b"))
       .cache()
 
     // per-round state on LAZY materialize (round-11, the Bfs/PageRank

@@ -42,12 +42,22 @@ object Hits {
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 2): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // loop invariant, cached PRE-PARTITIONED on each half-step's join
+    // key (round-11): uncached, the caller's edge build (a join +
+    // distinct at scan width) replayed once per half-step, and every
+    // half-step re-exchanged it; two cached copies — src-keyed and
+    // dst-keyed, the second derived from the first so the build runs
+    // once — make each half-step's join and groupBy see their
+    // distribution already satisfied. cache sweep: track — linear
+    // recompute (the caller's one-pass build + one exchange).
+    val eByS = Caches.track(Par.fanOut(e0, col("src")))
+    val eByD = Caches.track(Par.fanOut(eByS, col("dst")))
     // h0 ≡ 1 ⇒ a1 = indegree (skip the join for the first half-step)
-    var auth = e.groupBy(col("dst").as("node"))
+    var auth = eByD.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("score"))
-    var hub = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+    var hub = eByD.join(auth.withColumnRenamed("node", "dst"), "dst")
       .groupBy(col("src").as("node"))
       .agg(sum(col("score")).as("score"))
     var done = 1
@@ -57,11 +67,11 @@ object Hits {
       // LAZY — fixed rounds, no convergence probe, so all half-steps
       // execute inside the terminal consumer's one job (round-7 ask #4)
       auth = Caches.materializeLazy(
-        e.join(hub.withColumnRenamed("node", "src"), "src")
+        eByS.join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("score")).as("score")))
       hub = Caches.materializeLazy(
-        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        eByD.join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("score")).as("score")))
       done += 1

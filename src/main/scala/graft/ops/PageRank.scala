@@ -83,13 +83,17 @@ object PageRank {
     // distinct) and their lineage is flat, so eviction mid-loop re-pays
     // one linear pass, unlike per-round STATE (pr goes through
     // materialize below — that recompute would nest rounds)
-    val e = Caches.track(edgesW)
+    // loop invariants cached PRE-PARTITIONED on their per-round join
+    // key (round-11): every iteration joins withDeg on src and nodes
+    // on node — cached at an explicit hash width, the rounds exchange
+    // only the node-sized rank vector, never the edge table again
+    val e = Caches.track(Par.fanOut(edgesW, col("src")))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withDeg = Caches.track(e.join(deg, "src"))
-    val nodes = Caches.track(
+    val nodes = Caches.track(Par.fanOut(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
-        .distinct())
+        .distinct(), col("node")))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n

@@ -81,6 +81,13 @@ object Triangles {
     // rather than track — the orientation plan embeds the caller's full
     // edge-build three times, and every downstream action re-pays its
     // analysis (the q287 plan-tower lesson, Caches.materialize Scaladoc)
+    // NOT pre-partitioned on u (round-11, measured): caching o at
+    // hash(u) makes the wedge self-join exchange-free — which sounds
+    // like a win but REMOVES AQE's skew-split on the degree-skewed u
+    // buckets; the wedge stage then runs on fixed buckets and q162
+    // regressed 5.9 → 9.1 s. The per-leg exchange is the price of
+    // runtime skew handling (guide §2.5: AQE splits only at joins that
+    // still have their shuffle).
     val o = Caches.materialize(orientByDegree(canon))
     // wedges centred at u: two out-edges u→v, u→w (deduped by id order
     // w1 < w2); the triangle closes iff the third side is an oriented

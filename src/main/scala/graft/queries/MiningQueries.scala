@@ -27,6 +27,10 @@ object MiningQueries {
   val q162Triangles = OracleQuery("q162_triangles",
     "part co-purchase graph: per-node triangle counts + clustering coeff",
     (s, d) => {
+      // NOT fanned out on b (round-11, measured): a hash(b)-cached bi
+      // makes the wedge self-join exchange-free, which removes AQE's
+      // skew split on the basket key — q162 regressed 5.9 → 8.4 s.
+      // The per-leg exchange IS the skew handling (guide §2.5).
       val bi = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         .distinct()
@@ -113,9 +117,11 @@ object MiningQueries {
     "60-core of the co-purchase graph after 3 peel rounds + convergence",
     (s, d) => {
       import graft.ops.KCore
-      val bi = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
+      // track + fanOut on b (round-11): same wedge-join shape as q162
+      val bi = graft.ops.Caches.track(graft.ops.Par.fanOut(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .distinct(), col("b")))
       val edges = bi.join(bi.select(col("b"), col("i").as("i2")), "b")
         .filter(col("i") < col("i2"))
       KCore.peel(edges, "i", "i2", k = 60, rounds = 3)
@@ -236,6 +242,8 @@ object MiningQueries {
   val q268Assortativity = OracleQuery("q268_assortativity",
     "degree assortativity of the co-purchase graph, exact moments",
     (s, d) => {
+      // bi deliberately NOT hash(b)-cached (round-11, measured on the
+      // q162 twin): an exchange-free self-join loses AQE's skew split
       val bi = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         .distinct()
@@ -315,6 +323,8 @@ object MiningQueries {
   val q287KTruss = OracleQuery("q287_ktruss",
     "4-truss peeling trajectory of the strong-tie co-purchase graph",
     (s, d) => {
+      // bi deliberately NOT hash(b)-cached (round-11, measured on the
+      // q162 twin): an exchange-free self-join loses AQE's skew split
       val bi = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         .distinct()

@@ -699,8 +699,12 @@ object MoreQueries {
     // inside a single job, and the downstream iterative PageRank/HITS
     // caches its own per-round state (flat lineage there), so eviction
     // here can never cascade super-linearly.
+    // fanOut on the join key (round-11): the probe ran at the
+    // single-split scan's width; the exchange feeds the groupBy's own
+    // required distribution path and pins the cached width
     val pairs = graft.ops.Caches.track(
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      graft.ops.Par.fanOut(li, col("l_orderkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + off).as("supp"))
         .groupBy("cust", "supp").agg(count(lit(1)).as("w")))

@@ -40,7 +40,13 @@ object Dedup {
     * is the raw `filter(split(text))`, Catalyst inlines it and re-runs
     * the regex split once per element access (~20× slowdown measured at
     * sf0.1). A bound attribute makes each access an O(1) row read. */
+  // fanOut (round-11 census): split + shingle explode is per-row work
+  // riding the narrow input stage — one task on a single-split scan
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRowsNarrow(Par.fanOut(docs, col(idCol)), idCol, textCol)
+
+  private def shingleRowsNarrow(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col(idCol), explode(shingles(col("ws"))).as("sh"))
 
@@ -204,7 +210,14 @@ object Dedup {
     * min-of-union signature — see minhashSignaturesRowLocal doc). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       family: MinHashFamily = Md5Family): DataFrame = family match {
-    case Md5Family => minhashSignaturesRowLocal(docs, idCol, textCol, family)
+    // fanOut on the BATCH router only (round-11 census): the fused
+    // per-row minhash is the dominant per-row cost and rides the
+    // narrow input stage. The streaming path calls
+    // minhashSignaturesRowLocal directly and keeps its zero-shuffle
+    // contract.
+    case Md5Family =>
+      minhashSignaturesRowLocal(Par.fanOut(docs, col(idCol)), idCol,
+        textCol, family)
     case _ => minhashSignaturesExploded(docs, idCol, textCol, family)
   }
 

@@ -58,7 +58,11 @@ object Lm {
   def familiarityScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // cache sweep r6: track — recompute is one tokenize+explode scan
-    // (linear); consumers are the two count aggregates
+    // (linear); consumers are the two count aggregates.
+    // fanOut deliberately NOT applied (round-11, measured): widening
+    // the trigram build regressed q200 1.64 → 3.00 s — the downstream
+    // string-keyed groupBys dominate and the extra exchange plus
+    // 32-way cache build cost more than the narrow build saved.
     val tri = Caches.track(trigrams(docs, idCol, textCol))
     val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))

@@ -478,7 +478,12 @@ object ExtensionQueries {
   val q150RowLocalMinhash = OracleQuery("q150_rowlocal_minhash",
     "row-local (zero-shuffle) minhash signatures vs the DuckDB replay",
     (s, d) =>
-      Dedup.minhashSignaturesRowLocal(augmented(s, d), "doc_id", "text")
+      // fanOut on the INPUT (round-11): the op under test stays
+      // zero-shuffle; the single-split local scan otherwise runs the
+      // whole fused minhash as one task
+      Dedup.minhashSignaturesRowLocal(
+          graft.ops.Par.fanOut(augmented(s, d), col("doc_id")),
+          "doc_id", "text")
         .orderBy("doc_id"),
     Some {
       s"""

@@ -2446,9 +2446,11 @@ object InsightQueries {
             "max(unix_micros(cast(o_orderdate as timestamp)))) div 2")
           .as("mid"))
         .collect()(0).getLong(0)
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"),
-          col("l_extendedprice"), col("l_quantity"))
+      // fanOut (round-11 census): the join probe + decimal conditional
+      // sums ran at the single-split scan's width (one 1.8 s stage)
+      val li = graft.ops.Par.fanOut(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_extendedprice"), col("l_quantity")), col("l_orderkey"))
         .join(Tables.orders(s, d)
           .select(col("o_orderkey"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("od")),

@@ -180,11 +180,11 @@ class BenchStatsSpec extends AnyFunSuite {
   test("loadBenchRef loads the checked-in quiet reference table") {
     val (refs, st) = Bench.loadBenchRef()
     assert(refs.size >= 300, s"expected the full catalog, got ${refs.size}")
-    // round-11 refresh: marathon_r16 medians (rule 26 — the catalog
-    // gained q325 and the official record moved)
-    assert(math.abs(st - 0.029) < 1e-9)
+    // round-11 OPTIMIZATION refresh: post-change quiet full run
+    // (bench_out/r11opt_after.json; rule 26 — ~34 queries moved)
+    assert(math.abs(st - 0.030) < 1e-9)
     // the q163 anchor the high-core trigger exists for
-    assert(math.abs(refs("q163_basket_lift") - 3.394) < 1e-3)
+    assert(math.abs(refs("q163_basket_lift") - 2.977) < 1e-3)
     // the round-11 catalog addition has a row (a missing row disarms
     // the wall trigger for that query)
     assert(refs.contains("q325_dsir_log_resample"))

@@ -42,6 +42,12 @@ object QDiag {
       }
     })
 
+    // era stamp (CLAUDE rule 24/25): walls on this host are only
+    // comparable within one era — print the single-thread burn time
+    // and parallel efficiency around every census session
+    val (eff0, st0) = Bench.cpuProbeDetailed()
+    println(f"=== probe start eff=$eff0%.2f st=$st0%.3f")
+
     // warm-up, mirrors Bench
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
@@ -70,6 +76,8 @@ object QDiag {
       val restWall = recs.drop(18).map(_.wallMs).sum / 1e3
       if (recs.size > 18) println(f"  (+${recs.size - 18} more stages, wall sum $restWall%.2f s)")
     }
+    val (eff1, st1) = Bench.cpuProbeDetailed()
+    println(f"=== probe end eff=$eff1%.2f st=$st1%.3f")
     spark.stop()
   }
 }

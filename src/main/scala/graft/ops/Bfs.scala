@@ -149,19 +149,29 @@ object Bfs {
         .select(col("t").as("n"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("n"))
         .agg(min(col("cand")).as("cand"))
-      // lazy materialize + full-count EXCEPT probe: the probe consumes
-      // every merged partition (EXCEPT is a full scan), so it IS the
-      // materializing action — one job per round. The limit(1)
-      // shortcut is deliberately dropped: it could leave partitions
-      // for doCheckpoint to compute in a second job, and the except
-      // output is at most node-sized anyway.
+      // lazy materialize + CHANGE-FLAG probe (round-12): distances
+      // only ever decrease and the merge only ever ADDS keys, so
+      // "merged == dist as a set" ⟺ "no row was newly reached or
+      // improved" — computable as a flag DURING the merge and summed
+      // by the materializing action (one full-scan agg over the fresh
+      // cache blocks). The previous probe (merged EXCEPT ALL dist,
+      // then count) recomputed the set difference as its own
+      // aggregate+exchange chain per round — q214 measured
+      // job-count-bound (52 jobs of ≤0.9 s), so per-round stages are
+      // the cost that matters here.
       val merged = Caches.materializeLazy(
         dist.join(cand, Seq("n"), "full_outer")
           .select(col("n"),
             least(coalesce(col("dist"), col("cand")),
-              coalesce(col("cand"), col("dist"))).as("dist")))
-      fixpoint = merged.exceptAll(dist).count() == 0
-      dist = merged
+              coalesce(col("cand"), col("dist"))).as("dist"),
+            (col("dist").isNull || col("cand") < col("dist"))
+              .as("_chg")))
+      val changed = merged
+        .agg(coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L))
+          .as("c"))
+        .head().getLong(0)
+      fixpoint = changed == 0L
+      dist = merged.select(col("n"), col("dist"))
       round += 1
     }
     withConverged(dist, fixpoint)

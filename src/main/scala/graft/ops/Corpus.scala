@@ -137,7 +137,14 @@ object Corpus {
     val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
     val sign = when(substring(h, 9, 1).isin("0", "1", "2", "3", "4", "5",
       "6", "7"), lit(1L)).otherwise(lit(-1L))
-    val exploded = docs
+    // fanOut before the md5-per-token expansion (round-12, guide §2.5 —
+    // the Bootstrap.expandWeights twin the round-11 census missed): the
+    // explode+hash chain otherwise rides the single-split scan as ONE
+    // task (measured 4.6 s at 1.0 cpu-core, q168). Project to the two
+    // consumed columns first so only (id, text) crosses the exchange;
+    // the id-keyed width then satisfies the groupBy(id) below, so no
+    // second exchange and the per-doc sums still aggregate locally.
+    val exploded = Par.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("_t"))
       .select(col(idCol), (h32 % dims).as("_b"), sign.as("_s"))
     exploded

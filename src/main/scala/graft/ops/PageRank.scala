@@ -86,14 +86,24 @@ object PageRank {
     // loop invariants cached PRE-PARTITIONED on their per-round join
     // key (round-11): every iteration joins withDeg on src and nodes
     // on node — cached at an explicit hash width, the rounds exchange
-    // only the node-sized rank vector, never the edge table again
-    val e = Caches.track(Par.fanOut(edgesW, col("src")))
+    // only the node-sized rank vector, never the edge table again.
+    // Width is ROWS-DERIVED (round-12, Par.fanOutRows): the session
+    // width split this MB-scale graph into sub-40k-row tasks whose
+    // first cold run stayed interpreted (driver-measured q155 0.54×,
+    // cpu-seconds ~3×; width 4–8 measured 3.3–3.7 s cold-median vs
+    // 5.0–7.2 at 32 and ~7 narrow). The count is one extra linear job
+    // over the caller's edge build — both catalog callers pass a
+    // projection of the tracked tradeGraph cache, so it doubles as
+    // that cache's warm-up. At cluster volumes the clamp saturates at
+    // the session width and this is round-11's exact shape.
+    val m = edgesW.count()
+    val e = Caches.track(Par.fanOutRows(edgesW, m, col("src")))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val withDeg = Caches.track(e.join(deg, "src"))
-    val nodes = Caches.track(Par.fanOut(
+    val nodes = Caches.track(Par.fanOutRows(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
-        .distinct(), col("node")))
+        .distinct(), m, col("node")))
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = scale / n

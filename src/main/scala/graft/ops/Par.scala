@@ -50,4 +50,36 @@ object Par {
     require(keys.nonEmpty, "fanOut needs a deterministic key")
     df.repartition(width(df), keys: _*)
   }
+
+  /** Rows per task for a size-derived loop width: big enough that a
+    * cold JVM's per-thread JIT warm-up and the per-task constant are
+    * amortized (round-12: PageRank's 1.17M-edge loop measured best at
+    * 4–8 partitions — 150–300k rows/task — vs the session's 32, which
+    * tripled cold-run cpu-seconds; guide §2.2 "fewer, larger"). */
+  val LoopTargetRows: Long = 262144L
+
+  /** [[fanOut]] with the width derived from a KNOWN row count instead
+    * of the session: ceil(rows / [[LoopTargetRows]]) clamped to
+    * [1, session width]. For the pre-partitioned loop-invariant caches
+    * of iterative operators, whose per-round frames are often far
+    * smaller than the session is wide: a node-sized frame split 32
+    * ways runs 500-row tasks that never reach JIT thresholds and pay
+    * 32 task constants per round (the round-11 q155/q214 driver
+    * regression). At cluster data volumes rows/target saturates the
+    * clamp and this is exactly [[fanOut]]. */
+  def fanOutRows(df: DataFrame, rows: Long, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "fanOutRows needs a deterministic key")
+    val w = math.max(1L, math.min(width(df).toLong,
+      (rows + LoopTargetRows - 1) / LoopTargetRows)).toInt
+    df.repartition(w, keys: _*)
+  }
+
+  // TEMP r12 experiment knob: GRAFT_EXP_<name> = 0 (no fanOut) | n (width)
+  def fanOutExp(name: String, df: DataFrame, keys: Column*): DataFrame =
+    sys.env.get("GRAFT_EXP_" + name)
+      .orElse(sys.env.get("GRAFT_EXP_LOOPW")).map(_.toInt) match {
+      case Some(0) => df
+      case Some(n) => df.repartition(n, keys: _*)
+      case None => fanOut(df, keys: _*)
+    }
 }

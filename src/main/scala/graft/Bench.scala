@@ -240,9 +240,11 @@ object Bench {
     else math.min(4.0, math.max(0.5, runSt / refSt))
 
   /** Quiet per-query reference medians (sec) + that era's single-thread
-    * probe, from the checked-in `graft/bench_ref.tsv` (median of the
-    * three round-11 marathon_r16 quiet full-catalog runs). Empty map on
-    * a missing resource — the wall trigger then never fires. */
+    * probe, from the checked-in `graft/bench_ref.tsv` — the tsv's own
+    * header comment records which run(s) it was pinned from (CLAUDE
+    * rule 26: refresh it from fresh quiet medians whenever the catalog
+    * or the operators move materially). Empty map on a missing
+    * resource — the wall trigger then never fires. */
   def loadBenchRef(): (Map[String, Double], Double) = {
     val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")
     if (in == null) return (Map.empty, -1.0)

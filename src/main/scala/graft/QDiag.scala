@@ -16,14 +16,21 @@ object QDiag {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // diagnostic-only config overrides for what-if censuses, e.g.
+    // SPARK_GRAFT_QDIAG_CONF="spark.sql.adaptive.enabled=false"
+    sys.env.get("SPARK_GRAFT_QDIAG_CONF").foreach(_.split(',')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class StageRec(id: Int, name: String, wallMs: Long, tasks: Int,

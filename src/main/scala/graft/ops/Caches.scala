@@ -18,9 +18,11 @@ object Caches {
   /** Cache `df` and register it for the next [[unpersistAll]].
     *
     * Sweep discipline (round 6): every multi-consumer call site in
-    * `graft.ops` (plus the named query-layer sites tradeGraph and the
-    * three embN projections) carries a one-line `cache sweep r6:`
-    * decision comment. `track` is the right choice when
+    * `graft.ops` carries a one-line `cache sweep r6:` decision comment,
+    * and query-layer track sites added since (tradeGraph, the embN
+    * projections, the round-11 additions — q204 rfm, q214/q175 bi,
+    * q251/q288 rows) each carry their own inline justification; all are
+    * linear-recompute. `track` is the right choice when
     * recompute-on-eviction is LINEAR (a scan, one shuffle, a
     * projection) — an eviction then costs one cheap re-pass per
     * consumer. [[materialize]] is required when recompute would be

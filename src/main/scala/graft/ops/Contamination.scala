@@ -24,7 +24,13 @@ object Contamination {
     * CLAUDE.md rule 3 / Dedup.shingleRows). */
   private def distinctShingles(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
+    // fanOut before the per-row tokenize+shingle build (round-12
+    // census: the corpus side rode the single-split scan as ONE
+    // 1.4 s task in q103) — the Dedup.shingleRows shape; the id-keyed
+    // width also clusters (id, sh) so the distinct needs no second
+    // exchange.
+    Par.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), TextAnalysis.words(col(textCol)).as("ws"))
       .select(col(idCol), explode(Dedup.shingles(col("ws"), n)).as("sh"))
       .distinct()
 

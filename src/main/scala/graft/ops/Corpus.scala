@@ -55,7 +55,11 @@ object Corpus {
     // the self-reference (bp derives from occ, joined back) re-pays at
     // most two linear scans on eviction, never super-linear
     val occ = Caches.track(
-      Curation.chunkByWords(docs.select(col(idCol), col(textCol)),
+      // fanOut before the per-row chunk explode (round-12 census: the
+      // chunk build rode the single-split scan as one 2.6 s-class
+      // task in q164) — the shingle-family shape
+      Curation.chunkByWords(
+          Par.fanOut(docs.select(col(idCol), col(textCol)), col(idCol)),
           idCol, textCol, chunkWords, 0)
         .join(docs.select(col(idCol), col(scopeCol)), idCol))
     val bp = boilerplateChunks(occ, idCol, scopeCol, "chunk_text", minDocs)

@@ -298,9 +298,16 @@ object Curation {
     * tokenize+count scan, never super-linear. */
   private def bucketHistogram(docs: DataFrame, idCol: String,
       textCol: String, isTarget: Column): DataFrame =
-    Caches.track(docs
-      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("is_tgt"),
-        TextAnalysis.words(col(textCol)).as("ws"))
+    // fanOut before the per-token md5 expansion (round-12 census, the
+    // Bootstrap/hashEmbed shape): the tokenize+md5 chain rode the
+    // single-split documents scan as one task; the doc-keyed width
+    // clusters (doc, is_tgt, bucket) so the histogram groupBy needs no
+    // second exchange.
+    Caches.track(Par.fanOut(docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          isTarget.as("is_tgt"), col(textCol).as("_t")), col("doc_id"))
+      .select(col("doc_id"), col("is_tgt"),
+        TextAnalysis.words(col("_t")).as("ws"))
       .select(col("doc_id"), col("is_tgt"), explode(col("ws")).as("w"))
       .groupBy(col("doc_id"), col("is_tgt"),
         substring(md5(col("w")), 1, 2).as("bucket"))

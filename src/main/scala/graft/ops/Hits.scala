@@ -54,7 +54,14 @@ object Hits {
     // recompute (the caller's one-pass build + one exchange).
     val eByS = Caches.track(Par.fanOut(e0, col("src")))
     val eByD = Caches.track(Par.fanOut(eByS, col("dst")))
-    // h0 ≡ 1 ⇒ a1 = indegree (skip the join for the first half-step)
+    // h0 ≡ 1 ⇒ a1 = indegree (skip the join for the first half-step).
+    // Rule-27a tension, noted (round-12 ADVICE): this first half-step
+    // aggregates eByD by its own fanOut key, which forfeits map-side
+    // partial aggregation for THIS one aggregate — accepted because
+    // the cached dst-keyed copy amortizes over every later join
+    // half-step; the q233 A/B was flat (1.01×), so if a re-measure
+    // ever shows the first-step agg dominating, compute auth from e0
+    // (pre-fanOut) and keep eByS/eByD for the join half-steps only.
     var auth = eByD.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("score"))
     var hub = eByD.join(auth.withColumnRenamed("node", "dst"), "dst")

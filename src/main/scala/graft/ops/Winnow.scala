@@ -265,12 +265,34 @@ object Winnow {
     val base = Caches.track(docs.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
       col(shardCol).cast("long").as("_gshard")))
-    val within = Caches.materialize(
-      shards.map { s =>
-        SuffixArray.stripRepeatedSubstrings(
-          base.filter(col("_gshard") === s), "doc_id", "text",
-          minLen, maxLen)
-      }.reduce(_ unionByName _))
+    // per-shard SA strips are INDEPENDENT pipelines, each driving its
+    // own sequence of driver actions (radix probe, sorted walks, hit
+    // materialize) — run them from a small thread pool so one shard's
+    // job tail back-fills the cores another shard left idle (guide
+    // §2.6 "overlap independent jobs"; round-12: q324 was 58 jobs of
+    // ~70 ms driver latency each, issued strictly sequentially).
+    // Results are unchanged: each pipeline touches only its shard's
+    // rows and every SA rank/LCP is a pure function of the sorted
+    // value order (partition boundaries cancel out, see SuffixArray's
+    // determinism note), so the union is the same four frames.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(shards.size, 4))
+    val within = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = shards.map { s =>
+        scala.concurrent.Future {
+          SuffixArray.stripRepeatedSubstrings(
+            base.filter(col("_gshard") === s), "doc_id", "text",
+            minLen, maxLen)
+        }
+      }
+      Caches.materialize(
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionByName _))
+    } finally pool.shutdown()
     val cleanWithShard = within.select(col("doc_id"), col("clean_text"))
       .join(base.select(col("doc_id"), col("_gshard")), Seq("doc_id"))
     val matches = crossShardRepeatsByShard(cleanWithShard, "doc_id",

@@ -31,9 +31,23 @@ object EngagementQueries {
   val q117Funnel = OracleQuery("q117_funnel",
     "ordered view→click→purchase funnel with per-step conversion rates",
     (s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
+      // fanOutEst + track (round-12 census): every stage of the funnel
+      // — scan, three type-filtered aggregates, two survivor joins —
+      // ran as ONE task (single-split scan; AQE coalesced the few-MB
+      // groupBy exchanges to 1), 17 serial stages ≈ 3.5 s. One
+      // user-keyed exchange of the projected events table satisfies
+      // all three groupBy(user) distributions AND both survivor joins,
+      // so the whole funnel runs at the estimate-derived width with no
+      // further exchange (session width here re-pays the cold-JIT tax:
+      // 7.0/2.8/2.8 s at 32 vs 4.0/1.5/1.7 at the estimate's 4).
+      // Scale note: this trades the three type-pruned scans + partial-
+      // aggregated exchanges for one scan + one width-clamped exchange
+      // of the 3-column projection — comparable bytes at cluster scale
+      // (the projection is narrower than the three re-scans).
+      val ev = graft.ops.Caches.track(graft.ops.Par.fanOutEst(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us")), col("user_id")))
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
       val s2 = ev.filter(col("event_type") === "click")
@@ -44,9 +58,13 @@ object EngagementQueries {
         .join(s2, Seq("user_id"))
         .filter(col("ts_us") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
-      val counts = s1.agg(count(lit(1)).as("n1"))
+      // track: the three union branches below each consume this 1-row
+      // frame — uncached, each branch replayed the whole s1→s2→s3
+      // aggregate chain (round-12 census: the replays were most of the
+      // query's 45 jobs)
+      val counts = graft.ops.Caches.track(s1.agg(count(lit(1)).as("n1"))
         .crossJoin(s2.agg(count(lit(1)).as("n2")))
-        .crossJoin(s3.agg(count(lit(1)).as("n3")))
+        .crossJoin(s3.agg(count(lit(1)).as("n3"))))
       val step = (k: Int, name: String, n: String, prev: String) =>
         counts.select(
           lit(k.toLong).as("step"), lit(name).as("step_name"),
@@ -102,10 +120,16 @@ object EngagementQueries {
   val q118Retention = OracleQuery("q118_retention",
     "first-active-day cohort retention over offsets 0-7",
     (s, d) => {
-      val ud = Tables.events(s, d)
-        .select(col("user_id"),
-          expr(s"ts div 1000 div $DayUs").as("day"))
-        .distinct()
+      // fanOut + track (round-12 census, the q117 shape): the (user,
+      // day) distinct and everything after it ran single-task; the
+      // user-keyed width satisfies the distinct (hash(user) clusters
+      // every (user, day) group), the cohort groupBy AND the join, and
+      // the cache stops the two consumers replaying the scan
+      val ud = graft.ops.Caches.track(graft.ops.Par.fanOutEst(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr(s"ts div 1000 div $DayUs").as("day")), col("user_id"))
+        .distinct())
       val cohort = ud.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
       val sizes = cohort.groupBy(col("cohort_day"))

@@ -406,7 +406,14 @@ object InsightQueries {
   val q211SaltedJoin = OracleQuery("q211_salted_join",
     "salted skew-join enrichment: per type-day counts above the type mean",
     (s, d) => {
-      val ev = Tables.events(s, d)
+      // fanOutEst + track (round-12 census): the stats aggregate and
+      // the salted-join probe each re-scanned events as ONE task
+      // (~1 s each); one estimate-width exchange on the
+      // high-cardinality event_id feeds both from the cache
+      val ev = graft.ops.Caches.track(graft.ops.Par.fanOutEst(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            col("value")), col("event_id")))
       val stats = ev.groupBy(col("event_type"))
         .agg((sum(col("value").cast(dec2)).cast("double") /
           count(lit(1)).cast("double")).as("mean_value"))

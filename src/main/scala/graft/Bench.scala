@@ -251,8 +251,13 @@ object Bench {
     val lines = scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filterNot(_.startsWith("#")).toSeq
     val kv = lines.flatMap { l =>
+      // row = name \t median [\t spread]: the optional third column
+      // (max/min of the recording run, round-12 verdict ask #6) is
+      // documentation for drift analysis — the trigger reads only the
+      // median
       l.split("\t") match {
         case Array(k, v) => Some(k -> v.toDouble)
+        case Array(k, v, _) => Some(k -> v.toDouble)
         case _ => None
       }
     }.toMap

@@ -101,13 +101,4 @@ object Par {
     val w = (bytes / TargetPartBytes).min(width(df)).max(1).toInt
     df.repartition(w, keys: _*)
   }
-
-  // TEMP r12 experiment knob: GRAFT_EXP_<name> = 0 (no fanOut) | n (width)
-  def fanOutExp(name: String, df: DataFrame, keys: Column*): DataFrame =
-    sys.env.get("GRAFT_EXP_" + name)
-      .orElse(sys.env.get("GRAFT_EXP_LOOPW")).map(_.toInt) match {
-      case Some(0) => df
-      case Some(n) => df.repartition(n, keys: _*)
-      case None => fanOut(df, keys: _*)
-    }
 }
